@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Each queries entry is one operator from the reference's surface
+  * (awfeequdng/clickhouse_from_scratch) re-expressed Spark-first;
+  * oracleSql carries the DuckDB twin for the driver's hash compare.
+  */
 object SparkEntry {
+
+  private val groups: Seq[Map[String, Q]] = Seq(
+    CoreQueries.defs,
+    JoinQueries.defs,
+    GroupModQueries.defs
+  )
+
+  private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all("q01_agg").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.fn }
+
+  /** DuckDB-runnable oracle SQL per query (omitted ⇒ rows-only check). */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql))) => k -> sql }
 }

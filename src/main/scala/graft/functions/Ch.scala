@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** ClickHouse-compatible function surface, mapped to Spark's
+  * codegen'd built-ins (never UDFs). Names follow the reference's
+  * function registry (reference: src/Functions/IFunction.h — the
+  * factory the parser resolves ASTFunction names against).
+  *
+  * Only thin aliases live here; anything needing real logic gets its
+  * own operator or a native Catalyst Expression (see SimHash64).
+  */
+object Ch {
+  // ---- conditional (ClickHouse if/multiIf) ----
+  def chIf(cond: Column, t: Column, f: Column): Column = when(cond, t).otherwise(f)
+  def multiIf(pairs: (Column, Column)*)(default: Column): Column =
+    pairs.foldRight(default) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+  def ifNull(x: Column, alt: Column): Column  = coalesce(x, alt)
+  def nullIf(x: Column, y: Column): Column    = when(x === y, lit(null)).otherwise(x)
+
+  // ---- arithmetic ----
+  def intDiv(a: Column, b: Column): Column  = (a / b).cast("long")
+  def modulo(a: Column, b: Column): Column  = a % b
+  def plus(a: Column, b: Column): Column    = a + b
+  def minus(a: Column, b: Column): Column   = a - b
+  def negate(a: Column): Column             = -a
+
+  // ---- strings ----
+  def lengthUTF8(s: Column): Column               = length(s)
+  def lowerUTF8(s: Column): Column                = lower(s)
+  def upperUTF8(s: Column): Column                = upper(s)
+  def substringUTF8(s: Column, p: Int, l: Int): Column = substring(s, p, l)
+  def position(h: Column, n: String): Column      = instr(h, n) // 1-based, 0 if absent
+  def replaceAll(s: Column, f: String, t: String): Column = regexp_replace(s, java.util.regex.Pattern.quote(f), t)
+  def startsWith(s: Column, p: String): Column    = s.startsWith(p)
+  def endsWith(s: Column, p: String): Column      = s.endsWith(p)
+  def trimBoth(s: Column): Column                 = trim(s)
+  def reverseStr(s: Column): Column               = reverse(s)
+  def concatStr(cs: Column*): Column              = concat(cs: _*)
+  def splitByChar(sep: String, s: Column): Column = split(s, java.util.regex.Pattern.quote(sep))
+  def chLike(s: Column, pat: String): Column      = s.like(pat)
+  def chMatch(s: Column, re: String): Column      = s.rlike(re)
+
+  // ---- dates & times (reference: src/DataTypes/DataTypeDateTime.h) ----
+  def toYear(d: Column): Column         = year(d)
+  def toMonth(d: Column): Column        = month(d)
+  def toDayOfMonth(d: Column): Column   = dayofmonth(d)
+  def toDayOfWeek(d: Column): Column    = dayofweek(d) // 1=Sunday (Spark); CH is 1=Monday — see f03 note
+  def toHour(d: Column): Column         = hour(d)
+  def toStartOfMonth(d: Column): Column = date_trunc("month", d)
+  def toStartOfDay(d: Column): Column   = date_trunc("day", d)
+  def toDate(d: Column): Column         = to_date(d)
+  def addDays(d: Column, n: Int): Column = date_add(d, n)
+  def dateDiffDays(a: Column, b: Column): Column = datediff(a, b)
+
+  // ---- type conversion (reference: src/DataTypes/DataTypeFactory.cpp) ----
+  def toUInt64(c: Column): Column  = c.cast("long")
+  def toInt32(c: Column): Column   = c.cast("int")
+  def toFloat64(c: Column): Column = c.cast("double")
+  def toStringCh(c: Column): Column = c.cast("string")
+  def toDecimal(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+
+  // ---- hashing ----
+  def md5Hex(c: Column): Column    = md5(c)
+  def sha256Hex(c: Column): Column = sha2(c, 256)
+  def xxHash(cs: Column*): Column  = xxhash64(cs: _*) // CH cityHash64 analog (not byte-compatible)
+
+  // ---- JSON (reference ClickHouse JSONExtract*) ----
+  def jsonExtractString(j: Column, path: String): Column = get_json_object(j, s"$$.$path")
+  def jsonExtractInt(j: Column, path: String): Column    = get_json_object(j, s"$$.$path").cast("long")
+  def jsonExtractFloat(j: Column, path: String): Column  = get_json_object(j, s"$$.$path").cast("double")
+
+  // ---- arrays (reference: src/DataTypes/DataTypeArray.h); all higher-order
+  //      forms stay inside codegen ----
+  def has(arr: Column, v: Column): Column        = array_contains(arr, v)
+  def indexOf(arr: Column, v: Column): Column    = array_position(arr, v)
+  def arrayMap(arr: Column, f: Column => Column): Column    = transform(arr, f)
+  def arrayFilter(arr: Column, f: Column => Column): Column = filter(arr, f)
+  def arraySum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
+  def arrayAvg(arr: Column): Column = arraySum(arr) / size(arr)
+  def arrayDistinct(arr: Column): Column = array_distinct(arr)
+  def arraySort(arr: Column): Column     = sort_array(arr)
+
+  // ---- aggregate-function analogs (used via .agg) ----
+  def argMax(value: Column, by: Column): Column = max_by(value, by)
+  def argMin(value: Column, by: Column): Column = min_by(value, by)
+  def uniqExact(c: Column): Column  = countDistinct(c)
+  def uniq(c: Column): Column       = approx_count_distinct(c, 0.01)
+  def quantileExact(c: Column, q: Double): Column = percentile(c, lit(q))
+  def groupArraySorted(c: Column): Column = sort_array(collect_list(c))
+  def countIf(cond: Column): Column = count(when(cond, 1))
+  def sumIf(c: Column, cond: Column): Column = sum(when(cond, c).otherwise(lit(0)))
+
+  // ---- embeddings / vectors ----
+  /** Dot product of two float arrays — zip_with + aggregate keeps this
+    * in whole-stage codegen; no UDF. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{LimitBy, Sample}
+
+/** Core SELECT pipeline (SURVEY §2, reference
+  * src/Parsers/ASTSelectQuery.h:19-36): WHERE/PREWHERE, GROUP BY,
+  * HAVING, DISTINCT, LIMIT BY, LIMIT/OFFSET, ORDER BY with null
+  * placement, WITH/CTE, UNION, subqueries, SAMPLE, ARRAY JOIN.
+  */
+object CoreQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // TPC-H Q1 shape: the flagship scan→filter→partial-agg→final-agg
+    // pipeline. Exact decimal arithmetic, map-side combine, pushdown.
+    "q01_agg" -> Q(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val l = Tables(s, dir).lineitem
+      l.filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // WHERE + projection + ORDER + LIMIT: filter AND projection must
+    // reach the parquet scan (PushedFilters / 4-col ReadSchema).
+    "q02_filter_project" -> Q(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 48 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_quantity") >= 48 && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber").limit(100)
+    },
+
+    // PREWHERE (ASTSelectQuery.h:24): in ClickHouse a pre-filter that
+    // reads only the predicate columns first. Spark's equivalent is a
+    // pushed-down scan filter + column pruning — same IO shape.
+    "q03_prewhere" -> Q(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    "q04_having" -> Q(
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 4
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+        .filter(col("n_orders") >= 4)
+        .orderBy("o_custkey")
+    },
+
+    "q05_distinct" -> Q(
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem.select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // LIMIT 3 BY o_orderstatus (ASTSelectQuery.h:30-32) — top orders
+    // per status. One shuffle on the BY key; sort is per-group.
+    "q06_limit_by" -> Q(
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin) { (s, dir) =>
+      LimitBy(Tables(s, dir).orders, 3,
+          by = Seq(col("o_orderstatus")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
+
+    "q07_limit_offset" -> Q(
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10") {
+      (s, dir) =>
+        Tables(s, dir).orders.select("o_orderkey", "o_custkey")
+          .orderBy("o_orderkey").offset(10).limit(20)
+    },
+
+    // ORDER BY ... NULLS FIRST/LAST (ASTOrderByElement). Spark asc
+    // defaults NULLS FIRST, DuckDB NULLS LAST — both sides explicit.
+    "q08_order_nulls" -> Q(
+      """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+        |FROM customer
+        |ORDER BY seg ASC NULLS FIRST, c_custkey LIMIT 200""".stripMargin) { (s, dir) =>
+      Tables(s, dir).customer
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")).as("seg"))
+        .orderBy(col("seg").asc_nulls_first, col("c_custkey").asc)
+        .limit(200)
+    },
+
+    // WITH ... (CTE): reuse one aggregate in two branches.
+    "q09_with_cte" -> Q(
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, revenue FROM rev
+        |WHERE revenue > (SELECT CAST(AVG(revenue) AS DOUBLE) FROM rev)
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val rev = Tables(s, dir).orders.groupBy("o_custkey")
+        .agg(moneySum(col("o_totalprice")).as("revenue"))
+      val avgRev = rev.agg(avg("revenue").as("avg_rev"))
+      rev.join(broadcast(avgRev)).filter(col("revenue") > col("avg_rev"))
+        .select("o_custkey", "revenue").orderBy("o_custkey")
+    },
+
+    "q10_union_all" -> Q(
+      """SELECT * FROM (
+        |  SELECT c_name AS name, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, 'supplier' AS kind FROM supplier)
+        |ORDER BY kind, name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.select(col("c_name").as("name"), lit("customer").as("kind"))
+        .unionByName(t.supplier.select(col("s_name").as("name"), lit("supplier").as("kind")))
+        .orderBy("kind", "name")
+    },
+
+    "q11_union_distinct" -> Q(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .unionByName(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy("nationkey")
+    },
+
+    // IN (subquery) → left-semi join (Catalyst does the same rewrite).
+    "q12_subquery_in" -> Q(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.join(
+          broadcast(t.customer.filter(col("c_mktsegment") === "AUTOMOBILE")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    },
+
+    // Scalar subquery → broadcast 1-row cross join. l_quantity is
+    // integer-valued so the double avg is exact in both engines.
+    "q13_subquery_scalar" -> Q(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 1.4 * (SELECT AVG(l_quantity) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val l = Tables(s, dir).lineitem
+      val avgQ = l.agg(avg("l_quantity").as("avg_q"))
+      l.join(broadcast(avgQ))
+        .filter(col("l_quantity") > lit(1.4) * col("avg_q"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // SAMPLE (ASTSampleRatio.h): deterministic key-mod sampling —
+    // reproducible across engines and cluster layouts, unlike
+    // TABLESAMPLE which depends on physical splits.
+    "q14_sample" -> Q(
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin) { (s, dir) =>
+      Sample.byKeyMod(Tables(s, dir).lineitem, "l_orderkey", 10)
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // ARRAY JOIN (ASTTablesInSelectQuery.h:129) → explode(): word
+    // frequency over documents.
+    "q15_array_join" -> Q(
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(50)
+    }
+  )
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.AsOfJoin
+
+/** Join kinds (SURVEY §2; reference
+  * src/Parsers/ASTTablesInSelectQuery.h:76-99 — Kind × Strictness:
+  * INNER/LEFT/RIGHT/FULL/CROSS × ALL/ANY/ASOF/SEMI/ANTI).
+  *
+  * Scale notes: dimension sides are always broadcast() — at 100 TB the
+  * fact side never moves for a dim join. Fact-fact joins shuffle on
+  * the key and rely on AQE for skew splitting.
+  */
+object JoinQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    "j01_inner" -> Q(
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    "j02_left" -> Q(
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    "j03_right" -> Q(
+      """SELECT c_custkey, c_acctbal, o_orderkey FROM orders
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal < -900
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.join(t.customer, col("o_custkey") === col("c_custkey"), "right")
+        .filter(col("c_acctbal") < -900)
+        .select("c_custkey", "c_acctbal", "o_orderkey")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    },
+
+    "j04_full" -> Q(
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val c = t.customer.groupBy(col("c_nationkey").as("c_nk")).agg(count(lit(1)).as("n_cust"))
+      val su = t.supplier.groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nk") === col("s_nk"), "full")
+        .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+
+    "j05_cross" -> Q(
+      """SELECT r_name, st, COUNT(*) AS n FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders)
+        |GROUP BY r_name, st ORDER BY r_name, st""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.region.crossJoin(t.orders.select(col("o_orderstatus").as("st")).distinct())
+        .groupBy("r_name", "st").agg(count(lit(1)).as("n"))
+        .orderBy("r_name", "st")
+    },
+
+    // SEMI (Strictness::Semi): customers having at least one open order.
+    "j06_semi" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.join(t.orders.filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ANTI (Strictness::Anti): customers with no pending order.
+    "j07_anti" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.join(t.orders.filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ANY (Strictness::Any): join each order to ONE lineitem — the
+    // right side is deduped to its first row per key before the join,
+    // exactly ClickHouse's any-join contract (deterministic variant:
+    // first = lowest linenumber).
+    "j08_any" -> Q(
+      """SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity FROM orders
+        |JOIN (SELECT * FROM (
+        |        SELECT l_orderkey, l_linenumber, l_quantity,
+        |          row_number() OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+        |        FROM lineitem) WHERE rn = 1) li
+        |  ON o_orderkey = li.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      // l_linenumber alone is not unique in the synthetic data — the
+      // extra keys make "first row per key" a total order.
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
+      val anyLi = t.lineitem.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("l_orderkey", "l_linenumber", "l_quantity")
+      t.orders.join(anyLi, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
+        .orderBy("o_orderkey")
+    },
+
+    // ASOF (Strictness::Asof): for every click event, the most recent
+    // preceding error of the same user. Union+last-value plan — ONE
+    // shuffle, no range cross-join (see operators.AsOfJoin).
+    "j09_asof" -> Q(
+      """SELECT c.event_id, c.user_id, e.event_id AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"), col("user_id"), col("ts"))
+      AsOfJoin(clicks, errors, key = "user_id",
+          leftTime = "ts", rightTime = "ts", rightCols = Seq("err_event_id"))
+        .select("event_id", "user_id", "err_event_id")
+        .orderBy("event_id")
+    },
+
+    // 4-table star: Catalyst reorders; both dims broadcast.
+    "j10_multiway" -> Q(
+      """SELECT r_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("r_name")
+    }
+  )
+}

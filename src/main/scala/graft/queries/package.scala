@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query-registry plumbing shared by all operator groups.
+  *
+  * Determinism discipline (the driver hash-compares against DuckDB):
+  *  - every query ends in a TOTAL deterministic ORDER BY, mirrored in
+  *    the oracle SQL;
+  *  - floating aggregates go through decimal(18,2) so the arithmetic
+  *    is exact and engine/partition-order independent, then cast back
+  *    to double (bit-identical in both engines);
+  *  - inherently-float stats (corr/stddev) are rounded;
+  *  - ORDER BY columns are never nullable unless null placement is
+  *    spelled out on both sides (Spark asc = NULLS FIRST, DuckDB asc =
+  *    NULLS LAST by default).
+  */
+package object queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** A registered query: Spark plan + optional DuckDB oracle SQL.
+    * No oracle ⇒ the driver records a weaker rows-only check and a
+    * ScalaTest spec carries the semantics instead. */
+  final case class Q(fn: QFn, oracle: Option[String])
+  object Q {
+    def apply(sql: String)(fn: QFn): Q = Q(fn, Some(sql))
+    def rowsOnly(fn: QFn): Q = Q(fn, None)
+  }
+
+  /** Exact money arithmetic: double → decimal(18,2). */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Partial-agg-friendly exact sum of a money column, back to double. */
+  def moneySum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Deterministic average: exact decimal sum, then one IEEE division. */
+  def moneyAvg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+}

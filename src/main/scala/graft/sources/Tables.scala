@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema'd loaders for the driver-generated parquet tables
+  * (see /root/repo/TESTDATA.md). One parquet file per table under a
+  * scale-factor directory.
+  *
+  * At cluster scale these would be partitioned/bucketed catalog tables;
+  * here the parquet scan is the interface — Catalyst still gets filter
+  * pushdown and column pruning through it, which is what matters for
+  * the plans downstream.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+    * rejects; read nanos as long and convert to a microsecond
+    * timestamp with integer arithmetic (ns epochs exceed 2^53, so no
+    * double round-trip).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
