@@ -13,7 +13,9 @@ object SparkEntry {
   private val groups: Seq[Map[String, Q]] = Seq(
     CoreQueries.defs,
     JoinQueries.defs,
-    GroupModQueries.defs
+    GroupModQueries.defs,
+    AggQueries.defs,
+    WindowQueries.defs
   )
 
   private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)

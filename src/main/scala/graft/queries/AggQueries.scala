@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.TopK
+
+/** ClickHouse aggregate-function library (SURVEY §2 a01-a09):
+  * min/max/countIf/sumIf, argMin/argMax, uniq/uniqExact,
+  * quantile, stats moments, groupArray/groupUniqArray, topK, any.
+  * All partial-aggregation friendly (no driver-side reduction).
+  */
+object AggQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // min/max + conditional aggregates (ClickHouse countIf/sumIf).
+    "a01_minmax" -> Q(
+      """SELECT l_returnflag,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          sum(when(col("l_tax") > 0.04, dec(col("l_extendedprice")))).cast("double").as("taxed_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // argMax/argMin (ClickHouse). Ties on the ordering value are
+    // broken by the key via struct ordering → fully deterministic.
+    "a02_argminmax" -> Q(
+      """SELECT c_nationkey,
+        |  (SELECT c_custkey FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        |   ORDER BY c_acctbal DESC, c_custkey DESC LIMIT 1) AS richest,
+        |  (SELECT c_custkey FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        |   ORDER BY c_acctbal ASC, c_custkey ASC LIMIT 1) AS poorest
+        |FROM (SELECT DISTINCT c_nationkey FROM customer) c
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).customer.groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("richest"),
+          min_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("poorest"))
+        .orderBy("c_nationkey")
+    },
+
+    // uniqExact → COUNT(DISTINCT).
+    "a03_uniq_exact" -> Q(
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"))
+        .orderBy("o_orderstatus")
+    },
+
+    // uniq (approximate, HLL++) — no cross-engine oracle for a sketch;
+    // AggSpec asserts the 1%-rsd bound against the exact count.
+    "a04_uniq_approx" -> Q.rowsOnly { (s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    // quantile/median — exact interpolated percentile; both engines
+    // use pos = (n-1)*q, v = lo + frac*(hi-lo), so doubles match.
+    "a05_quantile" -> Q(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("median_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Moments: stddev/var/corr/covar. Merge order affects last ulps →
+    // rounded to 6 decimals on both sides.
+    "a06_stats" -> Q(
+      """SELECT l_returnflag,
+        |  ROUND(stddev_pop(l_quantity), 6) AS sd_qty,
+        |  ROUND(var_pop(l_quantity), 6) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(covar_pop(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(round(stddev_pop(col("l_quantity")), 6).as("sd_qty"),
+          round(var_pop(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+        .orderBy("l_returnflag")
+    },
+
+    // groupArray / groupUniqArray → ordered collect; serialized to a
+    // string so the comparison is type-independent.
+    "a07_group_array" -> Q(
+      """SELECT o_orderpriority,
+        |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS keys
+        |FROM orders WHERE o_custkey < 20
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders.filter(col("o_custkey") < 20)
+        .groupBy("o_orderpriority")
+        .agg(array_join(transform(sort_array(collect_list(col("o_orderkey"))),
+          _.cast("string")), ",").as("keys"))
+        .orderBy("o_orderpriority")
+    },
+
+    // topK(3)(p_brand): exact heavy hitters via count+window — the
+    // windowed input is pre-reduced to distinct values, so this scales.
+    "a08_topk" -> Q(
+      """SELECT p_brand, cnt FROM (
+        |  SELECT p_brand, COUNT(*) AS cnt,
+        |    row_number() OVER (ORDER BY COUNT(*) DESC, p_brand) AS rn
+        |  FROM part GROUP BY p_brand) WHERE rn <= 3
+        |ORDER BY cnt DESC, p_brand""".stripMargin) { (s, dir) =>
+      TopK(Tables(s, dir).part, "p_brand", 3)
+        .select("p_brand", "cnt")
+        .orderBy(col("cnt").desc, col("p_brand"))
+    },
+
+    // any/anyLast — ClickHouse returns an arbitrary member; the
+    // deterministic contract is "first in a defined order" (min_by).
+    "a09_any_value" -> Q(
+      """SELECT o_custkey,
+        |  (SELECT o_orderpriority FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        |   ORDER BY o_orderdate, o_orderkey LIMIT 1) AS first_prio,
+        |  (SELECT o_orderpriority FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        |   ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS last_prio
+        |FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 100) o
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders.filter(col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(
+          min_by(col("o_orderpriority"), struct(col("o_orderdate"), col("o_orderkey"))).as("first_prio"),
+          max_by(col("o_orderpriority"), struct(col("o_orderdate"), col("o_orderkey"))).as("last_prio"))
+        .orderBy("o_custkey")
+    }
+  )
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.WithFill
+
+/** Window functions (SURVEY §2 w01-w05; reference: the WINDOW clause,
+  * src/Parsers/ASTSelectQuery.h:28) plus ORDER BY ... WITH FILL.
+  * Every window has a total ordering so row_number/ntile/frames are
+  * deterministic.
+  */
+object WindowQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    "w01_ranking" -> Q(
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders.filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"), rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    "w02_lead_lag" -> Q(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir).orders.filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Running totals + moving average frames. Frame sums go through
+    // decimal so segment-tree vs incremental evaluation can't differ.
+    "w03_running" -> Q(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir).orders.filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          sum(dec(col("o_totalprice"))).over(w.rowsBetween(-2, Window.currentRow))
+            .cast("double").as("moving_sum3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "w04_ntile" -> Q(
+      """SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders.filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"),
+          ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
+    // ORDER BY ... WITH FILL: densify the daily order axis; missing
+    // days appear with n=0. Spine = 1-row min/max agg × sequence().
+    "w05_with_fill" -> Q(
+      """WITH d AS (SELECT o_orderdate AS day, COUNT(*) AS n FROM orders GROUP BY 1),
+        |s AS (SELECT unnest(generate_series((SELECT MIN(day) FROM d),
+        |                                    (SELECT MAX(day) FROM d),
+        |                                    INTERVAL 1 DAY)) AS day)
+        |SELECT s.day AS day, COALESCE(d.n, 0) AS n
+        |FROM s LEFT JOIN d ON s.day = d.day
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir).orders
+        .groupBy(col("o_orderdate").as("day")).agg(count(lit(1)).as("n"))
+      WithFill.fillDays(daily, "day")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day")
+    }
+  )
+}
