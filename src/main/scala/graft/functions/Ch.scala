@@ -20,7 +20,11 @@ object Ch {
   def nullIf(x: Column, y: Column): Column    = when(x === y, lit(null)).otherwise(x)
 
   // ---- arithmetic ----
-  def intDiv(a: Column, b: Column): Column  = (a / b).cast("long")
+  /** Exact integer division (CH intDiv = C++ `/` on integers). Goes
+    * through Catalyst's IntegralDivide — no double round-trip, so it
+    * is correct for |values| > 2^53 where `(a / b).cast("long")` is not. */
+  def intDiv(a: Column, b: Column): Column  =
+    call_function("div", a.cast("long"), b.cast("long"))
   def modulo(a: Column, b: Column): Column  = a % b
   def plus(a: Column, b: Column): Column    = a + b
   def minus(a: Column, b: Column): Column   = a - b
@@ -46,7 +50,9 @@ object Ch {
   def toYear(d: Column): Column         = year(d)
   def toMonth(d: Column): Column        = month(d)
   def toDayOfMonth(d: Column): Column   = dayofmonth(d)
-  def toDayOfWeek(d: Column): Column    = dayofweek(d) // 1=Sunday (Spark); CH is 1=Monday — see f03 note
+  /** ClickHouse toDayOfWeek is ISO: 1=Monday..7=Sunday (Spark's
+    * dayofweek is 1=Sunday). weekday() is 0=Monday, so +1. */
+  def toDayOfWeek(d: Column): Column    = weekday(d) + lit(1)
   def toHour(d: Column): Column         = hour(d)
   def toStartOfMonth(d: Column): Column = date_trunc("month", d)
   def toStartOfDay(d: Column): Column   = date_trunc("day", d)
@@ -88,7 +94,13 @@ object Ch {
   def argMin(value: Column, by: Column): Column = min_by(value, by)
   def uniqExact(c: Column): Column  = countDistinct(c)
   def uniq(c: Column): Column       = approx_count_distinct(c, 0.01)
-  def quantileExact(c: Column, q: Double): Column = percentile(c, lit(q))
+  /** CH quantile (interpolated, like quantile_cont). */
+  def quantile(c: Column, q: Double): Column = percentile(c, lit(q))
+  /** CH quantileExact returns an ACTUAL element of the input (not an
+    * interpolation); percentile_approx at max accuracy does exactly
+    * that — the smallest element at/after rank q·n. */
+  def quantileExact(c: Column, q: Double): Column =
+    percentile_approx(c, lit(q), lit(Int.MaxValue))
   def groupArraySorted(c: Column): Column = sort_array(collect_list(c))
   def countIf(cond: Column): Column = count(when(cond, 1))
   def sumIf(c: Column, cond: Column): Column = sum(when(cond, c).otherwise(lit(0)))

@@ -57,7 +57,10 @@ object AsOfJoin {
             col("__t") :+ col("__side") :+ col("__payload")): _*))
     // right rows (side=0) sort before a left row at the same timestamp →
     // backward-inclusive semantics, matching ClickHouse ASOF `<=`.
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+    // __payload as the final sort key makes ties among right rows that
+    // share (key, ts) deterministic: last() then always picks the
+    // max-struct payload instead of a partition-order-dependent one.
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__match", last("__payload", ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
@@ -67,8 +70,14 @@ object AsOfJoin {
 
 /** ORDER BY ... WITH FILL (reference: src/Parsers/ASTOrderByElement.h):
   * densify an ordered axis by generating the missing steps. The spine
-  * is built from a 1-row min/max aggregate crossed with sequence() —
-  * broadcast-joined back, so no full-data second shuffle.
+  * is built from a 1-row min/max aggregate crossed with sequence().
+  *
+  * Scale note: WITH FILL applies to the POST-aggregation axis (one row
+  * per distinct axis value), so both join sides here are
+  * dimension-sized by construction — the fill join never touches the
+  * fact table. Spark cannot broadcast the preserved side of an outer
+  * join (BHJ builds the non-preserved side only), so this is a plain
+  * join of two axis-sized inputs; AQE turns it into a local join.
   */
 object WithFill {
   /** Fill missing days between min and max of a date column. */
@@ -85,10 +94,73 @@ object WithFill {
   * same with a mod-filter on the key so results are reproducible
   * across engines and cluster sizes (TABLESAMPLE is
   * partition-layout-dependent; a key-hash filter is not).
+  *
+  * IO honesty: `byKeyMod` is CPU-deterministic but IO-full — pmod is
+  * not a pushable parquet predicate, so a 10% sample still scans 100%
+  * of the table. ClickHouse reads ~k of the granules because MergeTree
+  * data is physically ORDERED by intHash(sampling key); the Spark
+  * analog is `byHashRange` over a table laid out (sorted/bucketed) by
+  * the same hash: the range predicate on the persisted hash column is
+  * pushable, so row groups outside the range are skipped entirely and
+  * IO is proportional to the sampled fraction. Use byKeyMod when the
+  * input layout is unknown; use byHashRange on hash-ordered tables.
   */
 object Sample {
   def byKeyMod(df: DataFrame, key: String, mod: Int, keep: Int = 0): DataFrame =
     df.filter(pmod(col(key), lit(mod)) === keep)
+
+  /** Unbiased fraction-sample with pushable IO: keep rows whose 64-bit
+    * key hash falls in the first `frac` of the (unsigned) hash space.
+    * On a table written sorted by `xxhash64(key)` this prunes row
+    * groups via min/max stats → reads ~frac of the bytes. */
+  def byHashRange(df: DataFrame, key: String, frac: Double): DataFrame = {
+    val cut = (Long.MinValue + (frac * 2.0 * Long.MaxValue)).toLong
+    df.filter(xxhash64(col(key)) <= lit(cut))
+  }
+}
+
+/** Distributed ntile: global rank without a global single-partition
+  * sort (the scale-killer `Window.orderBy` with no partition).
+  *
+  * Plan: range-repartition on the total order + per-partition sort
+  * (one shuffle, same cost as any global ORDER BY), then a ≤#partitions
+  * row histogram gives each partition's rank offset; global rank =
+  * offset + local row_number, and the ntile bucket follows from the
+  * exact integer formula (first `total % n` tiles get one extra row —
+  * identical to Spark/DuckDB NTILE). The only windows are
+  * per-partition; the offset cumsum runs on the tiny histogram.
+  */
+object Ntile {
+  def apply(df: DataFrame, n: Int, order: Seq[Column], out: String = "tile"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist() // read twice: histogram + rank join; axis-sized cache
+    val hist = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = hist.withColumn("__off",
+      coalesce(sum("__cnt").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = hist.agg(sum("__cnt").as("__total"))
+    val ranked = ranged
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy("__pid").orderBy(order: _*)))
+      .join(broadcast(offsets.select("__pid", "__off")), "__pid")
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", col("__off") + col("__lrn"))
+    // q = total div n, r = total mod n, cut = r*(q+1); tiles 1..r have
+    // q+1 rows, tiles r+1..n have q rows. Pure long arithmetic.
+    val rankedQ = ranked
+      .withColumn("__q", call_function("div", col("__total"), lit(n.toLong)))
+      .withColumn("__r", pmod(col("__total"), lit(n.toLong)))
+      .withColumn("__cut", col("__r") * (col("__q") + 1))
+    rankedQ.withColumn(out,
+        when(col("__rank") <= col("__cut"),
+          call_function("div", col("__rank") - 1, col("__q") + 1) + 1)
+        .otherwise(col("__r") +
+          call_function("div", col("__rank") - col("__cut") - 1, col("__q")) + 1))
+      .drop("__pid", "__lrn", "__off", "__total", "__rank", "__q", "__r", "__cut")
+  }
 }
 
 /** topK(k)(col) (ClickHouse approximate heavy hitters). Exact variant:

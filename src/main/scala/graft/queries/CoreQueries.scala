@@ -118,17 +118,24 @@ object CoreQueries {
         .limit(200)
     },
 
-    // WITH ... (CTE): reuse one aggregate in two branches.
+    // WITH ... (CTE): reuse one aggregate in two branches. The CTE is
+    // persisted so both consumers (threshold agg + main filter) read
+    // the one materialization — without it Spark recomputes the
+    // orders scan+shuffle twice. The threshold is an exact decimal sum
+    // divided once (a single IEEE op) so the boundary comparison can't
+    // drift a last-ulp row between engines.
     "q09_with_cte" -> Q(
       """WITH rev AS (
         |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, revenue FROM rev
-        |WHERE revenue > (SELECT CAST(AVG(revenue) AS DOUBLE) FROM rev)
+        |WHERE revenue > (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM rev)
         |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       val rev = Tables(s, dir).orders.groupBy("o_custkey")
         .agg(moneySum(col("o_totalprice")).as("revenue"))
-      val avgRev = rev.agg(avg("revenue").as("avg_rev"))
+        .persist()
+      val avgRev = rev.agg(
+        (sum(dec(col("revenue"))).cast("double") / count(lit(1))).as("avg_rev"))
       rev.join(broadcast(avgRev)).filter(col("revenue") > col("avg_rev"))
         .select("o_custkey", "revenue").orderBy("o_custkey")
     },

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.WithFill
+import graft.operators.{Ntile, WithFill}
 
 /** Window functions (SURVEY §2 w01-w05; reference: the WINDOW clause,
   * src/Parsers/ASTSelectQuery.h:28) plus ORDER BY ... WITH FILL.
@@ -66,13 +66,16 @@ object WindowQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // ntile over a GLOBAL order — realized by the distributed Ntile
+    // operator (range shuffle + offset histogram), not a
+    // single-partition window; see operators.Ntile.
     "w04_ntile" -> Q(
       """SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      Tables(s, dir).orders.filter(col("o_custkey") < 100)
-        .select(col("o_orderkey"),
-          ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")).as("quartile"))
+      Ntile(Tables(s, dir).orders.filter(col("o_custkey") < 100),
+          4, Seq(col("o_totalprice"), col("o_orderkey")), out = "quartile")
+        .select(col("o_orderkey"), col("quartile").cast("int").as("quartile"))
         .orderBy("o_orderkey")
     },
 

@@ -26,14 +26,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader
     * rejects; read nanos as long and convert to a microsecond
     * timestamp with integer arithmetic (ns epochs exceed 2^53, so no
-    * double round-trip).
+    * double round-trip). Requires `spark.sql.legacy.parquet
+    * .nanosAsLong=true`, set at session construction by every graft
+    * entrypoint (Verify/Bench/test fixture) — loaders never mutate
+    * session conf.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     t("events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
