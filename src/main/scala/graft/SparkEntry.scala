@@ -15,7 +15,8 @@ object SparkEntry {
     JoinQueries.defs,
     GroupModQueries.defs,
     AggQueries.defs,
-    WindowQueries.defs
+    WindowQueries.defs,
+    FnQueries.defs
   )
 
   private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)
