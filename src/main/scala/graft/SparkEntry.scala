@@ -16,7 +16,8 @@ object SparkEntry {
     GroupModQueries.defs,
     AggQueries.defs,
     WindowQueries.defs,
-    FnQueries.defs
+    FnQueries.defs,
+    DedupQueries.defs
   )
 
   private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)

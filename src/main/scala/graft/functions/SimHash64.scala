@@ -94,14 +94,24 @@ object SimHashImpl {
   * them through the normal function-resolution path
   * (`call_function("simhash64", …)`). Idempotent. */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("simhash64")
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-        (children: Seq[Expression]) => SimHash64(children.head))
+
+    def reg(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit = {
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, new ExpressionInfo(clazz.getName, name), builder)
+      }
+    }
+
+    reg("simhash64", classOf[SimHash64])(children => SimHash64(children.head))
+    // minhash64(tokens, k) — k must be an int literal
+    reg("minhash64", classOf[MinHash64]) {
+      case Seq(tokens, Literal(k: Int, _)) => MinHash64(tokens, k)
+      case other => throw new IllegalArgumentException(
+        s"minhash64(tokens, k-literal) expected, got ${other.mkString(", ")}")
     }
   }
 }

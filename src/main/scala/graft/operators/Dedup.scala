@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for the training-data pipeline (SURVEY §2
+  * d01–d04). Everything here is BLOCKED: candidate pairs only ever
+  * come from hash buckets (exact digest, LSH band, or an explicit
+  * block key), never an all-pairs product, and buckets are
+  * size-capped, so the plans stay linear in corpus size — the property
+  * that matters at 100 TB. No driver-side collection anywhere.
+  */
+object Dedup {
+
+  /** d01: exact dedup — keep the minimum-id row per content digest.
+    * One shuffle on the digest (window, not groupBy, so the full
+    * surviving row comes out without a self-join back). */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("__digest").orderBy(col(idCol))
+    df.withColumn("__digest", md5(col(contentCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("__digest", "digest")
+  }
+
+  /** Raw whitespace token array — kept IDENTICAL to DuckDB's
+    * string_split so oracles can mirror it (empties included). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Distinct word n-grams ("shingles") of a text column. Mirrors the
+    * DuckDB list-comprehension form exactly: grams over the raw token
+    * list, i = 1..len-1 for bigrams, joined with single spaces. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val cnt = size(ws) - (n - 1)
+    when(cnt >= lit(1),
+      array_distinct(transform(sequence(lit(1), cnt), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** All unordered pairs from a sorted id array (used after bucketing;
+    * bucket size is capped upstream, so this is bounded). */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))), y =>
+        struct(x.as("id1"), y.as("id2")))))
+
+  /** Candidate pairs from bucketed rows: group by bucket, cap bucket
+    * size (degenerate buckets = boilerplate content; dropping them is
+    * standard LSH practice and what keeps the plan non-quadratic),
+    * emit in-bucket pairs, dedup across buckets. One shuffle to
+    * bucket, one to dedup pairs. */
+  private def bucketPairs(
+      bucketed: DataFrame, bucketCols: Seq[String], idCol: String,
+      maxBucket: Int): DataFrame =
+    bucketed.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("__ids"))).as("__p"))
+      .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
+      .distinct()
+
+  /** d02: shingle → MinHash → banded LSH near-dup candidates with
+    * estimated Jaccard. The signature is over word SHINGLES (3-grams),
+    * not unigram tokens — token sets are near-identical across
+    * same-domain documents, shingle sets are discriminative. k
+    * minhashes → k/bandRows bands; two docs collide if any band of
+    * their signatures agrees. est_jaccard = signature agreement rate
+    * (unbiased estimator of shingle-set Jaccard). At 100 TB: tune
+    * bandRows up for precision; cost is one scan + three shuffles
+    * (bucket, pair-dedup, signature re-join). */
+  def minHashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bandRows: Int = 2, maxBucket: Int = 100,
+      minEstJaccard: Double = 0.5, shingleSize: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val numBands = numHashes / bandRows
+    val sig = df.select(col(idCol),
+      call_function("minhash64",
+        wordNGrams(col(textCol), shingleSize), lit(numHashes)).as("__mh"))
+    val bands = sig.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          xxhash64(slice(col("__mh"), b * bandRows + 1, lit(bandRows)))))
+          .as(Seq("__band", "__key")))
+    val pairs = bucketPairs(bands, Seq("__band", "__key"), idCol, maxBucket)
+    val s1 = sig.select(col(idCol).as("id1"), col("__mh").as("__mh1"))
+    val s2 = sig.select(col(idCol).as("id2"), col("__mh").as("__mh2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__mh1"), col("__mh2"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** d03: SimHash near-dup — 64-bit fingerprints banded into
+    * 64/bandBits chunks; by pigeonhole, any pair within Hamming
+    * distance < 64/bandBits MUST agree on some band, so banding is a
+    * recall-complete blocker for small distances. Candidates are then
+    * verified with an exact popcount on the XOR. */
+  def simHashNearDup(
+      df: DataFrame, idCol: String, textCol: String,
+      bandBits: Int = 16, maxHamming: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val numBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val sim = df.select(col(idCol),
+      call_function("simhash64",
+        filter(tokens(col(textCol)), w => w =!= "")).as("__sh"))
+    val bands = sim.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        call_function("shiftrightunsigned", col("__sh"), b * bandBits)
+          .bitwiseAND(lit(mask))))
+        .as(Seq("__band", "__key")))
+    val pairs = bucketPairs(bands, Seq("__band", "__key"), idCol, maxBucket)
+    val s1 = sim.select(col(idCol).as("id1"), col("__sh").as("__sh1"))
+    val s2 = sim.select(col(idCol).as("id2"), col("__sh").as("__sh2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("hamming", bit_count(col("__sh1").bitwiseXOR(col("__sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** d04: exact word-n-gram Jaccard over blocked pairs — the VERIFY
+    * stage of the dedup funnel (candidates from d02/d03 or any block
+    * key). Sparse-similarity-join shape: explode distinct grams, join
+    * on (block, gram), count intersections, |A∪B| from per-doc sizes.
+    * Never materializes token sets per pair; everything is
+    * aggregate-shaped and partial-agg friendly. */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol), col(blockCol).as("__blk"),
+        wordNGrams(col(textCol), n).as("__gs"))
+      .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
+        explode(col("__gs")).as("__g"))
+    val a = grams.select(col(idCol).as("id1"), col("__blk"),
+      col("__sz").as("__s1"), col("__g"))
+    val b = grams.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
+      col("__sz").as("__s2"), col("__g").as("__g2"))
+    a.join(b, col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
+        col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("__inter"), min("__s1").as("__sa"), min("__s2").as("__sb"))
+      .withColumn("jaccard",
+        col("__inter").cast("double") / (col("__sa") + col("__sb") - col("__inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "jaccard")
+  }
+}

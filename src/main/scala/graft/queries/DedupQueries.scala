@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Dedup
+
+/** Dedup pipeline coverage (SURVEY §2 d01–d04) over the `documents`
+  * table. The synthetic corpus has planted near-duplicate pairs
+  * (bigram Jaccard ≥ 0.96, SimHash Hamming ≤ 4), so every stage of
+  * the funnel produces real matches. d01/d04 are DuckDB-oracled;
+  * d02/d03 involve signature hash families DuckDB can't reproduce
+  * (splitmix64 permutations) → rows-only here, semantics pinned by
+  * DedupSpec on planted data.
+  */
+object DedupQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact dedup: keep min doc_id per md5(text). On this corpus all
+    // 500 digests are unique — the oracle still pins the digest
+    // computation, the keep-min rule, and the full surviving row.
+    "d01_exact_dedup" -> Q(
+      """SELECT doc_id, source, digest FROM (
+        |  SELECT doc_id, source, md5(text) AS digest,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(Tables(s, dir).documents, "text", "doc_id")
+        .select("doc_id", "source", "digest")
+        .orderBy("doc_id")
+    },
+
+    // MinHash+LSH candidates at est Jaccard ≥ 0.5: recovers the
+    // planted near-dup pairs without any O(n²) comparison.
+    "d02_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
+      Dedup.minHashLsh(Tables(s, dir).documents, "doc_id", "text",
+          numHashes = 64, bandRows = 2, minEstJaccard = 0.5)
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("id1", "id2")
+    },
+
+    // SimHash banding + exact Hamming verify (≤ 4 bits of 64).
+    "d03_simhash" -> Q.rowsOnly { (s, dir) =>
+      Dedup.simHashNearDup(Tables(s, dir).documents, "doc_id", "text",
+          bandBits = 16, maxHamming = 4)
+        .orderBy("id1", "id2")
+    },
+
+    // Exact bigram Jaccard ≥ 0.5 on lang-blocked pairs — DuckDB
+    // mirrors the gram construction with a list comprehension, so the
+    // Jaccard doubles match exactly (same int counts, one division).
+    "d04_ngram_jaccard" -> Q(
+      """WITH g AS (
+        |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (
+        |    SELECT doc_id, lang,
+        |      list_distinct([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS gs
+        |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+        |         MIN(a.sz) AS sa, MIN(b.sz) AS sb
+        |  FROM g a JOIN g b
+        |    ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(inter AS DOUBLE)/(sa + sb - inter) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE)/(sa + sb - inter) >= 0.5
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccard(Tables(s, dir).documents, "doc_id", "text", "lang",
+          n = 2, minJaccard = 0.5)
+        .orderBy("id1", "id2")
+    }
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Semantic oracles for the rows-only dedup operators, on a corpus
+  * with KNOWN planted duplicates — the ScalaTest side of the
+  * correctness contract SURVEY §2 promises for d02/d03. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 23 deterministic docs: 20 with disjoint vocabularies, plus one
+    * exact copy of doc 0 (id 100), and near-copies of docs 1 and 2
+    * (ids 101, 102 — one word changed / one appended out of 60). */
+  private lazy val corpus = {
+    def words(seed: Int) = (0 until 60).map(i => s"doc${seed}_w$i")
+    val base = (0 until 20).map(i => (i.toLong, words(i).mkString(" ")))
+    val planted = Seq(
+      (100L, words(0).mkString(" ")),                       // exact dup of 0
+      (101L, words(1).updated(30, "CHANGED").mkString(" ")), // near dup of 1
+      (102L, (words(2) :+ "extra").mkString(" ")))           // near dup of 2
+    (base ++ planted).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min-id row per digest and drops exact copies") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 22)          // 23 rows - 1 exact dup
+    assert(!ids.contains(100L))     // copy dropped
+    assert(ids.contains(0L))        // min-id original kept
+  }
+
+  test("minhash LSH finds exact and near dups, estimates high jaccard, no junk") {
+    val got = Dedup.minHashLsh(corpus, "doc_id", "text", minEstJaccard = 0.5)
+      .select("id1", "id2", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(got.keySet == Set((0L, 100L), (1L, 101L), (2L, 102L)), s"got $got")
+    assert(got((0L, 100L)) == 1.0)
+    assert(got((1L, 101L)) > 0.7 && got((2L, 102L)) > 0.7)
+  }
+
+  test("simhash banding finds planted near-dups within hamming 4") {
+    val got = Dedup.simHashNearDup(corpus, "doc_id", "text", maxHamming = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 100L)) && got.contains((1L, 101L)) && got.contains((2L, 102L)),
+      s"got $got")
+  }
+
+  test("ngram jaccard verifies planted pairs with exact similarity") {
+    val blocked = corpus.withColumn("blk", lit(1))
+    val got = Dedup.ngramJaccard(blocked, "doc_id", "text", "blk", minJaccard = 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toMap2
+    assert(got.keySet == Set((0L, 100L), (1L, 101L), (2L, 102L)), s"got $got")
+    assert(got((0L, 100L)) == 1.0)
+  }
+
+  test("d02/d03 on the real documents table recover its planted near-dups") {
+    val docs = Tables(spark, sfDir).documents
+    val mh = Dedup.minHashLsh(docs, "doc_id", "text", minEstJaccard = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simHashNearDup(docs, "doc_id", "text")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // ground truth: exact bigram jaccard >= 0.5 within lang blocks
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", "lang", minJaccard = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    assert(truth.subsetOf(mh), s"minhash missed ${truth.diff(mh)}")
+    // simhash banding (4 bands of 16 bits) is recall-COMPLETE only for
+    // Hamming < 4 — assert exactly that guarantee, no more.
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val sims = docs.select(col("doc_id"), call_function("simhash64",
+        filter(split(col("text"), " ", -1), w => w =!= "")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val mustFind = truth.filter { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b)) < 4 }
+    assert(mustFind.subsetOf(sh), s"simhash missed ${mustFind.diff(sh)}")
+  }
+
+  private implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = arr.map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+}
