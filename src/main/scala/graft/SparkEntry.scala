@@ -17,7 +17,8 @@ object SparkEntry {
     AggQueries.defs,
     WindowQueries.defs,
     FnQueries.defs,
-    DedupQueries.defs
+    DedupQueries.defs,
+    AnnQueries.defs
   )
 
   private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.MinHashImpl
+
+/** Similarity search over an embedding column (SURVEY §2 d05–d06).
+  *
+  * d05 brute force is the exact baseline: broadcast the (small) query
+  * set, one streaming pass over the corpus, and a TWO-PHASE top-k —
+  * per-shuffle-partition top-k first, then top-k of the ≤ parts·k
+  * survivors — so no single partition ever sees the whole corpus, and
+  * the full (query × corpus) score set is never shuffled. That is the
+  * 100 TB shape; correctness is DuckDB-oracled.
+  *
+  * d06 is the scale path: random-hyperplane LSH (Charikar 2002).
+  * Deterministic ±1 hyperplanes derived from splitmix64 — no RNG
+  * state, same buckets on every run and every cluster size. Multiple
+  * independent tables raise recall; candidates are only scored within
+  * matching buckets, so cost is corpus-linear.
+  */
+object Ann {
+
+  /** Sequential double-precision dot product — element-wise cast to
+    * double BEFORE multiplying, so DuckDB's
+    * list_sum(list_transform(...)) reproduces the exact IEEE sequence
+    * bit-for-bit. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def l2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** Exact cosine top-k neighbours for each query row. `queries` must
+    * be broadcast-small (it is crossed with the corpus). */
+  def bruteTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "sim")
+    topKPerQuery(scored, k)
+  }
+
+  /** Two-phase distributed top-k: local winners per input partition,
+    * then global winners among parts·k rows. Both windows are
+    * partitioned (never a global sort); ties broken by neighbor id. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val order = Seq(col("sim").desc, col("neighbor_id").asc)
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("__lrn", row_number().over(local)).filter(col("__lrn") <= k)
+      .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank").drop("__lrn")
+  }
+
+  /** Deterministic ±1 hyperplane: table t, bit b, dim d. */
+  private def planeSign(t: Int, b: Int, d: Int): Double =
+    if ((MinHashImpl.mix(((t * 64 + b) * 4096 + d).toLong) & 1L) == 0L) 1.0 else -1.0
+
+  /** LSH code columns: one `bits`-bit bucket code per table, built
+    * from sign projections onto literal hyperplanes (no data-dependent
+    * state, fully codegen'd column arithmetic). */
+  private def codeCols(vec: Column, dim: Int, tables: Int, bits: Int): Seq[Column] =
+    (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val plane = array((0 until dim).map(d => lit(planeSign(t, b, d))): _*)
+        when(dot(vec, plane) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"__code$t")
+    }
+
+  /** d06: approximate top-k — score only corpus rows sharing an LSH
+    * bucket with the query in ANY table. Recall grows with `tables`,
+    * candidate count shrinks with `bits`; both are knobs per corpus
+    * density. Output matches bruteTopK's shape (plus it is a subset
+    * ranking, so recall@k against d05 is the quality metric — pinned
+    * in AnnSpec).
+    *
+    * Default (8 tables × 4 bits) is tuned for the synthetic test
+    * embeddings, which are near-ISOTROPIC (no cluster structure —
+    * measured: top-1 neighbour shares the row's label 2/20 times), the
+    * hardest case for any ANN index: recall@5 = 0.78 at a ~40%
+    * candidate fraction. On real embedding corpora (clustered by
+    * semantics) raise `bits` to cut the candidate fraction by orders
+    * of magnitude at equal recall — same plan shape either way. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, tables: Int = 8, bits: Int = 4): DataFrame = {
+    def coded(df: DataFrame, role: String) = {
+      val base = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"__${role}v"))
+      val codes = codeCols(col(s"__${role}v"), dim, tables, bits)
+      base.select(col(s"${role}_id"), col(s"__${role}v"),
+        posexplode(array(codes: _*)).as(Seq("__table", "__code")))
+    }
+    val qb = broadcast(coded(queries, "query"))
+    val cand = coded(corpus, "neighbor")
+      .join(qb, Seq("__table", "__code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "__queryv", "neighbor_id", "__neighborv")
+      .distinct() // a pair may collide in several tables — score once
+      .withColumn("sim", cosine(col("__queryv"), col("__neighborv")))
+      .select("query_id", "neighbor_id", "sim")
+    topKPerQuery(cand, k)
+  }
+}

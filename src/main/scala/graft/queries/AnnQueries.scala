@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Ann
+
+/** Similarity search coverage (SURVEY §2 d05–d06) over `embeddings`
+  * (64-dim float vectors). d05 is DuckDB-oracled — the cosine is an
+  * identical IEEE op sequence on both engines (per-element double
+  * cast, sequential sum, one division), so even rank ties agree.
+  * d06's hyperplane buckets are Spark-side arithmetic DuckDB has no
+  * business reproducing → rows-only, recall pinned by AnnSpec.
+  */
+object AnnQueries {
+
+  private val DIM = 64
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact top-5 cosine neighbours of the first 10 vectors.
+    "d05_knn_brute" -> Q(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS sim,
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Ann.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed approximate top-5 for the same queries.
+    "d06_ann_lsh" -> Q.rowsOnly { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Ann.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = DIM)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }
+  )
+}
