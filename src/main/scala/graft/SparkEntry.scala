@@ -18,7 +18,9 @@ object SparkEntry {
     WindowQueries.defs,
     FnQueries.defs,
     DedupQueries.defs,
-    AnnQueries.defs
+    AnnQueries.defs,
+    TextQueries.defs,
+    MultimodalQueries.defs
   )
 
   private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)

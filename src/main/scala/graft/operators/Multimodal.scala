@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media row: opaque binary payload + typed metadata. At 100 TB
+  * this is the layout for image/audio/video corpora: content as a
+  * parquet binary column (row groups keep it out of the way of
+  * metadata-only scans thanks to column pruning), typed metadata as
+  * ordinary columns so filters on format/size prune before any byte
+  * of content is read. */
+final case class MediaRow(
+  doc_id: Long, content: Array[Byte], format: String, width: Int, height: Int)
+
+/** Extracted features per media row. */
+final case class MediaFeatures(
+  doc_id: Long, format: String, width: Int, height: Int, n_bytes: Long,
+  mean_byte: Double, std_byte: Double, feature: Array[Float])
+
+/** Multimodal column plumbing (SURVEY §2 m01). The real thing a
+  * 100 TB pipeline needs from Spark — binary schema, metadata
+  * pushdown, partition-preserving batched featurization via
+  * mapPartitions with typed Encoders — is all here and tested.
+  *
+  * ==== STUB ====
+  * The DECODE step is a deterministic fake (a byte-histogram
+  * "decoder"): this container has no image/audio codecs. Swap
+  * `decodeStub` for a real codec call (JNI/FFI) without touching any
+  * of the Spark-side contract. mapPartitions (not a per-row UDF) is
+  * deliberate: a real decoder amortizes codec init per PARTITION, the
+  * same shape a Pandas-UDF batch gives PySpark.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + typed metadata to each document.
+    * Payload is synthesized deterministically from the text bytes
+    * (UTF-8 cast); metadata derives from stable row attributes. */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("content"),
+      lit("fake/raw").as("format"),
+      (pmod(length(col(textCol)), lit(48)) + 16).cast("int").as("width"),
+      (pmod(length(col(textCol)) * 7, lit(48)) + 16).cast("int").as("height"))
+
+  /** STUB decode: 8-bucket byte histogram + moments. Deterministic,
+    * codec-free stand-in for image decode / feature extraction. */
+  def decodeStub(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
+    val hist = new Array[Long](8)
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      hist(b >>> 5) += 1
+      sum += b
+      sumSq += b.toDouble * b
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toDouble
+    val mean = sum / n
+    val variance = math.max(sumSq / n - mean * mean, 0.0)
+    (mean, math.sqrt(variance), hist.map(h => (h / n).toFloat))
+  }
+
+  /** Batched featurization: one decoder pass per partition iterator,
+    * no shuffle (narrow dependency — partitioning of the input is
+    * preserved, so an upstream repartition by storage key survives). */
+  def featurize(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // real decoder init would happen HERE, once per partition
+      rows.map { r =>
+        val (mean, std, feat) = decodeStub(r.content)
+        MediaFeatures(r.doc_id, r.format, r.width, r.height,
+          r.content.length.toLong, mean, std, feat)
+      }
+    }
+  }
+}

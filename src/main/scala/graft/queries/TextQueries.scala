@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Text
+
+/** Text-analysis coverage (SURVEY §2 t01–t04) over `documents` — all
+  * four are exact column arithmetic, all four DuckDB-oracled.
+  */
+object TextQueries {
+
+  /** lang → quoted stopword list for the oracle SQL. */
+  private def dictSql(lang: String): String =
+    Text.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+
+  val defs: Map[String, Q] = Map(
+
+    "t01_lang_id" -> Q(
+      s"""WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(w, x -> x IN (${dictSql("de")}))) AS s_de,
+        |    len(list_filter(w, x -> x IN (${dictSql("en")}))) AS s_en,
+        |    len(list_filter(w, x -> x IN (${dictSql("es")}))) AS s_es,
+        |    len(list_filter(w, x -> x IN (${dictSql("fr")}))) AS s_fr,
+        |    len(list_filter(w, x -> x IN (${dictSql("zh")}))) AS s_zh
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |        FROM documents))
+        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |       WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scores = Text.langScores(col("text"))
+      Tables(s, dir).documents.select(
+          Seq(col("doc_id"), col("lang")) ++
+          scores.map { case (l, c) => c.as(s"s_$l") } :+
+          Text.predictedLang(
+            scores.map { case (l, _) => l -> col(s"s_$l") }).as("predicted"): _*)
+        .orderBy("doc_id")
+    },
+
+    "t02_quality" -> Q(
+      s"""SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        |  ROUND(
+        |    least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0) * 0.3
+        |    + (len(list_filter(string_split(text, ' '), x -> x IN (${dictSql("en")})))
+        |       / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)) * 0.4
+        |    + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+        |             / CAST(length(text) AS DOUBLE)) * 0.3, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          Text.wsTokenCount(col("text")).as("n_words"),
+          Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "t03_tokens" -> Q(
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpeish,
+        |  ROUND(CAST(length(text) AS DOUBLE)
+        |        / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          Text.wsTokenCount(col("text")).as("n_ws_tokens"),
+          Text.bpeishTokenCount(col("text")).as("n_bpeish"),
+          round(length(col("text")).cast("double") /
+            Text.wsTokenCount(col("text")), 6).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+
+    "t04_fingerprint" -> Q(
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_short,
+        |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          Text.fingerprint(col("text")).as("fp"),
+          substring(Text.fingerprint(col("text")), 1, 8).as("fp_short"),
+          length(Text.normalized(col("text"))).as("norm_len"))
+        .orderBy("doc_id")
+    }
+  )
+}
