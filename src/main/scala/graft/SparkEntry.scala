@@ -20,7 +20,8 @@ object SparkEntry {
     DedupQueries.defs,
     AnnQueries.defs,
     TextQueries.defs,
-    MultimodalQueries.defs
+    MultimodalQueries.defs,
+    StreamQueries.defs
   )
 
   private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.EventsStream
+
+/** s01 (SURVEY §2): gap-based sessionization over the events table —
+  * the batch twin of the streaming sessionizer, fully DuckDB-oracled
+  * (lag + cumsum + per-session aggregate, epoch-microsecond longs so
+  * no timestamp rendering is compared). */
+object StreamQueries {
+
+  val defs: Map[String, Q] = Map(
+    "s01_sessionize_batch" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        |flags AS (
+        |  SELECT user_id, tus, value,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |              OR tus - lag(tus) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id, tus, value,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id,
+        |  MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      EventsStream.sessionizeBatch(Tables(s, dir).events, gapSec = 3600)
+        .orderBy("user_id", "session_id")
+    }
+  )
+}

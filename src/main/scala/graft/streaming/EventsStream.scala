@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream processing (SURVEY §2 s01 + EventsStreamSpec;
+  * reference: src/Parsers/ASTWatchQuery.h — ClickHouse WATCH/live
+  * views, whose Spark twin is Structured Streaming).
+  *
+  * The BATCH sessionizer and the STREAMING sessionizer implement the
+  * same gap semantics; s01 oracle-verifies the batch plan in DuckDB,
+  * EventsStreamSpec drives the streaming twins through MemoryStream.
+  */
+object EventsStream {
+
+  /** Gap-based sessionization, batch form: a session breaks when the
+    * per-user gap exceeds `gapSec`. lag+cumsum over per-USER windows —
+    * partitioned by the natural key, so it scales with users (never a
+    * global window). */
+  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("__tus", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__tus", unix_micros(col("ts")))
+      .withColumn("__prev", lag("__tus", 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__tus") - col("__prev") > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("__new").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("__tus").as("session_start_us"),
+        max("__tus").as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  /** Streaming windowed aggregation: watermarked event-time tumbling
+    * windows per event type — the live-view analog of a continuously
+    * maintained GROUP BY. */
+  def windowedCounts(
+      events: DataFrame, watermark: String = "10 minutes",
+      win: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  final case class SessionState(startUs: Long, endUs: Long, n: Int)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Streaming sessionization with custom state: one SessionState per
+    * user, extended while events arrive within the gap, emitted when a
+    * later event breaks the gap or the event-time timeout fires after
+    * the watermark passes (the streaming twin of sessionizeBatch). */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+
+    def update(user: Long, evs: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption
+          .map(s => SessionOut(user, s.startUs, s.endUs, s.n)).iterator
+        state.remove()
+        out
+      } else {
+        var cur = state.getOption
+        val closed = List.newBuilder[SessionOut]
+        evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          val t = micros(e.ts)
+          cur = cur match {
+            case Some(s) if t - s.endUs <= gapUs =>
+              Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+            case Some(s) =>
+              closed += SessionOut(user, s.startUs, s.endUs, s.n)
+              Some(SessionState(t, t, 1))
+            case None => Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close the open session once the watermark passes its gap
+          state.setTimeoutTimestamp(s.endUs / 1000L + gapSec * 1000L)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.withWatermark("ts", s"$gapSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, SessionOut}
+import graft.sources.Tables
+
+/** Structured-Streaming twins driven through MemoryStream, plus the
+  * batch/stream sessionization equivalence. */
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed counts aggregate by event-time window under a watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.windowedCounts(input.toDF, watermark = "10 minutes", win = "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(65), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes a session when the gap is exceeded") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionizeStream(input.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // two events 5 min apart (one session), then one 30 min later
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(35), 7, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[SessionOut].collect().toSeq
+      assert(sessions.map(s => (s.user_id, s.n_events)) == Seq((7L, 2)),
+        s"expected the first 2-event session closed, got $sessions")
+    } finally q.stop()
+  }
+
+  test("batch sessionizer agrees with a hand-computed session split") {
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 1.0), (2L, ts(5), 7L, "click", 2.0),
+      (3L, ts(120), 7L, "click", 3.0), (4L, ts(1), 8L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventsStream.sessionizeBatch(events, gapSec = 3600)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("batch and stream sessionization agree on real events (sf0.001)") {
+    val events = Tables(spark, sfDir).events
+    val batch = EventsStream.sessionizeBatch(events, gapSec = 3600)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionizeStream(input.toDS(), gapSec = 3600)
+      .writeStream.format("memory").queryName("sess_real").outputMode("append").start()
+    try {
+      val evs = events.select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().sortBy(e => e.ts.getTime)
+      input.addData(evs)
+      q.processAllAvailable()
+      // push the watermark far past the last event so every open
+      // session times out and is emitted
+      input.addData(Event(Long.MaxValue, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "x", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("sess_real").as[SessionOut]
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.start_us, s.end_us, s.n_events.toLong))
+        .collect().toSet
+      assert(stream == batch,
+        s"stream-only: ${stream.diff(batch).take(3)}; batch-only: ${batch.diff(stream).take(3)}")
+    } finally q.stop()
+  }
+}
