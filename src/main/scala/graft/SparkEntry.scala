@@ -21,7 +21,8 @@ object SparkEntry {
     AnnQueries.defs,
     TextQueries.defs,
     MultimodalQueries.defs,
-    StreamQueries.defs
+    StreamQueries.defs,
+    TypeQueries.defs
   )
 
   private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)

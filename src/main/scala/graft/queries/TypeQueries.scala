@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-type breadth + write path (SURVEY §2 y01–y03, p01; reference:
+  * src/DataTypes/DataTypeDecimalBase.h, DataTypeMap.h,
+  * DataTypeLowCardinality.h; write path src/Parsers/ASTInsertQuery.h).
+  */
+object TypeQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // Decimal arithmetic end-to-end: exact fixed-point products and
+    // sums at explicit precision, one final cast to double per column.
+    "y01_decimal" -> Q(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_amount,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS charged,
+        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(
+          sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .cast("double").as("disc_amount"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast("double").as("charged"),
+          min(dec(col("l_extendedprice"))).cast("double").as("min_price"),
+          max(dec(col("l_extendedprice"))).cast("double").as("max_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // MAP type: events.props parsed into map<string,bigint>, queried
+    // through map functions. The oracle reproduces the values with
+    // regexp (no DuckDB json extension needed on a bare connection).
+    "y02_map" -> Q(
+      """SELECT event_id,
+        |  1 AS n_keys,
+        |  'k' AS keys,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_value,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) IS NOT NULL AS has_k
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events.filter(col("event_id") < 1000)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+        .select(
+          col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("keys"),
+          element_at(col("m"), "k").as("k_value"),
+          map_contains_key(col("m"), "k").as("has_k"))
+        .orderBy("event_id")
+    },
+
+    // LowCardinality(String) analog: dictionary-encode a low-card
+    // column to dense integer codes (the dictionary is by definition
+    // tiny → broadcast), aggregate over codes, decode via the same
+    // broadcast dictionary. This is exactly how a 100 TB engine treats
+    // dictionary columns: group/join on codes, strings only at the
+    // edges.
+    "y03_lowcard" -> Q(
+      """WITH dict AS (
+        |  SELECT o_orderpriority AS value,
+        |    CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS code
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+        |SELECT d.code, d.value, COUNT(*) AS cnt
+        |FROM orders o JOIN dict d ON o.o_orderpriority = d.value
+        |GROUP BY d.code, d.value ORDER BY d.code""".stripMargin) { (s, dir) =>
+      val orders = Tables(s, dir).orders
+      // the "dictionary": distinct values + dense codes; the window is
+      // global but its input is the (tiny) distinct set by definition
+      val dict = orders.select(col("o_orderpriority").as("value")).distinct()
+        .withColumn("code", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("value")).cast("long"))
+      orders.join(broadcast(dict), orders("o_orderpriority") === dict("value"))
+        .groupBy("code", "value").agg(count(lit(1)).as("cnt"))
+        .orderBy("code")
+    },
+
+    // INSERT INTO ... SELECT ≈ a partitioned parquet write, then a
+    // read-back of the written table — values must round-trip exactly.
+    // Partition column stays string-typed (directory encoding).
+    "p01_insert_select" -> Q(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_p01_insert_select"
+      Tables(s, dir).orders.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .select("o_orderpriority", "n_orders", "total")
+        .orderBy("o_orderpriority")
+    }
+  )
+}

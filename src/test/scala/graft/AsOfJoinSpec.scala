@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.AsOfJoin
+
+/** Edge cases for the union+last-value ASOF JOIN the r1 verdict asked
+  * to pin: equal timestamps (backward-INCLUSIVE), empty right side,
+  * keys without matches, and deterministic duplicate-(key,ts)
+  * resolution. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+  test("matches latest right row at-or-before each left timestamp") {
+    val left = Seq((1L, t(10), "a"), (1L, t(20), "b"), (2L, t(15), "c"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1L, t(5), 100.0), (1L, t(15), 200.0), (2L, t(16), 300.0))
+      .toDF("k", "rt", "price")
+    val got = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"))
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a" -> Some(100.0), "b" -> Some(200.0), "c" -> None))
+  }
+
+  test("equal timestamps are inclusive (ClickHouse ASOF <= semantics)") {
+    val left = Seq((1L, t(10), "x")).toDF("k", "lt", "tag")
+    val right = Seq((1L, t(10), 7.0)).toDF("k", "rt", "price")
+    val got = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"))
+      .select("price").as[Double].head()
+    assert(got == 7.0)
+  }
+
+  test("empty right side keeps every left row with null payload") {
+    val left = Seq((1L, t(1), "x"), (2L, t(2), "y")).toDF("k", "lt", "tag")
+    val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "rt", "price")
+    val got = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"))
+    assert(got.count() == 2)
+    assert(got.filter("price IS NOT NULL").count() == 0)
+  }
+
+  test("duplicate (key, ts) right rows resolve deterministically to the max payload") {
+    val left = Seq((1L, t(10), "x")).toDF("k", "lt", "tag")
+    val right = Seq((1L, t(5), 1.0), (1L, t(5), 9.0), (1L, t(5), 4.0))
+      .toDF("k", "rt", "price")
+    val results = (1 to 5).map { _ =>
+      AsOfJoin(left, right.repartition(3), "k", "lt", "rt", Seq("price"))
+        .select("price").as[Double].head()
+    }
+    assert(results.toSet == Set(9.0), s"non-deterministic tie-break: $results")
+  }
+}
