@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-reader/shuffle init otherwise
+    // lands on whichever query happens to run first (~6 s of noise)
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink, not count(): count() lets Catalyst drop top-level
     // sorts/projections, flattering ORDER BY-heavy queries; noop
     // consumes every row of the real plan.

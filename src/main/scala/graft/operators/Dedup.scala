@@ -32,14 +32,24 @@ object Dedup {
 
   /** Distinct word n-grams ("shingles") of a text column. Mirrors the
     * DuckDB list-comprehension form exactly: grams over the raw token
-    * list, i = 1..len-1 for bigrams, joined with single spaces. */
+    * list, joined with single spaces.
+    *
+    * Built by zipping the token array with its shifted selves: each
+    * shift is ONE O(len) slice per row. The obvious
+    * transform(sequence, i => element_at(ws, i+o)) form inlines the
+    * tokenizer into every element_at call site (Catalyst substitutes,
+    * it does not let-bind), going O(len²) per document — measured 10×
+    * slower on the bench corpus. */
   def wordNGrams(text: Column, n: Int): Column = {
     val ws = tokens(text)
-    val cnt = size(ws) - (n - 1)
-    when(cnt >= lit(1),
-      array_distinct(transform(sequence(lit(1), cnt), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))))
-      .otherwise(array().cast("array<string>"))
+    val shifted = (0 until n).map { o =>
+      val c = if (o == 0) ws else slice(ws, lit(o + 1), greatest(size(ws) - o, lit(0)))
+      c.as(s"_$o")
+    }
+    val grams = transform(arrays_zip(shifted: _*), s =>
+      concat_ws(" ", (0 until n).map(i => s.getField(s"_$i")): _*))
+    // drop the tail entries built from null-padded shifts
+    array_distinct(slice(grams, lit(1), greatest(size(ws) - (n - 1), lit(0))))
   }
 
   /** All unordered pairs from a sorted id array (used after bucketing;
@@ -79,9 +89,12 @@ object Dedup {
       minEstJaccard: Double = 0.5, shingleSize: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     val numBands = numHashes / bandRows
+    // persisted: the signature feeds banding AND both sides of the
+    // candidate re-join — without it the md5-per-shingle work runs 3×
     val sig = df.select(col(idCol),
       call_function("minhash64",
         wordNGrams(col(textCol), shingleSize), lit(numHashes)).as("__mh"))
+      .persist()
     val bands = sig.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
           xxhash64(slice(col("__mh"), b * bandRows + 1, lit(bandRows)))))
@@ -112,6 +125,7 @@ object Dedup {
     val sim = df.select(col(idCol),
       call_function("simhash64",
         filter(tokens(col(textCol)), w => w =!= "")).as("__sh"))
+      .persist() // feeds banding + both sides of the verify re-join
     val bands = sim.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         call_function("shiftrightunsigned", col("__sh"), b * bandBits)
@@ -139,12 +153,18 @@ object Dedup {
         wordNGrams(col(textCol), n).as("__gs"))
       .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
         explode(col("__gs")).as("__g"))
+      .persist() // both sides of the self-join read this once
     val a = grams.select(col(idCol).as("id1"), col("__blk"),
       col("__sz").as("__s1"), col("__g"))
     val b = grams.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
       col("__sz").as("__s2"), col("__g").as("__g2"))
+    // size filter: J >= t implies min|A|,|B| >= t·max|A|,|B|, so the
+    // ratio predicate is correctness-preserving (prunes the join
+    // output before the aggregate, changes no results)
     a.join(b, col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
-        col("id1") < col("id2"))
+        col("id1") < col("id2") &&
+        least(col("__s1"), col("__s2")).cast("double") >=
+          lit(minJaccard) * greatest(col("__s1"), col("__s2")))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("__inter"), min("__s1").as("__sa"), min("__s2").as("__sb"))
       .withColumn("jaccard",

@@ -138,9 +138,12 @@ object Ntile {
       .withColumn("__pid", spark_partition_id())
       .persist() // read twice: histogram + rank join; axis-sized cache
     val hist = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-    val offsets = hist.withColumn("__off",
-      coalesce(sum("__cnt").over(
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // rank offsets from a tiny (≤#partitions rows) self-join — an
+    // unpartitioned cumsum window would log the single-partition
+    // warning even though the input is the histogram
+    val prior = hist.select(col("__pid").as("__pid2"), col("__cnt").as("__cnt2"))
+    val offsets = hist.join(prior, col("__pid2") < col("__pid"), "left")
+      .groupBy("__pid").agg(coalesce(sum("__cnt2"), lit(0L)).as("__off"))
     val total = hist.agg(sum("__cnt").as("__total"))
     val ranked = ranged
       .withColumn("__lrn", row_number().over(
@@ -164,16 +167,21 @@ object Ntile {
 }
 
 /** topK(k)(col) (ClickHouse approximate heavy hitters). Exact variant:
-  * count per value (partial-agg friendly) then window top-k — the
-  * window input is already reduced to distinct values, so the sort is
-  * tiny regardless of input rows.
+  * count per value (partial-agg friendly), then top-k of the distinct
+  * values. Grouped form uses a window partitioned by the group; the
+  * global form uses sort+limit (TakeOrderedAndProject — distributed
+  * partial top-k, no single-partition window ever).
   */
 object TopK {
   def apply(df: DataFrame, valueCol: String, k: Int, extraGroup: Seq[String] = Nil): DataFrame = {
     val counts = df.groupBy((extraGroup :+ valueCol).map(col): _*).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(extraGroup.map(col): _*)
-      .orderBy(col("cnt").desc, col(valueCol).asc)
-    counts.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
+    val order = Seq(col("cnt").desc, col(valueCol).asc)
+    if (extraGroup.isEmpty) {
+      counts.orderBy(order: _*).limit(k)
+    } else {
+      val w = Window.partitionBy(extraGroup.map(col): _*).orderBy(order: _*)
+      counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
   }
 }

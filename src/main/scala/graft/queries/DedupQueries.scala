@@ -46,14 +46,18 @@ object DedupQueries {
         .orderBy("id1", "id2")
     },
 
-    // Exact bigram Jaccard ≥ 0.5 on lang-blocked pairs — DuckDB
+    // Exact trigram Jaccard ≥ 0.5 on lang-blocked pairs — DuckDB
     // mirrors the gram construction with a list comprehension, so the
     // Jaccard doubles match exactly (same int counts, one division).
+    // Trigrams, not bigrams: the shingle universe is |vocab|³, so the
+    // per-gram document frequency (which drives the sparse self-join's
+    // cost quadratically) stays tiny even on a narrow vocabulary —
+    // same reason real dedup pipelines shingle at n=3..5.
     "d04_ngram_jaccard" -> Q(
       """WITH g AS (
         |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (
         |    SELECT doc_id, lang,
-        |      list_distinct([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS gs
+        |      list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS gs
         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))),
         |p AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
@@ -65,7 +69,7 @@ object DedupQueries {
         |FROM p WHERE CAST(inter AS DOUBLE)/(sa + sb - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir).documents, "doc_id", "text", "lang",
-          n = 2, minJaccard = 0.5)
+          n = 3, minJaccard = 0.5)
         .orderBy("id1", "id2")
     }
   )

@@ -13,22 +13,26 @@ object TypeQueries {
 
     // Decimal arithmetic end-to-end: exact fixed-point products and
     // sums at explicit precision, one final cast to double per column.
+    // Input precisions sized to the data (price < 10^8, rates < 10) so
+    // the triple product stays in the fast 128-bit decimal path
+    // instead of promoting past precision 38.
     "y01_decimal" -> Q(
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_amount,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS charged,
-        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
-        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS disc_amount,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS charged,
+        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      def p(c: String) = col(c).cast("decimal(12,2)")
+      def r(c: String) = col(c).cast("decimal(4,2)")
       Tables(s, dir).lineitem.groupBy("l_returnflag")
         .agg(
-          sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-            .cast("double").as("disc_amount"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-            * (lit(1) + dec(col("l_tax")))).cast("double").as("charged"),
-          min(dec(col("l_extendedprice"))).cast("double").as("min_price"),
-          max(dec(col("l_extendedprice"))).cast("double").as("max_price"))
+          sum(p("l_extendedprice") * r("l_discount")).cast("double").as("disc_amount"),
+          sum(p("l_extendedprice") * (lit(1) - r("l_discount"))
+            * (lit(1) + r("l_tax"))).cast("double").as("charged"),
+          min(p("l_extendedprice")).cast("double").as("min_price"),
+          max(p("l_extendedprice")).cast("double").as("max_price"))
         .orderBy("l_returnflag")
     },
 
@@ -71,11 +75,13 @@ object TypeQueries {
         |FROM orders o JOIN dict d ON o.o_orderpriority = d.value
         |GROUP BY d.code, d.value ORDER BY d.code""".stripMargin) { (s, dir) =>
       val orders = Tables(s, dir).orders
-      // the "dictionary": distinct values + dense codes; the window is
-      // global but its input is the (tiny) distinct set by definition
-      val dict = orders.select(col("o_orderpriority").as("value")).distinct()
-        .withColumn("code", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("value")).cast("long"))
+      // the "dictionary": distinct values + dense codes by rank —
+      // computed with a tiny self-join (the distinct set is small by
+      // definition), not an unpartitioned window
+      val values = orders.select(col("o_orderpriority").as("value")).distinct()
+      val dict = values.join(
+          values.select(col("value").as("v2")), col("v2") <= col("value"))
+        .groupBy("value").agg(count(lit(1)).as("code"))
       orders.join(broadcast(dict), orders("o_orderpriority") === dict("value"))
         .groupBy("code", "value").agg(count(lit(1)).as("cnt"))
         .orderBy("code")
