@@ -22,7 +22,8 @@ object SparkEntry {
     TextQueries.defs,
     MultimodalQueries.defs,
     StreamQueries.defs,
-    TypeQueries.defs
+    TypeQueries.defs,
+    DialectQueries.defs
   )
 
   private lazy val all: Map[String, Q] = groups.reduce(_ ++ _)

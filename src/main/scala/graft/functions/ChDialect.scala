@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** ClickHouse SQL dialect surface: the reference's function names
+  * (reference: src/Parsers/ASTFunction.h resolves every call against
+  * its registry; name semantics per src/DataTypes/) registered into
+  * Spark's FunctionRegistry, so a user of the reference can run their
+  * ClickHouse-flavoured SQL through plain `spark.sql(...)`:
+  *
+  *   GraftFunctions.ensureRegistered(spark)
+  *   spark.sql("SELECT toYear(o_orderdate), countIf(o_totalprice > 1e5) ...")
+  *
+  * Implementation: every alias DELEGATES to Spark's own builtin
+  * builder (FunctionRegistry.builtin), optionally reshaping arguments
+  * — so each CH name resolves to exactly the codegen'd Catalyst
+  * expression the Spark name would, never a UDF, and stays inside
+  * whole-stage codegen. Composite semantics (toDayOfWeek's 1=Monday,
+  * sumIf, JSONExtract paths) are built from Catalyst nodes directly.
+  */
+object ChDialect {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def builtin(name: String): Builder = {
+    val b = FunctionRegistry.builtin
+      .lookupFunctionBuilder(FunctionIdentifier(name))
+      .getOrElse(throw new IllegalStateException(s"no builtin '$name'"))
+    exprs => b(exprs)
+  }
+
+  /** chName → builder. Grouped as the reference's registry is. */
+  private def aliases: Seq[(String, Builder)] = Seq(
+    // ---- date & time (DataTypeDateTime.h) ----
+    "toYear"         -> builtin("year"),
+    "toMonth"        -> builtin("month"),
+    "toDayOfMonth"   -> builtin("dayofmonth"),
+    "toDayOfWeek"    -> { es => Add(builtin("weekday")(es), Literal(1)) }, // ISO 1=Monday
+    "toHour"         -> builtin("hour"),
+    "toMinute"       -> builtin("minute"),
+    "toSecond"       -> builtin("second"),
+    "toStartOfMonth" -> { es => builtin("date_trunc")(Literal("MONTH") +: es) },
+    "toStartOfDay"   -> { es => builtin("date_trunc")(Literal("DAY") +: es) },
+    "toStartOfHour"  -> { es => builtin("date_trunc")(Literal("HOUR") +: es) },
+    "addDays"        -> builtin("date_add"),
+    "subtractDays"   -> builtin("date_sub"),
+
+    // ---- arithmetic ----
+    "intDiv"  -> { es => builtin("div")(es.map(e => Cast(e, LongType))) },
+    "modulo"  -> builtin("mod"),
+    "negate"  -> builtin("negative"),
+
+    // ---- conditional ----
+    "multiIf" -> { es =>
+      val (branches, orElse) =
+        if (es.size % 2 == 1) (es.init, Some(es.last)) else (es, None)
+      CaseWhen(branches.grouped(2).map { case Seq(c, v) => (c, v) }.toSeq, orElse)
+    },
+    "ifNull"  -> builtin("coalesce"),
+    "empty"     -> { es => EqualTo(builtin("length")(es), Literal(0)) },
+    "notEmpty"  -> { es => GreaterThan(builtin("length")(es), Literal(0)) },
+
+    // ---- strings ----
+    "lengthUTF8"    -> builtin("length"),
+    "lowerUTF8"     -> builtin("lower"),
+    "upperUTF8"     -> builtin("upper"),
+    "substringUTF8" -> builtin("substring"),
+    // CH position(haystack, needle) vs Spark position(substr, str):
+    // Spark's own `position` builtin wins the name (never shadow a
+    // builtin with different semantics) — the CH argument order is
+    // available as positionUTF8, which Spark does not define.
+    "positionUTF8"  -> { es => builtin("position")(Seq(es(1), es(0))) },
+    "splitByChar"   -> { es => builtin("split")(Seq(es(1), es(0))) },
+    "replaceAll"    -> builtin("replace"),
+    "concatStr"     -> builtin("concat"),
+    "trimBoth"      -> builtin("trim"),
+    "reverseUTF8"   -> builtin("reverse"),
+
+    // ---- type conversion (DataTypeFactory.cpp) ----
+    "toUInt64"   -> { es => Cast(es.head, LongType) },
+    "toInt64"    -> { es => Cast(es.head, LongType) },
+    "toUInt32"   -> { es => Cast(es.head, IntegerType) },
+    "toInt32"    -> { es => Cast(es.head, IntegerType) },
+    "toFloat64"  -> { es => Cast(es.head, DoubleType) },
+    "toString"   -> { es => Cast(es.head, StringType) },
+    "toDate"     -> { es => Cast(es.head, DateType) },
+    "toDateTime" -> { es => Cast(es.head, TimestampType) },
+
+    // ---- hashing ----
+    "MD5"        -> builtin("md5"),
+    "SHA256"     -> { es => builtin("sha2")(es :+ Literal(256)) },
+    "cityHash64" -> builtin("xxhash64"), // same role, not byte-compatible
+    "bitCount"   -> builtin("bit_count"),
+
+    // ---- JSON ----
+    "JSONExtractString" -> { es =>
+      builtin("get_json_object")(Seq(es(0), Concat(Seq(Literal("$."), es(1))))) },
+    "JSONExtractInt" -> { es =>
+      Cast(builtin("get_json_object")(
+        Seq(es(0), Concat(Seq(Literal("$."), es(1))))), LongType) },
+
+    // ---- arrays (DataTypeArray.h) ----
+    "has"           -> builtin("array_contains"),
+    "indexOf"       -> builtin("array_position"),
+    "arrayDistinct" -> builtin("array_distinct"),
+    "arraySort"     -> builtin("sort_array"),
+    "arrayConcat"   -> builtin("concat"),
+    "arrayJoin"     -> builtin("explode"),
+    "arrayStringConcat" -> builtin("array_join"),
+
+    // ---- aggregates ----
+    "countIf"   -> builtin("count_if"),
+    "sumIf"     -> { es => builtin("sum")(Seq(If(es(1), es(0), Literal(null)))) },
+    "avgIf"     -> { es => builtin("avg")(Seq(If(es(1), es(0), Literal(null)))) },
+    "uniq"      -> builtin("approx_count_distinct"),
+    "uniqExact" -> { es =>
+      aggregate.Count(es).toAggregateExpression(isDistinct = true) },
+    "argMax"    -> builtin("max_by"),
+    "argMin"    -> builtin("min_by"),
+    "groupArray"     -> builtin("collect_list"),
+    "groupUniqArray" -> builtin("collect_set"),
+    "quantile"  -> builtin("percentile"),
+    "median"    -> { es => builtin("percentile")(es :+ Literal(0.5)) },
+    "stddevPop" -> builtin("stddev_pop"),
+    "varPop"    -> builtin("var_pop"),
+    "corr"      -> builtin("corr"),
+    "anyLast"   -> builtin("last"),
+    "topK"      -> { es => builtin("approx_top_k")(Seq(es(1), es(0))) }
+  )
+
+  def register(registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    aliases.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(
+          id, new ExpressionInfo(classOf[ChDialect.type].getName, name), builder)
+      }
+    }
+}

@@ -113,5 +113,7 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"minhash64(tokens, k-literal) expected, got ${other.mkString(", ")}")
     }
+    // the ClickHouse-name dialect surface (toYear, countIf, uniq, …)
+    ChDialect.register(registry)
   }
 }

@@ -112,4 +112,26 @@ object Ann {
       .select("query_id", "neighbor_id", "sim")
     topKPerQuery(cand, k)
   }
+
+  /** d07: embedding-cosine near-dup over the WHOLE corpus (brief's
+    * fifth dedup mode): LSH buckets generate candidate pairs (same
+    * capped-bucket machinery as MinHash dedup — corpus-linear), exact
+    * cosine verifies. Precision is 1.0 by construction (every emitted
+    * pair is exactly scored); recall is the LSH knob, pinned in
+    * AnnSpec against a brute-force ground truth. */
+  def embedNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+      dim: Int, tables: Int = 8, bits: Int = 4, maxBucket: Int = 200): DataFrame = {
+    val vecs = corpus.select(col(idCol), col(vecCol).as("__v")).persist()
+    val codes = codeCols(col("__v"), dim, tables, bits)
+    val bucketed = vecs.select(col(idCol),
+      posexplode(array(codes: _*)).as(Seq("__table", "__code")))
+    val pairs = Dedup.bucketPairs(bucketed, Seq("__table", "__code"), idCol, maxBucket)
+    pairs
+      .join(vecs.select(col(idCol).as("id1"), col("__v").as("__v1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col("__v").as("__v2")), "id2")
+      .withColumn("sim", cosine(col("__v1"), col("__v2")))
+      .filter(col("sim") >= minCosine)
+      .select("id1", "id2", "sim")
+  }
 }

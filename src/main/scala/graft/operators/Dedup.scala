@@ -63,8 +63,8 @@ object Dedup {
     * size (degenerate buckets = boilerplate content; dropping them is
     * standard LSH practice and what keeps the plan non-quadratic),
     * emit in-bucket pairs, dedup across buckets. One shuffle to
-    * bucket, one to dedup pairs. */
-  private def bucketPairs(
+    * bucket, one to dedup pairs. Shared with Ann's embedding near-dup. */
+  private[operators] def bucketPairs(
       bucketed: DataFrame, bucketCols: Seq[String], idCol: String,
       maxBucket: Int): DataFrame =
     bucketed.groupBy(bucketCols.map(col): _*)

@@ -124,6 +124,41 @@ object AggQueries {
         .orderBy(col("cnt").desc, col("p_brand"))
     },
 
+    // skewPop/kurtPop — population moments. Spark's incremental
+    // accumulators vs the oracle's two-pass naive formula differ in
+    // the last ulps → rounded to 4 (same discipline as a06).
+    "a10_moments" -> Q(
+      """WITH mu AS (SELECT l_returnflag AS f, AVG(l_quantity) AS m FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  ROUND(AVG(POW(l_quantity - m, 3)) / POW(AVG(POW(l_quantity - m, 2)), 1.5), 4) AS skew,
+        |  ROUND(AVG(POW(l_quantity - m, 4)) / POW(AVG(POW(l_quantity - m, 2)), 2) - 3, 4) AS kurt
+        |FROM lineitem JOIN mu ON l_returnflag = f
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(round(skewness(col("l_quantity")), 4).as("skew"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt"))
+        .orderBy("l_returnflag")
+    },
+
+    // quantiles(0.25, 0.5, 0.75)(x) — ClickHouse's multi-level form:
+    // ONE pass computing the whole quantile vector (Spark percentile
+    // with an array argument), vs three separate calls in the oracle.
+    "a11_quantiles_multi" -> Q(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.50) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"))
+        .orderBy("l_returnflag")
+    },
+
     // any/anyLast — ClickHouse returns an arbitrary member; the
     // deterministic contract is "first in a defined order" (min_by).
     "a09_any_value" -> Q(

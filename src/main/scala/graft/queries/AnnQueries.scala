@@ -51,6 +51,15 @@ object AnnQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Whole-corpus embedding-cosine near-dup pairs (LSH candidates,
+    // exact verify). Recall pinned by AnnSpec.
+    "d07_embed_neardup" -> Q.rowsOnly { (s, dir) =>
+      Ann.embedNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+          minCosine = 0.4, dim = DIM)
+        .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+        .orderBy("id1", "id2")
     }
   )
 }

@@ -200,6 +200,23 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
     },
 
+    // NOT IN (subquery) → left-anti join. Keys are non-null here; with
+    // a nullable inner relation NOT IN is three-valued (empty result on
+    // any inner NULL) while ANTI JOIN is not — ClickHouse NOT IN
+    // follows the same SQL semantics, so anti-join is the correct plan
+    // exactly when the inner side is null-free (as Catalyst itself
+    // requires before rewriting).
+    "q16_subquery_not_in" -> Q(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.join(
+          broadcast(t.customer.filter(col("c_mktsegment") === "AUTOMOBILE")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    },
+
     // ARRAY JOIN (ASTTablesInSelectQuery.h:129) → explode(): word
     // frequency over documents.
     "q15_array_join" -> Q(

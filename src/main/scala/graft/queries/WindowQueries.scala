@@ -79,6 +79,53 @@ object WindowQueries {
         .orderBy("o_orderkey")
     },
 
+    // Window VALUE functions: first/last/nth + distribution ranks.
+    // last_value needs the full-partition frame spelled out on both
+    // sides (the SQL default frame stops at CURRENT ROW).
+    "w06_value_fns" -> Q(
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey)  OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok,
+        |  ROUND(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        |  ROUND(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val base = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).orders.filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_orderkey").over(full).as("first_ok"),
+          last("o_orderkey").over(full).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_ok"),
+          round(percent_rank().over(base), 6).as("pr"),
+          round(cume_dist().over(base), 6).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // RANGE frame (value-based, not row-based): peers within ±1000 of
+    // each order's totalprice. Deterministic even under order ties —
+    // the frame depends only on values.
+    "w07_range_frame" -> Q(
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS DOUBLE) AS near_total
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+      Tables(s, dir).orders.filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_near"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("near_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ORDER BY ... WITH FILL: densify the daily order axis; missing
     // days appear with n=0. Spine = 1-row min/max agg × sequence().
     "w05_with_fill" -> Q(

@@ -27,6 +27,36 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 $recall%.3f below floor")
   }
 
+  test("embedding near-dup pairs: exact precision, usable recall, deterministic") {
+    val e = Tables(spark, sfDir).embeddings
+    val got = Ann.embedNearDupPairs(e, "vec_id", "embedding", minCosine = 0.4, dim = 64)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect()
+    val again = Ann.embedNearDupPairs(e, "vec_id", "embedding", minCosine = 0.4, dim = 64)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == again.map(r => (r._1, r._2)).toSet)
+    // ground truth by direct computation over all pairs
+    val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.4
+    } yield (math.min(vecs(i)._1, vecs(j)._1), math.max(vecs(i)._1, vecs(j)._1))).toSet
+    assert(truth.nonEmpty)
+    val gotPairs = got.map(r => (r._1, r._2)).toSet
+    assert(gotPairs.subsetOf(truth), s"false positives: ${gotPairs.diff(truth).take(3)}")
+    val recall = gotPairs.intersect(truth).size.toDouble / truth.size
+    info(f"near-dup recall = $recall%.3f (${truth.size} true pairs)")
+    assert(recall >= 0.5, f"recall $recall%.3f below floor")
+  }
+
   test("brute-force top-1 equals a directly computed argmax") {
     val e = Tables(spark, sfDir).embeddings
     val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])].collect()

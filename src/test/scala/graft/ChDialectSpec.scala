@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Every ClickHouse-dialect alias must resolve through spark.sql and
+  * produce the documented semantics. */
+class ChDialectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sql1[T](q: String): org.apache.spark.sql.Row = {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql(q).collect().head
+  }
+
+  test("scalar aliases: datetime, arithmetic, strings, casts, json, arrays") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT
+        |  toYear(TIMESTAMP '2024-03-15 13:45:00') AS y,
+        |  toDayOfWeek(TIMESTAMP '2024-03-15 00:00:00') AS dow, -- Friday → 5
+        |  toStartOfMonth(TIMESTAMP '2024-03-15 13:45:00') AS som,
+        |  intDiv(7, 2) AS idiv, modulo(7, 2) AS m,
+        |  multiIf(1 > 2, 'a', 2 > 1, 'b', 'c') AS mi,
+        |  positionUTF8('haystack', 'st') AS pos,
+        |  lengthUTF8('abc') AS len, empty('') AS e, notEmpty('x') AS ne,
+        |  toUInt64('42') AS u64, toString(7) AS s7,
+        |  JSONExtractInt('{"k": 9}', 'k') AS jk,
+        |  has(array(1,2,3), 2) AS h, indexOf(array(9,8,7), 8) AS idx,
+        |  MD5('x') AS md5x, bitCount(255) AS bc
+        |""".stripMargin)
+    assert(r.getAs[Int]("y") == 2024)
+    assert(r.getAs[Int]("dow") == 5)
+    assert(r.getAs[java.sql.Timestamp]("som").toString.startsWith("2024-03-01"))
+    assert(r.getAs[Long]("idiv") == 3L && r.getAs[Int]("m") == 1)
+    assert(r.getAs[String]("mi") == "b")
+    assert(r.getAs[Int]("pos") == 4)
+    assert(r.getAs[Int]("len") == 3 && r.getAs[Boolean]("e") && r.getAs[Boolean]("ne"))
+    assert(r.getAs[Long]("u64") == 42L && r.getAs[String]("s7") == "7")
+    assert(r.getAs[Long]("jk") == 9L)
+    assert(r.getAs[Boolean]("h") && r.getAs[Long]("idx") == 2L)
+    assert(r.getAs[String]("md5x").length == 32 && r.getAs[Int]("bc") == 8)
+  }
+
+  test("aggregate aliases over a real table match DataFrame twins") {
+    GraftFunctions.ensureRegistered(spark)
+    Tables(spark, sfDir).orders.createOrReplaceTempView("orders_v")
+    val r = sql1(
+      """SELECT
+        |  countIf(o_totalprice > 100000) AS nbig,
+        |  CAST(sumIf(o_totalprice, o_orderstatus = 'F') AS DOUBLE) AS sumf,
+        |  uniqExact(o_custkey) AS ue,
+        |  argMax(o_orderkey, o_totalprice) AS am,
+        |  median(o_totalprice) AS med,
+        |  quantile(o_totalprice, 0.9) AS p90
+        |FROM orders_v""".stripMargin)
+    val o = Tables(spark, sfDir).orders
+    val expect = o.agg(
+      count(when(col("o_totalprice") > 100000, 1)).as("nbig"),
+      sum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("sumf"),
+      countDistinct(col("o_custkey")).as("ue"),
+      max_by(col("o_orderkey"), col("o_totalprice")).as("am"),
+      percentile(col("o_totalprice"), lit(0.5)).as("med"),
+      percentile(col("o_totalprice"), lit(0.9)).as("p90")).collect().head
+    assert(r.getAs[Long]("nbig") == expect.getAs[Long]("nbig"))
+    assert(math.abs(r.getAs[Double]("sumf") - expect.getAs[Double]("sumf")) < 1e-6)
+    assert(r.getAs[Long]("ue") == expect.getAs[Long]("ue"))
+    assert(r.getAs[Long]("am") == expect.getAs[Long]("am"))
+    assert(r.getAs[Double]("med") == expect.getAs[Double]("med"))
+    assert(r.getAs[Double]("p90") == expect.getAs[Double]("p90"))
+  }
+
+  test("uniq alias is the HLL sketch; groupArray/groupUniqArray collect") {
+    GraftFunctions.ensureRegistered(spark)
+    Tables(spark, sfDir).orders.createOrReplaceTempView("orders_v")
+    val r = sql1(
+      """SELECT uniq(o_custkey) AS u,
+        |  size(groupArray(o_orderkey)) AS ga,
+        |  size(groupUniqArray(o_orderstatus)) AS gua
+        |FROM orders_v""".stripMargin)
+    val exact = Tables(spark, sfDir).orders
+      .agg(countDistinct(col("o_custkey"))).as[Long].head()
+    assert(math.abs(r.getAs[Long]("u") - exact).toDouble / exact < 0.05)
+    assert(r.getAs[Int]("ga") > 0 && r.getAs[Int]("gua") >= 2)
+  }
+}
