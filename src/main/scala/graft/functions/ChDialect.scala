@@ -131,12 +131,9 @@ object ChDialect {
     "topK"      -> { es => builtin("approx_top_k")(Seq(es(1), es(0))) }
   )
 
-  def register(registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
-    aliases.foreach { case (name, builder) =>
-      val id = FunctionIdentifier(name)
-      if (!registry.functionExists(id)) {
-        registry.registerFunction(
-          id, new ExpressionInfo(classOf[ChDialect.type].getName, name), builder)
-      }
+  lazy val descriptors: Seq[GraftFunctions.Descriptor] =
+    aliases.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[ChDialect.type].getName, name), builder)
     }
 }

@@ -56,7 +56,8 @@ object MinHashImpl {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      if (!tokens.isNullAt(i)) {
+      // null/empty tokens skipped, same contract as SimHashImpl.hash
+      if (!tokens.isNullAt(i) && tokens.getUTF8String(i).numBytes > 0) {
         val base = SimHashImpl.md5First8(tokens.getUTF8String(i).getBytes)
         var j = 0
         while (j < k) {

@@ -65,12 +65,15 @@ object SimHashImpl {
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
+  /** Null and EMPTY tokens are skipped — callers can feed a raw
+    * split() without a higher-order filter() (ArrayFilter lambdas are
+    * CodegenFallback and would break the whole-stage codegen span). */
   def hash(tokens: ArrayData): Long = {
     val acc = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      if (!tokens.isNullAt(i)) {
+      if (!tokens.isNullAt(i) && tokens.getUTF8String(i).numBytes > 0) {
         val h = md5First8(tokens.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
@@ -90,30 +93,44 @@ object SimHashImpl {
   }
 }
 
-/** Session registration for graft's native expressions, so queries use
-  * them through the normal function-resolution path
-  * (`call_function("simhash64", …)`). Idempotent. */
+/** Registration for graft's full function surface — the two native
+  * expressions plus the ClickHouse-name dialect (ChDialect). Two entry
+  * points, same descriptor list:
+  *  - `GraftFunctions.ensureRegistered(spark)` on a live session
+  *    (idempotent), used by queries/tests;
+  *  - `graft.GraftExtensions` via
+  *    `spark.sql.extensions=graft.GraftExtensions`, the
+  *    SparkSessionExtensions path — a user turns the whole dialect on
+  *    with one config line and no code.
+  */
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.Literal
 
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  lazy val descriptors: Seq[Descriptor] = {
+    def d(name: String, clazz: Class[_])(
+        builder: Seq[Expression] => Expression): Descriptor =
+      (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+    Seq(
+      d("simhash64", classOf[SimHash64])(children => SimHash64(children.head)),
+      // minhash64(tokens, k) — k must be an int literal
+      d("minhash64", classOf[MinHash64]) {
+        case Seq(tokens, Literal(k: Int, _)) => MinHash64(tokens, k)
+        case other => throw new IllegalArgumentException(
+          s"minhash64(tokens, k-literal) expected, got ${other.mkString(", ")}")
+      }
+    ) ++ ChDialect.descriptors
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-
-    def reg(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit = {
-      val id = FunctionIdentifier(name)
+    descriptors.foreach { case (id, info, builder) =>
       if (!registry.functionExists(id)) {
-        registry.registerFunction(id, new ExpressionInfo(clazz.getName, name), builder)
+        registry.registerFunction(id, info, builder)
       }
     }
-
-    reg("simhash64", classOf[SimHash64])(children => SimHash64(children.head))
-    // minhash64(tokens, k) — k must be an int literal
-    reg("minhash64", classOf[MinHash64]) {
-      case Seq(tokens, Literal(k: Int, _)) => MinHash64(tokens, k)
-      case other => throw new IllegalArgumentException(
-        s"minhash64(tokens, k-literal) expected, got ${other.mkString(", ")}")
-    }
-    // the ClickHouse-name dialect surface (toYear, countIf, uniq, …)
-    ChDialect.register(registry)
   }
 }

@@ -123,8 +123,7 @@ object Dedup {
     val numBands = 64 / bandBits
     val mask = (1L << bandBits) - 1
     val sim = df.select(col(idCol),
-      call_function("simhash64",
-        filter(tokens(col(textCol)), w => w =!= "")).as("__sh"))
+      call_function("simhash64", tokens(col(textCol))).as("__sh"))
       .persist() // feeds banding + both sides of the verify re-join
     val bands = sim.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>

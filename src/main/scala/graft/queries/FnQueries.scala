@@ -239,10 +239,13 @@ object FnQueries {
         |FROM documents d LEFT JOIN sim s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
+      // raw split(), no filter() lambda: simhash64 skips empty tokens
+      // itself, keeping the project inside whole-stage codegen
+      // (ArrayFilter is CodegenFallback)
       Tables(s, dir).documents.select(
           col("doc_id"),
           lpad(lower(hex(call_function("simhash64",
-            filter(split(col("text"), " ", -1), w => w =!= "")))), 16, "0").as("simhash_hex"),
+            split(col("text"), " ", -1)))), 16, "0").as("simhash_hex"),
           col("doc_id").bitwiseAND(lit(255L)).as("band"),
           col("doc_id").bitwiseOR(lit(4096L)).as("orr"),
           col("doc_id").bitwiseXOR(col("n_chars")).as("xr"),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Mechanical audit of EVERY registered query's physical plan — the
+  * scale properties the 100 TB design depends on, asserted so they
+  * can't regress silently:
+  *  - no WindowExec without a partition spec (single-partition sort);
+  *  - no cartesian product outside the one intentional CROSS JOIN;
+  *  - filters/projections reach the parquet scan where promised;
+  *  - dimension joins broadcast; q09's CTE is scanned once.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def withoutAqe[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  test("no query plan contains an unpartitioned window or a stray cartesian product") {
+    withoutAqe {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        plan.foreach {
+          case w: WindowExec =>
+            assert(w.partitionSpec.nonEmpty,
+              s"$name: WindowExec with no partition spec (single-partition sort)")
+          case c: CartesianProductExec =>
+            assert(name == "j05_cross", s"$name: unexpected CartesianProduct")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("prewhere filter and projection are pushed to the parquet scan") {
+    val p = planOf("q03_prewhere").toString
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+    // projection pruning: the scan must read only the 4 referenced cols
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("o_orderdate") && !read.contains("o_clerk"), read)
+  }
+
+  test("dimension joins broadcast (explicit hints hold)") {
+    withoutAqe {
+      assert(planOf("j01_inner").toString.contains("BroadcastHashJoin"))
+      // all three dim joins of the star broadcast; the lineitem⋈orders
+      // side is size-based (broadcast at toy SF, shuffle at scale) —
+      // exactly the adaptive behavior we want, so not asserted here
+      val multiway = planOf("j10_multiway").toString
+      assert(multiway.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin") >= 3, multiway)
+    }
+  }
+
+  test("q09 reads the orders aggregation once (persisted CTE)") {
+    val p = planOf("q09_with_cte").toString
+    // both consumers (threshold agg + main filter) must hit the cache;
+    // the underlying FileScan then runs once, at cache fill (the
+    // cached lineage is merely RENDERED under each InMemoryTableScan)
+    val memScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(memScans >= 2, s"expected both consumers on the cached CTE:\n$p")
+  }
+
+  test("native simhash64 expression stays inside whole-stage codegen") {
+    // non-finalized adaptive plans never render codegen stars — audit
+    // the statically compiled plan
+    val planStr = withoutAqe { planOf("f09_bitwise_simhash").toString }
+    // codegen'd operators print with a `*(stage)` prefix — the project
+    // holding simhash64 must carry it (no fallback to interpreted)
+    val simLine = planStr.linesIterator.find(_.contains("simhash64"))
+    assert(simLine.isDefined, planStr)
+    assert(simLine.get.matches(""".*\*\(\d+\).*"""),
+      s"simhash64 project not codegen'd: ${simLine.get}")
+  }
+}

@@ -9,7 +9,8 @@ class SimHashSpec extends SparkSpec {
 
   /** Plain-Scala reference: no ArrayData, no shared helpers beyond
     * MessageDigest itself. */
-  private def referenceSimHash(tokens: Seq[String]): Long = {
+  private def referenceSimHash(tokensRaw: Seq[String]): Long = {
+    val tokens = tokensRaw.filter(_.nonEmpty) // contract: empty tokens ignored
     val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new Array[Int](64)
     tokens.foreach { t =>
@@ -27,6 +28,7 @@ class SimHashSpec extends SparkSpec {
     Seq("the", "quick", "brown", "fox", "fox", "fox"),
     Seq("completely", "different", "words", "here"),
     Seq("a"),
+    Seq("a", "", "b"), // empty tokens skipped (raw split() friendliness)
     Seq.empty[String])
 
   test("expression matches independent reimplementation (codegen on and off)") {
