@@ -105,6 +105,23 @@ object Ch {
   def countIf(cond: Column): Column = count(when(cond, 1))
   def sumIf(c: Column, cond: Column): Column = sum(when(cond, c).otherwise(lit(0)))
 
+  // ---- URL functions (ClickHouse URL family) ----
+  def domain(url: Column): Column      = parse_url(url, lit("HOST"))
+  def pathOnly(url: Column): Column    = parse_url(url, lit("PATH"))
+  def queryString(url: Column): Column = parse_url(url, lit("QUERY"))
+  def protocol(url: Column): Column    = regexp_extract(url, "^([a-z]+)://", 1)
+
+  // ---- geo (ClickHouse greatCircleDistance) ----
+  /** Haversine distance in meters, ClickHouse's mean-Earth radius. */
+  def greatCircleDistance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val r = lit(6372797.560856)
+    val dlat = radians(lat2) - radians(lat1)
+    val dlon = radians(lon2) - radians(lon1)
+    val a = pow(sin(dlat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlon / 2), 2)
+    lit(2) * r * asin(sqrt(a))
+  }
+
   // ---- embeddings / vectors ----
   /** Dot product of two float arrays — zip_with + aggregate keeps this
     * in whole-stage codegen; no UDF. */

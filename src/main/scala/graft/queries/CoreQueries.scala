@@ -217,6 +217,25 @@ object CoreQueries {
         .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
     },
 
+    // LIMIT k WITH TIES: all rows tying with the k-th under the order.
+    // Scale-safe realization: the k-th value comes from a distributed
+    // top-k (TakeOrderedAndProject), broadcast as a threshold filter —
+    // no rank() window over a global order. DuckDB has no WITH TIES;
+    // the oracle states the same threshold semantics directly.
+    "q17_limit_with_ties" -> Q(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice <= (
+        |  SELECT o_totalprice FROM orders ORDER BY o_totalprice LIMIT 1 OFFSET 99)
+        |ORDER BY o_totalprice, o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val cutoff = o.select(col("o_totalprice")).orderBy("o_totalprice")
+        .limit(100).agg(max("o_totalprice").as("__cut"))
+      o.join(broadcast(cutoff))
+        .filter(col("o_totalprice") <= col("__cut"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_totalprice", "o_orderkey")
+    },
+
     // ARRAY JOIN (ASTTablesInSelectQuery.h:129) → explode(): word
     // frequency over documents.
     "q15_array_join" -> Q(

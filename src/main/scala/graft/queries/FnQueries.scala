@@ -213,6 +213,54 @@ object FnQueries {
         .orderBy("doc_id")
     },
 
+    // URL family over a synthesized URL column (the corpus carries no
+    // URLs; the parse semantics are what is under test). Spark
+    // parse_url vs plain regexp in the oracle.
+    "f10_url" -> Q(
+      """SELECT doc_id, url,
+        |  regexp_extract(url, '://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto
+        |FROM (SELECT doc_id,
+        |        concat('https://', source, '.example.com/docs/', lang, '?id=', doc_id) AS url
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("lang"), lit("?id="), col("doc_id")).as("url"))
+        .select(col("doc_id"), col("url"),
+          Ch.domain(col("url")).as("host"),
+          Ch.pathOnly(col("url")).as("path"),
+          Ch.queryString(col("url")).as("query"),
+          Ch.protocol(col("url")).as("proto"))
+        .orderBy("doc_id")
+    },
+
+    // greatCircleDistance — identical haversine formula on both sides,
+    // rounded to whole meters (libm last-ulp tolerance).
+    "f11_geo" -> Q(
+      """SELECT c_custkey,
+        |  ROUND(2 * 6372797.560856 * asin(sqrt(
+        |    pow(sin((radians(lat) - radians(48.8566)) / 2), 2) +
+        |    cos(radians(48.8566)) * cos(radians(lat)) *
+        |    pow(sin((radians(lon) - radians(2.3522)) / 2), 2))), 0) AS dist_paris_m
+        |FROM (SELECT c_custkey,
+        |        (c_custkey % 160) - 80 + 0.5 AS lat,
+        |        ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).customer
+        .select(col("c_custkey"),
+          (col("c_custkey") % 160 - 80 + 0.5).as("lat"),
+          ((col("c_custkey") * 7) % 360 - 180 + 0.5).as("lon"))
+        .select(col("c_custkey"),
+          round(Ch.greatCircleDistance(
+            col("lon"), col("lat"), lit(2.3522), lit(48.8566)), 0).as("dist_paris_m"))
+        .orderBy("c_custkey")
+    },
+
     // Bitwise ops + the native SimHash64 Catalyst expression. The
     // oracle REBUILDS the 64-bit simhash in pure SQL from md5 prefixes
     // (same per-token hash convention), so even the custom expression

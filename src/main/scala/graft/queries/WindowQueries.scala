@@ -126,6 +126,30 @@ object WindowQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // WITH FILL FROM ... TO ... STEP (ASTOrderByElement fill clause):
+    // explicit bounds and a 2-day stride — the spine is pure
+    // sequence() arithmetic, no window at all.
+    "w08_with_fill_step" -> Q(
+      """WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n
+        |           FROM orders GROUP BY 1),
+        |s AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+        |                                    TIMESTAMP '1995-03-31',
+        |                                    INTERVAL 2 DAY)) AS day)
+        |SELECT s.day AS day, COALESCE(d.n, 0) AS n
+        |FROM s LEFT JOIN d ON s.day = d.day
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir).orders
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = s.range(1).select(explode(sequence(
+        lit("1995-01-01").cast("timestamp"),
+        lit("1995-03-31").cast("timestamp"),
+        expr("interval 2 days"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day")
+    },
+
     // ORDER BY ... WITH FILL: densify the daily order axis; missing
     // days appear with n=0. Spine = 1-row min/max agg × sequence().
     "w05_with_fill" -> Q(
