@@ -38,7 +38,8 @@ object FnQueries {
         |  replace(p_name, 'a', 'X') AS repl_name,
         |  trim(concat(' ', p_name, ' ')) AS trimmed,
         |  reverse(p_name) AS rev_name,
-        |  p_name LIKE 'a%' AS starts_a
+        |  p_name LIKE 'a%' AS starts_a,
+        |  regexp_matches(p_type, 'BRASS|STEEL') AS re_match
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
       Tables(s, dir).part.select(
           col("p_partkey"),
@@ -52,7 +53,8 @@ object FnQueries {
           Ch.replaceAll(col("p_name"), "a", "X").as("repl_name"),
           Ch.trimBoth(Ch.concatStr(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
           Ch.reverseStr(col("p_name")).as("rev_name"),
-          Ch.startsWith(col("p_name"), "a").as("starts_a"))
+          Ch.startsWith(col("p_name"), "a").as("starts_a"),
+          Ch.chMatch(col("p_type"), "BRASS|STEEL").as("re_match"))
         .orderBy("p_partkey")
     },
 
@@ -194,11 +196,13 @@ object FnQueries {
         |  array_to_string(list_transform(words[1:3], w -> upper(w)), '-') AS head3,
         |  CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS sum_len,
         |  len(list_distinct(words)) AS n_uniq,
-        |  list_sort(words)[1] AS first_sorted
+        |  list_sort(words)[1] AS first_sorted,
+        |  ROUND(list_sum(list_transform(words, w -> CAST(length(w) AS DOUBLE)))
+        |        / len(words), 6) AS avg_len
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir).documents
-        .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
+        .select(col("doc_id"), Ch.splitByChar(" ", col("text")).as("words"))
         .select(
           col("doc_id"),
           size(col("words")).as("n_words"),
@@ -209,7 +213,8 @@ object FnQueries {
           aggregate(transform(col("words"), w => length(w).cast("long")),
             lit(0L), (acc, x) => acc + x).as("sum_len"),
           size(Ch.arrayDistinct(col("words"))).as("n_uniq"),
-          element_at(Ch.arraySort(col("words")), 1).as("first_sorted"))
+          element_at(Ch.arraySort(col("words")), 1).as("first_sorted"),
+          round(Ch.arrayAvg(transform(col("words"), w => length(w))), 6).as("avg_len"))
         .orderBy("doc_id")
     },
 

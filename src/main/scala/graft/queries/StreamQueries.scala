@@ -31,6 +31,23 @@ object StreamQueries {
         |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
       EventsStream.sessionizeBatch(Tables(s, dir).events, gapSec = 3600)
         .orderBy("user_id", "session_id")
+    },
+
+    // Skew-safe two-phase aggregation over event_type — 5 values for
+    // 10k+ rows is exactly the hot-key shape that pins a plain shuffle
+    // on 5 reducers; the salt spreads each key over 16. Results are
+    // salt-invariant, so the oracle is the plain GROUP BY.
+    "x01_salted_agg" -> Q(
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Skew.saltedAgg(
+          Tables(s, dir).events, Seq("event_type"), "value", buckets = 16)
+        .select("event_type", "total", "n", "min_value", "max_value", "avg_value")
+        .orderBy("event_type")
     }
   )
 }

@@ -50,6 +50,19 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact-dedup — the ingest guard of the training-data
+    * pipeline: drop records whose id was already seen, with state
+    * bounded by the watermark (duplicates arriving later than the
+    * allowed lateness are out of contract). Spark's
+    * dropDuplicatesWithinWatermark keeps one state row per id and
+    * expires it when the watermark passes — state stays proportional
+    * to the dedup horizon, not the stream's history. */
+  def streamingDedup(
+      events: DataFrame, idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class Event(
     event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)

@@ -60,6 +60,25 @@ class EventsStreamSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.streamingDedup(input.toDF, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0),  // dup id, same batch
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(3), 1, "view", 2.0)) // dup id, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("batch and stream sessionization agree on real events (sf0.001)") {
     val events = Tables(spark, sfDir).events
     val batch = EventsStream.sessionizeBatch(events, gapSec = 3600)
