@@ -124,6 +124,20 @@ object AggQueries {
         .orderBy(col("cnt").desc, col("p_brand"))
     },
 
+    // groupBitAnd/groupBitOr/groupBitXor — bitwise aggregates.
+    "a12_bit_aggregates" -> Q(
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey) AS band,
+        |  bit_or(o_orderkey) AS bor,
+        |  bit_xor(o_orderkey) AS bxor
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders.groupBy("o_orderstatus")
+        .agg(bit_and(col("o_orderkey")).as("band"),
+          bit_or(col("o_orderkey")).as("bor"),
+          bit_xor(col("o_orderkey")).as("bxor"))
+        .orderBy("o_orderstatus")
+    },
+
     // skewPop/kurtPop — population moments. Spark's incremental
     // accumulators vs the oracle's two-pass naive formula differ in
     // the last ulps → rounded to 4 (same discipline as a06).

@@ -163,6 +163,33 @@ object CoreQueries {
         .distinct().orderBy("nationkey")
     },
 
+    // INTERSECT / EXCEPT (reference: src/Parsers/SelectUnionMode.h:13-14
+    // — union modes beyond ALL/DISTINCT).
+    "q18_intersect" -> Q(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // building-segment customers who never placed an urgent order
+    "q19_except" -> Q(
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .except(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
     // IN (subquery) → left-semi join (Catalyst does the same rewrite).
     "q12_subquery_in" -> Q(
       """SELECT o_orderkey, o_custkey FROM orders

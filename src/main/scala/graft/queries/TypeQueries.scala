@@ -87,6 +87,43 @@ object TypeQueries {
         .orderBy("code")
     },
 
+    // UUID type (reference: src/DataTypes/DataTypeUUID.h): stable
+    // content-derived UUIDs in canonical 8-4-4-4-12 form — the
+    // deterministic analog of generateUUIDv4 for reproducible keys.
+    "y04_uuid" -> Q(
+      """SELECT doc_id,
+        |  concat_ws('-', substr(h,1,8), substr(h,9,4), substr(h,13,4),
+        |            substr(h,17,4), substr(h,21,12)) AS doc_uuid
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .select(col("doc_id"),
+          concat_ws("-", substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+            substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+            substring(col("h"), 21, 12)).as("doc_uuid"))
+        .orderBy("doc_id")
+    },
+
+    // Tuple type (reference: src/DataTypes/DataTypeTuple.h): struct
+    // construction, field access, and tuple (lexicographic) comparison
+    // — structs stay intermediate, scalar fields come out (pandas
+    // renders nested rows engine-specifically).
+    "y05_tuple" -> Q(
+      """SELECT o_orderkey,
+        |  o_orderstatus AS t_status,
+        |  o_totalprice AS t_price,
+        |  (o_orderstatus, o_totalprice) > ('F', 150000.0) AS gt_probe
+        |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders.filter(col("o_orderkey") < 3000)
+        .withColumn("t", struct(col("o_orderstatus"), col("o_totalprice")))
+        .select(col("o_orderkey"),
+          col("t").getField("o_orderstatus").as("t_status"),
+          col("t").getField("o_totalprice").as("t_price"),
+          (col("t") > struct(lit("F"), lit(150000.0))).as("gt_probe"))
+        .orderBy("o_orderkey")
+    },
+
     // INSERT INTO ... SELECT ≈ a partitioned parquet write, then a
     // read-back of the written table — values must round-trip exactly.
     // Partition column stays string-typed (directory encoding).
