@@ -121,6 +121,13 @@ object GraftFunctions {
         case Seq(tokens, Literal(k: Int, _)) => MinHash64(tokens, k)
         case other => throw new IllegalArgumentException(
           s"minhash64(tokens, k-literal) expected, got ${other.mkString(", ")}")
+      },
+      // hyperplane_lsh(vec, tables, bits) — int literals
+      d("hyperplane_lsh", classOf[HyperplaneCode]) {
+        case Seq(vec, Literal(t: Int, _), Literal(b: Int, _)) =>
+          HyperplaneCode(vec, t, b)
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_lsh(vec, tables-literal, bits-literal) expected, got ${other.mkString(", ")}")
       }
     ) ++ ChDialect.descriptors
   }

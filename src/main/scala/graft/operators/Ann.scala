@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.MinHashImpl
 
 /** Similarity search over an embedding column (SURVEY §2 d05–d06).
   *
@@ -64,20 +63,14 @@ object Ann {
       .withColumnRenamed("__rn", "rank").drop("__lrn")
   }
 
-  /** Deterministic ±1 hyperplane: table t, bit b, dim d. */
-  private def planeSign(t: Int, b: Int, d: Int): Double =
-    if ((MinHashImpl.mix(((t * 64 + b) * 4096 + d).toLong) & 1L) == 0L) 1.0 else -1.0
-
-  /** LSH code columns: one `bits`-bit bucket code per table, built
-    * from sign projections onto literal hyperplanes (no data-dependent
-    * state, fully codegen'd column arithmetic). */
-  private def codeCols(vec: Column, dim: Int, tables: Int, bits: Int): Seq[Column] =
-    (0 until tables).map { t =>
-      (0 until bits).map { b =>
-        val plane = array((0 until dim).map(d => lit(planeSign(t, b, d))): _*)
-        when(dot(vec, plane) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"__code$t")
-    }
+  /** LSH code array — one `bits`-bit bucket code per table, from the
+    * native HyperplaneCode expression (deterministic ±1 splitmix64
+    * planes; one pass over the vector per bit, no literal plane
+    * arrays in the plan). */
+  private def codeArray(df: DataFrame, vec: Column, tables: Int, bits: Int): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    call_function("hyperplane_lsh", vec, lit(tables), lit(bits))
+  }
 
   /** d06: approximate top-k — score only corpus rows sharing an LSH
     * bucket with the query in ANY table. Recall grows with `tables`,
@@ -98,9 +91,9 @@ object Ann {
       k: Int, dim: Int, tables: Int = 8, bits: Int = 4): DataFrame = {
     def coded(df: DataFrame, role: String) = {
       val base = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"__${role}v"))
-      val codes = codeCols(col(s"__${role}v"), dim, tables, bits)
       base.select(col(s"${role}_id"), col(s"__${role}v"),
-        posexplode(array(codes: _*)).as(Seq("__table", "__code")))
+        posexplode(codeArray(df, col(s"__${role}v"), tables, bits))
+          .as(Seq("__table", "__code")))
     }
     val qb = broadcast(coded(queries, "query"))
     val cand = coded(corpus, "neighbor")
@@ -121,11 +114,21 @@ object Ann {
     * AnnSpec against a brute-force ground truth. */
   def embedNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, minCosine: Double,
-      dim: Int, tables: Int = 8, bits: Int = 4, maxBucket: Int = 200): DataFrame = {
+      dim: Int, tables: Int = 8, bits: Int = -1, maxBucket: Int = 200): DataFrame = {
     val vecs = corpus.select(col(idCol), col(vecCol).as("__v")).persist()
-    val codes = codeCols(col("__v"), dim, tables, bits)
+    // auto-size the code width to the corpus: ~32 vectors per bucket
+    // keeps in-bucket pair generation constant-cost as the corpus
+    // grows (fixed bits would either blow the bucket cap at scale or
+    // over-fragment a small corpus). Genuine near-dups (cos ≳ 0.9)
+    // collide at ≳ 0.95^bits per table, so recall stays high at any
+    // corpus size; the count() is one cheap metadata-ish pass.
+    val effBits =
+      if (bits > 0) bits
+      else math.max(2, math.ceil(
+        math.log(math.max(vecs.count(), 64L).toDouble / 32.0) / math.log(2)).toInt)
     val bucketed = vecs.select(col(idCol),
-      posexplode(array(codes: _*)).as(Seq("__table", "__code")))
+      posexplode(codeArray(corpus, col("__v"), tables, effBits))
+        .as(Seq("__table", "__code")))
     val pairs = Dedup.bucketPairs(bucketed, Seq("__table", "__code"), idCol, maxBucket)
     pairs
       .join(vecs.select(col(idCol).as("id1"), col("__v").as("__v1")), "id1")
