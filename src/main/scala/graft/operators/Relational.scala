@@ -24,11 +24,15 @@ object LimitBy {
 
 /** ASOF JOIN (reference: src/Parsers/ASTTablesInSelectQuery.h:82 —
   * Strictness::Asof): for each left row, the latest right row with
-  * rightTime <= leftTime within the same key.
+  * rightTime <= leftTime within the same key (backward, the default),
+  * or with `forward = true` the EARLIEST right row with
+  * rightTime >= leftTime (ClickHouse ASOF's `>=` inequality).
   *
   * Implemented as the union+last-value trick: tag both sides, sort by
   * (key, time, side) once, and carry the most recent right payload
-  * forward with a running `last(ignoreNulls)` window. Cost is ONE
+  * forward with a running `last(ignoreNulls)` window — for the
+  * forward direction the SAME plan traverses time descending, so the
+  * carried payload is the minimum rightTime ≥ leftTime. Cost is ONE
   * shuffle on the key + a per-partition sort — no range cross-join, so
   * it scales linearly and never materializes candidate pairs (the
   * naive time-range join is O(|L|·|R|) per key and dies at 100 TB).
@@ -37,7 +41,7 @@ object AsOfJoin {
   def apply(
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], forward: Boolean = false): DataFrame = {
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
@@ -55,12 +59,14 @@ object AsOfJoin {
         rTagged.select(
           (lCols.map(c => if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
             col("__t") :+ col("__side") :+ col("__payload")): _*))
-    // right rows (side=0) sort before a left row at the same timestamp →
-    // backward-inclusive semantics, matching ClickHouse ASOF `<=`.
-    // __payload as the final sort key makes ties among right rows that
-    // share (key, ts) deterministic: last() then always picks the
-    // max-struct payload instead of a partition-order-dependent one.
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__payload"))
+    // right rows (side=0) sort before a left row at the same timestamp
+    // in traversal order → inclusive semantics in both directions
+    // (ClickHouse ASOF `<=` / `>=`). __payload as the final sort key
+    // makes ties among right rows that share (key, ts) deterministic:
+    // last() then always picks the max-struct payload instead of a
+    // partition-order-dependent one.
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(key).orderBy(timeOrd, col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__match", last("__payload", ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)

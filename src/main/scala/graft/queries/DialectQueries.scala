@@ -18,6 +18,7 @@ object DialectQueries {
       case "events"    => t.events.createOrReplaceTempView("events")
       case "documents" => t.documents.createOrReplaceTempView("documents")
       case "lineitem"  => t.lineitem.createOrReplaceTempView("lineitem")
+      case "part_v"    => t.part.createOrReplaceTempView("part_v")
     }
     s.sql(chQuery)
   }
@@ -59,6 +60,40 @@ object DialectQueries {
           |  intDiv(event_id, 7) AS grp,
           |  multiIf(value > 75, 'high', value > 25, 'mid', 'low') AS band,
           |  notEmpty(event_type) AS has_type
-          |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin))
+          |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
+
+    // String/array/hash dialect names through spark.sql.
+    "c03_dialect_strings" -> Q(
+      """SELECT p_partkey,
+        |  length(p_name) AS len,
+        |  lower(p_brand) AS lb,
+        |  substring(p_name, 2, 6) AS sub,
+        |  strpos(p_name, 'o') AS pos,
+        |  replace(p_name, 'a', '_') AS rep,
+        |  trim(concat(' ', p_brand, ' ')) AS tb,
+        |  md5(p_brand) AS m,
+        |  sha256(p_type) AS sh,
+        |  bit_count(p_partkey) AS bc,
+        |  list_contains(string_split(p_name, ' '), 'green') AS hasw,
+        |  COALESCE(list_position(string_split(p_name, ' '), 'green'), 0) AS idxw,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS joined,
+        |  length(p_name) = 0 AS e
+        |FROM part ORDER BY p_partkey""".stripMargin)(
+      chSql(Seq("part_v"),
+        """SELECT p_partkey,
+          |  lengthUTF8(p_name) AS len,
+          |  lowerUTF8(p_brand) AS lb,
+          |  substringUTF8(p_name, 2, 6) AS sub,
+          |  positionUTF8(p_name, 'o') AS pos,
+          |  replaceAll(p_name, 'a', '_') AS rep,
+          |  trimBoth(concatStr(' ', p_brand, ' ')) AS tb,
+          |  MD5(p_brand) AS m,
+          |  SHA256(p_type) AS sh,
+          |  bitCount(p_partkey) AS bc,
+          |  has(splitByChar(' ', p_name), 'green') AS hasw,
+          |  indexOf(splitByChar(' ', p_name), 'green') AS idxw,
+          |  arrayStringConcat(arraySort(splitByChar(' ', p_name)), '|') AS joined,
+          |  empty(p_name) AS e
+          |FROM part_v ORDER BY p_partkey""".stripMargin))
   )
 }

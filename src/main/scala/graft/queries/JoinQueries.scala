@@ -150,6 +150,27 @@ object JoinQueries {
         .orderBy("event_id")
     },
 
+    // Forward ASOF (ClickHouse `ON ... c.ts <= e.ts`): the EARLIEST
+    // error at-or-after each click — same single-shuffle plan, time
+    // traversed descending.
+    "j11_asof_forward" -> Q(
+      """SELECT c.event_id, c.user_id, e.event_id AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts <= e.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"), col("user_id"), col("ts"))
+      AsOfJoin(clicks, errors, key = "user_id",
+          leftTime = "ts", rightTime = "ts", rightCols = Seq("err_event_id"),
+          forward = true)
+        .select("event_id", "user_id", "err_event_id")
+        .orderBy("event_id")
+    },
+
     // 4-table star: Catalyst reorders; both dims broadcast.
     "j10_multiway" -> Q(
       """SELECT r_name, COUNT(*) AS n_items,

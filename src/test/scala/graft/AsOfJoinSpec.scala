@@ -22,6 +22,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Map("a" -> Some(100.0), "b" -> Some(200.0), "c" -> None))
   }
 
+  test("forward direction matches earliest right row at-or-after") {
+    val left = Seq((1L, t(10), "a"), (1L, t(20), "b"), (2L, t(15), "c"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1L, t(10), 50.0), (1L, t(15), 200.0), (2L, t(10), 300.0))
+      .toDF("k", "rt", "price")
+    val got = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"), forward = true)
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    // a: rt=10 >= lt=10 inclusive; b: nothing at/after 20; c: nothing
+    assert(got == Map("a" -> Some(50.0), "b" -> None, "c" -> None))
+  }
+
   test("equal timestamps are inclusive (ClickHouse ASOF <= semantics)") {
     val left = Seq((1L, t(10), "x")).toDF("k", "lt", "tag")
     val right = Seq((1L, t(10), 7.0)).toDF("k", "rt", "price")
