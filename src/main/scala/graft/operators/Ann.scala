@@ -51,8 +51,9 @@ object Ann {
 
   /** Two-phase distributed top-k: local winners per input partition,
     * then global winners among parts·k rows. Both windows are
-    * partitioned (never a global sort); ties broken by neighbor id. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    * partitioned (never a global sort); ties broken by neighbor id.
+    * Shared with the IVF search path. */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val order = Seq(col("sim").desc, col("neighbor_id").asc)
     val local = Window.partitionBy(col("query_id"), spark_partition_id())
       .orderBy(order: _*)

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index — the second scale path the brief
+  * names next to hyperplane LSH: a coarse k-means quantizer splits the
+  * corpus into cells, queries probe only the `nprobe` nearest cells,
+  * so search cost is corpus_fraction ≈ nprobe/k instead of 1.
+  *
+  * Everything is deterministic and cluster-size independent:
+  *  - init centroids = the k lowest-id vectors (no RNG);
+  *  - Lloyd iterations assign via broadcast centroid literals and
+  *    re-average per (cell, dimension) — a narrow groupBy, never a
+  *    driver-side pass over the corpus; only the k×dim centroid
+  *    matrix (a few KB) ever reaches the driver;
+  *  - centroid coordinates are rounded each iteration so float
+  *    summation order can't drift assignments between runs.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def l2sq(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, array(centroid.map(lit): _*),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Index of the nearest centroid (ties → lowest index). */
+  private def nearestCell(vec: Column, m: Model): Column = {
+    val dists = array(m.centroids.map(c => round(l2sq(vec, c), 9)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train the coarse quantizer. `train` may be a sample of the
+    * corpus — the model is a tiny k×dim matrix. */
+  def fit(train: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 5): Model = {
+    val dim = train.select(size(col(vecCol))).head().getInt(0)
+    var model = Model(
+      train.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray))
+    for (_ <- 1 to iterations) {
+      // assign → per-(cell, dim) mean → rebuild the k×dim matrix
+      val means = train
+        .select(nearestCell(col(vecCol), model).as("__cell"),
+          posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+        .groupBy("__cell", "__dim")
+        .agg(round(avg(col("__x").cast("double")), 6).as("__m"))
+        .collect()
+      val next = Array.tabulate(model.k, dim)((c, d) => model.centroids(c)(d))
+      means.foreach { r =>
+        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__dim")) = r.getAs[Double]("__m")
+      }
+      model = Model(next)
+    }
+    model
+  }
+
+  /** Approximate top-k: probe the `nprobe` nearest cells per query,
+    * exact cosine within the probed fraction. Assignment and probing
+    * are pure column arithmetic against broadcast centroid literals —
+    * the corpus is read once, shuffled once (on cell). */
+  def search(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      model: Model, k: Int, nprobe: Int = 2): DataFrame = {
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      nearestCell(col(vecCol), model).as("__cell"))
+    // per-query probed cells: indices of the nprobe smallest distances
+    val qdists = array(model.centroids.map(c =>
+      round(l2sq(col("__qv"), c), 9)): _*)
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__dists", qdists)
+      .withColumn("__cell", explode(transform(
+        slice(array_sort(zip_with(col("__dists"),
+          sequence(lit(0), lit(model.k - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, nprobe),
+        s => s.getField("i").cast("int"))))
+    val cand = cells.join(broadcast(probed), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Ann.cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "sim")
+    Ann.topKPerQuery(cand, k)
+  }
+}

@@ -53,6 +53,19 @@ object AnnQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF-probed approximate top-5: coarse k-means cells (k=16,
+    // deterministic training), nprobe=4 → ~25% of the corpus scored
+    // per query. Recall pinned by AnnSpec.
+    "d08_ann_ivf" -> Q.rowsOnly { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val model = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 16)
+      graft.operators.Ivf.search(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", model, k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // Whole-corpus embedding-cosine near-dup pairs (LSH candidates,
     // exact verify). Recall pinned by AnnSpec.
     "d07_embed_neardup" -> Q.rowsOnly { (s, dir) =>

@@ -57,6 +57,21 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below floor")
   }
 
+  test("IVF search: deterministic training, usable recall at a bounded probe fraction") {
+    import graft.operators.Ivf
+    val e = Tables(spark, sfDir).embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val m1 = Ivf.fit(e, "vec_id", "embedding", k = 16)
+    val m2 = Ivf.fit(e, "vec_id", "embedding", k = 16)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq,
+      "training must be run-to-run deterministic")
+    val exact = topPairs(Ann.bruteTopK(e, q, "vec_id", "embedding", k = 5))
+    val approx = topPairs(Ivf.search(e, q, "vec_id", "embedding", m1, k = 5, nprobe = 4))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.3f (nprobe=4/16 cells)")
+    assert(recall >= 0.4, f"recall $recall%.3f below floor")
+  }
+
   test("brute-force top-1 equals a directly computed argmax") {
     val e = Tables(spark, sfDir).embeddings
     val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
