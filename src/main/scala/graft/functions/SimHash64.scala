@@ -128,6 +128,9 @@ object GraftFunctions {
           HyperplaneCode(vec, t, b)
         case other => throw new IllegalArgumentException(
           s"hyperplane_lsh(vec, tables-literal, bits-literal) expected, got ${other.mkString(", ")}")
+      },
+      d("cell_distances", classOf[CellDistances]) {
+        case Seq(vec, cents) => CellDistances(vec, cents)
       }
     ) ++ ChDialect.descriptors
   }

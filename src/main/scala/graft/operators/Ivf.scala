@@ -23,16 +23,18 @@ object Ivf {
     def k: Int = centroids.length
   }
 
-  private def l2sq(vec: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, array(centroid.map(lit): _*),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0d), (acc, x) => acc + x)
+  /** All centroid distances in one native-expression pass (the
+    * composed k×dim-literal form re-codegens megabytes per k-means
+    * iteration); centroids travel as a single literal. */
+  private def distances(df: DataFrame, vec: Column, m: Model): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    call_function("cell_distances", vec, typedLit(m.centroids.map(_.toSeq).toSeq))
+  }
 
   /** Index of the nearest centroid (ties → lowest index). */
-  private def nearestCell(vec: Column, m: Model): Column = {
-    val dists = array(m.centroids.map(c => round(l2sq(vec, c), 9)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+  private def nearestCell(df: DataFrame, vec: Column, m: Model): Column = {
+    val d = distances(df, vec, m)
+    (array_position(d, array_min(d)) - 1).cast("int")
   }
 
   /** Train the coarse quantizer. `train` may be a sample of the
@@ -47,7 +49,7 @@ object Ivf {
     for (_ <- 1 to iterations) {
       // assign → per-(cell, dim) mean → rebuild the k×dim matrix
       val means = train
-        .select(nearestCell(col(vecCol), model).as("__cell"),
+        .select(nearestCell(train, col(vecCol), model).as("__cell"),
           posexplode(col(vecCol)).as(Seq("__dim", "__x")))
         .groupBy("__cell", "__dim")
         .agg(round(avg(col("__x").cast("double")), 6).as("__m"))
@@ -69,12 +71,10 @@ object Ivf {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       model: Model, k: Int, nprobe: Int = 2): DataFrame = {
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      nearestCell(col(vecCol), model).as("__cell"))
+      nearestCell(corpus, col(vecCol), model).as("__cell"))
     // per-query probed cells: indices of the nprobe smallest distances
-    val qdists = array(model.centroids.map(c =>
-      round(l2sq(col("__qv"), c), 9)): _*)
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__dists", qdists)
+      .withColumn("__dists", distances(queries, col("__qv"), model))
       .withColumn("__cell", explode(transform(
         slice(array_sort(zip_with(col("__dists"),
           sequence(lit(0), lit(model.k - 1)),
