@@ -138,6 +138,28 @@ object AggQueries {
         .orderBy("o_orderstatus")
     },
 
+    // entropy(x) — Shannon entropy of the value distribution per
+    // group: two-level aggregate (value histogram → -Σ p·log2 p),
+    // identical shape in both engines, rounded for sum-order ulps.
+    "a13_entropy" -> Q(
+      """WITH h AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, SUM(c) AS tot FROM h GROUP BY 1)
+        |SELECT h.l_returnflag,
+        |  ROUND(-SUM((c / CAST(tot AS DOUBLE)) * log2(c / CAST(tot AS DOUBLE))), 6) AS entropy
+        |FROM h JOIN t ON h.l_returnflag = t.l_returnflag
+        |GROUP BY h.l_returnflag ORDER BY h.l_returnflag""".stripMargin) { (s, dir) =>
+      val hist = Tables(s, dir).lineitem
+        .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
+      val totals = hist.groupBy("l_returnflag").agg(sum("c").as("tot"))
+      val p = col("c") / col("tot").cast("double")
+      hist.join(broadcast(totals), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(round(-sum(p * log2(p)), 6).as("entropy"))
+        .orderBy("l_returnflag")
+    },
+
     // skewPop/kurtPop — population moments. Spark's incremental
     // accumulators vs the oracle's two-pass naive formula differ in
     // the last ulps → rounded to 4 (same discipline as a06).

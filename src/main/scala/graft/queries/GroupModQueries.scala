@@ -39,10 +39,26 @@ object GroupModQueries {
       |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), ())
       |ORDER BY priority""".stripMargin
 
+  // Disjoint single-key grouping sets + grouping_id bitmask — the
+  // general ASTSelectQuery grouping-sets form beyond rollup/cube.
+  private val g04Sql =
+    """SELECT
+      |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+      |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+      |  GROUPING(o_orderstatus) AS g_status,
+      |  GROUPING(o_orderpriority) AS g_priority,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "g01_rollup" -> Q(g01Sql) { (s, dir) =>
       Tables(s, dir).lineitem.createOrReplaceTempView("lineitem")
       s.sql(g01Sql)
+    },
+    "g04_grouping_sets" -> Q(g04Sql) { (s, dir) =>
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(g04Sql)
     },
     "g02_cube" -> Q(g02Sql) { (s, dir) =>
       Tables(s, dir).orders.createOrReplaceTempView("orders")
