@@ -101,28 +101,38 @@ object WithFill {
   * across engines and cluster sizes (TABLESAMPLE is
   * partition-layout-dependent; a key-hash filter is not).
   *
-  * IO honesty: `byKeyMod` is CPU-deterministic but IO-full — pmod is
-  * not a pushable parquet predicate, so a 10% sample still scans 100%
-  * of the table. ClickHouse reads ~k of the granules because MergeTree
-  * data is physically ORDERED by intHash(sampling key); the Spark
-  * analog is `byHashRange` over a table laid out (sorted/bucketed) by
-  * the same hash: the range predicate on the persisted hash column is
-  * pushable, so row groups outside the range are skipped entirely and
-  * IO is proportional to the sampled fraction. Use byKeyMod when the
-  * input layout is unknown; use byHashRange on hash-ordered tables.
+  * IO honesty: `byKeyMod` and `byHashRange` are CPU-deterministic but
+  * IO-full — computed expressions are not pushable parquet predicates,
+  * so a 10% sample still scans 100% of the table. ClickHouse reads ~k
+  * of the granules because MergeTree data is physically ORDERED by
+  * intHash(sampling key); the Spark analog is `byStoredHashRange` over
+  * a table that persists the key hash and is written sorted by it: the
+  * plain range predicate on the stored column pushes down, row groups
+  * outside the range are skipped, and IO is proportional to the
+  * sampled fraction. Use byKeyMod/byHashRange when the input layout is
+  * unknown; lay out hash-sorted tables for sampling-heavy workloads.
   */
 object Sample {
   def byKeyMod(df: DataFrame, key: String, mod: Int, keep: Int = 0): DataFrame =
     df.filter(pmod(col(key), lit(mod)) === keep)
 
-  /** Unbiased fraction-sample with pushable IO: keep rows whose 64-bit
-    * key hash falls in the first `frac` of the (unsigned) hash space.
-    * On a table written sorted by `xxhash64(key)` this prunes row
-    * groups via min/max stats → reads ~frac of the bytes. */
-  def byHashRange(df: DataFrame, key: String, frac: Double): DataFrame = {
-    val cut = (Long.MinValue + (frac * 2.0 * Long.MaxValue)).toLong
-    df.filter(xxhash64(col(key)) <= lit(cut))
-  }
+  private def hashCut(frac: Double): Long =
+    (Long.MinValue + (frac * 2.0 * Long.MaxValue)).toLong
+
+  /** Unbiased fraction-sample on a COMPUTED key hash. Deterministic
+    * and layout-independent, but the hash is evaluated per row — like
+    * byKeyMod this is CPU-bound, IO-full (a computed expression is
+    * not a pushable parquet predicate). */
+  def byHashRange(df: DataFrame, key: String, frac: Double): DataFrame =
+    df.filter(xxhash64(col(key)) <= lit(hashCut(frac)))
+
+  /** The IO-pruned path: sample on a PERSISTED hash column of a table
+    * physically sorted by it (the MergeTree sampling-key layout). The
+    * plain range predicate on the stored column pushes to the scan, so
+    * row groups outside the range are skipped and bytes read scale
+    * with `frac` — asserted in PlanAuditSpec. */
+  def byStoredHashRange(df: DataFrame, hashCol: String, frac: Double): DataFrame =
+    df.filter(col(hashCol) <= lit(hashCut(frac)))
 }
 
 /** Distributed ntile: global rank without a global single-partition

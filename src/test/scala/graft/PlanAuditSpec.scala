@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.WindowExec
+import graft.sources.Tables
 
 /** Mechanical audit of EVERY registered query's physical plan — the
   * scale properties the 100 TB design depends on, asserted so they
@@ -65,6 +66,25 @@ class PlanAuditSpec extends SparkSpec {
     // cached lineage is merely RENDERED under each InMemoryTableScan)
     val memScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
     assert(memScans >= 2, s"expected both consumers on the cached CTE:\n$p")
+  }
+
+  test("stored-hash-range sampling pushes its predicate to the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = sys.props("java.io.tmpdir") + "/graft_sample_layout"
+    // the sampling layout: persisted key hash, table sorted by it
+    Tables(spark, sfDir).orders
+      .withColumn("sample_hash", xxhash64(col("o_orderkey")))
+      .sort("sample_hash")
+      .write.mode("overwrite").parquet(dir)
+    val sampled = graft.operators.Sample.byStoredHashRange(
+      spark.read.parquet(dir), "sample_hash", 0.1)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(sample_hash), LessThanOrEqual(sample_hash"),
+      s"range predicate not pushed:\n$plan")
+    // unbiased-fraction sanity: ~10% of rows survive
+    val total = spark.read.parquet(dir).count().toDouble
+    val frac = sampled.count() / total
+    assert(frac > 0.05 && frac < 0.15, s"sampled fraction $frac")
   }
 
   test("native simhash64 expression stays inside whole-stage codegen") {
