@@ -135,6 +135,33 @@ object Sample {
     df.filter(col(hashCol) <= lit(hashCut(frac)))
 }
 
+/** Point-in-interval (range) join without a cross product. Spark
+  * plans a raw non-equi join as BroadcastNestedLoop — O(|points|·
+  * |intervals|) comparisons. Binning restores an equi-join: intervals
+  * are exploded onto a fixed grid (one row per covered bin), points
+  * join their bin hash-wise, and the exact containment predicate
+  * filters. Cost: |points| + Σ(interval span / binSize) join rows. A
+  * point meets each covering interval in exactly one bin (its own), so
+  * no dedup pass is needed. Pick binSize near the median interval
+  * width: coarser grids fan candidate lists out, finer grids replicate
+  * intervals across more bins.
+  */
+object RangeJoin {
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binSize: Double): DataFrame = {
+    val p = points.withColumn("__bin",
+      floor(col(pointCol) / binSize).cast("long"))
+    val iv = intervals.withColumn("__bin", explode(sequence(
+      floor(col(loCol) / binSize).cast("long"),
+      floor(col(hiCol) / binSize).cast("long"))))
+    p.join(iv, "__bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+}
+
 /** Distributed ntile: global rank without a global single-partition
   * sort (the scale-killer `Window.orderBy` with no partition).
   *

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Join kinds (SURVEY §2; reference
   * src/Parsers/ASTTablesInSelectQuery.h:76-99 — Kind × Strictness:
@@ -169,6 +169,30 @@ object JoinQueries {
           forward = true)
         .select("event_id", "user_id", "err_event_id")
         .orderBy("event_id")
+    },
+
+    // Range (point-in-interval) join: overlapping irregular value
+    // bands matched to event values through the binned equi-join plan
+    // (operators.RangeJoin) — the oracle is DuckDB's plain non-equi
+    // join, proving the binning rewrite is exact.
+    "j12_range_join" -> Q(
+      """SELECT e.event_id, b.band_id, b.lo, b.hi
+        |FROM (SELECT event_id, value FROM events WHERE event_id < 3000) e
+        |JOIN (SELECT i AS band_id,
+        |             CAST((i * i * 37) % 97 AS DOUBLE) AS lo,
+        |             CAST((i * i * 37) % 97 + (i % 7) + 1 AS DOUBLE) AS hi
+        |      FROM range(30) t(i)) b
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |ORDER BY e.event_id, b.band_id""".stripMargin) { (s, dir) =>
+      val points = Tables(s, dir).events.filter(col("event_id") < 3000)
+        .select("event_id", "value")
+      val bands = s.range(30).select(
+        col("id").as("band_id"),
+        ((col("id") * col("id") * 37) % 97).cast("double").as("lo"),
+        ((col("id") * col("id") * 37) % 97 + col("id") % 7 + 1).cast("double").as("hi"))
+      RangeJoin.pointInInterval(points, "value", bands, "lo", "hi", binSize = 4.0)
+        .select("event_id", "band_id", "lo", "hi")
+        .orderBy("event_id", "band_id")
     },
 
     // 4-table star: Catalyst reorders; both dims broadcast.
