@@ -47,11 +47,38 @@ object ChDialect {
     "toStartOfHour"  -> { es => builtin("date_trunc")(Literal("HOUR") +: es) },
     "addDays"        -> builtin("date_add"),
     "subtractDays"   -> builtin("date_sub"),
+    "toQuarter"      -> builtin("quarter"),
+    "toDayOfYear"    -> builtin("dayofyear"),
+    "toUnixTimestamp"   -> builtin("unix_timestamp"),
+    "fromUnixTimestamp" -> builtin("from_unixtime"),
+    "toStartOfQuarter" -> { es => builtin("date_trunc")(Literal("QUARTER") +: es) },
+    "toStartOfYear"    -> { es => builtin("date_trunc")(Literal("YEAR") +: es) },
+    "toStartOfWeek"    -> { es => builtin("date_trunc")(Literal("WEEK") +: es) },
+    "toMonday"         -> { es =>
+      Cast(builtin("date_trunc")(Literal("WEEK") +: es), DateType) },
+    "toYYYYMM"         -> { es =>
+      Cast(builtin("date_format")(es :+ Literal("yyyyMM")), IntegerType) },
+    "addMonths"      -> builtin("add_months"),
+    "addYears"       -> { es =>
+      builtin("add_months")(Seq(es(0), Multiply(es(1), Literal(12)))) },
 
     // ---- arithmetic ----
     "intDiv"  -> { es => builtin("div")(es.map(e => Cast(e, LongType))) },
+    "intDivOrZero" -> { es =>
+      val cast = es.map(e => Cast(e, LongType))
+      If(EqualTo(cast(1), Literal(0L)), Literal(0L), builtin("div")(cast)) },
     "modulo"  -> builtin("mod"),
+    "moduloOrZero" -> { es =>
+      If(EqualTo(es(1), Literal(0)), Literal(0), builtin("mod")(es)) },
     "negate"  -> builtin("negative"),
+    "exp2"    -> { es => builtin("pow")(Literal(2.0) +: es) },
+    "exp10"   -> { es => builtin("pow")(Literal(10.0) +: es) },
+    "bitAnd"  -> { es => BitwiseAnd(es(0), es(1)) },
+    "bitOr"   -> { es => BitwiseOr(es(0), es(1)) },
+    "bitXor"  -> { es => BitwiseXor(es(0), es(1)) },
+    "bitNot"  -> { es => BitwiseNot(es.head) },
+    "bitShiftLeft"  -> builtin("shiftleft"),
+    "bitShiftRight" -> builtin("shiftright"),
 
     // ---- conditional ----
     "multiIf" -> { es =>
@@ -78,6 +105,19 @@ object ChDialect {
     "concatStr"     -> builtin("concat"),
     "trimBoth"      -> builtin("trim"),
     "reverseUTF8"   -> builtin("reverse"),
+    "leftPad"       -> builtin("lpad"),
+    "rightPad"      -> builtin("rpad"),
+    "repeatStr"     -> builtin("repeat"),
+    // camelCase CH names that differ from a Spark builtin only by case
+    // (startsWith/endsWith/...) resolve through the case-insensitive
+    // registry already — no alias needed.
+
+    // ---- array extras ----
+    "arrayReverse" -> builtin("reverse"),
+    "arraySlice"   -> builtin("slice"),
+    "arrayFlatten" -> builtin("flatten"),
+    "arrayPushBack" -> { es => builtin("concat")(
+      Seq(es(0), CreateArray(Seq(es(1))))) },
 
     // ---- type conversion (DataTypeFactory.cpp) ----
     "toUInt64"   -> { es => Cast(es.head, LongType) },

@@ -71,6 +71,42 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getAs[Double]("p90") == expect.getAs[Double]("p90"))
   }
 
+  test("extended scalar aliases: datetime extras, guarded division, bit ops, arrays") {
+    val r = sql1(
+      """SELECT
+        |  toQuarter(TIMESTAMP '2024-08-15 00:00:00') AS q,
+        |  toDayOfYear(TIMESTAMP '2024-02-01 00:00:00') AS doy,
+        |  toYYYYMM(TIMESTAMP '2024-08-15 00:00:00') AS yyyymm,
+        |  CAST(toStartOfYear(TIMESTAMP '2024-08-15 00:00:00') AS DATE) AS soy,
+        |  toMonday(TIMESTAMP '2024-08-15 00:00:00') AS mon, -- Thursday → 2024-08-12
+        |  addYears(DATE '2020-02-29', 1) AS plus_year,
+        |  intDivOrZero(10, 0) AS idz, moduloOrZero(10, 0) AS mdz,
+        |  exp2(10) AS e2,
+        |  bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, bitXor(12, 10) AS bx,
+        |  bitNot(0) AS bn, bitShiftLeft(1, 4) AS bsl,
+        |  leftPad('7', 3, '0') AS lp, repeatStr('ab', 3) AS rp,
+        |  arrayReverse(array(1, 2, 3)) AS ar,
+        |  arraySlice(array(1, 2, 3, 4), 2, 2) AS asl,
+        |  arrayFlatten(array(array(1), array(2, 3))) AS af,
+        |  arrayPushBack(array(1, 2), 9) AS apb
+        |""".stripMargin)
+    assert(r.getAs[Int]("q") == 3 && r.getAs[Int]("doy") == 32)
+    assert(r.getAs[Int]("yyyymm") == 202408)
+    assert(r.getAs[java.sql.Date]("soy").toString == "2024-01-01")
+    assert(r.getAs[java.sql.Date]("mon").toString == "2024-08-12")
+    assert(r.getAs[java.sql.Date]("plus_year").toString == "2021-02-28")
+    assert(r.getAs[Long]("idz") == 0L && r.getAs[Int]("mdz") == 0)
+    assert(r.getAs[Double]("e2") == 1024.0)
+    assert(r.getAs[Int]("ba") == 8 && r.getAs[Int]("bo") == 14 && r.getAs[Int]("bx") == 6)
+    assert(r.getAs[Int]("bn") == -1 && r.getAs[Int]("bsl") == 16)
+    assert(r.getAs[String]("lp") == "007" && r.getAs[String]("rp") == "ababab")
+    def seq(name: String): List[Int] = r.getSeq[Int](r.fieldIndex(name)).toList
+    assert(seq("ar") == List(3, 2, 1))
+    assert(seq("asl") == List(2, 3))
+    assert(seq("af") == List(1, 2, 3))
+    assert(seq("apb") == List(1, 2, 9))
+  }
+
   test("uniq alias is the HLL sketch; groupArray/groupUniqArray collect") {
     GraftFunctions.ensureRegistered(spark)
     Tables(spark, sfDir).orders.createOrReplaceTempView("orders_v")
