@@ -63,6 +63,25 @@ object Multimodal {
     (mean, math.sqrt(variance), hist.map(h => (h / n).toFloat))
   }
 
+  /** Frame sampling for video-like payloads: slice the binary content
+    * into fixed-size frames and keep every `every`-th — the decimation
+    * step before any expensive per-frame decode. Pure column
+    * arithmetic on the BINARY type (substring/length/md5 all operate
+    * on bytes), so it runs at scan speed and never leaves codegen;
+    * emits (doc_id, frame_idx, frame_len, frame_md5). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    val nFrames = (floor((length(col("content")) - 1) / frameBytes) + 1).cast("int")
+    media.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nFrames - 1), i =>
+          call_function("substring", col("content"),
+            i * frameBytes + 1, lit(frameBytes))))
+          .as(Seq("frame_idx", "__frame")))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("__frame")).as("frame_len"),
+        md5(col("__frame")).as("frame_md5"))
+  }
+
   /** Batched featurization: one decoder pass per partition iterator,
     * no shuffle (narrow dependency — partitioning of the input is
     * preserved, so an upstream repartition by storage key survives). */

@@ -10,6 +10,23 @@ import graft.operators.Multimodal
 object MultimodalQueries {
 
   val defs: Map[String, Q] = Map(
+
+    // Frame sampling over the BINARY payload — every 2nd 32-byte
+    // frame. Spark slices the binary column; the oracle slices the
+    // (ASCII) varchar source, which is byte-identical, so even the
+    // per-frame md5 is cross-engine checked.
+    "m02_frame_sample" -> Q(
+      """SELECT d.doc_id, i AS frame_idx,
+        |  length(substring(d.text, CAST(i * 32 + 1 AS INT), 32)) AS frame_len,
+        |  md5(substring(d.text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM documents d, range(0, 100) t(i)
+        |WHERE i * 32 < length(d.text) AND i % 2 = 0
+        |ORDER BY d.doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      val media = Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 32, every = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     "m01_multimodal" -> Q.rowsOnly { (s, dir) =>
       val media = Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text")
       Multimodal.featurize(media)
