@@ -244,6 +244,33 @@ object CoreQueries {
         .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
     },
 
+    // Nullable semantics pinned end-to-end: NULL-propagating
+    // arithmetic, count(col) vs count(*), null-safe equality, and
+    // aggregate null-skipping — the Nullable(T) behavioral contract.
+    "q20_nullable" -> Q(
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(v) AS n_nonnull,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  COUNT(*) FILTER (WHERE v IS NULL) AS n_null,
+        |  COUNT(*) FILTER (WHERE v IS NOT DISTINCT FROM NULL) AS n_nullsafe
+        |FROM (SELECT o_orderstatus,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+        |      FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .select(col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_totalprice")).as("v"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_nonnull"),
+          sum(dec(col("v"))).cast("double").as("sum_v"),
+          count(when(col("v").isNull, 1)).as("n_null"),
+          count(when(col("v") <=> lit(null), 1)).as("n_nullsafe"))
+        .orderBy("o_orderstatus")
+    },
+
     // LIMIT k WITH TIES: all rows tying with the k-th under the order.
     // Scale-safe realization: the k-th value comes from a distributed
     // top-k (TakeOrderedAndProject), broadcast as a threshold filter —

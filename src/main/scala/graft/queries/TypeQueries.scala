@@ -124,6 +124,48 @@ object TypeQueries {
         .orderBy("o_orderkey")
     },
 
+    // The curation funnel end-to-end — what the engine is FOR: exact
+    // dedup → quality floor → language filter → per-source stats, one
+    // declarative plan (each stage is the oracled operator from
+    // d01/t01/t02 composed, so Catalyst pipelines them into a single
+    // pass over the corpus + one aggregation shuffle).
+    "p02_curation_pipeline" -> Q(
+      """WITH deduped AS (
+        |  SELECT doc_id, source, lang, text FROM (
+        |    SELECT doc_id, source, lang, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    ROUND(
+        |      least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0) * 0.3
+        |      + (len(list_filter(string_split(text, ' '),
+        |             x -> x IN ('the','a','of','and','to','in','is','it')))
+        |         / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)) * 0.4
+        |      + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+        |               / CAST(length(text) AS DOUBLE)) * 0.3, 6) AS quality,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM deduped WHERE lang = 'en')
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  ROUND(AVG(quality), 6) AS avg_quality
+        |FROM scored WHERE quality >= 0.5
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.operators.{Dedup, Text}
+      val deduped = Dedup.exact(Tables(s, dir).documents, "text", "doc_id")
+      val scored = deduped.filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      scored.filter(col("quality") >= 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("source")
+    },
+
     // INSERT INTO ... SELECT ≈ a partitioned parquet write, then a
     // read-back of the written table — values must round-trip exactly.
     // Partition column stays string-typed (directory encoding).
