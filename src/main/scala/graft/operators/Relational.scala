@@ -93,6 +93,37 @@ object WithFill {
       explode(sequence(col("__lo"), col("__hi"), expr("interval 1 day"))).as(dateCol))
     spine.join(df, Seq(dateCol), "left")
   }
+
+  /** WITH FILL … INTERPOLATE (reference: ASTOrderByElement's
+    * interpolate list): carry the last seen value forward across the
+    * filled axis. The carry is inherently sequential, but a global
+    * ordered window is the one plan shape this repo bans — instead:
+    * per-MONTH windows compute the within-month carry (partitioned),
+    * a month-level relation (one row per month, dimension-sized by
+    * construction) resolves each month's carry-in with the same tiny
+    * self-join trick as Ntile's rank offsets, and the two compose with
+    * one coalesce. */
+  def interpolated(
+      df: DataFrame, dateCol: String, valueCol: String, out: String): DataFrame = {
+    val wIn = Window.partitionBy("__m").orderBy(dateCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = df
+      .withColumn("__m", date_trunc("month", col(dateCol)))
+      .withColumn("__in", last(col(valueCol), ignoreNulls = true).over(wIn))
+    // month-end carry per month = __in at the month's max date (may be
+    // null for months with no values at all)
+    val monthLast = withIn.groupBy("__m")
+      .agg(max(struct(col(dateCol), col("__in"))).getField("__in").as("__v"))
+    // carry-in(m) = latest non-null month-end carry among months < m
+    val prior = monthLast.where(col("__v").isNotNull)
+      .select(col("__m").as("__pm"), col("__v").as("__pv"))
+    val carryIn = monthLast.join(prior, col("__pm") < col("__m"), "left")
+      .groupBy("__m")
+      .agg(max(struct(col("__pm"), col("__pv"))).getField("__pv").as("__carry_in"))
+    withIn.join(broadcast(carryIn), "__m")
+      .withColumn(out, coalesce(col("__in"), col("__carry_in")))
+      .drop("__m", "__in", "__carry_in")
+  }
 }
 
 /** SAMPLE k (reference: src/Parsers/ASTSampleRatio.h). ClickHouse

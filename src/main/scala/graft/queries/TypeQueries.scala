@@ -149,7 +149,7 @@ object TypeQueries {
         |SELECT source,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-        |  ROUND(AVG(quality), 6) AS avg_quality
+        |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
         |FROM scored WHERE quality >= 0.5
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       import graft.operators.{Dedup, Text}
@@ -162,7 +162,10 @@ object TypeQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),
-          round(avg("quality"), 6).as("avg_quality"))
+          // exact decimal sum then ONE division — a float AVG's
+          // summation order flips the 6th decimal between engines
+          round(sum(col("quality").cast("decimal(10,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_quality"))
         .orderBy("source")
     },
 

@@ -150,6 +150,32 @@ object WindowQueries {
         .orderBy("day")
     },
 
+    // WITH FILL ... INTERPOLATE: gaps carry the last seen value
+    // forward. Spark plan is the partitioned month-window + tiny
+    // carry-join (operators.WithFill.interpolated — no global window);
+    // the oracle is DuckDB's straightforward IGNORE NULLS carry.
+    "w09_interpolate" -> Q(
+      """WITH d AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |s AS (SELECT unnest(generate_series((SELECT MIN(day) FROM d),
+        |                                    (SELECT MAX(day) FROM d),
+        |                                    INTERVAL 1 DAY)) AS day),
+        |j AS (SELECT s.day AS day, d.total FROM s LEFT JOIN d ON s.day = d.day)
+        |SELECT day, COALESCE(total, 0) AS total,
+        |  last_value(total IGNORE NULLS) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM j ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir).orders
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(moneySum(col("o_totalprice")).as("total"))
+      WithFill.interpolated(WithFill.fillDays(daily, "day"), "day", "total", "carried")
+        .select(col("day"), coalesce(col("total"), lit(0.0)).as("total"), col("carried"))
+        .orderBy("day")
+    },
+
     // ORDER BY ... WITH FILL: densify the daily order axis; missing
     // days appear with n=0. Spine = 1-row min/max agg × sequence().
     "w05_with_fill" -> Q(
