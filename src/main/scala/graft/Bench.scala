@@ -20,11 +20,17 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst drop top-level
     // sorts/projections, flattering ORDER BY-heavy queries; noop
     // consumes every row of the real plan.
+    // clearCache between queries: several operators persist
+    // intermediates (signatures, grams, range partitions); 90+ queries
+    // of accumulated cache in one session turns into GC pressure that
+    // taxes whichever query runs late in the map order
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
