@@ -131,6 +131,9 @@ object GraftFunctions {
       },
       d("cell_distances", classOf[CellDistances]) {
         case Seq(vec, cents) => CellDistances(vec, cents)
+      },
+      d("cosine_sim", classOf[CosineSim]) {
+        case Seq(a, b) => CosineSim(a, b)
       }
     ) ++ ChDialect.descriptors
   }

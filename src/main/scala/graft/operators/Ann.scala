@@ -33,13 +33,23 @@ object Ann {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0d), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+  /** Composed (3-pass) cosine — kept as the readable reference and
+    * used by CosineSimSpec to pin bit-equality with the native form. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** One-pass native cosine (functions.CosineSim) — same IEEE
+    * sequence as the composed form, bit-identical results. Callers
+    * must have GraftFunctions registered (every operator entry point
+    * here does). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Exact cosine top-k neighbours for each query row. `queries` must
     * be broadcast-small (it is crossed with the corpus). */
   def bruteTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))

@@ -72,6 +72,19 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.3f below floor")
   }
 
+  test("native one-pass cosine is bit-identical to the composed three-pass form") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables(spark, sfDir).embeddings
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b")),
+        col("a_id") + 1 === col("b_id"))
+    val diffs = pairs.select(
+        (Ann.cosine(col("a"), col("b")) === Ann.cosineComposed(col("a"), col("b")))
+          .as("same"))
+      .filter(!col("same")).count()
+    assert(diffs == 0L, s"$diffs pairs differ between native and composed cosine")
+  }
+
   test("brute-force top-1 equals a directly computed argmax") {
     val e = Tables(spark, sfDir).embeddings
     val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
