@@ -290,6 +290,25 @@ object CoreQueries {
         .orderBy("o_totalprice", "o_orderkey")
     },
 
+    // LEFT ARRAY JOIN (ASTTablesInSelectQuery.h:129 array_join kind):
+    // rows with EMPTY arrays survive with a NULL element —
+    // explode_outer. The oracle substitutes [NULL] for empty lists
+    // (DuckDB's unnest drops them).
+    "q21_array_join_left" -> Q(
+      """SELECT doc_id, word FROM (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS word
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), w -> length(w) > 9) AS ws
+        |        FROM documents))
+        |ORDER BY doc_id, word""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          filter(split(col("text"), " ", -1), w => length(w) > 9).as("ws"))
+        .select(col("doc_id"), explode_outer(col("ws")).as("word"))
+        .orderBy(col("doc_id"), col("word").asc_nulls_first)
+    },
+
     // ARRAY JOIN (ASTTablesInSelectQuery.h:129) → explode(): word
     // frequency over documents.
     "q15_array_join" -> Q(

@@ -150,6 +150,30 @@ object WindowQueries {
         .orderBy("day")
     },
 
+    // Hopping (sliding) event-time windows, batch form: 1-hour
+    // windows every 30 minutes — each event lands in two windows via
+    // Spark's window() table-valued generator; the oracle derives the
+    // same two window starts arithmetically.
+    "w10_hopping_window" -> Q(
+      """SELECT win_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT make_timestamp(epoch_us(ts) // 1800000000 * 1800000000 - off) AS win_start,
+        |         event_type, value
+        |  FROM events, (SELECT unnest([0, 1800000000]) AS off) o
+        |  WHERE epoch_us(ts) // 1800000000 * 1800000000 - off
+        |        > epoch_us(ts) - 3600000000)
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    },
+
     // WITH FILL ... INTERPOLATE: gaps carry the last seen value
     // forward. Spark plan is the partitioned month-window + tiny
     // carry-join (operators.WithFill.interpolated — no global window);
