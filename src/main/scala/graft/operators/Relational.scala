@@ -166,6 +166,71 @@ object Sample {
     df.filter(col(hashCol) <= lit(hashCut(frac)))
 }
 
+/** ASOF JOIN for HOT keys (backward direction): the plain AsOfJoin
+  * sorts each key's entire history inside one window partition — a
+  * single key with 10⁹ rows pins one reducer. Here each key's stream
+  * is split into (key, time-bucket) partitions:
+  *  - the in-bucket carry is a window over (key, bucket) — bounded by
+  *    rows per bucket;
+  *  - the carry ACROSS buckets runs on the bucket-granularity
+  *    relation (one row per non-empty (key, bucket)), with a window
+  *    partitioned by key over BUCKETS — bounded by time-span/width,
+  *    not by event count.
+  * Equivalence with AsOfJoin is pinned in AsOfJoinSpec on real data.
+  * Pick the bucket width so both bounds stay comfortable (e.g. daily
+  * buckets for per-second events).
+  */
+object AsOfJoinBucketed {
+  def apply(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightCols: Seq[String], bucket: Column => Column): DataFrame = {
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)))
+    val rTagged = right
+      .select((col(rightTime).as("__t") +: col(key).as(key) +:
+        Seq(struct(rightCols.map(col): _*).as("__payload"))): _*)
+      .withColumn("__side", lit(0))
+    val lCols = left.columns
+    val unioned = lTagged.select(
+        (lCols.map(col) :+ col("__t") :+ col("__side") :+ col("__payload")): _*)
+      .unionByName(
+        rTagged.select(
+          (lCols.map(c => if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
+            col("__t") :+ col("__side") :+ col("__payload")): _*))
+      .withColumn("__b", bucket(col("__t")))
+      .persist() // read by the row-level pass AND the bucket relation
+    // in-bucket carry (bounded partitions)
+    val wIn = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__t"), col("__side"), col("__payload"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = unioned.withColumn("__in",
+      last("__payload", ignoreNulls = true).over(wIn))
+    // bucket-granularity carry-in: latest right payload of any PRIOR
+    // bucket of the same key
+    val bucketLast = unioned.filter(col("__side") === 0)
+      .groupBy(col(key), col("__b"))
+      .agg(max(struct(col("__t"), col("__payload"))).getField("__payload").as("__bl"))
+    // spine over ALL buckets (a left-only bucket still needs its
+    // carry-in from earlier right-occupied buckets)
+    val allBuckets = unioned.select(col(key), col("__b")).distinct()
+    val wAcross = Window.partitionBy(key).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = allBuckets
+      .join(bucketLast, Seq(key, "__b"), "left")
+      .withColumn("__carry", last("__bl", ignoreNulls = true).over(wAcross))
+      .select(col(key), col("__b"), col("__carry"))
+    withIn.join(carryIn, Seq(key, "__b"), "left")
+      .withColumn("__match", coalesce(col("__in"), col("__carry")))
+      .filter(col("__side") === 1)
+      .select((lCols.map(col) ++ rightCols.map(c => col(s"__match.$c").as(c))): _*)
+  }
+}
+
 /** Point-in-interval (range) join without a cross product. Spark
   * plans a raw non-equi join as BroadcastNestedLoop — O(|points|·
   * |intervals|) comparisons. Binning restores an equi-join: intervals

@@ -63,6 +63,26 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming NEAR-dup dedup: drop documents whose 64-bit SimHash
+    * fingerprint was already seen within the watermark. SimHash
+    * equality is the degenerate (band = whole hash) LSH bucket — near
+    * duplicates of low Hamming distance collide on the full
+    * fingerprint with high probability on token-frequency-similar
+    * docs, and state is one row per distinct fingerprint, expired by
+    * the watermark. The batch funnel (d02/d03) does candidate-pair
+    * verification; the stream side is the cheap ingest guard. */
+  def streamingNearDedup(
+      docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .withColumn("__fp", call_function("simhash64",
+        split(col(textCol), " ", -1)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   final case class Event(
     event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)

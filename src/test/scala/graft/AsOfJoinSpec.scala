@@ -1,7 +1,8 @@
 package graft
 
 import java.sql.Timestamp
-import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions.date_trunc
+import graft.operators.{AsOfJoin, AsOfJoinBucketed}
 
 /** Edge cases for the union+last-value ASOF JOIN the r1 verdict asked
   * to pin: equal timestamps (backward-INCLUSIVE), empty right side,
@@ -47,6 +48,35 @@ class AsOfJoinSpec extends SparkSpec {
     val got = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"))
     assert(got.count() == 2)
     assert(got.filter("price IS NOT NULL").count() == 0)
+  }
+
+  test("bucketed hot-key form equals the plain form on real events") {
+    import graft.sources.Tables
+    val ev = Tables(spark, sfDir).events
+    val clicks = ev.filter($"event_type" === "click").select("event_id", "user_id", "ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_event_id"), $"user_id", $"ts")
+    val plain = AsOfJoin(clicks, errors, "user_id", "ts", "ts", Seq("err_event_id"))
+      .select("event_id", "err_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val bucketed = AsOfJoinBucketed(clicks, errors, "user_id", "ts", "ts",
+        Seq("err_event_id"), bucket = t => date_trunc("day", t))
+      .select("event_id", "err_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(bucketed == plain,
+      s"diff: ${bucketed.toSet.diff(plain.toSet).take(3)} / ${plain.toSet.diff(bucketed.toSet).take(3)}")
+  }
+
+  test("bucketed form: carry crosses empty and left-only buckets") {
+    val left = Seq((1L, t(5), "x")).toDF("k", "lt", "tag")
+      .union(Seq((1L, Timestamp.valueOf("2024-01-05 00:00:01"), "y")).toDF("k", "lt", "tag"))
+    val right = Seq((1L, t(1), 7.0)).toDF("k", "rt", "price")
+    val got = AsOfJoinBucketed(left, right, "k", "lt", "rt", Seq("price"),
+        bucket = c => date_trunc("day", c))
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    // "y" lives 4 days (buckets) later with nothing in between — the
+    // right payload must still carry across
+    assert(got == Map("x" -> Some(7.0), "y" -> Some(7.0)))
   }
 
   test("duplicate (key, ts) right rows resolve deterministically to the max payload") {

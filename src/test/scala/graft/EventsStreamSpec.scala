@@ -79,6 +79,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup drops fingerprint-equal docs across batches") {
+    implicit val ctx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventsStream.streamingNearDedup(
+        input.toDF.toDF("doc_id", "ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("neardedup").outputMode("append").start()
+    try {
+      val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+      input.addData((1L, ts(0), base), (2L, ts(1), "completely different words"))
+      q.processAllAvailable()
+      // same token multiset, different order → same simhash → dropped
+      val shuffled = (1 to 50).map(i => s"tok$i").reverse.mkString(" ")
+      input.addData((3L, ts(2), shuffled))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("batch and stream sessionization agree on real events (sf0.001)") {
     val events = Tables(spark, sfDir).events
     val batch = EventsStream.sessionizeBatch(events, gapSec = 3600)
