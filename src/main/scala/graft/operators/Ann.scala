@@ -99,14 +99,26 @@ object Ann {
     * of magnitude at equal recall — same plan shape either way. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, tables: Int = 8, bits: Int = 4): DataFrame = {
+      k: Int, dim: Int, tables: Int = 8, bits: Int = 4,
+      probeRadius: Int = 1): DataFrame = {
     def coded(df: DataFrame, role: String) = {
       val base = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"__${role}v"))
       base.select(col(s"${role}_id"), col(s"__${role}v"),
         posexplode(codeArray(df, col(s"__${role}v"), tables, bits))
           .as(Seq("__table", "__code")))
     }
-    val qb = broadcast(coded(queries, "query"))
+    // multi-probe: the QUERY side also visits buckets within Hamming
+    // `probeRadius` of its code (a near-boundary projection flips one
+    // sign) — recall rises without touching the corpus-side index or
+    // its one-bucket-per-table cost; only the broadcast-small query
+    // relation fans out ×(1+bits).
+    val qCoded = coded(queries, "query")
+    val qProbed =
+      if (probeRadius <= 0) qCoded
+      else qCoded.withColumn("__code", explode(array(
+        col("__code") +: (0 until bits).map(b =>
+          col("__code").bitwiseXOR(lit(1L << b))): _*)))
+    val qb = broadcast(qProbed)
     val cand = coded(corpus, "neighbor")
       .join(qb, Seq("__table", "__code"))
       .filter(col("neighbor_id") =!= col("query_id"))

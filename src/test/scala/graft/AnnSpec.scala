@@ -20,11 +20,16 @@ class AnnSpec extends SparkSpec {
     val approx2 = topPairs(Ann.lshTopK(e, q, "vec_id", "embedding", k = 5, dim = 64))
     assert(approx1 == approx2, "LSH must be run-to-run deterministic")
     // isotropic (clusterless) synthetic vectors are the ANN worst
-    // case; 0.5 is the floor for the default knobs there (observed
-    // 0.78, deterministic — fixed data and fixed hyperplanes)
+    // case; 0.5 is the floor for the default knobs there
     val recall = exact.intersect(approx1).size.toDouble / exact.size
     info(f"recall@5 = $recall%.3f (${approx1.size} approx pairs)")
     assert(recall >= 0.5, f"recall@5 $recall%.3f below floor")
+    // multi-probe must dominate exact-bucket probing at equal index cost
+    val noProbe = topPairs(Ann.lshTopK(e, q, "vec_id", "embedding", k = 5, dim = 64,
+      probeRadius = 0))
+    val recall0 = exact.intersect(noProbe).size.toDouble / exact.size
+    info(f"recall@5 without probing = $recall0%.3f")
+    assert(recall >= recall0, "hamming-1 probing must not lose recall")
   }
 
   test("embedding near-dup pairs: exact precision, usable recall, deterministic") {
