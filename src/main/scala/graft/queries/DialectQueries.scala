@@ -94,6 +94,24 @@ object DialectQueries {
           |  indexOf(splitByChar(' ', p_name), 'green') AS idxw,
           |  arrayStringConcat(arraySort(splitByChar(' ', p_name)), '|') AS joined,
           |  empty(p_name) AS e
-          |FROM part_v ORDER BY p_partkey""".stripMargin))
+          |FROM part_v ORDER BY p_partkey""".stripMargin)),
+
+    // ClickHouse-ONLY clauses through the ChSql translator: PREWHERE
+    // merged into WHERE, LIMIT n BY realized as a per-group window —
+    // the reference's SQL running verbatim, oracled.
+    "c04_ch_clauses" -> Q(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus = 'F') WHERE rn <= 2
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+          |PREWHERE o_orderstatus = 'F'
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 2 BY o_custkey""".stripMargin))
+    }
   )
 }
