@@ -155,7 +155,18 @@ object ChDialect {
     "countIf"   -> builtin("count_if"),
     "sumIf"     -> { es => builtin("sum")(Seq(If(es(1), es(0), Literal(null)))) },
     "avgIf"     -> { es => builtin("avg")(Seq(If(es(1), es(0), Literal(null)))) },
-    "uniq"      -> builtin("approx_count_distinct"),
+    "uniq"         -> builtin("approx_count_distinct"),
+    "uniqCombined" -> builtin("approx_count_distinct"),
+    "uniqHLL12"    -> builtin("approx_count_distinct"),
+    // sketch quantiles: TDigest-family → percentile_approx; the Exact
+    // variants return an ACTUAL element (max-accuracy sketch does too)
+    "quantileTDigest" -> { es =>
+      builtin("percentile_approx")(if (es.size == 2) es :+ Literal(10000) else es) },
+    "quantileExact" -> { es =>
+      builtin("percentile_approx")(es :+ Literal(Int.MaxValue)) },
+    "medianExact" -> { es =>
+      builtin("percentile_approx")(es ++ Seq(Literal(0.5), Literal(Int.MaxValue))) },
+    "anyHeavy"  -> builtin("mode"),
     "uniqExact" -> { es =>
       aggregate.Count(es).toAggregateExpression(isDistinct = true) },
     "argMax"    -> builtin("max_by"),

@@ -29,9 +29,26 @@ object ChSql {
 
   def translate(sql: String): String = {
     val (masked, literals) = mask(sql)
-    val out = rewriteSample(rewriteLimitBy(rewritePrewhere(masked)))
+    val out = rewriteSample(rewriteLimitBy(rewritePrewhere(
+      rewriteNumbers(stripHints(masked)))))
     unmask(out, literals)
   }
+
+  /** Clauses with no Spark-side semantics:
+    *  - GLOBAL IN/JOIN is ClickHouse's distribution hint (ship the
+    *    subquery to every shard) — Spark's optimizer owns that
+    *    decision (broadcast), so the keyword is dropped;
+    *  - FORMAT <name> selects client output encoding — meaningless
+    *    inside an engine, dropped. */
+  private def stripHints(sql: String): String =
+    sql.replaceAll("(?i)\\bGLOBAL\\s+(?=(ANY\\s+|ALL\\s+)?(IN|JOIN|LEFT|RIGHT|INNER|FULL)\\b)", "")
+      .replaceAll("(?is)\\bFORMAT\\s+\\w+\\s*$", "")
+
+  /** numbers(N) table function (ClickHouse system.numbers slice) →
+    * Spark's range(N), with the column renamed to `number`. */
+  private def rewriteNumbers(sql: String): String =
+    sql.replaceAll("(?i)\\bnumbers\\s*\\(\\s*(\\d+)\\s*\\)",
+      "(SELECT id AS number FROM range($1))")
 
   // ---- string-literal masking ----
   private def mask(sql: String): (String, Vector[String]) = {

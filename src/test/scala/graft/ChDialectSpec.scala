@@ -112,9 +112,16 @@ class ChDialectSpec extends SparkSpec {
     Tables(spark, sfDir).orders.createOrReplaceTempView("orders_v")
     val r = sql1(
       """SELECT uniq(o_custkey) AS u,
+        |  uniqCombined(o_custkey) AS uc,
+        |  quantileExact(o_totalprice, 0.5) AS qe,
+        |  medianExact(o_totalprice) AS me,
+        |  anyHeavy(o_orderstatus) AS ah,
         |  size(groupArray(o_orderkey)) AS ga,
         |  size(groupUniqArray(o_orderstatus)) AS gua
         |FROM orders_v""".stripMargin)
+    assert(r.getAs[Double]("qe") == r.getAs[Double]("me"))
+    assert(Set("F", "O", "P").contains(r.getAs[String]("ah")))
+    assert(r.getAs[Long]("uc") == r.getAs[Long]("u"))
     val exact = Tables(spark, sfDir).orders
       .agg(countDistinct(col("o_custkey"))).as[Long].head()
     assert(math.abs(r.getAs[Long]("u") - exact).toDouble / exact < 0.05)

@@ -73,6 +73,20 @@ class ChSqlSpec extends SparkSpec {
     assert(run("SELECT 'PREWHERE LIMIT 3 BY x SAMPLE' AS s FROM orders").count() > 0)
   }
 
+  test("GLOBAL hint and FORMAT clause are stripped; numbers() becomes range()") {
+    GraftFunctions.ensureRegistered(spark)
+    Tables(spark, sfDir).orders.createOrReplaceTempView("orders")
+    val got = spark.sql(ChSql.translate(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey GLOBAL IN (SELECT number FROM numbers(50))
+        |ORDER BY o_orderkey FORMAT TabSeparated""".stripMargin))
+      .as[Long].collect().toSeq
+    val expect = Tables(spark, sfDir).orders
+      .filter($"o_custkey" < 50).select("o_orderkey")
+      .orderBy("o_orderkey").as[Long].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("plain Spark SQL passes through unchanged") {
     val q = "SELECT o_orderkey FROM orders WHERE o_totalprice > 1 ORDER BY o_orderkey LIMIT 5"
     assert(ChSql.translate(q) == q)
