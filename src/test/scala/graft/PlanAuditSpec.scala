@@ -23,19 +23,34 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
 
-  test("no query plan contains an unpartitioned window or a stray cartesian product") {
+  test("no query plan contains an unpartitioned window, stray cartesian product, or nested loop") {
+    // BroadcastNestedLoopJoin is legitimate ONLY for broadcasting a
+    // 1-row relation (scalar subqueries / global thresholds) — these
+    // queries do that by design; anywhere else it means a non-equi
+    // join slipped past the equi-rewrite (cf. RangeJoin)
+    val allowedNestedLoop = Set(
+      "q09_with_cte",       // broadcast 1-row avg threshold
+      "q13_subquery_scalar",// broadcast 1-row scalar subquery
+      "q17_limit_with_ties",// broadcast 1-row cutoff
+      "w04_ntile",          // 1-row total + ≤#partitions offsets self-join
+      "w09_interpolate",    // month-granularity carry self-join (dimension-sized)
+      "y03_lowcard",        // dictionary rank self-join (distinct values)
+      "j05_cross",          // the intentional CROSS JOIN
+      "d05_knn_brute")      // brute force IS broadcast-queries × corpus
     withoutAqe {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
-        plan.foreach {
-          case w: WindowExec =>
-            assert(w.partitionSpec.nonEmpty,
-              s"$name: WindowExec with no partition spec (single-partition sort)")
-          case c: CartesianProductExec =>
-            assert(name == "j05_cross", s"$name: unexpected CartesianProduct")
-          case _ =>
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            s"$name: unpartitioned WindowExec"
+          case _: CartesianProductExec if name != "j05_cross" =>
+            s"$name: CartesianProduct"
+          case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+              if !allowedNestedLoop.contains(name) =>
+            s"$name: BroadcastNestedLoopJoin"
         }
       }
+      assert(violations.isEmpty, violations.distinct.mkString("; "))
     }
   }
 
