@@ -100,7 +100,12 @@ object ChDialect {
     // builtin with different semantics) — the CH argument order is
     // available as positionUTF8, which Spark does not define.
     "positionUTF8"  -> { es => builtin("position")(Seq(es(1), es(0))) },
-    "splitByChar"   -> { es => builtin("split")(Seq(es(1), es(0))) },
+    // CH splitByChar(sep, s) splits on the LITERAL character and keeps
+    // trailing empties; Spark's split takes a Java regex, so the
+    // separator is \Q...\E-quoted ('.', '|', '+' stay literal) and
+    // limit -1 preserves trailing empty strings.
+    "splitByChar"   -> { es => builtin("split")(Seq(es(1),
+      Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))) },
     "replaceAll"    -> builtin("replace"),
     "concatStr"     -> builtin("concat"),
     "trimBoth"      -> builtin("trim"),

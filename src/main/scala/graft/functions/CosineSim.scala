@@ -38,14 +38,25 @@ case class CosineSim(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null on length mismatch (the composed zip_with form null-pads to
+  // the same effect) — a dimension bug upstream surfaces as NULL
+  // instead of a silently-truncated finite similarity
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      leftFloat, rightFloat)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else CosineSimImpl.cosine(x, y, leftFloat, rightFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSimImpl.cosine($a, $b, $leftFloat, $rightFloat);")
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CosineSimImpl.cosine($a, $b, $leftFloat, $rightFloat);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

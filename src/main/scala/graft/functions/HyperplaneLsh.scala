@@ -16,10 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * the vector 64 times per row. This expression walks it once per
   * bit with zero literals.
   *
-  * Hyperplanes are the same deterministic ±1 family as
-  * operators.Ann.planeSign: sign(t,b,d) = +1 iff
-  * splitmix64((t·64+b)·4096+d) is even — bit-identical codes, fixed
-  * across runs and cluster sizes.
+  * Hyperplanes are a deterministic ±1 family:
+  * sign(t,b,d) = +1 iff splitmix64(((t·64+b) << 32) + d) is even —
+  * fixed across runs and cluster sizes. The plane index (t·64+b) and
+  * the dimension d live in disjoint bit ranges of the seed, so seeds
+  * are collision-free for any dim < 2^32 (a plain (t·64+b)·D+d seed
+  * would alias adjacent planes past dim D and silently correlate
+  * them, degrading recall).
   */
 case class HyperplaneCode(child: Expression, tables: Int, bits: Int)
     extends UnaryExpression {
@@ -63,9 +66,9 @@ object HyperplaneImpl {
         var d = 0
         while (d < n) {
           val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
-          // +x for even splitmix64((t*64+b)*4096+d), else -x — exactly
-          // x * (±1.0), the composed form's arithmetic, same fold order
-          if ((MinHashImpl.mix(((t * 64 + b) * 4096 + d).toLong) & 1L) == 0L) s += x
+          // +x for even splitmix64(((t*64+b)<<32)+d), else -x — exactly
+          // x * (±1.0); plane id and dim in disjoint seed bit ranges
+          if ((MinHashImpl.mix(((t * 64 + b).toLong << 32) + d) & 1L) == 0L) s += x
           else s -= x
           d += 1
         }

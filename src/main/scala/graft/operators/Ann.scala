@@ -101,12 +101,12 @@ object Ann {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, tables: Int = 8, bits: Int = 4,
       probeRadius: Int = 1): DataFrame = {
-    def coded(df: DataFrame, role: String) = {
-      val base = df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"__${role}v"))
-      base.select(col(s"${role}_id"), col(s"__${role}v"),
-        posexplode(codeArray(df, col(s"__${role}v"), tables, bits))
+    // the bucket-join relations carry IDS + CODES ONLY — embedding
+    // vectors never enter the candidate join or the dedup shuffle
+    def coded(df: DataFrame, role: String) =
+      df.select(col(idCol).as(s"${role}_id"),
+        posexplode(codeArray(df, col(vecCol), tables, bits))
           .as(Seq("__table", "__code")))
-    }
     // multi-probe: the QUERY side also visits buckets within Hamming
     // `probeRadius` of its code (a near-boundary projection flips one
     // sign) — recall rises without touching the corpus-side index or
@@ -119,14 +119,22 @@ object Ann {
         col("__code") +: (0 until bits).map(b =>
           col("__code").bitwiseXOR(lit(1L << b))): _*)))
     val qb = broadcast(qProbed)
+    // a pair may collide in several tables/probes — dedup on the id
+    // pair (what actually determines it), THEN join vectors back:
+    // the corpus vectors are shuffled once per surviving pair, not
+    // hashed per raw collision
     val cand = coded(corpus, "neighbor")
       .join(qb, Seq("__table", "__code"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "__queryv", "neighbor_id", "__neighborv")
-      .distinct() // a pair may collide in several tables — score once
-      .withColumn("sim", cosine(col("__queryv"), col("__neighborv")))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "neighbor_id")
+      .join(qv, "query_id")
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
       .select("query_id", "neighbor_id", "sim")
-    topKPerQuery(cand, k)
+    topKPerQuery(scored, k)
   }
 
   /** d07: embedding-cosine near-dup over the WHOLE corpus (brief's

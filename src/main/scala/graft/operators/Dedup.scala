@@ -90,10 +90,17 @@ object Dedup {
     GraftFunctions.ensureRegistered(df.sparkSession)
     val numBands = numHashes / bandRows
     // persisted: the signature feeds banding AND both sides of the
-    // candidate re-join — without it the md5-per-shingle work runs 3×
+    // candidate re-join — without it the md5-per-shingle work runs 3×.
+    // Docs with fewer than shingleSize words have an EMPTY shingle set
+    // — no signature is defined for them (they would all share the
+    // identity signature and pair with each other as false 1.0
+    // near-dups), so they are excluded here; minimum-length contract:
+    // only docs with ≥ shingleSize words participate in LSH dedup.
     val sig = df.select(col(idCol),
-      call_function("minhash64",
-        wordNGrams(col(textCol), shingleSize), lit(numHashes)).as("__mh"))
+        wordNGrams(col(textCol), shingleSize).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .select(col(idCol),
+        call_function("minhash64", col("__gs"), lit(numHashes)).as("__mh"))
       .persist()
     val bands = sig.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
@@ -147,11 +154,23 @@ object Dedup {
     * aggregate-shaped and partial-agg friendly. */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+      n: Int = 2, minJaccard: Double = 0.5, maxGramDf: Int = 10000): DataFrame = {
+    // The (block, gram) self-join emits Σ df(gram)² rows per block, so
+    // one boilerplate gram shared by 10⁶ docs would alone produce 10¹²
+    // join rows. Grams with in-block document frequency > maxGramDf
+    // are dropped BEFORE the join (standard sparse-similarity
+    // practice: a gram in everything carries ~no Jaccard signal),
+    // bounding join output at blocks·grams·maxGramDf² — linear in
+    // corpus size. |A|,|B| stay the UNCAPPED set sizes, so Jaccard is
+    // only ever underestimated, never inflated. The df count is one
+    // shuffle on the same (block, gram) key the join uses.
     val grams = df.select(col(idCol), col(blockCol).as("__blk"),
         wordNGrams(col(textCol), n).as("__gs"))
       .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
         explode(col("__gs")).as("__g"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__blk", "__g")))
+      .filter(col("__df") <= maxGramDf)
+      .drop("__df")
       .persist() // both sides of the self-join read this once
     val a = grams.select(col(idCol).as("id1"), col("__blk"),
       col("__sz").as("__s1"), col("__g"))

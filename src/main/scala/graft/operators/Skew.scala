@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   * plain GROUP BY.
   */
 object Skew {
+  /** `valueCol` is a money column: exact-summed at decimal(18,2), so
+    * values are assumed to carry ≤ 2 fractional digits (more are
+    * rounded half-up identically in the partial and the oracle). */
   def saltedAgg(
       df: DataFrame, keys: Seq[String], valueCol: String,
       buckets: Int = 16): DataFrame = {
-    // deterministic salt: spread rows of the same key by a hash of the
-    // value column (not rand() — results must be reproducible)
+    // deterministic salt (not rand() — results must be reproducible):
+    // hash of the WHOLE row, not just the value column, so a hot key
+    // whose rows share one dominant value still spreads over all
+    // buckets. Only fully identical rows co-locate, and those collapse
+    // in the map-side partial anyway.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(valueCol)), lit(buckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(

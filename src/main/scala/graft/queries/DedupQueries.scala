@@ -53,23 +53,32 @@ object DedupQueries {
     // per-gram document frequency (which drives the sparse self-join's
     // cost quadratically) stays tiny even on a narrow vocabulary —
     // same reason real dedup pipelines shingle at n=3..5.
+    // The gram document-frequency cap (df ≤ 1000 within a block) is
+    // mirrored in the oracle: both engines drop the same
+    // carries-no-signal boilerplate grams before the join, so the
+    // Jaccard doubles still match exactly. Set sizes sz stay UNCAPPED
+    // on both sides.
     "d04_ngram_jaccard" -> Q(
       """WITH g AS (
         |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (
         |    SELECT doc_id, lang,
         |      list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS gs
         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))),
+        |gf AS (
+        |  SELECT doc_id, lang, sz, g FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY lang, g) AS df FROM g)
+        |  WHERE df <= 1000),
         |p AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
         |         MIN(a.sz) AS sa, MIN(b.sz) AS sb
-        |  FROM g a JOIN g b
+        |  FROM gf a JOIN gf b
         |    ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id1, id2, CAST(inter AS DOUBLE)/(sa + sb - inter) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE)/(sa + sb - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir).documents, "doc_id", "text", "lang",
-          n = 3, minJaccard = 0.5)
+          n = 3, minJaccard = 0.5, maxGramDf = 1000)
         .orderBy("id1", "id2")
     }
   )

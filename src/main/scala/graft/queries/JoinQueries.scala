@@ -198,7 +198,7 @@ object JoinQueries {
     // 4-table star: Catalyst reorders; both dims broadcast.
     "j10_multiway" -> Q(
       """SELECT r_name, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -213,7 +213,7 @@ object JoinQueries {
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_items"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          sum(dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
             .cast("double").as("revenue"))
         .orderBy("r_name")
     }

@@ -28,8 +28,13 @@ package object queries {
     def rowsOnly(fn: QFn): Q = Q(fn, None)
   }
 
-  /** Exact money arithmetic: double → decimal(18,2). */
-  def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Exact money arithmetic: double → decimal(12,2). Precision sized to
+    * the data (money < 10^10) so products against rate() stay long-backed
+    * (≤ precision 18) instead of promoting to boxed precision-38 Decimals
+    * — the y01 pattern, measured ~13× faster on the q01 shape. */
+  def dec(c: Column): Column = c.cast("decimal(12,2)")
+  /** Exact rate arithmetic (discount/tax < 10): double → decimal(4,2). */
+  def rate(c: Column): Column = c.cast("decimal(4,2)")
   /** Partial-agg-friendly exact sum of a money column, back to double. */
   def moneySum(c: Column): Column = sum(dec(c)).cast("double")
   /** Deterministic average: exact decimal sum, then one IEEE division. */
