@@ -1,139 +1,437 @@
 package graft.functions
 
-/** Clause-level translator for the ClickHouse-ONLY SQL constructs the
-  * Spark parser rejects (reference: src/Parsers/ASTSelectQuery.h —
-  * prewhere() at :24, limitBy() at :30-32; ASTSampleRatio.h). Together
-  * with the ChDialect function registry this lets the reference's SQL
-  * run end-to-end: `spark.sql(ChSql.translate(chQuery))`.
+/** Tokenizer-based translator for the ClickHouse-ONLY SQL constructs
+  * the Spark parser rejects (reference: src/Parsers/ASTSelectQuery.h —
+  * prewhere() at :24, limitBy() at :30-32; ASTSampleRatio.h;
+  * ASTTablesInSelectQuery.h:129 — array_join kinds Left/Inner;
+  * ASTOrderByElement.h — with_fill + fill_from/fill_to/fill_step).
+  * Together with the ChDialect function registry this lets the
+  * reference's SQL run end-to-end: `spark.sql(ChSql.translate(ch))`.
   *
-  * Scope is deliberately conservative — three tail-clause rewrites on
-  * the OUTER query, string literals masked so keywords inside quotes
-  * can't confuse the scan, and anything unrecognized passes through
-  * for Spark's own parser to accept or reject:
+  * The input is TOKENIZED (words, numbers, quoted strings, operators,
+  * parens) — not regex-scanned — so keywords inside string literals or
+  * identifiers can never confuse a rewrite, clause boundaries are only
+  * recognized at paren-depth 0, and parenthesized subqueries are
+  * translated recursively (a WITH FILL inside a derived table works).
+  * Tokens carry their original leading whitespace, so a query using no
+  * CH-only construct renders back byte-identical.
   *
-  *  - `PREWHERE e [WHERE w]` → `WHERE (e) [AND (w)]`. In ClickHouse
-  *    PREWHERE is an IO hint with AND semantics; Spark's scan-level
-  *    filter pushdown is the same optimization, so the merge is exact.
-  *  - `ORDER BY o LIMIT n BY c1,…` → wrap with a row_number window
-  *    partitioned by the BY columns, ordered by the query's ORDER BY
-  *    (per-group first-n, exactly ClickHouse's LIMIT BY), re-applying
-  *    the outer ORDER BY / final LIMIT. Restriction: the ORDER BY
-  *    columns must appear in the SELECT list (the window wraps the
-  *    projected query).
-  *  - `FROM t SAMPLE f BY col` → deterministic hash-range predicate
-  *    `xxhash64(col) <= cut(f)` merged into WHERE. (ClickHouse reads
-  *    the table-declared sampling key; Spark has no table DDL carrying
-  *    one, so the key is explicit — the `BY col` form.)
+  * Clause coverage:
+  *  - `PREWHERE e [WHERE w]` → `WHERE (e) [AND (w)]`. PREWHERE is an
+  *    IO hint with AND semantics; Spark's scan-level filter pushdown
+  *    is the same optimization, so the merge is exact.
+  *  - `[LEFT] ARRAY JOIN expr [AS alias], ...` → `LATERAL VIEW
+  *    [OUTER] explode(expr) __ajN AS alias`. A bare column (CH's
+  *    `ARRAY JOIN arr`, element visible AS `arr`) wraps the FROM
+  *    source to shadow the array column. Multiple arrays (CH zips
+  *    them in lockstep) become posexplode views equi-filtered on the
+  *    position — same zip, row-local cost.
+  *  - `ORDER BY k WITH FILL [FROM a] [TO b] [STEP s]` → a sequence()
+  *    spine FULL-OUTER-joined on k (original rows all survive; missing
+  *    k values appear with NULL columns — coalesce in the outer query
+  *    for CH's type-default fill). FROM is inclusive, TO exclusive,
+  *    like the reference; without bounds the spine spans min(k)..max(k)
+  *    of the result.
+  *  - `FROM t FINAL` → stripped: FINAL forces merge-time dedup of a
+  *    MergeTree; a parquet snapshot is already fully merged.
+  *  - `SAMPLE f BY col` → deterministic `xxhash64(col) <= cut(f)`
+  *    merged into WHERE; `LIMIT n BY cols` → row_number window wrap;
+  *    GLOBAL / FORMAT x stripped; `numbers(N)` → range(N).
   */
 object ChSql {
 
+  /** One lexical token; `pre` is the whitespace that preceded it in the
+    * source, so rendering all tokens reproduces the input exactly. */
+  private final case class Tok(pre: String, text: String, word: Boolean) {
+    def up: String = if (word) text.toUpperCase else text
+  }
+  private def w(text: String): Tok = Tok(" ", text, text.headOption.exists(c => c.isLetter || c == '_'))
+
   def translate(sql: String): String = {
-    val (masked, literals) = mask(sql)
-    val out = rewriteSample(rewriteLimitBy(rewritePrewhere(
-      rewriteNumbers(stripHints(masked)))))
-    unmask(out, literals)
+    val (ts, tail) = tokenize(sql)
+    render(rewriteQuery(ts)) + tail
   }
 
-  /** Clauses with no Spark-side semantics:
-    *  - GLOBAL IN/JOIN is ClickHouse's distribution hint (ship the
-    *    subquery to every shard) — Spark's optimizer owns that
-    *    decision (broadcast), so the keyword is dropped;
-    *  - FORMAT <name> selects client output encoding — meaningless
-    *    inside an engine, dropped. */
-  private def stripHints(sql: String): String =
-    sql.replaceAll("(?i)\\bGLOBAL\\s+(?=(ANY\\s+|ALL\\s+)?(IN|JOIN|LEFT|RIGHT|INNER|FULL)\\b)", "")
-      .replaceAll("(?is)\\bFORMAT\\s+\\w+\\s*$", "")
+  // ---------- lexer ----------
 
-  /** numbers(N) table function (ClickHouse system.numbers slice) →
-    * Spark's range(N), with the column renamed to `number`. */
-  private def rewriteNumbers(sql: String): String =
-    sql.replaceAll("(?i)\\bnumbers\\s*\\(\\s*(\\d+)\\s*\\)",
-      "(SELECT id AS number FROM range($1))")
+  private val twoCharOps = Set(">=", "<=", "<>", "!=", "==", "||", "::", "->")
 
-  // ---- string-literal masking ----
-  private def mask(sql: String): (String, Vector[String]) = {
-    val lits = Vector.newBuilder[String]
-    val out = new StringBuilder
+  private def tokenize(sql: String): (Vector[Tok], String) = {
+    val out = Vector.newBuilder[Tok]
+    val n = sql.length
     var i = 0
-    var n = 0
-    while (i < sql.length) {
-      if (sql.charAt(i) == '\'') {
-        val end = {
-          var j = i + 1
-          while (j < sql.length && sql.charAt(j) != '\'') j += 1
-          j
+    var pre = new StringBuilder
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) { pre.append(c); i += 1 }
+      else {
+        val start = i
+        var word = false
+        if (c == '\'') { // string literal, '' doubling
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (sql.charAt(i) == '\'') {
+              if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+              else { done = true; i += 1 }
+            } else i += 1
+          }
+        } else if (c == '`') { // quoted identifier
+          i += 1
+          while (i < n && sql.charAt(i) != '`') i += 1
+          if (i < n) i += 1
+        } else if (c.isLetter || c == '_') {
+          word = true
+          while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        } else if (c.isDigit) { // 123, 1.5, 1e5, 123L — good enough for SQL
+          while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '.')) i += 1
+        } else {
+          val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
+          if (twoCharOps.contains(two)) i += 2 else i += 1
         }
-        lits += sql.substring(i, math.min(end + 1, sql.length))
-        out.append("\\u00a7L" + n + "\\u00a7")
-        n += 1
-        i = end + 1
-      } else {
-        out.append(sql.charAt(i)); i += 1
+        out += Tok(pre.toString, sql.substring(start, i), word)
+        pre = new StringBuilder
       }
     }
-    (out.toString, lits.result())
+    (out.result(), pre.toString)
   }
 
-  private def unmask(sql: String, lits: Vector[String]): String =
-    lits.zipWithIndex.foldLeft(sql) { case (s, (lit, i)) =>
-      s.replace("\\u00a7L" + i + "\\u00a7", lit)
+  private def render(ts: Vector[Tok]): String = ts.map(t => t.pre + t.text).mkString
+
+  private def renderTrim(ts: Vector[Tok]): String = render(ts).trim
+
+  private def retok(sql: String): Vector[Tok] = tokenize(sql)._1
+
+  // ---------- structure helpers ----------
+
+  /** Paren-nesting depth of each token ('(' and ')' carry the OUTER
+    * depth, tokens between them depth+1). */
+  private def depths(ts: Vector[Tok]): Array[Int] = {
+    val d = new Array[Int](ts.length)
+    var cur = 0
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).text == ")") cur -= 1
+      d(i) = cur
+      if (ts(i).text == "(") cur += 1
+      i += 1
     }
+    d
+  }
 
-  // ---- PREWHERE ----
-  private val prewhereRe =
-    """(?is)\bPREWHERE\b(.*?)(\bWHERE\b(.*?))?(?=\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b|$)""".r
+  private def matchParen(ts: Vector[Tok], open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < ts.length) {
+      if (ts(i).text == "(") depth += 1
+      else if (ts(i).text == ")") { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    ts.length - 1
+  }
 
-  private def rewritePrewhere(sql: String): String =
-    prewhereRe.replaceAllIn(sql, m => {
-      val pre = m.group(1).trim
-      Option(m.group(3)).map(_.trim) match {
-        case Some(w) if w.nonEmpty =>
-          java.util.regex.Matcher.quoteReplacement(s"WHERE ($pre) AND ($w) ")
-        case _ =>
-          java.util.regex.Matcher.quoteReplacement(s"WHERE ($pre) ")
+  /** First depth-0 index ≥ from whose uppercased word is in `kws`. */
+  private def find0(ts: Vector[Tok], kws: Set[String], from: Int = 0): Int = {
+    val d = depths(ts)
+    var i = from
+    while (i < ts.length) {
+      if (d(i) == 0 && ts(i).word && kws.contains(ts(i).up)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Keywords that can START the clause following a scalar-expression
+    * clause (WHERE/PREWHERE/SAMPLE/ARRAY JOIN item list end here). */
+  private val clauseEnd = Set("PREWHERE", "WHERE", "GROUP", "HAVING", "ORDER",
+    "LIMIT", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "FORMAT", "WINDOW",
+    "QUALIFY")
+
+  /** Recursively translate parenthesized subqueries; other paren groups
+    * are descended for nested subqueries. */
+  private def recurse(ts: Vector[Tok]): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).text == "(") {
+        val j = matchParen(ts, i)
+        val inner = ts.slice(i + 1, j)
+        val newInner =
+          if (inner.nonEmpty && (inner.head.up == "SELECT" || inner.head.up == "WITH"))
+            rewriteQuery(inner)
+          else recurse(inner)
+        out += ts(i); out ++= newInner; out += ts(j)
+        i = j + 1
+      } else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def rewriteQuery(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = recurse(ts0)
+    ts = stripFormat(ts)
+    ts = stripGlobal(ts)
+    ts = stripFinal(ts)
+    ts = rewriteNumbers(ts)
+    // SAMPLE sits between the table ref and ARRAY JOIN — remove it
+    // first so the ARRAY JOIN rewrite sees a clean FROM source
+    ts = rewriteSample(ts)
+    ts = rewriteArrayJoin(ts)
+    ts = rewritePrewhere(ts)
+    ts = rewriteLimitBy(ts)
+    ts = rewriteWithFill(ts)
+    ts
+  }
+
+  // ---------- strip-only rewrites ----------
+
+  /** FORMAT <name> selects client output encoding — meaningless inside
+    * an engine; dropped (trailing clause only). */
+  private def stripFormat(ts: Vector[Tok]): Vector[Tok] = {
+    val i = find0(ts, Set("FORMAT"))
+    if (i >= 0 && i + 1 < ts.length && ts(i + 1).word && i + 2 >= ts.length)
+      ts.take(i)
+    else ts
+  }
+
+  /** GLOBAL IN/JOIN is ClickHouse's distribution hint (ship the
+    * subquery to every shard) — Spark's optimizer owns that decision
+    * (broadcast), so the keyword is dropped. */
+  private val globalNext = Set("IN", "NOT", "ANY", "ALL", "JOIN", "LEFT",
+    "RIGHT", "INNER", "FULL", "SEMI", "ANTI", "CROSS")
+  private def stripGlobal(ts: Vector[Tok]): Vector[Tok] =
+    ts.zipWithIndex.filterNot { case (t, i) =>
+      t.up == "GLOBAL" && i + 1 < ts.length && globalNext.contains(ts(i + 1).up)
+    }.map(_._1)
+
+  /** FROM t FINAL: strip the keyword in the FROM clause (it must sit
+    * between the table ref and the next clause). A Spark table alias
+    * literally named `final` needs backticks through this translator. */
+  private def stripFinal(ts: Vector[Tok]): Vector[Tok] = {
+    val from = find0(ts, Set("FROM"))
+    if (from < 0) return ts
+    val d = depths(ts)
+    val idx = (from + 2 until ts.length).find(i =>
+      d(i) == 0 && ts(i).up == "FINAL")
+    idx match {
+      case Some(i) => ts.take(i) ++ ts.drop(i + 1)
+      case None => ts
+    }
+  }
+
+  /** numbers(N) table function (system.numbers slice) → range(N) with
+    * the column renamed to `number`. */
+  private def rewriteNumbers(ts: Vector[Tok]): Vector[Tok] = {
+    val i = ts.indices.find(i => ts(i).up == "NUMBERS" &&
+      i + 3 < ts.length && ts(i + 1).text == "(" &&
+      ts(i + 2).text.forall(_.isDigit) && ts(i + 3).text == ")")
+    i match {
+      case Some(i) =>
+        val rep = retok(s"(SELECT id AS number FROM range(${ts(i + 2).text}))")
+        rewriteNumbers(ts.take(i) ++
+          (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(i + 4))
+      case None => ts
+    }
+  }
+
+  // ---------- WHERE plumbing ----------
+
+  /** AND a predicate into the query's WHERE clause (parenthesizing the
+    * existing condition), or create a WHERE before the first tail
+    * clause. */
+  private def injectWhere(ts: Vector[Tok], pred: String): Vector[Tok] = {
+    val wi = find0(ts, Set("WHERE"))
+    if (wi >= 0) {
+      val end0 = find0(ts, clauseEnd - "WHERE", wi + 1)
+      val end = if (end0 < 0) ts.length else end0
+      val cond = renderTrim(ts.slice(wi + 1, end))
+      ts.take(wi) ++ retok(s" WHERE ($pred) AND ($cond)") ++ ts.drop(end)
+    } else {
+      val ti = find0(ts, Set("GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+        "INTERSECT", "EXCEPT", "SETTINGS", "WINDOW", "QUALIFY"))
+      val at = if (ti < 0) ts.length else ti
+      ts.take(at) ++ retok(s" WHERE $pred") ++ ts.drop(at)
+    }
+  }
+
+  // ---------- PREWHERE ----------
+
+  private def rewritePrewhere(ts: Vector[Tok]): Vector[Tok] = {
+    val pi = find0(ts, Set("PREWHERE"))
+    if (pi < 0) return ts
+    val preEnd0 = find0(ts, clauseEnd - "PREWHERE", pi + 1)
+    val preEnd = if (preEnd0 < 0) ts.length else preEnd0
+    val pre = renderTrim(ts.slice(pi + 1, preEnd))
+    if (preEnd < ts.length && ts(preEnd).up == "WHERE") {
+      val wEnd0 = find0(ts, clauseEnd - "WHERE", preEnd + 1)
+      val wEnd = if (wEnd0 < 0) ts.length else wEnd0
+      val wexpr = renderTrim(ts.slice(preEnd + 1, wEnd))
+      ts.take(pi) ++ retok(s" WHERE ($pre) AND ($wexpr)") ++ ts.drop(wEnd)
+    } else {
+      ts.take(pi) ++ retok(s" WHERE ($pre)") ++ ts.drop(preEnd)
+    }
+  }
+
+  // ---------- SAMPLE f BY col ----------
+
+  private[functions] def hashCut(frac: Double): Long =
+    (Long.MinValue + (frac * 2.0 * Long.MaxValue)).toLong
+
+  private def rewriteSample(ts: Vector[Tok]): Vector[Tok] = {
+    val si = find0(ts, Set("SAMPLE"))
+    if (si < 0 || si + 3 >= ts.length + 1) return ts
+    if (si + 3 < ts.length && ts(si + 2).up == "BY" &&
+        ts(si + 1).text.matches("""0?\.\d+|\d+\.\d+""") && ts(si + 3).word) {
+      val frac = ts(si + 1).text.toDouble
+      val key = ts(si + 3).text
+      val rest = ts.take(si) ++ ts.drop(si + 4)
+      injectWhere(rest, s"xxhash64($key) <= ${hashCut(frac)}L")
+    } else ts
+  }
+
+  // ---------- [LEFT] ARRAY JOIN ----------
+
+  private def rewriteArrayJoin(ts: Vector[Tok]): Vector[Tok] = {
+    val d = depths(ts)
+    val aj = ts.indices.find(i => d(i) == 0 && ts(i).up == "ARRAY" &&
+      i + 1 < ts.length && ts(i + 1).up == "JOIN")
+    if (aj.isEmpty) return ts
+    val i = aj.get
+    val left = i > 0 && ts(i - 1).up == "LEFT" && d(i - 1) == 0
+    val start = if (left) i - 1 else i
+    val itemsFrom = i + 2
+    val end0 = find0(ts, clauseEnd, itemsFrom)
+    val end = if (end0 < 0) ts.length else end0
+    // split items on depth-0 commas
+    val itemToks = ts.slice(itemsFrom, end)
+    val di = depths(itemToks)
+    val items = {
+      val buf = Vector.newBuilder[Vector[Tok]]
+      var s = 0
+      for (j <- itemToks.indices)
+        if (itemToks(j).text == "," && di(j) == 0) { buf += itemToks.slice(s, j); s = j + 1 }
+      buf += itemToks.slice(s, itemToks.length)
+      buf.result().filter(_.nonEmpty)
+    }
+    require(items.nonEmpty, "ARRAY JOIN with no items")
+    val outer = if (left) "OUTER " else ""
+
+    def aliasOf(item: Vector[Tok]): Option[(Vector[Tok], String)] =
+      if (item.length >= 3 && item(item.length - 2).up == "AS" && item.last.word)
+        Some((item.dropRight(2), item.last.text))
+      else None
+
+    if (items.length == 1) {
+      items.head match {
+        case it if aliasOf(it).isDefined =>
+          val (expr, alias) = aliasOf(it).get
+          val lv = s" LATERAL VIEW ${outer}explode(${renderTrim(expr)}) __aj0 AS $alias"
+          ts.take(start) ++ retok(lv) ++ ts.drop(end)
+        case it if it.length == 1 && it.head.word =>
+          // bare column: CH exposes the ELEMENT under the array's own
+          // name — shadow the array column by renaming it in a wrapper
+          // around the FROM source (single-table FROM only)
+          val arr = it.head.text
+          val from = find0(ts, Set("FROM"))
+          require(from >= 0 && from < start, s"ARRAY JOIN $arr: no FROM clause")
+          val src = renderTrim(ts.slice(from + 1, start))
+          val lv = s" FROM (SELECT * EXCEPT($arr), $arr AS __aj_src FROM $src)" +
+            s" LATERAL VIEW ${outer}explode(__aj_src) __aj0 AS $arr"
+          ts.take(from) ++ retok(lv) ++ ts.drop(end)
+        case it => throw new IllegalArgumentException(
+          s"ARRAY JOIN item '${renderTrim(it)}' needs AS alias (or be a bare column)")
       }
-    })
+    } else {
+      // multiple arrays iterate in LOCKSTEP in ClickHouse — realized as
+      // posexplode views equi-filtered on the shared position (the
+      // filter is row-local; CH itself requires equal lengths)
+      val aliased = items.map(it => aliasOf(it).getOrElse(throw new IllegalArgumentException(
+        s"multi-array ARRAY JOIN items all need AS aliases: '${renderTrim(it)}'")))
+      val views = aliased.zipWithIndex.map { case ((expr, alias), k) =>
+        s" LATERAL VIEW ${outer}posexplode(${renderTrim(expr)}) __aj$k AS __aj_p$k, $alias"
+      }.mkString
+      val zipPred = (1 until aliased.length)
+        .map(k => s"__aj_p0 = __aj_p$k").mkString(" AND ")
+      injectWhere(ts.take(start) ++ retok(views) ++ ts.drop(end), zipPred)
+    }
+  }
 
-  // ---- LIMIT n BY cols ----
-  private val limitByRe =
-    """(?is)^(.*?)\bORDER\s+BY\b(.*?)\bLIMIT\s+(\d+)\s+BY\s+(.*?)(\bLIMIT\s+(\d+))?\s*$""".r
+  // ---------- ORDER BY … LIMIT n BY cols ----------
 
-  private def rewriteLimitBy(sql: String): String = sql match {
-    case limitByRe(head, order, n, byCols, _, finalLimit) =>
-      val ord = order.trim
-      val by = byCols.trim
-      val outerLimit = Option(finalLimit).map(l => s" LIMIT $l").getOrElse("")
+  private def rewriteLimitBy(ts: Vector[Tok]): Vector[Tok] = {
+    val d = depths(ts)
+    val lb = ts.indices.find(i => d(i) == 0 && ts(i).up == "LIMIT" &&
+      i + 2 < ts.length && ts(i + 1).text.forall(_.isDigit) && ts(i + 2).up == "BY")
+    if (lb.isEmpty) return ts
+    val li = lb.get
+    val n = ts(li + 1).text
+    val oi = find0(ts, Set("ORDER"))
+    require(oi >= 0 && oi < li && ts(oi + 1).up == "BY",
+      "LIMIT n BY requires an ORDER BY")
+    val head = renderTrim(ts.take(oi))
+    val ord = renderTrim(ts.slice(oi + 2, li))
+    // BY cols run to a final depth-0 LIMIT or end
+    val fl = find0(ts, Set("LIMIT"), li + 3)
+    val byEnd = if (fl < 0) ts.length else fl
+    val by = renderTrim(ts.slice(li + 3, byEnd))
+    val outerLimit =
+      if (fl >= 0 && fl + 1 < ts.length) s" LIMIT ${ts(fl + 1).text}" else ""
+    retok(
       s"""SELECT * EXCEPT(__rn) FROM (
          |  SELECT *, row_number() OVER (PARTITION BY $by ORDER BY $ord) AS __rn
-         |  FROM ($head) ) WHERE __rn <= $n ORDER BY $ord$outerLimit""".stripMargin
-    case _ => sql
+         |  FROM ($head) ) WHERE __rn <= $n ORDER BY $ord$outerLimit""".stripMargin)
   }
 
-  // ---- SAMPLE f BY col ----
-  private val sampleRe =
-    """(?is)\bSAMPLE\s+(0?\.\d+|\d+\.\d+)\s+BY\s+(\w+)""".r
+  // ---------- ORDER BY k WITH FILL [FROM a] [TO b] [STEP s] ----------
 
-  private def rewriteSample(sql: String): String =
-    sampleRe.findFirstMatchIn(sql) match {
-      case None => sql
-      case Some(m) =>
-        val frac = m.group(1).toDouble
-        val key = m.group(2)
-        val cut = (Long.MinValue + (frac * 2.0 * Long.MaxValue)).toLong
-        val pred = s"xxhash64($key) <= ${cut}L"
-        val removed = sql.substring(0, m.start) + sql.substring(m.end)
-        // merge into an existing WHERE, or insert one before the next clause
-        val whereRe = """(?is)\bWHERE\b""".r
-        whereRe.findFirstMatchIn(removed) match {
-          case Some(w) =>
-            removed.substring(0, w.end) + s" $pred AND" + removed.substring(w.end)
-          case None =>
-            val tailRe = """(?is)\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b""".r
-            tailRe.findFirstMatchIn(removed) match {
-              case Some(t) =>
-                removed.substring(0, t.start) + s"WHERE $pred " + removed.substring(t.start)
-              case None => removed + s" WHERE $pred"
-            }
+  private def rewriteWithFill(ts: Vector[Tok]): Vector[Tok] = {
+    val d = depths(ts)
+    val wf = ts.indices.find(i => d(i) == 0 && ts(i).up == "WITH" &&
+      i + 1 < ts.length && ts(i + 1).up == "FILL")
+    if (wf.isEmpty) return ts
+    val wi = wf.get
+    val oi = find0(ts, Set("ORDER"))
+    require(oi >= 0 && oi < wi && ts(oi + 1).up == "BY",
+      "WITH FILL requires ORDER BY")
+    val keyToks = ts.slice(oi + 2, wi)
+    require(keyToks.length == 1 && keyToks.head.word,
+      s"WITH FILL supports a single plain column key, got '${renderTrim(keyToks)}'")
+    val k = keyToks.head.text
+    val head = renderTrim(ts.take(oi))
+    // FROM / TO / STEP expressions (each runs to the next fill keyword)
+    val fillKws = Set("FROM", "TO", "STEP", "INTERPOLATE")
+    var from = Option.empty[String]
+    var to = Option.empty[String]
+    var step = "1"
+    var i = wi + 2
+    val dd = depths(ts)
+    while (i < ts.length) {
+      val kw = ts(i).up
+      if (dd(i) == 0 && fillKws.contains(kw)) {
+        var j = i + 1
+        while (j < ts.length && !(dd(j) == 0 && ts(j).word && fillKws.contains(ts(j).up))) j += 1
+        val e = renderTrim(ts.slice(i + 1, j))
+        kw match {
+          case "FROM" => from = Some(e)
+          case "TO" => to = Some(e)
+          case "STEP" => step = e
+          case "INTERPOLATE" => throw new IllegalArgumentException(
+            "WITH FILL INTERPOLATE: use operators.WithFill.interpolated (no SQL form yet)")
         }
+        i = j
+      } else i += 1
     }
+    val spine = (from, to) match {
+      case (Some(a), Some(b)) =>
+        // FROM inclusive, TO exclusive (reference semantics)
+        s"(SELECT $k FROM (SELECT explode(sequence($a, $b, $step)) AS $k) WHERE $k < $b)"
+      case _ =>
+        s"""(SELECT explode(sequence(__wf_lo, __wf_hi, $step)) AS $k
+           |   FROM (SELECT min($k) AS __wf_lo, max($k) AS __wf_hi FROM ($head)))""".stripMargin
+    }
+    retok(
+      s"""SELECT * FROM $spine __wf_s
+         |FULL JOIN ($head) __wf_q USING ($k)
+         |ORDER BY $k""".stripMargin)
+  }
 }

@@ -112,6 +112,50 @@ object DialectQueries {
         """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
           |PREWHERE o_orderstatus = 'F'
           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 2 BY o_custkey""".stripMargin))
+    },
+
+    // ARRAY JOIN as a CLAUSE (ASTTablesInSelectQuery.h:129) + FINAL
+    // (ASTTablesInSelectQuery.h:96) through the tokenizer translator:
+    // ARRAY JOIN → LATERAL VIEW explode, FINAL stripped (a parquet
+    // snapshot is already merged). ClickHouse SQL verbatim, oracled.
+    "c05_ch_array_join" -> Q(
+      """SELECT doc_id, word FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 6
+        |ORDER BY doc_id, word""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).documents.createOrReplaceTempView("documents")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT doc_id, word FROM documents FINAL
+          |ARRAY JOIN splitByChar(' ', text) AS word
+          |WHERE lengthUTF8(word) > 6
+          |ORDER BY doc_id, word""".stripMargin))
+    },
+
+    // ORDER BY ... WITH FILL FROM/TO (ASTOrderByElement.h fill clause)
+    // through the translator, inside a derived table (recursion), with
+    // the CH ifNull dialect name zeroing the filled rows — the axis is
+    // densified to every day-of-month 1..31 (TO 32 exclusive).
+    "c06_ch_with_fill" -> Q(
+      """WITH q AS (
+        |  SELECT CAST(date_part('day', o_orderdate) AS BIGINT) AS d, COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+        |  GROUP BY 1),
+        |s AS (SELECT unnest(generate_series(1, 31)) AS d)
+        |SELECT COALESCE(s.d, q.d) AS d, CAST(COALESCE(q.n, 0) AS BIGINT) AS n
+        |FROM s FULL JOIN q ON s.d = q.d
+        |ORDER BY d""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT d, CAST(ifNull(n, 0) AS BIGINT) AS n FROM (
+          |  SELECT CAST(toDayOfMonth(o_orderdate) AS BIGINT) AS d, COUNT(*) AS n
+          |  FROM orders
+          |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+          |  GROUP BY d
+          |  ORDER BY d WITH FILL FROM 1 TO 32
+          |) ORDER BY d""".stripMargin))
     }
   )
 }

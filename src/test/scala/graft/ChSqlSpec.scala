@@ -91,4 +91,92 @@ class ChSqlSpec extends SparkSpec {
     val q = "SELECT o_orderkey FROM orders WHERE o_totalprice > 1 ORDER BY o_orderkey LIMIT 5"
     assert(ChSql.translate(q) == q)
   }
+
+  private def runDocs(chSql: String): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    Tables(spark, sfDir).documents.createOrReplaceTempView("documents")
+    spark.sql(ChSql.translate(chSql))
+  }
+
+  test("ARRAY JOIN expr AS alias becomes LATERAL VIEW explode") {
+    val got = runDocs(
+      """SELECT doc_id, w FROM documents
+        |ARRAY JOIN splitByChar(' ', text) AS w
+        |WHERE lengthUTF8(w) > 6 ORDER BY doc_id, w""".stripMargin)
+      .as[(Long, String)].collect().toSeq
+    val expect = Tables(spark, sfDir).documents
+      .select(col("doc_id"), explode(split(col("text"), "\\Q \\E", -1)).as("w"))
+      .filter(length($"w") > 6).orderBy("doc_id", "w")
+      .as[(Long, String)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("LEFT ARRAY JOIN keeps rows whose array is empty") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, array(10, 20)), (2, array()) AS t(id, xs)")
+      .createOrReplaceTempView("aj_t")
+    val got = spark.sql(ChSql.translate(
+      "SELECT id, x FROM aj_t LEFT ARRAY JOIN xs AS x ORDER BY id, x"))
+      .as[(Int, Option[Int])].collect().toSeq
+    assert(got == Seq((1, Some(10)), (1, Some(20)), (2, None)))
+  }
+
+  test("bare-column ARRAY JOIN shadows the array with its elements") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, array(3, 1)), (2, array(5)) AS t(id, xs)")
+      .createOrReplaceTempView("aj_b")
+    val got = spark.sql(ChSql.translate(
+      "SELECT id, xs FROM aj_b ARRAY JOIN xs ORDER BY id, xs"))
+      .as[(Int, Int)].collect().toSeq
+    assert(got == Seq((1, 1), (1, 3), (2, 5)))
+  }
+
+  test("multi-array ARRAY JOIN zips in lockstep, not cross product") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, array(1, 2), array('a', 'b')) AS t(id, xs, ys)")
+      .createOrReplaceTempView("aj_z")
+    val got = spark.sql(ChSql.translate(
+      "SELECT id, x, y FROM aj_z ARRAY JOIN xs AS x, ys AS y ORDER BY x"))
+      .select("id", "x", "y").as[(Int, Int, String)].collect().toSeq
+    assert(got == Seq((1, 1, "a"), (1, 2, "b")))
+  }
+
+  test("FROM t FINAL strips the FINAL keyword") {
+    val got = run(
+      "SELECT o_orderkey FROM orders FINAL PREWHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 5")
+    assert(got.count() == 5)
+  }
+
+  test("WITH FILL FROM/TO/STEP densifies the key, TO exclusive") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 10), (3, 30), (8, 80) AS t(k, v)")
+      .createOrReplaceTempView("wf_t")
+    val got = spark.sql(ChSql.translate(
+      "SELECT k, v FROM wf_t ORDER BY k WITH FILL FROM 1 TO 7 STEP 2"))
+      .as[(Int, Option[Int])].collect().toSeq
+    // spine 1,3,5 (7 exclusive) ∪ original 1,3,8 → 1,3,5,8
+    assert(got == Seq((1, Some(10)), (3, Some(30)), (5, None), (8, Some(80))))
+  }
+
+  test("WITH FILL without bounds spans min..max of the result") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (2, 20), (5, 50) AS t(k, v)")
+      .createOrReplaceTempView("wf_u")
+    val got = spark.sql(ChSql.translate(
+      "SELECT k, v FROM wf_u ORDER BY k WITH FILL"))
+      .as[(Int, Option[Int])].collect().toSeq
+    assert(got == Seq((2, Some(20)), (3, None), (4, None), (5, Some(50))))
+  }
+
+  test("CH-only clauses inside a derived table are translated recursively") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 10), (4, 40) AS t(k, v)")
+      .createOrReplaceTempView("wf_s")
+    val got = spark.sql(ChSql.translate(
+      """SELECT k, ifNull(v, 0) AS v FROM (
+        |  SELECT k, v FROM wf_s ORDER BY k WITH FILL
+        |) ORDER BY k""".stripMargin))
+      .as[(Int, Int)].collect().toSeq
+    assert(got == Seq((1, 10), (2, 0), (3, 0), (4, 40)))
+  }
 }
