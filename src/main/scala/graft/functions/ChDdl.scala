@@ -1,0 +1,281 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import ChSql.{Tok, tokenize, renderTrim, depths, matchParen}
+
+/** ClickHouse CREATE TABLE → Spark catalog table (reference:
+  * src/Parsers/ASTCreateQuery.h:1 — the create grammar;
+  * src/Parsers/ASTColumnDeclaration.h — column items; type names per
+  * src/DataTypes/DataTypeFactory.cpp:1).
+  *
+  * A user of the reference starts with DDL; this is the front door.
+  * The CH statement is parsed with the same lexer as ChSql, its types
+  * mapped onto Spark SQL types, and the table registered as a
+  * `CREATE TABLE ... USING PARQUET` catalog table. The MergeTree
+  * layout clauses become the Spark physical layout:
+  *
+  *  - PARTITION BY col      → `PARTITIONED BY (col)` (directory-level
+  *    partition pruning, the analog of CH's partition pruning);
+  *  - ORDER BY (a, b, ...)  → insertSelect range-partitions and sorts
+  *    rows by these keys, so min/max row-group stats prune scans on
+  *    the sort prefix (the MergeTree primary-index analog);
+  *  - SAMPLE BY expr        → a persisted `__sample_hash` BIGINT
+  *    column (leading sort key), so `Sample.byStoredHashRange` runs
+  *    IO-pruned — CH reads ~k of the granules because the data is
+  *    physically ordered by the sampling hash; so do we.
+  *
+  * Type mapping (DataTypeFactory names → Spark):
+  *  Int8/16/32/64 → TINYINT/SMALLINT/INT/BIGINT; UInt8/16/32 widen one
+  *  step (the unsigned range needs it), UInt64 → BIGINT (documented
+  *  narrowing); Float32/64 → FLOAT/DOUBLE; Decimal(p,s) + the
+  *  Decimal32/64/128(s) shorthands; String → STRING; FixedString(n) →
+  *  VARCHAR(n); Date/Date32 → DATE; DateTime → TIMESTAMP;
+  *  DateTime64(p) → TIMESTAMP_NTZ (sub-second, no zone reinterpreting);
+  *  Enum8/Enum16 → the code column (SMALLINT/INT) with the name↔code
+  *  dictionary kept on the parsed table for enumEncode/enumDecode
+  *  (the DataTypeEnum.h contract: storage is the number, the string is
+  *  presentation); Bool → BOOLEAN; UUID/IPv4/IPv6/JSON → STRING;
+  *  Nullable(T)/LowCardinality(T) → T (Spark columns are nullable;
+  *  parquet dictionary-encodes low-cardinality data on its own);
+  *  Array/Map/Tuple → ARRAY/MAP/STRUCT, recursively.
+  */
+object ChDdl {
+
+  final case class ChColumn(
+      name: String, sparkType: String, enumValues: Option[Seq[(String, Int)]])
+
+  final case class ChCreateTable(
+      table: String,
+      cols: Seq[ChColumn],
+      engine: String,
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      sampleBy: Option[String]) {
+
+    def enumOf(col: String): Seq[(String, Int)] =
+      cols.find(_.name == col).flatMap(_.enumValues).getOrElse(
+        throw new IllegalArgumentException(s"$col is not an Enum column"))
+
+    /** Enum name → stored code (insert side). */
+    def enumEncode(col: String, c: Column): Column =
+      element_at(map(enumOf(col).flatMap { case (n, v) =>
+        Seq(lit(n), lit(v)) }: _*), c)
+
+    /** Stored code → enum name (query side). */
+    def enumDecode(col: String, c: Column): Column =
+      element_at(map(enumOf(col).flatMap { case (n, v) =>
+        Seq(lit(v), lit(n)) }: _*), c.cast("int"))
+
+    /** The Spark DDL this CH statement maps to. */
+    def sparkDdl: String = {
+      val colDefs = cols.map(c => s"${c.name} ${c.sparkType}") ++
+        sampleBy.map(_ => "__sample_hash BIGINT")
+      val part =
+        if (partitionBy.isEmpty) ""
+        else s" PARTITIONED BY (${partitionBy.mkString(", ")})"
+      s"CREATE TABLE $table (${colDefs.mkString(", ")}) USING PARQUET$part"
+    }
+
+    /** The persisted sampling hash: `SAMPLE BY intHash32(k)`-style
+      * wrapped keys and plain keys both become xxhash64 (same role as
+      * CH's intHash family, not byte-compatible — documented like
+      * cityHash64). */
+    def sampleHash: Option[Column] = sampleBy.map { e =>
+      val inner = "(?i)^(intHash32|intHash64|cityHash64|xxHash64)\\((.*)\\)$".r
+      e match {
+        case inner(_, k) => xxhash64(expr(k))
+        case k => xxhash64(expr(k))
+      }
+    }
+
+    /** Register the table in the session catalog (idempotent). */
+    def create(spark: SparkSession): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(sparkDdl)
+    }
+
+    /** INSERT ... SELECT with the MergeTree-analog layout: the
+      * sampling hash (if declared) leads the sort so its range
+      * predicate prunes row groups; ORDER BY keys follow, giving
+      * min/max pruning on the declared primary-index prefix. One
+      * range-shuffle, sorted files, no driver involvement. */
+    def insertSelect(spark: SparkSession, source: DataFrame): Unit = {
+      GraftFunctions.ensureRegistered(spark)
+      val withHash = sampleHash match {
+        case Some(h) => source.withColumn("__sample_hash", h)
+        case None => source
+      }
+      // select in the CATALOG's field order — Spark moves partition
+      // columns to the end of the table schema and insertInto matches
+      // by position
+      val outCols = spark.table(table).schema.fieldNames.toSeq.map(col)
+      val sortCols =
+        (sampleBy.map(_ => "__sample_hash").toSeq ++ orderBy)
+          .filterNot(partitionBy.contains).map(col)
+      val laid =
+        if (sortCols.isEmpty) withHash.select(outCols: _*)
+        else withHash.select(outCols: _*)
+          .repartitionByRange(sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+      laid.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  // ---------- parser ----------
+
+  /** Parse a ClickHouse CREATE TABLE statement. Unsupported tail
+    * clauses (TTL, SETTINGS, COMMENT) are ignored; per-column DEFAULT /
+    * MATERIALIZED / CODEC / COMMENT decorations are skipped. */
+  def parse(ddl: String): ChCreateTable = {
+    val ts = tokenize(ddl)._1
+    require(ts.length > 2 && ts(0).up == "CREATE" && ts(1).up == "TABLE",
+      "expected CREATE TABLE")
+    var i = 2
+    if (ts(i).up == "IF") i += 3 // IF NOT EXISTS
+    // [db.]name — keep the last identifier
+    val nameStart = i
+    while (i < ts.length && ts(i).text != "(") i += 1
+    val table = ts.slice(nameStart, i).filter(_.word).map(_.text).mkString("_")
+    require(i < ts.length, "expected column list")
+    val close = matchParen(ts, i)
+    val colItems = splitTop(ts.slice(i + 1, close))
+    val cols = colItems.map(parseColumn)
+    // tail clauses
+    var engine = ""
+    var partitionBy = Seq.empty[String]
+    var orderBy = Seq.empty[String]
+    var sampleBy = Option.empty[String]
+    var j = close + 1
+    val tailKws = Set("ENGINE", "PARTITION", "ORDER", "PRIMARY", "SAMPLE",
+      "TTL", "SETTINGS", "COMMENT")
+    def clauseEndFrom(k: Int): Int = {
+      val d = depths(ts)
+      var m = k
+      while (m < ts.length && !(d(m) == 0 && ts(m).word && tailKws.contains(ts(m).up))) m += 1
+      m
+    }
+    while (j < ts.length) {
+      val kw = ts(j).up
+      kw match {
+        case "ENGINE" => // ENGINE = Name[(args)]
+          var k = j + 1
+          if (k < ts.length && ts(k).text == "=") k += 1
+          engine = if (k < ts.length) ts(k).text else ""
+          k += 1
+          if (k < ts.length && ts(k).text == "(") k = matchParen(ts, k) + 1
+          j = k
+        case "PARTITION" => // PARTITION BY expr
+          val e = clauseEndFrom(j + 2)
+          partitionBy = exprList(ts.slice(j + 2, e))
+          j = e
+        case "ORDER" => // ORDER BY (a, b) | ORDER BY a
+          val e = clauseEndFrom(j + 2)
+          orderBy = exprList(ts.slice(j + 2, e))
+          j = e
+        case "SAMPLE" => // SAMPLE BY expr
+          val e = clauseEndFrom(j + 2)
+          sampleBy = Some(renderTrim(ts.slice(j + 2, e)))
+          j = e
+        case _ => // PRIMARY KEY / TTL / SETTINGS / COMMENT — skip clause
+          j = clauseEndFrom(j + 1)
+      }
+    }
+    ChCreateTable(table, cols, engine, partitionBy, orderBy, sampleBy)
+  }
+
+  /** Split a token run on its top-level commas. */
+  private def splitTop(ts: Vector[Tok]): Vector[Vector[Tok]] = {
+    val d = depths(ts)
+    val out = Vector.newBuilder[Vector[Tok]]
+    var s = 0
+    for (k <- ts.indices)
+      if (ts(k).text == "," && d(k) == 0) { out += ts.slice(s, k); s = k + 1 }
+    out += ts.slice(s, ts.length)
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** `(a, b)` or `a` or `f(x), g(y)` → rendered element list. */
+  private def exprList(ts: Vector[Tok]): Seq[String] = {
+    val inner =
+      if (ts.nonEmpty && ts.head.text == "(" && matchParen(ts, 0) == ts.length - 1)
+        ts.slice(1, ts.length - 1)
+      else ts
+    splitTop(inner).map(renderTrim)
+  }
+
+  private val colDecor = Set("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC",
+    "COMMENT", "TTL")
+
+  private def parseColumn(item: Vector[Tok]): ChColumn = {
+    require(item.length >= 2, s"bad column item: ${renderTrim(item)}")
+    val name = item.head.text.stripPrefix("`").stripSuffix("`")
+    val d = depths(item)
+    val typeEnd = (1 until item.length).find(k =>
+      d(k) == 0 && item(k).word && colDecor.contains(item(k).up))
+      .getOrElse(item.length)
+    val (sparkType, enums) = parseType(item.slice(1, typeEnd))
+    ChColumn(name, sparkType, enums)
+  }
+
+  /** CH type expression → (Spark SQL type, enum dictionary). */
+  private[functions] def parseType(ts: Vector[Tok]): (String, Option[Seq[(String, Int)]]) = {
+    require(ts.nonEmpty, "empty type")
+    val name = ts.head.up
+    val args: Vector[Vector[Tok]] =
+      if (ts.length > 1 && ts(1).text == "(" && matchParen(ts, 1) == ts.length - 1)
+        splitTop(ts.slice(2, ts.length - 1))
+      else Vector.empty
+    def argT(k: Int) = parseType(args(k))._1
+    name match {
+      case "NULLABLE" | "LOWCARDINALITY" => parseType(args(0))
+      case "ARRAY" => (s"ARRAY<${argT(0)}>", None)
+      case "MAP" => (s"MAP<${argT(0)}, ${argT(1)}>", None)
+      case "TUPLE" =>
+        val fields = args.zipWithIndex.map { case (a, k) =>
+          // named element: `ident Type`; unnamed: `Type`
+          if (a.length >= 2 && a.head.word && !typeNames.contains(a.head.up))
+            s"${a.head.text}: ${parseType(a.tail)._1}"
+          else s"_${k + 1}: ${parseType(a)._1}"
+        }
+        (s"STRUCT<${fields.mkString(", ")}>", None)
+      case "ENUM8" | "ENUM16" =>
+        val values = args.map { a =>
+          require(a.length == 3 && a(1).text == "=",
+            s"bad enum item: ${renderTrim(a)}")
+          (a(0).text.stripPrefix("'").stripSuffix("'"), a(2).text.toInt)
+        }
+        (if (name == "ENUM8") "SMALLINT" else "INT", Some(values))
+      case "DECIMAL" if args.length == 2 =>
+        (s"DECIMAL(${args(0).head.text}, ${args(1).head.text})", None)
+      case "DECIMAL32" => (s"DECIMAL(9, ${args(0).head.text})", None)
+      case "DECIMAL64" => (s"DECIMAL(18, ${args(0).head.text})", None)
+      case "DECIMAL128" => (s"DECIMAL(38, ${args(0).head.text})", None)
+      case "FIXEDSTRING" => (s"VARCHAR(${args(0).head.text})", None)
+      case "DATETIME64" => ("TIMESTAMP_NTZ", None)
+      case "DATETIME" => ("TIMESTAMP", None)
+      case other =>
+        (simpleTypes.getOrElse(other,
+          throw new IllegalArgumentException(s"unsupported CH type: $other")), None)
+    }
+  }
+
+  private val simpleTypes = Map(
+    "INT8" -> "TINYINT", "INT16" -> "SMALLINT", "INT32" -> "INT",
+    "INT64" -> "BIGINT",
+    "UINT8" -> "SMALLINT", "UINT16" -> "INT", "UINT32" -> "BIGINT",
+    "UINT64" -> "BIGINT", // documented narrowing: no unsigned 64-bit in Spark
+    "INT128" -> "DECIMAL(38, 0)", "INT256" -> "DECIMAL(38, 0)",
+    "UINT128" -> "DECIMAL(38, 0)", "UINT256" -> "DECIMAL(38, 0)",
+    "FLOAT32" -> "FLOAT", "FLOAT64" -> "DOUBLE",
+    "STRING" -> "STRING", "DATE" -> "DATE", "DATE32" -> "DATE",
+    "BOOL" -> "BOOLEAN", "BOOLEAN" -> "BOOLEAN",
+    "UUID" -> "STRING", "IPV4" -> "STRING", "IPV6" -> "STRING",
+    "JSON" -> "STRING")
+
+  private val typeNames: Set[String] = simpleTypes.keySet ++ Set(
+    "NULLABLE", "LOWCARDINALITY", "ARRAY", "MAP", "TUPLE", "ENUM8", "ENUM16",
+    "DECIMAL", "DECIMAL32", "DECIMAL64", "DECIMAL128", "FIXEDSTRING",
+    "DATETIME64", "DATETIME")
+}

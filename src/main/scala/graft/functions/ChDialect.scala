@@ -138,7 +138,22 @@ object ChDialect {
     "MD5"        -> builtin("md5"),
     "SHA256"     -> { es => builtin("sha2")(es :+ Literal(256)) },
     "cityHash64" -> builtin("xxhash64"), // same role, not byte-compatible
+    "intHash32"  -> builtin("xxhash64"), // same role, not byte-compatible
+    "intHash64"  -> builtin("xxhash64"),
     "bitCount"   -> builtin("bit_count"),
+
+    // ---- dictionaries (ASTDictionary.h) ----
+    // dictGet('dict', 'attr', key): broadcast-map lookup, registered
+    // via ChDictionaries.register. Missing key → NULL (dictGetOrNull
+    // semantics; coalesce at the call site for CH's type-default).
+    "dictGet" -> { es =>
+      ChDictionaries.lookupExpr(
+        ChDictionaries.literalString(es(0), "dictionary name"),
+        ChDictionaries.literalString(es(1), "attribute"), es(2)) },
+    "dictGetOrNull" -> { es =>
+      ChDictionaries.lookupExpr(
+        ChDictionaries.literalString(es(0), "dictionary name"),
+        ChDictionaries.literalString(es(1), "attribute"), es(2)) },
 
     // ---- JSON ----
     "JSONExtractString" -> { es =>

@@ -42,7 +42,7 @@ object ChSql {
 
   /** One lexical token; `pre` is the whitespace that preceded it in the
     * source, so rendering all tokens reproduces the input exactly. */
-  private final case class Tok(pre: String, text: String, word: Boolean) {
+  private[functions] final case class Tok(pre: String, text: String, word: Boolean) {
     def up: String = if (word) text.toUpperCase else text
   }
   private def w(text: String): Tok = Tok(" ", text, text.headOption.exists(c => c.isLetter || c == '_'))
@@ -56,7 +56,7 @@ object ChSql {
 
   private val twoCharOps = Set(">=", "<=", "<>", "!=", "==", "||", "::", "->")
 
-  private def tokenize(sql: String): (Vector[Tok], String) = {
+  private[functions] def tokenize(sql: String): (Vector[Tok], String) = {
     val out = Vector.newBuilder[Tok]
     val n = sql.length
     var i = 0
@@ -96,17 +96,17 @@ object ChSql {
     (out.result(), pre.toString)
   }
 
-  private def render(ts: Vector[Tok]): String = ts.map(t => t.pre + t.text).mkString
+  private[functions] def render(ts: Vector[Tok]): String = ts.map(t => t.pre + t.text).mkString
 
-  private def renderTrim(ts: Vector[Tok]): String = render(ts).trim
+  private[functions] def renderTrim(ts: Vector[Tok]): String = render(ts).trim
 
-  private def retok(sql: String): Vector[Tok] = tokenize(sql)._1
+  private[functions] def retok(sql: String): Vector[Tok] = tokenize(sql)._1
 
   // ---------- structure helpers ----------
 
   /** Paren-nesting depth of each token ('(' and ')' carry the OUTER
     * depth, tokens between them depth+1). */
-  private def depths(ts: Vector[Tok]): Array[Int] = {
+  private[functions] def depths(ts: Vector[Tok]): Array[Int] = {
     val d = new Array[Int](ts.length)
     var cur = 0
     var i = 0
@@ -119,7 +119,7 @@ object ChSql {
     d
   }
 
-  private def matchParen(ts: Vector[Tok], open: Int): Int = {
+  private[functions] def matchParen(ts: Vector[Tok], open: Int): Int = {
     var depth = 0
     var i = open
     while (i < ts.length) {
@@ -131,7 +131,7 @@ object ChSql {
   }
 
   /** First depth-0 index ≥ from whose uppercased word is in `kws`. */
-  private def find0(ts: Vector[Tok], kws: Set[String], from: Int = 0): Int = {
+  private[functions] def find0(ts: Vector[Tok], kws: Set[String], from: Int = 0): Int = {
     val d = depths(ts)
     var i = from
     while (i < ts.length) {

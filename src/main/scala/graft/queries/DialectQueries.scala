@@ -156,6 +156,27 @@ object DialectQueries {
           |  GROUP BY d
           |  ORDER BY d WITH FILL FROM 1 TO 32
           |) ORDER BY d""".stripMargin))
+    },
+
+    // dictGet (ASTDictionary.h:1): the nation dimension registered as
+    // a dictionary, looked up per row from verbatim CH SQL — a
+    // broadcast-map ElementAt in the plan, no join, no shuffle. The
+    // oracle is the equivalent dimension join.
+    "c07_dictget" -> Q(
+      """SELECT n.n_name AS nation, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val t = Tables(s, dir)
+      graft.functions.ChDictionaries.register(
+        "nation", t.nation, "n_nationkey", Seq("n_name"))
+      t.customer.createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT dictGet('nation', 'n_name', c_nationkey) AS nation,
+          |  COUNT(*) AS n_cust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM customer GROUP BY nation ORDER BY nation""".stripMargin)
     }
   )
 }

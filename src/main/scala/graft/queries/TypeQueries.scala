@@ -184,6 +184,78 @@ object TypeQueries {
       s.read.parquet(out)
         .select("o_orderpriority", "n_orders", "total")
         .orderBy("o_orderpriority")
+    },
+
+    // DDL round-trip (ASTCreateQuery.h:1; type names per
+    // DataTypeFactory.cpp): a ClickHouse CREATE TABLE — FixedString,
+    // Decimal64 shorthand, Enum8, PARTITION BY, ORDER BY, SAMPLE BY —
+    // parsed by ChDdl into a Spark catalog table, loaded with
+    // INSERT..SELECT in the MergeTree-analog layout (partition dirs,
+    // sampling hash leading the sort), then read back through the
+    // catalog: values, the decoded Enum names, and exact decimal sums
+    // must all survive the round trip. The pushdown property of the
+    // layout is asserted in DdlSpec.
+    "p03_ddl_roundtrip" -> Q(
+      """SELECT o_orderstatus, o_orderpriority AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      val ct = ChDdl.parse(
+        """CREATE TABLE graft_p03 (
+          |  o_orderkey Int64,
+          |  o_custkey Int64,
+          |  o_totalprice Decimal64(2),
+          |  o_orderdate Date,
+          |  o_orderpriority Enum8('1-URGENT' = 1, '2-HIGH' = 2,
+          |    '3-MEDIUM' = 3, '4-NOT SPECIFIED' = 4, '5-LOW' = 5),
+          |  o_orderstatus FixedString(1)
+          |) ENGINE = MergeTree()
+          |PARTITION BY o_orderstatus
+          |ORDER BY (o_orderkey)
+          |SAMPLE BY intHash32(o_orderkey)""".stripMargin)
+      ct.create(s)
+      val src = Tables(s, dir).orders.select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+        col("o_orderdate"),
+        ct.enumEncode("o_orderpriority", col("o_orderpriority"))
+          .cast("smallint").as("o_orderpriority"),
+        col("o_orderstatus"))
+      ct.insertSelect(s, src)
+      s.table("graft_p03")
+        .groupBy(col("o_orderstatus"),
+          ct.enumDecode("o_orderpriority", col("o_orderpriority")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")).cast("double").as("total"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus", "priority")
+    },
+
+    // Enum8 as a first-class type (DataTypeEnum.h:1): storage is the
+    // CODE (the y03 dictionary-encode formalized through the DDL type
+    // parser), presentation is the name — encode, aggregate on the
+    // compact code, decode for output; the oracle states the same
+    // name↔code mapping literally.
+    "y06_enum" -> Q(
+      """SELECT CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 3
+        |            WHEN 'es' THEN 4 WHEN 'zh' THEN 5 END AS code,
+        |  lang AS decoded, COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY code""".stripMargin) { (s, dir) =>
+      import graft.functions.ChDdl
+      val ct = ChDdl.parse(
+        """CREATE TABLE graft_y06_schema (
+          |  doc_id Int64,
+          |  lang Enum8('en' = 1, 'de' = 2, 'fr' = 3, 'es' = 4, 'zh' = 5)
+          |) ENGINE = Memory""".stripMargin)
+      Tables(s, dir).documents
+        .select(ct.enumEncode("lang", col("lang")).cast("int").as("code"))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n"))
+        .select(col("code"), ct.enumDecode("lang", col("code")).as("decoded"), col("n"))
+        .orderBy("code")
     }
   )
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ChDdl, ChDictionaries, GraftFunctions}
+import graft.sources.Tables
+
+/** ChDdl parser + catalog round-trip + the MergeTree-analog layout
+  * properties (sampling-hash pushdown), and the dictGet surface. */
+class DdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("type mapping covers the DataTypeFactory names") {
+    val ct = ChDdl.parse(
+      """CREATE TABLE IF NOT EXISTS db.t (
+        |  a Int8, b UInt8, c Int32, d UInt32, e Int64, f UInt64,
+        |  g Float32, h Float64, i String, j FixedString(4),
+        |  k Date, l Date32, m DateTime, n DateTime64(3),
+        |  o Decimal(12, 2), p Decimal64(4),
+        |  q Nullable(Int64), r LowCardinality(String),
+        |  s Array(Nullable(String)), t Map(String, Int64),
+        |  u Tuple(x Int64, y String), v Tuple(Float64, Float64),
+        |  w Enum8('lo' = 1, 'hi' = 2), x UUID, y Bool
+        |) ENGINE = MergeTree() ORDER BY (e, k) SETTINGS index_granularity = 8192""".stripMargin)
+    val m = ct.cols.map(c => c.name -> c.sparkType).toMap
+    assert(m("a") == "TINYINT" && m("b") == "SMALLINT" && m("d") == "BIGINT")
+    assert(m("f") == "BIGINT" && m("g") == "FLOAT" && m("j") == "VARCHAR(4)")
+    assert(m("l") == "DATE" && m("m") == "TIMESTAMP" && m("n") == "TIMESTAMP_NTZ")
+    assert(m("o") == "DECIMAL(12, 2)" && m("p") == "DECIMAL(18, 4)")
+    assert(m("q") == "BIGINT" && m("r") == "STRING")
+    assert(m("s") == "ARRAY<STRING>" && m("t") == "MAP<STRING, BIGINT>")
+    assert(m("u") == "STRUCT<x: BIGINT, y: STRING>")
+    assert(m("v") == "STRUCT<_1: DOUBLE, _2: DOUBLE>")
+    assert(m("w") == "SMALLINT" && m("x") == "STRING" && m("y") == "BOOLEAN")
+    assert(ct.enumOf("w") == Seq(("lo", 1), ("hi", 2)))
+    assert(ct.table == "db_t" && ct.orderBy == Seq("e", "k"))
+  }
+
+  test("enum encode/decode round-trips names through codes") {
+    val ct = ChDdl.parse(
+      "CREATE TABLE e (v Enum8('a' = 1, 'b' = 5)) ENGINE = Memory")
+    val got = Seq("a", "b", "a").toDF("v")
+      .select(ct.enumDecode("v", ct.enumEncode("v", $"v")).as("back"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a", "b", "a"))
+  }
+
+  test("DDL table: insertSelect round-trips and the sampling hash predicate pushes down") {
+    GraftFunctions.ensureRegistered(spark)
+    val ct = ChDdl.parse(
+      """CREATE TABLE graft_ddl_spec (
+        |  o_orderkey Int64, o_totalprice Float64
+        |) ENGINE = MergeTree()
+        |ORDER BY (o_orderkey)
+        |SAMPLE BY intHash32(o_orderkey)""".stripMargin)
+    ct.create(spark)
+    val src = Tables(spark, sfDir).orders.select("o_orderkey", "o_totalprice")
+    ct.insertSelect(spark, src)
+    val back = spark.table("graft_ddl_spec")
+    // exact row round-trip
+    assert(back.count() == src.count())
+    assert(back.agg(sum($"o_orderkey")).as[Long].head() ==
+      src.agg(sum($"o_orderkey")).as[Long].head())
+    // the declared SAMPLE BY layout serves an IO-pruned sample: plain
+    // range predicate on the persisted hash, pushed to the scan
+    val sampled = graft.operators.Sample.byStoredHashRange(back, "__sample_hash", 0.1)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(__sample_hash), LessThanOrEqual(__sample_hash"),
+      s"sampling predicate not pushed:\n$plan")
+    val frac = sampled.count().toDouble / back.count()
+    assert(frac > 0.05 && frac < 0.15, s"sampled fraction $frac")
+  }
+
+  test("partitioned DDL table prunes partitions on the partition key") {
+    GraftFunctions.ensureRegistered(spark)
+    val ct = ChDdl.parse(
+      """CREATE TABLE graft_ddl_part (
+        |  o_orderkey Int64, o_totalprice Float64, o_orderstatus FixedString(1)
+        |) ENGINE = MergeTree()
+        |PARTITION BY o_orderstatus
+        |ORDER BY (o_orderkey)""".stripMargin)
+    ct.create(spark)
+    ct.insertSelect(spark,
+      Tables(spark, sfDir).orders.select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val q = spark.table("graft_ddl_part").filter($"o_orderstatus" === "F")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "partition filter not applied at scan")
+    assert(q.count() > 0)
+  }
+
+  test("dictGet resolves through the broadcast map with no join in the plan") {
+    GraftFunctions.ensureRegistered(spark)
+    val t = Tables(spark, sfDir)
+    ChDictionaries.register("nation_spec", t.nation, "n_nationkey", Seq("n_name"))
+    t.customer.createOrReplaceTempView("customer_spec")
+    val df = spark.sql(
+      "SELECT dictGet('nation_spec', 'n_name', c_nationkey) AS nation FROM customer_spec")
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "dictGet must not plan a join")
+    val got = df.groupBy("nation").count()
+      .as[(String, Long)].collect().toMap
+    val expect = t.customer.join(t.nation, $"c_nationkey" === $"n_nationkey")
+      .groupBy("n_name").count().as[(String, Long)].collect().toMap
+    assert(got == expect && got.nonEmpty)
+  }
+}
