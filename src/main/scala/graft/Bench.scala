@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,8 +24,12 @@ object Bench {
     // clearCache between queries: several operators persist
     // intermediates (signatures, grams, range partitions); 90+ queries
     // of accumulated cache in one session turns into GC pressure that
-    // taxes whichever query runs late in the map order
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // taxes whichever query runs late in the map order.
+    // MEDIAN of `iters` full passes (the JVM is forked by sbt with a
+    // fixed -Xmx): a single shot in a shared, pressured JVM swung
+    // individual queries 4-8× run-to-run; the median pass-wise timing
+    // is stable and GC hiccups land on one pass, not the report.
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
@@ -32,10 +37,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    val passes = (1 to iters).map(_ => pass())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = SparkEntry.queries.keys.map { name =>
+      name -> median(passes.map(_(name)))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

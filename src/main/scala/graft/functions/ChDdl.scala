@@ -93,6 +93,13 @@ object ChDdl {
     /** Register the table in the session catalog (idempotent). */
     def create(spark: SparkSession): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")
+      // a managed-table location can survive from a PREVIOUS session
+      // (in-memory catalog, on-disk warehouse) — DROP above can't see
+      // it, CREATE refuses over it; clear the orphan
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       spark.sql(sparkDdl)
     }
 

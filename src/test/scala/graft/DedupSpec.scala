@@ -55,6 +55,32 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 100L)) == 1.0)
   }
 
+  test("ngram jaccard df cap drops boilerplate grams and bounds the join input") {
+    // every doc shares one boilerplate bigram ("BP X"); pairwise they
+    // are otherwise disjoint, so without the cap the self-join emits
+    // df² ≈ n² rows for that single gram
+    val n = 40
+    val docs = (0 until n).map(i => (i.toLong, s"BP X doc${i}_a doc${i}_b doc${i}_c"))
+      .toDF("doc_id", "text").withColumn("blk", lit(1))
+    // capped: the shared gram exceeds maxGramDf and is dropped before
+    // the join — no pair survives (their only overlap was boilerplate)
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", "blk",
+      n = 2, minJaccard = 0.1, maxGramDf = 10)
+    assert(capped.count() == 0)
+    // uncapped twin: the boilerplate gram alone generates n·(n-1)/2
+    // pair rows — the quadratic blowup the cap exists to prevent
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", "blk",
+      n = 2, minJaccard = 0.1, maxGramDf = 10000)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2)
+    // and the cap never affects pairs whose similarity is genuine:
+    // planted near-dups from the shared corpus keep their jaccard
+    val blocked = corpus.withColumn("blk", lit(1))
+    val got = Dedup.ngramJaccard(blocked, "doc_id", "text", "blk",
+      minJaccard = 0.5, maxGramDf = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 100L), (1L, 101L), (2L, 102L)))
+  }
+
   test("d02/d03 on the real documents table recover its planted near-dups") {
     val docs = Tables(spark, sfDir).documents
     val mh = Dedup.minHashLsh(docs, "doc_id", "text", minEstJaccard = 0.5)

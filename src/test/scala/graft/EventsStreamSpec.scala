@@ -99,6 +99,47 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash pairs a token-shuffled near-dup across batches; state expires with the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val pairs = EventsStream.streamingMinHashPairs(
+      input.toDF.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      shingleSize = 1, minEstJaccard = 0.5, watermarkSec = 3600)
+    val q = pairs.writeStream.format("memory").queryName("mhpairs")
+      .outputMode("append").start()
+    try {
+      val toks = (1 to 40).map(i => s"tok$i")
+      input.addData((1L, ts(0), toks.mkString(" ")))
+      q.processAllAvailable()
+      // token-SHUFFLED (reversed) with 2 of 40 tokens edited: the
+      // SimHash fingerprint differs (streamingNearDedup would PASS
+      // it), but token-set Jaccard ≈ 38/42 → MinHash bands collide
+      val shuffled = (toks.reverse.take(38) ++ Seq("edited1", "edited2")).mkString(" ")
+      input.addData(
+        (2L, ts(5), shuffled),
+        (3L, ts(6), (1 to 40).map(i => s"other$i").mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("mhpairs").as[EventsStream.NearDupPair].collect()
+      val keys = got.map(p => (p.id1, p.id2)).toSet
+      assert(keys.contains((1L, 2L)), s"near-dup pair missing: $keys")
+      assert(!keys.exists(k => k._1 == 3L || k._2 == 3L), s"junk pair: $keys")
+      assert(got.filter(p => (p.id1, p.id2) == ((1L, 2L)))
+        .forall(_.est_jaccard >= 0.5))
+      // advance the watermark 4h past doc 1, then a no-data-for-those-
+      // buckets trigger fires their event-time timeout (state expiry)
+      input.addData((4L, ts(300), (1 to 40).map(i => s"late$i").mkString(" ")))
+      q.processAllAvailable()
+      input.addData((6L, ts(302), (1 to 40).map(i => s"later$i").mkString(" ")))
+      q.processAllAvailable()
+      // doc 1's exact text again — its buckets were expired, no pair
+      input.addData((5L, ts(303), toks.mkString(" ")))
+      q.processAllAvailable()
+      val after = spark.table("mhpairs").as[EventsStream.NearDupPair].collect()
+        .map(p => (p.id1, p.id2)).toSet
+      assert(!after.contains((1L, 5L)), s"expired state still paired: $after")
+    } finally q.stop()
+  }
+
   test("batch and stream sessionization agree on real events (sf0.001)") {
     val events = Tables(spark, sfDir).events
     val batch = EventsStream.sessionizeBatch(events, gapSec = 3600)

@@ -83,6 +83,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(memScans >= 2, s"expected both consumers on the cached CTE:\n$p")
   }
 
+  test("q14's registered sampling plan pushes the stored-hash range to the scan") {
+    val p = planOf("q14_sample").toString
+    assert(p.contains("PushedFilters: [IsNotNull(__sample_hash), LessThan(__sample_hash"),
+      s"q14 sampling predicate not pushed:\n$p")
+  }
+
   test("stored-hash-range sampling pushes its predicate to the scan") {
     import org.apache.spark.sql.functions._
     val dir = sys.props("java.io.tmpdir") + "/graft_sample_layout"
