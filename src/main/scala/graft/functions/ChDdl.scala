@@ -130,6 +130,53 @@ object ChDdl {
     }
   }
 
+  // ---------- mutations (ASTAlterQuery.h) ----------
+
+  /** ALTER TABLE t DELETE WHERE p / ALTER TABLE t UPDATE c = e, … WHERE p
+    * (reference: src/Parsers/ASTAlterQuery.h:1 — CH "mutations").
+    * Realized as a snapshot-rewrite: the surviving/updated rows are
+    * staged to a scratch location and swapped into the table — a
+    * mutation rewrites whole parts in the reference too. At cluster
+    * scale the rewrite is restricted to AFFECTED partitions (dynamic
+    * partition overwrite on a predicate-pruned scan); here the staged
+    * write keeps the read-then-overwrite self-reference safe. */
+  def alter(spark: SparkSession, sql: String): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    val ts = tokenize(sql)._1
+    require(ts.length > 3 && ts(0).up == "ALTER" && ts(1).up == "TABLE",
+      "expected ALTER TABLE")
+    var i = 2
+    val nameStart = i
+    while (i < ts.length && !(ts(i).word && Set("DELETE", "UPDATE").contains(ts(i).up))) i += 1
+    val table = ts.slice(nameStart, i).filter(_.word).map(_.text).mkString("_")
+    require(i < ts.length, "expected DELETE or UPDATE")
+    val snapshot = spark.table(table)
+    val mutated = ts(i).up match {
+      case "DELETE" =>
+        require(i + 1 < ts.length && ts(i + 1).up == "WHERE", "DELETE needs WHERE")
+        val pred = renderTrim(ts.drop(i + 2))
+        snapshot.filter(!expr(pred))
+      case "UPDATE" =>
+        val wi = ChSql.find0(ts, Set("WHERE"), i + 1)
+        require(wi > 0, "UPDATE needs WHERE")
+        val pred = expr(renderTrim(ts.drop(wi + 1)))
+        val sets = splitTop(ts.slice(i + 1, wi)).map { item =>
+          val eq = item.indexWhere(_.text == "=")
+          require(eq > 0, s"bad SET item: ${renderTrim(item)}")
+          (renderTrim(item.take(eq)), renderTrim(item.drop(eq + 1)))
+        }
+        sets.foldLeft(snapshot.toDF) { case (df, (c, e)) =>
+          df.withColumn(c,
+            when(pred, expr(e).cast(df.schema(c).dataType)).otherwise(col(c)))
+        }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mutation").toString
+    mutated.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .select(spark.table(table).schema.fieldNames.toSeq.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
+  }
+
   // ---------- parser ----------
 
   /** Parse a ClickHouse CREATE TABLE statement. Unsupported tail

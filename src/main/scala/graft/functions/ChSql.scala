@@ -49,7 +49,24 @@ object ChSql {
 
   def translate(sql: String): String = {
     val (ts, tail) = tokenize(sql)
-    render(rewriteQuery(ts)) + tail
+    // EXPLAIN [AST|SYNTAX|PLAN|PIPELINE|ESTIMATE|QUERY TREE] [opt = v,…]
+    // (reference: src/Parsers/ASTExplainQuery.h) → Spark's own EXPLAIN
+    // of the translated statement; the CH mode/options select output
+    // detail CH-side and have no Spark equivalent — dropped.
+    if (ts.nonEmpty && ts.head.up == "EXPLAIN") {
+      val modes = Set("AST", "SYNTAX", "QUERY", "TREE", "PLAN", "PIPELINE",
+        "ESTIMATE", "CURRENT", "TRANSACTION")
+      var i = 1
+      var scanning = true
+      while (i < ts.length && scanning) {
+        if (ts(i).word && modes.contains(ts(i).up)) i += 1
+        else if (ts(i).word && i + 2 < ts.length && ts(i + 1).text == "=") {
+          i += 3
+          if (i < ts.length && ts(i).text == ",") i += 1
+        } else scanning = false
+      }
+      "EXPLAIN " + render(rewriteQuery(ts.drop(i))).trim + tail
+    } else render(rewriteQuery(ts)) + tail
   }
 
   // ---------- lexer ----------
@@ -170,6 +187,7 @@ object ChSql {
   private def rewriteQuery(ts0: Vector[Tok]): Vector[Tok] = {
     var ts = recurse(ts0)
     ts = stripFormat(ts)
+    ts = stripSettings(ts)
     ts = stripGlobal(ts)
     ts = stripFinal(ts)
     ts = rewriteNumbers(ts)
@@ -192,6 +210,15 @@ object ChSql {
     if (i >= 0 && i + 1 < ts.length && ts(i + 1).word && i + 2 >= ts.length)
       ts.take(i)
     else ts
+  }
+
+  /** SETTINGS k = v, … (trailing clause): per-query engine knobs
+    * (max_threads, join_algorithm, …) that tune the CH executor —
+    * Spark's equivalents are session confs the optimizer owns;
+    * dropped. */
+  private def stripSettings(ts: Vector[Tok]): Vector[Tok] = {
+    val i = find0(ts, Set("SETTINGS"))
+    if (i >= 0) ts.take(i) else ts
   }
 
   /** GLOBAL IN/JOIN is ClickHouse's distribution hint (ship the

@@ -71,12 +71,15 @@ object Multimodal {
     * emits (doc_id, frame_idx, frame_len, frame_md5). */
   def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
     val nFrames = (floor((length(col("content")) - 1) / frameBytes) + 1).cast("int")
-    media.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nFrames - 1), i =>
-          call_function("substring", col("content"),
-            i * frameBytes + 1, lit(frameBytes))))
-          .as(Seq("frame_idx", "__frame")))
-      .filter(col("frame_idx") % every === 0)
+    // decimate BEFORE slicing: only every `every`-th index is generated
+    // (sequence step), so substring/md5 work is 1/every of the frames —
+    // at video scale the whole point of decimation. The kept index IS
+    // the original frame index.
+    media.select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), nFrames - 1, lit(every))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        call_function("substring", col("content"),
+          col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("__frame"))
       .select(col("doc_id"), col("frame_idx"),
         length(col("__frame")).as("frame_len"),
         md5(col("__frame")).as("frame_md5"))

@@ -258,6 +258,40 @@ object TypeQueries {
         .orderBy("code")
     },
 
+    // ALTER mutations (ASTAlterQuery.h:1): DELETE WHERE + UPDATE ...
+    // WHERE against a DDL-created table, realized as staged
+    // snapshot-rewrites (what a CH mutation does to its parts), then
+    // the mutated table read back — the oracle applies the identical
+    // delete-then-update algebra to the source.
+    "p04_mutations" -> Q(
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 7 = 0))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      val ct = ChDdl.parse(
+        """CREATE TABLE graft_p04 (
+          |  o_orderkey Int64,
+          |  o_orderstatus FixedString(1),
+          |  o_totalprice Float64
+          |) ENGINE = MergeTree() ORDER BY (o_orderkey)""".stripMargin)
+      ct.create(s)
+      ct.insertSelect(s,
+        Tables(s, dir).orders.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      ChDdl.alter(s, "ALTER TABLE graft_p04 DELETE WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0")
+      ChDdl.alter(s, "ALTER TABLE graft_p04 UPDATE o_totalprice = o_totalprice * 2 WHERE o_orderkey % 10 = 3")
+      s.table("graft_p04")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // DateTime64(6/3/0) semantics (DataTypeDateTime64.h:1): the
     // sub-second truncation ladder µs → ms → s, computed on epoch
     // integers in BOTH engines (no timestamp rendering, no timezone

@@ -168,6 +168,19 @@ class ChSqlSpec extends SparkSpec {
     assert(got == Seq((2, Some(20)), (3, None), (4, None), (5, Some(50))))
   }
 
+  test("EXPLAIN with CH modes maps to Spark EXPLAIN of the translated query") {
+    val df = run(
+      "EXPLAIN PIPELINE SELECT o_orderkey FROM orders PREWHERE o_orderstatus = 'F' SETTINGS max_threads = 8")
+    val plan = df.as[String].collect().mkString("\n")
+    assert(plan.contains("Physical Plan") || plan.contains("FileScan"), plan)
+  }
+
+  test("SETTINGS clause is stripped") {
+    val got = run(
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3 SETTINGS max_threads = 4, join_algorithm = 'hash'")
+    assert(got.count() == 3)
+  }
+
   test("CH-only clauses inside a derived table are translated recursively") {
     GraftFunctions.ensureRegistered(spark)
     spark.sql("SELECT * FROM VALUES (1, 10), (4, 40) AS t(k, v)")

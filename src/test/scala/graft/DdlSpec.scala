@@ -89,6 +89,20 @@ class DdlSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("ALTER DELETE and UPDATE mutate the table like the reference's mutations") {
+    GraftFunctions.ensureRegistered(spark)
+    val ct = ChDdl.parse(
+      "CREATE TABLE graft_alter_spec (k Int64, v Float64) ENGINE = MergeTree() ORDER BY (k)")
+    ct.create(spark)
+    ct.insertSelect(spark,
+      spark.range(1, 11).select($"id".as("k"), ($"id" * 10.0).as("v")))
+    ChDdl.alter(spark, "ALTER TABLE graft_alter_spec DELETE WHERE k % 2 = 0")
+    ChDdl.alter(spark, "ALTER TABLE graft_alter_spec UPDATE v = v + 1 WHERE k > 5")
+    val got = spark.table("graft_alter_spec").orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (3L, 30.0), (5L, 50.0), (7L, 71.0), (9L, 91.0)), got)
+  }
+
   test("dictGet resolves through the broadcast map with no join in the plan") {
     GraftFunctions.ensureRegistered(spark)
     val t = Tables(spark, sfDir)
