@@ -191,6 +191,8 @@ object ChSql {
     ts = stripGlobal(ts)
     ts = stripFinal(ts)
     ts = rewriteNumbers(ts)
+    ts = rewriteParametricAggs(ts)
+    ts = rewriteBareCount(ts)
     // SAMPLE sits between the table ref and ARRAY JOIN — remove it
     // first so the ARRAY JOIN rewrite sees a clean FROM source
     ts = rewriteSample(ts)
@@ -258,6 +260,57 @@ object ChSql {
         rewriteNumbers(ts.take(i) ++
           (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(i + 4))
       case None => ts
+    }
+  }
+
+  /** ClickHouse PARAMETRIC aggregate syntax `f(params)(args)`
+    * (reference: src/Parsers/ASTFunction.h — `parameters` next to
+    * `arguments`): folded into the single-call form the ChDialect
+    * registry exposes. Per-name argument placement:
+    *  - quantile family: `quantile(0.9)(x)` → `quantile(x, 0.9)`
+    *    (the registered percentile-shaped order);
+    *  - topK: `topK(5)(x)` → `topK(5, x)` (registered CH order);
+    *  - uniq family: precision params are sketch-tuning only —
+    *    dropped, `uniqCombined(12)(x)` → `uniqCombined(x)`. */
+  private val paramsLast = Set("QUANTILE", "QUANTILEEXACT", "QUANTILETDIGEST",
+    "MEDIAN", "MEDIANEXACT")
+  private val paramsFirst = Set("TOPK")
+  private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQHLL12")
+
+  private def rewriteParametricAggs(ts: Vector[Tok]): Vector[Tok] = {
+    val i = ts.indices.find { i =>
+      ts(i).word &&
+        (paramsLast.contains(ts(i).up) || paramsFirst.contains(ts(i).up) ||
+          paramsDropped.contains(ts(i).up)) &&
+        i + 1 < ts.length && ts(i + 1).text == "(" && {
+          val c1 = matchParen(ts, i + 1)
+          c1 + 1 < ts.length && ts(c1 + 1).text == "("
+        }
+    }
+    i match {
+      case None => ts
+      case Some(i) =>
+        val c1 = matchParen(ts, i + 1)
+        val c2 = matchParen(ts, c1 + 1)
+        val params = ts.slice(i + 2, c1)
+        val args = ts.slice(c1 + 2, c2)
+        val merged =
+          if (paramsDropped.contains(ts(i).up)) args
+          else if (paramsFirst.contains(ts(i).up)) params ++ (w(",") +: args)
+          else args ++ (w(",") +: params)
+        rewriteParametricAggs(
+          (ts.take(i + 2) ++ merged ++ ts.slice(c1, c1 + 1)) ++ ts.drop(c2 + 1))
+    }
+  }
+
+  /** Bare `count()` (ClickHouse counts rows) → `count(*)`. */
+  private def rewriteBareCount(ts: Vector[Tok]): Vector[Tok] = {
+    val i = ts.indices.find(i => ts(i).up == "COUNT" &&
+      i + 2 < ts.length && ts(i + 1).text == "(" && ts(i + 2).text == ")")
+    i match {
+      case None => ts
+      case Some(i) => rewriteBareCount(
+        ts.take(i + 2) ++ (w("*") +: ts.drop(i + 2)))
     }
   }
 

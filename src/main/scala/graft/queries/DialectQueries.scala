@@ -177,6 +177,24 @@ object DialectQueries {
           |  COUNT(*) AS n_cust,
           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
           |FROM customer GROUP BY nation ORDER BY nation""".stripMargin)
+    },
+
+    // Parametric aggregate syntax (ASTFunction.h parameters):
+    // quantile(0.9)(x) and bare count() — the forms every real CH
+    // query uses — folded by the translator into the registered
+    // single-call dialect names.
+    "c08_parametric" -> Q(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT o_orderstatus, count() AS n,
+          |  quantile(0.5)(o_totalprice) AS med,
+          |  quantile(0.9)(o_totalprice) AS p90
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
     }
   )
 }

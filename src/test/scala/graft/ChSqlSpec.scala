@@ -168,6 +168,18 @@ class ChSqlSpec extends SparkSpec {
     assert(got == Seq((2, Some(20)), (3, None), (4, None), (5, Some(50))))
   }
 
+  test("parametric aggregates fold into single-call dialect forms") {
+    val got = run(
+      """SELECT count() AS n, quantile(0.5)(o_totalprice) AS med,
+        |  topK(3)(o_orderpriority) AS top3, uniqCombined(12)(o_custkey) AS u
+        |FROM orders""".stripMargin)
+    val row = got.collect().head
+    assert(row.getAs[Long]("n") > 0)
+    assert(row.getAs[Double]("med") > 0)
+    assert(row.getAs[scala.collection.Seq[_]]("top3").size == 3)
+    assert(row.getAs[Long]("u") > 0)
+  }
+
   test("EXPLAIN with CH modes maps to Spark EXPLAIN of the translated query") {
     val df = run(
       "EXPLAIN PIPELINE SELECT o_orderkey FROM orders PREWHERE o_orderstatus = 'F' SETTINGS max_threads = 8")
