@@ -58,6 +58,8 @@ object ChDialect {
       Cast(builtin("date_trunc")(Literal("WEEK") +: es), DateType) },
     "toYYYYMM"         -> { es =>
       Cast(builtin("date_format")(es :+ Literal("yyyyMM")), IntegerType) },
+    "toYYYYMMDD"       -> { es =>
+      Cast(builtin("date_format")(es :+ Literal("yyyyMMdd")), IntegerType) },
     "addMonths"      -> builtin("add_months"),
     "addYears"       -> { es =>
       builtin("add_months")(Seq(es(0), Multiply(es(1), Literal(12)))) },
@@ -113,9 +115,35 @@ object ChDialect {
     "leftPad"       -> builtin("lpad"),
     "rightPad"      -> builtin("rpad"),
     "repeatStr"     -> builtin("repeat"),
+    // CH match(haystack, pattern) = RE2 search; Spark's rlike is the
+    // same unanchored-regex-search contract under Java regex
+    "match"         -> { es => RLike(es(0), es(1)) },
     // camelCase CH names that differ from a Spark builtin only by case
     // (startsWith/endsWith/...) resolve through the case-insensitive
     // registry already — no alias needed.
+
+    // ---- higher-order array functions (CH puts the lambda FIRST,
+    // Spark's transform/filter/exists/forall put the array first —
+    // the `x -> expr` lambda syntax itself is identical) ----
+    "arrayMap"    -> { es => builtin("transform")(Seq(es(1), es(0))) },
+    "arrayFilter" -> { es => builtin("filter")(Seq(es(1), es(0))) },
+    "arrayExists" -> { es => builtin("exists")(Seq(es(1), es(0))) },
+    "arrayAll"    -> { es => builtin("forall")(Seq(es(1), es(0))) },
+    // (no arrayCount alias: the analyzer requires a user lambda to
+    // resolve to a TOP-LEVEL higher-order function, and arrayCount
+    // would resolve to Size(filter(...)) — compose size(arrayFilter)
+    // instead)
+    // arraySum folds in double (CH returns the widest numeric; the
+    // double fold is exact for the 2^53 integer range)
+    "arraySum" -> { es =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      builtin("aggregate")(Seq(es(0), Literal(0.0),
+        LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)))) },
+    "arrayMin"  -> builtin("array_min"),
+    "arrayMax"  -> builtin("array_max"),
+    "arrayUniq" -> { es =>
+      builtin("size")(Seq(builtin("array_distinct")(es))) },
 
     // ---- array extras ----
     "arrayReverse" -> builtin("reverse"),

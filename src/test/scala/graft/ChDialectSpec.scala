@@ -127,4 +127,32 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("u") - exact).toDouble / exact < 0.05)
     assert(r.getAs[Int]("ga") > 0 && r.getAs[Int]("gua") >= 2)
   }
+
+  test("higher-order array aliases put the CH lambda-first order on Spark builtins") {
+    val r = sql1(
+      """SELECT
+        |  arrayMap(x -> x * 2, array(1, 2, 3)) AS am,
+        |  arrayFilter(x -> x > 1, array(1, 2, 3)) AS af,
+        |  arrayExists(x -> x = 2, array(1, 2, 3)) AS ae,
+        |  arrayAll(x -> x > 0, array(1, 2, 3)) AS aa,
+        |  size(arrayFilter(x -> x % 2 = 1, array(1, 2, 3))) AS ac,
+        |  arraySum(array(1, 2, 3)) AS asum,
+        |  arrayMin(array(3, 1, 2)) AS amin,
+        |  arrayMax(array(3, 1, 2)) AS amax,
+        |  arrayUniq(array(1, 2, 2, 3)) AS au,
+        |  toYYYYMMDD(TIMESTAMP '2024-03-15 13:45:00') AS ymd,
+        |  match('hello world', 'wor.d') AS mt,
+        |  match('hello', '^world') AS mf
+        |""".stripMargin)
+    def seq(name: String): List[Int] = r.getSeq[Int](r.fieldIndex(name)).toList
+    assert(seq("am") == List(2, 4, 6))
+    assert(seq("af") == List(2, 3))
+    assert(r.getAs[Boolean]("ae") && r.getAs[Boolean]("aa"))
+    assert(r.getAs[Int]("ac") == 2)
+    assert(r.getAs[Double]("asum") == 6.0)
+    assert(r.getAs[Int]("amin") == 1 && r.getAs[Int]("amax") == 3)
+    assert(r.getAs[Int]("au") == 3)
+    assert(r.getAs[Int]("ymd") == 20240315)
+    assert(r.getAs[Boolean]("mt") && !r.getAs[Boolean]("mf"))
+  }
 }
