@@ -193,6 +193,21 @@ class ChSqlSpec extends SparkSpec {
     assert(got.count() == 3)
   }
 
+  test("kitchen sink: FINAL + ARRAY JOIN + PREWHERE + LIMIT BY + SETTINGS + count() compose") {
+    val got = runDocs(
+      """SELECT doc_id, word, count() AS n FROM documents FINAL
+        |ARRAY JOIN splitByChar(' ', text) AS word
+        |PREWHERE lang = 'en'
+        |GROUP BY doc_id, word
+        |ORDER BY doc_id LIMIT 3 BY doc_id
+        |SETTINGS max_threads = 8""".stripMargin)
+    assert(got.count() > 0)
+    // ≤ 3 rows per doc_id survived the LIMIT BY
+    val perDoc = got.groupBy("doc_id").count()
+      .agg(max("count")).as[Long].head()
+    assert(perDoc <= 3)
+  }
+
   test("CH-only clauses inside a derived table are translated recursively") {
     GraftFunctions.ensureRegistered(spark)
     spark.sql("SELECT * FROM VALUES (1, 10), (4, 40) AS t(k, v)")
