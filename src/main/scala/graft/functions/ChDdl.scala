@@ -92,6 +92,9 @@ object ChDdl {
 
     /** Register the table in the session catalog (idempotent). */
     def create(spark: SparkSession): Unit = {
+      // remember the declared sampling key so ChSql can translate the
+      // reference's bare `SAMPLE f` (no BY) into the stored-hash range
+      sampleBy.foreach(_ => ChDdl.declaredSampleKeys.put(table.toLowerCase, "__sample_hash"))
       spark.sql(s"DROP TABLE IF EXISTS $table")
       // a managed-table location can survive from a PREVIOUS session
       // (in-memory catalog, on-disk warehouse) — DROP above can't see
@@ -129,6 +132,14 @@ object ChDdl {
       laid.write.mode("overwrite").insertInto(table)
     }
   }
+
+  /** table → persisted sampling-hash column, filled by create() for
+    * tables declared with SAMPLE BY. */
+  private[functions] val declaredSampleKeys =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private[functions] def sampleHashColOf(table: String): Option[String] =
+    declaredSampleKeys.get(table.toLowerCase)
 
   // ---------- mutations (ASTAlterQuery.h) ----------
 

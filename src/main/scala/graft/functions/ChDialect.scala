@@ -108,6 +108,9 @@ object ChDialect {
     // limit -1 preserves trailing empty strings.
     "splitByChar"   -> { es => builtin("split")(Seq(es(1),
       Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))) },
+    // splitByString: same literal-separator contract, multi-char sep
+    "splitByString" -> { es => builtin("split")(Seq(es(1),
+      Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))) },
     "replaceAll"    -> builtin("replace"),
     "concatStr"     -> builtin("concat"),
     "trimBoth"      -> builtin("trim"),
@@ -142,6 +145,14 @@ object ChDialect {
         LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)))) },
     "arrayMin"  -> builtin("array_min"),
     "arrayMax"  -> builtin("array_max"),
+    "arrayZip"  -> builtin("arrays_zip"),
+    // arrayEnumerate([]) must be [], and sequence(1, 0) throws —
+    // guard the empty case explicitly
+    "arrayEnumerate" -> { es =>
+      val sz = builtin("size")(es)
+      If(EqualTo(sz, Literal(0)),
+        Literal.create(Array.empty[Int], ArrayType(IntegerType)),
+        builtin("sequence")(Seq(Literal(1), sz))) },
     "arrayUniq" -> { es =>
       builtin("size")(Seq(builtin("array_distinct")(es))) },
 

@@ -220,7 +220,11 @@ object ChSql {
     * dropped. */
   private def stripSettings(ts: Vector[Tok]): Vector[Tok] = {
     val i = find0(ts, Set("SETTINGS"))
-    if (i >= 0) ts.take(i) else ts
+    // guard on the `name = value` shape so a column merely NAMED
+    // settings can't truncate the query
+    if (i >= 0 && i + 2 < ts.length && ts(i + 1).word && ts(i + 2).text == "=")
+      ts.take(i)
+    else ts
   }
 
   /** GLOBAL IN/JOIN is ClickHouse's distribution hint (ship the
@@ -359,14 +363,32 @@ object ChSql {
 
   private def rewriteSample(ts: Vector[Tok]): Vector[Tok] = {
     val si = find0(ts, Set("SAMPLE"))
-    if (si < 0 || si + 3 >= ts.length + 1) return ts
-    if (si + 3 < ts.length && ts(si + 2).up == "BY" &&
-        ts(si + 1).text.matches("""0?\.\d+|\d+\.\d+""") && ts(si + 3).word) {
-      val frac = ts(si + 1).text.toDouble
+    if (si < 0 || si + 1 >= ts.length) return ts
+    if (!ts(si + 1).text.matches("""0?\.\d+|\d+\.\d+""")) return ts
+    val frac = ts(si + 1).text.toDouble
+    if (si + 3 < ts.length && ts(si + 2).up == "BY" && ts(si + 3).word) {
+      // explicit `SAMPLE f BY col`: per-row hash of the named key
+      // (deterministic, IO-full — the layoutless fallback)
       val key = ts(si + 3).text
       val rest = ts.take(si) ++ ts.drop(si + 4)
       injectWhere(rest, s"xxhash64($key) <= ${hashCut(frac)}L")
-    } else ts
+    } else {
+      // the reference's own `SAMPLE f`: the sampling key comes from the
+      // table's DDL (SAMPLE BY). If the FROM table was created through
+      // ChDdl, its PERSISTED hash column serves the range predicate —
+      // pushed to the scan, IO proportional to f (MergeTree behavior).
+      val from = find0(ts, Set("FROM"))
+      val tbl = if (from >= 0 && from + 1 < ts.length && ts(from + 1).word)
+        Some(ts(from + 1).text) else None
+      tbl.flatMap(t => ChDdl.sampleHashColOf(t)) match {
+        case Some(hashCol) =>
+          val rest = ts.take(si) ++ ts.drop(si + 2)
+          injectWhere(rest, s"$hashCol <= ${hashCut(frac)}L")
+        case None => throw new IllegalArgumentException(
+          s"SAMPLE $frac: table ${tbl.getOrElse("?")} declares no SAMPLE BY " +
+            "(create it via ChDdl, or use the explicit `SAMPLE f BY col` form)")
+      }
+    }
   }
 
   // ---------- [LEFT] ARRAY JOIN ----------

@@ -155,4 +155,21 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getAs[Int]("ymd") == 20240315)
     assert(r.getAs[Boolean]("mt") && !r.getAs[Boolean]("mf"))
   }
+
+  test("splitByString/arrayEnumerate/arrayZip semantics") {
+    val r = sql1(
+      """SELECT
+        |  splitByString('||', 'a||b||c') AS sbs,
+        |  splitByString('.', 'x.y.') AS sbd,
+        |  arrayEnumerate(array(9, 8, 7)) AS en,
+        |  arrayEnumerate(array()) AS en0,
+        |  arrayZip(array(1, 2), array('a', 'b')) AS az
+        |""".stripMargin)
+    assert(r.getSeq[String](r.fieldIndex("sbs")).toList == List("a", "b", "c"))
+    // literal separator + trailing empty kept, like CH
+    assert(r.getSeq[String](r.fieldIndex("sbd")).toList == List("x", "y", ""))
+    assert(r.getSeq[Int](r.fieldIndex("en")).toList == List(1, 2, 3))
+    assert(r.getSeq[Int](r.fieldIndex("en0")).isEmpty)
+    assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("az")).length == 2)
+  }
 }

@@ -89,6 +89,25 @@ class DdlSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("bare SAMPLE f against a DDL table uses the declared stored-hash layout, pushed down") {
+    GraftFunctions.ensureRegistered(spark)
+    val ct = ChDdl.parse(
+      """CREATE TABLE graft_sample_ddl (
+        |  o_orderkey Int64, o_totalprice Float64
+        |) ENGINE = MergeTree()
+        |ORDER BY (o_orderkey) SAMPLE BY intHash32(o_orderkey)""".stripMargin)
+    ct.create(spark)
+    ct.insertSelect(spark, Tables(spark, sfDir).orders.select("o_orderkey", "o_totalprice"))
+    // the reference's own syntax — no BY clause; the key is in the DDL
+    val df = spark.sql(graft.functions.ChSql.translate(
+      "SELECT o_orderkey FROM graft_sample_ddl SAMPLE 0.1 ORDER BY o_orderkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(__sample_hash), LessThanOrEqual(__sample_hash"),
+      s"bare SAMPLE predicate not pushed:\n$plan")
+    val frac = df.count().toDouble / spark.table("graft_sample_ddl").count()
+    assert(frac > 0.05 && frac < 0.15, s"sampled fraction $frac")
+  }
+
   test("ALTER DELETE and UPDATE mutate the table like the reference's mutations") {
     GraftFunctions.ensureRegistered(spark)
     val ct = ChDdl.parse(
