@@ -188,6 +188,81 @@ object ChDdl {
       .write.mode("overwrite").insertInto(table)
   }
 
+  // ---------- CREATE FUNCTION (ASTCreateFunctionQuery.h) ----------
+
+  /** CREATE FUNCTION name AS (a, b) -> expr — ClickHouse's SQL lambda
+    * UDFs. Registered as a SESSION FunctionRegistry builder that
+    * substitutes the call arguments into the parsed body expression —
+    * the result is ordinary Catalyst (codegen'd like any built-in
+    * composition), never a black-box UDF. */
+  def createFunction(spark: SparkSession, sql: String): Unit = {
+    val ts = tokenize(sql)._1
+    require(ts.length > 4 && ts(0).up == "CREATE" && ts(1).up == "FUNCTION",
+      "expected CREATE FUNCTION")
+    var i = 2
+    if (ts(i).up == "IF") i += 3 // IF NOT EXISTS
+    val name = ts(i).text
+    i += 1
+    require(i < ts.length && ts(i).up == "AS", "expected AS")
+    i += 1
+    val params: Seq[String] =
+      if (ts(i).text == "(") {
+        val close = matchParen(ts, i)
+        val ps = splitTop(ts.slice(i + 1, close)).map(_.head.text)
+        i = close + 1
+        ps
+      } else { val p = ts(i).text; i += 1; Seq(p) }
+    require(i < ts.length && ts(i).text == "->", "expected ->")
+    val body = spark.sessionState.sqlParser.parseExpression(renderTrim(ts.drop(i + 1)))
+    val builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression = es => {
+      require(es.length == params.length,
+        s"$name expects ${params.length} arguments, got ${es.length}")
+      body.transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if params.indexOf(a.name) >= 0 => es(params.indexOf(a.name))
+      }
+    }
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ChDdl.type].getName, name),
+      builder)
+  }
+
+  // ---------- the executeQuery front door ----------
+
+  /** Route ANY ClickHouse statement (reference:
+    * src/Interpreters/executeQuery.cpp dispatches on the parsed AST
+    * kind) to its graft realization. DDL returns an empty frame;
+    * queries return their result. */
+  def execute(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val ts = tokenize(sql)._1
+    def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
+    (kw(0), kw(1)) match {
+      case ("CREATE", "TABLE") => parse(sql).create(spark); spark.emptyDataFrame
+      case ("CREATE", "FUNCTION") => createFunction(spark, sql); spark.emptyDataFrame
+      case ("ALTER", "TABLE")
+          if ChSql.find0(ts, Set("DELETE", "UPDATE"), 2) >= 0 =>
+        alter(spark, sql); spark.emptyDataFrame
+      case ("RENAME", "TABLE") =>
+        // RENAME TABLE a TO b → Spark's ALTER TABLE a RENAME TO b
+        val toIdx = ChSql.find0(ts, Set("TO"), 2)
+        require(toIdx > 2, "expected RENAME TABLE a TO b")
+        val from = renderTrim(ts.slice(2, toIdx))
+        val to = renderTrim(ts.drop(toIdx + 1))
+        spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      case ("OPTIMIZE", "TABLE") =>
+        // merge-now hint: a parquet snapshot is already fully merged
+        spark.emptyDataFrame
+      case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("DESCRIBE", _) |
+           ("DESC", _) | ("USE", _) | ("ALTER", _) =>
+        spark.sql(sql) // Spark's own DDL grammar covers these forms
+      case _ => spark.sql(ChSql.translate(sql))
+    }
+  }
+
   // ---------- parser ----------
 
   /** Parse a ClickHouse CREATE TABLE statement. Unsupported tail

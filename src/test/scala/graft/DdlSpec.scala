@@ -122,6 +122,39 @@ class DdlSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (3L, 30.0), (5L, 50.0), (7L, 71.0), (9L, 91.0)), got)
   }
 
+  test("CREATE FUNCTION registers a SQL-lambda that inlines as Catalyst") {
+    ChDdl.createFunction(spark,
+      "CREATE FUNCTION graft_linear AS (x, k, b) -> k * x + b")
+    ChDdl.createFunction(spark,
+      "CREATE FUNCTION graft_double AS x -> x * 2")
+    val r = spark.sql(
+      "SELECT graft_linear(10, 2, 1) AS lin, graft_double(21) AS dbl").collect().head
+    assert(r.getAs[Int]("lin") == 21 && r.getAs[Int]("dbl") == 42)
+    // composes with columns and other functions
+    val n = spark.range(5)
+      .selectExpr("graft_linear(id, 3, 1) AS v").selectExpr("sum(v)")
+      .collect().head.getLong(0)
+    assert(n == 3 * (0 + 1 + 2 + 3 + 4) + 5)
+  }
+
+  test("execute() routes any CH statement to its realization") {
+    ChDdl.execute(spark,
+      "CREATE TABLE graft_exec_spec (k Int64, v Float64) ENGINE = MergeTree() ORDER BY (k)")
+    ChDdl.parse(
+      "CREATE TABLE graft_exec_spec (k Int64, v Float64) ENGINE = Memory")
+      // (re-parse only to get insertSelect's layout helper on the same name)
+      .insertSelect(spark, spark.range(1, 6).select($"id".as("k"), ($"id" * 1.5).as("v")))
+    ChDdl.execute(spark, "ALTER TABLE graft_exec_spec DELETE WHERE k = 5")
+    ChDdl.execute(spark, "OPTIMIZE TABLE graft_exec_spec FINAL") // no-op, parquet is merged
+    ChDdl.execute(spark, "RENAME TABLE graft_exec_spec TO graft_exec_spec2")
+    val got = ChDdl.execute(spark,
+      "SELECT count() AS n FROM graft_exec_spec2 PREWHERE k < 10")
+      .as[Long].collect().head
+    assert(got == 4)
+    ChDdl.execute(spark, "DROP TABLE graft_exec_spec2")
+    assert(!spark.catalog.tableExists("graft_exec_spec2"))
+  }
+
   test("dictGet resolves through the broadcast map with no join in the plan") {
     GraftFunctions.ensureRegistered(spark)
     val t = Tables(spark, sfDir)
