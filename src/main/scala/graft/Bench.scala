@@ -45,10 +45,18 @@ object Bench {
     val results = SparkEntry.queries.keys.map { name =>
       name -> median(passes.map(_(name)))
     }.toMap
+    // relative spread (max-min)/median per query — the stability
+    // evidence for the reported medians
+    val spreads = SparkEntry.queries.keys.map { name =>
+      val xs = passes.map(_(name))
+      val m = median(xs)
+      if (m > 0) (xs.max - xs.min) / m else 0.0
+    }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    val medSpread = if (spreads.nonEmpty) median(spreads) else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread}""")
     spark.stop()
   }
 }

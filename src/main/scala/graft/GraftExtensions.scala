@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionRegistry.builtin.functionExists(id)
       }
       .foreach(ext.injectFunction)
+    // projection auto-selection: matching aggregates over a table with
+    // a declared PROJECTION read the materialized summary instead
+    ext.injectOptimizerRule(session => graft.plans.ProjectionRewrite(session))
   }
 }

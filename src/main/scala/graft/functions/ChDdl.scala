@@ -46,13 +46,20 @@ object ChDdl {
   final case class ChColumn(
       name: String, sparkType: String, enumValues: Option[Seq[(String, Int)]])
 
+  /** PROJECTION name (SELECT keys…, aggs… GROUP BY keys) declared in
+    * the column list (ASTProjectionDeclaration.h). */
+  final case class ChProjection(
+      name: String, keys: Seq[String], sums: Seq[String],
+      mins: Seq[String], maxs: Seq[String], hasCount: Boolean)
+
   final case class ChCreateTable(
       table: String,
       cols: Seq[ChColumn],
       engine: String,
       partitionBy: Seq[String],
       orderBy: Seq[String],
-      sampleBy: Option[String]) {
+      sampleBy: Option[String],
+      projections: Seq[ChProjection] = Nil) {
 
     def enumOf(col: String): Seq[(String, Int)] =
       cols.find(_.name == col).flatMap(_.enumValues).getOrElse(
@@ -130,6 +137,30 @@ object ChDdl {
           .repartitionByRange(sortCols: _*)
           .sortWithinPartitions(sortCols: _*)
       laid.write.mode("overwrite").insertInto(table)
+      projections.foreach(materializeProjection(spark, source, _))
+    }
+
+    /** Write the projection's aggregate table FROM THE SAME LOAD (so
+      * base and projection cannot drift) and register it for the
+      * ProjectionRewrite optimizer rule. */
+    private def materializeProjection(
+        spark: SparkSession, source: DataFrame, p: ChProjection): Unit = {
+      val aggs =
+        p.sums.map(c => sum(col(c)).as(s"__sum_$c")) ++
+        p.mins.map(c => min(col(c)).as(s"__min_$c")) ++
+        p.maxs.map(c => max(col(c)).as(s"__max_$c")) ++
+        (if (p.hasCount) Seq(count(lit(1)).as("__cnt")) else Nil)
+      val projTable = s"${table}__proj_${p.name}"
+      val pdf = source.groupBy(p.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      spark.sql(s"DROP TABLE IF EXISTS $projTable")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, projTable.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      pdf.write.mode("overwrite").format("parquet").saveAsTable(projTable)
+      graft.plans.ProjectionCatalog.register(graft.plans.ProjectionCatalog.Proj(
+        table, projTable, p.keys,
+        p.sums.toSet, p.mins.toSet, p.maxs.toSet, p.hasCount))
     }
   }
 
@@ -161,6 +192,10 @@ object ChDdl {
     while (i < ts.length && !(ts(i).word && Set("DELETE", "UPDATE").contains(ts(i).up))) i += 1
     val table = ts.slice(nameStart, i).filter(_.word).map(_.text).mkString("_")
     require(i < ts.length, "expected DELETE or UPDATE")
+    // a mutation invalidates declared projections (the reference
+    // rebuilds them before the mutated part is usable; we simply stop
+    // routing aggregates to the stale materialization)
+    graft.plans.ProjectionCatalog.invalidate(table)
     val snapshot = spark.table(table)
     val mutated = ts(i).up match {
       case "DELETE" =>
@@ -280,8 +315,10 @@ object ChDdl {
     val table = ts.slice(nameStart, i).filter(_.word).map(_.text).mkString("_")
     require(i < ts.length, "expected column list")
     val close = matchParen(ts, i)
-    val colItems = splitTop(ts.slice(i + 1, close))
+    val allItems = splitTop(ts.slice(i + 1, close))
+    val (projItems, colItems) = allItems.partition(it => it.head.up == "PROJECTION")
     val cols = colItems.map(parseColumn)
+    val projections = projItems.map(parseProjection)
     // tail clauses
     var engine = ""
     var partitionBy = Seq.empty[String]
@@ -322,7 +359,41 @@ object ChDdl {
           j = clauseEndFrom(j + 1)
       }
     }
-    ChCreateTable(table, cols, engine, partitionBy, orderBy, sampleBy)
+    ChCreateTable(table, cols, engine, partitionBy, orderBy, sampleBy, projections)
+  }
+
+  /** `PROJECTION p (SELECT a, sum(v), count() GROUP BY a)` */
+  private def parseProjection(item: Vector[Tok]): ChProjection = {
+    require(item.length > 3 && item(0).up == "PROJECTION" && item(2).text == "(",
+      s"bad projection: ${renderTrim(item)}")
+    val name = item(1).text
+    val close = matchParen(item, 2)
+    val inner = item.slice(3, close)
+    require(inner.nonEmpty && inner.head.up == "SELECT",
+      s"projection body must be SELECT …: ${renderTrim(item)}")
+    val gi = ChSql.find0(inner, Set("GROUP"))
+    require(gi > 0 && gi + 1 < inner.length && inner(gi + 1).up == "BY",
+      "projection needs GROUP BY")
+    val selectItems = splitTop(inner.slice(1, gi))
+    val keys = splitTop(inner.drop(gi + 2)).map(_.head.text)
+    var sums, mins, maxs = Vector.empty[String]
+    var hasCount = false
+    selectItems.foreach { it =>
+      if (it.length == 1 && it.head.word) () // a grouping key, listed in keys
+      else if (it.length >= 3 && it(1).text == "(") {
+        val arg = if (it.length > 3) it(2).text else ""
+        it.head.up match {
+          case "SUM" => sums :+= arg
+          case "MIN" => mins :+= arg
+          case "MAX" => maxs :+= arg
+          case "COUNT" => hasCount = true
+          case other => throw new IllegalArgumentException(
+            s"unsupported projection aggregate: $other (sum/min/max/count)")
+        }
+      } else throw new IllegalArgumentException(
+        s"bad projection select item: ${renderTrim(it)}")
+    }
+    ChProjection(name, keys, sums, mins, maxs, hasCount)
   }
 
   /** Split a token run on its top-level commas. */

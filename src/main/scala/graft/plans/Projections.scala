@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.LongType
+
+/** Projections (reference: src/Parsers/ASTProjectionDeclaration.h,
+  * ASTProjectionSelectQuery.h): a table-declared pre-aggregated
+  * alternate layout the engine reads INSTEAD of the base data when a
+  * query's aggregate matches. ClickHouse keeps projections inside each
+  * part and picks them at planning time; the Spark realization is a
+  * materialized aggregate TABLE (written by ChDdl.insertSelect with
+  * the base data, so they can't drift) plus this optimizer
+  * Rule[LogicalPlan], injected through GraftExtensions, that rewrites
+  * matching aggregates onto it.
+  *
+  * A rewrite fires only when it is EXACTLY answer-preserving:
+  *  - the child is the bare base relation (attribute-only Projects are
+  *    looked through; any Filter/Join/expression blocks the rewrite);
+  *  - every grouping expression is a plain column ⊆ the projection's
+  *    GROUP BY keys (a strict subset re-aggregates the rollup);
+  *  - every aggregate is sum/min/max over a projected column or
+  *    count(*), undistinct and unfiltered — re-aggregated as
+  *    sum(__sum_c) / min(__min_c) / max(__max_c) / sum(__cnt), cast
+  *    back to the original result type.
+  * Output attributes keep the original names AND exprIds, so parent
+  * operators are untouched. ALTER mutations invalidate the projection
+  * (ChDdl.alter drops the registration) — same contract as the
+  * reference, where mutations rebuild projections before the part is
+  * usable.
+  *
+  * At 100 TB this is the difference between scanning a fact table and
+  * scanning a keys-cardinality summary: the projection table is
+  * partition-overwritten alongside the base by the same load, and
+  * every matching dashboard-style aggregate never touches the facts.
+  */
+object ProjectionCatalog {
+  final case class Proj(
+      baseTable: String, projTable: String, keys: Seq[String],
+      sums: Set[String], mins: Set[String], maxs: Set[String],
+      hasCount: Boolean)
+
+  private[graft] val byBase =
+    scala.collection.concurrent.TrieMap[String, Proj]()
+
+  def register(p: Proj): Unit = byBase.put(p.baseTable.toLowerCase, p)
+  def invalidate(baseTable: String): Unit = byBase.remove(baseTable.toLowerCase)
+  def get(baseTable: String): Option[Proj] = byBase.get(baseTable.toLowerCase)
+}
+
+case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupings, aggExprs, child, _) =>
+      baseTableOf(child).flatMap(ProjectionCatalog.get) match {
+        case Some(p) => tryRewrite(agg, groupings, aggExprs, p).getOrElse(agg)
+        case None => agg
+      }
+  }
+
+  /** The catalog-table name beneath attribute-only projections, or
+    * None if anything else (filter, join, computed column) intervenes. */
+  private def baseTableOf(plan: LogicalPlan): Option[String] = plan match {
+    case lr: LogicalRelation => lr.catalogTable.map(_.identifier.table.toLowerCase)
+    case SubqueryAlias(_, c) => baseTableOf(c)
+    case Project(exprs, c) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      baseTableOf(c)
+    case _ => None
+  }
+
+  private object NoRewrite extends scala.util.control.ControlThrowable
+
+  private def tryRewrite(
+      agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      p: ProjectionCatalog.Proj): Option[LogicalPlan] = try {
+    // groupings: plain columns within the projection keys
+    val groupAttrs = groupings.map {
+      case a: AttributeReference if p.keys.contains(a.name) => a
+      case _ => throw NoRewrite
+    }
+    // fresh relation (fresh exprIds per rewrite — no attr conflicts);
+    // EliminateSubqueryAliases already ran for the main tree, so strip
+    // the alias from the injected subtree too or planning fails on it
+    val projPlan = org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+      spark.table(p.projTable).queryExecution.analyzed)
+    def pa(name: String): AttributeReference =
+      projPlan.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }.getOrElse(throw NoRewrite)
+
+    def reAgg(fn: AggregateFunction): Option[Expression] = fn match {
+      case Sum(a: AttributeReference, _) if p.sums.contains(a.name) =>
+        Some(Sum(pa(s"__sum_${a.name}")).toAggregateExpression())
+      case Min(a: AttributeReference) if p.mins.contains(a.name) =>
+        Some(Min(pa(s"__min_${a.name}")).toAggregateExpression())
+      case Max(a: AttributeReference) if p.maxs.contains(a.name) =>
+        Some(Max(pa(s"__max_${a.name}")).toAggregateExpression())
+      case Count(Seq(Literal(1, _))) if p.hasCount =>
+        Some(Cast(Sum(pa("__cnt")).toAggregateExpression(), LongType))
+      case _ => None
+    }
+
+    def rebuild(ae: AggregateExpression): Expression = {
+      if (ae.isDistinct || ae.filter.nonEmpty) throw NoRewrite
+      reAgg(ae.aggregateFunction) match {
+        case Some(re) => Cast(re, ae.dataType)
+        case None => throw NoRewrite
+      }
+    }
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if p.keys.contains(a.name) =>
+        Alias(pa(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name) =>
+        Alias(rebuild(ae), name)(exprId = al.exprId)
+      // the ubiquitous sum(x).cast(T) shape: look through the cast
+      case al @ Alias(c: Cast, name) if c.child.isInstanceOf[AggregateExpression] =>
+        val re = rebuild(c.child.asInstanceOf[AggregateExpression])
+        Alias(c.withNewChildren(Seq(re)), name)(exprId = al.exprId)
+      case _ => throw NoRewrite
+    }
+    val newGroupings = groupAttrs.map(a => pa(a.name))
+    Some(Aggregate(newGroupings, newAggExprs, projPlan))
+  } catch {
+    case NoRewrite => None
+  }
+}

@@ -292,6 +292,49 @@ object TypeQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Projections (ASTProjectionDeclaration.h / ASTProjectionSelectQuery.h):
+    // the table declares a pre-aggregated layout; insertSelect
+    // materializes it from the same load; the ProjectionRewrite
+    // optimizer rule (plans/Projections.scala, injected via
+    // GraftExtensions) routes this matching aggregate onto the summary
+    // — the oracle computes from the raw rows, so the hash-match
+    // proves the rewrite is answer-preserving. Decimal sums re-aggregate
+    // exactly (decimal addition is associative), which is why the
+    // declared sum is over the decimal column.
+    "p05_projection" -> Q(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      val ct = ChDdl.parse(
+        """CREATE TABLE graft_p05 (
+          |  o_orderkey Int64,
+          |  o_orderstatus FixedString(1),
+          |  o_orderpriority String,
+          |  price Decimal(12, 2),
+          |  PROJECTION by_status (
+          |    SELECT o_orderstatus, o_orderpriority, sum(price),
+          |           min(o_orderkey), max(o_orderkey), count()
+          |    GROUP BY o_orderstatus, o_orderpriority)
+          |) ENGINE = MergeTree() ORDER BY (o_orderkey)""".stripMargin)
+      ct.create(s)
+      ct.insertSelect(s, Tables(s, dir).orders.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price")))
+      val q = s.table("graft_p05")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("total"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+      assert(q.queryExecution.optimizedPlan.toString.contains("__proj_by_status"),
+        "p05 aggregate was not routed to the projection")
+      q
+    },
+
     // DateTime64(6/3/0) semantics (DataTypeDateTime64.h:1): the
     // sub-second truncation ladder µs → ms → s, computed on epoch
     // integers in BOTH engines (no timestamp rendering, no timezone

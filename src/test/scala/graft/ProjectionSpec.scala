@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ChDdl, GraftFunctions}
+import graft.sources.Tables
+
+/** Projection declarations end-to-end: DDL parse → materialization →
+  * the ProjectionRewrite optimizer rule routing matching aggregates
+  * onto the summary table, exactly answer-preserving, and refusing
+  * anything it can't preserve. */
+class ProjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ct = {
+    GraftFunctions.ensureRegistered(spark)
+    val ct = ChDdl.parse(
+      """CREATE TABLE graft_proj_spec (
+        |  o_orderkey Int64,
+        |  o_orderstatus FixedString(1),
+        |  o_orderpriority String,
+        |  o_totalprice Float64,
+        |  PROJECTION by_status (
+        |    SELECT o_orderstatus, o_orderpriority, sum(o_totalprice),
+        |           min(o_orderkey), max(o_orderkey), count()
+        |    GROUP BY o_orderstatus, o_orderpriority)
+        |) ENGINE = MergeTree() ORDER BY (o_orderkey)""".stripMargin)
+    ct.create(spark)
+    ct.insertSelect(spark, Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+    ct
+  }
+
+  test("DDL parses the PROJECTION declaration") {
+    assert(ct.projections.map(_.name) == Seq("by_status"))
+    val p = ct.projections.head
+    assert(p.keys == Seq("o_orderstatus", "o_orderpriority"))
+    assert(p.sums == Seq("o_totalprice") && p.hasCount)
+    assert(p.mins == Seq("o_orderkey") && p.maxs == Seq("o_orderkey"))
+  }
+
+  test("matching aggregate reads the projection table and keeps exact results") {
+    val q = spark.table("graft_proj_spec")
+      .groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"),
+        min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("__proj_by_status"),
+      s"aggregate not routed to the projection:\n${q.queryExecution.optimizedPlan}")
+    val got = q.orderBy("o_orderstatus")
+      .as[(String, Double, Long, Long, Long)].collect().toSeq
+    val expect = Tables(spark, sfDir).orders
+      .groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"),
+        min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .orderBy("o_orderstatus")
+      .as[(String, Double, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.size == expect.size)
+    // counts/min/max exact; the double sum re-aggregates partials, so
+    // only summation ORDER differs — ulp-level tolerance (decimal sums
+    // are exactly associative and hash-verified in p05 instead)
+    got.zip(expect).foreach { case ((s1, t1, n1, lo1, hi1), (s2, t2, n2, lo2, hi2)) =>
+      assert(s1 == s2 && n1 == n2 && lo1 == lo2 && hi1 == hi2)
+      assert(math.abs(t1 - t2) / math.max(math.abs(t2), 1.0) < 1e-12, s"$t1 vs $t2")
+    }
+  }
+
+  test("subset grouping keys re-aggregate the rollup correctly") {
+    val q = spark.table("graft_proj_spec")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("__proj_by_status"))
+    val got = q.as[(String, Long)].collect().toMap
+    val expect = Tables(spark, sfDir).orders
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    assert(got == expect)
+  }
+
+  test("non-preserving shapes are NOT rewritten") {
+    ct // force materialization
+    // a filter between scan and aggregate blocks the rewrite
+    val filtered = spark.table("graft_proj_spec")
+      .filter($"o_totalprice" > 1000)
+      .groupBy("o_orderstatus").agg(count(lit(1)))
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("__proj_"))
+    // an aggregate the projection doesn't carry blocks the rewrite
+    val avgQ = spark.table("graft_proj_spec")
+      .groupBy("o_orderstatus").agg(avg("o_totalprice"))
+    assert(!avgQ.queryExecution.optimizedPlan.toString.contains("__proj_"))
+    // grouping outside the projection keys blocks the rewrite
+    val byKey = spark.table("graft_proj_spec")
+      .groupBy("o_orderkey").agg(count(lit(1)))
+    assert(!byKey.queryExecution.optimizedPlan.toString.contains("__proj_"))
+  }
+
+  test("ALTER mutation invalidates the projection routing") {
+    ct // force materialization
+    ChDdl.alter(spark, "ALTER TABLE graft_proj_spec DELETE WHERE o_orderkey < 0") // no-op delete
+    val q = spark.table("graft_proj_spec")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("__proj_"),
+      "stale projection still routed after a mutation")
+    // results still correct from the base table
+    val got = q.as[(String, Long)].collect().toMap
+    val expect = Tables(spark, sfDir).orders
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    assert(got == expect)
+  }
+}
