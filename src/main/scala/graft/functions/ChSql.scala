@@ -505,6 +505,7 @@ object ChSql {
     var from = Option.empty[String]
     var to = Option.empty[String]
     var step = "1"
+    var interpolate = Option.empty[String]
     var i = wi + 2
     val dd = depths(ts)
     while (i < ts.length) {
@@ -517,8 +518,14 @@ object ChSql {
           case "FROM" => from = Some(e)
           case "TO" => to = Some(e)
           case "STEP" => step = e
-          case "INTERPOLATE" => throw new IllegalArgumentException(
-            "WITH FILL INTERPOLATE: use operators.WithFill.interpolated (no SQL form yet)")
+          case "INTERPOLATE" =>
+            // INTERPOLATE (c): carry the last seen value across filled
+            // rows. Single plain column, no AS expr (use
+            // operators.WithFill.interpolated for expression forms).
+            val it = ts.slice(i + 1, j)
+            require(it.length == 3 && it(0).text == "(" && it(1).word && it(2).text == ")",
+              s"INTERPOLATE supports a single plain column, got '${renderTrim(it)}'")
+            interpolate = Some(it(1).text)
         }
         i = j
       } else i += 1
@@ -531,9 +538,45 @@ object ChSql {
         s"""(SELECT explode(sequence(__wf_lo, __wf_hi, $step)) AS $k
            |   FROM (SELECT min($k) AS __wf_lo, max($k) AS __wf_hi FROM ($head)))""".stripMargin
     }
-    retok(
-      s"""SELECT * FROM $spine __wf_s
-         |FULL JOIN ($head) __wf_q USING ($k)
-         |ORDER BY $k""".stripMargin)
+    interpolate match {
+      case None =>
+        retok(
+          s"""SELECT * FROM $spine __wf_s
+             |FULL JOIN ($head) __wf_q USING ($k)
+             |ORDER BY $k""".stripMargin)
+      case Some(c) =>
+        // Carry without a global single-partition window (the one plan
+        // shape this repo bans): the axis is bucketed (1024 steps per
+        // bucket), the in-bucket carry is a PARTITIONED window, and the
+        // carry ACROSS buckets runs on the bucket-granularity relation
+        // (≤ axis-span/1024 rows) — the WithFill.interpolated /
+        // AsOfJoinBucketed two-level pattern, generated as SQL.
+        // Rows before the first value carry NULL (coalesce for CH's
+        // type-default). The interpolated column moves to the END of
+        // the output row (SELECT * EXCEPT re-append).
+        require(step.matches("""[0-9.]+"""),
+          s"INTERPOLATE needs a numeric STEP axis, got STEP $step")
+        val bucket = s"floor($k / (1024 * $step))"
+        retok(
+          s"""WITH __wf_j AS (
+             |  SELECT *, $bucket AS __wf_bk FROM $spine __wf_s
+             |  FULL JOIN ($head) __wf_q USING ($k)),
+             |__wf_bl AS (
+             |  SELECT __wf_bk, max_by($c, $k) AS __wf_v
+             |  FROM __wf_j WHERE $c IS NOT NULL GROUP BY __wf_bk),
+             |__wf_ci AS (
+             |  SELECT x.__wf_bk, max_by(y.__wf_v, y.__wf_bk) AS __wf_carry
+             |  FROM (SELECT DISTINCT __wf_bk FROM __wf_j) x
+             |  LEFT JOIN __wf_bl y ON y.__wf_bk < x.__wf_bk
+             |  GROUP BY x.__wf_bk),
+             |__wf_inw AS (
+             |  SELECT *, last($c, true) OVER (PARTITION BY __wf_bk ORDER BY $k
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __wf_inv
+             |  FROM __wf_j)
+             |SELECT * EXCEPT(__wf_bk, __wf_inv, __wf_carry, $c),
+             |       coalesce(__wf_inv, __wf_carry) AS $c
+             |FROM __wf_inw LEFT JOIN __wf_ci USING (__wf_bk)
+             |ORDER BY $k""".stripMargin)
+    }
   }
 }

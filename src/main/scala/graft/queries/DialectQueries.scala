@@ -179,6 +179,35 @@ object DialectQueries {
           |FROM customer GROUP BY nation ORDER BY nation""".stripMargin)
     },
 
+    // WITH FILL … INTERPOLATE through the translator: the filled axis
+    // carries the last seen total forward, realized as the bucketed
+    // two-level carry (no global window) — verbatim CH, oracled
+    // against DuckDB's IGNORE NULLS carry.
+    "c09_ch_interpolate" -> Q(
+      """WITH q AS (
+        |  SELECT CAST(date_part('day', o_orderdate) AS BIGINT) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS t0
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+        |  GROUP BY 1),
+        |s AS (SELECT unnest(generate_series(1, 31)) AS d),
+        |j AS (SELECT COALESCE(s.d, q.d) AS d, q.t0 FROM s FULL JOIN q ON s.d = q.d)
+        |SELECT d, COALESCE(last_value(t0 IGNORE NULLS) OVER (ORDER BY d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS t
+        |FROM j ORDER BY d""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT d, ifNull(t, 0) AS t FROM (
+          |  SELECT CAST(toDayOfMonth(o_orderdate) AS BIGINT) AS d,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS t
+          |  FROM orders
+          |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+          |  GROUP BY d
+          |  ORDER BY d WITH FILL FROM 1 TO 32 INTERPOLATE (t)
+          |) ORDER BY d""".stripMargin))
+    },
+
     // Parametric aggregate syntax (ASTFunction.h parameters):
     // quantile(0.9)(x) and bare count() — the forms every real CH
     // query uses — folded by the translator into the registered

@@ -208,6 +208,20 @@ class ChSqlSpec extends SparkSpec {
     assert(perDoc <= 3)
   }
 
+  test("WITH FILL INTERPOLATE carries the last value across filled rows") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 10), (4, 40), (2500, 77) AS t(k, v)")
+      .createOrReplaceTempView("wf_i")
+    val got = spark.sql(ChSql.translate(
+      "SELECT k, v FROM wf_i ORDER BY k WITH FILL FROM 1 TO 7 INTERPOLATE (v)"))
+      .select("k", "v").as[(Int, Option[Int])].collect().sortBy(_._1).toSeq
+    // filled rows 3,5,6 carry the last seen v; 2500 sits in a LATER
+    // bucket and carries across the bucket boundary; row 2 carries 10
+    assert(got == Seq(
+      (1, Some(10)), (2, Some(10)), (3, Some(10)), (4, Some(40)),
+      (5, Some(40)), (6, Some(40)), (2500, Some(77))), got)
+  }
+
   test("CH-only clauses inside a derived table are translated recursively") {
     GraftFunctions.ensureRegistered(spark)
     spark.sql("SELECT * FROM VALUES (1, 10), (4, 40) AS t(k, v)")

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
       "q17_limit_with_ties",// broadcast 1-row cutoff
       "w04_ntile",          // 1-row total + ≤#partitions offsets self-join
       "w09_interpolate",    // month-granularity carry self-join (dimension-sized)
+      "c09_ch_interpolate", // bucket-granularity carry self-join (≤ axis/1024 rows)
       "y03_lowcard",        // dictionary rank self-join (distinct values)
       "j05_cross",          // the intentional CROSS JOIN
       "d05_knn_brute")      // brute force IS broadcast-queries × corpus
