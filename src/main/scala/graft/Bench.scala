@@ -37,6 +37,9 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    // one untimed FULL pass first: per-plan codegen/JIT and one-time
+    // layout writes land here instead of skewing pass 1 of the stats
+    pass()
     val passes = (1 to iters).map(_ => pass())
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

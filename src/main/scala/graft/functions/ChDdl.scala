@@ -273,6 +273,25 @@ object ChDdl {
     * queries return their result. */
   def execute(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
     GraftFunctions.ensureRegistered(spark)
+    // multi-statement scripts: split on top-level ';', run in order,
+    // return the last statement's result (the CH client contract)
+    val stmts = {
+      val toks = tokenize(sql)._1
+      val d = ChSql.depths(toks)
+      val cuts = toks.indices.filter(i => toks(i).text == ";" && d(i) == 0)
+      if (cuts.isEmpty) Seq(sql)
+      else {
+        val bounds = (-1 +: cuts) :+ toks.length
+        bounds.sliding(2).map { case Seq(a, b) =>
+          renderTrim(toks.slice(a + 1, b))
+        }.filter(_.nonEmpty).toSeq
+      }
+    }
+    if (stmts.length > 1) return stmts.map(executeOne(spark, _)).last
+    executeOne(spark, sql)
+  }
+
+  private def executeOne(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
     val ts = tokenize(sql)._1
     def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
     (kw(0), kw(1)) match {

@@ -155,6 +155,16 @@ class DdlSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_exec_spec2"))
   }
 
+  test("execute() runs multi-statement scripts, returning the last result") {
+    val got = ChDdl.execute(spark,
+      """CREATE TABLE graft_multi (k Int64) ENGINE = MergeTree() ORDER BY (k);
+        |CREATE FUNCTION graft_inc AS x -> x + 1;
+        |SELECT graft_inc(41) AS answer""".stripMargin)
+    assert(got.collect().head.getInt(0) == 42)
+    assert(spark.catalog.tableExists("graft_multi"))
+    ChDdl.execute(spark, "DROP TABLE graft_multi")
+  }
+
   test("dictGet resolves through the broadcast map with no join in the plan") {
     GraftFunctions.ensureRegistered(spark)
     val t = Tables(spark, sfDir)
