@@ -247,7 +247,7 @@ object ChSql {
     val idx = (from + 2 until ts.length).find(i =>
       d(i) == 0 && ts(i).up == "FINAL")
     idx match {
-      case Some(i) => ts.take(i) ++ ts.drop(i + 1)
+      case Some(i) => stripFinal(ts.take(i) ++ ts.drop(i + 1))
       case None => ts
     }
   }
@@ -350,9 +350,9 @@ object ChSql {
       val wEnd0 = find0(ts, clauseEnd - "WHERE", preEnd + 1)
       val wEnd = if (wEnd0 < 0) ts.length else wEnd0
       val wexpr = renderTrim(ts.slice(preEnd + 1, wEnd))
-      ts.take(pi) ++ retok(s" WHERE ($pre) AND ($wexpr)") ++ ts.drop(wEnd)
+      rewritePrewhere(ts.take(pi) ++ retok(s" WHERE ($pre) AND ($wexpr)") ++ ts.drop(wEnd))
     } else {
-      ts.take(pi) ++ retok(s" WHERE ($pre)") ++ ts.drop(preEnd)
+      rewritePrewhere(ts.take(pi) ++ retok(s" WHERE ($pre)") ++ ts.drop(preEnd))
     }
   }
 
@@ -371,7 +371,7 @@ object ChSql {
       // (deterministic, IO-full — the layoutless fallback)
       val key = ts(si + 3).text
       val rest = ts.take(si) ++ ts.drop(si + 4)
-      injectWhere(rest, s"xxhash64($key) <= ${hashCut(frac)}L")
+      rewriteSample(injectWhere(rest, s"xxhash64($key) <= ${hashCut(frac)}L"))
     } else {
       // the reference's own `SAMPLE f`: the sampling key comes from the
       // table's DDL (SAMPLE BY). If the FROM table was created through
@@ -383,7 +383,7 @@ object ChSql {
       tbl.flatMap(t => ChDdl.sampleHashColOf(t)) match {
         case Some(hashCol) =>
           val rest = ts.take(si) ++ ts.drop(si + 2)
-          injectWhere(rest, s"$hashCol <= ${hashCut(frac)}L")
+          rewriteSample(injectWhere(rest, s"$hashCol <= ${hashCut(frac)}L"))
         case None => throw new IllegalArgumentException(
           s"SAMPLE $frac: table ${tbl.getOrElse("?")} declares no SAMPLE BY " +
             "(create it via ChDdl, or use the explicit `SAMPLE f BY col` form)")
@@ -428,7 +428,7 @@ object ChSql {
         case it if aliasOf(it).isDefined =>
           val (expr, alias) = aliasOf(it).get
           val lv = s" LATERAL VIEW ${outer}explode(${renderTrim(expr)}) __aj0 AS $alias"
-          ts.take(start) ++ retok(lv) ++ ts.drop(end)
+          rewriteArrayJoin(ts.take(start) ++ retok(lv) ++ ts.drop(end))
         case it if it.length == 1 && it.head.word =>
           // bare column: CH exposes the ELEMENT under the array's own
           // name — shadow the array column by renaming it in a wrapper
@@ -439,7 +439,7 @@ object ChSql {
           val src = renderTrim(ts.slice(from + 1, start))
           val lv = s" FROM (SELECT * EXCEPT($arr), $arr AS __aj_src FROM $src)" +
             s" LATERAL VIEW ${outer}explode(__aj_src) __aj0 AS $arr"
-          ts.take(from) ++ retok(lv) ++ ts.drop(end)
+          rewriteArrayJoin(ts.take(from) ++ retok(lv) ++ ts.drop(end))
         case it => throw new IllegalArgumentException(
           s"ARRAY JOIN item '${renderTrim(it)}' needs AS alias (or be a bare column)")
       }
@@ -454,7 +454,7 @@ object ChSql {
       }.mkString
       val zipPred = (1 until aliased.length)
         .map(k => s"__aj_p0 = __aj_p$k").mkString(" AND ")
-      injectWhere(ts.take(start) ++ retok(views) ++ ts.drop(end), zipPred)
+      rewriteArrayJoin(injectWhere(ts.take(start) ++ retok(views) ++ ts.drop(end), zipPred))
     }
   }
 

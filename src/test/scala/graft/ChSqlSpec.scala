@@ -222,6 +222,17 @@ class ChSqlSpec extends SparkSpec {
       (5, Some(40)), (6, Some(40)), (2500, Some(77))), got)
   }
 
+  test("UNION branches each get their own PREWHERE/FINAL rewrite") {
+    val got = run(
+      """SELECT o_orderkey FROM orders FINAL PREWHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey FROM orders FINAL PREWHERE o_orderstatus = 'P'""".stripMargin)
+      .count()
+    val expect = Tables(spark, sfDir).orders
+      .filter($"o_orderstatus".isin("F", "P")).count()
+    assert(got == expect && got > 0)
+  }
+
   test("CH-only clauses inside a derived table are translated recursively") {
     GraftFunctions.ensureRegistered(spark)
     spark.sql("SELECT * FROM VALUES (1, 10), (4, 40) AS t(k, v)")
