@@ -64,4 +64,34 @@ class PropertySpec extends SparkSpec {
         f"round=$round est=$est%.3f true=$trueJ%.3f")
     }
   }
+
+  // --- ChSql pass-through: plain Spark SQL from a generated grammar
+  // must come back byte-identical (the tokenizer carries whitespace;
+  // no rewrite may fire without a CH-only construct) ---
+  private val identGen: Gen[String] =
+    Gen.chooseNum(0, 25).map(i => s"col_$i")
+  private val litGen: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(0, 9999).map(_.toString),
+    Gen.chooseNum(0, 99).map(n => s"$n.5"),
+    // string literals deliberately CONTAINING clause keywords
+    Gen.oneOf("'PREWHERE x'", "'SAMPLE 0.5 BY k'", "'ARRAY JOIN a AS b'",
+      "'WITH FILL FROM 1'", "'FINAL'", "'a  ||  b'"))
+  private val exprGen: Gen[String] = for {
+    a <- identGen; b <- litGen
+    op <- Gen.oneOf("=", ">=", "<=", "<>", "+", "*", "||")
+  } yield s"$a $op $b"
+  private val queryGen: Gen[String] = for {
+    cols <- Gen.nonEmptyListOf(identGen).map(_.take(4).distinct)
+    tbl <- Gen.oneOf("t", "db.t2", "(SELECT * FROM u) v")
+    cond <- exprGen
+    ord <- identGen
+    lim <- Gen.chooseNum(1, 500)
+  } yield s"SELECT ${cols.mkString(", ")} FROM $tbl WHERE $cond GROUP BY ${cols.mkString(", ")} ORDER BY $ord LIMIT $lim"
+
+  test("ChSql.translate is the identity on generated plain Spark SQL") {
+    for (round <- 0 until 200) {
+      val q = sample(queryGen, 3000 + round)
+      assert(graft.functions.ChSql.translate(q) == q, q)
+    }
+  }
 }
