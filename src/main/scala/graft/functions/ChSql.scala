@@ -197,6 +197,7 @@ object ChSql {
     // first so the ARRAY JOIN rewrite sees a clean FROM source
     ts = rewriteSample(ts)
     ts = rewriteArrayJoin(ts)
+    ts = rewriteAnyJoin(ts)
     ts = rewritePrewhere(ts)
     ts = rewriteLimitBy(ts)
     ts = rewriteWithFill(ts)
@@ -456,6 +457,60 @@ object ChSql {
         .map(k => s"__aj_p0 = __aj_p$k").mkString(" AND ")
       rewriteArrayJoin(injectWhere(ts.take(start) ++ retok(views) ++ ts.drop(end), zipPred))
     }
+  }
+
+  // ---------- ANY JOIN strictness ----------
+
+  /** `[LEFT] ANY JOIN t [AS] a ON …` / `ANY LEFT JOIN …` (reference:
+    * src/Parsers/ASTTablesInSelectQuery.h:82 — Strictness::Any): each
+    * left row joins AT MOST ONE right row per key. Realized by
+    * deduplicating the right side to one row per join key with a
+    * KEY-PARTITIONED row_number (which row survives among key-ties is
+    * arbitrary — exactly the reference's any-join contract). The join
+    * keys are read from the ON conjunction's `alias.col` references;
+    * the right side must be a named table with its keys qualified. */
+  private val joinKws = Set("LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+    "JOIN", "SEMI", "ANTI", "ASOF", "ANY")
+
+  private def rewriteAnyJoin(ts: Vector[Tok]): Vector[Tok] = {
+    val d = depths(ts)
+    val ai = ts.indices.find { i =>
+      d(i) == 0 && ts(i).up == "ANY" && {
+        val n1 = if (i + 1 < ts.length) ts(i + 1).up else ""
+        val n2 = if (i + 2 < ts.length) ts(i + 2).up else ""
+        n1 == "JOIN" || (Set("LEFT", "INNER").contains(n1) && n2 == "JOIN")
+      }
+    }
+    if (ai.isEmpty) return ts
+    val i = ai.get
+    val joinIdx = if (ts(i + 1).up == "JOIN") i + 1 else i + 2
+    val dirToks = ts.slice(i + 1, joinIdx) // LEFT/INNER if the old ANY LEFT JOIN order
+    var p = joinIdx + 1
+    require(p < ts.length && ts(p).word,
+      "ANY JOIN: right side must be a named table (wrap subqueries yourself)")
+    val tableStart = p
+    p += 1 // the table name, then any `.part` qualifications
+    while (p + 1 < ts.length && ts(p).text == "." && ts(p + 1).word) p += 2
+    val tableText = renderTrim(ts.slice(tableStart, p))
+    var alias = tableText.split('.').last
+    if (p < ts.length && ts(p).up == "AS") { alias = ts(p + 1).text; p += 2 }
+    else if (p < ts.length && ts(p).word && ts(p).up != "ON") { alias = ts(p).text; p += 1 }
+    require(p < ts.length && ts(p).up == "ON", "ANY JOIN requires ON")
+    val condEnd0 = find0(ts, clauseEnd ++ joinKws, p + 1)
+    val condEnd = if (condEnd0 < 0) ts.length else condEnd0
+    val condToks = ts.slice(p + 1, condEnd)
+    val keys = condToks.indices.collect {
+      case k if condToks(k).word && condToks(k).text == alias &&
+        k + 2 < condToks.length && condToks(k + 1).text == "." &&
+        condToks(k + 2).word => condToks(k + 2).text
+    }.distinct
+    require(keys.nonEmpty,
+      s"ANY JOIN: no '$alias.<col>' key references found in the ON clause")
+    val gen = s" ${renderTrim(dirToks)} JOIN (SELECT * EXCEPT(__aj_rn) FROM " +
+      s"(SELECT *, row_number() OVER (PARTITION BY ${keys.mkString(", ")} " +
+      s"ORDER BY ${keys.head}) AS __aj_rn FROM $tableText) WHERE __aj_rn = 1) " +
+      s"$alias ON ${renderTrim(condToks)}"
+    rewriteAnyJoin(ts.take(i) ++ retok(gen) ++ ts.drop(condEnd))
   }
 
   // ---------- ORDER BY … LIMIT n BY cols ----------

@@ -179,6 +179,25 @@ object DialectQueries {
           |FROM customer GROUP BY nation ORDER BY nation""".stripMargin)
     },
 
+    // ANY JOIN strictness as SQL (ASTTablesInSelectQuery.h:82): the
+    // right side collapses to one row per join key before the join.
+    // Oracled with a unique-keyed dimension (where ANY ≡ plain join —
+    // the at-most-one contract itself, with duplicate keys, is pinned
+    // deterministically in ChSqlSpec).
+    "c10_ch_any_join" -> Q(
+      """SELECT c.c_custkey, n.n_name AS nation FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("customer")
+      t.nation.createOrReplaceTempView("nation")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT c.c_custkey, n.n_name AS nation FROM customer c
+          |ANY LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |ORDER BY c.c_custkey""".stripMargin))
+    },
+
     // WITH FILL … INTERPOLATE through the translator: the filled axis
     // carries the last seen total forward, realized as the bucketed
     // two-level carry (no global window) — verbatim CH, oracled

@@ -222,6 +222,23 @@ class ChSqlSpec extends SparkSpec {
       (5, Some(40)), (6, Some(40)), (2500, Some(77))), got)
   }
 
+  test("ANY JOIN keeps at most one right match per key, both keyword orders") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1), (2), (3) AS t(k)").createOrReplaceTempView("aj_l")
+    spark.sql(
+      "SELECT * FROM VALUES (1, 'a'), (1, 'b'), (2, 'c') AS t(k2, v)")
+      .createOrReplaceTempView("aj_r")
+    for (form <- Seq(
+        "SELECT l.k, r.v FROM aj_l l ANY LEFT JOIN aj_r r ON l.k = r.k2 ORDER BY l.k",
+        "SELECT l.k, r.v FROM aj_l l LEFT ANY JOIN aj_r r ON l.k = r.k2 ORDER BY l.k")) {
+      val got = spark.sql(ChSql.translate(form))
+        .as[(Int, Option[String])].collect().toSeq
+      // k=1 has TWO right rows — ANY keeps exactly one; k=3 unmatched
+      assert(got.map(_._1) == Seq(1, 2, 3), s"$form -> $got")
+      assert(got(0)._2.exists(Set("a", "b")) && got(1)._2.contains("c") && got(2)._2.isEmpty)
+    }
+  }
+
   test("UNION branches each get their own PREWHERE/FINAL rewrite") {
     val got = run(
       """SELECT o_orderkey FROM orders FINAL PREWHERE o_orderstatus = 'F'
