@@ -223,6 +223,43 @@ object ChDdl {
       .write.mode("overwrite").insertInto(table)
   }
 
+  // ---------- CREATE DICTIONARY (ASTDictionaryAttributeDeclaration.h) ----------
+
+  /** CREATE DICTIONARY name (key T, attr T, …) PRIMARY KEY k
+    * SOURCE(TABLE 'src') — the DDL form of ChDictionaries.register:
+    * every non-key attribute becomes dictGet('name', 'attr', key)-able
+    * from SQL. Layout/lifetime clauses (the reference's
+    * LAYOUT/LIFETIME) have no Spark-side meaning (the dictionary is a
+    * plan-embedded broadcast map, refreshed by re-running the CREATE)
+    * and are ignored. */
+  def createDictionary(spark: SparkSession, sql: String): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    val ts = tokenize(sql)._1
+    require(ts.length > 4 && ts(0).up == "CREATE" && ts(1).up == "DICTIONARY",
+      "expected CREATE DICTIONARY")
+    var i = 2
+    if (ts(i).up == "IF") i += 3
+    val name = ts(i).text
+    i += 1
+    require(i < ts.length && ts(i).text == "(", "expected attribute list")
+    val close = matchParen(ts, i)
+    val attrs = splitTop(ts.slice(i + 1, close)).map(_.head.text)
+    val pk = ChSql.find0(ts, Set("PRIMARY"), close)
+    require(pk > 0 && pk + 2 < ts.length && ts(pk + 1).up == "KEY",
+      "expected PRIMARY KEY")
+    val keyCol = ts(pk + 2).text
+    // SOURCE(TABLE 'src') — also accepts CLICKHOUSE(TABLE 'src')
+    val src = ChSql.find0(ts, Set("SOURCE"), close)
+    require(src > 0, "expected SOURCE(TABLE '…')")
+    val srcClose = matchParen(ts, src + 1)
+    val inner = ts.slice(src + 2, srcClose)
+    val tIdx = inner.indices.find(k => inner(k).up == "TABLE").getOrElse(
+      throw new IllegalArgumentException("SOURCE needs TABLE '…'"))
+    val srcTable = inner(tIdx + 1).text.stripPrefix("'").stripSuffix("'")
+    ChDictionaries.register(name, spark.table(srcTable), keyCol,
+      attrs.filterNot(_ == keyCol))
+  }
+
   // ---------- CREATE FUNCTION (ASTCreateFunctionQuery.h) ----------
 
   /** CREATE FUNCTION name AS (a, b) -> expr — ClickHouse's SQL lambda
@@ -297,6 +334,7 @@ object ChDdl {
     (kw(0), kw(1)) match {
       case ("CREATE", "TABLE") => parse(sql).create(spark); spark.emptyDataFrame
       case ("CREATE", "FUNCTION") => createFunction(spark, sql); spark.emptyDataFrame
+      case ("CREATE", "DICTIONARY") => createDictionary(spark, sql); spark.emptyDataFrame
       case ("ALTER", "TABLE")
           if ChSql.find0(ts, Set("DELETE", "UPDATE"), 2) >= 0 =>
         alter(spark, sql); spark.emptyDataFrame

@@ -165,6 +165,23 @@ class DdlSpec extends SparkSpec {
     ChDdl.execute(spark, "DROP TABLE graft_multi")
   }
 
+  test("CREATE DICTIONARY wires a table into dictGet end-to-end") {
+    GraftFunctions.ensureRegistered(spark)
+    Tables(spark, sfDir).nation.createOrReplaceTempView("nation_src")
+    ChDdl.execute(spark,
+      """CREATE DICTIONARY nation_dict (
+        |  n_nationkey UInt64, n_name String
+        |) PRIMARY KEY n_nationkey
+        |SOURCE(CLICKHOUSE(TABLE 'nation_src'))
+        |LAYOUT(FLAT()) LIFETIME(300)""".stripMargin)
+    val got = spark.sql(
+      "SELECT dictGet('nation_dict', 'n_name', CAST(0 AS BIGINT)) AS n")
+      .as[String].collect().head
+    val expect = Tables(spark, sfDir).nation
+      .filter($"n_nationkey" === 0).select("n_name").as[String].collect().head
+    assert(got == expect)
+  }
+
   test("dictGet resolves through the broadcast map with no join in the plan") {
     GraftFunctions.ensureRegistered(spark)
     val t = Tables(spark, sfDir)
