@@ -82,6 +82,21 @@ object ChDialect {
     "bitShiftLeft"  -> builtin("shiftleft"),
     "bitShiftRight" -> builtin("shiftright"),
 
+    // ---- operator names (ClickHouse normalizes operators to these
+    // function names in logs and generated SQL) ----
+    "plus"     -> { es => Add(es(0), es(1)) },
+    "minus"    -> { es => Subtract(es(0), es(1)) },
+    "multiply" -> { es => Multiply(es(0), es(1)) },
+    // CH divide is ALWAYS floating-point division (intDiv is integral)
+    "divide"   -> { es => Divide(Cast(es(0), DoubleType), Cast(es(1), DoubleType)) },
+    "equals"          -> { es => EqualTo(es(0), es(1)) },
+    "notEquals"       -> { es => Not(EqualTo(es(0), es(1))) },
+    "greater"         -> { es => GreaterThan(es(0), es(1)) },
+    "less"            -> { es => LessThan(es(0), es(1)) },
+    "greaterOrEquals" -> { es => GreaterThanOrEqual(es(0), es(1)) },
+    "lessOrEquals"    -> { es => LessThanOrEqual(es(0), es(1)) },
+    "xor" -> { es => Not(EqualTo(Cast(es(0), BooleanType), Cast(es(1), BooleanType))) },
+
     // ---- conditional ----
     "multiIf" -> { es =>
       val (branches, orElse) =
@@ -114,6 +129,8 @@ object ChDialect {
     "replaceAll"    -> builtin("replace"),
     "concatStr"     -> builtin("concat"),
     "trimBoth"      -> builtin("trim"),
+    "trimLeft"      -> builtin("ltrim"),
+    "trimRight"     -> builtin("rtrim"),
     "reverseUTF8"   -> builtin("reverse"),
     "leftPad"       -> builtin("lpad"),
     "rightPad"      -> builtin("rpad"),
@@ -168,10 +185,20 @@ object ChDialect {
     "toInt64"    -> { es => Cast(es.head, LongType) },
     "toUInt32"   -> { es => Cast(es.head, IntegerType) },
     "toInt32"    -> { es => Cast(es.head, IntegerType) },
+    "toUInt16"   -> { es => Cast(es.head, IntegerType) },
+    "toInt16"    -> { es => Cast(es.head, ShortType) },
+    "toUInt8"    -> { es => Cast(es.head, ShortType) },
+    "toInt8"     -> { es => Cast(es.head, ByteType) },
     "toFloat64"  -> { es => Cast(es.head, DoubleType) },
+    "toFloat32"  -> { es => Cast(es.head, FloatType) },
     "toString"   -> { es => Cast(es.head, StringType) },
     "toDate"     -> { es => Cast(es.head, DateType) },
     "toDateTime" -> { es => Cast(es.head, TimestampType) },
+    // type-annotation no-ops: Spark columns are nullable; low-level
+    // column materialization has no DataFrame meaning
+    "toNullable"    -> { es => es.head },
+    "assumeNotNull" -> { es => es.head },
+    "materialize"   -> { es => es.head },
 
     // ---- hashing ----
     "MD5"        -> builtin("md5"),

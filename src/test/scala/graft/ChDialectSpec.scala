@@ -156,6 +156,29 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getAs[Boolean]("mt") && !r.getAs[Boolean]("mf"))
   }
 
+  test("operator function names (the query-log normalization) and cast/trim extras") {
+    val r = sql1(
+      """SELECT
+        |  plus(2, 3) AS p, minus(5, 2) AS m, multiply(4, 3) AS mu,
+        |  divide(7, 2) AS dv,
+        |  equals(1, 1) AS eq, notEquals(1, 2) AS ne,
+        |  greater(2, 1) AS gt, lessOrEquals(2, 2) AS le,
+        |  xor(true, false) AS x1, xor(true, true) AS x2,
+        |  toInt8(200 - 73) AS i8, toUInt8(200) AS u8, toFloat32(1.5) AS f32,
+        |  toNullable(7) AS tn, assumeNotNull(7) AS ann, materialize(7) AS mz,
+        |  trimLeft('  a ') AS tl, trimRight('  a ') AS tr
+        |""".stripMargin)
+    assert(r.getAs[Int]("p") == 5 && r.getAs[Int]("m") == 3 && r.getAs[Int]("mu") == 12)
+    assert(r.getAs[Double]("dv") == 3.5) // CH divide is float division
+    assert(r.getAs[Boolean]("eq") && r.getAs[Boolean]("ne"))
+    assert(r.getAs[Boolean]("gt") && r.getAs[Boolean]("le"))
+    assert(r.getAs[Boolean]("x1") && !r.getAs[Boolean]("x2"))
+    assert(r.getAs[Byte]("i8") == 127 && r.getAs[Short]("u8") == 200)
+    assert(r.getAs[Float]("f32") == 1.5f)
+    assert(r.getAs[Int]("tn") == 7 && r.getAs[Int]("ann") == 7 && r.getAs[Int]("mz") == 7)
+    assert(r.getAs[String]("tl") == "a " && r.getAs[String]("tr") == "  a")
+  }
+
   test("splitByString/arrayEnumerate/arrayZip semantics") {
     val r = sql1(
       """SELECT
