@@ -199,9 +199,29 @@ object ChSql {
     ts = rewriteArrayJoin(ts)
     ts = rewriteAnyJoin(ts)
     ts = rewritePrewhere(ts)
+    ts = rewriteTotals(ts)
     ts = rewriteLimitBy(ts)
     ts = rewriteWithFill(ts)
     ts
+  }
+
+  /** `GROUP BY keys WITH TOTALS` (ASTSelectQuery group_by_with_totals)
+    * → `GROUP BY GROUPING SETS ((keys), ())`: per-group rows plus one
+    * totals row in a single pass (Spark plans one Expand, exactly what
+    * the reference's TotalsHaving transform costs). WITH ROLLUP/CUBE
+    * parse natively in Spark and need no rewrite. */
+  private def rewriteTotals(ts: Vector[Tok]): Vector[Tok] = {
+    val d = depths(ts)
+    val wt = ts.indices.find(i => d(i) == 0 && ts(i).up == "WITH" &&
+      i + 1 < ts.length && ts(i + 1).up == "TOTALS")
+    if (wt.isEmpty) return ts
+    val wi = wt.get
+    val gi = find0(ts, Set("GROUP"))
+    require(gi >= 0 && gi < wi && ts(gi + 1).up == "BY",
+      "WITH TOTALS requires GROUP BY")
+    val keys = renderTrim(ts.slice(gi + 2, wi))
+    rewriteTotals(ts.take(gi) ++
+      retok(s" GROUP BY GROUPING SETS (($keys), ())") ++ ts.drop(wi + 2))
   }
 
   // ---------- strip-only rewrites ----------

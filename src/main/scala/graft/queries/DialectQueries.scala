@@ -179,6 +179,23 @@ object DialectQueries {
           |FROM customer GROUP BY nation ORDER BY nation""".stripMargin)
     },
 
+    // GROUP BY ... WITH TOTALS verbatim (ASTSelectQuery
+    // group_by_with_totals): per-group rows plus one all-NULL-keyed
+    // totals row, single pass via GROUPING SETS.
+    "c11_ch_totals" -> Q(
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), ())
+        |ORDER BY priority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT o_orderpriority AS priority, count() AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY o_orderpriority WITH TOTALS
+          |ORDER BY priority ASC NULLS FIRST""".stripMargin))
+    },
+
     // ANY JOIN strictness as SQL (ASTTablesInSelectQuery.h:82): the
     // right side collapses to one row per join key before the join.
     // Oracled with a unique-keyed dimension (where ANY ≡ plain join —

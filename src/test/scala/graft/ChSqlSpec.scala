@@ -239,6 +239,17 @@ class ChSqlSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY WITH TOTALS adds exactly one all-null totals row") {
+    val got = run(
+      """SELECT o_orderstatus AS st, count() AS n FROM orders
+        |GROUP BY o_orderstatus WITH TOTALS
+        |ORDER BY st ASC NULLS FIRST""".stripMargin)
+      .as[(Option[String], Long)].collect().toSeq
+    val totalRow = got.filter(_._1.isEmpty)
+    assert(totalRow.size == 1)
+    assert(totalRow.head._2 == got.filter(_._1.nonEmpty).map(_._2).sum)
+  }
+
   test("UNION branches each get their own PREWHERE/FINAL rewrite") {
     val got = run(
       """SELECT o_orderkey FROM orders FINAL PREWHERE o_orderstatus = 'F'
