@@ -186,6 +186,7 @@ object ChSql {
 
   private def rewriteQuery(ts0: Vector[Tok]): Vector[Tok] = {
     var ts = recurse(ts0)
+    ts = rewriteScalarWith(ts)
     ts = stripFormat(ts)
     ts = stripSettings(ts)
     ts = stripGlobal(ts)
@@ -222,6 +223,56 @@ object ChSql {
     val keys = renderTrim(ts.slice(gi + 2, wi))
     rewriteTotals(ts.take(gi) ++
       retok(s" GROUP BY GROUPING SETS (($keys), ())") ++ ts.drop(wi + 2))
+  }
+
+  /** ClickHouse's scalar WITH form (ASTWithAlias.h): `WITH expr AS
+    * name, … SELECT …` binds NAMES TO EXPRESSIONS (including scalar
+    * subqueries), substituted at each use site — not CTEs. Standard
+    * `name AS (subquery)` CTE items are left for Spark's own WITH;
+    * the two forms can mix. A name is substituted only where it stands
+    * alone (not qualified with `.`, not a call `name(`, not an output
+    * alias after AS). */
+  private def rewriteScalarWith(ts: Vector[Tok]): Vector[Tok] = {
+    if (ts.isEmpty || ts.head.up != "WITH") return ts
+    val d = depths(ts)
+    val sel = ts.indices.find(i => d(i) == 0 && ts(i).up == "SELECT")
+    if (sel.isEmpty) return ts
+    val itemToks = ts.slice(1, sel.get)
+    val di = depths(itemToks)
+    val items = {
+      val buf = Vector.newBuilder[Vector[Tok]]
+      var s = 0
+      for (j <- itemToks.indices)
+        if (itemToks(j).text == "," && di(j) == 0) { buf += itemToks.slice(s, j); s = j + 1 }
+      buf += itemToks.slice(s, itemToks.length)
+      buf.result().filter(_.nonEmpty)
+    }
+    val (ctes, scalars) = items.partition(it =>
+      it.length >= 3 && it(0).word && it(1).up == "AS" && it(2).text == "(")
+    if (scalars.isEmpty) return ts
+    val subs: Map[String, Vector[Tok]] = scalars.map { it =>
+      val asOk = it.length >= 3 && it(it.length - 2).up == "AS" && it.last.word &&
+        depths(it)(it.length - 2) == 0
+      require(asOk, s"bad scalar WITH item: '${renderTrim(it)}' (expected expr AS name)")
+      it.last.text -> ((w("(") +: it.dropRight(2)) :+ w(")"))
+    }.toMap
+    def substitute(v: Vector[Tok]): Vector[Tok] = v.zipWithIndex.flatMap { case (t, k) =>
+      val standsAlone = t.word && subs.contains(t.text) &&
+        !(k > 0 && (v(k - 1).text == "." || v(k - 1).up == "AS")) &&
+        !(k + 1 < v.length && (v(k + 1).text == "." || v(k + 1).text == "("))
+      if (standsAlone) subs(t.text).zipWithIndex.map { case (s, i) =>
+        if (i == 0) s.copy(pre = t.pre) else s }
+      else Vector(t)
+    }
+    val restSub = substitute(ts.drop(sel.get))
+    if (ctes.isEmpty) restSub
+    else {
+      // scalar names substitute inside sibling CTE bodies too
+      val head = ctes.zipWithIndex.flatMap { case (c, i) =>
+        (if (i > 0) Vector(w(",")) else Vector.empty[Tok]) ++ substitute(c)
+      }
+      (ts.head +: head) ++ restSub
+    }
   }
 
   // ---------- strip-only rewrites ----------

@@ -179,6 +179,22 @@ object DialectQueries {
           |FROM customer GROUP BY nation ORDER BY nation""".stripMargin)
     },
 
+    // Scalar WITH (ASTWithAlias.h): `WITH expr AS name` binds names to
+    // expressions — including a scalar subquery — substituted at use
+    // sites. Verbatim CH through the translator, oracled by inlining.
+    "c12_ch_scalar_with" -> Q(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * (1 + 0.2)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(graft.functions.ChSql.translate(
+        """WITH 0.2 AS cut, (SELECT AVG(o_totalprice) FROM orders) AS m
+          |SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > m * (1 + cut)
+          |ORDER BY o_orderkey""".stripMargin))
+    },
+
     // GROUP BY ... WITH TOTALS verbatim (ASTSelectQuery
     // group_by_with_totals): per-group rows plus one all-NULL-keyed
     // totals row, single pass via GROUPING SETS.

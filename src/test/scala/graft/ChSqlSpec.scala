@@ -239,6 +239,17 @@ class ChSqlSpec extends SparkSpec {
     }
   }
 
+  test("scalar WITH substitutes names; CTE items pass through; forms mix") {
+    val got = run(
+      """WITH 100000 AS floor_price,
+        |     big AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > floor_price)
+        |SELECT COUNT(*) AS n FROM big WHERE o_totalprice > floor_price""".stripMargin)
+      .as[Long].collect().head
+    val expect = Tables(spark, sfDir).orders
+      .filter($"o_totalprice" > 100000).count()
+    assert(got == expect && got > 0)
+  }
+
   test("GROUP BY WITH TOTALS adds exactly one all-null totals row") {
     val got = run(
       """SELECT o_orderstatus AS st, count() AS n FROM orders
