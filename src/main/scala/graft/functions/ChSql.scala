@@ -203,7 +203,24 @@ object ChSql {
     ts = rewriteTotals(ts)
     ts = rewriteLimitBy(ts)
     ts = rewriteWithFill(ts)
+    ts = rewriteLimitOffset(ts)
     ts
+  }
+
+  /** `LIMIT offset, count` (the reference accepts the MySQL comma
+    * form) → `LIMIT count OFFSET offset`. Runs AFTER the LIMIT BY
+    * rewrite, so `LIMIT n BY cols` is never misread. */
+  private def rewriteLimitOffset(ts: Vector[Tok]): Vector[Tok] = {
+    val d = depths(ts)
+    val li = ts.indices.find(i => d(i) == 0 && ts(i).up == "LIMIT" &&
+      i + 3 < ts.length && ts(i + 1).text.forall(_.isDigit) &&
+      ts(i + 2).text == "," && ts(i + 3).text.forall(_.isDigit))
+    li match {
+      case Some(i) => rewriteLimitOffset(
+        ts.take(i) ++ retok(s" LIMIT ${ts(i + 3).text} OFFSET ${ts(i + 1).text}") ++
+          ts.drop(i + 4))
+      case None => ts
+    }
   }
 
   /** `GROUP BY keys WITH TOTALS` (ASTSelectQuery group_by_with_totals)

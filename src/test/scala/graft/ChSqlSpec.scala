@@ -250,6 +250,15 @@ class ChSqlSpec extends SparkSpec {
     assert(got == expect && got > 0)
   }
 
+  test("LIMIT offset, count becomes LIMIT count OFFSET offset") {
+    val got = run(
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5, 3")
+      .as[Long].collect().toSeq
+    val expect = Tables(spark, sfDir).orders.select("o_orderkey")
+      .orderBy("o_orderkey").offset(5).limit(3).as[Long].collect().toSeq
+    assert(got == expect && got.size == 3)
+  }
+
   test("GROUP BY WITH TOTALS adds exactly one all-null totals row") {
     val got = run(
       """SELECT o_orderstatus AS st, count() AS n FROM orders
