@@ -32,6 +32,32 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode windowed counts finalize on watermark and drop later-than-late events") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.windowedCounts(input.toDF, watermark = "10 minutes", win = "1 hour")
+      .writeStream.format("memory").queryName("wc_late").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      // watermark still inside [0,60) — nothing finalized yet
+      assert(spark.table("wc_late").count() == 0)
+      // t=75 advances the watermark to 65 ≥ window end → [0,60) emits
+      input.addData(Event(3, ts(75), 1, "click", 1.0))
+      q.processAllAvailable()
+      val n0 = spark.table("wc_late")
+        .filter(col("win_start") === ts(0)).select("n").as[Long].collect().toSeq
+      assert(n0 == Seq(2L), s"window [0,60) should emit n=2, got $n0")
+      // an event later than the allowed lateness lands in a FINALIZED
+      // window — dropped, the emitted count never changes
+      input.addData(Event(4, ts(6), 1, "click", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("wc_late")
+        .filter(col("win_start") === ts(0)).select("n").as[Long].collect().toSeq
+      assert(after == Seq(2L), s"late event resurrected a finalized window: $after")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
