@@ -165,6 +165,27 @@ class DdlSpec extends SparkSpec {
     ChDdl.execute(spark, "DROP TABLE graft_multi")
   }
 
+  test("the README front-door script runs verbatim") {
+    ChDdl.execute(spark,
+      "CREATE TABLE t (id UInt64, s String) ENGINE = MergeTree() ORDER BY (id) SAMPLE BY intHash32(id)")
+    ChDdl.parse(
+      "CREATE TABLE t (id UInt64, s String) ENGINE = Memory")
+      .copy(sampleBy = Some("intHash32(id)"))
+      .insertSelect(spark, spark.range(1, 1001)
+        .select($"id", concat(lit("v"), $"id").as("s")))
+    ChDdl.execute(spark, "CREATE FUNCTION discounted AS (p, d) -> p * (1 - d)")
+    ChDdl.execute(spark, "ALTER TABLE t DELETE WHERE id % 7 = 0")
+    val n = ChDdl.execute(spark,
+      "SELECT count() FROM t SAMPLE 0.1 PREWHERE s != ''")
+      .as[Long].collect().head
+    // ~10% of the 858 surviving rows
+    assert(n > 40 && n < 140, s"sampled count $n")
+    val d = spark.sql("SELECT CAST(discounted(200.0, 0.25) AS DOUBLE) AS v")
+      .as[Double].collect().head
+    assert(d == 150.0)
+    ChDdl.execute(spark, "DROP TABLE t")
+  }
+
   test("CREATE DICTIONARY wires a table into dictGet end-to-end") {
     GraftFunctions.ensureRegistered(spark)
     Tables(spark, sfDir).nation.createOrReplaceTempView("nation_src")
