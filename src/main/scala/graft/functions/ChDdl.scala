@@ -302,6 +302,128 @@ object ChDdl {
       builder)
   }
 
+  // ---------- ASOF JOIN (ASTTablesInSelectQuery.h:82 Strictness::Asof) ----------
+
+  /** `SELECT items FROM l [AS] a ASOF [LEFT] JOIN r [AS] b ON a.k = b.k
+    * AND a.t >= b.t [WHERE …] [ORDER BY …] [LIMIT n]`.
+    *
+    * ASOF cannot be expressed as rewritten SQL text (the union+
+    * last-value plan needs the left schema), but execute() holds the
+    * session, so this plans the operators.AsOfJoin DataFrame operator
+    * schema-aware: ONE shuffle on the key, no range cross-join —
+    * `a.t >= b.t` is the backward direction, `a.t <= b.t` forward,
+    * both inclusive like the reference. Referenced right columns are
+    * staged as `__r_<name>` (collision-proof), the residual
+    * SELECT/WHERE/ORDER text is re-qualified and run on the joined
+    * result. Alias every select item (AS) — output names come from
+    * the aliases. */
+  private def executeAsof(spark: SparkSession, ts: Vector[Tok]): org.apache.spark.sql.DataFrame = {
+    import ChSql.find0
+    require(ts.nonEmpty && ts(0).up == "SELECT", "ASOF JOIN: expected SELECT")
+    val fromIdx = find0(ts, Set("FROM"))
+    val asofIdx = find0(ts, Set("ASOF"))
+    require(fromIdx > 0 && asofIdx > fromIdx, "ASOF JOIN: expected FROM … ASOF")
+
+    def tableRef(from: Int, until: Int): (String, String) = {
+      val toks = ts.slice(from, until)
+      var k = 0
+      require(k < toks.length && toks(k).word, "ASOF JOIN: missing table name")
+      val name = new StringBuilder(toks(k).text)
+      k += 1
+      while (k + 1 < toks.length && toks(k).text == "." && toks(k + 1).word) {
+        name.append(".").append(toks(k + 1).text)
+        k += 2
+      }
+      var alias = name.toString.split('.').last
+      if (k < toks.length && toks(k).up == "AS") k += 1
+      if (k < toks.length && toks(k).word) alias = toks(k).text
+      (name.toString, alias)
+    }
+    val (lName, lAlias) = tableRef(fromIdx + 1, asofIdx)
+    var j = asofIdx + 1
+    if (ts(j).up == "LEFT") j += 1 // left/inner share the plan; unmatched rows carry nulls
+    require(ts(j).up == "JOIN", "ASOF JOIN: expected JOIN")
+    val onIdx = find0(ts, Set("ON"), j)
+    require(onIdx > j, "ASOF JOIN requires ON")
+    val (rName, rAlias) = tableRef(j + 1, onIdx)
+    val tailKws = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING")
+    val condEnd0 = find0(ts, tailKws, onIdx + 1)
+    val condEnd = if (condEnd0 < 0) ts.length else condEnd0
+    val cond = ts.slice(onIdx + 1, condEnd)
+
+    // conjuncts: alias.col OP alias.col
+    final case class Term(alias: String, col: String)
+    final case class Conj(a: Term, op: String, b: Term)
+    val conjuncts = {
+      val d = ChSql.depths(cond)
+      val cuts = cond.indices.filter(k => d(k) == 0 && cond(k).up == "AND")
+      val bounds = (-1 +: cuts) :+ cond.length
+      bounds.sliding(2).map { case Seq(s, e) =>
+        val c = cond.slice(s + 1, e)
+        require(c.length == 7 && c(1).text == "." && c(5).text == ".",
+          s"ASOF ON conjuncts must be alias.col OP alias.col, got '${renderTrim(c)}'")
+        Conj(Term(c(0).text, c(2).text), c(3).text, Term(c(4).text, c(6).text))
+      }.toSeq
+    }
+    val eqs = conjuncts.filter(_.op == "=")
+    val ineqs = conjuncts.filterNot(_.op == "=")
+    require(eqs.length == 1 && ineqs.length == 1,
+      "ASOF JOIN needs exactly one key equality and one time inequality")
+    def sided(c: Conj): (Term, Term) = // (left-side term, right-side term)
+      if (c.a.alias == lAlias && c.b.alias == rAlias) (c.a, c.b)
+      else if (c.a.alias == rAlias && c.b.alias == lAlias) (c.b, c.a)
+      else throw new IllegalArgumentException(
+        s"ASOF ON terms must reference $lAlias and $rAlias")
+    val (lKey, rKey) = sided(eqs.head)
+    val (lTime, rTime) = sided(ineqs.head)
+    // direction: left >= right (backward) vs left <= right (forward),
+    // normalized for operand order
+    val opAsWritten = ineqs.head.op
+    val opLeftFirst = if (ineqs.head.a.alias == lAlias) opAsWritten
+      else opAsWritten match { case ">=" => "<="; case "<=" => ">="; case o => o }
+    val forward = opLeftFirst match {
+      case ">=" => false
+      case "<=" => true
+      case o => throw new IllegalArgumentException(
+        s"ASOF supports inclusive >= / <= (got $o)")
+    }
+
+    // right columns referenced anywhere in the residual text
+    val residual = ts.take(fromIdx) ++ ts.drop(condEnd)
+    val neededRight = residual.indices.collect {
+      case k if residual(k).word && residual(k).text == rAlias &&
+        k + 2 < residual.length && residual(k + 1).text == "." &&
+        residual(k + 2).word => residual(k + 2).text
+    }.distinct
+    val left = spark.table(lName)
+    val right = spark.table(rName)
+    val rightPrepped = right.select(
+      (col(rKey.col).as(lKey.col) +: col(rTime.col).as("__rt") +:
+        neededRight.map(c => col(c).as(s"__r_$c"))): _*)
+    val joined = graft.operators.AsOfJoin(
+      left, rightPrepped, key = lKey.col, leftTime = lTime.col,
+      rightTime = "__rt", rightCols = neededRight.map("__r_" + _), forward)
+    // re-qualify the residual SQL (select list + tail clauses) against
+    // the joined result and run it
+    def requalify(v: Vector[Tok]): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < v.length) {
+        if (v(k).word && k + 2 < v.length && v(k + 1).text == "." && v(k + 2).word &&
+            (v(k).text == lAlias || v(k).text == rAlias)) {
+          val c = if (v(k).text == lAlias) v(k + 2).text else s"__r_${v(k + 2).text}"
+          out += Tok(v(k).pre, c, word = true)
+          k += 3
+        } else { out += v(k); k += 1 }
+      }
+      out.result()
+    }
+    joined.createOrReplaceTempView("__graft_asof")
+    val selectList = renderTrim(requalify(ts.slice(1, fromIdx)))
+    val tail = renderTrim(requalify(ts.drop(condEnd)))
+    spark.sql(s"SELECT $selectList FROM __graft_asof $tail")
+  }
+
   // ---------- the executeQuery front door ----------
 
   /** Route ANY ClickHouse statement (reference:
@@ -351,6 +473,8 @@ object ChDdl {
       case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("DESCRIBE", _) |
            ("DESC", _) | ("USE", _) | ("ALTER", _) =>
         spark.sql(sql) // Spark's own DDL grammar covers these forms
+      case ("SELECT", _) if ChSql.find0(ts, Set("ASOF")) >= 0 =>
+        executeAsof(spark, ts)
       case _ => spark.sql(ChSql.translate(sql))
     }
   }

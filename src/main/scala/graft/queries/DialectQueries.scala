@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions.col
 
 /** ClickHouse-dialect SQL executed VERBATIM through spark.sql — the
   * "switch to this library" proof: the reference's users keep their
@@ -177,6 +178,27 @@ object DialectQueries {
           |  COUNT(*) AS n_cust,
           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
           |FROM customer GROUP BY nation ORDER BY nation""".stripMargin)
+    },
+
+    // ASOF JOIN as verbatim CH SQL through execute(): planned
+    // schema-aware onto the operators.AsOfJoin union+last-value plan
+    // (one shuffle, no range cross-join). Oracle is DuckDB's native
+    // ASOF LEFT JOIN — the j09 semantics, now reachable from SQL.
+    "c13_ch_asof_join" -> Q(
+      """SELECT c.event_id AS event_id, c.user_id AS user_id, e.event_id AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val ev = Tables(s, dir).events
+      ev.filter(col("event_type") === "click").createOrReplaceTempView("clicks")
+      ev.filter(col("event_type") === "error").createOrReplaceTempView("errors")
+      graft.functions.ChDdl.execute(s,
+        """SELECT c.event_id AS event_id, c.user_id AS user_id, e.event_id AS err_event_id
+          |FROM clicks c
+          |ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.ts
+          |ORDER BY event_id""".stripMargin)
     },
 
     // Scalar WITH (ASTWithAlias.h): `WITH expr AS name` binds names to

@@ -165,6 +165,28 @@ class DdlSpec extends SparkSpec {
     ChDdl.execute(spark, "DROP TABLE graft_multi")
   }
 
+  test("ASOF JOIN SQL plans the AsOfJoin operator, both directions") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 10), (1, 20), (2, 15) AS t(k, t)")
+      .createOrReplaceTempView("asof_l")
+    spark.sql("SELECT * FROM VALUES (1, 5, 'a'), (1, 12, 'b'), (2, 99, 'z') AS t(k2, t2, v)")
+      .createOrReplaceTempView("asof_r")
+    val back = ChDdl.execute(spark,
+      """SELECT l.k AS k, l.t AS t, r.v AS v FROM asof_l l
+        |ASOF LEFT JOIN asof_r r ON l.k = r.k2 AND l.t >= r.t2
+        |ORDER BY k, t""".stripMargin)
+      .as[(Int, Int, Option[String])].collect().toSeq
+    // (1,10)→'a' (t2=5), (1,20)→'b' (t2=12), (2,15)→none (99 > 15)
+    assert(back == Seq((1, 10, Some("a")), (1, 20, Some("b")), (2, 15, None)), back)
+    val fwd = ChDdl.execute(spark,
+      """SELECT l.k AS k, l.t AS t, r.v AS v FROM asof_l l
+        |ASOF LEFT JOIN asof_r r ON l.k = r.k2 AND l.t <= r.t2
+        |ORDER BY k, t""".stripMargin)
+      .as[(Int, Int, Option[String])].collect().toSeq
+    // forward: earliest t2 ≥ t — (1,10)→'b'(12), (1,20)→none, (2,15)→'z'(99)
+    assert(fwd == Seq((1, 10, Some("b")), (1, 20, None), (2, 15, Some("z"))), fwd)
+  }
+
   test("the README front-door script runs verbatim") {
     ChDdl.execute(spark,
       "CREATE TABLE t (id UInt64, s String) ENGINE = MergeTree() ORDER BY (id) SAMPLE BY intHash32(id)")
