@@ -33,7 +33,7 @@ import ChSql.{Tok, tokenize, renderTrim, depths, matchParen}
   *  Decimal32/64/128(s) shorthands; String → STRING; FixedString(n) →
   *  VARCHAR(n); Date/Date32 → DATE; DateTime → TIMESTAMP;
   *  DateTime64(p) → TIMESTAMP_NTZ (sub-second, no zone reinterpreting);
-  *  Enum8/Enum16 → the code column (SMALLINT/INT) with the name↔code
+  *  Enum8/Enum16 → the code column (TINYINT/SMALLINT) with the name↔code
   *  dictionary kept on the parsed table for enumEncode/enumDecode
   *  (the DataTypeEnum.h contract: storage is the number, the string is
   *  presentation); Bool → BOOLEAN; UUID/IPv4/IPv6/JSON → STRING;
@@ -99,6 +99,14 @@ object ChDdl {
 
     /** Register the table in the session catalog (idempotent). */
     def create(spark: SparkSession): Unit = {
+      // a PREVIOUS incarnation's projection must not route aggregates
+      // to its stale summary between create() and insertSelect() (or
+      // forever, if the load fails) — drop the materialization and the
+      // registration up front; insertSelect re-registers on success
+      graft.plans.ProjectionCatalog.get(table).foreach { p =>
+        spark.sql(s"DROP TABLE IF EXISTS ${p.projTable}")
+      }
+      graft.plans.ProjectionCatalog.invalidate(table)
       // remember the declared sampling key so ChSql can translate the
       // reference's bare `SAMPLE f` (no BY) into the stored-hash range
       sampleBy.foreach(_ => ChDdl.declaredSampleKeys.put(table.toLowerCase, "__sample_hash"))
@@ -211,16 +219,76 @@ object ChDdl {
           require(eq > 0, s"bad SET item: ${renderTrim(item)}")
           (renderTrim(item.take(eq)), renderTrim(item.drop(eq + 1)))
         }
-        sets.foldLeft(snapshot.toDF) { case (df, (c, e)) =>
-          df.withColumn(c,
-            when(pred, expr(e).cast(df.schema(c).dataType)).otherwise(col(c)))
-        }
+        require(sets.map(_._1).distinct.length == sets.length,
+          "UPDATE sets the same column twice")
+        val setMap = sets.toMap
+        // every SET right-hand side AND the predicate evaluate against
+        // the ORIGINAL row (the reference's mutation contract —
+        // `UPDATE a = b, b = a` swaps): one select over the snapshot,
+        // never a sequential withColumn fold where later items would
+        // see already-updated values
+        snapshot.select(snapshot.columns.toSeq.map { c =>
+          setMap.get(c) match {
+            case Some(e) =>
+              when(pred, expr(e).cast(snapshot.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mutation").toString
-    mutated.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp)
-      .select(spark.table(table).schema.fieldNames.toSeq.map(col): _*)
-      .write.mode("overwrite").insertInto(table)
+    val outCols = spark.table(table).schema.fieldNames.toSeq
+    val partCols = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    val whereToks = ts.drop(ChSql.find0(ts, Set("WHERE"), i) + 1)
+    val predCol = expr(renderTrim(whereToks))
+    if (partCols.isEmpty) {
+      // unpartitioned table: a mutation rewrites the snapshot (staged
+      // so the read-then-overwrite self-reference is safe) — same as a
+      // reference mutation rewriting every part
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mutation").toString
+      mutated.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp)
+        .select(outCols.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+    } else {
+      // PARTITIONED table: restrict the rewrite to the partitions the
+      // predicate actually touches. At 100 TB "delete these ids from
+      // yesterday" must rewrite yesterday, not the table. The affected
+      // partition values come from a predicate-pruned pre-scan (if the
+      // predicate constrains the partition key, the scan reads only
+      // those directories); untouched partitions' files are never read
+      // or written (byte-identity asserted in DdlSpec).
+      val affected = snapshot.filter(predCol)
+        .select(partCols.map(col): _*).distinct().collect().toSeq
+      if (affected.nonEmpty) {
+        val hit = affected.map { r =>
+          partCols.zipWithIndex.map { case (c, k) =>
+            col(c) <=> lit(r.get(k)) }.reduce(_ && _)
+        }.reduce(_ || _)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mutation").toString
+        mutated.filter(hit).write.mode("overwrite").parquet(tmp)
+        // explicit schema: a mutation that empties every affected
+        // partition leaves a data-less staged dir (schema-uninferable)
+        val staged = spark.read.schema(mutated.schema).parquet(tmp)
+          .select(outCols.map(col): _*)
+        // dynamic overwrite replaces exactly the partitions present in
+        // the staged data; a partition whose rows were ALL deleted is
+        // absent from it, so it is dropped explicitly below
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try staged.write.mode("overwrite").insertInto(table)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        val surviving = staged.select(partCols.map(col): _*).distinct().collect().toSet
+        affected.filterNot(surviving.contains).foreach { r =>
+          val spec = partCols.zipWithIndex.map { case (c, k) =>
+            s"$c = '${String.valueOf(r.get(k)).replace("'", "''")}'" }.mkString(", ")
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+        }
+      }
+    }
   }
 
   // ---------- CREATE DICTIONARY (ASTDictionaryAttributeDeclaration.h) ----------
@@ -311,12 +379,18 @@ object ChDdl {
     * last-value plan needs the left schema), but execute() holds the
     * session, so this plans the operators.AsOfJoin DataFrame operator
     * schema-aware: ONE shuffle on the key, no range cross-join —
-    * `a.t >= b.t` is the backward direction, `a.t <= b.t` forward,
-    * both inclusive like the reference. Referenced right columns are
-    * staged as `__r_<name>` (collision-proof), the residual
-    * SELECT/WHERE/ORDER text is re-qualified and run on the joined
-    * result. Alias every select item (AS) — output names come from
-    * the aliases. */
+    * `a.t >= b.t` is the backward direction, `a.t <= b.t` forward;
+    * the strict `>` / `<` forms drop equal-timestamp matches
+    * (Strictness::Asof admits all four). Either side may be a named
+    * table or a parenthesized subquery (translated recursively through
+    * ChSql). Bare `ASOF JOIN` is INNER — left rows with no match are
+    * dropped; `ASOF LEFT JOIN` keeps them with null right columns.
+    * Referenced right columns are staged as `__r_<name>`
+    * (collision-proof), the residual SELECT/WHERE/ORDER text is
+    * re-qualified and run on the joined result. Alias every select
+    * item (AS) — output names come from the aliases. */
+  private val asofViewSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def executeAsof(spark: SparkSession, ts: Vector[Tok]): org.apache.spark.sql.DataFrame = {
     import ChSql.find0
     require(ts.nonEmpty && ts(0).up == "SELECT", "ASOF JOIN: expected SELECT")
@@ -324,28 +398,42 @@ object ChDdl {
     val asofIdx = find0(ts, Set("ASOF"))
     require(fromIdx > 0 && asofIdx > fromIdx, "ASOF JOIN: expected FROM … ASOF")
 
-    def tableRef(from: Int, until: Int): (String, String) = {
+    // a side is a named table [AS alias] or a (subquery) [AS] alias —
+    // subqueries go back through the translator (CH-only clauses work
+    // inside an ASOF side)
+    def sideRef(from: Int, until: Int): (org.apache.spark.sql.DataFrame, String) = {
       val toks = ts.slice(from, until)
-      var k = 0
-      require(k < toks.length && toks(k).word, "ASOF JOIN: missing table name")
-      val name = new StringBuilder(toks(k).text)
-      k += 1
-      while (k + 1 < toks.length && toks(k).text == "." && toks(k + 1).word) {
-        name.append(".").append(toks(k + 1).text)
-        k += 2
+      require(toks.nonEmpty, "ASOF JOIN: missing table reference")
+      if (toks.head.text == "(") {
+        val close = matchParen(toks, 0)
+        var k = close + 1
+        if (k < toks.length && toks(k).up == "AS") k += 1
+        require(k < toks.length && toks(k).word,
+          "ASOF JOIN: subquery side needs an alias")
+        (spark.sql(ChSql.translate(renderTrim(toks.slice(1, close)))), toks(k).text)
+      } else {
+        var k = 0
+        require(toks(k).word, "ASOF JOIN: missing table name")
+        val name = new StringBuilder(toks(k).text)
+        k += 1
+        while (k + 1 < toks.length && toks(k).text == "." && toks(k + 1).word) {
+          name.append(".").append(toks(k + 1).text)
+          k += 2
+        }
+        var alias = name.toString.split('.').last
+        if (k < toks.length && toks(k).up == "AS") k += 1
+        if (k < toks.length && toks(k).word) alias = toks(k).text
+        (spark.table(name.toString), alias)
       }
-      var alias = name.toString.split('.').last
-      if (k < toks.length && toks(k).up == "AS") k += 1
-      if (k < toks.length && toks(k).word) alias = toks(k).text
-      (name.toString, alias)
     }
-    val (lName, lAlias) = tableRef(fromIdx + 1, asofIdx)
+    val (left, lAlias) = sideRef(fromIdx + 1, asofIdx)
     var j = asofIdx + 1
-    if (ts(j).up == "LEFT") j += 1 // left/inner share the plan; unmatched rows carry nulls
+    val isLeft = ts(j).up == "LEFT" // LEFT keeps unmatched rows; bare ASOF JOIN is inner
+    if (isLeft) j += 1
     require(ts(j).up == "JOIN", "ASOF JOIN: expected JOIN")
     val onIdx = find0(ts, Set("ON"), j)
     require(onIdx > j, "ASOF JOIN requires ON")
-    val (rName, rAlias) = tableRef(j + 1, onIdx)
+    val (right, rAlias) = sideRef(j + 1, onIdx)
     val tailKws = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING")
     val condEnd0 = find0(ts, tailKws, onIdx + 1)
     val condEnd = if (condEnd0 < 0) ts.length else condEnd0
@@ -376,16 +464,22 @@ object ChDdl {
         s"ASOF ON terms must reference $lAlias and $rAlias")
     val (lKey, rKey) = sided(eqs.head)
     val (lTime, rTime) = sided(ineqs.head)
-    // direction: left >= right (backward) vs left <= right (forward),
-    // normalized for operand order
+    // direction: left >= right (backward) vs left <= right (forward);
+    // strict > / < drop equal-timestamp matches. Normalized for
+    // operand order.
     val opAsWritten = ineqs.head.op
     val opLeftFirst = if (ineqs.head.a.alias == lAlias) opAsWritten
-      else opAsWritten match { case ">=" => "<="; case "<=" => ">="; case o => o }
-    val forward = opLeftFirst match {
-      case ">=" => false
-      case "<=" => true
+      else opAsWritten match {
+        case ">=" => "<="; case "<=" => ">="
+        case ">" => "<"; case "<" => ">"; case o => o
+      }
+    val (forward, strict) = opLeftFirst match {
+      case ">=" => (false, false)
+      case ">" => (false, true)
+      case "<=" => (true, false)
+      case "<" => (true, true)
       case o => throw new IllegalArgumentException(
-        s"ASOF supports inclusive >= / <= (got $o)")
+        s"ASOF supports >= / > / <= / < time bounds (got $o)")
     }
 
     // right columns referenced anywhere in the residual text
@@ -395,14 +489,13 @@ object ChDdl {
         k + 2 < residual.length && residual(k + 1).text == "." &&
         residual(k + 2).word => residual(k + 2).text
     }.distinct
-    val left = spark.table(lName)
-    val right = spark.table(rName)
     val rightPrepped = right.select(
       (col(rKey.col).as(lKey.col) +: col(rTime.col).as("__rt") +:
         neededRight.map(c => col(c).as(s"__r_$c"))): _*)
     val joined = graft.operators.AsOfJoin(
       left, rightPrepped, key = lKey.col, leftTime = lTime.col,
-      rightTime = "__rt", rightCols = neededRight.map("__r_" + _), forward)
+      rightTime = "__rt", rightCols = neededRight.map("__r_" + _), forward,
+      strict, inner = !isLeft)
     // re-qualify the residual SQL (select list + tail clauses) against
     // the joined result and run it
     def requalify(v: Vector[Tok]): Vector[Tok] = {
@@ -418,10 +511,15 @@ object ChDdl {
       }
       out.result()
     }
-    joined.createOrReplaceTempView("__graft_asof")
+    // unique per-call view name: two concurrent ASOF statements in one
+    // session must not clobber each other between registration and the
+    // (eager) resolution in spark.sql below
+    val view = s"__graft_asof_${asofViewSeq.incrementAndGet()}"
+    joined.createOrReplaceTempView(view)
     val selectList = renderTrim(requalify(ts.slice(1, fromIdx)))
     val tail = renderTrim(requalify(ts.drop(condEnd)))
-    spark.sql(s"SELECT $selectList FROM __graft_asof $tail")
+    try spark.sql(s"SELECT $selectList FROM $view $tail")
+    finally spark.catalog.dropTempView(view)
   }
 
   // ---------- the executeQuery front door ----------
@@ -473,9 +571,20 @@ object ChDdl {
       case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("DESCRIBE", _) |
            ("DESC", _) | ("USE", _) | ("ALTER", _) =>
         spark.sql(sql) // Spark's own DDL grammar covers these forms
+      case ("SET", _) if ts.length > 3 && ts(2).text == "=" =>
+        // CH SET is session-scoped (ASTSetQuery.h) — mapped names set
+        // their Spark confs for the rest of the session
+        ChSettings.set(spark, ChSql.parseAssignments(ts.drop(1)))
+        spark.emptyDataFrame
       case ("SELECT", _) if ChSql.find0(ts, Set("ASOF")) >= 0 =>
         executeAsof(spark, ts)
-      case _ => spark.sql(ChSql.translate(sql))
+      case _ =>
+        // trailing SETTINGS: the front door holds the session, so the
+        // mapped knobs take effect QUERY-scoped instead of being
+        // stripped like on the pure-text translate() path
+        val (clean, settings) = ChSql.extractSettings(sql)
+        if (settings.isEmpty) spark.sql(ChSql.translate(sql))
+        else ChSettings.scoped(spark, settings)(spark.sql(ChSql.translate(clean)))
     }
   }
 
@@ -638,7 +747,9 @@ object ChDdl {
             s"bad enum item: ${renderTrim(a)}")
           (a(0).text.stripPrefix("'").stripSuffix("'"), a(2).text.toInt)
         }
-        (if (name == "ENUM8") "SMALLINT" else "INT", Some(values))
+        // TINYINT is width-faithful for Enum8 (codes are Int8 in the
+        // reference, DataTypeEnum.h); Enum16's Int16 → SMALLINT
+        (if (name == "ENUM8") "TINYINT" else "SMALLINT", Some(values))
       case "DECIMAL" if args.length == 2 =>
         (s"DECIMAL(${args(0).head.text}, ${args(1).head.text})", None)
       case "DECIMAL32" => (s"DECIMAL(9, ${args(0).head.text})", None)

@@ -219,7 +219,22 @@ object ChSql {
       case Some(i) => rewriteLimitOffset(
         ts.take(i) ++ retok(s" LIMIT ${ts(i + 3).text} OFFSET ${ts(i + 1).text}") ++
           ts.drop(i + 4))
-      case None => ts
+      case None =>
+        // any REMAINING comma after a depth-0 LIMIT is the offset form
+        // with non-literal bounds (`LIMIT 10+5, 3`) — a translator
+        // error beats the Spark parse error it would otherwise become
+        // (LIMIT n BY was already rewritten away before this pass)
+        ts.indices.foreach { i =>
+          if (d(i) == 0 && ts(i).up == "LIMIT") {
+            val stop0 = find0(ts, clauseEnd, i + 1)
+            val seg = ts.slice(i + 1, if (stop0 < 0) ts.length else stop0)
+            val sd = depths(seg)
+            require(!seg.indices.exists(k => sd(k) == 0 && seg(k).text == ","),
+              s"LIMIT offset, count requires literal integers " +
+                s"(got 'LIMIT ${renderTrim(seg)}'); write LIMIT n OFFSET m")
+          }
+        }
+        ts
     }
   }
 
@@ -316,6 +331,28 @@ object ChSql {
     else ts
   }
 
+  /** Split a trailing `SETTINGS k = v, …` clause off a statement:
+    * (statement without the clause, the name/value pairs) — the
+    * session-holding ChDdl.execute front door maps the pairs onto
+    * Spark confs (ChSettings); the pure translate() path still strips
+    * them. Same `name = value` guard as stripSettings. */
+  private[functions] def extractSettings(sql: String): (String, Seq[(String, String)]) = {
+    val ts = tokenize(sql)._1
+    val i = find0(ts, Set("SETTINGS"))
+    if (i >= 0 && i + 2 < ts.length && ts(i + 1).word && ts(i + 2).text == "=")
+      (renderTrim(ts.take(i)), parseAssignments(ts.drop(i + 1)))
+    else (sql, Nil)
+  }
+
+  /** `k = v, k2 = v2, …` → pairs (string values unquoted). */
+  private[functions] def parseAssignments(ts: Vector[Tok]): Seq[(String, String)] =
+    splitTopLevel(ts).map { it =>
+      val eq = it.indexWhere(_.text == "=")
+      require(eq > 0, s"expected name = value, got '${renderTrim(it)}'")
+      (renderTrim(it.take(eq)),
+        renderTrim(it.drop(eq + 1)).stripPrefix("'").stripSuffix("'"))
+    }
+
   /** GLOBAL IN/JOIN is ClickHouse's distribution hint (ship the
     * subquery to every shard) — Spark's optimizer owns that decision
     * (broadcast), so the keyword is dropped. */
@@ -341,17 +378,26 @@ object ChSql {
     }
   }
 
-  /** numbers(N) table function (system.numbers slice) → range(N) with
-    * the column renamed to `number`. */
+  /** numbers(N) / numbers(offset, N) table function (system.numbers
+    * slice) → range(...) with the column renamed to `number`.
+    * Non-literal arguments fail HERE with a translator message instead
+    * of passing through to die in Spark's parser. */
   private def rewriteNumbers(ts: Vector[Tok]): Vector[Tok] = {
     val i = ts.indices.find(i => ts(i).up == "NUMBERS" &&
-      i + 3 < ts.length && ts(i + 1).text == "(" &&
-      ts(i + 2).text.forall(_.isDigit) && ts(i + 3).text == ")")
+      i + 1 < ts.length && ts(i + 1).text == "(")
     i match {
       case Some(i) =>
-        val rep = retok(s"(SELECT id AS number FROM range(${ts(i + 2).text}))")
+        val close = matchParen(ts, i + 1)
+        val args = ts.slice(i + 2, close).filterNot(_.text == ",").map(_.text)
+        require(args.nonEmpty && args.length <= 2 && args.forall(_.forall(_.isDigit)),
+          s"numbers(...) takes 1-2 literal integers, got " +
+            s"'numbers(${renderTrim(ts.slice(i + 2, close))})'")
+        val rangeArgs =
+          if (args.length == 1) args.head
+          else s"${args(0)}, ${args(0).toLong + args(1).toLong}"
+        val rep = retok(s"(SELECT id AS number FROM range($rangeArgs))")
         rewriteNumbers(ts.take(i) ++
-          (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(i + 4))
+          (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(close + 1))
       case None => ts
     }
   }
@@ -627,66 +673,117 @@ object ChSql {
          |  FROM ($head) ) WHERE __rn <= $n ORDER BY $ord$outerLimit""".stripMargin)
   }
 
-  // ---------- ORDER BY k WITH FILL [FROM a] [TO b] [STEP s] ----------
+  // -- ORDER BY k [WITH FILL [FROM a] [TO b] [STEP s]], … [INTERPOLATE (c)] --
+
+  /** One ORDER BY element (ASTOrderByElement.h:21-24 — with_fill and
+    * its bounds are PER element). `key` is the plain column for fill
+    * elements; non-fill elements keep their raw expression text. */
+  private final case class FillElem(
+      text: String, key: String, desc: Boolean, fill: Boolean,
+      from: Option[String], to: Option[String], step: String)
 
   private def rewriteWithFill(ts: Vector[Tok]): Vector[Tok] = {
     val d = depths(ts)
     val wf = ts.indices.find(i => d(i) == 0 && ts(i).up == "WITH" &&
       i + 1 < ts.length && ts(i + 1).up == "FILL")
     if (wf.isEmpty) return ts
-    val wi = wf.get
     val oi = find0(ts, Set("ORDER"))
-    require(oi >= 0 && oi < wi && ts(oi + 1).up == "BY",
+    require(oi >= 0 && oi < wf.get && ts(oi + 1).up == "BY",
       "WITH FILL requires ORDER BY")
-    val keyToks = ts.slice(oi + 2, wi)
-    require(keyToks.length == 1 && keyToks.head.word,
-      s"WITH FILL supports a single plain column key, got '${renderTrim(keyToks)}'")
-    val k = keyToks.head.text
     val head = renderTrim(ts.take(oi))
-    // FROM / TO / STEP expressions (each runs to the next fill keyword)
-    val fillKws = Set("FROM", "TO", "STEP", "INTERPOLATE")
-    var from = Option.empty[String]
-    var to = Option.empty[String]
-    var step = "1"
+    // the ORDER BY clause ends at the next depth-0 clause keyword; the
+    // tail (LIMIT/SETTINGS/FORMAT/…) is preserved and re-appended —
+    // never silently dropped
+    val obEnd0 = find0(ts,
+      Set("LIMIT", "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT"), oi + 2)
+    val obEnd = if (obEnd0 < 0) ts.length else obEnd0
+    val tail = render(ts.drop(obEnd))
+    // INTERPOLATE (c) trails the whole element list
+    var obToks = ts.slice(oi + 2, obEnd)
     var interpolate = Option.empty[String]
-    var i = wi + 2
-    val dd = depths(ts)
-    while (i < ts.length) {
-      val kw = ts(i).up
-      if (dd(i) == 0 && fillKws.contains(kw)) {
-        var j = i + 1
-        while (j < ts.length && !(dd(j) == 0 && ts(j).word && fillKws.contains(ts(j).up))) j += 1
-        val e = renderTrim(ts.slice(i + 1, j))
-        kw match {
-          case "FROM" => from = Some(e)
-          case "TO" => to = Some(e)
-          case "STEP" => step = e
-          case "INTERPOLATE" =>
-            // INTERPOLATE (c): carry the last seen value across filled
-            // rows. Single plain column, no AS expr (use
-            // operators.WithFill.interpolated for expression forms).
-            val it = ts.slice(i + 1, j)
-            require(it.length == 3 && it(0).text == "(" && it(1).word && it(2).text == ")",
-              s"INTERPOLATE supports a single plain column, got '${renderTrim(it)}'")
-            interpolate = Some(it(1).text)
-        }
-        i = j
-      } else i += 1
+    val ii = find0(obToks, Set("INTERPOLATE"))
+    if (ii >= 0) {
+      val it = obToks.drop(ii + 1)
+      require(it.length == 3 && it(0).text == "(" && it(1).word && it(2).text == ")",
+        s"INTERPOLATE supports a single plain column, got '${renderTrim(it)}'")
+      interpolate = Some(it(1).text)
+      obToks = obToks.take(ii)
     }
-    val spine = (from, to) match {
+    val fillKws = Set("FROM", "TO", "STEP")
+    val elems = splitTopLevel(obToks).map { el =>
+      val de = depths(el)
+      val wfi = el.indices.find(i => de(i) == 0 && el(i).up == "WITH" &&
+        i + 1 < el.length && el(i + 1).up == "FILL")
+      wfi match {
+        case None => FillElem(renderTrim(el), "", desc = false, fill = false, None, None, "1")
+        case Some(w) =>
+          var keyToks = el.take(w)
+          var desc = false
+          if (keyToks.nonEmpty && Set("ASC", "DESC").contains(keyToks.last.up)) {
+            desc = keyToks.last.up == "DESC"
+            keyToks = keyToks.dropRight(1)
+          }
+          require(keyToks.length == 1 && keyToks.head.word,
+            s"WITH FILL needs a plain column key, got '${renderTrim(keyToks)}'")
+          var from = Option.empty[String]
+          var to = Option.empty[String]
+          var step = "1"
+          var i = w + 2
+          while (i < el.length) {
+            val kw = el(i).up
+            if (de(i) == 0 && fillKws.contains(kw)) {
+              var j = i + 1
+              while (j < el.length &&
+                !(de(j) == 0 && el(j).word && fillKws.contains(el(j).up))) j += 1
+              val e = renderTrim(el.slice(i + 1, j))
+              kw match {
+                case "FROM" => from = Some(e)
+                case "TO" => to = Some(e)
+                case "STEP" => step = e
+              }
+              i = j
+            } else i += 1
+          }
+          FillElem(keyToks.head.text, keyToks.head.text, desc, fill = true, from, to, step)
+      }
+    }
+    val fills = elems.filter(_.fill)
+    require(fills.nonEmpty, "WITH FILL parse found no fill element")
+    def spineOf(f: FillElem): String = (f.from, f.to) match {
       case (Some(a), Some(b)) =>
         // FROM inclusive, TO exclusive (reference semantics)
-        s"(SELECT $k FROM (SELECT explode(sequence($a, $b, $step)) AS $k) WHERE $k < $b)"
+        s"(SELECT ${f.key} FROM (SELECT explode(sequence($a, $b, ${f.step})) AS ${f.key}) WHERE ${f.key} < $b)"
       case _ =>
-        s"""(SELECT explode(sequence(__wf_lo, __wf_hi, $step)) AS $k
-           |   FROM (SELECT min($k) AS __wf_lo, max($k) AS __wf_hi FROM ($head)))""".stripMargin
+        s"""(SELECT explode(sequence(__wf_lo, __wf_hi, ${f.step})) AS ${f.key}
+           |   FROM (SELECT min(${f.key}) AS __wf_lo, max(${f.key}) AS __wf_hi FROM ($head)))""".stripMargin
     }
+    val orderList = elems.map(e =>
+      if (e.fill) s"${e.key}${if (e.desc) " DESC" else ""}" else e.text).mkString(", ")
+    if (fills.length > 1 || elems.length > 1) {
+      // multiple fill keys: the filled axis is the CROSS JOIN of the
+      // per-key spines (each spine is axis-sized — the product stays a
+      // dimension grid, never fact-sized); non-fill sort keys ride
+      // along from the query side with NULLs on filled rows
+      require(interpolate.isEmpty,
+        "INTERPOLATE is supported with a single WITH FILL key")
+      val spine = fills.map(spineOf).zipWithIndex
+        .map { case (s, k) => s"$s __wf_s$k" }.mkString(" CROSS JOIN ")
+      val using = fills.map(_.key).mkString(", ")
+      return retok(
+        s"""SELECT * FROM (SELECT * FROM $spine) __wf_s
+           |FULL JOIN ($head) __wf_q USING ($using)
+           |ORDER BY $orderList$tail""".stripMargin)
+    }
+    val f = fills.head
+    val k = f.key
+    val step = f.step
+    val spine = spineOf(f)
     interpolate match {
       case None =>
         retok(
           s"""SELECT * FROM $spine __wf_s
              |FULL JOIN ($head) __wf_q USING ($k)
-             |ORDER BY $k""".stripMargin)
+             |ORDER BY $orderList$tail""".stripMargin)
       case Some(c) =>
         // Carry without a global single-partition window (the one plan
         // shape this repo bans): the axis is bucketed (1024 steps per
@@ -719,7 +816,18 @@ object ChSql {
              |SELECT * EXCEPT(__wf_bk, __wf_inv, __wf_carry, $c),
              |       coalesce(__wf_inv, __wf_carry) AS $c
              |FROM __wf_inw LEFT JOIN __wf_ci USING (__wf_bk)
-             |ORDER BY $k""".stripMargin)
+             |ORDER BY $orderList$tail""".stripMargin)
     }
+  }
+
+  /** Split a token run on its top-level commas. */
+  private[functions] def splitTopLevel(ts: Vector[Tok]): Vector[Vector[Tok]] = {
+    val d = depths(ts)
+    val out = Vector.newBuilder[Vector[Tok]]
+    var s = 0
+    for (k <- ts.indices)
+      if (ts(k).text == "," && d(k) == 0) { out += ts.slice(s, k); s = k + 1 }
+    out += ts.slice(s, ts.length)
+    out.result().filter(_.nonEmpty)
   }
 }

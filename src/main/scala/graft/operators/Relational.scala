@@ -27,6 +27,10 @@ object LimitBy {
   * rightTime <= leftTime within the same key (backward, the default),
   * or with `forward = true` the EARLIEST right row with
   * rightTime >= leftTime (ClickHouse ASOF's `>=` inequality).
+  * `strict = true` makes the bound EXCLUSIVE (`>` / `<` — the
+  * reference's Strictness::Asof admits both); `inner = true` drops
+  * left rows with no match (bare `ASOF JOIN`; the default keeps them
+  * with null right columns, `ASOF LEFT JOIN`).
   *
   * Implemented as the union+last-value trick: tag both sides, sort by
   * (key, time, side) once, and carry the most recent right payload
@@ -41,7 +45,8 @@ object AsOfJoin {
   def apply(
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
-      rightCols: Seq[String], forward: Boolean = false): DataFrame = {
+      rightCols: Seq[String], forward: Boolean = false,
+      strict: Boolean = false, inner: Boolean = false): DataFrame = {
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
@@ -61,16 +66,21 @@ object AsOfJoin {
             col("__t") :+ col("__side") :+ col("__payload")): _*))
     // right rows (side=0) sort before a left row at the same timestamp
     // in traversal order → inclusive semantics in both directions
-    // (ClickHouse ASOF `<=` / `>=`). __payload as the final sort key
-    // makes ties among right rows that share (key, ts) deterministic:
-    // last() then always picks the max-struct payload instead of a
-    // partition-order-dependent one.
+    // (ClickHouse ASOF `<=` / `>=`); with `strict` the side order
+    // flips, so an equal-timestamp right row sorts AFTER the left row
+    // and falls outside its window prefix (`<` / `>`). __payload as
+    // the final sort key makes ties among right rows that share
+    // (key, ts) deterministic: last() then always picks the max-struct
+    // payload instead of a partition-order-dependent one.
     val timeOrd = if (forward) col("__t").desc else col("__t").asc
-    val w = Window.partitionBy(key).orderBy(timeOrd, col("__side"), col("__payload"))
+    val sideOrd = if (strict) col("__side").desc else col("__side").asc
+    val w = Window.partitionBy(key).orderBy(timeOrd, sideOrd, col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__match", last("__payload", ignoreNulls = true).over(w))
-    filled.filter(col("__side") === 1)
-      .select((lCols.map(col) ++ rightCols.map(c => col(s"__match.$c").as(c))): _*)
+    val lefts = filled.filter(col("__side") === 1)
+    val matched = if (inner) lefts.filter(col("__match").isNotNull) else lefts
+    matched.select(
+      (lCols.map(col) ++ rightCols.map(c => col(s"__match.$c").as(c))): _*)
   }
 }
 

@@ -159,6 +159,37 @@ object DialectQueries {
           |) ORDER BY d""".stripMargin))
     },
 
+    // WITH FILL on MULTIPLE sort keys (ASTOrderByElement.h:21-24 —
+    // with_fill is per ORDER BY element): each filled key contributes
+    // its own spine (FROM/TO/STEP independently), the filled axis is
+    // their cross join (a dimension grid — never fact-sized), original
+    // off-grid rows survive the FULL JOIN.
+    "c17_ch_fill_multi" -> Q(
+      """WITH q AS (
+        |  SELECT CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+        |         CAST(date_part('day', o_orderdate) AS BIGINT) AS d, COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 430000
+        |  GROUP BY 1, 2),
+        |s AS (SELECT mm.m, dd.d FROM (SELECT unnest(generate_series(1, 12)) AS m) mm
+        |      CROSS JOIN (SELECT unnest(generate_series(1, 31, 5)) AS d) dd)
+        |SELECT COALESCE(s.m, q.m) AS m, COALESCE(s.d, q.d) AS d,
+        |       CAST(COALESCE(q.n, 0) AS BIGINT) AS n
+        |FROM s FULL JOIN q ON s.m = q.m AND s.d = q.d
+        |ORDER BY m, d""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT m, d, CAST(ifNull(n, 0) AS BIGINT) AS n FROM (
+          |  SELECT CAST(toMonth(o_orderdate) AS BIGINT) AS m,
+          |         CAST(toDayOfMonth(o_orderdate) AS BIGINT) AS d, COUNT(*) AS n
+          |  FROM orders
+          |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 430000
+          |  GROUP BY m, d
+          |  ORDER BY m WITH FILL FROM 1 TO 13, d WITH FILL FROM 1 TO 32 STEP 5
+          |) ORDER BY m, d""".stripMargin))
+    },
+
     // dictGet (ASTDictionary.h:1): the nation dimension registered as
     // a dictionary, looked up per row from verbatim CH SQL — a
     // broadcast-map ElementAt in the plan, no join, no shuffle. The
@@ -198,6 +229,65 @@ object DialectQueries {
         """SELECT c.event_id AS event_id, c.user_id AS user_id, e.event_id AS err_event_id
           |FROM clicks c
           |ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.ts
+          |ORDER BY event_id""".stripMargin)
+    },
+
+    // SETTINGS mapped onto Spark confs (ASTSetQuery.h:12-17): the
+    // reference's users steer the engine with a trailing SETTINGS
+    // clause; through execute() the mapped knobs take effect
+    // query-scoped — max_threads becomes the shuffle fan-out, proved
+    // on the PLAN (a 7-partition exchange in a 4-partition session),
+    // while no-op knobs (max_block_size) drop without changing
+    // results: the oracle is the plain aggregate.
+    "c14_ch_settings" -> Q(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      val q = graft.functions.ChDdl.execute(s,
+        """SELECT o_orderstatus, count() AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+          |SETTINGS max_threads = 7, max_block_size = 65536""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert("(?:hash|range)partitioning\\([^)]*, 7\\)".r.findFirstIn(plan).isDefined,
+        s"SETTINGS max_threads = 7 did not reach the physical plan:\n$plan")
+      q
+    },
+
+    // STRICT INNER ASOF with subquery sides (ASTTablesInSelectQuery.h:
+    // 76-99 — Strictness::Asof admits `>` as well as `>=`, and either
+    // side may be a derived table): bare `ASOF JOIN` drops unmatched
+    // left rows, `c.ts > e.ts` excludes equal-timestamp matches, and
+    // both sides are parenthesized subqueries translated recursively.
+    // DuckDB's native ASOF is inclusive-left-only, so the oracle
+    // inlines the same union+carry window SQL; the right side is
+    // pre-deduped to one row per (user, ts) so tie-breaks can't differ.
+    "c16_ch_asof_strict" -> Q(
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS ets, max(event_id) AS err_event_id
+        |      FROM events WHERE event_type = 'error' GROUP BY user_id, ts),
+        |u AS (
+        |  SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS p, 1 AS side FROM c
+        |  UNION ALL
+        |  SELECT user_id, ets, CAST(NULL AS BIGINT), err_event_id, 0 FROM e),
+        |w AS (
+        |  SELECT user_id, ts, event_id, side,
+        |    last_value(p IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_event_id
+        |  FROM u)
+        |SELECT event_id, user_id, err_event_id FROM w
+        |WHERE side = 1 AND err_event_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).events.createOrReplaceTempView("events")
+      graft.functions.ChDdl.execute(s,
+        """SELECT c.event_id AS event_id, c.user_id AS user_id, e.err_event_id AS err_event_id
+          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+          |ASOF JOIN (SELECT user_id, ts AS ets, max(event_id) AS err_event_id
+          |           FROM events WHERE event_type = 'error' GROUP BY user_id, ts) e
+          |  ON c.user_id = e.user_id AND c.ts > e.ets
           |ORDER BY event_id""".stripMargin)
     },
 

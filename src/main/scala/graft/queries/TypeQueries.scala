@@ -222,7 +222,7 @@ object TypeQueries {
         col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
         col("o_orderdate"),
         ct.enumEncode("o_orderpriority", col("o_orderpriority"))
-          .cast("smallint").as("o_orderpriority"),
+          .cast("tinyint").as("o_orderpriority"),
         col("o_orderstatus"))
       ct.insertSelect(s, src)
       s.table("graft_p03")
@@ -259,10 +259,12 @@ object TypeQueries {
     },
 
     // ALTER mutations (ASTAlterQuery.h:1): DELETE WHERE + UPDATE ...
-    // WHERE against a DDL-created table, realized as staged
-    // snapshot-rewrites (what a CH mutation does to its parts), then
-    // the mutated table read back — the oracle applies the identical
-    // delete-then-update algebra to the source.
+    // WHERE against a PARTITION BY table. The DELETE's predicate
+    // constrains the partition key, so only that partition is rewritten
+    // (dynamic partition overwrite on a predicate-pruned pre-scan;
+    // untouched partitions' files stay byte-identical — asserted in
+    // DdlSpec); the UPDATE touches every partition and rewrites all.
+    // The oracle applies the identical delete-then-update algebra.
     "p04_mutations" -> Q(
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,
@@ -279,7 +281,9 @@ object TypeQueries {
           |  o_orderkey Int64,
           |  o_orderstatus FixedString(1),
           |  o_totalprice Float64
-          |) ENGINE = MergeTree() ORDER BY (o_orderkey)""".stripMargin)
+          |) ENGINE = MergeTree()
+          |PARTITION BY o_orderstatus
+          |ORDER BY (o_orderkey)""".stripMargin)
       ct.create(s)
       ct.insertSelect(s,
         Tables(s, dir).orders.select("o_orderkey", "o_orderstatus", "o_totalprice"))

@@ -42,6 +42,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == 7.0)
   }
 
+  test("strict bounds exclude equal-timestamp matches in both directions") {
+    val left = Seq((1L, t(10), "a"), (1L, t(20), "b")).toDF("k", "lt", "tag")
+    val right = Seq((1L, t(10), 100.0), (1L, t(15), 200.0)).toDF("k", "rt", "price")
+    // backward strict (l.t > r.t): at lt=10 the rt=10 tie is excluded
+    val back = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"), strict = true)
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(back == Map("a" -> None, "b" -> Some(200.0)), back)
+    // forward strict (l.t < r.t): at lt=10 it must skip to rt=15
+    val fwd = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"),
+        forward = true, strict = true)
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(fwd == Map("a" -> Some(200.0), "b" -> None), fwd)
+  }
+
+  test("inner form drops left rows with no match; left form keeps them") {
+    val left = Seq((1L, t(10), "a"), (2L, t(10), "b")).toDF("k", "lt", "tag")
+    val right = Seq((1L, t(5), 1.0)).toDF("k", "rt", "price")
+    val innerTags = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"), inner = true)
+      .select("tag").as[String].collect().toSeq
+    assert(innerTags == Seq("a"), innerTags)
+    val leftTags = AsOfJoin(left, right, "k", "lt", "rt", Seq("price"))
+      .select("tag").as[String].collect().toSet
+    assert(leftTags == Set("a", "b"))
+  }
+
   test("empty right side keeps every left row with null payload") {
     val left = Seq((1L, t(1), "x"), (2L, t(2), "y")).toDF("k", "lt", "tag")
     val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "rt", "price")

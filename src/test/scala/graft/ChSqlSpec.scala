@@ -158,6 +158,43 @@ class ChSqlSpec extends SparkSpec {
     assert(got == Seq((1, Some(10)), (3, Some(30)), (5, None), (8, Some(80))))
   }
 
+  test("WITH FILL preserves a trailing LIMIT instead of dropping it") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 10), (8, 80) AS t(k, v)")
+      .createOrReplaceTempView("wf_l")
+    val got = spark.sql(ChSql.translate(
+      "SELECT k, v FROM wf_l ORDER BY k WITH FILL FROM 1 TO 9 LIMIT 3"))
+      .as[(Int, Option[Int])].collect().toSeq
+    assert(got == Seq((1, Some(10)), (2, None), (3, None)), got)
+  }
+
+  test("WITH FILL on multiple sort keys cross-joins the per-key spines") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 1, 11), (2, 3, 23) AS t(a, b, v)")
+      .createOrReplaceTempView("wf_m")
+    val got = spark.sql(ChSql.translate(
+      """SELECT a, b, v FROM wf_m
+        |ORDER BY a WITH FILL FROM 1 TO 3, b WITH FILL FROM 1 TO 4 STEP 2""".stripMargin))
+      .as[(Int, Int, Option[Int])].collect().toSeq
+    // grid {1,2}×{1,3} plus the original rows (both on-grid here)
+    assert(got == Seq(
+      (1, 1, Some(11)), (1, 3, None),
+      (2, 1, None), (2, 3, Some(23))), got)
+  }
+
+  test("a non-fill second sort key rides along instead of being dropped") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 5, 10), (1, 2, 20), (3, 9, 30) AS t(k, s, v)")
+      .createOrReplaceTempView("wf_n")
+    val got = spark.sql(ChSql.translate(
+      "SELECT k, s, v FROM wf_n ORDER BY k WITH FILL FROM 1 TO 4, s DESC"))
+      .as[(Int, Option[Int], Option[Int])].collect().toSeq
+    // k densified to 1,2,3; within k=1 the two rows order by s DESC
+    assert(got == Seq(
+      (1, Some(5), Some(10)), (1, Some(2), Some(20)),
+      (2, None, None), (3, Some(9), Some(30))), got)
+  }
+
   test("WITH FILL without bounds spans min..max of the result") {
     GraftFunctions.ensureRegistered(spark)
     spark.sql("SELECT * FROM VALUES (2, 20), (5, 50) AS t(k, v)")

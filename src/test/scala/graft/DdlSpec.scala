@@ -30,7 +30,7 @@ class DdlSpec extends SparkSpec {
     assert(m("s") == "ARRAY<STRING>" && m("t") == "MAP<STRING, BIGINT>")
     assert(m("u") == "STRUCT<x: BIGINT, y: STRING>")
     assert(m("v") == "STRUCT<_1: DOUBLE, _2: DOUBLE>")
-    assert(m("w") == "SMALLINT" && m("x") == "STRING" && m("y") == "BOOLEAN")
+    assert(m("w") == "TINYINT" && m("x") == "STRING" && m("y") == "BOOLEAN")
     assert(ct.enumOf("w") == Seq(("lo", 1), ("hi", 2)))
     assert(ct.table == "db_t" && ct.orderBy == Seq("e", "k"))
   }
@@ -122,6 +122,60 @@ class DdlSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (3L, 30.0), (5L, 50.0), (7L, 71.0), (9L, 91.0)), got)
   }
 
+  test("partition-restricted mutation leaves untouched partitions byte-identical") {
+    GraftFunctions.ensureRegistered(spark)
+    val ct = ChDdl.parse(
+      """CREATE TABLE graft_mut_part (
+        |  k Int64, grp String, v Float64
+        |) ENGINE = MergeTree()
+        |PARTITION BY grp
+        |ORDER BY (k)""".stripMargin)
+    ct.create(spark)
+    ct.insertSelect(spark, spark.range(1, 101).select(
+      $"id".as("k"),
+      concat(lit("g"), ($"id" % 4).cast("string")).as("grp"),
+      ($"id" * 1.0).as("v")))
+    def partFiles(grp: String): Map[String, (Long, Long)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val dir = new org.apache.hadoop.fs.Path(s"$wh/graft_mut_part/grp=$grp")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).filter(_.isFile).map { st =>
+        st.getPath.getName -> (st.getLen, st.getModificationTime)
+      }.toMap
+    }
+    val before = Seq("g0", "g1", "g3").map(g => g -> partFiles(g)).toMap
+    // the predicate pins partition g2: only that directory may change
+    // (g2 holds k ≡ 2 mod 4: 2,6,…,98; k ≡ 2 mod 8 deletes 13 of 25)
+    ChDdl.alter(spark, "ALTER TABLE graft_mut_part DELETE WHERE grp = 'g2' AND k % 8 = 2")
+    Seq("g0", "g1", "g3").foreach { g =>
+      assert(partFiles(g) == before(g),
+        s"untouched partition $g was rewritten by a g2-only mutation")
+    }
+    val got = spark.table("graft_mut_part")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got == Map("g0" -> 25, "g1" -> 25, "g2" -> 12, "g3" -> 25), got)
+    // a mutation that deletes a partition ENTIRELY drops it
+    ChDdl.alter(spark, "ALTER TABLE graft_mut_part DELETE WHERE grp = 'g3'")
+    val left = spark.table("graft_mut_part").select("grp").distinct()
+      .as[String].collect().toSet
+    assert(left == Set("g0", "g1", "g2"), left)
+  }
+
+  test("ALTER UPDATE evaluates every SET and the predicate against the original row") {
+    GraftFunctions.ensureRegistered(spark)
+    val ct = ChDdl.parse(
+      "CREATE TABLE graft_upd_snap (k Int64, a Int64, b Int64) ENGINE = MergeTree() ORDER BY (k)")
+    ct.create(spark)
+    ct.insertSelect(spark, spark.range(1, 4).select(
+      $"id".as("k"), ($"id" * 10).as("a"), ($"id" * 100).as("b")))
+    // the reference's mutation contract: a = b, b = a SWAPS (both
+    // right-hand sides read the pre-update row)
+    ChDdl.alter(spark, "ALTER TABLE graft_upd_snap UPDATE a = b, b = a WHERE k >= 2")
+    val got = spark.table("graft_upd_snap").orderBy("k")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 100L), (2L, 200L, 20L), (3L, 300L, 30L)), got)
+  }
+
   test("CREATE FUNCTION registers a SQL-lambda that inlines as Catalyst") {
     ChDdl.createFunction(spark,
       "CREATE FUNCTION graft_linear AS (x, k, b) -> k * x + b")
@@ -187,6 +241,47 @@ class DdlSpec extends SparkSpec {
     assert(fwd == Seq((1, 10, Some("b")), (1, 20, None), (2, 15, Some("z"))), fwd)
   }
 
+  test("ASOF JOIN SQL: strict bounds, inner form, and subquery sides") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 10), (1, 20), (2, 15) AS t(k, t)")
+      .createOrReplaceTempView("asof_sl")
+    spark.sql("SELECT * FROM VALUES (1, 10, 'a'), (1, 12, 'b'), (2, 99, 'z') AS t(k2, t2, v)")
+      .createOrReplaceTempView("asof_sr")
+    // strict backward + INNER (bare ASOF JOIN) over subquery sides:
+    // (1,10) has only the t2=10 tie → excluded AND dropped (inner);
+    // (1,20)→'b'; (2,15) unmatched → dropped
+    val got = ChDdl.execute(spark,
+      """SELECT l.k AS k, l.t AS t, r.v AS v
+        |FROM (SELECT k, t FROM asof_sl WHERE k < 9) l
+        |ASOF JOIN (SELECT k2, t2, v FROM asof_sr PREWHERE v != '') r
+        |  ON l.k = r.k2 AND l.t > r.t2
+        |ORDER BY k, t""".stripMargin)
+      .as[(Int, Int, String)].collect().toSeq
+    assert(got == Seq((1, 20, "b")), got)
+  }
+
+  test("two concurrent execute() ASOF statements do not clobber each other") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 10), (1, 20) AS t(k, t)")
+      .createOrReplaceTempView("asof_c1")
+    spark.sql("SELECT * FROM VALUES (1, 5, 'p'), (1, 15, 'q') AS t(k2, t2, v)")
+      .createOrReplaceTempView("asof_c2")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(n: Int): Seq[(Int, String)] = ChDdl.execute(spark,
+      s"""SELECT l.k AS k, l.t AS t, r.v AS v FROM asof_c1 l
+         |ASOF LEFT JOIN asof_c2 r ON l.k = r.k2 AND l.t >= r.t2
+         |WHERE l.t >= $n ORDER BY t""".stripMargin)
+      .as[(Int, Int, String)].collect().toSeq.map(r => (r._2, r._3))
+    val futures = Seq(
+      Future((1 to 5).map(_ => run(0))),
+      Future((1 to 5).map(_ => run(20))))
+    val Seq(a, b) = Await.result(Future.sequence(futures), 120.seconds)
+    assert(a.forall(_ == Seq((10, "p"), (20, "q"))), a.head)
+    assert(b.forall(_ == Seq((20, "q"))), b.head)
+  }
+
   test("the README front-door script runs verbatim") {
     ChDdl.execute(spark,
       "CREATE TABLE t (id UInt64, s String) ENGINE = MergeTree() ORDER BY (id) SAMPLE BY intHash32(id)")
@@ -206,6 +301,48 @@ class DdlSpec extends SparkSpec {
       .as[Double].collect().head
     assert(d == 150.0)
     ChDdl.execute(spark, "DROP TABLE t")
+  }
+
+  test("query-scoped SETTINGS bake into the plan and restore the session conf") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.range(100).selectExpr("id", "id % 5 AS g")
+      .createOrReplaceTempView("settings_t")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = ChDdl.execute(spark,
+      "SELECT g, count() AS n FROM settings_t GROUP BY g SETTINGS max_threads = 9")
+    assert("hashpartitioning\\([^)]*, 9\\)".r
+      .findFirstIn(q.queryExecution.executedPlan.toString).isDefined,
+      "max_threads = 9 not in the plan")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "session conf not restored after the query-scoped SETTINGS")
+    assert(q.count() == 5)
+    // unmapped knobs drop without failing or changing results
+    val n = ChDdl.execute(spark,
+      "SELECT count() AS n FROM settings_t SETTINGS max_block_size = 65536, optimize_read_in_order = 1")
+      .as[Long].head()
+    assert(n == 100)
+  }
+
+  test("SET statement is session-scoped; join_algorithm steers the join strategy") {
+    GraftFunctions.ensureRegistered(spark)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    ChDdl.execute(spark, "SET max_threads = 6")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "6")
+    ChDdl.execute(spark, s"SET max_threads = $before")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // join_algorithm = 'partial_merge' forces sort-merge where the
+    // 25-row dimension would otherwise broadcast
+    val t = Tables(spark, sfDir)
+    t.customer.createOrReplaceTempView("jcust")
+    t.nation.createOrReplaceTempView("jnat")
+    val sql = """SELECT count() AS n FROM jcust c
+                |JOIN jnat n ON c.c_nationkey = n.n_nationkey""".stripMargin
+    val smj = ChDdl.execute(spark, sql + " SETTINGS join_algorithm = 'partial_merge'")
+    assert(smj.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "join_algorithm = 'partial_merge' did not force a sort-merge join")
+    val bhj = ChDdl.execute(spark, sql)
+    assert(bhj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(smj.as[Long].head() == bhj.as[Long].head())
   }
 
   test("CREATE DICTIONARY wires a table into dictGet end-to-end") {
