@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import ChSql.{Tok, tokenize, render, renderTrim, matchParen, find0, splitTopLevel}
+
+/** Column matchers and transformers (reference:
+  * src/Parsers/ASTColumnsMatcher.h:1 — `COLUMNS('regex')`;
+  * ASTColumnsTransformers.h:1 — `EXCEPT(…)`, `APPLY(f)`,
+  * `REPLACE(expr AS name)` chains after `*` or a matcher).
+  *
+  * The expansion is SCHEMA-AWARE (the regex and the transformer chain
+  * resolve against the FROM relation's columns), so it lives behind
+  * the session-holding ChDdl.execute front door — the same trick
+  * executeAsof uses. Pure-text translate() cannot expand these.
+  *
+  * `COLUMNS('re')` selects the matching columns (RE2-style partial
+  * match, like the reference); transformers chain left-to-right:
+  * `EXCEPT(a, b)` / `EXCEPT a` removes columns, `APPLY(f)` / `APPLY f`
+  * wraps each selected column — output named `f(col)` exactly as the
+  * reference names it — and `REPLACE(expr AS name)` swaps a column's
+  * expression keeping its position and name. A bare `* EXCEPT(…)`
+  * with no APPLY/REPLACE is left for Spark's native form.
+  *
+  * Scope: the OUTER select list of a query whose FROM is a named
+  * table or view (expansion needs one schema to resolve against).
+  */
+object ChColumns {
+
+  /** Expand matchers/transformers in `sql`, or return it unchanged
+    * when none are present. */
+  def expand(spark: SparkSession, sql: String): String = {
+    val ts = tokenize(sql)._1
+    if (ts.isEmpty || ts.head.up != "SELECT") return sql
+    val fromIdx = find0(ts, Set("FROM"))
+    if (fromIdx < 0) return sql
+    val items = splitTopLevel(ts.slice(1, fromIdx))
+
+    def isMatcher(it: Vector[Tok]): Boolean =
+      it.length > 1 && it.head.up == "COLUMNS" && it(1).text == "("
+    def hasTransform(it: Vector[Tok]): Boolean = {
+      val d = ChSql.depths(it)
+      it.indices.exists(k => d(k) == 0 && it(k).word &&
+        Set("APPLY", "REPLACE").contains(it(k).up))
+    }
+    def expandable(it: Vector[Tok]): Boolean =
+      isMatcher(it) || (it.head.text == "*" && hasTransform(it))
+    if (!items.exists(expandable)) return sql
+
+    require(fromIdx + 1 < ts.length && ts(fromIdx + 1).word,
+      "COLUMNS()/APPLY expansion needs a named table or view in FROM")
+    val table = ts(fromIdx + 1).text
+    val fields = spark.table(table).schema.fieldNames.toSeq
+
+    def expandItem(it: Vector[Tok]): String = {
+      // initial selection
+      var k = 0
+      var cols: Seq[(String, String)] = // (expression text, output name)
+        if (isMatcher(it)) {
+          val close = matchParen(it, 1)
+          val lit = renderTrim(it.slice(2, close))
+          require(lit.startsWith("'") && lit.endsWith("'"),
+            s"COLUMNS(...) takes a quoted regex, got $lit")
+          val re = lit.stripPrefix("'").stripSuffix("'").r
+          k = close + 1
+          fields.filter(c => re.findFirstIn(c).isDefined).map(c => (c, c))
+        } else { k = 1; fields.map(c => (c, c)) }
+      require(cols.nonEmpty, s"'${renderTrim(it)}' matched no columns of $table")
+      // transformer chain, left to right
+      while (k < it.length) {
+        val kw = it(k).up
+        def args(): Seq[Vector[Tok]] =
+          if (k + 1 < it.length && it(k + 1).text == "(") {
+            val close = matchParen(it, k + 1)
+            val a = splitTopLevel(it.slice(k + 2, close))
+            k = close + 1
+            a
+          } else { // single bare argument form: EXCEPT a / APPLY f
+            require(k + 1 < it.length && it(k + 1).word,
+              s"$kw needs arguments in '${renderTrim(it)}'")
+            val a = Seq(Vector(it(k + 1)))
+            k = k + 2
+            a
+          }
+        kw match {
+          case "EXCEPT" =>
+            val drop = args().map(_.head.text).toSet
+            cols = cols.filterNot { case (_, n) => drop.contains(n) }
+          case "APPLY" =>
+            val fs = args()
+            require(fs.length == 1 && fs.head.length == 1 && fs.head.head.word,
+              s"APPLY takes one function name in '${renderTrim(it)}'")
+            val f = fs.head.head.text
+            cols = cols.map { case (e, n) => (s"$f($e)", s"$f($n)") }
+          case "REPLACE" =>
+            args().foreach { a =>
+              val ai = a.indexWhere(t => t.up == "AS" && t.word)
+              require(ai > 0 && ai == a.length - 2 && a.last.word,
+                s"REPLACE items are expr AS name: '${renderTrim(a)}'")
+              val name = a.last.text
+              val e = s"(${renderTrim(a.take(ai))})"
+              cols = cols.map { case (t, n) => if (n == name) (e, n) else (t, n) }
+            }
+          case other => throw new IllegalArgumentException(
+            s"unknown column transformer $other in '${renderTrim(it)}'")
+        }
+      }
+      cols.map { case (e, n) => if (e == n) n else s"$e AS `$n`" }.mkString(", ")
+    }
+
+    val selectList = items
+      .map(it => if (expandable(it)) expandItem(it) else renderTrim(it))
+      .mkString(", ")
+    s"SELECT $selectList ${render(ts.drop(fromIdx)).trim}"
+  }
+}

@@ -146,6 +146,9 @@ object ChDdl {
           .sortWithinPartitions(sortCols: _*)
       laid.write.mode("overwrite").insertInto(table)
       projections.foreach(materializeProjection(spark, source, _))
+      // a reload re-populates any materialized views hanging off the
+      // table (an OVERWRITE is a re-ingest, not an appended block)
+      ChMatView.forBase(table).foreach(ChMatView.refreshFull(spark, _))
     }
 
     /** Write the projection's aggregate table FROM THE SAME LOAD (so
@@ -168,7 +171,10 @@ object ChDdl {
       pdf.write.mode("overwrite").format("parquet").saveAsTable(projTable)
       graft.plans.ProjectionCatalog.register(graft.plans.ProjectionCatalog.Proj(
         table, projTable, p.keys,
-        p.sums.toSet, p.mins.toSet, p.maxs.toSet, p.hasCount))
+        p.sums.map(c => c -> s"__sum_$c").toMap,
+        p.mins.map(c => c -> s"__min_$c").toMap,
+        p.maxs.map(c => c -> s"__max_$c").toMap,
+        if (p.hasCount) Some("__cnt") else None))
     }
   }
 
@@ -548,13 +554,22 @@ object ChDdl {
     executeOne(spark, sql)
   }
 
+  /** execute() with `{name:Type}` query parameters
+    * (ASTQueryParameter.h:1) — values substitute with typed literal
+    * rendering before the statement routes. */
+  def execute(spark: SparkSession, sql: String,
+      params: Map[String, String]): org.apache.spark.sql.DataFrame =
+    execute(spark, ChSql.substituteParams(sql, params))
+
   private def executeOne(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
     val ts = tokenize(sql)._1
     def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
     (kw(0), kw(1)) match {
       case ("CREATE", "TABLE") => parse(sql).create(spark); spark.emptyDataFrame
+      case ("CREATE", "MATERIALIZED") => ChMatView.create(spark, sql); spark.emptyDataFrame
       case ("CREATE", "FUNCTION") => createFunction(spark, sql); spark.emptyDataFrame
       case ("CREATE", "DICTIONARY") => createDictionary(spark, sql); spark.emptyDataFrame
+      case ("INSERT", "INTO") => ChInsert.execute(spark, sql); spark.emptyDataFrame
       case ("ALTER", "TABLE")
           if ChSql.find0(ts, Set("DELETE", "UPDATE"), 2) >= 0 =>
         alter(spark, sql); spark.emptyDataFrame
@@ -579,11 +594,12 @@ object ChDdl {
       case ("SELECT", _) if ChSql.find0(ts, Set("ASOF")) >= 0 =>
         executeAsof(spark, ts)
       case _ =>
-        // trailing SETTINGS: the front door holds the session, so the
-        // mapped knobs take effect QUERY-scoped instead of being
-        // stripped like on the pure-text translate() path
-        val (clean, settings) = ChSql.extractSettings(sql)
-        if (settings.isEmpty) spark.sql(ChSql.translate(sql))
+        // schema-aware pre-passes the pure-text translator can't do:
+        // COLUMNS('re') / * APPLY/REPLACE expansion, then trailing
+        // SETTINGS mapped onto confs QUERY-scoped instead of stripped
+        val expanded = ChColumns.expand(spark, sql)
+        val (clean, settings) = ChSql.extractSettings(expanded)
+        if (settings.isEmpty) spark.sql(ChSql.translate(expanded))
         else ChSettings.scoped(spark, settings)(spark.sql(ChSql.translate(clean)))
     }
   }

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import ChSql.{tokenize, render}
+
+/** INSERT statements through the front door (reference:
+  * src/Parsers/ASTInsertQuery.h:32 — table, columns, select, and the
+  * raw `data` tail after FORMAT; ParserInsertQuery.cpp finds the data
+  * start). Three body forms:
+  *
+  *  - `INSERT INTO t [(cols)] VALUES (…), (…)` — literal rows;
+  *  - `INSERT INTO t [(cols)] SELECT …` — the SELECT goes through the
+  *    translator (CH-only clauses work in an insert source);
+  *  - `INSERT INTO t [(cols)] FORMAT CSV|TSV|JSONEachRow <raw rows>` —
+  *    the client bulk-load idiom: the inline data tail is parsed by
+  *    Spark's csv/json readers AGAINST THE CATALOG SCHEMA (types come
+  *    from the table, never inference).
+  *
+  * All three build the inserted batch as a DataFrame, append it in
+  * the catalog's field order (insertInto is positional), and hand THE
+  * BATCH to ChMatView.onInsertedBatch — the reference's MV-trigger
+  * contract: materialized views see exactly the inserted block.
+  * Unlisted columns arrive NULL; VALUES and SELECT bind positionally
+  * to the listed columns (or the catalog order when unlisted).
+  */
+object ChInsert {
+
+  def execute(spark: SparkSession, sql: String): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    val ts = tokenize(sql)._1
+    require(ts.length > 3 && ts(0).up == "INSERT" && ts(1).up == "INTO",
+      "expected INSERT INTO")
+    var i = 2
+    val nameStart = i
+    val bodyKws = Set("VALUES", "SELECT", "WITH", "FORMAT")
+    while (i < ts.length && ts(i).text != "(" &&
+      !(ts(i).word && bodyKws.contains(ts(i).up))) i += 1
+    val table = ts.slice(nameStart, i).filter(_.word).map(_.text).mkString("_")
+    require(table.nonEmpty, "INSERT INTO: missing table name")
+    val tableSchema = spark.table(table).schema
+    var cols = tableSchema.fieldNames.toSeq
+    if (i < ts.length && ts(i).text == "(") {
+      val close = ChSql.matchParen(ts, i)
+      cols = ts.slice(i + 1, close).filter(_.word).map(_.text)
+      i = close + 1
+    }
+    require(i < ts.length && bodyKws.contains(ts(i).up),
+      "INSERT INTO: expected VALUES, SELECT, or FORMAT")
+
+    val batch: DataFrame = ts(i).up match {
+      case "VALUES" =>
+        spark.sql(s"SELECT * FROM VALUES ${render(ts.drop(i + 1))}")
+          .toDF(cols: _*)
+      case "SELECT" | "WITH" =>
+        spark.sql(ChSql.translate(render(ts.drop(i)))).toDF(cols: _*)
+      case "FORMAT" =>
+        require(i + 1 < ts.length && ts(i + 1).word, "FORMAT needs a name")
+        val fmt = ts(i + 1).up
+        // the data tail is RAW text after the format name — recover its
+        // offset by re-rendering the consumed tokens (render is exact)
+        val data = sql.substring(render(ts.take(i + 2)).length)
+        val lines = data.split('\n').toIndexedSeq
+          .map(_.stripSuffix("\r")).filter(_.trim.nonEmpty)
+        import spark.implicits._
+        val ds = spark.createDataset(lines)
+        val schema = StructType(cols.map(c => tableSchema(c)))
+        fmt match {
+          case "CSV" => spark.read.schema(schema).csv(ds)
+          case "TSV" | "TABSEPARATED" =>
+            spark.read.schema(schema).option("sep", "\t").csv(ds)
+          case "JSONEACHROW" => spark.read.schema(schema).json(ds)
+          case other => throw new IllegalArgumentException(
+            s"unsupported inline FORMAT $other (CSV, TSV, JSONEachRow)")
+        }
+    }
+    // widen to the full catalog row: listed columns cast to their
+    // declared types, unlisted columns NULL
+    val fullBatch = batch.select(tableSchema.fields.toSeq.map { f =>
+      if (cols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    fullBatch.write.mode("append").insertInto(table)
+    ChMatView.onInsertedBatch(spark, table, fullBatch)
+  }
+}

@@ -331,6 +331,70 @@ object ChSql {
     else ts
   }
 
+  // ---------- query parameters {name:Type} ----------
+
+  /** Query parameters (reference: src/Parsers/ASTQueryParameter.h:1 —
+    * `{name:Type}` placeholders): substituted with TYPED literal
+    * rendering before translation. Values arrive as strings (the
+    * reference's client passes `--param_name=value`); the declared
+    * type drives quoting: numerics inline (validated), strings quote
+    * with `''` escaping, Date/DateTime render as typed literals,
+    * `Array(T)` renders `[a, b]` values as `array(…)`, and
+    * `Identifier` inlines verbatim (table/column parameters). */
+  def substituteParams(sql: String, params: Map[String, String]): String = {
+    val (ts, tail) = tokenize(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.text == "{" && i + 2 < ts.length && ts(i + 1).word && ts(i + 2).text == ":") {
+        val name = ts(i + 1).text
+        var j = i + 3
+        while (j < ts.length && ts(j).text != "}") j += 1
+        require(j < ts.length, s"unclosed query parameter {$name:…}")
+        out.append(t.pre).append(renderParam(name, ts.slice(i + 3, j), params))
+        i = j + 1
+      } else { out.append(t.pre).append(t.text); i += 1 }
+    }
+    out.toString + tail
+  }
+
+  private val numericRe = """-?\d+(\.\d+)?([eE][+-]?\d+)?""".r
+  private def quoted(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  private def renderParam(
+      name: String, typeToks: Vector[Tok], params: Map[String, String]): String = {
+    val v = params.getOrElse(name, throw new IllegalArgumentException(
+      s"no value supplied for query parameter {$name:${renderTrim(typeToks)}}"))
+    require(typeToks.nonEmpty, s"parameter {$name} needs a type")
+    def render(tpe: Vector[Tok], value: String): String = tpe.head.up match {
+      case t if t.startsWith("INT") || t.startsWith("UINT") ||
+          t.startsWith("FLOAT") || t.startsWith("DECIMAL") =>
+        require(numericRe.matches(value),
+          s"parameter {$name:$t} expects a number, got '$value'")
+        value
+      case "BOOL" | "BOOLEAN" => value.toBoolean.toString
+      case "DATE" | "DATE32" => s"DATE ${quoted(value)}"
+      case "DATETIME" | "DATETIME64" => s"TIMESTAMP ${quoted(value)}"
+      case "IDENTIFIER" => value
+      case "ARRAY" =>
+        // value like [1, 2] or ['a', 'b'] (the reference's client
+        // array syntax) → array(…) with each element re-rendered
+        val inner = tpe.slice(2, tpe.length - 1)
+        val body = value.trim.stripPrefix("[").stripSuffix("]")
+        val parts = splitTopLevel(tokenize(body)._1).map(renderTrim)
+        val elems = parts.map { e =>
+          val bare = if (e.startsWith("'") && e.endsWith("'"))
+            e.stripPrefix("'").stripSuffix("'").replace("''", "'")
+          else e
+          render(inner, bare)
+        }
+        s"array(${elems.mkString(", ")})"
+      case _ => quoted(value) // String/FixedString/UUID/IPv4/IPv6/Enum…
+    }
+    render(typeToks, v)
+  }
+
   /** Split a trailing `SETTINGS k = v, …` clause off a statement:
     * (statement without the clause, the name/value pairs) — the
     * session-holding ChDdl.execute front door maps the pairs onto

@@ -39,10 +39,15 @@ import org.apache.spark.sql.types.LongType
   * every matching dashboard-style aggregate never touches the facts.
   */
 object ProjectionCatalog {
+  /** `sums`/`mins`/`maxs` map base column → summary column (PROJECTION
+    * declarations use the `__sum_c` scheme; materialized views carry
+    * the user's own aliases). The summary may hold PARTIAL aggregates
+    * (one row per insert block per key — the SummingMergeTree-parts
+    * analog): the rewrite always re-aggregates, so both layouts serve. */
   final case class Proj(
       baseTable: String, projTable: String, keys: Seq[String],
-      sums: Set[String], mins: Set[String], maxs: Set[String],
-      hasCount: Boolean)
+      sums: Map[String, String], mins: Map[String, String],
+      maxs: Map[String, String], countCol: Option[String])
 
   private[graft] val byBase =
     scala.collection.concurrent.TrieMap[String, Proj]()
@@ -95,13 +100,13 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def reAgg(fn: AggregateFunction): Option[Expression] = fn match {
       case Sum(a: AttributeReference, _) if p.sums.contains(a.name) =>
-        Some(Sum(pa(s"__sum_${a.name}")).toAggregateExpression())
+        Some(Sum(pa(p.sums(a.name))).toAggregateExpression())
       case Min(a: AttributeReference) if p.mins.contains(a.name) =>
-        Some(Min(pa(s"__min_${a.name}")).toAggregateExpression())
+        Some(Min(pa(p.mins(a.name))).toAggregateExpression())
       case Max(a: AttributeReference) if p.maxs.contains(a.name) =>
-        Some(Max(pa(s"__max_${a.name}")).toAggregateExpression())
-      case Count(Seq(Literal(1, _))) if p.hasCount =>
-        Some(Cast(Sum(pa("__cnt")).toAggregateExpression(), LongType))
+        Some(Max(pa(p.maxs(a.name))).toAggregateExpression())
+      case Count(Seq(Literal(1, _))) if p.countCol.nonEmpty =>
+        Some(Cast(Sum(pa(p.countCol.get)).toAggregateExpression(), LongType))
       case _ => None
     }
 

@@ -256,6 +256,25 @@ object DialectQueries {
       q
     },
 
+    // COLUMNS('regex') APPLY(f) (ASTColumnsMatcher.h:1,
+    // ASTColumnsTransformers.h:1): the matcher resolves against the
+    // FROM relation's schema behind the execute() front door, the
+    // transformer wraps each matched column and names the output
+    // `f(col)` exactly as the reference does — the oracle states the
+    // expansion literally with the same names.
+    "c15_ch_columns_apply" -> Q(
+      """SELECT l_returnflag,
+        |  MAX(l_orderkey) AS "max(l_orderkey)",
+        |  MAX(l_partkey) AS "max(l_partkey)",
+        |  MAX(l_suppkey) AS "max(l_suppkey)"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem")
+      graft.functions.ChDdl.execute(s,
+        """SELECT l_returnflag, COLUMNS('^l_.*key$') APPLY(max)
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // STRICT INNER ASOF with subquery sides (ASTTablesInSelectQuery.h:
     // 76-99 — Strictness::Asof admits `>` as well as `>=`, and either
     // side may be a derived table): bare `ASOF JOIN` drops unmatched

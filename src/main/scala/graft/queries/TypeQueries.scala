@@ -339,6 +339,87 @@ object TypeQueries {
       q
     },
 
+    // CREATE MATERIALIZED VIEW (ASTCreateQuery.h:70-72): the MV is an
+    // INSERT TRIGGER — each inserted block flows through the view's
+    // SELECT and appends PARTIAL per-block aggregates to the target
+    // (the SummingMergeTree-parts contract; two inserts ⇒ up to two
+    // partial rows per key). Querying the MV re-aggregates, the
+    // oracle computes from the raw rows — hash-match proves the
+    // incremental maintenance is exact. The same MV registers for
+    // auto-routing: a matching aggregate on the BASE table is rewritten
+    // onto the dimension-sized target (asserted on the optimized plan).
+    "p06_matview" -> Q(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      ChDdl.execute(s,
+        """CREATE TABLE graft_p06_base (
+          |  o_orderkey Int64,
+          |  o_orderstatus FixedString(1),
+          |  o_orderpriority String,
+          |  price Decimal(12, 2)
+          |) ENGINE = MergeTree() ORDER BY (o_orderkey)""".stripMargin)
+      ChDdl.execute(s,
+        """CREATE MATERIALIZED VIEW graft_p06_mv
+          |ENGINE = SummingMergeTree() POPULATE AS
+          |SELECT o_orderstatus, o_orderpriority,
+          |       sum(price) AS total, count() AS n
+          |FROM graft_p06_base
+          |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+      Tables(s, dir).orders.select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+        .createOrReplaceTempView("graft_p06_src")
+      // two separate inserted blocks → the MV target accumulates
+      // per-block partials, never recomputes
+      ChDdl.execute(s,
+        "INSERT INTO graft_p06_base SELECT * FROM graft_p06_src WHERE o_orderkey % 2 = 0")
+      ChDdl.execute(s,
+        "INSERT INTO graft_p06_base SELECT * FROM graft_p06_src WHERE o_orderkey % 2 = 1")
+      // a matching aggregate on the BASE auto-routes to the MV target
+      val routed = s.table("graft_p06_base")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(routed.queryExecution.optimizedPlan.toString.contains("graft_p06_mv"),
+        "base-table aggregate was not auto-routed to the materialized view")
+      // querying the MV re-aggregates the partials (how the
+      // reference's users read a SummingMergeTree MV)
+      ChDdl.execute(s,
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(sum(total) AS DOUBLE) AS total, sum(n) AS n
+          |FROM graft_p06_mv
+          |GROUP BY o_orderstatus, o_orderpriority
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // INSERT with inlined FORMAT data (ASTInsertQuery.h:32 — the raw
+    // `data` tail; ParserInsertQuery.cpp): the client bulk-load idiom,
+    // parsed against the CATALOG schema (no inference), appended, read
+    // back. JSONEachRow and CSV in one multi-statement script; the
+    // oracle states the same literal rows.
+    "p07_insert_format" -> Q(
+      """SELECT CAST(k AS BIGINT) AS k, name, CAST(v AS DOUBLE) AS v
+        |FROM (VALUES (1, 'ada', 1.5), (2, 'bob', 2.5), (3, 'cy', NULL),
+        |             (4, 'dot', 4.25), (5, 'eve', 5.125))
+        |  t(k, name, v)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      ChDdl.execute(s,
+        """CREATE TABLE graft_p07 (k Int64, name String, v Float64)
+          |  ENGINE = MergeTree() ORDER BY (k);
+          |INSERT INTO graft_p07 FORMAT JSONEachRow
+          |{"k": 1, "name": "ada", "v": 1.5}
+          |{"k": 2, "name": "bob", "v": 2.5}
+          |{"k": 3, "name": "cy"};
+          |INSERT INTO graft_p07 FORMAT CSV
+          |4,dot,4.25
+          |5,eve,5.125""".stripMargin)
+      ChDdl.execute(s, "SELECT k, name, v FROM graft_p07 ORDER BY k")
+    },
+
     // DateTime64(6/3/0) semantics (DataTypeDateTime64.h:1): the
     // sub-second truncation ladder µs → ms → s, computed on epoch
     // integers in BOTH engines (no timestamp rendering, no timezone

@@ -205,6 +205,42 @@ class ChSqlSpec extends SparkSpec {
     assert(got == Seq((2, Some(20)), (3, None), (4, None), (5, Some(50))))
   }
 
+  test("query parameters substitute with typed literal rendering") {
+    import graft.functions.ChSql.substituteParams
+    assert(substituteParams(
+      "SELECT * FROM t WHERE k = {k:Int64} AND f < {f:Float64}",
+      Map("k" -> "42", "f" -> "1.5"))
+      == "SELECT * FROM t WHERE k = 42 AND f < 1.5")
+    // strings quote, embedded quotes escape
+    assert(substituteParams(
+      "SELECT * FROM t WHERE name = {n:String}", Map("n" -> "o'brien"))
+      == "SELECT * FROM t WHERE name = 'o''brien'")
+    // date/timestamp render as typed literals; Identifier inlines
+    assert(substituteParams(
+      "SELECT * FROM {t:Identifier} WHERE d = {d:Date}",
+      Map("t" -> "orders", "d" -> "2024-01-05"))
+      == "SELECT * FROM orders WHERE d = DATE '2024-01-05'")
+    // arrays: the client's [..] syntax becomes array(…), inner type applies
+    assert(substituteParams(
+      "SELECT * FROM t WHERE k IN {ks:Array(Int64)} AND s IN {ss:Array(String)}",
+      Map("ks" -> "[1, 2, 3]", "ss" -> "['a', 'it''s']"))
+      == "SELECT * FROM t WHERE k IN array(1, 2, 3) AND s IN array('a', 'it''s')")
+    // a non-numeric value against a numeric type is a translator error
+    intercept[IllegalArgumentException] {
+      substituteParams("SELECT {k:Int64}", Map("k" -> "1; DROP TABLE t"))
+    }
+    // end-to-end through execute()
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables(spark, sfDir).orders.createOrReplaceTempView("orders")
+    val n = graft.functions.ChDdl.execute(spark,
+      "SELECT count() AS n FROM orders WHERE o_orderpriority = {p:String} AND o_totalprice > {cut:Float64}",
+      Map("p" -> "1-URGENT", "cut" -> "100000"))
+      .as[Long].head()
+    val expect = Tables(spark, sfDir).orders
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 100000).count()
+    assert(n == expect && n > 0)
+  }
+
   test("parametric aggregates fold into single-call dialect forms") {
     val got = run(
       """SELECT count() AS n, quantile(0.5)(o_totalprice) AS med,

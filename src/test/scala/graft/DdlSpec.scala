@@ -303,6 +303,60 @@ class DdlSpec extends SparkSpec {
     ChDdl.execute(spark, "DROP TABLE t")
   }
 
+  test("INSERT front door: VALUES, column subsets, and inline FORMAT data") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      "CREATE TABLE graft_ins (a Int64, b String, c Float64) ENGINE = MergeTree() ORDER BY (a)")
+    // column-subset VALUES: unlisted c arrives NULL, order is (b, a)
+    ChDdl.execute(spark, "INSERT INTO graft_ins (b, a) VALUES ('x', 1), ('y', 2)")
+    // inline TSV against the catalog schema
+    ChDdl.execute(spark, "INSERT INTO graft_ins FORMAT TSV\n3\tz\t3.5")
+    val got = spark.table("graft_ins").orderBy("a")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some(3.5))), got)
+  }
+
+  test("materialized view: POPULATE backfills, inserts append per-block partials") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_mv_base (k Int64, g String, v Int64)
+        |  ENGINE = MergeTree() ORDER BY (k)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO graft_mv_base VALUES (1, 'a', 10), (2, 'b', 20)")
+    ChDdl.execute(spark,
+      """CREATE MATERIALIZED VIEW graft_mv_sum ENGINE = SummingMergeTree() POPULATE AS
+        |SELECT g, sum(v) AS sv, count() AS n FROM graft_mv_base GROUP BY g""".stripMargin)
+    // POPULATE: one backfill row per key
+    assert(spark.table("graft_mv_sum").count() == 2)
+    ChDdl.execute(spark, "INSERT INTO graft_mv_base VALUES (3, 'a', 5), (4, 'c', 7)")
+    // the trigger appended the BLOCK's partials (never recomputed):
+    // 'a' now has two partial rows
+    assert(spark.table("graft_mv_sum").count() == 4)
+    val got = spark.sql(
+      "SELECT g, sum(sv) AS sv, sum(n) AS n FROM graft_mv_sum GROUP BY g ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 15L, 2L), ("b", 20L, 1L), ("c", 7L, 1L)), got)
+    // matching aggregate on the BASE auto-routes to the target
+    val routed = spark.table("graft_mv_base").groupBy("g")
+      .agg(sum($"v").as("sv"))
+    assert(routed.queryExecution.optimizedPlan.toString.contains("graft_mv_sum"),
+      "aggregate on the base was not routed to the MV target")
+    assert(routed.orderBy("g").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 15L), ("b", 20L), ("c", 7L)))
+  }
+
+  test("non-aggregate materialized view appends the transformed rows of each block") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_mv_raw (k Int64, v Int64) ENGINE = MergeTree() ORDER BY (k);
+        |CREATE MATERIALIZED VIEW graft_mv_big TO graft_mv_big_t AS
+        |  SELECT k, v * 2 AS v2 FROM graft_mv_raw WHERE v >= 10;
+        |INSERT INTO graft_mv_raw VALUES (1, 5), (2, 10);
+        |INSERT INTO graft_mv_raw VALUES (3, 30)""".stripMargin)
+    val got = spark.table("graft_mv_big_t").orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 20L), (3L, 60L)), got)
+  }
+
   test("query-scoped SETTINGS bake into the plan and restore the session conf") {
     GraftFunctions.ensureRegistered(spark)
     spark.range(100).selectExpr("id", "id % 5 AS g")
@@ -343,6 +397,30 @@ class DdlSpec extends SparkSpec {
     val bhj = ChDdl.execute(spark, sql)
     assert(bhj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(smj.as[Long].head() == bhj.as[Long].head())
+  }
+
+  test("COLUMNS matcher and * transformers expand schema-aware") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 2, CAST(3.0 AS DOUBLE), 'x') AS t(a_key, b_key, val, tag)")
+      .createOrReplaceTempView("cols_t")
+    // COLUMNS('re') APPLY chain
+    val m = ChDdl.execute(spark,
+      "SELECT COLUMNS('_key$') APPLY(sum) FROM cols_t")
+    assert(m.columns.toSeq == Seq("sum(a_key)", "sum(b_key)"))
+    assert(m.as[(Long, Long)].head() == ((1L, 2L)))
+    // * EXCEPT + APPLY: every remaining column wrapped
+    val e = ChDdl.execute(spark,
+      "SELECT * EXCEPT(tag) APPLY(max) FROM cols_t")
+    assert(e.columns.toSeq == Seq("max(a_key)", "max(b_key)", "max(val)"))
+    // * REPLACE keeps position and name
+    val r = ChDdl.execute(spark,
+      "SELECT * REPLACE(val * 10 AS val) FROM cols_t")
+    assert(r.columns.toSeq == Seq("a_key", "b_key", "val", "tag"))
+    assert(r.select("val").as[Double].head() == 30.0)
+    // chained: matcher → EXCEPT → APPLY, single-ident forms
+    val c = ChDdl.execute(spark,
+      "SELECT COLUMNS('key') EXCEPT b_key APPLY min FROM cols_t")
+    assert(c.columns.toSeq == Seq("min(a_key)"))
   }
 
   test("CREATE DICTIONARY wires a table into dictGet end-to-end") {

@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpec {
       "w09_interpolate",    // month-granularity carry self-join (dimension-sized)
       "c09_ch_interpolate", // bucket-granularity carry self-join (≤ axis/1024 rows)
       "y03_lowcard",        // dictionary rank self-join (distinct values)
+      "c17_ch_fill_multi",  // per-key fill spines cross join (12×7 grid)
       "j05_cross",          // the intentional CROSS JOIN
       "d05_knn_brute")      // brute force IS broadcast-queries × corpus
     withoutAqe {
