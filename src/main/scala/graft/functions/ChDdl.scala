@@ -103,9 +103,9 @@ object ChDdl {
       // to its stale summary between create() and insertSelect() (or
       // forever, if the load fails) — drop the materialization and the
       // registration up front; insertSelect re-registers on success
-      graft.plans.ProjectionCatalog.get(table).foreach { p =>
-        spark.sql(s"DROP TABLE IF EXISTS ${p.projTable}")
-      }
+      graft.plans.ProjectionCatalog.get(table)
+        .filter(_.projTable.startsWith(s"${table}__proj_")) // MV targets stay
+        .foreach(p => spark.sql(s"DROP TABLE IF EXISTS ${p.projTable}"))
       graft.plans.ProjectionCatalog.invalidate(table)
       // remember the declared sampling key so ChSql can translate the
       // reference's bare `SAMPLE f` (no BY) into the stored-hash range
@@ -287,11 +287,17 @@ object ChDdl {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
-        val surviving = staged.select(partCols.map(col): _*).distinct().collect().toSet
-        affected.filterNot(surviving.contains).foreach { r =>
-          val spec = partCols.zipWithIndex.map { case (c, k) =>
-            s"$c = '${String.valueOf(r.get(k)).replace("'", "''")}'" }.mkString(", ")
-          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+        // only a DELETE can leave an affected partition empty (dynamic
+        // overwrite skips absent partitions, so empties need an
+        // explicit drop); an UPDATE rewrites every affected partition
+        // non-empty — skip the extra pass
+        if (ts(i).up == "DELETE") {
+          val surviving = staged.select(partCols.map(col): _*).distinct().collect().toSet
+          affected.filterNot(surviving.contains).foreach { r =>
+            val spec = partCols.zipWithIndex.map { case (c, k) =>
+              s"$c = '${String.valueOf(r.get(k)).replace("'", "''")}'" }.mkString(", ")
+            spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+          }
         }
       }
     }
@@ -437,55 +443,68 @@ object ChDdl {
     val isLeft = ts(j).up == "LEFT" // LEFT keeps unmatched rows; bare ASOF JOIN is inner
     if (isLeft) j += 1
     require(ts(j).up == "JOIN", "ASOF JOIN: expected JOIN")
-    val onIdx = find0(ts, Set("ON"), j)
-    require(onIdx > j, "ASOF JOIN requires ON")
+    val onIdx = find0(ts, Set("ON", "USING"), j)
+    require(onIdx > j, "ASOF JOIN requires ON or USING")
+    val isUsing = ts(onIdx).up == "USING"
     val (right, rAlias) = sideRef(j + 1, onIdx)
     val tailKws = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING")
     val condEnd0 = find0(ts, tailKws, onIdx + 1)
     val condEnd = if (condEnd0 < 0) ts.length else condEnd0
     val cond = ts.slice(onIdx + 1, condEnd)
 
-    // conjuncts: alias.col OP alias.col
     final case class Term(alias: String, col: String)
-    final case class Conj(a: Term, op: String, b: Term)
-    val conjuncts = {
-      val d = ChSql.depths(cond)
-      val cuts = cond.indices.filter(k => d(k) == 0 && cond(k).up == "AND")
-      val bounds = (-1 +: cuts) :+ cond.length
-      bounds.sliding(2).map { case Seq(s, e) =>
-        val c = cond.slice(s + 1, e)
-        require(c.length == 7 && c(1).text == "." && c(5).text == ".",
-          s"ASOF ON conjuncts must be alias.col OP alias.col, got '${renderTrim(c)}'")
-        Conj(Term(c(0).text, c(2).text), c(3).text, Term(c(4).text, c(6).text))
-      }.toSeq
-    }
-    val eqs = conjuncts.filter(_.op == "=")
-    val ineqs = conjuncts.filterNot(_.op == "=")
-    require(eqs.length == 1 && ineqs.length == 1,
-      "ASOF JOIN needs exactly one key equality and one time inequality")
-    def sided(c: Conj): (Term, Term) = // (left-side term, right-side term)
-      if (c.a.alias == lAlias && c.b.alias == rAlias) (c.a, c.b)
-      else if (c.a.alias == rAlias && c.b.alias == lAlias) (c.b, c.a)
-      else throw new IllegalArgumentException(
-        s"ASOF ON terms must reference $lAlias and $rAlias")
-    val (lKey, rKey) = sided(eqs.head)
-    val (lTime, rTime) = sided(ineqs.head)
-    // direction: left >= right (backward) vs left <= right (forward);
-    // strict > / < drop equal-timestamp matches. Normalized for
-    // operand order.
-    val opAsWritten = ineqs.head.op
-    val opLeftFirst = if (ineqs.head.a.alias == lAlias) opAsWritten
-      else opAsWritten match {
-        case ">=" => "<="; case "<=" => ">="
-        case ">" => "<"; case "<" => ">"; case o => o
+    val (lKey, rKey, lTime, rTime, forward, strict) = if (isUsing) {
+      // USING (k, t): shared names — every column but the LAST is an
+      // equality key, the last is the `>=` inequality (the reference's
+      // ASOF USING shorthand, ASTTablesInSelectQuery.h using_expression_list)
+      val names = cond.filter(_.word).map(_.text)
+      require(names.length == 2, "ASOF USING supports (key, time) — " +
+        s"got (${names.mkString(", ")}); spell multi-key joins with ON")
+      (Term(lAlias, names(0)), Term(rAlias, names(0)),
+        Term(lAlias, names(1)), Term(rAlias, names(1)), false, false)
+    } else {
+      // conjuncts: alias.col OP alias.col
+      final case class Conj(a: Term, op: String, b: Term)
+      val conjuncts = {
+        val d = ChSql.depths(cond)
+        val cuts = cond.indices.filter(k => d(k) == 0 && cond(k).up == "AND")
+        val bounds = (-1 +: cuts) :+ cond.length
+        bounds.sliding(2).map { case Seq(s, e) =>
+          val c = cond.slice(s + 1, e)
+          require(c.length == 7 && c(1).text == "." && c(5).text == ".",
+            s"ASOF ON conjuncts must be alias.col OP alias.col, got '${renderTrim(c)}'")
+          Conj(Term(c(0).text, c(2).text), c(3).text, Term(c(4).text, c(6).text))
+        }.toSeq
       }
-    val (forward, strict) = opLeftFirst match {
-      case ">=" => (false, false)
-      case ">" => (false, true)
-      case "<=" => (true, false)
-      case "<" => (true, true)
-      case o => throw new IllegalArgumentException(
-        s"ASOF supports >= / > / <= / < time bounds (got $o)")
+      val eqs = conjuncts.filter(_.op == "=")
+      val ineqs = conjuncts.filterNot(_.op == "=")
+      require(eqs.length == 1 && ineqs.length == 1,
+        "ASOF JOIN needs exactly one key equality and one time inequality")
+      def sided(c: Conj): (Term, Term) = // (left-side term, right-side term)
+        if (c.a.alias == lAlias && c.b.alias == rAlias) (c.a, c.b)
+        else if (c.a.alias == rAlias && c.b.alias == lAlias) (c.b, c.a)
+        else throw new IllegalArgumentException(
+          s"ASOF ON terms must reference $lAlias and $rAlias")
+      val (lk, rk) = sided(eqs.head)
+      val (lt, rt) = sided(ineqs.head)
+      // direction: left >= right (backward) vs left <= right (forward);
+      // strict > / < drop equal-timestamp matches. Normalized for
+      // operand order.
+      val opAsWritten = ineqs.head.op
+      val opLeftFirst = if (ineqs.head.a.alias == lAlias) opAsWritten
+        else opAsWritten match {
+          case ">=" => "<="; case "<=" => ">="
+          case ">" => "<"; case "<" => ">"; case o => o
+        }
+      val (fwd, str) = opLeftFirst match {
+        case ">=" => (false, false)
+        case ">" => (false, true)
+        case "<=" => (true, false)
+        case "<" => (true, true)
+        case o => throw new IllegalArgumentException(
+          s"ASOF supports >= / > / <= / < time bounds (got $o)")
+      }
+      (lk, rk, lt, rt, fwd, str)
     }
 
     // right columns referenced anywhere in the residual text

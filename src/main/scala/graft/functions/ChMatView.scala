@@ -109,28 +109,35 @@ object ChMatView {
     * registration is SUSPENDED for the duration — the refresh query
     * itself must read the base, not be rewritten onto the (stale or
     * empty) target it is refreshing. */
-  def refreshFull(spark: SparkSession, mv: Mv): Unit = {
-    val saved = graft.plans.ProjectionCatalog.get(mv.baseTable)
-    graft.plans.ProjectionCatalog.invalidate(mv.baseTable)
-    try spark.sql(ChSql.translate(mv.selectSql))
-      .write.mode("overwrite").insertInto(mv.target)
-    finally saved.foreach(graft.plans.ProjectionCatalog.register)
-  }
+  def refreshFull(spark: SparkSession, mv: Mv): Unit =
+    graft.plans.ProjectionCatalog.suspended(mv.baseTable) {
+      spark.sql(ChSql.translate(mv.selectSql))
+        .write.mode("overwrite").insertInto(mv.target)
+    }
 
   private val batchSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** The insert trigger: apply the view's SELECT to the inserted batch
-    * only, append the (possibly partial-aggregate) result. */
+    * only, append the (possibly partial-aggregate) result, and CASCADE
+    * — an MV whose base is another MV's target sees the transformed
+    * block, the reference's chained-MV behavior. `seen` guards cycles. */
   def onInsertedBatch(spark: SparkSession, table: String, batch: DataFrame): Unit =
-    forBase(table).foreach { mv =>
+    trigger(spark, table, batch, Set.empty)
+
+  private def trigger(spark: SparkSession, table: String, batch: DataFrame,
+      seen: Set[String]): Unit =
+    forBase(table).filterNot(mv => seen.contains(mv.name)).foreach { mv =>
       val view = s"__graft_mv_batch_${batchSeq.incrementAndGet()}"
       batch.createOrReplaceTempView(view)
       try {
         val redirected = render(retok(mv.selectSql).map { t =>
           if (t.word && t.text.equalsIgnoreCase(mv.baseTable)) t.copy(text = view) else t
         })
-        spark.sql(ChSql.translate(redirected))
-          .write.mode("append").insertInto(mv.target)
+        val out = spark.sql(ChSql.translate(redirected))
+        out.write.mode("append").insertInto(mv.target)
+        // cascade while the batch view is still registered (downstream
+        // evaluation re-reads `out`, whose plan references it)
+        trigger(spark, mv.target, out, seen + mv.name)
       } finally spark.catalog.dropTempView(view)
     }
 

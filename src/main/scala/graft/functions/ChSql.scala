@@ -97,6 +97,19 @@ object ChSql {
           i += 1
           while (i < n && sql.charAt(i) != '`') i += 1
           if (i < n) i += 1
+        } else if (c == '"') { // ANSI double-quoted identifier (also
+          // keeps ';'/keywords inside JSON FORMAT data atomic);
+          // "" doubling and backslash escapes both honored
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            val ch = sql.charAt(i)
+            if (ch == '\\' && i + 1 < n) i += 2
+            else if (ch == '"') {
+              if (i + 1 < n && sql.charAt(i + 1) == '"') i += 2
+              else { done = true; i += 1 }
+            } else i += 1
+          }
         } else if (c.isLetter || c == '_') {
           word = true
           while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1

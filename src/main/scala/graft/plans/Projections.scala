@@ -50,21 +50,32 @@ object ProjectionCatalog {
       maxs: Map[String, String], countCol: Option[String])
 
   private[graft] val byBase =
-    scala.collection.concurrent.TrieMap[String, Proj]()
+    scala.collection.concurrent.TrieMap[String, Vector[Proj]]()
 
-  def register(p: Proj): Unit = byBase.put(p.baseTable.toLowerCase, p)
+  /** A table declares any number of projections (and MV-backed
+    * summaries); registration replaces an entry with the same target. */
+  def register(p: Proj): Unit = byBase.updateWith(p.baseTable.toLowerCase) {
+    case Some(v) => Some(v.filterNot(_.projTable == p.projTable) :+ p)
+    case None => Some(Vector(p))
+  }
   def invalidate(baseTable: String): Unit = byBase.remove(baseTable.toLowerCase)
-  def get(baseTable: String): Option[Proj] = byBase.get(baseTable.toLowerCase)
+  def get(baseTable: String): Vector[Proj] =
+    byBase.getOrElse(baseTable.toLowerCase, Vector.empty)
+  /** Suspend every registration for a base while `body` runs — used by
+    * refresh paths whose own query must read the base, not a summary. */
+  def suspended[T](baseTable: String)(body: => T): T = {
+    val saved = byBase.remove(baseTable.toLowerCase)
+    try body finally saved.foreach(byBase.put(baseTable.toLowerCase, _))
+  }
 }
 
 case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
-      baseTableOf(child).flatMap(ProjectionCatalog.get) match {
-        case Some(p) => tryRewrite(agg, groupings, aggExprs, p).getOrElse(agg)
-        case None => agg
-      }
+      baseTableOf(child).map(ProjectionCatalog.get).getOrElse(Vector.empty)
+        .iterator.flatMap(p => tryRewrite(agg, groupings, aggExprs, p))
+        .nextOption().getOrElse(agg)
   }
 
   /** The catalog-table name beneath attribute-only projections, or

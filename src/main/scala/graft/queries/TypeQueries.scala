@@ -420,6 +420,30 @@ object TypeQueries {
       ChDdl.execute(s, "SELECT k, name, v FROM graft_p07 ORDER BY k")
     },
 
+    // Decimal128 (DataTypeDecimalBase.h — Decimal128(s) ⇒ precision
+    // 38): aggregation on the WIDE Int128-backed path. Sums/extremes
+    // only (precision-38 products truncate scale differently across
+    // engines); the division-free pipeline is bit-exact in both, so
+    // the final DOUBLE casts hash-match. y01 carries the data-sized
+    // fast path; this key pins the wide path stays correct (its cost
+    // relative to y01 is visible in the bench).
+    "y08_decimal128" -> Q(
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS lo,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS hi,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      def w(c: String) = col(c).cast("decimal(38,6)")
+      Tables(s, dir).orders.groupBy("o_orderpriority")
+        .agg(
+          sum(w("o_totalprice")).cast("double").as("total"),
+          min(w("o_totalprice")).cast("double").as("lo"),
+          max(w("o_totalprice")).cast("double").as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // DateTime64(6/3/0) semantics (DataTypeDateTime64.h:1): the
     // sub-second truncation ladder µs → ms → s, computed on epoch
     // integers in BOTH engines (no timestamp rendering, no timezone

@@ -67,6 +67,21 @@ class ChSqlSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("double-quoted identifiers and JSON data stay atomic through the lexer") {
+    import graft.functions.ChSql
+    // a keyword inside a double-quoted identifier never triggers a rewrite
+    assert(ChSql.translate("""SELECT "final col" FROM t""")
+      == """SELECT "final col" FROM t""")
+    // a ';' inside double quotes must not split a multi-statement script
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    graft.functions.ChDdl.execute(spark,
+      """CREATE TABLE graft_dq (k Int64, s String) ENGINE = MergeTree() ORDER BY (k);
+        |INSERT INTO graft_dq FORMAT JSONEachRow
+        |{"k": 1, "s": "a;b"}""".stripMargin)
+    val got = spark.table("graft_dq").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a;b")), got)
+  }
+
   test("string literals containing keywords survive untouched") {
     val t = ChSql.translate("SELECT 'PREWHERE LIMIT 3 BY x SAMPLE' AS s FROM orders")
     assert(t.contains("'PREWHERE LIMIT 3 BY x SAMPLE'"))

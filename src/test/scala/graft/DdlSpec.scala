@@ -260,6 +260,20 @@ class DdlSpec extends SparkSpec {
     assert(got == Seq((1, 20, "b")), got)
   }
 
+  test("ASOF JOIN USING shorthand: equality on the head, >= on the last column") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 10), (1, 20), (2, 15) AS t(k, t)")
+      .createOrReplaceTempView("asof_ul")
+    spark.sql("SELECT * FROM VALUES (1, 5, 'a'), (1, 12, 'b'), (2, 99, 'z') AS t(k, t, v)")
+      .createOrReplaceTempView("asof_ur")
+    val got = ChDdl.execute(spark,
+      """SELECT l.k AS k, l.t AS t, r.v AS v FROM asof_ul l
+        |ASOF LEFT JOIN asof_ur r USING (k, t)
+        |ORDER BY k, t""".stripMargin)
+      .as[(Int, Int, Option[String])].collect().toSeq
+    assert(got == Seq((1, 10, Some("a")), (1, 20, Some("b")), (2, 15, None)), got)
+  }
+
   test("two concurrent execute() ASOF statements do not clobber each other") {
     GraftFunctions.ensureRegistered(spark)
     spark.sql("SELECT * FROM VALUES (1, 10), (1, 20) AS t(k, t)")
@@ -342,6 +356,26 @@ class DdlSpec extends SparkSpec {
       "aggregate on the base was not routed to the MV target")
     assert(routed.orderBy("g").as[(String, Long)].collect().toSeq ==
       Seq(("a", 15L), ("b", 20L), ("c", 7L)))
+  }
+
+  test("materialized views cascade: an MV over another MV's target sees each block") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_mv_c0 (k Int64, g String, v Int64)
+        |  ENGINE = MergeTree() ORDER BY (k);
+        |CREATE MATERIALIZED VIEW graft_mv_c1 TO graft_mv_c1_t AS
+        |  SELECT k, g, v * 10 AS v10 FROM graft_mv_c0 WHERE v > 1;
+        |CREATE MATERIALIZED VIEW graft_mv_c2 TO graft_mv_c2_t AS
+        |  SELECT g, sum(v10) AS sv, count() AS n FROM graft_mv_c1_t GROUP BY g;
+        |INSERT INTO graft_mv_c0 VALUES (1, 'a', 1), (2, 'a', 2), (3, 'b', 3);
+        |INSERT INTO graft_mv_c0 VALUES (4, 'a', 4)""".stripMargin)
+    // first level: rows v>1 transformed
+    assert(spark.table("graft_mv_c1_t").count() == 3)
+    // second level: per-block partials of the TRANSFORMED blocks
+    val got = spark.sql(
+      "SELECT g, sum(sv) AS sv, sum(n) AS n FROM graft_mv_c2_t GROUP BY g ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 60L, 2L), ("b", 30L, 1L)), got)
   }
 
   test("non-aggregate materialized view appends the transformed rows of each block") {

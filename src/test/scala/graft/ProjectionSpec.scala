@@ -38,6 +38,31 @@ class ProjectionSpec extends SparkSpec {
     assert(p.mins == Seq("o_orderkey") && p.maxs == Seq("o_orderkey"))
   }
 
+  test("a table with several projections routes each aggregate to the matching one") {
+    GraftFunctions.ensureRegistered(spark)
+    val multi = ChDdl.parse(
+      """CREATE TABLE graft_proj_multi (
+        |  k Int64, s String, p String, v Int64,
+        |  PROJECTION by_s (SELECT s, sum(v), count() GROUP BY s),
+        |  PROJECTION by_p (SELECT p, max(k), count() GROUP BY p)
+        |) ENGINE = MergeTree() ORDER BY (k)""".stripMargin)
+    multi.create(spark)
+    multi.insertSelect(spark, spark.range(1, 101).select(
+      $"id".as("k"), concat(lit("s"), $"id" % 3).as("s"),
+      concat(lit("p"), $"id" % 4).as("p"), ($"id" * 2).as("v")))
+    val qs = spark.table("graft_proj_multi").groupBy("s").agg(sum($"v").as("sv"))
+    assert(qs.queryExecution.optimizedPlan.toString.contains("__proj_by_s"),
+      "sum-by-s not routed to by_s")
+    val qp = spark.table("graft_proj_multi").groupBy("p").agg(max($"k").as("mk"))
+    assert(qp.queryExecution.optimizedPlan.toString.contains("__proj_by_p"),
+      "max-by-p not routed to by_p")
+    // results stay exact through both routes
+    assert(qs.orderBy("s").as[(String, Long)].collect().toSeq ==
+      Seq(("s0", 3366L), ("s1", 3434L), ("s2", 3300L)))
+    assert(qp.orderBy("p").as[(String, Long)].collect().toSeq ==
+      Seq(("p0", 100L), ("p1", 97L), ("p2", 98L), ("p3", 99L)))
+  }
+
   test("matching aggregate reads the projection table and keeps exact results") {
     val q = spark.table("graft_proj_spec")
       .groupBy("o_orderstatus")
