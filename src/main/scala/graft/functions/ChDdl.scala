@@ -586,6 +586,7 @@ object ChDdl {
     (kw(0), kw(1)) match {
       case ("CREATE", "TABLE") => parse(sql).create(spark); spark.emptyDataFrame
       case ("CREATE", "MATERIALIZED") => ChMatView.create(spark, sql); spark.emptyDataFrame
+      case ("CREATE", "WINDOW") => ChWindowView.create(spark, sql); spark.emptyDataFrame
       case ("CREATE", "FUNCTION") => createFunction(spark, sql); spark.emptyDataFrame
       case ("CREATE", "DICTIONARY") => createDictionary(spark, sql); spark.emptyDataFrame
       case ("INSERT", "INTO") => ChInsert.execute(spark, sql); spark.emptyDataFrame
