@@ -27,13 +27,32 @@ import ChSql.{Tok, tokenize, render, renderTrim, matchParen, find0, splitTopLeve
   */
 object ChColumns {
 
-  /** Expand matchers/transformers in `sql`, or return it unchanged
-    * when none are present. */
-  def expand(spark: SparkSession, sql: String): String = {
-    val ts = tokenize(sql)._1
-    if (ts.isEmpty || ts.head.up != "SELECT") return sql
+  /** Expand matchers/transformers in `sql` — in the outer select list
+    * and RECURSIVELY inside parenthesized subqueries (each resolves
+    * against its own FROM) — or return it unchanged when none are
+    * present. */
+  def expand(spark: SparkSession, sql: String): String =
+    ChSql.render(expandToks(spark, tokenize(sql)._1))
+
+  private def expandToks(spark: SparkSession, ts0: Vector[Tok]): Vector[Tok] = {
+    // depth-first: subqueries expand against their own FROM relation
+    val ts = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      while (i < ts0.length) {
+        if (ts0(i).text == "(") {
+          val j = matchParen(ts0, i)
+          out += ts0(i)
+          out ++= expandToks(spark, ts0.slice(i + 1, j))
+          out += ts0(j)
+          i = j + 1
+        } else { out += ts0(i); i += 1 }
+      }
+      out.result()
+    }
+    if (ts.isEmpty || ts.head.up != "SELECT") return ts
     val fromIdx = find0(ts, Set("FROM"))
-    if (fromIdx < 0) return sql
+    if (fromIdx < 0) return ts
     val items = splitTopLevel(ts.slice(1, fromIdx))
 
     def isMatcher(it: Vector[Tok]): Boolean =
@@ -45,7 +64,7 @@ object ChColumns {
     }
     def expandable(it: Vector[Tok]): Boolean =
       isMatcher(it) || (it.head.text == "*" && hasTransform(it))
-    if (!items.exists(expandable)) return sql
+    if (!items.exists(expandable)) return ts
 
     require(fromIdx + 1 < ts.length && ts(fromIdx + 1).word,
       "COLUMNS()/APPLY expansion needs a named table or view in FROM")
@@ -111,6 +130,6 @@ object ChColumns {
     val selectList = items
       .map(it => if (expandable(it)) expandItem(it) else renderTrim(it))
       .mkString(", ")
-    s"SELECT $selectList ${render(ts.drop(fromIdx)).trim}"
+    ChSql.retok(s"SELECT $selectList ${ChSql.render(ts.drop(fromIdx)).trim}")
   }
 }

@@ -587,6 +587,32 @@ object ChDdl {
       case ("CREATE", "TABLE") => parse(sql).create(spark); spark.emptyDataFrame
       case ("CREATE", "MATERIALIZED") => ChMatView.create(spark, sql); spark.emptyDataFrame
       case ("CREATE", "WINDOW") => ChWindowView.create(spark, sql); spark.emptyDataFrame
+      case ("CREATE", "LIVE") =>
+        // CREATE LIVE VIEW (ASTCreateQuery.h:71 is_live_view): the
+        // contract is "always-current result of the stored query" —
+        // a Spark TEMP VIEW is exactly that (re-planned per read; the
+        // reference's incremental-update machinery is an optimization,
+        // not a semantic). WITH [PERIODIC] REFRESH is dropped: there
+        // is no staleness to refresh away.
+        require(kw(2) == "VIEW", "expected CREATE LIVE VIEW")
+        var i = 3
+        if (kw(i) == "IF") i += 3
+        val name = ts(i).text
+        val asIdx = ChSql.find0(ts, Set("AS"), i)
+        require(asIdx > 0, "CREATE LIVE VIEW needs AS SELECT …")
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
+          ChSql.translate(renderTrim(ts.drop(asIdx + 1))))
+        spark.emptyDataFrame
+      case ("WATCH", _) =>
+        // WATCH lv [EVENTS] [LIMIT n] (ASTWatchQuery.h): one refresh
+        // cycle of the reference's change stream — the view's current
+        // result (EVENTS form: just the version heartbeat).
+        val name = ts(1).text
+        val events = ts.length > 2 && ts(2).up == "EVENTS"
+        val li = ChSql.find0(ts, Set("LIMIT"), 2)
+        val limit = if (li > 0) s" LIMIT ${ts(li + 1).text}" else ""
+        if (events) spark.sql("SELECT 1 AS version")
+        else spark.sql(s"SELECT * FROM $name$limit")
       case ("CREATE", "FUNCTION") => createFunction(spark, sql); spark.emptyDataFrame
       case ("CREATE", "DICTIONARY") => createDictionary(spark, sql); spark.emptyDataFrame
       case ("INSERT", "INTO") => ChInsert.execute(spark, sql); spark.emptyDataFrame

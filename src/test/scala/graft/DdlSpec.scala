@@ -455,6 +455,29 @@ class DdlSpec extends SparkSpec {
     val c = ChDdl.execute(spark,
       "SELECT COLUMNS('key') EXCEPT b_key APPLY min FROM cols_t")
     assert(c.columns.toSeq == Seq("min(a_key)"))
+    // matchers inside a SUBQUERY expand against the subquery's FROM
+    val sub = ChDdl.execute(spark,
+      "SELECT `sum(a_key)` FROM (SELECT COLUMNS('_key$') APPLY(sum) FROM cols_t)")
+    assert(sub.columns.toSeq == Seq("sum(a_key)"))
+    assert(sub.as[Long].head() == 1L)
+  }
+
+  test("LIVE VIEW is always-current; WATCH returns the current result") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_lv_base (k Int64, v Int64) ENGINE = MergeTree() ORDER BY (k);
+        |INSERT INTO graft_lv_base VALUES (1, 10);
+        |CREATE LIVE VIEW graft_lv WITH REFRESH 5 AS
+        |  SELECT count() AS n, sum(v) AS sv FROM graft_lv_base""".stripMargin)
+    val first = ChDdl.execute(spark, "WATCH graft_lv LIMIT 1")
+      .as[(Long, Long)].head()
+    assert(first == ((1L, 10L)), first)
+    // new rows are visible on the next WATCH — no refresh statement needed
+    ChDdl.execute(spark, "INSERT INTO graft_lv_base VALUES (2, 20)")
+    val second = ChDdl.execute(spark, "WATCH graft_lv")
+      .as[(Long, Long)].head()
+    assert(second == ((2L, 30L)), second)
+    assert(ChDdl.execute(spark, "WATCH graft_lv EVENTS").columns.toSeq == Seq("version"))
   }
 
   test("CREATE DICTIONARY wires a table into dictGet end-to-end") {
