@@ -627,7 +627,40 @@ object ChDdl {
         val to = renderTrim(ts.drop(toIdx + 1))
         spark.sql(s"ALTER TABLE $from RENAME TO $to")
       case ("OPTIMIZE", "TABLE") =>
-        // merge-now hint: a parquet snapshot is already fully merged
+        // merge-now hint: a parquet snapshot is already fully merged.
+        // OPTIMIZE … DEDUPLICATE [BY cols] (ASTOptimizeQuery.h:20-23)
+        // has real semantics though: drop full-row (or by-column)
+        // duplicates — realized as a staged distinct rewrite.
+        val di = ChSql.find0(ts, Set("DEDUPLICATE"), 2)
+        if (di >= 0) {
+          val table = ts.slice(2, ChSql.find0(ts, Set("FINAL", "DEDUPLICATE"), 2))
+            .filter(_.word).map(_.text).mkString("_")
+          val byIdx = ChSql.find0(ts, Set("BY"), di)
+          val snapshot = spark.table(table)
+          val deduped =
+            if (byIdx < 0) snapshot.distinct()
+            else {
+              val cols = ts.drop(byIdx + 1).filter(_.word).map(_.text)
+              snapshot.dropDuplicates(cols)
+            }
+          val tmp = java.nio.file.Files.createTempDirectory("graft_optimize").toString
+          deduped.write.mode("overwrite").parquet(tmp)
+          spark.read.schema(snapshot.schema).parquet(tmp)
+            .select(snapshot.schema.fieldNames.toSeq.map(col): _*)
+            .write.mode("overwrite").insertInto(table)
+        }
+        spark.emptyDataFrame
+      case ("EXCHANGE", "TABLES") =>
+        // EXCHANGE TABLES a AND b (ASTRenameQuery.h exchange flag):
+        // the reference's atomic swap, realized as a rename cycle
+        val andIdx = ChSql.find0(ts, Set("AND"), 2)
+        require(andIdx > 2, "expected EXCHANGE TABLES a AND b")
+        val a = renderTrim(ts.slice(2, andIdx))
+        val b = renderTrim(ts.drop(andIdx + 1))
+        val tmpN = s"__graft_xchg_${asofViewSeq.incrementAndGet()}"
+        spark.sql(s"ALTER TABLE $a RENAME TO $tmpN")
+        spark.sql(s"ALTER TABLE $b RENAME TO $a")
+        spark.sql(s"ALTER TABLE $tmpN RENAME TO $b")
         spark.emptyDataFrame
       case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("DESCRIBE", _) |
            ("DESC", _) | ("USE", _) | ("ALTER", _) =>

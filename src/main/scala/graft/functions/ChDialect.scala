@@ -265,8 +265,156 @@ object ChDialect {
     "varPop"    -> builtin("var_pop"),
     "corr"      -> builtin("corr"),
     "anyLast"   -> builtin("last"),
-    "topK"      -> { es => builtin("approx_top_k")(Seq(es(1), es(0))) }
+    "topK"      -> { es => builtin("approx_top_k")(Seq(es(1), es(0))) },
+
+    // ---- aggregates, camelCase names Spark spells with underscores ----
+    "stddevSamp" -> builtin("stddev_samp"),
+    "varSamp"    -> builtin("var_samp"),
+    "covarPop"   -> builtin("covar_pop"),
+    "covarSamp"  -> builtin("covar_samp"),
+    "skewPop"    -> builtin("skewness"),
+    "kurtPop"    -> builtin("kurtosis"),
+    "groupBitAnd" -> builtin("bit_and"),
+    "groupBitOr"  -> builtin("bit_or"),
+    "groupBitXor" -> builtin("bit_xor"),
+    "minIf" -> { es => builtin("min")(Seq(If(es(1), es(0), Literal(null)))) },
+    "maxIf" -> { es => builtin("max")(Seq(If(es(1), es(0), Literal(null)))) },
+    // avgWeighted(x, w) = Σxw / Σw — two partial-agg sums, one division
+    "avgWeighted" -> { es =>
+      Divide(
+        aggregate.Sum(Multiply(Cast(es(0), DoubleType), Cast(es(1), DoubleType)))
+          .toAggregateExpression(),
+        aggregate.Sum(Cast(es(1), DoubleType)).toAggregateExpression()) },
+
+    // ---- more date & time ----
+    "toStartOfMinute" -> { es => builtin("date_trunc")(Literal("MINUTE") +: es) },
+    // N-minute buckets: epoch-seconds floor (CH buckets the same way)
+    "toStartOfFiveMinutes"    -> minuteBucket(300),
+    "toStartOfTenMinutes"     -> minuteBucket(600),
+    "toStartOfFifteenMinutes" -> minuteBucket(900),
+    "timeSlot"                -> minuteBucket(1800),
+    "today"     -> { _ => builtin("current_date")(Nil) },
+    "yesterday" -> { _ => builtin("date_sub")(
+      Seq(builtin("current_date")(Nil), Literal(1))) },
+    "toYYYYMMDDhhmmss" -> { es =>
+      Cast(builtin("date_format")(es :+ Literal("yyyyMMddHHmmss")), LongType) },
+    // CH %-format → java pattern, translated at plan time (the format
+    // must be a literal — it always is in real queries)
+    "formatDateTime" -> { es =>
+      builtin("date_format")(Seq(es(0), chFormatLiteral(es(1)))) },
+
+    // ---- type conversion, decimal + fixed shorthands ----
+    "toDecimal32"  -> decimalCast(9),
+    "toDecimal64"  -> decimalCast(18),
+    "toDecimal128" -> decimalCast(38),
+    "toDate32"     -> { es => Cast(es.head, DateType) },
+
+    // ---- tuples & maps ----
+    // tuple() names elements `_n`, matching the DDL Tuple mapping, so
+    // positional tupleElement works on both
+    "tuple" -> { es => CreateNamedStruct(es.zipWithIndex.flatMap {
+      case (e, i) => Seq(Literal(s"_${i + 1}"), e) }) },
+    // tupleElement(t, 1) is 1-based positional over the `_n` fields the
+    // DDL Tuple mapping names; tupleElement(t, 'name') is by name
+    "tupleElement" -> { es => es(1) match {
+      case Literal(i: Int, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          es(0), Literal(s"_$i"))
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es(0), other)
+    } },
+    "mapKeys"     -> builtin("map_keys"),
+    "mapValues"   -> builtin("map_values"),
+    "mapContains" -> builtin("map_contains_key"),
+
+    // ---- more strings ----
+    "concatWithSeparator" -> builtin("concat_ws"),
+    "positionCaseInsensitive" -> { es =>
+      builtin("position")(Seq(builtin("lower")(Seq(es(1))),
+        builtin("lower")(Seq(es(0))))) },
+    "countSubstrings" -> { es => builtin("regexp_count")(Seq(es(0),
+      Concat(Seq(Literal("\\Q"), es(1), Literal("\\E"))))) },
+    "base64Encode" -> builtin("base64"),
+    "base64Decode" -> builtin("unbase64"),
+
+    // ---- URL family (f10's inline parse_url, as dialect names) ----
+    "domain"      -> { es => builtin("parse_url")(es :+ Literal("HOST")) },
+    "path"        -> { es => builtin("parse_url")(es :+ Literal("PATH")) },
+    "queryString" -> { es => builtin("parse_url")(es :+ Literal("QUERY")) },
+    "protocol"    -> { es => builtin("parse_url")(es :+ Literal("PROTOCOL")) },
+    "extractURLParameter" -> { es =>
+      builtin("parse_url")(Seq(es(0), Literal("QUERY"), es(1))) },
+
+    // ---- misc ----
+    "generateUUIDv4" -> builtin("uuid"),
+    "roundBankers"   -> builtin("bround"),
+    "sipHash64"          -> builtin("xxhash64"), // same role, not byte-compatible
+    "farmFingerprint64"  -> builtin("xxhash64"),
+    // countEqual(arr, v): size of the matching filter — the lambda is
+    // constructed HERE (user lambdas can't alias to nested HOFs, a
+    // plan-built one can)
+    "countEqual" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      builtin("size")(Seq(builtin("filter")(Seq(es(0),
+        LambdaFunction(EqualNullSafe(x, es(1)), Seq(x)))))) },
+    "arrayAvg" -> { es =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      Divide(
+        builtin("aggregate")(Seq(es(0), Literal(0.0),
+          LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)))),
+        Cast(builtin("size")(es), DoubleType)) }
   )
+
+  /** Floor a timestamp to an n-second bucket (epoch arithmetic, the
+    * reference's own bucketing). */
+  private def minuteBucket(seconds: Int): Builder = { es =>
+    builtin("timestamp_seconds")(Seq(Multiply(
+      builtin("div")(Seq(Cast(builtin("unix_timestamp")(es), LongType),
+        Literal(seconds.toLong))),
+      Literal(seconds.toLong))))
+  }
+
+  private def decimalCast(precision: Int): Builder = { es =>
+    val scale = es(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"toDecimal scale must be a literal integer, got $other")
+    }
+    Cast(es(0), DecimalType(precision, scale))
+  }
+
+  /** CH formatDateTime '%'-specifiers → a java date_format pattern;
+    * literal letters are quoted so they never re-parse as patterns. */
+  private def chFormatLiteral(e: Expression): Expression = e match {
+    case Literal(s, StringType) if s != null => Literal(chFormat(s.toString))
+    case other => throw new IllegalArgumentException(
+      s"formatDateTime needs a literal format string, got $other")
+  }
+
+  private val chSpecifiers = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'p' -> "a",
+    'j' -> "DDD", 'a' -> "EEE", 'b' -> "MMM", 'F' -> "yyyy-MM-dd",
+    'T' -> "HH:mm:ss", 'Q' -> "QQ", '%' -> "%")
+
+  private[functions] def chFormat(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 1 < s.length) {
+        out.append(chSpecifiers.getOrElse(s.charAt(i + 1),
+          throw new IllegalArgumentException(
+            s"unsupported formatDateTime specifier %${s.charAt(i + 1)}")))
+        i += 2
+      } else {
+        if (c.isLetter) out.append('\'').append(c).append('\'') else out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
 
   lazy val descriptors: Seq[GraftFunctions.Descriptor] =
     aliases.map { case (name, builder) =>

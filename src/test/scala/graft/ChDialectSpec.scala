@@ -195,4 +195,51 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getSeq[Int](r.fieldIndex("en0")).isEmpty)
     assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("az")).length == 2)
   }
+
+  test("round-4 aliases: formats, buckets, decimals, tuples, URLs, weighted aggs") {
+    val r = sql1(
+      """SELECT
+        |  formatDateTime(TIMESTAMP '2024-03-15 13:45:07', '%Y-%m-%d %H:%M:%S') AS fdt,
+        |  formatDateTime(TIMESTAMP '2024-03-15 13:45:07', '%FT%T') AS fdt2,
+        |  toStartOfFiveMinutes(TIMESTAMP '2024-03-15 13:47:31') AS b5,
+        |  toStartOfMinute(TIMESTAMP '2024-03-15 13:47:31') AS b1,
+        |  toYYYYMMDDhhmmss(TIMESTAMP '2024-03-15 13:45:07') AS yms,
+        |  CAST(toDecimal64('12.3456', 2) AS STRING) AS d2,
+        |  tupleElement(tuple(7, 'x'), 2) AS te,
+        |  tupleElement(named_struct('a', 1, 'b', 9), 'b') AS tn,
+        |  domain('https://ex.com/p/q?k=v') AS dom,
+        |  path('https://ex.com/p/q?k=v') AS pth,
+        |  extractURLParameter('https://ex.com/p?k=v&j=2', 'j') AS up,
+        |  countSubstrings('a.b.a.b', 'a.b') AS cs,
+        |  positionCaseInsensitive('HayStack', 'stack') AS pci,
+        |  countEqual(array(1, 2, 1, 3), 1) AS ce,
+        |  arrayAvg(array(1, 2, 3, 4)) AS aavg,
+        |  roundBankers(CAST(2.5 AS DOUBLE)) AS rb,
+        |  mapContains(map('k', 1), 'k') AS mc
+        |""".stripMargin)
+    assert(r.getAs[String]("fdt") == "2024-03-15 13:45:07")
+    assert(r.getAs[String]("fdt2") == "2024-03-15T13:45:07")
+    assert(r.getAs[java.sql.Timestamp]("b5").toString.contains("13:45:00"))
+    assert(r.getAs[java.sql.Timestamp]("b1").toString.contains("13:47:00"))
+    assert(r.getAs[Long]("yms") == 20240315134507L)
+    assert(r.getAs[String]("d2") == "12.35")
+    assert(r.getAs[String]("te") == "x" && r.getAs[Int]("tn") == 9)
+    assert(r.getAs[String]("dom") == "ex.com" && r.getAs[String]("pth") == "/p/q")
+    assert(r.getAs[String]("up") == "2")
+    assert(r.getAs[Int]("cs") == 2)
+    assert(r.getAs[Int]("pci") == 4)
+    assert(r.getAs[Int]("ce") == 2)
+    assert(r.getAs[Double]("aavg") == 2.5)
+    assert(r.getAs[Double]("rb") == 2.0)
+    assert(r.getAs[Boolean]("mc"))
+    // weighted average + If-guarded extremes + camelCase stat names
+    val a = sql1(
+      """SELECT avgWeighted(v, w) AS aw, CAST(minIf(v, w > 1) AS DOUBLE) AS mi,
+        |       stddevSamp(v) AS ss, groupBitOr(CAST(v AS BIGINT)) AS bo
+        |FROM VALUES (1.0, 1.0), (3.0, 3.0), (5.0, 0.0) AS t(v, w)""".stripMargin)
+    assert(math.abs(a.getAs[Double]("aw") - 2.5) < 1e-9) // (1 + 9) / 4
+    assert(a.getAs[Double]("mi") == 3.0)
+    assert(a.getAs[Double]("ss") > 0)
+    assert(a.getAs[Long]("bo") == 7L)
+  }
 }

@@ -462,6 +462,26 @@ class DdlSpec extends SparkSpec {
     assert(sub.as[Long].head() == 1L)
   }
 
+  test("OPTIMIZE DEDUPLICATE drops duplicate rows; EXCHANGE TABLES swaps") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_opt (k Int64, v Int64) ENGINE = MergeTree() ORDER BY (k);
+        |INSERT INTO graft_opt VALUES (1, 10), (1, 10), (2, 20), (2, 21);
+        |OPTIMIZE TABLE graft_opt FINAL DEDUPLICATE""".stripMargin)
+    assert(spark.table("graft_opt").count() == 3) // exact dup collapsed
+    ChDdl.execute(spark, "OPTIMIZE TABLE graft_opt FINAL DEDUPLICATE BY k")
+    assert(spark.table("graft_opt").count() == 2) // one row per k
+    // EXCHANGE TABLES: contents swap
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_xa (k Int64) ENGINE = MergeTree() ORDER BY (k);
+        |CREATE TABLE graft_xb (k Int64) ENGINE = MergeTree() ORDER BY (k);
+        |INSERT INTO graft_xa VALUES (1);
+        |INSERT INTO graft_xb VALUES (2), (3);
+        |EXCHANGE TABLES graft_xa AND graft_xb""".stripMargin)
+    assert(spark.table("graft_xa").count() == 2)
+    assert(spark.table("graft_xb").count() == 1)
+  }
+
   test("LIVE VIEW is always-current; WATCH returns the current result") {
     GraftFunctions.ensureRegistered(spark)
     ChDdl.execute(spark,
