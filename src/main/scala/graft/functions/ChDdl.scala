@@ -263,16 +263,16 @@ object ChDdl {
       // partition values come from a predicate-pruned pre-scan (if the
       // predicate constrains the partition key, the scan reads only
       // those directories); untouched partitions' files are never read
-      // or written (byte-identity asserted in DdlSpec).
-      val affected = snapshot.filter(predCol)
-        .select(partCols.map(col): _*).distinct().collect().toSeq
-      if (affected.nonEmpty) {
-        val hit = affected.map { r =>
-          partCols.zipWithIndex.map { case (c, k) =>
-            col(c) <=> lit(r.get(k)) }.reduce(_ && _)
-        }.reduce(_ || _)
+      // or written (byte-identity asserted in DdlSpec). The restriction
+      // is a BROADCAST semi-join on the partition columns — never a
+      // collected OR-chain, which would blow the plan up when a
+      // mutation touches thousands of partitions.
+      val affectedDf = snapshot.filter(predCol)
+        .select(partCols.map(col): _*).distinct().persist()
+      if (!affectedDf.isEmpty) {
         val tmp = java.nio.file.Files.createTempDirectory("graft_mutation").toString
-        mutated.filter(hit).write.mode("overwrite").parquet(tmp)
+        mutated.join(broadcast(affectedDf), partCols, "left_semi")
+          .write.mode("overwrite").parquet(tmp)
         // explicit schema: a mutation that empties every affected
         // partition leaves a data-less staged dir (schema-uninferable)
         val staged = spark.read.schema(mutated.schema).parquet(tmp)
@@ -290,16 +290,21 @@ object ChDdl {
         // only a DELETE can leave an affected partition empty (dynamic
         // overwrite skips absent partitions, so empties need an
         // explicit drop); an UPDATE rewrites every affected partition
-        // non-empty — skip the extra pass
+        // non-empty — skip the extra pass. The collected emptied list
+        // is partition-count-sized (it becomes DROP PARTITION
+        // statements — inherently driver-side DDL).
         if (ts(i).up == "DELETE") {
-          val surviving = staged.select(partCols.map(col): _*).distinct().collect().toSet
-          affected.filterNot(surviving.contains).foreach { r =>
+          val emptied = affectedDf
+            .except(staged.select(partCols.map(col): _*).distinct())
+            .collect()
+          emptied.foreach { r =>
             val spec = partCols.zipWithIndex.map { case (c, k) =>
               s"$c = '${String.valueOf(r.get(k)).replace("'", "''")}'" }.mkString(", ")
             spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
           }
         }
       }
+      affectedDf.unpersist()
     }
   }
 
