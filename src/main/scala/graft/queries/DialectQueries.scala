@@ -310,6 +310,56 @@ object DialectQueries {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // ASOF JOIN USING shorthand (ASTTablesInSelectQuery.h
+    // using_expression_list): shared column names, every column but
+    // the last an equality key, the last the `>=` inequality. Oracled
+    // against DuckDB's native ASOF USING (same inclusive contract).
+    "j13_asof_using" -> Q(
+      """SELECT l.event_id AS event_id, r.err_event_id AS err_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS err_event_id
+        |                FROM events WHERE event_type = 'error'
+        |                GROUP BY user_id, ts) r
+        |USING (user_id, ts)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val ev = Tables(s, dir).events
+      ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+        .createOrReplaceTempView("asof_u_clicks")
+      ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts")
+        .agg(org.apache.spark.sql.functions.max("event_id").as("err_event_id"))
+        .createOrReplaceTempView("asof_u_errors")
+      graft.functions.ChDdl.execute(s,
+        """SELECT l.event_id AS event_id, r.err_event_id AS err_event_id
+          |FROM asof_u_clicks l
+          |ASOF LEFT JOIN asof_u_errors r USING (user_id, ts)
+          |ORDER BY event_id""".stripMargin)
+    },
+
+    // Query parameters through the front door (ASTQueryParameter.h:1):
+    // {name:Type} placeholders render as TYPED literals — the oracle
+    // states the substituted statement.
+    "c18_ch_query_params" -> Q(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > 150000 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderdate >= DATE '1993-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      graft.functions.ChDdl.execute(s,
+        """SELECT o_orderstatus, count() AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |WHERE o_totalprice > {cut:Float64} AND has({ps:Array(String)}, o_orderpriority)
+          |  AND o_orderdate >= {d:Date}
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        Map("cut" -> "150000", "ps" -> "['1-URGENT', '2-HIGH']", "d" -> "1993-01-01"))
+    },
+
     // Scalar WITH (ASTWithAlias.h): `WITH expr AS name` binds names to
     // expressions — including a scalar subquery — substituted at use
     // sites. Verbatim CH through the translator, oracled by inlining.
