@@ -13,6 +13,36 @@ object AggQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // The -Map combinator family (ClickHouse sumMap/minMap/maxMap):
+    // per-row maps aggregate KEY-WISE — the idiom behind CH metric
+    // tables (map of counter→value summed across rows). Realized the
+    // distributed way: explode the map entries, hash-aggregate on
+    // (group, key) — partial-agg friendly, no per-row map merging —
+    // and reassemble the CH output shape (key-sorted parallel arrays).
+    "a14_sum_map" -> Q(
+      """SELECT o_orderstatus,
+        |  array_agg(p ORDER BY p) AS ks,
+        |  array_agg(s ORDER BY p) AS vs
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS p,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |  FROM orders GROUP BY 1, 2)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      // the per-row "metric map": priority → totalprice, one entry per
+      // row; sumMap(m) sums values per key within each status group
+      val entries = Tables(s, dir).orders
+        .select(col("o_orderstatus"),
+          map(col("o_orderpriority"), col("o_totalprice")).as("m"))
+        .select(col("o_orderstatus"), explode(col("m")).as(Seq("k", "v")))
+      val perKey = entries.groupBy("o_orderstatus", "k")
+        .agg(sum(dec(col("v"))).cast("double").as("s"))
+      perKey.groupBy("o_orderstatus")
+        .agg(sort_array(collect_list(struct(col("k"), col("s")))).as("kv"))
+        .select(col("o_orderstatus"),
+          col("kv.k").as("ks"), col("kv.s").as("vs"))
+        .orderBy("o_orderstatus")
+    },
+
     // min/max + conditional aggregates (ClickHouse countIf/sumIf).
     "a01_minmax" -> Q(
       """SELECT l_returnflag,
