@@ -135,7 +135,7 @@ object GraftFunctions {
       d("cosine_sim", classOf[CosineSim]) {
         case Seq(a, b) => CosineSim(a, b)
       }
-    ) ++ ChDialect.descriptors
+    ) ++ ChDialect.descriptors ++ ChCombinators.descriptors
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {

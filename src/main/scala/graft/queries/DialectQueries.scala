@@ -338,6 +338,30 @@ object DialectQueries {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // Aggregate-combinator names (AggregateFunctionCombinatorFactory
+    // in ClickHouse; the reference resolves suffix chains off the base
+    // name): -Distinct, -Array, -If, -OrNull and their stacks, all as
+    // generated FunctionRegistry entries (functions/ChCombinators) —
+    // verbatim CH aggregate calls through spark.sql.
+    "c19_ch_combinators" -> Q(
+      """SELECT o_orderstatus,
+        |  CAST(SUM(DISTINCT year(o_orderdate)) AS BIGINT) AS sd,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_totalprice > 400000) AS DOUBLE) AS s4,
+        |  NULLIF(COUNT(*) FILTER (WHERE o_totalprice > 450000), 0) AS c4,
+        |  CAST(SUM(CASE WHEN o_orderpriority != '5-LOW' THEN (o_orderkey % 10) + (o_orderkey % 7) END) AS BIGINT) AS sa,
+        |  MAX(GREATEST(o_orderkey % 1000, o_custkey % 1000)) AS ma,
+        |  COUNT(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS ue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderstatus,
+          |  CAST(sumDistinct(toYear(o_orderdate)) AS BIGINT) AS sd,
+          |  CAST(sumIfOrNull(CAST(o_totalprice AS DECIMAL(18,2)), o_totalprice > 400000) AS DOUBLE) AS s4,
+          |  countIfOrNull(o_totalprice > 450000) AS c4,
+          |  CAST(sumArrayIf(array(o_orderkey % 10, o_orderkey % 7), o_orderpriority != '5-LOW') AS BIGINT) AS sa,
+          |  maxArray(array(o_orderkey % 1000, o_custkey % 1000)) AS ma,
+          |  uniqExactIf(o_custkey, o_totalprice > 200000) AS ue
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Query parameters through the front door (ASTQueryParameter.h:1):
     // {name:Type} placeholders render as TYPED literals — the oracle
     // states the substituted statement.
