@@ -37,30 +37,61 @@ object Ivf {
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
-  /** Train the coarse quantizer. `train` may be a sample of the
-    * corpus — the model is a tiny k×dim matrix. */
+  /** Fitted models keyed by (plan identity, row count, params): an
+    * IVF index is trained ONCE and reused across every query against
+    * the same corpus — re-running Lloyd per search would be re-building
+    * the index per query. The row count in the key catches in-place
+    * overwrites the plan hash can't see. */
+  private val fitted =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, String, Int, Int), Model]()
+
+  /** Train the coarse quantizer — on a BOUNDED deterministic sample.
+    * At corpus scale a full pass per Lloyd iteration would read the
+    * whole table `iterations` times to produce a k×dim matrix of a
+    * few KB; quantizer quality needs only a few hundred vectors per
+    * centroid (train-sample bound, standard IVF practice), so the
+    * sample is capped at `maxTrain` (default 256·k) rows chosen by a
+    * deterministic id-hash — no RNG, same model on every run and any
+    * cluster size — and persisted across the iterations. */
   def fit(train: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int = 5): Model = {
-    val dim = train.select(size(col(vecCol))).head().getInt(0)
-    var model = Model(
-      train.orderBy(col(idCol)).limit(k)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray))
-    for (_ <- 1 to iterations) {
-      // assign → per-(cell, dim) mean → rebuild the k×dim matrix
-      val means = train
-        .select(nearestCell(train, col(vecCol), model).as("__cell"),
-          posexplode(col(vecCol)).as(Seq("__dim", "__x")))
-        .groupBy("__cell", "__dim")
-        .agg(round(avg(col("__x").cast("double")), 6).as("__m"))
-        .collect()
-      val next = Array.tabulate(model.k, dim)((c, d) => model.centroids(c)(d))
-      means.foreach { r =>
-        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__dim")) = r.getAs[Double]("__m")
+      k: Int, iterations: Int = 5, maxTrain: Int = 0): Model = {
+    val cap = if (maxTrain > 0) maxTrain else 256 * k
+    val n = train.count()
+    val key = (train.queryExecution.analyzed.semanticHash(),
+      n, s"$idCol/$vecCol", k, iterations * 10000 + cap)
+    fitted.computeIfAbsent(key, _ =>
+      fitImpl(train, idCol, vecCol, k, iterations, cap, n))
+  }
+
+  private def fitImpl(train: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, cap: Int, n: Long): Model = {
+    val rate = math.max(1L, n / cap)
+    val sample0 = train.select(col(idCol), col(vecCol))
+    val sample = (if (rate == 1L) sample0
+      else sample0.filter(pmod(xxhash64(col(idCol)), lit(rate)) === 0))
+      .persist()
+    try {
+      val dim = sample.select(size(col(vecCol))).head().getInt(0)
+      var model = Model(
+        sample.orderBy(col(idCol)).limit(k)
+          .select(col(vecCol)).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray))
+      for (_ <- 1 to iterations) {
+        // assign → per-(cell, dim) mean → rebuild the k×dim matrix
+        val means = sample
+          .select(nearestCell(sample, col(vecCol), model).as("__cell"),
+            posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+          .groupBy("__cell", "__dim")
+          .agg(round(avg(col("__x").cast("double")), 6).as("__m"))
+          .collect()
+        val next = Array.tabulate(model.k, dim)((c, d) => model.centroids(c)(d))
+        means.foreach { r =>
+          next(r.getAs[Int]("__cell"))(r.getAs[Int]("__dim")) = r.getAs[Double]("__m")
+        }
+        model = Model(next)
       }
-      model = Model(next)
-    }
-    model
+      model
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Approximate top-k: probe the `nprobe` nearest cells per query,
