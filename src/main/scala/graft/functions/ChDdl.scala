@@ -667,6 +667,32 @@ object ChDdl {
         spark.sql(s"ALTER TABLE $b RENAME TO $a")
         spark.sql(s"ALTER TABLE $tmpN RENAME TO $b")
         spark.emptyDataFrame
+      case ("CHECK", "TABLE") =>
+        // CHECK TABLE (ParserCheckQuery.h): the reference verifies
+        // stored parts are readable; the parquet snapshot is our
+        // storage unit, so the check IS a full scan — then the
+        // reference's one-row `result = 1` answer
+        val pi = ChSql.find0(ts, Set("PARTITION"), 2)
+        val table = renderTrim(ts.slice(2, if (pi < 0) ts.length else pi))
+        spark.table(table).count()
+        spark.sql("SELECT CAST(1 AS TINYINT) AS result")
+      case ("EXISTS", _) =>
+        // EXISTS [TABLE|VIEW|DICTIONARY|DATABASE] name
+        // (ParserTablePropertiesQuery.h) → one row, result 0/1
+        val typed = Set("TABLE", "VIEW", "DICTIONARY", "DATABASE")(kw(1))
+        val name = renderTrim(ts.drop(if (typed) 2 else 1))
+        val ex =
+          if (kw(1) == "DATABASE") spark.catalog.databaseExists(name)
+          else spark.catalog.tableExists(name)
+        spark.sql(s"SELECT CAST(${if (ex) 1 else 0} AS TINYINT) AS result")
+      case ("KILL", _) | ("SYSTEM", _) | ("BACKUP", _) | ("RESTORE", _) =>
+        // the cluster-operations surface (ParserKillQueryQuery.h,
+        // ParserSystemQuery.h, ParserBackupQuery.h) manages a server
+        // process — meaningless inside a library; refuse loudly
+        // rather than mis-parse
+        throw new UnsupportedOperationException(
+          s"${kw(0)} targets the reference's server/cluster runtime; " +
+            "use the platform's own job-kill/maintenance/backup tooling")
       case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("DESCRIBE", _) |
            ("DESC", _) | ("USE", _) | ("ALTER", _) =>
         spark.sql(sql) // Spark's own DDL grammar covers these forms

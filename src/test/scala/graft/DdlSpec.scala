@@ -517,6 +517,23 @@ class DdlSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("CHECK TABLE scans and answers 1; EXISTS answers 0/1; cluster ops refuse") {
+    spark.sql("DROP TABLE IF EXISTS chk_t")
+    ChDdl.execute(spark,
+      "CREATE TABLE chk_t (id UInt64, s String) ENGINE = MergeTree() ORDER BY (id)")
+    ChDdl.execute(spark, "INSERT INTO chk_t VALUES (1, 'a'), (2, 'b')")
+    val chk = ChDdl.execute(spark, "CHECK TABLE chk_t").collect()
+    assert(chk.map(_.getByte(0)).toSeq == Seq(1.toByte))
+    assert(ChDdl.execute(spark, "EXISTS TABLE chk_t").head().getByte(0) == 1)
+    assert(ChDdl.execute(spark, "EXISTS chk_t").head().getByte(0) == 1)
+    assert(ChDdl.execute(spark, "EXISTS TABLE chk_t_no_such").head().getByte(0) == 0)
+    assert(ChDdl.execute(spark, "EXISTS DATABASE default").head().getByte(0) == 1)
+    for (bad <- Seq("KILL QUERY WHERE query_id = 'x'", "SYSTEM FLUSH LOGS",
+        "BACKUP TABLE chk_t TO Disk('d', 'p')"))
+      intercept[UnsupportedOperationException] { ChDdl.execute(spark, bad) }
+    spark.sql("DROP TABLE chk_t")
+  }
+
   test("dictGet resolves through the broadcast map with no join in the plan") {
     GraftFunctions.ensureRegistered(spark)
     val t = Tables(spark, sfDir)
