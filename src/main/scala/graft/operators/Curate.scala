@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed training-data curation — the end-to-end funnel the
+  * single-purpose operators (Text, Dedup) exist for, plus the
+  * deterministic mixing sampler that follows it in a real pipeline.
+  */
+object Curate {
+
+  /** language ID → quality gate → exact dedup → near-dup removal →
+    * per-doc stats, as ONE composed plan:
+    *  - every per-document signal (lang scores, quality, token count,
+    *    fingerprint) is computed in a single scan-speed projection —
+    *    not one pass per stage;
+    *  - the only shuffles are the fingerprint window and the bounded
+    *    (block, gram) candidate join inside Dedup.ngramJaccard;
+    *  - the near-dup drop list (id2 of each surviving pair, keep-the-
+    *    lowest-id rule) is broadcast into a left-anti join, so the
+    *    surviving corpus never reshuffles.
+    */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+      keepLang: String = "en", minQuality: Double = 0.45,
+      n: Int = 3, minJaccard: Double = 0.5, maxGramDf: Int = 1000): DataFrame = {
+    val scores = Text.langScores(col(textCol))
+    val scored = docs.select(
+        col(idCol), col(textCol),
+        Text.predictedLang(scores).as("predicted"),
+        Text.qualityScore(col(textCol)).as("quality"),
+        Text.wsTokenCount(col(textCol)).as("n_tokens"),
+        Text.fingerprint(col(textCol)).as("__fp"))
+      .filter(col("predicted") === keepLang && col("quality") >= minQuality)
+    val exact = scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__fp").orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__fp")
+      .persist() // read twice: pair generation + the final anti-join
+    val pairs = Dedup.ngramJaccard(exact, idCol, textCol, "predicted",
+      n, minJaccard, maxGramDf)
+    val drop = pairs.select(col("id2").as(idCol)).distinct()
+    exact.join(broadcast(drop), Seq(idCol), "left_anti")
+      .select(col(idCol), col("predicted"), col("quality"), col("n_tokens"))
+  }
+
+  /** Deterministic stratified sampling for corpus mixing: keep the
+    * first `cap(stratum)` documents of each stratum in id-HASH order —
+    * an unbiased, seedless, engine-portable pick (md5 of the id
+    * renders identically everywhere, unlike RNG sampling). The window
+    * sort is per-stratum (partition-parallel); caps are the mixing
+    * weights, so the output size is Σ caps regardless of corpus size.
+    */
+  def mixSample(docs: DataFrame, idCol: String, strataCol: String,
+      caps: Map[String, Int], defaultCap: Int): DataFrame = {
+    val capCol: Column = caps.foldLeft(lit(defaultCap)) {
+      case (acc, (s, k)) => when(col(strataCol) === s, k).otherwise(acc)
+    }
+    val h = md5(col(idCol).cast("string"))
+    docs
+      .withColumn("__pick", row_number().over(
+        Window.partitionBy(strataCol).orderBy(h, col(idCol))))
+      .filter(col("__pick") <= capCol)
+      .withColumnRenamed("__pick", "pick")
+  }
+}

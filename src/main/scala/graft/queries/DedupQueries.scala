@@ -58,6 +58,66 @@ object DedupQueries {
     // carries-no-signal boilerplate grams before the join, so the
     // Jaccard doubles still match exactly. Set sizes sz stay UNCAPPED
     // on both sides.
+    // The composed curation funnel (lang-ID → quality gate → exact
+    // dedup → trigram near-dup removal → stats): the whole
+    // training-data pipeline as ONE plan, every stage's arithmetic
+    // identical to its standalone key (t01/t02/t04/d04), end-to-end
+    // DuckDB-oracled.
+    "d09_curate_pipeline" -> Q(
+      s"""WITH s0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, text, ws,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("de")}))) AS s_de,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("en")}))) AS s_en,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("es")}))) AS s_es,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("fr")}))) AS s_fr,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("zh")}))) AS s_zh
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |         WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS predicted,
+        |    ROUND(least(len(ws) / 100.0, 1.0) * 0.3
+        |      + (len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("en")})))
+        |         / CAST(len(ws) AS DOUBLE)) * 0.4
+        |      + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+        |               / CAST(length(text) AS DOUBLE)) * 0.3, 6) AS quality,
+        |    len(ws) AS n_tokens,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM s1),
+        |kept AS (SELECT * FROM s2 WHERE predicted = 'en' AND quality >= 0.45),
+        |ex AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |g AS (
+        |  SELECT doc_id, len(gs) AS sz, unnest(gs) AS g FROM (
+        |    SELECT doc_id,
+        |      list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS gs
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ex))),
+        |gf AS (
+        |  SELECT doc_id, sz, g FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY g) AS df FROM g)
+        |  WHERE df <= 1000),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+        |         MIN(a.sz) AS sa, MIN(b.sz) AS sb
+        |  FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropd AS (SELECT DISTINCT id2 FROM p
+        |  WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5)
+        |SELECT doc_id, predicted, quality, n_tokens FROM ex
+        |WHERE doc_id NOT IN (SELECT id2 FROM dropd)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curate.funnel(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "d04_ngram_jaccard" -> Q(
       """WITH g AS (
         |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (

@@ -13,6 +13,9 @@ object TextQueries {
   private def dictSql(lang: String): String =
     Text.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
 
+  /** Shared with d09_curate_pipeline's composed oracle. */
+  private[queries] def dictSqlPub(lang: String): String = dictSql(lang)
+
   val defs: Map[String, Q] = Map(
 
     "t01_lang_id" -> Q(
@@ -74,6 +77,26 @@ object TextQueries {
           Text.bpeishTokenCount(col("text")).as("n_bpeish"),
           round(length(col("text")).cast("double") /
             Text.wsTokenCount(col("text")), 6).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling for corpus mixing: per-source
+    // caps (the mixing weights), picked in md5(id) order — seedless,
+    // unbiased, identical on every engine and cluster size.
+    "t05_mix_sample" -> Q(
+      """SELECT doc_id, source, pick FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |  FROM documents)
+        |WHERE pick <= CASE WHEN source IN ('src0', 'src1', 'src2') THEN 12
+        |                   WHEN source = 'src3' THEN 0 ELSE 5 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curate.mixSample(Tables(s, dir).documents,
+          "doc_id", "source",
+          caps = Map("src0" -> 12, "src1" -> 12, "src2" -> 12, "src3" -> 0),
+          defaultCap = 5)
+        .select("doc_id", "source", "pick")
         .orderBy("doc_id")
     },
 
