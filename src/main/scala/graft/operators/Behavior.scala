@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse's behavioral-analytics aggregates (retention,
+  * windowFunnel, sequenceMatch — the parametric event-sequence family
+  * its AggregateFunction library is known for), realized Spark-first:
+  *
+  *  - per-user event sequences are gathered with ONE hash aggregate
+  *    (collect_list of condition-events only — non-matching events
+  *    never enter the state, exactly the reference's contract where
+  *    pattern-irrelevant events are ignored);
+  *  - the sequence scan is a deterministic `aggregate` fold over the
+  *    time-sorted array — pure Catalyst lambdas, no UDF;
+  *  - state per user is O(conditions), data per user is bounded by
+  *    that user's condition-event count — the same memory contract
+  *    the reference's implementation has, and the groupBy(user)
+  *    shuffle is the only shuffle.
+  */
+object Behavior {
+
+  /** retention(cond1, …, condN): per user, r[0] = cond1 ever held;
+    * r[i] = cond1 AND cond_{i+1} both held (pairwise, unordered —
+    * the reference's retention contract). */
+  def retention(events: DataFrame, userCol: String,
+      conds: Seq[Column]): DataFrame = {
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(c.cast("int")).as(s"__c$i")
+    }
+    events.groupBy(col(userCol))
+      .agg(flags.head, flags.tail: _*)
+      .select(col(userCol),
+        array(col("__c0") +:
+          (1 until conds.size).map(i => col("__c0") * col(s"__c$i")): _*)
+          .as("r"))
+  }
+
+  /** Condition-events of one user as a time-sorted array of
+    * (t: epoch-µs, ms: per-condition flags). */
+  private def packed(events: DataFrame, userCol: String, tsCol: Column,
+      conds: Seq[Column]): DataFrame =
+    events
+      .select(col(userCol).as("user"), unix_micros(tsCol).as("__t"),
+        array(conds.map(_.cast("boolean")): _*).as("__ms"))
+      .filter(exists(col("__ms"), m => m))
+      .groupBy("user")
+      .agg(sort_array(collect_list(struct(col("__t").as("t"),
+        col("__ms").as("ms")))).as("__evs"))
+
+  private def nullLongs(n: Int): Column =
+    array_repeat(lit(null).cast("long"), n)
+
+  /** Reached levels in `acc` (prefix property: acc(k) set ⇒ acc(k-1)
+    * set). */
+  private def level(acc: Column): Column =
+    size(filter(acc, x => x.isNotNull))
+
+  /** windowFunnel(window)(ts, cond1, …, condN): max chain depth such
+    * that cond1 … condK happened in (non-strict) time order, all
+    * within `windowMicros` of the chain's FIRST event. Greedy fold:
+    * acc(k) = latest viable chain START that has reached level k+1 —
+    * keeping the latest start is optimal because the only constraint
+    * (t ≤ start + window) is monotone in the start. */
+  def windowFunnel(events: DataFrame, userCol: String, tsCol: Column,
+      windowMicros: Long, conds: Seq[Column]): DataFrame = {
+    val n = conds.size
+    val folded = packed(events, userCol, tsCol, conds)
+      .select(col("user").as(userCol), aggregate(col("__evs"), nullLongs(n),
+        (acc, e) => transform(sequence(lit(0), lit(n - 1)), k => {
+          val t = e.getField("t")
+          val hit = element_at(e.getField("ms"), k + 1)
+          val prev = element_at(acc, k) // chain start at level k (1-based k)
+          val cur = element_at(acc, k + 1)
+          when(k === 0, when(hit, greatest(cur, t)).otherwise(cur))
+            .otherwise(when(hit && prev.isNotNull &&
+                t <= prev + lit(windowMicros),
+              greatest(cur, prev)).otherwise(cur))
+        })).as("__acc"))
+    folded.select(col(userCol), level(col("__acc")).as("level"))
+  }
+
+  /** sequenceMatch('(?1).*(?2).*…')(ts, cond1, …, condN) for the
+    * ordered-subsequence pattern family: does some strictly
+    * time-increasing subsequence match cond1 … condN? DP fold:
+    * acc(k) = EARLIEST completion time of a level-(k+1) prefix —
+    * earliest is optimal for strict `<` extension. */
+  def sequenceMatch(events: DataFrame, userCol: String, tsCol: Column,
+      conds: Seq[Column]): DataFrame = {
+    val n = conds.size
+    val folded = packed(events, userCol, tsCol, conds)
+      .select(col("user").as(userCol), aggregate(col("__evs"), nullLongs(n),
+        (acc, e) => transform(sequence(lit(0), lit(n - 1)), k => {
+          val t = e.getField("t")
+          val hit = element_at(e.getField("ms"), k + 1)
+          val prev = element_at(acc, k)
+          val cur = element_at(acc, k + 1)
+          when(k === 0, when(hit, least(cur, t)).otherwise(cur))
+            .otherwise(when(hit && prev.isNotNull && t > prev,
+              least(cur, t)).otherwise(cur))
+        })).as("__acc"))
+    folded.select(col(userCol),
+      (level(col("__acc")) === n).cast("int").as("matched"))
+  }
+}

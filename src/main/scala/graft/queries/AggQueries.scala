@@ -13,6 +13,75 @@ object AggQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // retention(cond1…condN) — ClickHouse's behavioral aggregate:
+    // r[0] = cond1 ever held for the user, r[i] = cond1 AND cond_i
+    // both held (pairwise, unordered). One hash aggregate.
+    "a15_retention" -> Q(
+      """SELECT user_id, [mv, mv*mc, mv*mp] AS r FROM (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mv,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS mc,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS mp
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Behavior.retention(Tables(s, dir).events, "user_id",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"))
+        .orderBy("user_id")
+    },
+
+    // windowFunnel(window)(ts, conds…) — max funnel depth with every
+    // step inside `window` of the chain's first event. The Spark plan
+    // is ONE groupBy + a greedy fold over each user's sorted
+    // condition-events (state O(steps)); the oracle states the same
+    // semantics as EXISTS-chains (equivalent: keeping the latest
+    // viable chain start is optimal because t ≤ start+W is monotone
+    // in start).
+    "a16_window_funnel" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |l2 AS (SELECT DISTINCT v.user_id FROM e v JOIN e c
+        |  ON c.user_id = v.user_id AND v.event_type = 'view'
+        |  AND c.event_type = 'click'
+        |  AND c.t >= v.t AND c.t <= v.t + 259200000000),
+        |l3 AS (SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND v.event_type = 'view'
+        |    AND c.event_type = 'click'
+        |    AND c.t >= v.t AND c.t <= v.t + 259200000000
+        |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND p.t >= c.t AND p.t <= v.t + 259200000000)
+        |SELECT u.user_id,
+        |  CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |       WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |       WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+        |       ELSE 0 END AS level
+        |FROM u ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Behavior.windowFunnel(Tables(s, dir).events, "user_id",
+          col("ts"), windowMicros = 259200000000L, // 3 days
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"))
+        .orderBy("user_id")
+    },
+
+    // sequenceMatch('(?1).*(?2)')(ts, conds…) — an ordered
+    // subsequence with strictly increasing timestamps exists. For the
+    // two-step pattern min(t1) < max(t2) is the exact oracle.
+    "a17_sequence_match" -> Q(
+      """SELECT user_id,
+        |  CASE WHEN MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |          < MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |       THEN 1 ELSE 0 END AS matched
+        |FROM events WHERE event_type IN ('signup', 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Behavior.sequenceMatch(Tables(s, dir).events, "user_id",
+          col("ts"),
+          Seq(col("event_type") === "signup", col("event_type") === "purchase"))
+        .orderBy("user_id")
+    },
+
     // The -Map combinator family (ClickHouse sumMap/minMap/maxMap):
     // per-row maps aggregate KEY-WISE — the idiom behind CH metric
     // tables (map of counter→value summed across rows). Realized the

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Behavior
+
+/** Planted-fixture semantics for the behavioral aggregates — the
+  * window boundary, chain ordering, and latest-viable-start greediness
+  * that the EXISTS-style DuckDB oracle (a15–a17) can't isolate. */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"))
+
+  private val conds =
+    Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+
+  test("windowFunnel: window measured from the chain START, not the last step") {
+    // A@0, B@8, C@12 with window 10: B is in-window, C is not (12 > 0+10)
+    val df = ev((1L, 0L, "A"), (1L, 8L, "B"), (1L, 12L, "C"))
+    val lvl = Behavior.windowFunnel(df, "user_id", col("ts"), 10L, conds)
+      .select("level").as[Int].head()
+    assert(lvl == 2)
+  }
+
+  test("windowFunnel: a LATER chain start rescues the full chain") {
+    // chains: A@0 (B@8 in window, C@12 out) and A@5 (B@8, C@12 both in)
+    val df = ev((1L, 0L, "A"), (1L, 5L, "A"), (1L, 8L, "B"), (1L, 12L, "C"))
+    val lvl = Behavior.windowFunnel(df, "user_id", col("ts"), 10L, conds)
+      .select("level").as[Int].head()
+    assert(lvl == 3)
+  }
+
+  test("windowFunnel: steps must be in time order") {
+    // B happens BEFORE any A → level stops at 1
+    val df = ev((1L, 5L, "A"), (1L, 0L, "B"))
+    val lvl = Behavior.windowFunnel(df, "user_id", col("ts"), 100L, conds)
+      .select("level").as[Int].head()
+    assert(lvl == 1)
+  }
+
+  test("sequenceMatch: strictly increasing three-step subsequence") {
+    val yes = ev((1L, 0L, "A"), (1L, 1L, "X"), (1L, 2L, "B"), (1L, 3L, "C"))
+    val tie = ev((2L, 0L, "A"), (2L, 0L, "B"), (2L, 3L, "C"))   // A,B same ts
+    val out = ev((3L, 0L, "B"), (3L, 1L, "A"), (3L, 2L, "C"))   // B before A
+    val got = Behavior.sequenceMatch(yes.union(tie).union(out),
+        "user_id", col("ts"), conds)
+      .orderBy("user_id").select("matched").as[Int].collect().toSeq
+    assert(got == Seq(1, 0, 0))
+  }
+
+  test("retention is pairwise and unordered") {
+    // user 1: C before A — still counts (retention has no ordering)
+    val df = ev((1L, 0L, "C"), (1L, 5L, "A"), (2L, 0L, "B"))
+    val got = Behavior.retention(df, "user_id", conds)
+      .orderBy("user_id").select("r").as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(1, 0, 1), Seq(0, 0, 0)))
+  }
+
+  test("one groupBy is the only shuffle in the funnel plan") {
+    val df = ev((1L, 0L, "A"))
+    val plan = Behavior.windowFunnel(df, "user_id", col("ts"), 10L, conds)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
+}
