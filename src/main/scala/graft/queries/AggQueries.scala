@@ -17,16 +17,21 @@ object AggQueries {
     // r[0] = cond1 ever held for the user, r[i] = cond1 AND cond_i
     // both held (pairwise, unordered). One hash aggregate.
     "a15_retention" -> Q(
-      """SELECT user_id, [mv, mv*mc, mv*mp] AS r FROM (
+      """SELECT user_id,
+        |  mv || ',' || (mv*mc) || ',' || (mv*mp) AS r FROM (
         |  SELECT user_id,
         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mv,
         |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS mc,
         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS mp
         |  FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      // the flag array serialized to a "1,0,1" string (a07's idiom) so
+      // the cross-engine row comparison never sees an array cell
       graft.operators.Behavior.retention(Tables(s, dir).events, "user_id",
           Seq(col("event_type") === "view", col("event_type") === "click",
             col("event_type") === "purchase"))
+        .select(col("user_id"),
+          array_join(transform(col("r"), _.cast("string")), ",").as("r"))
         .orderBy("user_id")
     },
 
@@ -90,25 +95,31 @@ object AggQueries {
     // and reassemble the CH output shape (key-sorted parallel arrays).
     "a14_sum_map" -> Q(
       """SELECT o_orderstatus,
-        |  array_agg(p ORDER BY p) AS ks,
-        |  array_agg(s ORDER BY p) AS vs
+        |  array_to_string(array_agg(p ORDER BY p), ',') AS ks,
+        |  array_to_string(array_agg(CAST(s AS VARCHAR) ORDER BY p), ',') AS vs
         |FROM (
         |  SELECT o_orderstatus, o_orderpriority AS p,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s
         |  FROM orders GROUP BY 1, 2)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       // the per-row "metric map": priority → totalprice, one entry per
-      // row; sumMap(m) sums values per key within each status group
+      // row; sumMap(m) sums values per key within each status group.
+      // The CH output shape is key-sorted parallel arrays; serialized
+      // to comma-joined strings (a07's idiom) so the cross-engine
+      // comparison is type-independent — values as DECIMAL strings,
+      // which render identically ("123.40") in both engines, unlike
+      // DOUBLE (Java scientific notation vs C printf).
       val entries = Tables(s, dir).orders
         .select(col("o_orderstatus"),
           map(col("o_orderpriority"), col("o_totalprice")).as("m"))
         .select(col("o_orderstatus"), explode(col("m")).as(Seq("k", "v")))
       val perKey = entries.groupBy("o_orderstatus", "k")
-        .agg(sum(dec(col("v"))).cast("double").as("s"))
+        .agg(sum(dec(col("v"))).as("s"))
       perKey.groupBy("o_orderstatus")
         .agg(sort_array(collect_list(struct(col("k"), col("s")))).as("kv"))
         .select(col("o_orderstatus"),
-          col("kv.k").as("ks"), col("kv.s").as("vs"))
+          array_join(col("kv.k"), ",").as("ks"),
+          array_join(transform(col("kv.s"), _.cast("string")), ",").as("vs"))
         .orderBy("o_orderstatus")
     },
 
