@@ -48,20 +48,37 @@ object Curate {
   /** Deterministic stratified sampling for corpus mixing: keep the
     * first `cap(stratum)` documents of each stratum in id-HASH order —
     * an unbiased, seedless, engine-portable pick (md5 of the id
-    * renders identically everywhere, unlike RNG sampling). The window
-    * sort is per-stratum (partition-parallel); caps are the mixing
-    * weights, so the output size is Σ caps regardless of corpus size.
+    * renders identically everywhere, unlike RNG sampling).
+    *
+    * Strata are mixing sources — single digits of them — so a window
+    * partitioned on the bare strata column would sort an entire
+    * stratum on ONE task at 100 TB. Instead: two-phase top-k.
+    * Phase 1 salts each stratum into `salts` sub-partitions and takes
+    * a LOCAL `row_number ≤ cap` per (stratum, salt) — exact, because
+    * a row's rank within its salt group is ≤ its rank within the
+    * stratum, so every true top-cap row survives. Phase 2 re-ranks
+    * only the ≤ cap×salts survivors per stratum — the same `pick`
+    * values the one-window plan would emit, without the global sort.
+    * Caps are the mixing weights, so output size is Σ caps regardless
+    * of corpus size.
     */
   def mixSample(docs: DataFrame, idCol: String, strataCol: String,
-      caps: Map[String, Int], defaultCap: Int): DataFrame = {
+      caps: Map[String, Int], defaultCap: Int, salts: Int = 64): DataFrame = {
     val capCol: Column = caps.foldLeft(lit(defaultCap)) {
       case (acc, (s, k)) => when(col(strataCol) === s, k).otherwise(acc)
     }
-    val h = md5(col(idCol).cast("string"))
-    docs
+    val local = docs
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__salt", pmod(xxhash64(col(idCol).cast("string")), lit(salts)))
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col(strataCol), col("__salt"))
+          .orderBy(col("__h"), col(idCol))))
+      .filter(col("__lrn") <= capCol)
+    local
       .withColumn("__pick", row_number().over(
-        Window.partitionBy(strataCol).orderBy(h, col(idCol))))
+        Window.partitionBy(strataCol).orderBy(col("__h"), col(idCol))))
       .filter(col("__pick") <= capCol)
+      .drop("__h", "__salt", "__lrn")
       .withColumnRenamed("__pick", "pick")
   }
 }

@@ -10,15 +10,25 @@ import org.apache.spark.sql.functions._
   */
 
 /** `LIMIT n BY expr` (reference: src/Parsers/ASTSelectQuery.h:30-32):
-  * keep first n rows per group in a given order. One shuffle on the
-  * group key; the sort is per-partition after the shuffle.
+  * keep first n rows per group in a given order. BY keys are often
+  * low-cardinality (statuses, sources), so a single window would sort
+  * whole groups on one task each. Two-phase top-n instead: phase 1
+  * ranks locally per (group, input partition) — a row's local rank
+  * bounds its group rank, so every true top-n row survives — then
+  * phase 2 ranks only the ≤ n × partitions survivors per group. The
+  * `order` must be a total order for a deterministic result (same
+  * contract as the single-window plan).
   */
 object LimitBy {
   def apply(df: DataFrame, n: Int, by: Seq[Column], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(by: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
+    val local = Window.partitionBy(by :+ col("__pid"): _*).orderBy(order: _*)
+    val global = Window.partitionBy(by: _*).orderBy(order: _*)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(local))
+      .filter(col("__lrn") <= n)
+      .withColumn("__rn", row_number().over(global))
       .filter(col("__rn") <= n)
-      .drop("__rn")
+      .drop("__pid", "__lrn", "__rn")
   }
 }
 

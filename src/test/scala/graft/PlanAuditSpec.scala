@@ -23,6 +23,31 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
 
+  /** Known low-cardinality dimension/enum columns (mixing sources,
+    * status flags, brands) — a window partitioned ONLY on these puts
+    * an entire stratum on one task at 100 TB, which the
+    * partitionSpec-empty rule cannot see (r4 verdict: t05).
+    */
+  private val dimensionCols = Set(
+    "source", "predicted", "lang", "event_type",
+    "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+    "p_brand", "p_type", "p_container", "p_mfgr",
+    "r_name", "n_name", "c_mktsegment", "c_nationkey", "s_nationkey")
+
+  /** True when the window sorts whole strata on single tasks: every
+    * partition key is a known dimension column AND no salted pre-phase
+    * (a WindowExec partitioned on a `*salt*`/`*pid*` column, the
+    * bounded two-phase top-k marker) caps its input.
+    */
+  private def stratumSortViolation(w: WindowExec): Boolean =
+    w.partitionSpec.nonEmpty &&
+      w.partitionSpec.forall(_.references.forall(a => dimensionCols.contains(a.name))) &&
+      !w.child.exists {
+        case c: WindowExec => c.partitionSpec.exists(_.references.exists(a =>
+          a.name.contains("salt") || a.name.contains("pid")))
+        case _ => false
+      }
+
   test("no query plan contains an unpartitioned window, stray cartesian product, or nested loop") {
     // BroadcastNestedLoopJoin is legitimate ONLY for broadcasting a
     // 1-row relation (scalar subqueries / global thresholds) — these
@@ -50,10 +75,45 @@ class PlanAuditSpec extends SparkSpec {
           case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
               if !allowedNestedLoop.contains(name) =>
             s"$name: BroadcastNestedLoopJoin"
+          case w: WindowExec if stratumSortViolation(w) =>
+            s"$name: window partitioned only on dimension column(s) " +
+              w.partitionSpec.flatMap(_.references.map(_.name)).distinct.mkString(",") +
+              " with no salted pre-phase (whole-stratum sort at scale)"
         }
       }
       assert(violations.isEmpty, violations.distinct.mkString("; "))
     }
+  }
+
+  test("stratum-sort rule catches the pre-fix mixSample shape and passes the two-phase one") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir).documents
+    // the r4 shape: one window partitioned on the bare strata column
+    val preFix = docs.withColumn("pick", row_number().over(
+      Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("pick") <= 5)
+    val caught = withoutAqe {
+      preFix.queryExecution.executedPlan.collect {
+        case w: WindowExec if stratumSortViolation(w) => w
+      }
+    }
+    assert(caught.nonEmpty, "rule must flag the single-window stratum sort")
+    // the shipped two-phase plan: same output, no violation
+    val post = graft.operators.Curate.mixSample(docs, "doc_id", "source",
+      caps = Map("src0" -> 12), defaultCap = 5)
+    val bad = withoutAqe {
+      post.queryExecution.executedPlan.collect {
+        case w: WindowExec if stratumSortViolation(w) => w
+      }
+    }
+    assert(bad.isEmpty, "two-phase mixSample must pass the rule")
+    // and the two plans agree (the exactness argument, checked)
+    val a = preFix.select("doc_id", "source", "pick").collect().toSet
+    val b = post.select("doc_id", "source", "pick")
+      .filter(col("pick") <= 5).collect().toSet
+    assert(a == b)
   }
 
   test("prewhere filter and projection are pushed to the parquet scan") {
