@@ -227,6 +227,17 @@ object ChDdl {
         }
         require(sets.map(_._1).distinct.length == sets.length,
           "UPDATE sets the same column twice")
+        // the reference refuses mutating key columns ("Cannot UPDATE
+        // key column"); here assigning a PARTITION column could move
+        // rows into partitions outside the affected set, which the
+        // partition-restricted rewrite below would silently drop
+        val partSet = spark.catalog.listColumns(table).collect()
+          .filter(_.isPartition).map(_.name).toSet
+        sets.map(_._1).filter(partSet.contains) match {
+          case Nil => ()
+          case bad => throw new IllegalArgumentException(
+            s"Cannot UPDATE partition key column(s) ${bad.mkString(", ")} of $table")
+        }
         val setMap = sets.toMap
         // every SET right-hand side AND the predicate evaluate against
         // the ORIGINAL row (the reference's mutation contract —
@@ -710,7 +721,7 @@ object ChDdl {
         val expanded = ChColumns.expand(spark, sql)
         val (clean, settings) = ChSql.extractSettings(expanded)
         if (settings.isEmpty) spark.sql(ChSql.translate(expanded))
-        else ChSettings.scoped(spark, settings)(spark.sql(ChSql.translate(clean)))
+        else ChSettings.scoped(spark, settings)(_.sql(ChSql.translate(clean)))
     }
   }
 

@@ -69,8 +69,9 @@ object ChMatView {
     if (ts(i).up == "IF") i += 3 // IF NOT EXISTS
     val name = ts(i).text
     i += 1
-    var target = name
-    if (i < ts.length && ts(i).up == "TO") { target = ts(i + 1).text; i += 2 }
+    var toTable = Option.empty[String]
+    if (i < ts.length && ts(i).up == "TO") { toTable = Some(ts(i + 1).text); i += 2 }
+    val target = toTable.getOrElse(name)
     val asIdx = find0(ts, Set("AS"), i)
     require(asIdx > 0 && asIdx + 1 < ts.length && ts(asIdx + 1).up == "SELECT",
       "expected AS SELECT …")
@@ -86,21 +87,43 @@ object ChMatView {
     val base = selToks(fromIdx + 1).text
     val mv = Mv(name, target, base, selectSql)
 
-    // target table = the SELECT's output schema, created empty (the
-    // `.inner` table of the reference when no TO is given)
     val shape = spark.sql(ChSql.translate(selectSql)).limit(0)
-    spark.sql(s"DROP TABLE IF EXISTS $target")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, target.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    shape.write.format("parquet").saveAsTable(target)
+    if (toTable.isDefined) {
+      // TO attaches the MV to an EXISTING table whose data is
+      // preserved (reference: ASTCreateQuery.h to_table_id; POPULATE
+      // is disallowed with TO) — never drop or recreate it.
+      require(!populate,
+        "POPULATE is not allowed with CREATE MATERIALIZED VIEW ... TO (reference behavior)")
+      require(spark.catalog.tableExists(target),
+        s"TO target table $target must already exist")
+      val tcols = spark.table(target).schema.fieldNames.toSeq
+      val scols = shape.schema.fieldNames.toSeq
+      require(tcols == scols,
+        s"TO target $target columns $tcols do not match the SELECT output $scols")
+    } else {
+      // no TO: (re)create the implicit `.inner`-style target empty,
+      // with the SELECT's output schema
+      spark.sql(s"DROP TABLE IF EXISTS $target")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, target.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      shape.write.format("parquet").saveAsTable(target)
+    }
 
     byBase.updateWith(base.toLowerCase) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ mv)
       case None => Some(Vector(mv))
     }
-    registerAutoRoute(spark, mv)
+    // Auto-routing base-table aggregates onto the target is only sound
+    // when the target provably holds ALL of the base's history: a
+    // fresh implicit target that is either POPULATEd or whose base is
+    // empty at creation. An un-populated MV over a non-empty base (or
+    // a TO table with its own pre-existing content) must never capture
+    // base-table reads — the reference's un-populated MV only affects
+    // reads of the MV itself.
+    if (toTable.isEmpty &&
+        (populate || spark.table(base).isEmpty)) registerAutoRoute(spark, mv)
     if (populate) refreshFull(spark, mv)
   }
 

@@ -48,24 +48,21 @@ object ChSettings {
       case _ => Nil
     }
 
-  /** Run `body` with `settings` applied query-scoped: set, plan
-    * eagerly under the new values, restore. */
+  /** Run `body` with `settings` applied query-scoped, against a
+    * per-query SESSION CLONE: the scoped confs live for the query's
+    * entire lifetime (AQE re-optimization at execution time re-reads
+    * the session conf — a set/plan/restore window would leak the
+    * restored values into runtime re-plans), and the shared session's
+    * confs are never mutated, so concurrent queries on the same
+    * session cannot observe the override. The clone shares the
+    * catalog, temp views, and function registry. */
   def scoped(spark: SparkSession, settings: Seq[(String, String)])(
-      body: => DataFrame): DataFrame = {
+      body: SparkSession => DataFrame): DataFrame = {
     val confs = settings.flatMap { case (k, v) => confsFor(k, v) }
-    if (confs.isEmpty) return body
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val df = body
-      // force physical planning NOW so the settings are baked into the
-      // frame the caller executes after the restore below
-      df.queryExecution.executedPlan
-      df
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    if (confs.isEmpty) return body(spark)
+    val scopedSession = org.apache.spark.sql.graftshim.SessionClone(spark)
+    confs.foreach { case (k, v) => scopedSession.conf.set(k, v) }
+    body(scopedSession)
   }
 
   /** CH `SET k = v, …` — session-scoped like the reference. Mapped CH

@@ -37,7 +37,12 @@ object Behavior {
   }
 
   /** Condition-events of one user as a time-sorted array of
-    * (t: epoch-µs, ms: per-condition flags). */
+    * (t: epoch-µs, ms: per-condition flags). Ties on t are ordered so
+    * LOWER-indexed conditions process first (the `ord` field inverts
+    * the flags: a cond1 hit [true,…] becomes [false,…], which sorts
+    * ahead) — otherwise a same-timestamp progression (view and click
+    * at one t) would fold click-before-view and miss the chain the
+    * non-strict `t₂ ≥ t₁` contract counts. */
   private def packed(events: DataFrame, userCol: String, tsCol: Column,
       conds: Seq[Column]): DataFrame =
     events
@@ -46,6 +51,7 @@ object Behavior {
       .filter(exists(col("__ms"), m => m))
       .groupBy("user")
       .agg(sort_array(collect_list(struct(col("__t").as("t"),
+        transform(col("__ms"), m => not(m)).as("ord"),
         col("__ms").as("ms")))).as("__evs"))
 
   private def nullLongs(n: Int): Column =

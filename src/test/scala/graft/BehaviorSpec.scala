@@ -42,6 +42,24 @@ class BehaviorSpec extends SparkSpec {
     assert(lvl == 1)
   }
 
+  test("windowFunnel: same-timestamp events chain in condition order (non-strict t₂ ≥ t₁)") {
+    // A and B at the SAME microsecond: the non-strict contract counts
+    // the progression; the fold must process A before B at the tie
+    val df = ev((1L, 5L, "A"), (1L, 5L, "B"), (1L, 7L, "C"))
+    val lvl = Behavior.windowFunnel(df, "user_id", col("ts"), 100L, conds)
+      .select("level").as[Int].head()
+    assert(lvl == 3, s"tied A/B must reach level 3, got $lvl")
+    // all three tied: full chain still counted, in one pass
+    val df3 = ev((2L, 9L, "A"), (2L, 9L, "B"), (2L, 9L, "C"))
+    val lvl3 = Behavior.windowFunnel(df3, "user_id", col("ts"), 100L, conds)
+      .select("level").as[Int].head()
+    assert(lvl3 == 3, s"tied A/B/C must reach level 3, got $lvl3")
+    // but strictness still holds for sequenceMatch: ties do NOT chain
+    val m = Behavior.sequenceMatch(ev((3L, 5L, "A"), (3L, 5L, "B"), (3L, 5L, "C")),
+      "user_id", col("ts"), conds).select("matched").as[Int].head()
+    assert(m == 0)
+  }
+
   test("sequenceMatch: strictly increasing three-step subsequence") {
     val yes = ev((1L, 0L, "A"), (1L, 1L, "X"), (1L, 2L, "B"), (1L, 3L, "C"))
     val tie = ev((2L, 0L, "A"), (2L, 0L, "B"), (2L, 3L, "C"))   // A,B same ts

@@ -159,6 +159,19 @@ class DdlSpec extends SparkSpec {
     val left = spark.table("graft_mut_part").select("grp").distinct()
       .as[String].collect().toSet
     assert(left == Set("g0", "g1", "g2"), left)
+    // assigning a partition column is refused (the reference's "Cannot
+    // UPDATE key column"): moved rows would land outside the affected
+    // partition set and be silently dropped by the restricted rewrite
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.alter(spark,
+        "ALTER TABLE graft_mut_part UPDATE grp = 'g9' WHERE k % 2 = 0")
+    }
+    assert(e.getMessage.contains("partition key column"), e.getMessage)
+    // non-partition updates still work on the partitioned table
+    ChDdl.alter(spark,
+      "ALTER TABLE graft_mut_part UPDATE v = v + 1000 WHERE grp = 'g0' AND k = 4")
+    assert(spark.table("graft_mut_part").filter($"k" === 4)
+      .select("v").as[Double].head() == 1004.0)
   }
 
   test("ALTER UPDATE evaluates every SET and the predicate against the original row") {
@@ -363,6 +376,10 @@ class DdlSpec extends SparkSpec {
     ChDdl.execute(spark,
       """CREATE TABLE graft_mv_c0 (k Int64, g String, v Int64)
         |  ENGINE = MergeTree() ORDER BY (k);
+        |CREATE TABLE graft_mv_c1_t (k Int64, g String, v10 Int64)
+        |  ENGINE = MergeTree() ORDER BY (k);
+        |CREATE TABLE graft_mv_c2_t (g String, sv Int64, n Int64)
+        |  ENGINE = MergeTree() ORDER BY (g);
         |CREATE MATERIALIZED VIEW graft_mv_c1 TO graft_mv_c1_t AS
         |  SELECT k, g, v * 10 AS v10 FROM graft_mv_c0 WHERE v > 1;
         |CREATE MATERIALIZED VIEW graft_mv_c2 TO graft_mv_c2_t AS
@@ -378,10 +395,51 @@ class DdlSpec extends SparkSpec {
     assert(got == Seq(("a", 60L, 2L), ("b", 30L, 1L)), got)
   }
 
+  test("materialized view TO preserves the existing target's data; POPULATE with TO refused") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_mv_to_base (k Int64, v Int64) ENGINE = MergeTree() ORDER BY (k);
+        |CREATE TABLE graft_mv_to_t (k Int64, v2 Int64) ENGINE = MergeTree() ORDER BY (k);
+        |INSERT INTO graft_mv_to_t VALUES (100, 200)""".stripMargin)
+    ChDdl.execute(spark,
+      "CREATE MATERIALIZED VIEW graft_mv_to TO graft_mv_to_t AS SELECT k, v * 2 AS v2 FROM graft_mv_to_base")
+    // the pre-existing row survived MV creation (reference: TO attaches
+    // to an existing table; its data is preserved)
+    assert(spark.table("graft_mv_to_t").count() == 1)
+    ChDdl.execute(spark, "INSERT INTO graft_mv_to_base VALUES (1, 5)")
+    assert(spark.table("graft_mv_to_t").orderBy("k").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (100L, 200L)))
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "CREATE MATERIALIZED VIEW graft_mv_to2 TO graft_mv_to_t POPULATE AS SELECT k, v * 2 AS v2 FROM graft_mv_to_base")
+    }
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "CREATE MATERIALIZED VIEW graft_mv_to3 TO graft_mv_missing AS SELECT k, v * 2 AS v2 FROM graft_mv_to_base")
+    }
+  }
+
+  test("un-populated MV over a non-empty base never captures base-table aggregates") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_mv_np_base (g String, v Int64) ENGINE = MergeTree() ORDER BY (g);
+        |INSERT INTO graft_mv_np_base VALUES ('a', 1), ('b', 2)""".stripMargin)
+    ChDdl.execute(spark,
+      "CREATE MATERIALIZED VIEW graft_np_target AS SELECT g, sum(v) AS sv FROM graft_mv_np_base GROUP BY g")
+    // the target misses the 2 pre-existing rows — routing a base-table
+    // aggregate onto it would silently lose them
+    val agg = spark.table("graft_mv_np_base").groupBy("g").agg(sum($"v").as("sv"))
+    assert(!agg.queryExecution.optimizedPlan.toString.contains("graft_np_target"),
+      "base aggregate must not route onto the un-populated MV target")
+    assert(agg.orderBy("g").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+  }
+
   test("non-aggregate materialized view appends the transformed rows of each block") {
     GraftFunctions.ensureRegistered(spark)
     ChDdl.execute(spark,
       """CREATE TABLE graft_mv_raw (k Int64, v Int64) ENGINE = MergeTree() ORDER BY (k);
+        |CREATE TABLE graft_mv_big_t (k Int64, v2 Int64) ENGINE = MergeTree() ORDER BY (k);
         |CREATE MATERIALIZED VIEW graft_mv_big TO graft_mv_big_t AS
         |  SELECT k, v * 2 AS v2 FROM graft_mv_raw WHERE v >= 10;
         |INSERT INTO graft_mv_raw VALUES (1, 5), (2, 10);
