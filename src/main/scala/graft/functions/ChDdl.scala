@@ -44,7 +44,8 @@ import ChSql.{Tok, tokenize, renderTrim, depths, matchParen}
 object ChDdl {
 
   final case class ChColumn(
-      name: String, sparkType: String, enumValues: Option[Seq[(String, Int)]])
+      name: String, sparkType: String, enumValues: Option[Seq[(String, Int)]],
+      chType: String = "")
 
   /** PROJECTION name (SELECT keys…, aggs… GROUP BY keys) declared in
     * the column list (ASTProjectionDeclaration.h). */
@@ -110,6 +111,9 @@ object ChDdl {
       // remember the declared sampling key so ChSql can translate the
       // reference's bare `SAMPLE f` (no BY) into the stored-hash range
       sampleBy.foreach(_ => ChDdl.declaredSampleKeys.put(table.toLowerCase, "__sample_hash"))
+      // the declared layout backs SHOW CREATE TABLE / DESCRIBE with
+      // CH type names and clauses
+      ChDdl.createdTables.put(table.toLowerCase, this)
       spark.sql(s"DROP TABLE IF EXISTS $table")
       // a managed-table location can survive from a PREVIOUS session
       // (in-memory catalog, on-disk warehouse) — DROP above can't see
@@ -177,6 +181,10 @@ object ChDdl {
         if (p.hasCount) Some("__cnt") else None))
     }
   }
+
+  /** table → its declared CH layout, filled by create(). */
+  private[functions] val createdTables =
+    scala.collection.concurrent.TrieMap[String, ChCreateTable]()
 
   /** table → persisted sampling-hash column, filled by create() for
     * tables declared with SAMPLE BY. */
@@ -717,11 +725,16 @@ object ChDdl {
       case _ =>
         // schema-aware pre-passes the pure-text translator can't do:
         // COLUMNS('re') / * APPLY/REPLACE expansion, then trailing
-        // SETTINGS mapped onto confs QUERY-scoped instead of stripped
+        // FORMAT rendered (not stripped) and SETTINGS mapped onto
+        // confs QUERY-scoped
         val expanded = ChColumns.expand(spark, sql)
-        val (clean, settings) = ChSql.extractSettings(expanded)
-        if (settings.isEmpty) spark.sql(ChSql.translate(expanded))
-        else ChSettings.scoped(spark, settings)(_.sql(ChSql.translate(clean)))
+        val (noFmt, fmt) = ChSql.extractFormat(expanded)
+        val (clean, settings) = ChSql.extractSettings(noFmt)
+        val df =
+          if (settings.isEmpty) spark.sql(ChSql.translate(clean))
+          else ChSettings.scoped(spark, settings)(_.sql(ChSql.translate(clean)))
+        fmt.filter(f => ChFormat.renderable(f.toUpperCase))
+          .map(f => ChFormat.render(df, f)).getOrElse(df)
     }
   }
 
@@ -854,7 +867,7 @@ object ChDdl {
       d(k) == 0 && item(k).word && colDecor.contains(item(k).up))
       .getOrElse(item.length)
     val (sparkType, enums) = parseType(item.slice(1, typeEnd))
-    ChColumn(name, sparkType, enums)
+    ChColumn(name, sparkType, enums, renderTrim(item.slice(1, typeEnd)))
   }
 
   /** CH type expression → (Spark SQL type, enum dictionary). */
@@ -878,6 +891,19 @@ object ChDdl {
           else s"_${k + 1}: ${parseType(a)._1}"
         }
         (s"STRUCT<${fields.mkString(", ")}>", None)
+      case "NESTED" =>
+        // the reference's own representation (DataTypeNested.cpp:55:
+        // DataTypeArray(DataTypeTuple(types, names))) — which makes
+        // both CH read idioms native Spark: unexploded `n.a` is the
+        // parallel ARRAY<T> (GetArrayStructFields), and after
+        // `ARRAY JOIN n` it is the element's scalar field
+        val fields = args.map { a =>
+          require(a.length >= 2 && a.head.word && !typeNames.contains(a.head.up),
+            s"Nested needs `name Type` pairs: ${renderTrim(a)}")
+          s"${a.head.text}: ${parseType(a.tail)._1}"
+        }
+        require(fields.nonEmpty, "Nested cannot be empty")
+        (s"ARRAY<STRUCT<${fields.mkString(", ")}>>", None)
       case "ENUM8" | "ENUM16" =>
         val values = args.map { a =>
           require(a.length == 3 && a(1).text == "=",
@@ -915,7 +941,8 @@ object ChDdl {
     "JSON" -> "STRING")
 
   private val typeNames: Set[String] = simpleTypes.keySet ++ Set(
-    "NULLABLE", "LOWCARDINALITY", "ARRAY", "MAP", "TUPLE", "ENUM8", "ENUM16",
+    "NULLABLE", "LOWCARDINALITY", "ARRAY", "MAP", "TUPLE", "NESTED",
+    "ENUM8", "ENUM16",
     "DECIMAL", "DECIMAL32", "DECIMAL64", "DECIMAL128", "FIXEDSTRING",
     "DATETIME64", "DATETIME")
 }

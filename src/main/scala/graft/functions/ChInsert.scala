@@ -44,7 +44,23 @@ object ChInsert {
     var cols = tableSchema.fieldNames.toSeq
     if (i < ts.length && ts(i).text == "(") {
       val close = ChSql.matchParen(ts, i)
-      cols = ts.slice(i + 1, close).filter(_.word).map(_.text)
+      // merge dotted identifiers: `ev.name` is Nested's flattened
+      // subcolumn, one logical column
+      val inner = ts.slice(i + 1, close)
+      val buf = Vector.newBuilder[String]
+      var k = 0
+      while (k < inner.length) {
+        if (inner(k).word) {
+          var nm = inner(k).text
+          while (k + 2 < inner.length && inner(k + 1).text == "." && inner(k + 2).word) {
+            nm += "." + inner(k + 2).text
+            k += 2
+          }
+          buf += nm
+        }
+        k += 1
+      }
+      cols = buf.result()
       i = close + 1
     }
     require(i < ts.length && bodyKws.contains(ts(i).up),
@@ -52,7 +68,9 @@ object ChInsert {
 
     val batch: DataFrame = ts(i).up match {
       case "VALUES" =>
-        spark.sql(s"SELECT * FROM VALUES ${render(ts.drop(i + 1))}")
+        // bracket pass: CH array literals ['a','b'] (and tuple values
+        // inside them) become array()/struct() calls Spark parses
+        spark.sql(s"SELECT * FROM VALUES ${render(ChSql.rewriteBrackets(ts.drop(i + 1)))}")
           .toDF(cols: _*)
       case "SELECT" | "WITH" =>
         spark.sql(ChSql.translate(render(ts.drop(i)))).toDF(cols: _*)
@@ -77,9 +95,29 @@ object ChInsert {
         }
     }
     // widen to the full catalog row: listed columns cast to their
-    // declared types, unlisted columns NULL
+    // declared types, unlisted columns NULL. A Nested column listed
+    // through its flattened subcolumns (`ev.name`, `ev.val` — the CH
+    // Nested insert idiom, NestedUtils.cpp flatten) is zipped back
+    // into its array-of-structs shape; CH requires the parallel
+    // arrays to have equal lengths, same here.
     val fullBatch = batch.select(tableSchema.fields.toSeq.map { f =>
+      val subs = cols.filter(_.startsWith(f.name + "."))
+        .map(c => c.stripPrefix(f.name + ".") -> c)
       if (cols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else if (subs.nonEmpty) f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+          val flatOf = subs.toMap
+          val first = col("`" + subs.head._2 + "`")
+          transform(first, (_, idx) => struct(st.fields.toSeq.map { sf =>
+            flatOf.get(sf.name) match {
+              case Some(flat) => get(col("`" + flat + "`"), idx).as(sf.name)
+              case None => lit(null).cast(sf.dataType).as(sf.name)
+            }
+          }: _*)).cast(f.dataType).as(f.name)
+        case other => throw new IllegalArgumentException(
+          s"dotted insert columns ${subs.map(_._2).mkString(", ")} target " +
+            s"non-Nested column ${f.name}: $other")
+      }
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     fullBatch.write.mode("append").insertInto(table)

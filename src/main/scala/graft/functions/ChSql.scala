@@ -198,7 +198,7 @@ object ChSql {
   }
 
   private def rewriteQuery(ts0: Vector[Tok]): Vector[Tok] = {
-    var ts = recurse(ts0)
+    var ts = rewriteBrackets(recurse(ts0))
     ts = rewriteScalarWith(ts)
     ts = stripFormat(ts)
     ts = stripSettings(ts)
@@ -218,6 +218,62 @@ object ChSql {
     ts = rewriteWithFill(ts)
     ts = rewriteLimitOffset(ts)
     ts
+  }
+
+  /** CH array literals `[a, b, …]` → `array(a, b, …)`, and tuple
+    * literals DIRECTLY inside them `(x, y)` → `struct(x, y)` (the
+    * Nested-value insert idiom `[('a', 1), ('b', 2)]`). A `[` is a
+    * LITERAL unless it follows a value — identifier, `)`, `]`, string,
+    * or number — in which case it is a subscript and left alone. */
+  private[functions] def rewriteBrackets(ts: Vector[Tok]): Vector[Tok] = {
+    // keywords after which `[` starts a literal even though they are
+    // words (a bare identifier before `[` means subscript instead)
+    val kws = Set("SELECT", "VALUES", "WHEN", "THEN", "ELSE", "AND", "OR",
+      "NOT", "IN", "AS", "ON", "WHERE", "PREWHERE", "HAVING", "BY", "SET",
+      "UNION", "ALL", "DISTINCT", "CASE", "FROM", "TO", "STEP", "INTERPOLATE",
+      "RETURN", "ARRAY")
+    val out = Vector.newBuilder[Tok]
+    var lits = List.empty[(Boolean, Int)] // (isLiteral, paren depth at '[')
+    var pdepth = 0
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      t.text match {
+        case "[" =>
+          val lit = if (i == 0) true else {
+            val p = ts(i - 1)
+            if (p.text == ")" || p.text == "]") false
+            else if (p.word) kws.contains(p.up)
+            else !(p.text.headOption.exists(c => c == '\'' || c.isDigit))
+          }
+          lits = (lit, pdepth) :: lits
+          if (lit) { out += Tok(t.pre, "array", true); out += Tok("", "(", false) }
+          else out += t
+        case "]" =>
+          lits match {
+            case (lit, _) :: rest =>
+              lits = rest
+              out += (if (lit) Tok(t.pre, ")", false) else t)
+            case Nil => out += t
+          }
+        case "(" =>
+          // a parenthesized group directly after the literal `[` or a
+          // same-level comma is a CH tuple value → struct(…)
+          val tupleHere = lits.headOption.exists { case (lit, pd) =>
+            lit && pd == pdepth } &&
+            i > 0 && (ts(i - 1).text == "[" || ts(i - 1).text == ",") &&
+            i + 1 < ts.length && ts(i + 1).up != "SELECT"
+          pdepth += 1
+          if (tupleHere) { out += Tok(t.pre, "struct", true); out += Tok("", "(", false) }
+          else out += t
+        case ")" =>
+          pdepth -= 1
+          out += t
+        case _ => out += t
+      }
+      i += 1
+    }
+    out.result()
   }
 
   /** `LIMIT offset, count` (the reference accepts the MySQL comma
@@ -419,6 +475,23 @@ object ChSql {
     if (i >= 0 && i + 2 < ts.length && ts(i + 1).word && ts(i + 2).text == "=")
       (renderTrim(ts.take(i)), parseAssignments(ts.drop(i + 1)))
     else (sql, Nil)
+  }
+
+  /** Trailing `FORMAT <name>` (reference: ParserQueryWithOutput.h
+    * hangs it on every output query) → (sql without it, the name), so
+    * the front door can RENDER the result rows client-side instead of
+    * just stripping the clause. A following SETTINGS tail is kept (it
+    * is extracted separately). */
+  private[functions] def extractFormat(sql: String): (String, Option[String]) = {
+    val ts = tokenize(sql)._1
+    val i = find0(ts, Set("FORMAT"))
+    if (i >= 0 && i + 1 < ts.length && ts(i + 1).word) {
+      val rest = ts.drop(i + 2)
+      if (rest.isEmpty) (renderTrim(ts.take(i)), Some(ts(i + 1).text))
+      else if (rest.head.up == "SETTINGS")
+        (renderTrim(ts.take(i) ++ rest), Some(ts(i + 1).text))
+      else (sql, None)
+    } else (sql, None)
   }
 
   /** `k = v, k2 = v2, …` → pairs (string values unquoted). */

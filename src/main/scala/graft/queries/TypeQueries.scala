@@ -427,6 +427,31 @@ object TypeQueries {
     // the final DOUBLE casts hash-match. y01 carries the data-sized
     // fast path; this key pins the wide path stays correct (its cost
     // relative to y01 is visible in the bench).
+    // Nested(…) (DataTypeNested.cpp, registered DataTypeFactory.cpp:211)
+    // — CH's repeated-event-group idiom. Stored as the reference's own
+    // internal shape, Array(Tuple(names, types)) → ARRAY<STRUCT<…>>;
+    // INSERT uses the flattened parallel-array subcolumn form
+    // (NestedUtils flatten: `ev.name`, `ev.val`), zipped back by
+    // ChInsert; `ARRAY JOIN ev` iterates the groups in lockstep and
+    // `ev.name` resolves to the element field. A group with no events
+    // ([], []) contributes no rows, like the reference.
+    "y09_nested" -> Q(
+      """SELECT id, name, val
+        |FROM (VALUES (1, 'a', 10), (1, 'b', 20), (2, 'c', 30)) AS t(id, name, val)
+        |ORDER BY id, name""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      ChDdl.execute(s,
+        """CREATE TABLE graft_y09 (
+          |  id Int64,
+          |  ev Nested(name String, val Int64)
+          |) ENGINE = MergeTree() ORDER BY (id);
+          |INSERT INTO graft_y09 (id, ev.name, ev.val) VALUES
+          |  (1, ['a', 'b'], [10, 20]), (2, ['c'], [30]), (3, [], []);
+          |SELECT id, ev.name AS name, ev.val AS val
+          |FROM graft_y09 ARRAY JOIN ev ORDER BY id, name""".stripMargin)
+    },
+
     "y08_decimal128" -> Q(
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,

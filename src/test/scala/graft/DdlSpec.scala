@@ -35,6 +35,39 @@ class DdlSpec extends SparkSpec {
     assert(ct.table == "db_t" && ct.orderBy == Seq("e", "k"))
   }
 
+  test("Nested(…) maps to the reference's Array(Tuple) shape; both read idioms work") {
+    GraftFunctions.ensureRegistered(spark)
+    val ct = ChDdl.parse(
+      """CREATE TABLE graft_nested_spec (
+        |  id Int64, ev Nested(name String, val Int64)
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    assert(ct.cols.find(_.name == "ev").get.sparkType ==
+      "ARRAY<STRUCT<name: STRING, val: BIGINT>>")
+    ct.create(spark)
+    // the tuple-value insert form: [('a', 10), ('b', 20)]
+    ChDdl.execute(spark,
+      "INSERT INTO graft_nested_spec VALUES (1, [('a', 10), ('b', 20)]), (2, [('c', 30)])")
+    // unexploded read: ev.name IS the flattened parallel array
+    val arrs = spark.sql("SELECT id, ev.name AS names FROM graft_nested_spec ORDER BY id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(arrs == Seq((1L, Seq("a", "b")), (2L, Seq("c"))), arrs)
+    // the flattened-subcolumn insert form zips back (NestedUtils flatten)
+    ChDdl.execute(spark,
+      "INSERT INTO graft_nested_spec (id, ev.name, ev.val) VALUES (3, ['d', 'e'], [40, 50])")
+    // ARRAY JOIN iterates the group in lockstep, element fields scalar
+    val rows = ChDdl.execute(spark,
+      """SELECT id, ev.name AS n, ev.val AS v
+        |FROM graft_nested_spec ARRAY JOIN ev ORDER BY id, n""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L),
+      (3L, "d", 40L), (3L, "e", 50L)), rows)
+    // subscripts are NOT array literals: ev.val[1] stays a subscript
+    val sub = ChDdl.execute(spark,
+      "SELECT id, ev.val[1] AS first_v FROM graft_nested_spec WHERE id = 3")
+      .as[(Long, Long)].collect().toSeq
+    assert(sub == Seq((3L, 50L)), sub) // Spark subscript is 0-based on arrays
+  }
+
   test("enum encode/decode round-trips names through codes") {
     val ct = ChDdl.parse(
       "CREATE TABLE e (v Enum8('a' = 1, 'b' = 5)) ENGINE = Memory")
@@ -447,6 +480,34 @@ class DdlSpec extends SparkSpec {
     val got = spark.table("graft_mv_big_t").orderBy("k")
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((2L, 20L), (3L, 60L)), got)
+  }
+
+  test("SELECT … FORMAT renders JSONEachRow / CSV / TSV rows; other formats strip") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 'a,x', 1.5), (2, CAST(NULL AS STRING), 2.5) AS t(id, s, v)")
+      .createOrReplaceTempView("graft_fmt_t")
+    val js = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_t ORDER BY id FORMAT JSONEachRow")
+      .as[String].collect().toSeq
+    assert(js == Seq("""{"id":1,"s":"a,x","v":1.5}""", """{"id":2,"s":null,"v":2.5}"""), js)
+    val csv = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_t ORDER BY id FORMAT CSV")
+      .as[String].collect().toSeq
+    assert(csv == Seq("1,\"a,x\",1.5", "2,\\N,2.5"), csv)
+    val tsv = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_t ORDER BY id FORMAT TabSeparated")
+      .as[String].collect().toSeq
+    assert(tsv == Seq("1\ta,x\t1.5", "2\t\\N\t2.5"), tsv)
+    // non-renderable formats keep the old strip behavior: plain rows
+    val plain = ChDdl.execute(spark,
+      "SELECT id FROM graft_fmt_t ORDER BY id FORMAT Pretty")
+      .as[Int].collect().toSeq
+    assert(plain == Seq(1, 2))
+    // FORMAT composes with a trailing SETTINGS clause
+    val withSettings = ChDdl.execute(spark,
+      "SELECT id FROM graft_fmt_t ORDER BY id FORMAT JSONEachRow SETTINGS max_threads = 4")
+      .as[String].collect().toSeq
+    assert(withSettings == Seq("""{"id":1}""", """{"id":2}"""), withSettings)
   }
 
   test("query-scoped SETTINGS bake into the plan and restore the session conf") {
