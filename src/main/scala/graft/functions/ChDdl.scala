@@ -194,6 +194,214 @@ object ChDdl {
   private[functions] def sampleHashColOf(table: String): Option[String] =
     declaredSampleKeys.get(table.toLowerCase)
 
+  // ---------- SHOW CREATE TABLE / DESCRIBE ----------
+  // (reference: src/Parsers/ParserTablePropertiesQuery.h,
+  //  src/Parsers/ParserDescribeTableQuery.h — both answer with the
+  //  table's CLICKHOUSE-dialect shape, not the engine's internal one)
+
+  /** Spark type → CH type name — the inverse of parseType, used when a
+    * table was NOT created through ChDdl (so no declared layout is
+    * stored) and for DESCRIBE of adopted parquet data. Scalars wrap
+    * Nullable(…) per the field's nullability; container types stay
+    * bare (the CH composability rule). */
+  private[functions] def chTypeName(
+      dt: org.apache.spark.sql.types.DataType, nullable: Boolean): String = {
+    import org.apache.spark.sql.types._
+    def base(d: DataType): String = d match {
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case v: VarcharType => s"FixedString(${v.length})"
+      case c: CharType => s"FixedString(${c.length})"
+      case _: StringType => "String"
+      case BinaryType => "String"
+      case BooleanType => "Bool"
+      case DateType => "Date"
+      case TimestampType => "DateTime"
+      case TimestampNTZType => "DateTime64(6)"
+      case dec: DecimalType => s"Decimal(${dec.precision}, ${dec.scale})"
+      case ArrayType(et, en) => s"Array(${chTypeName(et, en)})"
+      case MapType(kt, vt, vn) =>
+        s"Map(${chTypeName(kt, nullable = false)}, ${chTypeName(vt, vn)})"
+      case StructType(fields) =>
+        s"Tuple(${fields.map(f => s"${f.name} ${chTypeName(f.dataType, f.nullable)}")
+          .mkString(", ")})"
+      case other =>
+        throw new IllegalArgumentException(s"no CH type name for Spark type $other")
+    }
+    val b = base(dt)
+    val container = dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
+      dt.isInstanceOf[StructType]
+    if (nullable && !container) s"Nullable($b)" else b
+  }
+
+  /** The CH DDL a stored layout round-trips through — parse(render(ct))
+    * recreates an equivalently-laid-out table. */
+  private def renderCreate(ct: ChCreateTable): String = {
+    val colLines = ct.cols.map(c => s"    `${c.name}` ${
+      if (c.chType.nonEmpty) c.chType else c.sparkType}")
+    val projLines = ct.projections.map { p =>
+      val items = p.keys ++ p.sums.map(c => s"sum($c)") ++
+        p.mins.map(c => s"min($c)") ++ p.maxs.map(c => s"max($c)") ++
+        (if (p.hasCount) Seq("count()") else Nil)
+      s"    PROJECTION ${p.name} (SELECT ${items.mkString(", ")} GROUP BY ${
+        p.keys.mkString(", ")})"
+    }
+    val body = (colLines ++ projLines).mkString(",\n")
+    val tail = Seq(
+      s"ENGINE = ${if (ct.engine.nonEmpty) ct.engine else "MergeTree"}",
+      if (ct.partitionBy.nonEmpty)
+        s"PARTITION BY (${ct.partitionBy.mkString(", ")})" else "",
+      if (ct.orderBy.nonEmpty) s"ORDER BY (${ct.orderBy.mkString(", ")})"
+      else "ORDER BY tuple()",
+      ct.sampleBy.map(e => s"SAMPLE BY $e").getOrElse("")
+    ).filter(_.nonEmpty).mkString("\n")
+    s"CREATE TABLE ${ct.table}\n(\n$body\n)\n$tail"
+  }
+
+  /** SHOW CREATE TABLE t → one row (`statement`) of re-ingestable CH
+    * DDL: the declared layout when t came through ChDdl.create, the
+    * inverse type map over the catalog schema otherwise. */
+  def showCreate(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    val stmt = createdTables.get(table.toLowerCase) match {
+      case Some(ct) => renderCreate(ct)
+      case None =>
+        val schema = spark.table(table).schema
+        val partCols = spark.catalog.listColumns(table).collect()
+          .filter(_.isPartition).map(_.name).toSeq
+        val cols = schema.fields.toSeq
+          .filterNot(_.name == "__sample_hash")
+          .map(f => ChColumn(f.name, f.dataType.sql, None,
+            chTypeName(f.dataType, f.nullable)))
+        renderCreate(ChCreateTable(table, cols, "MergeTree", partCols, Nil, None))
+    }
+    import spark.implicits._
+    Seq(stmt).toDF("statement")
+  }
+
+  /** DESCRIBE [TABLE] t → the reference's 7-column answer with CH type
+    * names (`Nullable(String)`-style), from the declared layout when
+    * one is stored. */
+  def describeCh(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    val rows: Seq[(String, String)] = createdTables.get(table.toLowerCase) match {
+      case Some(ct) => ct.cols.map(c =>
+        c.name -> (if (c.chType.nonEmpty) c.chType else c.sparkType))
+      case None =>
+        spark.table(table).schema.fields.toSeq
+          .filterNot(_.name == "__sample_hash")
+          .map(f => f.name -> chTypeName(f.dataType, f.nullable))
+    }
+    import spark.implicits._
+    rows.toDF("name", "type")
+      .withColumn("default_type", lit(""))
+      .withColumn("default_expression", lit(""))
+      .withColumn("comment", lit(""))
+      .withColumn("codec_expression", lit(""))
+      .withColumn("ttl_expression", lit(""))
+  }
+
+  // ---------- ATTACH / DETACH (ParserCreateQuery.cpp:456,533) ----------
+
+  private final case class Detached(
+      stashDir: String, schemaDdl: String, partCols: Seq[String],
+      layout: Option[ChCreateTable], sampleKey: Option[String])
+
+  private val detachedTables =
+    scala.collection.concurrent.TrieMap[String, Detached]()
+
+  private def warehousePath(spark: SparkSession, name: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+
+  /** DETACH TABLE t: forget the catalog entry, KEEP the data (the
+    * reference detaches the metadata and leaves parts on disk). The
+    * data directory is moved to a `__detached__` stash first so the
+    * managed-table DROP only removes an empty husk; queries against t
+    * fail until ATTACH. */
+  def detach(spark: SparkSession, name: String): Unit = {
+    val schema = spark.table(name).schema // also: fails fast if missing
+    val partCols = spark.catalog.listColumns(name).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $name").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+      .getOrElse(throw new IllegalStateException(s"no Location for $name"))
+    val locPath = new org.apache.hadoop.fs.Path(loc)
+    val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stash = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"__detached__/${name.toLowerCase}")
+    if (fs.exists(stash)) fs.delete(stash, true)
+    fs.mkdirs(stash.getParent)
+    require(fs.exists(locPath), s"table $name has no data directory at $loc")
+    require(fs.rename(locPath, stash), s"could not stash $loc")
+    fs.mkdirs(locPath) // DROP TABLE deletes this empty husk, not the data
+    spark.sql(s"DROP TABLE $name")
+    detachedTables.put(name.toLowerCase, Detached(
+      stash.toString, schema.toDDL, partCols,
+      createdTables.remove(name.toLowerCase),
+      declaredSampleKeys.remove(name.toLowerCase)))
+  }
+
+  /** ATTACH TABLE: the reference's "shortcut for CREATE over already
+    * existing parts". Bare `ATTACH TABLE t` re-registers a previously
+    * DETACHed table (or adopts an existing warehouse directory);
+    * the full-DDL form `ATTACH TABLE t (cols…) ENGINE …` is CREATE
+    * semantics minus the data wipe. Either way the registered table is
+    * EXTERNAL — dropping it again never deletes the adopted data. */
+  def attach(spark: SparkSession, sql: String): Unit = {
+    val ts = tokenize(sql)._1
+    require(ts.length > 2 && ts(0).up == "ATTACH" && ts(1).up == "TABLE",
+      "expected ATTACH TABLE")
+    val hasColumnList = ts.exists(_.text == "(")
+    if (hasColumnList) {
+      // full DDL: parse as CREATE, register over the existing directory
+      val ct = parse("CREATE" + sql.trim.stripPrefix("ATTACH"))
+      val loc = warehousePath(spark, ct.table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a prior DETACH stashed the data away from the husk — restore it
+      detachedTables.remove(ct.table.toLowerCase).foreach { d =>
+        if (fs.exists(loc)) fs.delete(loc, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(d.stashDir), loc),
+          s"could not restore ${d.stashDir}")
+      }
+      require(fs.exists(loc), s"ATTACH ${ct.table}: no data directory at $loc")
+      ct.sampleBy.foreach(_ =>
+        declaredSampleKeys.put(ct.table.toLowerCase, "__sample_hash"))
+      createdTables.put(ct.table.toLowerCase, ct)
+      spark.sql(s"${ct.sparkDdl} LOCATION '$loc'")
+      if (ct.partitionBy.nonEmpty) spark.sql(s"MSCK REPAIR TABLE ${ct.table}")
+    } else {
+      var i = 2
+      if (ts(i).up == "IF") i += 3 // IF NOT EXISTS
+      val name = ts.drop(i).filter(_.word).map(_.text).mkString("_")
+      detachedTables.remove(name.toLowerCase) match {
+        case Some(d) =>
+          val home = warehousePath(spark, name)
+          val fs = home.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(home)) fs.delete(home, true) // the empty husk
+          require(fs.rename(new org.apache.hadoop.fs.Path(d.stashDir), home),
+            s"could not restore ${d.stashDir}")
+          val part =
+            if (d.partCols.isEmpty) ""
+            else s" PARTITIONED BY (${d.partCols.mkString(", ")})"
+          spark.sql(
+            s"CREATE TABLE $name (${d.schemaDdl}) USING PARQUET$part LOCATION '$home'")
+          if (d.partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $name")
+          d.layout.foreach(createdTables.put(name.toLowerCase, _))
+          d.sampleKey.foreach(declaredSampleKeys.put(name.toLowerCase, _))
+        case None =>
+          // adopt an existing warehouse directory (previously-written
+          // parquet with no catalog entry) — schema inferred
+          val loc = warehousePath(spark, name)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(fs.exists(loc), s"ATTACH $name: no data directory at $loc")
+          spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$loc'")
+      }
+    }
+  }
+
   // ---------- mutations (ASTAlterQuery.h) ----------
 
   /** ALTER TABLE t DELETE WHERE p / ALTER TABLE t UPDATE c = e, … WHERE p
@@ -712,8 +920,30 @@ object ChDdl {
         throw new UnsupportedOperationException(
           s"${kw(0)} targets the reference's server/cluster runtime; " +
             "use the platform's own job-kill/maintenance/backup tooling")
-      case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("DESCRIBE", _) |
-           ("DESC", _) | ("USE", _) | ("ALTER", _) =>
+      case ("EXTERNAL", _) =>
+        // EXTERNAL DDL FROM MySQL(…) (ParserExternalDDLQuery.h) is the
+        // reference's MySQL-replication DDL bridge — it rewrites a
+        // foreign dialect into CH DDL for the MaterializeMySQL engine.
+        // There is no replication runtime here; refuse explicitly.
+        throw new UnsupportedOperationException(
+          "EXTERNAL DDL bridges the reference's MySQL replication engine; " +
+            "translate the source DDL and CREATE TABLE directly")
+      case ("DETACH", "TABLE") =>
+        var i = 2
+        if (kw(2) == "IF") i += 2 // IF EXISTS
+        detach(spark, ts.drop(i).filter(_.word).map(_.text).mkString("_"))
+        spark.emptyDataFrame
+      case ("ATTACH", "TABLE") =>
+        attach(spark, sql); spark.emptyDataFrame
+      case ("SHOW", "CREATE") =>
+        // SHOW CREATE TABLE t → re-ingestable CH DDL
+        val skip = if (kw(2) == "TABLE" || kw(2) == "VIEW") 3 else 2
+        showCreate(spark, ts.drop(skip).filter(_.word).map(_.text).mkString("_"))
+      case ("DESCRIBE", _) | ("DESC", _) =>
+        val skip = if (kw(1) == "TABLE") 2 else 1
+        describeCh(spark, ts.drop(skip).filter(_.word).map(_.text).mkString("_"))
+      case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("USE", _) |
+           ("ALTER", _) =>
         spark.sql(sql) // Spark's own DDL grammar covers these forms
       case ("SET", _) if ts.length > 3 && ts(2).text == "=" =>
         // CH SET is session-scoped (ASTSetQuery.h) — mapped names set

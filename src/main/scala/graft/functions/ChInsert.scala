@@ -41,7 +41,14 @@ object ChInsert {
     val table = ts.slice(nameStart, i).filter(_.word).map(_.text).mkString("_")
     require(table.nonEmpty, "INSERT INTO: missing table name")
     val tableSchema = spark.table(table).schema
-    var cols = tableSchema.fieldNames.toSeq
+    // unlisted columns bind in the DECLARED order (the reference's
+    // contract) — NOT the catalog order, which moves partition columns
+    // to the end; the persisted __sample_hash is never bound from
+    // values, it is recomputed below like insertSelect does
+    val layout = ChDdl.createdTables.get(table.toLowerCase)
+    var cols = layout.map(_.cols.map(_.name): Seq[String])
+      .getOrElse(tableSchema.fieldNames.toSeq)
+      .filterNot(_ == "__sample_hash")
     if (i < ts.length && ts(i).text == "(") {
       val close = ChSql.matchParen(ts, i)
       // merge dotted identifiers: `ev.name` is Nested's flattened
@@ -120,7 +127,14 @@ object ChInsert {
       }
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    fullBatch.write.mode("append").insertInto(table)
-    ChMatView.onInsertedBatch(spark, table, fullBatch)
+    // a SAMPLE BY table stores its sampling hash — appended rows get
+    // theirs computed from the full row, same as insertSelect
+    val laid = layout.flatMap(_.sampleHash) match {
+      case Some(h) if tableSchema.fieldNames.contains("__sample_hash") =>
+        fullBatch.withColumn("__sample_hash", h)
+      case _ => fullBatch
+    }
+    laid.write.mode("append").insertInto(table)
+    ChMatView.onInsertedBatch(spark, table, laid)
   }
 }

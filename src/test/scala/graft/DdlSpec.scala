@@ -653,6 +653,84 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE chk_t")
   }
 
+  test("SHOW CREATE TABLE emits CH DDL that ChDdl.parse re-ingests equivalently") {
+    ChDdl.execute(spark,
+      """CREATE TABLE sct_t (
+        |  id UInt64, region Int32, note Nullable(String),
+        |  tags Array(String), ev Nested(name String, val Int64),
+        |  d Decimal(12, 2)
+        |) ENGINE = MergeTree()
+        |PARTITION BY region ORDER BY (id) SAMPLE BY intHash32(id)""".stripMargin)
+    ChDdl.execute(spark,
+      "INSERT INTO sct_t (id, region, note, tags, d) VALUES (1, 10, 'x', ['a'], 1.50)")
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE sct_t").head().getString(0)
+    assert(stmt.contains("`note` Nullable(String)") && stmt.contains("ENGINE = MergeTree")
+      && stmt.contains("`ev` Nested(name String, val Int64)"), stmt)
+    // the round-trip: parse the rendered DDL, re-create under a new name
+    val back = ChDdl.parse(stmt.replaceFirst("CREATE TABLE sct_t", "CREATE TABLE sct_t2"))
+    val orig = ChDdl.parse(stmt)
+    assert(back.cols.map(c => (c.name, c.sparkType)) ==
+      orig.cols.map(c => (c.name, c.sparkType)))
+    assert(back.partitionBy == Seq("region") && back.orderBy == Seq("id")
+      && back.sampleBy.nonEmpty)
+    back.create(spark)
+    back.insertSelect(spark, spark.table("sct_t").drop("__sample_hash"))
+    assert(spark.table("sct_t2").count() == 1)
+    // a table NOT created through ChDdl answers via the inverse type map
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").saveAsTable("sct_plain")
+    val plain = ChDdl.execute(spark, "SHOW CREATE TABLE sct_plain").head().getString(0)
+    assert(plain.contains("`k` Nullable(Int64)") && plain.contains("ORDER BY tuple()"),
+      plain)
+    Seq("sct_t", "sct_t2", "sct_plain").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("DESCRIBE answers with CH type names from the declared layout") {
+    ChDdl.execute(spark,
+      """CREATE TABLE desc_t (
+        |  id UInt64, note Nullable(String), w Enum8('lo' = 1, 'hi' = 2),
+        |  ts DateTime64(3)
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    val d = ChDdl.execute(spark, "DESCRIBE TABLE desc_t")
+    assert(d.columns.take(2).toSeq == Seq("name", "type"))
+    val m = d.select("name", "type").as[(String, String)].collect().toMap
+    assert(m("note") == "Nullable(String)" && m("w") == "Enum8('lo' = 1, 'hi' = 2)"
+      && m("ts") == "DateTime64(3)", m)
+    // DESC shorthand, and the inverse map for a plain table
+    Seq((1, java.sql.Date.valueOf("2024-01-01"))).toDF("k", "d")
+      .write.mode("overwrite").saveAsTable("desc_plain")
+    val p = ChDdl.execute(spark, "DESC desc_plain")
+      .select("name", "type").as[(String, String)].collect().toMap
+    assert(p("k") == "Nullable(Int32)" && p("d") == "Nullable(Date)", p)
+    spark.sql("DROP TABLE desc_t"); spark.sql("DROP TABLE desc_plain")
+  }
+
+  test("DETACH keeps the data; ATTACH restores it; queries fail in between") {
+    ChDdl.execute(spark,
+      """CREATE TABLE det_t (id UInt64, region Int32, v Float64)
+        |ENGINE = MergeTree() PARTITION BY region ORDER BY (id)""".stripMargin)
+    ChDdl.execute(spark,
+      "INSERT INTO det_t VALUES (1, 10, 1.5), (2, 10, 2.5), (3, 20, 3.5)")
+    def contentHash(): String = spark.table("det_t")
+      .select($"id", $"region", $"v").orderBy("id").collect().mkString("|")
+    val before = contentHash()
+    ChDdl.execute(spark, "DETACH TABLE det_t")
+    intercept[Exception] { spark.table("det_t").count() }
+    ChDdl.execute(spark, "ATTACH TABLE det_t")
+    assert(contentHash() == before)
+    assert(spark.table("det_t").where($"region" === 10).count() == 2)
+    // the declared layout survived the detach cycle
+    assert(ChDdl.execute(spark, "SHOW CREATE TABLE det_t").head().getString(0)
+      .contains("PARTITION BY (region)"))
+    // an ATTACHed table is external: DROP leaves the adopted data, and
+    // the full-DDL ATTACH form re-registers over it
+    ChDdl.execute(spark, "DETACH TABLE det_t")
+    ChDdl.execute(spark,
+      """ATTACH TABLE det_t (id UInt64, region Int32, v Float64)
+        |ENGINE = MergeTree() PARTITION BY region ORDER BY (id)""".stripMargin)
+    assert(contentHash() == before)
+    spark.sql("DROP TABLE det_t")
+  }
+
   test("dictGet resolves through the broadcast map with no join in the plan") {
     GraftFunctions.ensureRegistered(spark)
     val t = Tables(spark, sfDir)
