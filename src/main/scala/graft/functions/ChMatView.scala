@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -182,7 +182,7 @@ object ChMatView {
           if baseOf(child).contains(mv.baseTable.toLowerCase) =>
         val keys = groupings.collect { case a: AttributeReference => a.name }
         if (keys.length != groupings.length) return
-        var sums, mins, maxs = Map.empty[String, String]
+        var sums, mins, maxs, counts = Map.empty[String, String]
         var countCol = Option.empty[String]
         aggExprs.foreach {
           case a: AttributeReference if keys.contains(a.name) => ()
@@ -193,12 +193,18 @@ object ChMatView {
               case Min(c: AttributeReference) => mins += c.name -> out
               case Max(c: AttributeReference) => maxs += c.name -> out
               case Count(Seq(Literal(1, _))) => countCol = Some(out)
+              case Count(Seq(c: AttributeReference)) => counts += c.name -> out
+              // an avg column holds PER-BLOCK partial means — never
+              // re-aggregable, so it maps nothing itself; base-table
+              // avg(c) routes through the sum/count pair when the view
+              // also carries sum(c) and count(c) (ProjectionRewrite)
+              case Average(_: AttributeReference, _) => ()
               case _ => return
             }
           case _ => return
         }
         graft.plans.ProjectionCatalog.register(graft.plans.ProjectionCatalog.Proj(
-          mv.baseTable, mv.target, keys, sums, mins, maxs, countCol))
+          mv.baseTable, mv.target, keys, sums, mins, maxs, countCol, counts))
       case _ => ()
     }
   }

@@ -47,7 +47,8 @@ object ProjectionCatalog {
   final case class Proj(
       baseTable: String, projTable: String, keys: Seq[String],
       sums: Map[String, String], mins: Map[String, String],
-      maxs: Map[String, String], countCol: Option[String])
+      maxs: Map[String, String], countCol: Option[String],
+      counts: Map[String, String] = Map.empty)
 
   private[graft] val byBase =
     scala.collection.concurrent.TrieMap[String, Vector[Proj]]()
@@ -118,6 +119,21 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(Max(pa(p.maxs(a.name))).toAggregateExpression())
       case Count(Seq(Literal(1, _))) if p.countCol.nonEmpty =>
         Some(Cast(Sum(pa(p.countCol.get)).toAggregateExpression(), LongType))
+      case Count(Seq(a: AttributeReference)) if p.counts.contains(a.name) =>
+        Some(Cast(Sum(pa(p.counts(a.name))).toAggregateExpression(), LongType))
+      // avg(a) = re-summed sum ÷ re-summed NON-NULL count — exact only
+      // when the summary carries count(a) itself (count(*) would count
+      // a's nulls). Decimal stays un-routed: replicating Average's
+      // decimal precision/scale arithmetic post-analysis is not worth
+      // a last-digit divergence.
+      case Average(a: AttributeReference, _)
+          if p.sums.contains(a.name) && p.counts.contains(a.name) &&
+            !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+        Some(Divide(
+          Cast(Sum(pa(p.sums(a.name))).toAggregateExpression(),
+            org.apache.spark.sql.types.DoubleType),
+          Cast(Sum(pa(p.counts(a.name))).toAggregateExpression(),
+            org.apache.spark.sql.types.DoubleType)))
       case _ => None
     }
 

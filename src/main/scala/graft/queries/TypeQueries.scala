@@ -351,7 +351,9 @@ object TypeQueries {
     "p06_matview" -> Q(
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
-        |  COUNT(*) AS n
+        |  COUNT(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |  COUNT(o_custkey) AS cust_n
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       import graft.functions.{ChDdl, GraftFunctions}
       GraftFunctions.ensureRegistered(s)
@@ -360,18 +362,25 @@ object TypeQueries {
           |  o_orderkey Int64,
           |  o_orderstatus FixedString(1),
           |  o_orderpriority String,
-          |  price Decimal(12, 2)
+          |  price Decimal(12, 2),
+          |  cust Int64
           |) ENGINE = MergeTree() ORDER BY (o_orderkey)""".stripMargin)
+      // the view carries an avg alongside its sum/count pair — the avg
+      // column itself is a per-block partial (never re-aggregated);
+      // base-table avg(cust) routes through sum(cust)/count(cust)
       ChDdl.execute(s,
         """CREATE MATERIALIZED VIEW graft_p06_mv
           |ENGINE = SummingMergeTree() POPULATE AS
           |SELECT o_orderstatus, o_orderpriority,
-          |       sum(price) AS total, count() AS n
+          |       sum(price) AS total, count() AS n,
+          |       sum(cust) AS cust_sum, count(cust) AS cust_n,
+          |       avg(cust) AS cust_avg
           |FROM graft_p06_base
           |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
       Tables(s, dir).orders.select(
           col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
-          col("o_totalprice").cast("decimal(12,2)").as("price"))
+          col("o_totalprice").cast("decimal(12,2)").as("price"),
+          col("o_custkey").as("cust"))
         .createOrReplaceTempView("graft_p06_src")
       // two separate inserted blocks → the MV target accumulates
       // per-block partials, never recomputes
@@ -384,11 +393,18 @@ object TypeQueries {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       assert(routed.queryExecution.optimizedPlan.toString.contains("graft_p06_mv"),
         "base-table aggregate was not auto-routed to the materialized view")
+      // …and so does avg, re-divided from the routed sum/count pair
+      val avgRouted = s.table("graft_p06_base")
+        .groupBy("o_orderstatus").agg(avg(col("cust")).as("ac"))
+      assert(avgRouted.queryExecution.optimizedPlan.toString.contains("graft_p06_mv"),
+        "base-table avg was not auto-routed to the materialized view")
       // querying the MV re-aggregates the partials (how the
       // reference's users read a SummingMergeTree MV)
       ChDdl.execute(s,
         """SELECT o_orderstatus, o_orderpriority,
-          |  CAST(sum(total) AS DOUBLE) AS total, sum(n) AS n
+          |  CAST(sum(total) AS DOUBLE) AS total, sum(n) AS n,
+          |  CAST(sum(cust_sum) AS BIGINT) AS cust_sum,
+          |  CAST(sum(cust_n) AS BIGINT) AS cust_n
           |FROM graft_p06_mv
           |GROUP BY o_orderstatus, o_orderpriority
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)

@@ -115,6 +115,33 @@ class ProjectionSpec extends SparkSpec {
     assert(!byKey.queryExecution.optimizedPlan.toString.contains("__proj_"))
   }
 
+  test("avg on the base routes through the MV's sum/count pair, exactly") {
+    import graft.functions.ChDdl
+    ChDdl.execute(spark,
+      """CREATE TABLE avg_rt (k String, v Int64, w Float64)
+        |ENGINE = MergeTree() ORDER BY (k)""".stripMargin)
+    ChDdl.execute(spark,
+      """CREATE MATERIALIZED VIEW avg_rt_mv ENGINE = SummingMergeTree() POPULATE AS
+        |SELECT k, sum(v) AS sv, count(v) AS nv, avg(v) AS av,
+        |       sum(w) AS sw, count() AS n
+        |FROM avg_rt GROUP BY k""".stripMargin)
+    ChDdl.execute(spark,
+      "INSERT INTO avg_rt VALUES ('a', 1, 0.5), ('a', 2, 1.5), ('b', 10, 2.0)")
+    ChDdl.execute(spark, "INSERT INTO avg_rt VALUES ('a', NULL, 3.0), ('b', 30, 4.0)")
+    val q = spark.table("avg_rt").groupBy("k")
+      .agg(avg(col("v")).as("av"), count(col("v")).as("nv"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("avg_rt_mv"),
+      s"avg/count(col) not routed:\n${q.queryExecution.optimizedPlan}")
+    val got = q.orderBy("k").as[(String, Double, Long)].collect().toSeq
+    // the null v: avg divides by count(v), never count(*)
+    assert(got == Seq(("a", 1.5, 2L), ("b", 20.0, 2L)), got)
+    // avg of a column whose count(col) is NOT in the view must not route
+    val q2 = spark.table("avg_rt").groupBy("k").agg(avg(col("w")).as("aw"))
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("avg_rt_mv"),
+      "avg(w) routed without a non-null count to divide by")
+    Seq("avg_rt", "avg_rt_mv").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("ALTER mutation invalidates the projection routing") {
     ct // force materialization
     ChDdl.alter(spark, "ALTER TABLE graft_proj_spec DELETE WHERE o_orderkey < 0") // no-op delete
