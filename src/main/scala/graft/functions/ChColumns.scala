@@ -64,12 +64,32 @@ object ChColumns {
     }
     def expandable(it: Vector[Tok]): Boolean =
       isMatcher(it) || (it.head.text == "*" && hasTransform(it))
-    if (!items.exists(expandable)) return ts
+    // bare `*` over a ChDdl-created table ALSO expands — to the
+    // DECLARED column order (the reference's SELECT * contract): the
+    // Spark catalog moves partition columns to the end and carries the
+    // internal __sample_hash, neither of which a CH user should see.
+    // Only when FROM is that single relation (a join's * spans both
+    // sides — left alone).
+    def bareStar(it: Vector[Tok]): Boolean = it.length == 1 && it.head.text == "*"
+    val fromTable =
+      if (fromIdx + 1 < ts.length && ts(fromIdx + 1).word) Some(ts(fromIdx + 1).text)
+      else None
+    val declared = fromTable.flatMap(t => ChDdl.createdTables.get(t.toLowerCase))
+    val clauseKws = Set("WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
+      "LIMIT", "SETTINGS", "FORMAT", "SAMPLE", "FINAL", ";")
+    val singleRelation = fromTable.nonEmpty &&
+      (fromIdx + 2 >= ts.length ||
+        (ts(fromIdx + 2).word && clauseKws.contains(ts(fromIdx + 2).up)) ||
+        clauseKws.contains(ts(fromIdx + 2).text))
+    val expandBare = declared.nonEmpty && singleRelation
+    if (!items.exists(expandable) && !(expandBare && items.exists(bareStar)))
+      return ts
 
-    require(fromIdx + 1 < ts.length && ts(fromIdx + 1).word,
+    require(fromTable.nonEmpty,
       "COLUMNS()/APPLY expansion needs a named table or view in FROM")
-    val table = ts(fromIdx + 1).text
-    val fields = spark.table(table).schema.fieldNames.toSeq
+    val table = fromTable.get
+    val fields = declared.map(_.cols.map(_.name): Seq[String]).getOrElse(
+      spark.table(table).schema.fieldNames.toSeq.filterNot(_ == "__sample_hash"))
 
     def expandItem(it: Vector[Tok]): String = {
       // initial selection
@@ -128,7 +148,9 @@ object ChColumns {
     }
 
     val selectList = items
-      .map(it => if (expandable(it)) expandItem(it) else renderTrim(it))
+      .map(it =>
+        if (expandable(it) || (expandBare && bareStar(it))) expandItem(it)
+        else renderTrim(it))
       .mkString(", ")
     ChSql.retok(s"SELECT $selectList ${ChSql.render(ts.drop(fromIdx)).trim}")
   }

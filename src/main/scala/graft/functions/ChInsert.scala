@@ -80,7 +80,11 @@ object ChInsert {
         spark.sql(s"SELECT * FROM VALUES ${render(ChSql.rewriteBrackets(ts.drop(i + 1)))}")
           .toDF(cols: _*)
       case "SELECT" | "WITH" =>
-        spark.sql(ChSql.translate(render(ts.drop(i)))).toDF(cols: _*)
+        // ChColumns first: `INSERT … SELECT * FROM created_table` must
+        // see the DECLARED column order (and never __sample_hash), or
+        // the positional bind below scrambles partitioned sources
+        spark.sql(ChSql.translate(ChColumns.expand(spark, render(ts.drop(i)))))
+          .toDF(cols: _*)
       case "FORMAT" =>
         require(i + 1 < ts.length && ts(i + 1).word, "FORMAT needs a name")
         val fmt = ts(i + 1).up

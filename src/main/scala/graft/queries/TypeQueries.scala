@@ -436,6 +436,63 @@ object TypeQueries {
       ChDdl.execute(s, "SELECT k, name, v FROM graft_p07 ORDER BY k")
     },
 
+    // SHOW CREATE TABLE round-trip (ParserTablePropertiesQuery.h): the
+    // emitted statement is CH DDL the parser re-ingests — re-created
+    // under a new name, repopulated via the front door's `SELECT *`
+    // (declared column order, never the internal __sample_hash), and
+    // the copy's aggregate hash-matches the oracle computed from the
+    // raw rows.
+    "p08_show_create" -> Q(
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      ChDdl.execute(s,
+        """CREATE TABLE graft_p08 (
+          |  n_nationkey Int32, n_name String, n_regionkey Int32
+          |) ENGINE = MergeTree() PARTITION BY n_regionkey ORDER BY (n_nationkey)""".stripMargin)
+      Tables(s, dir).nation.select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("graft_p08_src")
+      ChDdl.execute(s,
+        "INSERT INTO graft_p08 SELECT n_nationkey, n_name, n_regionkey FROM graft_p08_src")
+      val ddl = ChDdl.execute(s, "SHOW CREATE TABLE graft_p08").head().getString(0)
+      ChDdl.execute(s,
+        ddl.replaceFirst("CREATE TABLE graft_p08", "CREATE TABLE graft_p08b"))
+      ChDdl.execute(s, "INSERT INTO graft_p08b SELECT * FROM graft_p08")
+      ChDdl.execute(s,
+        """SELECT n_regionkey, count() AS n,
+          |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+          |FROM graft_p08b GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // ATTACH / DETACH TABLE (ParserCreateQuery.cpp:456,533 — "shortcut
+    // for CREATE over already existing parts"): DETACH forgets the
+    // catalog entry keeping the data, ATTACH re-registers it; the
+    // partitioned content survives the cycle byte-for-byte (the
+    // aggregate hash-matches the oracle from the raw rows).
+    "p09_attach_detach" -> Q(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      ChDdl.execute(s,
+        """CREATE TABLE graft_p09 (c_custkey Int64, c_mktsegment String)
+          |ENGINE = MergeTree() PARTITION BY c_mktsegment ORDER BY (c_custkey)""".stripMargin)
+      Tables(s, dir).customer.select("c_custkey", "c_mktsegment")
+        .createOrReplaceTempView("graft_p09_src")
+      ChDdl.execute(s,
+        "INSERT INTO graft_p09 SELECT c_custkey, c_mktsegment FROM graft_p09_src")
+      ChDdl.execute(s, "DETACH TABLE graft_p09")
+      assert(!s.catalog.tableExists("graft_p09"), "DETACH left the catalog entry")
+      ChDdl.execute(s, "ATTACH TABLE graft_p09")
+      ChDdl.execute(s,
+        """SELECT c_mktsegment, count() AS n,
+          |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+          |FROM graft_p09 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
     // Decimal128 (DataTypeDecimalBase.h — Decimal128(s) ⇒ precision
     // 38): aggregation on the WIDE Int128-backed path. Sums/extremes
     // only (precision-38 products truncate scale differently across

@@ -731,6 +731,31 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE det_t")
   }
 
+  test("front-door SELECT * sees the DECLARED column order, never __sample_hash") {
+    ChDdl.execute(spark,
+      """CREATE TABLE star_t (id UInt64, region Int32, v Float64)
+        |ENGINE = MergeTree() PARTITION BY region ORDER BY (id) SAMPLE BY intHash32(id)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO star_t VALUES (1, 10, 1.5), (2, 20, 2.5)")
+    // catalog order is (id, v, region, __sample_hash); CH contract is
+    // the declared (id, region, v)
+    val df = ChDdl.execute(spark, "SELECT * FROM star_t ORDER BY id")
+    assert(df.columns.toSeq == Seq("id", "region", "v"), df.columns.toSeq)
+    assert(df.as[(Long, Int, Double)].collect().toSeq ==
+      Seq((1L, 10, 1.5), (2L, 20, 2.5)))
+    // INSERT … SELECT * between created tables respects declared order
+    ChDdl.execute(spark,
+      """CREATE TABLE star_t2 (id UInt64, region Int32, v Float64)
+        |ENGINE = MergeTree() PARTITION BY region ORDER BY (id)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO star_t2 SELECT * FROM star_t")
+    assert(ChDdl.execute(spark, "SELECT * FROM star_t2 ORDER BY id")
+      .as[(Long, Int, Double)].collect().toSeq ==
+      Seq((1L, 10, 1.5), (2L, 20, 2.5)))
+    // a join's * is untouched (spans both sides)
+    assert(ChDdl.execute(spark,
+      "SELECT * FROM star_t AS a INNER JOIN star_t2 AS b ON a.id = b.id").count() == 2)
+    Seq("star_t", "star_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("dictGet resolves through the broadcast map with no join in the plan") {
     GraftFunctions.ensureRegistered(spark)
     val t = Tables(spark, sfDir)
