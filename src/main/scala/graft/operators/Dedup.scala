@@ -74,6 +74,31 @@ object Dedup {
       .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
       .distinct()
 
+  /** d10: benchmark decontamination — the training-data hygiene step
+    * that keeps eval suites out of the corpus. A corpus document is
+    * contaminated when it shares at least `minOverlap` DISTINCT word
+    * n-grams with any benchmark document.
+    *
+    * The benchmark side is small by nature (eval suites are MBs
+    * against a 100 TB corpus): its distinct gram set BROADCASTS, so
+    * the corpus pays one scan, a broadcast join on the gram, and one
+    * per-doc count — never a corpus×benchmark pair blowup, and no
+    * shuffle of the corpus text itself (only (id, gram) hits). */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    val bg = bench
+      .select(explode(wordNGrams(col(textCol), n)).as("__g")).distinct()
+    val hits = docs
+      .select(col(idCol), explode(wordNGrams(col(textCol), n)).as("__g"))
+      .join(broadcast(bg), "__g")
+      // grams are distinct within a doc already — count(*) IS the
+      // distinct-overlap count
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
   /** d02: shingle → MinHash → banded LSH near-dup candidates with
     * estimated Jaccard. The signature is over word SHINGLES (3-grams),
     * not unigram tokens — token sets are near-identical across

@@ -66,4 +66,43 @@ object Text {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** t06: repetition signals (the Gopher-rules quality family) — the
+    * per-document fractions a filtering pipeline thresholds on:
+    * duplicate-word fraction, most-frequent-word fraction, duplicate
+    * trigram fraction, plus a combined flag.
+    *
+    * The word histogram is explode → two-level hash aggregate (both
+    * levels keyed by doc, partial-agg friendly — never a per-row
+    * O(len²) array fold); the gram stats are pure column arithmetic
+    * on the same shingle builder d04 uses. One shuffle per branch,
+    * re-joined on the high-cardinality doc id. All fractions are
+    * single divisions of exact ints, rounded to 6 — bit-identical
+    * cross-engine. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val wstats = df
+      .select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(
+        sum("__c").as("n_words"),
+        count(lit(1)).as("__n_distinct"),
+        max("__c").as("__top_c"))
+    val gstats = df.select(col(idCol),
+      size(Dedup.wordNGrams(col(textCol), 3)).as("__n_dg"),
+      greatest(size(Dedup.tokens(col(textCol))) - 2, lit(0)).as("__n_g"))
+    val dupWord =
+      round(lit(1.0) - col("__n_distinct").cast("double") / col("n_words"), 6)
+    val topWord = round(col("__top_c").cast("double") / col("n_words"), 6)
+    val dupGram = when(col("__n_g") > 0,
+      round(lit(1.0) - col("__n_dg").cast("double") / col("__n_g"), 6))
+      .otherwise(lit(0.0))
+    wstats.join(gstats, idCol)
+      .select(col(idCol), col("n_words").cast("long").as("n_words"),
+        dupWord.as("dup_word_frac"), topWord.as("top_word_frac"),
+        dupGram.as("dup_gram_frac"))
+      .withColumn("flagged",
+        col("dup_word_frac") > 0.3 || col("top_word_frac") > 0.2 ||
+          col("dup_gram_frac") > 0.18)
+  }
 }

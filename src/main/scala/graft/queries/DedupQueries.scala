@@ -118,6 +118,35 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination: corpus docs sharing ≥5 distinct
+    // trigrams with ANY benchmark doc (here: the deterministic 1%
+    // doc_id % 97 slice plays the eval suite) are flagged. The
+    // benchmark gram set broadcasts — no corpus×benchmark blowup; the
+    // oracle recomputes the overlap counts exactly.
+    "d10_decontaminate" -> Q(
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hits
+        |  FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) c JOIN bg USING (g)
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |       COALESCE(h.n_hits, 0) >= 5 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text")
+        .select("doc_id", "n_hits", "contaminated")
+        .orderBy("doc_id")
+    },
+
     "d04_ngram_jaccard" -> Q(
       """WITH g AS (
         |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (

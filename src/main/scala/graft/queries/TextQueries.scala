@@ -100,6 +100,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Repetition signals (the Gopher-rules quality family): duplicate
+    // -word fraction, top-word fraction, duplicate-trigram fraction —
+    // the per-doc numbers a filtering pipeline thresholds on. Word
+    // histogram = explode + two-level hash agg; gram stats share d04's
+    // shingle builder; single-division doubles rounded to 6 hash-match
+    // the oracle exactly.
+    "t06_repetition" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |wstat AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |         COUNT(*) AS n_distinct, MAX(c) AS top_c
+        |  FROM (SELECT doc_id, wrd, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(ws) AS wrd FROM t)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |gstat AS (
+        |  SELECT doc_id,
+        |    len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS n_dg,
+        |    greatest(len(w) - 2, 0) AS n_g
+        |  FROM t)
+        |SELECT w.doc_id AS doc_id, n_words,
+        |  ROUND(1 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+        |  ROUND(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac,
+        |  CASE WHEN n_g > 0
+        |       THEN ROUND(1 - CAST(n_dg AS DOUBLE) / n_g, 6)
+        |       ELSE 0.0 END AS dup_gram_frac,
+        |  (ROUND(1 - CAST(n_distinct AS DOUBLE) / n_words, 6) > 0.3
+        |   OR ROUND(CAST(top_c AS DOUBLE) / n_words, 6) > 0.2
+        |   OR CASE WHEN n_g > 0
+        |           THEN ROUND(1 - CAST(n_dg AS DOUBLE) / n_g, 6)
+        |           ELSE 0.0 END > 0.18) AS flagged
+        |FROM wstat w JOIN gstat g ON w.doc_id = g.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Text.repetitionSignals(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "t04_fingerprint" -> Q(
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
