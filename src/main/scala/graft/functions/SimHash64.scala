@@ -134,6 +134,31 @@ object GraftFunctions {
       },
       d("cosine_sim", classOf[CosineSim]) {
         case Seq(a, b) => CosineSim(a, b)
+      },
+      // Spark's own Bloom sketch (the one its runtime filters use),
+      // surfaced as callable functions for Dedup.incremental: a
+      // fixed-size corpus-membership sketch that builds with map-side
+      // partial aggregation (merges are bitwise OR) and probes at
+      // scan speed. bloom_agg(long-key[, expected-items-literal]) →
+      // binary; bloom_contains(sketch, long-key) → boolean with NO
+      // false negatives, so a miss is definitively "never seen".
+      {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        d("bloom_agg", classOf[BloomFilterAggregate]) {
+          case Seq(child) => new BloomFilterAggregate(child)
+          case Seq(child, Literal(n: Long, _)) =>
+            new BloomFilterAggregate(child, n)
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg(key[, expected-items-literal]) expected, got ${other.mkString(", ")}")
+        }
+      },
+      {
+        import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+        d("bloom_contains", classOf[BloomFilterMightContain]) {
+          case Seq(bf, v) => BloomFilterMightContain(bf, v)
+          case other => throw new IllegalArgumentException(
+            s"bloom_contains(sketch, key) expected, got ${other.mkString(", ")}")
+        }
       }
     ) ++ ChDialect.descriptors ++ ChCombinators.descriptors
   }

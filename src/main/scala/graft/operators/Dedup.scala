@@ -26,6 +26,92 @@ object Dedup {
       .withColumnRenamed("__digest", "digest")
   }
 
+  /** d11: incremental (cross-run) dedup — drop batch docs whose
+    * normalized fingerprint (Text.fingerprint: lowercase, whitespace
+    * collapsed) already exists in `corpus`; the "have we trained on
+    * this before" gate that runs on every new crawl drop.
+    *
+    * Scale shape (corpus = the 100 TB side, batch = the new drop):
+    *  1. ONE corpus scan folds every fingerprint into a fixed-size
+    *     Bloom sketch (`bloom_agg`, Spark's BloomFilterAggregate —
+    *     partial-agg friendly, so only merged sketch bytes cross the
+    *     wire and reach the driver, never rows);
+    *  2. the sketch broadcasts as a literal into a map-side
+    *     `bloom_contains` prefilter over the batch — no false
+    *     negatives, so every non-candidate is definitively new and
+    *     never shuffles;
+    *  3. only the (tiny) candidate fingerprint set is verified
+    *     exactly — a broadcast semi-join against the corpus clears
+    *     Bloom false positives — then anti-joined back into the
+    *     batch. Output is exact, bit-equal to a plain NOT IN.
+    * In a standing pipeline the step-1 sketch is computed once per
+    * corpus version and reused across drops; `expectedItems` sizes
+    * the sketch to the corpus cardinality. */
+  def incremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long = 1L << 20): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val key = xxhash64(Text.fingerprint(col(textCol)))
+    val sketch = corpus.select(key.as("__k"))
+      .agg(call_function("bloom_agg", col("__k"), lit(expectedItems)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val candFps = batch
+      .filter(call_function("bloom_contains", lit(sketch), key))
+      .select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
+    // semi-join FROM the corpus side so the broadcast lands on the
+    // small candidate set and the corpus never shuffles
+    val confirmed = corpus.select(Text.fingerprint(col(textCol)).as("__fp"))
+      .join(broadcast(candFps), Seq("__fp"), "left_semi").distinct()
+    batch.withColumn("__fp", Text.fingerprint(col(textCol)))
+      .join(broadcast(confirmed), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** d12: duplicate clustering — connected components over a
+    * near-dup pair list (id1, id2), the step that turns pairwise
+    * matches into keep/drop groups (transitive closure: if A~B and
+    * B~C, all three are one duplicate group even when A~C was never
+    * emitted). cluster_id = the minimum doc id in the component, so
+    * the "keep the lowest id" rule reads straight off the output.
+    *
+    * Pregel-style min-label propagation on DataFrames: each round
+    * every node takes the min of its own label and its neighbors'
+    * labels (one shuffle per round — an edges⋈labels join plus a
+    * min-groupBy). Rounds needed = component diameter, and near-dup
+    * components are short chains (label floods from the min node), so
+    * convergence is a handful of rounds regardless of corpus size —
+    * the same schedule GraphX's ConnectedComponents runs. The
+    * driver-side loop iterates O(diameter) times, never over rows;
+    * the early-exit probe per round is an isEmpty, not a collect. */
+  def dupClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+      maxIters: Int = 20): DataFrame = {
+    val e = pairs.select(col(id1).as("a"), col(id2).as("b"))
+    val edges = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("node"))
+      .distinct().withColumn("label", col("node")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = edges
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      converged = next
+        .join(labels.withColumnRenamed("label", "__old"), "node")
+        .filter(col("label") < col("__old"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxIters rounds " +
+      "— component diameter exceeds the bound; raise maxIters")
+    edges.unpersist()
+    labels.select(col("node").as(id1), col("label").as("cluster_id"))
+  }
+
   /** Raw whitespace token array — kept IDENTICAL to DuckDB's
     * string_split so oracles can mirror it (empties included). */
   def tokens(text: Column): Column = split(text, " ", -1)

@@ -67,6 +67,33 @@ object Text {
     trim(regexp_replace(lower(text), "\\s+", " "))
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** t07: PII scrubbing — the redaction pass a curation pipeline runs
+    * before anything reaches training (emails, IPv4 addresses,
+    * international phone numbers). The patterns are deliberately
+    * engine-portable: the same regex text means the same thing under
+    * Java regex (Spark, codegen'd) and RE2 (DuckDB), so both the hit
+    * counts AND the redacted bytes cross-verify exactly. Pure regexp
+    * column arithmetic — scan speed, no shuffle, no UDF. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d{10,14}"
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)),
+    "n_ipv4"   -> regexp_count(text, lit(ipv4Re)),
+    "n_phones" -> regexp_count(text, lit(phoneRe)))
+
+  /** Redaction order matters: emails first (their hosts contain the
+    * dotted substrings the IPv4 pattern hunts), then IPv4, then
+    * phone numbers. The replacement tags carry no digits or '@', so
+    * later passes never re-match earlier redactions. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]"),
+      phoneRe, "[PHONE]")
+
   /** t06: repetition signals (the Gopher-rules quality family) — the
     * per-document fractions a filtering pipeline thresholds on:
     * duplicate-word fraction, most-frequent-word fraction, duplicate

@@ -147,6 +147,75 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental (cross-run) dedup: the batch is every corpus doc
+    // re-keyed and re-formatted (upper-cased, padded — the normalized
+    // fingerprint survives both), while the standing corpus holds only
+    // the doc_id % 5 <> 0 slice. The operator must drop the 4/5 of
+    // the batch the corpus has already seen and keep the genuinely
+    // new 1/5. Bloom prefilter + exact verify ⇒ output identical to
+    // the oracle's plain NOT IN.
+    "d11_incremental_dedup" -> Q(
+      """WITH corpus AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |b AS (
+        |  SELECT doc_id + 1000000 AS doc_id, source,
+        |         '  ' || upper(text) || '  ' AS text
+        |  FROM documents),
+        |bf AS (
+        |  SELECT doc_id, source,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM b)
+        |SELECT doc_id, source FROM bf
+        |WHERE fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        col("source"), concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+      Dedup.incremental(corpus, batch, "doc_id", "text")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // Duplicate clustering: connected components over d04's near-dup
+    // pairs — transitive closure turns pairwise matches into keep/drop
+    // groups (cluster_id = min doc id of the component). The oracle
+    // recomputes the same pairs, then closes them with a recursive
+    // CTE; Spark runs Pregel-style min-label propagation.
+    "d12_dup_clusters" -> Q(
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (
+        |    SELECT doc_id, lang,
+        |      list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS gs
+        |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))),
+        |gf AS (
+        |  SELECT doc_id, lang, sz, g FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY lang, g) AS df FROM g)
+        |  WHERE df <= 1000),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+        |         MIN(a.sz) AS sa, MIN(b.sz) AS sb
+        |  FROM gf a JOIN gf b
+        |    ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT id1, id2 FROM p
+        |  WHERE CAST(inter AS DOUBLE)/(sa + sb - inter) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pr
+        |  UNION SELECT id2, id1 FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.ngramJaccard(Tables(s, dir).documents,
+        "doc_id", "text", "lang", n = 3, minJaccard = 0.5, maxGramDf = 1000)
+      Dedup.dupClusters(pairs)
+        .select(col("id1").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     "d04_ngram_jaccard" -> Q(
       """WITH g AS (
         |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (

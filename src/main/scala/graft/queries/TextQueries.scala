@@ -100,6 +100,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // PII scrubbing: the synthetic corpus carries no real PII, so the
+    // key derives a deterministic contact block (email, phone, IPv4)
+    // from existing columns — mirrored VERBATIM in the oracle — and
+    // runs the real operator over it: regexp hit counts plus the
+    // md5 of the redacted text, so the exact redacted bytes are
+    // pinned cross-engine, not just the counts.
+    "t07_pii" -> Q(
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    source || '.user' || CAST(doc_id AS VARCHAR) || '@example.com +1' ||
+        |    lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 10, '0') || ' 10.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+        |    '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || ' ' || text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(t, '\+\d{10,14}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\+\d{10,14}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pii = concat(col("source"), lit(".user"), col("doc_id").cast("string"),
+        lit("@example.com +1"),
+        lpad(((col("doc_id") * 7919) % 10000000).cast("string"), 10, "0"),
+        lit(" 10."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+        ((col("doc_id") * 13) % 256).cast("string"), lit(" "), col("text"))
+      Tables(s, dir).documents.withColumn("__t", pii)
+        .select(Seq(col("doc_id")) ++
+          Text.piiCounts(col("__t")).map { case (n, c) => c.as(n) } :+
+          md5(Text.piiRedact(col("__t"))).as("redacted_md5"): _*)
+        .orderBy("doc_id")
+    },
+
     // Repetition signals (the Gopher-rules quality family): duplicate
     // -word fraction, top-word fraction, duplicate-trigram fraction —
     // the per-doc numbers a filtering pipeline thresholds on. Word

@@ -81,6 +81,53 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 100L), (1L, 101L), (2L, 102L)))
   }
 
+  test("incremental dedup drops known fingerprints exactly, keeps new docs") {
+    // corpus = docs 0..19; batch = re-formatted copies of 0..4 (same
+    // normalized fingerprint: case + padding changes only) plus 3
+    // genuinely new docs
+    val batch = ((0 until 5).map(i =>
+        (200L + i, "  " + corpus.where(col("doc_id") === i)
+          .select("text").as[String].head.toUpperCase + "  ")) ++
+      (0 until 3).map(i => (300L + i, s"brand new document $i")))
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(corpus, batch, "doc_id", "text")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(300L, 301L, 302L), s"got $ids")
+    // the plan must carry the map-side Bloom prefilter: candidates are
+    // pruned BEFORE any join, so definitively-new batch rows never
+    // shuffle. Asserted on the analyzed plan — over this in-memory
+    // batch ConvertToLocalRelation folds the filter into the
+    // LocalTableScan (i.e. it already ran); over a file source it
+    // stays a scan-side Filter.
+    val plan = out.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), // BloomFilterMightContain.prettyName
+      s"expected a bloom_contains prefilter in:\n$plan")
+  }
+
+  test("incremental dedup keeps Bloom false positives via the exact verify join") {
+    // a 64-bit sketch sized for 2 items over a 200-doc corpus forces
+    // real false positives; the verify join must clear every one —
+    // output must equal the plain exact anti-join regardless
+    val bigCorpus = (0 until 200).map(i => (i.toLong, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    val batch = (0 until 200).map(i => (1000L + i, s"batch doc number $i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(bigCorpus, batch, "doc_id", "text",
+      expectedItems = 2L)
+    assert(out.count() == 200, "no batch doc is truly in the corpus")
+  }
+
+  test("dupClusters closes transitive chains with min-id labels") {
+    // 1-2-3-4 is a CHAIN (no direct 1~3 / 1~4 pair): only transitive
+    // closure puts all four in one group; two disjoint components
+    // must keep their own labels
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
+  }
+
   test("d02/d03 on the real documents table recover its planted near-dups") {
     val docs = Tables(spark, sfDir).documents
     val mh = Dedup.minHashLsh(docs, "doc_id", "text", minEstJaccard = 0.5)
