@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 // scratch micro-bench, not shipped
@@ -13,35 +14,38 @@ object ZPerf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val li = graft.sources.Tables(spark, "/root/testdata/sf0.1").lineitem
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.1")
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(s"ZPERF $tag ${(System.nanoTime() - t0) / 1e9}")
     }
-    def direct() = li.groupBy("l_returnflag")
-      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("median_price"))
-      .orderBy("l_returnflag")
-    def hist() = {
-      val hq = li.groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("f"))
-        .groupBy("l_returnflag")
-        .agg(percentile(col("l_quantity"), lit(0.5), col("f")).as("median_qty"),
-          percentile(col("l_quantity"), lit(0.9), col("f")).as("p90_qty"))
-      val hp = li.groupBy("l_returnflag", "l_extendedprice").agg(count(lit(1)).as("f"))
-        .groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"), lit(0.5), col("f")).as("median_price"))
-      hq.join(hp, "l_returnflag").orderBy("l_returnflag")
+    def viaWindow() = {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
+      val anyLi = t.lineitem.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("l_orderkey", "l_linenumber", "l_quantity")
+      t.orders.join(anyLi, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
+        .orderBy("o_orderkey")
     }
-    // warmup both
-    direct().collect(); hist().collect()
+    def viaMinStruct() = {
+      val anyLi = t.lineitem.groupBy("l_orderkey")
+        .agg(min(struct(col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))).as("__m"))
+        .select(col("l_orderkey"), col("__m.l_linenumber").as("l_linenumber"),
+          col("__m.l_quantity").as("l_quantity"))
+      t.orders.join(anyLi, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
+        .orderBy("o_orderkey")
+    }
+    viaWindow().collect(); viaMinStruct().collect() // warmup
     (1 to 3).foreach { _ =>
-      time("direct") { direct().write.format("noop").mode("overwrite").save() }
-      time("hist") { hist().write.format("noop").mode("overwrite").save() }
+      time("window") { viaWindow().write.format("noop").mode("overwrite").save() }
+      time("minstruct") { viaMinStruct().write.format("noop").mode("overwrite").save() }
     }
-    println("EQUAL " + (direct().collect().toSeq == hist()
-      .select("l_returnflag", "median_qty", "p90_qty", "median_price")
-      .collect().toSeq))
+    println("EQUAL " + (viaWindow().collect().toSeq == viaMinStruct().collect().toSeq))
+    println("== minstruct plan ==")
+    viaMinStruct().explain("formatted")
     spark.stop()
   }
 }

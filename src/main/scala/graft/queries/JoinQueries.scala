@@ -120,11 +120,16 @@ object JoinQueries {
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
       // l_linenumber alone is not unique in the synthetic data — the
-      // extra keys make "first row per key" a total order.
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
-      val anyLi = t.lineitem.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("l_orderkey", "l_linenumber", "l_quantity")
+      // extra keys make "first row per key" a total order. "First row"
+      // = lexicographic min(struct(order keys)): an AGGREGATE, not a
+      // row_number window, so the partial agg collapses each key's
+      // rows map-side before the shuffle — the window plan would
+      // shuffle every lineitem row to sort it.
+      val anyLi = t.lineitem.groupBy("l_orderkey")
+        .agg(min(struct(col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))).as("__m"))
+        .select(col("l_orderkey"), col("__m.l_linenumber").as("l_linenumber"),
+          col("__m.l_quantity").as("l_quantity"))
       t.orders.join(anyLi, col("o_orderkey") === col("l_orderkey"))
         .select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
         .orderBy("o_orderkey")
