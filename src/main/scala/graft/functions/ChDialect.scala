@@ -237,6 +237,27 @@ object ChDialect {
     "arrayJoin"     -> builtin("explode"),
     "arrayStringConcat" -> builtin("array_join"),
 
+    // ---- IPv4 domain (DataTypeCustomIPv4AndIPv6.cpp — IPv4 is a
+    // UInt32 with dotted-quad presentation; our DDL maps the TYPE to
+    // STRING, these are the conversions between the two renderings) ----
+    "IPv4NumToString" -> { es =>
+      val n = Cast(es.head, LongType)
+      def oct(shift: Int): Expression =
+        Cast(BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), StringType)
+      builtin("concat_ws")(Seq(Literal("."), oct(24), oct(16), oct(8), oct(0)))
+    },
+    "IPv4StringToNum" -> { es =>
+      val parts = builtin("split")(Seq(es.head, Literal("\\.")))
+      def oct(i: Int, mult: Long): Expression =
+        Multiply(Cast(builtin("element_at")(Seq(parts, Literal(i))), LongType),
+          Literal(mult))
+      Add(Add(oct(1, 16777216L), oct(2, 65536L)), Add(oct(3, 256L), oct(4, 1L)))
+    },
+    "isIPv4String" -> { es =>
+      RLike(es.head,
+        Literal("^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$"))
+    },
+
     // ---- aggregates ----
     "countIf"   -> builtin("count_if"),
     "sumIf"     -> { es => builtin("sum")(Seq(If(es(1), es(0), Literal(null)))) },

@@ -338,6 +338,30 @@ object DialectQueries {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // IPv4 domain conversions (DataTypeCustomIPv4AndIPv6.cpp — IPv4
+    // is a UInt32 with dotted-quad presentation): the corpus has no IP
+    // column, so a deterministic UInt32 derives from doc_id (mirrored
+    // in the oracle); rendering, parsing roundtrip, and validation all
+    // pinned. Shift-and-mask arithmetic — pure codegen, no UDF.
+    "c20_ch_ipv4" -> Q(
+      """SELECT doc_id,
+        |  CAST((n // 16777216) % 256 AS VARCHAR) || '.' ||
+        |  CAST((n // 65536) % 256 AS VARCHAR) || '.' ||
+        |  CAST((n // 256) % 256 AS VARCHAR) || '.' ||
+        |  CAST(n % 256 AS VARCHAR) AS ip,
+        |  n AS back, TRUE AS valid
+        |FROM (SELECT doc_id,
+        |        (doc_id * 2654435761) % 4294967296 AS n FROM documents)
+        |ORDER BY doc_id""".stripMargin)(
+      chSql(Seq("documents"),
+        """SELECT doc_id,
+          |  IPv4NumToString(modulo(doc_id * 2654435761, 4294967296)) AS ip,
+          |  IPv4StringToNum(
+          |    IPv4NumToString(modulo(doc_id * 2654435761, 4294967296))) AS back,
+          |  isIPv4String(
+          |    IPv4NumToString(modulo(doc_id * 2654435761, 4294967296))) AS valid
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Aggregate-combinator names (AggregateFunctionCombinatorFactory
     // in ClickHouse; the reference resolves suffix chains off the base
     // name): -Distinct, -Array, -If, -OrNull and their stacks, all as
