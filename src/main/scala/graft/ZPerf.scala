@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 // scratch micro-bench, not shipped
@@ -15,37 +14,34 @@ object ZPerf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.1")
+    val docs = t.documents
+    println("DOCS " + docs.count())
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(s"ZPERF $tag ${(System.nanoTime() - t0) / 1e9}")
     }
-    def viaWindow() = {
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
-      val anyLi = t.lineitem.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("l_orderkey", "l_linenumber", "l_quantity")
-      t.orders.join(anyLi, col("o_orderkey") === col("l_orderkey"))
-        .select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
-        .orderBy("o_orderkey")
+    import graft.operators.{Curate, Dedup, Text}
+    // warmup
+    Curate.funnel(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
+    (1 to 2).foreach { _ =>
+      time("full_funnel") {
+        Curate.funnel(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
+      }
+      time("scored_exact_only") {
+        val scores = Text.langScores(col("text"))
+        docs.select(col("doc_id"), col("text"),
+            Text.predictedLang(scores).as("predicted"),
+            Text.qualityScore(col("text")).as("quality"),
+            Text.wsTokenCount(col("text")).as("n_tokens"),
+            Text.fingerprint(col("text")).as("__fp"))
+          .filter(col("predicted") === "en" && col("quality") >= 0.45)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("d04_alone") {
+        Dedup.ngramJaccard(docs, "doc_id", "text", "lang", 3, 0.5, 1000)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
-    def viaMinStruct() = {
-      val anyLi = t.lineitem.groupBy("l_orderkey")
-        .agg(min(struct(col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"))).as("__m"))
-        .select(col("l_orderkey"), col("__m.l_linenumber").as("l_linenumber"),
-          col("__m.l_quantity").as("l_quantity"))
-      t.orders.join(anyLi, col("o_orderkey") === col("l_orderkey"))
-        .select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
-        .orderBy("o_orderkey")
-    }
-    viaWindow().collect(); viaMinStruct().collect() // warmup
-    (1 to 3).foreach { _ =>
-      time("window") { viaWindow().write.format("noop").mode("overwrite").save() }
-      time("minstruct") { viaMinStruct().write.format("noop").mode("overwrite").save() }
-    }
-    println("EQUAL " + (viaWindow().collect().toSeq == viaMinStruct().collect().toSeq))
-    println("== minstruct plan ==")
-    viaMinStruct().explain("formatted")
     spark.stop()
   }
 }

@@ -45,6 +45,33 @@ object Curate {
       .select(col(idCol), col("predicted"), col("quality"), col("n_tokens"))
   }
 
+  /** The end-to-end pretraining corpus build — what everything in
+    * this package composes into: curation funnel (lang-ID → quality →
+    * exact dedup → near-dup removal) over the non-benchmark corpus,
+    * benchmark decontamination of the survivors, then the
+    * deterministic stratified mixing sample. Every stage is the same
+    * audited building block its standalone key uses, so the scale
+    * posture (one-scan signals, bounded joins, broadcast drop lists,
+    * salted two-phase sampling) is inherited, and the whole output is
+    * DuckDB-oracle-able end to end. */
+  def pretrain(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, isBench: Column, caps: Map[String, Int],
+      defaultCap: Int, minOverlap: Int = 5): DataFrame = {
+    val corpus = docs.filter(!isBench)
+    val bench = docs.filter(isBench)
+    val kept = funnel(corpus, idCol, textCol)
+    // re-attach text + stratum for decontamination and mixing (the
+    // funnel deliberately drops text from its output)
+    val keptDocs = docs
+      .select(col(idCol), col(strataCol), col(textCol))
+      .join(kept, Seq(idCol))
+    val clean = Dedup.decontaminate(keptDocs, bench, idCol, textCol,
+        minOverlap = minOverlap)
+      .filter(!col("contaminated"))
+      .drop(textCol, "n_hits", "contaminated")
+    mixSample(clean, idCol, strataCol, caps, defaultCap)
+  }
+
   /** Deterministic stratified sampling for corpus mixing: keep the
     * first `cap(stratum)` documents of each stratum in id-HASH order —
     * an unbiased, seedless, engine-portable pick (md5 of the id

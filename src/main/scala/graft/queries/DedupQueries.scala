@@ -178,6 +178,90 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // The end-to-end pretraining corpus build: curation funnel over
+    // the non-benchmark corpus (d09's exact arithmetic), benchmark
+    // decontamination of the survivors (d10's), stratified mixing
+    // sample (t05's) — one composed plan, oracled end to end.
+    "d13_pretrain_e2e" -> Q(
+      s"""WITH s0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |s1 AS (
+        |  SELECT doc_id, text, ws,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("de")}))) AS s_de,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("en")}))) AS s_en,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("es")}))) AS s_es,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("fr")}))) AS s_fr,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("zh")}))) AS s_zh
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |         WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS predicted,
+        |    ROUND(least(len(ws) / 100.0, 1.0) * 0.3
+        |      + (len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("en")})))
+        |         / CAST(len(ws) AS DOUBLE)) * 0.4
+        |      + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+        |               / CAST(length(text) AS DOUBLE)) * 0.3, 6) AS quality,
+        |    len(ws) AS n_tokens,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM s1),
+        |kept AS (SELECT * FROM s2 WHERE predicted = 'en' AND quality >= 0.45),
+        |ex AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |g AS (
+        |  SELECT doc_id, len(gs) AS sz, unnest(gs) AS g FROM (
+        |    SELECT doc_id,
+        |      list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS gs
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ex))),
+        |gf AS (
+        |  SELECT doc_id, sz, g FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY g) AS df FROM g)
+        |  WHERE df <= 1000),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+        |         MIN(a.sz) AS sa, MIN(b.sz) AS sb
+        |  FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropd AS (SELECT DISTINCT id2 FROM p
+        |  WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5),
+        |surv AS (SELECT doc_id, predicted, quality, n_tokens FROM ex
+        |  WHERE doc_id NOT IN (SELECT id2 FROM dropd)),
+        |sg AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id IN (SELECT doc_id FROM surv))),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hits FROM sg JOIN bg USING (g) GROUP BY 1),
+        |clean AS (
+        |  SELECT s.doc_id, d.source, s.predicted, s.quality, s.n_tokens
+        |  FROM surv s JOIN documents d USING (doc_id)
+        |  LEFT JOIN hits h USING (doc_id)
+        |  WHERE COALESCE(h.n_hits, 0) < 5)
+        |SELECT doc_id, source, predicted, quality, n_tokens, pick FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |  FROM clean)
+        |WHERE pick <= CASE WHEN source IN ('src0', 'src1', 'src2') THEN 12
+        |                   WHEN source = 'src3' THEN 0 ELSE 5 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curate.pretrain(Tables(s, dir).documents,
+          "doc_id", "text", "source", isBench = col("doc_id") % 97 === 0,
+          caps = Map("src0" -> 12, "src1" -> 12, "src2" -> 12, "src3" -> 0),
+          defaultCap = 5)
+        .select("doc_id", "source", "predicted", "quality", "n_tokens", "pick")
+        .orderBy("doc_id")
+    },
+
     // Duplicate clustering: connected components over d04's near-dup
     // pairs — transitive closure turns pairwise matches into keep/drop
     // groups (cluster_id = min doc id of the component). The oracle
