@@ -13,34 +13,24 @@ object ZPerf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t = graft.sources.Tables(spark, "/root/testdata/sf0.1")
-    val docs = t.documents
-    println("DOCS " + docs.count())
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.1").documents
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(s"ZPERF $tag ${(System.nanoTime() - t0) / 1e9}")
     }
-    import graft.operators.{Curate, Dedup, Text}
-    // warmup
-    Curate.funnel(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
-    (1 to 2).foreach { _ =>
-      time("full_funnel") {
-        Curate.funnel(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
-      }
-      time("scored_exact_only") {
-        val scores = Text.langScores(col("text"))
-        docs.select(col("doc_id"), col("text"),
-            Text.predictedLang(scores).as("predicted"),
-            Text.qualityScore(col("text")).as("quality"),
-            Text.wsTokenCount(col("text")).as("n_tokens"),
-            Text.fingerprint(col("text")).as("__fp"))
-          .filter(col("predicted") === "en" && col("quality") >= 0.45)
-          .write.format("noop").mode("overwrite").save()
-      }
-      time("d04_alone") {
-        Dedup.ngramJaccard(docs, "doc_id", "text", "lang", 3, 0.5, 1000)
-          .write.format("noop").mode("overwrite").save()
-      }
+    import graft.operators.Dedup
+    def run(items: Long): Unit = {
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        col("source"), concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+      Dedup.incremental(corpus, batch, "doc_id", "text", expectedItems = items)
+        .select("doc_id", "source").orderBy("doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    run(1L << 20); run(1L << 16) // warmup both
+    (1 to 3).foreach { _ =>
+      time("bloom_1M") { run(1L << 20) }
+      time("bloom_64K") { run(1L << 16) }
     }
     spark.stop()
   }

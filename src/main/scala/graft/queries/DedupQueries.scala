@@ -173,7 +173,13 @@ object DedupQueries {
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
         col("source"), concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
-      Dedup.incremental(corpus, batch, "doc_id", "text")
+      // sketch sized to the corpus cardinality (the bloom literal is
+      // embedded in every task's plan — a 1M-item default costs ~1 MB
+      // per plan ship where ~64 KB covers this corpus; oversizing only
+      // wastes bytes, undersizing only raises the FP rate the exact
+      // verify join clears anyway)
+      Dedup.incremental(corpus, batch, "doc_id", "text",
+          expectedItems = 1L << 16)
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
