@@ -94,4 +94,44 @@ class PropertySpec extends SparkSpec {
       assert(graft.functions.ChSql.translate(q) == q, q)
     }
   }
+
+  test("piiRedact is idempotent and leaves no matchable PII behind") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Text
+    val wordGen = Gen.oneOf("alpha", "beta", "x1", "2.5", "a@b", "+12", "末")
+    val piiGen = Gen.oneOf(
+      Gen.const("bob.smith+x@mail-host.example.org"),
+      Gen.const("10.42.0.255"),
+      Gen.const("+14155550123"))
+    val docGen = Gen.listOfN(14, Gen.frequency(4 -> wordGen, 1 -> piiGen))
+      .map(_.mkString(" "))
+    val docs = (0 until 60).map(i => (i.toLong, sample(docGen, 5000 + i)))
+      .toDF("id", "t")
+    val out = docs.select(
+        Text.piiRedact(col("t")).as("once"),
+        Text.piiRedact(Text.piiRedact(col("t"))).as("twice"),
+        Text.piiCounts(Text.piiRedact(col("t")))
+          .map(_._2).reduce(_ + _).as("left_over"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "redaction must be idempotent")
+      assert(r.getInt(2) == 0, s"redacted text still matches PII: ${r.getString(0)}")
+    }
+  }
+
+  test("IPv4NumToString/IPv4StringToNum roundtrip on random UInt32s") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val ns = (0 until 200).map(i =>
+      sample(Gen.chooseNum(0L, 4294967295L), 7000 + i))
+    val got = ns.toDF("n").createOrReplaceTempView("zprop_ips")
+    val back = spark.sql(
+      """SELECT n, IPv4StringToNum(IPv4NumToString(n)) AS back,
+        |       isIPv4String(IPv4NumToString(n)) AS ok
+        |FROM zprop_ips""".stripMargin).collect()
+    back.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"roundtrip broke for ${r.getLong(0)}")
+      assert(r.getBoolean(2))
+    }
+  }
 }
