@@ -237,6 +237,54 @@ object ChDialect {
     "arrayJoin"     -> builtin("explode"),
     "arrayStringConcat" -> builtin("array_join"),
 
+    // ---- string search & replace (likePatternToRegexp.h is the
+    // reference's LIKE machinery; these are the registry names around
+    // it). extractAll follows CH: whole match when the pattern has no
+    // capturing group, else the first group — decided from the
+    // pattern literal. ----
+    "notLike" -> { es => Not(builtin("like")(es)) },
+    "replaceRegexpAll" -> builtin("regexp_replace"),
+    "replaceOne" -> { es =>
+      val Seq(h, p, r) = es
+      val pos = builtin("instr")(Seq(h, p))
+      If(EqualTo(pos, Literal(0)), h,
+        Concat(Seq(
+          builtin("substring")(Seq(h, Literal(1), Subtract(pos, Literal(1)))),
+          r,
+          builtin("substring")(Seq(h, Add(pos, builtin("length")(Seq(p))),
+            Literal(Int.MaxValue))))))
+    },
+    // NOTE: CH's 2-arg regex `extract` collides with SQL-standard
+    // EXTRACT(field FROM ts), which Spark owns and the registry never
+    // shadows — ChSql.rewriteExtract translates that form instead.
+    "extractAll" -> { es =>
+      val idx = es(1) match {
+        case Literal(s, StringType) if !s.toString.contains("(") => Literal(0)
+        case _ => Literal(1)
+      }
+      builtin("regexp_extract_all")(Seq(es(0), es(1), idx))
+    },
+
+    // ---- multi-needle search / array containment — higher-order
+    // lambdas over ANY array expression (needles need not be a
+    // literal), the same ArrayExists/ArrayForAll nodes Spark's own
+    // exists()/forall() build ----
+    "multiSearchAny" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq(
+        UnresolvedNamedLambdaVariable.freshVarName("n")))
+      ArrayExists(es(1), LambdaFunction(Contains(es(0), x), Seq(x)))
+    },
+    "hasAny" -> builtin("arrays_overlap"),
+    "hasAll" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq(
+        UnresolvedNamedLambdaVariable.freshVarName("e")))
+      ArrayForAll(es(1), LambdaFunction(ArrayContains(es(0), x), Seq(x)))
+    },
+
+    // ---- bit manipulation ----
+    "bitTest" -> { es =>
+      BitwiseAnd(ShiftRight(Cast(es(0), LongType), es(1)), Literal(1L)) },
+
     // ---- IPv4 domain (DataTypeCustomIPv4AndIPv6.cpp — IPv4 is a
     // UInt32 with dotted-quad presentation; our DDL maps the TYPE to
     // STRING, these are the conversions between the two renderings) ----

@@ -205,6 +205,7 @@ object ChSql {
     ts = stripGlobal(ts)
     ts = stripFinal(ts)
     ts = rewriteNumbers(ts)
+    ts = rewriteExtract(ts)
     ts = rewriteParametricAggs(ts)
     ts = rewriteBareCount(ts)
     // SAMPLE sits between the table ref and ARRAY JOIN — remove it
@@ -565,6 +566,56 @@ object ChSql {
     "MEDIAN", "MEDIANEXACT")
   private val paramsFirst = Set("TOPK")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQHLL12")
+
+  /** CH's regex `extract(haystack, pattern)` collides with standard
+    * SQL `EXTRACT(field FROM source)`, which Spark owns — the registry
+    * never shadows builtins, so the 2-arg CH form is rewritten here
+    * instead: `extract(h, p)` → `regexp_extract(h, p, idx)` with the
+    * CH group rule (idx 0 when the pattern literal has no capturing
+    * group, else 1). The datetime form (a depth-1 FROM) is left for
+    * Spark. */
+  private def rewriteExtract(ts: Vector[Tok]): Vector[Tok] = {
+    val i = ts.indices.find { i =>
+      ts(i).word && ts(i).up == "EXTRACT" &&
+        i + 1 < ts.length && ts(i + 1).text == "(" && {
+          val close = matchParen(ts, i + 1)
+          var depth = 0
+          var j = i + 1
+          var comma = false
+          var from = false
+          while (j < close) {
+            if (ts(j).text == "(") depth += 1
+            else if (ts(j).text == ")") depth -= 1
+            else if (depth == 1 && ts(j).text == ",") comma = true
+            else if (depth == 1 && ts(j).up == "FROM") from = true
+            j += 1
+          }
+          comma && !from
+        }
+    }
+    i match {
+      case None => ts
+      case Some(i) =>
+        val close = matchParen(ts, i + 1)
+        // the pattern is the LAST depth-1 argument; CH picks group 1
+        // only if the pattern itself declares a capturing group (the
+        // haystack may contain nested calls — their parens don't count)
+        var depth = 0
+        var lastComma = i + 1
+        for (j <- (i + 1) until close) {
+          if (ts(j).text == "(") depth += 1
+          else if (ts(j).text == ")") depth -= 1
+          else if (depth == 1 && ts(j).text == ",") lastComma = j
+        }
+        val pat = ts.slice(lastComma + 1, close).map(_.text).mkString
+        val idx = if (pat.contains("(")) "1" else "0"
+        val renamed = ts(i).copy(text = "regexp_extract")
+        rewriteExtract(
+          ts.take(i) ++ Vector(renamed) ++ ts.slice(i + 1, close) ++
+            Vector(Tok("", ",", word = false), Tok(" ", idx, word = false)) ++
+            ts.drop(close))
+    }
+  }
 
   private def rewriteParametricAggs(ts: Vector[Tok]): Vector[Tok] = {
     val i = ts.indices.find { i =>

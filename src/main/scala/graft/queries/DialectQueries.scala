@@ -21,7 +21,9 @@ object DialectQueries {
       case "lineitem"  => t.lineitem.createOrReplaceTempView("lineitem")
       case "part_v"    => t.part.createOrReplaceTempView("part_v")
     }
-    s.sql(chQuery)
+    // through the REAL front door: the tokenizer translator first
+    // (clause rewrites, extract-collision fix, …), then spark.sql
+    s.sql(graft.functions.ChSql.translate(chQuery))
   }
 
   val defs: Map[String, Q] = Map(
@@ -337,6 +339,49 @@ object DialectQueries {
           |ASOF LEFT JOIN asof_u_errors r USING (user_id, ts)
           |ORDER BY event_id""".stripMargin)
     },
+
+    // String search/replace registry names around the reference's
+    // LIKE machinery (likePatternToRegexp.h): notLike, first-
+    // occurrence replaceOne, replaceRegexpAll, CH-rule extract /
+    // extractAll (whole match without a capturing group, else group
+    // 1), bitTest — all composed from codegen'd builtins, oracled.
+    "c21_ch_strings2" -> Q(
+      """SELECT p_partkey,
+        |  p_name NOT LIKE '%green%' AS nl,
+        |  regexp_replace(p_name, 'a', '_') AS r1,
+        |  regexp_replace(p_name, '[aeiou]', '.', 'g') AS ra,
+        |  regexp_extract(p_type, '[A-Z]+') AS ex0,
+        |  regexp_extract(p_type, '^([A-Z]+) ', 1) AS ex1,
+        |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS exa,
+        |  (p_partkey >> 3) & 1 AS bt
+        |FROM part ORDER BY p_partkey""".stripMargin)(
+      chSql(Seq("part_v"),
+        """SELECT p_partkey,
+          |  notLike(p_name, '%green%') AS nl,
+          |  replaceOne(p_name, 'a', '_') AS r1,
+          |  replaceRegexpAll(p_name, '[aeiou]', '.') AS ra,
+          |  extract(p_type, '[A-Z]+') AS ex0,
+          |  extract(p_type, '^([A-Z]+) ') AS ex1,
+          |  arrayStringConcat(extractAll(p_name, '[a-z]+'), ',') AS exa,
+          |  bitTest(p_partkey, 3) AS bt
+          |FROM part_v ORDER BY p_partkey""".stripMargin)),
+
+    // Multi-needle search + array containment: multiSearchAny /
+    // hasAny / hasAll — higher-order ArrayExists/ArrayForAll lambdas
+    // (needles may be any array expression, not just literals);
+    // CH array literals pass through rewriteBrackets. Oracled.
+    "c22_ch_multisearch" -> Q(
+      """SELECT p_partkey,
+        |  contains(p_name, 'green') OR contains(p_name, 'red') AS msa,
+        |  list_has_any(string_split(p_name, ' '), ['green', 'red']) AS ha,
+        |  list_has_all(string_split(p_name, ' '), ['lemon', 'blue']) AS hall
+        |FROM part ORDER BY p_partkey""".stripMargin)(
+      chSql(Seq("part_v"),
+        """SELECT p_partkey,
+          |  multiSearchAny(p_name, ['green', 'red']) AS msa,
+          |  hasAny(splitByChar(' ', p_name), ['green', 'red']) AS ha,
+          |  hasAll(splitByChar(' ', p_name), ['lemon', 'blue']) AS hall
+          |FROM part_v ORDER BY p_partkey""".stripMargin)),
 
     // IPv4 domain conversions (DataTypeCustomIPv4AndIPv6.cpp — IPv4
     // is a UInt32 with dotted-quad presentation): the corpus has no IP

@@ -380,4 +380,27 @@ class ChSqlSpec extends SparkSpec {
       .as[(Int, Int)].collect().toSeq
     assert(got == Seq((1, 10), (2, 0), (3, 0), (4, 40)))
   }
+
+  test("CH 2-arg extract rewrites to regexp_extract; SQL EXTRACT FROM survives") {
+    // no capturing group → whole match (idx 0)
+    assert(ChSql.translate("SELECT extract(s, '[a-z]+') FROM t")
+      == "SELECT regexp_extract(s, '[a-z]+', 0) FROM t")
+    // capturing group in the PATTERN → group 1
+    assert(ChSql.translate("SELECT extract(s, 'x([a-z]+)') FROM t")
+      == "SELECT regexp_extract(s, 'x([a-z]+)', 1) FROM t")
+    // parens in the HAYSTACK argument must not trip the group rule
+    assert(ChSql.translate("SELECT extract(upper(s), '[A-Z]+') FROM t")
+      == "SELECT regexp_extract(upper(s), '[A-Z]+', 0) FROM t")
+    // the datetime form is Spark's own — untouched
+    assert(ChSql.translate("SELECT EXTRACT(YEAR FROM ts) FROM t")
+      == "SELECT EXTRACT(YEAR FROM ts) FROM t")
+    // end to end against real data
+    val df = Seq((1L, "ab12cd")).toDF("id", "s")
+    df.createOrReplaceTempView("xt_t")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val got = spark.sql(ChSql.translate(
+      "SELECT extract(s, '[0-9]+') AS d, extract(s, '([a-z]+)[0-9]') AS g FROM xt_t"))
+      .as[(String, String)].collect().head
+    assert(got == ("12", "ab"))
+  }
 }
