@@ -71,16 +71,39 @@ object ChColumns {
     // Only when FROM is that single relation (a join's * spans both
     // sides — left alone).
     def bareStar(it: Vector[Tok]): Boolean = it.length == 1 && it.head.text == "*"
-    val fromTable =
-      if (fromIdx + 1 < ts.length && ts(fromIdx + 1).word) Some(ts(fromIdx + 1).text)
-      else None
-    val declared = fromTable.flatMap(t => ChDdl.createdTables.get(t.toLowerCase))
     val clauseKws = Set("WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
       "LIMIT", "SETTINGS", "FORMAT", "SAMPLE", "FINAL", ";")
+    // words that introduce a second relation — never a table alias
+    val joinKws = Set("JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+      "ASOF", "ANY", "SEMI", "ANTI", "GLOBAL", "ARRAY", "UNION", "ON",
+      "USING", "INTERSECT", "EXCEPT")
+    // FROM <name[.name…]> [AS] [alias] — dotted names and aliases both
+    // still bind the declared order; anything else (joins, commas,
+    // subqueries) leaves * to Spark
+    var ni = fromIdx + 1
+    var nameParts = Vector.empty[String]
+    while (ni < ts.length && ts(ni).word && !clauseKws.contains(ts(ni).up) &&
+      !joinKws.contains(ts(ni).up) && nameParts.isEmpty) {
+      nameParts :+= ts(ni).text
+      ni += 1
+      while (ni + 1 < ts.length && ts(ni).text == "." && ts(ni + 1).word) {
+        nameParts :+= ts(ni + 1).text
+        ni += 2
+      }
+    }
+    if (ni < ts.length && ts(ni).up == "AS" && ni + 1 < ts.length &&
+      ts(ni + 1).word) ni += 2 // AS alias
+    else if (ni < ts.length && ts(ni).word && !clauseKws.contains(ts(ni).up) &&
+      !joinKws.contains(ts(ni).up)) ni += 1 // bare alias
+    // registry key = underscore-joined (ChDdl's convention); the
+    // resolvable name for spark.table keeps its dots
+    val fromTable = nameParts.headOption.map(_ => nameParts.mkString("."))
+    val declared = nameParts.headOption.flatMap(_ =>
+      ChDdl.createdTables.get(nameParts.mkString("_").toLowerCase))
     val singleRelation = fromTable.nonEmpty &&
-      (fromIdx + 2 >= ts.length ||
-        (ts(fromIdx + 2).word && clauseKws.contains(ts(fromIdx + 2).up)) ||
-        clauseKws.contains(ts(fromIdx + 2).text))
+      (ni >= ts.length ||
+        (ts(ni).word && clauseKws.contains(ts(ni).up)) ||
+        clauseKws.contains(ts(ni).text))
     val expandBare = declared.nonEmpty && singleRelation
     if (!items.exists(expandable) && !(expandBare && items.exists(bareStar)))
       return ts

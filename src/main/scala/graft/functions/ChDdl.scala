@@ -356,8 +356,9 @@ object ChDdl {
       "expected ATTACH TABLE")
     val hasColumnList = ts.exists(_.text == "(")
     if (hasColumnList) {
-      // full DDL: parse as CREATE, register over the existing directory
-      val ct = parse("CREATE" + sql.trim.stripPrefix("ATTACH"))
+      // full DDL: parse as CREATE, register over the existing
+      // directory (drop the 6-char ATTACH keyword case-insensitively)
+      val ct = parse("CREATE" + sql.trim.drop("ATTACH".length))
       val loc = warehousePath(spark, ct.table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // a prior DETACH stashed the data away from the husk — restore it
@@ -857,7 +858,16 @@ object ChDdl {
         require(toIdx > 2, "expected RENAME TABLE a TO b")
         val from = renderTrim(ts.slice(2, toIdx))
         val to = renderTrim(ts.drop(toIdx + 1))
-        spark.sql(s"ALTER TABLE $from RENAME TO $to")
+        val r = spark.sql(s"ALTER TABLE $from RENAME TO $to")
+        // the declared layout follows the table to its new name
+        val fromKey = ts.slice(2, toIdx).filter(_.word).map(_.text)
+          .mkString("_").toLowerCase
+        val toKey = ts.drop(toIdx + 1).filter(_.word).map(_.text)
+          .mkString("_").toLowerCase
+        createdTables.remove(fromKey).foreach(createdTables.put(toKey, _))
+        declaredSampleKeys.remove(fromKey)
+          .foreach(declaredSampleKeys.put(toKey, _))
+        r
       case ("OPTIMIZE", "TABLE") =>
         // merge-now hint: a parquet snapshot is already fully merged.
         // OPTIMIZE … DEDUPLICATE [BY cols] (ASTOptimizeQuery.h:20-23)
@@ -893,6 +903,18 @@ object ChDdl {
         spark.sql(s"ALTER TABLE $a RENAME TO $tmpN")
         spark.sql(s"ALTER TABLE $b RENAME TO $a")
         spark.sql(s"ALTER TABLE $tmpN RENAME TO $b")
+        // the declared layouts swap with the data they describe
+        val ka = ts.slice(2, andIdx).filter(_.word).map(_.text)
+          .mkString("_").toLowerCase
+        val kb = ts.drop(andIdx + 1).filter(_.word).map(_.text)
+          .mkString("_").toLowerCase
+        val (ca, cb) = (createdTables.remove(ka), createdTables.remove(kb))
+        ca.foreach(createdTables.put(kb, _))
+        cb.foreach(createdTables.put(ka, _))
+        val (sa, sb) =
+          (declaredSampleKeys.remove(ka), declaredSampleKeys.remove(kb))
+        sa.foreach(declaredSampleKeys.put(kb, _))
+        sb.foreach(declaredSampleKeys.put(ka, _))
         spark.emptyDataFrame
       case ("CHECK", "TABLE") =>
         // CHECK TABLE (ParserCheckQuery.h): the reference verifies
@@ -939,9 +961,23 @@ object ChDdl {
         // SHOW CREATE TABLE t → re-ingestable CH DDL
         val skip = if (kw(2) == "TABLE" || kw(2) == "VIEW") 3 else 2
         showCreate(spark, ts.drop(skip).filter(_.word).map(_.text).mkString("_"))
-      case ("DESCRIBE", _) | ("DESC", _) =>
+      case ("DESCRIBE", _) | ("DESC", _)
+          if !ts.exists(t => t.word &&
+            Set("EXTENDED", "FORMATTED").contains(t.up)) =>
         val skip = if (kw(1) == "TABLE") 2 else 1
         describeCh(spark, ts.drop(skip).filter(_.word).map(_.text).mkString("_"))
+      case ("DESCRIBE", _) | ("DESC", _) =>
+        spark.sql(sql) // DESCRIBE EXTENDED/FORMATTED: Spark's own form
+      case ("DROP", "TABLE") =>
+        val r = spark.sql(sql)
+        // a dropped table's declared layout must not outlive it (a
+        // later same-name table would inherit a stale column order)
+        var i = 2
+        if (kw(2) == "IF") i += 2 // IF EXISTS
+        val key = ts.drop(i).filter(_.word).map(_.text).mkString("_").toLowerCase
+        createdTables.remove(key)
+        declaredSampleKeys.remove(key)
+        r
       case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("USE", _) |
            ("ALTER", _) =>
         spark.sql(sql) // Spark's own DDL grammar covers these forms
@@ -1019,7 +1055,13 @@ object ChDdl {
           j = e
         case "ORDER" => // ORDER BY (a, b) | ORDER BY a
           val e = clauseEndFrom(j + 2)
-          orderBy = exprList(ts.slice(j + 2, e))
+          // ORDER BY tuple() is CH's spelling of "no sort key" — both
+          // user DDL and our own SHOW CREATE emit it; round-trips to
+          // an empty sort key, not a literal column named tuple()
+          val raw = renderTrim(ts.slice(j + 2, e)).replaceAll("\\s+", "")
+          orderBy =
+            if (raw.equalsIgnoreCase("tuple()")) Seq.empty
+            else exprList(ts.slice(j + 2, e))
           j = e
         case "SAMPLE" => // SAMPLE BY expr
           val e = clauseEndFrom(j + 2)

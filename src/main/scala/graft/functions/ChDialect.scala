@@ -259,8 +259,9 @@ object ChDialect {
     // shadows — ChSql.rewriteExtract translates that form instead.
     "extractAll" -> { es =>
       val idx = es(1) match {
-        case Literal(s, StringType) if !s.toString.contains("(") => Literal(0)
-        case _ => Literal(1)
+        case Literal(s, StringType) if s != null =>
+          Literal(if (ChSql.hasCapturingGroup(s.toString)) 1 else 0)
+        case _ => Literal(1) // non-literal pattern: assume a group
       }
       builtin("regexp_extract_all")(Seq(es(0), es(1), idx))
     },

@@ -119,12 +119,21 @@ object ChInsert {
         case org.apache.spark.sql.types.ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
           val flatOf = subs.toMap
           val first = col("`" + subs.head._2 + "`")
-          transform(first, (_, idx) => struct(st.fields.toSeq.map { sf =>
+          // CH raises "Elements ... have different array sizes" on
+          // ragged parallel arrays — enforce the same contract instead
+          // of silently null-filling or truncating
+          val sameLen = subs
+            .map(s => size(col("`" + s._2 + "`")) === size(first))
+            .reduce(_ && _)
+          val zipped = transform(first, (_, idx) => struct(st.fields.toSeq.map { sf =>
             flatOf.get(sf.name) match {
               case Some(flat) => get(col("`" + flat + "`"), idx).as(sf.name)
               case None => lit(null).cast(sf.dataType).as(sf.name)
             }
-          }: _*)).cast(f.dataType).as(f.name)
+          }: _*))
+          when(assert_true(sameLen, lit(s"Nested subcolumns of ${f.name} " +
+            "must have equal array lengths per row")).isNull, zipped)
+            .cast(f.dataType).as(f.name)
         case other => throw new IllegalArgumentException(
           s"dotted insert columns ${subs.map(_._2).mkString(", ")} target " +
             s"non-Nested column ${f.name}: $other")

@@ -608,13 +608,30 @@ object ChSql {
           else if (depth == 1 && ts(j).text == ",") lastComma = j
         }
         val pat = ts.slice(lastComma + 1, close).map(_.text).mkString
-        val idx = if (pat.contains("(")) "1" else "0"
+        val idx = if (hasCapturingGroup(pat)) "1" else "0"
         val renamed = ts(i).copy(text = "regexp_extract")
         rewriteExtract(
           ts.take(i) ++ Vector(renamed) ++ ts.slice(i + 1, close) ++
             Vector(Tok("", ",", word = false), Tok(" ", idx, word = false)) ++
             ts.drop(close))
     }
+  }
+
+  /** Does the regex contain a CAPTURING group — `(` that is neither
+    * escaped (`\(`) nor the opener of a non-capturing/lookaround
+    * construct (`(?`)? Drives the CH extract/extractAll group rule. */
+  private[functions] def hasCapturingGroup(pattern: String): Boolean = {
+    var esc = false
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (esc) esc = false
+      else if (c == '\\') esc = true
+      else if (c == '(' &&
+        (i + 1 >= pattern.length || pattern.charAt(i + 1) != '?')) return true
+      i += 1
+    }
+    false
   }
 
   private def rewriteParametricAggs(ts: Vector[Tok]): Vector[Tok] = {

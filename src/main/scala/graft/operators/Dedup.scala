@@ -91,24 +91,32 @@ object Dedup {
       .distinct().withColumn("label", col("node")).persist()
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
-      val next = edges
-        .join(labels.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("label"))
-        .union(labels)
-        .groupBy("node").agg(min("label").as("label"))
-        .persist()
-      converged = next
-        .join(labels.withColumnRenamed("label", "__old"), "node")
-        .filter(col("label") < col("__old"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
-      i += 1
+    try {
+      while (!converged && i < maxIters) {
+        val next = edges
+          .join(labels.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("label"))
+          .union(labels)
+          .groupBy("node").agg(min("label").as("label"))
+          .persist()
+        converged = next
+          .join(labels.withColumnRenamed("label", "__old"), "node")
+          .filter(col("label") < col("__old"))
+          .isEmpty
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      require(converged, s"dupClusters did not converge in $maxIters rounds " +
+        "— component diameter exceeds the bound; raise maxIters")
+    } catch {
+      case e: Throwable =>
+        labels.unpersist(); edges.unpersist(); throw e
     }
-    require(converged, s"dupClusters did not converge in $maxIters rounds " +
-      "— component diameter exceeds the bound; raise maxIters")
     edges.unpersist()
+    // NOTE: the result stays persisted (its lineage spans every
+    // propagation round); callers that are done with it should
+    // unpersist() or clearCache()
     labels.select(col("node").as(id1), col("label").as("cluster_id"))
   }
 

@@ -394,6 +394,11 @@ class ChSqlSpec extends SparkSpec {
     // the datetime form is Spark's own — untouched
     assert(ChSql.translate("SELECT EXTRACT(YEAR FROM ts) FROM t")
       == "SELECT EXTRACT(YEAR FROM ts) FROM t")
+    // escaped and non-capturing parens are NOT capturing groups
+    assert(ChSql.translate("SELECT extract(s, 'a\\(b') FROM t")
+      == "SELECT regexp_extract(s, 'a\\(b', 0) FROM t")
+    assert(ChSql.translate("SELECT extract(s, '(?:ab)+') FROM t")
+      == "SELECT regexp_extract(s, '(?:ab)+', 0) FROM t")
     // end to end against real data
     val df = Seq((1L, "ab12cd")).toDF("id", "s")
     df.createOrReplaceTempView("xt_t")

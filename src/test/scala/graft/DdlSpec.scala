@@ -756,6 +756,95 @@ class DdlSpec extends SparkSpec {
     Seq("star_t", "star_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("declared layouts follow DROP/RENAME/EXCHANGE; re-created tables rebind") {
+    ChDdl.execute(spark,
+      """CREATE TABLE lc_t (a UInt64, b Int32, c Float64)
+        |ENGINE = MergeTree() PARTITION BY b ORDER BY (a)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO lc_t VALUES (1, 10, 1.5)")
+    // DROP through the front door must forget the declared layout…
+    ChDdl.execute(spark, "DROP TABLE lc_t")
+    // …so a re-created same-name table with DIFFERENT column order
+    // binds the NEW order, not the stale one
+    ChDdl.execute(spark,
+      """CREATE TABLE lc_t (c Float64, a UInt64, b Int32)
+        |ENGINE = MergeTree() PARTITION BY b ORDER BY (a)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO lc_t VALUES (9.5, 7, 70)")
+    assert(ChDdl.execute(spark, "SELECT * FROM lc_t").columns.toSeq ==
+      Seq("c", "a", "b"))
+    assert(ChDdl.execute(spark, "SELECT * FROM lc_t")
+      .as[(Double, Long, Int)].collect().toSeq == Seq((9.5, 7L, 70)))
+    // RENAME carries the layout to the new name
+    ChDdl.execute(spark, "RENAME TABLE lc_t TO lc_r")
+    assert(ChDdl.execute(spark, "SELECT * FROM lc_r").columns.toSeq ==
+      Seq("c", "a", "b"))
+    // EXCHANGE swaps layouts with the data
+    ChDdl.execute(spark,
+      """CREATE TABLE lc_s (x UInt64, y Int32)
+        |ENGINE = MergeTree() PARTITION BY y ORDER BY (x)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO lc_s VALUES (5, 50)")
+    ChDdl.execute(spark, "EXCHANGE TABLES lc_r AND lc_s")
+    assert(ChDdl.execute(spark, "SELECT * FROM lc_s").columns.toSeq ==
+      Seq("c", "a", "b"))
+    assert(ChDdl.execute(spark, "SELECT * FROM lc_r").columns.toSeq ==
+      Seq("x", "y"))
+    // DESCRIBE EXTENDED passes through to Spark's own grammar
+    assert(ChDdl.execute(spark, "DESCRIBE TABLE EXTENDED lc_s").count() > 0)
+    Seq("lc_r", "lc_s").foreach(t => ChDdl.execute(spark, s"DROP TABLE $t"))
+  }
+
+  test("ORDER BY tuple() round-trips as an empty sort key") {
+    val ct = ChDdl.parse(
+      "CREATE TABLE nt_t (a UInt64, b String) ENGINE = MergeTree() ORDER BY tuple()")
+    assert(ct.orderBy.isEmpty)
+    ChDdl.execute(spark,
+      "CREATE TABLE nt_t (a UInt64, b String) ENGINE = MergeTree() ORDER BY tuple()")
+    ChDdl.execute(spark, "INSERT INTO nt_t VALUES (1, 'x')")
+    // SHOW CREATE emits ORDER BY tuple(); re-ingesting must not
+    // invent a sort column named "tuple()"
+    val shown = ChDdl.execute(spark, "SHOW CREATE TABLE nt_t")
+      .collect().head.getString(0)
+    assert(shown.contains("ORDER BY tuple()"), shown)
+    assert(ChDdl.parse(shown).orderBy.isEmpty)
+    ChDdl.execute(spark, "DROP TABLE nt_t")
+  }
+
+  test("Nested INSERT refuses ragged parallel arrays (CH contract)") {
+    ChDdl.execute(spark,
+      """CREATE TABLE rg_t (id UInt64, ev Nested(name String, val Int32))
+        |ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    ChDdl.execute(spark,
+      "INSERT INTO rg_t (id, ev.name, ev.val) VALUES (1, ['a','b'], [10, 20])")
+    assert(ChDdl.execute(spark, "SELECT id, ev.name, ev.val FROM rg_t")
+      .count() == 1)
+    val e = intercept[Exception] {
+      ChDdl.execute(spark,
+        "INSERT INTO rg_t (id, ev.name, ev.val) VALUES (2, ['a','b','c'], [10])")
+    }
+    assert(e.getMessage.contains("equal array lengths")
+      || Option(e.getCause).exists(_.getMessage.contains("equal array lengths")),
+      e.getMessage)
+    ChDdl.execute(spark, "DROP TABLE rg_t")
+  }
+
+  test("bare * binds declared order through aliases and lowercase attach works") {
+    ChDdl.execute(spark,
+      """CREATE TABLE al_t (id UInt64, region Int32, v Float64)
+        |ENGINE = MergeTree() PARTITION BY region ORDER BY (id) SAMPLE BY intHash32(id)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO al_t VALUES (1, 10, 1.5)")
+    // an aliased single relation still binds the declared order and
+    // hides __sample_hash
+    val df = ChDdl.execute(spark, "SELECT * FROM al_t AS z ORDER BY id")
+    assert(df.columns.toSeq == Seq("id", "region", "v"), df.columns.toSeq)
+    // lowercase full-DDL attach round-trip
+    ChDdl.execute(spark, "DETACH TABLE al_t")
+    ChDdl.execute(spark,
+      """attach table al_t (id UInt64, region Int32, v Float64)
+        |ENGINE = MergeTree() PARTITION BY region ORDER BY (id) SAMPLE BY intHash32(id)""".stripMargin)
+    assert(ChDdl.execute(spark, "SELECT * FROM al_t").columns.toSeq ==
+      Seq("id", "region", "v"))
+    ChDdl.execute(spark, "DROP TABLE al_t")
+  }
+
   test("dictGet resolves through the broadcast map with no join in the plan") {
     GraftFunctions.ensureRegistered(spark)
     val t = Tables(spark, sfDir)
