@@ -206,6 +206,7 @@ object ChSql {
     ts = stripFinal(ts)
     ts = rewriteNumbers(ts)
     ts = rewriteExtract(ts)
+    ts = rewriteDateDiff(ts)
     ts = rewriteParametricAggs(ts)
     ts = rewriteBareCount(ts)
     // SAMPLE sits between the table ref and ARRAY JOIN — remove it
@@ -614,6 +615,38 @@ object ChSql {
           ts.take(i) ++ Vector(renamed) ++ ts.slice(i + 1, close) ++
             Vector(Tok("", ",", word = false), Tok(" ", idx, word = false)) ++
             ts.drop(close))
+    }
+  }
+
+  /** CH's 3-arg `dateDiff('unit', start, end)` collides with Spark's
+    * 2-arg `datediff(end, start)` (days only), which the registry
+    * never shadows — rewrite the 3-arg form to Spark's
+    * `timestampdiff(UNIT, start, end)`, whose argument order CH
+    * already matches; the quoted unit becomes the bare identifier
+    * Spark's grammar wants. The 2-arg form is left for Spark. */
+  private def rewriteDateDiff(ts: Vector[Tok]): Vector[Tok] = {
+    val i = ts.indices.find { i =>
+      ts(i).word && ts(i).up == "DATEDIFF" &&
+        i + 2 < ts.length && ts(i + 1).text == "(" &&
+        ts(i + 2).text.startsWith("'") && {
+          val close = matchParen(ts, i + 1)
+          var depth = 0
+          var commas = 0
+          for (j <- (i + 1) until close) {
+            if (ts(j).text == "(") depth += 1
+            else if (ts(j).text == ")") depth -= 1
+            else if (depth == 1 && ts(j).text == ",") commas += 1
+          }
+          commas == 2
+        }
+    }
+    i match {
+      case None => ts
+      case Some(i) =>
+        val unit = ts(i + 2).text.stripPrefix("'").stripSuffix("'").toUpperCase
+        rewriteDateDiff(
+          ts.take(i) ++ Vector(ts(i).copy(text = "timestampdiff"),
+            ts(i + 1), Tok("", unit, word = true)) ++ ts.drop(i + 3))
     }
   }
 

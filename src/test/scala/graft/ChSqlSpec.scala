@@ -408,4 +408,21 @@ class ChSqlSpec extends SparkSpec {
       .as[(String, String)].collect().head
     assert(got == ("12", "ab"))
   }
+
+  test("CH 3-arg dateDiff rewrites to timestampdiff; 2-arg datediff survives") {
+    assert(ChSql.translate("SELECT dateDiff('day', a, b) FROM t")
+      == "SELECT timestampdiff(DAY, a, b) FROM t")
+    assert(ChSql.translate("SELECT datediff(b, a) FROM t")
+      == "SELECT datediff(b, a) FROM t")
+    // end to end: CH units against real timestamps
+    Seq(("2024-01-01 00:00:00", "2024-03-01 12:30:00"))
+      .toDF("s", "e")
+      .select(col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
+      .createOrReplaceTempView("dd_t")
+    val got = spark.sql(ChSql.translate(
+      "SELECT dateDiff('day', s, e) AS d, dateDiff('month', s, e) AS m, " +
+        "dateDiff('hour', s, e) AS h FROM dd_t"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((60L, 2L, 1452L)), got)
+  }
 }
