@@ -25,6 +25,12 @@ object ChDialect {
 
   private type Builder = Seq[Expression] => Expression
 
+  private def refuse(name: String, insteadUse: String): Builder = { _ =>
+    throw new UnsupportedOperationException(
+      s"$name() reads the reference's current processing block — " +
+        s"order-undefined on a distributed engine; $insteadUse")
+  }
+
   private def builtin(name: String): Builder = {
     val b = FunctionRegistry.builtin
       .lookupFunctionBuilder(FunctionIdentifier(name))
@@ -285,6 +291,20 @@ object ChDialect {
     // ---- bit manipulation ----
     "bitTest" -> { es =>
       BitwiseAnd(ShiftRight(Cast(es(0), LongType), es(1)), Literal(1L)) },
+
+    // ---- block-scoped functions: explicit refusals. In the
+    // reference these read neighboring rows of the CURRENT PROCESSING
+    // BLOCK — an execution accident, not a semantic order; ClickHouse
+    // itself documents the block-dependence as unpredictable. On a
+    // distributed engine there is no block, so rather than silently
+    // pick an order, refuse with the deterministic spelling. ----
+    "neighbor" -> refuse("neighbor",
+      "use lead(x, n) / lag(x, -n) OVER (ORDER BY …) — a declared order " +
+        "instead of the reference's processing-block accident"),
+    "runningDifference" -> refuse("runningDifference",
+      "use x - lag(x, 1) OVER (ORDER BY …)"),
+    "runningAccumulate" -> refuse("runningAccumulate",
+      "use sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)"),
 
     // ---- IPv4 domain (DataTypeCustomIPv4AndIPv6.cpp — IPv4 is a
     // UInt32 with dotted-quad presentation; our DDL maps the TYPE to

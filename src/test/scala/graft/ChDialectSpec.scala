@@ -242,4 +242,16 @@ class ChDialectSpec extends SparkSpec {
     assert(a.getAs[Double]("ss") > 0)
     assert(a.getAs[Long]("bo") == 7L)
   }
+
+  test("block-scoped functions refuse with the deterministic spelling") {
+    for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
+        "runningAccumulate(v)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $fn FROM VALUES (1.0) AS t(v)").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("processing block")), s"$fn: $e")
+    }
+  }
 }
