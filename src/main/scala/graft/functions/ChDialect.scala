@@ -345,6 +345,14 @@ object ChDialect {
     "anyHeavy"  -> builtin("mode"),
     "uniqExact" -> { es =>
       aggregate.Count(es).toAggregateExpression(isDistinct = true) },
+    // uniqUpTo(N)(x): exact distinct count while ≤ N, else N+1 —
+    // LEAST(uniqExact, N+1) is bit-equal to the reference's contract.
+    // The parametric rewrite delivers the merged (x…, N) arg list.
+    "uniqUpTo" -> { es =>
+      Least(Seq(
+        aggregate.Count(es.dropRight(1)).toAggregateExpression(isDistinct = true),
+        Cast(Add(es.last, Literal(1)), LongType)))
+    },
     "argMax"    -> builtin("max_by"),
     "argMin"    -> builtin("min_by"),
     "groupArray"     -> builtin("collect_list"),

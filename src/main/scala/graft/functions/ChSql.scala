@@ -564,7 +564,7 @@ object ChSql {
     *  - uniq family: precision params are sketch-tuning only —
     *    dropped, `uniqCombined(12)(x)` → `uniqCombined(x)`. */
   private val paramsLast = Set("QUANTILE", "QUANTILEEXACT", "QUANTILETDIGEST",
-    "MEDIAN", "MEDIANEXACT")
+    "MEDIAN", "MEDIANEXACT", "UNIQUPTO")
   private val paramsFirst = Set("TOPK")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQHLL12")
 

@@ -541,14 +541,16 @@ object DialectQueries {
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,
-        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  LEAST(COUNT(DISTINCT o_custkey), 51) AS cust_upto
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       Tables(s, dir).orders.createOrReplaceTempView("orders")
       s.sql(graft.functions.ChSql.translate(
         """SELECT o_orderstatus, count() AS n,
           |  quantile(0.5)(o_totalprice) AS med,
-          |  quantile(0.9)(o_totalprice) AS p90
+          |  quantile(0.9)(o_totalprice) AS p90,
+          |  uniqUpTo(50)(o_custkey) AS cust_upto
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
     }
   )
