@@ -953,7 +953,11 @@ object ChDdl {
       case ("DETACH", "TABLE") =>
         var i = 2
         if (kw(2) == "IF") i += 2 // IF EXISTS
-        detach(spark, ts.drop(i).filter(_.word).map(_.text).mkString("_"))
+        val dname = ts.drop(i).filter(_.word).map(_.text).mkString("_")
+        detach(spark, dname)
+        // a detached table must stop capturing reads: stale projection
+        // / MV auto-routes would serve OLD data to a re-created name
+        graft.plans.ProjectionCatalog.invalidate(dname)
         spark.emptyDataFrame
       case ("ATTACH", "TABLE") =>
         attach(spark, sql); spark.emptyDataFrame
@@ -962,12 +966,15 @@ object ChDdl {
         val skip = if (kw(2) == "TABLE" || kw(2) == "VIEW") 3 else 2
         showCreate(spark, ts.drop(skip).filter(_.word).map(_.text).mkString("_"))
       case ("DESCRIBE", _) | ("DESC", _)
-          if !ts.exists(t => t.word &&
-            Set("EXTENDED", "FORMATTED").contains(t.up)) =>
+          if !Set("DATABASE", "QUERY").contains(kw(1)) &&
+            !ts.exists(t => t.word &&
+              Set("EXTENDED", "FORMATTED").contains(t.up)) =>
+        // only the `DESCRIBE [TABLE] <ident>` form is CH-rendered;
+        // DESCRIBE DATABASE/QUERY/EXTENDED/FORMATTED are Spark's own
         val skip = if (kw(1) == "TABLE") 2 else 1
         describeCh(spark, ts.drop(skip).filter(_.word).map(_.text).mkString("_"))
       case ("DESCRIBE", _) | ("DESC", _) =>
-        spark.sql(sql) // DESCRIBE EXTENDED/FORMATTED: Spark's own form
+        spark.sql(sql) // DESCRIBE DATABASE/QUERY/EXTENDED/FORMATTED: Spark's own form
       case ("DROP", "TABLE") =>
         val r = spark.sql(sql)
         // a dropped table's declared layout must not outlive it (a
@@ -977,6 +984,10 @@ object ChDdl {
         val key = ts.drop(i).filter(_.word).map(_.text).mkString("_").toLowerCase
         createdTables.remove(key)
         declaredSampleKeys.remove(key)
+        // drop the table's projection/MV auto-routes too: a same-name
+        // table recreated OUTSIDE ChDdl.parse would otherwise silently
+        // read the stale summary (old data, not an error)
+        graft.plans.ProjectionCatalog.invalidate(key)
         r
       case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("USE", _) |
            ("ALTER", _) =>
@@ -990,17 +1001,37 @@ object ChDdl {
         executeAsof(spark, ts)
       case _ =>
         // schema-aware pre-passes the pure-text translator can't do:
-        // COLUMNS('re') / * APPLY/REPLACE expansion, then trailing
-        // FORMAT rendered (not stripped) and SETTINGS mapped onto
-        // confs QUERY-scoped
-        val expanded = ChColumns.expand(spark, sql)
+        // INTO OUTFILE lifted off, COLUMNS('re') / * APPLY/REPLACE
+        // expansion, then trailing FORMAT rendered (not stripped) and
+        // SETTINGS mapped onto confs QUERY-scoped
+        val (sansOut, outfile) = ChSql.extractOutfile(sql)
+        val expanded = ChColumns.expand(spark, sansOut)
         val (noFmt, fmt) = ChSql.extractFormat(expanded)
         val (clean, settings) = ChSql.extractSettings(noFmt)
         val df =
           if (settings.isEmpty) spark.sql(ChSql.translate(clean))
           else ChSettings.scoped(spark, settings)(_.sql(ChSql.translate(clean)))
-        fmt.filter(f => ChFormat.renderable(f.toUpperCase))
-          .map(f => ChFormat.render(df, f)).getOrElse(df)
+        outfile match {
+          case Some(path) =>
+            // INTO OUTFILE is the reference's CLIENT-side file sink
+            // (ASTQueryWithOutput.h) — an export-a-result feature, one
+            // local file by definition, so the driver-side write is
+            // the operator's semantics, not a scale defect. Refuses an
+            // existing file, exactly like the reference client.
+            val f = fmt.getOrElse("TSV").toUpperCase
+            require(ChFormat.renderable(f),
+              s"INTO OUTFILE supports FORMAT ${ChFormat.renderable.mkString("/")}, got $f")
+            val p = java.nio.file.Paths.get(path)
+            require(!java.nio.file.Files.exists(p),
+              s"INTO OUTFILE: file $path already exists (reference behavior)")
+            val bytes = ChFormat.render(df, f).collect()
+              .map(_.getString(0) + "\n").mkString.getBytes("UTF-8")
+            java.nio.file.Files.write(p, bytes)
+            df
+          case None =>
+            fmt.filter(f => ChFormat.renderable(f.toUpperCase))
+              .map(f => ChFormat.render(df, f)).getOrElse(df)
+        }
     }
   }
 

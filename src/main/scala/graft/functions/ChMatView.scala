@@ -96,10 +96,17 @@ object ChMatView {
         "POPULATE is not allowed with CREATE MATERIALIZED VIEW ... TO (reference behavior)")
       require(spark.catalog.tableExists(target),
         s"TO target table $target must already exist")
-      val tcols = spark.table(target).schema.fieldNames.toSeq
-      val scols = shape.schema.fieldNames.toSeq
+      // names AND types: a same-named, differently-typed target would
+      // pass a name check and then corrupt/fail at the first
+      // insert-trigger append
+      val tcols = spark.table(target).schema.fields.toSeq
+        .map(f => (f.name, f.dataType))
+      val scols = shape.schema.fields.toSeq.map(f => (f.name, f.dataType))
+      def show(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) =
+        cols.map { case (n, t) => s"$n ${t.simpleString}" }.mkString(", ")
       require(tcols == scols,
-        s"TO target $target columns $tcols do not match the SELECT output $scols")
+        s"TO target $target schema (${show(tcols)}) does not match " +
+          s"the SELECT output (${show(scols)})")
     } else {
       // no TO: (re)create the implicit `.inner`-style target empty,
       // with the SELECT's output schema

@@ -218,8 +218,80 @@ object ChSql {
     ts = rewriteTotals(ts)
     ts = rewriteLimitBy(ts)
     ts = rewriteWithFill(ts)
+    ts = rewriteOffsetFetch(ts)
     ts = rewriteLimitOffset(ts)
     ts
+  }
+
+  // -- OFFSET n ROW[S] [FETCH {FIRST|NEXT} [m] ROW[S] {ONLY|WITH TIES}] --
+  // (ParserSelectQuery.cpp:306-327 — the SQL-standard fetch clause the
+  // reference accepts alongside its own LIMIT forms.)
+  //  · ONLY            → LIMIT m OFFSET n (Spark's own clause);
+  //  · bare OFFSET n ROWS → OFFSET n;
+  //  · WITH TIES       → the q17 threshold plan (distributed top-m
+  //    picks the boundary value, broadcast back as a filter — no
+  //    global rank() window), single plain ORDER BY key only;
+  //    OFFSET + WITH TIES and multi-key TIES refuse loudly.
+  private def rewriteOffsetFetch(ts: Vector[Tok]): Vector[Tok] = {
+    val d = depths(ts)
+    val rows = Set("ROW", "ROWS")
+    val oi = ts.indices.find(i => d(i) == 0 && ts(i).up == "OFFSET" &&
+      i + 2 < ts.length && ts(i + 1).text.forall(_.isDigit) &&
+      rows(ts(i + 2).up))
+    val fi = ts.indices.find(i => d(i) == 0 && ts(i).up == "FETCH" &&
+      i + 1 < ts.length && Set("FIRST", "NEXT")(ts(i + 1).up))
+    if (oi.isEmpty && fi.isEmpty) return ts
+    fi match {
+      case None =>
+        // bare `OFFSET n ROW[S]` → Spark's `OFFSET n`
+        val i = oi.get
+        ts.take(i) ++ retok(s" OFFSET ${ts(i + 1).text}") ++ ts.drop(i + 3)
+      case Some(f) =>
+        // m defaults to 1 when omitted (FETCH FIRST ROW ONLY)
+        val hasM = f + 2 < ts.length && ts(f + 2).text.forall(_.isDigit)
+        val m = if (hasM) ts(f + 2).text.toLong else 1L
+        val ri = if (hasM) f + 3 else f + 2
+        require(ri < ts.length && rows(ts(ri).up),
+          s"FETCH expects ROW/ROWS, got '${renderTrim(ts.drop(f))}'")
+        val tiesEnd = ri + 3 // after WITH TIES
+        val onlyEnd = ri + 2 // after ONLY
+        val withTies = ri + 2 < ts.length && ts(ri + 1).up == "WITH" &&
+          ts(ri + 2).up == "TIES"
+        require(withTies ||
+          (ri + 1 < ts.length && ts(ri + 1).up == "ONLY"),
+          s"FETCH expects ONLY or WITH TIES, got '${renderTrim(ts.drop(f))}'")
+        val start = oi.filter(i => i + 3 == f).getOrElse(f)
+        val off = oi.filter(_ + 3 == f).map(i => ts(i + 1).text.toLong)
+        if (!withTies) {
+          val lim = s" LIMIT $m" + off.map(o => s" OFFSET $o").getOrElse("")
+          ts.take(start) ++ retok(lim) ++ ts.drop(onlyEnd)
+        } else {
+          require(off.isEmpty,
+            "OFFSET … FETCH … WITH TIES is not supported: the tie " +
+              "threshold after a skipped prefix has no distributed-safe " +
+              "plan; drop the OFFSET or use ONLY")
+          val obi = find0(ts, Set("ORDER"))
+          require(obi >= 0 && obi < start && ts(obi + 1).up == "BY",
+            "FETCH … WITH TIES requires an ORDER BY")
+          val keyToks = ts.slice(obi + 2, start)
+          val desc = keyToks.lastOption.exists(_.up == "DESC")
+          val core = keyToks.filterNot(t => t.word &&
+            Set("ASC", "DESC")(t.up))
+          require(core.length == 1 && core.head.word,
+            "FETCH … WITH TIES supports a single plain ORDER BY column " +
+              s"(got '${renderTrim(keyToks)}'); rewrite with a window rank")
+          val k = core.head.text
+          val head = renderTrim(ts.take(obi))
+          val ordDir = if (desc) "DESC" else ""
+          val agg = if (desc) "min" else "max"
+          val cmp = if (desc) ">=" else "<="
+          retok(
+            s"""SELECT * FROM ($head) WHERE $k $cmp (
+               |  SELECT $agg($k) FROM (
+               |    SELECT $k FROM ($head) ORDER BY $k $ordDir LIMIT $m))
+               |ORDER BY $k $ordDir""".stripMargin) ++ ts.drop(tiesEnd)
+        }
+    }
   }
 
   /** CH array literals `[a, b, …]` → `array(a, b, …)`, and tuple
@@ -496,6 +568,20 @@ object ChSql {
     } else (sql, None)
   }
 
+  /** `INTO OUTFILE 'file'` (reference: ASTQueryWithOutput.h:17,24 —
+    * the client-side file sink that precedes FORMAT) → (sql without
+    * the clause, the unquoted path). The front door renders the
+    * sibling FORMAT (default TSV) and writes the file. */
+  private[functions] def extractOutfile(sql: String): (String, Option[String]) = {
+    val ts = tokenize(sql)._1
+    val i = find0(ts, Set("INTO"))
+    if (i >= 0 && i + 2 < ts.length && ts(i + 1).up == "OUTFILE" &&
+        ts(i + 2).text.startsWith("'")) {
+      val path = ts(i + 2).text.stripPrefix("'").stripSuffix("'")
+      (renderTrim(ts.take(i) ++ ts.drop(i + 3)), Some(path))
+    } else (sql, None)
+  }
+
   /** `k = v, k2 = v2, …` → pairs (string values unquoted). */
   private[functions] def parseAssignments(ts: Vector[Tok]): Seq[(String, String)] =
     splitTopLevel(ts).map { it =>
@@ -621,9 +707,12 @@ object ChSql {
   /** CH's 3-arg `dateDiff('unit', start, end)` collides with Spark's
     * 2-arg `datediff(end, start)` (days only), which the registry
     * never shadows — rewrite the 3-arg form to Spark's
-    * `timestampdiff(UNIT, start, end)`, whose argument order CH
-    * already matches; the quoted unit becomes the bare identifier
-    * Spark's grammar wants. The 2-arg form is left for Spark. */
+    * `timestampdiff(UNIT, …)`, whose argument order CH already
+    * matches. Semantics differ: CH counts unit-BOUNDARY crossings
+    * (dateDiff('day', 23:59, next 00:01) = 1) while timestampdiff
+    * counts COMPLETE elapsed units (= 0), so both operands are
+    * date_trunc'd to the unit first — aligned operands make the two
+    * counts identical. The 2-arg form is left for Spark. */
   private def rewriteDateDiff(ts: Vector[Tok]): Vector[Tok] = {
     val i = ts.indices.find { i =>
       ts(i).word && ts(i).up == "DATEDIFF" &&
@@ -643,10 +732,21 @@ object ChSql {
     i match {
       case None => ts
       case Some(i) =>
+        val close = matchParen(ts, i + 1)
         val unit = ts(i + 2).text.stripPrefix("'").stripSuffix("'").toUpperCase
-        rewriteDateDiff(
-          ts.take(i) ++ Vector(ts(i).copy(text = "timestampdiff"),
-            ts(i + 1), Tok("", unit, word = true)) ++ ts.drop(i + 3))
+        var depth = 0
+        val commas = Vector.newBuilder[Int]
+        for (j <- (i + 1) until close) {
+          if (ts(j).text == "(") depth += 1
+          else if (ts(j).text == ")") depth -= 1
+          else if (depth == 1 && ts(j).text == ",") commas += j
+        }
+        val Vector(c1, c2) = commas.result()
+        val a = renderTrim(ts.slice(c1 + 1, c2))
+        val b = renderTrim(ts.slice(c2 + 1, close))
+        rewriteDateDiff(ts.take(i) ++ retok(
+          s" timestampdiff($unit, date_trunc('$unit', $a), " +
+            s"date_trunc('$unit', $b))") ++ ts.drop(close + 1))
     }
   }
 
@@ -902,26 +1002,40 @@ object ChSql {
 
   private def rewriteLimitBy(ts: Vector[Tok]): Vector[Tok] = {
     val d = depths(ts)
-    val lb = ts.indices.find(i => d(i) == 0 && ts(i).up == "LIMIT" &&
-      i + 2 < ts.length && ts(i + 1).text.forall(_.isDigit) && ts(i + 2).up == "BY")
+    // `LIMIT n BY cols` and the offset form `LIMIT o, n BY cols`
+    // (ASTSelectQuery.h:30,60-61 limitByOffset; ParserSelectQuery
+    // .cpp:427) — rows o+1 … o+n of each group. Must run BEFORE the
+    // comma-LIMIT pass, which would otherwise eat `o, n` and leave
+    // ` BY cols` dangling.
+    val lb = ts.indices.find { i =>
+      d(i) == 0 && ts(i).up == "LIMIT" && i + 2 < ts.length &&
+        ts(i + 1).text.forall(_.isDigit) && (ts(i + 2).up == "BY" ||
+          (ts(i + 2).text == "," && i + 4 < ts.length &&
+            ts(i + 3).text.forall(_.isDigit) && ts(i + 4).up == "BY"))
+    }
     if (lb.isEmpty) return ts
     val li = lb.get
-    val n = ts(li + 1).text
+    val comma = ts(li + 2).text == ","
+    val off = if (comma) ts(li + 1).text.toLong else 0L
+    val n = (if (comma) ts(li + 3) else ts(li + 1)).text.toLong
+    val byIdx = if (comma) li + 4 else li + 2
     val oi = find0(ts, Set("ORDER"))
     require(oi >= 0 && oi < li && ts(oi + 1).up == "BY",
       "LIMIT n BY requires an ORDER BY")
     val head = renderTrim(ts.take(oi))
     val ord = renderTrim(ts.slice(oi + 2, li))
     // BY cols run to a final depth-0 LIMIT or end
-    val fl = find0(ts, Set("LIMIT"), li + 3)
+    val fl = find0(ts, Set("LIMIT"), byIdx + 1)
     val byEnd = if (fl < 0) ts.length else fl
-    val by = renderTrim(ts.slice(li + 3, byEnd))
+    val by = renderTrim(ts.slice(byIdx + 1, byEnd))
     val outerLimit =
       if (fl >= 0 && fl + 1 < ts.length) s" LIMIT ${ts(fl + 1).text}" else ""
+    val cond =
+      if (off > 0) s"__rn BETWEEN ${off + 1} AND ${off + n}" else s"__rn <= $n"
     retok(
       s"""SELECT * EXCEPT(__rn) FROM (
          |  SELECT *, row_number() OVER (PARTITION BY $by ORDER BY $ord) AS __rn
-         |  FROM ($head) ) WHERE __rn <= $n ORDER BY $ord$outerLimit""".stripMargin)
+         |  FROM ($head) ) WHERE $cond ORDER BY $ord$outerLimit""".stripMargin)
   }
 
   // -- ORDER BY k [WITH FILL [FROM a] [TO b] [STEP s]], … [INTERPOLATE (c)] --

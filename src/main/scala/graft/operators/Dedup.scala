@@ -5,6 +5,48 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
+/** Prebuilt incremental-dedup index — the per-corpus-version artifact
+  * that makes each crawl drop O(batch) instead of O(corpus):
+  *  - `sketch`: fixed-size Bloom filter over every corpus fingerprint,
+  *    broadcast as a literal into each drop's map-side prefilter;
+  *  - `fingerprints`: the corpus's DISTINCT fingerprint table,
+  *    persisted — the exact-verify side that clears Bloom false
+  *    positives. At 100 TB of text this is only the fingerprint
+  *    column, deduplicated, so it is orders of magnitude smaller than
+  *    the corpus and caches comfortably.
+  * Build once per corpus version (ONE corpus scan materializes both
+  * pieces), serve every subsequent drop with ZERO corpus scans, and
+  * `release()` when the corpus version is retired.
+  */
+final class IncrementalIndex private[operators] (
+    private[operators] val sketch: Array[Byte],
+    val fingerprints: DataFrame) {
+  /** Drop the cached fingerprint table (call when this corpus version
+    * is retired). Safe at any point — correctness never depends on
+    * the cache, only drop latency does. */
+  def release(): Unit = { fingerprints.unpersist(); () }
+}
+
+object IncrementalIndex {
+  /** One corpus scan: the distinct-fingerprint shuffle feeds the
+    * persisted table, and the sketch-folding action that follows runs
+    * THROUGH that cache, materializing it — so building both pieces
+    * costs a single pass over the corpus. `persist = false` skips the
+    * cache for one-shot use (Dedup.incremental's convenience form),
+    * where the verify join re-derives fingerprints from lineage. */
+  def build(corpus: DataFrame, textCol: String,
+      expectedItems: Long = 1L << 20, persist: Boolean = true): IncrementalIndex = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val raw = corpus.select(Text.fingerprint(col(textCol)).as("__fp"))
+    val fps = if (persist) raw.distinct().persist() else raw
+    val sketch = fps
+      .agg(call_function("bloom_agg", xxhash64(col("__fp")),
+        lit(expectedItems)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    new IncrementalIndex(sketch, fps)
+  }
+}
+
 /** Deduplication operators for the training-data pipeline (SURVEY §2
   * d01–d04). Everything here is BLOCKED: candidate pairs only ever
   * come from hash buckets (exact digest, LSH band, or an explicit
@@ -41,30 +83,40 @@ object Dedup {
     *     negatives, so every non-candidate is definitively new and
     *     never shuffles;
     *  3. only the (tiny) candidate fingerprint set is verified
-    *     exactly — a broadcast semi-join against the corpus clears
-    *     Bloom false positives — then anti-joined back into the
-    *     batch. Output is exact, bit-equal to a plain NOT IN.
-    * In a standing pipeline the step-1 sketch is computed once per
-    * corpus version and reused across drops; `expectedItems` sizes
-    * the sketch to the corpus cardinality. */
-  def incremental(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, expectedItems: Long = 1L << 20): DataFrame = {
-    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    *     exactly — a broadcast semi-join against the index's
+    *     fingerprint table clears Bloom false positives — then
+    *     anti-joined back into the batch. Output is exact, bit-equal
+    *     to a plain NOT IN.
+    * This is the standing-pipeline form: the index is built ONCE per
+    * corpus version (`IncrementalIndex.build`, one corpus scan) and
+    * served to every drop — a drop's plan touches only the batch and
+    * the cached fingerprint table, never the corpus. */
+  def incremental(index: IncrementalIndex, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    GraftFunctions.ensureRegistered(batch.sparkSession)
     val key = xxhash64(Text.fingerprint(col(textCol)))
-    val sketch = corpus.select(key.as("__k"))
-      .agg(call_function("bloom_agg", col("__k"), lit(expectedItems)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
     val candFps = batch
-      .filter(call_function("bloom_contains", lit(sketch), key))
+      .filter(call_function("bloom_contains", lit(index.sketch), key))
       .select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
-    // semi-join FROM the corpus side so the broadcast lands on the
-    // small candidate set and the corpus never shuffles
-    val confirmed = corpus.select(Text.fingerprint(col(textCol)).as("__fp"))
+    // semi-join FROM the fingerprint side so the broadcast lands on
+    // the small candidate set and the big side never shuffles
+    val confirmed = index.fingerprints
       .join(broadcast(candFps), Seq("__fp"), "left_semi").distinct()
     batch.withColumn("__fp", Text.fingerprint(col(textCol)))
       .join(broadcast(confirmed), Seq("__fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** One-shot convenience form of d11: builds an unpersisted index and
+    * applies it, so a single call still costs two corpus passes
+    * (sketch fold + verify join lineage). Standing pipelines — the
+    * one-index-many-drops case the operator exists for — should build
+    * an [[IncrementalIndex]] once and call the index overload. */
+  def incremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long = 1L << 20): DataFrame =
+    incremental(
+      IncrementalIndex.build(corpus, textCol, expectedItems, persist = false),
+      batch, idCol, textCol)
 
   /** d12: duplicate clustering — connected components over a
     * near-dup pair list (id1, id2), the step that turns pairwise

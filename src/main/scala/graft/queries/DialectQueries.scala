@@ -54,7 +54,9 @@ object DialectQueries {
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
         |  event_id // 7 AS grp,
         |  CASE WHEN value > 75 THEN 'high' WHEN value > 25 THEN 'mid' ELSE 'low' END AS band,
-        |  length(event_type) > 0 AS has_type
+        |  length(event_type) > 0 AS has_type,
+        |  date_diff('hour', ts, ts + INTERVAL 90 MINUTE) AS ddh,
+        |  date_diff('day', ts, ts + INTERVAL 1 HOUR) AS ddd
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)(
       chSql(Seq("events"),
         """SELECT event_id,
@@ -62,7 +64,9 @@ object DialectQueries {
           |  date_format(toStartOfHour(ts), 'yyyy-MM-dd HH') AS hr,
           |  intDiv(event_id, 7) AS grp,
           |  multiIf(value > 75, 'high', value > 25, 'mid', 'low') AS band,
-          |  notEmpty(event_type) AS has_type
+          |  notEmpty(event_type) AS has_type,
+          |  dateDiff('hour', ts, ts + INTERVAL 90 MINUTE) AS ddh,
+          |  dateDiff('day', ts, ts + INTERVAL 1 HOUR) AS ddd
           |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
 
     // String/array/hash dialect names through spark.sql.
@@ -382,6 +386,50 @@ object DialectQueries {
           |  hasAny(splitByChar(' ', p_name), ['green', 'red']) AS ha,
           |  hasAll(splitByChar(' ', p_name), ['lemon', 'blue']) AS hall
           |FROM part_v ORDER BY p_partkey""".stripMargin)),
+
+    // LIMIT o, n BY cols — the offset form (ASTSelectQuery.h:30,60-61
+    // limitByOffset, parsed at ParserSelectQuery.cpp:427): rows
+    // o+1 … o+n of each group under the query's ORDER BY. Realized as
+    // a per-group row_number window BETWEEN filter; the oracle states
+    // the same window directly.
+    "c23_ch_limit_by_offset" -> Q(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_custkey, o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn BETWEEN 2 AND 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+          |LIMIT 1, 2 BY o_custkey""".stripMargin)),
+
+    // SQL-standard OFFSET … FETCH (ParserSelectQuery.cpp:306-327):
+    // the ONLY form maps to Spark's LIMIT/OFFSET verbatim.
+    "c24_ch_offset_fetch" -> Q(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 25 OFFSET 10""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_orderkey
+          |OFFSET 10 ROWS FETCH NEXT 25 ROWS ONLY""".stripMargin)),
+
+    // FETCH FIRST … WITH TIES: the q17 threshold plan (distributed
+    // top-m boundary broadcast back as a filter — no global rank
+    // window). The subquery carries the FETCH; the outer ORDER BY
+    // makes the output total for the hash compare.
+    "c25_ch_fetch_ties" -> Q(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice <= (
+        |  SELECT o_totalprice FROM orders ORDER BY o_totalprice LIMIT 1 OFFSET 99)
+        |ORDER BY o_totalprice, o_orderkey""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderkey, o_totalprice FROM (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  ORDER BY o_totalprice
+          |  FETCH FIRST 100 ROWS WITH TIES)
+          |ORDER BY o_totalprice, o_orderkey""".stripMargin)),
 
     // IPv4 domain conversions (DataTypeCustomIPv4AndIPv6.cpp — IPv4
     // is a UInt32 with dotted-quad presentation): the corpus has no IP

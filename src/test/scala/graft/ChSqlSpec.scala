@@ -409,12 +409,61 @@ class ChSqlSpec extends SparkSpec {
     assert(got == ("12", "ab"))
   }
 
-  test("CH 3-arg dateDiff rewrites to timestampdiff; 2-arg datediff survives") {
+  test("LIMIT o, n BY takes rows o+1..o+n per group") {
+    Seq((1, 10), (1, 20), (1, 30), (1, 40), (2, 1), (2, 2)).toDF("k", "v")
+      .createOrReplaceTempView("lb_t")
+    val got = spark.sql(ChSql.translate(
+      "SELECT k, v FROM lb_t ORDER BY k, v LIMIT 1, 2 BY k"))
+      .as[(Int, Int)].collect().toSeq
+    // group 1: skip v=10, keep 20,30; group 2: skip v=1, keep 2
+    assert(got == Seq((1, 20), (1, 30), (2, 2)), got)
+    // the plain form still works and a trailing LIMIT survives
+    val plain = spark.sql(ChSql.translate(
+      "SELECT k, v FROM lb_t ORDER BY k, v LIMIT 2 BY k LIMIT 3"))
+      .as[(Int, Int)].collect().toSeq
+    assert(plain == Seq((1, 10), (1, 20), (2, 1)), plain)
+  }
+
+  test("OFFSET/FETCH forms: ONLY and bare OFFSET map to LIMIT/OFFSET") {
+    assert(ChSql.translate(
+      "SELECT a FROM t ORDER BY a OFFSET 10 ROWS FETCH NEXT 5 ROWS ONLY")
+      == "SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 10")
+    assert(ChSql.translate("SELECT a FROM t ORDER BY a OFFSET 10 ROWS")
+      == "SELECT a FROM t ORDER BY a OFFSET 10")
+    assert(ChSql.translate("SELECT a FROM t ORDER BY a FETCH FIRST ROW ONLY")
+      == "SELECT a FROM t ORDER BY a LIMIT 1")
+  }
+
+  test("FETCH FIRST m ROWS WITH TIES keeps the boundary ties; refusals are loud") {
+    Seq(1, 2, 2, 3, 4).toDF("a").createOrReplaceTempView("ft_t")
+    // top-2 ascending is {1, 2}; the second 2 ties the boundary
+    val got = spark.sql(ChSql.translate(
+      "SELECT a FROM ft_t ORDER BY a FETCH FIRST 2 ROWS WITH TIES"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(1, 2, 2), got)
+    // DESC: top-2 is {4, 3}, no tie at the boundary
+    val gd = spark.sql(ChSql.translate(
+      "SELECT a FROM ft_t ORDER BY a DESC FETCH FIRST 2 ROWS WITH TIES"))
+      .as[Int].collect().toSeq
+    assert(gd == Seq(4, 3), gd)
+    // inexpressible forms refuse with a clear message, never mis-parse
+    intercept[IllegalArgumentException] {
+      ChSql.translate(
+        "SELECT a FROM t ORDER BY a OFFSET 1 ROWS FETCH FIRST 2 ROWS WITH TIES")
+    }
+    intercept[IllegalArgumentException] {
+      ChSql.translate(
+        "SELECT a, b FROM t ORDER BY a, b FETCH FIRST 2 ROWS WITH TIES")
+    }
+  }
+
+  test("CH 3-arg dateDiff counts boundary crossings; 2-arg datediff survives") {
     assert(ChSql.translate("SELECT dateDiff('day', a, b) FROM t")
-      == "SELECT timestampdiff(DAY, a, b) FROM t")
+      == "SELECT timestampdiff(DAY, date_trunc('DAY', a), date_trunc('DAY', b)) FROM t")
     assert(ChSql.translate("SELECT datediff(b, a) FROM t")
       == "SELECT datediff(b, a) FROM t")
-    // end to end: CH units against real timestamps
+    // end to end: CH units against real timestamps (boundary-aligned
+    // start, so crossings == complete units — the pre-fix behavior)
     Seq(("2024-01-01 00:00:00", "2024-03-01 12:30:00"))
       .toDF("s", "e")
       .select(col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
@@ -424,5 +473,18 @@ class ChSqlSpec extends SparkSpec {
         "dateDiff('hour', s, e) AS h FROM dd_t"))
       .as[(Long, Long, Long)].collect().head
     assert(got == ((60L, 2L, 1452L)), got)
+    // NON-aligned operands: CH counts unit-BOUNDARY crossings, so two
+    // minutes straddling midnight are 1 day / 1 hour / 2 minutes apart
+    // even though zero complete units elapsed (timestampdiff alone
+    // would return 0 for all three)
+    Seq(("2024-01-01 23:59:00", "2024-01-02 00:01:00"))
+      .toDF("s", "e")
+      .select(col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
+      .createOrReplaceTempView("dd_t2")
+    val cross = spark.sql(ChSql.translate(
+      "SELECT dateDiff('day', s, e) AS d, dateDiff('hour', s, e) AS h, " +
+        "dateDiff('minute', s, e) AS mi, dateDiff('month', s, e) AS mo FROM dd_t2"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(cross == ((1L, 1L, 2L, 0L)), cross)
   }
 }

@@ -452,6 +452,28 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("materialized view TO refuses a same-named, wrong-typed target") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_mv_ty_base (k Int64, v Int64) ENGINE = MergeTree() ORDER BY (k);
+        |CREATE TABLE graft_mv_ty_t (k Int64, v2 String) ENGINE = MergeTree() ORDER BY (k)""".stripMargin)
+    // column NAMES match the SELECT output exactly — only v2's type
+    // differs (String vs the SELECT's Int64); a name-only check passes
+    // this and corrupts at the first insert-trigger append
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "CREATE MATERIALIZED VIEW graft_mv_ty TO graft_mv_ty_t AS SELECT k, v * 2 AS v2 FROM graft_mv_ty_base")
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    Seq("graft_mv_ty_base", "graft_mv_ty_t").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("DESCRIBE DATABASE / DESCRIBE QUERY pass through to Spark's grammar") {
+    GraftFunctions.ensureRegistered(spark)
+    assert(ChDdl.execute(spark, "DESCRIBE DATABASE default").count() > 0)
+    assert(ChDdl.execute(spark, "DESCRIBE QUERY SELECT 1 AS x").count() > 0)
+  }
+
   test("un-populated MV over a non-empty base never captures base-table aggregates") {
     GraftFunctions.ensureRegistered(spark)
     ChDdl.execute(spark,
@@ -480,6 +502,29 @@ class DdlSpec extends SparkSpec {
     val got = spark.table("graft_mv_big_t").orderBy("k")
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((2L, 20L), (3L, 60L)), got)
+  }
+
+  test("INTO OUTFILE writes the FORMAT-rendered file; an existing file refuses") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, CAST(NULL AS STRING)) AS t(id, s)")
+      .createOrReplaceTempView("graft_of_t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_outfile")
+    val p = tmp.resolve("out.csv")
+    ChDdl.execute(spark,
+      s"SELECT id, s FROM graft_of_t ORDER BY id INTO OUTFILE '$p' FORMAT CSV")
+    assert(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      == "1,a\n2,\\N\n")
+    // reference behavior: an existing file refuses, never overwrites
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, s"SELECT 1 AS x INTO OUTFILE '$p'")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // without FORMAT the default rendering is TSV
+    val p2 = tmp.resolve("out.tsv")
+    ChDdl.execute(spark,
+      s"SELECT id, s FROM graft_of_t ORDER BY id INTO OUTFILE '$p2'")
+    assert(new String(java.nio.file.Files.readAllBytes(p2), "UTF-8")
+      == "1\ta\n2\t\\N\n")
   }
 
   test("SELECT … FORMAT renders JSONEachRow / CSV / TSV rows; other formats strip") {

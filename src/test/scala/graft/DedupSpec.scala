@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, IncrementalIndex}
 import graft.sources.Tables
 
 /** Semantic oracles for the rows-only dedup operators, on a corpus
@@ -102,6 +102,38 @@ class DedupSpec extends SparkSpec {
     val plan = out.queryExecution.analyzed.toString
     assert(plan.contains("might_contain"), // BloomFilterMightContain.prettyName
       s"expected a bloom_contains prefilter in:\n$plan")
+  }
+
+  test("prebuilt IncrementalIndex serves successive drops with zero corpus scans") {
+    // the standing-pipeline contract: ONE build (one corpus scan),
+    // then every crawl drop reads only the batch and the cached
+    // fingerprint table — never the corpus again
+    val idx = IncrementalIndex.build(corpus, "text")
+    try {
+      assert(idx.fingerprints.storageLevel.useMemory,
+        "index fingerprint table must be persisted")
+      def reform(i: Int, newId: Long) =
+        (newId, "  " + corpus.where(col("doc_id") === i)
+          .select("text").as[String].head.toUpperCase + "  ")
+      // drop 1: re-formatted copies of docs 0..2 + two new docs
+      val batch1 = ((0 until 3).map(i => reform(i, 200L + i)) ++
+        Seq((300L, "fresh doc alpha"), (301L, "fresh doc beta")))
+        .toDF("doc_id", "text")
+      val out1 = Dedup.incremental(idx, batch1, "doc_id", "text")
+      assert(out1.select("doc_id").as[Long].collect().toSet == Set(300L, 301L))
+      // drop 2 through the SAME index: copies of docs 3..4 + one new
+      val batch2 = (Seq(3, 4).map(i => reform(i, 210L + i)) :+
+        (400L, "fresh doc gamma")).toDF("doc_id", "text")
+      val out2 = Dedup.incremental(idx, batch2, "doc_id", "text")
+      assert(out2.select("doc_id").as[Long].collect().toSet == Set(400L))
+      // per-drop plan shape: the exact-verify side reads the CACHE
+      // (InMemoryTableScan), and the map-side Bloom prefilter is there
+      val physical = out2.queryExecution.executedPlan.toString
+      assert(physical.contains("InMemoryTableScan"),
+        s"drop plan must read the cached fingerprint table:\n$physical")
+      assert(out2.queryExecution.analyzed.toString.contains("might_contain"),
+        "drop plan must carry the Bloom prefilter")
+    } finally idx.release()
   }
 
   test("incremental dedup keeps Bloom false positives via the exact verify join") {

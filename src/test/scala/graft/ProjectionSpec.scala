@@ -142,6 +142,31 @@ class ProjectionSpec extends SparkSpec {
     Seq("avg_rt", "avg_rt_mv").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("front-door DROP TABLE invalidates projection routing for a recreated name") {
+    GraftFunctions.ensureRegistered(spark)
+    val dct = ChDdl.parse(
+      """CREATE TABLE proj_drop_t (s String, v Int64,
+        |  PROJECTION by_s (SELECT s, sum(v), count() GROUP BY s)
+        |) ENGINE = MergeTree() ORDER BY (v)""".stripMargin)
+    dct.create(spark)
+    dct.insertSelect(spark, Seq(("a", 1L), ("b", 2L)).toDF("s", "v"))
+    val q0 = spark.table("proj_drop_t").groupBy("s").agg(sum($"v").as("sv"))
+    assert(q0.queryExecution.optimizedPlan.toString.contains("__proj_by_s"),
+      "projection must route before the drop")
+    ChDdl.execute(spark, "DROP TABLE proj_drop_t")
+    // recreate the same name OUTSIDE ChDdl.parse with different data —
+    // a stale registration would silently serve the OLD summary
+    Seq(("a", 10L), ("b", 20L)).toDF("s", "v")
+      .write.format("parquet").saveAsTable("proj_drop_t")
+    val q = spark.table("proj_drop_t").groupBy("s").agg(sum($"v").as("sv"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("__proj_by_s"),
+      "stale projection still routed after DROP + recreate")
+    assert(q.orderBy("s").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 10L), ("b", 20L)))
+    spark.sql("DROP TABLE proj_drop_t")
+    spark.sql("DROP TABLE IF EXISTS proj_drop_t__proj_by_s")
+  }
+
   test("ALTER mutation invalidates the projection routing") {
     ct // force materialization
     ChDdl.alter(spark, "ALTER TABLE graft_proj_spec DELETE WHERE o_orderkey < 0") // no-op delete
