@@ -31,20 +31,45 @@ object Bench {
     // fixed -Xmx): a single shot in a shared, pressured JVM swung
     // individual queries 4-8× run-to-run; the median pass-wise timing
     // is stable and GC hiccups land on one pass, not the report.
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    val failures = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // a FAILED run must never contribute a (fast) time sample — a key
+    // that starts throwing would otherwise report a flattering median
+    // instead of surfacing the break
+    def timed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => failures(name) += 1; false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
+      if (ok) Some(dt) else None
     }
+    // canary: a fixed synthetic workload (range → hash-agg → noop, no
+    // file IO) timed once per pass. Its cross-round ratio measures
+    // AMBIENT machine load — every past round's uniform ±16% swing was
+    // exactly this — so per-key comparisons normalize by canary_s
+    // instead of needing manual judgment.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").sum("v")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def pass(): Map[String, Option[Double]] =
+      SparkEntry.queries.map { case (name, fn) => name -> timed(name, fn) }
     // one untimed FULL pass first: per-plan codegen/JIT and one-time
     // layout writes land here instead of skewing pass 1 of the stats
-    pass()
+    pass(); canary()
+    failures.clear() // warmup failures re-count in the timed passes
     // a clean heap at each pass start keeps one pass's garbage from
     // taxing the next pass's first queries
-    val passes = (1 to iters).map { _ => System.gc(); pass() }
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val passes = (1 to iters).map { _ =>
+      System.gc(); canaries += canary(); pass()
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
@@ -53,40 +78,41 @@ object Bench {
       // with ≥4 samples trim the single best/worst shot (a GC hiccup
       // or JIT deopt lands on ONE sample; untrimmed max-min only ever
       // grows with more samples, penalizing the re-measurement below)
+      if (xs.isEmpty) return 0.0
       val s = xs.sorted
       val t = if (s.length >= 4) s.slice(1, s.length - 1) else s
       val m = median(xs)
       if (m > 0) (t.max - t.min) / m else 0.0
     }
     var samples: Map[String, Seq[Double]] =
-      SparkEntry.queries.keys.map(n => n -> passes.map(_(n))).toMap
-    // adaptive re-measurement: keys whose 3 interleaved shots disagree
+      SparkEntry.queries.keys.map(n => n -> passes.flatMap(_(n))).toMap
+    // adaptive re-measurement: keys whose interleaved shots disagree
     // re-run ALONE (fresh cache, no neighboring query's GC debris) and
     // pool the samples — noise gets more evidence, stable keys don't
     // pay for it
     val extraIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4").toInt
     samples.keys.toSeq.sorted
-      .filter(n => relSpread(samples(n)) > 0.3)
+      .filter(n => samples(n).nonEmpty && relSpread(samples(n)) > 0.3)
       .foreach { name =>
         val fn = SparkEntry.queries(name)
         System.gc()
-        val extra = (1 to extraIters).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          dt
-        }
+        val extra = (1 to extraIters).flatMap(_ => timed(name, fn))
         samples += name -> (samples(name) ++ extra)
       }
-    val results = samples.map { case (k, xs) => k -> median(xs) }
-    val spreads = samples.valuesIterator.map(relSpread).toSeq
+    // keys with zero successful runs are ERRORS, not times — reported
+    // in their own field so a regression to failure is loud
+    val errors = samples.collect { case (k, xs) if xs.isEmpty => k }.toSeq.sorted
+    val results = samples.collect { case (k, xs) if xs.nonEmpty => k -> median(xs) }
+    val spreads = samples.valuesIterator.filter(_.nonEmpty).map(relSpread).toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val medSpread = if (spreads.nonEmpty) median(spreads) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread}""")
+    val canaryS = if (canaries.nonEmpty) median(canaries.toSeq) else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_runs":$failJson,"canary_s":$canaryS,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread}""")
     spark.stop()
   }
 }

@@ -267,7 +267,15 @@ object ChDialect {
       val idx = es(1) match {
         case Literal(s, StringType) if s != null =>
           Literal(if (ChSql.hasCapturingGroup(s.toString)) 1 else 0)
-        case _ => Literal(1) // non-literal pattern: assume a group
+        case _ =>
+          // CH picks group 1 vs whole match by INSPECTING the pattern;
+          // undecidable for a runtime value (guessing group 1 made
+          // group-less patterns throw mid-job deep in Spark). Refuse
+          // at analysis with the actionable fix instead.
+          throw new UnsupportedOperationException(
+            "extractAll requires a literal pattern: the group-vs-whole-" +
+              "match rule is decided from the pattern text; inline the " +
+              "pattern as a string literal")
       }
       builtin("regexp_extract_all")(Seq(es(0), es(1), idx))
     },

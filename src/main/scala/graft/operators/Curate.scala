@@ -32,12 +32,18 @@ object Curate {
         Text.wsTokenCount(col(textCol)).as("n_tokens"),
         Text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("predicted") === keepLang && col("quality") >= minQuality)
+    // deliberately NOT persisted: both consumers (pair generation and
+    // the final anti-join) re-derive this from lineage. Caching the
+    // full surviving corpus is exactly the wrong trade at 100 TB —
+    // memory-and-disk-spilling a corpus-sized intermediate costs more
+    // than the one extra scan + fingerprint window it saves, and a
+    // persist with no unpersist epilogue would accumulate for the
+    // lifetime of a long-lived session (the LIVE VIEW / WATCH case).
     val exact = scored
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__fp").orderBy(col(idCol))))
       .filter(col("__rn") === 1)
       .drop("__rn", "__fp")
-      .persist() // read twice: pair generation + the final anti-join
     val pairs = Dedup.ngramJaccard(exact, idCol, textCol, "predicted",
       n, minJaccard, maxGramDf)
     val drop = pairs.select(col("id2").as(idCol)).distinct()

@@ -136,24 +136,30 @@ object Dedup {
     * the early-exit probe per round is an isEmpty, not a collect. */
   def dupClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
       maxIters: Int = 20): DataFrame = {
-    val e = pairs.select(col(id1).as("a"), col(id2).as("b"))
-    val edges = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val e = pairs.select(col(id1).as("__a"), col(id2).as("__b"))
+    val edges = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
       .distinct().persist()
-    var labels = edges.select(col("a").as("node"))
-      .distinct().withColumn("label", col("node")).persist()
+    // labels carry the OUTPUT schema (id1, cluster_id) from round 0,
+    // so what's returned at the end is the last round's persisted
+    // Dataset ITSELF — the caller's `unpersist()` on it is a real,
+    // complete release. (A final renaming projection would be a
+    // DERIVED plan: un-releasable by the caller, and un-cacheable
+    // without invalidating it again — the round-5/6 leak.)
+    var labels = edges.select(col("__a").as(id1))
+      .distinct().withColumn("cluster_id", col(id1)).persist()
     var converged = false
     var i = 0
     try {
       while (!converged && i < maxIters) {
         val next = edges
-          .join(labels.withColumnRenamed("node", "b"), "b")
-          .select(col("a").as("node"), col("label"))
+          .join(labels.select(col(id1).as("__b"), col("cluster_id")), "__b")
+          .select(col("__a").as(id1), col("cluster_id"))
           .union(labels)
-          .groupBy("node").agg(min("label").as("label"))
+          .groupBy(id1).agg(min("cluster_id").as("cluster_id"))
           .persist()
         converged = next
-          .join(labels.withColumnRenamed("label", "__old"), "node")
-          .filter(col("label") < col("__old"))
+          .join(labels.select(col(id1), col("cluster_id").as("__old")), id1)
+          .filter(col("cluster_id") < col("__old"))
           .isEmpty
         labels.unpersist()
         labels = next
@@ -166,10 +172,7 @@ object Dedup {
         labels.unpersist(); edges.unpersist(); throw e
     }
     edges.unpersist()
-    // NOTE: the result stays persisted (its lineage spans every
-    // propagation round); callers that are done with it should
-    // unpersist() or clearCache()
-    labels.select(col("node").as(id1), col("label").as("cluster_id"))
+    labels
   }
 
   /** Raw whitespace token array — kept IDENTICAL to DuckDB's
@@ -335,6 +338,12 @@ object Dedup {
     // corpus size. |A|,|B| stay the UNCAPPED set sizes, so Jaccard is
     // only ever underestimated, never inflated. The df count is one
     // shuffle on the same (block, gram) key the join uses.
+    // NOT persisted: both self-join sides shuffle this same subplan on
+    // the same (block, gram) key, so Catalyst's ReuseExchange serves
+    // the second side from the first side's shuffle files — the grams
+    // compute ONCE anyway (asserted in DedupSpec), without caching a
+    // tokens-scale intermediate that would spill at corpus scale or
+    // leak in a long-lived session.
     val grams = df.select(col(idCol), col(blockCol).as("__blk"),
         wordNGrams(col(textCol), n).as("__gs"))
       .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
@@ -342,7 +351,6 @@ object Dedup {
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("__blk", "__g")))
       .filter(col("__df") <= maxGramDf)
       .drop("__df")
-      .persist() // both sides of the self-join read this once
     val a = grams.select(col(idCol).as("id1"), col("__blk"),
       col("__sz").as("__s1"), col("__g"))
     val b = grams.select(col(idCol).as("id2"), col("__blk").as("__blk2"),

@@ -243,6 +243,25 @@ class ChDialectSpec extends SparkSpec {
     assert(a.getAs[Long]("bo") == 7L)
   }
 
+  test("extractAll: literal patterns pick group vs whole match; runtime patterns refuse") {
+    GraftFunctions.ensureRegistered(spark)
+    // group-less pattern → whole matches; capturing group → group 1
+    val got = spark.sql(
+      "SELECT extractAll('ab12cd34', '[0-9]+') AS whole, " +
+        "extractAll('ab12cd34', '([a-z]+)[0-9]') AS grp")
+      .as[(Seq[String], Seq[String])].collect().head
+    assert(got == ((Seq("12", "34"), Seq("ab", "cd"))), got)
+    // a runtime pattern can't be inspected for the group rule —
+    // refuse at analysis instead of throwing mid-job on group 1
+    val e = intercept[Exception] {
+      spark.sql("SELECT extractAll(s, p) FROM VALUES ('ab1', '[0-9]') AS t(s, p)")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("literal pattern")), e.toString)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {

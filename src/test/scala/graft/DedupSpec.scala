@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, IncrementalIndex}
+import graft.operators.{Curate, Dedup, IncrementalIndex}
 import graft.sources.Tables
 
 /** Semantic oracles for the rows-only dedup operators, on a corpus
@@ -147,6 +147,36 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.incremental(bigCorpus, batch, "doc_id", "text",
       expectedItems = 2L)
     assert(out.count() == 200, "no batch doc is truly in the corpus")
+  }
+
+  test("cache hygiene: funnel/ngramJaccard leave nothing persisted; dupClusters releases") {
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // the curation funnel (d09's/d13's core) caches nothing: its big
+    // intermediates are recomputed from lineage by design
+    Curate.funnel(corpus, "doc_id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "funnel must leave no persisted RDDs behind")
+    // ngramJaccard's un-persisted self-join serves the second side
+    // from the first side's shuffle (ReuseExchange) — the grams
+    // compute once, with no cache to leak
+    val blocked = corpus.withColumn("blk", lit(1))
+    val d04 = Dedup.ngramJaccard(blocked, "doc_id", "text", "blk", minJaccard = 0.5)
+    d04.collect() // run THIS plan so AQE finalizes it (count() builds its own)
+    assert(d04.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      s"expected exchange reuse in:\n${d04.queryExecution.executedPlan}")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "ngramJaccard must leave no persisted RDDs behind")
+    // dupClusters hands back ITS one persisted frame — unpersisting
+    // the returned handle is a real, complete release
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val cl = Dedup.dupClusters(pairs)
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      s"only the returned handle should be persisted, got " +
+        s"${spark.sparkContext.getPersistentRDDs.size}")
+    cl.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "unpersisting the returned handle must release everything")
   }
 
   test("dupClusters closes transitive chains with min-id labels") {
