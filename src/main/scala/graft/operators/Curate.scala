@@ -100,6 +100,15 @@ object Curate {
     val capCol: Column = caps.foldLeft(lit(defaultCap)) {
       case (acc, (s, k)) => when(col(strataCol) === s, k).otherwise(acc)
     }
+    topKByHash(docs, idCol, strataCol, capCol, salts)
+  }
+
+  /** The shared two-phase per-stratum top-k (see mixSample's doc for
+    * the exactness argument). `capCol` may be any expression valid on
+    * `docs`' columns — a literal/when chain (mixSample) or a joined
+    * per-stratum column (temperatureMix). */
+  private def topKByHash(docs: DataFrame, idCol: String, strataCol: String,
+      capCol: Column, salts: Int): DataFrame = {
     val local = docs
       .withColumn("__h", md5(col(idCol).cast("string")))
       .withColumn("__salt", pmod(xxhash64(col(idCol).cast("string")), lit(salts)))
@@ -113,5 +122,93 @@ object Curate {
       .filter(col("__pick") <= capCol)
       .drop("__h", "__salt", "__lrn")
       .withColumnRenamed("__pick", "pick")
+  }
+
+  /** Temperature-weighted corpus mixing: per-source keep counts
+    * ∝ n_s^alpha (alpha < 1 upweights small sources — the standard
+    * pretraining mixture), realized as the same deterministic
+    * two-phase md5-order top-k t05 uses, with the caps COMPUTED from
+    * the data instead of given:
+    *   cap_s = budget · w_s / Σw,  w_s = round(n_s^alpha · 10^6).
+    * Weights round to integers BEFORE normalizing so cap arithmetic is
+    * exact long division — no cross-engine float summation-order drift
+    * can flip a floor. alpha = 0.5 routes through sqrt (correctly
+    * rounded per IEEE 754, unlike pow, so it is bit-identical across
+    * engines). Source counts are one partial-aggregated scan; the
+    * weight total is a 1-row broadcast; caps broadcast-join back onto
+    * the corpus — nothing corpus-sized shuffles beyond the sampler's
+    * own salted top-k.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, strataCol: String,
+      budget: Long, alpha: Double = 0.5, salts: Int = 64): DataFrame = {
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__ns"))
+    val wExpr = if (alpha == 0.5) sqrt(col("__ns")) else pow(col("__ns"), alpha)
+    val weights = counts.withColumn("__w",
+      round(wExpr * 1000000).cast("long"))
+    val caps = weights
+      .crossJoin(broadcast(weights.agg(sum(col("__w")).as("__wsum"))))
+      .withColumn("__cap", expr(s"($budget * __w) div __wsum"))
+      .select(col(strataCol), col("__cap"))
+    val withCap = docs.join(broadcast(caps), Seq(strataCol))
+    topKByHash(withCap, idCol, strataCol, col("__cap"), salts)
+      .drop("__cap")
+  }
+
+  /** Concat-and-chunk sequence packing — the standard pretraining
+    * batch prep: documents are laid out in one deterministic global
+    * order (md5 of the id — seedless, engine-portable), one separator
+    * token between docs, and the token stream is cut into fixed
+    * `seqLen` training sequences. Emits, per document, its global
+    * token offset and which sequence/offset it lands in.
+    *
+    * The global running token count is a DISTRIBUTED prefix sum, not a
+    * global window: the first `prefixChars` hex chars of the md5 are
+    * an order-preserving bucket (a prefix of the sort key), so
+    *  - phase 1 computes per-bucket cumulative sums in a window
+    *    partitioned by bucket;
+    *  - phase 2 lifts the 16^prefixChars per-bucket totals to the
+    *    driver (metadata-scale, like Ivf's centroids), prefix-sums
+    *    them, and broadcast-joins the exclusive bucket offsets back.
+    * Per-task work is corpus/16^prefixChars: 2 hex chars (256 tasks)
+    * fits the test SFs; at 100 TB set prefixChars = 4–5 (65k–1M
+    * buckets) so a bucket's token stream fits one task. All arithmetic
+    * is exact long math — the result is byte-identical to the
+    * single-window spelling at any bucket count.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int = 2048, sepTokens: Int = 1, prefixChars: Int = 2): DataFrame = {
+    require(seqLen > 0 && sepTokens >= 0 && prefixChars >= 1)
+    val toks = docs.select(
+        col(idCol),
+        Text.wsTokenCount(col(textCol)).as("n_tokens"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__n", col("n_tokens") + lit(sepTokens))
+      .withColumn("__bkt", substring(col("__h"), 1, prefixChars))
+    val local = toks.withColumn("__cum_local",
+      sum(col("__n").cast("long")).over(
+        Window.partitionBy("__bkt").orderBy(col("__h"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketTotals = local.groupBy("__bkt")
+      .agg(max(col("__cum_local")).as("__tot"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Seq[(String, Long)] =
+      if (bucketTotals.isEmpty) Seq.empty
+      else bucketTotals
+        .scanLeft(("", 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+        .sliding(2).map { case Array((_, off), (b, _)) => (b, off) }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__bkt", "__off"))
+    local.join(offDf, Seq("__bkt"))
+      .withColumn("__cum", col("__off") + col("__cum_local"))
+      .withColumn("start_off", col("__cum") - col("__n"))
+      .select(
+        col(idCol), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $seqLen").as("seq_id"),
+        (col("start_off") % seqLen).as("seq_off"),
+        (expr(s"(__cum - 1) div $seqLen") -
+          expr(s"start_off div $seqLen") + 1).as("n_seqs"))
   }
 }

@@ -177,6 +177,56 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Concat-and-chunk sequence packing: docs in md5(id) order, one
+    // separator token between docs, cut into 512-token training
+    // sequences. The oracle is the single-window spelling; the Spark
+    // plan is the distributed two-phase prefix sum (order-preserving
+    // md5-prefix buckets + broadcast bucket offsets) — byte-identical
+    // output, no global window.
+    "t08_pack_sequences" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens + 1) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum - n_tokens - 1 AS BIGINT) AS start_off,
+        |  CAST((cum - n_tokens - 1) // 512 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens - 1) % 512 AS BIGINT) AS seq_off,
+        |  CAST((cum - 1) // 512 - (cum - n_tokens - 1) // 512 + 1 AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curate.packSequences(Tables(s, dir).documents,
+          "doc_id", "text", seqLen = 512)
+        .orderBy("doc_id")
+    },
+
+    // Temperature-weighted mixing: per-source keep counts ∝ sqrt(n_s)
+    // (alpha = 0.5 upweights small sources), budget 100. Weights round
+    // to integers before normalizing so the caps are exact long
+    // division in both engines; selection is the same deterministic
+    // md5-order top-k as t05.
+    "t09_temperature_mix" -> Q(
+      """WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |w AS (SELECT source, CAST(ROUND(SQRT(ns) * 1000000) AS BIGINT) AS w FROM n),
+        |c AS (SELECT source,
+        |        CAST((100 * w) // (SELECT SUM(w) FROM w) AS BIGINT) AS cap FROM w),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.pick AS BIGINT) AS pick
+        |FROM r JOIN c USING (source) WHERE r.pick <= c.cap
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curate.temperatureMix(Tables(s, dir).documents,
+          "doc_id", "source", budget = 100L)
+        .select("doc_id", "source", "pick")
+        .orderBy("doc_id")
+    },
+
     "t04_fingerprint" -> Q(
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -109,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
       "y03_lowcard",        // dictionary rank self-join (distinct values)
       "c17_ch_fill_multi",  // per-key fill spines cross join (12×7 grid)
       "j05_cross",          // the intentional CROSS JOIN
-      "d05_knn_brute")      // brute force IS broadcast-queries × corpus
+      "d05_knn_brute",      // brute force IS broadcast-queries × corpus
+      "t09_temperature_mix")// broadcast 1-row weight total
     withoutAqe {
       val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
