@@ -469,7 +469,100 @@ object ChDialect {
       Divide(
         builtin("aggregate")(Seq(es(0), Literal(0.0),
           LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)))),
-        Cast(builtin("size")(es), DoubleType)) }
+        Cast(builtin("size")(es), DoubleType)) },
+
+    // ---- array family, round 7. Composites follow the countEqual
+    // pattern (plan-built lambdas may nest; user lambdas must land on
+    // ONE top-level Spark HOF — the analyzer's lambda rule). Numeric
+    // folds run in double like arraySum (exact through 2^53; CH widens
+    // to the largest numeric too). ----
+    // arrayFold(λ(acc,x), arr, init) is EXACTLY Spark's aggregate with
+    // the lambda moved last — the one user-lambda name that maps 1:1
+    "arrayFold" -> { es => builtin("aggregate")(Seq(es(1), es(2), es(0))) },
+    // running prefix sums; O(n²) in the element count, which CH arrays
+    // (row-local, short) are sized for
+    "arrayCumSum" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      val prefix = builtin("slice")(Seq(es(0), Literal(1), Add(i, Literal(1))))
+      val sumPrefix = builtin("aggregate")(Seq(prefix, Literal(0.0),
+        LambdaFunction(Add(acc, Cast(y, DoubleType)), Seq(acc, y))))
+      builtin("transform")(Seq(es(0), LambdaFunction(sumPrefix, Seq(x, i)))) },
+    // [0, a[1]-a[0], a[2]-a[1], …] — CH's first element is 0
+    "arrayDifference" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val prev = builtin("get")(Seq(es(0), Subtract(i, Literal(1))))
+      val body = If(EqualTo(i, Literal(0)), Literal(0.0),
+        Subtract(Cast(x, DoubleType), Cast(prev, DoubleType)))
+      builtin("transform")(Seq(es(0), LambdaFunction(body, Seq(x, i)))) },
+    // collapse CONSECUTIVE duplicates (not array_distinct)
+    "arrayCompact" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val prev = builtin("get")(Seq(es(0), Subtract(i, Literal(1))))
+      val body = Or(EqualTo(i, Literal(0)), Not(EqualNullSafe(x, prev)))
+      builtin("filter")(Seq(es(0), LambdaFunction(body, Seq(x, i)))) },
+    "arrayProduct" -> { es =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      builtin("aggregate")(Seq(es(0), Literal(1.0),
+        LambdaFunction(Multiply(acc, Cast(x, DoubleType)), Seq(acc, x)))) },
+    "arrayDotProduct" -> { es =>
+      val a = UnresolvedNamedLambdaVariable(Seq("a"))
+      val b = UnresolvedNamedLambdaVariable(Seq("b"))
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      val prods = builtin("zip_with")(Seq(es(0), es(1),
+        LambdaFunction(Multiply(Cast(a, DoubleType), Cast(b, DoubleType)),
+          Seq(a, b))))
+      builtin("aggregate")(Seq(prods, Literal(0.0),
+        LambdaFunction(Add(acc, y), Seq(acc, y)))) },
+    "arrayIntersect"   -> builtin("array_intersect"),
+    "arrayReverseSort" -> { es =>
+      builtin("sort_array")(Seq(es.head, Literal(false))) },
+    "arrayPopBack" -> { es =>
+      val sz = builtin("size")(Seq(es.head))
+      builtin("slice")(Seq(es.head, Literal(1),
+        builtin("greatest")(Seq(Subtract(sz, Literal(1)), Literal(0))))) },
+    "arrayPopFront" -> { es =>
+      val sz = builtin("size")(Seq(es.head))
+      builtin("slice")(Seq(es.head, Literal(2),
+        builtin("greatest")(Seq(Subtract(sz, Literal(1)), Literal(0))))) },
+    "arrayPushFront" -> { es => builtin("concat")(
+      Seq(CreateArray(Seq(es(1))), es(0))) },
+    // arrayWithConstant(n, x) — CH's arg order, Spark's array_repeat
+    "arrayWithConstant" -> { es =>
+      builtin("array_repeat")(Seq(es(1), es(0))) },
+    // arrayResize(arr, n, pad): shrink = slice, grow = append pads.
+    // The 2-arg form pads with the ELEMENT TYPE's default, which a
+    // generic rewrite cannot synthesize — require the pad explicitly.
+    "arrayResize" -> { es =>
+      if (es.size < 3) throw new UnsupportedOperationException(
+        "arrayResize needs the 3-arg form (arr, size, pad): the 2-arg " +
+          "form pads with the element type's default — pass the pad " +
+          "element explicitly")
+      val sz = builtin("size")(Seq(es(0)))
+      val n = Cast(es(1), IntegerType)
+      If(LessThanOrEqual(n, sz),
+        builtin("slice")(Seq(es(0), Literal(1), n)),
+        builtin("concat")(Seq(es(0),
+          builtin("array_repeat")(Seq(es(2), Subtract(n, sz)))))) },
+    // range(end) / range(start, end[, step]) — half-open like CH, so
+    // sequence runs to end-1 (sequence's stop is inclusive; for a
+    // positive step the last element ≤ end-1 matches range exactly)
+    "range" -> { es =>
+      val longs = es.map(e => Cast(e, LongType))
+      val (start, end, step) = es.size match {
+        case 1 => (Literal(0L): Expression, longs(0), Seq.empty[Expression])
+        case 2 => (longs(0), longs(1), Seq.empty[Expression])
+        case _ => (longs(0), longs(1), Seq(longs(2)))
+      }
+      If(LessThanOrEqual(end, start),
+        Literal.create(Array.empty[Long], ArrayType(LongType)),
+        builtin("sequence")(Seq(start, Subtract(end, Literal(1L))) ++ step)) }
   )
 
   /** Floor a timestamp to an n-second bucket (epoch arithmetic, the

@@ -28,6 +28,46 @@ object DialectQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // The round-7 array family — running ops (arrayCumSum /
+    // arrayDifference), shape ops (arrayCompact / arrayReverseSort /
+    // arrayPopBack / arrayPushFront), folds (arrayProduct) and
+    // half-open range — verbatim CH names through the translator,
+    // results flattened to strings so the hash compare is
+    // representation-independent (numeric folds run in double on the
+    // Spark side; toInt64 pins the rendering on both engines).
+    "c24_ch_array_hof" -> Q(
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    [o_orderkey % 7, o_custkey % 5, 3] AS a,
+        |    [o_orderkey % 3, o_orderkey % 3, o_custkey % 3] AS d
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  array_to_string([CAST(list_sum(a[1:i]) AS VARCHAR) for i in range(1, len(a)+1)], ',') AS cum,
+        |  array_to_string([CAST(CASE WHEN i = 1 THEN 0 ELSE a[i] - a[i-1] END AS VARCHAR) for i in range(1, len(a)+1)], ',') AS diff,
+        |  array_to_string([CAST(d[i] AS VARCHAR) for i in range(1, len(d)+1) if i = 1 or d[i] != d[i-1]], ',') AS compact,
+        |  array_to_string(list_reverse_sort(a), ',') AS rsort,
+        |  CAST(list_product(a) AS BIGINT) AS prod,
+        |  COALESCE(array_to_string(range(o_orderkey % 4), ','), '') AS rng,
+        |  array_to_string(list_slice(a, 1, len(a)-1), ',') AS popb,
+        |  array_to_string(list_prepend(9, a), ',') AS pushf
+        |FROM t ORDER BY o_orderkey""".stripMargin)(
+      chSql(Seq("orders"),
+        """WITH t AS (
+          |  SELECT o_orderkey,
+          |    array(o_orderkey % 7, o_custkey % 5, 3) AS a,
+          |    array(o_orderkey % 3, o_orderkey % 3, o_custkey % 3) AS d
+          |  FROM orders)
+          |SELECT o_orderkey,
+          |  arrayStringConcat(arrayMap(x -> toString(toInt64(x)), arrayCumSum(a)), ',') AS cum,
+          |  arrayStringConcat(arrayMap(x -> toString(toInt64(x)), arrayDifference(a)), ',') AS diff,
+          |  arrayStringConcat(arrayMap(x -> toString(x), arrayCompact(d)), ',') AS compact,
+          |  arrayStringConcat(arrayMap(x -> toString(x), arrayReverseSort(a)), ',') AS rsort,
+          |  toInt64(arrayProduct(a)) AS prod,
+          |  arrayStringConcat(arrayMap(x -> toString(x), range(o_orderkey % 4)), ',') AS rng,
+          |  arrayStringConcat(arrayMap(x -> toString(x), arrayPopBack(a)), ',') AS popb,
+          |  arrayStringConcat(arrayMap(x -> toString(x), arrayPushFront(a, 9)), ',') AS pushf
+          |FROM t ORDER BY o_orderkey""".stripMargin)),
+
     // Aggregating CH dialect: countIf/sumIf/uniqExact/median/quantile.
     "c01_dialect_agg" -> Q(
       """SELECT year(o_orderdate) AS yr, o_orderstatus,

@@ -243,6 +243,56 @@ class ChDialectSpec extends SparkSpec {
     assert(a.getAs[Long]("bo") == 7L)
   }
 
+  test("array family round 7: folds, running ops, shape ops, range") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT
+        |  arrayFold((acc, x) -> acc + x, array(1L, 2L, 3L), 10L) AS fold,
+        |  arrayCumSum(array(1, 2, 3)) AS cum,
+        |  arrayDifference(array(5, 8, 6)) AS diff,
+        |  arrayCompact(array(1, 1, 2, 2, 2, 1)) AS compact,
+        |  arrayProduct(array(2, 3, 4)) AS prod,
+        |  arrayDotProduct(array(1.0, 2.0), array(3.0, 4.0)) AS dot,
+        |  arraySort(arrayIntersect(array(3, 1, 2), array(2, 3, 9))) AS inter,
+        |  arrayReverseSort(array(2, 9, 4)) AS rsort,
+        |  arrayPopBack(array(1, 2, 3)) AS popb,
+        |  arrayPopFront(array(1, 2, 3)) AS popf,
+        |  arrayPopBack(array(7)) AS popb1,
+        |  arrayPushFront(array(2, 3), 1) AS pushf,
+        |  arrayWithConstant(3, 'ab') AS wconst,
+        |  arrayResize(array(1, 2, 3), 2, 0) AS shrink,
+        |  arrayResize(array(1, 2), 4, 9) AS grow,
+        |  range(4) AS r1, range(2, 6) AS r2, range(0, 10, 3) AS r3,
+        |  range(5, 5) AS rempty
+        |""".stripMargin)
+    assert(r.getAs[Long]("fold") == 16L)
+    assert(r.getAs[collection.Seq[Double]]("cum") == Seq(1.0, 3.0, 6.0))
+    assert(r.getAs[collection.Seq[Double]]("diff") == Seq(0.0, 3.0, -2.0))
+    assert(r.getAs[collection.Seq[Int]]("compact") == Seq(1, 2, 1))
+    assert(r.getAs[Double]("prod") == 24.0)
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[collection.Seq[Int]]("inter") == Seq(2, 3))
+    assert(r.getAs[collection.Seq[Int]]("rsort") == Seq(9, 4, 2))
+    assert(r.getAs[collection.Seq[Int]]("popb") == Seq(1, 2))
+    assert(r.getAs[collection.Seq[Int]]("popf") == Seq(2, 3))
+    assert(r.getAs[collection.Seq[Int]]("popb1") == Seq.empty)
+    assert(r.getAs[collection.Seq[Int]]("pushf") == Seq(1, 2, 3))
+    assert(r.getAs[collection.Seq[String]]("wconst") == Seq("ab", "ab", "ab"))
+    assert(r.getAs[collection.Seq[Int]]("shrink") == Seq(1, 2))
+    assert(r.getAs[collection.Seq[Int]]("grow") == Seq(1, 2, 9, 9))
+    assert(r.getAs[collection.Seq[Long]]("r1") == Seq(0L, 1L, 2L, 3L))
+    assert(r.getAs[collection.Seq[Long]]("r2") == Seq(2L, 3L, 4L, 5L))
+    assert(r.getAs[collection.Seq[Long]]("r3") == Seq(0L, 3L, 6L, 9L))
+    assert(r.getAs[collection.Seq[Long]]("rempty") == Seq.empty)
+    // arrayResize without the pad refuses with the actionable message
+    val e = intercept[Exception] {
+      spark.sql("SELECT arrayResize(array(1), 3)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("3-arg")), e.toString)
+  }
+
   test("extractAll: literal patterns pick group vs whole match; runtime patterns refuse") {
     GraftFunctions.ensureRegistered(spark)
     // group-less pattern → whole matches; capturing group → group 1
