@@ -137,6 +137,36 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** d14: symmetric int8 quantization of the embedding column — the
+    * storage form a 100 TB vector corpus actually ships (4× smaller
+    * than float32; int8 dot products stay SIMD-friendly downstream).
+    * Per-vector absmax scaling: scale = max|x|/127,
+    * q_i = clamp(⌊x_i/scale + 0.5⌋, ±127). Everything is scan-speed
+    * column arithmetic — no shuffle, no UDF — and every op (abs, max,
+    * floor, the error fold) is the same IEEE double sequence DuckDB
+    * runs, so scale, codes AND the reconstruction MSE (the number a
+    * pipeline thresholds on before switching storage) hash-compare
+    * exactly, like d05's cosine. */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .withColumn("__absmax",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn("scale",
+        when(col("__absmax") === 0.0d, 1.0d).otherwise(col("__absmax") / 127.0d))
+      .withColumn("q", transform(col(vecCol), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / col("scale") + 0.5d))).cast("int")))
+      .withColumn("mse",
+        aggregate(
+          zip_with(col(vecCol), col("q"), (x, qi) => {
+            val d = x.cast("double") - qi.cast("double") * col("scale")
+            d * d
+          }),
+          lit(0.0d), (acc, e) => acc + e) / size(col(vecCol)))
+      .select(col(idCol), col("scale"),
+        array_join(transform(col("q"), _.cast("string")), ",").as("q"),
+        col("mse"))
+
   /** d07: embedding-cosine near-dup over the WHOLE corpus (brief's
     * fifth dedup mode): LSH buckets generate candidate pairs (same
     * capped-bucket machinery as MinHash dedup — corpus-linear), exact
@@ -146,17 +176,22 @@ object Ann {
   def embedNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, minCosine: Double,
       dim: Int, tables: Int = 8, bits: Int = -1, maxBucket: Int = 200): DataFrame = {
-    val vecs = corpus.select(col(idCol), col(vecCol).as("__v")).persist()
+    // NOT persisted (the funnel's trade): the three consumers re-derive
+    // from lineage rather than caching a corpus-of-vectors intermediate
+    // that would spill at scale and leak in a long-lived session. The
+    // sizing count() runs on the RAW corpus — for a parquet source
+    // that's footer metadata, no data scan.
+    val vecs = corpus.select(col(idCol), col(vecCol).as("__v"))
     // auto-size the code width to the corpus: ~32 vectors per bucket
     // keeps in-bucket pair generation constant-cost as the corpus
     // grows (fixed bits would either blow the bucket cap at scale or
     // over-fragment a small corpus). Genuine near-dups (cos ≳ 0.9)
     // collide at ≳ 0.95^bits per table, so recall stays high at any
-    // corpus size; the count() is one cheap metadata-ish pass.
+    // corpus size.
     val effBits =
       if (bits > 0) bits
       else math.max(2, math.ceil(
-        math.log(math.max(vecs.count(), 64L).toDouble / 32.0) / math.log(2)).toInt)
+        math.log(math.max(corpus.count(), 64L).toDouble / 32.0) / math.log(2)).toInt)
     val bucketed = vecs.select(col(idCol),
       posexplode(codeArray(corpus, col("__v"), tables, effBits))
         .as(Seq("__table", "__code")))

@@ -66,6 +66,30 @@ object AnnQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Symmetric int8 quantization of the whole embedding corpus:
+    // per-vector absmax scale, clamped round-half-up codes, and the
+    // reconstruction MSE — scale, codes and MSE all hash-compare
+    // exactly (identical IEEE double sequence on both engines).
+    "d14_embed_quantize" -> Q(
+      """WITH t AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS am
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END AS scale FROM t),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    [CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INT) for x in v] AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  array_to_string(qv, ',') AS q,
+        |  list_sum([(CAST(v[i] AS DOUBLE) - qv[i] * scale) * (CAST(v[i] AS DOUBLE) - qv[i] * scale)
+        |            for i in range(1, len(v)+1)]) / len(v) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Ann.quantizeInt8(Tables(s, dir).embeddings, "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+
     // Whole-corpus embedding-cosine near-dup pairs (LSH candidates,
     // exact verify). Recall pinned by AnnSpec.
     "d07_embed_neardup" -> Q.rowsOnly { (s, dir) =>

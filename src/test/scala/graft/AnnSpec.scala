@@ -110,4 +110,36 @@ class AnnSpec extends SparkSpec {
       .select("neighbor_id").as[Long].head()
     assert(got == expect)
   }
+
+  test("int8 quantization: codes in range, error bounded by scale/2, zero-vector safe") {
+    val e = Tables(spark, sfDir).embeddings
+    val out = Ann.quantizeInt8(e, "vec_id", "embedding")
+      .select("vec_id", "scale", "q", "mse")
+      .as[(Long, Double, String, Double)].collect()
+    assert(out.length == e.count())
+    out.foreach { case (id, scale, q, mse) =>
+      val codes = q.split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id codes out of range")
+      assert(scale > 0.0, s"vec $id non-positive scale")
+      // round-half-up to the nearest code keeps each element within
+      // scale/2, so the mean square error is bounded by scale^2/4
+      assert(mse <= scale * scale / 4.0 + 1e-12, s"vec $id mse $mse vs scale $scale")
+      // absmax element must hit a full-scale code
+      assert(codes.exists(c => math.abs(c) == 127), s"vec $id never reaches full scale")
+    }
+    // degenerate vector: scale falls back to 1, codes all zero, mse 0
+    val z = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val zr = Ann.quantizeInt8(z, "vec_id", "embedding")
+      .as[(Long, Double, String, Double)].head()
+    assert(zr._2 == 1.0 && zr._3 == "0,0,0,0" && zr._4 == 0.0)
+  }
+
+  test("embedNearDupPairs leaves nothing persisted") {
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    Ann.embedNearDupPairs(Tables(spark, sfDir).embeddings, "vec_id", "embedding",
+      minCosine = 0.4, dim = 64).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "near-dup pair generation must not leak persisted RDDs")
+  }
 }
