@@ -481,15 +481,7 @@ object ChDialect {
     "arrayFold" -> { es => builtin("aggregate")(Seq(es(1), es(2), es(0))) },
     // running prefix sums; O(n²) in the element count, which CH arrays
     // (row-local, short) are sized for
-    "arrayCumSum" -> { es =>
-      val x = UnresolvedNamedLambdaVariable(Seq("x"))
-      val i = UnresolvedNamedLambdaVariable(Seq("i"))
-      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
-      val y = UnresolvedNamedLambdaVariable(Seq("y"))
-      val prefix = builtin("slice")(Seq(es(0), Literal(1), Add(i, Literal(1))))
-      val sumPrefix = builtin("aggregate")(Seq(prefix, Literal(0.0),
-        LambdaFunction(Add(acc, Cast(y, DoubleType)), Seq(acc, y))))
-      builtin("transform")(Seq(es(0), LambdaFunction(sumPrefix, Seq(x, i)))) },
+    "arrayCumSum" -> { es => cumSumExpr(es(0)) },
     // [0, a[1]-a[0], a[2]-a[1], …] — CH's first element is 0
     "arrayDifference" -> { es =>
       val x = UnresolvedNamedLambdaVariable(Seq("x"))
@@ -550,6 +542,20 @@ object ChDialect {
         builtin("slice")(Seq(es(0), Literal(1), n)),
         builtin("concat")(Seq(es(0),
           builtin("array_repeat")(Seq(es(2), Subtract(n, sz)))))) },
+    // arrayJaccardIndex(a, b) = |a ∩ b| / |a ∪ b| over DISTINCT
+    // elements (CH 23.7+ name)
+    "arrayJaccardIndex" -> { es =>
+      val inter = builtin("size")(Seq(builtin("array_intersect")(es)))
+      val union = builtin("size")(Seq(builtin("array_distinct")(
+        Seq(builtin("concat")(es)))))
+      Divide(Cast(inter, DoubleType), Cast(union, DoubleType)) },
+    // groupArrayMovingSum[(N)](x) / groupArrayMovingAvg[(N)](x) —
+    // running (optionally N-windowed) sums/averages over the collected
+    // group, in collection order. Same order caveat as groupArray:
+    // deterministic only under a declared order (CH documents the same
+    // block-order dependence). The parametric rewrite delivers (x, N).
+    "groupArrayMovingSum" -> movingAgg(avg = false),
+    "groupArrayMovingAvg" -> movingAgg(avg = true),
     // range(end) / range(start, end[, step]) — half-open like CH, so
     // sequence runs to end-1 (sequence's stop is inclusive; for a
     // positive step the last element ≤ end-1 matches range exactly)
@@ -564,6 +570,60 @@ object ChDialect {
         Literal.create(Array.empty[Long], ArrayType(LongType)),
         builtin("sequence")(Seq(start, Subtract(end, Literal(1L))) ++ step)) }
   )
+
+  /** Running prefix sums of an array expression in double (the
+    * arrayCumSum body, shared with the moving aggregates). */
+  private def cumSumExpr(arr: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq(
+      UnresolvedNamedLambdaVariable.freshVarName("x")))
+    val i = UnresolvedNamedLambdaVariable(Seq(
+      UnresolvedNamedLambdaVariable.freshVarName("i")))
+    val acc = UnresolvedNamedLambdaVariable(Seq(
+      UnresolvedNamedLambdaVariable.freshVarName("acc")))
+    val y = UnresolvedNamedLambdaVariable(Seq(
+      UnresolvedNamedLambdaVariable.freshVarName("y")))
+    val prefix = builtin("slice")(Seq(arr, Literal(1), Add(i, Literal(1))))
+    val sumPrefix = builtin("aggregate")(Seq(prefix, Literal(0.0),
+      LambdaFunction(Add(acc, Cast(y, DoubleType)), Seq(acc, y))))
+    builtin("transform")(Seq(arr, LambdaFunction(sumPrefix, Seq(x, i))))
+  }
+
+  /** groupArrayMovingSum/Avg: cumsum over the collected group; the
+    * N-windowed form subtracts the cumsum N slots back (get() is null
+    * out of range → coalesce 0), avg divides by the window fill. */
+  private def movingAgg(avg: Boolean): Builder = { es =>
+    // nested (non-top-level) aggregate functions need the explicit
+    // AggregateExpression wrap (the avgWeighted pattern); ONE shared
+    // instance so the windowed form's two cumsum references dedup to
+    // a single aggregation buffer
+    val collected = builtin("collect_list")(Seq(es(0))) match {
+      case af: aggregate.AggregateFunction => af.toAggregateExpression()
+      case other => other
+    }
+    val cum = cumSumExpr(collected)
+    val c = UnresolvedNamedLambdaVariable(Seq(
+      UnresolvedNamedLambdaVariable.freshVarName("c")))
+    val i = UnresolvedNamedLambdaVariable(Seq(
+      UnresolvedNamedLambdaVariable.freshVarName("i")))
+    val windowed = es.size match {
+      case 1 => c: Expression
+      case _ =>
+        val n = Cast(es(1), IntegerType)
+        Subtract(c, builtin("coalesce")(Seq(
+          builtin("get")(Seq(cumSumExpr(collected), Subtract(i, n))),
+          Literal(0.0))))
+    }
+    val body =
+      if (!avg) windowed
+      else {
+        val fill = es.size match {
+          case 1 => Add(i, Literal(1))
+          case _ => Least(Seq(Add(i, Literal(1)), Cast(es(1), IntegerType)))
+        }
+        Divide(windowed, Cast(fill, DoubleType))
+      }
+    builtin("transform")(Seq(cum, LambdaFunction(body, Seq(c, i))))
+  }
 
   /** Floor a timestamp to an n-second bucket (epoch arithmetic, the
     * reference's own bucketing). */

@@ -650,7 +650,8 @@ object ChSql {
     *  - uniq family: precision params are sketch-tuning only —
     *    dropped, `uniqCombined(12)(x)` → `uniqCombined(x)`. */
   private val paramsLast = Set("QUANTILE", "QUANTILEEXACT", "QUANTILETDIGEST",
-    "MEDIAN", "MEDIANEXACT", "UNIQUPTO")
+    "MEDIAN", "MEDIANEXACT", "UNIQUPTO",
+    "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG")
   private val paramsFirst = Set("TOPK")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQHLL12")
 

@@ -49,7 +49,9 @@ object DialectQueries {
         |  CAST(list_product(a) AS BIGINT) AS prod,
         |  COALESCE(array_to_string(range(o_orderkey % 4), ','), '') AS rng,
         |  array_to_string(list_slice(a, 1, len(a)-1), ',') AS popb,
-        |  array_to_string(list_prepend(9, a), ',') AS pushf
+        |  array_to_string(list_prepend(9, a), ',') AS pushf,
+        |  CAST(len(list_intersect(a, d)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a, d))) AS jac
         |FROM t ORDER BY o_orderkey""".stripMargin)(
       chSql(Seq("orders"),
         """WITH t AS (
@@ -65,7 +67,8 @@ object DialectQueries {
           |  toInt64(arrayProduct(a)) AS prod,
           |  arrayStringConcat(arrayMap(x -> toString(x), range(o_orderkey % 4)), ',') AS rng,
           |  arrayStringConcat(arrayMap(x -> toString(x), arrayPopBack(a)), ',') AS popb,
-          |  arrayStringConcat(arrayMap(x -> toString(x), arrayPushFront(a, 9)), ',') AS pushf
+          |  arrayStringConcat(arrayMap(x -> toString(x), arrayPushFront(a, 9)), ',') AS pushf,
+          |  arrayJaccardIndex(a, d) AS jac
           |FROM t ORDER BY o_orderkey""".stripMargin)),
 
     // Aggregating CH dialect: countIf/sumIf/uniqExact/median/quantile.

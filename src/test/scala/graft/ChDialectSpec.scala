@@ -293,6 +293,29 @@ class ChDialectSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("3-arg")), e.toString)
   }
 
+  test("moving aggregates and arrayJaccardIndex") {
+    GraftFunctions.ensureRegistered(spark)
+    // one input partition → collect_list keeps input order, so the
+    // running sums are deterministic here (the documented groupArray
+    // order caveat applies on real clusters — declare an order there)
+    Seq(1, 2, 3, 4).toDF("v").coalesce(1).createOrReplaceTempView("mv")
+    // the parametric (N)(x) spelling goes through the translator's
+    // parametric-agg fold, exactly like quantile(p)(x) / uniqUpTo
+    val r = spark.sql(graft.functions.ChSql.translate(
+      """SELECT
+        |  groupArrayMovingSum(v) AS ms,
+        |  groupArrayMovingSum(2)(v) AS ms2,
+        |  groupArrayMovingAvg(v) AS ma,
+        |  groupArrayMovingAvg(2)(v) AS ma2,
+        |  arrayJaccardIndex(array(1, 2, 3), array(2, 3, 9)) AS jac
+        |FROM mv""".stripMargin)).collect().head
+    assert(r.getAs[collection.Seq[Double]]("ms") == Seq(1.0, 3.0, 6.0, 10.0))
+    assert(r.getAs[collection.Seq[Double]]("ms2") == Seq(1.0, 3.0, 5.0, 7.0))
+    assert(r.getAs[collection.Seq[Double]]("ma") == Seq(1.0, 1.5, 2.0, 2.5))
+    assert(r.getAs[collection.Seq[Double]]("ma2") == Seq(1.0, 1.5, 2.5, 3.5))
+    assert(r.getAs[Double]("jac") == 0.5)
+  }
+
   test("extractAll: literal patterns pick group vs whole match; runtime patterns refuse") {
     GraftFunctions.ensureRegistered(spark)
     // group-less pattern → whole matches; capturing group → group 1
