@@ -851,14 +851,71 @@ object ChSql {
   private def rewriteSample(ts: Vector[Tok]): Vector[Tok] = {
     val si = find0(ts, Set("SAMPLE"))
     if (si < 0 || si + 1 >= ts.length) return ts
-    if (!ts(si + 1).text.matches("""0?\.\d+|\d+\.\d+""")) return ts
-    val frac = ts(si + 1).text.toDouble
-    if (si + 3 < ts.length && ts(si + 2).up == "BY" && ts(si + 3).word) {
-      // explicit `SAMPLE f BY col`: per-row hash of the named key
-      // (deterministic, IO-full — the layoutless fallback)
-      val key = ts(si + 3).text
-      val rest = ts.take(si) ++ ts.drop(si + 4)
-      rewriteSample(injectWhere(rest, s"xxhash64($key) <= ${hashCut(frac)}L"))
+    // ParserSampleRatio (ASTSampleRatio.h) accepts three spellings:
+    // decimal (0.1), rational (1/10), absolute row count (10000).
+    // Returns (value, isAbsolute, tokens consumed) or None.
+    def ratio(at: Int): Option[(Double, Boolean, Int)] = {
+      if (at >= ts.length) None
+      else if (ts(at).text.matches("""0?\.\d+|\d+\.\d+"""))
+        Some((ts(at).text.toDouble, false, 1))
+      else if (ts(at).text.matches("""\d+""")) {
+        if (at + 2 < ts.length && ts(at + 1).text == "/" &&
+            ts(at + 2).text.matches("""\d+"""))
+          Some((ts(at).text.toDouble / ts(at + 2).text.toDouble, false, 3))
+        else {
+          val n = ts(at).text.toLong
+          // CH reads SAMPLE 1 as ratio 1 (whole table), larger
+          // integers as an approximate absolute row count
+          if (n == 1L) Some((1.0, false, 1)) else Some((n.toDouble, true, 1))
+        }
+      } else None
+    }
+    val parsed = ratio(si + 1)
+    if (parsed.isEmpty) return ts
+    val (value, absolute, used) = parsed.get
+    var end = si + 1 + used
+    // optional OFFSET g (ratio forms only — the reference's grammar)
+    val offset: Option[Double] =
+      if (end < ts.length && ts(end).up == "OFFSET")
+        ratio(end + 1) match {
+          case Some((g, false, u)) => end += 1 + u; Some(g)
+          case _ => throw new IllegalArgumentException(
+            "SAMPLE … OFFSET takes a ratio (decimal or a/b), not a row count")
+        }
+      else None
+    if (absolute && offset.nonEmpty) throw new IllegalArgumentException(
+      "SAMPLE <rows> cannot combine with OFFSET — use a ratio sample")
+    // range predicate over a [0,1]-mapped hash: (cut(off), cut(off+f)]
+    def rangePred(hashExpr: String): String = offset match {
+      case None => s"$hashExpr <= ${hashCut(math.min(value, 1.0))}L"
+      case Some(g) =>
+        s"$hashExpr > ${hashCut(math.min(g, 1.0))}L AND " +
+          s"$hashExpr <= ${hashCut(math.min(g + value, 1.0))}L"
+    }
+    def absolutePred(hashExpr: String, tbl: String): String =
+      // approximate n rows: the cut derives from the LIVE row count —
+      // a 1-row scalar subquery (metadata-only count on parquet),
+      // broadcast into the scan predicate; same double arithmetic as
+      // hashCut so a ratio sample of n/count lands the identical cut
+      s"$hashExpr <= (SELECT CAST(${Long.MinValue}D + " +
+        s"LEAST(CAST(${value.toLong} AS DOUBLE) / COUNT(*), 1.0D) * 2.0D * " +
+        s"${Long.MaxValue}D AS BIGINT) FROM $tbl)"
+    if (end + 1 < ts.length && ts(end).up == "BY" && ts(end + 1).word) {
+      // explicit `SAMPLE f [OFFSET g] BY col`: per-row hash of the
+      // named key (deterministic, IO-full — the layoutless fallback)
+      val key = ts(end + 1).text
+      val rest = ts.take(si) ++ ts.drop(end + 2)
+      val pred =
+        if (absolute) {
+          val from = find0(rest, Set("FROM"))
+          val tbl =
+            if (from >= 0 && from + 1 < rest.length && rest(from + 1).word)
+              rest(from + 1).text
+            else throw new IllegalArgumentException(
+              s"SAMPLE ${value.toLong} BY $key: no FROM table to count")
+          absolutePred(s"xxhash64($key)", tbl)
+        } else rangePred(s"xxhash64($key)")
+      rewriteSample(injectWhere(rest, pred))
     } else {
       // the reference's own `SAMPLE f`: the sampling key comes from the
       // table's DDL (SAMPLE BY). If the FROM table was created through
@@ -869,10 +926,12 @@ object ChSql {
         Some(ts(from + 1).text) else None
       tbl.flatMap(t => ChDdl.sampleHashColOf(t)) match {
         case Some(hashCol) =>
-          val rest = ts.take(si) ++ ts.drop(si + 2)
-          rewriteSample(injectWhere(rest, s"$hashCol <= ${hashCut(frac)}L"))
+          val rest = ts.take(si) ++ ts.drop(end)
+          val pred = if (absolute) absolutePred(hashCol, tbl.get)
+            else rangePred(hashCol)
+          rewriteSample(injectWhere(rest, pred))
         case None => throw new IllegalArgumentException(
-          s"SAMPLE $frac: table ${tbl.getOrElse("?")} declares no SAMPLE BY " +
+          s"SAMPLE $value: table ${tbl.getOrElse("?")} declares no SAMPLE BY " +
             "(create it via ChDdl, or use the explicit `SAMPLE f BY col` form)")
       }
     }

@@ -199,6 +199,14 @@ object Sample {
   def byStoredKnuthRange(df: DataFrame, hashCol: String, frac: Double): DataFrame =
     df.filter(col(hashCol) < lit(knuthCut(frac)))
 
+  /** SAMPLE f OFFSET g (ASTSampleRatio.h): the [g, g+f) window of the
+    * sampling-key space — disjoint windows tile the table exactly, the
+    * reference's resumable-scan use. Still one scan-pushed range. */
+  def byStoredKnuthRange(df: DataFrame, hashCol: String, frac: Double,
+      offset: Double): DataFrame =
+    df.filter(col(hashCol) >= lit(knuthCut(offset)) &&
+      col(hashCol) < lit(knuthCut(math.min(offset + frac, 1.0))))
+
   /** Materialize (once per source path) the sampling layout of `df`:
     * the key's knuthHash persisted as `__sample_hash`, files
     * range-partitioned and sorted by it — the layout ChDdl's

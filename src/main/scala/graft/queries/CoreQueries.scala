@@ -235,6 +235,23 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
     },
 
+    // SAMPLE f OFFSET g (ASTSampleRatio.h): the [g, g+f) window of the
+    // stored sampling-hash space — same IO-pruned layout as q14, two
+    // scan-pushed range bounds instead of one. Disjoint windows tile
+    // the table exactly (asserted in ChSqlSpec for the hash-BY form).
+    "q22_sample_offset" -> Q(
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE (l_orderkey * 2654435761) % 4294967296 >= 2147483648
+        |  AND (l_orderkey * 2654435761) % 4294967296 < 3435973836""".stripMargin) { (s, dir) =>
+      val cache = sys.props("java.io.tmpdir") + "/graft_q14_layout_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val laid = Sample.sampleLayout(Tables(s, dir).lineitem, "l_orderkey", cache)
+      Sample.byStoredKnuthRange(laid, "__sample_hash", 0.3, offset = 0.5)
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+    },
+
     // NOT IN (subquery) → left-anti join. Keys are non-null here; with
     // a nullable inner relation NOT IN is three-valued (empty result on
     // any inner NULL) while ANTI JOIN is not — ClickHouse NOT IN

@@ -67,6 +67,41 @@ class ChSqlSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("SAMPLE rational, OFFSET window, and absolute row-count forms") {
+    // rational 1/10 is the same cut as decimal 0.1
+    val dec = run(
+      "SELECT o_orderkey FROM orders SAMPLE 0.1 BY o_orderkey ORDER BY o_orderkey")
+      .as[Long].collect().toSeq
+    val rat = run(
+      "SELECT o_orderkey FROM orders SAMPLE 1/10 BY o_orderkey ORDER BY o_orderkey")
+      .as[Long].collect().toSeq
+    assert(rat == dec && rat.nonEmpty)
+    // OFFSET windows tile: [0,0.5) ∪ [0.5..1] = everything, disjoint
+    val lo = run(
+      "SELECT o_orderkey FROM orders SAMPLE 0.5 BY o_orderkey ORDER BY o_orderkey")
+      .as[Long].collect().toSet
+    val hi = run(
+      "SELECT o_orderkey FROM orders SAMPLE 0.5 OFFSET 0.5 BY o_orderkey ORDER BY o_orderkey")
+      .as[Long].collect().toSet
+    val all = Tables(spark, sfDir).orders.select("o_orderkey").as[Long].collect().toSet
+    assert((lo & hi).isEmpty, "offset windows must be disjoint")
+    assert(lo ++ hi == all, "offset windows must tile the table")
+    // absolute row count: approximately n rows survive (hash-uniform)
+    val n = 300
+    val abs = run(
+      s"SELECT o_orderkey FROM orders SAMPLE $n BY o_orderkey").count()
+    assert(abs > n * 0.7 && abs < n * 1.3, s"SAMPLE $n returned $abs rows")
+    // SAMPLE 1 is ratio 1 — the whole table
+    val one = run("SELECT o_orderkey FROM orders SAMPLE 1 BY o_orderkey").count()
+    assert(one == all.size)
+    // absolute + OFFSET is not in the reference's grammar — refuse
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.ChSql.translate(
+        "SELECT o_orderkey FROM orders SAMPLE 300 OFFSET 0.5 BY o_orderkey")
+    }
+    assert(e.getMessage.contains("OFFSET"))
+  }
+
   test("double-quoted identifiers and JSON data stay atomic through the lexer") {
     import graft.functions.ChSql
     // a keyword inside a double-quoted identifier never triggers a rewrite
