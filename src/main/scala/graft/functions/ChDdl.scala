@@ -60,7 +60,8 @@ object ChDdl {
       partitionBy: Seq[String],
       orderBy: Seq[String],
       sampleBy: Option[String],
-      projections: Seq[ChProjection] = Nil) {
+      projections: Seq[ChProjection] = Nil,
+      constraints: Seq[(String, String)] = Nil) {
 
     def enumOf(col: String): Seq[(String, Int)] =
       cols.find(_.name == col).flatMap(_.enumValues).getOrElse(
@@ -98,6 +99,21 @@ object ChDdl {
       }
     }
 
+    /** CONSTRAINT … CHECK enforcement (ASTConstraintDeclaration.h):
+      * the reference validates every inserted block and rejects the
+      * INSERT on violation. Single pass — the check rides the first
+      * column's projection via assert_true (the ragged-Nested
+      * pattern), so no extra scan of the batch. A NULL check result
+      * rejects, the reference's strict reading. */
+    def enforceConstraints(df: DataFrame): DataFrame =
+      constraints.foldLeft(df) { case (d, (cname, check)) =>
+        val c0 = d.schema.fieldNames.head
+        d.withColumn(c0,
+          when(assert_true(expr(check),
+            lit(s"constraint $cname violated: CHECK $check")).isNull,
+            col(c0)))
+      }
+
     /** Register the table in the session catalog (idempotent). */
     def create(spark: SparkSession): Unit = {
       // a PREVIOUS incarnation's projection must not route aggregates
@@ -132,9 +148,10 @@ object ChDdl {
       * range-shuffle, sorted files, no driver involvement. */
     def insertSelect(spark: SparkSession, source: DataFrame): Unit = {
       GraftFunctions.ensureRegistered(spark)
+      val checked = enforceConstraints(source)
       val withHash = sampleHash match {
-        case Some(h) => source.withColumn("__sample_hash", h)
-        case None => source
+        case Some(h) => checked.withColumn("__sample_hash", h)
+        case None => checked
       }
       // select in the CATALOG's field order — Spark moves partition
       // columns to the end of the table schema and insertInto matches
@@ -989,6 +1006,19 @@ object ChDdl {
         // read the stale summary (old data, not an error)
         graft.plans.ProjectionCatalog.invalidate(key)
         r
+      case ("SHOW", "PROCESSLIST") =>
+        // ASTShowProcesslistQuery.h: the running-queries table. A
+        // library session has no query registry — answer with the
+        // reference's column shape and zero rows (an idle server's
+        // answer), not an error.
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            Seq("query_id", "user", "address", "query").map(n =>
+              org.apache.spark.sql.types.StructField(n,
+                org.apache.spark.sql.types.StringType)) :+
+              org.apache.spark.sql.types.StructField("elapsed",
+                org.apache.spark.sql.types.DoubleType)))
       case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("USE", _) |
            ("ALTER", _) =>
         spark.sql(sql) // Spark's own DDL grammar covers these forms
@@ -1053,7 +1083,20 @@ object ChDdl {
     require(i < ts.length, "expected column list")
     val close = matchParen(ts, i)
     val allItems = splitTop(ts.slice(i + 1, close))
-    val (projItems, colItems) = allItems.partition(it => it.head.up == "PROJECTION")
+    val (projItems, rest0) = allItems.partition(it => it.head.up == "PROJECTION")
+    // INDEX name expr TYPE t GRANULARITY g (ASTIndexDeclaration.h):
+    // accepted and dropped — parquet row-group min/max statistics plus
+    // predicate pushdown ARE the minmax skip index at this layer, and
+    // the set/bloom variants have no parquet-level analog to bind to
+    val (_, rest1) = rest0.partition(it => it.head.up == "INDEX")
+    // CONSTRAINT name CHECK expr (ASTConstraintDeclaration.h):
+    // enforced on every insert path, like the reference's block check
+    val (conItems, colItems) = rest1.partition(it => it.head.up == "CONSTRAINT")
+    val constraints = conItems.map { it =>
+      require(it.length > 3 && it(2).up == "CHECK",
+        s"bad constraint: ${renderTrim(it)}")
+      (it(1).text, renderTrim(it.drop(3)))
+    }
     val cols = colItems.map(parseColumn)
     val projections = projItems.map(parseProjection)
     // tail clauses
@@ -1102,7 +1145,8 @@ object ChDdl {
           j = clauseEndFrom(j + 1)
       }
     }
-    ChCreateTable(table, cols, engine, partitionBy, orderBy, sampleBy, projections)
+    ChCreateTable(table, cols, engine, partitionBy, orderBy, sampleBy, projections,
+      constraints)
   }
 
   /** `PROJECTION p (SELECT a, sum(v), count() GROUP BY a)` */

@@ -147,7 +147,10 @@ object ChInsert {
         fullBatch.withColumn("__sample_hash", h)
       case _ => fullBatch
     }
-    laid.write.mode("append").insertInto(table)
-    ChMatView.onInsertedBatch(spark, table, laid)
+    // declared CHECK constraints validate the appended block, like
+    // the reference's per-block constraint check on INSERT
+    val checked = layout.map(_.enforceConstraints(laid)).getOrElse(laid)
+    checked.write.mode("append").insertInto(table)
+    ChMatView.onInsertedBatch(spark, table, checked)
   }
 }
