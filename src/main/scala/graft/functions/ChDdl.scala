@@ -267,7 +267,9 @@ object ChDdl {
       s"    PROJECTION ${p.name} (SELECT ${items.mkString(", ")} GROUP BY ${
         p.keys.mkString(", ")})"
     }
-    val body = (colLines ++ projLines).mkString(",\n")
+    val conLines = ct.constraints.map { case (n, e) =>
+      s"    CONSTRAINT $n CHECK $e" }
+    val body = (colLines ++ projLines ++ conLines).mkString(",\n")
     val tail = Seq(
       s"ENGINE = ${if (ct.engine.nonEmpty) ct.engine else "MergeTree"}",
       if (ct.partitionBy.nonEmpty)
@@ -430,6 +432,56 @@ object ChDdl {
     * scale the rewrite is restricted to AFFECTED partitions (dynamic
     * partition overwrite on a predicate-pruned scan); here the staged
     * write keeps the read-then-overwrite self-reference safe. */
+  /** ALTER TABLE … DROP/RENAME/MODIFY COLUMN (ASTAlterQuery column
+    * commands): a column-shape change rewrites the snapshot — the
+    * parquet analog of the reference's mutation-style column ops —
+    * and updates the declared layout so SHOW CREATE / SAMPLE / enum
+    * codecs stay coherent. Dropping or renaming a key column refuses,
+    * like the reference's "cannot drop key column". */
+  private def alterColumn(spark: SparkSession, ts: Vector[Tok]): Unit = {
+    val ci = ChSql.find0(ts, Set("COLUMN"), 2)
+    val op = ts(ci - 1).up
+    val table = ts.slice(2, ci - 1).filter(_.word).map(_.text).mkString("_")
+    val snapshot = spark.table(table)
+    val layout = createdTables.get(table.toLowerCase)
+    def isKey(l: ChCreateTable, c: String): Boolean =
+      l.orderBy.contains(c) || l.partitionBy.contains(c) ||
+        l.sampleBy.exists(_.contains(c))
+    val (out, newLayout): (DataFrame, Option[ChCreateTable]) = op match {
+      case "DROP" =>
+        val c = ts(ci + 1).text
+        layout.foreach(l => require(!isKey(l, c), s"cannot drop key column $c"))
+        (snapshot.drop(c),
+          layout.map(l => l.copy(cols = l.cols.filterNot(_.name == c))))
+      case "RENAME" =>
+        val a = ts(ci + 1).text
+        require(ci + 3 < ts.length && ts(ci + 2).up == "TO",
+          "expected RENAME COLUMN a TO b")
+        val b = ts(ci + 3).text
+        layout.foreach(l => require(!isKey(l, a), s"cannot rename key column $a"))
+        (snapshot.withColumnRenamed(a, b),
+          layout.map(l => l.copy(cols = l.cols.map(c =>
+            if (c.name == a) c.copy(name = b) else c))))
+      case _ => // MODIFY COLUMN c NewType — cast in place
+        val nc = parseColumn(ts.slice(ci + 1, ts.length))
+        (snapshot.withColumn(nc.name, col(nc.name).cast(nc.sparkType)),
+          layout.map(l => l.copy(cols = l.cols.map(c =>
+            if (c.name == nc.name) nc else c))))
+    }
+    // stage: the read-then-recreate self-reference needs the tmp hop
+    val tmp = java.nio.file.Files.createTempDirectory("graft_altercol").toString
+    out.write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.schema(out.schema).parquet(tmp)
+    newLayout match {
+      case Some(nl) =>
+        nl.create(spark)
+        nl.insertSelect(spark, staged.drop("__sample_hash"))
+      case None =>
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        staged.write.saveAsTable(table)
+    }
+  }
+
   def alter(spark: SparkSession, sql: String): Unit = {
     GraftFunctions.ensureRegistered(spark)
     val ts = tokenize(sql)._1
@@ -834,7 +886,72 @@ object ChDdl {
     val ts = tokenize(sql)._1
     def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
     (kw(0), kw(1)) match {
-      case ("CREATE", "TABLE") => parse(sql).create(spark); spark.emptyDataFrame
+      case ("CREATE", "TABLE") =>
+        // three CREATE TABLE forms (ASTCreateQuery.h as_select /
+        // as_table): explicit column list, CTAS, structure clone
+        val asIdx = ChSql.find0(ts, Set("AS"), 2)
+        val asSelect = asIdx > 0 && asIdx + 1 < ts.length &&
+          (ts(asIdx + 1).up == "SELECT" || ts(asIdx + 1).up == "WITH" ||
+            ts(asIdx + 1).text == "(")
+        if (asSelect) {
+          // CTAS: the SELECT's schema becomes the column list when
+          // none is declared; data loads through the same layout-aware
+          // insertSelect as an explicit CREATE + INSERT SELECT
+          val df = spark.sql(ChSql.translate(renderTrim(ts.drop(asIdx + 1))))
+          val engIdx = ChSql.find0(ts, Set("ENGINE", "ORDER", "PARTITION",
+            "PRIMARY", "SAMPLE"), 2)
+          val headEnd = if (engIdx > 0) math.min(engIdx, asIdx) else asIdx
+          val hasCols = ts.slice(2, headEnd).exists(_.text == "(")
+          val ddl =
+            if (hasCols) renderTrim(ts.take(asIdx))
+            else {
+              val colList = df.schema.fields.map(f =>
+                s"`${f.name}` ${chTypeName(f.dataType, f.nullable)}")
+                .mkString(", ")
+              renderTrim(ts.take(headEnd)) + s" ($colList) " +
+                renderTrim(ts.slice(headEnd, asIdx))
+            }
+          val ct = parse(ddl)
+          ct.create(spark)
+          ct.insertSelect(spark, df)
+          spark.emptyDataFrame
+        } else if (asIdx > 0 && asIdx + 1 < ts.length && ts(asIdx + 1).word) {
+          // CREATE TABLE a AS b: clone b's structure (declared layout
+          // when b came through ChDdl, the inverse type map otherwise);
+          // no data copied, per the reference
+          var i = 2
+          if (ts(i).up == "IF") i += 3
+          val name = ts.slice(i, asIdx).filter(_.word).map(_.text).mkString("_")
+          val src = ts.drop(asIdx + 1).filter(_.word).map(_.text).mkString("_")
+          val ct = createdTables.get(src.toLowerCase) match {
+            case Some(layout) => layout.copy(table = name)
+            case None =>
+              val cols = spark.table(src).schema.fields.toSeq.map(f =>
+                ChColumn(f.name, f.dataType.sql,
+                  None, chTypeName(f.dataType, f.nullable)))
+              ChCreateTable(name, cols, "MergeTree", Nil, Nil, None)
+          }
+          ct.create(spark)
+          spark.emptyDataFrame
+        } else { parse(sql).create(spark); spark.emptyDataFrame }
+      case ("CREATE", "OR") if ts.length > 3 && ts(3).up == "TABLE" =>
+        // CREATE OR REPLACE TABLE: create() already drops first
+        execute(spark, "CREATE " + renderTrim(ts.drop(3)))
+      case ("CREATE", "VIEW") | ("CREATE", "OR") =>
+        // plain CREATE [OR REPLACE] VIEW (ASTCreateQuery.h is_ordinary_view):
+        // a stored query re-planned per read — same realization as
+        // LIVE VIEW (a Spark TEMP view), which also sidesteps Spark's
+        // persistent-view-over-temp-object restriction
+        val vi = ChSql.find0(ts, Set("VIEW"), 1)
+        require(vi > 0, "expected CREATE [OR REPLACE] VIEW")
+        var i = vi + 1
+        if (i < ts.length && ts(i).up == "IF") i += 3
+        val name = ts(i).text
+        val asIdx = ChSql.find0(ts, Set("AS"), i)
+        require(asIdx > 0, "CREATE VIEW needs AS SELECT …")
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
+          ChSql.translate(renderTrim(ts.drop(asIdx + 1))))
+        spark.emptyDataFrame
       case ("CREATE", "MATERIALIZED") => ChMatView.create(spark, sql); spark.emptyDataFrame
       case ("CREATE", "WINDOW") => ChWindowView.create(spark, sql); spark.emptyDataFrame
       case ("CREATE", "LIVE") =>
@@ -869,6 +986,11 @@ object ChDdl {
       case ("ALTER", "TABLE")
           if ChSql.find0(ts, Set("DELETE", "UPDATE"), 2) >= 0 =>
         alter(spark, sql); spark.emptyDataFrame
+      case ("ALTER", "TABLE") if {
+        val ci = ChSql.find0(ts, Set("COLUMN"), 2)
+        ci > 2 && Set("DROP", "RENAME", "MODIFY").contains(ts(ci - 1).up)
+      } =>
+        alterColumn(spark, ts); spark.emptyDataFrame
       case ("RENAME", "TABLE") =>
         // RENAME TABLE a TO b → Spark's ALTER TABLE a RENAME TO b
         val toIdx = ChSql.find0(ts, Set("TO"), 2)

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{ChDdl, GraftFunctions}
+
+/** CREATE TABLE AS SELECT / AS table, plain CREATE VIEW, and the
+  * ALTER column commands (ASTCreateQuery.h as_select/as_table,
+  * ASTAlterQuery column ops). */
+class CreateFormsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("CTAS infers the column list and loads through the declared layout") {
+    GraftFunctions.ensureRegistered(spark)
+    Seq((1L, 2.0), (2L, 4.0)).toDF("k", "v").createOrReplaceTempView("cf_src")
+    ChDdl.execute(spark,
+      "CREATE TABLE graft_ctas ENGINE = MergeTree() ORDER BY k AS SELECT k, v * 2 AS v2 FROM cf_src")
+    assert(spark.table("graft_ctas").orderBy("k").as[(Long, Double)].collect()
+      .toSeq == Seq((1L, 4.0), (2L, 8.0)))
+    // the inferred layout answers SHOW CREATE with CH types
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_ctas")
+      .as[String].head()
+    assert(stmt.contains("Int64") && stmt.contains("Float64"), stmt)
+    // an explicit column list wins over inference
+    ChDdl.execute(spark,
+      "CREATE TABLE graft_ctas2 (k Int64, v2 Float32) ENGINE = MergeTree() ORDER BY k AS SELECT k, v AS v2 FROM cf_src")
+    assert(spark.table("graft_ctas2").schema("v2").dataType ==
+      org.apache.spark.sql.types.FloatType)
+  }
+
+  test("CREATE TABLE a AS b clones structure without data") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      "CREATE TABLE graft_clone_src (k Int64, s String) ENGINE = MergeTree() ORDER BY (k)")
+    ChDdl.execute(spark, "INSERT INTO graft_clone_src VALUES (1, 'a')")
+    ChDdl.execute(spark, "CREATE TABLE graft_clone_dst AS graft_clone_src")
+    assert(spark.table("graft_clone_dst").schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(spark.table("graft_clone_dst").count() == 0, "clone copies structure, not data")
+    // the clone inherits the declared layout (SHOW CREATE round-trips)
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_clone_dst")
+      .as[String].head()
+    assert(stmt.contains("ORDER BY (k)"), stmt)
+  }
+
+  test("plain CREATE VIEW is a stored query re-planned per read") {
+    GraftFunctions.ensureRegistered(spark)
+    Seq((1L, 10.0)).toDF("k", "v").createOrReplaceTempView("cf_vsrc")
+    ChDdl.execute(spark, "CREATE VIEW graft_pview AS SELECT k, v FROM cf_vsrc WHERE v > 5")
+    assert(spark.table("graft_pview").count() == 1)
+    // re-planned per read: new source rows show up without a refresh
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").createOrReplaceTempView("cf_vsrc")
+    assert(spark.table("graft_pview").count() == 2)
+  }
+
+  test("ALTER DROP/RENAME/MODIFY COLUMN rewrite the snapshot and keep the layout coherent") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_altcol (k Int64, a Int32, b String)
+        |ENGINE = MergeTree() ORDER BY (k)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO graft_altcol VALUES (1, 7, 'x'), (2, 9, 'y')")
+    ChDdl.execute(spark, "ALTER TABLE graft_altcol RENAME COLUMN a TO a2")
+    assert(spark.table("graft_altcol").schema.fieldNames.toSeq == Seq("k", "a2", "b"))
+    ChDdl.execute(spark, "ALTER TABLE graft_altcol MODIFY COLUMN a2 Int64")
+    assert(spark.table("graft_altcol").schema("a2").dataType ==
+      org.apache.spark.sql.types.LongType)
+    ChDdl.execute(spark, "ALTER TABLE graft_altcol DROP COLUMN b")
+    assert(spark.table("graft_altcol").schema.fieldNames.toSeq == Seq("k", "a2"))
+    // data survives every rewrite
+    assert(spark.table("graft_altcol").orderBy("k").as[(Long, Long)].collect()
+      .toSeq == Seq((1L, 7L), (2L, 9L)))
+    // SHOW CREATE reflects the new shape (declared layout updated)
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_altcol")
+      .as[String].head()
+    assert(stmt.contains("a2") && stmt.contains("Int64") && !stmt.contains(" b "), stmt)
+    // key columns refuse, like the reference
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, "ALTER TABLE graft_altcol DROP COLUMN k")
+    }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+  }
+
+  test("SHOW CREATE re-emits CHECK constraints (full roundtrip)") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_conrt (k Int64, v Float64,
+        |  CONSTRAINT pos CHECK v >= 0) ENGINE = MergeTree() ORDER BY (k)""".stripMargin)
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_conrt")
+      .as[String].head()
+    assert(stmt.contains("CONSTRAINT pos CHECK"), stmt)
+    // the emitted DDL re-ingests with the constraint still enforced
+    ChDdl.execute(spark, stmt.replace("graft_conrt", "graft_conrt2"))
+    val e = intercept[Exception] {
+      ChDdl.execute(spark, "INSERT INTO graft_conrt2 VALUES (1, -5.0)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pos")), e.toString)
+  }
+}
