@@ -882,8 +882,16 @@ object ChDdl {
       params: Map[String, String]): org.apache.spark.sql.DataFrame =
     execute(spark, ChSql.substituteParams(sql, params))
 
-  private def executeOne(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
-    val ts = tokenize(sql)._1
+  private def executeOne(spark: SparkSession, sql0: String): org.apache.spark.sql.DataFrame = {
+    val ts0 = tokenize(sql0)._1
+    // `system.<table>` references (the reference client's own
+    // autocomplete queries them — Client/Suggest.cpp:47) materialize
+    // on demand and rewrite to their views; `SYSTEM <verb>` statements
+    // (no dot) are untouched and still refuse as cluster ops
+    val ts = if (ts0.indices.exists(i => ts0(i).up == "SYSTEM" &&
+        i + 2 < ts0.length && ts0(i + 1).text == "."))
+      ChSystem.rewrite(spark, ts0) else ts0
+    val sql = if (ts eq ts0) sql0 else renderTrim(ts)
     def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
     (kw(0), kw(1)) match {
       case ("CREATE", "TABLE") =>

@@ -23,6 +23,10 @@ object ChDictionaries {
   private val maps =
     scala.collection.concurrent.TrieMap[(String, String), (Seq[Expression], DataType)]()
 
+  /** Registered dictionary names (system.dictionaries). */
+  private[functions] def registeredNames: Seq[String] =
+    maps.keys.map(_._1).toSeq.distinct.sorted
+
   /** Register `dim`'s key→attr pairs under `name`. Collect is
     * dictionary-sized by contract. */
   def register(name: String, dim: DataFrame, keyCol: String, attrCols: Seq[String]): Unit = {

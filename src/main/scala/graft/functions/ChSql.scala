@@ -45,7 +45,7 @@ object ChSql {
   private[functions] final case class Tok(pre: String, text: String, word: Boolean) {
     def up: String = if (word) text.toUpperCase else text
   }
-  private def w(text: String): Tok = Tok(" ", text, text.headOption.exists(c => c.isLetter || c == '_'))
+  private[functions] def w(text: String): Tok = Tok(" ", text, text.headOption.exists(c => c.isLetter || c == '_'))
 
   def translate(sql: String): String = {
     val (ts, tail) = tokenize(sql)
