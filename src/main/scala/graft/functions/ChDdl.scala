@@ -432,6 +432,50 @@ object ChDdl {
     * scale the rewrite is restricted to AFFECTED partitions (dynamic
     * partition overwrite on a predicate-pruned scan); here the staged
     * write keeps the read-then-overwrite self-reference safe. */
+  /** `file('path'[, 'Format'])` table function: the reference's
+    * adopt-ad-hoc-data path, realized as the matching Spark reader
+    * behind a temp view. Only rewrites when the first argument is a
+    * string literal — a column or alias named `file` never matches. */
+  private def rewriteFileFn(spark: SparkSession, ts: Vector[Tok]): Vector[Tok] = {
+    def isLit(t: Tok): Boolean = t.text.length >= 2 && t.text.head == '\''
+    if (!ts.indices.exists(i => ts(i).up == "FILE" && i + 2 < ts.length &&
+        ts(i + 1).text == "(" && isLit(ts(i + 2)))) return ts
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).up == "FILE" && i + 2 < ts.length && ts(i + 1).text == "(" &&
+          isLit(ts(i + 2))) {
+        val close = matchParen(ts, i + 1)
+        val args = ts.slice(i + 2, close).filter(t => isLit(t))
+        def lit(t: Tok): String = t.text.drop(1).dropRight(1)
+        val path = lit(args(0))
+        val fmt = if (args.length > 1) lit(args(1)) else "Parquet"
+        val up = fmt.toUpperCase
+        val reader = up match {
+          case "PARQUET" => spark.read.parquet(path)
+          case "CSV" | "CSVWITHNAMES" =>
+            spark.read.option("header", (up == "CSVWITHNAMES").toString)
+              .option("inferSchema", "true").csv(path)
+          case "TSV" | "TABSEPARATED" | "TSVWITHNAMES" |
+               "TABSEPARATEDWITHNAMES" =>
+            spark.read.option("sep", "\t")
+              .option("header", up.contains("WITHNAMES").toString)
+              .option("inferSchema", "true").csv(path)
+          case "JSONEACHROW" => spark.read.json(path)
+          case other => throw new IllegalArgumentException(
+            s"file(): unsupported format '$other' (Parquet, CSV[WithNames], " +
+              "TSV/TabSeparated[WithNames], JSONEachRow)")
+        }
+        val view = "graft_file_" +
+          Integer.toHexString((path + "|" + up).hashCode).replace('-', 'm')
+        reader.createOrReplaceTempView(view)
+        out += ChSql.w(view)
+        i = close + 1
+      } else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** ALTER TABLE … DROP/RENAME/MODIFY COLUMN (ASTAlterQuery column
     * commands): a column-shape change rewrites the snapshot — the
     * parquet analog of the reference's mutation-style column ops —
@@ -888,9 +932,12 @@ object ChDdl {
     // autocomplete queries them — Client/Suggest.cpp:47) materialize
     // on demand and rewrite to their views; `SYSTEM <verb>` statements
     // (no dot) are untouched and still refuse as cluster ops
-    val ts = if (ts0.indices.exists(i => ts0(i).up == "SYSTEM" &&
+    val ts1 = if (ts0.indices.exists(i => ts0(i).up == "SYSTEM" &&
         i + 2 < ts0.length && ts0(i + 1).text == "."))
       ChSystem.rewrite(spark, ts0) else ts0
+    // file('path'[, 'Format']) table function → a temp view over the
+    // corresponding Spark reader
+    val ts = rewriteFileFn(spark, ts1)
     val sql = if (ts eq ts0) sql0 else renderTrim(ts)
     def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
     (kw(0), kw(1)) match {

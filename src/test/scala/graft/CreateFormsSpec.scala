@@ -77,6 +77,35 @@ class CreateFormsSpec extends SparkSpec {
     assert(e.getMessage.contains("key column"), e.getMessage)
   }
 
+  test("file() table function reads parquet/CSV/JSONEachRow through the front door") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_filefn")
+    val pq = dir.resolve("t.parquet").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.mode("overwrite").parquet(pq)
+    val got = ChDdl.execute(spark,
+      s"SELECT k, s FROM file('$pq', 'Parquet') ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    // CSVWithNames: header row read back with the declared names
+    val csv = dir.resolve("t.csv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(csv),
+      "k,s\n3,c\n4,d\n".getBytes)
+    val gotCsv = ChDdl.execute(spark,
+      s"SELECT k, s FROM file('$csv', 'CSVWithNames') ORDER BY k")
+      .as[(Int, String)].collect().toSeq
+    assert(gotCsv == Seq((3, "c"), (4, "d")))
+    // JSONEachRow
+    val jl = dir.resolve("t.jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(jl),
+      "{\"k\": 5, \"s\": \"e\"}\n".getBytes)
+    assert(ChDdl.execute(spark,
+      s"SELECT k FROM file('$jl', 'JSONEachRow')").count() == 1)
+    // a COLUMN named file never matches the rewrite
+    Seq((1L, "x")).toDF("file", "v").createOrReplaceTempView("cf_filecol")
+    assert(ChDdl.execute(spark,
+      "SELECT file, v FROM cf_filecol WHERE file = 1").count() == 1)
+  }
+
   test("SHOW CREATE re-emits CHECK constraints (full roundtrip)") {
     GraftFunctions.ensureRegistered(spark)
     ChDdl.execute(spark,
