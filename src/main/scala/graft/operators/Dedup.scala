@@ -47,6 +47,59 @@ object IncrementalIndex {
   }
 }
 
+/** Prebuilt NEAR-dup index (d15): the MinHash/LSH analog of
+  * [[IncrementalIndex]] — a crawl drop is deduped against the standing
+  * corpus by shingle similarity, not just exact fingerprints. Built
+  * once per corpus version from ONE corpus scan; each drop's plan
+  * touches only the batch and the two cached index tables.
+  *
+  * Both tables persist PRE-PARTITIONED on their join keys, so the
+  * InMemoryRelation advertises the hash partitioning and a drop's
+  * joins shuffle ONLY the batch side — the corpus-side rows never
+  * reshuffle per drop:
+  *  - `bands` (corpus_id, __band, __key), partitioned by (__band,
+  *    __key), bucket-capped at build time like every LSH blocker;
+  *  - `signatures` (corpus_id, __mh), partitioned by corpus_id, the
+  *    exact-verify side that turns band collisions into an estimated
+  *    Jaccard.
+  */
+final class NearDupIndex private[operators] (
+    private[operators] val numHashes: Int,
+    private[operators] val bandRows: Int,
+    private[operators] val shingleSize: Int,
+    val bands: DataFrame,
+    val signatures: DataFrame) {
+  def release(): Unit = { bands.unpersist(); signatures.unpersist(); () }
+}
+
+object NearDupIndex {
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bandRows: Int = 2, shingleSize: Int = 3,
+      maxBucket: Int = 100): NearDupIndex = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val numBands = numHashes / bandRows
+    val sig = corpus.select(col(idCol).as("corpus_id"),
+        Dedup.wordNGrams(col(textCol), shingleSize).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .select(col("corpus_id"),
+        call_function("minhash64", col("__gs"), lit(numHashes)).as("__mh"))
+    val signatures = sig.repartition(col("corpus_id")).persist()
+    // banding reads the signature CACHE (one corpus scan total); the
+    // per-(band,key) cap bounds every future drop's bucket join the
+    // same way bucketPairs bounds the in-corpus case
+    val bands = signatures.select(col("corpus_id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          xxhash64(slice(col("__mh"), b * bandRows + 1, lit(bandRows)))))
+          .as(Seq("__band", "__key")))
+      .withColumn("__bn", row_number().over(
+        Window.partitionBy("__band", "__key").orderBy("corpus_id")))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+      .repartition(col("__band"), col("__key")).persist()
+    bands.count() // materialize both caches at build time
+    new NearDupIndex(numHashes, bandRows, shingleSize, bands, signatures)
+  }
+}
+
 /** Deduplication operators for the training-data pipeline (SURVEY §2
   * d01–d04). Everything here is BLOCKED: candidate pairs only ever
   * come from hash buckets (exact digest, LSH band, or an explicit
@@ -117,6 +170,51 @@ object Dedup {
     incremental(
       IncrementalIndex.build(corpus, textCol, expectedItems, persist = false),
       batch, idCol, textCol)
+
+  /** d15: incremental NEAR-dup — drop batch docs whose shingle-set
+    * similarity to ANY standing-corpus doc reaches `minEstJaccard`
+    * (the cross-run twin of d02; d11 catches only exact-normalized
+    * matches, this catches the re-crawled page with a new footer).
+    *
+    * Drop plan against a prebuilt [[NearDupIndex]] (corpus never
+    * scanned, corpus-side rows never reshuffled):
+    *  1. one batch scan computes batch MinHash signatures;
+    *  2. batch band keys join the index's pre-partitioned band table
+    *     — only the batch side shuffles; buckets are capped at build;
+    *  3. candidate (corpus_id, batch_id) pairs dedup, then verify
+    *     against the index's signature cache: est_jaccard = signature
+    *     agreement rate, exactly d02's estimator;
+    *  4. batch ids with a confirmed near-match anti-join out — output
+    *     is the surviving batch, like d11.
+    * Same minimum-length contract as d02: docs with fewer than
+    * `shingleSize` words carry no signature and always survive. */
+  def incrementalNearDup(index: NearDupIndex, batch: DataFrame,
+      idCol: String, textCol: String,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    GraftFunctions.ensureRegistered(batch.sparkSession)
+    val numBands = index.numHashes / index.bandRows
+    val sig = batch.select(col(idCol).as("batch_id"),
+        wordNGrams(col(textCol), index.shingleSize).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .select(col("batch_id"),
+        call_function("minhash64", col("__gs"), lit(index.numHashes)).as("__mh"))
+    val bBands = sig.select(col("batch_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        xxhash64(slice(col("__mh"), b * index.bandRows + 1, lit(index.bandRows)))))
+        .as(Seq("__band", "__key")))
+    val cand = bBands.join(index.bands, Seq("__band", "__key"))
+      .select("batch_id", "corpus_id").distinct()
+    val dup = cand
+      .join(index.signatures, "corpus_id")
+      .join(sig.withColumnRenamed("__mh", "__mhb"), "batch_id")
+      .withColumn("__agree",
+        aggregate(zip_with(col("__mh"), col("__mhb"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / index.numHashes)
+      .filter(col("__agree") >= minEstJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(broadcast(dup), Seq(idCol), "left_anti")
+  }
 
   /** d12: duplicate clustering — connected components over a
     * near-dup pair list (id1, id2), the step that turns pairwise

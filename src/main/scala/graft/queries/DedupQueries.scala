@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, NearDupIndex}
 
 /** Dedup pipeline coverage (SURVEY §2 d01–d04) over the `documents`
   * table. The synthetic corpus has planted near-duplicate pairs
@@ -182,6 +182,33 @@ object DedupQueries {
           expectedItems = 1L << 16)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // Incremental NEAR-dup (d15, the cross-run twin of d02): the batch
+    // is a simulated re-crawl — corpus docs re-keyed with a boilerplate
+    // footer appended (high shingle overlap, but a DIFFERENT exact
+    // fingerprint, so d11's exact index would keep every one) plus
+    // word-reversed docs at new ids (disjoint shingle sets — genuinely
+    // new). The prebuilt index must drop the footered re-crawls and
+    // keep the new docs. The MinHash estimator has no portable SQL
+    // twin → rows-only; the semantics are pinned in DedupSpec.
+    "d15_incremental_neardup" -> Q.rowsOnly { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("source"),
+          concat(col("text"),
+            lit(" footer boilerplate appended by the recrawl pipeline")).as("text"))
+      val fresh = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("source"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      val idx = NearDupIndex.build(docs, "doc_id", "text")
+      Dedup.incrementalNearDup(idx, recrawl.unionByName(fresh),
+          "doc_id", "text")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+      // the index stays cached for the plan's consumers; Verify/Bench
+      // clearCache() between keys, the long-lived-session release is
+      // idx.release()
     },
 
     // The end-to-end pretraining corpus build: curation funnel over

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curate, Dedup, IncrementalIndex}
+import graft.operators.{Curate, Dedup, IncrementalIndex, NearDupIndex}
 import graft.sources.Tables
 
 /** Semantic oracles for the rows-only dedup operators, on a corpus
@@ -133,6 +133,37 @@ class DedupSpec extends SparkSpec {
         s"drop plan must read the cached fingerprint table:\n$physical")
       assert(out2.queryExecution.analyzed.toString.contains("might_contain"),
         "drop plan must carry the Bloom prefilter")
+    } finally idx.release()
+  }
+
+  test("prebuilt NearDupIndex drops re-crawled near-dups across successive batches") {
+    // d11's exact index would keep ALL of these: every batch doc has a
+    // DIFFERENT normalized fingerprint. Only shingle similarity links
+    // a footered re-crawl back to its corpus original.
+    val idx = NearDupIndex.build(corpus, "doc_id", "text")
+    try {
+      def refooter(i: Int, newId: Long) =
+        (newId, corpus.where(col("doc_id") === i)
+          .select("text").as[String].head + " new footer line appended")
+      // drop 1: re-crawls of docs 3..5 + one genuinely new doc
+      val batch1 = ((3 to 5).map(i => refooter(i, 200L + i)) :+
+        (300L, (0 until 60).map(i => s"fresh1_w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val out1 = Dedup.incrementalNearDup(idx, batch1, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out1 == Set(300L), s"got $out1")
+      // drop 2 through the SAME index
+      val batch2 = (Seq(refooter(6, 206L)) :+
+        (400L, (0 until 60).map(i => s"fresh2_w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val out2 = Dedup.incrementalNearDup(idx, batch2, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(400L), s"got $out2")
+      // the drop plan reads the CACHED index tables, never the corpus
+      val physical = Dedup.incrementalNearDup(idx, batch2, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(physical.contains("InMemoryTableScan"),
+        s"drop plan must read the cached index:\n$physical")
     } finally idx.release()
   }
 
