@@ -542,6 +542,55 @@ object ChDialect {
         builtin("slice")(Seq(es(0), Literal(1), n)),
         builtin("concat")(Seq(es(0),
           builtin("array_repeat")(Seq(es(2), Subtract(n, sz)))))) },
+    // ---- CH staples, round 7 batch 2 ----
+    "uniqTheta" -> builtin("approx_count_distinct"),
+    // Timing variants are CH's low-latency-histogram sketches — the
+    // TDigest stand-in is the same accuracy class
+    "quantileTiming" -> { es =>
+      builtin("percentile_approx")(if (es.size == 2) es :+ Literal(10000) else es) },
+    "medianTiming" -> { es =>
+      builtin("percentile_approx")(Seq(es.head, Literal(0.5), Literal(10000))) },
+    // CH sumWithOverflow keeps the INPUT type and lets it wrap; Spark
+    // longs wrap the same way for integral inputs
+    "sumWithOverflow" -> builtin("sum"),
+    // formatReadableSize(bytes) → '1.50 GiB' (binary units, 2 dp)
+    "formatReadableSize" -> { es =>
+      val b = Cast(es.head, DoubleType)
+      def fmt(scaled: Expression, unit: String): Expression =
+        Concat(Seq(builtin("format_number")(Seq(scaled, Literal(2))),
+          Literal(" " + unit)))
+      val kib = Literal(1024.0)
+      CaseWhen(Seq(
+        (LessThan(b, kib), fmt(b, "B")),
+        (LessThan(b, Multiply(kib, kib)), fmt(Divide(b, kib), "KiB")),
+        (LessThan(b, Multiply(Multiply(kib, kib), kib)),
+          fmt(Divide(b, Multiply(kib, kib)), "MiB")),
+        (LessThan(b, Multiply(Multiply(kib, kib), Multiply(kib, kib))),
+          fmt(Divide(b, Multiply(Multiply(kib, kib), kib)), "GiB"))),
+        Some(fmt(Divide(b, Multiply(Multiply(kib, kib), Multiply(kib, kib))),
+          "TiB"))) },
+    // formatReadableQuantity(n) → '1.50 million'
+    "formatReadableQuantity" -> { es =>
+      val n = Cast(es.head, DoubleType)
+      def fmt(scaled: Expression, unit: String): Expression =
+        Concat(Seq(builtin("format_number")(Seq(scaled, Literal(2))),
+          Literal(unit)))
+      CaseWhen(Seq(
+        (LessThan(n, Literal(1e3)), fmt(n, "")),
+        (LessThan(n, Literal(1e6)), fmt(Divide(n, Literal(1e3)), " thousand")),
+        (LessThan(n, Literal(1e9)), fmt(Divide(n, Literal(1e6)), " million")),
+        (LessThan(n, Literal(1e12)), fmt(Divide(n, Literal(1e9)), " billion"))),
+        Some(fmt(Divide(n, Literal(1e12)), " trillion"))) },
+    // bar(x, min, max[, width=80]) — the CLI histogram staple
+    "bar" -> { es =>
+      val width = if (es.size > 3) Cast(es(3), DoubleType) else Literal(80.0)
+      val frac = Divide(
+        Subtract(Cast(es(0), DoubleType), Cast(es(1), DoubleType)),
+        Subtract(Cast(es(2), DoubleType), Cast(es(1), DoubleType)))
+      val clamped = Least(Seq(Greatest(Seq(frac, Literal(0.0))), Literal(1.0)))
+      builtin("repeat")(Seq(Literal("█"),
+        Cast(builtin("round")(Seq(Multiply(clamped, width))), IntegerType))) },
+
     // arrayJaccardIndex(a, b) = |a ∩ b| / |a ∪ b| over DISTINCT
     // elements (CH 23.7+ name)
     "arrayJaccardIndex" -> { es =>

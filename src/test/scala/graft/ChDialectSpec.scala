@@ -316,6 +316,38 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getAs[Double]("jac") == 0.5)
   }
 
+  test("readable formatters, bar, and sketch-alias staples") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT
+        |  formatReadableSize(1536) AS kib,
+        |  formatReadableSize(1610612736) AS gib,
+        |  formatReadableSize(512) AS b,
+        |  formatReadableQuantity(1500000) AS mil,
+        |  formatReadableQuantity(999) AS small,
+        |  bar(5, 0, 10, 10) AS half,
+        |  bar(15, 0, 10, 10) AS clamped,
+        |  length(bar(0, 0, 10)) AS zero
+        |""".stripMargin)
+    assert(r.getAs[String]("kib") == "1.50 KiB")
+    assert(r.getAs[String]("gib") == "1.50 GiB")
+    assert(r.getAs[String]("b") == "512.00 B")
+    assert(r.getAs[String]("mil") == "1.50 million")
+    assert(r.getAs[String]("small") == "999.00")
+    assert(r.getAs[String]("half") == "█" * 5)
+    assert(r.getAs[String]("clamped") == "█" * 10)
+    assert(r.getAs[Int]("zero") == 0)
+    Tables(spark, sfDir).orders.createOrReplaceTempView("orders_v")
+    val a = sql1(
+      """SELECT uniqTheta(o_custkey) AS ut,
+        |  quantileTiming(o_totalprice, 0.5) AS qt,
+        |  medianTiming(o_totalprice) AS mt,
+        |  sumWithOverflow(o_orderkey) AS so
+        |FROM orders_v""".stripMargin)
+    assert(a.getAs[Double]("qt") == a.getAs[Double]("mt"))
+    assert(a.getAs[Long]("ut") > 0 && a.getAs[Long]("so") > 0)
+  }
+
   test("extractAll: literal patterns pick group vs whole match; runtime patterns refuse") {
     GraftFunctions.ensureRegistered(spark)
     // group-less pattern → whole matches; capturing group → group 1
