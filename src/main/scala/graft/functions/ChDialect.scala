@@ -544,6 +544,18 @@ object ChDialect {
           builtin("array_repeat")(Seq(es(2), Subtract(n, sz)))))) },
     // ---- CH staples, round 7 batch 2 ----
     "uniqTheta" -> builtin("approx_count_distinct"),
+    // weighted exact quantiles: Spark's percentile takes a frequency
+    // argument with EXACTLY the repeat-each-x-w-times semantics
+    "quantileExactWeighted" -> { es =>
+      builtin("percentile")(Seq(es(0), es(2), Cast(es(1), LongType))) },
+    "medianExactWeighted" -> { es =>
+      builtin("percentile")(Seq(es(0), Literal(0.5), Cast(es(1), LongType))) },
+    // sumCount(x) → (sum, count) tuple, the `_1`/`_2` naming the DDL
+    // Tuple mapping uses
+    "sumCount" -> { es =>
+      CreateNamedStruct(Seq(
+        Literal("_1"), aggregate.Sum(es.head).toAggregateExpression(),
+        Literal("_2"), aggregate.Count(es).toAggregateExpression())) },
     // Timing variants are CH's low-latency-histogram sketches — the
     // TDigest stand-in is the same accuracy class
     "quantileTiming" -> { es =>

@@ -650,8 +650,8 @@ object ChSql {
     *  - uniq family: precision params are sketch-tuning only —
     *    dropped, `uniqCombined(12)(x)` → `uniqCombined(x)`. */
   private val paramsLast = Set("QUANTILE", "QUANTILEEXACT", "QUANTILETDIGEST",
-    "MEDIAN", "MEDIANEXACT", "UNIQUPTO",
-    "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG")
+    "MEDIAN", "MEDIANEXACT", "UNIQUPTO", "QUANTILEEXACTWEIGHTED",
+    "QUANTILETIMING", "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG")
   private val paramsFirst = Set("TOPK")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQHLL12")
 

@@ -346,6 +346,18 @@ class ChDialectSpec extends SparkSpec {
         |FROM orders_v""".stripMargin)
     assert(a.getAs[Double]("qt") == a.getAs[Double]("mt"))
     assert(a.getAs[Long]("ut") > 0 && a.getAs[Long]("so") > 0)
+    // weighted exact quantile = the repeat-each-x-w-times median;
+    // sumCount packs (sum, count) as a _1/_2 tuple. The parametric
+    // (p)(x, w) spelling routes through the translator's fold.
+    Seq((1.0, 1L), (2.0, 1L), (10.0, 8L)).toDF("x", "w")
+      .createOrReplaceTempView("wq")
+    val b = spark.sql(graft.functions.ChSql.translate(
+      """SELECT quantileExactWeighted(0.5)(x, w) AS med,
+        |  medianExactWeighted(x, w) AS med2,
+        |  sumCount(x) AS sc FROM wq""".stripMargin)).collect().head
+    assert(b.getAs[Double]("med") == 10.0 && b.getAs[Double]("med2") == 10.0)
+    val sc = b.getStruct(b.fieldIndex("sc"))
+    assert(sc.getAs[Double]("_1") == 13.0 && sc.getAs[Long]("_2") == 3L)
   }
 
   test("extractAll: literal patterns pick group vs whole match; runtime patterns refuse") {
