@@ -53,6 +53,15 @@ object ChDdl {
       name: String, keys: Seq[String], sums: Seq[String],
       mins: Seq[String], maxs: Seq[String], hasCount: Boolean)
 
+  /** One table-TTL element (ASTTTLElement.h; TTLMode::DELETE): a row
+    * expires once `expr` (a Date/DateTime) is in the past, optionally
+    * only where `where` holds. MOVE/RECOMPRESS/GROUP BY modes manage
+    * the reference's storage tiers and have no parquet-library analog
+    * — the parser refuses them loudly. */
+  final case class ChTtl(expr: String, where: Option[String]) {
+    def render: String = expr + where.map(w => s" DELETE WHERE $w").getOrElse("")
+  }
+
   final case class ChCreateTable(
       table: String,
       cols: Seq[ChColumn],
@@ -61,7 +70,20 @@ object ChDdl {
       orderBy: Seq[String],
       sampleBy: Option[String],
       projections: Seq[ChProjection] = Nil,
-      constraints: Seq[(String, String)] = Nil) {
+      constraints: Seq[(String, String)] = Nil,
+      ttl: Seq[ChTtl] = Nil) {
+
+    /** The expired-rows predicate (SQL text, front-door dialect): the
+      * disjunction of the TTL elements. The reference drops expired
+      * rows when parts MERGE; here OPTIMIZE is the merge-now trigger
+      * and routes this through the ALTER DELETE partition-restricted
+      * rewrite. */
+    def ttlExpiredSql: Option[String] =
+      if (ttl.isEmpty) None
+      else Some(ttl.map { t =>
+        val base = s"(${t.expr}) <= now()"
+        t.where.map(w => s"($base AND ($w))").getOrElse(s"($base)")
+      }.mkString(" OR "))
 
     def enumOf(col: String): Seq[(String, Int)] =
       cols.find(_.name == col).flatMap(_.enumValues).getOrElse(
@@ -276,7 +298,9 @@ object ChDdl {
         s"PARTITION BY (${ct.partitionBy.mkString(", ")})" else "",
       if (ct.orderBy.nonEmpty) s"ORDER BY (${ct.orderBy.mkString(", ")})"
       else "ORDER BY tuple()",
-      ct.sampleBy.map(e => s"SAMPLE BY $e").getOrElse("")
+      ct.sampleBy.map(e => s"SAMPLE BY $e").getOrElse(""),
+      if (ct.ttl.isEmpty) ""
+      else s"TTL ${ct.ttl.map(_.render).mkString(", ")}"
     ).filter(_.nonEmpty).mkString("\n")
     s"CREATE TABLE ${ct.table}\n(\n$body\n)\n$tail"
   }
@@ -420,6 +444,158 @@ object ChDdl {
           spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$loc'")
       }
     }
+  }
+
+  // ---------- BACKUP / RESTORE (ParserBackupQuery.h) ----------
+
+  /** The CREATE statement a table would round-trip through, renamed to
+    * `asName` — the declared layout when the table came through
+    * ChDdl.create, the inverse type map over the catalog otherwise
+    * (same two paths as SHOW CREATE TABLE). */
+  private def createStatementFor(
+      spark: SparkSession, table: String, asName: String): String =
+    createdTables.get(table.toLowerCase) match {
+      case Some(ct) => renderCreate(ct.copy(table = asName))
+      case None =>
+        val schema = spark.table(table).schema
+        val partCols = spark.catalog.listColumns(table).collect()
+          .filter(_.isPartition).map(_.name).toSeq
+        val cols = schema.fields.toSeq
+          .filterNot(_.name == "__sample_hash")
+          .map(f => ChColumn(f.name, f.dataType.sql, None,
+            chTypeName(f.dataType, f.nullable)))
+        renderCreate(ChCreateTable(asName, cols, "MergeTree", partCols, Nil, None))
+    }
+
+  /** `File('path')` / `Disk('name', 'path')` backup destination
+    * (ParserBackupQuery.h TO/FROM clause). The reference resolves Disk
+    * names from server config; a library has no server, so a Disk maps
+    * to a deterministic `__disks__/name` tree under the warehouse. */
+  private def backupTarget(spark: SparkSession, ts: Vector[Tok]): String = {
+    def lit(t: Tok): String = {
+      require(t.text.length >= 2 && t.text.head == '\'',
+        s"expected string literal, got ${t.text}")
+      t.text.drop(1).dropRight(1)
+    }
+    require(ts.length >= 4 && ts(1).text == "(",
+      s"expected File('path') or Disk('name', 'path'), got ${renderTrim(ts)}")
+    val args = ts.slice(2, matchParen(ts, 1)).filter(_.text.head == '\'')
+    ts.head.up match {
+      case "FILE" => lit(args(0))
+      case "DISK" =>
+        require(args.length >= 2, "Disk needs ('name', 'path')")
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          s"__disks__/${lit(args(0))}/${lit(args(1))}").toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported backup destination $other (File or Disk)")
+    }
+  }
+
+  private def tableLocation(spark: SparkSession, name: String) = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $name").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+      .getOrElse(throw new IllegalStateException(s"no Location for $name"))
+    new org.apache.hadoop.fs.Path(loc)
+  }
+
+  /** BACKUP TABLE t [AS name] TO File('path')|Disk('name','path'):
+    * the table's CREATE statement lands in `metadata/name.sql`, its
+    * data directory copies byte-for-byte to `data/name/` — the
+    * reference's backup layout (metadata + parts) in miniature. One
+    * backup location holds many entries; re-backing-up an existing
+    * entry refuses like the reference's "backup already exists".
+    * Projections/MVs are derived data and are NOT backed up — RESTORE
+    * rebuilds nothing that a re-ingest wouldn't. */
+  def backup(spark: SparkSession, sql: String): DataFrame = {
+    val ts = tokenize(sql)._1
+    require(ts.length > 2 && ts(0).up == "BACKUP" && ts(1).up == "TABLE",
+      "expected BACKUP TABLE")
+    val toIdx = ChSql.find0(ts, Set("TO"), 2)
+    require(toIdx > 2, "BACKUP needs TO File('path') or Disk('name','path')")
+    if (ChSql.find0(ts, Set("PARTITION", "PARTITIONS"), 2) >= 0)
+      throw new UnsupportedOperationException(
+        "BACKUP … PARTITION is not supported: back up the whole table")
+    if (ChSql.find0(ts, Set("SETTINGS"), toIdx) >= 0)
+      throw new UnsupportedOperationException(
+        "BACKUP SETTINGS (base_backup/compression) drive the reference's " +
+          "incremental backup engine; plain full backups only")
+    val asIdx = ChSql.find0(ts, Set("AS"), 2)
+    val nameEnd = if (asIdx > 0) asIdx else toIdx
+    val table = ts.slice(2, nameEnd).filter(_.word).map(_.text).mkString("_")
+    val bname =
+      if (asIdx > 0) ts.slice(asIdx + 1, toIdx).filter(_.word).map(_.text).mkString("_")
+      else table
+    val dest = backupTarget(spark, ts.drop(toIdx + 1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    val meta = new org.apache.hadoop.fs.Path(destPath, s"metadata/${bname.toLowerCase}.sql")
+    require(!fs.exists(meta),
+      s"backup entry $bname already exists at $dest")
+    val dataDst = new org.apache.hadoop.fs.Path(destPath, s"data/${bname.toLowerCase}")
+    val src = tableLocation(spark, table)
+    val srcFs = src.getFileSystem(conf)
+    fs.mkdirs(meta.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, src, fs, dataDst, false, conf)
+    val out = fs.create(meta)
+    try out.write(createStatementFor(spark, table, bname)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    backupAnswer(spark, s"$dest|$bname", "BACKUP_CREATED")
+  }
+
+  /** RESTORE TABLE name [INTO t] FROM File('path')|Disk('name','path'):
+    * re-runs the backed-up CREATE under the target name, then copies
+    * the backed-up parts into the fresh table's location. Partitioned
+    * content is re-discovered the way ATTACH does it. */
+  def restore(spark: SparkSession, sql: String): DataFrame = {
+    val ts = tokenize(sql)._1
+    require(ts.length > 2 && ts(0).up == "RESTORE" && ts(1).up == "TABLE",
+      "expected RESTORE TABLE")
+    val fromIdx = ChSql.find0(ts, Set("FROM"), 2)
+    require(fromIdx > 2, "RESTORE needs FROM File('path') or Disk('name','path')")
+    if (ChSql.find0(ts, Set("PARTITION", "PARTITIONS"), 2) >= 0)
+      throw new UnsupportedOperationException(
+        "RESTORE … PARTITION is not supported: restore the whole table")
+    val intoIdx = ChSql.find0(ts, Set("INTO"), 2)
+    val nameEnd = if (intoIdx > 0) intoIdx else fromIdx
+    val bname = ts.slice(2, nameEnd).filter(_.word).map(_.text).mkString("_")
+    val target =
+      if (intoIdx > 0)
+        ts.slice(intoIdx + 1, fromIdx).filter(_.word).map(_.text).mkString("_")
+      else bname
+    val src = backupTarget(spark, ts.drop(fromIdx + 1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val meta = new org.apache.hadoop.fs.Path(srcPath, s"metadata/${bname.toLowerCase}.sql")
+    require(fs.exists(meta), s"no backup entry $bname at $src")
+    val stmt = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val ct = parse(stmt).copy(table = target)
+    ct.create(spark)
+    val loc = tableLocation(spark, target)
+    val locFs = loc.getFileSystem(conf)
+    val dataSrc = new org.apache.hadoop.fs.Path(srcPath, s"data/${bname.toLowerCase}")
+    // copy the backup dir's CONTENTS into the (empty) table location
+    fs.listStatus(dataSrc).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, st.getPath, locFs, new org.apache.hadoop.fs.Path(loc, st.getPath.getName),
+        false, conf)
+    }
+    if (ct.partitionBy.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $target")
+    backupAnswer(spark, s"$src|$bname|$target", "RESTORED")
+  }
+
+  private def backupAnswer(
+      spark: SparkSession, seed: String, status: String): DataFrame = {
+    import spark.implicits._
+    // deterministic id in the reference's (id, status) answer shape
+    val id = java.util.UUID.nameUUIDFromBytes(
+      seed.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    Seq((id, status)).toDF("id", "status")
   }
 
   // ---------- mutations (ASTAlterQuery.h) ----------
@@ -936,8 +1112,11 @@ object ChDdl {
         i + 2 < ts0.length && ts0(i + 1).text == "."))
       ChSystem.rewrite(spark, ts0) else ts0
     // file('path'[, 'Format']) table function → a temp view over the
-    // corresponding Spark reader
-    val ts = rewriteFileFn(spark, ts1)
+    // corresponding Spark reader. BACKUP/RESTORE exempt: their
+    // File('path') names a backup destination, not readable data
+    val ts = if (Set("BACKUP", "RESTORE").contains(
+        ts1.headOption.map(_.up).getOrElse("")))
+      ts1 else rewriteFileFn(spark, ts1)
     val sql = if (ts eq ts0) sql0 else renderTrim(ts)
     def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
     (kw(0), kw(1)) match {
@@ -1038,6 +1217,24 @@ object ChDdl {
       case ("CREATE", "FUNCTION") => createFunction(spark, sql); spark.emptyDataFrame
       case ("CREATE", "DICTIONARY") => createDictionary(spark, sql); spark.emptyDataFrame
       case ("INSERT", "INTO") => ChInsert.execute(spark, sql); spark.emptyDataFrame
+      case ("ALTER", "TABLE") if {
+        val ti = ChSql.find0(ts, Set("TTL"), 3)
+        ti > 2 && Set("MODIFY", "REMOVE").contains(ts(ti - 1).up)
+      } =>
+        // ALTER TABLE t MODIFY TTL expr… / REMOVE TTL (ASTAlterQuery.h
+        // MODIFY_TTL/REMOVE_TTL): swap the declared TTL; rows already
+        // stored stay until the next OPTIMIZE merges them out, the
+        // reference's materialize-on-merge behavior
+        val ti = ChSql.find0(ts, Set("TTL"), 3)
+        val table = ts.slice(2, ti - 1).filter(_.word).map(_.text).mkString("_")
+        val ct = createdTables.get(table.toLowerCase).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table was not created through ChDdl; no layout to carry TTL"))
+        val newTtl =
+          if (ts(ti - 1).up == "REMOVE") Nil
+          else splitTop(ts.drop(ti + 1)).map(parseTtlElement)
+        createdTables.put(table.toLowerCase, ct.copy(ttl = newTtl))
+        spark.emptyDataFrame
       case ("ALTER", "TABLE")
           if ChSql.find0(ts, Set("DELETE", "UPDATE"), 2) >= 0 =>
         alter(spark, sql); spark.emptyDataFrame
@@ -1067,10 +1264,11 @@ object ChDdl {
         // OPTIMIZE … DEDUPLICATE [BY cols] (ASTOptimizeQuery.h:20-23)
         // has real semantics though: drop full-row (or by-column)
         // duplicates — realized as a staged distinct rewrite.
+        val tblEnd = ChSql.find0(ts, Set("FINAL", "DEDUPLICATE", "PARTITION"), 2)
+        val table = ts.slice(2, if (tblEnd < 0) ts.length else tblEnd)
+          .filter(_.word).map(_.text).mkString("_")
         val di = ChSql.find0(ts, Set("DEDUPLICATE"), 2)
         if (di >= 0) {
-          val table = ts.slice(2, ChSql.find0(ts, Set("FINAL", "DEDUPLICATE"), 2))
-            .filter(_.word).map(_.text).mkString("_")
           val byIdx = ChSql.find0(ts, Set("BY"), di)
           val snapshot = spark.table(table)
           val deduped =
@@ -1085,6 +1283,13 @@ object ChDdl {
             .select(snapshot.schema.fieldNames.toSeq.map(col): _*)
             .write.mode("overwrite").insertInto(table)
         }
+        // a merge is when the reference drops TTL-expired rows
+        // (TTLMode::DELETE); the delete rides the ALTER DELETE
+        // partition-restricted rewrite, so an OPTIMIZE with nothing
+        // expired rewrites nothing
+        createdTables.get(table.toLowerCase)
+          .flatMap(_.ttlExpiredSql)
+          .foreach(p => alter(spark, s"ALTER TABLE $table DELETE WHERE $p"))
         spark.emptyDataFrame
       case ("EXCHANGE", "TABLES") =>
         // EXCHANGE TABLES a AND b (ASTRenameQuery.h exchange flag):
@@ -1128,14 +1333,22 @@ object ChDdl {
           if (kw(1) == "DATABASE") spark.catalog.databaseExists(name)
           else spark.catalog.tableExists(name)
         spark.sql(s"SELECT CAST(${if (ex) 1 else 0} AS TINYINT) AS result")
-      case ("KILL", _) | ("SYSTEM", _) | ("BACKUP", _) | ("RESTORE", _) =>
+      case ("BACKUP", "TABLE") => backup(spark, sql)
+      case ("RESTORE", "TABLE") => restore(spark, sql)
+      case ("BACKUP", _) | ("RESTORE", _) =>
+        // DATABASE / ALL DATABASES / TEMPORARY TABLE / DICTIONARY /
+        // EVERYTHING entries (ParserBackupQuery.h) enumerate a server
+        // catalog; only the TABLE entry has a library meaning
+        throw new UnsupportedOperationException(
+          s"${kw(0)} ${kw(1)} is not supported; ${kw(0)} TABLE t " +
+            s"${if (kw(0) == "BACKUP") "TO" else "FROM"} File('path') is")
+      case ("KILL", _) | ("SYSTEM", _) =>
         // the cluster-operations surface (ParserKillQueryQuery.h,
-        // ParserSystemQuery.h, ParserBackupQuery.h) manages a server
-        // process — meaningless inside a library; refuse loudly
-        // rather than mis-parse
+        // ParserSystemQuery.h) manages a server process — meaningless
+        // inside a library; refuse loudly rather than mis-parse
         throw new UnsupportedOperationException(
           s"${kw(0)} targets the reference's server/cluster runtime; " +
-            "use the platform's own job-kill/maintenance/backup tooling")
+            "use the platform's own job-kill/maintenance tooling")
       case ("EXTERNAL", _) =>
         // EXTERNAL DDL FROM MySQL(…) (ParserExternalDDLQuery.h) is the
         // reference's MySQL-replication DDL bridge — it rewrites a
@@ -1244,8 +1457,9 @@ object ChDdl {
 
   // ---------- parser ----------
 
-  /** Parse a ClickHouse CREATE TABLE statement. Unsupported tail
-    * clauses (TTL, SETTINGS, COMMENT) are ignored; per-column DEFAULT /
+  /** Parse a ClickHouse CREATE TABLE statement. TTL (DELETE mode) is
+    * kept on the layout and enforced by OPTIMIZE; remaining tail
+    * clauses (SETTINGS, COMMENT) are ignored; per-column DEFAULT /
     * MATERIALIZED / CODEC / COMMENT decorations are skipped. */
   def parse(ddl: String): ChCreateTable = {
     val ts = tokenize(ddl)._1
@@ -1281,6 +1495,7 @@ object ChDdl {
     var partitionBy = Seq.empty[String]
     var orderBy = Seq.empty[String]
     var sampleBy = Option.empty[String]
+    var ttl = Seq.empty[ChTtl]
     var j = close + 1
     val tailKws = Set("ENGINE", "PARTITION", "ORDER", "PRIMARY", "SAMPLE",
       "TTL", "SETTINGS", "COMMENT")
@@ -1318,12 +1533,38 @@ object ChDdl {
           val e = clauseEndFrom(j + 2)
           sampleBy = Some(renderTrim(ts.slice(j + 2, e)))
           j = e
-        case _ => // PRIMARY KEY / TTL / SETTINGS / COMMENT — skip clause
+        case "TTL" => // TTL expr [DELETE] [WHERE cond] [, …]
+          val e = clauseEndFrom(j + 1)
+          ttl = splitTop(ts.slice(j + 1, e)).map(parseTtlElement)
+          j = e
+        case _ => // PRIMARY KEY / SETTINGS / COMMENT — skip clause
           j = clauseEndFrom(j + 1)
       }
     }
     ChCreateTable(table, cols, engine, partitionBy, orderBy, sampleBy, projections,
-      constraints)
+      constraints, ttl)
+  }
+
+  /** One ASTTTLElement: `expr [DELETE [WHERE cond]]`. The storage-tier
+    * modes (`TO DISK/VOLUME`, `RECOMPRESS`, rollup `GROUP BY`) refuse —
+    * a parquet snapshot has no volume hierarchy or codec ladder. */
+  private[functions] def parseTtlElement(item: Vector[Tok]): ChTtl = {
+    val d = depths(item)
+    def at(kws: Set[String]) = item.indices.find(k =>
+      d(k) == 0 && item(k).word && kws.contains(item(k).up))
+    at(Set("TO", "RECOMPRESS", "GROUP")).foreach { k =>
+      throw new UnsupportedOperationException(
+        s"TTL ${item(k).up} manages the reference's storage tiers " +
+          "(TTLMode MOVE/RECOMPRESS/GROUP_BY); only the DELETE mode has " +
+          "a data-layer meaning here")
+    }
+    val di = at(Set("DELETE"))
+    val wi = at(Set("WHERE"))
+    require(di.forall(k => wi.forall(_ > k)),
+      s"bad TTL element: ${renderTrim(item)}")
+    val exprEnd = di.orElse(wi).getOrElse(item.length)
+    val where = wi.map(k => renderTrim(item.drop(k + 1)))
+    ChTtl(renderTrim(item.take(exprEnd)), where)
   }
 
   /** `PROJECTION p (SELECT a, sum(v), count() GROUP BY a)` */

@@ -42,6 +42,89 @@ class DdlExtrasSpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("constraint c violated")), e2.toString)
   }
 
+  test("TTL DELETE: declared, merged out by OPTIMIZE, MODIFY/REMOVE swap it") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_ttl (d Date, k Int64)
+        |ENGINE = MergeTree() ORDER BY (k)
+        |TTL d + INTERVAL 30 DAY""".stripMargin)
+    ChDdl.execute(spark,
+      "INSERT INTO graft_ttl VALUES ('2000-01-01', 1), ('2100-01-01', 2)")
+    // expired rows stay visible until a merge — the reference's
+    // materialize-on-merge TTL behavior
+    assert(spark.table("graft_ttl").count() == 2)
+    // SHOW CREATE emits the clause and it round-trips through parse
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_ttl")
+      .collect().head.getString(0)
+    assert(stmt.contains("TTL d + INTERVAL 30 DAY"), stmt)
+    assert(ChDdl.parse(stmt).ttl.map(_.expr) == Seq("d + INTERVAL 30 DAY"))
+    ChDdl.execute(spark, "OPTIMIZE TABLE graft_ttl FINAL")
+    assert(spark.table("graft_ttl").select("k").as[Long].collect().toSeq == Seq(2L))
+    // MODIFY TTL with a WHERE guard: only matching rows expire
+    ChDdl.execute(spark,
+      "ALTER TABLE graft_ttl MODIFY TTL d + INTERVAL 30 DAY DELETE WHERE k < 0")
+    ChDdl.execute(spark,
+      "INSERT INTO graft_ttl VALUES ('2000-01-01', -1), ('2000-01-01', 7)")
+    ChDdl.execute(spark, "OPTIMIZE TABLE graft_ttl")
+    assert(spark.table("graft_ttl").select("k").as[Long].collect().sorted.toSeq
+      == Seq(2L, 7L))
+    // REMOVE TTL: nothing expires any more
+    ChDdl.execute(spark, "ALTER TABLE graft_ttl REMOVE TTL")
+    ChDdl.execute(spark, "OPTIMIZE TABLE graft_ttl FINAL")
+    assert(spark.table("graft_ttl").count() == 2)
+    // storage-tier TTL modes refuse loudly
+    val e = intercept[UnsupportedOperationException] {
+      ChDdl.parse(
+        """CREATE TABLE graft_ttl2 (d Date, k Int64) ENGINE = MergeTree()
+          |ORDER BY (k) TTL d + INTERVAL 1 DAY TO DISK 'cold'""".stripMargin)
+    }
+    assert(e.getMessage.contains("storage tiers"))
+    ChDdl.execute(spark, "DROP TABLE graft_ttl")
+  }
+
+  test("BACKUP TABLE / RESTORE round-trips layout and partitioned content") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_bak (p Int32, k Int64, v String)
+        |ENGINE = MergeTree() PARTITION BY p ORDER BY (k)
+        |SAMPLE BY intHash32(k)""".stripMargin)
+    ChDdl.execute(spark,
+      "INSERT INTO graft_bak VALUES (1, 10, 'a'), (1, 11, 'b'), (2, 20, 'c')")
+    val before = spark.table("graft_bak")
+      .select("p", "k", "v").collect().map(_.toString).sorted.toSeq
+    val dest = java.nio.file.Files.createTempDirectory("graft_backup").toString
+    val r = ChDdl.execute(spark, s"BACKUP TABLE graft_bak TO File('$dest')")
+    assert(r.select("status").as[String].collect().toSeq == Seq("BACKUP_CREATED"))
+    // the same entry can't be backed up twice into one location
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, s"BACKUP TABLE graft_bak TO File('$dest')")
+    }
+    // destroy the original, restore it bare
+    ChDdl.execute(spark, "DROP TABLE graft_bak")
+    ChDdl.execute(spark, s"RESTORE TABLE graft_bak FROM File('$dest')")
+    assert(spark.table("graft_bak")
+      .select("p", "k", "v").collect().map(_.toString).sorted.toSeq == before)
+    // the declared layout came back with it: SHOW CREATE answers CH DDL
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_bak")
+      .collect().head.getString(0)
+    assert(stmt.contains("PARTITION BY (p)") && stmt.contains("SAMPLE BY"), stmt)
+    // RESTORE … INTO a different name coexists with the original
+    ChDdl.execute(spark, s"RESTORE TABLE graft_bak INTO graft_bak2 FROM File('$dest')")
+    assert(spark.table("graft_bak2")
+      .select("p", "k", "v").collect().map(_.toString).sorted.toSeq == before)
+    // AS renames the entry inside the backup
+    ChDdl.execute(spark, s"BACKUP TABLE graft_bak AS snap1 TO File('$dest')")
+    ChDdl.execute(spark, s"RESTORE TABLE snap1 INTO graft_bak3 FROM File('$dest')")
+    assert(spark.table("graft_bak3").count() == 3)
+    // non-TABLE entries refuse with a pointer to the supported form
+    val e = intercept[UnsupportedOperationException] {
+      ChDdl.execute(spark, s"BACKUP DATABASE default TO File('$dest')")
+    }
+    assert(e.getMessage.contains("BACKUP TABLE"))
+    Seq("graft_bak", "graft_bak2", "graft_bak3")
+      .foreach(t => ChDdl.execute(spark, s"DROP TABLE $t"))
+  }
+
   test("SHOW PROCESSLIST answers the reference's column shape with zero rows") {
     GraftFunctions.ensureRegistered(spark)
     val r = ChDdl.execute(spark, "SHOW PROCESSLIST")

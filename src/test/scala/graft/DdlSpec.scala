@@ -693,8 +693,16 @@ class DdlSpec extends SparkSpec {
     assert(ChDdl.execute(spark, "EXISTS TABLE chk_t_no_such").head().getByte(0) == 0)
     assert(ChDdl.execute(spark, "EXISTS DATABASE default").head().getByte(0) == 1)
     for (bad <- Seq("KILL QUERY WHERE query_id = 'x'", "SYSTEM FLUSH LOGS",
-        "BACKUP TABLE chk_t TO Disk('d', 'p')"))
+        "BACKUP ALL DATABASES TO File('/tmp/x')"))
       intercept[UnsupportedOperationException] { ChDdl.execute(spark, bad) }
+    // BACKUP TABLE is real now; the Disk destination maps under the
+    // warehouse's __disks__ tree (cleared first — the on-disk
+    // warehouse outlives test runs and re-backup refuses)
+    val diskP = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "__disks__/d/p")
+    diskP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(diskP, true)
+    val b = ChDdl.execute(spark, "BACKUP TABLE chk_t TO Disk('d', 'p')")
+    assert(b.select("status").head().getString(0) == "BACKUP_CREATED")
     spark.sql("DROP TABLE chk_t")
   }
 
