@@ -287,7 +287,13 @@ object Dedup {
     * tokenizer into every element_at call site (Catalyst substitutes,
     * it does not let-bind), going O(len²) per document — measured 10×
     * slower on the bench corpus. */
-  def wordNGrams(text: Column, n: Int): Column = {
+  def wordNGrams(text: Column, n: Int): Column =
+    array_distinct(wordNGramsAll(text, n))
+
+  /** Positional (non-distinct) word n-grams — one entry per span
+    * start, so repeated spans keep their multiplicity (spanCoverage
+    * counts positions, not gram identities). */
+  def wordNGramsAll(text: Column, n: Int): Column = {
     val ws = tokens(text)
     val shifted = (0 until n).map { o =>
       val c = if (o == 0) ws else slice(ws, lit(o + 1), greatest(size(ws) - o, lit(0)))
@@ -296,7 +302,7 @@ object Dedup {
     val grams = transform(arrays_zip(shifted: _*), s =>
       concat_ws(" ", (0 until n).map(i => s.getField(s"_$i")): _*))
     // drop the tail entries built from null-padded shifts
-    array_distinct(slice(grams, lit(1), greatest(size(ws) - (n - 1), lit(0))))
+    slice(grams, lit(1), greatest(size(ws) - (n - 1), lit(0)))
   }
 
   /** All unordered pairs from a sorted id array (used after bucketing;
@@ -344,6 +350,42 @@ object Dedup {
     docs.join(hits, Seq(idCol), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
+  /** d16: duplicated-span coverage — the fraction of a document's
+    * word n-gram positions whose span also occurs in ANOTHER document
+    * (the span-level dedup signal of the "deduplicating training data"
+    * line of work; same-doc repeats are t06's repetition signal, not
+    * counted here). Docs above `minCoverage` are flagged for drop.
+    *
+    * Scale shape: the gram table shuffles twice — once to (doc, gram)
+    * multiplicities (map-side partial agg collapses repeats), once to
+    * per-gram stats. Cross-doc duplication is decided by
+    * min(doc) != max(doc), NOT a countDistinct — min/max keep partial
+    * aggregation, and a hot gram (boilerplate phrase) costs two longs
+    * of state instead of a distinct-set. The join back on gram is
+    * 1-row-per-gram on the stats side; AQE handles residual skew. */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minCoverage: Double = 0.2): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(wordNGramsAll(col(textCol), n)).as("__g"))
+      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__cnt"))
+    val crossDoc = perDoc.groupBy("__g")
+      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("__g")
+    val dup = perDoc.join(crossDoc, "__g")
+      .groupBy("doc_id").agg(sum("__cnt").as("dup_spans"))
+    val denom = greatest(col("n_spans"), lit(1L))
+    docs
+      .select(col(idCol).as("doc_id"),
+        greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
+      .withColumn("dup_frac", round(col("dup_spans") / denom, 6))
+      .withColumn("flagged", col("dup_spans") / denom >= minCoverage)
   }
 
   /** d02: shingle → MinHash → banded LSH near-dup candidates with

@@ -147,6 +147,35 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Duplicated-span coverage (d16): fraction of each doc's trigram
+    // positions whose span also occurs in another doc. The planted
+    // near-dup pairs share nearly all their spans, so they flag; the
+    // rest of the corpus sits near zero.
+    "d16_span_dedup" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS g
+        |  FROM w),
+        |pg AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |gs AS (SELECT g, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM pg GROUP BY 1),
+        |dup AS (
+        |  SELECT pg.doc_id, CAST(SUM(pg.cnt) AS BIGINT) AS dup_spans
+        |  FROM pg JOIN gs USING (g) WHERE gs.mn <> gs.mx GROUP BY 1)
+        |SELECT w.doc_id AS doc_id,
+        |  CAST(GREATEST(len(w.w) - 2, 0) AS BIGINT) AS n_spans,
+        |  COALESCE(dup.dup_spans, 0) AS dup_spans,
+        |  ROUND(COALESCE(dup.dup_spans, 0) * 1.0
+        |        / GREATEST(len(w.w) - 2, 1), 6) AS dup_frac,
+        |  COALESCE(dup.dup_spans, 0) * 1.0
+        |        / GREATEST(len(w.w) - 2, 1) >= 0.2 AS flagged
+        |FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.spanCoverage(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, minCoverage = 0.2)
+        .orderBy("doc_id")
+    },
+
     // Incremental (cross-run) dedup: the batch is every corpus doc
     // re-keyed and re-formatted (upper-cased, padded — the normalized
     // fingerprint survives both), while the standing corpus holds only

@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 100L), (1L, 101L), (2L, 102L)))
   }
 
+  test("span coverage counts cross-doc duplicated positions, not same-doc repeats") {
+    // doc 1 and 2 share a 6-token span; doc 3 repeats its OWN span
+    // twice (t06 territory — must NOT count); doc 4 is unique
+    val docs = Seq(
+      (1L, "a b c d e f x1 x2 x3"),
+      (2L, "y1 y2 a b c d e f"),
+      (3L, "r s t r s t"),
+      (4L, "u v w z")).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(docs, "doc_id", "text", n = 3, minCoverage = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "dup_spans", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // doc 1: 9 tokens → 7 spans; "a b c","b c d","c d e","d e f" shared
+    //        → 4/7 ≈ 0.57 ≥ 0.5 flags
+    // doc 2: 8 tokens → 6 spans; same 4 shared → 4/6 flags
+    // doc 3: 6 tokens → 4 spans, "r s t" twice but only in THIS doc → 0
+    // doc 4: 4 tokens → 2 spans, unique → 0
+    assert(out == Seq(
+      (1L, 7L, 4L, true), (2L, 6L, 4L, true),
+      (3L, 4L, 0L, false), (4L, 2L, 0L, false)))
+  }
+
   test("incremental dedup drops known fingerprints exactly, keeps new docs") {
     // corpus = docs 0..19; batch = re-formatted copies of 0..4 (same
     // normalized fingerprint: case + padding changes only) plus 3
