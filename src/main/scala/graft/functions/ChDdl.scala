@@ -871,9 +871,12 @@ object ChDdl {
     * composition), never a black-box UDF. */
   def createFunction(spark: SparkSession, sql: String): Unit = {
     val ts = tokenize(sql)._1
-    require(ts.length > 4 && ts(0).up == "CREATE" && ts(1).up == "FUNCTION",
-      "expected CREATE FUNCTION")
-    var i = 2
+    require(ts.length > 4 && ts(0).up == "CREATE", "expected CREATE FUNCTION")
+    var i = 1
+    if (ts(i).up == "OR") i += 2 // OR REPLACE (registration overwrites)
+    require(i < ts.length && ts(i).up == "FUNCTION",
+      "expected CREATE [OR REPLACE] FUNCTION")
+    i += 1
     if (ts(i).up == "IF") i += 3 // IF NOT EXISTS
     val name = ts(i).text
     i += 1
@@ -1171,6 +1174,8 @@ object ChDdl {
       case ("CREATE", "OR") if ts.length > 3 && ts(3).up == "TABLE" =>
         // CREATE OR REPLACE TABLE: create() already drops first
         execute(spark, "CREATE " + renderTrim(ts.drop(3)))
+      case ("CREATE", "OR") if ts.length > 3 && ts(3).up == "FUNCTION" =>
+        createFunction(spark, sql); spark.emptyDataFrame
       case ("CREATE", "VIEW") | ("CREATE", "OR") =>
         // plain CREATE [OR REPLACE] VIEW (ASTCreateQuery.h is_ordinary_view):
         // a stored query re-planned per read — same realization as
@@ -1409,6 +1414,15 @@ object ChDdl {
                 org.apache.spark.sql.types.StringType)) :+
               org.apache.spark.sql.types.StructField("elapsed",
                 org.apache.spark.sql.types.DoubleType)))
+      case ("DROP", "FUNCTION") =>
+        // ASTDropFunctionQuery.h: unregister a CREATE FUNCTION lambda.
+        // The entry lives in the session FunctionRegistry, which
+        // Spark's own DROP FUNCTION (catalog-scoped) can't see.
+        var i = 2
+        if (kw(2) == "IF") i += 2 // IF EXISTS
+        spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(ts(i).text))
+        spark.emptyDataFrame
       case ("DROP", _) | ("TRUNCATE", _) | ("SHOW", _) | ("USE", _) |
            ("ALTER", _) =>
         spark.sql(sql) // Spark's own DDL grammar covers these forms

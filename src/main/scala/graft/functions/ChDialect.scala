@@ -58,6 +58,41 @@ object ChDialect {
     "toUnixTimestamp"   -> builtin("unix_timestamp"),
     "fromUnixTimestamp" -> builtin("from_unixtime"),
     "toStartOfQuarter" -> { es => builtin("date_trunc")(Literal("QUARTER") +: es) },
+    "toISOWeek"      -> builtin("weekofyear"), // Spark weekofyear IS ISO 8601
+    // toStartOfInterval(t, INTERVAL n unit): floor t to a multiple of
+    // the interval. Time units align from the epoch (CH's contract;
+    // note `INTERVAL 1 WEEK` parses as 7 days, so weeks align from
+    // the epoch's Thursday — use toMonday for ISO weeks); month
+    // multiples align on the calendar month index.
+    "toStartOfInterval" -> { es =>
+      def timePath(micros: Long): Expression = {
+        val m = builtin("unix_micros")(Seq(Cast(es.head, TimestampType)))
+        builtin("timestamp_micros")(Seq(Subtract(m, Pmod(m, Literal(micros)))))
+      }
+      def monthPath(months: Int): Expression = {
+        val mi = Add(
+          Multiply(builtin("year")(Seq(es.head)), Literal(12)),
+          Subtract(builtin("month")(Seq(es.head)), Literal(1)))
+        val aligned = Subtract(mi, Pmod(mi, Literal(months)))
+        builtin("make_date")(Seq(
+          Cast(IntegralDivide(aligned, Literal(12)), IntegerType),
+          Cast(Add(Pmod(aligned, Literal(12)), Literal(1)), IntegerType),
+          Literal(1)))
+      }
+      es(1) match {
+        case Literal(v: Long, _: DayTimeIntervalType) => timePath(v)
+        case Literal(v: Int, _: YearMonthIntervalType) => monthPath(v)
+        case Literal(c: org.apache.spark.unsafe.types.CalendarInterval,
+            CalendarIntervalType) if c.months == 0 =>
+          timePath(c.days * 86400000000L + c.microseconds)
+        case Literal(c: org.apache.spark.unsafe.types.CalendarInterval,
+            CalendarIntervalType) if c.days == 0 && c.microseconds == 0 =>
+          monthPath(c.months)
+        case other => throw new IllegalArgumentException(
+          "toStartOfInterval needs a literal single-unit INTERVAL, got " +
+            other.sql)
+      }
+    },
     "toStartOfYear"    -> { es => builtin("date_trunc")(Literal("YEAR") +: es) },
     "toStartOfWeek"    -> { es => builtin("date_trunc")(Literal("WEEK") +: es) },
     "toMonday"         -> { es =>
@@ -132,6 +167,8 @@ object ChDialect {
     // splitByString: same literal-separator contract, multi-char sep
     "splitByString" -> { es => builtin("split")(Seq(es(1),
       Concat(Seq(Literal("\\Q"), es(0), Literal("\\E"))), Literal(-1))) },
+    // splitByRegexp(re, s): CH argument order, separator IS a regex
+    "splitByRegexp" -> { es => builtin("split")(Seq(es(1), es(0), Literal(-1))) },
     "replaceAll"    -> builtin("replace"),
     "concatStr"     -> builtin("concat"),
     "trimBoth"      -> builtin("trim"),

@@ -207,6 +207,7 @@ object ChSql {
     ts = rewriteNumbers(ts)
     ts = rewriteExtract(ts)
     ts = rewriteDateDiff(ts)
+    ts = rewriteAge(ts)
     ts = rewriteParametricAggs(ts)
     ts = rewriteBareCount(ts)
     // SAMPLE sits between the table ref and ARRAY JOIN — remove it
@@ -748,6 +749,30 @@ object ChSql {
         rewriteDateDiff(ts.take(i) ++ retok(
           s" timestampdiff($unit, date_trunc('$unit', $a), " +
             s"date_trunc('$unit', $b))") ++ ts.drop(close + 1))
+    }
+  }
+
+  /** CH `age('unit', start, end)` counts COMPLETE elapsed units —
+    * exactly Spark's `timestampdiff` (no date_trunc alignment, unlike
+    * dateDiff's boundary-crossing count). Only the 3-arg form with a
+    * literal unit rewrites; a column named age is untouched. */
+  private def rewriteAge(ts: Vector[Tok]): Vector[Tok] = {
+    val i = ts.indices.find { i =>
+      ts(i).word && ts(i).up == "AGE" &&
+        i + 2 < ts.length && ts(i + 1).text == "(" &&
+        ts(i + 2).text.startsWith("'")
+    }
+    i match {
+      case None => ts
+      case Some(i) =>
+        val close = matchParen(ts, i + 1)
+        val raw = ts(i + 2).text.stripPrefix("'").stripSuffix("'").toUpperCase
+        val unit = if (raw.length > 2 && raw.endsWith("S")) raw.dropRight(1) else raw
+        require(Set("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+          "HOUR", "MINUTE", "SECOND")(unit), s"age: unsupported unit '$raw'")
+        val rest = renderTrim(ts.slice(i + 3, close)) // ", start, end"
+        rewriteAge(ts.take(i) ++ retok(s" timestampdiff($unit$rest)") ++
+          ts.drop(close + 1))
     }
   }
 

@@ -28,6 +28,28 @@ object DialectQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // SQL-lambda UDFs (ASTCreateFunctionQuery.h): CREATE FUNCTION
+    // bodies inline as ordinary Catalyst at every call site — the
+    // oracle runs the hand-inlined arithmetic. Nested calls (a UDF in
+    // another UDF's argument list) exercise the substitution.
+    "c26_ch_udf" -> Q(
+      """SELECT o_orderkey AS k, o_custkey // 7 + 3 AS fee,
+        |  CASE WHEN (o_orderkey + (o_custkey // 7 + 3)) % 3 = 0 THEN 'fizz'
+        |       ELSE CAST(o_orderkey % 10 AS VARCHAR) END AS tag
+        |FROM orders ORDER BY k LIMIT 500""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      graft.functions.ChDdl.execute(s,
+        "CREATE OR REPLACE FUNCTION graft_fee AS (x) -> intDiv(x, 7) + 3")
+      graft.functions.ChDdl.execute(s,
+        """CREATE OR REPLACE FUNCTION graft_tag AS
+          |  (k, c) -> if((k + c) % 3 = 0, 'fizz', toString(k % 10))""".stripMargin)
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT o_orderkey AS k, graft_fee(o_custkey) AS fee,
+          |  graft_tag(o_orderkey, graft_fee(o_custkey)) AS tag
+          |FROM orders ORDER BY k LIMIT 500""".stripMargin))
+    },
+
     // The round-7 array family — running ops (arrayCumSum /
     // arrayDifference), shape ops (arrayCompact / arrayReverseSort /
     // arrayPopBack / arrayPushFront), folds (arrayProduct) and

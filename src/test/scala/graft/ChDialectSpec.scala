@@ -360,6 +360,27 @@ class ChDialectSpec extends SparkSpec {
     assert(sc.getAs[Double]("_1") == 13.0 && sc.getAs[Long]("_2") == 3L)
   }
 
+  test("toStartOfInterval/toISOWeek/splitByRegexp/age map onto exact Spark forms") {
+    val r = spark.sql(graft.functions.ChSql.translate(
+      """SELECT
+        |  toStartOfInterval(timestamp'2024-05-17 13:47:12', INTERVAL 15 MINUTE) AS m15,
+        |  toStartOfInterval(timestamp'2024-05-17 13:47:12', INTERVAL 6 HOUR) AS h6,
+        |  toStartOfInterval(timestamp'2024-05-17 13:47:12', INTERVAL 2 MONTH) AS mo2,
+        |  toISOWeek(date'2024-01-01') AS w,
+        |  splitByRegexp('[,;]', 'a,b;c') AS sp,
+        |  age('day', timestamp'2024-01-01 23:59:00', timestamp'2024-01-02 00:01:00') AS age_d,
+        |  dateDiff('day', timestamp'2024-01-01 23:59:00', timestamp'2024-01-02 00:01:00') AS dd
+        |""".stripMargin)).collect().head
+    assert(r.getAs[java.sql.Timestamp]("m15").toString == "2024-05-17 13:45:00.0")
+    assert(r.getAs[java.sql.Timestamp]("h6").toString == "2024-05-17 12:00:00.0")
+    assert(r.getAs[java.sql.Date]("mo2").toString == "2024-05-01")
+    assert(r.getAs[Int]("w") == 1) // 2024-01-01 is ISO week 1
+    assert(r.getSeq[String](r.fieldIndex("sp")) == Seq("a", "b", "c"))
+    // age counts complete units (0 full days); dateDiff counts
+    // boundary crossings (1) — the CH contract for both
+    assert(r.getAs[Long]("age_d") == 0L && r.getAs[Long]("dd") == 1L)
+  }
+
   test("extractAll: literal patterns pick group vs whole match; runtime patterns refuse") {
     GraftFunctions.ensureRegistered(spark)
     // group-less pattern → whole matches; capturing group → group 1

@@ -235,6 +235,11 @@ class DdlSpec extends SparkSpec {
       .selectExpr("graft_linear(id, 3, 1) AS v").selectExpr("sum(v)")
       .collect().head.getLong(0)
     assert(n == 3 * (0 + 1 + 2 + 3 + 4) + 5)
+    // OR REPLACE swaps the body; DROP FUNCTION unregisters it
+    ChDdl.execute(spark, "CREATE OR REPLACE FUNCTION graft_double AS x -> x * 3")
+    assert(spark.sql("SELECT graft_double(10) AS v").head().getInt(0) == 30)
+    ChDdl.execute(spark, "DROP FUNCTION graft_double")
+    intercept[Exception] { spark.sql("SELECT graft_double(10)").collect() }
   }
 
   test("execute() routes any CH statement to its realization") {
