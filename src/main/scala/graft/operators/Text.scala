@@ -94,6 +94,40 @@ object Text {
         ipv4Re, "[IP]"),
       phoneRe, "[PHONE]")
 
+  /** t10: hashed-feature linear quality model — the scoring shape of
+    * a fasttext-style document classifier (hash each token into a
+    * bucket, sum the bucket weights, threshold the mean). The weights
+    * here are a DETERMINISTIC stand-in (a Knuth-hash ramp over the
+    * bucket index) so the score is engine-portable and oracle-able;
+    * a trained model would broadcast its weight table into the same
+    * plan. Pure per-row fold arithmetic: no shuffle, no UDF, scan
+    * speed — the shape that matters at 100 TB, where model scoring
+    * must ride the ingest scan.
+    *
+    * Determinism discipline: bucket = 3 hex digits of md5(token)
+    * (exact 0..4095), weight = exact long arithmetic divided by a
+    * power of two (binary-exact double), per-doc sum = left fold in
+    * token order (DuckDB list_sum matches Spark's aggregate-fold IEEE
+    * order exactly — the d05 discipline). */
+  def qualityModel(text: Column, buckets: Int = 4096,
+      bias: Double = 0.0): (Column, Column) = {
+    def hexVal(c: Column): Column = {
+      val a = ascii(c)
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    def weight(tok: Column): Column = {
+      val h = md5(tok)
+      val b = (hexVal(substring(h, 1, 1)) * 256 +
+        hexVal(substring(h, 2, 1)) * 16 +
+        hexVal(substring(h, 3, 1))) % buckets
+      (b.cast("long") * 2654435761L % 1048576L).cast("double") / 1048576.0 - 0.5
+    }
+    val ws = words(text)
+    val sum = aggregate(ws, lit(0.0), (acc, t) => acc + weight(t))
+    val score = sum / greatest(size(ws), lit(1)).cast("double") + bias
+    (round(score, 6), score > 0)
+  }
+
   /** t06: repetition signals (the Gopher-rules quality family) — the
     * per-document fractions a filtering pipeline thresholds on:
     * duplicate-word fraction, most-frequent-word fraction, duplicate

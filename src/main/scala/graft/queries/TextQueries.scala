@@ -16,7 +16,42 @@ object TextQueries {
   /** Shared with d09_curate_pipeline's composed oracle. */
   private[queries] def dictSqlPub(lang: String): String = dictSql(lang)
 
+  /** Hex digit i of md5(t) as its 0–15 value (oracle side of t10's
+    * token-bucket hash). */
+  private def hexCase(i: Int): String =
+    s"(CASE WHEN ascii(substr(md5(t), $i, 1)) >= 97" +
+      s" THEN ascii(substr(md5(t), $i, 1)) - 87" +
+      s" ELSE ascii(substr(md5(t), $i, 1)) - 48 END)"
+
   val defs: Map[String, Q] = Map(
+
+    // Hashed-feature linear quality scorer (t10): bucket = 3 md5 hex
+    // digits (0..4095), weight = Knuth-hash ramp in [-0.5, 0.5),
+    // score = mean token weight. The list_sum left fold matches
+    // Spark's aggregate-fold IEEE order bit-for-bit (d05 discipline).
+    "t10_quality_model" -> Q(
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    COALESCE(list_sum([
+        |      CAST((((${hexCase(1)} * 256 + ${hexCase(2)} * 16 + ${hexCase(3)})
+        |        % 4096) * 2654435761) % 1048576 AS DOUBLE) / 1048576.0 - 0.5
+        |      for t in toks]), 0.0) AS sw
+        |  FROM base)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(sw / GREATEST(n_tokens, 1), 6) AS score,
+        |  sw / GREATEST(n_tokens, 1) > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (score, keep) = Text.qualityModel(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(Text.words(col("text"))).cast("long").as("n_tokens"),
+          score.as("score"), keep.as("keep"))
+        .orderBy("doc_id")
+    },
 
     "t01_lang_id" -> Q(
       s"""WITH s AS (
