@@ -44,6 +44,57 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** d17: nearest-class-centroid assignment — the centroid-classifier
+    * scoring pass (and the evaluation shape for "is this embedding
+    * space linearly separable by class"). Two phases, the Ivf
+    * discipline:
+    *
+    *  1. FIT: per-(label, position) mean over the corpus — explode +
+    *     one hash aggregate, partial-agg friendly; components rounded
+    *     to 6 (the a06 cross-row double-aggregate discipline). The
+    *     k×dim result is MODEL-scale and collects to the driver
+    *     (sanctioned, same as Ivf.fit).
+    *  2. ASSIGN: centroids become plan literals; each row's squared
+    *     L2 to every centroid is an index-order fold, argmin picked by
+    *     a when-chain (ties → smallest label). Scan speed, zero
+    *     shuffle — at 100 TB the scoring pass rides the ingest scan.
+    */
+  def centroidAssign(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents: Map[Int, Seq[Double]] = emb
+      .select(col(labelCol).cast("int").as("__l"),
+        posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy("__l", "__p").agg(round(avg(col("__v").cast("double")), 6).as("__c"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    val labels = cents.keys.toSeq.sorted
+    def distTo(l: Int): Column = {
+      val cent = array(cents(l).map(lit): _*)
+      aggregate(
+        zip_with(col(vecCol), cent,
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0d), (acc, x) => acc + x)
+    }
+    val withD = emb.select(col(idCol) +:
+      col(labelCol).cast("int").as(labelCol) +:
+      labels.map(l => distTo(l).as(s"__d$l")): _*)
+    // argmin when-chain in label order: strict < against every other
+    // distance wins; ties fall through to the SMALLEST label
+    val assigned = labels.init.foldRight(lit(labels.last)) { (l, acc) =>
+      val others = labels.filter(_ != l)
+      when(others.map(o => col(s"__d$l") <= col(s"__d$o"))
+        .reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    withD
+      .withColumn("assigned", assigned)
+      .withColumn("dist",
+        round(labels.map(l => col(s"__d$l")).reduce(least(_, _)), 6))
+      .withColumn("correct", col("assigned") === col(labelCol))
+      .drop(labels.map(l => s"__d$l"): _*)
+  }
+
   /** Exact cosine top-k neighbours for each query row. `queries` must
     * be broadcast-small (it is crossed with the corpus). */
   def bruteTopK(

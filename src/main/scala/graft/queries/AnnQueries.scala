@@ -90,6 +90,35 @@ object AnnQueries {
         .orderBy("vec_id")
     },
 
+    // Nearest-class-centroid assignment (d17): fit = per-(label, pos)
+    // rounded mean (the one cross-row double agg — round-6 bridges
+    // engine sum order, the a06 discipline); everything downstream is
+    // an index-order fold over the SAME rounded literals, so dist,
+    // argmin and the correct flag hash-compare exactly.
+    "d17_centroid_assign" -> Q(
+      """WITH c AS (
+        |  SELECT CAST(label AS INT) AS clabel, i,
+        |    ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT clabel, list(c ORDER BY i) AS cent FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT e.vec_id, CAST(e.label AS INT) AS label, cl.clabel,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - cent[i])
+        |         * (CAST(e.embedding[i] AS DOUBLE) - cent[i]))) AS dist
+        |  FROM embeddings e CROSS JOIN cl),
+        |r AS (
+        |  SELECT vec_id, label, clabel, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+        |  FROM d)
+        |SELECT vec_id, label, clabel AS assigned, ROUND(dist, 6) AS dist,
+        |  clabel = label AS correct
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Ann.centroidAssign(Tables(s, dir).embeddings, "vec_id", "embedding", "label")
+        .orderBy("vec_id")
+    },
+
     // Whole-corpus embedding-cosine near-dup pairs (LSH candidates,
     // exact verify). Recall pinned by AnnSpec.
     "d07_embed_neardup" -> Q.rowsOnly { (s, dir) =>
