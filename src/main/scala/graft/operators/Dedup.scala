@@ -488,12 +488,25 @@ object Dedup {
         wordNGrams(col(textCol), n).as("__gs"))
       .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
         explode(col("__gs")).as("__g"))
+    setJaccardPairs(grams, idCol, minJaccard, maxGramDf)
+  }
+
+  /** The blocked exact-set-Jaccard core d04 (word shingles) and m03
+    * (binary frame fingerprints) share. `items` holds one row per
+    * (id, set element): idCol, `__blk` block key, `__sz` UNCAPPED set
+    * size, `__g` element. Elements with in-block df > maxDf drop
+    * BEFORE the self-join (the d04 bound: join output ≤
+    * blocks·elements·maxDf², linear in corpus size; Jaccard only ever
+    * underestimates). */
+  private[operators] def setJaccardPairs(items: DataFrame, idCol: String,
+      minJaccard: Double, maxDf: Int): DataFrame = {
+    val capped = items
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("__blk", "__g")))
-      .filter(col("__df") <= maxGramDf)
+      .filter(col("__df") <= maxDf)
       .drop("__df")
-    val a = grams.select(col(idCol).as("id1"), col("__blk"),
+    val a = capped.select(col(idCol).as("id1"), col("__blk"),
       col("__sz").as("__s1"), col("__g"))
-    val b = grams.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
+    val b = capped.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
       col("__sz").as("__s2"), col("__g").as("__g2"))
     // size filter: J >= t implies min|A|,|B| >= t·max|A|,|B|, so the
     // ratio predicate is correctness-preserving (prunes the join

@@ -85,6 +85,27 @@ object Multimodal {
         md5(col("__frame")).as("frame_md5"))
   }
 
+  /** m03: binary near-dup by frame fingerprints — the multimodal twin
+    * of d04. Two video-like payloads are near-dups when their sampled
+    * frames mostly hash alike (frame-SET Jaccard, alignment-sensitive
+    * like real perceptual frame matching). Pipeline: decimated frames
+    * (1/every of the slicing work) → distinct (doc, frame-hash) sets →
+    * d04's df-capped blocked self-join + exact Jaccard verify. A
+    * frame hash shared by > maxFrameDf payloads (intros, test
+    * patterns, black frames) is dropped before the join — the same
+    * boilerplate bound that keeps d04 linear in corpus size. */
+  def binaryNearDup(media: DataFrame, frameBytes: Int = 32, every: Int = 2,
+      maxFrameDf: Int = 100, minJaccard: Double = 0.3): DataFrame = {
+    val sets = sampleFrames(media, frameBytes, every)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    val items = sets
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select(col("doc_id"), lit("*").as("__blk"), col("__sz"),
+        col("frame_md5").as("__g"))
+    Dedup.setJaccardPairs(items, "doc_id", minJaccard, maxFrameDf)
+  }
+
   /** Batched featurization: one decoder pass per partition iterator,
     * no shuffle (narrow dependency — partitioning of the input is
     * preserved, so an upstream repartition by storage key survives). */

@@ -27,6 +27,38 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Binary near-dup by frame fingerprints (m03): the oracle builds
+    // the same decimated frame sets over the varchar twin of the
+    // payload and replays the df-cap + set-Jaccard verify. The
+    // documents corpus plants near-dup texts, so shared-prefix
+    // payloads produce real matches.
+    "m03_binary_neardup" -> Q(
+      """WITH fr AS (
+        |  SELECT doc_id, fm,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS sz
+        |  FROM (
+        |    SELECT DISTINCT d.doc_id,
+        |      md5(substring(d.text, CAST(i * 32 + 1 AS INT), 32)) AS fm
+        |    FROM documents d, range(0, 100) t(i)
+        |    WHERE i * 32 < length(d.text) AND i % 2 = 0)),
+        |ff AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY fm) AS df FROM fr)
+        |  WHERE df <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+        |         MIN(a.sz) AS sa, MIN(b.sz) AS sb
+        |  FROM ff a JOIN ff b ON a.fm = b.fm AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(inter AS DOUBLE)/(sa + sb - inter) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE)/(sa + sb - inter) >= 0.3
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val media = Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text")
+      Multimodal.binaryNearDup(media, frameBytes = 32, every = 2,
+          maxFrameDf = 100, minJaccard = 0.3)
+        .orderBy("id1", "id2")
+    },
+
     "m01_multimodal" -> Q.rowsOnly { (s, dir) =>
       val media = Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text")
       Multimodal.featurize(media)
