@@ -409,6 +409,20 @@ object ChDialect {
     "corr"      -> builtin("corr"),
     "anyLast"   -> builtin("last"),
     "topK"      -> { es => builtin("approx_top_k")(Seq(es(1), es(0))) },
+    // deterministic-reservoir quantiles: the determinator seeds CH's
+    // sample; the exact percentile is that sample's deterministic
+    // limit (same stand-in class as the Timing variants)
+    "quantileDeterministic" -> { es =>
+      builtin("percentile")(Seq(es(0), es(2))) },
+    "medianDeterministic" -> { es =>
+      builtin("percentile")(Seq(es(0), Literal(0.5))) },
+    "uniqCombined64" -> builtin("approx_count_distinct"),
+    // groupBitmap(x) answers the bitmap's CARDINALITY — count distinct
+    "groupBitmap" -> { es =>
+      aggregate.Count(es).toAggregateExpression(isDistinct = true) },
+    "deltaSum" -> refuse("deltaSum",
+      "use sum(greatest(x - lag(x, 1) OVER (ORDER BY …), 0)) — a declared " +
+        "order instead of the reference's processing-block accident"),
 
     // ---- aggregates, camelCase names Spark spells with underscores ----
     "stddevSamp" -> builtin("stddev_samp"),

@@ -652,9 +652,11 @@ object ChSql {
     *    dropped, `uniqCombined(12)(x)` → `uniqCombined(x)`. */
   private val paramsLast = Set("QUANTILE", "QUANTILEEXACT", "QUANTILETDIGEST",
     "MEDIAN", "MEDIANEXACT", "UNIQUPTO", "QUANTILEEXACTWEIGHTED",
-    "QUANTILETIMING", "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG")
+    "QUANTILETIMING", "QUANTILEDETERMINISTIC",
+    "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG")
   private val paramsFirst = Set("TOPK")
-  private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQHLL12")
+  private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
+    "UNIQHLL12")
 
   /** CH's regex `extract(haystack, pattern)` collides with standard
     * SQL `EXTRACT(field FROM source)`, which Spark owns — the registry

@@ -358,6 +358,23 @@ class ChDialectSpec extends SparkSpec {
     assert(b.getAs[Double]("med") == 10.0 && b.getAs[Double]("med2") == 10.0)
     val sc = b.getStruct(b.fieldIndex("sc"))
     assert(sc.getAs[Double]("_1") == 13.0 && sc.getAs[Long]("_2") == 3L)
+    // deterministic-reservoir quantiles (det arg seeds CH's sample —
+    // exact is its deterministic limit), bitmap cardinality, 64-bit
+    // combined sketch; deltaSum refuses with the window spelling
+    val c = spark.sql(graft.functions.ChSql.translate(
+      """SELECT quantileDeterministic(0.5)(x, w) AS qd,
+        |  medianDeterministic(x, w) AS md,
+        |  groupBitmap(x) AS gb, uniqCombined64(12)(x) AS uc FROM wq""".stripMargin))
+      .collect().head
+    assert(c.getAs[Double]("qd") == 2.0 && c.getAs[Double]("md") == 2.0)
+    assert(c.getAs[Long]("gb") == 3L && c.getAs[Long]("uc") == 3L)
+    val e = intercept[Exception] {
+      spark.sql(graft.functions.ChSql.translate("SELECT deltaSum(x) FROM wq"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("lag")), e.toString)
   }
 
   test("toStartOfInterval/toISOWeek/splitByRegexp/age map onto exact Spark forms") {
