@@ -111,16 +111,13 @@ object Text {
     * order exactly — the d05 discipline). */
   def qualityModel(text: Column, buckets: Int = 4096,
       bias: Double = 0.0): (Column, Column) = {
-    def hexVal(c: Column): Column = {
-      val a = ascii(c)
-      when(a >= 97, a - 87).otherwise(a - 48)
-    }
     def weight(tok: Column): Column = {
-      val h = md5(tok)
-      val b = (hexVal(substring(h, 1, 1)) * 256 +
-        hexVal(substring(h, 2, 1)) * 16 +
-        hexVal(substring(h, 3, 1))) % buckets
-      (b.cast("long") * 2654435761L % 1048576L).cast("double") / 1048576.0 - 0.5
+      // one md5 per token: conv() parses the 3-digit hex prefix in a
+      // single call (a per-digit ascii chain re-evaluates md5 three
+      // times — Catalyst does not CSE inside lambdas; measured ~25%
+      // of the scan)
+      val b = conv(substring(md5(tok), 1, 3), 16, 10).cast("long") % buckets
+      (b * 2654435761L % 1048576L).cast("double") / 1048576.0 - 0.5
     }
     val ws = words(text)
     val sum = aggregate(ws, lit(0.0), (acc, t) => acc + weight(t))
