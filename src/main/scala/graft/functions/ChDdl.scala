@@ -53,13 +53,27 @@ object ChDdl {
       name: String, keys: Seq[String], sums: Seq[String],
       mins: Seq[String], maxs: Seq[String], hasCount: Boolean)
 
-  /** One table-TTL element (ASTTTLElement.h; TTLMode::DELETE): a row
-    * expires once `expr` (a Date/DateTime) is in the past, optionally
-    * only where `where` holds. MOVE/RECOMPRESS/GROUP BY modes manage
-    * the reference's storage tiers and have no parquet-library analog
-    * — the parser refuses them loudly. */
-  final case class ChTtl(expr: String, where: Option[String]) {
-    def render: String = expr + where.map(w => s" DELETE WHERE $w").getOrElse("")
+  /** One table-TTL element (ASTTTLElement.h): a row expires once
+    * `expr` (a Date/DateTime) is in the past.
+    *
+    *  - DELETE mode (optionally `WHERE`-guarded): expired rows drop.
+    *  - GROUP BY mode (TTLMode::GROUP_BY — the downsampling TTL):
+    *    expired rows collapse to one row per `groupBy` key, `sets`
+    *    assignments aggregate their columns, every other non-key
+    *    column takes min() — a DETERMINISTIC refinement of the
+    *    reference's "any value from the group".
+    *
+    * MOVE/RECOMPRESS manage the reference's storage tiers and have no
+    * parquet-library analog — the parser refuses them loudly. */
+  final case class ChTtl(expr: String, where: Option[String],
+      groupBy: Seq[String] = Nil, sets: Seq[(String, String)] = Nil) {
+    def render: String = expr +
+      (if (groupBy.nonEmpty)
+        s" GROUP BY ${groupBy.mkString(", ")}" +
+          (if (sets.nonEmpty)
+            s" SET ${sets.map { case (c, e) => s"$c = $e" }.mkString(", ")}"
+          else "")
+      else where.map(w => s" DELETE WHERE $w").getOrElse(""))
   }
 
   final case class ChCreateTable(
@@ -73,17 +87,20 @@ object ChDdl {
       constraints: Seq[(String, String)] = Nil,
       ttl: Seq[ChTtl] = Nil) {
 
-    /** The expired-rows predicate (SQL text, front-door dialect): the
-      * disjunction of the TTL elements. The reference drops expired
-      * rows when parts MERGE; here OPTIMIZE is the merge-now trigger
-      * and routes this through the ALTER DELETE partition-restricted
-      * rewrite. */
-    def ttlExpiredSql: Option[String] =
-      if (ttl.isEmpty) None
-      else Some(ttl.map { t =>
+    /** The expired-rows predicate (SQL text, front-door dialect) for
+      * the DELETE-mode TTL elements. The reference drops expired rows
+      * when parts MERGE; here OPTIMIZE is the merge-now trigger and
+      * routes this through the ALTER DELETE partition-restricted
+      * rewrite. GROUP BY-mode elements roll up separately
+      * (applyTtlRollup). */
+    def ttlExpiredSql: Option[String] = {
+      val dels = ttl.filter(_.groupBy.isEmpty)
+      if (dels.isEmpty) None
+      else Some(dels.map { t =>
         val base = s"(${t.expr}) <= now()"
         t.where.map(w => s"($base AND ($w))").getOrElse(s"($base)")
       }.mkString(" OR "))
+    }
 
     def enumOf(col: String): Seq[(String, Int)] =
       cols.find(_.name == col).flatMap(_.enumValues).getOrElse(
@@ -1288,13 +1305,16 @@ object ChDdl {
             .select(snapshot.schema.fieldNames.toSeq.map(col): _*)
             .write.mode("overwrite").insertInto(table)
         }
-        // a merge is when the reference drops TTL-expired rows
-        // (TTLMode::DELETE); the delete rides the ALTER DELETE
-        // partition-restricted rewrite, so an OPTIMIZE with nothing
-        // expired rewrites nothing
-        createdTables.get(table.toLowerCase)
-          .flatMap(_.ttlExpiredSql)
-          .foreach(p => alter(spark, s"ALTER TABLE $table DELETE WHERE $p"))
+        // a merge is when the reference applies TTL: DELETE-mode rows
+        // drop via the ALTER DELETE partition-restricted rewrite (an
+        // OPTIMIZE with nothing expired rewrites nothing); GROUP
+        // BY-mode elements roll expired rows up to their group key
+        createdTables.get(table.toLowerCase).foreach { ct =>
+          ct.ttlExpiredSql
+            .foreach(p => alter(spark, s"ALTER TABLE $table DELETE WHERE $p"))
+          ct.ttl.filter(_.groupBy.nonEmpty)
+            .foreach(applyTtlRollup(spark, ct, _))
+        }
         spark.emptyDataFrame
       case ("EXCHANGE", "TABLES") =>
         // EXCHANGE TABLES a AND b (ASTRenameQuery.h exchange flag):
@@ -1559,26 +1579,78 @@ object ChDdl {
       constraints, ttl)
   }
 
-  /** One ASTTTLElement: `expr [DELETE [WHERE cond]]`. The storage-tier
-    * modes (`TO DISK/VOLUME`, `RECOMPRESS`, rollup `GROUP BY`) refuse —
-    * a parquet snapshot has no volume hierarchy or codec ladder. */
+  /** One ASTTTLElement: `expr [DELETE [WHERE cond]]` or
+    * `expr GROUP BY keys [SET col = agg, …]`. The storage-tier modes
+    * (`TO DISK/VOLUME`, `RECOMPRESS`) refuse — a parquet snapshot has
+    * no volume hierarchy or codec ladder. */
   private[functions] def parseTtlElement(item: Vector[Tok]): ChTtl = {
     val d = depths(item)
     def at(kws: Set[String]) = item.indices.find(k =>
       d(k) == 0 && item(k).word && kws.contains(item(k).up))
-    at(Set("TO", "RECOMPRESS", "GROUP")).foreach { k =>
+    at(Set("TO", "RECOMPRESS")).foreach { k =>
       throw new UnsupportedOperationException(
         s"TTL ${item(k).up} manages the reference's storage tiers " +
-          "(TTLMode MOVE/RECOMPRESS/GROUP_BY); only the DELETE mode has " +
-          "a data-layer meaning here")
+          "(TTLMode MOVE/RECOMPRESS); DELETE and GROUP BY have data-layer " +
+          "meanings here, storage tiering does not")
     }
-    val di = at(Set("DELETE"))
-    val wi = at(Set("WHERE"))
-    require(di.forall(k => wi.forall(_ > k)),
-      s"bad TTL element: ${renderTrim(item)}")
-    val exprEnd = di.orElse(wi).getOrElse(item.length)
-    val where = wi.map(k => renderTrim(item.drop(k + 1)))
-    ChTtl(renderTrim(item.take(exprEnd)), where)
+    at(Set("GROUP")) match {
+      case Some(g) =>
+        require(g + 1 < item.length && item(g + 1).up == "BY",
+          s"bad TTL element: ${renderTrim(item)}")
+        val si = at(Set("SET"))
+        val keys = splitTop(item.slice(g + 2, si.getOrElse(item.length)))
+          .map(it => renderTrim(it))
+        val sets = si.toSeq.flatMap(k => splitTop(item.drop(k + 1)).map { it =>
+          val eq = it.indexWhere(_.text == "=")
+          require(eq > 0, s"bad TTL SET item: ${renderTrim(it)}")
+          (renderTrim(it.take(eq)), renderTrim(it.drop(eq + 1)))
+        })
+        ChTtl(renderTrim(item.take(g)), None, keys, sets)
+      case None =>
+        val di = at(Set("DELETE"))
+        val wi = at(Set("WHERE"))
+        require(di.forall(k => wi.forall(_ > k)),
+          s"bad TTL element: ${renderTrim(item)}")
+        val exprEnd = di.orElse(wi).getOrElse(item.length)
+        val where = wi.map(k => renderTrim(item.drop(k + 1)))
+        ChTtl(renderTrim(item.take(exprEnd)), where)
+    }
+  }
+
+  /** GROUP BY-mode TTL (the downsampling TTL): expired rows collapse
+    * to one row per group key with the SET aggregates applied; alive
+    * rows pass through untouched. A full staged rewrite — the
+    * reference rewrites every merged part too, and a rollup can move
+    * rows across partitions (group min of the partition column), so
+    * no partition restriction applies. The reference requires the
+    * group key to be a primary-key prefix; enforced for parity. */
+  private def applyTtlRollup(
+      spark: SparkSession, ct: ChCreateTable, t: ChTtl): Unit = {
+    require(ct.orderBy.take(t.groupBy.length) == t.groupBy,
+      s"TTL GROUP BY (${t.groupBy.mkString(", ")}) must be a prefix of " +
+        s"ORDER BY (${ct.orderBy.mkString(", ")})")
+    graft.plans.ProjectionCatalog.invalidate(ct.table)
+    val snapshot = spark.table(ct.table)
+    val expired = expr(s"(${t.expr}) <= now()")
+    val setMap = t.sets.toMap
+    val aggs = snapshot.schema.fieldNames.toSeq
+      .filterNot(t.groupBy.contains)
+      .map { c =>
+        setMap.get(c) match {
+          case Some(e) => expr(e).cast(snapshot.schema(c).dataType).as(c)
+          case None => min(col(c)).as(c) // deterministic "any value"
+        }
+      }
+    val rolled = snapshot.filter(expired)
+      .groupBy(t.groupBy.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(snapshot.schema.fieldNames.toSeq.map(col): _*)
+    val out = snapshot.filter(!expired).unionByName(rolled)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttl_rollup").toString
+    out.write.mode("overwrite").parquet(tmp)
+    spark.read.schema(snapshot.schema).parquet(tmp)
+      .select(snapshot.schema.fieldNames.toSeq.map(col): _*)
+      .write.mode("overwrite").insertInto(ct.table)
   }
 
   /** `PROJECTION p (SELECT a, sum(v), count() GROUP BY a)` */

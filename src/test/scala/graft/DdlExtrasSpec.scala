@@ -82,6 +82,44 @@ class DdlExtrasSpec extends SparkSpec {
     ChDdl.execute(spark, "DROP TABLE graft_ttl")
   }
 
+  test("TTL GROUP BY rolls expired rows up to the key; alive rows untouched") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_ttlg (k Int64, d Date, v Float64)
+        |ENGINE = MergeTree() ORDER BY (k, d)
+        |TTL d + INTERVAL 30 DAY GROUP BY k SET v = sum(v)""".stripMargin)
+    // the clause round-trips through SHOW CREATE
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_ttlg")
+      .collect().head.getString(0)
+    assert(stmt.contains("TTL d + INTERVAL 30 DAY GROUP BY k SET v = sum(v)"), stmt)
+    ChDdl.execute(spark,
+      """INSERT INTO graft_ttlg VALUES
+        |  (1, '2000-01-01', 1.5), (1, '2000-02-01', 2.5),
+        |  (1, '2100-01-01', 4.0), (2, '2000-03-01', 7.0)""".stripMargin)
+    ChDdl.execute(spark, "OPTIMIZE TABLE graft_ttlg FINAL")
+    val got = spark.table("graft_ttlg").orderBy("k", "d")
+      .select("k", "d", "v")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+      .toSeq
+    // k=1's two expired rows collapse to (min d, summed v); the 2100
+    // row is alive and untouched; k=2's lone expired row rolls to
+    // itself
+    assert(got == Seq(
+      (1L, "2000-01-01", 4.0), (1L, "2100-01-01", 4.0),
+      (2L, "2000-03-01", 7.0)))
+    // the group key must be an ORDER BY prefix (the reference's rule)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_ttlg2 (k Int64, d Date, v Float64)
+        |ENGINE = MergeTree() ORDER BY (k, d)
+        |TTL d + INTERVAL 30 DAY GROUP BY d SET v = sum(v)""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, "OPTIMIZE TABLE graft_ttlg2 FINAL")
+    }
+    assert(e.getMessage.contains("prefix"))
+    Seq("graft_ttlg", "graft_ttlg2")
+      .foreach(t => ChDdl.execute(spark, s"DROP TABLE $t"))
+  }
+
   test("BACKUP TABLE / RESTORE round-trips layout and partitioned content") {
     GraftFunctions.ensureRegistered(spark)
     ChDdl.execute(spark,
