@@ -125,6 +125,30 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate: t10's scorer is stateless and batch-equivalent on a stream") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    def gated(df: org.apache.spark.sql.DataFrame) = {
+      val (score, keep) = graft.operators.Text.qualityModel(col("text"))
+      df.select(col("doc_id"), score.as("score"), keep.as("keep"))
+    }
+    val q = gated(input.toDF.toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      val docs = Seq((1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+        (2L, ts(1), "lorem ipsum dolor sit amet consectetur"))
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qgate")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq.sorted
+      // per-row arithmetic has no state: the stream answer IS the
+      // batch answer, row for row
+      val batch = gated(docs.toDF("doc_id", "ts", "text"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq.sorted
+      assert(streamed == batch && streamed.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming minhash pairs a token-shuffled near-dup across batches; state expires with the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
