@@ -583,6 +583,10 @@ object ChDdl {
         ts.slice(intoIdx + 1, fromIdx).filter(_.word).map(_.text).mkString("_")
       else bname
     val src = backupTarget(spark, ts.drop(fromIdx + 1))
+    // the reference's default: RESTORE refuses to land on an existing
+    // table (no silent overwrite of live data); DROP or RENAME first
+    require(!spark.catalog.tableExists(target),
+      s"RESTORE target table $target already exists; drop or rename it first")
     val conf = spark.sparkContext.hadoopConfiguration
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val fs = srcPath.getFileSystem(conf)

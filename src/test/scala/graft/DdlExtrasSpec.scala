@@ -159,6 +159,19 @@ class DdlExtrasSpec extends SparkSpec {
       ChDdl.execute(spark, s"BACKUP DATABASE default TO File('$dest')")
     }
     assert(e.getMessage.contains("BACKUP TABLE"))
+    // RESTORE refuses to land on a live table (the reference's
+    // no-silent-overwrite default)
+    val e2 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, s"RESTORE TABLE graft_bak FROM File('$dest')")
+    }
+    assert(e2.getMessage.contains("already exists"))
+    // INSERT … SELECT FROM file(): the table function composes with
+    // the write path (the rewrite runs before statement dispatch)
+    val fdir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString
+    spark.table("graft_bak").write.mode("overwrite").parquet(fdir)
+    ChDdl.execute(spark,
+      s"INSERT INTO graft_bak2 SELECT p, k + 100, v FROM file('$fdir')")
+    assert(spark.table("graft_bak2").count() == 6)
     Seq("graft_bak", "graft_bak2", "graft_bak3")
       .foreach(t => ChDdl.execute(spark, s"DROP TABLE $t"))
   }
