@@ -39,7 +39,10 @@ object ChDialect {
   }
 
   /** chName → builder. Grouped as the reference's registry is. */
-  private def aliases: Seq[(String, Builder)] = Seq(
+  private def aliases: Seq[(String, Builder)] =
+    baseAliases ++ emptyArrayAliases
+
+  private def baseAliases: Seq[(String, Builder)] = Seq(
     // ---- date & time (DataTypeDateTime.h) ----
     "toYear"         -> builtin("year"),
     "toMonth"        -> builtin("month"),
@@ -59,6 +62,12 @@ object ChDialect {
     "fromUnixTimestamp" -> builtin("from_unixtime"),
     "toStartOfQuarter" -> { es => builtin("date_trunc")(Literal("QUARTER") +: es) },
     "toISOWeek"      -> builtin("weekofyear"), // Spark weekofyear IS ISO 8601
+    // timeSlot: the reference's half-hour bucket (its GROUP BY
+    // time-series staple) — the 30-minute case of toStartOfInterval
+    "timeSlot" -> { es =>
+      val m = builtin("unix_micros")(Seq(Cast(es.head, TimestampType)))
+      builtin("timestamp_micros")(Seq(
+        Subtract(m, Pmod(m, Literal(1800000000L))))) },
     // toStartOfInterval(t, INTERVAL n unit): floor t to a multiple of
     // the interval. Time units align from the epoch (CH's contract;
     // note `INTERVAL 1 WEEK` parses as 7 days, so weeks align from
@@ -423,6 +432,19 @@ object ChDialect {
     "deltaSum" -> refuse("deltaSum",
       "use sum(greatest(x - lag(x, 1) OVER (ORDER BY …), 0)) — a declared " +
         "order instead of the reference's processing-block accident"),
+    // simpleLinearRegression(x, y) → (k, b) of y = k·x + b; Spark's
+    // regr_* take (dependent, independent) — arguments swap. Tuple
+    // fields use the DDL mapping's _1/_2 names
+    "simpleLinearRegression" -> { es =>
+      // non-top-level AggregateFunctions need the explicit wrap (the
+      // avgWeighted/groupArrayMovingSum pattern)
+      def agg(e: Expression): Expression = e match {
+        case f: aggregate.AggregateFunction => f.toAggregateExpression()
+        case other => other
+      }
+      CreateNamedStruct(Seq(
+        Literal("_1"), agg(builtin("regr_slope")(Seq(es(1), es(0)))),
+        Literal("_2"), agg(builtin("regr_intercept")(Seq(es(1), es(0)))))) },
 
     // ---- aggregates, camelCase names Spark spells with underscores ----
     "stddevSamp" -> builtin("stddev_samp"),
@@ -682,6 +704,21 @@ object ChDialect {
         Literal.create(Array.empty[Long], ArrayType(LongType)),
         builtin("sequence")(Seq(start, Subtract(end, Literal(1L))) ++ step)) }
   )
+
+  /** The emptyArray<T>() family — typed empty-array literals, with
+    * the unsigned types widened the way the DDL type map widens them. */
+  private def emptyArrayAliases: Seq[(String, Builder)] = Seq(
+    "emptyArrayInt8" -> ByteType, "emptyArrayInt16" -> ShortType,
+    "emptyArrayInt32" -> IntegerType, "emptyArrayInt64" -> LongType,
+    "emptyArrayUInt8" -> ShortType, "emptyArrayUInt16" -> IntegerType,
+    "emptyArrayUInt32" -> LongType, "emptyArrayUInt64" -> LongType,
+    "emptyArrayFloat32" -> FloatType, "emptyArrayFloat64" -> DoubleType,
+    "emptyArrayString" -> StringType, "emptyArrayDate" -> DateType,
+    "emptyArrayDateTime" -> TimestampType
+  ).map { case (n, t) =>
+    n -> ((_: Seq[Expression]) =>
+      Literal.create(Array.empty[Any], ArrayType(t)): Expression)
+  }
 
   /** Running prefix sums of an array expression in double (the
     * arrayCumSum body, shared with the moving aggregates). */

@@ -396,6 +396,20 @@ class ChDialectSpec extends SparkSpec {
     // age counts complete units (0 full days); dateDiff counts
     // boundary crossings (1) — the CH contract for both
     assert(r.getAs[Long]("age_d") == 0L && r.getAs[Long]("dd") == 1L)
+    // timeSlot = 30-minute floor; emptyArray<T> = typed empty literal;
+    // simpleLinearRegression = (k, b) of y = k·x + b (x, y arg order)
+    Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0)).toDF("x", "y")
+      .createOrReplaceTempView("slr")
+    val r2 = spark.sql(graft.functions.ChSql.translate(
+      """SELECT timeSlot(timestamp'2024-05-17 13:47:12') AS slot,
+        |  emptyArrayInt64() AS ei, emptyArrayString() AS es,
+        |  (SELECT simpleLinearRegression(x, y) FROM slr) AS kb
+        |""".stripMargin)).collect().head
+    assert(r2.getAs[java.sql.Timestamp]("slot").toString == "2024-05-17 13:30:00.0")
+    assert(r2.getSeq[Long](r2.fieldIndex("ei")).isEmpty)
+    assert(r2.getSeq[String](r2.fieldIndex("es")).isEmpty)
+    val kb = r2.getStruct(r2.fieldIndex("kb"))
+    assert(kb.getAs[Double]("_1") == 2.0 && kb.getAs[Double]("_2") == 1.0)
   }
 
   test("extractAll: literal patterns pick group vs whole match; runtime patterns refuse") {
