@@ -224,6 +224,20 @@ object ChDialect {
         builtin("sequence")(Seq(Literal(1), sz))) },
     "arrayUniq" -> { es =>
       builtin("size")(Seq(builtin("array_distinct")(es))) },
+    // arrayEnumerateUniq: 1-based occurrence rank of each element
+    // among its equals so far — the CH first-occurrence-in-array
+    // idiom (x = 1 keeps firsts). O(len²) per row via the indexed
+    // lambda; the reference's hash pass is O(len), but arrays here
+    // are row-local and small by design
+    "arrayEnumerateUniq" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      builtin("transform")(Seq(es.head, LambdaFunction(
+        builtin("size")(Seq(builtin("filter")(Seq(
+          builtin("slice")(Seq(es.head, Literal(1), Add(i, Literal(1)))),
+          LambdaFunction(EqualNullSafe(y, x), Seq(y)))))),
+        Seq(x, i)))) },
 
     // ---- array extras ----
     "arrayReverse" -> builtin("reverse"),

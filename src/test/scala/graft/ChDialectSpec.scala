@@ -410,6 +410,11 @@ class ChDialectSpec extends SparkSpec {
     assert(r2.getSeq[String](r2.fieldIndex("es")).isEmpty)
     val kb = r2.getStruct(r2.fieldIndex("kb"))
     assert(kb.getAs[Double]("_1") == 2.0 && kb.getAs[Double]("_2") == 1.0)
+    // arrayEnumerateUniq: occurrence rank among equals so far
+    val r3 = spark.sql(graft.functions.ChSql.translate(
+      "SELECT arrayEnumerateUniq(array(10, 20, 10, 10, 20)) AS eu"))
+      .collect().head
+    assert(r3.getSeq[Int](r3.fieldIndex("eu")) == Seq(1, 1, 2, 3, 2))
   }
 
   test("extractAll: literal patterns pick group vs whole match; runtime patterns refuse") {
