@@ -85,7 +85,8 @@ object ChDdl {
       sampleBy: Option[String],
       projections: Seq[ChProjection] = Nil,
       constraints: Seq[(String, String)] = Nil,
-      ttl: Seq[ChTtl] = Nil) {
+      ttl: Seq[ChTtl] = Nil,
+      engineArgs: Seq[String] = Nil) {
 
     /** The expired-rows predicate (SQL text, front-door dialect) for
       * the DELETE-mode TTL elements. The reference drops expired rows
@@ -209,6 +210,7 @@ object ChDdl {
       // a reload re-populates any materialized views hanging off the
       // table (an OVERWRITE is a re-ingest, not an appended block)
       ChMatView.forBase(table).foreach(ChMatView.refreshFull(spark, _))
+      ChDdl.refreshJoinDictionary(spark, table)
     }
 
     /** Write the projection's aggregate table FROM THE SAME LOAD (so
@@ -310,7 +312,8 @@ object ChDdl {
       s"    CONSTRAINT $n CHECK $e" }
     val body = (colLines ++ projLines ++ conLines).mkString(",\n")
     val tail = Seq(
-      s"ENGINE = ${if (ct.engine.nonEmpty) ct.engine else "MergeTree"}",
+      s"ENGINE = ${if (ct.engine.nonEmpty) ct.engine else "MergeTree"}" +
+        (if (ct.engineArgs.nonEmpty) s"(${ct.engineArgs.mkString(", ")})" else ""),
       if (ct.partitionBy.nonEmpty)
         s"PARTITION BY (${ct.partitionBy.mkString(", ")})" else "",
       if (ct.orderBy.nonEmpty) s"ORDER BY (${ct.orderBy.mkString(", ")})"
@@ -462,6 +465,34 @@ object ChDdl {
       }
     }
   }
+
+  // ---------- Join engine → joinGet (ASTCreateQuery.h engine args) ----------
+
+  /** A `ENGINE = Join(ANY, LEFT, key)` table serves
+    * `joinGet('table', 'attr', key)` lookups — the reference keeps the
+    * whole Join table in memory; the Spark analog is the dictGet
+    * broadcast map, re-registered after every insert so lookups see
+    * the latest data. ANY strictness means one row per key: ties pick
+    * the min attribute tuple (a deterministic refinement of the
+    * reference's first-inserted-wins, which depends on arrival
+    * order). Non-(ANY, LEFT) Join tables and composite keys are plain
+    * tables for JOIN clauses — no dictionary, joinGet on them fails
+    * with the not-registered message. */
+  private[functions] def refreshJoinDictionary(
+      spark: SparkSession, table: String): Unit =
+    createdTables.get(table.toLowerCase).foreach { ct =>
+      val args = ct.engineArgs.map(_.toUpperCase)
+      if (ct.engine.equalsIgnoreCase("Join") && args.length == 3 &&
+          args(0) == "ANY" && args(1) == "LEFT") {
+        val key = ct.engineArgs(2)
+        val attrs = ct.cols.map(_.name).filterNot(_ == key)
+        val one = spark.table(table)
+          .groupBy(col(key))
+          .agg(min(struct(attrs.map(col): _*)).as("__r"))
+          .select(col(key) +: attrs.map(a => col(s"__r.$a").as(a)): _*)
+        ChDictionaries.register(table.toLowerCase, one, key, attrs)
+      }
+    }
 
   // ---------- BACKUP / RESTORE (ParserBackupQuery.h) ----------
 
@@ -1534,6 +1565,7 @@ object ChDdl {
     var orderBy = Seq.empty[String]
     var sampleBy = Option.empty[String]
     var ttl = Seq.empty[ChTtl]
+    var engineArgs = Seq.empty[String]
     var j = close + 1
     val tailKws = Set("ENGINE", "PARTITION", "ORDER", "PRIMARY", "SAMPLE",
       "TTL", "SETTINGS", "COMMENT")
@@ -1551,7 +1583,11 @@ object ChDdl {
           if (k < ts.length && ts(k).text == "=") k += 1
           engine = if (k < ts.length) ts(k).text else ""
           k += 1
-          if (k < ts.length && ts(k).text == "(") k = matchParen(ts, k) + 1
+          if (k < ts.length && ts(k).text == "(") {
+            val close = matchParen(ts, k)
+            engineArgs = splitTop(ts.slice(k + 1, close)).map(renderTrim)
+            k = close + 1
+          }
           j = k
         case "PARTITION" => // PARTITION BY expr
           val e = clauseEndFrom(j + 2)
@@ -1580,7 +1616,7 @@ object ChDdl {
       }
     }
     ChCreateTable(table, cols, engine, partitionBy, orderBy, sampleBy, projections,
-      constraints, ttl)
+      constraints, ttl, engineArgs)
   }
 
   /** One ASTTTLElement: `expr [DELETE [WHERE cond]]` or

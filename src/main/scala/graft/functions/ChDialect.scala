@@ -286,6 +286,19 @@ object ChDialect {
       ChDictionaries.lookupExpr(
         ChDictionaries.literalString(es(0), "dictionary name"),
         ChDictionaries.literalString(es(1), "attribute"), es(2)) },
+    // joinGet('table', 'attr', key): a Join(ANY, LEFT, k) engine
+    // table's lookup — the table auto-registers its broadcast map on
+    // every insert (ChDdl.refreshJoinDictionary), so this IS dictGet
+    // under the table's name. Missing key → NULL (joinGetOrNull
+    // semantics; CH's plain joinGet substitutes the type default).
+    "joinGet" -> { es =>
+      ChDictionaries.lookupExpr(
+        ChDictionaries.literalString(es(0), "join table").toLowerCase,
+        ChDictionaries.literalString(es(1), "attribute"), es(2)) },
+    "joinGetOrNull" -> { es =>
+      ChDictionaries.lookupExpr(
+        ChDictionaries.literalString(es(0), "join table").toLowerCase,
+        ChDictionaries.literalString(es(1), "attribute"), es(2)) },
 
     // ---- JSON ----
     "JSONExtractString" -> { es =>

@@ -152,5 +152,8 @@ object ChInsert {
     val checked = layout.map(_.enforceConstraints(laid)).getOrElse(laid)
     checked.write.mode("append").insertInto(table)
     ChMatView.onInsertedBatch(spark, table, checked)
+    // a Join(ANY, LEFT, k) engine table re-publishes its joinGet map
+    // after every appended block
+    ChDdl.refreshJoinDictionary(spark, table)
   }
 }

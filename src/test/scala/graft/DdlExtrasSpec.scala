@@ -176,6 +176,46 @@ class DdlExtrasSpec extends SparkSpec {
       .foreach(t => ChDdl.execute(spark, s"DROP TABLE $t"))
   }
 
+  test("Join(ANY, LEFT, k) engine serves joinGet; map refreshes per insert") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_join (k Int64, v String, w Int64)
+        |ENGINE = Join(ANY, LEFT, k) ORDER BY tuple()""".stripMargin)
+    // the engine args round-trip through SHOW CREATE
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_join")
+      .collect().head.getString(0)
+    assert(stmt.contains("ENGINE = Join(ANY, LEFT, k)"), stmt)
+    ChDdl.execute(spark,
+      "INSERT INTO graft_join VALUES (1, 'a', 10), (2, 'b', 20)")
+    val r = spark.sql(
+      """SELECT joinGet('graft_join', 'v', 2) AS v,
+        |  joinGet('graft_join', 'w', 1) AS w,
+        |  joinGetOrNull('graft_join', 'v', 99) AS miss""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "b" && r.getLong(1) == 10L && r.isNullAt(2))
+    // a later insert is visible to subsequent lookups
+    ChDdl.execute(spark, "INSERT INTO graft_join VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT joinGet('graft_join', 'v', 3) AS v")
+      .head().getString(0) == "c")
+    // ANY ties resolve deterministically (min attribute tuple)
+    ChDdl.execute(spark, "INSERT INTO graft_join VALUES (1, 'Z', 5)")
+    assert(spark.sql("SELECT joinGet('graft_join', 'v', 1) AS v")
+      .head().getString(0) == "Z") // ('Z', 5) < ('a', 10) lexicographically
+    // a non-ANY Join table is a plain table: joinGet refuses
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_join_all (k Int64, v String)
+        |ENGINE = Join(ALL, INNER, k) ORDER BY tuple()""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO graft_join_all VALUES (1, 'x')")
+    val e = intercept[Exception] {
+      spark.sql("SELECT joinGet('graft_join_all', 'v', 1)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not registered")), e.toString)
+    Seq("graft_join", "graft_join_all")
+      .foreach(t => ChDdl.execute(spark, s"DROP TABLE $t"))
+  }
+
   test("SHOW PROCESSLIST answers the reference's column shape with zero rows") {
     GraftFunctions.ensureRegistered(spark)
     val r = ChDdl.execute(spark, "SHOW PROCESSLIST")
