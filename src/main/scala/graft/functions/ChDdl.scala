@@ -1261,6 +1261,13 @@ object ChDdl {
         spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
           ChSql.translate(renderTrim(ts.drop(asIdx + 1))))
         spark.emptyDataFrame
+      case ("EXPLAIN", "SYNTAX") =>
+        // EXPLAIN SYNTAX (ASTExplainQuery.h QueryKind::ParsedAST →
+        // the reference prints the REWRITTEN query): our rewrite IS
+        // the translation — answer the Spark SQL the dialect query
+        // becomes, one row like SHOW CREATE
+        import spark.implicits._
+        Seq(ChSql.translate(renderTrim(ts.drop(2)))).toDF("statement")
       case ("WATCH", _) =>
         // WATCH lv [EVENTS] [LIMIT n] (ASTWatchQuery.h): one refresh
         // cycle of the reference's change stream — the view's current

@@ -308,6 +308,13 @@ class ChSqlSpec extends SparkSpec {
       "EXPLAIN PIPELINE SELECT o_orderkey FROM orders PREWHERE o_orderstatus = 'F' SETTINGS max_threads = 8")
     val plan = df.as[String].collect().mkString("\n")
     assert(plan.contains("Physical Plan") || plan.contains("FileScan"), plan)
+    // EXPLAIN SYNTAX answers the rewritten (translated) query itself,
+    // like the reference's parsed-AST print-back
+    val syn = graft.functions.ChDdl.execute(spark,
+      "EXPLAIN SYNTAX SELECT o_orderkey FROM orders PREWHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 2 BY o_custkey")
+      .collect().head.getString(0)
+    assert(syn.toLowerCase.contains("row_number") &&
+      syn.toLowerCase.contains("where"), syn)
   }
 
   test("SETTINGS clause is stripped") {
