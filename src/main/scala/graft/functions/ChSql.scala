@@ -208,6 +208,7 @@ object ChSql {
     ts = rewriteExtract(ts)
     ts = rewriteDateDiff(ts)
     ts = rewriteAge(ts)
+    ts = rewriteTernary(ts)
     ts = rewriteParametricAggs(ts)
     ts = rewriteBareCount(ts)
     // SAMPLE sits between the table ref and ARRAY JOIN — remove it
@@ -751,6 +752,53 @@ object ChSql {
         rewriteDateDiff(ts.take(i) ++ retok(
           s" timestampdiff($unit, date_trunc('$unit', $a), " +
             s"date_trunc('$unit', $b))") ++ ts.drop(close + 1))
+    }
+  }
+
+  /** CH's ternary `cond ? then : else` → `if(cond, then, else)`.
+    * Ternary binds LOOSEST (CH's grammar), so each side extends to
+    * the nearest same-depth comma / clause keyword / paren boundary —
+    * AND/OR fold INTO the sides. `a ? b : c ? d : e` resolves
+    * right-associatively (the else recurses). */
+  private val ternaryBounds = Set("SELECT", "FROM", "WHERE", "PREWHERE",
+    "GROUP", "ORDER", "HAVING", "LIMIT", "SETTINGS", "BY", "WHEN", "THEN",
+    "ELSE", "END", "AS", "ON", "UNION", "INTERSECT", "EXCEPT", "JOIN",
+    "ASOF", "INTO", "FORMAT", "INTERPOLATE", "OFFSET", "FETCH")
+
+  private def rewriteTernary(ts: Vector[Tok]): Vector[Tok] = {
+    val d = depths(ts)
+    val qi = ts.indices.find(i => ts(i).text == "?" && !ts(i).word)
+    qi match {
+      case None => ts
+      case Some(q) =>
+        val dep = d(q)
+        def isBound(k: Int): Boolean =
+          d(k) < dep || (d(k) == dep &&
+            (ts(k).text == "," || (ts(k).word && ternaryBounds(ts(k).up))))
+        // condition: walk left to the previous boundary
+        var s = q - 1
+        while (s >= 0 && !isBound(s)) s -= 1
+        val condStart = s + 1
+        // matching colon: skip nested ?s to the right
+        var k = q + 1
+        var nest = 0
+        var ci = -1
+        while (k < ts.length && ci < 0) {
+          if (d(k) == dep && ts(k).text == "?") nest += 1
+          else if (d(k) == dep && ts(k).text == ":" && !ts(k).word) {
+            if (nest == 0) ci = k else nest -= 1
+          }
+          k += 1
+        }
+        require(ci > 0, s"ternary '?' without matching ':' in ${renderTrim(ts)}")
+        // else: walk right to the next boundary
+        var e = ci + 1
+        while (e < ts.length && !isBound(e)) e += 1
+        val cond = renderTrim(ts.slice(condStart, q))
+        val thenP = renderTrim(ts.slice(q + 1, ci))
+        val elseP = renderTrim(ts.slice(ci + 1, e))
+        rewriteTernary(ts.take(condStart) ++
+          retok(s" if($cond, $thenP, $elseP)") ++ ts.drop(e))
     }
   }
 

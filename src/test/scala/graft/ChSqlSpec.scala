@@ -317,6 +317,23 @@ class ChSqlSpec extends SparkSpec {
       syn.toLowerCase.contains("where"), syn)
   }
 
+  test("ternary ?: rewrites to if() — loosest binding, right-associative") {
+    val one = run(
+      """SELECT o_orderkey, o_totalprice > 150000 ? 'big' : 'small' AS b,
+        |  o_orderkey % 2 = 0 AND o_orderkey % 3 = 0 ? 'six' :
+        |    o_orderkey % 2 = 0 ? 'two' : 'odd' AS nested,
+        |  concat(o_orderkey % 2 = 0 ? 'e' : 'o', '!') AS inner
+        |FROM orders ORDER BY o_orderkey LIMIT 6""".stripMargin)
+      .collect()
+    assert(one.map(_.getString(1)).toSet.subsetOf(Set("big", "small")))
+    val nested = one.map(r => (r.getLong(0), r.getString(2)))
+    nested.foreach { case (k, v) =>
+      val expect = if (k % 6 == 0) "six" else if (k % 2 == 0) "two" else "odd"
+      assert(v == expect, s"key $k: $v != $expect")
+    }
+    assert(one.forall(r => Set("e!", "o!")(r.getString(3))))
+  }
+
   test("SETTINGS clause is stripped") {
     val got = run(
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3 SETTINGS max_threads = 4, join_algorithm = 'hash'")
