@@ -23,26 +23,36 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-    * rejects; read nanos as long and convert to a microsecond
-    * timestamp with integer arithmetic (ns epochs exceed 2^53, so no
-    * double round-trip). Requires `spark.sql.legacy.parquet
-    * .nanosAsLong=true`, set at session construction by every graft
-    * entrypoint (Verify/Bench/test fixture) — loaders never mutate
-    * session conf.
+  /** events.parquet's `ts` column has shipped in two physical forms
+    * across testdata generations, so the loader branches on the ACTUAL
+    * parquet type instead of assuming one:
     *
-    * Oracle-drift note: DuckDB's parquet reader surfaces the same
-    * TIMESTAMP(NANOS) column as a µs TIMESTAMP, i.e. it applies the
-    * IDENTICAL ns→µs truncation on read — both engines see the same
-    * µs values even if the generator ever emits sub-µs-distinct
-    * timestamps, so ts-keyed oracles (j09/j11/s01) cannot flake on
-    * precision. The sub-second truncation ladder itself is pinned by
-    * y07_datetime64.
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it natively; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set at session
+    *    construction by every graft entrypoint) it arrives as a Long
+    *    of epoch-nanos, converted here to a µs timestamp with integer
+    *    arithmetic (ns epochs exceed 2^53, so no double round-trip).
+    *    DuckDB's reader applies the identical ns→µs truncation, so
+    *    ts-keyed oracles cannot flake on precision.
+    *  - timestamp[us] (isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to the session TimestampType. Sessions
+    *    pin spark.sql.session.timeZone=UTC, so the cast is
+    *    value-identical and downstream plans keep seeing the same
+    *    TimestampType they always did.
+    *
+    * The sub-second truncation ladder itself is pinned by
+    * y07_datetime64; TestdataSchemaSpec canaries the physical types.
     */
-  def events: DataFrame =
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
