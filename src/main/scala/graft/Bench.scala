@@ -58,8 +58,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // optional comma-separated key filter for local iteration loops
+    // (unset for the driver's full runs)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val benched = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     def pass(): Map[String, Option[Double]] =
-      SparkEntry.queries.map { case (name, fn) => name -> timed(name, fn) }
+      benched.map { case (name, fn) => name -> timed(name, fn) }
     // one untimed FULL pass first: per-plan codegen/JIT and one-time
     // layout writes land here instead of skewing pass 1 of the stats
     pass(); canary()
@@ -85,7 +91,7 @@ object Bench {
       if (m > 0) (t.max - t.min) / m else 0.0
     }
     var samples: Map[String, Seq[Double]] =
-      SparkEntry.queries.keys.map(n => n -> passes.flatMap(_(n))).toMap
+      benched.keys.map(n => n -> passes.flatMap(_(n))).toMap
     // adaptive re-measurement: keys whose interleaved shots disagree
     // re-run ALONE (fresh cache, no neighboring query's GC debris) and
     // pool the samples — noise gets more evidence, stable keys don't

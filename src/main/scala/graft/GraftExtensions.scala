@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // projection auto-selection: matching aggregates over a table with
     // a declared PROJECTION read the materialized summary instead
     ext.injectOptimizerRule(session => graft.plans.ProjectionRewrite(session))
+    // transform(arr, x -> casts(x)) → array-level Cast (codegen'd)
+    ext.injectOptimizerRule(session => graft.plans.CastTransformRewrite(session))
   }
 }

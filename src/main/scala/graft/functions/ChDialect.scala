@@ -197,6 +197,10 @@ object ChDialect {
     // ---- higher-order array functions (CH puts the lambda FIRST,
     // Spark's transform/filter/exists/forall put the array first —
     // the `x -> expr` lambda syntax itself is identical) ----
+    // (transform(arr, x -> casts(x)) is later collapsed to an
+    // array-level Cast by the CastTransformRewrite optimizer rule —
+    // the builder itself must return a HigherOrderFunction whenever
+    // it was called with a lambda, so the rewrite can't happen here)
     "arrayMap"    -> { es => builtin("transform")(Seq(es(1), es(0))) },
     "arrayFilter" -> { es => builtin("filter")(Seq(es(1), es(0))) },
     "arrayExists" -> { es => builtin("exists")(Seq(es(1), es(0))) },
@@ -579,29 +583,21 @@ object ChDialect {
     // arrayFold(λ(acc,x), arr, init) is EXACTLY Spark's aggregate with
     // the lambda moved last — the one user-lambda name that maps 1:1
     "arrayFold" -> { es => builtin("aggregate")(Seq(es(1), es(2), es(0))) },
-    // running prefix sums; O(n²) in the element count, which CH arrays
-    // (row-local, short) are sized for
-    "arrayCumSum" -> { es => cumSumExpr(es(0)) },
-    // [0, a[1]-a[0], a[2]-a[1], …] — CH's first element is 0
+    // running prefix sums — native O(n) codegen'd kernel
+    // (graft.functions.ArrayCumSumExpr; the Cast is codegen'd too)
+    "arrayCumSum" -> { es =>
+      ArrayCumSumExpr(Cast(es(0), ArrayType(DoubleType))) },
+    // [0, a[1]-a[0], a[2]-a[1], …] — CH's first element is 0; native
+    // single-pass kernel (ArrayDifferenceExpr)
     "arrayDifference" -> { es =>
-      val x = UnresolvedNamedLambdaVariable(Seq("x"))
-      val i = UnresolvedNamedLambdaVariable(Seq("i"))
-      val prev = builtin("get")(Seq(es(0), Subtract(i, Literal(1))))
-      val body = If(EqualTo(i, Literal(0)), Literal(0.0),
-        Subtract(Cast(x, DoubleType), Cast(prev, DoubleType)))
-      builtin("transform")(Seq(es(0), LambdaFunction(body, Seq(x, i)))) },
-    // collapse CONSECUTIVE duplicates (not array_distinct)
-    "arrayCompact" -> { es =>
-      val x = UnresolvedNamedLambdaVariable(Seq("x"))
-      val i = UnresolvedNamedLambdaVariable(Seq("i"))
-      val prev = builtin("get")(Seq(es(0), Subtract(i, Literal(1))))
-      val body = Or(EqualTo(i, Literal(0)), Not(EqualNullSafe(x, prev)))
-      builtin("filter")(Seq(es(0), LambdaFunction(body, Seq(x, i)))) },
+      ArrayDifferenceExpr(Cast(es(0), ArrayType(DoubleType))) },
+    // collapse CONSECUTIVE duplicates (not array_distinct) — native
+    // single-pass kernel, any orderable element type
+    "arrayCompact" -> { es => ArrayCompactExpr(es(0)) },
+    // double fold like arraySum — native kernel (null element → null,
+    // empty → 1.0, matching the lambda fold it replaces)
     "arrayProduct" -> { es =>
-      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
-      val x = UnresolvedNamedLambdaVariable(Seq("x"))
-      builtin("aggregate")(Seq(es(0), Literal(1.0),
-        LambdaFunction(Multiply(acc, Cast(x, DoubleType)), Seq(acc, x)))) },
+      ArrayProductExpr(Cast(es(0), ArrayType(DoubleType))) },
     "arrayDotProduct" -> { es =>
       val a = UnresolvedNamedLambdaVariable(Seq("a"))
       val b = UnresolvedNamedLambdaVariable(Seq("b"))
@@ -748,21 +744,10 @@ object ChDialect {
   }
 
   /** Running prefix sums of an array expression in double (the
-    * arrayCumSum body, shared with the moving aggregates). */
-  private def cumSumExpr(arr: Expression): Expression = {
-    val x = UnresolvedNamedLambdaVariable(Seq(
-      UnresolvedNamedLambdaVariable.freshVarName("x")))
-    val i = UnresolvedNamedLambdaVariable(Seq(
-      UnresolvedNamedLambdaVariable.freshVarName("i")))
-    val acc = UnresolvedNamedLambdaVariable(Seq(
-      UnresolvedNamedLambdaVariable.freshVarName("acc")))
-    val y = UnresolvedNamedLambdaVariable(Seq(
-      UnresolvedNamedLambdaVariable.freshVarName("y")))
-    val prefix = builtin("slice")(Seq(arr, Literal(1), Add(i, Literal(1))))
-    val sumPrefix = builtin("aggregate")(Seq(prefix, Literal(0.0),
-      LambdaFunction(Add(acc, Cast(y, DoubleType)), Seq(acc, y))))
-    builtin("transform")(Seq(arr, LambdaFunction(sumPrefix, Seq(x, i))))
-  }
+    * arrayCumSum body, shared with the moving aggregates) — the
+    * native O(n) kernel. */
+  private def cumSumExpr(arr: Expression): Expression =
+    ArrayCumSumExpr(Cast(arr, ArrayType(DoubleType)))
 
   /** groupArrayMovingSum/Avg: cumsum over the collected group; the
     * N-windowed form subtracts the cumsum N slots back (get() is null

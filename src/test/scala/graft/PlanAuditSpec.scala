@@ -228,4 +228,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(simLine.get.matches(""".*\*\(\d+\).*"""),
       s"simhash64 project not codegen'd: ${simLine.get}")
   }
+
+  test("native array cumsum/difference kernels stay inside whole-stage codegen") {
+    // c24's hottest columns run through the native O(n) kernels. The
+    // registered c24 project ALSO carries lambda HOFs (transform/
+    // filter are CodegenFallback, which disables WSCG for the whole
+    // project), so assert the codegen property on a plan holding only
+    // the kernels — exactly what they contribute on their own.
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables(spark, sfDir).orders.createOrReplaceTempView("orders")
+    val planStr = withoutAqe {
+      spark.sql(graft.functions.ChSql.translate(
+        """SELECT arrayCumSum(array(o_orderkey % 7, o_custkey % 5)) AS c,
+          |       arrayDifference(array(o_orderkey % 7, o_custkey % 5)) AS d
+          |FROM orders""".stripMargin))
+        .queryExecution.executedPlan.toString
+    }
+    for (kernel <- Seq("array_cum_sum_native", "array_difference_native")) {
+      val line = planStr.linesIterator.find(_.contains(kernel))
+      assert(line.isDefined, s"$kernel absent from plan:\n$planStr")
+      assert(line.get.matches(""".*\*\(\d+\).*"""),
+        s"$kernel project not codegen'd: ${line.get}")
+    }
+    // and the registered c24 plan itself must use the kernels (even
+    // though its surrounding lambdas keep that project interpreted)
+    val c24 = withoutAqe { planOf("c24_ch_array_hof").toString }
+    assert(c24.contains("array_cum_sum_native") &&
+      c24.contains("array_difference_native"), c24)
+  }
 }
