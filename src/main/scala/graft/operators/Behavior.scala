@@ -90,9 +90,18 @@ object Behavior {
     * ordered-subsequence pattern family: does some strictly
     * time-increasing subsequence match cond1 … condN? DP fold:
     * acc(k) = EARLIEST completion time of a level-(k+1) prefix —
-    * earliest is optimal for strict `<` extension. */
+    * earliest is optimal for strict `<` extension.
+    *
+    * `gapMicros` adds the reference's time-conditioned pattern
+    * `(?1)(?t<=N)(?2)`: each ADJACENT step must follow within N µs.
+    * Under a gap constraint "earliest" is no longer optimal (a LATER
+    * level-k completion can enable a level-k+1 step the earliest one
+    * can't reach), so the constrained DP keeps the LATEST completion
+    * time per level instead: scanning time-ascending, if ANY
+    * achievable prev lies in [t-N, t), the latest achievable one does
+    * too — the latest is a sufficient statistic. */
   def sequenceMatch(events: DataFrame, userCol: String, tsCol: Column,
-      conds: Seq[Column]): DataFrame = {
+      conds: Seq[Column], gapMicros: Option[Long] = None): DataFrame = {
     val n = conds.size
     val folded = packed(events, userCol, tsCol, conds)
       .select(col("user").as(userCol), aggregate(col("__evs"), nullLongs(n),
@@ -101,9 +110,17 @@ object Behavior {
           val hit = element_at(e.getField("ms"), k + 1)
           val prev = element_at(acc, k)
           val cur = element_at(acc, k + 1)
-          when(k === 0, when(hit, least(cur, t)).otherwise(cur))
-            .otherwise(when(hit && prev.isNotNull && t > prev,
-              least(cur, t)).otherwise(cur))
+          gapMicros match {
+            case None =>
+              when(k === 0, when(hit, least(cur, t)).otherwise(cur))
+                .otherwise(when(hit && prev.isNotNull && t > prev,
+                  least(cur, t)).otherwise(cur))
+            case Some(g) =>
+              when(k === 0, when(hit, greatest(cur, t)).otherwise(cur))
+                .otherwise(when(hit && prev.isNotNull && t > prev &&
+                    t - prev <= lit(g),
+                  greatest(cur, t)).otherwise(cur))
+          }
         })).as("__acc"))
     folded.select(col(userCol),
       (level(col("__acc")) === n).cast("int").as("matched"))

@@ -307,9 +307,15 @@ object RangeJoin {
       binSize: Double): DataFrame = {
     val p = points.withColumn("__bin",
       floor(col(pointCol) / binSize).cast("long"))
-    val iv = intervals.withColumn("__bin", explode(sequence(
-      floor(col(loCol) / binSize).cast("long"),
-      floor(col(hiCol) / binSize).cast("long"))))
+    // empty/inverted intervals (lo >= hi) can never match a point
+    // under [lo, hi) — drop them BEFORE binning: sequence(start, stop)
+    // runs DESCENDING when stop < start, so an inverted interval would
+    // otherwise explode a bogus bin range (unbounded in the interval
+    // width) just for the post-filter to throw every row away
+    val iv = intervals.filter(col(loCol) < col(hiCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binSize).cast("long"),
+        floor(col(hiCol) / binSize).cast("long"))))
     p.join(iv, "__bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")

@@ -87,6 +87,37 @@ object AggQueries {
         .orderBy("user_id")
     },
 
+    // Three-step time-conditioned '(?1)(?t<=24h)(?2)(?t<=24h)(?3)' —
+    // pins the DP fold beyond the two-step min/max shortcut AND the
+    // gap-constrained variant (where earliest-completion DP would be
+    // WRONG; see Behavior.sequenceMatch). Oracle is the literal
+    // EXISTS chain: three rows, strictly increasing, adjacent gaps
+    // within 24 h. The synthetic data splits ~41/109 at sf0.01.
+    "a18_sequence_match3" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |           WHERE event_type IN ('signup', 'click', 'purchase'))
+        |SELECT u.user_id,
+        |  CASE WHEN EXISTS (
+        |    SELECT 1 FROM e v, e c, e p
+        |    WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |      AND p.user_id = u.user_id
+        |      AND v.event_type = 'signup' AND c.event_type = 'click'
+        |      AND p.event_type = 'purchase'
+        |      AND v.t < c.t AND c.t < p.t
+        |      AND c.t - v.t <= 86400000000 AND p.t - c.t <= 86400000000)
+        |  THEN 1 ELSE 0 END AS matched
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Behavior.sequenceMatch(
+          Tables(s, dir).events.filter(
+            col("event_type").isin("signup", "click", "purchase")),
+          "user_id", col("ts"),
+          Seq(col("event_type") === "signup", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          gapMicros = Some(86400000000L))
+        .orderBy("user_id")
+    },
+
     // The -Map combinator family (ClickHouse sumMap/minMap/maxMap):
     // per-row maps aggregate KEY-WISE — the idiom behind CH metric
     // tables (map of counter→value summed across rows). Realized the

@@ -200,6 +200,64 @@ object JoinQueries {
         .orderBy("event_id", "band_id")
     },
 
+    // Range-join edge case: EMPTY and INVERTED intervals (hi == lo,
+    // hi < lo) interleaved with valid ones. [lo, hi) semantics says
+    // they match nothing; the binned plan must drop them BEFORE
+    // exploding bins (an inverted interval would otherwise explode a
+    // descending sequence()). Oracle is the plain non-equi join, which
+    // never matches them by arithmetic alone.
+    "j14_range_empty" -> Q(
+      """SELECT e.event_id, b.band_id, b.lo, b.hi
+        |FROM (SELECT event_id, value FROM events WHERE event_id < 3000) e
+        |JOIN (SELECT i AS band_id,
+        |             CAST((i * i * 37) % 97 AS DOUBLE) AS lo,
+        |             CAST((i * i * 37) % 97 + (i % 5) - 2 AS DOUBLE) AS hi
+        |      FROM range(40) t(i)) b
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |ORDER BY e.event_id, b.band_id""".stripMargin) { (s, dir) =>
+      val points = Tables(s, dir).events.filter(col("event_id") < 3000)
+        .select("event_id", "value")
+      // i%5-2 ∈ {-2,-1,0,1,2}: inverted, inverted, empty, valid, valid
+      val bands = s.range(40).select(
+        col("id").as("band_id"),
+        ((col("id") * col("id") * 37) % 97).cast("double").as("lo"),
+        ((col("id") * col("id") * 37) % 97 + col("id") % 5 - 2)
+          .cast("double").as("hi"))
+      RangeJoin.pointInInterval(points, "value", bands, "lo", "hi", binSize = 4.0)
+        .select("event_id", "band_id", "lo", "hi")
+        .orderBy("event_id", "band_id")
+    },
+
+    // ASOF edge case: DUPLICATE timestamps. Error timestamps truncated
+    // to the minute collide heavily (same user, same truncated ts), and
+    // clicks equal the truncated boundary often — exercising (a) the
+    // inclusive `>=` at ts equality and (b) well-defined tie handling:
+    // the right side is deduped to (user, ts) → max(event_id) BEFORE
+    // the asof join, so "latest error at-or-before, ties by max id" is
+    // deterministic on both engines.
+    "j15_asof_ties" -> Q(
+      """WITH e AS (SELECT user_id, date_trunc('minute', ts) AS ts,
+        |                  max(event_id) AS err_event_id
+        |           FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |     c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |  (SELECT e.err_event_id FROM e
+        |   WHERE e.user_id = c.user_id AND e.ts <= c.ts
+        |   ORDER BY e.ts DESC LIMIT 1) AS err_event_id
+        |FROM c ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("ts"))
+        .agg(max(col("event_id")).as("err_event_id"))
+      AsOfJoin(clicks, errors, key = "user_id",
+          leftTime = "ts", rightTime = "ts", rightCols = Seq("err_event_id"))
+        .select("event_id", "user_id", "err_event_id")
+        .orderBy("event_id")
+    },
+
     // 4-table star: Catalyst reorders; both dims broadcast.
     "j10_multiway" -> Q(
       """SELECT r_name, COUNT(*) AS n_items,
