@@ -135,6 +135,9 @@ object GraftFunctions {
       d("cosine_sim", classOf[CosineSim]) {
         case Seq(a, b) => CosineSim(a, b)
       },
+      // one-pass tokenizer/stopword-counter for the curation funnel
+      d("text_signals", classOf[TextSignalsExpr])(children =>
+        TextSignalsExpr(children.head)),
       // Spark's own Bloom sketch (the one its runtime filters use),
       // surfaced as callable functions for Dedup.incremental: a
       // fixed-size corpus-membership sketch that builds with map-side

@@ -11,13 +11,10 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Minimal public stopword lists per language (frequency heuristics,
-    * not linguistics — the point is deterministic n-gram scoring). */
-  val stopwords: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
-    "es" -> Seq("el", "la", "los", "y", "es", "en", "un", "que"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "un", "que"),
-    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "ta"))
+    * not linguistics — the point is deterministic n-gram scoring).
+    * Canonical copy lives with the native kernel that consumes it. */
+  val stopwords: Seq[(String, Seq[String])] =
+    graft.functions.TextSignalsImpl.stopwords
 
   def words(text: Column): Column =
     filter(split(text, " ", -1), w => w =!= "")
@@ -26,12 +23,25 @@ object Text {
   def hitCount(ws: Column, dict: Seq[String]): Column =
     size(filter(ws, w => w.isin(dict.map(lit): _*)))
 
+  /** One-pass native signal struct (functions.TextSignalsExpr):
+    * n_words, n_chars, punct, per-language stopword hits — identical
+    * instances in one projection dedupe under codegen CSE, so every
+    * consumer below shares a SINGLE string walk per row (the composed
+    * filter/split lambda forms are CodegenFallback and re-split per
+    * consumer). Callers must have GraftFunctions registered (every
+    * graft session does via GraftExtensions). */
+  def signals(text: Column): Column = call_function("text_signals", text)
+
   /** t01: language ID — per-language stopword hit counts and an
     * argmax prediction. Tie-break: the >= chain runs languages in
     * REVERSE alphabetical order, so ties go to the alphabetically
     * LAST language; the oracle mirrors the same CASE chain. */
-  def langScores(text: Column): Seq[(String, Column)] =
-    stopwords.map { case (lang, dict) => lang -> hitCount(words(text), dict) }
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val hits = signals(text).getField("hits")
+    stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(hits, i + 1)
+    }
+  }
 
   def predictedLang(scoreCols: Seq[(String, Column)]): Column = {
     val desc = scoreCols.sortBy(_._1).reverse // zh, fr, es, en, de
@@ -43,13 +53,15 @@ object Text {
 
   /** t02: quality scoring — length, punctuation and stopword ratios
     * combined into one bounded score. Single-division doubles only, so
-    * both engines produce identical bits. */
+    * both engines produce identical bits. All counts come from the
+    * shared one-pass signal struct. */
   def qualityScore(text: Column): Column = {
-    val ws = words(text)
-    val nWords = size(ws).cast("double")
-    val stopRatio = hitCount(ws, stopwords.toMap.apply("en")).cast("double") / nWords
-    val punct = length(regexp_replace(text, "[^.,!?;:]", "")).cast("double")
-    val punctRatio = punct / length(text).cast("double")
+    val sig = signals(text)
+    val enIdx = stopwords.indexWhere(_._1 == "en") + 1
+    val nWords = sig.getField("n_words").cast("double")
+    val stopRatio = element_at(sig.getField("hits"), enIdx).cast("double") / nWords
+    val punctRatio = sig.getField("punct").cast("double") /
+      sig.getField("n_chars").cast("double")
     round(least(nWords / 100.0, lit(1.0)) * 0.3 + stopRatio * 0.4 +
       (lit(1.0) - punctRatio) * 0.3, 6)
   }
@@ -57,7 +69,7 @@ object Text {
   /** t03: token counting — whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single symbols). */
   val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
-  def wsTokenCount(text: Column): Column = size(words(text))
+  def wsTokenCount(text: Column): Column = signals(text).getField("n_words")
   def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
 
   /** t04: document fingerprint — md5 over normalized text (lowercase,

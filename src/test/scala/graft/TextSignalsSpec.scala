@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Text
+import org.apache.spark.sql.functions._
+
+/** Pins the native one-pass text_signals kernel to the composed
+  * lambda realization it replaced, bit-for-bit, on the real documents
+  * table — token counts, per-language hits, punct/char counts, and
+  * the derived quality score. */
+class TextSignalsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    GraftFunctions.ensureRegistered(spark)
+    graft.sources.Tables(spark, sfDir).documents
+  }
+
+  private def composedWords(text: org.apache.spark.sql.Column) =
+    filter(split(text, " ", -1), w => w =!= "")
+
+  test("n_words/n_chars/punct match the composed forms on every document") {
+    val sig = Text.signals(col("text"))
+    val bad = docs.select(
+        sig.getField("n_words").as("kw"),
+        size(composedWords(col("text"))).as("cw"),
+        sig.getField("n_chars").as("kc"), length(col("text")).as("cc"),
+        sig.getField("punct").as("kp"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).as("cp"))
+      .filter(col("kw") =!= col("cw") || col("kc") =!= col("cc") ||
+        col("kp") =!= col("cp"))
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
+  test("per-language hits match the composed filter-isin counts") {
+    val hits = Text.signals(col("text")).getField("hits")
+    val checks = Text.stopwords.zipWithIndex.map { case ((lang, dict), i) =>
+      (element_at(hits, i + 1) =!=
+        size(filter(composedWords(col("text")),
+          w => w.isin(dict.map(lit): _*)))).as(s"bad_$lang")
+    }
+    val bad = docs.select(col("doc_id") +: checks: _*)
+      .filter(checks.indices.map(i => col(s"bad_${Text.stopwords(i)._1}"))
+        .reduce(_ || _))
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
+  test("edge cases: empty, all-space, punct-only, multi-byte chars") {
+    import spark.implicits._
+    val rows = Seq("", "   ", ".,!?;:", "héllo wörld the", "the  the   the",
+      " le la ", "a.b,c the!").toDF("text")
+    GraftFunctions.ensureRegistered(spark)
+    val sig = Text.signals(col("text"))
+    val got = rows.select(
+      sig.getField("n_words").as("w"),
+      size(composedWords(col("text"))).as("cw"),
+      sig.getField("punct").as("p"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).as("cp"),
+      sig.getField("n_chars").as("c"), length(col("text")).as("cc")).collect()
+    for (r <- got) {
+      assert(r.getInt(0) == r.getInt(1), s"words: $r")
+      assert(r.getInt(2) == r.getInt(3), s"punct: $r")
+      assert(r.getInt(4) == r.getInt(5), s"chars: $r")
+    }
+  }
+
+  test("kernel stays inside whole-stage codegen and dedupes via CSE") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = docs.select(
+          Text.wsTokenCount(col("text")).as("n"),
+          Text.qualityScore(col("text")).as("q"),
+          Text.predictedLang(Text.langScores(col("text"))).as("l"))
+        .queryExecution.executedPlan.toString
+      val line = plan.linesIterator.find(_.contains("text_signals"))
+      assert(line.isDefined, plan)
+      assert(line.get.matches(""".*\*\(\d+\).*"""),
+        s"text_signals project not codegen'd: ${line.get}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
