@@ -138,6 +138,12 @@ object GraftFunctions {
       // one-pass tokenizer/stopword-counter for the curation funnel
       d("text_signals", classOf[TextSignalsExpr])(children =>
         TextSignalsExpr(children.head)),
+      // word_ngrams(tokens, n-literal) — the compiled shingle builder
+      d("word_ngrams", classOf[WordNGramsExpr]) {
+        case Seq(tokens, Literal(n: Int, _)) => WordNGramsExpr(tokens, n)
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams(tokens, n-literal) expected, got ${other.mkString(", ")}")
+      },
       // Spark's own Bloom sketch (the one its runtime filters use),
       // surfaced as callable functions for Dedup.incremental: a
       // fixed-size corpus-membership sketch that builds with map-side

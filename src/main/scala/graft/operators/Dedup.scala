@@ -292,18 +292,12 @@ object Dedup {
 
   /** Positional (non-distinct) word n-grams — one entry per span
     * start, so repeated spans keep their multiplicity (spanCoverage
-    * counts positions, not gram identities). */
-  def wordNGramsAll(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    val shifted = (0 until n).map { o =>
-      val c = if (o == 0) ws else slice(ws, lit(o + 1), greatest(size(ws) - o, lit(0)))
-      c.as(s"_$o")
-    }
-    val grams = transform(arrays_zip(shifted: _*), s =>
-      concat_ws(" ", (0 until n).map(i => s.getField(s"_$i")): _*))
-    // drop the tail entries built from null-padded shifts
-    slice(grams, lit(1), greatest(size(ws) - (n - 1), lit(0)))
-  }
+    * counts positions, not gram identities). Native compiled kernel
+    * (functions.WordNGramsExpr, one pass, whole-stage codegen) —
+    * WordNGramsSpec pins it bit-for-bit to the composed
+    * zip-shift-concat_ws form it replaced. */
+  def wordNGramsAll(text: Column, n: Int): Column =
+    call_function("word_ngrams", tokens(text), lit(n))
 
   /** All unordered pairs from a sorted id array (used after bucketing;
     * bucket size is capped upstream, so this is bounded). */
