@@ -245,6 +245,20 @@ object Dedup {
     // without invalidating it again — the round-5/6 leak.)
     var labels = edges.select(col("__a").as(id1))
       .distinct().withColumn("cluster_id", col(id1)).persist()
+    // Convergence probe: labels only ever DECREASE under min-label
+    // propagation, so for numeric ids an exact decimal(38,0) label sum
+    // is a sufficient statistic — unchanged sum ⇔ no label changed.
+    // One cheap aggregate on the already-persisted frame per round,
+    // instead of a labels⋈next join (which was ~half the per-round
+    // work). Non-numeric ids keep the join probe.
+    val numericIds = labels.schema("cluster_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("__s"))
+        .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty frame
+    }
+    var prevSum: java.math.BigDecimal = if (numericIds) labelSum(labels) else null
     var converged = false
     var i = 0
     try {
@@ -255,10 +269,16 @@ object Dedup {
           .union(labels)
           .groupBy(id1).agg(min("cluster_id").as("cluster_id"))
           .persist()
-        converged = next
-          .join(labels.select(col(id1), col("cluster_id").as("__old")), id1)
-          .filter(col("cluster_id") < col("__old"))
-          .isEmpty
+        if (numericIds) {
+          val s = labelSum(next)
+          converged = s.compareTo(prevSum) == 0
+          prevSum = s
+        } else {
+          converged = next
+            .join(labels.select(col(id1), col("cluster_id").as("__old")), id1)
+            .filter(col("cluster_id") < col("__old"))
+            .isEmpty
+        }
         labels.unpersist()
         labels = next
         i += 1
