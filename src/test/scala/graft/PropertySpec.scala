@@ -134,4 +134,49 @@ class PropertySpec extends SparkSpec {
       assert(r.getBoolean(2))
     }
   }
+
+  test("native array kernels equal reference computations on random arrays") {
+    // cumsum/difference/product vs plain Scala folds, including nulls
+    // (cumsum poisons the suffix; difference nulls both neighbors;
+    // product goes null on any null element) and empties
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val arrGen: Gen[List[Option[Int]]] = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.choose(-50, 50).map(Some(_)), 1 -> Gen.const(None))))
+    for (round <- 0 until 10) {
+      val a = sample(arrGen, 500 + round)
+      val row = Seq(Tuple1(a)).toDF("a").select(
+        expr("arrayCumSum(a)").as("cum"),
+        expr("arrayDifference(a)").as("diff"),
+        expr("arrayProduct(a)").as("prod"),
+        expr("arrayCompact(a)").as("compact")).head()
+      val expCum = a.scanLeft(Option(0.0)) {
+        case (acc, x) => for (p <- acc; v <- x) yield p + v
+      }.tail.foldLeft((List.empty[Option[Double]], false)) {
+        case ((out, poisoned), s) =>
+          if (poisoned || s.isEmpty) (out :+ None, true) else (out :+ s, false)
+      }._1
+      val expDiff = a.indices.toList.map { i =>
+        if (i == 0) Some(0.0)
+        else for (x <- a(i); p <- a(i - 1)) yield (x - p).toDouble
+      }
+      val expProd =
+        if (a.exists(_.isEmpty)) None
+        else Some(a.flatten.foldLeft(1.0)(_ * _))
+      val expCompact = a.foldLeft(List.empty[Option[Int]]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == x) acc else acc :+ x
+      }
+      def seqOf(name: String): Seq[Option[Any]] =
+        Option(row.getSeq[Any](row.fieldIndex(name)))
+          .map(_.map(Option(_))).getOrElse(Nil)
+      assert(seqOf("cum") == expCum.map(_.map(identity[Any])), s"cum round=$round a=$a")
+      assert(seqOf("diff") == expDiff.map(_.map(identity[Any])), s"diff round=$round a=$a")
+      assert(Option(row.get(row.fieldIndex("prod"))) == expProd.map(identity[Any]),
+        s"prod round=$round a=$a")
+      assert(seqOf("compact") == expCompact.map(_.map(identity[Any])),
+        s"compact round=$round a=$a")
+    }
+  }
 }

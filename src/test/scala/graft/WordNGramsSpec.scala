@@ -48,4 +48,18 @@ class WordNGramsSpec extends SparkSpec {
       .select(Dedup.wordNGramsAll(col("text"), 2)).head().getSeq[String](0)
     assert(abc == Seq("a b", "b c"))
   }
+
+  test("kernel stays inside whole-stage codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.sources.Tables(spark, sfDir).documents
+        .select(Dedup.wordNGramsAll(col("text"), 3).as("g"))
+        .queryExecution.executedPlan.toString
+      val line = plan.linesIterator.find(_.contains("word_ngrams"))
+      assert(line.isDefined, plan)
+      assert(line.get.matches(""".*\*\(\d+\).*"""),
+        s"word_ngrams project not codegen'd: ${line.get}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
