@@ -39,11 +39,21 @@ object Curate {
     // than the one extra scan + fingerprint window it saves, and a
     // persist with no unpersist epilogue would accumulate for the
     // lifetime of a long-lived session (the LIVE VIEW / WATCH case).
+    // exact dedup as an AGGREGATE, not a window: "first row per
+    // fingerprint" = lexicographic min(struct(id, …)) — id is unique,
+    // so the id field alone decides. The partial agg collapses each
+    // fingerprint's rows map-side BEFORE the shuffle (the j08_any
+    // pattern); the row_number window this replaced shuffled every
+    // surviving row, text included — and this plan runs TWICE (both
+    // consumers re-derive it, see the persist note above).
     val exact = scored
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__fp").orderBy(col(idCol))))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__fp")
+      .groupBy("__fp")
+      .agg(min(struct(col(idCol), col(textCol), col("predicted"),
+        col("quality"), col("n_tokens"))).as("__m"))
+      .select(col(s"__m.$idCol").as(idCol), col(s"__m.$textCol").as(textCol),
+        col("__m.predicted").as("predicted"),
+        col("__m.quality").as("quality"),
+        col("__m.n_tokens").as("n_tokens"))
     val pairs = Dedup.ngramJaccard(exact, idCol, textCol, "predicted",
       n, minJaccard, maxGramDf)
     val drop = pairs.select(col("id2").as(idCol)).distinct()
