@@ -110,15 +110,35 @@ object NearDupIndex {
 object Dedup {
 
   /** d01: exact dedup — keep the minimum-id row per content digest.
-    * One shuffle on the digest (window, not groupBy, so the full
-    * surviving row comes out without a self-join back). */
+    * One shuffle on the digest. Preferred realization is an AGGREGATE:
+    * min(struct(id, rest…)) — id is unique, so the struct min IS the
+    * min-id row, and the partial agg collapses duplicate digests
+    * map-side BEFORE the shuffle (on a duplicate-heavy 100 TB corpus
+    * that is the difference between shuffling survivors and shuffling
+    * everything). Falls back to the row_number window when a column
+    * type is not orderable inside a struct (maps). */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy("__digest").orderBy(col(idCol))
-    df.withColumn("__digest", md5(col(contentCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .withColumnRenamed("__digest", "digest")
+    val digested = df.withColumn("__digest", md5(col(contentCol)))
+    val packed = org.apache.spark.sql.functions.struct(
+      (col(idCol) +: df.columns.filterNot(_ == idCol).map(col).toSeq): _*)
+    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(org.apache.spark.sql.types.StructType(df.schema.fields))
+    if (orderable) {
+      digested
+        .groupBy("__digest")
+        .agg(min(packed).as("__m"))
+        // restore the caller's column order; digest last (the shape
+        // the window form produced)
+        .select(df.columns.map(c => col(s"__m.$c").as(c)).toSeq :+
+          col("__digest").as("digest"): _*)
+    } else {
+      val w = Window.partitionBy("__digest").orderBy(col(idCol))
+      digested
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+        .withColumnRenamed("__digest", "digest")
+    }
   }
 
   /** d11: incremental (cross-run) dedup — drop batch docs whose
