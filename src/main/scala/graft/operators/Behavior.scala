@@ -125,4 +125,34 @@ object Behavior {
     folded.select(col(userCol),
       (level(col("__acc")) === n).cast("int").as("matched"))
   }
+
+  /** sequenceCount('(?1).*(?2).*…')(ts, cond1, …, condN): how many
+    * NON-OVERLAPPING chains match, scanning events in time order with
+    * a single DFA — greedy first-match, restart after completion (an
+    * event advances at most one level, never re-anchors an open
+    * chain). Steps after the first must be strictly later in time.
+    * The fold state is (count, current level, last matched time);
+    * everything stays inside the per-user aggregate fold — one
+    * shuffle, the sequenceMatch schedule. */
+  def sequenceCount(events: DataFrame, userCol: String, tsCol: Column,
+      conds: Seq[Column]): DataFrame = {
+    val n = conds.size
+    val init = struct(lit(0).as("cnt"), lit(0).as("lvl"),
+      lit(Long.MinValue).as("lt"))
+    packed(events, userCol, tsCol, conds)
+      .select(col("user").as(userCol), aggregate(col("__evs"), init,
+        (acc, e) => {
+          val t = e.getField("t")
+          val lvl = acc.getField("lvl")
+          val hit = element_at(e.getField("ms"), lvl + 1)
+          val advance = hit && (lvl === 0 || t > acc.getField("lt"))
+          val newLvl = when(advance, lvl + 1).otherwise(lvl)
+          val newLt = when(advance, t).otherwise(acc.getField("lt"))
+          val complete = newLvl === n
+          struct(
+            (acc.getField("cnt") + when(complete, 1).otherwise(0)).as("cnt"),
+            when(complete, 0).otherwise(newLvl).as("lvl"),
+            newLt.as("lt"))
+        }).getField("cnt").as("n_chains"))
+  }
 }

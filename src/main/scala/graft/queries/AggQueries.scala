@@ -118,6 +118,37 @@ object AggQueries {
         .orderBy("user_id")
     },
 
+    // sequenceCount('(?1).*(?2)') — non-overlapping chain COUNT via a
+    // single greedy DFA scan (first-match, restart after completion).
+    // Oracle replicates the exact DFA as a DuckDB list_reduce fold
+    // over the time-ordered per-user event list.
+    "a19_sequence_count" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |           FROM events WHERE event_type IN ('signup', 'purchase')),
+        |l AS (SELECT user_id,
+        |        list(struct_pack(t := t, et := event_type) ORDER BY t) AS evs
+        |      FROM e GROUP BY 1)
+        |SELECT user_id,
+        |  list_reduce(
+        |    list_prepend(struct_pack(cnt := 0, lvl := 0, lt := -1::BIGINT),
+        |      [struct_pack(cnt := x.t,
+        |                   lvl := CASE WHEN x.et = 'signup' THEN 1 ELSE 2 END,
+        |                   lt := 0::BIGINT) for x in evs]),
+        |    (acc, x) -> CASE
+        |      WHEN x.lvl = 1 AND acc.lvl = 0
+        |        THEN struct_pack(cnt := acc.cnt, lvl := 1, lt := x.cnt)
+        |      WHEN x.lvl = 2 AND acc.lvl = 1 AND x.cnt > acc.lt
+        |        THEN struct_pack(cnt := acc.cnt + 1, lvl := 0, lt := x.cnt)
+        |      ELSE acc END).cnt AS n_chains
+        |FROM l ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Behavior.sequenceCount(
+          Tables(s, dir).events.filter(
+            col("event_type").isin("signup", "purchase")),
+          "user_id", col("ts"),
+          Seq(col("event_type") === "signup", col("event_type") === "purchase"))
+        .orderBy("user_id")
+    },
+
     // The -Map combinator family (ClickHouse sumMap/minMap/maxMap):
     // per-row maps aggregate KEY-WISE — the idiom behind CH metric
     // tables (map of counter→value summed across rows). Realized the

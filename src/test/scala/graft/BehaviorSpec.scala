@@ -78,6 +78,30 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq(Seq(1, 0, 1), Seq(0, 0, 0)))
   }
 
+  test("sequenceCount: greedy non-overlapping DFA, no re-anchor") {
+    def count(rows: (Long, Long, String)*): Int =
+      Behavior.sequenceCount(ev(rows: _*), "user_id", col("ts"), conds.take(2))
+        .select("n_chains").as[Int].head()
+    // A A B B → ONE chain (the DFA holds its open A; the second B has
+    // no open chain) — a max-matching would say 2; CH's scan says 1
+    assert(count((1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "B")) == 1)
+    // alternating A B A B → two disjoint chains
+    assert(count((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "A"), (1L, 3L, "B")) == 2)
+    // B first never opens; trailing A stays open
+    assert(count((1L, 0L, "B"), (1L, 1L, "A")) == 0)
+    // strict time order within a chain: B at the SAME ts as its A
+    // does not complete
+    assert(count((1L, 0L, "A"), (1L, 0L, "B")) == 0)
+  }
+
+  test("sequenceCount: three-step chain counts and resets") {
+    val df = ev((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "C"),
+      (1L, 3L, "A"), (1L, 4L, "B"), (1L, 5L, "C"), (1L, 6L, "A"))
+    val n = Behavior.sequenceCount(df, "user_id", col("ts"), conds)
+      .select("n_chains").as[Int].head()
+    assert(n == 2)
+  }
+
   test("one groupBy is the only shuffle in the funnel plan") {
     val df = ev((1L, 0L, "A"))
     val plan = Behavior.windowFunnel(df, "user_id", col("ts"), 10L, conds)
