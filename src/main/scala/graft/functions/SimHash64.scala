@@ -144,6 +144,12 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"word_ngrams(tokens, n-literal) expected, got ${other.mkString(", ")}")
       },
+      // quality_model(text, buckets-literal) — hashed-feature scorer
+      d("quality_model", classOf[QualityModelExpr]) {
+        case Seq(text, Literal(b: Int, _)) => QualityModelExpr(text, b)
+        case other => throw new IllegalArgumentException(
+          s"quality_model(text, buckets-literal) expected, got ${other.mkString(", ")}")
+      },
       // Spark's own Bloom sketch (the one its runtime filters use),
       // surfaced as callable functions for Dedup.incremental: a
       // fixed-size corpus-membership sketch that builds with map-side

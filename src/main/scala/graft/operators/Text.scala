@@ -123,17 +123,13 @@ object Text {
     * order exactly — the d05 discipline). */
   def qualityModel(text: Column, buckets: Int = 4096,
       bias: Double = 0.0): (Column, Column) = {
-    def weight(tok: Column): Column = {
-      // one md5 per token: conv() parses the 3-digit hex prefix in a
-      // single call (a per-digit ascii chain re-evaluates md5 three
-      // times — Catalyst does not CSE inside lambdas; measured ~25%
-      // of the scan)
-      val b = conv(substring(md5(tok), 1, 3), 16, 10).cast("long") % buckets
-      (b * 2654435761L % 1048576L).cast("double") / 1048576.0 - 0.5
-    }
-    val ws = words(text)
-    val sum = aggregate(ws, lit(0.0), (acc, t) => acc + weight(t))
-    val score = sum / greatest(size(ws), lit(1)).cast("double") + bias
+    // native one-pass kernel (functions.QualityModelExpr): md5-prefix
+    // bucket + Knuth-ramp weight per token, summed in token order —
+    // the exact arithmetic (and IEEE sum sequence) of the lambda fold
+    // it replaced, at codegen scan speed
+    val s = call_function("quality_model", text, lit(buckets))
+    val score = s.getField("sum") /
+      greatest(s.getField("n"), lit(1)).cast("double") + bias
     (round(score, 6), score > 0)
   }
 

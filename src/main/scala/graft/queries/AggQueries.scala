@@ -120,27 +120,26 @@ object AggQueries {
 
     // sequenceCount('(?1).*(?2)') — non-overlapping chain COUNT via a
     // single greedy DFA scan (first-match, restart after completion).
-    // Oracle replicates the exact DFA as a DuckDB list_reduce fold
-    // over the time-ordered per-user event list.
+    // Oracle: with per-user timestamps all distinct (this data — the
+    // strict-time rule never bites), the 2-step DFA closes exactly one
+    // chain per signup→purchase ADJACENT-TYPE transition in time
+    // order (every signup-run leaves the DFA open; the next run's
+    // first purchase closes it), so a lag() transition count is the
+    // exact closed form. (A list_reduce replica of the DFA was the
+    // first oracle; DuckDB 1.0 returns plan-dependent results for
+    // grouped list_reduce — same list, different answer — so the
+    // closed form is also the more trustworthy one. The DFA itself is
+    // pinned by BehaviorSpec's planted fixtures.)
     "a19_sequence_count" -> Q(
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
-        |           FROM events WHERE event_type IN ('signup', 'purchase')),
-        |l AS (SELECT user_id,
-        |        list(struct_pack(t := t, et := event_type) ORDER BY t) AS evs
-        |      FROM e GROUP BY 1)
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup', 'purchase')),
+        |o AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |      FROM e)
         |SELECT user_id,
-        |  list_reduce(
-        |    list_prepend(struct_pack(cnt := 0, lvl := 0, lt := -1::BIGINT),
-        |      [struct_pack(cnt := x.t,
-        |                   lvl := CASE WHEN x.et = 'signup' THEN 1 ELSE 2 END,
-        |                   lt := 0::BIGINT) for x in evs]),
-        |    (acc, x) -> CASE
-        |      WHEN x.lvl = 1 AND acc.lvl = 0
-        |        THEN struct_pack(cnt := acc.cnt, lvl := 1, lt := x.cnt)
-        |      WHEN x.lvl = 2 AND acc.lvl = 1 AND x.cnt > acc.lt
-        |        THEN struct_pack(cnt := acc.cnt + 1, lvl := 0, lt := x.cnt)
-        |      ELSE acc END).cnt AS n_chains
-        |FROM l ORDER BY user_id""".stripMargin) { (s, dir) =>
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase'
+        |                          AND prev = 'signup') AS INTEGER) AS n_chains
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       graft.operators.Behavior.sequenceCount(
           Tables(s, dir).events.filter(
             col("event_type").isin("signup", "purchase")),
