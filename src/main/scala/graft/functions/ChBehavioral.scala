@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** SQL surface for the reference's behavioral PARAMETRIC aggregates —
+  * windowFunnel / retention / sequenceMatch / sequenceCount callable
+  * from plain `spark.sql` through the dialect (reference:
+  * src/Parsers/ASTFunction.h `parameters` + registry resolution; the
+  * operator twins in operators/Behavior.scala carry the bench keys
+  * and the algorithm documentation).
+  *
+  * Each builder returns collect-then-fold Catalyst trees (the
+  * movingAgg precedent): one time-sorted `collect_list` aggregate per
+  * group, then a scalar fold over the collected array. Semantics are
+  * IDENTICAL to the Behavior operators — the ChBehavioralSpec pins
+  * SQL-vs-operator equality row for row:
+  *  - windowFunnel: latest-viable-chain-start greedy DP, window
+  *    anchored at the chain's FIRST event, window parameter in
+  *    SECONDS (the DateTime unit CH uses);
+  *  - sequenceMatch: ordered-subsequence DP, strictly increasing
+  *    times, `(?t<=N)`/`(?t<N)` adjacent-step time conditions in
+  *    seconds (latest-completion DP — required under gap
+  *    constraints);
+  *  - sequenceCount: single greedy DFA, non-overlapping chains,
+  *    restart after completion;
+  *  - retention: pairwise unordered cond1-AND-condK flags.
+  */
+private[graft] object ChBehavioral {
+
+  private def fresh(n: String): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(Seq(
+      UnresolvedNamedLambdaVariable.freshVarName(n)))
+
+  private def wrapAgg(e: Expression): Expression = e match {
+    case af: aggregate.AggregateFunction => af.toAggregateExpression()
+    case other => other
+  }
+
+  private def fld(e: Expression, f: String): Expression =
+    UnresolvedExtractValue(e, Literal(f))
+  private def elem(a: Expression, i: Expression): Expression =
+    ChDialect.builtin("element_at")(Seq(a, i))
+
+  /** The group's condition-relevant events as a time-sorted struct
+    * array (t: epoch-µs, ord: inverted flags so same-t events fold
+    * lower-cond-first, ms: per-cond flags) — the aggregate-expression
+    * twin of Behavior.packed. No pre-filter: events hitting no cond
+    * are fold no-ops, so collecting them changes nothing. */
+  private def packedAgg(ts: Expression, conds: Seq[Expression]): Expression = {
+    val ms = CreateArray(conds.map(c => Cast(c, BooleanType)))
+    val mv = fresh("m")
+    val ord = ChDialect.builtin("transform")(
+      Seq(ms, LambdaFunction(Not(mv), Seq(mv))))
+    val entry = CreateNamedStruct(Seq(
+      Literal("t"), ChDialect.builtin("unix_micros")(Seq(ts)),
+      Literal("ord"), ord,
+      Literal("ms"), ms))
+    ChDialect.builtin("sort_array")(
+      Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)))))
+  }
+
+  private def nullLongs(n: Int): Expression =
+    ChDialect.builtin("array_repeat")(
+      Seq(Cast(Literal(null), LongType), Literal(n)))
+
+  private def levelOf(acc: Expression): Expression = {
+    val x = fresh("x")
+    ChDialect.builtin("size")(Seq(ChDialect.builtin("filter")(
+      Seq(acc, LambdaFunction(IsNotNull(x), Seq(x))))))
+  }
+
+  private def fold(evs: Expression, init: Expression)(
+      body: (Expression, Expression) => Expression): Expression = {
+    val acc = fresh("acc")
+    val e = fresh("e")
+    ChDialect.builtin("aggregate")(
+      Seq(evs, init, LambdaFunction(body(acc, e), Seq(acc, e))))
+  }
+
+  private def perLevelK(n: Int)(body: Expression => Expression): Expression = {
+    val k = fresh("k")
+    ChDialect.builtin("transform")(Seq(
+      ChDialect.builtin("sequence")(Seq(Literal(0), Literal(n - 1))),
+      LambdaFunction(body(k), Seq(k))))
+  }
+
+  /** windowFunnel(windowSeconds)(ts, cond1 … condN) → max level. */
+  def windowFunnel(windowSeconds: Expression, ts: Expression,
+      conds: Seq[Expression]): Expression = {
+    val n = conds.size
+    val w = Multiply(Cast(windowSeconds, LongType), Literal(1000000L))
+    val folded = fold(packedAgg(ts, conds), nullLongs(n)) { (acc, e) =>
+      perLevelK(n) { k =>
+        val t = fld(e, "t")
+        val hit = elem(fld(e, "ms"), Add(k, Literal(1)))
+        val prev = elem(acc, k)
+        val cur = elem(acc, Add(k, Literal(1)))
+        If(EqualTo(k, Literal(0)),
+          If(hit, Greatest(Seq(cur, t)), cur),
+          If(And(And(hit, IsNotNull(prev)),
+              LessThanOrEqual(t, Add(prev, w))),
+            Greatest(Seq(cur, prev)), cur))
+      }
+    }
+    levelOf(folded)
+  }
+
+  /** retention(cond1 … condN) → array<int>, r(k) = c1 && ck. */
+  def retention(conds: Seq[Expression]): Expression = {
+    val flags = conds.map(c =>
+      wrapAgg(ChDialect.builtin("max")(Seq(Cast(c, IntegerType)))))
+    CreateArray(flags.head +: flags.tail.map(f => Multiply(flags.head, f)))
+  }
+
+  /** One parsed pattern step: which cond it references (1-based) and
+    * the adjacent-gap bound in µs from the PREVIOUS step (None = `.*`,
+    * i.e. unconstrained). */
+  final case class Step(condIdx: Int, gapMicros: Option[Long])
+
+  /** Parse the CH pattern subset `(?N)` separated by `.*` or
+    * `(?t<=S)` / `(?t<S)` (seconds). Anything else refuses loudly. */
+  def parsePattern(pat: String, nConds: Int): Seq[Step] = {
+    val refRe = """\(\?(\d+)\)""".r
+    val timeRe = """\(\?t\s*(<=|<)\s*(\d+)\)""".r
+    var rest = pat.trim
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Step]
+    var pendingGap: Option[Long] = None
+    var first = true
+    while (rest.nonEmpty) {
+      refRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          val idx = m.group(1).toInt
+          require(idx >= 1 && idx <= nConds,
+            s"pattern step (?$idx) out of range: only $nConds condition(s) given")
+          require(first || steps.nonEmpty, "pattern must start with (?N)")
+          steps += Step(idx, if (first) None else pendingGap)
+          pendingGap = None
+          first = false
+          rest = rest.substring(m.end)
+        case None =>
+          timeRe.findPrefixMatchOf(rest) match {
+            case Some(m) =>
+              require(!first, "pattern cannot start with a time condition")
+              val secs = m.group(2).toLong
+              val micros =
+                if (m.group(1) == "<=") secs * 1000000L
+                else secs * 1000000L - 1L // strict < in µs
+              pendingGap = Some(pendingGap.fold(micros)(math.min(_, micros)))
+              rest = rest.substring(m.end)
+            case None if rest.startsWith(".*") =>
+              rest = rest.substring(2)
+            case None => throw new UnsupportedOperationException(
+              s"unsupported sequence pattern fragment at: '$rest' — " +
+                "supported: (?N), .*, (?t<=S), (?t<S)")
+          }
+      }
+    }
+    require(steps.nonEmpty, s"empty sequence pattern: '$pat'")
+    steps.toSeq
+  }
+
+  private def stepArrays(steps: Seq[Step]): (Expression, Expression) = (
+    CreateArray(steps.map(s => Literal(s.condIdx))),
+    CreateArray(steps.map(s =>
+      Literal.create(s.gapMicros.orNull, LongType))))
+
+  /** sequenceMatch(pattern)(ts, cond1 … condN) → 0/1. Latest-
+    * completion DP per level (valid with and without gap bounds). */
+  def sequenceMatch(pattern: String, ts: Expression,
+      conds: Seq[Expression]): Expression = {
+    val steps = parsePattern(pattern, conds.size)
+    val n = steps.size
+    val (idxArr, gapArr) = stepArrays(steps)
+    val folded = fold(packedAgg(ts, conds), nullLongs(n)) { (acc, e) =>
+      perLevelK(n) { k =>
+        val t = fld(e, "t")
+        val hit = elem(fld(e, "ms"), elem(idxArr, Add(k, Literal(1))))
+        val prev = elem(acc, k)
+        val cur = elem(acc, Add(k, Literal(1)))
+        val gap = elem(gapArr, Add(k, Literal(1)))
+        If(EqualTo(k, Literal(0)),
+          If(hit, Greatest(Seq(cur, t)), cur),
+          If(And(And(And(hit, IsNotNull(prev)), GreaterThan(t, prev)),
+              Or(IsNull(gap), LessThanOrEqual(Subtract(t, prev), gap))),
+            Greatest(Seq(cur, t)), cur))
+      }
+    }
+    Cast(EqualTo(levelOf(folded), Literal(n)), IntegerType)
+  }
+
+  /** sequenceCount(pattern)(ts, cond1 … condN) → non-overlapping
+    * match count (greedy DFA, restart after completion). */
+  def sequenceCount(pattern: String, ts: Expression,
+      conds: Seq[Expression]): Expression = {
+    val steps = parsePattern(pattern, conds.size)
+    val n = steps.size
+    val (idxArr, gapArr) = stepArrays(steps)
+    val init = CreateNamedStruct(Seq(
+      Literal("cnt"), Literal(0),
+      Literal("lvl"), Literal(0),
+      Literal("lt"), Literal(Long.MinValue)))
+    val folded = fold(packedAgg(ts, conds), init) { (acc, e) =>
+      val t = fld(e, "t")
+      val lvl = fld(acc, "lvl")
+      val lt = fld(acc, "lt")
+      val cnt = fld(acc, "cnt")
+      val hit = elem(fld(e, "ms"), elem(idxArr, Add(lvl, Literal(1))))
+      val gap = elem(gapArr, Add(lvl, Literal(1)))
+      val timeOk = Or(EqualTo(lvl, Literal(0)),
+        And(GreaterThan(t, lt),
+          Or(IsNull(gap), LessThanOrEqual(Subtract(t, lt), gap))))
+      val advance = And(hit, timeOk)
+      val newLvl = If(advance, Add(lvl, Literal(1)), lvl)
+      val newLt = If(advance, t, lt)
+      val complete = EqualTo(newLvl, Literal(n))
+      CreateNamedStruct(Seq(
+        Literal("cnt"), Add(cnt, If(complete, Literal(1), Literal(0))),
+        Literal("lvl"), If(complete, Literal(0), newLvl),
+        Literal("lt"), newLt))
+    }
+    fld(folded, "cnt")
+  }
+}

@@ -31,7 +31,7 @@ object ChDialect {
         s"order-undefined on a distributed engine; $insteadUse")
   }
 
-  private def builtin(name: String): Builder = {
+  private[functions] def builtin(name: String): Builder = {
     val b = FunctionRegistry.builtin
       .lookupFunctionBuilder(FunctionIdentifier(name))
       .getOrElse(throw new IllegalStateException(s"no builtin '$name'"))
@@ -639,6 +639,29 @@ object ChDialect {
         builtin("concat")(Seq(es(0),
           builtin("array_repeat")(Seq(es(2), Subtract(n, sz)))))) },
     // ---- CH staples, round 7 batch 2 ----
+    // ---- behavioral parametric aggregates (ChBehavioral; the
+    // operator twins live in operators/Behavior.scala). ChSql's
+    // parametric rewrite delivers windowFunnel's window LAST and the
+    // sequence patterns FIRST. ----
+    "windowFunnel" -> { es =>
+      require(es.size >= 3,
+        "windowFunnel(window)(ts, cond1, …) needs a window, a time and ≥1 condition")
+      ChBehavioral.windowFunnel(es.last, es.head, es.slice(1, es.size - 1)) },
+    "retention" -> { es => ChBehavioral.retention(es) },
+    "sequenceMatch" -> { es =>
+      es.head match {
+        case Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          ChBehavioral.sequenceMatch(p.toString, es(1), es.drop(2))
+        case other => throw new IllegalArgumentException(
+          s"sequenceMatch needs a literal pattern first, got $other")
+      } },
+    "sequenceCount" -> { es =>
+      es.head match {
+        case Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          ChBehavioral.sequenceCount(p.toString, es(1), es.drop(2))
+        case other => throw new IllegalArgumentException(
+          s"sequenceCount needs a literal pattern first, got $other")
+      } },
     "uniqTheta" -> builtin("approx_count_distinct"),
     // weighted exact quantiles: Spark's percentile takes a frequency
     // argument with EXACTLY the repeat-each-x-w-times semantics

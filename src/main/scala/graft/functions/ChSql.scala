@@ -654,8 +654,9 @@ object ChSql {
   private val paramsLast = Set("QUANTILE", "QUANTILEEXACT", "QUANTILETDIGEST",
     "MEDIAN", "MEDIANEXACT", "UNIQUPTO", "QUANTILEEXACTWEIGHTED",
     "QUANTILETIMING", "QUANTILEDETERMINISTIC",
-    "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG")
-  private val paramsFirst = Set("TOPK")
+    "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG",
+    "WINDOWFUNNEL")
+  private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
     "UNIQHLL12")
 

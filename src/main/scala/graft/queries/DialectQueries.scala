@@ -651,6 +651,65 @@ object DialectQueries {
     // quantile(0.9)(x) and bare count() — the forms every real CH
     // query uses — folded by the translator into the registered
     // single-call dialect names.
+    // The behavioral parametric aggregates through the SQL front door
+    // (ChBehavioral): the reference user's spelling —
+    // windowFunnel(w)(ts, conds…) — against the same oracles the
+    // operator keys use (a16's funnel CTEs; a17's min<max plus a19's
+    // closed-form transition count).
+    "c27_ch_funnel_sql" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |l2 AS (SELECT DISTINCT v.user_id FROM e v JOIN e c
+        |  ON c.user_id = v.user_id AND v.event_type = 'view'
+        |  AND c.event_type = 'click'
+        |  AND c.t >= v.t AND c.t <= v.t + 259200000000),
+        |l3 AS (SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND v.event_type = 'view'
+        |    AND c.event_type = 'click'
+        |    AND c.t >= v.t AND c.t <= v.t + 259200000000
+        |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND p.t >= c.t AND p.t <= v.t + 259200000000)
+        |SELECT u.user_id,
+        |  CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |       WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |       WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+        |       ELSE 0 END AS level
+        |FROM u ORDER BY user_id""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT user_id, windowFunnel(259200)(ts,
+          |    event_type = 'view', event_type = 'click',
+          |    event_type = 'purchase') AS level
+          |FROM events
+          |WHERE event_type IN ('view', 'click', 'purchase')
+          |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    "c28_ch_seq_sql" -> Q(
+      """WITH e AS (SELECT user_id, ts, event_type, epoch_us(ts) AS t
+        |           FROM events
+        |           WHERE event_type IN ('signup', 'purchase')),
+        |o AS (SELECT user_id, event_type, t,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |      FROM e)
+        |SELECT user_id,
+        |  CASE WHEN MIN(CASE WHEN event_type = 'signup' THEN t END)
+        |          < MAX(CASE WHEN event_type = 'purchase' THEN t END)
+        |       THEN 1 ELSE 0 END AS matched,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase'
+        |                          AND prev = 'signup') AS INTEGER) AS n_chains
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT user_id,
+          |  sequenceMatch('(?1).*(?2)')(ts,
+          |    event_type = 'signup', event_type = 'purchase') AS matched,
+          |  sequenceCount('(?1).*(?2)')(ts,
+          |    event_type = 'signup', event_type = 'purchase') AS n_chains
+          |FROM events
+          |WHERE event_type IN ('signup', 'purchase')
+          |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,
