@@ -710,6 +710,26 @@ object DialectQueries {
           |WHERE event_type IN ('signup', 'purchase')
           |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // retention through the SQL front door — flag array serialized to
+    // a "1,0,1" string (the a15 idiom) so the hash compare never sees
+    // an array cell. arrayStringConcat(arrayMap(toString…)) collapses
+    // to codegen'd casts via CastTransformRewrite.
+    "c29_ch_retention_sql" -> Q(
+      """SELECT user_id,
+        |  mv || ',' || (mv*mc) || ',' || (mv*mp) AS r FROM (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mv,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS mc,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS mp
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT user_id,
+          |  arrayStringConcat(arrayMap(x -> toString(x),
+          |    retention(event_type = 'view', event_type = 'click',
+          |              event_type = 'purchase')), ',') AS r
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,
