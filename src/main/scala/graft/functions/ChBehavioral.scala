@@ -21,8 +21,8 @@ import org.apache.spark.sql.types._
   *    SECONDS (the DateTime unit CH uses);
   *  - sequenceMatch: ordered-subsequence DP, strictly increasing
   *    times, `(?t<=N)`/`(?t<N)` adjacent-step time conditions in
-  *    seconds (latest-completion DP — required under gap
-  *    constraints);
+  *    seconds (per-level (latest, latest-strictly-before) pair DP —
+  *    required under gap constraints AND duplicate timestamps);
   *  - sequenceCount: single greedy DFA, non-overlapping chains,
   *    restart after completion;
   *  - retention: pairwise unordered cond1-AND-condK flags.
@@ -33,8 +33,9 @@ private[graft] object ChBehavioral {
     UnresolvedNamedLambdaVariable(Seq(
       UnresolvedNamedLambdaVariable.freshVarName(n)))
 
-  private def wrapAgg(e: Expression): Expression = e match {
-    case af: aggregate.AggregateFunction => af.toAggregateExpression()
+  private def wrapAgg(e: Expression, filter: Option[Expression] = None): Expression = e match {
+    case af: aggregate.AggregateFunction =>
+      af.toAggregateExpression(isDistinct = false, filter = filter)
     case other => other
   }
 
@@ -46,8 +47,15 @@ private[graft] object ChBehavioral {
   /** The group's condition-relevant events as a time-sorted struct
     * array (t: epoch-µs, ord: inverted flags so same-t events fold
     * lower-cond-first, ms: per-cond flags) — the aggregate-expression
-    * twin of Behavior.packed. No pre-filter: events hitting no cond
-    * are fold no-ops, so collecting them changes nothing. */
+    * twin of Behavior.packed. The collect_list carries a FILTER
+    * clause keeping only rows where SOME condition holds — the same
+    * pre-filter Behavior.packed applies before its groupBy, so the
+    * buffered state per group is O(condition events), not O(events)
+    * (a 1%-selective condition set would otherwise buffer 100× the
+    * state). Groups whose every row fails the filter still exist on
+    * the SQL surface (GROUP BY owns the keyset) and fold the empty
+    * array to level 0 / matched 0 — the reference's behavior for
+    * users with no qualifying events. */
   private def packedAgg(ts: Expression, conds: Seq[Expression]): Expression = {
     val ms = CreateArray(conds.map(c => Cast(c, BooleanType)))
     val mv = fresh("m")
@@ -57,8 +65,12 @@ private[graft] object ChBehavioral {
       Literal("t"), ChDialect.builtin("unix_micros")(Seq(ts)),
       Literal("ord"), ord,
       Literal("ms"), ms))
+    val hv = fresh("h")
+    val anyCond = ChDialect.builtin("exists")(
+      Seq(ms, LambdaFunction(hv, Seq(hv))))
     ChDialect.builtin("sort_array")(
-      Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)))))
+      Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)),
+        filter = Some(anyCond))))
   }
 
   private def nullLongs(n: Int): Expression =
@@ -166,28 +178,48 @@ private[graft] object ChBehavioral {
     CreateArray(steps.map(s =>
       Literal.create(s.gapMicros.orNull, LongType))))
 
-  /** sequenceMatch(pattern)(ts, cond1 … condN) → 0/1. Latest-
-    * completion DP per level (valid with and without gap bounds). */
+  /** sequenceMatch(pattern)(ts, cond1 … condN) → 0/1. Pair-DP per
+    * level — (l1, l2) = latest completion time and latest completion
+    * strictly before l1 — so extension at time t always sees the
+    * latest completion strictly earlier than t even when a same-t
+    * event overwrote l1 (duplicate timestamps are the norm at CH's
+    * second granularity). Valid with and without per-step gap bounds:
+    * if any completion lies in [t-gap, t), the latest-before-t one
+    * does too. Mirrors Behavior.sequenceMatch's constrained branch. */
   def sequenceMatch(pattern: String, ts: Expression,
       conds: Seq[Expression]): Expression = {
     val steps = parsePattern(pattern, conds.size)
     val n = steps.size
     val (idxArr, gapArr) = stepArrays(steps)
-    val folded = fold(packedAgg(ts, conds), nullLongs(n)) { (acc, e) =>
+    val nullL = Cast(Literal(null), LongType)
+    val init = ChDialect.builtin("array_repeat")(Seq(
+      CreateNamedStruct(Seq(Literal("l1"), nullL, Literal("l2"), nullL)),
+      Literal(n)))
+    val folded = fold(packedAgg(ts, conds), init) { (acc, e) =>
       perLevelK(n) { k =>
         val t = fld(e, "t")
         val hit = elem(fld(e, "ms"), elem(idxArr, Add(k, Literal(1))))
-        val prev = elem(acc, k)
-        val cur = elem(acc, Add(k, Literal(1)))
+        val prevP = elem(acc, k)
+        val curP = elem(acc, Add(k, Literal(1)))
         val gap = elem(gapArr, Add(k, Literal(1)))
-        If(EqualTo(k, Literal(0)),
-          If(hit, Greatest(Seq(cur, t)), cur),
-          If(And(And(And(hit, IsNotNull(prev)), GreaterThan(t, prev)),
-              Or(IsNull(gap), LessThanOrEqual(Subtract(t, prev), gap))),
-            Greatest(Seq(cur, t)), cur))
+        val cl1 = fld(curP, "l1")
+        // latest level-k completion strictly before t (l2 < l1 ≤ t)
+        val usable = If(LessThan(fld(prevP, "l1"), t),
+          fld(prevP, "l1"), fld(prevP, "l2"))
+        val extend = If(EqualTo(k, Literal(0)), hit,
+          And(And(hit, IsNotNull(usable)),
+            Or(IsNull(gap), LessThanOrEqual(Subtract(t, usable), gap))))
+        val pushed = CreateNamedStruct(Seq(
+          Literal("l1"), Greatest(Seq(cl1, t)),
+          Literal("l2"), If(And(IsNotNull(cl1), GreaterThan(t, cl1)),
+            cl1, fld(curP, "l2"))))
+        If(extend, pushed, curP)
       }
     }
-    Cast(EqualTo(levelOf(folded), Literal(n)), IntegerType)
+    val p = fresh("p")
+    val lvl = ChDialect.builtin("size")(Seq(ChDialect.builtin("filter")(
+      Seq(folded, LambdaFunction(IsNotNull(fld(p, "l1")), Seq(p))))))
+    Cast(EqualTo(lvl, Literal(n)), IntegerType)
   }
 
   /** sequenceCount(pattern)(ts, cond1 … condN) → non-overlapping

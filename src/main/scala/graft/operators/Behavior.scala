@@ -96,34 +96,61 @@ object Behavior {
     * `(?1)(?t<=N)(?2)`: each ADJACENT step must follow within N µs.
     * Under a gap constraint "earliest" is no longer optimal (a LATER
     * level-k completion can enable a level-k+1 step the earliest one
-    * can't reach), so the constrained DP keeps the LATEST completion
-    * time per level instead: scanning time-ascending, if ANY
-    * achievable prev lies in [t-N, t), the latest achievable one does
-    * too — the latest is a sufficient statistic. */
+    * can't reach). "Latest" alone is ALSO not enough: with duplicate
+    * timestamps the latest completion can sit AT the current event's
+    * own time t, where strict `<` forbids extending from it, hiding a
+    * strictly-earlier viable completion it overwrote. The constrained
+    * DP therefore keeps a PAIR per level — (l1, l2) = latest
+    * completion time and latest completion time strictly before l1.
+    * Scanning time-ascending every stored completion is ≤ t, so "the
+    * latest completion strictly before t" is l1 when l1 < t and l2
+    * when l1 == t — and if ANY completion lies in [t-N, t), that
+    * latest-before-t one does too. */
   def sequenceMatch(events: DataFrame, userCol: String, tsCol: Column,
       conds: Seq[Column], gapMicros: Option[Long] = None): DataFrame = {
     val n = conds.size
-    val folded = packed(events, userCol, tsCol, conds)
-      .select(col("user").as(userCol), aggregate(col("__evs"), nullLongs(n),
-        (acc, e) => transform(sequence(lit(0), lit(n - 1)), k => {
-          val t = e.getField("t")
-          val hit = element_at(e.getField("ms"), k + 1)
-          val prev = element_at(acc, k)
-          val cur = element_at(acc, k + 1)
-          gapMicros match {
-            case None =>
+    val packedDf = packed(events, userCol, tsCol, conds)
+    gapMicros match {
+      case None =>
+        val folded = packedDf
+          .select(col("user").as(userCol), aggregate(col("__evs"), nullLongs(n),
+            (acc, e) => transform(sequence(lit(0), lit(n - 1)), k => {
+              val t = e.getField("t")
+              val hit = element_at(e.getField("ms"), k + 1)
+              val prev = element_at(acc, k)
+              val cur = element_at(acc, k + 1)
               when(k === 0, when(hit, least(cur, t)).otherwise(cur))
                 .otherwise(when(hit && prev.isNotNull && t > prev,
                   least(cur, t)).otherwise(cur))
-            case Some(g) =>
-              when(k === 0, when(hit, greatest(cur, t)).otherwise(cur))
-                .otherwise(when(hit && prev.isNotNull && t > prev &&
-                    t - prev <= lit(g),
-                  greatest(cur, t)).otherwise(cur))
-          }
-        })).as("__acc"))
-    folded.select(col(userCol),
-      (level(col("__acc")) === n).cast("int").as("matched"))
+            })).as("__acc"))
+        folded.select(col(userCol),
+          (level(col("__acc")) === n).cast("int").as("matched"))
+      case Some(g) =>
+        val nullL = lit(null).cast("long")
+        val init = array_repeat(struct(nullL.as("l1"), nullL.as("l2")), n)
+        val folded = packedDf
+          .select(col("user").as(userCol), aggregate(col("__evs"), init,
+            (acc, e) => transform(sequence(lit(0), lit(n - 1)), k => {
+              val t = e.getField("t")
+              val hit = element_at(e.getField("ms"), k + 1)
+              val prevP = element_at(acc, k)
+              val curP = element_at(acc, k + 1)
+              val cl1 = curP.getField("l1")
+              // latest level-k completion strictly before t (l2 < l1 ≤ t)
+              val usable = when(prevP.getField("l1") < t,
+                prevP.getField("l1")).otherwise(prevP.getField("l2"))
+              val extend = when(k === 0, hit)
+                .otherwise(hit && usable.isNotNull && t - usable <= lit(g))
+              when(extend, struct(
+                greatest(cl1, t).as("l1"),
+                when(cl1.isNotNull && t > cl1, cl1)
+                  .otherwise(curP.getField("l2")).as("l2")))
+                .otherwise(curP)
+            })).as("__acc"))
+        folded.select(col(userCol),
+          (size(filter(col("__acc"), p => p.getField("l1").isNotNull)) === n)
+            .cast("int").as("matched"))
+    }
   }
 
   /** sequenceCount('(?1).*(?2).*…')(ts, cond1, …, condN): how many
