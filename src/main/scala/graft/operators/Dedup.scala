@@ -266,13 +266,23 @@ object Dedup {
     var labels = edges.select(col("__a").as(id1))
       .distinct().withColumn("cluster_id", col(id1)).persist()
     // Convergence probe: labels only ever DECREASE under min-label
-    // propagation, so for numeric ids an exact decimal(38,0) label sum
+    // propagation, so for INTEGER ids an exact decimal(38,0) label sum
     // is a sufficient statistic — unchanged sum ⇔ no label changed.
     // One cheap aggregate on the already-persisted frame per round,
     // instead of a labels⋈next join (which was ~half the per-round
-    // work). Non-numeric ids keep the join probe.
-    val numericIds = labels.schema("cluster_id").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // work). Only integral ids (and scale-0 decimals) qualify: a
+    // fractional id would ROUND under the decimal(38,0) cast, so a
+    // label decrease within the rounding step (5.4→5.2) could leave
+    // the sum unchanged and declare convergence early. Everything
+    // else keeps the join probe.
+    val numericIds = {
+      import org.apache.spark.sql.types._
+      labels.schema("cluster_id").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("__s"))
         .head().getDecimal(0)
@@ -534,10 +544,20 @@ object Dedup {
     * underestimates). */
   private[operators] def setJaccardPairs(items: DataFrame, idCol: String,
       minJaccard: Double, maxDf: Int): DataFrame = {
-    val capped = items
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__blk", "__g")))
+    // The df cap exists precisely because boilerplate elements are
+    // shared by ~everything in a block — which is why it must NOT be
+    // a count-over-window: a window routes every occurrence of the
+    // hot element to ONE task just to count-and-drop it (a straggler/
+    // spill at scale). A groupBy partial agg collapses the hot
+    // element per-partition BEFORE the shuffle (the d16 spelling),
+    // and the semi join-back rides the same (blk, element) key the
+    // self-join below shuffles on, so ReuseExchange serves it from
+    // the same shuffle files.
+    val kept = items.groupBy("__blk", "__g")
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
-      .drop("__df")
+      .select("__blk", "__g")
+    val capped = items.join(kept, Seq("__blk", "__g"), "left_semi")
     val a = capped.select(col(idCol).as("id1"), col("__blk"),
       col("__sz").as("__s1"), col("__g"))
     val b = capped.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
