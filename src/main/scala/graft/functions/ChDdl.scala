@@ -1268,6 +1268,44 @@ object ChDdl {
         // becomes, one row like SHOW CREATE
         import spark.implicits._
         Seq(ChSql.translate(renderTrim(ts.drop(2)))).toDF("statement")
+      case ("EXPLAIN", k2) =>
+        // The remaining EXPLAIN kinds of ASTExplainQuery.h:14-22,
+        // answered in the reference's shape: a single `explain` column,
+        // one row per output line (ESTIMATE excepted — it is tabular
+        // there too). Kind → Spark plan stage mapping:
+        //   AST        (ParsedAST)      → parsed logical plan
+        //   PLAN/plain (QueryPlan)      → optimized logical plan
+        //   PIPELINE   (QueryPipeline)  → physical plan
+        //   ESTIMATE   (QueryEstimates) → per-scan stats estimates
+        import spark.implicits._
+        val kinds = Set("AST", "PLAN", "PIPELINE", "ESTIMATE")
+        val kind = if (kinds.contains(k2)) k2 else "PLAN"
+        val body = renderTrim(ts.drop(if (kinds.contains(k2)) 2 else 1))
+        val qe = spark.sql(ChSql.translate(body)).queryExecution
+        def lines(s: String) = s.stripLineEnd.split("\n").toSeq.toDF("explain")
+        kind match {
+          case "AST"      => lines(qe.logical.treeString)
+          case "PLAN"     => lines(qe.optimizedPlan.treeString)
+          case "PIPELINE" => lines(qe.executedPlan.treeString)
+          case "ESTIMATE" =>
+            // the reference reports per-table part/row/mark counts from
+            // storage metadata; the Spark analogue is each scan leaf's
+            // optimizer stats (row count when known, size always)
+            qe.optimizedPlan.collectLeaves().map { l =>
+              val name = l match {
+                case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                  r.catalogTable.map(_.identifier.unquotedString).getOrElse(
+                    r.relation match {
+                      case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                        f.location.rootPaths.headOption
+                          .map(_.getName).getOrElse(r.nodeName)
+                      case _ => r.nodeName
+                    })
+                case other => other.nodeName
+              }
+              (name, l.stats.rowCount.map(_.toLong), l.stats.sizeInBytes.toLong)
+            }.toDF("table", "rows", "bytes")
+        }
       case ("WATCH", _) =>
         // WATCH lv [EVENTS] [LIMIT n] (ASTWatchQuery.h): one refresh
         // cycle of the reference's change stream — the view's current
@@ -1819,6 +1857,18 @@ object ChDdl {
       case "FIXEDSTRING" => (s"VARCHAR(${args(0).head.text})", None)
       case "DATETIME64" => ("TIMESTAMP_NTZ", None)
       case "DATETIME" => ("TIMESTAMP", None)
+      // Geo type domains (reference DataTypeCustomGeo.cpp:14-40):
+      // pure aliases over their storage shapes — Point is
+      // Tuple(Float64, Float64), Ring is Array(Point), Polygon is
+      // Array(Ring) (outer shape first, then holes), MultiPolygon is
+      // Array(Polygon). The declared name round-trips through SHOW
+      // CREATE via ChColumn.chType, as the reference's custom-name
+      // machinery does.
+      case "POINT" => ("STRUCT<_1: DOUBLE, _2: DOUBLE>", None)
+      case "RING" => ("ARRAY<STRUCT<_1: DOUBLE, _2: DOUBLE>>", None)
+      case "POLYGON" => ("ARRAY<ARRAY<STRUCT<_1: DOUBLE, _2: DOUBLE>>>", None)
+      case "MULTIPOLYGON" =>
+        ("ARRAY<ARRAY<ARRAY<STRUCT<_1: DOUBLE, _2: DOUBLE>>>>", None)
       case other =>
         (simpleTypes.getOrElse(other,
           throw new IllegalArgumentException(s"unsupported CH type: $other")), None)
@@ -1836,11 +1886,26 @@ object ChDdl {
     "STRING" -> "STRING", "DATE" -> "DATE", "DATE32" -> "DATE",
     "BOOL" -> "BOOLEAN", "BOOLEAN" -> "BOOLEAN",
     "UUID" -> "STRING", "IPV4" -> "STRING", "IPV6" -> "STRING",
-    "JSON" -> "STRING")
+    "JSON" -> "STRING",
+    // Interval<Kind> declared types (reference DataTypeInterval.h:30 —
+    // an Int64 COUNT of the kind's unit, named Interval{Kind} per
+    // parseIntervalKind.cpp). Mapped to the nearest single-field ANSI
+    // interval; kinds finer or coarser than an ANSI field narrow to
+    // the containing field (Quarter→MONTH, Week→DAY, sub-second→SECOND
+    // whose ANSI precision is microseconds).
+    "INTERVALYEAR" -> "INTERVAL YEAR", "INTERVALQUARTER" -> "INTERVAL MONTH",
+    "INTERVALMONTH" -> "INTERVAL MONTH", "INTERVALWEEK" -> "INTERVAL DAY",
+    "INTERVALDAY" -> "INTERVAL DAY", "INTERVALHOUR" -> "INTERVAL HOUR",
+    "INTERVALMINUTE" -> "INTERVAL MINUTE",
+    "INTERVALSECOND" -> "INTERVAL SECOND",
+    "INTERVALMILLISECOND" -> "INTERVAL SECOND",
+    "INTERVALMICROSECOND" -> "INTERVAL SECOND",
+    "INTERVALNANOSECOND" -> "INTERVAL SECOND")
 
   private val typeNames: Set[String] = simpleTypes.keySet ++ Set(
     "NULLABLE", "LOWCARDINALITY", "ARRAY", "MAP", "TUPLE", "NESTED",
     "ENUM8", "ENUM16",
     "DECIMAL", "DECIMAL32", "DECIMAL64", "DECIMAL128", "FIXEDSTRING",
-    "DATETIME64", "DATETIME")
+    "DATETIME64", "DATETIME",
+    "POINT", "RING", "POLYGON", "MULTIPOLYGON")
 }

@@ -555,6 +555,20 @@ object ChDialect {
     "extractURLParameter" -> { es =>
       builtin("parse_url")(Seq(es(0), Literal("QUERY"), es(1))) },
 
+    // ---- geo (the f11 haversine, Ch.greatCircleDistance, as a
+    // dialect name so declared Point columns reach it from SQL) ----
+    "greatCircleDistance" -> { es =>
+      require(es.length == 4, "greatCircleDistance(lon1, lat1, lon2, lat2)")
+      val Seq(lon1, lat1, lon2, lat2) = es
+      def rad(e: Expression) = builtin("radians")(Seq(e))
+      def sin2half(d: Expression) = builtin("pow")(Seq(
+        builtin("sin")(Seq(Divide(d, Literal(2.0)))), Literal(2.0)))
+      val a = Add(sin2half(Subtract(rad(lat2), rad(lat1))),
+        Multiply(Multiply(builtin("cos")(Seq(rad(lat1))),
+          builtin("cos")(Seq(rad(lat2)))),
+          sin2half(Subtract(rad(lon2), rad(lon1)))))
+      Multiply(Literal(2 * 6372797.560856),
+        builtin("asin")(Seq(builtin("sqrt")(Seq(a))))) },
     // ---- misc ----
     "generateUUIDv4" -> builtin("uuid"),
     "roundBankers"   -> builtin("bround"),

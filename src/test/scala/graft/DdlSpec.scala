@@ -918,4 +918,67 @@ class DdlSpec extends SparkSpec {
       .groupBy("n_name").count().as[(String, Long)].collect().toMap
     assert(got == expect && got.nonEmpty)
   }
+
+  test("Geo type domains parse as their storage shapes and round-trip SHOW CREATE") {
+    val ct = ChDdl.parse(
+      """CREATE TABLE geo_t (
+        |  id Int64, p Point, r Ring, poly Polygon, mp MultiPolygon,
+        |  span IntervalDay, beat IntervalSecond
+        |) ENGINE = MergeTree() ORDER BY id""".stripMargin)
+    val m = ct.cols.map(c => c.name -> c.sparkType).toMap
+    assert(m("p") == "STRUCT<_1: DOUBLE, _2: DOUBLE>")
+    assert(m("r") == "ARRAY<STRUCT<_1: DOUBLE, _2: DOUBLE>>")
+    assert(m("poly") == "ARRAY<ARRAY<STRUCT<_1: DOUBLE, _2: DOUBLE>>>")
+    assert(m("mp") == "ARRAY<ARRAY<ARRAY<STRUCT<_1: DOUBLE, _2: DOUBLE>>>>")
+    assert(m("span") == "INTERVAL DAY" && m("beat") == "INTERVAL SECOND")
+    // the DECLARED names survive to SHOW CREATE, as the reference's
+    // custom-name machinery keeps them over the storage types
+    ct.create(spark)
+    val shown = ChDdl.execute(spark, "SHOW CREATE TABLE geo_t")
+      .collect().head.getString(0)
+    for (t <- Seq("Point", "Ring", "Polygon", "MultiPolygon",
+        "IntervalDay", "IntervalSecond"))
+      assert(shown.contains(t), s"SHOW CREATE lost $t:\n$shown")
+    ChDdl.execute(spark, "DROP TABLE geo_t")
+    // a declared Point column flows through f11's distance math from SQL
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      "CREATE TABLE pts (id Int64, p Point) ENGINE = MergeTree() ORDER BY id")
+    ChDdl.execute(spark,
+      "INSERT INTO pts SELECT 1 AS id, named_struct('_1', 2.3522, '_2', 48.8566) AS p")
+    val d = ChDdl.execute(spark,
+      """SELECT round(greatCircleDistance(p._1, p._2, 2.2945, 48.8584), 0) AS m
+        |FROM pts""".stripMargin).collect().head.getDouble(0)
+    // Paris city hall-ish → Eiffel Tower: ~4.4 km
+    assert(d > 3000 && d < 6000, s"unexpected distance $d")
+    ChDdl.execute(spark, "DROP TABLE pts")
+  }
+
+  test("EXPLAIN kinds each answer one result set in the reference's shape") {
+    GraftFunctions.ensureRegistered(spark)
+    Tables(spark, sfDir).orders.createOrReplaceTempView("orders")
+    val q = "SELECT o_orderstatus, count() FROM orders " +
+      "PREWHERE o_totalprice > 1000 GROUP BY o_orderstatus"
+    // AST → parsed plan lines; the unresolved aggregate is visible
+    val ast = ChDdl.execute(spark, s"EXPLAIN AST $q")
+    assert(ast.columns.toSeq == Seq("explain"))
+    assert(ast.as[String].collect().exists(_.contains("Aggregate")), "AST")
+    // plain EXPLAIN and EXPLAIN PLAN → optimized logical plan, with
+    // the PREWHERE filter still pushed inside
+    for (form <- Seq(s"EXPLAIN $q", s"EXPLAIN PLAN $q")) {
+      val plan = ChDdl.execute(spark, form)
+      assert(plan.columns.toSeq == Seq("explain"))
+      val txt = plan.as[String].collect().mkString("\n")
+      assert(txt.contains("Aggregate") && txt.contains("Filter"), form)
+    }
+    // PIPELINE → physical plan (scan node present)
+    val pipe = ChDdl.execute(spark, s"EXPLAIN PIPELINE $q")
+      .as[String].collect().mkString("\n")
+    assert(pipe.contains("FileScan") || pipe.contains("Scan"), pipe)
+    // ESTIMATE → one row per scan leaf with a size estimate
+    val est = ChDdl.execute(spark, s"EXPLAIN ESTIMATE $q")
+    assert(est.columns.toSeq == Seq("table", "rows", "bytes"))
+    val r = est.collect()
+    assert(r.length == 1 && r.head.getLong(2) > 0L, r.mkString(","))
+  }
 }
