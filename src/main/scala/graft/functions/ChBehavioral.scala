@@ -56,7 +56,8 @@ private[graft] object ChBehavioral {
     * the SQL surface (GROUP BY owns the keyset) and fold the empty
     * array to level 0 / matched 0 — the reference's behavior for
     * users with no qualifying events. */
-  private def packedAgg(ts: Expression, conds: Seq[Expression]): Expression = {
+  private def packedAgg(ts: Expression, conds: Seq[Expression],
+      keepAll: Boolean = false): Expression = {
     val ms = CreateArray(conds.map(c => Cast(c, BooleanType)))
     val mv = fresh("m")
     val ord = ChDialect.builtin("transform")(
@@ -68,9 +69,11 @@ private[graft] object ChBehavioral {
     val hv = fresh("h")
     val anyCond = ChDialect.builtin("exists")(
       Seq(ms, LambdaFunction(hv, Seq(hv))))
+    // strict_order funnels keep condition-less events (they interrupt)
+    val filt = if (keepAll) None else Some(anyCond)
     ChDialect.builtin("sort_array")(
       Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)),
-        filter = Some(anyCond))))
+        filter = filt)))
   }
 
   private def nullLongs(n: Int): Expression =
@@ -98,25 +101,97 @@ private[graft] object ChBehavioral {
       LambdaFunction(body(k), Seq(k))))
   }
 
-  /** windowFunnel(windowSeconds)(ts, cond1 … condN) → max level. */
+  /** windowFunnel(windowSeconds[, modes])(ts, cond1 … condN) → max
+    * level. Modes mirror Behavior.windowFunnelModes (strict_order /
+    * strict_deduplication / strict_increase); the no-mode path keeps
+    * the leaner latest-start fold. */
   def windowFunnel(windowSeconds: Expression, ts: Expression,
-      conds: Seq[Expression]): Expression = {
+      conds: Seq[Expression], modes: Set[String] = Set.empty): Expression = {
+    val bad = modes.diff(graft.operators.Behavior.funnelModes)
+    require(bad.isEmpty, s"unsupported windowFunnel mode(s): " +
+      bad.mkString(", "))
     val n = conds.size
     val w = Multiply(Cast(windowSeconds, LongType), Literal(1000000L))
-    val folded = fold(packedAgg(ts, conds), nullLongs(n)) { (acc, e) =>
-      perLevelK(n) { k =>
-        val t = fld(e, "t")
-        val hit = elem(fld(e, "ms"), Add(k, Literal(1)))
-        val prev = elem(acc, k)
-        val cur = elem(acc, Add(k, Literal(1)))
-        If(EqualTo(k, Literal(0)),
-          If(hit, Greatest(Seq(cur, t)), cur),
-          If(And(And(hit, IsNotNull(prev)),
-              LessThanOrEqual(t, Add(prev, w))),
-            Greatest(Seq(cur, prev)), cur))
+    if (modes.isEmpty) {
+      val folded = fold(packedAgg(ts, conds), nullLongs(n)) { (acc, e) =>
+        perLevelK(n) { k =>
+          val t = fld(e, "t")
+          val hit = elem(fld(e, "ms"), Add(k, Literal(1)))
+          val prev = elem(acc, k)
+          val cur = elem(acc, Add(k, Literal(1)))
+          If(EqualTo(k, Literal(0)),
+            If(hit, Greatest(Seq(cur, t)), cur),
+            If(And(And(hit, IsNotNull(prev)),
+                LessThanOrEqual(t, Add(prev, w))),
+              Greatest(Seq(cur, prev)), cur))
+        }
       }
+      return levelOf(folded)
     }
-    levelOf(folded)
+    val strictOrder = modes("strict_order")
+    val strictDedup = modes("strict_deduplication")
+    val strictInc = modes("strict_increase")
+    val nullL = Cast(Literal(null), LongType)
+    val initLv = ChDialect.builtin("array_repeat")(Seq(
+      CreateNamedStruct(Seq(Literal("sA"), nullL, Literal("lA"), nullL,
+        Literal("sB"), nullL)),
+      Literal(n)))
+    val init = CreateNamedStruct(Seq(
+      Literal("lv"), initLv, Literal("dead"), Literal(false)))
+    def overUpper(body: Expression => Expression): Expression =
+      if (n == 1) Literal(false)
+      else {
+        val k = fresh("k")
+        ChDialect.builtin("exists")(Seq(
+          ChDialect.builtin("sequence")(Seq(Literal(1), Literal(n - 1))),
+          LambdaFunction(body(k), Seq(k))))
+      }
+    val folded = fold(packedAgg(ts, conds, keepAll = strictOrder), init) {
+      (acc, e) =>
+        val t = fld(e, "t")
+        val ms = fld(e, "ms")
+        val lv = fld(acc, "lv")
+        val started = IsNotNull(fld(elem(lv, Literal(1)), "sA"))
+        val hv = fresh("h")
+        val anyHit = ChDialect.builtin("exists")(
+          Seq(ms, LambdaFunction(hv, Seq(hv))))
+        val outOfOrder = overUpper(k => And(elem(ms, Add(k, Literal(1))),
+          IsNull(fld(elem(lv, k), "sA"))))
+        val dup = overUpper(k => And(elem(ms, Add(k, Literal(1))),
+          IsNotNull(fld(elem(lv, Add(k, Literal(1))), "sA"))))
+        // coalesce: a null condition value must read as "no signal",
+        // not poison the dead flag through three-valued Or
+        val deadNow = Coalesce(Seq(Or(Or(fld(acc, "dead"),
+          if (strictOrder) Or(And(Not(anyHit), started), outOfOrder)
+          else Literal(false)),
+          if (strictDedup) dup else Literal(false)), Literal(false)))
+        val newLv = If(deadNow, lv, perLevelK(n) { k =>
+          val hit = elem(ms, Add(k, Literal(1)))
+          val curP = elem(lv, Add(k, Literal(1)))
+          val sA = fld(curP, "sA")
+          val lA = fld(curP, "lA")
+          val prevP = elem(lv, k)
+          val candUp =
+            if (strictInc)
+              If(LessThan(fld(prevP, "lA"), t),
+                fld(prevP, "sA"), fld(prevP, "sB"))
+            else fld(prevP, "sA")
+          val cand = If(EqualTo(k, Literal(0)), t, candUp)
+          val ext = If(EqualTo(k, Literal(0)), hit,
+            And(And(hit, IsNotNull(cand)),
+              LessThanOrEqual(t, Add(cand, w))))
+          val better = And(ext, Or(IsNull(sA), GreaterThan(cand, sA)))
+          If(better, CreateNamedStruct(Seq(
+            Literal("sA"), cand, Literal("lA"), t,
+            Literal("sB"), If(LessThan(lA, t), sA, fld(curP, "sB")))),
+            curP)
+        })
+        CreateNamedStruct(Seq(
+          Literal("lv"), newLv, Literal("dead"), deadNow))
+    }
+    val p = fresh("p")
+    ChDialect.builtin("size")(Seq(ChDialect.builtin("filter")(
+      Seq(fld(folded, "lv"), LambdaFunction(IsNotNull(fld(p, "sA")), Seq(p))))))
   }
 
   /** retention(cond1 … condN) → array<int>, r(k) = c1 && ck. */

@@ -658,9 +658,20 @@ object ChDialect {
     // parametric rewrite delivers windowFunnel's window LAST and the
     // sequence patterns FIRST. ----
     "windowFunnel" -> { es =>
-      require(es.size >= 3,
+      // windowFunnel(window[, 'mode'…])(ts, conds…) arrives params-last
+      // as (ts, conds…, window, modes…): trailing string literals are
+      // the strictness modes
+      val modeLits = es.reverse.takeWhile {
+        case Literal(_: org.apache.spark.unsafe.types.UTF8String, StringType) => true
+        case _ => false
+      }.reverse
+      val modes = modeLits.map(
+        _.asInstanceOf[Literal].value.toString).toSet
+      val rest = es.dropRight(modeLits.size)
+      require(rest.size >= 3,
         "windowFunnel(window)(ts, cond1, …) needs a window, a time and ≥1 condition")
-      ChBehavioral.windowFunnel(es.last, es.head, es.slice(1, es.size - 1)) },
+      ChBehavioral.windowFunnel(rest.last, rest.head,
+        rest.slice(1, rest.size - 1), modes) },
     "retention" -> { es => ChBehavioral.retention(es) },
     "sequenceMatch" -> { es =>
       es.head match {

@@ -44,15 +44,19 @@ object Behavior {
     * at one t) would fold click-before-view and miss the chain the
     * non-strict `t₂ ≥ t₁` contract counts. */
   private def packed(events: DataFrame, userCol: String, tsCol: Column,
-      conds: Seq[Column]): DataFrame =
-    events
+      conds: Seq[Column], keepAll: Boolean = false): DataFrame = {
+    val base = events
       .select(col(userCol).as("user"), unix_micros(tsCol).as("__t"),
         array(conds.map(_.cast("boolean")): _*).as("__ms"))
-      .filter(exists(col("__ms"), m => m))
-      .groupBy("user")
+    // strict_order funnels must SEE condition-less events — they
+    // interrupt the chain — so only they skip the state-bounding
+    // pre-filter
+    val kept = if (keepAll) base else base.filter(exists(col("__ms"), m => m))
+    kept.groupBy("user")
       .agg(sort_array(collect_list(struct(col("__t").as("t"),
         transform(col("__ms"), m => not(m)).as("ord"),
         col("__ms").as("ms")))).as("__evs"))
+  }
 
   private def nullLongs(n: Int): Column =
     array_repeat(lit(null).cast("long"), n)
@@ -84,6 +88,88 @@ object Behavior {
               greatest(cur, prev)).otherwise(cur))
         })).as("__acc"))
     folded.select(col(userCol), level(col("__acc")).as("level"))
+  }
+
+  val funnelModes: Set[String] =
+    Set("strict_order", "strict_deduplication", "strict_increase")
+
+  /** windowFunnel with ClickHouse's documented strictness modes:
+    *  - `strict_order`: once a chain has started, an event matching NO
+    *    condition — or a condition whose previous level is unreached —
+    *    interrupts further processing (levels already reached stand);
+    *  - `strict_deduplication`: an event repeating a condition the
+    *    chain already matched (beyond cond1, whose repeat is the
+    *    normal chain restart) interrupts further processing;
+    *  - `strict_increase`: chain steps must have strictly increasing
+    *    timestamps. Per level the DP keeps (sA, lA, sB): the
+    *    max-start chain's (start, last-step time) plus the best
+    *    runner-up start among chains whose last step is strictly
+    *    before lA — so at time t the best chain with last < t is A
+    *    when lA < t and the runner-up when lA == t (the sequenceMatch
+    *    pair-DP argument, lifted to (start, last) chains).
+    * The default (no modes) path keeps its leaner latest-start fold. */
+  def windowFunnelModes(events: DataFrame, userCol: String, tsCol: Column,
+      windowMicros: Long, conds: Seq[Column],
+      modes: Set[String]): DataFrame = {
+    val bad = modes.diff(funnelModes)
+    require(bad.isEmpty, s"unsupported windowFunnel mode(s): " +
+      s"${bad.mkString(", ")} — supported: ${funnelModes.mkString(", ")}")
+    if (modes.isEmpty)
+      return windowFunnel(events, userCol, tsCol, windowMicros, conds)
+    val n = conds.size
+    val strictOrder = modes("strict_order")
+    val strictDedup = modes("strict_deduplication")
+    val strictInc = modes("strict_increase")
+    val nullL = lit(null).cast("long")
+    val initLv = array_repeat(
+      struct(nullL.as("sA"), nullL.as("lA"), nullL.as("sB")), n)
+    val init = struct(initLv.as("lv"), lit(false).as("dead"))
+    val folded = packed(events, userCol, tsCol, conds, keepAll = strictOrder)
+      .select(col("user").as(userCol), aggregate(col("__evs"), init,
+        (acc, e) => {
+          val t = e.getField("t")
+          val ms = e.getField("ms")
+          val lv = acc.getField("lv")
+          val started = element_at(lv, 1).getField("sA").isNotNull
+          val anyHit = exists(ms, m => m)
+          def overUpper(body: Column => Column): Column =
+            if (n == 1) lit(false)
+            else exists(sequence(lit(1), lit(n - 1)), body)
+          val outOfOrder = overUpper(k => element_at(ms, k + 1) &&
+            element_at(lv, k).getField("sA").isNull)
+          val dup = overUpper(k => element_at(ms, k + 1) &&
+            element_at(lv, k + 1).getField("sA").isNotNull)
+          // coalesce: a null condition value must read as "no signal",
+          // not poison the dead flag through three-valued Or
+          val deadNow = coalesce(acc.getField("dead") ||
+            (if (strictOrder) (!anyHit && started) || outOfOrder
+             else lit(false)) ||
+            (if (strictDedup) dup else lit(false)), lit(false))
+          val newLv = when(deadNow, lv)
+            .otherwise(transform(sequence(lit(0), lit(n - 1)), k => {
+              val hit = element_at(ms, k + 1)
+              val curP = element_at(lv, k + 1)
+              val sA = curP.getField("sA")
+              val lA = curP.getField("lA")
+              val prevP = element_at(lv, k)
+              val candUp =
+                if (strictInc)
+                  when(prevP.getField("lA") < t, prevP.getField("sA"))
+                    .otherwise(prevP.getField("sB"))
+                else prevP.getField("sA")
+              val cand = when(k === 0, t).otherwise(candUp)
+              val ext = when(k === 0, hit).otherwise(hit &&
+                cand.isNotNull && t <= cand + lit(windowMicros))
+              val better = ext && (sA.isNull || cand > sA)
+              when(better, struct(cand.as("sA"), t.as("lA"),
+                when(lA < t, sA).otherwise(curP.getField("sB")).as("sB")))
+                .otherwise(curP)
+            }))
+          struct(newLv.as("lv"), deadNow.as("dead"))
+        }).as("__acc"))
+    folded.select(col(userCol),
+      size(filter(col("__acc").getField("lv"),
+        p => p.getField("sA").isNotNull)).as("level"))
   }
 
   /** sequenceMatch('(?1).*(?2).*…')(ts, cond1, …, condN) for the

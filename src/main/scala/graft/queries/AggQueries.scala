@@ -71,6 +71,63 @@ object AggQueries {
         .orderBy("user_id")
     },
 
+    // windowFunnel strict_order mode: after the chain starts, any
+    // event whose condition's previous level is unreached interrupts
+    // further processing (levels reached stand). Scoped, like a16, to
+    // the three condition event types. The oracle is a recursive-CTE
+    // replica of the scan itself — per-level chain starts (s0..s2)
+    // plus the dead flag, stepped one event at a time in the same
+    // (t, cond-index) order the fold uses — so every stateful edge
+    // (restart, out-of-order death, window from chain start) is
+    // cross-engine exact.
+    "a20_funnel_strict" -> Q(
+      """WITH RECURSIVE
+        |e AS (SELECT user_id, epoch_us(ts) AS t,
+        |        event_type = 'view' AS c1, event_type = 'click' AS c2,
+        |        event_type = 'purchase' AS c3,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+        |          CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |            ELSE 2 END) AS rn
+        |      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |scan AS (
+        |  SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS s0,
+        |         CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2,
+        |         FALSE AS dead
+        |  FROM (SELECT DISTINCT user_id FROM e)
+        |  UNION ALL
+        |  SELECT user_id, rn,
+        |    CASE WHEN nd THEN s0 WHEN c1 THEN t ELSE s0 END,
+        |    CASE WHEN nd THEN s1
+        |         WHEN c2 AND s0 IS NOT NULL AND t <= s0 + 259200000000
+        |              AND (s1 IS NULL OR s0 > s1) THEN s0 ELSE s1 END,
+        |    CASE WHEN nd THEN s2
+        |         WHEN c3 AND s1 IS NOT NULL AND t <= s1 + 259200000000
+        |              AND (s2 IS NULL OR s1 > s2) THEN s1 ELSE s2 END,
+        |    nd
+        |  FROM (
+        |    SELECT e.user_id, e.rn, e.t, e.c1, e.c2, e.c3,
+        |           s.s0, s.s1, s.s2,
+        |           s.dead OR (e.c2 AND s.s0 IS NULL)
+        |                  OR (e.c3 AND s.s1 IS NULL) AS nd
+        |    FROM scan s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1)),
+        |fin AS (SELECT user_id, s0, s1, s2,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+        |        FROM scan)
+        |SELECT user_id,
+        |  CASE WHEN s2 IS NOT NULL THEN 3 WHEN s1 IS NOT NULL THEN 2
+        |       WHEN s0 IS NOT NULL THEN 1 ELSE 0 END AS level
+        |FROM fin WHERE rr = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Behavior.windowFunnelModes(
+          Tables(s, dir).events.filter(
+            col("event_type").isin("view", "click", "purchase")),
+          "user_id", col("ts"), windowMicros = 259200000000L,
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          modes = Set("strict_order"))
+        .orderBy("user_id")
+    },
+
     // sequenceMatch('(?1).*(?2)')(ts, conds…) — an ordered
     // subsequence with strictly increasing timestamps exists. For the
     // two-step pattern min(t1) < max(t2) is the exact oracle.

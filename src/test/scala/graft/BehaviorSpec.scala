@@ -70,6 +70,44 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq(1, 0, 0))
   }
 
+  test("windowFunnel strict modes: order, deduplication, increase") {
+    def lvl(rows: Seq[(Long, Long, String)], modes: Set[String],
+        w: Long = 100L): Int =
+      Behavior.windowFunnelModes(ev(rows: _*), "user_id", col("ts"), w,
+        conds, modes).select("level").as[Int].head()
+    val so = Set("strict_order")
+    // A B D C: the D (no condition) interrupts — level stops at 2
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "D"), (1L, 3L, "C")), so) == 2)
+    // junk BEFORE the chain starts does not interrupt
+    assert(lvl(Seq((1L, 0L, "D"), (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C")), so) == 3)
+    // a junk event right after the first A kills later chains too
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 1L, "D"), (1L, 2L, "A"), (1L, 3L, "B")), so) == 1)
+    // an out-of-order condition (C with level 2 unreached) interrupts
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 1L, "C"), (1L, 2L, "B"), (1L, 3L, "C")), so) == 1)
+    // no modes behaves like the default fold on the same data
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "D"), (1L, 3L, "C")),
+      Set.empty) == 3)
+    val sd = Set("strict_deduplication")
+    // A B B C: the repeated B interrupts — level stops at 2
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "B"), (1L, 3L, "C")), sd) == 2)
+    // a repeated A is the normal chain restart, not an interrupt
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C")), sd) == 3)
+    val si = Set("strict_increase")
+    // tied A/B chain under the default, refused under strict_increase
+    assert(lvl(Seq((1L, 5L, "A"), (1L, 5L, "B")), Set.empty) == 2)
+    assert(lvl(Seq((1L, 5L, "A"), (1L, 5L, "B")), si) == 1)
+    // a same-t repeat with the SAME chain start keeps the earlier
+    // last-step time, so C@5 still extends
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 2L, "B"), (1L, 5L, "B"), (1L, 5L, "C")), si) == 3)
+    // runner-up case: the A@3 chain's B lands AT t=5, overwriting the
+    // max-start entry; C@5 must fall back to the A@0 chain whose B@2
+    // is strictly earlier (kept as the runner-up)
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 5L, "B"),
+      (1L, 5L, "C")), si) == 3)
+    // strictly increasing chain passes untouched
+    assert(lvl(Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "C")), si) == 3)
+  }
+
   test("retention is pairwise and unordered") {
     // user 1: C before A — still counts (retention has no ordering)
     val df = ev((1L, 0L, "C"), (1L, 5L, "A"), (2L, 0L, "B"))

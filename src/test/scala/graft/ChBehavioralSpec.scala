@@ -102,6 +102,35 @@ class ChBehavioralSpec extends SparkSpec {
     assert(strict == 0)
   }
 
+  test("windowFunnel strict modes SQL == operator on real events") {
+    val conds = Seq(col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase")
+    for (mode <- Seq("strict_order", "strict_deduplication", "strict_increase")) {
+      val sql = chSql(
+        s"""SELECT user_id, windowFunnel(259200, '$mode')(ts,
+           |  event_type = 'view', event_type = 'click',
+           |  event_type = 'purchase') AS level
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        .as[(Long, Int)].collect().toSeq
+      val op = Behavior.windowFunnelModes(ev, "user_id", col("ts"),
+          259200000000L, conds, Set(mode))
+        .orderBy("user_id").as[(Long, Int)].collect().toSeq
+      pinned(sql, op, 0)
+      // a strict mode can only lower the level
+      val base = Behavior.windowFunnel(ev, "user_id", col("ts"),
+          259200000000L, conds)
+        .orderBy("user_id").as[(Long, Int)].collect().toMap
+      op.foreach { case (u, l) =>
+        assert(l <= base(u), s"$mode raised user $u: $l > ${base(u)}")
+      }
+    }
+    // unknown modes refuse loudly
+    intercept[Exception](chSql(
+      """SELECT user_id, windowFunnel(10, 'strict_nonsense')(ts,
+        |  event_type = 'view') AS level
+        |FROM events GROUP BY user_id""".stripMargin).collect())
+  }
+
   test("retention SQL == operator on real events") {
     val sql = chSql(
       """SELECT user_id, retention(event_type = 'signup',
