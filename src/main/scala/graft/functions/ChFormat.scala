@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** SELECT … FORMAT output rendering (reference: src/Formats/
   * FormatFactory.cpp; ParserQueryWithOutput.h attaches the clause to
@@ -15,18 +16,29 @@ import org.apache.spark.sql.functions._
   *  - JSONEachRow (JSONEachRowUtils.cpp): compact one-object-per-line
   *    JSON, null fields INCLUDED (the reference writes them);
   *  - CSV: comma-separated, quoted only when needed, NULL as `\N`;
-  *  - TSV / TabSeparated: tab-separated raw values, NULL as `\N`.
+  *  - TSV / TabSeparated: tab-separated raw values, NULL as `\N`;
+  *  - Values: `(v1,v2,…)` tuples — strings single-quoted with
+  *    backslash escapes, NULL literal — the same shape ChInsert
+  *    accepts back (registerFormats.cpp registers it for both
+  *    directions);
+  *  - Pretty / PrettyCompact: the console box tables. Column widths
+  *    need the whole block, so these render DRIVER-SIDE over at most
+  *    the reference's own cap (output_format_pretty_max_rows =
+  *    10 000) — the sanctioned client-side-output exception, like
+  *    INTO OUTFILE. Output is one `line` row per RENDERED line
+  *    (borders included), numerics right-aligned, NULL as ᴺᵁᴸᴸ.
   *
-  * Every other registered format (Pretty*, Native, Vertical, …) is
-  * console/wire decoration with no engine meaning — the clause is
-  * dropped and the plain rows returned, as before.
+  * Every other registered format (Native, Vertical, …) is wire
+  * decoration with no engine meaning — the clause is dropped and the
+  * plain rows returned, as before.
   *
-  * The rendering is a per-row projection (to_json / to_csv /
-  * concat_ws are codegen'd) — no collect, no extra shuffle.
+  * All non-Pretty renderings are per-row projections (to_json /
+  * to_csv / concat_ws are codegen'd) — no collect, no extra shuffle.
   */
 object ChFormat {
 
-  val renderable: Set[String] = Set("JSONEACHROW", "CSV", "TSV", "TABSEPARATED")
+  val renderable: Set[String] = Set("JSONEACHROW", "CSV", "TSV",
+    "TABSEPARATED", "VALUES", "PRETTY", "PRETTYCOMPACT")
 
   def render(df: DataFrame, fmt: String): DataFrame = fmt.toUpperCase match {
     case "JSONEACHROW" =>
@@ -38,7 +50,69 @@ object ChFormat {
     case "TSV" | "TABSEPARATED" =>
       df.select(concat_ws("\t", df.columns.map(c =>
         coalesce(col(c).cast("string"), lit("\\N"))): _*).as("line"))
+    case "VALUES" =>
+      val cells = df.schema.fields.map { f =>
+        val c = col(f.name)
+        f.dataType match {
+          case StringType =>
+            // CH escapeString: backslash first, then the quote
+            when(c.isNull, lit("NULL")).otherwise(concat(lit("'"),
+              call_function("replace",
+                call_function("replace", c, lit("\\"), lit("\\\\")),
+                lit("'"), lit("\\'")), lit("'")))
+          case DateType | TimestampType | TimestampNTZType =>
+            when(c.isNull, lit("NULL"))
+              .otherwise(concat(lit("'"), c.cast("string"), lit("'")))
+          case _ => coalesce(c.cast("string"), lit("NULL"))
+        }
+      }
+      df.select(concat(lit("("), concat_ws(",", cells: _*), lit(")"))
+        .as("line"))
+    case "PRETTY" => pretty(df, compact = false)
+    case "PRETTYCOMPACT" => pretty(df, compact = true)
     case other =>
       throw new IllegalArgumentException(s"non-renderable FORMAT $other")
+  }
+
+  /** The reference's Pretty row cap (Settings.h
+    * output_format_pretty_max_rows default). */
+  private val prettyMaxRows = 10000
+
+  private def pretty(df: DataFrame, compact: Boolean): DataFrame = {
+    val names = df.columns.toSeq
+    val rightAlign = df.schema.fields.map(_.dataType match {
+      case _: NumericType => true
+      case _ => false
+    })
+    val rows = df.limit(prettyMaxRows).collect().map { r =>
+      names.indices.map(i =>
+        if (r.isNullAt(i)) "ᴺᵁᴸᴸ" else r.get(i).toString)
+    }
+    val widths = names.indices.map(i =>
+      (rows.map(_(i).length) :+ names(i).length).max)
+    def cell(v: String, i: Int): String = {
+      val pad = " " * (widths(i) - v.length)
+      if (rightAlign(i)) s" $pad$v " else s" $v$pad "
+    }
+    def edge(l: String, m: String, r: String, fill: String): String =
+      widths.map(w => fill * (w + 2)).mkString(l, m, r)
+    val dataLines = rows.map(r =>
+      names.indices.map(i => cell(r(i), i)).mkString("│", "│", "│"))
+    val lines: Seq[String] =
+      if (compact) {
+        // ┌─name─┬─…─┐ header-in-border, the console default
+        val top = names.indices.map { i =>
+          "─" + names(i) + "─" * (widths(i) + 1 - names(i).length)
+        }.mkString("┌", "┬", "┐")
+        (top +: dataLines) :+ edge("└", "┴", "┘", "─")
+      } else {
+        val header =
+          names.indices.map(i => cell(names(i), i)).mkString("┃", "┃", "┃")
+        Seq(edge("┏", "┳", "┓", "━"), header, edge("┡", "╇", "┩", "━")) ++
+          dataLines :+ edge("└", "┴", "┘", "─")
+      }
+    val s = df.sparkSession
+    import s.implicits._
+    lines.toDF("line")
   }
 }

@@ -70,7 +70,7 @@ object ChSystem {
           .toDF("name", "is_aggregate")
       case "table_engines" => tableEngines.toDF("name")
       case "formats" =>
-        (ChFormat.renderable.toSeq.sorted :+ "Values").toDF("name")
+        ChFormat.renderable.toSeq.sorted.toDF("name")
       case "table_functions" => Seq("numbers", "file").toDF("name")
       case "data_type_families" => typeFamilies.toDF("name")
       case "settings" | "merge_tree_settings" => settingNames.toDF("name")

@@ -548,9 +548,32 @@ class DdlSpec extends SparkSpec {
       "SELECT id, s, v FROM graft_fmt_t ORDER BY id FORMAT TabSeparated")
       .as[String].collect().toSeq
     assert(tsv == Seq("1\ta,x\t1.5", "2\t\\N\t2.5"), tsv)
+    // Values: insert-format tuples, strings quoted + escaped, NULL bare
+    val vals = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_t ORDER BY id FORMAT Values")
+      .as[String].collect().toSeq
+    assert(vals == Seq("(1,'a,x',1.5)", "(2,NULL,2.5)"), vals)
+    val esc = Seq(Tuple1("a'b\\c")).toDF("s")
+    esc.createOrReplaceTempView("graft_fmt_esc")
+    val escOut = ChDdl.execute(spark,
+      "SELECT s FROM graft_fmt_esc FORMAT Values")
+      .as[String].collect().toSeq
+    assert(escOut == Seq("('a\\'b\\\\c')"), escOut)
+    // Pretty: full box table, numerics right-aligned
+    val pretty = ChDdl.execute(spark,
+      "SELECT id FROM graft_fmt_t ORDER BY id FORMAT Pretty")
+      .as[String].collect().toSeq
+    assert(pretty == Seq(
+      "┏━━━━┓", "┃ id ┃", "┡━━━━┩", "│  1 │", "│  2 │", "└────┘"), pretty)
+    // PrettyCompact: header woven into the top border, NULL as ᴺᵁᴸᴸ
+    val pc = ChDdl.execute(spark,
+      "SELECT id, s FROM graft_fmt_t ORDER BY id FORMAT PrettyCompact")
+      .as[String].collect().toSeq
+    assert(pc == Seq(
+      "┌─id─┬─s────┐", "│  1 │ a,x  │", "│  2 │ ᴺᵁᴸᴸ │", "└────┴──────┘"), pc)
     // non-renderable formats keep the old strip behavior: plain rows
     val plain = ChDdl.execute(spark,
-      "SELECT id FROM graft_fmt_t ORDER BY id FORMAT Pretty")
+      "SELECT id FROM graft_fmt_t ORDER BY id FORMAT Vertical")
       .as[Int].collect().toSeq
     assert(plain == Seq(1, 2))
     // FORMAT composes with a trailing SETTINGS clause
