@@ -221,4 +221,75 @@ object Curate {
         (expr(s"(__cum - 1) div $seqLen") -
           expr(s"start_off div $seqLen") + 1).as("n_seqs"))
   }
+
+  /** Deterministic global corpus shuffle — the "shuffle the whole
+    * corpus before training" step every pretraining pipeline runs.
+    * Each document gets a shard (0..nShards-1) and a position within
+    * its shard, derived from the document's rank in seedless md5
+    * order; shards are STRIDED over that order (shard = rank mod N,
+    * pos = rank div N), so every shard is a uniform sample of the
+    * corpus and shard sizes differ by at most one — no hot shard, no
+    * RNG, identical output on any cluster size.
+    *
+    * The global rank is the same distributed prefix sum packSequences
+    * uses (md5-prefix buckets → per-bucket window → metadata-scale
+    * driver scan of 16^prefixChars bucket totals → broadcast offsets),
+    * NOT a global window: per-task work is corpus/16^prefixChars. At
+    * 100 TB raise prefixChars to 4–5 so a bucket fits one task.
+    */
+  def globalShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      prefixChars: Int = 2): DataFrame = {
+    require(nShards > 0 && prefixChars >= 1)
+    val base = docs
+      .select(col(idCol), md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__bkt", substring(col("__h"), 1, prefixChars))
+    val local = base.withColumn("__lrn",
+      row_number().over(
+        Window.partitionBy("__bkt").orderBy(col("__h"), col(idCol)))
+        .cast("long"))
+    val bucketTotals = local.groupBy("__bkt")
+      .agg(max(col("__lrn")).as("__tot"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Seq[(String, Long)] =
+      if (bucketTotals.isEmpty) Seq.empty
+      else bucketTotals
+        .scanLeft(("", 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+        .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__bkt", "__off"))
+    local.join(offDf, Seq("__bkt"))
+      .withColumn("__rank", col("__off") + col("__lrn") - 1)
+      .select(col(idCol),
+        pmod(col("__rank"), lit(nShards)).cast("int").as("shard"),
+        expr(s"__rank div $nShards").as("pos"))
+  }
+
+  /** Stable train/val/test assignment — the split that must never
+    * move when the corpus is re-processed (a document changing split
+    * between runs leaks eval data into training). The split is a pure
+    * function of the id: the first 4 hex digits of
+    * md5('split:' ‖ id) give a uniform bucket in [0, 65536), cut at
+    * integer thresholds ⌊65536·trainPct/100⌋ and
+    * ⌊65536·(trainPct+valPct)/100⌋ — exact integer compares, no float
+    * fractions to drift cross-engine. The 'split:' salt decorrelates
+    * the assignment from every other md5(id) use in this package
+    * (sampling, sharding), so being sampled never biases the split.
+    * Scan-speed column arithmetic: no shuffle, no state.
+    */
+  def datasetSplit(docs: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val trainTh = 65536L * trainPct / 100
+    val valTh = 65536L * (trainPct + valPct) / 100
+    val bucket = conv(
+      substring(md5(concat(lit("split:"), col(idCol).cast("string"))), 1, 4),
+      16, 10).cast("long")
+    docs.withColumn("split",
+      when(bucket < trainTh, "train")
+        .when(bucket < valTh, "val")
+        .otherwise("test"))
+  }
 }

@@ -262,6 +262,82 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic global corpus shuffle (t11): rank in seedless md5
+    // order, strided into 8 shards (shard = rank mod 8, pos = rank div
+    // 8 — every shard a uniform corpus sample, sizes within one).
+    // Spark side computes the rank with the t08 distributed prefix sum
+    // (md5-prefix buckets, no global window); the oracle's single
+    // row_number window is the same math at DuckDB's single-node scale.
+    "t11_global_shuffle" -> Q(
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+        |  FROM documents)
+        |SELECT doc_id, CAST(rk % 8 AS INT) AS shard, rk // 8 AS pos
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curate.globalShuffle(Tables(s, dir).documents,
+          "doc_id", nShards = 8)
+        .orderBy("doc_id")
+    },
+
+    // Stable train/val/test split (t13): bucket = first 4 hex digits
+    // of md5('split:' || id) in [0, 65536), cut at integer thresholds
+    // 90% / 95% — a pure function of the id, so re-processing the
+    // corpus can never migrate a document across the eval boundary.
+    "t13_dataset_split" -> Q {
+      val trainTh = 65536L * 90 / 100
+      val valTh = 65536L * 95 / 100
+      def hx(i: Int): String =
+        s"(CASE WHEN ascii(substr(h, $i, 1)) >= 97" +
+          s" THEN ascii(substr(h, $i, 1)) - 87" +
+          s" ELSE ascii(substr(h, $i, 1)) - 48 END)"
+      s"""WITH m AS (
+        |  SELECT doc_id, source,
+        |    md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    ((${hx(1)} * 16 + ${hx(2)}) * 16 + ${hx(3)}) * 16 + ${hx(4)} AS bkt
+        |  FROM m)
+        |SELECT doc_id, source,
+        |  CASE WHEN bkt < $trainTh THEN 'train'
+        |       WHEN bkt < $valTh THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin } { (s, dir) =>
+      graft.operators.Curate.datasetSplit(Tables(s, dir).documents, "doc_id")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary induction (t12): corpus-wide unigram + bigram counts,
+    // top 200 by (count desc, token asc) — the frequency-mining core
+    // of tokenizer training. One explode + hash aggregate (map-side
+    // combining collapses hot tokens before the shuffle) + distributed
+    // top-k (TakeOrderedAndProject — per-partition heads, never a
+    // global sort). Bigrams contain a space, so they can never collide
+    // with a unigram and `token` alone is a total key.
+    "t12_vocab_mine" -> Q(
+      """WITH w AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT unnest(toks) AS token FROM w),
+        |b AS (SELECT unnest(list_transform(range(1, GREATEST(len(toks), 1)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS token FROM w),
+        |a AS (SELECT token FROM u UNION ALL SELECT token FROM b)
+        |SELECT token, COUNT(*) AS n FROM a GROUP BY token
+        |ORDER BY n DESC, token LIMIT 200""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+        .select(Text.words(col("text")).as("w"))
+      val uni = docs.select(explode(col("w")).as("token"))
+      val bi = docs.select(explode(
+          when(size(col("w")) < 2, array().cast("array<string>"))
+            .otherwise(expr("transform(sequence(1, size(w) - 1)," +
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")))
+          .as("token"))
+      uni.unionAll(bi).groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token")).limit(200)
+    },
+
     "t04_fingerprint" -> Q(
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -81,4 +81,47 @@ class CurateSpec extends SparkSpec {
     assert(rates.head >= rates.last,
       s"smallest source must keep at a rate >= largest: $rates")
   }
+
+  test("globalShuffle is a balanced strided permutation, bucket-count invariant") {
+    val n = docs.count()
+    val shards = 8
+    val ref = Curate.globalShuffle(docs, "doc_id", shards, prefixChars = 2)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    // every doc exactly once
+    assert(ref.size == n)
+    // (shard, pos) is injective and pos tiles 0..size-1 per shard
+    val byShard = ref.values.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    byShard.foreach { case (s, ps) =>
+      assert(ps == (0L until ps.size.toLong), s"shard $s positions not contiguous")
+    }
+    // strided sharding balances to within one row
+    val sizes = byShard.values.map(_.size).toSeq
+    assert(sizes.max - sizes.min <= 1, s"shard skew: $sizes")
+    // the distributed prefix sum is bucket-count invariant
+    for (chars <- Seq(1, 3)) {
+      val got = Curate.globalShuffle(docs, "doc_id", shards, prefixChars = chars)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+      assert(got == ref, s"prefixChars=$chars diverges")
+    }
+  }
+
+  test("datasetSplit is a stable pure function of the id with ~90/5/5 mass") {
+    val full = Curate.datasetSplit(docs, "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(full.size == docs.count())
+    // subset stability: assigning a filtered corpus never moves a doc
+    val sub = Curate.datasetSplit(docs.filter(col("doc_id") % 3 === 0), "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    sub.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved") }
+    // proportions: binomial(n, p) stays well within 5 sigma at any SF
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    def close(p: Double, want: Double): Boolean =
+      math.abs(p - want) <= 5 * math.sqrt(want * (1 - want) / n)
+    assert(close(frac.getOrElse("train", 0.0), 0.90), s"train ${frac}")
+    assert(close(frac.getOrElse("val", 0.0), 0.05), s"val ${frac}")
+    assert(close(frac.getOrElse("test", 0.0), 0.05), s"test ${frac}")
+  }
 }
