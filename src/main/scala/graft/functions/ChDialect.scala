@@ -687,6 +687,11 @@ object ChDialect {
         case other => throw new IllegalArgumentException(
           s"sequenceCount needs a literal pattern first, got $other")
       } },
+    // ---- statistical-test aggregates (ChStats): the A/B family,
+    // each returning CH's (statistic, p_value) tuple as _1/_2 ----
+    "studentTTest"     -> { es => ChStats.studentTTest(es) },
+    "welchTTest"       -> { es => ChStats.welchTTest(es) },
+    "mannWhitneyUTest" -> { es => ChStats.mannWhitneyUTest(es) },
     "uniqTheta" -> builtin("approx_count_distinct"),
     // weighted exact quantiles: Spark's percentile takes a frequency
     // argument with EXACTLY the repeat-each-x-w-times semantics

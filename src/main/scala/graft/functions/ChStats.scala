@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
+import org.apache.spark.sql.types._
+
+/** ClickHouse's statistical-test aggregates (reference
+  * src/Parsers/ASTFunction.h name registry; public ClickHouse
+  * semantics) — the A/B-testing family: studentTTest / welchTTest /
+  * mannWhitneyUTest(sample_data, sample_index), each returning the CH
+  * tuple shape (statistic, two-sided p-value) as a `_1`/`_2` struct.
+  *
+  * Statistics are EXACT distributed arithmetic:
+  *  - both t-tests are pure compositions of partial-agg sums
+  *    (n/Σv/Σv² per cohort, FILTER-style) — no buffering, map-side
+  *    combining, scale-free;
+  *  - the U test is rank-based, so it folds the group's sorted
+  *    (value, cohort) pairs with average-rank tie handling — per-group
+  *    state is O(sample), the same shape ClickHouse's own
+  *    implementation buffers (a rank test is inherently so).
+  *
+  * p-values use closed-form published approximations (no incomplete
+  * beta in either engine): the t→z transform z = |t|(1-1/(4df)) /
+  * √(1+t²/(2df)) (Johnson & Kotz) followed by the Abramowitz-Stegun
+  * 7.1.26 erfc polynomial; the U test uses the tie-corrected,
+  * continuity-corrected normal approximation. Accuracy ~1e-2 for
+  * df ≥ 5 and better as df grows; the DuckDB oracle spells the SAME
+  * formulas, so the cross-engine compare is exact, and ChDialectSpec
+  * pins the statistics against closed-form hand computations.
+  */
+private[graft] object ChStats {
+  import ChDialect.builtin
+
+  private def d(e: Expression): Expression = Cast(e, DoubleType)
+  private def lit(x: Double): Expression = Literal(x)
+
+  private implicit final class Ops(private val e: Expression) {
+    def +(o: Expression): Expression = Add(e, o)
+    def -(o: Expression): Expression = Subtract(e, o)
+    def *(o: Expression): Expression = Multiply(e, o)
+    def /(o: Expression): Expression = Divide(e, o)
+  }
+
+  private def sqrt(e: Expression) = builtin("sqrt")(Seq(e))
+  private def exp(e: Expression) = builtin("exp")(Seq(e))
+  private def abs(e: Expression) = builtin("abs")(Seq(e))
+
+  private def fresh(n: String): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(Seq(
+      UnresolvedNamedLambdaVariable.freshVarName(n)))
+  private def fld(e: Expression, f: String): Expression =
+    UnresolvedExtractValue(e, Literal(f))
+
+  private def wrapAgg(e: Expression): Expression = e match {
+    case af: aggregate.AggregateFunction => af.toAggregateExpression()
+    case other => other
+  }
+
+  /** Per-cohort partial-agg sums: (n, Σv, Σv²) for cohort `c`. */
+  private def cohortSums(v: Expression, c: Expression)
+      : (Expression, Expression, Expression) = {
+    def sumIf(x: Expression): Expression =
+      wrapAgg(aggregate.Sum(If(c, x, Literal(null, DoubleType))))
+    val n = d(wrapAgg(aggregate.Count(Seq(If(c, Literal(1), Literal(null, IntegerType))))))
+    (n, sumIf(v), sumIf(v * v))
+  }
+
+  /** A&S 7.1.26: erfc(x) for x ≥ 0, |ε| < 1.5e-7. Horner form —
+    * the oracle SQL must spell the identical Horner chain. */
+  private def erfc(x: Expression): Expression = {
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) + u * lit(1.061405429)))))
+    poly * exp(lit(0.0) - x * x)
+  }
+
+  /** Two-sided p from a t statistic and (possibly fractional) df,
+    * via the t→z transform + normal tail. */
+  private def pFromT(t: Expression, df: Expression): Expression = {
+    val z = (abs(t) * (lit(1.0) - lit(1.0) / (lit(4.0) * df))) /
+      sqrt(lit(1.0) + t * t / (lit(2.0) * df))
+    erfc(z / lit(math.sqrt(2.0)))
+  }
+
+  private def tuple2(a: Expression, b: Expression): Expression =
+    CreateNamedStruct(Seq(Literal("_1"), a, Literal("_2"), b))
+
+  /** studentTTest(v, idx): equal-variance two-sample t test; cohorts
+    * are idx = 0 (first sample) vs anything else. */
+  def studentTTest(es: Seq[Expression]): Expression = {
+    val v = d(es(0))
+    val c0 = EqualTo(Cast(es(1), IntegerType), Literal(0))
+    val (n1, s1, q1) = cohortSums(v, c0)
+    val (n2, s2, q2) = cohortSums(v, Not(c0))
+    val df = n1 + n2 - lit(2.0)
+    val ssq = (q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)
+    val sp2 = ssq / df
+    val t = (s1 / n1 - s2 / n2) / sqrt(sp2 * (lit(1.0) / n1 + lit(1.0) / n2))
+    tuple2(t, pFromT(t, df))
+  }
+
+  /** welchTTest(v, idx): unequal-variance t test, Welch–Satterthwaite
+    * df. */
+  def welchTTest(es: Seq[Expression]): Expression = {
+    val v = d(es(0))
+    val c0 = EqualTo(Cast(es(1), IntegerType), Literal(0))
+    val (n1, s1, q1) = cohortSums(v, c0)
+    val (n2, s2, q2) = cohortSums(v, Not(c0))
+    val va1 = (q1 - s1 * s1 / n1) / (n1 - lit(1.0))
+    val va2 = (q2 - s2 * s2 / n2) / (n2 - lit(1.0))
+    val se1 = va1 / n1
+    val se2 = va2 / n2
+    val se = se1 + se2
+    val t = (s1 / n1 - s2 / n2) / sqrt(se)
+    val df = (se * se) /
+      (se1 * se1 / (n1 - lit(1.0)) + se2 * se2 / (n2 - lit(1.0)))
+    tuple2(t, pFromT(t, df))
+  }
+
+  /** mannWhitneyUTest(v, idx): U statistic of the FIRST sample
+    * (idx = 0), average-rank ties, tie-corrected variance, continuity
+    * correction 0.5, two-sided normal p. Rank sums come from ONE fold
+    * over the group's sorted (value, cohort) pairs: runs of equal
+    * values flush as count × average-rank, so ties cost O(1) state.
+    */
+  def mannWhitneyUTest(es: Seq[Expression]): Expression = {
+    val v = d(es(0))
+    val c0 = EqualTo(Cast(es(1), IntegerType), Literal(0))
+    val entry = CreateNamedStruct(Seq(
+      Literal("v"), v,
+      Literal("o"), If(c0, Literal(1L), Literal(0L))))
+    val arr = builtin("sort_array")(
+      Seq(wrapAgg(builtin("collect_list")(Seq(entry)))))
+    def accOf(pos: Expression, run: Expression, ones: Expression,
+        lastV: Expression, r1: Expression, ties: Expression): Expression =
+      CreateNamedStruct(Seq(
+        Literal("pos"), pos, Literal("run"), run, Literal("ones"), ones,
+        Literal("lastV"), lastV, Literal("r1"), r1, Literal("ties"), ties))
+    val init = accOf(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0))
+    val accV = fresh("acc")
+    val eV = fresh("e")
+    // flush of the open run (contributes 0 when run == 0: ones = 0
+    // and ties term run³-run = 0)
+    def flushedR1(a: Expression): Expression =
+      fld(a, "r1") + fld(a, "ones") *
+        (fld(a, "pos") + (fld(a, "run") + lit(1.0)) / lit(2.0))
+    def flushedTies(a: Expression): Expression =
+      fld(a, "ties") +
+        fld(a, "run") * fld(a, "run") * fld(a, "run") - fld(a, "run")
+    val same = And(GreaterThan(fld(accV, "run"), lit(0.0)),
+      EqualTo(fld(eV, "v"), fld(accV, "lastV")))
+    val extended = accOf(fld(accV, "pos"),
+      fld(accV, "run") + lit(1.0),
+      fld(accV, "ones") + d(fld(eV, "o")),
+      fld(accV, "lastV"), fld(accV, "r1"), fld(accV, "ties"))
+    val restarted = accOf(
+      fld(accV, "pos") + fld(accV, "run"),
+      lit(1.0), d(fld(eV, "o")), fld(eV, "v"),
+      flushedR1(accV), flushedTies(accV))
+    val merge = LambdaFunction(If(same, extended, restarted), Seq(accV, eV))
+    val finV = fresh("a")
+    val finish = LambdaFunction(
+      CreateNamedStruct(Seq(
+        Literal("r1"), flushedR1(finV),
+        Literal("ties"), flushedTies(finV))), Seq(finV))
+    val folded = builtin("aggregate")(Seq(arr, init, merge, finish))
+    val (n1e, _, _) = cohortSums(v, c0)
+    val (n2e, _, _) = cohortSums(v, Not(c0))
+    // bind the fold + counts once via a struct so the formula below
+    // stays readable; Catalyst CSEs the repeated subtrees
+    val r1 = fld(folded, "r1")
+    val ties = fld(folded, "ties")
+    val n1 = n1e
+    val n2 = n2e
+    val n = n1 + n2
+    val u1 = r1 - n1 * (n1 + lit(1.0)) / lit(2.0)
+    val mu = n1 * n2 / lit(2.0)
+    val variance = (n1 * n2 / lit(12.0)) *
+      ((n + lit(1.0)) - ties / (n * (n - lit(1.0))))
+    val zNum = abs(u1 - mu) - lit(0.5)
+    val z = If(GreaterThan(zNum, lit(0.0)), zNum, lit(0.0)) / sqrt(variance)
+    val p = If(LessThanOrEqual(variance, lit(0.0)), lit(1.0),
+      erfc(z / lit(math.sqrt(2.0))))
+    tuple2(u1, p)
+  }
+}

@@ -730,6 +730,91 @@ object DialectQueries {
           |              event_type = 'purchase')), ',') AS r
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // The A/B statistical-test aggregates (ChStats): studentTTest /
+    // welchTTest / mannWhitneyUTest per event_type, cohort = parity of
+    // user_id. Statistics are exact distributed arithmetic (rounded 6
+    // to bridge summation order); p-values use the SAME published
+    // closed-form approximations on both engines (t→z transform +
+    // A&S 7.1.26 erfc — see ChStats), so the hash compare is exact.
+    "c30_ch_stats" -> Q {
+      def erfcChain(n: String, t: String, df: String): String =
+        s"""    abs($t) * (1.0 - 1.0/(4.0*$df)) / sqrt(1.0 + $t*$t/(2.0*$df)) AS ${n}_zz,
+          |    ${n}_zz / sqrt(2.0) AS ${n}_x,
+          |    1.0/(1.0 + 0.3275911*${n}_x) AS ${n}_u,
+          |    ${n}_u*(0.254829592 + ${n}_u*(-0.284496736 + ${n}_u*(1.421413741 +
+          |      ${n}_u*(-1.453152027 + ${n}_u*1.061405429)))) * exp(-(${n}_x*${n}_x)) AS ${n}_p""".stripMargin
+      s"""WITH e AS (
+        |  SELECT event_type AS et, value AS v, CAST(user_id % 2 AS INT) AS g
+        |  FROM events),
+        |s AS (
+        |  SELECT et,
+        |    CAST(COUNT(*) FILTER (WHERE g = 0) AS DOUBLE) AS n1,
+        |    CAST(COUNT(*) FILTER (WHERE g <> 0) AS DOUBLE) AS n2,
+        |    SUM(v) FILTER (WHERE g = 0) AS s1,
+        |    SUM(v*v) FILTER (WHERE g = 0) AS q1,
+        |    SUM(v) FILTER (WHERE g <> 0) AS s2,
+        |    SUM(v*v) FILTER (WHERE g <> 0) AS q2
+        |  FROM e GROUP BY et),
+        |tt AS (
+        |  SELECT et, n1, n2,
+        |    n1 + n2 - 2.0 AS st_df,
+        |    (q1 - s1*s1/n1)/(n1 - 1.0) AS va1,
+        |    (q2 - s2*s2/n2)/(n2 - 1.0) AS va2,
+        |    s1/n1 - s2/n2 AS md,
+        |    ((q1 - s1*s1/n1) + (q2 - s2*s2/n2)) / (n1 + n2 - 2.0) AS sp2
+        |  FROM s),
+        |tv AS (
+        |  SELECT et, n1, n2, st_df,
+        |    md / sqrt(sp2 * (1.0/n1 + 1.0/n2)) AS st_t,
+        |    md / sqrt(va1/n1 + va2/n2) AS wt_t,
+        |    (va1/n1 + va2/n2)*(va1/n1 + va2/n2) /
+        |      ((va1/n1)*(va1/n1)/(n1 - 1.0) + (va2/n2)*(va2/n2)/(n2 - 1.0)) AS wt_df
+        |  FROM tt),
+        |rk AS (
+        |  SELECT et, v, g,
+        |    rank() OVER (PARTITION BY et ORDER BY v) AS rmin,
+        |    COUNT(*) OVER (PARTITION BY et, v) AS ceq
+        |  FROM e),
+        |r1 AS (
+        |  SELECT et,
+        |    SUM(CASE WHEN g = 0 THEN rmin + (ceq - 1)/2.0 ELSE 0 END) AS r1
+        |  FROM rk GROUP BY et),
+        |tie AS (
+        |  SELECT et, SUM(CAST(ceq AS DOUBLE)*ceq*ceq - ceq) AS ties
+        |  FROM (SELECT DISTINCT et, v, ceq FROM rk) GROUP BY et),
+        |mw AS (
+        |  SELECT tv.et, st_t, st_df, wt_t, wt_df,
+        |    r1.r1 - n1*(n1 + 1.0)/2.0 AS mw_u,
+        |    n1*n2/2.0 AS mw_mu,
+        |    (n1*n2/12.0) * ((n1 + n2 + 1.0) - tie.ties/((n1 + n2)*(n1 + n2 - 1.0))) AS mw_var
+        |  FROM tv JOIN r1 ON tv.et = r1.et JOIN tie ON tv.et = tie.et),
+        |pz AS (
+        |  SELECT et, st_t, wt_t, mw_u,
+        |${erfcChain("st", "st_t", "st_df")},
+        |${erfcChain("wt", "wt_t", "wt_df")},
+        |    GREATEST(abs(mw_u - mw_mu) - 0.5, 0.0) / sqrt(mw_var) AS mw_z,
+        |    mw_z / sqrt(2.0) AS mw_x,
+        |    1.0/(1.0 + 0.3275911*mw_x) AS mw_uu,
+        |    CASE WHEN mw_var <= 0 THEN 1.0 ELSE
+        |      mw_uu*(0.254829592 + mw_uu*(-0.284496736 + mw_uu*(1.421413741 +
+        |        mw_uu*(-1.453152027 + mw_uu*1.061405429)))) * exp(-(mw_x*mw_x))
+        |    END AS mw_p
+        |  FROM mw)
+        |SELECT et AS event_type,
+        |  round(st_t, 6) AS st_t, round(st_p, 6) AS st_p,
+        |  round(wt_t, 6) AS wt_t, round(wt_p, 6) AS wt_p,
+        |  mw_u, round(mw_p, 6) AS mw_p
+        |FROM pz ORDER BY event_type""".stripMargin } (
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  round(tupleElement(studentTTest(value, modulo(user_id, 2)), 1), 6) AS st_t,
+          |  round(tupleElement(studentTTest(value, modulo(user_id, 2)), 2), 6) AS st_p,
+          |  round(tupleElement(welchTTest(value, modulo(user_id, 2)), 1), 6) AS wt_t,
+          |  round(tupleElement(welchTTest(value, modulo(user_id, 2)), 2), 6) AS wt_p,
+          |  tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 1) AS mw_u,
+          |  round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,

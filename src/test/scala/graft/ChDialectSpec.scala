@@ -436,6 +436,67 @@ class ChDialectSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("literal pattern")), e.toString)
   }
 
+  test("stats tests: t statistics and U match closed-form hand computation") {
+    GraftFunctions.ensureRegistered(spark)
+    // A = {1..5} (idx 0), B = {2,4,6,8,10} (idx 1):
+    //   pooled/welch t = -3/√2.5; U1 = #(a>b) + ½#(a=b) = 5.0
+    val r = sql1(
+      """SELECT studentTTest(v, g) AS st, welchTTest(v, g) AS wt,
+        |  mannWhitneyUTest(v, g) AS mw
+        |FROM VALUES (1.0, 0), (2.0, 0), (3.0, 0), (4.0, 0), (5.0, 0),
+        |  (2.0, 1), (4.0, 1), (6.0, 1), (8.0, 1), (10.0, 1) AS t(v, g)
+        |""".stripMargin)
+    val tExp = -3.0 / math.sqrt(2.5)
+    val st = r.getAs[org.apache.spark.sql.Row]("st")
+    val wt = r.getAs[org.apache.spark.sql.Row]("wt")
+    val mw = r.getAs[org.apache.spark.sql.Row]("mw")
+    assert(math.abs(st.getAs[Double]("_1") - tExp) < 1e-12)
+    assert(math.abs(wt.getAs[Double]("_1") - tExp) < 1e-12)
+    // approx p vs exact references (scipy): student 0.0943, mann 0.146
+    assert(math.abs(st.getAs[Double]("_2") - 0.0943) < 0.01,
+      s"student p ${st.getAs[Double]("_2")}")
+    assert(mw.getAs[Double]("_1") == 5.0)
+    assert(math.abs(mw.getAs[Double]("_2") - 0.146) < 0.02,
+      s"mann p ${mw.getAs[Double]("_2")}")
+    // welch p between student's (same t, fewer df → larger p)
+    assert(wt.getAs[Double]("_2") > st.getAs[Double]("_2"))
+  }
+
+  test("stats tests: cohort swap symmetry, U1+U2 = n1·n2, degenerate p = 1") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT mannWhitneyUTest(v, g) AS a, mannWhitneyUTest(v, 1 - g) AS b,
+        |  mannWhitneyUTest(c, g) AS flat
+        |FROM VALUES (1.0, 0, 7.0), (2.0, 0, 7.0), (3.0, 0, 7.0),
+        |  (2.0, 1, 7.0), (4.0, 1, 7.0), (6.0, 1, 7.0) AS t(v, g, c)
+        |""".stripMargin)
+    val a = r.getAs[org.apache.spark.sql.Row]("a")
+    val b = r.getAs[org.apache.spark.sql.Row]("b")
+    assert(a.getAs[Double]("_1") + b.getAs[Double]("_1") == 9.0,
+      s"U1 + U2 must be n1*n2: $a $b")
+    assert(math.abs(a.getAs[Double]("_2") - b.getAs[Double]("_2")) < 1e-12)
+    // all values identical → zero variance → p = 1 by convention
+    assert(r.getAs[org.apache.spark.sql.Row]("flat").getAs[Double]("_2") == 1.0)
+  }
+
+  test("stats tests work per-group in GROUP BY") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      """SELECT k, studentTTest(v, g) AS st
+        |FROM VALUES ('x', 1.0, 0), ('x', 2.0, 0), ('x', 5.0, 1), ('x', 6.0, 1),
+        |  ('y', 10.0, 0), ('y', 20.0, 0), ('y', 10.0, 1), ('y', 20.0, 1)
+        |  AS t(k, v, g)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(rows.length == 2)
+    // group y: identical cohorts → t = 0, p ≈ 1
+    val y = rows(1).getAs[org.apache.spark.sql.Row]("st")
+    assert(math.abs(y.getAs[Double]("_1")) < 1e-12)
+    assert(y.getAs[Double]("_2") > 0.99)
+    // group x: clearly separated → |t| large, p small
+    val x = rows(0).getAs[org.apache.spark.sql.Row]("st")
+    assert(math.abs(x.getAs[Double]("_1")) > 3)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
