@@ -692,6 +692,12 @@ object ChDialect {
     "studentTTest"     -> { es => ChStats.studentTTest(es) },
     "welchTTest"       -> { es => ChStats.welchTTest(es) },
     "mannWhitneyUTest" -> { es => ChStats.mannWhitneyUTest(es) },
+    "boundingRatio"    -> { es => ChStats.boundingRatio(es) },
+    "maxIntersections" -> { es => ChStats.maxIntersections(es) },
+    "maxIntersectionsPosition" -> { es => ChStats.maxIntersectionsPosition(es) },
+    // compensated float summation is an engine detail here — Spark's
+    // partial-agg double sum carries the same "a float sum" contract
+    "sumKahan" -> builtin("sum"),
     "uniqTheta" -> builtin("approx_count_distinct"),
     // weighted exact quantiles: Spark's percentile takes a frequency
     // argument with EXACTLY the repeat-each-x-w-times semantics

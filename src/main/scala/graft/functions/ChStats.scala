@@ -184,4 +184,51 @@ private[graft] object ChStats {
       erfc(z / lit(math.sqrt(2.0))))
     tuple2(u1, p)
   }
+
+  /** boundingRatio(x, y): slope of the segment between the group's
+    * (min x, its y) and (max x, its y) points — pure partial-agg
+    * composition (max_by/min_by/max/min), no buffering. Deterministic
+    * when x is unique per group (ties on the extreme x pick an
+    * arbitrary y in CH too). */
+  def boundingRatio(es: Seq[Expression]): Expression = {
+    val x = d(es(0)); val y = d(es(1))
+    def agg(f: aggregate.AggregateFunction) = wrapAgg(f)
+    (agg(aggregate.MaxBy(y, x)) - agg(aggregate.MinBy(y, x))) /
+      (agg(aggregate.Max(x)) - agg(aggregate.Min(x)))
+  }
+
+  /** Shared sweep fold for maxIntersections[Position](start, end):
+    * each interval contributes (+1 at start, -1 at end), the sorted
+    * boundary array is swept once, tracking the running count, its
+    * max, and the point where the max was FIRST reached. Half-open
+    * [s, e): at equal points the -1 sorts before the +1, so touching
+    * intervals don't intersect. Per-group state is the group's
+    * boundary points — the shape ClickHouse's own array-state
+    * implementation of this aggregate buffers. */
+  private def sweep(es: Seq[Expression]): Expression = {
+    val entries = CreateArray(Seq(
+      CreateNamedStruct(Seq(Literal("p"), d(es(0)), Literal("d"), Literal(1L))),
+      CreateNamedStruct(Seq(Literal("p"), d(es(1)), Literal("d"), Literal(-1L)))))
+    val arr = builtin("sort_array")(Seq(
+      builtin("flatten")(Seq(wrapAgg(builtin("collect_list")(Seq(entries)))))))
+    def accOf(cur: Expression, best: Expression, at: Expression): Expression =
+      CreateNamedStruct(Seq(
+        Literal("cur"), cur, Literal("best"), best, Literal("at"), at))
+    val init = accOf(Literal(0L), Literal(0L), Literal(null, DoubleType))
+    val accV = fresh("acc")
+    val eV = fresh("e")
+    val cur2 = fld(accV, "cur") + fld(eV, "d")
+    val merge = LambdaFunction(
+      If(GreaterThan(cur2, fld(accV, "best")),
+        accOf(cur2, cur2, fld(eV, "p")),
+        accOf(cur2, fld(accV, "best"), fld(accV, "at"))),
+      Seq(accV, eV))
+    builtin("aggregate")(Seq(arr, init, merge))
+  }
+
+  def maxIntersections(es: Seq[Expression]): Expression =
+    fld(sweep(es), "best")
+
+  def maxIntersectionsPosition(es: Seq[Expression]): Expression =
+    fld(sweep(es), "at")
 }

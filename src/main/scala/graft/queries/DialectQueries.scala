@@ -815,6 +815,42 @@ object DialectQueries {
           |  round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // boundingRatio + the interval-sweep aggregates per event_type.
+    // Intervals are [value, value + 10): the oracle's +1/-1 running
+    // sum over sorted boundaries is the same sweep ChStats folds;
+    // "first point reaching the max" = min p with cur = max because p
+    // is nondecreasing in sweep order.
+    "c31_ch_agg_extras" -> Q(
+      """WITH e AS (
+        |  SELECT event_type AS et, CAST(event_id AS DOUBLE) AS x, value AS v
+        |  FROM events),
+        |br AS (
+        |  SELECT et,
+        |    round((arg_max(v, x) - arg_min(v, x)) / (max(x) - min(x)), 6) AS br
+        |  FROM e GROUP BY et),
+        |b AS (
+        |  SELECT et, v AS p, 1 AS d FROM e
+        |  UNION ALL SELECT et, v + 10 AS p, -1 AS d FROM e),
+        |w AS (
+        |  SELECT et, p,
+        |    SUM(d) OVER (PARTITION BY et ORDER BY p, d
+        |                 ROWS UNBOUNDED PRECEDING) AS cur
+        |  FROM b),
+        |m AS (SELECT et, MAX(cur) AS mx FROM w GROUP BY et),
+        |pos AS (
+        |  SELECT w.et, MIN(w.p) AS mip
+        |  FROM w JOIN m ON w.et = m.et AND w.cur = m.mx GROUP BY w.et)
+        |SELECT br.et AS event_type, br.br,
+        |  CAST(m.mx AS BIGINT) AS mi, pos.mip
+        |FROM br JOIN m ON br.et = m.et JOIN pos ON br.et = pos.et
+        |ORDER BY event_type""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  round(boundingRatio(event_id, value), 6) AS br,
+          |  maxIntersections(value, value + 10) AS mi,
+          |  maxIntersectionsPosition(value, value + 10) AS mip
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,

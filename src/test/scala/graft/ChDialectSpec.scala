@@ -497,6 +497,29 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(x.getAs[Double]("_1")) > 3)
   }
 
+  test("boundingRatio and maxIntersections match hand-computed sweeps") {
+    GraftFunctions.ensureRegistered(spark)
+    // points (x=0,y=10) … (x=4,y=2): slope (2-10)/(4-0) = -2
+    // intervals [0,2) [1,4) [3,5) [2,3): overlap peaks at 2 —
+    //   first reached at point 1 ([0,2) and [1,4)); [2,3)+[1,4)
+    //   re-reach 2 at 2 but never exceed
+    val r = sql1(
+      """SELECT boundingRatio(x, y) AS br,
+        |  maxIntersections(s, e) AS mi,
+        |  maxIntersectionsPosition(s, e) AS mip
+        |FROM VALUES (0.0, 10.0, 0.0, 2.0), (1.0, 8.0, 1.0, 4.0),
+        |  (3.0, 4.0, 3.0, 5.0), (4.0, 2.0, 2.0, 3.0) AS t(x, y, s, e)
+        |""".stripMargin)
+    assert(r.getAs[Double]("br") == -2.0)
+    assert(r.getAs[Long]("mi") == 2L)
+    assert(r.getAs[Double]("mip") == 1.0)
+    // touching intervals are half-open: [0,1) and [1,2) don't intersect
+    val t = sql1(
+      """SELECT maxIntersections(s, e) AS mi
+        |FROM VALUES (0.0, 1.0), (1.0, 2.0) AS t(s, e)""".stripMargin)
+    assert(t.getAs[Long]("mi") == 1L)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
