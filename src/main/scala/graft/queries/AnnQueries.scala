@@ -90,6 +90,21 @@ object AnnQueries {
         .orderBy("vec_id")
     },
 
+    // Product quantization (d18): M=4 subspaces × K=16 codes over the
+    // embedding corpus — deterministic per-subspace k-means fit (Ivf
+    // discipline), scan-speed code assignment, reconstruction MSE.
+    // Rows-only by design (iterative k-means centroids have no
+    // portable ANSI spelling); AnnSpec pins shape, determinism, MSE
+    // consistency and the beats-mean-quantizer property.
+    "d18_pq_quantize" -> Q.rowsOnly { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val model = graft.operators.Pq.fit(e, "vec_id", "embedding")
+      graft.operators.Pq.quantize(e, "vec_id", "embedding", model)
+        .select(col("vec_id"),
+          concat_ws(",", col("codes")).as("codes"), col("mse"))
+        .orderBy("vec_id")
+    },
+
     // Nearest-class-centroid assignment (d17): fit = per-(label, pos)
     // rounded mean (the one cross-row double agg — round-6 bridges
     // engine sum order, the a06 discipline); everything downstream is

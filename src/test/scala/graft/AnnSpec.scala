@@ -134,6 +134,51 @@ class AnnSpec extends SparkSpec {
     assert(zr._2 == 1.0 && zr._3 == "0,0,0,0" && zr._4 == 0.0)
   }
 
+  test("PQ quantize: shape, determinism, MSE consistency, beats mean quantizer") {
+    import graft.operators.Pq
+    val e = Tables(spark, sfDir).embeddings
+    val model = Pq.fit(e, "vec_id", "embedding")
+    assert(model.sub.size == 4 && model.subDim == 16)
+    val out = Pq.quantize(e, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length == e.count())
+    out.foreach { case (_, codes, mse) =>
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 16))
+      assert(mse >= 0.0)
+    }
+    // determinism: a second fit+quantize is identical
+    val again = Pq.quantize(e, "vec_id", "embedding",
+        Pq.fit(e, "vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+    // MSE consistency: recompute reconstruction error from the model
+    // for a handful of rows
+    val vecs = e.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    out.filter(_._1 < 5).foreach { case (id, codes, mse) =>
+      val v = vecs(id)
+      val sse = (0 until 4).map { m =>
+        val cent = model.sub(m).centroids(codes(m))
+        (0 until 16).map { d =>
+          val x = v(m * 16 + d).toDouble - cent(d)
+          x * x
+        }.sum
+      }.map(s => math.round(s * 1e9) / 1e9).sum // cell_distances rounding
+      assert(math.abs(sse / 64.0 - mse) < 1e-5, s"vec $id: $mse vs ${sse / 64.0}")
+    }
+    // K=16 codebooks must reconstruct better than the K=1 (per-subspace
+    // mean) quantizer
+    val meanModel = Pq.fit(e, "vec_id", "embedding", k = 1)
+    val mseK16 = out.map(_._3).sum / out.length
+    val mseK1 = Pq.quantize(e, "vec_id", "embedding", meanModel)
+      .agg(avg("mse")).head().getDouble(0)
+    info(f"avg MSE: K=16 $mseK16%.5f vs K=1 $mseK1%.5f")
+    assert(mseK16 < mseK1, "PQ must beat the mean quantizer")
+  }
+
   test("embedNearDupPairs leaves nothing persisted") {
     spark.catalog.clearCache()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
