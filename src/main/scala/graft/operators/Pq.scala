@@ -57,4 +57,35 @@ object Pq {
     base.select(col(idCol), codes.as("codes"),
       round(sse / lit(model.subDim.toDouble * model.sub.size), 6).as("mse"))
   }
+
+  /** Asymmetric-distance (ADC) top-k search — the PQ query path: the
+    * query stays full precision, the CORPUS is scanned as codes only
+    * (M small ints instead of dim floats — at 100 TB that is the
+    * whole point: the search scan reads ~16× fewer bytes and the
+    * distance estimate is M lookup-adds per candidate, no float
+    * vector math). Per query, one cell_distances call per subspace
+    * builds the K-entry lookup table; tables broadcast with the query
+    * set; estimated distance = Σ_m lut_m[code_m]. Same two-phase
+    * top-k as d05 — never a global sort. Ties → lowest neighbor id.
+    */
+  def searchAdc(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val codes = quantize(corpus, idCol, vecCol, model)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val luts = model.sub.zipWithIndex.map { case (sm, i) =>
+      call_function("cell_distances",
+        slice(col(vecCol), i * model.subDim + 1, model.subDim),
+        typedLit(sm.centroids.map(_.toSeq).toSeq)).as(s"__l$i")
+    }
+    val q = broadcast(queries.select(col(idCol).as("query_id") +: luts: _*))
+    val est = model.sub.indices.map(i =>
+        element_at(col(s"__l$i"), element_at(col("codes"), i + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("est_dist", round(est, 6))
+      .withColumn("sim", -col("est_dist"))
+      .select("query_id", "neighbor_id", "sim", "est_dist")
+    Ann.topKPerQuery(scored, k).drop("sim")
+  }
 }

@@ -105,6 +105,18 @@ object AnnQueries {
         .orderBy("vec_id")
     },
 
+    // ADC search over PQ codes (d19): the corpus side of the join
+    // carries codes only (no float vectors); per-query K-entry lookup
+    // tables broadcast; est distance = M lookup-adds. Rows-only;
+    // AnnSpec pins determinism + recall vs the exact baseline.
+    "d19_pq_search" -> Q.rowsOnly { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val model = graft.operators.Pq.fit(e, "vec_id", "embedding")
+      graft.operators.Pq.searchAdc(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", model, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Nearest-class-centroid assignment (d17): fit = per-(label, pos)
     // rounded mean (the one cross-row double agg — round-6 bridges
     // engine sum order, the a06 discipline); everything downstream is

@@ -179,6 +179,25 @@ class AnnSpec extends SparkSpec {
     assert(mseK16 < mseK1, "PQ must beat the mean quantizer")
   }
 
+  test("PQ ADC search: deterministic, recall above the coarse-code floor") {
+    import graft.operators.Pq
+    val e = Tables(spark, sfDir).embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val model = Pq.fit(e, "vec_id", "embedding")
+    val adc1 = topPairs(Pq.searchAdc(e, q, "vec_id", "embedding", model, k = 5))
+    val adc2 = topPairs(Pq.searchAdc(e, q, "vec_id", "embedding", model, k = 5))
+    assert(adc1 == adc2, "ADC search must be run-to-run deterministic")
+    assert(adc1.size == 20 * 5)
+    // 4×16 PQ on isotropic 64-dim synthetic vectors is the coarsest
+    // setting on the hardest data — measure, then floor with margin:
+    // the estimate must beat random ranking (recall@5 of random ≈
+    // 5/500 = 0.01) by an order of magnitude
+    val exact = topPairs(Ann.bruteTopK(e, q, "vec_id", "embedding", k = 5))
+    val recall = exact.intersect(adc1).size.toDouble / exact.size
+    info(f"ADC recall@5 = $recall%.3f")
+    assert(recall >= 0.1, f"ADC recall@5 $recall%.3f not above the random floor")
+  }
+
   test("embedNearDupPairs leaves nothing persisted") {
     spark.catalog.clearCache()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)

@@ -110,6 +110,7 @@ class PlanAuditSpec extends SparkSpec {
       "c17_ch_fill_multi",  // per-key fill spines cross join (12×7 grid)
       "j05_cross",          // the intentional CROSS JOIN
       "d05_knn_brute",      // brute force IS broadcast-queries × corpus
+      "d19_pq_search",      // ADC IS broadcast-query-LUTs × corpus codes
       "t09_temperature_mix")// broadcast 1-row weight total
     withoutAqe {
       val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
