@@ -26,13 +26,13 @@ object Ivf {
   /** All centroid distances in one native-expression pass (the
     * composed k×dim-literal form re-codegens megabytes per k-means
     * iteration); centroids travel as a single literal. */
-  private def distances(df: DataFrame, vec: Column, m: Model): Column = {
+  private[operators] def distances(df: DataFrame, vec: Column, m: Model): Column = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     call_function("cell_distances", vec, typedLit(m.centroids.map(_.toSeq).toSeq))
   }
 
   /** Index of the nearest centroid (ties → lowest index). */
-  private def nearestCell(df: DataFrame, vec: Column, m: Model): Column = {
+  private[operators] def nearestCell(df: DataFrame, vec: Column, m: Model): Column = {
     val d = distances(df, vec, m)
     (array_position(d, array_min(d)) - 1).cast("int")
   }

@@ -38,23 +38,33 @@ object Pq {
     }, subDim)
   }
 
+  /** Per-subspace squared-L2 distance arrays to all K centroids
+    * (native cell_distances against broadcast literals), aliased
+    * `<prefix>0..<prefix>M-1`. On the corpus side these pick the
+    * codes; on the ADC query side the SAME arrays ARE the lookup
+    * tables. */
+  private def distCols(vecCol: String, model: Model,
+      prefix: String): Seq[org.apache.spark.sql.Column] =
+    model.sub.zipWithIndex.map { case (sm, i) =>
+      call_function("cell_distances",
+        slice(col(vecCol), i * model.subDim + 1, model.subDim),
+        typedLit(sm.centroids.map(_.toSeq).toSeq)).as(s"$prefix$i")
+    }
+
+  private def codesFrom(model: Model, prefix: String): org.apache.spark.sql.Column =
+    array(model.sub.indices.map(i =>
+      (array_position(col(s"$prefix$i"), array_min(col(s"$prefix$i"))) - 1)
+        .cast("int")): _*)
+
   /** Per-vector codes (one per subspace, ties → lowest index) and
     * reconstruction MSE (mean over all dim components, rounded 6). */
   def quantize(df: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val dists = model.sub.zipWithIndex.map { case (sm, i) =>
-      call_function("cell_distances",
-        slice(col(vecCol), i * model.subDim + 1, model.subDim),
-        typedLit(sm.centroids.map(_.toSeq).toSeq)).as(s"__d$i")
-    }
-    val base = df.select(col(idCol) +: dists: _*)
-    val codes = array(model.sub.indices.map(i =>
-      (array_position(col(s"__d$i"), array_min(col(s"__d$i"))) - 1)
-        .cast("int")): _*)
+    val base = df.select(col(idCol) +: distCols(vecCol, model, "__d"): _*)
     val sse = model.sub.indices.map(i => array_min(col(s"__d$i")))
       .reduce(_ + _)
-    base.select(col(idCol), codes.as("codes"),
+    base.select(col(idCol), codesFrom(model, "__d").as("codes"),
       round(sse / lit(model.subDim.toDouble * model.sub.size), 6).as("mse"))
   }
 
@@ -73,12 +83,8 @@ object Pq {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val codes = quantize(corpus, idCol, vecCol, model)
       .select(col(idCol).as("neighbor_id"), col("codes"))
-    val luts = model.sub.zipWithIndex.map { case (sm, i) =>
-      call_function("cell_distances",
-        slice(col(vecCol), i * model.subDim + 1, model.subDim),
-        typedLit(sm.centroids.map(_.toSeq).toSeq)).as(s"__l$i")
-    }
-    val q = broadcast(queries.select(col(idCol).as("query_id") +: luts: _*))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id") +: distCols(vecCol, model, "__l"): _*))
     val est = model.sub.indices.map(i =>
         element_at(col(s"__l$i"), element_at(col("codes"), i + 1) + 1))
       .reduce(_ + _)
@@ -87,5 +93,44 @@ object Pq {
       .withColumn("sim", -col("est_dist"))
       .select("query_id", "neighbor_id", "sim", "est_dist")
     Ann.topKPerQuery(scored, k).drop("sim")
+  }
+
+  /** d20: IVF-PQ search — THE canonical 100 TB ANN layout (Jégou et
+    * al. 2011): the coarse IVF quantizer bounds the candidate set to
+    * the query's `nprobe` nearest cells, and ADC scores those
+    * candidates from PQ codes alone. The corpus projection carries
+    * (cell, codes) — small ints, no float vectors; the probed-cell ⋈
+    * corpus join is an EQUI join on the cell id with the query side
+    * broadcast, so the scan streams corpus-linear with candidate work
+    * ≈ nprobe/k of the corpus and M lookup-adds per candidate. */
+  def searchIvfAdc(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, ivfModel: Ivf.Model, model: Model, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val corpusSide = corpus
+      .select(col(idCol).as("neighbor_id") +:
+        Ivf.nearestCell(corpus, col(vecCol), ivfModel).as("__cell") +:
+        distCols(vecCol, model, "__d"): _*)
+      .select(col("neighbor_id"), col("__cell"),
+        codesFrom(model, "__d").as("__codes"))
+    val probedQ = queries
+      .select(col(idCol).as("query_id") +:
+        Ivf.distances(queries, col(vecCol), ivfModel).as("__cd") +:
+        distCols(vecCol, model, "__l"): _*)
+      .withColumn("__cell", explode(transform(
+        slice(array_sort(zip_with(col("__cd"),
+          sequence(lit(0), lit(ivfModel.k - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, nprobe),
+        s => s.getField("i").cast("int"))))
+      .drop("__cd")
+    val est = model.sub.indices.map(i =>
+        element_at(col(s"__l$i"), element_at(col("__codes"), i + 1) + 1))
+      .reduce(_ + _)
+    val cand = corpusSide.join(broadcast(probedQ), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("est_dist", round(est, 6))
+      .withColumn("sim", -col("est_dist"))
+      .select("query_id", "neighbor_id", "sim", "est_dist")
+    Ann.topKPerQuery(cand, k).drop("sim")
   }
 }

@@ -117,6 +117,19 @@ object AnnQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF-PQ search (d20): coarse cells bound the candidate set,
+    // ADC scores from codes — equi join on cell id, query side
+    // broadcast. Rows-only; AnnSpec pins determinism, the
+    // candidates-are-a-subset relation vs plain ADC, and recall.
+    "d20_ivfpq_search" -> Q.rowsOnly { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val ivf = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 16)
+      val pq = graft.operators.Pq.fit(e, "vec_id", "embedding")
+      graft.operators.Pq.searchIvfAdc(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", ivf, pq, k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // Nearest-class-centroid assignment (d17): fit = per-(label, pos)
     // rounded mean (the one cross-row double agg — round-6 bridges
     // engine sum order, the a06 discipline); everything downstream is

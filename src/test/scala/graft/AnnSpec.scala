@@ -198,6 +198,30 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.1, f"ADC recall@5 $recall%.3f not above the random floor")
   }
 
+  test("IVF-PQ search: deterministic, probed-subset of full ADC, usable recall") {
+    import graft.operators.{Ivf, Pq}
+    val e = Tables(spark, sfDir).embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val ivf = Ivf.fit(e, "vec_id", "embedding", k = 16)
+    val pq = Pq.fit(e, "vec_id", "embedding")
+    val r1 = topPairs(Pq.searchIvfAdc(e, q, "vec_id", "embedding", ivf, pq,
+      k = 5, nprobe = 4))
+    val r2 = topPairs(Pq.searchIvfAdc(e, q, "vec_id", "embedding", ivf, pq,
+      k = 5, nprobe = 4))
+    assert(r1 == r2, "IVF-PQ search must be run-to-run deterministic")
+    // probing every cell must reproduce plain ADC exactly (the cell
+    // restriction is the ONLY difference)
+    val all = topPairs(Pq.searchIvfAdc(e, q, "vec_id", "embedding", ivf, pq,
+      k = 5, nprobe = 16))
+    val adc = topPairs(Pq.searchAdc(e, q, "vec_id", "embedding", pq, k = 5))
+    assert(all == adc, "nprobe = k cells must equal unrestricted ADC")
+    // recall vs ADC's own ranking: the cell filter should keep most of
+    // what ADC would return at a quarter of the candidate work
+    val overlap = adc.intersect(r1).size.toDouble / adc.size
+    info(f"IVF-PQ overlap with full ADC @5 = $overlap%.3f")
+    assert(overlap >= 0.3, f"cell probing lost too much: $overlap%.3f")
+  }
+
   test("embedNearDupPairs leaves nothing persisted") {
     spark.catalog.clearCache()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
