@@ -338,6 +338,41 @@ object TextQueries {
         .orderBy(desc("n"), col("token")).limit(200)
     },
 
+    // Unigram-LM perplexity scoring (t14) — the CCNet-style quality
+    // signal: train a unigram LM on the corpus itself (token counts /
+    // total), score each doc by its mean negative log-likelihood.
+    // Scale shape: the vocab is one partial-agg scan and is
+    // VOCABULARY-sized, so it broadcast-joins into the scoring pass
+    // (map-side — the hot-token skew a shuffled token join would
+    // have) and the per-doc mean is a partial avg. -ln sums bridge
+    // engines at round 6 (term-order error ~1e-13).
+    "t14_unigram_logppl" -> Q(
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS t
+        |  FROM documents),
+        |v AS (SELECT t, COUNT(*) AS c FROM w GROUP BY t),
+        |n AS (SELECT SUM(c) AS n FROM v),
+        |s AS (
+        |  SELECT w.doc_id, -ln(CAST(v.c AS DOUBLE) / n.n) AS lp
+        |  FROM w JOIN v USING (t) CROSS JOIN n)
+        |SELECT doc_id, ROUND(AVG(lp), 6) AS logppl,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum("c").as("n"))
+      toks.join(broadcast(vocab), Seq("t"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          (-log(col("c").cast("double") / col("n"))).as("lp"))
+        .groupBy("doc_id")
+        .agg(round(avg("lp"), 6).as("logppl"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     "t04_fingerprint" -> Q(
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
