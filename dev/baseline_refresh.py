@@ -17,7 +17,8 @@ REPO = Path(__file__).resolve().parent.parent
 def main():
     raw = open(sys.argv[1]).read().strip()
     note = sys.argv[2] if len(sys.argv) > 2 else ""
-    d = json.loads(raw.splitlines()[-1])
+    line = raw.splitlines()[-1]
+    d = json.loads(line[line.index("{"):])  # tolerate sbt's [info] prefix
     qs = d["queries"]
     canary = d.get("canary_s")
     spread = d.get("median_rel_spread")

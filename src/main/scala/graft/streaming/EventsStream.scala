@@ -215,4 +215,72 @@ object EventsStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class FunnelState(ts: List[Long], masks: List[Int])
+  final case class FunnelOut(user_id: Long, level: Int)
+
+  /** Streaming windowFunnel — the streaming twin of
+    * Behavior.windowFunnel's no-mode DP: per-user CONDITION events
+    * buffer under the watermark (the c27 pre-filter discipline —
+    * events hitting no condition never enter state), and when the
+    * user goes quiet for `quietSec` of event time the buffered events
+    * replay through the SAME latest-start fold and the final level
+    * emits. Buffer-then-fold (not incremental fold) because the DP is
+    * order-sensitive and events may arrive out of order within the
+    * watermark; per-user state is O(condition events), identical to
+    * the batch aggregate's collect state. */
+  def funnelStream(events: Dataset[Event], condTypes: Seq[String],
+      windowSec: Long, quietSec: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val n = condTypes.size
+    val wUs = windowSec * 1000000L
+
+    def levelOf(evs: Seq[(Long, Int)]): Int = {
+      // sort = packedAgg's (t, ord) order: ord is the inverted-flag
+      // array compared lexicographically, i.e. bit 0 most significant,
+      // hits-first — descending on the bit-reversed mask
+      val sorted = evs.sortBy { case (t, m) =>
+        (t, -(Integer.reverse(m) >>> (32 - n))) }
+      val acc = Array.fill[Option[Long]](n)(None)
+      sorted.foreach { case (t, m) =>
+        val old = acc.clone()
+        for (k <- 0 until n) {
+          val hit = (m & (1 << k)) != 0
+          if (k == 0) {
+            if (hit) acc(0) = Some(math.max(old(0).getOrElse(Long.MinValue), t))
+          } else if (hit && old(k - 1).isDefined && t <= old(k - 1).get + wUs) {
+            acc(k) = Some(math.max(old(k).getOrElse(Long.MinValue), old(k - 1).get))
+          }
+        }
+      }
+      acc.count(_.isDefined)
+    }
+
+    def update(user: Long, evs: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(s =>
+          FunnelOut(user, levelOf(s.ts.zip(s.masks)))).iterator
+        state.remove()
+        out
+      } else {
+        val fresh = evs.flatMap { e =>
+          val m = condTypes.zipWithIndex
+            .collect { case (c, i) if e.event_type == c => 1 << i }.sum
+          if (m == 0) None else Some((micros(e.ts), m))
+        }.toList
+        if (fresh.nonEmpty || state.exists) {
+          val s0 = state.getOption.getOrElse(FunnelState(Nil, Nil))
+          val s = FunnelState(s0.ts ++ fresh.map(_._1), s0.masks ++ fresh.map(_._2))
+          state.update(s)
+          state.setTimeoutTimestamp(s.ts.max / 1000L + quietSec * 1000L)
+        }
+        Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", s"$quietSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

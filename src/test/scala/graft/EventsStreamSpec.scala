@@ -75,6 +75,47 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowFunnel matches the batch DP after the quiet timeout") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val condTypes = Seq("signup", "click", "purchase")
+    val q = EventsStream.funnelStream(input.toDS(), condTypes,
+        windowSec = 3600, quietSec = 600)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "click", 0.0), // out of order within the watermark
+        Event(2, ts(0), 1, "signup", 0.0),
+        Event(3, ts(5), 2, "signup", 0.0),
+        Event(4, ts(6), 2, "click", 0.0),
+        Event(5, ts(7), 3, "view", 0.0))   // no condition: never enters state
+      q.processAllAvailable()
+      input.addData(Event(6, ts(20), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      // push the watermark far past every quiet horizon, then one more
+      // tick so the event-time timeouts fire
+      input.addData(Event(7, ts(600), 99, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(8, ts(700), 99, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel").as[EventsStream.FunnelOut].collect()
+        .map(f => f.user_id -> f.level).toMap
+      val rows = Seq(
+        (1L, ts(10), 1L, "click", 0.0), (2L, ts(0), 1L, "signup", 0.0),
+        (3L, ts(5), 2L, "signup", 0.0), (4L, ts(6), 2L, "click", 0.0),
+        (5L, ts(7), 3L, "view", 0.0), (6L, ts(20), 1L, "purchase", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.operators.Behavior.windowFunnel(rows, "user_id",
+          col("ts"), 3600L * 1000000L,
+          condTypes.map(c => col("event_type") === c))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          r.getAs[Number]("level").intValue()).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Map(1L -> 3, 2L -> 2))
+    } finally q.stop()
+  }
+
   test("batch sessionizer agrees with a hand-computed session split") {
     val events = Seq(
       (1L, ts(0), 7L, "click", 1.0), (2L, ts(5), 7L, "click", 2.0),
