@@ -693,6 +693,8 @@ object ChDialect {
     "welchTTest"       -> { es => ChStats.welchTTest(es) },
     "mannWhitneyUTest" -> { es => ChStats.mannWhitneyUTest(es) },
     "boundingRatio"    -> { es => ChStats.boundingRatio(es) },
+    "largestTriangleThreeBuckets" -> { es => ChStats.lttb(es) },
+    "lttb"             -> { es => ChStats.lttb(es) },
     "maxIntersections" -> { es => ChStats.maxIntersections(es) },
     "maxIntersectionsPosition" -> { es => ChStats.maxIntersectionsPosition(es) },
     // compensated float summation is an engine detail here — Spark's

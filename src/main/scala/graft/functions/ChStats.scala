@@ -231,4 +231,115 @@ private[graft] object ChStats {
 
   def maxIntersectionsPosition(es: Seq[Expression]): Expression =
     fld(sweep(es), "at")
+
+  /** Bind a subexpression once as a lambda variable (the collected
+    * array below feeds every stage of the fold — without binding, the
+    * aggregate subtree would repeat throughout the expression). */
+  private def bind(e: Expression)(body: Expression => Expression): Expression = {
+    val v = fresh("bound")
+    elemAt(ChDialect.builtin("transform")(
+      Seq(CreateArray(Seq(e)), LambdaFunction(body(v), Seq(v)))), Literal(1))
+  }
+
+  private def elemAt(a: Expression, i: Expression): Expression =
+    ChDialect.builtin("element_at")(Seq(a, i))
+
+  /** largestTriangleThreeBuckets(n)(x, y) — LTTB downsampling
+    * (Steinarsson 2013; ClickHouse ≥ 23.10 registry name, alias
+    * `lttb`): keep first and last points, split the middle into n-2
+    * even buckets, and from each bucket keep the point forming the
+    * largest triangle with the PREVIOUSLY kept point and the next
+    * bucket's average — the standard "what a human would see on the
+    * chart" time-series reduction. One fold over the group's sorted
+    * (x, y) pairs (per-group state O(sample) — a shape-preserving
+    * downsample is inherently so, as is CH's own array-state
+    * implementation); output keeps the ORIGINAL coordinate values
+    * (selection only, no computed floats in the result). */
+  def lttb(es: Seq[Expression]): Expression = {
+    val n = es.last match {
+      case Literal(i: Int, IntegerType) => i
+      case Literal(l: Long, LongType) => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"largestTriangleThreeBuckets needs a literal bucket count, got $other")
+    }
+    require(n >= 2, s"largestTriangleThreeBuckets needs >= 2 buckets, got $n")
+    val pt = CreateNamedStruct(Seq(
+      Literal("_1"), d(es(0)), Literal("_2"), d(es(1))))
+    val collected = ChDialect.builtin("sort_array")(
+      Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(pt)))))
+    bind(collected) { arr =>
+      val nPts = ChDialect.builtin("size")(Seq(arr))
+      val first = elemAt(arr, Literal(1))
+      val last = elemAt(arr, nPts)
+      def avgOf(seg: Expression): Expression = {
+        val ac = fresh("ac"); val p = fresh("p"); val f = fresh("f")
+        ChDialect.builtin("aggregate")(Seq(seg,
+          CreateNamedStruct(Seq(Literal("sx"), lit(0.0),
+            Literal("sy"), lit(0.0), Literal("c"), lit(0.0))),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("sx"), fld(ac, "sx") + fld(p, "_1"),
+            Literal("sy"), fld(ac, "sy") + fld(p, "_2"),
+            Literal("c"), fld(ac, "c") + lit(1.0))), Seq(ac, p)),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("_1"), fld(f, "sx") / fld(f, "c"),
+            Literal("_2"), fld(f, "sy") / fld(f, "c"))), Seq(f))))
+      }
+      val picked: Expression =
+        if (n == 2)  // no middle buckets: first + last only
+          ChDialect.builtin("slice")(Seq(arr, Literal(1), Literal(0)))
+        else {
+          val base = Cast(nPts - Literal(2), LongType)
+          val den = Literal((n - 2).toLong)
+          // 1-based middle-bucket bounds: bucket i (0-based) covers
+          // indices 2 + floor(i·base/den) … 1 + floor((i+1)·base/den)
+          def lo(i: Expression) = Cast(
+            Literal(2L) + Divide2(Multiply(Cast(i, LongType), base), den),
+            IntegerType)
+          def hi(i: Expression) = Cast(
+            Literal(1L) + Divide2(Multiply(Cast(i, LongType) + Literal(1L), base), den),
+            IntegerType)
+          val iv = fresh("i"); val acc = fresh("acc")
+          val stepBody = {
+            val prev = fld(acc, "prev")
+            val bLo = lo(iv)
+            val bLen = Greatest(Seq(hi(iv) - bLo + Literal(1), Literal(0)))
+            val bucket = ChDialect.builtin("slice")(Seq(arr, bLo, bLen))
+            val nLo = lo(iv + Literal(1))
+            val nLen = Greatest(Seq(hi(iv + Literal(1)) - nLo + Literal(1), Literal(0)))
+            val nxt = If(LessThan(iv, Literal(n - 3)),
+              avgOf(ChDialect.builtin("slice")(Seq(arr, nLo, nLen))), last)
+            val bestInit = CreateNamedStruct(Seq(
+              Literal("p"), first, Literal("a"), lit(-1.0)))
+            val ba = fresh("ba"); val bp = fresh("bp")
+            val area = abs(
+              (fld(prev, "_1") - fld(nxt, "_1")) * (fld(bp, "_2") - fld(prev, "_2")) -
+              (fld(prev, "_1") - fld(bp, "_1")) * (fld(nxt, "_2") - fld(prev, "_2")))
+            val best = ChDialect.builtin("aggregate")(Seq(bucket, bestInit,
+              LambdaFunction(
+                If(GreaterThan(area, fld(ba, "a")),
+                  CreateNamedStruct(Seq(Literal("p"), bp, Literal("a"), area)),
+                  ba),
+                Seq(ba, bp))))
+            val bestP = fld(best, "p")
+            CreateNamedStruct(Seq(
+              Literal("sel"), Concat(Seq(fld(acc, "sel"), CreateArray(Seq(bestP)))),
+              Literal("prev"), bestP))
+          }
+          val folded = ChDialect.builtin("aggregate")(Seq(
+            ChDialect.builtin("sequence")(Seq(Literal(0), Literal(n - 3))),
+            CreateNamedStruct(Seq(
+              Literal("sel"), ChDialect.builtin("slice")(Seq(arr, Literal(1), Literal(0))),
+              Literal("prev"), first)),
+            LambdaFunction(stepBody, Seq(acc, iv))))
+          fld(folded, "sel")
+        }
+      If(LessThanOrEqual(nPts, Literal(n)), arr,
+        Concat(Seq(CreateArray(Seq(first)), picked, CreateArray(Seq(last)))))
+    }
+  }
+
+  /** Long integer division that truncates toward zero (both operands
+    * non-negative here) — Catalyst's IntegralDivide. */
+  private def Divide2(a: Expression, b: Expression): Expression =
+    IntegralDivide(a, b)
 }

@@ -520,6 +520,53 @@ class ChDialectSpec extends SparkSpec {
     assert(t.getAs[Long]("mi") == 1L)
   }
 
+  test("largestTriangleThreeBuckets matches an independent reference implementation") {
+    GraftFunctions.ensureRegistered(spark)
+    val pts = (0 until 50).map(i => (i.toDouble, math.sin(i * 0.7) * 10 + (i % 7)))
+    val rows = pts.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    def run(n: Int): Seq[(Double, Double)] = spark.sql(
+        s"SELECT largestTriangleThreeBuckets(x, y, $n) AS s FROM VALUES $rows AS t(x, y)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // Steinarsson 2013, written independently of the Catalyst fold
+    def ref(data: Seq[(Double, Double)], n: Int): Seq[(Double, Double)] = {
+      val size = data.size
+      if (size <= n) return data
+      val out = collection.mutable.ArrayBuffer(data.head)
+      val base = (size - 2).toLong; val den = (n - 2).toLong
+      var prev = data.head
+      for (i <- 0 until n - 2) {
+        val lo = (2 + i * base / den).toInt
+        val hi = (1 + (i + 1) * base / den).toInt
+        val bucket = data.slice(lo - 1, hi)
+        val nxt = if (i < n - 3) {
+          val nlo = (2 + (i + 1) * base / den).toInt
+          val nhi = (1 + (i + 2) * base / den).toInt
+          val nb = data.slice(nlo - 1, nhi)
+          (nb.iterator.map(_._1).foldLeft(0.0)(_ + _) / nb.size,
+            nb.iterator.map(_._2).foldLeft(0.0)(_ + _) / nb.size)
+        } else data.last
+        var best = data.head; var bestA = -1.0
+        bucket.foreach { p =>
+          val a = math.abs((prev._1 - nxt._1) * (p._2 - prev._2) -
+            (prev._1 - p._1) * (nxt._2 - prev._2))
+          if (a > bestA) { bestA = a; best = p }
+        }
+        out += best; prev = best
+      }
+      out += data.last
+      out.toSeq
+    }
+    for (n <- Seq(3, 10, 20)) {
+      val got = run(n)
+      assert(got == ref(pts, n), s"n=$n")
+      assert(got.size == n && got.head == pts.head && got.last == pts.last)
+    }
+    // N <= n: pass-through; n = 2: endpoints only
+    assert(run(60) == pts)
+    assert(run(2) == Seq(pts.head, pts.last))
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
