@@ -38,9 +38,31 @@ import org.apache.spark.sql.types._
 object ChFormat {
 
   val renderable: Set[String] = Set("JSONEACHROW", "CSV", "TSV",
-    "TABSEPARATED", "VALUES", "PRETTY", "PRETTYCOMPACT")
+    "TABSEPARATED", "VALUES", "PRETTY", "PRETTYCOMPACT",
+    "CSVWITHNAMES", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES", "TSKV")
+
+  /** Header line + body — the WithNames contract. The header rides a
+    * one-row local relation unioned FIRST; collect order preserves
+    * partition order, so the header line leads the output exactly as
+    * the reference's writer emits it. */
+  private def withHeader(body: DataFrame, header: String): DataFrame = {
+    val spark = body.sparkSession
+    import spark.implicits._
+    Seq(header).toDF("line").unionAll(body)
+  }
 
   def render(df: DataFrame, fmt: String): DataFrame = fmt.toUpperCase match {
+    case "CSVWITHNAMES" =>
+      // CH writes CSV header names quoted
+      withHeader(render(df, "CSV"),
+        df.columns.map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(","))
+    case "TSVWITHNAMES" | "TABSEPARATEDWITHNAMES" =>
+      withHeader(render(df, "TSV"), df.columns.mkString("\t"))
+    case "TSKV" =>
+      // one key=value pair per column, tab-joined (registerFormats.cpp)
+      df.select(concat_ws("\t", df.schema.fields.map(f =>
+        concat(lit(f.name + "="),
+          coalesce(col(f.name).cast("string"), lit("\\N")))): _*).as("line"))
     case "JSONEACHROW" =>
       df.select(to_json(struct(df.columns.map(col): _*),
         Map("ignoreNullFields" -> "false")).as("line"))

@@ -571,6 +571,19 @@ class DdlSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(pc == Seq(
       "┌─id─┬─s────┐", "│  1 │ a,x  │", "│  2 │ ᴺᵁᴸᴸ │", "└────┴──────┘"), pc)
+    // WithNames variants lead with the header line; TSKV labels cells
+    val csvN = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_t ORDER BY id FORMAT CSVWithNames")
+      .as[String].collect().toSeq
+    assert(csvN == Seq("\"id\",\"s\",\"v\"", "1,\"a,x\",1.5", "2,\\N,2.5"), csvN)
+    val tsvN = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_t ORDER BY id FORMAT TabSeparatedWithNames")
+      .as[String].collect().toSeq
+    assert(tsvN == Seq("id\ts\tv", "1\ta,x\t1.5", "2\t\\N\t2.5"), tsvN)
+    val tskv = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_t ORDER BY id FORMAT TSKV")
+      .as[String].collect().toSeq
+    assert(tskv == Seq("id=1\ts=a,x\tv=1.5", "id=2\ts=\\N\tv=2.5"), tskv)
     // non-renderable formats keep the old strip behavior: plain rows
     val plain = ChDdl.execute(spark,
       "SELECT id FROM graft_fmt_t ORDER BY id FORMAT Vertical")
