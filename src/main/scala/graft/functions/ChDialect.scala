@@ -692,6 +692,8 @@ object ChDialect {
     "studentTTest"     -> { es => ChStats.studentTTest(es) },
     "welchTTest"       -> { es => ChStats.welchTTest(es) },
     "mannWhitneyUTest" -> { es => ChStats.mannWhitneyUTest(es) },
+    "kolmogorovSmirnovTest"  -> { es => ChStats.kolmogorovSmirnovTest(es) },
+    "simpleLinearRegression" -> { es => ChStats.simpleLinearRegression(es) },
     "boundingRatio"    -> { es => ChStats.boundingRatio(es) },
     "largestTriangleThreeBuckets" -> { es => ChStats.lttb(es) },
     "lttb"             -> { es => ChStats.lttb(es) },

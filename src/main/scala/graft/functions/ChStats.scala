@@ -232,6 +232,73 @@ private[graft] object ChStats {
   def maxIntersectionsPosition(es: Seq[Expression]): Expression =
     fld(sweep(es), "at")
 
+  /** kolmogorovSmirnovTest(v, idx): two-sample KS — D = sup|F1 − F2|
+    * over the pooled sorted values (evaluated at each distinct-value
+    * boundary, ties pooled), asymptotic p via the Stephens (1970)
+    * effective-n correction and the first three terms of the
+    * Kolmogorov series Q(λ) = 2Σ(−1)^{k−1}e^{−2k²λ²} — both published
+    * closed forms, spelled identically in the oracle. Same sorted-pair
+    * fold state as the U test (CH's own shape for a rank test). */
+  def kolmogorovSmirnovTest(es: Seq[Expression]): Expression = {
+    val v = d(es(0))
+    val c0 = EqualTo(Cast(es(1), IntegerType), Literal(0))
+    val (n1, _, _) = cohortSums(v, c0)
+    val (n2, _, _) = cohortSums(v, Not(c0))
+    val entry = CreateNamedStruct(Seq(
+      Literal("v"), v,
+      Literal("o"), If(c0, Literal(1L), Literal(0L))))
+    val arr = builtin("sort_array")(
+      Seq(wrapAgg(builtin("collect_list")(Seq(entry)))))
+    def accOf(c1: Expression, c2: Expression, lastV: Expression,
+        dm: Expression, any: Expression): Expression =
+      CreateNamedStruct(Seq(
+        Literal("c1"), c1, Literal("c2"), c2, Literal("lastV"), lastV,
+        Literal("dm"), dm, Literal("any"), any))
+    val init = accOf(lit(0.0), lit(0.0), lit(0.0), lit(0.0), Literal(false))
+    val accV = fresh("acc")
+    val eV = fresh("e")
+    val gap = abs(fld(accV, "c1") / n1 - fld(accV, "c2") / n2)
+    val boundary = And(fld(accV, "any"),
+      Not(EqualTo(fld(eV, "v"), fld(accV, "lastV"))))
+    val dmNext = If(boundary,
+      If(GreaterThan(gap, fld(accV, "dm")), gap, fld(accV, "dm")),
+      fld(accV, "dm"))
+    val isG1 = EqualTo(fld(eV, "o"), Literal(1L))
+    val merge = LambdaFunction(
+      accOf(
+        fld(accV, "c1") + If(isG1, lit(1.0), lit(0.0)),
+        fld(accV, "c2") + If(isG1, lit(0.0), lit(1.0)),
+        fld(eV, "v"), dmNext, Literal(true)),
+      Seq(accV, eV))
+    val fin = fresh("f")
+    val lastGap = abs(fld(fin, "c1") / n1 - fld(fin, "c2") / n2)
+    val finish = LambdaFunction(
+      If(GreaterThan(lastGap, fld(fin, "dm")), lastGap, fld(fin, "dm")),
+      Seq(fin))
+    val dStat = builtin("aggregate")(Seq(arr, init, merge, finish))
+    // p: λ = (√ne + 0.12 + 0.11/√ne)·D, ne = n1·n2/(n1+n2);
+    // Q(λ) ≈ 2(e^{−2λ²} − e^{−8λ²} + e^{−18λ²}), clamped to [0, 1]
+    val ne = n1 * n2 / (n1 + n2)
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * dStat
+    val l2 = lam * lam
+    val q = lit(2.0) *
+      (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2) + exp(lit(-18.0) * l2))
+    val p = If(GreaterThan(q, lit(1.0)), lit(1.0),
+      If(LessThan(q, lit(0.0)), lit(0.0), q))
+    tuple2(dStat, p)
+  }
+
+  /** simpleLinearRegression(x, y) → (k, b): least-squares slope and
+    * intercept from four partial-agg sums — no buffering. */
+  def simpleLinearRegression(es: Seq[Expression]): Expression = {
+    val x = d(es(0)); val y = d(es(1))
+    def s(e: Expression): Expression = wrapAgg(aggregate.Sum(e))
+    val n = d(wrapAgg(aggregate.Count(Seq(Literal(1)))))
+    val k = (n * s(x * y) - s(x) * s(y)) / (n * s(x * x) - s(x) * s(x))
+    val b = (s(y) - k * s(x)) / n
+    tuple2(k, b)
+  }
+
   /** Bind a subexpression once as a lambda variable (the collected
     * array below feeds every stage of the fold — without binding, the
     * aggregate subtree would repeat throughout the expression). */

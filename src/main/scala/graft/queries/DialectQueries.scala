@@ -851,6 +851,58 @@ object DialectQueries {
           |  maxIntersectionsPosition(value, value + 10) AS mip
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // KS test + least-squares regression per event_type. The oracle's
+    // cumulative-count window evaluates |F1−F2| at the same pooled
+    // distinct-value boundaries the ChStats fold uses; the p series
+    // and the Stephens effective-n correction are spelled identically.
+    "c32_ch_stats2" -> Q(
+      """WITH e AS (
+        |  SELECT event_type AS et, value AS v,
+        |    CAST(event_id AS DOUBLE) AS x,
+        |    CAST(user_id % 2 AS INT) AS g
+        |  FROM events),
+        |n AS (
+        |  SELECT et,
+        |    CAST(COUNT(*) FILTER (WHERE g = 0) AS DOUBLE) AS n1,
+        |    CAST(COUNT(*) FILTER (WHERE g <> 0) AS DOUBLE) AS n2,
+        |    CAST(COUNT(*) AS DOUBLE) AS nn,
+        |    SUM(x) AS sx, SUM(v) AS sy, SUM(x*v) AS sxy, SUM(x*x) AS sxx
+        |  FROM e GROUP BY et),
+        |b AS (
+        |  SELECT et, v,
+        |    SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS a1,
+        |    SUM(CASE WHEN g <> 0 THEN 1 ELSE 0 END) AS a2
+        |  FROM e GROUP BY et, v),
+        |cum AS (
+        |  SELECT et, v,
+        |    SUM(a1) OVER (PARTITION BY et ORDER BY v) AS c1,
+        |    SUM(a2) OVER (PARTITION BY et ORDER BY v) AS c2
+        |  FROM b),
+        |d AS (
+        |  SELECT cum.et, MAX(ABS(c1/n.n1 - c2/n.n2)) AS dstat
+        |  FROM cum JOIN n ON cum.et = n.et GROUP BY cum.et),
+        |pz AS (
+        |  SELECT n.et, d.dstat,
+        |    n.n1*n.n2/(n.n1 + n.n2) AS ne,
+        |    (sqrt(ne) + 0.12 + 0.11/sqrt(ne)) * d.dstat AS lam,
+        |    lam*lam AS l2,
+        |    2.0*(exp(-2.0*l2) - exp(-8.0*l2) + exp(-18.0*l2)) AS q,
+        |    LEAST(GREATEST(q, 0.0), 1.0) AS p,
+        |    (nn*sxy - sx*sy) / (nn*sxx - sx*sx) AS k,
+        |    (sy - ((nn*sxy - sx*sy) / (nn*sxx - sx*sx)) * sx) / nn AS bb
+        |  FROM n JOIN d ON n.et = d.et)
+        |SELECT et AS event_type,
+        |  round(dstat, 6) AS ks_d, round(p, 6) AS ks_p,
+        |  round(k, 9) AS lr_k, round(bb, 6) AS lr_b
+        |FROM pz ORDER BY event_type""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  round(tupleElement(kolmogorovSmirnovTest(value, modulo(user_id, 2)), 1), 6) AS ks_d,
+          |  round(tupleElement(kolmogorovSmirnovTest(value, modulo(user_id, 2)), 2), 6) AS ks_p,
+          |  round(tupleElement(simpleLinearRegression(event_id, value), 1), 9) AS lr_k,
+          |  round(tupleElement(simpleLinearRegression(event_id, value), 2), 6) AS lr_b
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,

@@ -520,6 +520,31 @@ class ChDialectSpec extends SparkSpec {
     assert(t.getAs[Long]("mi") == 1L)
   }
 
+  test("kolmogorovSmirnovTest and simpleLinearRegression match hand computation") {
+    GraftFunctions.ensureRegistered(spark)
+    // A = {1..5}, B = {2,4,6,8,10}: D = 0.6 at v = 5 (F1 = 1, F2 = 0.4);
+    // scipy ks_2samp p = 0.209, the 3-term asymptotic lands ~0.209 too
+    val r = sql1(
+      """SELECT kolmogorovSmirnovTest(v, g) AS ks,
+        |  kolmogorovSmirnovTest(c, g) AS flat
+        |FROM VALUES (1.0, 0, 1.0), (2.0, 0, 2.0), (3.0, 0, 3.0),
+        |  (4.0, 0, 4.0), (5.0, 0, 5.0),
+        |  (2.0, 1, 1.0), (4.0, 1, 2.0), (6.0, 1, 3.0),
+        |  (8.0, 1, 4.0), (10.0, 1, 5.0) AS t(v, g, c)""".stripMargin)
+    val ks = r.getAs[org.apache.spark.sql.Row]("ks")
+    assert(math.abs(ks.getAs[Double]("_1") - 0.6) < 1e-12)
+    assert(math.abs(ks.getAs[Double]("_2") - 0.209) < 0.02,
+      s"ks p ${ks.getAs[Double]("_2")}")
+    // identical distributions → D = 0, p clamps to 1
+    val flat = r.getAs[org.apache.spark.sql.Row]("flat")
+    assert(flat.getAs[Double]("_1") == 0.0 && flat.getAs[Double]("_2") == 1.0)
+    val lr = sql1(
+      """SELECT simpleLinearRegression(x, y) AS f
+        |FROM VALUES (1.0, 3.0), (2.0, 5.0), (3.0, 7.0) AS t(x, y)""".stripMargin)
+      .getAs[org.apache.spark.sql.Row]("f")
+    assert(lr.getAs[Double]("_1") == 2.0 && lr.getAs[Double]("_2") == 1.0)
+  }
+
   test("largestTriangleThreeBuckets matches an independent reference implementation") {
     GraftFunctions.ensureRegistered(spark)
     val pts = (0 until 50).map(i => (i.toDouble, math.sin(i * 0.7) * 10 + (i % 7)))
