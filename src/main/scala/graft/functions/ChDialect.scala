@@ -559,16 +559,58 @@ object ChDialect {
     // dialect name so declared Point columns reach it from SQL) ----
     "greatCircleDistance" -> { es =>
       require(es.length == 4, "greatCircleDistance(lon1, lat1, lon2, lat2)")
-      val Seq(lon1, lat1, lon2, lat2) = es
-      def rad(e: Expression) = builtin("radians")(Seq(e))
-      def sin2half(d: Expression) = builtin("pow")(Seq(
-        builtin("sin")(Seq(Divide(d, Literal(2.0)))), Literal(2.0)))
-      val a = Add(sin2half(Subtract(rad(lat2), rad(lat1))),
-        Multiply(Multiply(builtin("cos")(Seq(rad(lat1))),
-          builtin("cos")(Seq(rad(lat2)))),
-          sin2half(Subtract(rad(lon2), rad(lon1)))))
       Multiply(Literal(2 * 6372797.560856),
-        builtin("asin")(Seq(builtin("sqrt")(Seq(a))))) },
+        builtin("asin")(Seq(builtin("sqrt")(Seq(haversineA(es)))))) },
+    // CH geoDistance refines the ellipsoid; the haversine sphere is
+    // the documented approximation here (same signature/contract)
+    "geoDistance" -> { es =>
+      require(es.length == 4, "geoDistance(lon1, lat1, lon2, lat2)")
+      Multiply(Literal(2 * 6372797.560856),
+        builtin("asin")(Seq(builtin("sqrt")(Seq(haversineA(es)))))) },
+    // central angle in DEGREES (CH greatCircleAngle contract)
+    "greatCircleAngle" -> { es =>
+      require(es.length == 4, "greatCircleAngle(lon1, lat1, lon2, lat2)")
+      builtin("degrees")(Seq(Multiply(Literal(2.0),
+        builtin("asin")(Seq(builtin("sqrt")(Seq(haversineA(es)))))))) },
+    // pointInPolygon((x, y), ring): even-odd ray casting over the Geo
+    // Ring vertex array (one fold, vertex-order independent); points
+    // exactly on a horizontal edge follow the half-open crossing
+    // convention, the standard PNPOLY contract
+    "pointInPolygon" -> { es =>
+      require(es.length == 2, "pointInPolygon(point, polygon)")
+      def f1(e: Expression) = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(e, Literal("_1"))
+      def f2(e: Expression) = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(e, Literal("_2"))
+      val px = Cast(f1(es(0)), DoubleType)
+      val py = Cast(f2(es(0)), DoubleType)
+      val poly = es(1)
+      val m = builtin("size")(Seq(poly))
+      val acc = UnresolvedNamedLambdaVariable(Seq("__pip_acc"))
+      val iv = UnresolvedNamedLambdaVariable(Seq("__pip_i"))
+      val vi = builtin("element_at")(Seq(poly, iv))
+      val vj = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(acc, Literal("j"))
+      val (xi, yi) = (Cast(f1(vi), DoubleType), Cast(f2(vi), DoubleType))
+      val (xj, yj) = (Cast(f1(vj), DoubleType), Cast(f2(vj), DoubleType))
+      val straddles = Not(EqualTo(GreaterThan(yi, py), GreaterThan(yj, py)))
+      val xCross = Add(Divide(Multiply(Subtract(xj, xi), Subtract(py, yi)),
+        Subtract(yj, yi)), xi)
+      val crosses = And(straddles, LessThan(px, xCross))
+      val in = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(acc, Literal("in"))
+      val step = CreateNamedStruct(Seq(
+        Literal("in"), If(crosses, Not(in), in),
+        Literal("j"), vi))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__pip_f"))
+      builtin("aggregate")(Seq(
+        builtin("sequence")(Seq(Literal(1), m)),
+        CreateNamedStruct(Seq(
+          Literal("in"), Literal(false),
+          Literal("j"), builtin("element_at")(Seq(poly, m)))),
+        LambdaFunction(step, Seq(acc, iv)),
+        LambdaFunction(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(fin, Literal("in")), Seq(fin)))) },
     // ---- misc ----
     "generateUUIDv4" -> builtin("uuid"),
     "roundBankers"   -> builtin("bround"),
@@ -851,6 +893,19 @@ object ChDialect {
 
   /** Floor a timestamp to an n-second bucket (epoch arithmetic, the
     * reference's own bucketing). */
+  /** Haversine `a` term shared by the great-circle family:
+    * sin²(Δlat/2) + cos(lat1)·cos(lat2)·sin²(Δlon/2). */
+  private def haversineA(es: Seq[Expression]): Expression = {
+    val Seq(lon1, lat1, lon2, lat2) = es
+    def rad(e: Expression) = builtin("radians")(Seq(e))
+    def sin2half(d: Expression) = builtin("pow")(Seq(
+      builtin("sin")(Seq(Divide(d, Literal(2.0)))), Literal(2.0)))
+    Add(sin2half(Subtract(rad(lat2), rad(lat1))),
+      Multiply(Multiply(builtin("cos")(Seq(rad(lat1))),
+        builtin("cos")(Seq(rad(lat2)))),
+        sin2half(Subtract(rad(lon2), rad(lon1)))))
+  }
+
   private def minuteBucket(seconds: Int): Builder = { es =>
     builtin("timestamp_seconds")(Seq(Multiply(
       builtin("div")(Seq(Cast(builtin("unix_timestamp")(es), LongType),

@@ -592,6 +592,33 @@ class ChDialectSpec extends SparkSpec {
     assert(run(2) == Seq(pts.head, pts.last))
   }
 
+  test("pointInPolygon ray casting and the great-circle family") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT
+        |  pointInPolygon(tuple(0.5, 0.5), array(tuple(0.0, 0.0),
+        |    tuple(1.0, 0.0), tuple(1.0, 1.0), tuple(0.0, 1.0))) AS inside,
+        |  pointInPolygon(tuple(1.5, 0.5), array(tuple(0.0, 0.0),
+        |    tuple(1.0, 0.0), tuple(1.0, 1.0), tuple(0.0, 1.0))) AS outside,
+        |  pointInPolygon(tuple(1.5, 1.5), array(tuple(0.0, 0.0),
+        |    tuple(2.0, 0.0), tuple(2.0, 1.0), tuple(1.0, 1.0),
+        |    tuple(1.0, 2.0), tuple(0.0, 2.0))) AS notch,
+        |  pointInPolygon(tuple(0.5, 1.5), array(tuple(0.0, 0.0),
+        |    tuple(2.0, 0.0), tuple(2.0, 1.0), tuple(1.0, 1.0),
+        |    tuple(1.0, 2.0), tuple(0.0, 2.0))) AS arm,
+        |  greatCircleAngle(0.0, 0.0, 90.0, 0.0) AS quarter,
+        |  geoDistance(0.0, 0.0, 0.0, 0.0) AS zero
+        |""".stripMargin)
+    assert(r.getAs[Boolean]("inside"))
+    assert(!r.getAs[Boolean]("outside"))
+    // L-shaped polygon: (1.5, 1.5) sits in the notch (outside), the
+    // arm point (0.5, 1.5) is inside — concavity handled
+    assert(!r.getAs[Boolean]("notch"))
+    assert(r.getAs[Boolean]("arm"))
+    assert(math.abs(r.getAs[Double]("quarter") - 90.0) < 1e-9)
+    assert(r.getAs[Double]("zero") == 0.0)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
