@@ -611,6 +611,133 @@ object ChDialect {
         LambdaFunction(step, Seq(acc, iv)),
         LambdaFunction(org.apache.spark.sql.catalyst.analysis
           .UnresolvedExtractValue(fin, Literal("in")), Seq(fin)))) },
+    // ---- bitmap family (CH AggregateFunctionGroupBitmapData surface;
+    // realized as SORTED DISTINCT ARRAYS — the semantic contract of a
+    // bitmap without a wire-format dependency; every producer
+    // sort-normalizes so equal bitmaps compare equal) ----
+    "bitmapBuild" -> { es =>
+      builtin("sort_array")(Seq(wrapAggD(builtin("collect_set")(es)))) },
+    "bitmapToArray" -> { es => es.head },
+    "bitmapCardinality" -> builtin("size"),
+    "bitmapMin" -> builtin("array_min"),
+    "bitmapMax" -> builtin("array_max"),
+    "bitmapContains" -> builtin("array_contains"),
+    "bitmapHasAny" -> builtin("arrays_overlap"),
+    "bitmapHasAll" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("__bm_x"))
+      builtin("forall")(Seq(es(1), LambdaFunction(
+        builtin("array_contains")(Seq(es(0), x)), Seq(x)))) },
+    "bitmapAnd" -> { es =>
+      builtin("sort_array")(Seq(builtin("array_intersect")(es))) },
+    "bitmapOr" -> { es =>
+      builtin("sort_array")(Seq(builtin("array_union")(es))) },
+    "bitmapAndnot" -> { es =>
+      builtin("sort_array")(Seq(builtin("array_except")(es))) },
+    "bitmapXor" -> { es =>
+      builtin("sort_array")(Seq(builtin("array_except")(Seq(
+        builtin("array_union")(es), builtin("array_intersect")(es))))) },
+    "bitmapAndCardinality" -> { es =>
+      builtin("size")(Seq(builtin("array_intersect")(es))) },
+    "bitmapOrCardinality" -> { es =>
+      builtin("size")(Seq(builtin("array_union")(es))) },
+    "bitmapXorCardinality" -> { es =>
+      builtin("size")(Seq(builtin("array_except")(Seq(
+        builtin("array_union")(es), builtin("array_intersect")(es))))) },
+    "bitmapAndnotCardinality" -> { es =>
+      builtin("size")(Seq(builtin("array_except")(es))) },
+
+    // geohashEncode(lon, lat[, precision]) / geohashDecode(str) — the
+    // public geohash algorithm (base-32 interleaved bisection, lon
+    // first) as pure Catalyst folds; no UDF, codegen-safe
+    "geohashEncode" -> { es =>
+      val p = es.drop(2).headOption.map {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"geohashEncode precision must be a literal, got $other")
+      }.getOrElse(12)
+      require(p >= 1 && p <= 12, s"geohash precision 1..12, got $p")
+      val lon = Cast(es(0), DoubleType)
+      val lat = Cast(es(1), DoubleType)
+      val acc = UnresolvedNamedLambdaVariable(Seq("__gh_acc"))
+      val iv = UnresolvedNamedLambdaVariable(Seq("__gh_i"))
+      def f(n: String) = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(acc, Literal(n))
+      def st(lonLo: Expression, lonHi: Expression, latLo: Expression,
+          latHi: Expression, v: Expression) =
+        CreateNamedStruct(Seq(Literal("a"), lonLo, Literal("b"), lonHi,
+          Literal("c"), latLo, Literal("d"), latHi, Literal("v"), v))
+      val isLon = EqualTo(Pmod(iv, Literal(2)), Literal(1))
+      val midLon = Divide(Add(f("a"), f("b")), Literal(2.0))
+      val midLat = Divide(Add(f("c"), f("d")), Literal(2.0))
+      val lonBit = GreaterThanOrEqual(lon, midLon)
+      val latBit = GreaterThanOrEqual(lat, midLat)
+      val v2 = Multiply(f("v"), Literal(2L))
+      val step = If(isLon,
+        If(lonBit, st(midLon, f("b"), f("c"), f("d"), Add(v2, Literal(1L))),
+          st(f("a"), midLon, f("c"), f("d"), v2)),
+        If(latBit, st(f("a"), f("b"), midLat, f("d"), Add(v2, Literal(1L))),
+          st(f("a"), f("b"), f("c"), midLat, v2)))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__gh_fin"))
+      val folded = builtin("aggregate")(Seq(
+        builtin("sequence")(Seq(Literal(1), Literal(5 * p))),
+        st(Literal(-180.0), Literal(180.0), Literal(-90.0), Literal(90.0),
+          Literal(0L)),
+        LambdaFunction(step, Seq(acc, iv)),
+        LambdaFunction(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(fin, Literal("v")), Seq(fin))))
+      val ci = UnresolvedNamedLambdaVariable(Seq("__gh_ci"))
+      val chars = builtin("transform")(Seq(
+        builtin("sequence")(Seq(Literal(0), Literal(p - 1))),
+        LambdaFunction(builtin("substring")(Seq(
+          Literal(geohashAlphabet),
+          Cast(Add(BitwiseAnd(ShiftRight(folded,
+            Cast(Multiply(Literal(5), Subtract(Literal(p - 1), ci)), IntegerType)),
+            Literal(31L)), Literal(1L)), IntegerType),
+          Literal(1))), Seq(ci))))
+      builtin("array_join")(Seq(chars, Literal(""))) },
+    "geohashDecode" -> { es =>
+      val s = Cast(es.head, StringType)
+      val acc = UnresolvedNamedLambdaVariable(Seq("__gd_acc"))
+      val iv = UnresolvedNamedLambdaVariable(Seq("__gd_i"))
+      def f(n: String) = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(acc, Literal(n))
+      def st(lonLo: Expression, lonHi: Expression, latLo: Expression,
+          latHi: Expression) =
+        CreateNamedStruct(Seq(Literal("a"), lonLo, Literal("b"), lonHi,
+          Literal("c"), latLo, Literal("d"), latHi))
+      // bit i (0-based): char i/5, bit 4 − i%5 of its alphabet rank
+      val ch = builtin("substring")(Seq(s,
+        Cast(Add(IntegralDivide(iv, Literal(5L)), Literal(1L)), IntegerType),
+        Literal(1)))
+      val rank = Subtract(
+        Cast(builtin("instr")(Seq(Literal(geohashAlphabet), ch)), LongType),
+        Literal(1L))
+      val bit = BitwiseAnd(ShiftRight(rank,
+        Cast(Subtract(Literal(4L), Pmod(iv, Literal(5L))), IntegerType)),
+        Literal(1L))
+      val isLon = EqualTo(Pmod(iv, Literal(2L)), Literal(0L))
+      val midLon = Divide(Add(f("a"), f("b")), Literal(2.0))
+      val midLat = Divide(Add(f("c"), f("d")), Literal(2.0))
+      val one = EqualTo(bit, Literal(1L))
+      val step = If(isLon,
+        If(one, st(midLon, f("b"), f("c"), f("d")),
+          st(f("a"), midLon, f("c"), f("d"))),
+        If(one, st(f("a"), f("b"), midLat, f("d")),
+          st(f("a"), f("b"), f("c"), midLat)))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__gd_fin"))
+      def ff(n: String) = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(fin, Literal(n))
+      builtin("aggregate")(Seq(
+        builtin("sequence")(Seq(Literal(0L),
+          Subtract(Multiply(Cast(builtin("length")(Seq(s)), LongType),
+            Literal(5L)), Literal(1L)))),
+        st(Literal(-180.0), Literal(180.0), Literal(-90.0), Literal(90.0)),
+        LambdaFunction(step, Seq(acc, iv)),
+        LambdaFunction(CreateNamedStruct(Seq(
+          Literal("_1"), Divide(Add(ff("a"), ff("b")), Literal(2.0)),
+          Literal("_2"), Divide(Add(ff("c"), ff("d")), Literal(2.0)))),
+          Seq(fin)))) },
+
     // ---- misc ----
     "generateUUIDv4" -> builtin("uuid"),
     "roundBankers"   -> builtin("bround"),
@@ -893,6 +1020,14 @@ object ChDialect {
 
   /** Floor a timestamp to an n-second bucket (epoch arithmetic, the
     * reference's own bucketing). */
+  private val geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Nested-position aggregate wrap (the avgWeighted pattern). */
+  private def wrapAggD(e: Expression): Expression = e match {
+    case af: aggregate.AggregateFunction => af.toAggregateExpression()
+    case other => other
+  }
+
   /** Haversine `a` term shared by the great-circle family:
     * sin²(Δlat/2) + cos(lat1)·cos(lat2)·sin²(Δlon/2). */
   private def haversineA(es: Seq[Expression]): Expression = {

@@ -619,6 +619,57 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getAs[Double]("zero") == 0.0)
   }
 
+  test("bitmap family: build/ops/cardinalities over sorted distinct arrays") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT bitmapBuild(v) AS bm FROM VALUES (3), (1), (3), (2) AS t(v)""")
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    val o = sql1(
+      """SELECT
+        |  bitmapAnd(a, b) AS i, bitmapOr(a, b) AS u,
+        |  bitmapXor(a, b) AS x, bitmapAndnot(a, b) AS d,
+        |  bitmapCardinality(a) AS ca, bitmapAndCardinality(a, b) AS ci,
+        |  bitmapOrCardinality(a, b) AS cu, bitmapXorCardinality(a, b) AS cx,
+        |  bitmapAndnotCardinality(a, b) AS cd,
+        |  bitmapContains(a, 2) AS has2, bitmapHasAny(a, b) AS any,
+        |  bitmapHasAll(a, array(1, 2)) AS all12,
+        |  bitmapMin(a) AS mn, bitmapMax(a) AS mx
+        |FROM VALUES (array(1, 2, 3), array(2, 3, 4)) AS t(a, b)""".stripMargin)
+    assert(o.getSeq[Int](o.fieldIndex("i")) == Seq(2, 3))
+    assert(o.getSeq[Int](o.fieldIndex("u")) == Seq(1, 2, 3, 4))
+    assert(o.getSeq[Int](o.fieldIndex("x")) == Seq(1, 4))
+    assert(o.getSeq[Int](o.fieldIndex("d")) == Seq(1))
+    assert(o.getAs[Int]("ca") == 3 && o.getAs[Int]("ci") == 2)
+    assert(o.getAs[Int]("cu") == 4 && o.getAs[Int]("cx") == 2)
+    assert(o.getAs[Int]("cd") == 1)
+    assert(o.getAs[Boolean]("has2") && o.getAs[Boolean]("any") && o.getAs[Boolean]("all12"))
+    assert(o.getAs[Int]("mn") == 1 && o.getAs[Int]("mx") == 3)
+  }
+
+  test("geohash encode/decode: textbook cell, roundtrip, default precision") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT
+        |  geohashEncode(-5.60302734375, 42.60498046875, 5) AS ez,
+        |  geohashEncode(13.361389, 38.115556, 7) AS palermo,
+        |  length(geohashEncode(2.0, 48.0)) AS deflen,
+        |  geohashDecode('ezs42') AS dec
+        |""".stripMargin)
+    // the canonical public example cell
+    assert(r.getAs[String]("ez") == "ezs42")
+    assert(r.getAs[String]("palermo").startsWith("sq"))
+    assert(r.getAs[Int]("deflen") == 12)
+    val dec = r.getAs[org.apache.spark.sql.Row]("dec")
+    assert(math.abs(dec.getAs[Double]("_1") - (-5.60302734375)) < 0.022)
+    assert(math.abs(dec.getAs[Double]("_2") - 42.60498046875) < 0.022)
+    // roundtrip at high precision recovers the coordinates tightly
+    val rt = sql1(
+      """SELECT geohashDecode(geohashEncode(13.361389, 38.115556, 12)) AS d""")
+      .getAs[org.apache.spark.sql.Row]("d")
+    assert(math.abs(rt.getAs[Double]("_1") - 13.361389) < 1e-6)
+    assert(math.abs(rt.getAs[Double]("_2") - 38.115556) < 1e-6)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
