@@ -47,7 +47,11 @@ object ChSystem {
     "medianExact", "anyHeavy", "anyLast", "topK", "stddevPop",
     "stddevSamp", "varPop", "varSamp", "corr", "covarPop", "covarSamp",
     "skewPop", "kurtPop", "groupBitAnd", "groupBitOr", "groupBitXor",
-    "avgWeighted", "groupArrayMovingSum", "groupArrayMovingAvg")
+    "avgWeighted", "groupArrayMovingSum", "groupArrayMovingAvg",
+    "studentTTest", "welchTTest", "mannWhitneyUTest",
+    "kolmogorovSmirnovTest", "simpleLinearRegression", "boundingRatio",
+    "maxIntersections", "maxIntersectionsPosition", "sumKahan",
+    "largestTriangleThreeBuckets", "lttb", "bitmapBuild")
 
   /** Materialize one system table as a temp view; returns its name. */
   def ensure(spark: SparkSession, name: String): String = {
