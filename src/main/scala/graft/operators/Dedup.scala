@@ -323,6 +323,51 @@ object Dedup {
     labels
   }
 
+  /** d21: semantic deduplication (SemDeDup — Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the embedding corpus with a
+    * deterministic coarse k-means, compare pairs ONLY within a
+    * cluster, and drop all but the lowest-id member of each
+    * cosine-≥-threshold duplicate group. The published recipe's
+    * structure exactly: cluster → within-cluster pairwise → keep one.
+    *
+    * Scale shape: the pairwise step is blocked per cell (the d02
+    * bucket-join discipline — never an all-pairs); k scales WITH the
+    * corpus (SemDeDup uses ~100k clusters at web scale) so per-cell
+    * work stays bounded while total work stays corpus-linear; the
+    * transitive keep/drop reuses the audited dupClusters component
+    * pass. Fit state is k×dim driver-side (Ivf discipline); cells and
+    * cosine are broadcast-literal arithmetic — the only shuffles are
+    * the per-cell self-join key and dupClusters' rounds. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, minCosine: Double = 0.9): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val model = Ivf.fit(emb, idCol, vecCol, k)
+    val cells = emb.select(col(idCol), col(vecCol),
+      Ivf.nearestCell(emb, col(vecCol), model).as("__cell"))
+    val a = cells.select(col(idCol).as("id1"), col(vecCol).as("__v1"),
+      col("__cell"))
+    val b = cells.select(col(idCol).as("id2"), col(vecCol).as("__v2"),
+      col("__cell").as("__cell2"))
+    val pairs = a.join(b,
+        col("__cell") === col("__cell2") && col("id1") < col("id2"))
+      .withColumn("sim", Ann.cosine(col("__v1"), col("__v2")))
+      .filter(col("sim") >= minCosine)
+      .select("id1", "id2")
+    val clusters = dupClusters(pairs)
+    val out = emb.select(col(idCol))
+      .join(clusters.withColumnRenamed("id1", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        (col("cluster_id").isNull || col("cluster_id") === col(idCol))
+          .as("keep"))
+    // materialize before releasing dupClusters' persisted labels
+    val res = out.persist()
+    res.count()
+    clusters.unpersist()
+    res
+  }
+
   /** Raw whitespace token array — kept IDENTICAL to DuckDB's
     * string_split so oracles can mirror it (empties included). */
   def tokens(text: Column): Column = split(text, " ", -1)

@@ -130,6 +130,16 @@ object AnnQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Semantic dedup (d21, SemDeDup): coarse k-means cells bound the
+    // pairwise work, cosine-threshold groups collapse to their lowest
+    // id via the audited component pass. Rows-only (k-means fit has
+    // no ANSI spelling); DedupSpec pins planted-duplicate semantics.
+    "d21_semantic_dedup" -> Q.rowsOnly { (s, dir) =>
+      graft.operators.Dedup.semanticDedup(Tables(s, dir).embeddings,
+          "vec_id", "embedding", k = 16, minCosine = 0.4)
+        .orderBy("vec_id")
+    },
+
     // Nearest-class-centroid assignment (d17): fit = per-(label, pos)
     // rounded mean (the one cross-row double agg — round-6 bridges
     // engine sum order, the a06 discipline); everything downstream is

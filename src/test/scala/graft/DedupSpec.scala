@@ -266,6 +266,39 @@ class DedupSpec extends SparkSpec {
     assert(mustFind.subsetOf(sh), s"simhash missed ${mustFind.diff(sh)}")
   }
 
+  test("semantic dedup drops planted embedding copies, keeps lowest id, transitive") {
+    // 8 vectors in 4 dims: ids 1,2,3 are one duplicate chain
+    // (1≈2 exactly, 2≈3 via scaling — cosine 1.0), 4 is orthogonal,
+    // 5 is a scaled copy of 4, 6..8 are distinct directions
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(2f, 0f, 0f, 0f)),
+      (4L, Seq(0f, 1f, 0f, 0f)), (5L, Seq(0f, 3f, 0f, 0f)),
+      (6L, Seq(0f, 0f, 1f, 0f)), (7L, Seq(0f, 0f, 0f, 1f)),
+      (8L, Seq(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 2, minCosine = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    try {
+      assert(out.size == 8)
+      // chain 1-2-3 collapses to cluster 1, keep only id 1
+      assert(out(1L) == (1L, true) && out(2L) == (1L, false)
+        && out(3L) == (1L, false))
+      // 4 and 5 are cosine-1 duplicates
+      assert(out(4L) == (4L, true) && out(5L) == (4L, false))
+      // singletons keep themselves
+      Seq(6L, 7L, 8L).foreach(i => assert(out(i) == (i, true), s"id $i"))
+      // deterministic across a fresh fit+run
+      val again = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+          k = 2, minCosine = 0.95)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+      assert(again == out)
+    } finally spark.catalog.clearCache()
+  }
+
   private implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = arr.map { case (a, b, c) => (a, b) -> c }.toMap
   }
