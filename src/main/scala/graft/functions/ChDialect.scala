@@ -791,6 +791,38 @@ object ChDialect {
           Seq(a, b))))
       builtin("aggregate")(Seq(prods, Literal(0.0),
         LambdaFunction(Add(acc, y), Seq(acc, y)))) },
+    // ---- vector distance family (registry names; the embedding
+    // story's SQL surface — same IEEE fold order as operators/Ann) ----
+    "dotProduct" -> { es => vecFold(es(0), es(1),
+      (a, b) => Multiply(a, b)) },
+    "L1Distance" -> { es => vecFold(es(0), es(1),
+      (a, b) => builtin("abs")(Seq(Subtract(a, b)))) },
+    "L2SquaredDistance" -> { es => vecFold(es(0), es(1),
+      (a, b) => Multiply(Subtract(a, b), Subtract(a, b))) },
+    "L2Distance" -> { es => builtin("sqrt")(Seq(vecFold(es(0), es(1),
+      (a, b) => Multiply(Subtract(a, b), Subtract(a, b))))) },
+    "LinfDistance" -> { es =>
+      val a = UnresolvedNamedLambdaVariable(Seq("__vd_a"))
+      val b = UnresolvedNamedLambdaVariable(Seq("__vd_b"))
+      builtin("array_max")(Seq(builtin("zip_with")(Seq(es(0), es(1),
+        LambdaFunction(builtin("abs")(Seq(Subtract(
+          Cast(a, DoubleType), Cast(b, DoubleType)))), Seq(a, b)))))) },
+    "L1Norm" -> { es => arrFold(es(0), a => builtin("abs")(Seq(a))) },
+    "L2Norm" -> { es =>
+      builtin("sqrt")(Seq(arrFold(es(0), a => Multiply(a, a)))) },
+    "L2SquaredNorm" -> { es => arrFold(es(0), a => Multiply(a, a)) },
+    "LinfNorm" -> { es =>
+      val a = UnresolvedNamedLambdaVariable(Seq("__vn_a"))
+      builtin("array_max")(Seq(builtin("transform")(Seq(es(0),
+        LambdaFunction(builtin("abs")(Seq(Cast(a, DoubleType))),
+          Seq(a)))))) },
+    // native one-pass kernel (functions.CosineSim) — codegen'd;
+    // double-cast so SQL decimal literals type-check
+    "cosineDistance" -> { es =>
+      Subtract(Literal(1.0), CosineSim(
+        Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType)))) },
+    "arrayCosineSimilarity" -> { es => CosineSim(
+      Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType))) },
     "arrayIntersect"   -> builtin("array_intersect"),
     "arrayReverseSort" -> { es =>
       builtin("sort_array")(Seq(es.head, Literal(false))) },
@@ -1021,6 +1053,32 @@ object ChDialect {
   /** Floor a timestamp to an n-second bucket (epoch arithmetic, the
     * reference's own bucketing). */
   private val geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Σ f(a_i, b_i) over zipped double-cast vectors — the sequential
+    * left fold whose IEEE order matches operators/Ann.dot. */
+  private def vecFold(a0: Expression, b0: Expression,
+      f: (Expression, Expression) => Expression): Expression = {
+    val a = UnresolvedNamedLambdaVariable(Seq("__vf_a"))
+    val b = UnresolvedNamedLambdaVariable(Seq("__vf_b"))
+    val acc = UnresolvedNamedLambdaVariable(Seq("__vf_acc"))
+    val y = UnresolvedNamedLambdaVariable(Seq("__vf_y"))
+    val terms = builtin("zip_with")(Seq(a0, b0,
+      LambdaFunction(f(Cast(a, DoubleType), Cast(b, DoubleType)), Seq(a, b))))
+    builtin("aggregate")(Seq(terms, Literal(0.0),
+      LambdaFunction(Add(acc, y), Seq(acc, y))))
+  }
+
+  /** Σ f(a_i) over a double-cast vector. */
+  private def arrFold(a0: Expression,
+      f: Expression => Expression): Expression = {
+    val a = UnresolvedNamedLambdaVariable(Seq("__af_a"))
+    val acc = UnresolvedNamedLambdaVariable(Seq("__af_acc"))
+    val y = UnresolvedNamedLambdaVariable(Seq("__af_y"))
+    val terms = builtin("transform")(Seq(a0,
+      LambdaFunction(f(Cast(a, DoubleType)), Seq(a))))
+    builtin("aggregate")(Seq(terms, Literal(0.0),
+      LambdaFunction(Add(acc, y), Seq(acc, y))))
+  }
 
   /** Nested-position aggregate wrap (the avgWeighted pattern). */
   private def wrapAggD(e: Expression): Expression = e match {

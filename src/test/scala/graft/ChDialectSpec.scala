@@ -670,6 +670,31 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(rt.getAs[Double]("_2") - 38.115556) < 1e-6)
   }
 
+  test("vector distance family: norms and distances on known vectors") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT
+        |  dotProduct(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS dp,
+        |  L1Distance(array(1.0, 2.0), array(4.0, 6.0)) AS l1,
+        |  L2Distance(array(1.0, 2.0), array(4.0, 6.0)) AS l2,
+        |  L2SquaredDistance(array(1.0, 2.0), array(4.0, 6.0)) AS l2s,
+        |  LinfDistance(array(1.0, 2.0), array(4.0, 6.0)) AS linf,
+        |  L1Norm(array(3.0, -4.0)) AS n1,
+        |  L2Norm(array(3.0, 4.0)) AS n2,
+        |  LinfNorm(array(3.0, -4.0)) AS ninf,
+        |  cosineDistance(array(1.0, 0.0), array(0.0, 1.0)) AS cd,
+        |  arrayCosineSimilarity(array(1.0, 1.0), array(1.0, 1.0)) AS cs
+        |""".stripMargin)
+    assert(r.getAs[Double]("dp") == 32.0)
+    assert(r.getAs[Double]("l1") == 7.0)
+    assert(r.getAs[Double]("l2") == 5.0 && r.getAs[Double]("l2s") == 25.0)
+    assert(r.getAs[Double]("linf") == 4.0)
+    assert(r.getAs[Double]("n1") == 7.0 && r.getAs[Double]("n2") == 5.0)
+    assert(r.getAs[Double]("ninf") == 4.0)
+    assert(r.getAs[Double]("cd") == 1.0)
+    assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
