@@ -738,6 +738,61 @@ object ChDialect {
           Literal("_2"), Divide(Add(ff("c"), ff("d")), Literal(2.0)))),
           Seq(fin)))) },
 
+    // ---- string/tokenize staples, round-9 gap sweep ----
+    "splitByWhitespace" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("__sw_x"))
+      builtin("filter")(Seq(
+        builtin("split")(Seq(es.head, Literal("\\s+"))),
+        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))) },
+    // alphanumeric tokens (CH tokens(): split at non-alphanumeric)
+    "tokens" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("__tk_x"))
+      builtin("filter")(Seq(
+        builtin("split")(Seq(es.head, Literal("[^\\p{L}\\p{N}]+"))),
+        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))) },
+    // character n-grams (CH ngrams(s, n))
+    "ngrams" -> { es =>
+      val i = UnresolvedNamedLambdaVariable(Seq("__ng_i"))
+      val len = builtin("length")(Seq(es(0)))
+      If(LessThan(len, es(1)),
+        Cast(CreateArray(Seq.empty), ArrayType(StringType)),
+        builtin("transform")(Seq(
+          builtin("sequence")(Seq(Literal(1),
+            Add(Subtract(len, es(1)), Literal(1)))),
+          LambdaFunction(builtin("substring")(Seq(es(0), i, es(1))),
+            Seq(i))))) },
+    "startsWith" -> builtin("startswith"),
+    "endsWith"   -> builtin("endswith"),
+    // Spark strings are validated/replaced on read — already valid
+    "toValidUTF8" -> { es => es.head },
+    // literal scrubbing for query fingerprinting: quoted strings and
+    // bare numbers become ? (the documented CH purpose; exact
+    // whitespace treatment is normalizeQuery's only divergence)
+    "normalizeQuery" -> { es =>
+      builtin("regexp_replace")(Seq(
+        builtin("regexp_replace")(Seq(es.head,
+          Literal("('([^'\\\\]|\\\\.)*')"), Literal("?"))),
+        Literal("(?<![a-zA-Z0-9_])-?\\d+(\\.\\d+)?"), Literal("?"))) },
+    "extractKeyValuePairs" -> { es =>
+      builtin("str_to_map")(Seq(es.head, Literal("[,;]\\s*"), Literal(":"))) },
+    // best-effort datetime parsing: ISO forms via cast, then the
+    // common European and compact spellings
+    "parseDateTimeBestEffort" -> { es =>
+      Coalesce(Seq(
+        builtin("try_to_timestamp")(Seq(es.head)),
+        builtin("try_to_timestamp")(Seq(es.head, Literal("dd/MM/yyyy HH:mm:ss"))),
+        builtin("try_to_timestamp")(Seq(es.head, Literal("dd/MM/yyyy"))),
+        builtin("try_to_timestamp")(Seq(es.head, Literal("yyyyMMddHHmmss"))),
+        builtin("try_to_timestamp")(Seq(es.head, Literal("yyyyMMdd"))))) },
+    // Twitter-epoch snowflake ids (CH snowflakeToDateTime contract)
+    "snowflakeToDateTime" -> { es =>
+      builtin("timestamp_millis")(Seq(Add(
+        ShiftRight(Cast(es.head, LongType), Literal(22)),
+        Literal(1288834974657L)))) },
+    "dateTimeToSnowflake" -> { es =>
+      ShiftLeft(Subtract(builtin("unix_millis")(Seq(es.head)),
+        Literal(1288834974657L)), Literal(22)) },
+
     // ---- misc ----
     "generateUUIDv4" -> builtin("uuid"),
     "roundBankers"   -> builtin("bround"),

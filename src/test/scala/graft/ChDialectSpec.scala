@@ -695,6 +695,40 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
   }
 
+  test("string/tokenize/datetime gap sweep: split, ngrams, kv, snowflake") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT
+        |  splitByWhitespace('a  b\tc') AS sw,
+        |  tokens('foo, bar!baz42') AS tk,
+        |  ngrams('abcd', 2) AS ng,
+        |  ngrams('ab', 3) AS ngShort,
+        |  startsWith('hello', 'he') AS sw2, endsWith('hello', 'lo') AS ew,
+        |  toValidUTF8('ok') AS tv,
+        |  normalizeQuery('SELECT 42, ''x'' FROM t WHERE a = 1.5') AS nq,
+        |  extractKeyValuePairs('a:1, b:2; c:3') AS kv,
+        |  parseDateTimeBestEffort('2024-03-15 13:45:00') AS iso,
+        |  parseDateTimeBestEffort('15/03/2024') AS eu,
+        |  snowflakeToDateTime(1426860702069764096) AS snow,
+        |  dateTimeToSnowflake(snowflakeToDateTime(1426860702069764096)) AS back
+        |""".stripMargin)
+    assert(r.getSeq[String](r.fieldIndex("sw")) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](r.fieldIndex("tk")) == Seq("foo", "bar", "baz42"))
+    assert(r.getSeq[String](r.fieldIndex("ng")) == Seq("ab", "bc", "cd"))
+    assert(r.getSeq[String](r.fieldIndex("ngShort")).isEmpty)
+    assert(r.getAs[Boolean]("sw2") && r.getAs[Boolean]("ew"))
+    assert(r.getAs[String]("tv") == "ok")
+    assert(r.getAs[String]("nq") == "SELECT ?, ? FROM t WHERE a = ?")
+    assert(r.getAs[Map[String, String]]("kv") ==
+      Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    assert(r.getAs[java.sql.Timestamp]("iso").toString.startsWith("2024-03-15 13:45"))
+    assert(r.getAs[java.sql.Timestamp]("eu").toString.startsWith("2024-03-15"))
+    // 1426860702069764096 >> 22 + twitter epoch → 2021-08-15T...Z
+    assert(r.getAs[java.sql.Timestamp]("snow").toInstant.toString.startsWith("2021-08"))
+    // roundtrip loses only the sub-ms sequence bits
+    assert(r.getAs[Long]("back") >> 22 == 1426860702069764096L >> 22)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
