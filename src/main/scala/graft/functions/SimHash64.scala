@@ -175,7 +175,8 @@ object GraftFunctions {
             s"bloom_contains(sketch, key) expected, got ${other.mkString(", ")}")
         }
       }
-    ) ++ ChDialect.descriptors ++ ChCombinators.descriptors
+    ) ++ ChDialect.descriptors ++ ChCombinators.descriptors ++
+      ChStateMerge.descriptors
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {

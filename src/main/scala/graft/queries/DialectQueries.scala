@@ -544,6 +544,46 @@ object DialectQueries {
           |  uniqExactIf(o_custkey, o_totalprice > 200000) AS ue
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // -State / -Merge combinators (functions/ChStateMerge) — the
+    // AggregatingMergeTree two-level contract: partial states at a
+    // FINE key (status × priority, the MV grain), merged to the
+    // COARSE key. The oracle is the ONE-LEVEL aggregate — equality
+    // proves the state encodings merge losslessly. DECIMAL sums keep
+    // the merge addition-order independent (the double cast happens
+    // once, after the exact merge); uniq (HLL) is spec-covered in
+    // ChCombinatorSpec instead (sketch estimates have no DuckDB twin).
+    "c33_ch_state_merge" -> Q(
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt,
+        |  MIN(o_orderdate) AS mnd,
+        |  MAX(o_orderdate) AS mxd,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS avgp,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS uc,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS chot
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderstatus,
+          |  CAST(sumMerge(ts) AS DOUBLE) AS total,
+          |  countMerge(cs) AS cnt,
+          |  minMerge(mns) AS mnd,
+          |  maxMerge(mxs) AS mxd,
+          |  avgMerge(avs) AS avgp,
+          |  uniqExactMerge(ues) AS uc,
+          |  countMerge(chs) AS chot
+          |FROM (
+          |  SELECT o_orderstatus, o_orderpriority,
+          |    sumState(CAST(o_totalprice AS DECIMAL(18,2))) AS ts,
+          |    countState() AS cs,
+          |    minState(o_orderdate) AS mns,
+          |    maxState(o_orderdate) AS mxs,
+          |    avgState(CAST(o_totalprice AS DECIMAL(18,2))) AS avs,
+          |    uniqExactState(o_custkey) AS ues,
+          |    countIfState(o_totalprice > 200000) AS chs
+          |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Query parameters through the front door (ASTQueryParameter.h:1):
     // {name:Type} placeholders render as TYPED literals — the oracle
     // states the substituted statement.
