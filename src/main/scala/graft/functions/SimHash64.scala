@@ -176,7 +176,7 @@ object GraftFunctions {
         }
       }
     ) ++ ChDialect.descriptors ++ ChCombinators.descriptors ++
-      ChStateMerge.descriptors
+      ChStateMerge.descriptors ++ MapAggNative.descriptors
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {

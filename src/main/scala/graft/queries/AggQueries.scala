@@ -241,6 +241,49 @@ object AggQueries {
         .orderBy("o_orderstatus")
     },
 
+    // The NATIVE -Map / -ForEach combinator kernels
+    // (functions/MapAggNative): single-expression keyed/positional
+    // reduction with O(distinct keys) state that folds map-side —
+    // the SQL front door a14's explode+re-group plan can't provide
+    // when the query's grouping can't change. Integral value policy
+    // keeps every compared cell exact; avgMap (double) is pinned in
+    // MapAggSpec instead.
+    "a21_map_foreach" -> Q(
+      """WITH per AS (
+        |  SELECT o_orderstatus, o_orderpriority AS p,
+        |    SUM(o_orderkey % 97) AS s, MIN(o_custkey % 89) AS mn,
+        |    COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus,
+        |  string_agg(p, ',' ORDER BY p) AS sk,
+        |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS sv,
+        |  string_agg(CAST(mn AS VARCHAR), ',' ORDER BY p) AS mv,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY p) AS cv,
+        |  CAST(SUM(s) AS VARCHAR) || ',' ||
+        |    CAST(SUM(c * 3) AS VARCHAR) || ',' ||
+        |    CAST(SUM(c) AS VARCHAR) AS fe
+        |FROM per GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).orders
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("sumMap(map(o_orderpriority, o_orderkey % 97))").as("sm"),
+          // the two-parallel-arrays CH spelling
+          expr("minMap(array(o_orderpriority), array(o_custkey % 89))").as("mm"),
+          expr("countMap(map(o_orderpriority, 1))").as("cm"),
+          expr("sumForEach(array(o_orderkey % 97, 3, 1))").as("fea"))
+        .select(col("o_orderstatus"),
+          array_join(map_keys(col("sm")), ",").as("sk"),
+          array_join(transform(map_values(col("sm")), _.cast("string")), ",")
+            .as("sv"),
+          array_join(transform(map_values(col("mm")), _.cast("string")), ",")
+            .as("mv"),
+          array_join(transform(map_values(col("cm")), _.cast("string")), ",")
+            .as("cv"),
+          array_join(transform(col("fea"), _.cast("string")), ",").as("fe"))
+        .orderBy("o_orderstatus")
+    },
+
     // min/max + conditional aggregates (ClickHouse countIf/sumIf).
     "a01_minmax" -> Q(
       """SELECT l_returnflag,
