@@ -59,6 +59,12 @@ object ChDialect {
     "toQuarter"      -> builtin("quarter"),
     "toDayOfYear"    -> builtin("dayofyear"),
     "toUnixTimestamp"   -> builtin("unix_timestamp"),
+    // DateTime64 epoch extractors (public CH names; Spark's
+    // unix_micros/millis take a timestamp directly)
+    "toUnixTimestamp64Micro" -> builtin("unix_micros"),
+    "toUnixTimestamp64Milli" -> builtin("unix_millis"),
+    "toUnixTimestamp64Nano"  -> { es =>
+      Multiply(builtin("unix_micros")(es), Literal(1000L)) },
     "fromUnixTimestamp" -> builtin("from_unixtime"),
     "toStartOfQuarter" -> { es => builtin("date_trunc")(Literal("QUARTER") +: es) },
     "toISOWeek"      -> builtin("weekofyear"), // Spark weekofyear IS ISO 8601
@@ -955,6 +961,19 @@ object ChDialect {
     "lttb"             -> { es => ChStats.lttb(es) },
     "maxIntersections" -> { es => ChStats.maxIntersections(es) },
     "maxIntersectionsPosition" -> { es => ChStats.maxIntersectionsPosition(es) },
+    // weighted top-k over the native keyed map aggregate; exact
+    // quantile bounds; interval union length; time-decayed family
+    "topKWeighted"      -> { es => ChStats.topKWeighted(es) },
+    "quantileExactLow"  -> { es => ChStats.quantileExactBound(low = true)(es) },
+    "quantileExactHigh" -> { es => ChStats.quantileExactBound(low = false)(es) },
+    "medianExactLow"    -> { es => ChStats.quantileExactBound(low = true)(es) },
+    "medianExactHigh"   -> { es => ChStats.quantileExactBound(low = false)(es) },
+    "groupArrayLast"    -> { es => ChStats.groupArrayLast(es) },
+    "intervalLengthSum" -> { es => ChStats.intervalLengthSum(es) },
+    "exponentialTimeDecayedSum"   -> { es => ChStats.timeDecayed("sum")(es) },
+    "exponentialTimeDecayedMax"   -> { es => ChStats.timeDecayed("max")(es) },
+    "exponentialTimeDecayedCount" -> { es => ChStats.timeDecayed("count")(es) },
+    "exponentialTimeDecayedAvg"   -> { es => ChStats.timeDecayed("avg")(es) },
     // compensated float summation is an engine detail here — Spark's
     // partial-agg double sum carries the same "a float sum" contract
     "sumKahan" -> builtin("sum"),

@@ -655,8 +655,12 @@ object ChSql {
     "MEDIAN", "MEDIANEXACT", "UNIQUPTO", "QUANTILEEXACTWEIGHTED",
     "QUANTILETIMING", "QUANTILEDETERMINISTIC",
     "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG",
-    "WINDOWFUNNEL")
-  private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT")
+    "WINDOWFUNNEL",
+    "QUANTILEEXACTLOW", "QUANTILEEXACTHIGH", "GROUPARRAYLAST",
+    "EXPONENTIALTIMEDECAYEDSUM", "EXPONENTIALTIMEDECAYEDMAX",
+    "EXPONENTIALTIMEDECAYEDCOUNT", "EXPONENTIALTIMEDECAYEDAVG")
+  private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
+    "TOPKWEIGHTED")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
     "UNIQHLL12")
 

@@ -409,4 +409,119 @@ private[graft] object ChStats {
     * non-negative here) — Catalyst's IntegralDivide. */
   private def Divide2(a: Expression, b: Expression): Expression =
     IntegralDivide(a, b)
+
+  // ---- round-9 additions: weighted top-k, exact quantile bounds, ----
+  // ---- interval union length, time-decayed aggregates            ----
+
+  /** topKWeighted(k, x, w) — the k values with the largest total
+    * weight. State is the native keyed map aggregate (MapAggNative):
+    * O(distinct values) per group, folded map-side — never a
+    * per-group collect of rows. Ties break on the value ascending,
+    * fully deterministic (CH's own topK is frequency-ordered with
+    * unspecified tie order; the deterministic refinement is what the
+    * oracle needs). */
+  def topKWeighted(es: Seq[Expression]): Expression = {
+    val k = Cast(es(0), IntegerType)
+    val x = es(1)
+    val w = if (es.size > 2) es(2) else Literal(1L)
+    val m = MapCombineAgg(CreateArray(Seq(x)), CreateArray(Seq(w)), "sum")
+      .toAggregateExpression()
+    val entries = ChDialect.builtin("map_entries")(Seq(m))
+    val e = fresh("e")
+    val keyed = ChDialect.builtin("transform")(Seq(entries,
+      LambdaFunction(CreateNamedStruct(Seq(
+        Literal("nw"), lit(0.0) - d(fld(e, "value")),
+        Literal("k"), fld(e, "key"))), Seq(e))))
+    val top = ChDialect.builtin("slice")(
+      Seq(ChDialect.builtin("sort_array")(Seq(keyed)), Literal(1), k))
+    val e2 = fresh("e")
+    ChDialect.builtin("transform")(Seq(top, LambdaFunction(fld(e2, "k"), Seq(e2))))
+  }
+
+  /** quantileExactLow/High(x, q): the exact element at
+    * floor/ceil(q·(n−1)) of the sorted group — CH's non-interpolating
+    * exact quantile pair. */
+  def quantileExactBound(low: Boolean)(es: Seq[Expression]): Expression = {
+    val x = es(0)
+    val q = if (es.size > 1) d(es(1)) else Literal(0.5)
+    val arr = ChDialect.builtin("sort_array")(
+      Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(x)))))
+    val n = ChDialect.builtin("size")(Seq(arr))
+    val pos = q * d(n - Literal(1))
+    val idx = if (low) ChDialect.builtin("floor")(Seq(pos))
+      else ChDialect.builtin("ceil")(Seq(pos))
+    ChDialect.builtin("element_at")(
+      Seq(arr, Cast(idx, IntegerType) + Literal(1)))
+  }
+
+  /** groupArrayLast(x, n): the last n elements in collection order
+    * (deterministic only under a declared order — the groupArray
+    * caveat CH documents too). */
+  def groupArrayLast(es: Seq[Expression]): Expression = {
+    val x = es(0)
+    val n = Cast(es(1), IntegerType)
+    val arr = wrapAgg(ChDialect.builtin("collect_list")(Seq(x)))
+    val sz = ChDialect.builtin("size")(Seq(arr))
+    ChDialect.builtin("slice")(Seq(arr,
+      Greatest(Seq(sz - n + Literal(1), Literal(1))), n))
+  }
+
+  /** intervalLengthSum(s, e): total length of the UNION of the
+    * group's [s, e) intervals (overlaps counted once, inverted
+    * intervals contribute 0). Sorted start-order fold tracking the
+    * covered frontier — the same boundary-sweep state family as
+    * maxIntersections. */
+  def intervalLengthSum(es: Seq[Expression]): Expression = {
+    val entry = CreateNamedStruct(Seq(
+      Literal("s"), d(es(0)), Literal("e"), d(es(1))))
+    val arr = ChDialect.builtin("sort_array")(
+      Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)))))
+    def accOf(cov: Expression, tot: Expression): Expression =
+      CreateNamedStruct(Seq(Literal("cov"), cov, Literal("tot"), tot))
+    val a = fresh("acc"); val e = fresh("e")
+    val lo = Greatest(Seq(fld(e, "s"), fld(a, "cov")))
+    val add = Greatest(Seq(lit(0.0), fld(e, "e") - lo))
+    val merge = LambdaFunction(
+      accOf(Greatest(Seq(fld(a, "cov"), fld(e, "e"))), fld(a, "tot") + add),
+      Seq(a, e))
+    fld(ChDialect.builtin("aggregate")(
+      Seq(arr, accOf(lit(Double.NegativeInfinity), lit(0.0)), merge)), "tot")
+  }
+
+  /** exponentialTimeDecayed{Sum,Max,Count,Avg}: each event decays by
+    * exp(−Δt/x) to the group's LATEST time. One time-sorted fold with
+    * running renormalization (acc·exp((t_prev−t_cur)/x) at each step)
+    * — numerically stable where the closed form exp(t/x) overflows
+    * for epoch-scale t. Merged arg orders from the parametric
+    * rewrite: Sum/Max (v, t, x); Count (t, x). */
+  def timeDecayed(kind: String)(es: Seq[Expression]): Expression = {
+    val (v, t, x) =
+      if (kind == "count") (Literal(1.0): Expression, d(es(0)), d(es(1)))
+      else (d(es(0)), d(es(1)), d(es(2)))
+    val entry = CreateNamedStruct(Seq(Literal("t"), t, Literal("v"), v))
+    val arr = ChDialect.builtin("sort_array")(
+      Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)))))
+    def accOf(lt: Expression, s: Expression, c: Expression,
+        m: Expression): Expression =
+      CreateNamedStruct(Seq(Literal("lt"), lt, Literal("s"), s,
+        Literal("c"), c, Literal("m"), m))
+    val a = fresh("acc"); val e = fresh("e")
+    val et = fld(e, "t"); val ev = fld(e, "v")
+    val dec = exp((fld(a, "lt") - et) / x)
+    val stepped = accOf(et,
+      fld(a, "s") * dec + ev,
+      fld(a, "c") * dec + lit(1.0),
+      Greatest(Seq(fld(a, "m") * dec, ev)))
+    val merge = LambdaFunction(
+      If(IsNull(fld(a, "lt")), accOf(et, ev, lit(1.0), ev), stepped),
+      Seq(a, e))
+    val folded = ChDialect.builtin("aggregate")(Seq(arr,
+      accOf(Literal(null, DoubleType), lit(0.0), lit(0.0), lit(0.0)), merge))
+    kind match {
+      case "sum"   => fld(folded, "s")
+      case "count" => fld(folded, "c")
+      case "max"   => fld(folded, "m")
+      case "avg"   => fld(folded, "s") / fld(folded, "c")
+    }
+  }
 }

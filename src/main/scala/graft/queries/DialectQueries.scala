@@ -584,6 +584,92 @@ object DialectQueries {
           |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Round-9 aggregate extras: weighted top-k (native keyed-map
+    // state), exact quantile bounds (floor/ceil of q·(n−1) on the
+    // sorted group), interval union length (covered-frontier sweep,
+    // the DuckDB twin spells the same sweep with a running-max
+    // window). Integral weights/lengths keep every cell exact.
+    "c34_ch_agg_extras2" -> Q(
+      """WITH w AS (
+        |  SELECT o_orderstatus, o_orderpriority AS p,
+        |    SUM(o_orderkey % 100) AS s
+        |  FROM orders GROUP BY 1, 2),
+        |tk AS (
+        |  SELECT o_orderstatus,
+        |    string_agg(p, ',' ORDER BY s DESC, p) FILTER (WHERE rk <= 3) AS topw
+        |  FROM (SELECT o_orderstatus, p, s,
+        |          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |            ORDER BY s DESC, p) AS rk FROM w)
+        |  GROUP BY 1),
+        |qs AS (
+        |  SELECT o_orderstatus,
+        |    (list_sort(list(CAST(o_totalprice AS DECIMAL(18,2)))))
+        |      [CAST(FLOOR(0.3 * (COUNT(*) - 1)) AS INT) + 1]::DOUBLE AS qlo,
+        |    (list_sort(list(CAST(o_totalprice AS DECIMAL(18,2)))))
+        |      [CAST(CEIL(0.3 * (COUNT(*) - 1)) AS INT) + 1] AS qhi
+        |  FROM orders GROUP BY 1),
+        |iv AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_orderkey % 50 AS DOUBLE) AS s,
+        |    CAST(o_orderkey % 50 + o_custkey % 7 AS DOUBLE) AS e
+        |  FROM orders),
+        |sw AS (
+        |  SELECT o_orderstatus, s, e,
+        |    MAX(e) OVER (PARTITION BY o_orderstatus ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cov
+        |  FROM iv),
+        |il AS (
+        |  SELECT o_orderstatus,
+        |    SUM(GREATEST(0, e - GREATEST(s, COALESCE(cov, -1e300)))) AS ilen
+        |  FROM sw GROUP BY 1)
+        |SELECT tk.o_orderstatus, tk.topw, qs.qlo, qs.qhi, il.ilen
+        |FROM tk JOIN qs ON tk.o_orderstatus = qs.o_orderstatus
+        |        JOIN il ON tk.o_orderstatus = il.o_orderstatus
+        |ORDER BY tk.o_orderstatus""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderstatus,
+          |  arrayStringConcat(
+          |    topKWeighted(3)(o_orderpriority, o_orderkey % 100), ',') AS topw,
+          |  toFloat64(quantileExactLow(0.3)(CAST(o_totalprice AS DECIMAL(18,2)))) AS qlo,
+          |  toFloat64(quantileExactHigh(0.3)(CAST(o_totalprice AS DECIMAL(18,2)))) AS qhi,
+          |  intervalLengthSum(CAST(o_orderkey % 50 AS DOUBLE),
+          |    CAST(o_orderkey % 50 + o_custkey % 7 AS DOUBLE)) AS ilen
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // exponentialTimeDecayed{Sum,Count,Avg,Max} — each event decayed
+    // by exp(−Δt/x) to the group's latest time. The fold renormalizes
+    // running sums step-by-step (stable at epoch scale); the oracle
+    // spells the mathematically-equal closed form Σ v·exp((t−tmax)/x);
+    // round(6) absorbs the last-ulp addition-order difference.
+    "c35_ch_time_decay" -> Q(
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    epoch_us(ts) / 1e6 AS t
+        |  FROM events),
+        |m AS (SELECT event_type, MAX(t) AS tmax FROM e GROUP BY 1)
+        |SELECT e.event_type,
+        |  ROUND(SUM(v * EXP((t - tmax) / 86400)), 6) AS dsum,
+        |  ROUND(SUM(EXP((t - tmax) / 86400)), 6) AS dcnt,
+        |  ROUND(SUM(v * EXP((t - tmax) / 86400))
+        |    / SUM(EXP((t - tmax) / 86400)), 6) AS davg,
+        |  ROUND(MAX(v * EXP((t - tmax) / 86400)), 6) AS dmax
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).events.createOrReplaceTempView("events")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT event_type,
+          |  round(exponentialTimeDecayedSum(86400)(
+          |    toFloat64(value), toUnixTimestamp64Micro(ts) / 1e6), 6) AS dsum,
+          |  round(exponentialTimeDecayedCount(86400)(
+          |    toUnixTimestamp64Micro(ts) / 1e6), 6) AS dcnt,
+          |  round(exponentialTimeDecayedAvg(86400)(
+          |    toFloat64(value), toUnixTimestamp64Micro(ts) / 1e6), 6) AS davg,
+          |  round(exponentialTimeDecayedMax(86400)(
+          |    toFloat64(value), toUnixTimestamp64Micro(ts) / 1e6), 6) AS dmax
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+    },
+
     // Query parameters through the front door (ASTQueryParameter.h:1):
     // {name:Type} placeholders render as TYPED literals — the oracle
     // states the substituted statement.

@@ -729,6 +729,51 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getAs[Long]("back") >> 22 == 1426860702069764096L >> 22)
   }
 
+  test("topKWeighted / quantileExact bounds / groupArrayLast / intervalLengthSum") {
+    GraftFunctions.ensureRegistered(spark)
+    // topKWeighted: by total weight desc, value-asc tie-break
+    val tk = spark.sql(graft.functions.ChSql.translate(
+      """SELECT topKWeighted(2)(k, w) AS t FROM VALUES
+        |  ('a', 1), ('b', 5), ('a', 3), ('c', 4), ('d', 4)
+        |  AS t(k, w)""".stripMargin)).collect().head
+    assert(tk.getSeq[String](0) == Seq("b", "a")) // b=5, a=4, c=4(tie→c later), d=4
+    // quantileExactLow/High: sorted [1,2,3,4], q=0.5 → pos 1.5 → low 2, high 3
+    val q = spark.sql(graft.functions.ChSql.translate(
+      """SELECT quantileExactLow(0.5)(v) AS lo, quantileExactHigh(0.5)(v) AS hi
+        |FROM VALUES (3), (1), (4), (2) AS t(v)""".stripMargin)).collect().head
+    assert(q.getInt(0) == 2 && q.getInt(1) == 3)
+    // groupArrayLast over a single partition with a declared order
+    val ga = spark.sql(graft.functions.ChSql.translate(
+      "SELECT groupArrayLast(2)(v) AS g FROM " +
+        "(SELECT v FROM VALUES (1), (2), (3), (4) AS t(v) ORDER BY v)"))
+      .coalesce(1).collect().head
+    assert(ga.getSeq[Int](0) == Seq(3, 4))
+    // intervalLengthSum: [0,5) ∪ [3,7) ∪ [10,11) ∪ inverted [9,2) → 7+1
+    val il = spark.sql(graft.functions.ChSql.translate(
+      """SELECT intervalLengthSum(s, e) AS l FROM VALUES
+        |  (0.0, 5.0), (3.0, 7.0), (10.0, 11.0), (9.0, 2.0)
+        |  AS t(s, e)""".stripMargin)).collect().head
+    assert(il.getDouble(0) == 8.0)
+  }
+
+  test("exponentialTimeDecayed family matches hand computation") {
+    GraftFunctions.ensureRegistered(spark)
+    // events at t=0 (v=4), t=10 (v=2); x=10 → at t=10:
+    // dsum = 4/e + 2; dcnt = 1/e + 1; dmax = max(4/e, 2) = 2
+    val r = spark.sql(graft.functions.ChSql.translate(
+      """SELECT exponentialTimeDecayedSum(10.0)(v, t) AS s,
+        |  exponentialTimeDecayedCount(10.0)(t) AS c,
+        |  exponentialTimeDecayedAvg(10.0)(v, t) AS a,
+        |  exponentialTimeDecayedMax(10.0)(v, t) AS m
+        |FROM VALUES (4.0, 0.0), (2.0, 10.0) AS t(v, t)""".stripMargin))
+      .collect().head
+    val e1 = math.exp(-1.0)
+    assert(math.abs(r.getDouble(0) - (4 * e1 + 2)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - (e1 + 1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - (4 * e1 + 2) / (e1 + 1)) < 1e-12)
+    assert(r.getDouble(3) == 2.0)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
