@@ -325,6 +325,8 @@ object ChDialect {
     "arrayConcat"   -> builtin("concat"),
     "arrayJoin"     -> builtin("explode"),
     "arrayStringConcat" -> builtin("array_join"),
+    // arr[n] 1-based with negative-from-end, exactly element_at
+    "arrayElement" -> builtin("element_at"),
 
     // ---- string search & replace (likePatternToRegexp.h is the
     // reference's LIKE machinery; these are the registry names around
@@ -974,6 +976,20 @@ object ChDialect {
     "exponentialTimeDecayedMax"   -> { es => ChStats.timeDecayed("max")(es) },
     "exponentialTimeDecayedCount" -> { es => ChStats.timeDecayed("count")(es) },
     "exponentialTimeDecayedAvg"   -> { es => ChStats.timeDecayed("avg")(es) },
+    // categorical-association family over the native contingency-map
+    // aggregate, rank correlation, z-test, matrices, ROC AUC
+    "cramersV"    -> { es => ChStats2.cramersV(es) },
+    "cramersVBiasCorrected" -> { es =>
+      ChStats2.cramersV(es, corrected = true) },
+    "contingency" -> { es => ChStats2.contingency(es) },
+    "theilsU"     -> { es => ChStats2.theilsU(es) },
+    "categoricalInformationValue" -> { es => ChStats2.categoricalIV(es) },
+    "rankCorr"    -> { es =>
+      RankCorrAgg(es(0), es(1)).toAggregateExpression() },
+    "meanZTest"   -> { es => ChStats2.meanZTest(es) },
+    "corrMatrix"      -> { es => ChStats2.matrixOf(covar = false)(es) },
+    "covarSampMatrix" -> { es => ChStats2.matrixOf(covar = true)(es) },
+    "arrayAUC"    -> { es => ChStats2.arrayAUC(es) },
     // compensated float summation is an engine detail here — Spark's
     // partial-agg double sum carries the same "a float sum" contract
     "sumKahan" -> builtin("sum"),

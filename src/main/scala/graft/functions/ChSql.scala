@@ -658,7 +658,8 @@ object ChSql {
     "WINDOWFUNNEL",
     "QUANTILEEXACTLOW", "QUANTILEEXACTHIGH", "GROUPARRAYLAST",
     "EXPONENTIALTIMEDECAYEDSUM", "EXPONENTIALTIMEDECAYEDMAX",
-    "EXPONENTIALTIMEDECAYEDCOUNT", "EXPONENTIALTIMEDECAYEDAVG")
+    "EXPONENTIALTIMEDECAYEDCOUNT", "EXPONENTIALTIMEDECAYEDAVG",
+    "MEANZTEST")
   private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
     "TOPKWEIGHTED")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",

@@ -941,6 +941,139 @@ object DialectQueries {
           |  round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Categorical-association family over the native contingency-map
+    // aggregate (ChStats2): χ² from the joint map via Σn²/e − N (empty
+    // cells need no enumeration), Cramér's V (plain + Bergsma
+    // bias-corrected), Pearson's contingency coefficient, Theil's U
+    // uncertainty coefficient, and the scorecard information value.
+    // The oracle rebuilds the same contingency table with GROUP BY
+    // CTEs and spells the identical formulas.
+    "c36_ch_contingency" -> Q(
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS y, o_orderpriority AS a,
+        |    o_orderstatus AS b, (o_totalprice > 150000) AS tag
+        |  FROM orders),
+        |j  AS (SELECT y, a, b, CAST(COUNT(*) AS DOUBLE) c
+        |       FROM base GROUP BY 1, 2, 3),
+        |ma AS (SELECT y, a, SUM(c) ca FROM j GROUP BY 1, 2),
+        |mb AS (SELECT y, b, SUM(c) cb FROM j GROUP BY 1, 2),
+        |rc AS (SELECT y, CAST(COUNT(DISTINCT a) AS DOUBLE) r,
+        |         CAST(COUNT(DISTINCT b) AS DOUBLE) c,
+        |         CAST(COUNT(*) AS DOUBLE) n
+        |       FROM base GROUP BY 1),
+        |chi AS (
+        |  SELECT j.y, SUM(j.c*j.c/(ma.ca*mb.cb/rc.n)) - MAX(rc.n) AS chi2
+        |  FROM j JOIN ma ON j.y = ma.y AND j.a = ma.a
+        |         JOIN mb ON j.y = mb.y AND j.b = mb.b
+        |         JOIN rc ON j.y = rc.y
+        |  GROUP BY j.y),
+        |hx AS (
+        |  SELECT ma.y, -SUM((ca/rc.n)*LN(ca/rc.n)) AS hx
+        |  FROM ma JOIN rc ON ma.y = rc.y GROUP BY ma.y),
+        |hxy AS (
+        |  SELECT j.y, -SUM((j.c/rc.n)*LN(j.c/mb.cb)) AS hxy
+        |  FROM j JOIN mb ON j.y = mb.y AND j.b = mb.b
+        |         JOIN rc ON j.y = rc.y
+        |  GROUP BY j.y),
+        |i1 AS (SELECT y, a, CAST(COUNT(*) AS DOUBLE) c1 FROM base
+        |       WHERE tag GROUP BY 1, 2),
+        |i0 AS (SELECT y, a, CAST(COUNT(*) AS DOUBLE) c0 FROM base
+        |       WHERE NOT tag GROUP BY 1, 2),
+        |nt AS (SELECT y,
+        |         CAST(SUM(CASE WHEN tag THEN 1 ELSE 0 END) AS DOUBLE) n1,
+        |         CAST(SUM(CASE WHEN tag THEN 0 ELSE 1 END) AS DOUBLE) n0
+        |       FROM base GROUP BY 1),
+        |iv AS (
+        |  SELECT i1.y,
+        |    SUM((c1/n1 - c0/n0) * LN((c1/n1)/(c0/n0))) AS iv
+        |  FROM i1 JOIN i0 ON i1.y = i0.y AND i1.a = i0.a
+        |          JOIN nt ON i1.y = nt.y
+        |  GROUP BY i1.y)
+        |SELECT rc.y,
+        |  ROUND(SQRT(chi2/(n*(LEAST(r, c) - 1))), 6) AS cv,
+        |  ROUND(SQRT(GREATEST(0, chi2/n - (r-1)*(c-1)/(n-1)) /
+        |    (LEAST(r - (r-1)*(r-1)/(n-1), c - (c-1)*(c-1)/(n-1)) - 1)), 6) AS cvb,
+        |  ROUND(SQRT(chi2/(chi2 + n)), 6) AS cg,
+        |  ROUND((hx.hx - hxy.hxy)/hx.hx, 6) AS tu,
+        |  ROUND(iv.iv, 6) AS iv
+        |FROM rc JOIN chi ON rc.y = chi.y JOIN hx ON rc.y = hx.y
+        |        JOIN hxy ON rc.y = hxy.y JOIN iv ON rc.y = iv.y
+        |ORDER BY rc.y""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT toYear(o_orderdate) AS y,
+          |  round(cramersV(o_orderpriority, o_orderstatus), 6) AS cv,
+          |  round(cramersVBiasCorrected(o_orderpriority, o_orderstatus), 6) AS cvb,
+          |  round(contingency(o_orderpriority, o_orderstatus), 6) AS cg,
+          |  round(theilsU(o_orderpriority, o_orderstatus), 6) AS tu,
+          |  round(arrayElement(
+          |    categoricalInformationValue(o_orderpriority,
+          |      o_totalprice > 150000), 1), 6) AS iv
+          |FROM orders GROUP BY y ORDER BY y""".stripMargin)),
+
+    // rankCorr (Spearman with average-rank ties — two sorted folds +
+    // Pearson over rank pairs) and meanZTest (known-variance z test
+    // with Winitzki-erfinv confidence bounds). The oracle ranks with
+    // window functions (rank + (ties−1)/2 = the same average rank)
+    // and spells the identical z/p/erfinv arithmetic.
+    "c37_ch_rank_corr" -> Q(
+      """WITH e AS (
+        |  SELECT event_type AS et, CAST(value AS DOUBLE) v,
+        |    CAST(user_id % 2 AS INT) AS g,
+        |    CAST(user_id % 97 AS DOUBLE) AS u
+        |  FROM events),
+        |r AS (
+        |  SELECT et,
+        |    rank() OVER (PARTITION BY et ORDER BY v)
+        |      + (COUNT(*) OVER (PARTITION BY et, v) - 1)/2.0 AS rx,
+        |    rank() OVER (PARTITION BY et ORDER BY u)
+        |      + (COUNT(*) OVER (PARTITION BY et, u) - 1)/2.0 AS ry
+        |  FROM e),
+        |rc AS (SELECT et, CORR(rx, ry) AS rc FROM r GROUP BY et),
+        |s AS (
+        |  SELECT et,
+        |    CAST(COUNT(*) FILTER (WHERE g = 0) AS DOUBLE) AS n1,
+        |    CAST(COUNT(*) FILTER (WHERE g <> 0) AS DOUBLE) AS n2,
+        |    SUM(v) FILTER (WHERE g = 0) AS s1,
+        |    SUM(v) FILTER (WHERE g <> 0) AS s2
+        |  FROM e GROUP BY et),
+        |z AS (
+        |  SELECT et, n1, n2,
+        |    s1/n1 - s2/n2 AS md,
+        |    SQRT(2.0/n1 + 2.0/n2) AS se,
+        |    (s1/n1 - s2/n2) / SQRT(2.0/n1 + 2.0/n2) AS zs
+        |  FROM s),
+        |p AS (
+        |  SELECT et, zs, md, se,
+        |    ABS(zs)/SQRT(2.0) AS x,
+        |    1.0/(1.0 + 0.3275911*(ABS(zs)/SQRT(2.0))) AS uu,
+        |    2.0/(PI()*0.147) + LN(1.0 - 0.95*0.95)/2.0 AS t0
+        |  FROM z),
+        |f AS (
+        |  SELECT et, zs, md, se,
+        |    GREATEST(0.0, uu*(0.254829592 + uu*(-0.284496736 +
+        |      uu*(1.421413741 + uu*(-1.453152027 + uu*1.061405429))))
+        |      * EXP(-(x*x))) AS pv,
+        |    SQRT(2.0) * SQRT(SQRT(t0*t0 - LN(1.0 - 0.95*0.95)/0.147) - t0) AS zc
+        |  FROM p)
+        |SELECT f.et AS event_type,
+        |  ROUND(rc.rc, 6) AS rcorr,
+        |  ROUND(f.zs, 6) AS z_stat, ROUND(f.pv, 6) AS z_p,
+        |  ROUND(f.md - f.zc*f.se, 6) AS ci_lo,
+        |  ROUND(f.md + f.zc*f.se, 6) AS ci_hi
+        |FROM f JOIN rc ON f.et = rc.et ORDER BY event_type""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  round(rankCorr(value, toFloat64(modulo(user_id, 97))), 6) AS rcorr,
+          |  round(tupleElement(meanZTest(2.0, 2.0, 0.95)(
+          |    value, modulo(user_id, 2)), 1), 6) AS z_stat,
+          |  round(tupleElement(meanZTest(2.0, 2.0, 0.95)(
+          |    value, modulo(user_id, 2)), 2), 6) AS z_p,
+          |  round(tupleElement(meanZTest(2.0, 2.0, 0.95)(
+          |    value, modulo(user_id, 2)), 3), 6) AS ci_lo,
+          |  round(tupleElement(meanZTest(2.0, 2.0, 0.95)(
+          |    value, modulo(user_id, 2)), 4), 6) AS ci_hi
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // boundingRatio + the interval-sweep aggregates per event_type.
     // Intervals are [value, value + 10): the oracle's +1/-1 running
     // sum over sorted boundaries is the same sweep ChStats folds;

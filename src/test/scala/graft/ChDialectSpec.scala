@@ -774,6 +774,68 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getDouble(3) == 2.0)
   }
 
+  test("contingency family: perfect association, independence, IV") {
+    GraftFunctions.ensureRegistered(spark)
+    def one(rows: String, sel: String): org.apache.spark.sql.Row =
+      spark.sql(graft.functions.ChSql.translate(
+        s"SELECT $sel FROM VALUES $rows AS t(a, b)")).collect().head
+    // perfect 2×2 association → χ² = N → V = 1, U = 1
+    val perf = one("('a','x'), ('a','x'), ('b','y'), ('b','y')",
+      "cramersV(a, b) AS cv, theilsU(a, b) AS tu, contingency(a, b) AS cg")
+    assert(math.abs(perf.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(perf.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(perf.getDouble(2) - math.sqrt(0.5)) < 1e-12)
+    // independence → χ² = 0 → everything 0
+    val ind = one("('a','x'), ('a','y'), ('b','x'), ('b','y')",
+      "cramersV(a, b) AS cv, theilsU(a, b) AS tu, contingency(a, b) AS cg")
+    assert(math.abs(ind.getDouble(0)) < 1e-7 &&
+      math.abs(ind.getDouble(1)) < 1e-12 && math.abs(ind.getDouble(2)) < 1e-7)
+    // IV on a planted scorecard: (3/4−1/4)ln3 + (1/4−3/4)ln(1/3) = ln 3
+    val iv = spark.sql(graft.functions.ChSql.translate(
+      """SELECT arrayElement(categoricalInformationValue(c, t), 1) AS iv
+        |FROM VALUES ('g', true), ('g', true), ('g', true), ('g', false),
+        |  ('b', true), ('b', false), ('b', false), ('b', false)
+        |  AS t(c, t)""".stripMargin)).collect().head
+    assert(math.abs(iv.getDouble(0) - math.log(3.0)) < 1e-12)
+  }
+
+  test("rankCorr, arrayAUC, corr/covar matrices") {
+    GraftFunctions.ensureRegistered(spark)
+    // monotone → 1; anti-monotone → −1
+    val mono = spark.sql(graft.functions.ChSql.translate(
+      """SELECT rankCorr(x, y) AS up, rankCorr(x, -y) AS dn
+        |FROM VALUES (1.0, 2.0), (2.0, 7.0), (3.0, 9.0), (4.0, 11.0)
+        |  AS t(x, y)""".stripMargin)).collect().head
+    assert(mono.getDouble(0) == 1.0 && mono.getDouble(1) == -1.0)
+    // ties: rx = [1, 2.5, 2.5, 4], ry = [1..4]; hand Pearson
+    val tied = spark.sql(graft.functions.ChSql.translate(
+      """SELECT rankCorr(x, y) AS r FROM VALUES
+        |  (1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0)
+        |  AS t(x, y)""".stripMargin)).collect().head
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(1.0, 2.0, 3.0, 4.0)
+    val n = 4.0
+    val cov = rx.zip(ry).map { case (a, b) => a * b }.sum -
+      rx.sum * ry.sum / n
+    val vx = rx.map(a => a * a).sum - rx.sum * rx.sum / n
+    val vy = ry.map(a => a * a).sum - ry.sum * ry.sum / n
+    assert(math.abs(tied.getDouble(0) - cov / math.sqrt(vx * vy)) < 1e-12)
+    // textbook AUC fixture
+    val auc = spark.sql(graft.functions.ChSql.translate(
+      "SELECT arrayAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1)) AS a"))
+      .collect().head
+    assert(auc.getDouble(0) == 0.75)
+    // matrices: diagonal 1 / variances, symmetric
+    val m = spark.sql(graft.functions.ChSql.translate(
+      """SELECT corrMatrix(x, y) AS cm, covarSampMatrix(x, y) AS vm
+        |FROM VALUES (1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 3.0)
+        |  AS t(x, y)""".stripMargin)).collect().head
+    val cm = m.getSeq[Seq[Double]](0)
+    assert(math.abs(cm(0)(0) - 1.0) < 1e-12 && math.abs(cm(1)(1) - 1.0) < 1e-12)
+    assert(cm(0)(1) == cm(1)(0))
+    val vm = m.getSeq[Seq[Double]](1)
+    assert(math.abs(vm(0)(0) - 5.0 / 3.0) < 1e-12) // var_samp of 1..4
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)")) {
