@@ -398,6 +398,9 @@ object ChDialect {
       "use x - lag(x, 1) OVER (ORDER BY …)"),
     "runningAccumulate" -> refuse("runningAccumulate",
       "use sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)"),
+    "nonNegativeDerivative" -> refuse("nonNegativeDerivative",
+      "use greatest(0, (x - lag(x) OVER w) / (unix_micros(t) - " +
+        "lag(unix_micros(t)) OVER w)) with a declared window order"),
 
     // ---- IPv4 domain (DataTypeCustomIPv4AndIPv6.cpp — IPv4 is a
     // UInt32 with dotted-quad presentation; our DDL maps the TYPE to
@@ -990,6 +993,15 @@ object ChDialect {
     "corrMatrix"      -> { es => ChStats2.matrixOf(covar = false)(es) },
     "covarSampMatrix" -> { es => ChStats2.matrixOf(covar = true)(es) },
     "arrayAUC"    -> { es => ChStats2.arrayAUC(es) },
+    // declared-order delta sum; positional insert; unicode bar chart;
+    // EMA = the e-base decayed mean at half-life/ln 2
+    "deltaSumTimestamp"  -> { es => ChStats2.deltaSumTimestamp(es) },
+    "groupArrayInsertAt" -> { es => ChStats2.groupArrayInsertAt(es) },
+    "sparkbar" -> { es => ChStats2.sparkbar(es) },
+    "exponentialMovingAverage" -> { es =>
+      // 2^(−Δt/hl) = e^(−Δt/(hl/ln2)): reuse the decayed-avg fold
+      val hl = Divide(Cast(es(2), DoubleType), Literal(math.log(2.0)))
+      ChStats.timeDecayed("avg")(Seq(es(0), es(1), hl)) },
     // compensated float summation is an engine detail here — Spark's
     // partial-agg double sum carries the same "a float sum" contract
     "sumKahan" -> builtin("sum"),

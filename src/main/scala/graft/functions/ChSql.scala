@@ -659,9 +659,9 @@ object ChSql {
     "QUANTILEEXACTLOW", "QUANTILEEXACTHIGH", "GROUPARRAYLAST",
     "EXPONENTIALTIMEDECAYEDSUM", "EXPONENTIALTIMEDECAYEDMAX",
     "EXPONENTIALTIMEDECAYEDCOUNT", "EXPONENTIALTIMEDECAYEDAVG",
-    "MEANZTEST")
+    "MEANZTEST", "EXPONENTIALMOVINGAVERAGE")
   private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
-    "TOPKWEIGHTED")
+    "TOPKWEIGHTED", "SPARKBAR")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
     "UNIQHLL12")
 

@@ -292,4 +292,104 @@ private[graft] object ChStats2 {
     val np = fld(sums, "np"); val nn = fld(sums, "nn")
     (fld(sums, "rp") - np * (np + lit(1.0)) / lit(2.0)) / (np * nn)
   }
+
+  /** deltaSumTimestamp(v, t): Σ of POSITIVE deltas between
+    * t-consecutive values (the first row contributes nothing) — the
+    * declared-order cousin of the refused block-order deltaSum. One
+    * time-sorted fold, state O(group). */
+  def deltaSumTimestamp(es: Seq[Expression]): Expression = {
+    val v = d(es(0)); val t = d(es(1))
+    val arr = builtin("sort_array")(Seq(wrapAgg(builtin("collect_list")(Seq(
+      CreateNamedStruct(Seq(Literal("t"), t, Literal("v"), v)))))))
+    def accOf(last: Expression, s: Expression): Expression =
+      CreateNamedStruct(Seq(Literal("last"), last, Literal("s"), s))
+    val acc = fresh("acc"); val e = fresh("e")
+    val ev = fld(e, "v")
+    val step = If(IsNull(fld(acc, "last")), accOf(ev, lit(0.0)),
+      accOf(ev, fld(acc, "s") +
+        Greatest(Seq(lit(0.0), ev - fld(acc, "last")))))
+    fld(builtin("aggregate")(Seq(arr,
+      accOf(Literal(null, DoubleType), lit(0.0)),
+      LambdaFunction(step, Seq(acc, e)))), "s")
+  }
+
+  /** groupArrayInsertAt(x, pos): the array whose slot `pos` (0-based)
+    * holds an inserted value; empty slots are NULL (the Nullable
+    * realization of CH's type-default padding) and colliding inserts
+    * resolve to the MINIMUM (a deterministic refinement of CH's
+    * "any of them"). State = the native keyed min-map, O(slots). */
+  def groupArrayInsertAt(es: Seq[Expression]): Expression = {
+    val x = Cast(es(0), StringType)
+    val pos = Cast(es(1), LongType)
+    val m = MapCombineAgg(CreateArray(Seq(pos)), CreateArray(Seq(Literal(1L))),
+      "count").toAggregateExpression()
+    // value per slot: min-by over (pos → value) — a second keyed map
+    // with string values is out of the kernel's numeric domain, so
+    // pair (pos, value) into a sortable struct set and first-per-pos
+    val pairs = builtin("sort_array")(Seq(wrapAgg(builtin("collect_set")(Seq(
+      CreateNamedStruct(Seq(Literal("p"), pos, Literal("x"), x)))))))
+    val maxPos = builtin("array_max")(Seq(builtin("map_keys")(Seq(m))))
+    val i = fresh("i"); val pr = fresh("pr")
+    val slotVal = { (idx: Expression) =>
+      val hits = builtin("filter")(Seq(pairs,
+        LambdaFunction(EqualTo(fld(pr, "p"), idx), Seq(pr))))
+      If(EqualTo(builtin("size")(Seq(hits)), Literal(0)),
+        Literal(null, StringType),
+        fld(builtin("element_at")(Seq(hits, Literal(1))), "x"))
+    }
+    builtin("transform")(Seq(
+      builtin("sequence")(Seq(Literal(0L), maxPos)),
+      LambdaFunction(slotVal(i), Seq(i))))
+  }
+
+  /** sparkbar(width[, min_x, max_x])(x, y): the 8-level Unicode bar
+    * chart of per-bucket y sums. State = the native keyed sum-map on
+    * the INTEGRAL x (CH's own state is the x→sum map too; bucketing
+    * happens at finalize). Merged parametric order:
+    * (width, [min, max,] x, y). Levels: ceil(8·s/max_s), empty
+    * buckets render a space. */
+  def sparkbar(es: Seq[Expression]): Expression = {
+    val (w, mnE, mxE, x, y) = es.size match {
+      case 3 => (es(0), Option.empty[Expression], Option.empty[Expression],
+        es(1), es(2))
+      case 5 => (es(0), Some(es(1)), Some(es(2)), es(3), es(4))
+      case n => throw new IllegalArgumentException(
+        s"sparkbar(width[, min, max])(x, y) expected, got $n arguments")
+    }
+    val m = MapCombineAgg(CreateArray(Seq(Cast(x, LongType))),
+      CreateArray(Seq(d(y))), "sum").toAggregateExpression()
+    val keys = builtin("map_keys")(Seq(m))
+    val mn = d(mnE.getOrElse(builtin("array_min")(Seq(keys))))
+    val mx = d(mxE.getOrElse(builtin("array_max")(Seq(keys))))
+    val wl = Cast(w, IntegerType)
+    // bucket index of key k: min(w−1, floor((k−mn)·w/(mx−mn+1)))
+    def idxOf(k: Expression): Expression =
+      Least(Seq(Cast(wl, LongType) - Literal(1L),
+        Cast(Floor((d(k) - mn) * d(wl) / (mx - mn + lit(1.0))), LongType)))
+    val b = fresh("b")
+    val bucketSums = builtin("transform")(Seq(
+      builtin("sequence")(Seq(Literal(0L),
+        Cast(wl, LongType) - Literal(1L))),
+      LambdaFunction({
+        val acc = fresh("acc"); val en = fresh("en")
+        builtin("aggregate")(Seq(builtin("map_entries")(Seq(m)), lit(0.0),
+          LambdaFunction(
+            If(And(And(EqualTo(idxOf(fld(en, "key")), b),
+                GreaterThanOrEqual(d(fld(en, "key")), mn)),
+                LessThanOrEqual(d(fld(en, "key")), mx)),
+              acc + d(fld(en, "value")), acc),
+            Seq(acc, en))))
+      }, Seq(b))))
+    val maxS = builtin("array_max")(Seq(bucketSums))
+    val s = fresh("s")
+    val bar = builtin("transform")(Seq(bucketSums, LambdaFunction(
+      If(LessThanOrEqual(s, lit(0.0)), Literal(" "),
+        // direct Substring node: the registry's expressionBuilder
+        // asserts resolved arguments, which lambda variables aren't
+        Substring(Literal("▁▂▃▄▅▆▇█"),
+          Cast(Ceil(s * lit(8.0) / maxS), IntegerType),
+          Literal(1))),
+      Seq(s))))
+    builtin("array_join")(Seq(bar, Literal("")))
+  }
 }

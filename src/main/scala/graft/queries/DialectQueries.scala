@@ -941,6 +941,76 @@ object DialectQueries {
           |  round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // deltaSumTimestamp (declared-order positive-delta sum),
+    // groupArrayInsertAt (positional insert over the keyed-map state,
+    // MIN tie refinement, NULL slot padding), sparkbar (8-level
+    // unicode bar of per-bucket sums; state = the x→sum map, CH's own
+    // shape), exponentialMovingAverage (≡ decayed mean at hl/ln 2).
+    // Integral-valued doubles keep bucket sums exact so the ceil
+    // level can't flake at bucket boundaries.
+    "c38_ch_agg_extras3" -> Q(
+      """WITH e AS (
+        |  SELECT event_type AS et, CAST(value AS DOUBLE) v,
+        |    CAST(event_id % 100 AS DOUBLE) AS y,
+        |    hour(ts) AS hk, user_id % 7 AS p,
+        |    CAST(event_id % 1000 AS VARCHAR) AS sv,
+        |    epoch_us(ts) AS tu, epoch_us(ts) / 1e6 AS tsec
+        |  FROM events),
+        |l AS (
+        |  SELECT et, v - lag(v) OVER (PARTITION BY et ORDER BY tu, v) AS dv
+        |  FROM e),
+        |ds AS (
+        |  SELECT et, ROUND(SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END), 6) AS dsum
+        |  FROM l GROUP BY et),
+        |m AS (SELECT et, MAX(tsec) AS tmax FROM e GROUP BY 1),
+        |ema AS (
+        |  SELECT e.et,
+        |    ROUND(SUM(v * EXP((tsec - tmax) * LN(2) / 3600))
+        |      / SUM(EXP((tsec - tmax) * LN(2) / 3600)), 6) AS ema
+        |  FROM e JOIN m ON e.et = m.et GROUP BY e.et),
+        |h AS (SELECT et, hk, SUM(y) s FROM e GROUP BY 1, 2),
+        |ext AS (SELECT et, MIN(hk) mn, MAX(hk) mx FROM h GROUP BY 1),
+        |bk AS (
+        |  SELECT h.et,
+        |    LEAST(9, CAST(FLOOR((hk - mn) * 10.0 / (mx - mn + 1)) AS INT)) b,
+        |    SUM(s) bs
+        |  FROM h JOIN ext ON h.et = ext.et GROUP BY 1, 2),
+        |gs AS (SELECT ext.et, g.b FROM ext, generate_series(0, 9) g(b)),
+        |fullb AS (
+        |  SELECT gs.et, gs.b, COALESCE(bk.bs, 0) bs
+        |  FROM gs LEFT JOIN bk ON gs.et = bk.et AND gs.b = bk.b),
+        |mxs AS (SELECT et, MAX(bs) mbs FROM fullb GROUP BY 1),
+        |bar AS (
+        |  SELECT fullb.et,
+        |    string_agg(CASE WHEN bs <= 0 THEN ' '
+        |      ELSE substr('▁▂▃▄▅▆▇█', CAST(CEIL(bs * 8.0 / mbs) AS INT), 1)
+        |      END, '' ORDER BY b) AS bar
+        |  FROM fullb JOIN mxs ON fullb.et = mxs.et GROUP BY fullb.et),
+        |ga AS (SELECT et, p, MIN(sv) mv FROM e GROUP BY 1, 2),
+        |mp AS (SELECT et, MAX(p) m FROM ga GROUP BY 1),
+        |slots AS (SELECT mp.et, g.p
+        |          FROM mp, generate_series(0, 6) g(p) WHERE g.p <= mp.m),
+        |gaj AS (
+        |  SELECT slots.et,
+        |    string_agg(COALESCE(ga.mv, 'NULL'), ',' ORDER BY slots.p) AS ins
+        |  FROM slots LEFT JOIN ga ON slots.et = ga.et AND slots.p = ga.p
+        |  GROUP BY slots.et)
+        |SELECT ds.et AS event_type, ds.dsum, ema.ema, bar.bar, gaj.ins
+        |FROM ds JOIN ema ON ds.et = ema.et JOIN bar ON ds.et = bar.et
+        |        JOIN gaj ON ds.et = gaj.et
+        |ORDER BY event_type""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  round(deltaSumTimestamp(toFloat64(value),
+          |    toUnixTimestamp64Micro(ts)), 6) AS dsum,
+          |  round(exponentialMovingAverage(3600)(toFloat64(value),
+          |    toUnixTimestamp64Micro(ts) / 1e6), 6) AS ema,
+          |  sparkbar(10)(toHour(ts), toFloat64(modulo(event_id, 100))) AS bar,
+          |  arrayStringConcat(arrayMap(v -> ifNull(v, 'NULL'),
+          |    groupArrayInsertAt(toString(modulo(event_id, 1000)),
+          |      modulo(user_id, 7))), ',') AS ins
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Categorical-association family over the native contingency-map
     // aggregate (ChStats2): χ² from the joint map via Σn²/e − N (empty
     // cells need no enumeration), Cramér's V (plain + Bergsma

@@ -836,9 +836,31 @@ class ChDialectSpec extends SparkSpec {
     assert(math.abs(vm(0)(0) - 5.0 / 3.0) < 1e-12) // var_samp of 1..4
   }
 
+  test("sparkbar renders the 8-level bar; deltaSumTimestamp orders by time") {
+    GraftFunctions.ensureRegistered(spark)
+    // 4 buckets over x=0..3, sums 1,0,2,4 → levels ceil(8s/4) = 2,·,4,8
+    val bar = spark.sql(graft.functions.ChSql.translate(
+      """SELECT sparkbar(4)(x, y) AS b FROM VALUES
+        |  (0, 1.0), (2, 2.0), (3, 4.0) AS t(x, y)""".stripMargin))
+      .collect().head.getString(0)
+    assert(bar == "▂ ▄█", s"got '$bar'")
+    // deltas in TIME order (values arrive shuffled): 5→2→7→3 gives +5
+    val ds = spark.sql(graft.functions.ChSql.translate(
+      """SELECT deltaSumTimestamp(v, t) AS d FROM VALUES
+        |  (7.0, 3), (5.0, 1), (3.0, 4), (2.0, 2) AS t(v, t)""".stripMargin))
+      .collect().head.getDouble(0)
+    assert(ds == 5.0)
+    // groupArrayInsertAt: NULL padding + min tie refinement
+    val ga = spark.sql(graft.functions.ChSql.translate(
+      """SELECT groupArrayInsertAt(v, p) AS g FROM VALUES
+        |  ('b', 0L), ('a', 0L), ('z', 2L) AS t(v, p)""".stripMargin))
+      .collect().head.getSeq[String](0)
+    assert(ga == Seq("a", null, "z"))
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
-        "runningAccumulate(v)")) {
+        "runningAccumulate(v)", "nonNegativeDerivative(v, v)")) {
       val e = intercept[Exception] {
         spark.sql(s"SELECT $fn FROM VALUES (1.0) AS t(v)").collect()
       }
