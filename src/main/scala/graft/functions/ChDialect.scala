@@ -1002,6 +1002,24 @@ object ChDialect {
       // 2^(−Δt/hl) = e^(−Δt/(hl/ln2)): reuse the decayed-avg fold
       val hl = Divide(Cast(es(2), DoubleType), Literal(math.log(2.0)))
       ChStats.timeDecayed("avg")(Seq(es(0), es(1), hl)) },
+    // adaptive histogram (native centroid kernel) and the weighted
+    // quantile pair; Timing's sketch stand-in repeats the
+    // quantileExactWeighted frequency semantics
+    "histogram" -> { es =>
+      es.head match {
+        case Literal(n: Int, _) =>
+          HistogramAgg(es(1), n).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"histogram needs a literal bin count, got $other")
+      } },
+    "quantileInterpolatedWeighted" -> { es =>
+      ChStats2.quantileInterpolatedWeighted(es) },
+    "medianInterpolatedWeighted" -> { es =>
+      ChStats2.quantileInterpolatedWeighted(es.take(2) :+ Literal(0.5)) },
+    "quantileTimingWeighted" -> { es =>
+      builtin("percentile")(Seq(es(0), es(2), Cast(es(1), LongType))) },
+    "medianTimingWeighted" -> { es =>
+      builtin("percentile")(Seq(es(0), Literal(0.5), Cast(es(1), LongType))) },
     // compensated float summation is an engine detail here — Spark's
     // partial-agg double sum carries the same "a float sum" contract
     "sumKahan" -> builtin("sum"),

@@ -659,9 +659,10 @@ object ChSql {
     "QUANTILEEXACTLOW", "QUANTILEEXACTHIGH", "GROUPARRAYLAST",
     "EXPONENTIALTIMEDECAYEDSUM", "EXPONENTIALTIMEDECAYEDMAX",
     "EXPONENTIALTIMEDECAYEDCOUNT", "EXPONENTIALTIMEDECAYEDAVG",
-    "MEANZTEST", "EXPONENTIALMOVINGAVERAGE")
+    "MEANZTEST", "EXPONENTIALMOVINGAVERAGE",
+    "QUANTILEINTERPOLATEDWEIGHTED", "QUANTILETIMINGWEIGHTED")
   private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
-    "TOPKWEIGHTED", "SPARKBAR")
+    "TOPKWEIGHTED", "SPARKBAR", "HISTOGRAM")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
     "UNIQHLL12")
 

@@ -293,6 +293,40 @@ private[graft] object ChStats2 {
     (fld(sums, "rp") - np * (np + lit(1.0)) / lit(2.0)) / (np * nn)
   }
 
+  /** quantileInterpolatedWeighted(x, w, q): weighted quantile with
+    * linear interpolation between the cumulative-weight midpoints
+    * p_i = (cum_i − w_i/2)/W of the x-sorted sample (public CH
+    * semantics). One sorted fold; below the first midpoint → min x,
+    * above the last → max x. */
+  def quantileInterpolatedWeighted(es: Seq[Expression]): Expression = {
+    val x = d(es(0)); val w = d(es(1)); val q = d(es(2))
+    val entry = CreateNamedStruct(Seq(Literal("x"), x, Literal("w"), w))
+    val arr = builtin("sort_array")(
+      Seq(wrapAgg(builtin("collect_list")(Seq(entry)))))
+    val aw = fresh("acc"); val ew = fresh("e")
+    val totW = builtin("aggregate")(Seq(arr, lit(0.0),
+      LambdaFunction(aw + fld(ew, "w"), Seq(aw, ew))))
+    def accOf(cum: Expression, px: Expression, pp: Expression,
+        res: Expression): Expression =
+      CreateNamedStruct(Seq(Literal("cum"), cum, Literal("px"), px,
+        Literal("pp"), pp, Literal("res"), res))
+    val acc = fresh("acc"); val e = fresh("e")
+    val xi = fld(e, "x"); val wi = fld(e, "w")
+    val cum2 = fld(acc, "cum") + wi
+    val pi = (cum2 - wi / lit(2.0)) / totW
+    val pp = fld(acc, "pp"); val px = fld(acc, "px")
+    val interp = If(IsNull(pp), xi,
+      If(GreaterThanOrEqual(pp, pi), xi,
+        px + (xi - px) * (q - pp) / (pi - pp)))
+    val res2 = If(IsNotNull(fld(acc, "res")), fld(acc, "res"),
+      If(LessThanOrEqual(q, pi), interp, Literal(null, DoubleType)))
+    val folded = builtin("aggregate")(Seq(arr,
+      accOf(lit(0.0), Literal(null, DoubleType), Literal(null, DoubleType),
+        Literal(null, DoubleType)),
+      LambdaFunction(accOf(cum2, xi, pi, res2), Seq(acc, e))))
+    Coalesce(Seq(fld(folded, "res"), fld(folded, "px")))
+  }
+
   /** deltaSumTimestamp(v, t): Σ of POSITIVE deltas between
     * t-consecutive values (the first row contributes nothing) — the
     * declared-order cousin of the refused block-order deltaSum. One

@@ -941,6 +941,66 @@ object DialectQueries {
           |  round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Weighted quantiles: quantileInterpolatedWeighted interpolates
+    // between the cumulative-weight midpoints p_i = (cum−w/2)/W of
+    // the sorted sample (p_i strictly increasing since w > 0, so the
+    // fold's "previous point" is exactly argmax(p_i < q) — the oracle
+    // reconstructs the same two bracketing points with windows);
+    // quantileTimingWeighted = the repeat-w-times interpolated
+    // percentile, oracled by materializing the repeats.
+    "c39_ch_weighted_quantiles" -> Q {
+      def interp(q: String, tag: String): String =
+        s"""i$tag AS (
+           |  SELECT p.et,
+           |    MAX(CASE WHEN pi < $q THEN pi END) AS pl,
+           |    MIN(CASE WHEN pi >= $q THEN pi END) AS ph
+           |  FROM p GROUP BY et),
+           |r$tag AS (
+           |  SELECT i$tag.et,
+           |    CASE
+           |      WHEN ph IS NULL THEN
+           |        (SELECT MAX(v) FROM p WHERE p.et = i$tag.et)
+           |      WHEN pl IS NULL THEN
+           |        (SELECT v FROM p WHERE p.et = i$tag.et AND p.pi = i$tag.ph)
+           |      ELSE
+           |        (SELECT v FROM p WHERE p.et = i$tag.et AND p.pi = i$tag.pl)
+           |        + ((SELECT v FROM p WHERE p.et = i$tag.et AND p.pi = i$tag.ph)
+           |           - (SELECT v FROM p WHERE p.et = i$tag.et AND p.pi = i$tag.pl))
+           |          * ($q - pl) / (ph - pl)
+           |    END AS r
+           |  FROM i$tag)""".stripMargin
+      s"""WITH e AS (
+        |  SELECT event_type AS et, CAST(value AS DOUBLE) v,
+        |    user_id % 5 + 1 AS w
+        |  FROM events),
+        |c AS (
+        |  SELECT et, v, w,
+        |    SUM(w) OVER (PARTITION BY et ORDER BY v, w
+        |      ROWS UNBOUNDED PRECEDING) cum,
+        |    SUM(w) OVER (PARTITION BY et) tw
+        |  FROM e),
+        |p AS (SELECT et, v, (cum - w/2.0)/tw AS pi FROM c),
+        |${interp("0.5", "a")},
+        |${interp("0.9", "b")},
+        |rep AS (
+        |  SELECT e.et, e.v FROM e, generate_series(1, 5) g(i)
+        |  WHERE g.i <= e.w),
+        |qt AS (SELECT et, quantile_cont(v, 0.5) AS qt5 FROM rep GROUP BY et)
+        |SELECT ra.et AS event_type,
+        |  ROUND(ra.r, 6) AS qi5, ROUND(rb.r, 6) AS qi9,
+        |  ROUND(qt.qt5, 6) AS qt5
+        |FROM ra JOIN rb ON ra.et = rb.et JOIN qt ON ra.et = qt.et
+        |ORDER BY event_type""".stripMargin } (
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  round(quantileInterpolatedWeighted(0.5)(toFloat64(value),
+          |    modulo(user_id, 5) + 1), 6) AS qi5,
+          |  round(quantileInterpolatedWeighted(0.9)(toFloat64(value),
+          |    modulo(user_id, 5) + 1), 6) AS qi9,
+          |  round(quantileTimingWeighted(0.5)(toFloat64(value),
+          |    modulo(user_id, 5) + 1), 6) AS qt5
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // deltaSumTimestamp (declared-order positive-delta sum),
     // groupArrayInsertAt (positional insert over the keyed-map state,
     // MIN tie refinement, NULL slot padding), sparkbar (8-level
