@@ -398,6 +398,10 @@ object ChDialect {
       "use x - lag(x, 1) OVER (ORDER BY …)"),
     "runningAccumulate" -> refuse("runningAccumulate",
       "use sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)"),
+    // lagInFrame/leadInFrame are CH's deterministic window-spelled
+    // lag/lead — exactly Spark's lag/lead OVER
+    "lagInFrame"  -> builtin("lag"),
+    "leadInFrame" -> builtin("lead"),
     "nonNegativeDerivative" -> refuse("nonNegativeDerivative",
       "use greatest(0, (x - lag(x) OVER w) / (unix_micros(t) - " +
         "lag(unix_micros(t)) OVER w)) with a declared window order"),

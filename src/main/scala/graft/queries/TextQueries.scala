@@ -53,6 +53,76 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The Gopher rule battery (Rae et al. 2021, public pretraining
+    // filter set) — repetition-free doc-shape signals the t02
+    // heuristics don't cover: mean word length bounds, symbol-to-word
+    // ratio, bullet/ellipsis line fractions, duplicate-line fraction,
+    // required-stopword hits. Pure scan-speed column arithmetic (one
+    // pass over text, no shuffle until the final ORDER BY); identical
+    // string ops spelled in DuckDB (replace is leftmost-non-overlap
+    // in both engines, so the '...' count is engine-identical).
+    "t15_gopher_rules" -> Q(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
+        |    (length(text) - length(replace(text, '#', ''))) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum([length(t) for t in ws]) AS DOUBLE)
+        |      / GREATEST(len(ws), 1) AS mwl,
+        |    CAST(n_hash + n_ell AS DOUBLE) / GREATEST(len(ws), 1) AS sym_r,
+        |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+        |      OR starts_with(ltrim(l), '*'))) AS DOUBLE)
+        |      / GREATEST(len(ls), 1) AS bullet_f,
+        |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+        |      AS DOUBLE) / GREATEST(len(ls), 1) AS ellipsis_f,
+        |    1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+        |      / GREATEST(len(ls), 1) AS dupl_f,
+        |    CAST(len(list_filter(['the','be','to','of','and','that',
+        |      'have','with'], s -> list_contains(ws, s))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM base)
+        |SELECT doc_id, n_words, ROUND(mwl, 6) AS mwl, ROUND(sym_r, 6) AS sym_r,
+        |  ROUND(bullet_f, 6) AS bullet_f, ROUND(ellipsis_f, 6) AS ellipsis_f,
+        |  ROUND(dupl_f, 6) AS dupl_f, stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+        |   AND sym_r < 0.1 AND bullet_f < 0.9 AND ellipsis_f < 0.3
+        |   AND dupl_f < 0.3 AND stop_hits >= 2) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents.selectExpr("doc_id",
+        "filter(split(text, '\\\\s+'), t -> t != '') AS ws",
+        "filter(split(text, '\\n'), l -> trim(l) != '') AS ls",
+        "length(text) - length(replace(text, '#', '')) AS n_hash",
+        "CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell")
+        .selectExpr("doc_id",
+          "CAST(size(ws) AS BIGINT) AS n_words",
+          "CAST(aggregate(ws, 0L, (a, t) -> a + length(t)) AS DOUBLE)" +
+            " / GREATEST(size(ws), 1) AS mwl",
+          "CAST(n_hash + n_ell AS DOUBLE) / GREATEST(size(ws), 1) AS sym_r",
+          "CAST(size(filter(ls, l -> startswith(ltrim(l), '-')" +
+            " OR startswith(ltrim(l), '*'))) AS DOUBLE)" +
+            " / GREATEST(size(ls), 1) AS bullet_f",
+          "CAST(size(filter(ls, l -> endswith(rtrim(l), '...'))) AS DOUBLE)" +
+            " / GREATEST(size(ls), 1) AS ellipsis_f",
+          "1.0 - CAST(size(array_distinct(ls)) AS DOUBLE)" +
+            " / GREATEST(size(ls), 1) AS dupl_f",
+          "CAST(size(filter(array('the','be','to','of','and','that'," +
+            "'have','with'), s -> array_contains(ws, s))) AS BIGINT)" +
+            " AS stop_hits")
+        .selectExpr("doc_id", "n_words", "ROUND(mwl, 6) AS mwl",
+          "ROUND(sym_r, 6) AS sym_r", "ROUND(bullet_f, 6) AS bullet_f",
+          "ROUND(ellipsis_f, 6) AS ellipsis_f", "ROUND(dupl_f, 6) AS dupl_f",
+          "stop_hits",
+          "(n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10" +
+            " AND sym_r < 0.1 AND bullet_f < 0.9 AND ellipsis_f < 0.3" +
+            " AND dupl_f < 0.3 AND stop_hits >= 2) AS keep")
+        .orderBy("doc_id")
+    },
+
     "t01_lang_id" -> Q(
       s"""WITH s AS (
         |  SELECT doc_id, lang,
