@@ -30,6 +30,67 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // URL-canonicalization dedup — the web-corpus FIRST dedup pass
+    // (CommonCrawl-style): normalize scheme noise (case, www.,
+    // trailing slash, utm_* tracking params) to a canonical key,
+    // keep the min doc per key. Pure hash-groupBy on the canonical
+    // string — map-side combining, one shuffle; the noisy URL
+    // synthesis plants 4 collision classes per (source, lang, id%10)
+    // so the dedup rule is actually exercised.
+    "d22_url_dedup" -> Q(
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat(CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.'
+        |                ELSE 'https://' END,
+        |      source, '.Example.com/docs/', lang,
+        |      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+        |      CASE WHEN doc_id % 4 = 0
+        |        THEN '?utm_source=x&id=' || CAST(doc_id % 10 AS VARCHAR)
+        |        ELSE '?id=' || CAST(doc_id % 10 AS VARCHAR) END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url, '://([^/?]+)', 1)),
+        |      '^www\.', '')
+        |    || rtrim(regexp_extract(url, '://[^/?]+(/[^?]*)', 1), '/')
+        |    || CASE WHEN array_to_string(list_filter(
+        |           string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+        |           p -> NOT starts_with(p, 'utm_')), '&') = '' THEN ''
+        |         ELSE '?' || array_to_string(list_filter(
+        |           string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+        |           p -> NOT starts_with(p, 'utm_')), '&') END AS canon
+        |  FROM u)
+        |SELECT canon, MIN(doc_id) AS keep_doc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .selectExpr("doc_id",
+          """concat(CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.'
+            |            ELSE 'https://' END,
+            |  source, '.Example.com/docs/', lang,
+            |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+            |  CASE WHEN doc_id % 4 = 0
+            |    THEN concat('?utm_source=x&id=', CAST(doc_id % 10 AS STRING))
+            |    ELSE concat('?id=', CAST(doc_id % 10 AS STRING)) END)
+            |AS url""".stripMargin)
+        .selectExpr("doc_id",
+          """concat(
+            |  regexp_replace(lower(regexp_extract(url, '://([^/?]+)', 1)),
+            |    '^www\\.', ''),
+            |  rtrim('/', regexp_extract(url, '://[^/?]+(/[^?]*)', 1)),
+            |  CASE WHEN array_join(filter(
+            |      split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+            |      p -> NOT startswith(p, 'utm_')), '&') = '' THEN ''
+            |    ELSE concat('?', array_join(filter(
+            |      split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+            |      p -> NOT startswith(p, 'utm_')), '&')) END)
+            |AS canon""".stripMargin)
+        .groupBy("canon")
+        .agg(min("doc_id").as("keep_doc"),
+          count(lit(1)).as("n_dups"))
+        .orderBy("canon")
+    },
+
     // MinHash+LSH candidates at est Jaccard ≥ 0.5: recovers the
     // planted near-dup pairs without any O(n²) comparison.
     "d02_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
