@@ -42,6 +42,47 @@ object ChDialect {
   private def aliases: Seq[(String, Builder)] =
     baseAliases ++ emptyArrayAliases
 
+  /** Euclid as a bounded fold: 96 rounds cover any 64-bit pair
+    * (Fibonacci worst case ~91 divisions); b = 0 rounds are no-ops. */
+  private def gcdExpr(es: Seq[Expression]): Expression = {
+    val a = Abs(Cast(es(0), LongType)); val b = Abs(Cast(es(1), LongType))
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val i = UnresolvedNamedLambdaVariable(Seq("i"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+    def f(e: Expression, n: String) =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        e, Literal(n))
+    builtin("aggregate")(Seq(
+      builtin("sequence")(Seq(Literal(1), Literal(96))),
+      CreateNamedStruct(Seq(Literal("a"), a, Literal("b"), b)),
+      LambdaFunction(
+        If(EqualTo(f(acc, "b"), Literal(0L)), acc,
+          CreateNamedStruct(Seq(
+            Literal("a"), f(acc, "b"),
+            Literal("b"), Pmod(f(acc, "a"), f(acc, "b"))))),
+        Seq(acc, i)),
+      LambdaFunction(f(fin, "a"), Seq(fin))))
+  }
+
+  /** Per-row keywise map combine: mapAdd / mapSubtract over N maps —
+    * keys = sorted distinct union, values summed (later maps negated
+    * for subtract), missing keys contribute 0. */
+  private def mapCombineRows(es: Seq[Expression],
+      subtract: Boolean): Expression = {
+    val allKeys = builtin("array_distinct")(Seq(builtin("concat")(
+      es.map(m => builtin("map_keys")(Seq(m))))))
+    val k = UnresolvedNamedLambdaVariable(Seq("k"))
+    val valueOf = es.zipWithIndex.map { case (m, idx) =>
+      val v = Coalesce(Seq(
+        Cast(builtin("element_at")(Seq(m, k)), DoubleType), Literal(0.0)))
+      if (subtract && idx > 0) UnaryMinus(v) else v
+    }.reduce[Expression]((x, y) => Add(x, y))
+    builtin("map_from_entries")(Seq(builtin("transform")(Seq(
+      builtin("sort_array")(Seq(allKeys)),
+      LambdaFunction(CreateNamedStruct(Seq(
+        Literal("key"), k, Literal("value"), valueOf)), Seq(k))))))
+  }
+
   private def baseAliases: Seq[(String, Builder)] = Seq(
     // ---- date & time (DataTypeDateTime.h) ----
     "toYear"         -> builtin("year"),
@@ -1024,6 +1065,137 @@ object ChDialect {
       builtin("percentile")(Seq(es(0), es(2), Cast(es(1), LongType))) },
     "medianTimingWeighted" -> { es =>
       builtin("percentile")(Seq(es(0), Literal(0.5), Cast(es(1), LongType))) },
+
+    // ---- finiteness predicates, clamps, integer arithmetic ----
+    "isFinite" -> { es =>
+      val x = Cast(es.head, DoubleType)
+      And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity))) },
+    "isInfinite" -> { es =>
+      EqualTo(Abs(Cast(es.head, DoubleType)), Literal(Double.PositiveInfinity)) },
+    "ifNotFinite" -> { es =>
+      val x = Cast(es(0), DoubleType)
+      If(And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity))),
+        es(0), es(1)) },
+    "clamp" -> { es => Least(Seq(Greatest(Seq(es(0), es(1))), es(2))) },
+    "max2"  -> { es => Greatest(es.map(e => Cast(e, DoubleType))) },
+    "min2"  -> { es => Least(es.map(e => Cast(e, DoubleType))) },
+    // Euclid fold: 96 rounds bound any 64-bit pair (Fibonacci worst
+    // case ~91 divisions); spent rounds with b = 0 are no-ops
+    "gcd" -> { es => gcdExpr(es) },
+    "lcm" -> { es =>
+      val a = Abs(Cast(es(0), LongType)); val b = Abs(Cast(es(1), LongType))
+      val g = gcdExpr(es)
+      If(Or(EqualTo(a, Literal(0L)), EqualTo(b, Literal(0L))), Literal(0L),
+        Multiply(Cast(IntegralDivide(a, g), LongType), b)) },
+
+    // ---- the CH rounding ladders ----
+    // roundDown(x, arr): the largest boundary <= x, else the first
+    "roundDown" -> { es =>
+      val x = Cast(es(0), DoubleType)
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val e = UnresolvedNamedLambdaVariable(Seq("e"))
+      val first = Cast(builtin("element_at")(Seq(es(1), Literal(1))),
+        DoubleType)
+      builtin("aggregate")(Seq(es(1), first,
+        LambdaFunction(
+          If(LessThanOrEqual(Cast(e, DoubleType), x),
+            Greatest(Seq(acc, Cast(e, DoubleType))), acc),
+          Seq(acc, e)))) },
+    "roundToExp2" -> { es =>
+      val x = Cast(es.head, DoubleType)
+      If(LessThan(x, Literal(1.0)), Literal(0L),
+        Cast(Pow(Literal(2.0), Floor(Divide(Log(x), Log(Literal(2.0))))),
+          LongType)) },
+    "roundAge" -> { es =>
+      val x = Cast(es.head, DoubleType)
+      CaseWhen(Seq(
+        (LessThan(x, Literal(1.0)), Literal(0)),
+        (LessThan(x, Literal(18.0)), Literal(17)),
+        (LessThan(x, Literal(25.0)), Literal(18)),
+        (LessThan(x, Literal(35.0)), Literal(25)),
+        (LessThan(x, Literal(45.0)), Literal(35)),
+        (LessThan(x, Literal(55.0)), Literal(45))), Some(Literal(55))) },
+    "roundDuration" -> { es =>
+      val x = Cast(es.head, DoubleType)
+      val ladder = Seq(36000, 18000, 7200, 3600, 1800, 1200, 600,
+        300, 240, 180, 120, 60, 30, 10, 1)
+      CaseWhen(ladder.map(t =>
+        (GreaterThanOrEqual(x, Literal(t.toDouble)), Literal(t))),
+        Some(Literal(0))) },
+
+    // ---- contiguous-subsequence test ----
+    "hasSubstr" -> { es =>
+      val (a, b) = (es(0), es(1))
+      val la = builtin("size")(Seq(a)); val lb = builtin("size")(Seq(b))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      If(EqualTo(lb, Literal(0)), Literal(true),
+        If(GreaterThan(lb, la), Literal(false),
+          builtin("exists")(Seq(
+            builtin("sequence")(Seq(Literal(1),
+              Add(Subtract(la, lb), Literal(1)))),
+            LambdaFunction(
+              EqualTo(builtin("slice")(Seq(a, i, lb)), b), Seq(i)))))) },
+
+    // ---- per-row map arithmetic (the metric-map family) ----
+    "mapAdd"      -> { es => mapCombineRows(es, subtract = false) },
+    "mapSubtract" -> { es => mapCombineRows(es, subtract = true) },
+    // integer keys filled over [min, max] (or explicit max), 0 default
+    "mapPopulateSeries" -> { es =>
+      val m = es.head
+      val keys = builtin("map_keys")(Seq(m))
+      val mn = Cast(builtin("array_min")(Seq(keys)), LongType)
+      val mx = Cast(
+        if (es.size > 1) es(1) else builtin("array_max")(Seq(keys)), LongType)
+      val k = UnresolvedNamedLambdaVariable(Seq("k"))
+      builtin("map_from_entries")(Seq(builtin("transform")(Seq(
+        builtin("sequence")(Seq(mn, mx)),
+        LambdaFunction(CreateNamedStruct(Seq(
+          Literal("key"), k,
+          Literal("value"), Coalesce(Seq(
+            builtin("element_at")(Seq(m, k)), Literal(0L))))), Seq(k)))))) },
+
+    // ---- arrayReduce('agg', arr) for the portable aggregate names ----
+    "arrayReduce" -> { es =>
+      val arr = es(1)
+      val name = es.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          s.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce needs a literal aggregate name, got $other")
+      }
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      def dsum = builtin("aggregate")(Seq(arr, Literal(0.0),
+        LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x))))
+      name match {
+        case "sum"   => dsum
+        case "min"   => builtin("array_min")(Seq(arr))
+        case "max"   => builtin("array_max")(Seq(arr))
+        case "count" => Cast(builtin("size")(Seq(arr)), LongType)
+        case "avg"   => Divide(dsum,
+          Cast(builtin("size")(Seq(arr)), DoubleType))
+        case "uniqexact" | "uniq" => Cast(builtin("size")(
+          Seq(builtin("array_distinct")(Seq(arr)))), LongType)
+        case "any"   => builtin("element_at")(Seq(arr, Literal(1)))
+        case "anylast" => builtin("element_at")(Seq(arr, Literal(-1)))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other' " +
+            "(sum/min/max/count/avg/uniqExact/any/anyLast)")
+      } },
+
+    // ---- JSON predicates ----
+    "JSONHas" -> { es =>
+      IsNotNull(builtin("get_json_object")(Seq(es(0),
+        Concat(Seq(Literal("$."), Cast(es(1), StringType)))))) },
+    "JSONLength" -> { es =>
+      // arrays only (objects would need key enumeration); CH returns
+      // 0 for non-arrays — Coalesce keeps that contract
+      Coalesce(Seq(builtin("json_array_length")(
+        if (es.size > 1)
+          Seq(builtin("get_json_object")(Seq(es(0),
+            Concat(Seq(Literal("$."), Cast(es(1), StringType))))))
+        else Seq(es(0))), Literal(0))) },
+    "toJSONString" -> builtin("to_json"),
     // compensated float summation is an engine detail here — Spark's
     // partial-agg double sum carries the same "a float sum" contract
     "sumKahan" -> builtin("sum"),

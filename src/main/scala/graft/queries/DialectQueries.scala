@@ -941,6 +941,63 @@ object DialectQueries {
           |  round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Scalar-surface sweep: integer arithmetic (gcd/lcm as a bounded
+    // Euclid fold), the CH rounding ladders, finiteness clamp, the
+    // contiguous-subsequence test, arrayReduce. The oracle spells
+    // gcd natively (DuckDB has it), lcm via a·b/gcd, ladders as CASE,
+    // hasSubstr as the explicit 3-position disjunction.
+    "c40_ch_scalar_extras" -> Q(
+      """SELECT o_orderkey AS k,
+        |  gcd(o_orderkey, o_custkey) AS g,
+        |  (o_orderkey % 12 + 1) * (o_custkey % 8 + 1)
+        |    // gcd(o_orderkey % 12 + 1, o_custkey % 8 + 1) AS l,
+        |  CASE WHEN o_custkey % 90 < 1 THEN 0
+        |       WHEN o_custkey % 90 < 18 THEN 17
+        |       WHEN o_custkey % 90 < 25 THEN 18
+        |       WHEN o_custkey % 90 < 35 THEN 25
+        |       WHEN o_custkey % 90 < 45 THEN 35
+        |       WHEN o_custkey % 90 < 55 THEN 45 ELSE 55 END AS ra,
+        |  CASE WHEN o_orderkey % 40000 >= 36000 THEN 36000
+        |       WHEN o_orderkey % 40000 >= 18000 THEN 18000
+        |       WHEN o_orderkey % 40000 >= 7200 THEN 7200
+        |       WHEN o_orderkey % 40000 >= 3600 THEN 3600
+        |       WHEN o_orderkey % 40000 >= 1800 THEN 1800
+        |       WHEN o_orderkey % 40000 >= 1200 THEN 1200
+        |       WHEN o_orderkey % 40000 >= 600 THEN 600
+        |       WHEN o_orderkey % 40000 >= 300 THEN 300
+        |       WHEN o_orderkey % 40000 >= 240 THEN 240
+        |       WHEN o_orderkey % 40000 >= 180 THEN 180
+        |       WHEN o_orderkey % 40000 >= 120 THEN 120
+        |       WHEN o_orderkey % 40000 >= 60 THEN 60
+        |       WHEN o_orderkey % 40000 >= 30 THEN 30
+        |       WHEN o_orderkey % 40000 >= 10 THEN 10
+        |       WHEN o_orderkey % 40000 >= 1 THEN 1 ELSE 0 END AS rd,
+        |  CAST(CASE WHEN o_orderkey % 1000 + 1 < 1 THEN 0
+        |       ELSE POWER(2, FLOOR(LN(o_orderkey % 1000 + 1)/LN(2)))
+        |       END AS BIGINT) AS re2,
+        |  CAST(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), 50000),
+        |    200000) AS DOUBLE) AS cl,
+        |  ((o_orderkey % 5 = 3 AND o_custkey % 5 = o_orderkey % 5)
+        |   OR (o_custkey % 5 = 3 AND 3 = o_orderkey % 5)
+        |   OR (o_orderkey % 7 = o_orderkey % 5)) AS hs,
+        |  CAST(o_orderkey % 10 + o_custkey % 10 AS DOUBLE) AS ar
+        |FROM orders ORDER BY k LIMIT 2000""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderkey AS k,
+          |  gcd(o_orderkey, o_custkey) AS g,
+          |  lcm(modulo(o_orderkey, 12) + 1, modulo(o_custkey, 8) + 1) AS l,
+          |  roundAge(modulo(o_custkey, 90)) AS ra,
+          |  roundDuration(modulo(o_orderkey, 40000)) AS rd,
+          |  roundToExp2(modulo(o_orderkey, 1000) + 1) AS re2,
+          |  clamp(toFloat64(o_totalprice), 50000, 200000) AS cl,
+          |  hasSubstr(
+          |    array(modulo(o_orderkey, 5), modulo(o_custkey, 5), 3,
+          |          modulo(o_orderkey, 7)),
+          |    array(3, modulo(o_orderkey, 5))) AS hs,
+          |  arrayReduce('sum',
+          |    array(modulo(o_orderkey, 10), modulo(o_custkey, 10))) AS ar
+          |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
+
     // Weighted quantiles: quantileInterpolatedWeighted interpolates
     // between the cumulative-weight midpoints p_i = (cum−w/2)/W of
     // the sorted sample (p_i strictly increasing since w > 0, so the

@@ -858,6 +858,40 @@ class ChDialectSpec extends SparkSpec {
     assert(ga == Seq("a", null, "z"))
   }
 
+  test("map arithmetic, arrayReduce, JSON predicates, finiteness") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(graft.functions.ChSql.translate(
+      """SELECT
+        |  mapAdd(map('a', 1, 'b', 2), map('a', 10)) AS ma,
+        |  mapSubtract(map('a', 5), map('a', 2, 'c', 1)) AS ms,
+        |  mapPopulateSeries(map(1, 10, 4, 40)) AS mp,
+        |  arrayReduce('sum', array(1, 2, 3)) AS rs,
+        |  arrayReduce('uniqExact', array(1, 1, 2)) AS ru,
+        |  arrayReduce('anyLast', array(7, 8, 9)) AS rl,
+        |  JSONHas('{"a": 1}', 'a') AS jh,
+        |  JSONHas('{"a": 1}', 'z') AS jn,
+        |  JSONLength('[1, 2, 3]') AS jl,
+        |  isFinite(1.5) AS fin,
+        |  isInfinite(CAST('Infinity' AS DOUBLE)) AS inf,
+        |  ifNotFinite(CAST('NaN' AS DOUBLE), 42.0) AS nf,
+        |  hasSubstr(array(1, 2, 3, 4), array(2, 3)) AS h1,
+        |  hasSubstr(array(1, 2, 3, 4), array(3, 2)) AS h2,
+        |  roundDown(7, array(1, 5, 10)) AS rdn
+        |FROM VALUES (1) AS t(x)""".stripMargin)).collect().head
+    assert(r.getAs[Map[String, Double]]("ma") == Map("a" -> 11.0, "b" -> 2.0))
+    assert(r.getAs[Map[String, Double]]("ms") == Map("a" -> 3.0, "c" -> -1.0))
+    assert(r.getAs[Map[Long, Long]]("mp") ==
+      Map(1L -> 10L, 2L -> 0L, 3L -> 0L, 4L -> 40L))
+    assert(r.getAs[Double]("rs") == 6.0)
+    assert(r.getAs[Long]("ru") == 2L && r.getAs[Int]("rl") == 9)
+    assert(r.getAs[Boolean]("jh") && !r.getAs[Boolean]("jn"))
+    assert(r.getAs[Int]("jl") == 3)
+    assert(r.getAs[Boolean]("fin") && r.getAs[Boolean]("inf"))
+    assert(r.getAs[Double]("nf") == 42.0)
+    assert(r.getAs[Boolean]("h1") && !r.getAs[Boolean]("h2"))
+    assert(r.getAs[Double]("rdn") == 5.0)
+  }
+
   test("block-scoped functions refuse with the deterministic spelling") {
     for (fn <- Seq("neighbor(v, 1)", "runningDifference(v)",
         "runningAccumulate(v)", "nonNegativeDerivative(v, v)")) {
