@@ -254,4 +254,34 @@ object Ann {
       .filter(col("sim") >= minCosine)
       .select("id1", "id2", "sim")
   }
+
+  /** Johnson–Lindenstrauss random projection: dim → outDim with a
+    * Rademacher (±1/√outDim) matrix, the standard embedding-column
+    * dimensionality reducer ahead of ANN / clustering at corpus
+    * scale. Map-only: the outDim×dim sign matrix is derived
+    * deterministically from md5(seed:row:col) (no RNG state, same
+    * matrix on every executor and every engine — the DuckDB oracle
+    * rebuilds it the same way), travels as one literal, and each
+    * output coordinate is a sequential zip_with/aggregate fold, so
+    * the op is scan-speed with zero shuffle and the projected table
+    * feeds bruteTopK/lshTopK at outDim/dim of the original cost. */
+  def projectionSigns(seed: String, outDim: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        // top bit of the first md5 byte = first hex char in 0..7 ⇒ +1
+        if ((h(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+
+  def randomProject(df: DataFrame, vecCol: String, outDim: Int,
+      dim: Int, seed: String = "rp"): Column = {
+    val rows = typedLit(projectionSigns(seed, outDim, dim))
+    transform(rows, r =>
+      aggregate(
+        zip_with(col(vecCol), r,
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v) / math.sqrt(outDim.toDouble))
+  }
 }

@@ -134,6 +134,32 @@ object AnnQueries {
     // pairwise work, cosine-threshold groups collapse to their lowest
     // id via the audited component pass. Rows-only (k-means fit has
     // no ANSI spelling); DedupSpec pins planted-duplicate semantics.
+    // Johnson–Lindenstrauss random projection (d23): 64 → 8 dims with
+    // a Rademacher matrix derived from md5(seed:row:col) — the oracle
+    // rebuilds the identical matrix from DuckDB's md5, and each
+    // coordinate is the same sequential double fold on both engines
+    // (the d05 discipline), rounded to 6 dp.
+    "d23_random_projection" -> Q(
+      """SELECT vec_id,
+        |""".stripMargin +
+        (0 until 8).map { j =>
+          s"""  ROUND(list_sum(list_transform(range(1, 65),
+             |    i -> CAST(embedding[i] AS DOUBLE) *
+             |      (CASE WHEN substr(md5('rp:$j:' || (i-1)), 1, 1)
+             |            BETWEEN '0' AND '7'
+             |       THEN 1.0 ELSE -1.0 END)))
+             |    / sqrt(8), 6) AS p$j""".stripMargin
+        }.mkString(",\n") +
+        "\nFROM embeddings WHERE vec_id < 200 ORDER BY vec_id") { (s, dir) =>
+      val e = Tables(s, dir).embeddings.filter(col("vec_id") < 200)
+      val proj = e.withColumn("__p",
+        Ann.randomProject(e, "embedding", outDim = 8, dim = DIM))
+      proj.select(col("vec_id") +:
+          (0 until 8).map(j =>
+            round(element_at(col("__p"), j + 1), 6).as(s"p$j")): _*)
+        .orderBy("vec_id")
+    },
+
     "d21_semantic_dedup" -> Q.rowsOnly { (s, dir) =>
       graft.operators.Dedup.semanticDedup(Tables(s, dir).embeddings,
           "vec_id", "embedding", k = 16, minCosine = 0.4)

@@ -1349,6 +1349,87 @@ object DialectQueries {
           |  round(tupleElement(simpleLinearRegression(event_id, value), 2), 6) AS lr_b
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // round-10 scalar widening (ChDialect2): URL cuts, hash exactness
+    // (halfMD5), string metrics, date names, bit ops, simpleJSON scan,
+    // readable formatting — each vs a hand-spelled DuckDB twin
+    "c41_ch_scalar_extras2" -> Q(
+      """WITH o AS (SELECT *,
+        |  'https://u:p@sub.example.' ||
+        |    (CASE WHEN o_orderkey % 2 = 0 THEN 'com' ELSE 'org' END) ||
+        |    '/p/' || o_orderkey || '?q=' || o_custkey || '#f' AS u,
+        |  (CASE WHEN o_orderkey % 2 = 0 THEN 'com' ELSE 'org' END) AS tld2
+        |  FROM orders)
+        |SELECT o_orderkey AS k,
+        |  CAST(concat('0x', substr(md5(o_orderpriority), 1, 16))
+        |    AS UBIGINT) AS hm,
+        |  levenshtein(o_orderpriority, o_orderstatus) AS ed,
+        |  len(regexp_extract_all(o_orderpriority, '[A-Z]+')) AS cm,
+        |  array_to_string(regexp_extract_all(o_orderpriority,
+        |    '[a-zA-Z]+'), '+') AS nat,
+        |  jaccard(o_orderpriority, o_orderstatus) AS sj,
+        |  tld2 AS tld,
+        |  'https://u:p@sub.example.' || tld2 || '/p/' || o_orderkey AS cqf,
+        |  'example' AS fss,
+        |  'u:p@sub.example.' || tld2 AS nl,
+        |  '/p/' || o_orderkey || '?q=' || o_custkey AS pf,
+        |  monthname(o_orderdate) AS dn,
+        |  dayname(o_orderdate) AS dw,
+        |  datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS rd,
+        |  year(o_orderdate) * 12 + month(o_orderdate) AS rm,
+        |  CAST(o_orderdate
+        |    + (o_orderkey % 24) * INTERVAL 1 HOUR AS VARCHAR) AS ah,
+        |  CAST(CAST(CAST(o_orderdate AS DATE)
+        |    - (o_orderkey % 12 + 1) * INTERVAL 1 MONTH AS DATE)
+        |    AS VARCHAR) AS sm,
+        |  ((o_orderkey % 1000)::BIGINT << 3)
+        |    | ((o_orderkey % 1000)::BIGINT >> 61) AS rot,
+        |  (o_orderkey & 3) = 3 AS bta,
+        |  bit_count(xor(o_orderkey::BIGINT, o_custkey::BIGINT)) AS bh,
+        |  regexp_extract('{"a":{"k":' || o_custkey || '}}',
+        |    '"k"\s*:\s*(-?\d+)', 1)::BIGINT AS sji,
+        |  array_to_string(json_keys('{"a":1,"b":' || o_custkey || '}'),
+        |    ',') AS jk,
+        |  printf('%.2f KB',
+        |    CAST(o_totalprice % 900000 + 1000 AS DOUBLE) / 1000) AS frd
+        |FROM o ORDER BY k LIMIT 2000""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderkey AS k,
+          |  halfMD5(o_orderpriority) AS hm,
+          |  editDistance(o_orderpriority, o_orderstatus) AS ed,
+          |  countMatches(o_orderpriority, '[A-Z]+') AS cm,
+          |  arrayStringConcat(alphaTokens(o_orderpriority), '+') AS nat,
+          |  stringJaccardIndex(o_orderpriority, o_orderstatus) AS sj,
+          |  topLevelDomain(u) AS tld,
+          |  cutQueryStringAndFragment(u) AS cqf,
+          |  firstSignificantSubdomain(u) AS fss,
+          |  netloc(u) AS nl,
+          |  pathFull(u) AS pf,
+          |  dateName('month', o_orderdate) AS dn,
+          |  dateName('weekday', o_orderdate) AS dw,
+          |  toRelativeDayNum(o_orderdate) AS rd,
+          |  toRelativeMonthNum(o_orderdate) AS rm,
+          |  toString(addHours(toDateTime(o_orderdate),
+          |    modulo(o_orderkey, 24))) AS ah,
+          |  toString(subtractMonths(toDate(o_orderdate),
+          |    modulo(o_orderkey, 12) + 1)) AS sm,
+          |  bitRotateLeft(modulo(o_orderkey, 1000), 3) AS rot,
+          |  bitTestAll(o_orderkey, 0, 1) AS bta,
+          |  bitHammingDistance(o_orderkey, o_custkey) AS bh,
+          |  simpleJSONExtractInt(
+          |    concat('{"a":{"k":', toString(o_custkey), '}}'), 'k') AS sji,
+          |  arrayStringConcat(JSONExtractKeys(
+          |    concat('{"a":1,"b":', toString(o_custkey), '}')), ',') AS jk,
+          |  formatReadableDecimalSize(
+          |    modulo(o_totalprice, 900000) + 1000) AS frd
+          |FROM (SELECT *,
+          |  concat('https://u:p@sub.example.',
+          |    if(modulo(o_orderkey, 2) = 0, 'com', 'org'),
+          |    '/p/', toString(o_orderkey),
+          |    '?q=', toString(o_custkey), '#f') AS u
+          |  FROM orders)
+          |ORDER BY k LIMIT 2000""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,
