@@ -423,6 +423,113 @@ object ChStrHelpers {
     out
   }
 
+  // ---- reinterpret / FixedString (the reference's raw-byte casts;
+  //      little-endian, the DataTypeFixedString/reinterpret contract) ----
+
+  def reinterpretAsUInt64(s: UTF8String): org.apache.spark.sql.types.Decimal = {
+    val b = s.getBytes
+    var v = java.math.BigInteger.ZERO
+    var i = math.min(b.length, 8) - 1
+    while (i >= 0) {
+      v = v.shiftLeft(8).or(java.math.BigInteger.valueOf(b(i) & 0xFFL))
+      i -= 1
+    }
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(v), 20, 0)
+  }
+
+  def reinterpretAsUInt32(s: UTF8String): Long = {
+    val b = s.getBytes
+    var v = 0L
+    var i = math.min(b.length, 4) - 1
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xFFL); i -= 1 }
+    v
+  }
+
+  /** little-endian bytes of the value, trailing zero bytes trimmed */
+  def reinterpretAsString(v: Long): UTF8String = {
+    var n = 8
+    while (n > 0 && ((v >>> ((n - 1) * 8)) & 0xFF) == 0) n -= 1
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = ((v >>> (i * 8)) & 0xFF).toByte; i += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  def toFixedString(s: UTF8String, n: Int): UTF8String = {
+    val b = s.getBytes
+    if (b.length > n) throw new IllegalArgumentException(
+      s"toFixedString: value longer than $n bytes")
+    val out = new Array[Byte](n)
+    System.arraycopy(b, 0, out, 0, b.length)
+    UTF8String.fromBytes(out)
+  }
+
+  def toStringCutToZero(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length && b(i) != 0) i += 1
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, 0, i))
+  }
+
+  // ---- ULID (Crockford base32; public spec) ----
+
+  private val Crockford = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+  private val CrockfordIdx: Array[Int] = {
+    val m = Array.fill(128)(-1)
+    Crockford.zipWithIndex.foreach { case (c, i) =>
+      m(c.toInt) = i; m(c.toLower.toInt) = i
+    }
+    // decode aliases per spec
+    Seq('I' -> 1, 'i' -> 1, 'L' -> 1, 'l' -> 1, 'O' -> 0, 'o' -> 0)
+      .foreach { case (c, v) => m(c.toInt) = v }
+    m
+  }
+
+  def generateULID(): UTF8String = {
+    val ms = System.currentTimeMillis()
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    val chars = new Array[Char](26)
+    var t = ms
+    var i = 9
+    while (i >= 0) { chars(i) = Crockford((t & 31).toInt); t >>>= 5; i -= 1 }
+    i = 10
+    while (i < 26) { chars(i) = Crockford(rnd.nextInt(32)); i += 1 }
+    UTF8String.fromString(new String(chars))
+  }
+
+  /** unix millis from the 10-char time prefix of a ULID */
+  def ulidMillis(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.length < 10) throw new IllegalArgumentException(
+      s"ULIDStringToDateTime: '$str' too short")
+    var v = 0L
+    var i = 0
+    while (i < 10) {
+      val c = str.charAt(i)
+      val d = if (c < 128) CrockfordIdx(c.toInt) else -1
+      if (d < 0) throw new IllegalArgumentException(
+        s"ULIDStringToDateTime: invalid character '$c'")
+      v = (v << 5) | d
+      i += 1
+    }
+    v
+  }
+
+  // ---- host / system introspection ----
+
+  def hostName(): UTF8String =
+    UTF8String.fromString(
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "localhost" })
+
+  def fullHostName(): UTF8String =
+    UTF8String.fromString(
+      try java.net.InetAddress.getLocalHost.getCanonicalHostName
+      catch { case _: java.net.UnknownHostException => "localhost" })
+
+  def uptimeSeconds(): Long =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000L
+
   // ---- 4-gram similarity (the reference's ngramDistance/Search) ----
 
   private def grams4(s: String): java.util.HashMap[Integer, Integer] = {

@@ -1430,6 +1430,68 @@ object DialectQueries {
           |  FROM orders)
           |ORDER BY k LIMIT 2000""".stripMargin)),
 
+    // round-10 sweep 2 (ChDialect3): array search HOFs, WKT geometry,
+    // reinterpret, proportion z-test + sample sizing — the statistical
+    // twins spell the identical Winitzki-erfinv / A&S-erfc polynomials
+    "c42_ch_scalar_extras3" -> Q(
+      """WITH ct AS (SELECT
+        |    2/(pi()*0.147) + ln(1-0.95*0.95)/2 AS ta,
+        |    ln(1-0.95*0.95) AS la,
+        |    2/(pi()*0.147) + ln(1-0.6*0.6)/2 AS tb,
+        |    ln(1-0.6*0.6) AS lb),
+        |consts AS (SELECT
+        |  sqrt(sqrt(ta*ta - la/0.147) - ta) * sqrt(2) AS za,
+        |  sqrt(sqrt(tb*tb - lb/0.147) - tb) * sqrt(2) AS zb FROM ct)
+        |SELECT o_orderkey AS k,
+        |  list_filter([o_orderkey % 4, o_custkey % 7, 5],
+        |    x -> x > 5)[1] AS af,
+        |  coalesce(list_position(
+        |    list_transform([o_orderkey % 4, o_custkey % 7, 5],
+        |      x -> x > 5), true), 0) AS afi,
+        |  len(list_filter([o_orderkey, o_custkey, 3],
+        |    x -> x % 2 = 0)) AS ac,
+        |  array_to_string(regexp_extract_all(o_orderpriority,
+        |    '[a-zA-Z0-9]+'), '+') AS sna,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS ld,
+        |  ord(substr(o_orderstatus, 1, 1)) AS r32,
+        |  CAST((o_orderkey % 10 + 1) * (o_custkey % 10 + 1)
+        |    AS DOUBLE) AS area,
+        |  ROUND(((o_orderkey % 50 + 10)/100.0 - (o_custkey % 50 + 10)/100.0)
+        |    / sqrt((o_orderkey % 50 + 10)/100.0
+        |        * (1 - (o_orderkey % 50 + 10)/100.0) / 100
+        |      + (o_custkey % 50 + 10)/100.0
+        |        * (1 - (o_custkey % 50 + 10)/100.0) / 100), 6) AS z,
+        |  ROUND((SELECT (za + zb) * (za + zb) FROM consts)
+        |    * ((0.05 + (o_orderkey % 10)/100.0)
+        |        * (1 - (0.05 + (o_orderkey % 10)/100.0))
+        |      + (0.07 + (o_orderkey % 10)/100.0)
+        |        * (1 - (0.07 + (o_orderkey % 10)/100.0)))
+        |    / (0.02 * 0.02), 6) AS mss
+        |FROM orders ORDER BY k LIMIT 2000""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderkey AS k,
+          |  arrayFirst(x -> x > 5,
+          |    array(modulo(o_orderkey, 4), modulo(o_custkey, 7), 5)) AS af,
+          |  arrayFirstIndex(x -> x > 5,
+          |    array(modulo(o_orderkey, 4), modulo(o_custkey, 7), 5)) AS afi,
+          |  arrayCount(x -> modulo(x, 2) = 0,
+          |    array(o_orderkey, o_custkey, 3)) AS ac,
+          |  arrayStringConcat(splitByNonAlpha(o_orderpriority), '+') AS sna,
+          |  toString(toLastDayOfMonth(toDate(o_orderdate))) AS ld,
+          |  reinterpretAsUInt32(substring(o_orderstatus, 1, 1)) AS r32,
+          |  polygonAreaCartesian(readWKTRing(concat('POLYGON ((0 0, ',
+          |    toString(modulo(o_orderkey, 10) + 1), ' 0, ',
+          |    toString(modulo(o_orderkey, 10) + 1), ' ',
+          |    toString(modulo(o_custkey, 10) + 1), ', 0 ',
+          |    toString(modulo(o_custkey, 10) + 1), ', 0 0))'))) AS area,
+          |  round(tupleElement(proportionsZTest(
+          |    modulo(o_orderkey, 50) + 10, modulo(o_custkey, 50) + 10,
+          |    100, 100, 0.95, 'unpooled'), 1), 6) AS z,
+          |  round(tupleElement(minSampleSizeConversion(
+          |    0.05 + modulo(o_orderkey, 10) / 100.0,
+          |    0.02, 0.8, 0.05), 1), 6) AS mss
+          |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,
