@@ -704,12 +704,17 @@ object ChDdl {
     out.result()
   }
 
-  /** ALTER TABLE … DROP/RENAME/MODIFY COLUMN (ASTAlterQuery column
+  /** ALTER TABLE … ADD/DROP/RENAME/MODIFY COLUMN (ASTAlterQuery column
     * commands): a column-shape change rewrites the snapshot — the
     * parquet analog of the reference's mutation-style column ops —
     * and updates the declared layout so SHOW CREATE / SAMPLE / enum
     * codecs stay coherent. Dropping or renaming a key column refuses,
-    * like the reference's "cannot drop key column". */
+    * like the reference's "cannot drop key column". ADD COLUMN takes
+    * `[IF NOT EXISTS] c Type [DEFAULT expr] [FIRST | AFTER other]`;
+    * existing rows materialize the DEFAULT (NULL when absent) — the
+    * reference computes defaults for old parts lazily on read, and a
+    * one-time snapshot materialization is the parquet-library
+    * equivalent of that contract. */
   private def alterColumn(spark: SparkSession, ts: Vector[Tok]): Unit = {
     val ci = ChSql.find0(ts, Set("COLUMN"), 2)
     val op = ts(ci - 1).up
@@ -720,6 +725,58 @@ object ChDdl {
       l.orderBy.contains(c) || l.partitionBy.contains(c) ||
         l.sampleBy.exists(_.contains(c))
     val (out, newLayout): (DataFrame, Option[ChCreateTable]) = op match {
+      case "ADD" =>
+        var rest = ts.slice(ci + 1, ts.length)
+        val ifNot = rest.length >= 3 && rest(0).up == "IF" &&
+          rest(1).up == "NOT" && rest(2).up == "EXISTS"
+        if (ifNot) rest = rest.drop(3)
+        val d0 = depths(rest)
+        val afterIdx = rest.indices.find(k =>
+          d0(k) == 0 && rest(k).word && rest(k).up == "AFTER")
+        val isFirst = rest.nonEmpty && rest.last.word &&
+          rest.last.up == "FIRST" && afterIdx.isEmpty
+        val colEnd =
+          if (isFirst) rest.length - 1 else afterIdx.getOrElse(rest.length)
+        val colToks = rest.slice(0, colEnd)
+        val dd = depths(colToks)
+        val defIdx = colToks.indices.find(k =>
+          dd(k) == 0 && colToks(k).word && colToks(k).up == "DEFAULT")
+        val nc = parseColumn(colToks) // stops at DEFAULT (colDecor)
+        val defExpr = defIdx.map(k =>
+          renderTrim(colToks.slice(k + 1, colToks.length)))
+        if (snapshot.columns.contains(nc.name)) {
+          if (ifNot) return // no-op, and no pointless snapshot rewrite
+          throw new IllegalArgumentException(
+            s"column ${nc.name} already exists in $table")
+        }
+        val value = defExpr.map(expr).getOrElse(lit(null)).cast(nc.sparkType)
+        val visible = snapshot.columns.filterNot(_ == "__sample_hash").toSeq
+        val order: Seq[String] = afterIdx match {
+          case Some(k) =>
+            val anchor = rest(k + 1).text.stripPrefix("`").stripSuffix("`")
+            require(visible.contains(anchor), s"AFTER $anchor: no such column")
+            visible.flatMap(c =>
+              if (c == anchor) Seq(c, nc.name) else Seq(c))
+          case None if isFirst => nc.name +: visible
+          case None => visible :+ nc.name
+        }
+        val hidden =
+          if (snapshot.columns.contains("__sample_hash"))
+            Seq(col("__sample_hash"))
+          else Nil
+        (snapshot.withColumn(nc.name, value)
+           .select(order.map(col) ++ hidden: _*),
+          layout.map { l =>
+            val idx = afterIdx match {
+              case Some(k) =>
+                val anchor = rest(k + 1).text.stripPrefix("`").stripSuffix("`")
+                l.cols.indexWhere(_.name == anchor) + 1
+              case None if isFirst => 0
+              case None => l.cols.length
+            }
+            val (pre, post) = l.cols.splitAt(idx)
+            l.copy(cols = pre ++ Seq(nc) ++ post)
+          })
       case "DROP" =>
         val c = ts(ci + 1).text
         layout.foreach(l => require(!isKey(l, c), s"cannot drop key column $c"))
@@ -1342,7 +1399,7 @@ object ChDdl {
         alter(spark, sql); spark.emptyDataFrame
       case ("ALTER", "TABLE") if {
         val ci = ChSql.find0(ts, Set("COLUMN"), 2)
-        ci > 2 && Set("DROP", "RENAME", "MODIFY").contains(ts(ci - 1).up)
+        ci > 2 && Set("ADD", "DROP", "RENAME", "MODIFY").contains(ts(ci - 1).up)
       } =>
         alterColumn(spark, ts); spark.emptyDataFrame
       case ("RENAME", "TABLE") =>

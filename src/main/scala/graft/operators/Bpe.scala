@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** t17: byte-pair-encoding merge-table training (Sennrich et al. 2016
+  * — the tokenizer-training core; t12's vocab mining feeds the same
+  * stage). Classic corpus-level BPE: start from characters (plus an
+  * end-of-word marker), repeatedly merge the most frequent adjacent
+  * symbol pair, weighted by word frequency.
+  *
+  * Scale design — the loop stays DISTRIBUTED over the distinct-word
+  * table (10^7-ish rows on a real corpus; the corpus itself is read
+  * ONCE for the initial word count):
+  *  - per round, adjacent-pair counts are one explode + hash
+  *    aggregate (map-side combine collapses hot pairs before the
+  *    shuffle);
+  *  - the arg-max pair is a distributed top-1 (TakeOrderedAndProject
+  *    with the deterministic (count desc, left, right) order) — the
+  *    only driver state is ONE merge pair per round, model-scale;
+  *  - the merge applies as a per-row left-fold array rebuild
+  *    (aggregate HOF). The fold is O(len²) in symbol count per word
+  *    because each step rebuilds the accumulator — words are
+  *    bounded-short (len ≤ a few dozen symbols), and the frame it
+  *    runs over is the distinct-word table, not the corpus, so it is
+  *    NOT on a corpus-scan hot path (native-kernel policy: lambdas
+  *    off hot paths are fine).
+  *  - persist/unpersist per round, the dupClusters discipline.
+  *
+  * The left-fold realizes the standard simultaneous left-to-right
+  * non-overlapping replace: a just-merged element can never re-merge
+  * with the next symbol in the same round because merged == left
+  * would require an empty right symbol (symbols are never empty), so
+  * the fold is exactly the scan semantics.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Initial symbol sequence of a word: its characters plus the
+    * end-of-word marker. */
+  private def symbols(w: Column): Column =
+    concat(filter(split(w, "", -1), c => c =!= ""), array(lit(EndOfWord)))
+
+  /** One merge round applied to a symbol-sequence column: replace
+    * adjacent (l, r) with l+r, left-to-right non-overlapping. */
+  private def applyMerge(seq: Column, l: String, r: String): Column = {
+    val merged = l + r
+    aggregate(seq, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** Train `merges` BPE merges over the corpus' words; returns the
+    * merge table (rank, left, right, pair_count) in merge order.
+    * Deterministic: ties on pair count break on (left, right)
+    * lexicographically. Stops early when no adjacent pair remains. */
+  def train(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(Text.words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(symbols(col("__w")).as("__s"), col("__c"))
+      .persist()
+    words.count() // materialize before the loop mutates the lineage
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    try {
+      while (rank < merges && !exhausted) {
+        val top = words
+          .select(col("__s"), col("__c"),
+            posexplode(slice(col("__s"), lit(1), size(col("__s")) - 1)))
+          .select(col("col").as("__l"),
+            element_at(col("__s"), col("pos") + 2).as("__r"), col("__c"))
+          .groupBy("__l", "__r").agg(sum("__c").as("__n"))
+          .orderBy(desc("__n"), asc("__l"), asc("__r"))
+          .limit(1)
+          .as[(String, String, Long)]
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, n) = top.head
+          rank += 1
+          out += ((rank, l, r, n))
+          val next = words
+            .select(applyMerge(col("__s"), l, r).as("__s"), col("__c"))
+            .persist()
+          next.count()
+          words.unpersist()
+          words = next
+        }
+      }
+    } finally words.unpersist()
+    out.toSeq.toDF("rank", "left", "right", "pair_count").orderBy("rank")
+  }
+
+  /** Apply a trained merge table to a text column: per word, fold the
+    * merges in rank order over the symbol sequence — the standard BPE
+    * encode — and return the flattened token sequence for the doc.
+    * The merge table travels as literals (model-scale broadcast). */
+  def encode(text: Column, merges: Seq[(String, String)]): Column = {
+    val toks = transform(Text.words(text), w =>
+      merges.foldLeft(symbols(w)) { case (s, (l, r)) => applyMerge(s, l, r) })
+    flatten(toks)
+  }
+}

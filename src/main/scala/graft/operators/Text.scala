@@ -171,4 +171,56 @@ object Text {
         col("dup_word_frac") > 0.3 || col("top_word_frac") > 0.2 ||
           col("dup_gram_frac") > 0.18)
   }
+
+  /** t16: DSIR-style data selection via hashed-n-gram importance
+    * weights (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"). Both the target domain and the raw pool
+    * are modeled as bags of HASHED unigrams over `buckets` buckets;
+    * a doc's log importance weight is
+    * `Σ_tokens ln p̂_target(b(tok)) − ln p̂_raw(b(tok))` with Laplace
+    * (+1) smoothing. Docs the target model likes better than the raw
+    * model (logw > 0) are kept — a deterministic threshold stand-in
+    * for the paper's Gumbel resampling (seeded sampling isn't
+    * engine-portable; t05/t09 carry the sampled-selection shapes).
+    *
+    * Scale design: the two bucket-count tables are ≤ `buckets` rows
+    * (one partial-agg scan each) and broadcast into the scoring scan,
+    * so the corpus is read twice at map speed with NO token-level
+    * shuffle; the only shuffle is the final per-doc aggregate on the
+    * high-cardinality doc id. Bucket hash = first 3 hex digits of
+    * md5(token) (t10's engine-portable discipline); the ln sums are
+    * round-6 bridged like t14.
+    *
+    * Returns (idCol, n_tokens, logw, keep) one row per doc. */
+  def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column, buckets: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0 && buckets <= 4096, "buckets must be in (0, 4096]")
+    val toks = df.select(col(idCol), isTarget.as("__tgt"),
+      explode(words(col(textCol))).as("__t"))
+    def hexDigit(i: Int): Column = {
+      val c = ascii(substring(md5(col("__t")), i, 1))
+      when(c >= 97, c - 87).otherwise(c - 48)
+    }
+    val b = toks.select(col(idCol), col("__tgt"),
+      ((hexDigit(1) * 256 + hexDigit(2) * 16 + hexDigit(3)) % buckets)
+        .as("__b"))
+    val tgt = b.where(col("__tgt"))
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val raw = b.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val nt = tgt.agg(sum("__ct").as("__nt"))
+    val nr = raw.agg(sum("__cr").as("__nr"))
+    val lw =
+      log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
+        (col("__nt") + lit(buckets.toDouble))) -
+      log((col("__cr") + lit(1.0)) / (col("__nr") + lit(buckets.toDouble)))
+    b.join(broadcast(tgt), Seq("__b"), "left")
+      .join(broadcast(raw), Seq("__b"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col(idCol), lw.as("__lw"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), round(sum("__lw"), 6).as("logw"))
+      .select(col(idCol), col("n_tokens"), col("logw"),
+        (col("logw") > 0).as("keep"))
+  }
 }

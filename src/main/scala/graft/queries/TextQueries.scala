@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Text
+import graft.operators.{Bpe, Text}
 
 /** Text-analysis coverage (SURVEY §2 t01–t04) over `documents` — all
   * four are exact column arithmetic, all four DuckDB-oracled.
@@ -416,6 +416,54 @@ object TextQueries {
     // (map-side — the hot-token skew a shuffled token join would
     // have) and the per-doc mean is a partial avg. -ln sums bridge
     // engines at round 6 (term-order error ~1e-13).
+    // BPE merge-table training (Sennrich et al. 2016) — *rows-only*:
+    // the merge loop is sequentially data-dependent (each round's
+    // arg-max feeds the next), so no portable single-statement ANSI
+    // oracle exists; BpeSpec pins the result against an independent
+    // in-test reference implementation on planted fixtures plus a
+    // determinism re-run. The loop itself is distributed (explode +
+    // hash-agg pair counts, distributed top-1) — see operators/Bpe.
+    "t17_bpe_train" -> Q.rowsOnly { (s, dir) =>
+      Bpe.train(Tables(s, dir).documents, "text", 12)
+    },
+
+    // DSIR importance weighting (Xie et al. 2023): hashed-unigram
+    // bag models for the target domain (4 of the 20 sources) vs the
+    // raw pool, Laplace-smoothed log-likelihood ratio per doc, keep
+    // where the target model wins. Bucket-count tables are ≤1024 rows
+    // and broadcast — no token-level shuffle; round-6 bridged sums
+    // (the t14 discipline).
+    "t16_dsir" -> Q(
+      s"""WITH w AS (
+        |  SELECT doc_id, source IN ('src0','src1','src2','src3') AS tg,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, tg,
+        |    ((${hexCase(1)} * 256 + ${hexCase(2)} * 16 + ${hexCase(3)})
+        |      % 1024) AS b
+        |  FROM w),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM b WHERE tg GROUP BY b),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM b GROUP BY b),
+        |nt AS (SELECT SUM(ct) AS nt FROM tgt),
+        |nr AS (SELECT SUM(cr) AS nr FROM raw),
+        |s AS (
+        |  SELECT b.doc_id,
+        |    ln((COALESCE(tgt.ct, 0) + 1.0) / (nt.nt + 1024.0))
+        |      - ln((raw.cr + 1.0) / (nr.nr + 1024.0)) AS lw
+        |  FROM b LEFT JOIN tgt USING (b) JOIN raw USING (b)
+        |  CROSS JOIN nt CROSS JOIN nr),
+        |d AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    ROUND(SUM(lw), 6) AS logw
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, logw, logw > 0 AS keep
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Text.dsirScore(Tables(s, dir).documents, "doc_id", "text",
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy("doc_id")
+    },
+
     "t14_unigram_logppl" -> Q(
       """WITH w AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),

@@ -77,6 +77,43 @@ class CreateFormsSpec extends SparkSpec {
     assert(e.getMessage.contains("key column"), e.getMessage)
   }
 
+  test("ALTER ADD COLUMN materializes defaults and honors FIRST/AFTER") {
+    GraftFunctions.ensureRegistered(spark)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_addcol (k Int64, a Int32)
+        |ENGINE = MergeTree() ORDER BY (k)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO graft_addcol VALUES (1, 7), (2, 9)")
+    // plain add: appended at the end, NULL for existing rows
+    ChDdl.execute(spark, "ALTER TABLE graft_addcol ADD COLUMN s String")
+    assert(spark.table("graft_addcol").schema.fieldNames.toSeq == Seq("k", "a", "s"))
+    assert(spark.table("graft_addcol").where("s IS NULL").count() == 2)
+    // DEFAULT expr materializes for existing rows; AFTER positions it
+    ChDdl.execute(spark,
+      "ALTER TABLE graft_addcol ADD COLUMN a2 Int64 DEFAULT a * 2 AFTER a")
+    assert(spark.table("graft_addcol").schema.fieldNames.toSeq ==
+      Seq("k", "a", "a2", "s"))
+    assert(spark.table("graft_addcol").orderBy("k")
+      .selectExpr("a2").as[Long].collect().toSeq == Seq(14L, 18L))
+    // FIRST puts the column in front
+    ChDdl.execute(spark,
+      "ALTER TABLE graft_addcol ADD COLUMN z Int32 DEFAULT 0 FIRST")
+    assert(spark.table("graft_addcol").schema.fieldNames.head == "z")
+    // IF NOT EXISTS no-ops on a duplicate; without it, refuses
+    ChDdl.execute(spark,
+      "ALTER TABLE graft_addcol ADD COLUMN IF NOT EXISTS z Int32")
+    intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, "ALTER TABLE graft_addcol ADD COLUMN z Int32")
+    }
+    // SHOW CREATE reflects the declared layout with the new columns
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE graft_addcol")
+      .as[String].head()
+    assert(stmt.contains("`a2` Int64") && stmt.indexOf("`z` Int32") <
+      stmt.indexOf("`k` Int64"), stmt)
+    // inserts through the front door carry the new shape
+    ChDdl.execute(spark, "INSERT INTO graft_addcol VALUES (5, 3, 1, 2, 'w')")
+    assert(spark.table("graft_addcol").count() == 3)
+  }
+
   test("file() table function reads parquet/CSV/JSONEachRow through the front door") {
     GraftFunctions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_filefn")

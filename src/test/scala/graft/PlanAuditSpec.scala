@@ -112,7 +112,8 @@ class PlanAuditSpec extends SparkSpec {
       "d05_knn_brute",      // brute force IS broadcast-queries × corpus
       "d19_pq_search",      // ADC IS broadcast-query-LUTs × corpus codes
       "t09_temperature_mix", // broadcast 1-row weight total
-      "t14_unigram_logppl") // broadcast 1-row vocab-total scalar
+      "t14_unigram_logppl", // broadcast 1-row vocab-total scalar
+      "t16_dsir")           // broadcast 1-row target/raw token totals
     withoutAqe {
       val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
