@@ -297,6 +297,79 @@ private[graft] object ChBehavioral {
     Cast(EqualTo(lvl, Literal(n)), IntegerType)
   }
 
+  /** sequenceNextNode(direction, base)(ts, event, base_cond,
+    * cond1 … condK) → the event value right after the matched
+    * CONSECUTIVE-event chain, else NULL (public CH semantics;
+    * reference parser: ASTFunction.h parameters + arguments).
+    *
+    *  - direction 'forward' scans the time-ascending event list,
+    *    'backward' the reversed one (so the "next" node is the event
+    *    just BEFORE the chain in wall-clock order);
+    *  - base 'head' anchors the chain at the first event ('tail' at
+    *    the last, backward only), 'first_match' / 'last_match' at the
+    *    first / last position where the chain matches and the base
+    *    condition holds on the anchor event.
+    *
+    * Per-group state is the full event list — inherent to the
+    * semantics (the chain is over consecutive EVENTS, so every event
+    * matters; CH's own implementation buffers the same). The fold is
+    * array index arithmetic over the sorted collect — one aggregate,
+    * no window. */
+  def sequenceNextNode(direction: String, base: String, ts: Expression,
+      event: Expression, baseCond: Expression,
+      conds: Seq[Expression]): Expression = {
+    require(direction == "forward" || direction == "backward",
+      s"sequenceNextNode direction must be 'forward' or 'backward', got '$direction'")
+    require(Set("head", "tail", "first_match", "last_match")(base),
+      s"sequenceNextNode base must be head|tail|first_match|last_match, got '$base'")
+    val anchored = (direction, base) match {
+      case ("forward", "head") => true
+      case ("backward", "tail") => true
+      case (_, "head") | (_, "tail") => throw new UnsupportedOperationException(
+        s"sequenceNextNode('$direction', '$base') is not a valid pair — " +
+          "head goes with forward, tail with backward")
+      case _ => false
+    }
+    val k = conds.size
+    val ms = CreateArray(conds.map(c =>
+      Coalesce(Seq(Cast(c, BooleanType), Literal(false)))))
+    val entry = CreateNamedStruct(Seq(
+      Literal("t"), ChDialect.builtin("unix_micros")(Seq(ts)),
+      Literal("ev"), Cast(event, StringType),
+      Literal("bc"), Coalesce(Seq(Cast(baseCond, BooleanType),
+        Literal(false))),
+      Literal("ms"), ms))
+    val asc = ChDialect.builtin("sort_array")(
+      Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)))))
+    val arr = if (direction == "backward")
+      ChDialect.builtin("reverse")(Seq(asc)) else asc
+    val sz = ChDialect.builtin("size")(Seq(arr))
+    // 1-based anchor candidates; chain needs k consecutive events
+    val idxs = If(GreaterThanOrEqual(sz, Literal(k)),
+      ChDialect.builtin("sequence")(
+        Seq(Literal(1), Add(Subtract(sz, Literal(k)), Literal(1)))),
+      ChDialect.builtin("array_remove")(Seq(
+        ChDialect.builtin("array")(Seq(Literal(0))), Literal(0))))
+    val i = fresh("i")
+    val j = fresh("j")
+    def at(ix: Expression) = elem(arr, ix)
+    val chainOk = ChDialect.builtin("forall")(Seq(
+      ChDialect.builtin("sequence")(Seq(Literal(0), Literal(k - 1))),
+      LambdaFunction(
+        elem(fld(at(Add(i, j)), "ms"), Add(j, Literal(1))), Seq(j))))
+    val anchorOk = And(fld(at(i), "bc"),
+      if (anchored) EqualTo(i, Literal(1)) else Literal(true))
+    val valid = ChDialect.builtin("filter")(Seq(idxs,
+      LambdaFunction(And(anchorOk, chainOk), Seq(i))))
+    val anchor =
+      if (base == "last_match") ChDialect.builtin("array_max")(Seq(valid))
+      else ChDialect.builtin("array_min")(Seq(valid))
+    val nextIdx = Add(anchor, Literal(k))
+    If(And(IsNotNull(anchor), LessThanOrEqual(nextIdx, sz)),
+      fld(elem(arr, nextIdx), "ev"),
+      Cast(Literal(null), StringType))
+  }
+
   /** sequenceCount(pattern)(ts, cond1 … condN) → non-overlapping
     * match count (greedy DFA, restart after completion). */
   def sequenceCount(pattern: String, ts: Expression,

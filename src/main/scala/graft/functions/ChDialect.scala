@@ -986,6 +986,19 @@ object ChDialect {
       ChBehavioral.windowFunnel(rest.last, rest.head,
         rest.slice(1, rest.size - 1), modes) },
     "retention" -> { es => ChBehavioral.retention(es) },
+    "sequenceNextNode" -> { es =>
+      def strLit(e: Expression, what: String): String = e match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"sequenceNextNode needs a literal $what parameter, got $other")
+      }
+      require(es.size >= 6,
+        "sequenceNextNode(direction, base)(ts, event, base_cond, cond1, …) " +
+          "needs ≥1 chain condition")
+      ChBehavioral.sequenceNextNode(
+        strLit(es(0), "direction"), strLit(es(1), "base"),
+        es(2), es(3), es(4), es.drop(5)) },
     "sequenceMatch" -> { es =>
       es.head match {
         case Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType) =>

@@ -536,7 +536,17 @@ object ChDialect3 {
         "reads the reference server's transaction state"))
   }
 
+  /** The in-engine ML family (ChMl): deterministic closed-form fits
+    * behind CH's stochastic* names, plus the model-application
+    * scalar. */
+  private def mlAliases: Seq[(String, Builder)] = Seq(
+    "stochasticLinearRegression" -> { es => ChMl.fit(logistic = false, es) },
+    "stochasticLogisticRegression" -> { es => ChMl.fit(logistic = true, es) },
+    "evalMLMethod" -> { es => ChMl.evalMLMethod(es) }
+  )
+
   def aliases: Seq[(String, Seq[Expression] => Expression)] =
     arraySearchAliases ++ fingerprintAliases ++ reinterpretAliases ++
-      uuidAliases ++ geoAliases ++ statAliases ++ sysAliases ++ refusals
+      uuidAliases ++ geoAliases ++ statAliases ++ sysAliases ++
+      mlAliases ++ refusals
 }

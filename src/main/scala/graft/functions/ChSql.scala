@@ -662,7 +662,9 @@ object ChSql {
     "MEANZTEST", "EXPONENTIALMOVINGAVERAGE",
     "QUANTILEINTERPOLATEDWEIGHTED", "QUANTILETIMINGWEIGHTED")
   private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
-    "TOPKWEIGHTED", "SPARKBAR", "HISTOGRAM")
+    "TOPKWEIGHTED", "SPARKBAR", "HISTOGRAM",
+    "STOCHASTICLINEARREGRESSION", "STOCHASTICLOGISTICREGRESSION",
+    "SEQUENCENEXTNODE")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
     "UNIQHLL12")
 

@@ -549,6 +549,48 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** d24: sub-document chunk dedup with reassembly — the CCNet /
+    * paragraph-level pass (Wenzek et al. 2020 dedupe at paragraph
+    * granularity; with no newline structure in this corpus the unit
+    * is a fixed `chunkWords` word window). Every chunk keeps its
+    * GLOBALLY FIRST occurrence (min (doc_id, pos) per chunk hash);
+    * all later occurrences — across docs or within one — drop, and
+    * each doc is reassembled from its surviving chunks in order.
+    *
+    * Scale shape — ZERO joins on the chunk hash: the keeper row
+    * is `min(struct(doc, pos, txt))` per hash, a partial-agg min, so
+    * a boilerplate chunk shared by 10⁶ docs collapses to one row per
+    * map partition BEFORE the shuffle (the straggler d04's df-cap
+    * exists to avoid never forms). Reassembly is one groupBy(doc) of
+    * the kept rows + a left join from the doc table on doc_id —
+    * two shuffles total, both on keys the data is already sized for.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 16): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
+    val chunks = df.select(col(idCol), posexplode(transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * chunkWords + 1, lit(chunkWords)), " "))))
+      .toDF(idCol, "__pos", "__txt")
+    val keepers = chunks
+      .groupBy(md5(col("__txt")).as("__h"))
+      .agg(min(struct(col(idCol), col("__pos"), col("__txt"))).as("__k"))
+      .select(col("__k")(idCol).as(idCol), col("__k.__pos").as("__pos"),
+        col("__k.__txt").as("__txt"))
+    val rebuilt = keepers.groupBy(idCol).agg(
+      array_join(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__txt")))),
+        s => s("__txt")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol), nChunks.as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** d04: exact word-n-gram Jaccard over blocked pairs — the VERIFY
     * stage of the dedup funnel (candidates from d02/d03 or any block
     * key). Sparse-similarity-join shape: explode distinct grams, join

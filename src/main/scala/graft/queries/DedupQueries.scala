@@ -30,6 +30,40 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Sub-document chunk dedup with reassembly (CCNet's paragraph
+    // pass over fixed 16-word windows — no newline structure in this
+    // corpus): every chunk keeps its globally-first (doc_id, pos)
+    // occurrence, docs are rebuilt from surviving chunks in order.
+    // Keeper selection is a partial-agg min(struct) per chunk hash —
+    // zero joins on the hash, so boilerplate chunks collapse
+    // map-side (see Dedup.chunkDedup).
+    "d24_chunk_dedup" -> Q(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(list_slice(words, i*16 + 1, i*16 + 16), ' ') AS txt
+        |  FROM w, UNNEST(range(CAST(ceil(len(words)/16.0) AS BIGINT))) AS t(i)),
+        |k AS (
+        |  SELECT doc_id, pos, txt,
+        |    row_number() OVER (PARTITION BY md5(txt) ORDER BY doc_id, pos) AS rn
+        |  FROM ch),
+        |r AS (
+        |  SELECT doc_id, string_agg(txt, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |n AS (
+        |  SELECT doc_id,
+        |    CAST(ceil(len(string_split(text, ' '))/16.0) AS INT) AS n_chunks
+        |  FROM documents)
+        |SELECT n.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  n.n_chunks, COALESCE(r.n_kept, 0) AS n_kept
+        |FROM n LEFT JOIN r ON n.doc_id = r.doc_id
+        |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.chunkDedup(Tables(s, dir).documents, "doc_id", "text", 16)
+        .orderBy("doc_id")
+    },
+
     // URL-canonicalization dedup — the web-corpus FIRST dedup pass
     // (CommonCrawl-style): normalize scheme noise (case, www.,
     // trailing slash, utm_* tracking params) to a canonical key,

@@ -1492,6 +1492,132 @@ object DialectQueries {
           |    0.02, 0.8, 0.05), 1), 6) AS mss
           |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
 
+    // The in-engine ML family (ChMl): stochasticLinearRegression /
+    // stochasticLogisticRegression / evalMLMethod through the CH
+    // parametric front door. Realized as the deterministic closed
+    // form (ridge normal equations; logistic = one Newton step from
+    // w=0) — CH's own SGD is block-order-dependent, meaningless to
+    // oracle. The DuckDB twin spells the SAME sums and the SAME
+    // Cramer determinant expansion (ChMl.cramer3), so the weights
+    // hash-compare exactly at 6 dp. l2 rides the weight diagonal
+    // only (never the bias), matching CH.
+    "c43_ch_ml" -> Q {
+      // shared Cramer-3 solve over sums s11,s12,s1o,s22,s2o,soo and
+      // rhs b0,b1,b2 — token-for-token the ChMl.cramer3 expansion
+      def cramer(p: String): String =
+        s"""    ${p}s11*(${p}s22*${p}soo - ${p}s2o*${p}s2o)
+           |      - ${p}s12*(${p}s12*${p}soo - ${p}s2o*${p}s1o)
+           |      + ${p}s1o*(${p}s12*${p}s2o - ${p}s22*${p}s1o) AS ${p}det,
+           |    ${p}b0*(${p}s22*${p}soo - ${p}s2o*${p}s2o)
+           |      - ${p}s12*(${p}b1*${p}soo - ${p}s2o*${p}b2)
+           |      + ${p}s1o*(${p}b1*${p}s2o - ${p}s22*${p}b2) AS ${p}n1,
+           |    ${p}s11*(${p}b1*${p}soo - ${p}s2o*${p}b2)
+           |      - ${p}b0*(${p}s12*${p}soo - ${p}s2o*${p}s1o)
+           |      + ${p}s1o*(${p}s12*${p}b2 - ${p}b1*${p}s1o) AS ${p}n2,
+           |    ${p}s11*(${p}s22*${p}b2 - ${p}b1*${p}s2o)
+           |      - ${p}s12*(${p}s12*${p}b2 - ${p}b1*${p}s1o)
+           |      + ${p}b0*(${p}s12*${p}s2o - ${p}s22*${p}s1o) AS ${p}n3""".stripMargin
+      s"""WITH sums AS (
+        |  SELECT l_linestatus,
+        |    SUM(l_quantity*l_quantity) + 0.5 AS ls11,
+        |    SUM(l_quantity*l_discount) AS ls12,
+        |    SUM(l_quantity) AS ls1o,
+        |    SUM(l_discount*l_discount) + 0.5 AS ls22,
+        |    SUM(l_discount) AS ls2o,
+        |    SUM(1.0) AS lsoo,
+        |    SUM(l_quantity*l_extendedprice) AS lb0,
+        |    SUM(l_discount*l_extendedprice) AS lb1,
+        |    SUM(l_extendedprice) AS lb2,
+        |    SUM(l_quantity*l_quantity)*0.25 + 0.25 AS gs11,
+        |    SUM(l_quantity*l_discount)*0.25 AS gs12,
+        |    SUM(l_quantity)*0.25 AS gs1o,
+        |    SUM(l_discount*l_discount)*0.25 + 0.25 AS gs22,
+        |    SUM(l_discount)*0.25 AS gs2o,
+        |    SUM(1.0)*0.25 AS gsoo,
+        |    SUM(l_quantity*((CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END) - 0.5)) AS gb0,
+        |    SUM(l_discount*((CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END) - 0.5)) AS gb1,
+        |    SUM((CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END) - 0.5) AS gb2
+        |  FROM lineitem GROUP BY l_linestatus),
+        |solved AS (
+        |  SELECT l_linestatus,
+        |${cramer("l")},
+        |${cramer("g")}
+        |  FROM sums),
+        |w AS (
+        |  SELECT l_linestatus,
+        |    ln1/ldet AS w1u, ln2/ldet AS w2u, ln3/ldet AS wbu,
+        |    gn1/gdet AS g1u, gn2/gdet AS g2u, gn3/gdet AS gbu
+        |  FROM solved)
+        |SELECT l_linestatus,
+        |  round(w1u, 6) AS w1, round(w2u, 6) AS w2, round(wbu, 6) AS wb,
+        |  round(g1u, 6) AS g1, round(g2u, 6) AS g2, round(gbu, 6) AS gb,
+        |  round((wbu + w1u*25.0) + w2u*0.05, 6) AS pred
+        |FROM w ORDER BY l_linestatus""".stripMargin } (
+      chSql(Seq("lineitem"),
+        """SELECT l_linestatus,
+          |  round(arrayElement(tupleElement(stochasticLinearRegression(1.0, 0.5, 10, 'SGD')(
+          |    l_extendedprice, l_quantity, l_discount), 2), 1), 6) AS w1,
+          |  round(arrayElement(tupleElement(stochasticLinearRegression(1.0, 0.5, 10, 'SGD')(
+          |    l_extendedprice, l_quantity, l_discount), 2), 2), 6) AS w2,
+          |  round(arrayElement(tupleElement(stochasticLinearRegression(1.0, 0.5, 10, 'SGD')(
+          |    l_extendedprice, l_quantity, l_discount), 2), 3), 6) AS wb,
+          |  round(arrayElement(tupleElement(stochasticLogisticRegression(1.0, 0.25, 10, 'SGD')(
+          |    if(l_returnflag = 'A', 1.0, 0.0), l_quantity, l_discount), 2), 1), 6) AS g1,
+          |  round(arrayElement(tupleElement(stochasticLogisticRegression(1.0, 0.25, 10, 'SGD')(
+          |    if(l_returnflag = 'A', 1.0, 0.0), l_quantity, l_discount), 2), 2), 6) AS g2,
+          |  round(arrayElement(tupleElement(stochasticLogisticRegression(1.0, 0.25, 10, 'SGD')(
+          |    if(l_returnflag = 'A', 1.0, 0.0), l_quantity, l_discount), 2), 3), 6) AS gb,
+          |  round(evalMLMethod(stochasticLinearRegression(1.0, 0.5, 10, 'SGD')(
+          |    l_extendedprice, l_quantity, l_discount), 25.0, 0.05), 6) AS pred
+          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // sequenceNextNode (public CH parametric aggregate): the event
+    // value right after a matched consecutive-event chain. The
+    // oracle replays the same semantics with per-user row_number +
+    // lead windows (events have per-user-unique timestamps at every
+    // SF, so the (ts, event_type) sort is total on both engines).
+    "c44_ch_seq_next" -> Q(
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS ev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |le AS (
+        |  SELECT u, ev, rn, n,
+        |    lead(ev, 1) OVER (PARTITION BY u ORDER BY rn) AS e1
+        |  FROM e),
+        |fm AS (
+        |  SELECT u, min(rn) AS a FROM le
+        |  WHERE ev = 'view' AND e1 = 'click' GROUP BY u),
+        |users AS (SELECT DISTINCT u FROM e)
+        |SELECT users.u AS user_id,
+        |  nx.ev AS nxt,
+        |  hd.hd AS hd,
+        |  bk.bk AS bk
+        |FROM users
+        |LEFT JOIN fm ON users.u = fm.u
+        |LEFT JOIN e nx ON nx.u = fm.u AND nx.rn = fm.a + 2
+        |LEFT JOIN (
+        |  SELECT u,
+        |    CASE WHEN min(CASE WHEN rn = 1 THEN ev END) = 'view'
+        |         THEN min(CASE WHEN rn = 2 THEN ev END) END AS hd
+        |  FROM e GROUP BY u) hd ON users.u = hd.u
+        |LEFT JOIN (
+        |  SELECT u,
+        |    CASE WHEN min(CASE WHEN rn = n THEN ev END) = 'purchase'
+        |         THEN min(CASE WHEN rn = n - 1 THEN ev END) END AS bk
+        |  FROM e GROUP BY u) bk ON users.u = bk.u
+        |ORDER BY user_id""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT user_id,
+          |  sequenceNextNode('forward', 'first_match')(ts, event_type,
+          |    event_type != '', event_type = 'view', event_type = 'click') AS nxt,
+          |  sequenceNextNode('forward', 'head')(ts, event_type,
+          |    event_type != '', event_type = 'view') AS hd,
+          |  sequenceNextNode('backward', 'tail')(ts, event_type,
+          |    event_type != '', event_type = 'purchase') AS bk
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,

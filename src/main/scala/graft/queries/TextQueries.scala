@@ -427,6 +427,28 @@ object TextQueries {
       Bpe.train(Tables(s, dir).documents, "text", 12)
     },
 
+    // BPE tokenizer APPLICATION — t17's trained merge table encodes
+    // the corpus (the tokenize step every pretraining pipeline runs
+    // after training its tokenizer). The merge table is model-scale
+    // and travels as literals inside the fold expression (broadcast
+    // by value, no join); the encode itself is a per-row rank-order
+    // fold — scan speed, zero shuffles beyond the train step.
+    // *Rows-only* like t17 (the merge table is loop-trained); BpeSpec
+    // pins encode against an independent reference implementation
+    // and round-trips the corpus text.
+    "t18_bpe_encode" -> Q.rowsOnly { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val merges = Bpe.train(docs, "text", 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+        .toSeq
+      docs.select(col("doc_id"),
+          Bpe.encode(col("text"), merges).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          array_join(slice(col("toks"), 1, 12), " ").as("head_tokens"))
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weighting (Xie et al. 2023): hashed-unigram
     // bag models for the target domain (4 of the 20 sources) vs the
     // raw pool, Laplace-smoothed log-likelihood ratio per doc, keep

@@ -114,4 +114,22 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("corpus encode round-trips: tokens rebuild the words (t18 shape)") {
+    val docs = Seq((1L, "low lower newest"), (2L, "wider low new"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map { case (_, l, r, _) => (l, r) }.toSeq
+    val got = docs.select(col("doc_id"),
+        Bpe.encode(col("text"), merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    // stripping the end-of-word markers and joining restores the text
+    def rebuild(toks: Seq[String]): String =
+      toks.mkString.replace(Bpe.EndOfWord, " ").trim
+    assert(rebuild(got(1L)) == "low lower newest")
+    assert(rebuild(got(2L)) == "wider low new")
+    // each word's tokenization ends exactly at a </w> boundary
+    assert(got.values.forall(_.forall(t => !t.contains(" "))))
+  }
 }

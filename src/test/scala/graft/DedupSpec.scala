@@ -299,6 +299,32 @@ class DedupSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("chunkDedup keeps first occurrences and reassembles in order") {
+    // 4-word chunks; doc 2 repeats doc 1's first chunk, doc 3 repeats
+    // its own chunk within itself
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // chunks: [a b c d][e f g h]
+      (2L, "a b c d x y z w"),            // first chunk dups doc 1's
+      (3L, "p q r s p q r s p q r s t")   // self-dup twice + tail [t]
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f g h", 2, 2L)))
+    assert(out(2L) == (("x y z w", 2, 1L)))           // dup chunk gone
+    assert(out(3L) == (("p q r s t", 4, 2L)))         // self-dups gone
+  }
+
+  test("chunkDedup drops a doc to empty text when every chunk is taken") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d" && out(2L) == "")
+  }
+
   private implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = arr.map { case (a, b, c) => (a, b) -> c }.toMap
   }
