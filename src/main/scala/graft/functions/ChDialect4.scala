@@ -1,0 +1,382 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-9 sweep 3 of the ClickHouse-name surface (reference:
+  * src/Parsers/ASTFunction.h registry; public CH docs semantics):
+  * date constructors and Interval makers, MySQL-format datetime
+  * parsing, regex group extraction, tuple arithmetic, partial/seeded
+  * array reorderings, the random-distribution family, AES
+  * encrypt/decrypt, space-filling-curve codes, consistent hashing,
+  * and CIDR membership. Same contract as ChDialect/2/3: every name
+  * is a Catalyst composition or a StaticInvoke kernel — never a UDF.
+  */
+object ChDialect4 {
+
+  private type Builder = Seq[Expression] => Expression
+  private def builtin(name: String) = ChDialect.builtin(name)
+
+  private def litStr(e: Expression, fn: String, what: String): String =
+    e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn needs a literal $what, got $other")
+    }
+
+  private def litInt(e: Expression, fn: String, what: String): Int =
+    e match {
+      case Literal(i: Int, IntegerType) => i
+      case Literal(i: Long, LongType) => i.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn needs a literal $what, got $other")
+    }
+
+  // ---- date/time constructors ----
+
+  private def dtInterval(days: Expression, hours: Expression,
+      mins: Expression, secs: Expression): Expression =
+    builtin("make_dt_interval")(Seq(days, hours, mins, secs))
+  private def ymInterval(years: Expression, months: Expression): Expression =
+    builtin("make_ym_interval")(Seq(years, months))
+  private val zero = Literal(0)
+
+  /** CH's MySQL-syntax format tokens → Java time pattern (the common
+    * set; unknown tokens refuse loudly rather than mis-parse). */
+  private def mysqlToJava(fmt: String, fn: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        out.append(fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'c' => "M"
+          case 'd' => "dd"
+          case 'e' => "d"
+          case 'H' => "HH"
+          case 'k' => "H"
+          case 'h' | 'I' => "hh"
+          case 'l' => "h"
+          case 'i' => "mm"
+          case 's' | 'S' => "ss"
+          case 'p' => "a"
+          case 'M' => "MMMM"
+          case 'b' => "MMM"
+          case 'j' => "DDD"
+          case 'a' => "EEE"
+          case 'W' => "EEEE"
+          case 'F' => "yyyy-MM-dd"
+          case 'T' => "HH:mm:ss"
+          case '%' => "%"
+          case u => throw new UnsupportedOperationException(
+            s"$fn: unsupported MySQL format token '%$u'")
+        })
+        i += 2
+      } else {
+        // literal run — quote anything that could be a pattern letter
+        if (c.isLetter) out.append('\'').append(c).append('\'')
+        else out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  private def dateTimeAliases: Seq[(String, Builder)] = Seq(
+    "makeDate" -> { es => builtin("make_date")(es) },
+    "makeDate32" -> { es => builtin("make_date")(es) },
+    "makeDateTime" -> { es => builtin("make_timestamp")(es.take(6)) },
+    "makeDateTime64" -> { es => builtin("make_timestamp")(es.take(6)) },
+    // chMonthName: ChSql renames CH monthName() here — Spark 4 owns
+    // a monthname() builtin with ABBREVIATED output, CH's is the
+    // full name; spelled as a literal lookup for locale independence
+    "chMonthName" -> { es =>
+      builtin("element_at")(Seq(
+        CreateArray(Seq("January", "February", "March", "April", "May",
+          "June", "July", "August", "September", "October", "November",
+          "December").map(Literal(_))),
+        builtin("month")(Seq(Cast(es.head, DateType))))) },
+    // proleptic-Gregorian days since 0000-01-01 (epoch day + 719528,
+    // CH's documented anchor — Spark dates can't reach year 0, so the
+    // constant bridges from the epoch)
+    "toDaysSinceYearZero" -> { es =>
+      Add(builtin("datediff")(Seq(Cast(es.head, DateType),
+        Cast(Literal("1970-01-01"), DateType))), Literal(719528)) },
+    "toModifiedJulianDay" -> { es =>
+      builtin("datediff")(Seq(Cast(es.head, DateType),
+        Cast(Literal("1858-11-17"), DateType))) },
+    "fromModifiedJulianDay" -> { es =>
+      builtin("date_add")(Seq(Cast(Literal("1858-11-17"), DateType),
+        Cast(es.head, IntegerType))) },
+    "parseDateTime" -> { es =>
+      require(es.size == 2, "parseDateTime(str, format) — the " +
+        "timezone argument is not supported (session timezone applies)")
+      val fmt = mysqlToJava(litStr(es(1), "parseDateTime", "format"),
+        "parseDateTime")
+      builtin("to_timestamp")(Seq(es.head, Literal(fmt))) },
+    "toIntervalSecond" -> { es => dtInterval(zero, zero, zero, es.head) },
+    "toIntervalMinute" -> { es => dtInterval(zero, zero, es.head, zero) },
+    "toIntervalHour" -> { es => dtInterval(zero, es.head, zero, zero) },
+    "toIntervalDay" -> { es => dtInterval(es.head, zero, zero, zero) },
+    "toIntervalWeek" -> { es =>
+      dtInterval(Multiply(es.head, Literal(7)), zero, zero, zero) },
+    "toIntervalMonth" -> { es => ymInterval(zero, es.head) },
+    "toIntervalQuarter" -> { es =>
+      ymInterval(zero, Multiply(es.head, Literal(3))) },
+    "toIntervalYear" -> { es => ymInterval(es.head, zero) },
+    "toIntervalMillisecond" -> { es => dtInterval(zero, zero, zero,
+      Divide(Cast(es.head, DoubleType), Literal(1000.0))) },
+    "toIntervalMicrosecond" -> { es => dtInterval(zero, zero, zero,
+      Divide(Cast(es.head, DoubleType), Literal(1000000.0))) }
+  )
+
+  // ---- regex group extraction ----
+
+  /** Does the literal pattern declare a capturing group? (the
+    * ChSql/extract rule: '(' not followed by '?', not escaped) */
+  private def hasCapture(p: String): Boolean = {
+    var i = 0
+    var esc = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (esc) esc = false
+      else if (c == '\\') esc = true
+      else if (c == '(' &&
+        (i + 1 >= p.length || p.charAt(i + 1) != '?')) return true
+      i += 1
+    }
+    false
+  }
+
+  private def captureCount(p: String): Int = {
+    var i = 0
+    var esc = false
+    var n = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (esc) esc = false
+      else if (c == '\\') esc = true
+      else if (c == '(' &&
+        (i + 1 >= p.length || p.charAt(i + 1) != '?')) n += 1
+      i += 1
+    }
+    n
+  }
+
+  private def lam1(body: Expression => Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("__g4_x"))
+    LambdaFunction(body(x), Seq(x))
+  }
+
+  private def regexAliases: Seq[(String, Builder)] = Seq(
+    "regexpExtract" -> { es =>
+      val idx = if (es.size >= 3) es(2) else es(1) match {
+        case Literal(p: UTF8String, StringType) =>
+          Literal(if (hasCapture(p.toString)) 1 else 0)
+        case _ => Literal(1)
+      }
+      builtin("regexp_extract")(Seq(es(0), es(1), idx)) },
+    // array per GROUP, one entry per match
+    "extractAllGroupsHorizontal" -> { es =>
+      val g = captureCount(litStr(es(1),
+        "extractAllGroupsHorizontal", "pattern"))
+      require(g > 0, "extractAllGroupsHorizontal: pattern has no " +
+        "capturing groups")
+      CreateArray((1 to g).map(k =>
+        builtin("regexp_extract_all")(Seq(es(0), es(1), Literal(k))))) },
+    // array per MATCH, one entry per group
+    "extractAllGroupsVertical" -> { es =>
+      val g = captureCount(litStr(es(1),
+        "extractAllGroupsVertical", "pattern"))
+      require(g > 0, "extractAllGroupsVertical: pattern has no " +
+        "capturing groups")
+      val per = (1 to g).map(k =>
+        builtin("regexp_extract_all")(Seq(es(0), es(1), Literal(k))))
+      builtin("transform")(Seq(
+        builtin("sequence")(Seq(Literal(1),
+          builtin("size")(Seq(per.head)))),
+        lam1(m => CreateArray(per.map(p =>
+          builtin("element_at")(Seq(p, m))))))) }
+  )
+
+  // ---- tuple arithmetic (element-wise over CH tuples = structs).
+  //      Arity must be knowable at build time, so operands must be
+  //      written as tuple(...) literals-in-place; anything else
+  //      refuses with guidance. ----
+
+  private def structFields(e: Expression, fn: String): Seq[Expression] =
+    e match {
+      case CreateNamedStruct(kids) =>
+        kids.grouped(2).map(_.last).toSeq
+      case other => throw new UnsupportedOperationException(
+        s"$fn needs its tuple operands written in place — " +
+          s"$fn(tuple(a, b), tuple(c, d)) — got $other")
+    }
+
+  private def tupleOf(vals: Seq[Expression]): Expression =
+    CreateNamedStruct(vals.zipWithIndex.flatMap { case (v, i) =>
+      Seq(Literal(s"_${i + 1}"), v)
+    })
+
+  private def tupleWise(fn: String,
+      op: (Expression, Expression) => Expression): Builder = { es =>
+    val a = structFields(es(0), fn)
+    val b = structFields(es(1), fn)
+    require(a.size == b.size, s"$fn: tuple sizes differ " +
+      s"(${a.size} vs ${b.size})")
+    tupleOf(a.zip(b).map { case (x, y) => op(x, y) })
+  }
+
+  private def tupleAliases: Seq[(String, Builder)] = Seq(
+    "tuplePlus" -> tupleWise("tuplePlus", Add(_, _)),
+    "tupleMinus" -> tupleWise("tupleMinus", Subtract(_, _)),
+    "tupleMultiply" -> tupleWise("tupleMultiply", Multiply(_, _)),
+    "tupleDivide" -> tupleWise("tupleDivide", Divide(_, _)),
+    "tupleNegate" -> { es =>
+      tupleOf(structFields(es(0), "tupleNegate").map(UnaryMinus(_))) },
+    "tupleMultiplyByNumber" -> { es =>
+      tupleOf(structFields(es(0), "tupleMultiplyByNumber")
+        .map(Multiply(_, es(1)))) },
+    "tupleDivideByNumber" -> { es =>
+      tupleOf(structFields(es(0), "tupleDivideByNumber")
+        .map(Divide(_, es(1)))) },
+    "mapFromArrays" -> { es => builtin("map_from_arrays")(es) }
+  )
+
+  // ---- array reorderings ----
+
+  private def arrayAliases: Seq[(String, Builder)] = Seq(
+    // CH contract: first `limit` positions sorted, the rest
+    // unspecified — a fully sorted array satisfies it and is the
+    // only deterministic spelling
+    "arrayPartialSort" -> { es =>
+      builtin("sort_array")(Seq(es.last)) },
+    "arrayPartialReverseSort" -> { es =>
+      builtin("sort_array")(Seq(es.last, Literal(false))) },
+    "arrayShuffle" -> { es => builtin("shuffle")(es) },
+    "arrayRandomSample" -> { es =>
+      builtin("slice")(Seq(builtin("shuffle")(Seq(es(0))),
+        Literal(1), es(1))) }
+  )
+
+  // ---- random distributions (rand/randn transforms; naturally
+  //      nondeterministic, like CH's own) ----
+
+  private def rnd: Expression = builtin("rand")(Seq.empty)
+  private def randAliases: Seq[(String, Builder)] = Seq(
+    "randUniform" -> { es =>
+      Add(Cast(es(0), DoubleType),
+        Multiply(rnd, Subtract(Cast(es(1), DoubleType),
+          Cast(es(0), DoubleType)))) },
+    "randNormal" -> { es =>
+      Add(Cast(es(0), DoubleType),
+        Multiply(builtin("randn")(Seq.empty), Cast(es(1), DoubleType))) },
+    "randExponential" -> { es =>
+      Divide(UnaryMinus(builtin("ln")(Seq(Subtract(Literal(1.0), rnd)))),
+        Cast(es(0), DoubleType)) },
+    "randBernoulli" -> { es =>
+      Cast(LessThan(rnd, Cast(es(0), DoubleType)), IntegerType) }
+  )
+
+  // ---- AES (Spark's aes_encrypt/aes_decrypt; CH mode strings like
+  //      'aes-256-gcm' map to the Spark mode, with CH's iv/aad
+  //      argument order preserved) ----
+
+  private def aesMode(mode: String, fn: String): (String, String) = {
+    val m = mode.toLowerCase
+    val parts = m.split("-")
+    require(parts.length == 3 && parts(0) == "aes",
+      s"$fn: unsupported mode '$mode' (want aes-<len>-<ecb|cbc|gcm>)")
+    parts(2) match {
+      case "ecb" => ("ECB", "PKCS")
+      case "cbc" => ("CBC", "PKCS")
+      case "gcm" => ("GCM", "NONE")
+      case other => throw new UnsupportedOperationException(
+        s"$fn: unsupported AES chaining mode '$other'")
+    }
+  }
+
+  private def cryptoAliases: Seq[(String, Builder)] = Seq(
+    "encrypt" -> { es =>
+      val (mode, pad) = aesMode(litStr(es(0), "encrypt", "mode"), "encrypt")
+      val base = Seq(es(1), es(2), Literal(mode), Literal(pad))
+      builtin("aes_encrypt")(
+        if (es.size >= 4) base ++ es.drop(3) else base) },
+    "decrypt" -> { es =>
+      val (mode, pad) = aesMode(litStr(es(0), "decrypt", "mode"), "decrypt")
+      val base = Seq(es(1), es(2), Literal(mode), Literal(pad))
+      // aes_decrypt takes (input, key, mode, padding, aad) — no iv
+      // argument (CBC/GCM ivs are read from the ciphertext prefix)
+      builtin("aes_decrypt")(
+        if (es.size >= 5) base :+ es(4) else base) }
+  )
+
+  // ---- kernels: consistent hashing, space-filling curves, CIDR ----
+
+  private def si(ret: DataType, method: String, args: Seq[Expression],
+      ins: Seq[DataType]): Expression =
+    StaticInvoke(ChNumHelpers.getClass, ret, method, args,
+      inputTypes = ins)
+
+  private def kernelAliases: Seq[(String, Builder)] = Seq(
+    "jumpConsistentHash" -> { es =>
+      si(IntegerType, "jumpConsistentHash",
+        Seq(Cast(es(0), LongType), Cast(es(1), IntegerType)),
+        Seq(LongType, IntegerType)) },
+    "mortonEncode" -> { es =>
+      require(es.size == 2, "mortonEncode(x, y): the 2-D form")
+      si(LongType, "mortonEncode",
+        es.map(Cast(_, LongType)), Seq(LongType, LongType)) },
+    "mortonDecode" -> { es =>
+      require(litInt(es(0), "mortonDecode", "tuple size") == 2,
+        "mortonDecode(2, code): the 2-D form")
+      val c = Cast(es(1), LongType)
+      tupleOf(Seq(
+        si(LongType, "mortonDecodeX", Seq(c), Seq(LongType)),
+        si(LongType, "mortonDecodeY", Seq(c), Seq(LongType)))) },
+    "hilbertEncode" -> { es =>
+      require(es.size == 2, "hilbertEncode(x, y): the 2-D form")
+      si(LongType, "hilbertEncode",
+        es.map(Cast(_, LongType)), Seq(LongType, LongType)) },
+    "hilbertDecode" -> { es =>
+      require(litInt(es(0), "hilbertDecode", "tuple size") == 2,
+        "hilbertDecode(2, code): the 2-D form")
+      val c = Cast(es(1), LongType)
+      tupleOf(Seq(
+        si(LongType, "hilbertDecodeX", Seq(c), Seq(LongType)),
+        si(LongType, "hilbertDecodeY", Seq(c), Seq(LongType)))) },
+    "isIPAddressInRange" -> { es =>
+      si(BooleanType, "isIPAddressInRange",
+        Seq(Cast(es(0), StringType), Cast(es(1), StringType)),
+        Seq(StringType, StringType)) },
+    "kostikConsistentHash" -> { _ =>
+      throw new UnsupportedOperationException(
+        "kostikConsistentHash() is specified only by its C++ " +
+          "implementation; use jumpConsistentHash(key, buckets)") }
+  )
+
+  // ---- CH's value-mapping transform(x, from, to[, default]).
+  //      The name collides with Spark's transform HOF, so ChSql
+  //      rewrites lambda-less transform() calls to this internal
+  //      name. ----
+
+  private def transformValue: Builder = { es =>
+    require(es.size == 3 || es.size == 4,
+      "transform(x, array_from, array_to[, default])")
+    val idx = builtin("array_position")(Seq(es(1), es(0)))
+    val hit = builtin("element_at")(
+      Seq(es(2), Cast(idx, IntegerType)))
+    val miss = if (es.size == 4) es(3) else es(0)
+    If(GreaterThan(idx, Literal(0L)), hit, miss)
+  }
+
+  def aliases: Seq[(String, Builder)] =
+    dateTimeAliases ++ regexAliases ++ tupleAliases ++ arrayAliases ++
+      randAliases ++ cryptoAliases ++ kernelAliases ++
+      Seq("chTransformValue" -> transformValue)
+}

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative numeric kernels behind StaticInvoke (the ChStrHelpers
+  * discipline: codegen'd static calls, null-propagating, never UDFs)
+  * for CH names whose algorithms are loops, not expressions:
+  *
+  *  - jumpConsistentHash — Lamping & Veach 2014 (the public paper's
+  *    ~5-line algorithm, the same one ClickHouse documents);
+  *  - mortonEncode/Decode — 2-D Z-order bit interleaving via the
+  *    standard mask-spread/compact ladders;
+  *  - hilbertEncode/Decode — the public-domain Wikipedia xy2d/d2xy
+  *    rotation walk at order 32 (overflow wraps mod 2⁶⁴, matching
+  *    CH's UInt64 reinterpreted as Int64);
+  *  - isIPAddressInRange — prefix compare in both families (IPv4 via
+  *    integer shifts, IPv6 over ChStrHelpers' own textual parser —
+  *    never InetAddress, which can fall back to DNS).
+  */
+object ChNumHelpers {
+
+  /** Lamping & Veach (2014) jump consistent hash: maps key uniformly
+    * onto [0, buckets) with minimal movement as buckets grows. */
+  def jumpConsistentHash(key: Long, buckets: Int): Int = {
+    require(buckets > 0, "jumpConsistentHash needs buckets > 0")
+    var k = key
+    var b = -1L
+    var j = 0L
+    while (j < buckets) {
+      b = j
+      k = k * 2862933555777941757L + 1
+      j = (((b + 1).toDouble * (1L << 31).toDouble) /
+        (((k >>> 33) + 1).toDouble)).toLong
+    }
+    b.toInt
+  }
+
+  private def spreadBits(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  private def compactBits(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+    x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+    x = (x | (x >>> 16)) & 0xFFFFFFFFL
+    x
+  }
+
+  /** 2-D Z-order curve: interleave the low 32 bits of x (even
+    * positions) and y (odd positions). */
+  def mortonEncode(x: Long, y: Long): Long =
+    spreadBits(x) | (spreadBits(y) << 1)
+
+  def mortonDecodeX(code: Long): Long = compactBits(code)
+  def mortonDecodeY(code: Long): Long = compactBits(code >>> 1)
+
+  /** Order-32 Hilbert curve distance of (x, y) — the standard xy2d
+    * rotation walk. d accumulates s²·q per quadrant; at order 32 the
+    * result spans the full unsigned 64-bit range and wraps into
+    * Long's bit pattern exactly as CH's UInt64 does. */
+  def hilbertEncode(xIn: Long, yIn: Long): Long = {
+    var x = xIn & 0xFFFFFFFFL
+    var y = yIn & 0xFFFFFFFFL
+    var d = 0L
+    var s = 1L << 31
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  private def hilbertDecode(dIn: Long): (Long, Long) = {
+    var t = dIn
+    var x = 0L
+    var y = 0L
+    var s = 1L
+    while (s != (1L << 32)) {
+      val rx = 1L & (t >>> 1)
+      val ry = 1L & (t ^ rx)
+      // rotate back
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t = t >>> 2
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  def hilbertDecodeX(d: Long): Long = hilbertDecode(d)._1
+  def hilbertDecodeY(d: Long): Long = hilbertDecode(d)._2
+
+  private def parseIpv4(s: String): Long = {
+    val parts = s.split("\\.", -1)
+    require(parts.length == 4, s"not an IPv4 address: '$s'")
+    var acc = 0L
+    for (p <- parts) {
+      val v = p.toInt
+      require(v >= 0 && v <= 255, s"not an IPv4 address: '$s'")
+      acc = (acc << 8) | v
+    }
+    acc
+  }
+
+  /** CH isIPAddressInRange(addr, 'cidr'): true iff the address lies
+    * in the CIDR block; both IPv4 and IPv6 forms, matched by family
+    * (a v4 address is never inside a v6 block and vice versa —
+    * CH's behavior). */
+  def isIPAddressInRange(addr: UTF8String, cidr: UTF8String): Boolean = {
+    val c = cidr.toString
+    val slash = c.lastIndexOf('/')
+    require(slash > 0, s"CIDR must look like 'base/prefix', got '$c'")
+    val base = c.substring(0, slash)
+    val prefix = c.substring(slash + 1).toInt
+    val a = addr.toString
+    val v6addr = a.contains(':')
+    val v6base = base.contains(':')
+    if (v6addr != v6base) return false
+    if (v6addr) {
+      require(prefix >= 0 && prefix <= 128, s"bad IPv6 prefix /$prefix")
+      val ab = ChStrHelpers.ipv6StringToNum(addr)
+      val bb = ChStrHelpers.ipv6StringToNum(UTF8String.fromString(base))
+      var bit = 0
+      while (bit < prefix) {
+        val byteIdx = bit / 8
+        val mask = 0x80 >> (bit % 8)
+        if ((ab(byteIdx) & mask) != (bb(byteIdx) & mask)) return false
+        bit += 1
+      }
+      true
+    } else {
+      require(prefix >= 0 && prefix <= 32, s"bad IPv4 prefix /$prefix")
+      val shift = 32 - prefix
+      (parseIpv4(a) >>> shift) == (parseIpv4(base) >>> shift)
+    }
+  }
+}

@@ -211,6 +211,8 @@ object ChSql {
     ts = rewriteTernary(ts)
     ts = rewriteParametricAggs(ts)
     ts = rewriteBareCount(ts)
+    ts = rewriteTransformValue(ts)
+    ts = rewriteCollisions(ts)
     // SAMPLE sits between the table ref and ARRAY JOIN — remove it
     // first so the ARRAY JOIN rewrite sees a clean FROM source
     ts = rewriteSample(ts)
@@ -875,6 +877,45 @@ object ChSql {
           else args ++ (w(",") +: params)
         rewriteParametricAggs(
           (ts.take(i + 2) ++ merged ++ ts.slice(c1, c1 + 1)) ++ ts.drop(c2 + 1))
+    }
+  }
+
+  /** CH names whose semantics DIFFER from a same-named Spark builtin
+    * (the registry never shadows builtins, so these must be renamed
+    * to the graft-registered spelling here): Spark's monthname()
+    * abbreviates, CH's returns the full month name. */
+  private val collisionRenames = Map("MONTHNAME" -> "chMonthName")
+  private def rewriteCollisions(ts: Vector[Tok]): Vector[Tok] =
+    ts.zipWithIndex.map { case (t, i) =>
+      if (t.word && collisionRenames.contains(t.up) &&
+          i + 1 < ts.length && ts(i + 1).text == "(")
+        t.copy(text = collisionRenames(t.up))
+      else t
+    }
+
+  /** CH's VALUE-MAPPING transform(x, from, to[, default]) shares its
+    * name with the lambda HOF Spark owns. A transform() whose
+    * argument list carries no depth-1 `->` is the value-mapping form
+    * — renamed to the registered chTransformValue builder. */
+  private def rewriteTransformValue(ts: Vector[Tok]): Vector[Tok] = {
+    val i = ts.indices.find { i =>
+      ts(i).word && ts(i).up == "TRANSFORM" &&
+        i + 1 < ts.length && ts(i + 1).text == "(" && {
+          val close = matchParen(ts, i + 1)
+          var depth = 0
+          var lambda = false
+          for (j <- (i + 2) until close) {
+            if (ts(j).text == "(") depth += 1
+            else if (ts(j).text == ")") depth -= 1
+            else if (depth == 0 && ts(j).text == "->") lambda = true
+          }
+          !lambda
+        }
+    }
+    i match {
+      case None => ts
+      case Some(i) => rewriteTransformValue(
+        ts.updated(i, ts(i).copy(text = "chTransformValue")))
     }
   }
 

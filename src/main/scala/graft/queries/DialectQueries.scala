@@ -1618,6 +1618,62 @@ object DialectQueries {
           |    event_type != '', event_type = 'purchase') AS bk
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Sweep-3 deterministic surface (ChDialect4): Z-order codes (the
+    // oracle spells the 16-bit interleave as an unrolled bit sum),
+    // Julian-day anchors, date constructors, MySQL-format parsing
+    // (DuckDB's strptime speaks C tokens natively), value-mapping
+    // transform, tuple arithmetic, CIDR membership (v4 via octet
+    // arithmetic), full month names, Interval makers. The
+    // rand/AES/shuffle/hilbert/jump names are nondeterministic or
+    // loop-shaped — ChDialect4Spec covers those.
+    "c45_ch_sweep3" -> Q {
+      val morton = (0 until 16).map(b =>
+        s"(((o_orderkey % 65536 >> $b) & 1) << ${2 * b}) + " +
+          s"(((o_custkey % 65536 >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""SELECT o_orderkey AS k,
+        |  $morton AS mz,
+        |  datediff('day', DATE '1858-11-17', CAST(o_orderdate AS DATE)) AS mjd,
+        |  CAST(DATE '1858-11-17' + CAST(40000 + o_orderkey % 20000 AS INT) AS VARCHAR) AS fmj,
+        |  CAST(make_date(CAST(2000 + o_orderkey % 20 AS INT),
+        |    CAST(o_custkey % 12 + 1 AS INT),
+        |    CAST(o_orderkey % 28 + 1 AS INT)) AS VARCHAR) AS mkd,
+        |  monthname(CAST(o_orderdate AS DATE)) AS mn,
+        |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528 AS dz,
+        |  CAST(strptime('2021-' || lpad(CAST(o_custkey % 12 + 1 AS VARCHAR), 2, '0')
+        |    || '-15 08:30:00', '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS pdt,
+        |  CASE o_orderkey % 5 WHEN 0 THEN 'zero' WHEN 1 THEN 'one'
+        |    WHEN 2 THEN 'two' ELSE 'many' END AS tv,
+        |  o_orderkey % 100 + 10 AS tp1,
+        |  o_custkey % 100 + 20 AS tp2,
+        |  regexp_extract(o_orderpriority, '(\\d)-', 1) AS re,
+        |  o_custkey % 256 = 37 AS ipr,
+        |  CAST(CAST(DATE '2024-01-01' + INTERVAL (o_custkey % 12) MONTH AS DATE) AS VARCHAR) AS im
+        |FROM orders ORDER BY k LIMIT 2000""".stripMargin } (
+      chSql(Seq("orders"),
+        """SELECT o_orderkey AS k,
+          |  mortonEncode(o_orderkey % 65536, o_custkey % 65536) AS mz,
+          |  toModifiedJulianDay(toDate(o_orderdate)) AS mjd,
+          |  toString(fromModifiedJulianDay(40000 + o_orderkey % 20000)) AS fmj,
+          |  toString(makeDate(2000 + o_orderkey % 20, o_custkey % 12 + 1,
+          |    o_orderkey % 28 + 1)) AS mkd,
+          |  monthName(toDate(o_orderdate)) AS mn,
+          |  toDaysSinceYearZero(toDate(o_orderdate)) AS dz,
+          |  toString(parseDateTime(concat('2021-',
+          |    lpad(toString(o_custkey % 12 + 1), 2, '0'), '-15 08:30:00'),
+          |    '%Y-%m-%d %H:%i:%s')) AS pdt,
+          |  transform(o_orderkey % 5, [0, 1, 2], ['zero', 'one', 'two'],
+          |    'many') AS tv,
+          |  tupleElement(tuplePlus(tuple(o_orderkey % 100, o_custkey % 100),
+          |    tuple(10, 20)), 1) AS tp1,
+          |  tupleElement(tuplePlus(tuple(o_orderkey % 100, o_custkey % 100),
+          |    tuple(10, 20)), 2) AS tp2,
+          |  regexpExtract(o_orderpriority, '(\\d)-') AS re,
+          |  isIPAddressInRange(concat('10.', toString(o_custkey % 256),
+          |    '.0.1'), '10.37.0.0/16') AS ipr,
+          |  toString(toDate('2024-01-01') + toIntervalMonth(o_custkey % 12)) AS im
+          |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.functions.ChSql
+
+/** ChDialect4: sweep 3 of the CH-name surface — date constructors,
+  * Interval makers, MySQL-format parsing, regex groups, tuple
+  * arithmetic, array reorderings, AES, curve codes, consistent
+  * hashing, CIDR membership, value-mapping transform. */
+class ChDialect4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def row1(q: String): Row =
+    spark.sql(ChSql.translate(q)).collect().head
+
+  test("date constructors and Julian/epoch anchors") {
+    val r = row1(
+      """SELECT toString(makeDate(2024, 2, 29)) AS d,
+        |  toString(makeDateTime(2024, 2, 29, 12, 30, 5)) AS dt,
+        |  monthName(toDate('2024-02-29')) AS mn,
+        |  toDaysSinceYearZero(toDate('1970-01-01')) AS dz,
+        |  toModifiedJulianDay('1858-11-17') AS mj0,
+        |  toModifiedJulianDay('2020-01-01') AS mj,
+        |  toString(fromModifiedJulianDay(58849)) AS fmj""".stripMargin)
+    assert(r.getString(0) == "2024-02-29")
+    assert(r.getString(1) == "2024-02-29 12:30:05")
+    assert(r.getString(2) == "February")
+    assert(r.getInt(3) == 719528)
+    assert(r.getInt(4) == 0)
+    assert(r.getInt(5) == 58849)
+    assert(r.getString(6) == "2020-01-01")
+  }
+
+  test("parseDateTime handles the MySQL token set") {
+    val r = row1(
+      """SELECT toString(parseDateTime('2021-01-04 23:12:59', '%Y-%m-%d %H:%i:%s')) AS a,
+        |  toString(parseDateTime('02/28/2023', '%m/%d/%Y')) AS b""".stripMargin)
+    assert(r.getString(0) == "2021-01-04 23:12:59")
+    assert(r.getString(1) == "2023-02-28 00:00:00")
+    val e = intercept[Exception] {
+      spark.sql(ChSql.translate("SELECT parseDateTime('x', '%Q')"))
+    }
+    assert(e.getMessage.contains("%Q") || e.getCause != null)
+  }
+
+  test("toInterval family composes with date arithmetic") {
+    val r = row1(
+      """SELECT toString(toDateTime('2024-01-01 00:00:00') + toIntervalHour(25)) AS h,
+        |  toString(toDate('2024-01-31') + toIntervalMonth(1)) AS m,
+        |  toString(toDateTime('2024-01-01 00:00:00') + toIntervalWeek(2)) AS w""".stripMargin)
+    assert(r.getString(0) == "2024-01-02 01:00:00")
+    assert(r.getString(1) == "2024-02-29")
+    assert(r.getString(2) == "2024-01-15 00:00:00")
+  }
+
+  test("regexpExtract group default and extractAllGroups") {
+    val r = row1(
+      """SELECT regexpExtract('v=42 k=7', 'v=(\\d+)') AS g1,
+        |  regexpExtract('abc123', '\\d+') AS g0,
+        |  regexpExtract('a1b2', '([a-z])(\\d)', 2) AS gi,
+        |  extractAllGroupsHorizontal('v=1,w=2', '([a-z])=(\\d)') AS h,
+        |  extractAllGroupsVertical('v=1,w=2', '([a-z])=(\\d)') AS v""".stripMargin)
+    assert(r.getString(0) == "42")
+    assert(r.getString(1) == "123")
+    assert(r.getString(2) == "1")
+    assert(r.getSeq[Seq[String]](3) == Seq(Seq("v", "w"), Seq("1", "2")))
+    assert(r.getSeq[Seq[String]](4) == Seq(Seq("v", "1"), Seq("w", "2")))
+  }
+
+  test("tuple arithmetic over in-place tuples") {
+    val r = row1(
+      """SELECT tuplePlus(tuple(1, 2.5), tuple(10, 0.5)) AS p,
+        |  tupleMinus(tuple(5, 5), tuple(2, 7)) AS m,
+        |  tupleNegate(tuple(3, -4)) AS n,
+        |  tupleMultiplyByNumber(tuple(2, 3), 10) AS s,
+        |  mapFromArrays(array('a', 'b'), array(1, 2)) AS mp""".stripMargin)
+    assert(r.getStruct(0) == Row(11, new java.math.BigDecimal("3.0")))
+    assert(r.getStruct(1) == Row(3, -2))
+    assert(r.getStruct(2) == Row(-3, 4))
+    assert(r.getStruct(3) == Row(20, 30))
+    assert(r.getMap[String, Int](4) == Map("a" -> 1, "b" -> 2))
+  }
+
+  test("value-mapping transform rewrites; the lambda HOF is untouched") {
+    val r = row1(
+      """SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], '?') AS hit,
+        |  transform(9, [1, 2, 3], ['a', 'b', 'c'], '?') AS miss,
+        |  transform(9, [1, 2], [10, 20]) AS keep,
+        |  transform(array(1, 2, 3), x -> x * 10) AS hof""".stripMargin)
+    assert(r.getString(0) == "b")
+    assert(r.getString(1) == "?")
+    assert(r.getInt(2) == 9)
+    assert(r.getSeq[Int](3) == Seq(10, 20, 30))
+  }
+
+  test("array reorderings: partial sorts are sorted, shuffle permutes") {
+    val r = row1(
+      """SELECT arrayPartialSort(2, [5, 1, 4, 2]) AS ps,
+        |  arrayPartialReverseSort(2, [5, 1, 4, 2]) AS prs,
+        |  arraySort(arrayShuffle([3, 1, 2])) AS sh,
+        |  size(arrayRandomSample([1, 2, 3, 4, 5], 3)) AS k""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(1, 2, 4, 5))
+    assert(r.getSeq[Int](1) == Seq(5, 4, 2, 1))
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(r.getInt(3) == 3)
+  }
+
+  test("random distributions stay in range") {
+    val r = row1(
+      """SELECT randUniform(5.0, 6.0) AS u, randNormal(0.0, 0.0) AS n,
+        |  randExponential(2.0) AS e, randBernoulli(0.5) AS b""".stripMargin)
+    assert(r.getDouble(0) >= 5.0 && r.getDouble(0) < 6.0)
+    assert(r.getDouble(1) == 0.0) // sd 0 pins the mean
+    assert(r.getDouble(2) >= 0.0)
+    assert(r.getInt(3) == 0 || r.getInt(3) == 1)
+  }
+
+  test("AES encrypt/decrypt round-trips") {
+    val r = row1(
+      """SELECT toString(decrypt('aes-128-ecb',
+        |    encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'),
+        |    '0123456789abcdef')) AS ecb,
+        |  toString(decrypt('aes-256-gcm',
+        |    encrypt('aes-256-gcm', 'gcm payload',
+        |      '0123456789abcdef0123456789abcdef'),
+        |    '0123456789abcdef0123456789abcdef')) AS gcm""".stripMargin)
+    assert(r.getString(0) == "secret text")
+    assert(r.getString(1) == "gcm payload")
+  }
+
+  test("jumpConsistentHash matches an independent implementation") {
+    def ref(key: Long, buckets: Int): Int = {
+      var k = key; var b = -1L; var j = 0L
+      while (j < buckets) {
+        b = j
+        k = k * 2862933555777941757L + 1
+        j = (((b + 1).toDouble * (1L << 31).toDouble) /
+          (((k >>> 33) + 1).toDouble)).toLong
+      }
+      b.toInt
+    }
+    val r = row1(
+      """SELECT jumpConsistentHash(42, 57) AS a,
+        |  jumpConsistentHash(10863919174838991, 11) AS b,
+        |  jumpConsistentHash(7, 1) AS c""".stripMargin)
+    assert(r.getInt(0) == ref(42, 57))
+    assert(r.getInt(1) == ref(10863919174838991L, 11))
+    assert(r.getInt(2) == 0)
+    // bucket movement property: growing buckets only ever moves keys
+    // INTO the new bucket
+    for (k <- 0 until 50)
+      assert(ref(k, 10) == ref(k, 11) || ref(k, 11) == 10)
+  }
+
+  test("morton and hilbert codes round-trip") {
+    val r = row1(
+      """SELECT mortonEncode(3, 1) AS me,
+        |  mortonDecode(2, mortonEncode(12345, 67890)) AS md,
+        |  hilbertEncode(0, 0) AS h0,
+        |  hilbertDecode(2, hilbertEncode(12345, 67890)) AS hd""".stripMargin)
+    assert(r.getLong(0) == 7L) // interleave(11, 01) = 111
+    assert(r.getStruct(1) == Row(12345L, 67890L))
+    assert(r.getLong(2) == 0L)
+    assert(r.getStruct(3) == Row(12345L, 67890L))
+  }
+
+  test("isIPAddressInRange covers both families") {
+    val r = row1(
+      """SELECT isIPAddressInRange('127.0.0.1', '127.0.0.0/8') AS a,
+        |  isIPAddressInRange('128.0.0.1', '127.0.0.0/8') AS b,
+        |  isIPAddressInRange('ffff::1', 'ffff::/16') AS c,
+        |  isIPAddressInRange('fffe::1', 'ffff::/16') AS d,
+        |  isIPAddressInRange('127.0.0.1', 'ffff::/16') AS e""".stripMargin)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(!r.getBoolean(4))
+  }
+}
