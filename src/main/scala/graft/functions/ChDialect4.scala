@@ -375,8 +375,26 @@ object ChDialect4 {
     If(GreaterThan(idx, Literal(0L)), hit, miss)
   }
 
+  /** Aggregate-surface extras (ChStats3) + stable-spelling aliases
+    * (the *Stable names promise an implementation detail — summation
+    * order — that Spark's own aggregates already meet). */
+  private def aggAliases: Seq[(String, Builder)] = Seq(
+    "analysisOfVariance" -> { es => ChStats3.anova(es(0), es(1)) },
+    "anova" -> { es => ChStats3.anova(es(0), es(1)) },
+    "singleValueOrNull" -> { es => ChStats3.singleValueOrNull(es.head) },
+    "groupConcat" -> { es => ChStats3.groupConcat(es) },
+    "skewSamp" -> { es => ChStats3.skewSamp(es.head) },
+    "kurtSamp" -> { es => ChStats3.kurtSamp(es.head) },
+    "sumMapFiltered" -> { es => ChStats3.sumMapFiltered(es) },
+    "quantileGK" -> { es => ChStats3.quantileGK(es) },
+    "quantileBFloat16" -> { es => ChStats3.quantileBFloat16(es) },
+    "corrStable" -> { es => builtin("corr")(es) },
+    "covarPopStable" -> { es => builtin("covar_pop")(es) },
+    "covarSampStable" -> { es => builtin("covar_samp")(es) }
+  )
+
   def aliases: Seq[(String, Builder)] =
     dateTimeAliases ++ regexAliases ++ tupleAliases ++ arrayAliases ++
-      randAliases ++ cryptoAliases ++ kernelAliases ++
+      randAliases ++ cryptoAliases ++ kernelAliases ++ aggAliases ++
       Seq("chTransformValue" -> transformValue)
 }

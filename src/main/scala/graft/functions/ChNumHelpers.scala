@@ -116,6 +116,14 @@ object ChNumHelpers {
   def hilbertDecodeX(d: Long): Long = hilbertDecode(d)._1
   def hilbertDecodeY(d: Long): Long = hilbertDecode(d)._2
 
+  /** bfloat16 rounding: keep the top 16 bits of the float32 pattern
+    * (truncation — CH's BFloat16 conversion), widened back to
+    * double. */
+  def bfloat16Round(v: Double): Double = {
+    val bits = java.lang.Float.floatToRawIntBits(v.toFloat)
+    java.lang.Float.intBitsToFloat(bits & 0xFFFF0000).toDouble
+  }
+
   private def parseIpv4(s: String): Long = {
     val parts = s.split("\\.", -1)
     require(parts.length == 4, s"not an IPv4 address: '$s'")

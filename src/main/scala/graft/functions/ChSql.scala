@@ -662,11 +662,12 @@ object ChSql {
     "EXPONENTIALTIMEDECAYEDSUM", "EXPONENTIALTIMEDECAYEDMAX",
     "EXPONENTIALTIMEDECAYEDCOUNT", "EXPONENTIALTIMEDECAYEDAVG",
     "MEANZTEST", "EXPONENTIALMOVINGAVERAGE",
-    "QUANTILEINTERPOLATEDWEIGHTED", "QUANTILETIMINGWEIGHTED")
+    "QUANTILEINTERPOLATEDWEIGHTED", "QUANTILETIMINGWEIGHTED",
+    "QUANTILEBFLOAT16")
   private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
     "TOPKWEIGHTED", "SPARKBAR", "HISTOGRAM",
     "STOCHASTICLINEARREGRESSION", "STOCHASTICLOGISTICREGRESSION",
-    "SEQUENCENEXTNODE")
+    "SEQUENCENEXTNODE", "GROUPCONCAT", "SUMMAPFILTERED", "QUANTILEGK")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
     "UNIQHLL12")
 

@@ -1674,6 +1674,89 @@ object DialectQueries {
           |  toString(toDate('2024-01-01') + toIntervalMonth(o_custkey % 12)) AS im
           |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
 
+    // Aggregate-surface extras (ChStats3): one-way ANOVA (keyed-map
+    // cohort sums + Paulson F-tail normal approximation, spelled
+    // identically in the oracle), singleValueOrNull, sorted
+    // groupConcat, sample skewness/kurtosis from power sums,
+    // sumMapFiltered (entries drop per row pre-aggregate). Rounds
+    // bridge summation order (the c30 discipline).
+    "c46_ch_agg_extras4" -> Q(
+      """WITH e AS (
+        |  SELECT event_type AS et, value AS v, user_id % 3 AS g,
+        |    user_id % 2 AS h, CAST(user_id % 10 AS VARCHAR) AS d
+        |  FROM events WHERE event_id < 300),
+        |cg AS (
+        |  SELECT et, g, CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s,
+        |    SUM(v*v) AS q
+        |  FROM e GROUP BY et, g),
+        |an AS (
+        |  SELECT et, CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS bign,
+        |    SUM(s) AS bigs, SUM(q) AS bigq, SUM(s*s/n) AS ssbp
+        |  FROM cg GROUP BY et),
+        |af AS (
+        |  SELECT et, k, bign,
+        |    (ssbp - bigs*bigs/bign) AS ssb, (bigq - ssbp) AS ssw
+        |  FROM an),
+        |ff AS (
+        |  SELECT et,
+        |    (ssb/(k - 1.0)) / (ssw/(bign - k)) AS f,
+        |    2.0/(9.0*(k - 1.0)) AS a1, 2.0/(9.0*(bign - k)) AS a2
+        |  FROM af),
+        |pz AS (
+        |  SELECT et, f,
+        |    ((1.0 - a2)*pow(f, 1.0/3.0) - (1.0 - a1))
+        |      / sqrt(a1 + pow(f, 1.0/3.0)*pow(f, 1.0/3.0)*a2) AS z
+        |  FROM ff),
+        |pv AS (
+        |  SELECT et, f, z / sqrt(2.0) AS x FROM pz),
+        |pe AS (
+        |  SELECT et, f, 1.0/(1.0 + 0.3275911*x) AS u, x FROM pv),
+        |pp AS (
+        |  SELECT et, f,
+        |    LEAST(1.0, GREATEST(0.0, 0.5 * (u*(0.254829592 +
+        |      u*(-0.284496736 + u*(1.421413741 + u*(-1.453152027 +
+        |      u*1.061405429)))) * exp(-(x*x))))) AS p
+        |  FROM pe),
+        |base AS (
+        |  SELECT et,
+        |    CASE WHEN COUNT(DISTINCT et) = 1 THEN MIN(et) END AS sv,
+        |    CASE WHEN COUNT(DISTINCT h) = 1 THEN MIN(h) END AS svn,
+        |    string_agg(d, ',' ORDER BY d) AS gc,
+        |    CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s1, SUM(v*v) AS s2,
+        |    SUM(v*v*v) AS s3, SUM(v*v*v*v) AS s4,
+        |    SUM(v/2) AS fb
+        |  FROM e GROUP BY et),
+        |mo AS (
+        |  SELECT et, sv, svn, gc, fb, s1/n AS mu,
+        |    (s2 - s1*(s1/n))/(n - 1.0) AS vs, n, s1, s2, s3, s4
+        |  FROM base)
+        |SELECT pp.et AS event_type,
+        |  round(pp.f, 6) AS af, round(pp.p, 6) AS ap,
+        |  mo.sv AS sv, mo.svn AS svn, mo.gc AS gc,
+        |  round(((s3 - 3.0*mu*s2 + 2.0*n*mu*mu*mu)/(n - 1.0))
+        |    / pow(vs, 1.5), 6) AS sk,
+        |  round(((s4 - 4.0*mu*s3 + 6.0*mu*mu*s2 - 3.0*n*mu*mu*mu*mu)
+        |    /(n - 1.0)) / (vs*vs), 6) AS ku,
+        |  'b:' || CAST(round(fb, 4) AS VARCHAR) AS smf
+        |FROM pp JOIN mo ON pp.et = mo.et
+        |ORDER BY event_type""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  round(tupleElement(anova(value, user_id % 3), 1), 6) AS af,
+          |  round(tupleElement(anova(value, user_id % 3), 2), 6) AS ap,
+          |  singleValueOrNull(event_type) AS sv,
+          |  singleValueOrNull(user_id % 2) AS svn,
+          |  groupConcat(',')(toString(user_id % 10)) AS gc,
+          |  round(skewSamp(value), 6) AS sk,
+          |  round(kurtSamp(value), 6) AS ku,
+          |  concat(arrayStringConcat(mapKeys(
+          |    sumMapFiltered(['b'])(['a', 'b'], [value, value / 2])), '|'),
+          |    ':', arrayStringConcat(arrayMap(x -> toString(round(x, 4)),
+          |      mapValues(sumMapFiltered(['b'])(['a', 'b'],
+          |        [value, value / 2]))), '|')) AS smf
+          |FROM events WHERE event_id < 300
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,
