@@ -354,6 +354,11 @@ object ChDialect4 {
       si(BooleanType, "isIPAddressInRange",
         Seq(Cast(es(0), StringType), Cast(es(1), StringType)),
         Seq(StringType, StringType)) },
+    // internal name behind Text.compressionRatio (t19) — deflate
+    // byte count as a codegen'd static call
+    "graftCompressedSize" -> { es =>
+      StaticInvoke(ChStrHelpers.getClass, IntegerType, "deflateSize",
+        Seq(Cast(es.head, StringType)), inputTypes = Seq(StringType)) },
     "kostikConsistentHash" -> { _ =>
       throw new UnsupportedOperationException(
         "kostikConsistentHash() is specified only by its C++ " +

@@ -581,4 +581,23 @@ object ChStrHelpers {
     }
     if (nTotal == 0) 0.0 else found.toDouble / nTotal
   }
+
+  /** Deflate-compressed byte count of the UTF-8 text (zlib level 6,
+    * the default) — the "compressibility" quality signal (DCLM /
+    * RefinedWeb use the compression ratio to flag boilerplate and
+    * repetition: highly repetitive text compresses far below normal
+    * prose). Deterministic for a given zlib; consumed by the
+    * rows-only t19 key and its spec, never a cross-engine oracle. */
+  def deflateSize(s: UTF8String): Int = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 }

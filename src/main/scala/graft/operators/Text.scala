@@ -32,6 +32,15 @@ object Text {
     * graft session does via GraftExtensions). */
   def signals(text: Column): Column = call_function("text_signals", text)
 
+  /** t19: deflate-compression ratio (compressed/raw bytes) — the
+    * DCLM/RefinedWeb compressibility quality signal. Repetitive or
+    * boilerplate text compresses far below prose (ratio ≪ 0.4);
+    * near-random text approaches (or exceeds) 1. Scan-speed static
+    * kernel call, no shuffle. */
+  def compressionRatio(text: Column): Column =
+    call_function("graftCompressedSize", text).cast("double") /
+      octet_length(text)
+
   /** t01: language ID — per-language stopword hit counts and an
     * argmax prediction. Tie-break: the >= chain runs languages in
     * REVERSE alphabetical order, so ties go to the alphabetically

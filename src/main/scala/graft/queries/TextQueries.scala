@@ -449,6 +449,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Compression-ratio quality gate (DCLM / RefinedWeb
+    // compressibility signal): deflate bytes over raw bytes —
+    // repetitive/boilerplate text compresses far below prose.
+    // *Rows-only*: the byte count depends on the zlib build, so no
+    // cross-engine oracle exists; ChDialect4Spec pins monotonicity
+    // (repetitive < prose < random), determinism, and the kernel's
+    // round-trip byte count.
+    "t19_compress_ratio" -> Q.rowsOnly { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).documents
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+          graft.operators.Text.compressionRatio(col("text")).as("r"))
+        .select(col("doc_id"), col("n_bytes"),
+          round(col("r"), 4).as("ratio"),
+          (col("r") >= 0.25).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weighting (Xie et al. 2023): hashed-unigram
     // bag models for the target domain (4 of the 20 sources) vs the
     // raw pool, Laplace-smoothed log-likelihood ratio per doc, keep

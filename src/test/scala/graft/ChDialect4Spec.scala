@@ -164,6 +164,25 @@ class ChDialect4Spec extends SparkSpec {
     assert(r.getStruct(3) == Row(12345L, 67890L))
   }
 
+  test("compression ratio orders repetitive < prose < random (t19)") {
+    val rep = "ab " * 200
+    val prose = (1 to 60).map(i => s"word$i of ordinary varied text")
+      .mkString(" ")
+    val rand = new scala.util.Random(7)
+    val noise = Seq.fill(600)(rand.nextPrintableChar()).mkString
+    val df = Seq((1L, rep), (2L, prose), (3L, noise)).toDF("id", "t")
+    val got = df.select($"id",
+        graft.operators.Text.compressionRatio($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < got(2L) && got(2L) < got(3L), got)
+    assert(got(1L) < 0.15 && got(3L) > 0.7)
+    // deterministic across evaluations
+    val again = df.select($"id",
+        graft.operators.Text.compressionRatio($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
   test("isIPAddressInRange covers both families") {
     val r = row1(
       """SELECT isIPAddressInRange('127.0.0.1', '127.0.0.0/8') AS a,
