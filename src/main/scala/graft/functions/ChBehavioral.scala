@@ -370,6 +370,56 @@ private[graft] object ChBehavioral {
       Cast(Literal(null), StringType))
   }
 
+  /** sequenceMatchEvents(pattern)(ts, cond1 … condN) → the matched
+    * chain's event timestamps (array<timestamp>, empty when the
+    * pattern never completes). Same greedy forward DFA as
+    * sequenceCount — the FIRST completed chain's times are kept
+    * (consistent family semantics; CH's own greedy scan). */
+  def sequenceMatchEvents(pattern: String, ts: Expression,
+      conds: Seq[Expression]): Expression = {
+    val steps = parsePattern(pattern, conds.size)
+    val n = steps.size
+    val (idxArr, gapArr) = stepArrays(steps)
+    val emptyTimes = ChDialect.builtin("array_remove")(Seq(
+      CreateArray(Seq(Literal(0L))), Literal(0L)))
+    val init = CreateNamedStruct(Seq(
+      Literal("lvl"), Literal(0),
+      Literal("lt"), Literal(Long.MinValue),
+      Literal("done"), Literal(false),
+      Literal("ts"), emptyTimes))
+    val folded = fold(packedAgg(ts, conds), init) { (acc, e) =>
+      val t = fld(e, "t")
+      val lvl = fld(acc, "lvl")
+      val lt = fld(acc, "lt")
+      val done = fld(acc, "done")
+      val times = fld(acc, "ts")
+      val hit = elem(fld(e, "ms"), elem(idxArr, Add(lvl, Literal(1))))
+      val gap = elem(gapArr, Add(lvl, Literal(1)))
+      val timeOk = Or(EqualTo(lvl, Literal(0)),
+        And(GreaterThan(t, lt),
+          Or(IsNull(gap), LessThanOrEqual(Subtract(t, lt), gap))))
+      val advance = And(Not(done), And(hit, timeOk))
+      val newTimes = If(advance,
+        ChDialect.builtin("concat")(Seq(times, CreateArray(Seq(t)))),
+        times)
+      val newLvl = If(advance, Add(lvl, Literal(1)), lvl)
+      CreateNamedStruct(Seq(
+        Literal("lvl"), newLvl,
+        Literal("lt"), If(advance, t, lt),
+        Literal("done"), Or(done, EqualTo(newLvl, Literal(n))),
+        Literal("ts"), newTimes))
+    }
+    val tv = fresh("t")
+    val tv2 = fresh("t")
+    If(fld(folded, "done"),
+      ChDialect.builtin("transform")(Seq(fld(folded, "ts"),
+        LambdaFunction(
+          ChDialect.builtin("timestamp_micros")(Seq(tv)), Seq(tv)))),
+      ChDialect.builtin("transform")(Seq(emptyTimes,
+        LambdaFunction(
+          ChDialect.builtin("timestamp_micros")(Seq(tv2)), Seq(tv2)))))
+  }
+
   /** sequenceCount(pattern)(ts, cond1 … condN) → non-overlapping
     * match count (greedy DFA, restart after completion). */
   def sequenceCount(pattern: String, ts: Expression,

@@ -398,8 +398,124 @@ object ChDialect4 {
     "covarSampStable" -> { es => builtin("covar_samp")(es) }
   )
 
+  /** CH's `format('{} and {}', a, b)` (also positional `{0}`) → Spark
+    * format_string; the literal format converts at build time. */
+  private def chFormat(es: Seq[Expression]): Expression = {
+    val fmt = litStr(es.head, "format", "format string")
+    val out = new StringBuilder
+    var i = 0
+    var auto = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '{') {
+        val close = fmt.indexOf('}', i)
+        require(close > 0, s"format: unbalanced '{' in '$fmt'")
+        val body = fmt.substring(i + 1, close)
+        if (body.isEmpty) { out.append("%s"); auto += 1 }
+        else out.append(s"%${body.toInt + 1}$$s")
+        i = close + 1
+      } else if (c == '%') { out.append("%%"); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    builtin("format_string")(
+      Literal(out.toString) +: es.tail.map(e => Cast(e, StringType)))
+  }
+
+  /** Closed-form scalar extras: erf/erfc (A&S 7.1.26, the ChStats
+    * polynomial, odd-extended), Lanczos lgamma/tgamma kernels, exact
+    * integer powers, engine introspection, typed-default lookup. */
+  private def miscAliases: Seq[(String, Builder)] = {
+    def erfcPos(x: Expression): Expression = {
+      val u = Divide(Literal(1.0),
+        Add(Literal(1.0), Multiply(Literal(0.3275911), x)))
+      Multiply(
+        Multiply(u, Add(Literal(0.254829592), Multiply(u,
+          Add(Literal(-0.284496736), Multiply(u, Add(Literal(1.421413741),
+            Multiply(u, Add(Literal(-1.453152027),
+              Multiply(u, Literal(1.061405429)))))))))),
+        builtin("exp")(Seq(UnaryMinus(Multiply(x, x)))))
+    }
+    def erfcOf(e: Expression): Expression = {
+      val x = Cast(e, DoubleType)
+      val ax = builtin("abs")(Seq(x))
+      // erfc(-x) = 2 − erfc(x)
+      If(GreaterThanOrEqual(x, Literal(0.0)), erfcPos(ax),
+        Subtract(Literal(2.0), erfcPos(ax)))
+    }
+    def gammaKernel(method: String): Builder = { es =>
+      StaticInvoke(ChNumHelpers.getClass, DoubleType, method,
+        Seq(Cast(es.head, DoubleType)), inputTypes = Seq(DoubleType))
+    }
+    Seq(
+      "format" -> (chFormat _),
+      "erf" -> { es => Subtract(Literal(1.0), erfcOf(es.head)) },
+      "erfc" -> { es => erfcOf(es.head) },
+      "lgamma" -> gammaKernel("lgammaOf"),
+      "tgamma" -> gammaKernel("tgammaOf"),
+      "intExp2" -> { es =>
+        builtin("shiftleft")(Seq(Literal(1L), Cast(es.head, IntegerType))) },
+      "intExp10" -> { es =>
+        Cast(builtin("power")(Seq(Literal(10.0),
+          Cast(es.head, DoubleType))), LongType) },
+      "identity" -> { es => es.head },
+      "ignore" -> { _ => Literal(0) },
+      "concatAssumeInjective" -> { es => builtin("concat")(es) },
+      "timezone" -> { _ => builtin("current_timezone")(Seq.empty) },
+      "serverTimeZone" -> { _ => builtin("current_timezone")(Seq.empty) },
+      // CH's toTimeZone re-annotates the SAME instant with a display
+      // zone; Spark timestamps are instants without a per-value zone,
+      // so the instant-preserving realization is identity
+      "toTimeZone" -> { es => es.head },
+      "defaultValueOfTypeName" -> { es =>
+        litStr(es.head, "defaultValueOfTypeName", "type name")
+          .toLowerCase match {
+          case t if t.startsWith("int") || t.startsWith("uint") =>
+            Literal(0L)
+          case t if t.startsWith("float") || t.startsWith("decimal") =>
+            Literal(0.0)
+          case "string" | "fixedstring" => Literal("")
+          case t if t.startsWith("date") => Cast(Literal(0L), DateType)
+          case t if t.startsWith("array") =>
+            builtin("array_remove")(Seq(CreateArray(Seq(Literal(0))),
+              Literal(0)))
+          case other => throw new UnsupportedOperationException(
+            s"defaultValueOfTypeName: unmapped type '$other'")
+        } },
+      "fromUnixTimestamp64Milli" -> { es =>
+        builtin("timestamp_millis")(Seq(Cast(es.head, LongType))) },
+      "fromUnixTimestamp64Micro" -> { es =>
+        builtin("timestamp_micros")(Seq(Cast(es.head, LongType))) },
+      "fromUnixTimestamp64Nano" -> { es =>
+        builtin("timestamp_micros")(Seq(
+          IntegralDivide(Cast(es.head, LongType), Literal(1000L)))) },
+      "byteSize" -> { _ =>
+        throw new UnsupportedOperationException(
+          "byteSize() reports the reference engine's in-memory layout " +
+            "— engine-specific; use octet_length() for string bytes") },
+      "getSizeOfEnumType" -> { _ =>
+        throw new UnsupportedOperationException(
+          "getSizeOfEnumType() reads Enum DDL metadata; use " +
+            "system.columns / SHOW CREATE TABLE") },
+      "sleep" -> { _ =>
+        throw new UnsupportedOperationException(
+          "sleep() stalls the reference server's pipeline — " +
+            "meaningless inside a library engine") },
+      "sleepEachRow" -> { _ =>
+        throw new UnsupportedOperationException(
+          "sleepEachRow() stalls the reference server's pipeline — " +
+            "meaningless inside a library engine") },
+      "sequenceMatchEvents" -> { es =>
+        es.head match {
+          case Literal(p: UTF8String, StringType) =>
+            ChBehavioral.sequenceMatchEvents(p.toString, es(1), es.drop(2))
+          case other => throw new IllegalArgumentException(
+            s"sequenceMatchEvents needs a literal pattern first, got $other")
+        } }
+    )
+  }
+
   def aliases: Seq[(String, Builder)] =
     dateTimeAliases ++ regexAliases ++ tupleAliases ++ arrayAliases ++
       randAliases ++ cryptoAliases ++ kernelAliases ++ aggAliases ++
-      Seq("chTransformValue" -> transformValue)
+      miscAliases ++ Seq("chTransformValue" -> transformValue)
 }

@@ -116,6 +116,35 @@ object ChNumHelpers {
   def hilbertDecodeX(d: Long): Long = hilbertDecode(d)._1
   def hilbertDecodeY(d: Long): Long = hilbertDecode(d)._2
 
+  /** Log-gamma via the Lanczos approximation (g = 7, n = 9 — the
+    * published coefficient set; |ε| < 1e-13 over the positive reals).
+    * Reflection handles x < 0.5. */
+  def lgammaOf(x: Double): Double = {
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - lgammaOf(1.0 - x)
+    else {
+      val g = 7.0
+      val c = Array(
+        0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+        771.32342877765313, -176.61502916214059, 12.507343278686905,
+        -0.13857109526572012, 9.9843695780195716e-6,
+        1.5056327351493116e-7)
+      val xx = x - 1.0
+      var a = c(0)
+      val t = xx + g + 0.5
+      var i = 1
+      while (i < 9) { a += c(i) / (xx + i); i += 1 }
+      0.5 * math.log(2.0 * math.Pi) + (xx + 0.5) * math.log(t) - t +
+        math.log(a)
+    }
+  }
+
+  /** Γ(x) from the Lanczos log form (sign via reflection). */
+  def tgammaOf(x: Double): Double = {
+    if (x >= 0.5) math.exp(lgammaOf(x))
+    else math.Pi / (math.sin(math.Pi * x) * math.exp(lgammaOf(1.0 - x)))
+  }
+
   /** bfloat16 rounding: keep the top 16 bits of the float32 pattern
     * (truncation — CH's BFloat16 conversion), widened back to
     * double. */

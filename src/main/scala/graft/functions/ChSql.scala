@@ -667,7 +667,8 @@ object ChSql {
   private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
     "TOPKWEIGHTED", "SPARKBAR", "HISTOGRAM",
     "STOCHASTICLINEARREGRESSION", "STOCHASTICLOGISTICREGRESSION",
-    "SEQUENCENEXTNODE", "GROUPCONCAT", "SUMMAPFILTERED", "QUANTILEGK")
+    "SEQUENCENEXTNODE", "GROUPCONCAT", "SUMMAPFILTERED", "QUANTILEGK",
+    "SEQUENCEMATCHEVENTS")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
     "UNIQHLL12")
 

@@ -1757,6 +1757,49 @@ object DialectQueries {
           |FROM events WHERE event_id < 300
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Misc scalar sweep (ChDialect4.miscAliases): CH format() (DuckDB
+    // speaks the same fmt-lib '{}' syntax natively), erf/erfc via the
+    // A&S polynomial (spelled identically in the oracle — DuckDB has
+    // no erf), Lanczos lgamma/tgamma vs DuckDB's native ones at
+    // round-4 (agreement ~1e-11), exact integer powers, epoch-64
+    // constructors, identity/ignore/concatAssumeInjective.
+    "c47_ch_misc" -> Q {
+      def poly(y: String): String =
+        s"""(1.0/(1.0 + 0.3275911*$y)) * (0.254829592 +
+           |  (1.0/(1.0 + 0.3275911*$y))*(-0.284496736 +
+           |  (1.0/(1.0 + 0.3275911*$y))*(1.421413741 +
+           |  (1.0/(1.0 + 0.3275911*$y))*(-1.453152027 +
+           |  (1.0/(1.0 + 0.3275911*$y))*1.061405429)))) * exp(-($y*$y))""".stripMargin
+      s"""SELECT o_orderkey AS k,
+        |  format('{}-{}', CAST(o_orderkey % 100 AS VARCHAR), o_orderstatus) AS f,
+        |  round(1.0 - (${poly("((o_custkey % 30) / 10.0)")}), 6) AS ef,
+        |  round(2.0 - (${poly("((o_custkey % 20) / 10.0)")}), 6) AS ec,
+        |  round(lgamma(o_custkey % 50 + 1.5), 4) AS lg,
+        |  round(gamma(o_custkey % 8 + 1.5), 4) AS tg,
+        |  (CAST(1 AS BIGINT) << (o_orderkey % 30)) AS p2,
+        |  CAST(pow(10, o_custkey % 15) AS BIGINT) AS p10,
+        |  o_orderkey % 7 AS idn,
+        |  CAST(0 AS INT) AS ign,
+        |  o_orderstatus || CAST(o_orderkey % 10 AS VARCHAR) AS ci,
+        |  CAST(epoch_ms(1600000000000 + o_orderkey) AS VARCHAR) AS ms,
+        |  CAST(make_timestamp(1600000000000000 + o_orderkey * 1000) AS VARCHAR) AS us
+        |FROM orders ORDER BY k LIMIT 2000""".stripMargin } (
+      chSql(Seq("orders"),
+        """SELECT o_orderkey AS k,
+          |  format('{}-{}', toString(o_orderkey % 100), o_orderstatus) AS f,
+          |  round(erf(modulo(o_custkey, 30) / 10.0), 6) AS ef,
+          |  round(erfc(-(modulo(o_custkey, 20) / 10.0)), 6) AS ec,
+          |  round(lgamma(modulo(o_custkey, 50) + 1.5), 4) AS lg,
+          |  round(tgamma(modulo(o_custkey, 8) + 1.5), 4) AS tg,
+          |  intExp2(modulo(o_orderkey, 30)) AS p2,
+          |  intExp10(modulo(o_custkey, 15)) AS p10,
+          |  identity(modulo(o_orderkey, 7)) AS idn,
+          |  ignore(o_orderstatus) AS ign,
+          |  concatAssumeInjective(o_orderstatus, toString(o_orderkey % 10)) AS ci,
+          |  toString(fromUnixTimestamp64Milli(1600000000000 + o_orderkey)) AS ms,
+          |  toString(fromUnixTimestamp64Micro(1600000000000000 + o_orderkey * 1000)) AS us
+          |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,

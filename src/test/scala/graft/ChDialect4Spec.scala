@@ -183,6 +183,52 @@ class ChDialect4Spec extends SparkSpec {
     assert(again == got)
   }
 
+  test("format, special functions, integer powers, typed defaults") {
+    val r = row1(
+      """SELECT format('{} has {} items', 'cart', 3) AS f,
+        |  format('{1} then {0}', 'a', 'b') AS fp,
+        |  round(erf(1.0), 5) AS e1, round(erfc(-0.5), 5) AS e2,
+        |  round(lgamma(7.0), 8) AS lg,
+        |  round(tgamma(5.0), 8) AS tg,
+        |  intExp2(10) AS p2, intExp10(6) AS p10,
+        |  identity(42) AS idn, ignore('x', 1) AS ign,
+        |  concatAssumeInjective('a', 'b') AS ci,
+        |  defaultValueOfTypeName('UInt32') AS dv,
+        |  toString(fromUnixTimestamp64Milli(1609459200123)) AS ms,
+        |  toString(fromUnixTimestamp64Nano(1609459200123456789)) AS ns""".stripMargin)
+    assert(r.getString(0) == "cart has 3 items")
+    assert(r.getString(1) == "b then a")
+    assert(math.abs(r.getDouble(2) - 0.8427) < 1e-3)   // erf(1)
+    assert(math.abs(r.getDouble(3) - 1.5205) < 1e-3)   // erfc(-0.5)
+    assert(math.abs(r.getDouble(4) - math.log(720.0)) < 1e-7) // ln 6!
+    assert(math.abs(r.getDouble(5) - 24.0) < 1e-7)     // 4!
+    assert(r.getLong(6) == 1024L && r.getLong(7) == 1000000L)
+    assert(r.getInt(8) == 42 && r.getInt(9) == 0)
+    assert(r.getString(10) == "ab")
+    assert(r.getLong(11) == 0L)
+    assert(r.getString(12) == "2021-01-01 00:00:00.123")
+    assert(r.getString(13) == "2021-01-01 00:00:00.123456")
+    intercept[Exception] {
+      spark.sql(ChSql.translate("SELECT byteSize(1)")).collect()
+    }
+  }
+
+  test("sequenceMatchEvents returns the first matched chain's times") {
+    Seq(
+      (1L, 10, "a"), (1L, 20, "b"), (1L, 30, "a"), (1L, 40, "c"),
+      (2L, 10, "b"), (2L, 20, "b")
+    ).toDF("u", "k", "ev")
+      .selectExpr("u", "timestamp_micros(k * 1000000) AS ts", "ev")
+      .createOrReplaceTempView("sme")
+    val rs = spark.sql(ChSql.translate(
+      """SELECT u, sequenceMatchEvents('(?1).*(?2)')(
+        |  ts, ev = 'a', ev = 'c') AS m
+        |FROM sme GROUP BY u ORDER BY u""".stripMargin)).collect()
+    val t1 = rs(0).getSeq[java.sql.Timestamp](1)
+    assert(t1.map(_.getTime) == Seq(10000L, 40000L)) // first a, then c
+    assert(rs(1).getSeq[java.sql.Timestamp](1).isEmpty)
+  }
+
   test("isIPAddressInRange covers both families") {
     val r = row1(
       """SELECT isIPAddressInRange('127.0.0.1', '127.0.0.0/8') AS a,
