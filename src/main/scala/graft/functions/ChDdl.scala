@@ -973,6 +973,62 @@ object ChDdl {
 
   // ---------- CREATE FUNCTION (ASTCreateFunctionQuery.h) ----------
 
+  /** Parameterized-view bodies per session (ASTCreateQuery.h
+    * isParameterizedView): name → body text with {p:Type} holes.
+    * WeakHashMap so a dropped session releases its registry. */
+  private val paramViews =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def paramViewsFor(
+      spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    paramViews.synchronized {
+      var m = paramViews.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        paramViews.put(spark, m)
+      }
+      m
+    }
+
+  /** Rewrite `v(p = 5, s = 'x')` calls of registered parameterized
+    * views into `( <body with params substituted> ) AS v`. */
+  private def rewriteParamViewCalls(
+      spark: SparkSession, ts: Vector[Tok]): Vector[Tok] = {
+    val reg = paramViews.synchronized {
+      val m = paramViews.get(spark)
+      if (m == null) Map.empty[String, String] else m.toMap
+    }
+    if (reg.isEmpty) return ts
+    val i = ts.indices.find { i =>
+      ts(i).word && reg.contains(ts(i).text) &&
+        i + 1 < ts.length && ts(i + 1).text == "("
+    }
+    i match {
+      case None => ts
+      case Some(i) =>
+        val name = ts(i).text
+        val close = ChSql.matchParen(ts, i + 1)
+        val args: Map[String, String] =
+          splitTop(ts.slice(i + 2, close)).map { item =>
+            require(item.length >= 3 && item(1).text == "=",
+              s"parameterized view $name expects `param = value` " +
+                s"arguments, got '${renderTrim(item)}'")
+            val raw = renderTrim(item.drop(2))
+            val v =
+              if (raw.length >= 2 && raw.head == '\'' && raw.last == '\'')
+                raw.substring(1, raw.length - 1).replace("''", "'")
+              else raw
+            item.head.text -> v
+          }.toMap
+        val sub = ChSql.substituteParams(reg(name), args)
+        val inlined = tokenize(s"( $sub ) AS $name")._1
+          match { case v => (v.head.copy(pre = ts(i).pre) +: v.tail) }
+        rewriteParamViewCalls(spark,
+          ts.take(i) ++ inlined ++ ts.drop(close + 1))
+    }
+  }
+
   /** CREATE FUNCTION name AS (a, b) -> expr — ClickHouse's SQL lambda
     * UDFs. Registered as a SESSION FunctionRegistry builder that
     * substitutes the call arguments into the parsed body expression —
@@ -1226,9 +1282,12 @@ object ChDdl {
     // file('path'[, 'Format']) table function → a temp view over the
     // corresponding Spark reader. BACKUP/RESTORE exempt: their
     // File('path') names a backup destination, not readable data
-    val ts = if (Set("BACKUP", "RESTORE").contains(
+    val ts2 = if (Set("BACKUP", "RESTORE").contains(
         ts1.headOption.map(_.up).getOrElse("")))
       ts1 else rewriteFileFn(spark, ts1)
+    // parameterized-view calls `v(p = value, …)` inline the stored
+    // body with the arguments substituted (query-parameter typing)
+    val ts = rewriteParamViewCalls(spark, ts2)
     val sql = if (ts eq ts0) sql0 else renderTrim(ts)
     def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
     (kw(0), kw(1)) match {
@@ -1289,7 +1348,10 @@ object ChDdl {
         // plain CREATE [OR REPLACE] VIEW (ASTCreateQuery.h is_ordinary_view):
         // a stored query re-planned per read — same realization as
         // LIVE VIEW (a Spark TEMP view), which also sidesteps Spark's
-        // persistent-view-over-temp-object restriction
+        // persistent-view-over-temp-object restriction. A body
+        // containing {name:Type} query parameters is a PARAMETERIZED
+        // view (ASTCreateQuery.h isParameterizedView): stored as
+        // text, inlined at each `v(p = value)` call site.
         val vi = ChSql.find0(ts, Set("VIEW"), 1)
         require(vi > 0, "expected CREATE [OR REPLACE] VIEW")
         var i = vi + 1
@@ -1297,8 +1359,12 @@ object ChDdl {
         val name = ts(i).text
         val asIdx = ChSql.find0(ts, Set("AS"), i)
         require(asIdx > 0, "CREATE VIEW needs AS SELECT …")
-        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
-          ChSql.translate(renderTrim(ts.drop(asIdx + 1))))
+        val body = ts.drop(asIdx + 1)
+        val hasParams = body.indices.exists(j => body(j).text == "{" &&
+          j + 2 < body.length && body(j + 1).word && body(j + 2).text == ":")
+        if (hasParams) paramViewsFor(spark)(name) = renderTrim(body)
+        else spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
+          ChSql.translate(renderTrim(body)))
         spark.emptyDataFrame
       case ("CREATE", "MATERIALIZED") => ChMatView.create(spark, sql); spark.emptyDataFrame
       case ("CREATE", "WINDOW") => ChWindowView.create(spark, sql); spark.emptyDataFrame

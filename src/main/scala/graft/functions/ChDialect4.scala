@@ -393,6 +393,13 @@ object ChDialect4 {
     "sumMapFiltered" -> { es => ChStats3.sumMapFiltered(es) },
     "quantileGK" -> { es => ChStats3.quantileGK(es) },
     "quantileBFloat16" -> { es => ChStats3.quantileBFloat16(es) },
+    "sumResample" -> { es => ChStats3.resample("sum", es) },
+    "countResample" -> { es => ChStats3.resample("count", es) },
+    "avgResample" -> { es => ChStats3.resample("avg", es) },
+    "minResample" -> { es => ChStats3.resample("min", es) },
+    "maxResample" -> { es => ChStats3.resample("max", es) },
+    "uniqResample" -> { es => ChStats3.resample("uniq", es) },
+    "uniqExactResample" -> { es => ChStats3.resample("uniq", es) },
     "corrStable" -> { es => builtin("corr")(es) },
     "covarPopStable" -> { es => builtin("covar_pop")(es) },
     "covarSampStable" -> { es => builtin("covar_samp")(es) }

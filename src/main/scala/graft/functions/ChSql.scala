@@ -668,7 +668,9 @@ object ChSql {
     "TOPKWEIGHTED", "SPARKBAR", "HISTOGRAM",
     "STOCHASTICLINEARREGRESSION", "STOCHASTICLOGISTICREGRESSION",
     "SEQUENCENEXTNODE", "GROUPCONCAT", "SUMMAPFILTERED", "QUANTILEGK",
-    "SEQUENCEMATCHEVENTS")
+    "SEQUENCEMATCHEVENTS",
+    "SUMRESAMPLE", "COUNTRESAMPLE", "AVGRESAMPLE", "MINRESAMPLE",
+    "MAXRESAMPLE", "UNIQRESAMPLE", "UNIQEXACTRESAMPLE")
   private val paramsDropped = Set("UNIQ", "UNIQCOMBINED", "UNIQCOMBINED64",
     "UNIQHLL12")
 

@@ -187,6 +187,58 @@ private[graft] object ChStats3 {
     MapCombineAgg(fk, fv, "sum").toAggregateExpression()
   }
 
+  /** The -Resample combinator (CH AggregateFunctionResample):
+    * `aggResample(start, end, step)(x, key)` → array of the
+    * aggregate over each key bucket [start+i·step, start+(i+1)·step)
+    * clipped at end. Bucket count is literal-known, so the array is a
+    * fixed battery of FILTER-clause aggregates — every bucket stays a
+    * partial agg (map-side combining), no buffering, one pass.
+    * Empty buckets: sum/count finalize to 0 (CH's default-value
+    * contract); avg/min/max/uniq stay NULL (documented deviation —
+    * CH renders its type default there). */
+  def resample(op: String, es: Seq[Expression]): Expression = {
+    require(es.size == 5,
+      s"${op}Resample(start, end, step)(x, resample_key)")
+    def litLong(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"${op}Resample needs a literal $what, got $other")
+    }
+    val start = litLong(es(0), "start")
+    val end = litLong(es(1), "end")
+    val step = litLong(es(2), "step")
+    require(step > 0 && end > start,
+      s"${op}Resample: need step > 0 and end > start")
+    val nb = ((end - start) + step - 1) / step
+    require(nb <= 1024, s"${op}Resample: ${nb} buckets — cap is 1024")
+    val x = es(3)
+    val key = Cast(es(4), LongType)
+    val buckets = (0L until nb).map { b =>
+      val lo = start + b * step
+      val hi = math.min(lo + step, end)
+      val cond = And(GreaterThanOrEqual(key, Literal(lo)),
+        LessThan(key, Literal(hi)))
+      val agg: Expression = op match {
+        case "uniq" => aggregate.Count(Seq(x))
+            .toAggregateExpression(isDistinct = true, filter = Some(cond))
+        case _ => builtin(if (op == "uniqExact") "count" else op)(
+          Seq(x)) match {
+          case af: aggregate.AggregateFunction =>
+            af.toAggregateExpression(isDistinct = false,
+              filter = Some(cond))
+          case other => other
+        }
+      }
+      op match {
+        case "sum" | "count" =>
+          Coalesce(Seq(agg, Cast(Literal(0L), LongType)))
+        case _ => agg
+      }
+    }
+    CreateArray(buckets)
+  }
+
   /** quantileGK(accuracy, level)(x) → approx_percentile (Spark's
     * sketch is the same Greenwald-Khanna family CH names). */
   def quantileGK(es: Seq[Expression]): Expression = {

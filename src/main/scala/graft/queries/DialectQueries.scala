@@ -1800,6 +1800,33 @@ object DialectQueries {
           |  toString(fromUnixTimestamp64Micro(1600000000000000 + o_orderkey * 1000)) AS us
           |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
 
+    // The -Resample combinator (c48): per-bucket FILTER-aggregate
+    // battery — bucket count is literal-known so every bucket stays a
+    // partial agg; arrays rendered as strings (round-2 bridges
+    // summation order, the c30 discipline).
+    "c48_ch_resample" -> Q {
+      def b(i: Int): String = s"(user_id % 50 >= ${i * 10} AND user_id % 50 < ${(i + 1) * 10})"
+      val s = (0 until 5).map(i =>
+        s"CAST(round(SUM(value) FILTER ${b(i)}, 2) AS VARCHAR)")
+        .mkString(" || ',' || ")
+      val c = (0 until 5).map(i =>
+        s"CAST(COUNT(value) FILTER ${b(i)} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      val m = (0 until 5).map(i =>
+        s"CAST(round(MAX(value) FILTER ${b(i)}, 2) AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"""SELECT event_type, $s AS s, $c AS c, $m AS m
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin } (
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  arrayStringConcat(arrayMap(x -> toString(round(x, 2)),
+          |    sumResample(0, 50, 10)(value, user_id % 50)), ',') AS s,
+          |  arrayStringConcat(arrayMap(x -> toString(x),
+          |    countResample(0, 50, 10)(value, user_id % 50)), ',') AS c,
+          |  arrayStringConcat(arrayMap(x -> toString(round(x, 2)),
+          |    maxResample(0, 50, 10)(value, user_id % 50)), ',') AS m
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,

@@ -82,6 +82,24 @@ class ChStats3Spec extends SparkSpec {
     assert(r.getMap[String, Double](0) == Map("b" -> 30.0, "c" -> 100.0))
   }
 
+  test("-Resample buckets a battery of FILTER aggregates") {
+    // keys 0..9, values = key*10; buckets [0,4) [4,8) [8,10)
+    (0 until 10).map(k => (k, k * 10.0)).toDF("k", "v")
+      .createOrReplaceTempView("rs")
+    val r = row1(
+      """SELECT sumResample(0, 10, 4)(v, k) AS s,
+        |  countResample(0, 10, 4)(v, k) AS c,
+        |  minResample(0, 10, 4)(v, k) AS mn,
+        |  uniqResample(0, 10, 4)(k % 2, k) AS u,
+        |  sumResample(100, 110, 5)(v, k) AS empty
+        |FROM rs""".stripMargin)
+    assert(r.getSeq[Double](0) == Seq(60.0, 220.0, 170.0))
+    assert(r.getSeq[Long](1) == Seq(4L, 4L, 2L))
+    assert(r.getSeq[Double](2) == Seq(0.0, 40.0, 80.0))
+    assert(r.getSeq[Long](3) == Seq(2L, 2L, 2L))
+    assert(r.getSeq[Long](4) == Seq(0L, 0L)) // empty buckets → 0 sums
+  }
+
   test("quantileGK and quantileBFloat16") {
     (1 to 1000).map(_.toDouble).toDF("v").createOrReplaceTempView("qk")
     val r = row1(

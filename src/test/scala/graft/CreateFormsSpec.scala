@@ -50,6 +50,31 @@ class CreateFormsSpec extends SparkSpec {
     assert(spark.table("graft_pview").count() == 2)
   }
 
+  test("parameterized views inline their body at each v(p = …) call") {
+    GraftFunctions.ensureRegistered(spark)
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "a"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("cf_psrc")
+    ChDdl.execute(spark,
+      """CREATE VIEW graft_parmv AS
+        |SELECT k, v FROM cf_psrc
+        |WHERE v > {minv:Float64} AND tag = {t:String}""".stripMargin)
+    val r = ChDdl.execute(spark,
+      "SELECT k FROM graft_parmv(minv = 15, t = 'a') ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(3L))
+    // different arguments re-instantiate the body
+    val r2 = ChDdl.execute(spark,
+      "SELECT count() AS n FROM graft_parmv(minv = 5, t = 'a')")
+      .collect().head.getLong(0)
+    assert(r2 == 2L)
+    // missing argument refuses loudly
+    val e = intercept[Exception] {
+      ChDdl.execute(spark, "SELECT * FROM graft_parmv(minv = 5)").collect()
+    }
+    assert(e.getMessage.contains("no value supplied") ||
+      e.getCause != null)
+  }
+
   test("ALTER DROP/RENAME/MODIFY COLUMN rewrite the snapshot and keep the layout coherent") {
     GraftFunctions.ensureRegistered(spark)
     ChDdl.execute(spark,
