@@ -338,6 +338,18 @@ object ChDialect {
       ChDictionaries.lookupExpr(
         ChDictionaries.literalString(es(0), "dictionary name"),
         ChDictionaries.literalString(es(1), "attribute"), es(2)) },
+    // dictGetOrDefault('dict', 'attr', key, default): CH substitutes
+    // the 4th argument when the key is absent — Coalesce over the
+    // NULL-on-miss map lookup.
+    "dictGetOrDefault" -> { es =>
+      Coalesce(Seq(ChDictionaries.lookupExpr(
+        ChDictionaries.literalString(es(0), "dictionary name"),
+        ChDictionaries.literalString(es(1), "attribute"), es(2)), es(3))) },
+    // dictHas('dict', key): key-membership probe against the same
+    // broadcast map (any registered attribute answers it).
+    "dictHas" -> { es =>
+      ChDictionaries.hasExpr(
+        ChDictionaries.literalString(es(0), "dictionary name"), es(1)) },
     // joinGet('table', 'attr', key): a Join(ANY, LEFT, k) engine
     // table's lookup — the table auto-registers its broadcast map on
     // every insert (ChDdl.refreshJoinDictionary), so this IS dictGet

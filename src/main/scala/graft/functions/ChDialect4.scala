@@ -132,8 +132,93 @@ object ChDialect4 {
     "toIntervalMillisecond" -> { es => dtInterval(zero, zero, zero,
       Divide(Cast(es.head, DoubleType), Literal(1000.0))) },
     "toIntervalMicrosecond" -> { es => dtInterval(zero, zero, zero,
-      Divide(Cast(es.head, DoubleType), Literal(1000000.0))) }
+      Divide(Cast(es.head, DoubleType), Literal(1000000.0))) },
+    // toWeek(d[, mode]) / toYearWeek(d[, mode]) — CH inherits MySQL's
+    // WEEK() mode table (public CH docs). Supported literal modes:
+    //   0 (default): Sunday-first, 0–53, week 1 starts at the year's
+    //     first Sunday (days before it are week 0);
+    //   1: Monday-first, 0–53, week 1 is the first week with ≥4 days
+    //     of the year (the Monday of the week containing Jan 4);
+    //   3: ISO 8601 (= Spark weekofyear).
+    // Other modes refuse loudly rather than mis-number.
+    "toWeek" -> { es =>
+      val d = Cast(es.head, DateType)
+      weekMode(es, "toWeek") match {
+        case 0 => weekSundayFirst(d)
+        case 1 => weekMode1(d)
+        case 3 => builtin("weekofyear")(Seq(d))
+      } },
+    "toYearWeek" -> { es =>
+      val d = Cast(es.head, DateType)
+      weekMode(es, "toYearWeek") match {
+        case 0 =>
+          // anchor = the Sunday on-or-before d: its own year always
+          // owns it (a Sunday is never before its year's first
+          // Sunday), so week-0 days inherit the previous year's last
+          // week number — MySQL YEARWEEK's contract.
+          val s = builtin("date_sub")(Seq(d,
+            Subtract(builtin("dayofweek")(Seq(d)), Literal(1))))
+          Add(Multiply(builtin("year")(Seq(s)), Literal(100)),
+            weekFrom(firstSundayOfYear(s), s))
+        case 1 =>
+          val m = mondayOf(d)
+          val anchor = builtin("date_add")(Seq(m, Literal(3))) // Thursday
+          Add(Multiply(builtin("year")(Seq(anchor)), Literal(100)),
+            weekMode1NoZero(d))
+        case 3 =>
+          val anchor = builtin("date_add")(Seq(mondayOf(d), Literal(3)))
+          Add(Multiply(builtin("year")(Seq(anchor)), Literal(100)),
+            builtin("weekofyear")(Seq(d)))
+      } }
   )
+
+  private def weekMode(es: Seq[Expression], fn: String): Int = {
+    val m = if (es.size >= 2) litInt(es(1), fn, "mode") else 0
+    require(m == 0 || m == 1 || m == 3,
+      s"$fn mode $m not supported (0, 1, 3 are)")
+    m
+  }
+
+  /** Week index counted from `start` (week 1 = [start, start+7)). */
+  private def weekFrom(start: Expression, d: Expression): Expression =
+    Cast(Add(IntegralDivide(
+      Cast(builtin("datediff")(Seq(d, start)), LongType), Literal(7L)),
+      Literal(1L)), IntegerType)
+
+  /** First Sunday of d's calendar year. */
+  private def firstSundayOfYear(d: Expression): Expression = {
+    val jan1 = builtin("trunc")(Seq(d, Literal("YEAR")))
+    builtin("date_add")(Seq(jan1,
+      Pmod(Subtract(Literal(8), builtin("dayofweek")(Seq(jan1))), Literal(7))))
+  }
+
+  /** Monday of d's Monday-first week. */
+  private def mondayOf(d: Expression): Expression =
+    builtin("date_sub")(Seq(d,
+      Pmod(Add(builtin("dayofweek")(Seq(d)), Literal(5)), Literal(7))))
+
+  /** MySQL mode 0: 0 before the year's first Sunday, else 1-based. */
+  private def weekSundayFirst(d: Expression): Expression = {
+    val fs = firstSundayOfYear(d)
+    If(LessThan(d, fs), Literal(0), weekFrom(fs, d))
+  }
+
+  /** MySQL mode 1 week-of-year (0 for days before week 1's Monday). */
+  private def weekMode1(d: Expression): Expression =
+    If(LessThan(d, mode1Week1Start(d)), Literal(0), weekFrom(mode1Week1Start(d), d))
+
+  /** Mode-1 week counted within the week's OWN year (for toYearWeek:
+    * the Thursday anchor decides the year, so the index is never 0). */
+  private def weekMode1NoZero(d: Expression): Expression = {
+    val anchor = builtin("date_add")(Seq(mondayOf(d), Literal(3)))
+    weekFrom(mode1Week1Start(anchor), d)
+  }
+
+  /** The Monday starting mode-1 week 1 of d's year: the Monday of the
+    * week containing Jan 4. */
+  private def mode1Week1Start(d: Expression): Expression =
+    mondayOf(builtin("date_add")(Seq(
+      builtin("trunc")(Seq(d, Literal("YEAR"))), Literal(3))))
 
   // ---- regex group extraction ----
 

@@ -50,6 +50,19 @@ object ChDictionaries {
       CreateMap(entries), Cast(key, keyType))
   }
 
+  /** Build the membership probe for dictHas('dict', key) — true iff
+    * the key exists in the dictionary (probed against the first
+    * registered attribute's map; all attributes share the key set). */
+  private[functions] def hasExpr(dict: String, key: Expression): Expression = {
+    val attr = maps.keys.collect { case (d, a) if d == dict => a }.toSeq.sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"dictionary '$dict' not registered — call ChDictionaries.register"))
+    val (entries, keyType) = maps((dict, attr))
+    org.apache.spark.sql.catalyst.expressions.ArrayContains(
+      org.apache.spark.sql.catalyst.expressions.MapKeys(CreateMap(entries)),
+      Cast(key, keyType))
+  }
+
   private[functions] def literalString(e: Expression, what: String): String = e match {
     case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
     case other => throw new IllegalArgumentException(

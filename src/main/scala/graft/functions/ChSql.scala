@@ -205,6 +205,7 @@ object ChSql {
     ts = stripGlobal(ts)
     ts = stripFinal(ts)
     ts = rewriteNumbers(ts)
+    ts = rewriteGenerateRandom(ts)
     ts = rewriteExtract(ts)
     ts = rewriteDateDiff(ts)
     ts = rewriteAge(ts)
@@ -641,6 +642,91 @@ object ChSql {
         rewriteNumbers(ts.take(i) ++
           (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(close + 1))
       case None => ts
+    }
+  }
+
+  /** generateRandom('name Type, …'[, seed[, maxStrLen[, maxArrLen]]])
+    * table function (CH's schema-driven synthetic-row source;
+    * registerTableFunctions surface) → a range(2^20) subquery with one
+    * deterministic pseudo-random generator expression per column —
+    * xxhash64(id, seed, colIdx) drives every value, so the stream is
+    * reproducible for a given seed (documented deviation: CH draws a
+    * fresh random seed when none is given; a library answer must be
+    * deterministic, so seed defaults to 0) and generation is pure
+    * codegen'd column arithmetic — embarrassingly parallel at any
+    * scale. Row supply caps at 2^20 (CH streams unboundedly under
+    * LIMIT; a finite cap keeps an accidental un-LIMITed SELECT from
+    * never terminating). Types: the scalar set + Array(T)/
+    * FixedString(n)/Decimal/Date/DateTime/Bool; others refuse. */
+  private def rewriteGenerateRandom(ts: Vector[Tok]): Vector[Tok] = {
+    val at = ts.indices.find(i => ts(i).up == "GENERATERANDOM" &&
+      i + 1 < ts.length && ts(i + 1).text == "(")
+    at match {
+      case None => ts
+      case Some(i) =>
+        val close = matchParen(ts, i + 1)
+        val args = splitTopLevel(ts.slice(i + 2, close))
+        require(args.nonEmpty && args.length <= 4 &&
+          args.head.length == 1 && args.head.head.text.startsWith("'"),
+          "generateRandom('schema'[, seed[, maxStrLen[, maxArrLen]]]) " +
+            "needs a literal schema string")
+        def intArg(k: Int, dflt: Long): Long =
+          if (args.length > k) {
+            require(args(k).length == 1 && args(k).head.text.forall(_.isDigit),
+              s"generateRandom argument ${k + 1} must be a literal integer")
+            args(k).head.text.toLong
+          } else dflt
+        val seed = intArg(1, 0L)
+        val maxStr = intArg(2, 10L)
+        val maxArr = intArg(3, 10L)
+        val spec = args.head.head.text.stripPrefix("'").stripSuffix("'")
+
+        def gen(h: String, t: String): String = t match {
+          case "TINYINT" => s"CAST(PMOD($h, 256) - 128 AS TINYINT)"
+          case "SMALLINT" => s"CAST(PMOD($h, 65536) - 32768 AS SMALLINT)"
+          case "INT" => s"CAST(PMOD($h, 4294967296) - 2147483648 AS INT)"
+          case "BIGINT" => h
+          case "FLOAT" =>
+            s"CAST(PMOD($h, 1000000000) / CAST(1000000000 AS DOUBLE) AS FLOAT)"
+          case "DOUBLE" =>
+            s"PMOD($h, 1000000000) / CAST(1000000000 AS DOUBLE)"
+          case "BOOLEAN" => s"(PMOD($h, 2) = 0)"
+          case "STRING" =>
+            s"SUBSTR(REPEAT(HEX($h), ${maxStr.toInt / 16 + 1}), 1, " +
+              s"CAST(PMOD($h, ${maxStr + 1}) AS INT))"
+          case v if v.startsWith("VARCHAR(") =>
+            // FixedString(n): exactly n chars (RPAD both pads and
+            // truncates, covering short HEX renderings)
+            val n = v.stripPrefix("VARCHAR(").stripSuffix(")").trim.toInt
+            s"RPAD(REPEAT(HEX($h), ${n / 16 + 1}), $n, '0')"
+          case "DATE" =>
+            s"DATE_ADD(DATE'1970-01-01', CAST(PMOD($h, 20089) AS INT))"
+          case "TIMESTAMP" => s"TIMESTAMP_SECONDS(PMOD($h, 1735689600))"
+          case d if d.startsWith("DECIMAL(") =>
+            val Array(p, s) = d.stripPrefix("DECIMAL(").stripSuffix(")")
+              .split(",").map(_.trim.toInt)
+            val cap = math.pow(10, math.min(p - s, 6).max(1)).toLong
+            if (s == 0) s"CAST(PMOD($h, $cap) AS $d)"
+            else s"CAST(PMOD($h, $cap) + PMOD($h, 100) / 100.0 AS $d)"
+          case a if a.startsWith("ARRAY<") && a.endsWith(">") =>
+            val inner = a.stripPrefix("ARRAY<").stripSuffix(">")
+            s"TRANSFORM(SEQUENCE(1, CAST(PMOD($h, ${maxArr + 1}) AS INT)), " +
+              s"__j -> ${gen(s"XXHASH64($h, __j)", inner)})"
+          case other => throw new IllegalArgumentException(
+            s"generateRandom cannot generate type $other")
+        }
+
+        val cols = splitTopLevel(retok(spec)).zipWithIndex.map { case (c, k) =>
+          require(c.length >= 2 && c.head.word,
+            s"generateRandom schema needs `name Type` pairs, got '${renderTrim(c)}'")
+          val name = c.head.text.stripPrefix("`").stripSuffix("`")
+          val sparkType = ChDdl.parseType(c.tail)._1
+          s"${gen(s"XXHASH64(id, $seed, $k)", sparkType)} AS `$name`"
+        }
+        val rep = retok(
+          s"(SELECT ${cols.mkString(", ")} FROM range(1048576))")
+        rewriteGenerateRandom(ts.take(i) ++
+          (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(close + 1))
     }
   }
 

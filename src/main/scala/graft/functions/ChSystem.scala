@@ -75,7 +75,8 @@ object ChSystem {
       case "table_engines" => tableEngines.toDF("name")
       case "formats" =>
         ChFormat.renderable.toSeq.sorted.toDF("name")
-      case "table_functions" => Seq("numbers", "file").toDF("name")
+      case "table_functions" =>
+        Seq("numbers", "file", "generateRandom").toDF("name")
       case "data_type_families" => typeFamilies.toDF("name")
       case "settings" | "merge_tree_settings" => settingNames.toDF("name")
       case "aggregate_function_combinators" => combinators.toDF("name")

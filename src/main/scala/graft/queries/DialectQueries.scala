@@ -1807,13 +1807,16 @@ object DialectQueries {
     "c48_ch_resample" -> Q {
       def b(i: Int): String = s"(user_id % 50 >= ${i * 10} AND user_id % 50 < ${(i + 1) * 10})"
       val s = (0 until 5).map(i =>
-        s"CAST(round(SUM(value) FILTER ${b(i)}, 2) AS VARCHAR)")
+        s"CAST(round(COALESCE(SUM(value) FILTER ${b(i)}, 0), 2) AS VARCHAR)")
         .mkString(" || ',' || ")
       val c = (0 until 5).map(i =>
         s"CAST(COUNT(value) FILTER ${b(i)} AS VARCHAR)")
         .mkString(" || ',' || ")
+      // COALESCE(…, 0) = CH's default-value rendering for an empty
+      // bucket — and keeps the key scale-robust (at tiny SFs some
+      // buckets ARE empty; a bare NULL would nuke the whole || chain)
       val m = (0 until 5).map(i =>
-        s"CAST(round(MAX(value) FILTER ${b(i)}, 2) AS VARCHAR)")
+        s"CAST(round(COALESCE(MAX(value) FILTER ${b(i)}, 0), 2) AS VARCHAR)")
         .mkString(" || ',' || ")
       s"""SELECT event_type, $s AS s, $c AS c, $m AS m
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin } (
@@ -1823,7 +1826,7 @@ object DialectQueries {
           |    sumResample(0, 50, 10)(value, user_id % 50)), ',') AS s,
           |  arrayStringConcat(arrayMap(x -> toString(x),
           |    countResample(0, 50, 10)(value, user_id % 50)), ',') AS c,
-          |  arrayStringConcat(arrayMap(x -> toString(round(x, 2)),
+          |  arrayStringConcat(arrayMap(x -> toString(round(ifNull(x, 0), 2)),
           |    maxResample(0, 50, 10)(value, user_id % 50)), ',') AS m
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

@@ -43,6 +43,40 @@ class ChDialect4Spec extends SparkSpec {
     assert(e.getMessage.contains("%Q") || e.getCause != null)
   }
 
+  test("toWeek/toYearWeek speak MySQL's mode table (0, 1, 3)") {
+    // fixtures verified against MySQL WEEK()/YEARWEEK() documentation
+    // examples: 2000-01-01 = Saturday (week 0 in modes 0/1, ISO
+    // 1999-W52), 2000-01-02 = the year's first Sunday, 2024-01-01 =
+    // Monday of an ISO week 1, 2024-12-31 = ISO 2025-W01
+    val r = row1(
+      """SELECT toWeek(toDate('2000-01-01')) AS w0_sat,
+        |  toWeek(toDate('2000-01-02')) AS w0_sun,
+        |  toWeek(toDate('2000-01-01'), 1) AS w1_sat,
+        |  toWeek(toDate('2024-01-01'), 1) AS w1_mon,
+        |  toWeek(toDate('2000-01-01'), 3) AS w3_sat,
+        |  toWeek(toDate('2024-12-31')) AS w0_nye,
+        |  toYearWeek(toDate('2000-01-01')) AS yw0,
+        |  toYearWeek(toDate('2024-01-01')) AS yw0b,
+        |  toYearWeek(toDate('2000-01-01'), 1) AS yw1,
+        |  toYearWeek(toDate('2024-01-01'), 1) AS yw1b,
+        |  toYearWeek(toDate('2024-12-31'), 3) AS yw3""".stripMargin)
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 1)
+    assert(r.getInt(2) == 0)
+    assert(r.getInt(3) == 1)
+    assert(r.getInt(4) == 52)
+    assert(r.getInt(5) == 52)
+    assert(r.getInt(6) == 199952)
+    assert(r.getInt(7) == 202353)
+    assert(r.getInt(8) == 199952)
+    assert(r.getInt(9) == 202401)
+    assert(r.getInt(10) == 202501)
+    val e = intercept[Exception] {
+      spark.sql(ChSql.translate("SELECT toWeek(toDate('2024-01-01'), 2)"))
+    }
+    assert(e.getMessage.contains("mode") || e.getCause != null)
+  }
+
   test("toInterval family composes with date arithmetic") {
     val r = row1(
       """SELECT toString(toDateTime('2024-01-01 00:00:00') + toIntervalHour(25)) AS h,

@@ -137,6 +137,39 @@ class ChSqlSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("generateRandom supplies deterministic typed rows") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = spark.sql(ChSql.translate(
+      """SELECT * FROM generateRandom(
+        |  'a Int32, b String, c Float64, d Date, e Array(Int64), f FixedString(8)',
+        |  42, 12, 4) LIMIT 100""".stripMargin))
+    assert(df.columns.toSeq == Seq("a", "b", "c", "d", "e", "f"))
+    val rows = df.collect()
+    assert(rows.length == 100)
+    val schema = df.schema.map(_.dataType.simpleString)
+    assert(schema == Seq("int", "string", "double", "date",
+      "array<bigint>", "string"), schema)
+    // value contracts: doubles in [0,1), strings within maxStrLen,
+    // arrays within maxArrLen, FixedString exactly n chars
+    assert(rows.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) < 1))
+    assert(rows.forall(r => r.getString(1).length <= 12))
+    assert(rows.forall(r => r.getSeq[Long](4).length <= 4))
+    assert(rows.forall(r => r.getString(5).length == 8))
+    // same seed → same stream; different seed → different stream
+    val again = spark.sql(ChSql.translate(
+      "SELECT a FROM generateRandom('a Int32', 42) LIMIT 50")).collect().map(_.getInt(0)).toSeq
+    val again2 = spark.sql(ChSql.translate(
+      "SELECT a FROM generateRandom('a Int32', 42) LIMIT 50")).collect().map(_.getInt(0)).toSeq
+    val other = spark.sql(ChSql.translate(
+      "SELECT a FROM generateRandom('a Int32', 7) LIMIT 50")).collect().map(_.getInt(0)).toSeq
+    assert(again == again2 && again != other)
+    // non-literal schema refuses with the translator's message
+    val e = intercept[Exception] {
+      ChSql.translate("SELECT * FROM generateRandom(x)")
+    }
+    assert(e.getMessage.contains("generateRandom"))
+  }
+
   test("plain Spark SQL passes through unchanged") {
     val q = "SELECT o_orderkey FROM orders WHERE o_totalprice > 1 ORDER BY o_orderkey LIMIT 5"
     assert(ChSql.translate(q) == q)

@@ -955,6 +955,21 @@ class DdlSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("dictHas and dictGetOrDefault complete the lookup family") {
+    GraftFunctions.ensureRegistered(spark)
+    val t = Tables(spark, sfDir)
+    ChDictionaries.register("nation_has", t.nation, "n_nationkey", Seq("n_name"))
+    val r = spark.sql(
+      """SELECT dictHas('nation_has', CAST(0 AS BIGINT)) AS h0,
+        |  dictHas('nation_has', CAST(-1 AS BIGINT)) AS hmiss,
+        |  dictGetOrDefault('nation_has', 'n_name', CAST(-1 AS BIGINT), 'unknown') AS dflt,
+        |  dictGetOrDefault('nation_has', 'n_name', CAST(0 AS BIGINT), 'unknown') AS hit
+        |""".stripMargin).collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) == "unknown")
+    assert(r.getString(3) != "unknown" && r.getString(3).nonEmpty)
+  }
+
   test("Geo type domains parse as their storage shapes and round-trip SHOW CREATE") {
     val ct = ChDdl.parse(
       """CREATE TABLE geo_t (
