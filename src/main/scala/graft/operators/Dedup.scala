@@ -609,14 +609,17 @@ object Dedup {
     // corpus size. |A|,|B| stay the UNCAPPED set sizes, so Jaccard is
     // only ever underestimated, never inflated. The df count is one
     // shuffle on the same (block, gram) key the join uses.
-    // NOT persisted: both self-join sides shuffle this same subplan on
-    // the same (block, gram) key, so Catalyst's ReuseExchange serves
-    // the second side from the first side's shuffle files — the grams
-    // compute ONCE anyway (asserted in DedupSpec), without caching a
-    // tokens-scale intermediate that would spill at corpus scale or
-    // leak in a long-lived session.
-    val grams = df.select(col(idCol), col(blockCol).as("__blk"),
+    // Persisted at DOC level (one row per doc, gram ARRAY column —
+    // text-scale, NOT the exploded tokens-scale frame): the core's
+    // count aggregate and both self-join sides each replant this
+    // subtree (broadcast semi-joins defeat ReuseExchange), so without
+    // the cache the expensive wordNGrams kernel would run up to 4×
+    // over the corpus; from the cache each consumer pays only a cheap
+    // explode. Same discipline as minHashLsh's persisted signatures.
+    val docGrams = df.select(col(idCol), col(blockCol).as("__blk"),
         wordNGrams(col(textCol), n).as("__gs"))
+      .persist()
+    val grams = docGrams
       .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
         explode(col("__gs")).as("__g"))
     setJaccardPairs(grams, idCol, minJaccard, maxGramDf)
@@ -636,23 +639,39 @@ object Dedup {
     // a count-over-window: a window routes every occurrence of the
     // hot element to ONE task just to count-and-drop it (a straggler/
     // spill at scale). A groupBy partial agg collapses the hot
-    // element per-partition BEFORE the shuffle (the d16 spelling),
-    // and the semi join-back rides the same (blk, element) key the
-    // self-join below shuffles on, so ReuseExchange serves it from
-    // the same shuffle files.
-    val kept = items.groupBy("__blk", "__g")
+    // element per-partition BEFORE the shuffle (the d16 spelling).
+    // `items` is planted three times below (count, anti-join left,
+    // self-join right — broadcast joins defeat ReuseExchange);
+    // callers keep that cheap by handing an explode over a PERSISTED
+    // doc-level array frame (see ngramJaccard / binaryNearDup), so
+    // the expensive shingle/fingerprint work runs once and each
+    // planting pays only a cheap explode — without caching this
+    // exploded tokens-scale frame itself.
+    // ANTI-join against the OVER-cap set, not semi-join against the
+    // under-cap set: the kept side is every distinct element (corpus-
+    // vocabulary-sized — broadcasting it builds a giant hash relation
+    // twice), while the hot side is just the boilerplate elements the
+    // cap exists to drop — tiny at any scale, so the join-back is a
+    // cheap broadcast anti even at 100 TB.
+    val hot = items.groupBy("__blk", "__g")
       .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
+      .filter(col("__df") > maxDf)
       .select("__blk", "__g")
-    val capped = items.join(kept, Seq("__blk", "__g"), "left_semi")
+    val capped = items.join(hot, Seq("__blk", "__g"), "left_anti")
     val a = capped.select(col(idCol).as("id1"), col("__blk"),
       col("__sz").as("__s1"), col("__g"))
     val b = capped.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
       col("__sz").as("__s2"), col("__g").as("__g2"))
     // size filter: J >= t implies min|A|,|B| >= t·max|A|,|B|, so the
     // ratio predicate is correctness-preserving (prunes the join
-    // output before the aggregate, changes no results)
-    a.join(b, col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
+    // output before the aggregate, changes no results).
+    // MERGE hint: both sides are the token-scale capped frame —
+    // broadcasting one (what AQE picks at test SFs) builds a
+    // vocabulary-sized hash relation and is unplannable at corpus
+    // scale; the sort-merge self-join shuffles both sides on the SAME
+    // (blk, element) key from the SAME cached child, which is the
+    // shape that survives 100 TB.
+    a.hint("MERGE").join(b, col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
         col("id1") < col("id2") &&
         least(col("__s1"), col("__s2")).cast("double") >=
           lit(minJaccard) * greatest(col("__s1"), col("__s2")))

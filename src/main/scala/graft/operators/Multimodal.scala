@@ -96,13 +96,17 @@ object Multimodal {
     * boilerplate bound that keeps d04 linear in corpus size. */
   def binaryNearDup(media: DataFrame, frameBytes: Int = 32, every: Int = 2,
       maxFrameDf: Int = 100, minJaccard: Double = 0.3): DataFrame = {
-    val sets = sampleFrames(media, frameBytes, every)
-      .select(col("doc_id"), col("frame_md5")).distinct()
-    val items = sets
-      .withColumn("__sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .select(col("doc_id"), lit("*").as("__blk"), col("__sz"),
-        col("frame_md5").as("__g"))
+    // collect_set builds the per-doc distinct frame set in ONE shuffle
+    // (replacing the old distinct + count-window pair) and the
+    // persisted doc-level frame keeps the binary slicing + md5 work
+    // from re-running for each of the core's three plantings of the
+    // element table (the d04 discipline).
+    val docSets = sampleFrames(media, frameBytes, every)
+      .groupBy("doc_id")
+      .agg(collect_set(col("frame_md5")).as("__gs"))
+      .persist()
+    val items = docSets.select(col("doc_id"), lit("*").as("__blk"),
+      size(col("__gs")).as("__sz"), explode(col("__gs")).as("__g"))
     Dedup.setJaccardPairs(items, "doc_id", minJaccard, maxFrameDf)
   }
 

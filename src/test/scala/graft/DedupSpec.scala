@@ -210,16 +210,25 @@ class DedupSpec extends SparkSpec {
     Curate.funnel(corpus, "doc_id", "text").count()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "funnel must leave no persisted RDDs behind")
-    // ngramJaccard's un-persisted self-join serves the second side
-    // from the first side's shuffle (ReuseExchange) — the grams
-    // compute once, with no cache to leak
+    // ngramJaccard persists exactly ONE frame — the doc-level gram
+    // ARRAYS (text-scale), which the core's three plantings of the
+    // element table explode from so the wordNGrams kernel runs once.
+    // The exploded tokens-scale frame itself is never cached.
     val blocked = corpus.withColumn("blk", lit(1))
     val d04 = Dedup.ngramJaccard(blocked, "doc_id", "text", "blk", minJaccard = 0.5)
     d04.collect() // run THIS plan so AQE finalizes it (count() builds its own)
-    assert(d04.queryExecution.executedPlan.toString.contains("ReusedExchange"),
-      s"expected exchange reuse in:\n${d04.queryExecution.executedPlan}")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "ngramJaccard must leave no persisted RDDs behind")
+    val plan = d04.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"expected the doc-level gram cache in:\n$plan")
+    // the self-join must be the sort-merge shape (both sides are the
+    // token-scale capped frame — a broadcast there is unplannable at
+    // corpus scale)
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge self-join in:\n$plan")
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      "ngramJaccard persists exactly the doc-level gram frame, got " +
+        s"${spark.sparkContext.getPersistentRDDs.size}")
+    spark.catalog.clearCache()
     // dupClusters hands back ITS one persisted frame — unpersisting
     // the returned handle is a real, complete release
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
