@@ -665,13 +665,12 @@ object Dedup {
     // size filter: J >= t implies min|A|,|B| >= t·max|A|,|B|, so the
     // ratio predicate is correctness-preserving (prunes the join
     // output before the aggregate, changes no results).
-    // MERGE hint: both sides are the token-scale capped frame —
-    // broadcasting one (what AQE picks at test SFs) builds a
-    // vocabulary-sized hash relation and is unplannable at corpus
-    // scale; the sort-merge self-join shuffles both sides on the SAME
-    // (blk, element) key from the SAME cached child, which is the
-    // shape that survives 100 TB.
-    a.hint("MERGE").join(b, col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
+    // The self-join strategy is left to AQE on purpose: at test SFs
+    // the capped frame fits the broadcast threshold and a broadcast
+    // self-join wins; at corpus scale runtime stats exceed it and AQE
+    // plans the sort-merge join on (blk, element) — both shapes are
+    // correct, and pinning either would pessimize the other scale.
+    a.join(b, col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
         col("id1") < col("id2") &&
         least(col("__s1"), col("__s2")).cast("double") >=
           lit(minJaccard) * greatest(col("__s1"), col("__s2")))
