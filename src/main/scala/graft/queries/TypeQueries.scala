@@ -186,6 +186,23 @@ object TypeQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Bucketed catalog tables → shuffle-free big-big join: the Spark
+    // analog of the reference's ORDER BY-key co-location (MergeTree
+    // sorted parts joined on their primary key). Both fact tables are
+    // written bucketBy/sortBy on the join key; at read time Spark's
+    // bucketing metadata satisfies the join's distribution requirement
+    // so the sort-merge join plans with ZERO Exchange under it — the
+    // 100 TB big-big join shape, where re-shuffling either side would
+    // dominate the query. BucketedJoinSpec pins the no-exchange plan;
+    // the oracle replays the same join from the raw parquet.
+    "p10_bucketed_join" -> Q(
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)(
+      bucketedJoin _),
+
     // DDL round-trip (ASTCreateQuery.h:1; type names per
     // DataTypeFactory.cpp): a ClickHouse CREATE TABLE — FixedString,
     // Decimal64 shorthand, Enum8, PARTITION BY, ORDER BY, SAMPLE BY —
@@ -563,4 +580,35 @@ object TypeQueries {
         .orderBy("event_id")
     }
   )
+
+  /** p10's plan builder, shared with BucketedJoinSpec so the spec pins
+    * the EXACT plan the driver verifies. Writes both join sides as
+    * bucketed+sorted catalog tables (idempotent overwrite), then joins
+    * through the catalog — the bucketing metadata satisfies the
+    * sort-merge join's distribution requirement with zero Exchange.
+    * MERGE hint: at test SFs the customer side fits the broadcast
+    * threshold, which would bypass (not demonstrate) the bucketed
+    * path; at scale SMJ is what AQE picks anyway. */
+  def bucketedJoin(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(s, dir)
+    val base = sys.props("java.io.tmpdir") + "/graft_p10_bucketed"
+    s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    s.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    t.orders.select("o_custkey", "o_totalprice").write
+      .mode("overwrite").option("path", s"$base/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bkt")
+    t.customer.select("c_custkey", "c_mktsegment").write
+      .mode("overwrite").option("path", s"$base/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bkt")
+    s.table("graft_orders_bkt")
+      .hint("MERGE")
+      .join(s.table("graft_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
 }
