@@ -267,6 +267,50 @@ object Curate {
         expr(s"__rank div $nShards").as("pos"))
   }
 
+  /** Size-balanced output sharding — the "write the final dataset as
+    * ~equal-size shards" step (WebDataset/TFRecord-style shard files,
+    * where a size-skewed shard becomes the slow file every epoch).
+    * Documents are laid out in seedless md5 order (same decorrelated
+    * order globalShuffle uses), their sizes prefix-summed, and a doc
+    * starts shard k when its exclusive cumulative size crosses
+    * k·shardSize — docs are never split, so shards exceed the budget
+    * by at most one document. Deterministic on any cluster size.
+    *
+    * Same distributed prefix sum as packSequences (md5-prefix buckets
+    * → per-bucket window → metadata-scale driver scan of the bucket
+    * totals → broadcast offsets), never a global window; at 100 TB
+    * raise prefixChars so one bucket fits one task.
+    */
+  def shardBySize(docs: DataFrame, idCol: String, sizeCol: Column,
+      shardSize: Long, prefixChars: Int = 2): DataFrame = {
+    require(shardSize > 0 && prefixChars >= 1)
+    val sized = docs.select(col(idCol), sizeCol.cast("long").as("n_size"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__bkt", substring(col("__h"), 1, prefixChars))
+    val local = sized.withColumn("__cum_local",
+      sum(col("n_size")).over(
+        Window.partitionBy("__bkt").orderBy(col("__h"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketTotals = local.groupBy("__bkt")
+      .agg(max(col("__cum_local")).as("__tot"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Seq[(String, Long)] =
+      if (bucketTotals.isEmpty) Seq.empty
+      else bucketTotals
+        .scanLeft(("", 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+        .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__bkt", "__off"))
+    local.join(offDf, Seq("__bkt"))
+      .withColumn("__start", col("__off") + col("__cum_local") - col("n_size"))
+      .select(col(idCol), col("n_size"),
+        col("__start").as("start_off"),
+        expr(s"__start div $shardSize").cast("int").as("shard"))
+  }
+
   /** Stable train/val/test assignment — the split that must never
     * move when the corpus is re-processed (a document changing split
     * between runs leaks eval data into training). The split is a pure

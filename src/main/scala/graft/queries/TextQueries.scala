@@ -350,6 +350,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Size-balanced shard assignment (t20): docs in seedless md5
+    // order, char-sizes prefix-summed, shard = exclusive-cum div
+    // 65536 — ~64 KiB shards that only ever overshoot by one doc.
+    // Spark side is the t08 distributed prefix sum (md5-prefix
+    // buckets, no global window); the oracle's single cumsum window
+    // is the same math at DuckDB's single-node scale.
+    "t20_shard_assign" -> Q(
+      """WITH c AS (
+        |  SELECT doc_id, LENGTH(text) AS n_size,
+        |    SUM(LENGTH(text)) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_size AS BIGINT) AS n_size,
+        |  CAST(cum - n_size AS BIGINT) AS start_off,
+        |  CAST((cum - n_size) // 65536 AS INT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Curate.shardBySize(Tables(s, dir).documents,
+          "doc_id", length(col("text")), shardSize = 65536L)
+        .orderBy("doc_id")
+    },
+
     // Stable train/val/test split (t13): bucket = first 4 hex digits
     // of md5('split:' || id) in [0, 65536), cut at integer thresholds
     // 90% / 95% — a pure function of the id, so re-processing the

@@ -216,6 +216,32 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream event-time interval join — the attribution shape
+    * (each follow-event joined to the lead-events of the same user at
+    * most `windowSec` before it). Both sides carry watermarks and the
+    * join condition bounds f.ts to [l.ts, l.ts + window], so Spark's
+    * stream-stream join can size and EXPIRE its state from the
+    * condition: each side buffers only the watermark+window horizon,
+    * never the stream's history — the stateful-join contract that
+    * holds at any throughput. Inner join: a follow event with no lead
+    * in the window drops (left-outer emits nulls only after the
+    * watermark passes; same plan shape, flip joinType if needed). */
+  def streamIntervalJoin(lead: DataFrame, follow: DataFrame,
+      windowSec: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = lead.withWatermark("ts", watermark).select(
+      col("user_id"), col("ts").as("lead_ts"),
+      col("event_type").as("lead_type"), col("event_id").as("lead_id"))
+    val f = follow.withWatermark("ts", watermark).select(
+      col("user_id").as("__fu"), col("ts").as("follow_ts"),
+      col("event_type").as("follow_type"), col("event_id").as("follow_id"))
+    l.join(f,
+      col("user_id") === col("__fu") &&
+        col("follow_ts") >= col("lead_ts") &&
+        col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select("user_id", "lead_id", "lead_type", "lead_ts",
+        "follow_id", "follow_type", "follow_ts")
+  }
+
   final case class FunnelState(ts: List[Long], masks: List[Int])
   final case class FunnelOut(user_id: Long, level: Int)
 

@@ -231,6 +231,37 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes follows to in-window leads only") {
+    implicit val ctx = spark.sqlContext
+    val leads = MemoryStream[Event]
+    val follows = MemoryStream[Event]
+    val q = EventsStream.streamIntervalJoin(
+        leads.toDF, follows.toDF, windowSec = 600)
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      // user 1: lead@0 — follow@5 inside the 10-min window, follow@20
+      // outside it; user 2's follow@5 must not match user 1's lead
+      leads.addData(Event(10, ts(0), 1, "impression", 0.0))
+      follows.addData(
+        Event(20, ts(5), 1, "click", 0.0),
+        Event(21, ts(20), 1, "click", 0.0),
+        Event(22, ts(5), 2, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ij")
+        .select("user_id", "lead_id", "follow_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L, 20L)), s"got $got")
+      // a second lead joins follows that arrive in a LATER batch
+      leads.addData(Event(11, ts(30), 2, "impression", 0.0))
+      follows.addData(Event(23, ts(33), 2, "click", 0.0))
+      q.processAllAvailable()
+      val got2 = spark.table("ij")
+        .select("user_id", "lead_id", "follow_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got2 == Set((1L, 10L, 20L), (2L, 11L, 23L)), s"got $got2")
+    } finally q.stop()
+  }
+
   test("batch and stream sessionization agree on real events (sf0.001)") {
     val events = Tables(spark, sfDir).events
     val batch = EventsStream.sessionizeBatch(events, gapSec = 3600)
