@@ -206,6 +206,7 @@ object ChSql {
     ts = stripFinal(ts)
     ts = rewriteNumbers(ts)
     ts = rewriteGenerateRandom(ts)
+    ts = rewriteCollate(ts)
     ts = rewriteExtract(ts)
     ts = rewriteDateDiff(ts)
     ts = rewriteAge(ts)
@@ -642,6 +643,55 @@ object ChSql {
         rewriteNumbers(ts.take(i) ++
           (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(close + 1))
       case None => ts
+    }
+  }
+
+  /** ORDER BY … [ASC|DESC] COLLATE 'locale' (ASTOrderByElement.h:18-19;
+    * ExpressionElementParsers.cpp:2239): locale-aware sort keys map to
+    * Spark 4 collated strings — the sort expression wraps in
+    * collate(expr, tag), direction/NULLS tokens stay outside. The CH
+    * locale passes through as the ICU tag Spark's collation registry
+    * speaks; 'C'/'POSIX'/'binary' (the reference's sort-by-bytes
+    * spellings) map to UTF8_BINARY. */
+  private def rewriteCollate(ts: Vector[Tok]): Vector[Tok] = {
+    val at = ts.indices.find(i => ts(i).up == "COLLATE" &&
+      i + 1 < ts.length && ts(i + 1).text.startsWith("'"))
+    at match {
+      case None => ts
+      case Some(i) =>
+        val loc0 = ts(i + 1).text.stripPrefix("'").stripSuffix("'")
+        val loc = loc0.toLowerCase match {
+          case "c" | "posix" | "binary" => "UTF8_BINARY"
+          case _ => loc0
+        }
+        // skip direction tokens between the expression and COLLATE
+        val dirWords = Set("ASC", "DESC", "ASCENDING", "DESCENDING",
+          "NULLS", "FIRST", "LAST")
+        var e = i - 1
+        while (e >= 0 && ts(e).word && dirWords(ts(e).up)) e -= 1
+        // expression start: walk back over balanced parens to the
+        // nearest same-level boundary
+        var j = e
+        var bal = 0
+        var done = false
+        while (j >= 0 && !done) {
+          val t = ts(j).text
+          if (t == ")" || t == "]") bal += 1
+          else if (t == "(" || t == "[") {
+            if (bal == 0) done = true else bal -= 1
+          } else if (bal == 0 && (t == "," ||
+            Set("BY", "SELECT", "WHERE", "HAVING", "AND", "OR")(ts(j).up)))
+            done = true
+          if (!done) j -= 1
+        }
+        val start = j + 1
+        require(start <= e, s"COLLATE without a sort expression near " +
+          renderTrim(ts.slice(math.max(0, i - 4), i + 2)))
+        val wrapped = retok("collate(") ++ ts.slice(start, e + 1) ++
+          retok(s", '$loc')")
+        rewriteCollate(ts.take(start) ++
+          (wrapped.head.copy(pre = ts(start).pre) +: wrapped.tail) ++
+          ts.slice(e + 1, i) ++ ts.drop(i + 2))
     }
   }
 

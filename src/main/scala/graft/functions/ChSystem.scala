@@ -35,7 +35,9 @@ object ChSystem {
     "max_threads", "join_algorithm", "max_memory_usage",
     "prefer_localhost_replica", "optimize_read_in_order")
 
-  private val combinators = Seq("If", "Array", "Distinct", "OrNull", "OrDefault")
+  private val combinators = Seq("If", "Array", "Distinct", "OrNull",
+    "OrDefault", "State", "Merge", "MergeState", "SimpleState", "Map",
+    "ForEach", "Resample")
 
   /** Aggregate names for system.functions.is_aggregate — the dialect's
     * registered aggregate aliases plus Spark's own common set. */

@@ -170,6 +170,31 @@ class ChSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("generateRandom"))
   }
 
+  test("ORDER BY COLLATE sorts locale-aware; binary spellings sort by bytes") {
+    GraftFunctions.ensureRegistered(spark)
+    Seq("b", "A", "a", "B").toDF("s").createOrReplaceTempView("graft_coll")
+    // UNICODE root collation interleaves case (a, A, b, B); binary
+    // sorts uppercase first (A, B, a, b)
+    val uni = spark.sql(ChSql.translate(
+      "SELECT s FROM graft_coll ORDER BY s COLLATE 'en'"))
+      .as[String].collect().toSeq
+    assert(uni == Seq("a", "A", "b", "B") || uni == Seq("A", "a", "B", "b"), uni)
+    val bin = spark.sql(ChSql.translate(
+      "SELECT s FROM graft_coll ORDER BY s COLLATE 'binary'"))
+      .as[String].collect().toSeq
+    assert(bin == Seq("A", "B", "a", "b"), bin)
+    // direction tokens stay outside the collated expression
+    val desc = spark.sql(ChSql.translate(
+      "SELECT s FROM graft_coll ORDER BY s DESC COLLATE 'binary'"))
+      .as[String].collect().toSeq
+    assert(desc == Seq("b", "a", "B", "A"), desc)
+    // function expressions wrap whole
+    val fn = spark.sql(ChSql.translate(
+      "SELECT s FROM graft_coll ORDER BY concat(s, 'x') COLLATE 'binary', s"))
+      .as[String].collect().toSeq
+    assert(fn == Seq("A", "B", "a", "b"), fn)
+  }
+
   test("plain Spark SQL passes through unchanged") {
     val q = "SELECT o_orderkey FROM orders WHERE o_totalprice > 1 ORDER BY o_orderkey LIMIT 5"
     assert(ChSql.translate(q) == q)
