@@ -447,7 +447,28 @@ object ChDialect4 {
     "kostikConsistentHash" -> { _ =>
       throw new UnsupportedOperationException(
         "kostikConsistentHash() is specified only by its C++ " +
-          "implementation; use jumpConsistentHash(key, buckets)") }
+          "implementation; use jumpConsistentHash(key, buckets)") },
+    // ---- time-series family (CH series*, public docs) ----
+    "seriesOutliersDetectTukey" -> { es =>
+      require(es.size == 1 || es.size == 4,
+        "seriesOutliersDetectTukey(series[, min_percentile, max_percentile, k])")
+      val quantArgs =
+        if (es.size == 4) es.tail.map(Cast(_, DoubleType))
+        else Seq[Expression](Literal(0.25d), Literal(0.75d), Literal(1.5d))
+      StaticInvoke(ChNumHelpers.getClass, ArrayType(DoubleType),
+        "seriesOutliersTukey",
+        Cast(es.head, ArrayType(DoubleType)) +: quantArgs,
+        inputTypes = Seq(ArrayType(DoubleType), DoubleType, DoubleType,
+          DoubleType)) },
+    "seriesPeriodDetectFFT" -> { es =>
+      StaticInvoke(ChNumHelpers.getClass, DoubleType, "seriesPeriodDetect",
+        Seq(Cast(es.head, ArrayType(DoubleType))),
+        inputTypes = Seq(ArrayType(DoubleType))) },
+    "seriesDecomposeSTL" -> { _ =>
+      throw new UnsupportedOperationException(
+        "seriesDecomposeSTL needs a LOESS smoother (no deterministic " +
+          "closed form); compute trend/seasonality with window " +
+          "averages or seriesPeriodDetectFFT + groupBy phase instead") }
   )
 
   // ---- CH's value-mapping transform(x, from, to[, default]).

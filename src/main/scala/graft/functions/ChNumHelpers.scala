@@ -197,4 +197,85 @@ object ChNumHelpers {
       (parseIpv4(a) >>> shift) == (parseIpv4(base) >>> shift)
     }
   }
+
+  // ---- time-series kernels (CH series* family, public docs) ----
+
+  private def toDoubles(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] = {
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = arr.getDouble(i); i += 1 }
+    xs
+  }
+
+  /** Linear-interpolated quantile of a SORTED array (type 7, the
+    * NumPy/CH default). */
+  private def quantileOf(s: Array[Double], p: Double): Double = {
+    val n = s.length
+    if (n == 1) s(0)
+    else {
+      val pos = p * (n - 1)
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, n - 1)
+      val f = pos - lo
+      s(lo) * (1 - f) + s(hi) * f
+    }
+  }
+
+  /** seriesOutliersDetectTukey(series[, minQ, maxQ, k]): per-element
+    * anomaly score — the signed distance past the Tukey fence
+    * [Q(minQ) − k·IQR, Q(maxQ) + k·IQR], 0 inside it. */
+  def seriesOutliersTukey(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      minQ: Double, maxQ: Double, k: Double):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val xs = toDoubles(arr)
+    require(xs.nonEmpty, "seriesOutliersDetectTukey: empty series")
+    val s = xs.sorted
+    val q1 = quantileOf(s, minQ)
+    val q3 = quantileOf(s, maxQ)
+    val iqr = q3 - q1
+    val loF = q1 - k * iqr
+    val hiF = q3 + k * iqr
+    val out = new Array[Any](xs.length)
+    var i = 0
+    while (i < xs.length) {
+      val x = xs(i)
+      out(i) = if (x < loF) x - loF else if (x > hiF) x - hiF else 0.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** seriesPeriodDetectFFT's contract (dominant period of the series,
+    * Float64; 0 when none) spelled in the time domain: argmax of the
+    * mean-centered autocorrelation over lags 2..n/2, each normalized
+    * by its term count — deterministic and exact where an FFT
+    * periodogram estimates; O(n²/4) per row, sized for the bounded
+    * per-row series this family is called on (CH's own input is one
+    * row's array, not a table). Smallest lag wins ties, so harmonics
+    * (2p, 3p, …) never shadow the fundamental. */
+  def seriesPeriodDetect(arr: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val xs = toDoubles(arr)
+    val n = xs.length
+    if (n < 4) return 0.0
+    var mean = 0.0
+    var i = 0
+    while (i < n) { mean += xs(i); i += 1 }
+    mean /= n
+    val c = new Array[Double](n)
+    i = 0
+    while (i < n) { c(i) = xs(i) - mean; i += 1 }
+    var bestLag = 0
+    var bestR = 0.0
+    var lag = 2
+    while (lag <= n / 2) {
+      var r = 0.0
+      i = 0
+      while (i + lag < n) { r += c(i) * c(i + lag); i += 1 }
+      r /= (n - lag)
+      if (r > bestR + 1e-12) { bestR = r; bestLag = lag }
+      lag += 1
+    }
+    bestLag.toDouble
+  }
 }

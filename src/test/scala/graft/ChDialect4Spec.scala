@@ -77,6 +77,23 @@ class ChDialect4Spec extends SparkSpec {
     assert(e.getMessage.contains("mode") || e.getCause != null)
   }
 
+  test("series family: Tukey outlier scores and period detection") {
+    val r = row1(
+      """SELECT
+        |  seriesOutliersDetectTukey([2.0, 3.0, 2.0, 100.0, 3.0, 2.0, 3.0, 2.0]) AS sc,
+        |  seriesPeriodDetectFFT([1.0,2.0,3.0,1.0,2.0,3.0,1.0,2.0,3.0,1.0,2.0,3.0]) AS p,
+        |  seriesPeriodDetectFFT([5.0,5.0,5.0,5.0,5.0,5.0]) AS flat""".stripMargin)
+    val sc = r.getSeq[Double](0)
+    // only the planted spike scores; everything else is exactly 0
+    assert(sc.count(_ != 0.0) == 1 && sc(3) > 90, sc)
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 0.0) // constant series has no period
+    val e = intercept[Exception] {
+      spark.sql(ChSql.translate("SELECT seriesDecomposeSTL([1.0], 3)"))
+    }
+    assert(e.getMessage.contains("LOESS") || e.getCause != null)
+  }
+
   test("toInterval family composes with date arithmetic") {
     val r = row1(
       """SELECT toString(toDateTime('2024-01-01 00:00:00') + toIntervalHour(25)) AS h,
