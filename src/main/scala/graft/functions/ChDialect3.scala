@@ -90,7 +90,31 @@ object ChDialect3 {
       a => fld(a, "idx"))
   }
 
+  /** arrayFill(f, arr): scan left→right; where f(x) is false the
+    * element is replaced by its (possibly already replaced) left
+    * neighbor — the first element is never replaced (CH doc
+    * semantics). Reverse form = reverse → fill → reverse. */
+  private def arrayFillB(f: Expression, arr0: Expression,
+      rev: Boolean): Expression = {
+    // the reverse form runs the same fold over the reversed array and
+    // un-reverses in the FINISH lambda — keeping ArrayAggregate at the
+    // root (Spark requires a function receiving a lambda to resolve
+    // to a HigherOrderFunction)
+    val arr = if (rev) builtin("reverse")(Seq(arr0)) else arr0
+    arrayAggregate(arr,
+      builtin("slice")(Seq(arr, Literal(1), Literal(0))), // typed empty
+      (acc, x) => {
+        val keep = Or(Cast(subst1(f, x), BooleanType),
+          EqualTo(builtin("size")(Seq(acc)), Literal(0)))
+        val v = If(keep, x, builtin("element_at")(Seq(acc, Literal(-1))))
+        builtin("concat")(Seq(acc, builtin("array")(Seq(v))))
+      },
+      a => if (rev) builtin("reverse")(Seq(a)) else a)
+  }
+
   private def arraySearchAliases: Seq[(String, Builder)] = Seq(
+    "arrayFill" -> { es => arrayFillB(es.head, es(1), rev = false) },
+    "arrayReverseFill" -> { es => arrayFillB(es.head, es(1), rev = true) },
     "arrayFirst" -> arrayFirstLast(last = false),
     "arrayLast"  -> arrayFirstLast(last = true),
     "arrayFirstIndex" -> arrayFirstLastIndex(last = false),

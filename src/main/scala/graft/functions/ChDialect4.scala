@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -171,6 +172,13 @@ object ChDialect4 {
             builtin("weekofyear")(Seq(d)))
       } }
   )
+
+  /** CH type name literal → Spark DataType (via ChDdl's type map). */
+  private def chTypeOf(e: Expression, fn: String): DataType = {
+    val chName = litStr(e, fn, "type name")
+    val (sparkSql, _) = ChDdl.parseType(ChSql.retok(chName))
+    CatalystSqlParser.parseDataType(sparkSql)
+  }
 
   private def weekMode(es: Seq[Expression], fn: String): Int = {
     val m = if (es.size >= 2) litInt(es(1), fn, "mode") else 0
@@ -573,6 +581,37 @@ object ChDialect4 {
       "identity" -> { es => es.head },
       "ignore" -> { _ => Literal(0) },
       "concatAssumeInjective" -> { es => builtin("concat")(es) },
+      // accurateCast(x, 'T'): CH throws when the value doesn't fit the
+      // target exactly (vs CAST's wrap/saturate); realized as a TRY
+      // cast that raises when it nulls a non-null input. OrNull form =
+      // the TRY cast itself.
+      "accurateCast" -> { es =>
+        val dt = chTypeOf(es(1), "accurateCast")
+        val tryC = Cast(es.head, dt, None, EvalMode.TRY)
+        If(And(IsNotNull(es.head), IsNull(tryC)),
+          Cast(builtin("raise_error")(Seq(
+            Literal("accurateCast: value out of range of target type"))), dt),
+          tryC) },
+      "accurateCastOrNull" -> { es =>
+        Cast(es.head, chTypeOf(es(1), "accurateCastOrNull"), None,
+          EvalMode.TRY) },
+      "toBool" -> { es => Cast(es.head, BooleanType) },
+      "hostname" -> { es => ChDialect3.aliases.toMap.apply("hostName")(es) },
+      "FQDN" -> { es => ChDialect3.aliases.toMap.apply("hostName")(es) },
+      // path basename: the segment after the last separator (CH doc
+      // semantics; both separators, like the reference's splitter)
+      "basename" -> { es =>
+        builtin("regexp_extract")(Seq(es.head,
+          Literal("([^/\\\\]*)$"), Literal(1))) },
+      "visibleWidth" -> { es =>
+        Cast(builtin("length")(Seq(Cast(es.head, StringType))), LongType) },
+      "sumMapWithOverflow" -> { es => es match {
+        case Seq(m) => MapCombineAgg(builtin("map_keys")(Seq(m)),
+          builtin("map_values")(Seq(m)), "sum")
+        case Seq(k, v) => MapCombineAgg(k, v, "sum")
+        case other => throw new IllegalArgumentException(
+          s"sumMapWithOverflow(map) or (keys, values), got ${other.size}")
+      } },
       "timezone" -> { _ => builtin("current_timezone")(Seq.empty) },
       "serverTimeZone" -> { _ => builtin("current_timezone")(Seq.empty) },
       // CH's toTimeZone re-annotates the SAME instant with a display

@@ -40,6 +40,17 @@ class ChDialect3Spec extends SparkSpec {
       == Seq(Seq(1, 9), Seq(2, 9), Seq(3)))
   }
 
+  test("arrayFill carries the last passing value; reverse form mirrors") {
+    val r = row(
+      """arrayFill(x -> x != 0, array(1, 0, 0, 5, 0)) AS ff,
+        |arrayReverseFill(x -> x != 0, array(1, 0, 0, 5, 0)) AS rf,
+        |arrayFill(x -> x != 0, array(0, 0, 3)) AS lead0""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(1, 1, 1, 5, 5))
+    assert(r.getSeq[Int](1) == Seq(1, 5, 5, 5, 0))
+    // leading failures have no left neighbor — kept as-is (CH contract)
+    assert(r.getSeq[Int](2) == Seq(0, 0, 3))
+  }
+
   test("fingerprints: ngram/shingle hashes feed tupleHammingDistance") {
     val r = row(
       """ngramMinHash('the quick brown fox') AS nm,

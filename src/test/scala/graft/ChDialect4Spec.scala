@@ -77,6 +77,28 @@ class ChDialect4Spec extends SparkSpec {
     assert(e.getMessage.contains("mode") || e.getCause != null)
   }
 
+  test("accurateCast throws out-of-range, OrNull nulls; misc tail aliases") {
+    val r = row1(
+      """SELECT accurateCast(300, 'Int32') AS ok,
+        |  accurateCastOrNull(99999999999, 'Int32') AS oob,
+        |  accurateCastOrNull('4x', 'Int32') AS bad,
+        |  toBool(1) AS b,
+        |  basename('/a/b/c.txt') AS bn,
+        |  basename('win\\path\\f.bin') AS bw,
+        |  visibleWidth(12345) AS vw""".stripMargin)
+    assert(r.getInt(0) == 300)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "c.txt" && r.getString(5) == "f.bin")
+    assert(r.getLong(6) == 5L)
+    val e = intercept[Exception] {
+      spark.sql(ChSql.translate(
+        "SELECT accurateCast(99999999999, 'Int32')")).collect()
+    }
+    assert(e.getMessage.contains("out of range") ||
+      e.getCause != null, e.getMessage)
+  }
+
   test("series family: Tukey outlier scores and period detection") {
     val r = row1(
       """SELECT
