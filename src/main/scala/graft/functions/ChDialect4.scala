@@ -633,6 +633,39 @@ object ChDialect4 {
           case other => throw new UnsupportedOperationException(
             s"defaultValueOfTypeName: unmapped type '$other'")
         } },
+      "toDateTime64" -> { es =>
+        // sub-second precision is the y07 truncation ladder's concern;
+        // the constructor itself is the timestamp cast (Spark carries
+        // microseconds natively — DateTime64(≤6) is lossless)
+        Cast(es.head, TimestampType) },
+      "now64" -> { _ => builtin("current_timestamp")(Seq.empty) },
+      "nowInBlock" -> { _ => builtin("current_timestamp")(Seq.empty) },
+      "toStartOfSecond" -> { es =>
+        builtin("date_trunc")(Seq(Literal("SECOND"), es.head)) },
+      // version() answers the ENGINE's version — here the Spark
+      // runtime this library executes on
+      "version" -> { _ => Literal(org.apache.spark.SPARK_VERSION) },
+      "mid" -> { es => builtin("substring")(es) },
+      "countSubstringsCaseInsensitive" -> { es =>
+        val h = builtin("lower")(Seq(es.head))
+        val n = builtin("lower")(Seq(es(1)))
+        Cast(IntegralDivide(
+          Subtract(builtin("length")(Seq(h)),
+            builtin("length")(Seq(builtin("replace")(Seq(h, n, Literal("")))))),
+          builtin("length")(Seq(n))), LongType) },
+      "queryID" -> { _ =>
+        throw new UnsupportedOperationException(
+          "queryID() reads the server's query registry — a library " +
+            "engine has none; tag queries with your own literal") },
+      "initialQueryID" -> { _ =>
+        throw new UnsupportedOperationException(
+          "initialQueryID() reads the server's query registry — a " +
+            "library engine has none") },
+      "runningConcurrency" -> { _ =>
+        throw new UnsupportedOperationException(
+          "runningConcurrency depends on block arrival order " +
+            "(non-deterministic distributed); count overlaps with the " +
+            "intervalLengthSum/maxIntersections aggregates instead") },
       "fromUnixTimestamp64Milli" -> { es =>
         builtin("timestamp_millis")(Seq(Cast(es.head, LongType))) },
       "fromUnixTimestamp64Micro" -> { es =>

@@ -99,6 +99,24 @@ class ChDialect4Spec extends SparkSpec {
       e.getCause != null, e.getMessage)
   }
 
+  test("datetime/misc tail: toDateTime64, toStartOfSecond, version, mid, CI count") {
+    val r = row1(
+      """SELECT toString(toDateTime64('2024-01-02 03:04:05.250', 3)) AS dt,
+        |  toString(toStartOfSecond(toDateTime64('2024-01-02 03:04:05.250', 3))) AS ss,
+        |  version() AS v,
+        |  mid('abcdef', 2, 3) AS m,
+        |  countSubstringsCaseInsensitive('aBrAcadAbra', 'a') AS ci""".stripMargin)
+    assert(r.getString(0) == "2024-01-02 03:04:05.25")
+    assert(r.getString(1) == "2024-01-02 03:04:05")
+    assert(r.getString(2).startsWith("4."))
+    assert(r.getString(3) == "bcd")
+    assert(r.getLong(4) == 5L)
+    val e = intercept[Exception] {
+      spark.sql(ChSql.translate("SELECT queryID()"))
+    }
+    assert(e.getMessage.contains("query registry") || e.getCause != null)
+  }
+
   test("series family: Tukey outlier scores and period detection") {
     val r = row1(
       """SELECT
