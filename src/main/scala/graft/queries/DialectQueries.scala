@@ -1830,6 +1830,79 @@ object DialectQueries {
           |    maxResample(0, 50, 10)(value, user_id % 50)), ',') AS m
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // toWeek/toYearWeek MySQL-mode arithmetic (c49): the oracle
+    // re-derives each mode from first principles in DuckDB (dayofweek
+    // there is Sunday=0), so the driver hash-checks the week numbering
+    // itself, not a library lookup.
+    "c49_ch_week_modes" -> Q(
+      """WITH d AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS d,
+        |    date_trunc('year', o_orderdate) AS j1
+        |  FROM orders),
+        |a AS (
+        |  SELECT k, d,
+        |    j1 + ((7 - dayofweek(j1)) % 7) AS fs,
+        |    (j1 + 3) - ((dayofweek(j1 + 3) + 6) % 7) AS w1s,
+        |    d - dayofweek(d) AS sun,
+        |    (d - ((dayofweek(d) + 6) % 7)) + 3 AS thu
+        |  FROM d),
+        |b AS (
+        |  SELECT k, d, fs, w1s, sun, thu,
+        |    date_trunc('year', sun) AS j1s
+        |  FROM a)
+        |SELECT k,
+        |  CAST(CASE WHEN d < fs THEN 0
+        |       ELSE datediff('day', fs, d) // 7 + 1 END AS INT) AS w0,
+        |  CAST(CASE WHEN d < w1s THEN 0
+        |       ELSE datediff('day', w1s, d) // 7 + 1 END AS INT) AS w1,
+        |  CAST(weekofyear(d) AS INT) AS w3,
+        |  CAST(year(sun) * 100 +
+        |    datediff('day', j1s + ((7 - dayofweek(j1s)) % 7), sun) // 7 + 1
+        |    AS INT) AS yw0,
+        |  CAST(year(thu) * 100 + weekofyear(d) AS INT) AS yw3
+        |FROM b ORDER BY k LIMIT 2000""".stripMargin)(
+      chSql(Seq("orders"),
+        """SELECT o_orderkey AS k,
+          |  toWeek(o_orderdate) AS w0,
+          |  toWeek(o_orderdate, 1) AS w1,
+          |  toWeek(o_orderdate, 3) AS w3,
+          |  toYearWeek(o_orderdate) AS yw0,
+          |  toYearWeek(o_orderdate, 3) AS yw3
+          |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
+
+    // series* through SQL (c50): Tukey outlier scores over a
+    // deterministic heavy-tail series (pure rational arithmetic —
+    // bit-identical cross-engine, unlike exp/log). Count and max
+    // deviation are ORDER-INVARIANT, so groupArray's collection order
+    // cannot flake the hash; the oracle re-derives the fences with
+    // quantile_cont (the same type-7 interpolation the kernel uses).
+    "c50_ch_series_sql" -> Q(
+      """WITH s AS (
+        |  SELECT event_type,
+        |    1.0 / (1.001 - (event_id % 1000) / CAST(1000 AS DOUBLE)) AS v
+        |  FROM events),
+        |q AS (
+        |  SELECT event_type,
+        |    quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+        |  FROM s GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+        |    q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT s.event_type,
+        |  CAST(COUNT(*) FILTER (s.v < f.lo OR s.v > f.hi) AS INT) AS n_out,
+        |  round(COALESCE(MAX(CASE WHEN s.v < f.lo THEN f.lo - s.v
+        |    WHEN s.v > f.hi THEN s.v - f.hi END), 0), 4) AS max_dev
+        |FROM s JOIN f USING (event_type)
+        |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin)(
+      chSql(Seq("events"),
+        """SELECT event_type,
+          |  arrayCount(x -> x != 0, seriesOutliersDetectTukey(
+          |    groupArray(1.0 / (1.001 - (event_id % 1000) / CAST(1000 AS DOUBLE))))) AS n_out,
+          |  round(arrayMax(arrayMap(x -> abs(x), seriesOutliersDetectTukey(
+          |    groupArray(1.0 / (1.001 - (event_id % 1000) / CAST(1000 AS DOUBLE)))))), 4) AS max_dev
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,
