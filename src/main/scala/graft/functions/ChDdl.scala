@@ -1270,8 +1270,30 @@ object ChDdl {
       params: Map[String, String]): org.apache.spark.sql.DataFrame =
     execute(spark, ChSql.substituteParams(sql, params))
 
+  /** `ON CLUSTER name` (reference: src/Parsers/ASTQueryWithOnCluster.h:1
+    * — carried by CREATE/DROP/ALTER/RENAME/TRUNCATE/…): in the
+    * reference it fans the DDL out to every replica; here the Spark
+    * cluster IS the cluster, so the clause is accepted and stripped.
+    * Only DDL heads are touched, and only before any top-level SELECT,
+    * so a join condition on a column named `cluster` inside a CTAS
+    * body can never match. */
+  private def stripOnCluster(ts: Vector[Tok]): Vector[Tok] = {
+    val ddlHeads = Set("CREATE", "DROP", "ALTER", "RENAME", "TRUNCATE",
+      "ATTACH", "DETACH", "OPTIMIZE")
+    if (!ddlHeads.contains(ts.headOption.map(_.up).getOrElse(""))) return ts
+    val d = ChSql.depths(ts)
+    val stop = ts.indices.find(i => d(i) == 0 &&
+      (ts(i).up == "SELECT" || ts(i).up == "WITH")).getOrElse(ts.length)
+    ts.indices.find(i => i + 2 < stop && d(i) == 0 &&
+        ts(i).up == "ON" && ts(i + 1).up == "CLUSTER") match {
+      case Some(i) => ts.patch(i, Nil, 3)
+      case None => ts
+    }
+  }
+
   private def executeOne(spark: SparkSession, sql0: String): org.apache.spark.sql.DataFrame = {
-    val ts0 = tokenize(sql0)._1
+    val tsRaw = tokenize(sql0)._1
+    val ts0 = stripOnCluster(tsRaw)
     // `system.<table>` references (the reference client's own
     // autocomplete queries them — Client/Suggest.cpp:47) materialize
     // on demand and rewrite to their views; `SYSTEM <verb>` statements
@@ -1288,7 +1310,7 @@ object ChDdl {
     // parameterized-view calls `v(p = value, …)` inline the stored
     // body with the arguments substituted (query-parameter typing)
     val ts = rewriteParamViewCalls(spark, ts2)
-    val sql = if (ts eq ts0) sql0 else renderTrim(ts)
+    val sql = if (ts eq tsRaw) sql0 else renderTrim(ts)
     def kw(i: Int): String = if (i < ts.length) ts(i).up else ""
     (kw(0), kw(1)) match {
       case ("CREATE", "TABLE") =>

@@ -110,12 +110,9 @@ object ChDialect {
     "fromUnixTimestamp" -> builtin("from_unixtime"),
     "toStartOfQuarter" -> { es => builtin("date_trunc")(Literal("QUARTER") +: es) },
     "toISOWeek"      -> builtin("weekofyear"), // Spark weekofyear IS ISO 8601
-    // timeSlot: the reference's half-hour bucket (its GROUP BY
-    // time-series staple) — the 30-minute case of toStartOfInterval
-    "timeSlot" -> { es =>
-      val m = builtin("unix_micros")(Seq(Cast(es.head, TimestampType)))
-      builtin("timestamp_micros")(Seq(
-        Subtract(m, Pmod(m, Literal(1800000000L))))) },
+    // (timeSlot — the half-hour bucket — registers once below with
+    // the minuteBucket family; a second definition here would make
+    // the active builder depend on registration order)
     // toStartOfInterval(t, INTERVAL n unit): floor t to a multiple of
     // the interval. Time units align from the epoch (CH's contract;
     // note `INTERVAL 1 WEEK` parses as 7 days, so weeks align from
@@ -232,8 +229,8 @@ object ChDialect {
     "trimLeft"      -> builtin("ltrim"),
     "trimRight"     -> builtin("rtrim"),
     "reverseUTF8"   -> builtin("reverse"),
-    "leftPad"       -> builtin("lpad"),
-    "rightPad"      -> builtin("rpad"),
+    // (leftPad/rightPad register once in ChDialect2's string family,
+    // next to their UTF8 variants)
     "repeatStr"     -> builtin("repeat"),
     // CH match(haystack, pattern) = RE2 search; Spark's rlike is the
     // same unanchored-regex-search contract under Java regex
@@ -532,19 +529,8 @@ object ChDialect {
     "deltaSum" -> refuse("deltaSum",
       "use sum(greatest(x - lag(x, 1) OVER (ORDER BY …), 0)) — a declared " +
         "order instead of the reference's processing-block accident"),
-    // simpleLinearRegression(x, y) → (k, b) of y = k·x + b; Spark's
-    // regr_* take (dependent, independent) — arguments swap. Tuple
-    // fields use the DDL mapping's _1/_2 names
-    "simpleLinearRegression" -> { es =>
-      // non-top-level AggregateFunctions need the explicit wrap (the
-      // avgWeighted/groupArrayMovingSum pattern)
-      def agg(e: Expression): Expression = e match {
-        case f: aggregate.AggregateFunction => f.toAggregateExpression()
-        case other => other
-      }
-      CreateNamedStruct(Seq(
-        Literal("_1"), agg(builtin("regr_slope")(Seq(es(1), es(0)))),
-        Literal("_2"), agg(builtin("regr_intercept")(Seq(es(1), es(0)))))) },
+    // (simpleLinearRegression registers once with the ChStats test
+    // family below — the single-pass moment kernel)
 
     // ---- aggregates, camelCase names Spark spells with underscores ----
     "stddevSamp" -> builtin("stddev_samp"),
@@ -568,8 +554,8 @@ object ChDialect {
     // ---- more date & time ----
     "toStartOfMinute" -> { es => builtin("date_trunc")(Literal("MINUTE") +: es) },
     // N-minute buckets: epoch-seconds floor (CH buckets the same way)
-    "toStartOfFiveMinutes"    -> minuteBucket(300),
-    "toStartOfTenMinutes"     -> minuteBucket(600),
+    // (toStartOfFiveMinutes/TenMinutes register once in ChDialect2's
+    // datetime family — the pmod floor, exact for pre-epoch times too)
     "toStartOfFifteenMinutes" -> minuteBucket(900),
     "timeSlot"                -> minuteBucket(1800),
     "today"     -> { _ => builtin("current_date")(Nil) },
@@ -865,8 +851,9 @@ object ChDialect {
     // ---- misc ----
     "generateUUIDv4" -> builtin("uuid"),
     "roundBankers"   -> builtin("bround"),
-    "sipHash64"          -> builtin("xxhash64"), // same role, not byte-compatible
-    "farmFingerprint64"  -> builtin("xxhash64"),
+    // (sipHash64/farmFingerprint64 register once in ChDialect2's hash
+    // family — the seeded 64-bit kernels, which keep distinct CH hash
+    // names producing distinct values)
     // countEqual(arr, v): size of the matching filter — the lambda is
     // constructed HERE (user lambdas can't alias to nested HOFs, a
     // plan-built one can)

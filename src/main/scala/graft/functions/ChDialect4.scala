@@ -135,42 +135,40 @@ object ChDialect4 {
     "toIntervalMicrosecond" -> { es => dtInterval(zero, zero, zero,
       Divide(Cast(es.head, DoubleType), Literal(1000000.0))) },
     // toWeek(d[, mode]) / toYearWeek(d[, mode]) — CH inherits MySQL's
-    // WEEK() mode table (public CH docs). Supported literal modes:
-    //   0 (default): Sunday-first, 0–53, week 1 starts at the year's
-    //     first Sunday (days before it are week 0);
-    //   1: Monday-first, 0–53, week 1 is the first week with ≥4 days
-    //     of the year (the Monday of the week containing Jan 4);
-    //   3: ISO 8601 (= Spark weekofyear).
-    // Other modes refuse loudly rather than mis-number.
+    // WEEK() mode table and adds modes 8/9 (all 10 public modes; CH
+    // docs). Each mode decomposes into three independent axes — see
+    // weekModeTable: week first day (Sunday/Monday), the week-1 rule
+    // (year's first <first-day> / the week with ≥4 days of the year,
+    // i.e. the week containing Jan 4 / the week containing Jan 1),
+    // and the range (0–53: days before week 1 are week 0; 1–53: those
+    // days take the previous year's last week number instead).
     "toWeek" -> { es =>
       val d = Cast(es.head, DateType)
-      weekMode(es, "toWeek") match {
-        case 0 => weekSundayFirst(d)
-        case 1 => weekMode1(d)
-        case 3 => builtin("weekofyear")(Seq(d))
+      val m = weekMode(es, "toWeek")
+      if (m == 3) builtin("weekofyear")(Seq(d)) // ISO 8601 = Spark's
+      else {
+        val (mon, rule, zeroRange) = weekModeTable(m)
+        if (zeroRange) {
+          // numbered within d's own calendar year (a late-Dec week
+          // reaching into next year counts as 53, MySQL's contract)
+          val w1 = week1StartInYearOf(d, mon, rule)
+          If(LessThan(d, w1), Literal(0), weekFrom(w1, d))
+        } else {
+          // numbered within the week's OWNING year (the anchor day's)
+          val anchor = weekOwnerAnchor(d, mon, rule)
+          weekFrom(week1StartInYearOf(anchor, mon, rule), d)
+        }
       } },
+    // toYearWeek is MySQL YEARWEEK: always owner-year numbering
+    // (the 0-53/1-53 range axis is moot — week 0 never appears)
     "toYearWeek" -> { es =>
       val d = Cast(es.head, DateType)
-      weekMode(es, "toYearWeek") match {
-        case 0 =>
-          // anchor = the Sunday on-or-before d: its own year always
-          // owns it (a Sunday is never before its year's first
-          // Sunday), so week-0 days inherit the previous year's last
-          // week number — MySQL YEARWEEK's contract.
-          val s = builtin("date_sub")(Seq(d,
-            Subtract(builtin("dayofweek")(Seq(d)), Literal(1))))
-          Add(Multiply(builtin("year")(Seq(s)), Literal(100)),
-            weekFrom(firstSundayOfYear(s), s))
-        case 1 =>
-          val m = mondayOf(d)
-          val anchor = builtin("date_add")(Seq(m, Literal(3))) // Thursday
-          Add(Multiply(builtin("year")(Seq(anchor)), Literal(100)),
-            weekMode1NoZero(d))
-        case 3 =>
-          val anchor = builtin("date_add")(Seq(mondayOf(d), Literal(3)))
-          Add(Multiply(builtin("year")(Seq(anchor)), Literal(100)),
-            builtin("weekofyear")(Seq(d)))
-      } }
+      val m = weekMode(es, "toYearWeek")
+      val (mon, rule, _) = weekModeTable(m)
+      val anchor = weekOwnerAnchor(d, mon, rule)
+      val wk = if (m == 3) builtin("weekofyear")(Seq(d))
+        else weekFrom(week1StartInYearOf(anchor, mon, rule), d)
+      Add(Multiply(builtin("year")(Seq(anchor)), Literal(100)), wk) }
   )
 
   /** CH type name literal → Spark DataType (via ChDdl's type map). */
@@ -182,9 +180,65 @@ object ChDialect4 {
 
   private def weekMode(es: Seq[Expression], fn: String): Int = {
     val m = if (es.size >= 2) litInt(es(1), fn, "mode") else 0
-    require(m == 0 || m == 1 || m == 3,
-      s"$fn mode $m not supported (0, 1, 3 are)")
+    require(m >= 0 && m <= 9, s"$fn mode $m not supported (0-9 are)")
     m
+  }
+
+  // week-1 rules (the second axis of the MySQL/CH mode table)
+  private val RuleFirstWeekday = 0 // week 1 starts at the year's first <first-day>
+  private val RuleGe4Days = 1      // week 1 = the week containing Jan 4 (≥4 days of the year)
+  private val RuleHasJan1 = 2      // week 1 = the week containing Jan 1
+
+  /** mode → (Monday-first?, week-1 rule, 0–53 range?) — the public
+    * CH/MySQL WEEK() mode table, decomposed. */
+  private val weekModeTable: Map[Int, (Boolean, Int, Boolean)] = Map(
+    0 -> ((false, RuleFirstWeekday, true)),
+    1 -> ((true, RuleGe4Days, true)),
+    2 -> ((false, RuleFirstWeekday, false)),
+    3 -> ((true, RuleGe4Days, false)),
+    4 -> ((false, RuleGe4Days, true)),
+    5 -> ((true, RuleFirstWeekday, true)),
+    6 -> ((false, RuleGe4Days, false)),
+    7 -> ((true, RuleFirstWeekday, false)),
+    8 -> ((false, RuleHasJan1, false)),
+    9 -> ((true, RuleHasJan1, false)))
+
+  /** Start of d's week under the mode's first day. */
+  private def weekStartOf(d: Expression, mondayFirst: Boolean): Expression =
+    if (mondayFirst) mondayOf(d)
+    else builtin("date_sub")(Seq(d,
+      Subtract(builtin("dayofweek")(Seq(d)), Literal(1)))) // Sunday of
+
+  /** Start of week 1 in the calendar year of `ref`. */
+  private def week1StartInYearOf(ref: Expression, mondayFirst: Boolean,
+      rule: Int): Expression = {
+    val jan1 = builtin("trunc")(Seq(ref, Literal("YEAR")))
+    rule match {
+      case RuleFirstWeekday =>
+        // first Sunday/Monday on-or-after Jan 1 (dayofweek: Sun=1)
+        val target = if (mondayFirst) 2 else 1
+        builtin("date_add")(Seq(jan1, Pmod(
+          Subtract(Literal(target + 7), builtin("dayofweek")(Seq(jan1))),
+          Literal(7))))
+      case RuleGe4Days =>
+        weekStartOf(builtin("date_add")(Seq(jan1, Literal(3))), mondayFirst)
+      case RuleHasJan1 => weekStartOf(jan1, mondayFirst)
+    }
+  }
+
+  /** The day whose calendar year OWNS d's week: the week's start for
+    * the first-<day> rule, its 4th day for the ≥4-days rule, its last
+    * day for the contains-Jan-1 rule (a week containing Jan 1 belongs
+    * to the NEW year). Numbering from this anchor's week-1 start is
+    * always ≥ 1 — MySQL YEARWEEK's contract. */
+  private def weekOwnerAnchor(d: Expression, mondayFirst: Boolean,
+      rule: Int): Expression = {
+    val ws = weekStartOf(d, mondayFirst)
+    rule match {
+      case RuleFirstWeekday => ws
+      case RuleGe4Days => builtin("date_add")(Seq(ws, Literal(3)))
+      case RuleHasJan1 => builtin("date_add")(Seq(ws, Literal(6)))
+    }
   }
 
   /** Week index counted from `start` (week 1 = [start, start+7)). */
@@ -193,40 +247,10 @@ object ChDialect4 {
       Cast(builtin("datediff")(Seq(d, start)), LongType), Literal(7L)),
       Literal(1L)), IntegerType)
 
-  /** First Sunday of d's calendar year. */
-  private def firstSundayOfYear(d: Expression): Expression = {
-    val jan1 = builtin("trunc")(Seq(d, Literal("YEAR")))
-    builtin("date_add")(Seq(jan1,
-      Pmod(Subtract(Literal(8), builtin("dayofweek")(Seq(jan1))), Literal(7))))
-  }
-
   /** Monday of d's Monday-first week. */
   private def mondayOf(d: Expression): Expression =
     builtin("date_sub")(Seq(d,
       Pmod(Add(builtin("dayofweek")(Seq(d)), Literal(5)), Literal(7))))
-
-  /** MySQL mode 0: 0 before the year's first Sunday, else 1-based. */
-  private def weekSundayFirst(d: Expression): Expression = {
-    val fs = firstSundayOfYear(d)
-    If(LessThan(d, fs), Literal(0), weekFrom(fs, d))
-  }
-
-  /** MySQL mode 1 week-of-year (0 for days before week 1's Monday). */
-  private def weekMode1(d: Expression): Expression =
-    If(LessThan(d, mode1Week1Start(d)), Literal(0), weekFrom(mode1Week1Start(d), d))
-
-  /** Mode-1 week counted within the week's OWN year (for toYearWeek:
-    * the Thursday anchor decides the year, so the index is never 0). */
-  private def weekMode1NoZero(d: Expression): Expression = {
-    val anchor = builtin("date_add")(Seq(mondayOf(d), Literal(3)))
-    weekFrom(mode1Week1Start(anchor), d)
-  }
-
-  /** The Monday starting mode-1 week 1 of d's year: the Monday of the
-    * week containing Jan 4. */
-  private def mode1Week1Start(d: Expression): Expression =
-    mondayOf(builtin("date_add")(Seq(
-      builtin("trunc")(Seq(d, Literal("YEAR"))), Literal(3))))
 
   // ---- regex group extraction ----
 
@@ -472,11 +496,15 @@ object ChDialect4 {
       StaticInvoke(ChNumHelpers.getClass, DoubleType, "seriesPeriodDetect",
         Seq(Cast(es.head, ArrayType(DoubleType))),
         inputTypes = Seq(ArrayType(DoubleType))) },
-    "seriesDecomposeSTL" -> { _ =>
-      throw new UnsupportedOperationException(
-        "seriesDecomposeSTL needs a LOESS smoother (no deterministic " +
-          "closed form); compute trend/seasonality with window " +
-          "averages or seriesPeriodDetectFFT + groupBy phase instead") }
+    // seriesDecomposeSTL(series, period) → [seasonal, trend, residue,
+    // baseline]: deterministic classical decomposition standing in
+    // for LOESS-STL (kernel doc: ChNumHelpers.seriesDecomposeSTL)
+    "seriesDecomposeSTL" -> { es =>
+      require(es.size == 2, "seriesDecomposeSTL(series, period)")
+      StaticInvoke(ChNumHelpers.getClass, ArrayType(ArrayType(DoubleType)),
+        "seriesDecomposeSTL",
+        Seq(Cast(es.head, ArrayType(DoubleType)), Cast(es(1), IntegerType)),
+        inputTypes = Seq(ArrayType(DoubleType), IntegerType)) }
   )
 
   // ---- CH's value-mapping transform(x, from, to[, default]).
@@ -583,21 +611,36 @@ object ChDialect4 {
       "concatAssumeInjective" -> { es => builtin("concat")(es) },
       // accurateCast(x, 'T'): CH throws when the value doesn't fit the
       // target exactly (vs CAST's wrap/saturate); realized as a TRY
-      // cast that raises when it nulls a non-null input. OrNull form =
-      // the TRY cast itself.
+      // cast that raises when it nulls a non-null input, PLUS a
+      // round-trip check for numeric sources — a lossy-but-castable
+      // narrowing (3.5 → Int32, 16777217 → Float32) nulls nothing but
+      // CH still throws on it. Both sides compare under decimal(38,10)
+      // (exact for every in-range integral and all float/double
+      // values down to 10 dp — beyond that a double's excess digits
+      // are below any integral/decimal target's resolution anyway).
+      // OrNull form = the TRY cast itself.
       "accurateCast" -> { es =>
         val dt = chTypeOf(es(1), "accurateCast")
         val tryC = Cast(es.head, dt, None, EvalMode.TRY)
-        If(And(IsNotNull(es.head), IsNull(tryC)),
+        val lossless = es.head.dataType match {
+          case _: NumericType if dt.isInstanceOf[NumericType] =>
+            def dec(e: Expression) =
+              Cast(e, DecimalType(38, 10), None, EvalMode.TRY)
+            EqualNullSafe(dec(tryC), dec(es.head))
+          case _ => Literal(true)
+        }
+        If(And(IsNotNull(es.head), Or(IsNull(tryC), Not(lossless))),
           Cast(builtin("raise_error")(Seq(
-            Literal("accurateCast: value out of range of target type"))), dt),
+            Literal("accurateCast: value does not fit the target type exactly"))), dt),
           tryC) },
       "accurateCastOrNull" -> { es =>
         Cast(es.head, chTypeOf(es(1), "accurateCastOrNull"), None,
           EvalMode.TRY) },
       "toBool" -> { es => Cast(es.head, BooleanType) },
-      "hostname" -> { es => ChDialect3.aliases.toMap.apply("hostName")(es) },
-      "FQDN" -> { es => ChDialect3.aliases.toMap.apply("hostName")(es) },
+      // ("hostname" needs no alias: the registry is case-insensitive,
+      // so ChDialect3's hostName already resolves it — a second entry
+      // here collides and wins/loses by registration order)
+      "FQDN" -> { es => ChDialect3.aliases.toMap.apply("fullHostName")(es) },
       // path basename: the segment after the last separator (CH doc
       // semantics; both separators, like the reference's splitter)
       "basename" -> { es =>

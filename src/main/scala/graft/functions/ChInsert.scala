@@ -122,9 +122,11 @@ object ChInsert {
           // CH raises "Elements ... have different array sizes" on
           // ragged parallel arrays — enforce the same contract instead
           // of silently null-filling or truncating
-          val sameLen = subs
+          // (tail only: comparing the head against itself is
+          // trivially true and Spark warns on the tautology)
+          val sameLen = subs.tail
             .map(s => size(col("`" + s._2 + "`")) === size(first))
-            .reduce(_ && _)
+            .foldLeft(lit(true))(_ && _)
           val zipped = transform(first, (_, idx) => struct(st.fields.toSeq.map { sf =>
             flatOf.get(sf.name) match {
               case Some(flat) => get(col("`" + flat + "`"), idx).as(sf.name)

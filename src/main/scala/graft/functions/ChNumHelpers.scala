@@ -204,7 +204,15 @@ object ChNumHelpers {
     val n = arr.numElements()
     val xs = new Array[Double](n)
     var i = 0
-    while (i < n) { xs(i) = arr.getDouble(i); i += 1 }
+    while (i < n) {
+      // refuse loudly: getDouble on a NULL slot silently reads 0.0,
+      // which would corrupt Tukey fences / period detection instead
+      // of surfacing the bad series
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"series contains NULL at position $i — series* kernels need " +
+          "a dense array (filter or coalesce the input first)")
+      xs(i) = arr.getDouble(i); i += 1
+    }
     xs
   }
 
@@ -244,6 +252,73 @@ object ChNumHelpers {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** seriesDecomposeSTL(series, period) → [seasonal, trend, residue,
+    * baseline] (the CH return shape, public docs). DETERMINISTIC
+    * classical decomposition in place of LOESS (documented deviation:
+    * real STL runs robustness-weighted LOESS passes whose output is
+    * implementation-defined; a library answer must be reproducible):
+    *  - trend   = centered moving average, window `period` (half
+    *    weights on both outer lags for an even period — the textbook
+    *    2×m MA), shrinking symmetrically at the edges so the array
+    *    keeps full length;
+    *  - seasonal = per-phase mean of (x − trend), centered so one
+    *    full period sums to 0;
+    *  - residue = x − trend − seasonal; baseline = seasonal + trend. */
+  def seriesDecomposeSTL(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      period: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val xs = toDoubles(arr)
+    val n = xs.length
+    require(period >= 2, s"seriesDecomposeSTL: period must be >= 2, got $period")
+    require(n >= 2 * period,
+      s"seriesDecomposeSTL: series length $n must be >= 2 * period ($period)")
+    val half = period / 2
+    val even = period % 2 == 0
+    val trend = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      // symmetric window radius shrinks near the edges
+      val r = math.min(half, math.min(i, n - 1 - i))
+      var s = 0.0
+      var w = 0.0
+      var j = i - r
+      while (j <= i + r) {
+        // textbook 2×m moving average: the two outermost lags of a
+        // full even-period window carry half weight
+        val wt = if (even && r == half && (j == i - r || j == i + r)) 0.5 else 1.0
+        s += wt * xs(j); w += wt; j += 1
+      }
+      trend(i) = s / w
+      i += 1
+    }
+    val phaseSum = new Array[Double](period)
+    val phaseCnt = new Array[Long](period)
+    i = 0
+    while (i < n) {
+      phaseSum(i % period) += xs(i) - trend(i)
+      phaseCnt(i % period) += 1
+      i += 1
+    }
+    val phase = Array.tabulate(period)(p => phaseSum(p) / phaseCnt(p))
+    val phaseMean = phase.sum / period
+    val seasonal = new Array[Any](n)
+    val resid = new Array[Any](n)
+    val baseline = new Array[Any](n)
+    val trendOut = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val se = phase(i % period) - phaseMean
+      seasonal(i) = se
+      trendOut(i) = trend(i)
+      resid(i) = xs(i) - trend(i) - se
+      baseline(i) = se + trend(i)
+      i += 1
+    }
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    new GenericArrayData(Array[Any](
+      new GenericArrayData(seasonal), new GenericArrayData(trendOut),
+      new GenericArrayData(resid), new GenericArrayData(baseline)))
   }
 
   /** seriesPeriodDetectFFT's contract (dominant period of the series,

@@ -704,9 +704,10 @@ object ChSql {
     * fresh random seed when none is given; a library answer must be
     * deterministic, so seed defaults to 0) and generation is pure
     * codegen'd column arithmetic — embarrassingly parallel at any
-    * scale. Row supply caps at 2^20 (CH streams unboundedly under
-    * LIMIT; a finite cap keeps an accidental un-LIMITed SELECT from
-    * never terminating). Types: the scalar set + Array(T)/
+    * scale. Row supply follows the query's own literal LIMIT (CH
+    * streams unboundedly under LIMIT); without one it caps at 2^20 so
+    * an accidental un-LIMITed SELECT terminates. Types: the scalar
+    * set + Array(T)/
     * FixedString(n)/Decimal/Date/DateTime/Bool; others refuse. */
   private def rewriteGenerateRandom(ts: Vector[Tok]): Vector[Tok] = {
     val at = ts.indices.find(i => ts(i).up == "GENERATERANDOM" &&
@@ -773,8 +774,32 @@ object ChSql {
           val sparkType = ChDdl.parseType(c.tail)._1
           s"${gen(s"XXHASH64(id, $seed, $k)", sparkType)} AS `$name`"
         }
+        // Row supply: scale to the query's own trailing LIMIT when it
+        // is literal (LIMIT n / LIMIT o, n / LIMIT n OFFSET o at this
+        // nesting depth) — a LIMIT above the old fixed 2^20 cap used
+        // to silently return fewer rows than asked. No parseable
+        // LIMIT (or a per-group LIMIT … BY) keeps the 2^20 default,
+        // the documented finite cap for un-LIMITed SELECTs.
+        val dep = depths(ts)
+        val defaultCap = 1048576L
+        def litAt(k: Int): Option[Long] =
+          if (k < ts.length && ts(k).text.nonEmpty &&
+            ts(k).text.forall(_.isDigit)) Some(ts(k).text.toLong) else None
+        val bound = ts.indices
+          .find(j => j > close && dep(j) == dep(i) && ts(j).up == "LIMIT")
+          .flatMap { j =>
+            litAt(j + 1).flatMap { n0 =>
+              if (j + 2 < ts.length && ts(j + 2).text == ",")
+                litAt(j + 3).map(n => n0 + n) // LIMIT offset, n
+              else if (j + 2 < ts.length && ts(j + 2).up == "OFFSET")
+                Some(litAt(j + 3).getOrElse(0L) + n0)
+              else if (j + 2 < ts.length && ts(j + 2).up == "BY")
+                None // LIMIT n BY … is per-group; no row bound
+              else Some(n0)
+            }
+          }.getOrElse(defaultCap)
         val rep = retok(
-          s"(SELECT ${cols.mkString(", ")} FROM range(1048576))")
+          s"(SELECT ${cols.mkString(", ")} FROM range(${math.max(bound, 1L)}))")
         rewriteGenerateRandom(ts.take(i) ++
           (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(close + 1))
     }

@@ -54,11 +54,24 @@ object Curate {
         col("__m.predicted").as("predicted"),
         col("__m.quality").as("quality"),
         col("__m.n_tokens").as("n_tokens"))
+    // ngramJaccard returns its pair-scale result as a persisted,
+    // already-materialized handle (its internal gram cache is released
+    // before it returns), so the broadcast drop list below reads a
+    // cache instead of re-running the gram pipeline. The funnel's own
+    // output — doc-id-level metadata, NO text column — materializes
+    // into the returned persisted frame while that pair cache is
+    // live, then the pair cache is released: the caller's unpersist()
+    // on the returned handle is a real, complete release (the
+    // dupClusters/semanticDedup discipline).
     val pairs = Dedup.ngramJaccard(exact, idCol, textCol, "predicted",
       n, minJaccard, maxGramDf)
     val drop = pairs.select(col("id2").as(idCol)).distinct()
-    exact.join(broadcast(drop), Seq(idCol), "left_anti")
+    val res = exact.join(broadcast(drop), Seq(idCol), "left_anti")
       .select(col(idCol), col("predicted"), col("quality"), col("n_tokens"))
+      .persist()
+    res.count()
+    pairs.unpersist(blocking = false)
+    res
   }
 
   /** The end-to-end pretraining corpus build — what everything in
@@ -76,16 +89,22 @@ object Curate {
     val corpus = docs.filter(!isBench)
     val bench = docs.filter(isBench)
     val kept = funnel(corpus, idCol, textCol)
-    // re-attach text + stratum for decontamination and mixing (the
-    // funnel deliberately drops text from its output)
-    val keptDocs = docs
-      .select(col(idCol), col(strataCol), col(textCol))
-      .join(kept, Seq(idCol))
-    val clean = Dedup.decontaminate(keptDocs, bench, idCol, textCol,
-        minOverlap = minOverlap)
-      .filter(!col("contaminated"))
-      .drop(textCol, "n_hits", "contaminated")
-    mixSample(clean, idCol, strataCol, caps, defaultCap)
+    try {
+      // re-attach text + stratum for decontamination and mixing (the
+      // funnel deliberately drops text from its output)
+      val keptDocs = docs
+        .select(col(idCol), col(strataCol), col(textCol))
+        .join(kept, Seq(idCol))
+      val clean = Dedup.decontaminate(keptDocs, bench, idCol, textCol,
+          minOverlap = minOverlap)
+        .filter(!col("contaminated"))
+        .drop(textCol, "n_hits", "contaminated")
+      // materialize the (cap-bounded) mix before releasing the
+      // funnel's persisted survivors — the semanticDedup epilogue
+      val res = mixSample(clean, idCol, strataCol, caps, defaultCap).persist()
+      res.count()
+      res
+    } finally kept.unpersist(blocking = false)
   }
 
   /** Deterministic stratified sampling for corpus mixing: keep the

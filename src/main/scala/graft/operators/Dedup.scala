@@ -265,60 +265,53 @@ object Dedup {
     // without invalidating it again — the round-5/6 leak.)
     var labels = edges.select(col("__a").as(id1))
       .distinct().withColumn("cluster_id", col(id1)).persist()
-    // Convergence probe: labels only ever DECREASE under min-label
-    // propagation, so for INTEGER ids an exact decimal(38,0) label sum
-    // is a sufficient statistic — unchanged sum ⇔ no label changed.
-    // One cheap aggregate on the already-persisted frame per round,
-    // instead of a labels⋈next join (which was ~half the per-round
-    // work). Only integral ids (and scale-0 decimals) qualify: a
-    // fractional id would ROUND under the decimal(38,0) cast, so a
-    // label decrease within the rounding step (5.4→5.2) could leave
-    // the sum unchanged and declare convergence early. Everything
-    // else keeps the join probe.
-    val numericIds = {
-      import org.apache.spark.sql.types._
-      labels.schema("cluster_id").dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case d: DecimalType => d.scale == 0
-        case _ => false
-      }
-    }
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("__s"))
-        .head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s // empty frame
-    }
-    var prevSum: java.math.BigDecimal = if (numericIds) labelSum(labels) else null
+    // DELTA iteration: each round propagates only from the frontier —
+    // the nodes whose label DECREASED last round (round 0: everyone,
+    // carrying their own id). A label a node ever acquires is offered
+    // to its neighbors exactly once, in the round after it arrives, so
+    // the fixpoint is identical to full propagation — but the
+    // edges-side join probe shrinks with the frontier instead of
+    // staying label-table-sized every round, and once the frontier
+    // fits the broadcast threshold AQE turns the remaining rounds into
+    // map-side joins (no edge shuffle at all). Convergence is an empty
+    // frontier — a free byproduct, replacing the old label-sum /
+    // labels⋈next probes.
+    var changed = labels
     var converged = false
     var i = 0
     try {
       while (!converged && i < maxIters) {
-        val next = edges
-          .join(labels.select(col(id1).as("__b"), col("cluster_id")), "__b")
-          .select(col("__a").as(id1), col("cluster_id"))
-          .union(labels)
-          .groupBy(id1).agg(min("cluster_id").as("cluster_id"))
+        // candidate labels reaching each node from the frontier
+        val prop = edges
+          .join(changed.select(col(id1).as("__b"), col("cluster_id")), "__b")
+          .groupBy(col("__a").as(id1)).agg(min("cluster_id").as("__new"))
           .persist()
-        if (numericIds) {
-          val s = labelSum(next)
-          converged = s.compareTo(prevSum) == 0
-          prevSum = s
-        } else {
-          converged = next
-            .join(labels.select(col(id1), col("cluster_id").as("__old")), id1)
-            .filter(col("cluster_id") < col("__old"))
-            .isEmpty
-        }
-        labels.unpersist()
+        val next = labels.join(prop, Seq(id1), "left")
+          .select(col(id1),
+            least(coalesce(col("__new"), col("cluster_id")),
+              col("cluster_id")).as("cluster_id"))
+          .persist()
+        val nextChanged = labels.join(prop, Seq(id1))
+          .filter(col("__new") < col("cluster_id"))
+          .select(col(id1), col("__new").as("cluster_id"))
+          .persist()
+        // materialize BOTH children before releasing their parents —
+        // an unmaterialized cache whose parent cache is dropped would
+        // silently recompute the whole lineage chain
+        next.count()
+        converged = nextChanged.isEmpty
+        labels.unpersist(); changed.unpersist(); prop.unpersist()
         labels = next
+        changed = nextChanged
         i += 1
       }
       require(converged, s"dupClusters did not converge in $maxIters rounds " +
         "— component diameter exceeds the bound; raise maxIters")
     } catch {
       case e: Throwable =>
-        labels.unpersist(); edges.unpersist(); throw e
+        labels.unpersist(); changed.unpersist(); edges.unpersist(); throw e
     }
+    changed.unpersist()
     edges.unpersist()
     labels
   }
@@ -615,14 +608,23 @@ object Dedup {
     // subtree (broadcast semi-joins defeat ReuseExchange), so without
     // the cache the expensive wordNGrams kernel would run up to 4×
     // over the corpus; from the cache each consumer pays only a cheap
-    // explode. Same discipline as minHashLsh's persisted signatures.
+    // explode. The gram cache is RELEASED here: the result — pair-
+    // scale, orders of magnitude below the corpus — materializes into
+    // its own persisted frame while the gram cache is live, and THAT
+    // frame is returned, so the caller's unpersist() is a real,
+    // complete release (the dupClusters discipline; a long-lived
+    // session never accumulates unreachable gram caches).
     val docGrams = df.select(col(idCol), col(blockCol).as("__blk"),
         wordNGrams(col(textCol), n).as("__gs"))
       .persist()
-    val grams = docGrams
-      .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
-        explode(col("__gs")).as("__g"))
-    setJaccardPairs(grams, idCol, minJaccard, maxGramDf)
+    try {
+      val grams = docGrams
+        .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
+          explode(col("__gs")).as("__g"))
+      val pairs = setJaccardPairs(grams, idCol, minJaccard, maxGramDf).persist()
+      pairs.count()
+      pairs
+    } finally docGrams.unpersist(blocking = false)
   }
 
   /** The blocked exact-set-Jaccard core d04 (word shingles) and m03

@@ -100,14 +100,22 @@ object Multimodal {
     // (replacing the old distinct + count-window pair) and the
     // persisted doc-level frame keeps the binary slicing + md5 work
     // from re-running for each of the core's three plantings of the
-    // element table (the d04 discipline).
+    // element table (the d04 discipline). Like ngramJaccard, the
+    // frame-set cache is released before returning: the pair-scale
+    // result materializes into its own persisted frame, so the
+    // caller's unpersist() is a real, complete release.
     val docSets = sampleFrames(media, frameBytes, every)
       .groupBy("doc_id")
       .agg(collect_set(col("frame_md5")).as("__gs"))
       .persist()
-    val items = docSets.select(col("doc_id"), lit("*").as("__blk"),
-      size(col("__gs")).as("__sz"), explode(col("__gs")).as("__g"))
-    Dedup.setJaccardPairs(items, "doc_id", minJaccard, maxFrameDf)
+    try {
+      val items = docSets.select(col("doc_id"), lit("*").as("__blk"),
+        size(col("__gs")).as("__sz"), explode(col("__gs")).as("__g"))
+      val pairs = Dedup.setJaccardPairs(items, "doc_id", minJaccard, maxFrameDf)
+        .persist()
+      pairs.count()
+      pairs
+    } finally docSets.unpersist(blocking = false)
   }
 
   /** Batched featurization: one decoder pass per partition iterator,

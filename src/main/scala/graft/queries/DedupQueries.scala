@@ -452,7 +452,12 @@ object DedupQueries {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val pairs = Dedup.ngramJaccard(Tables(s, dir).documents,
         "doc_id", "text", "lang", n = 3, minJaccard = 0.5, maxGramDf = 1000)
-      Dedup.dupClusters(pairs)
+      // dupClusters' loop has fully consumed pairs (edges are
+      // persisted on their own) by the time it returns — release the
+      // pair cache here so only the labels handle stays live
+      val clusters = Dedup.dupClusters(pairs)
+      pairs.unpersist(blocking = false)
+      clusters
         .select(col("id1").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     },

@@ -1835,20 +1835,23 @@ object DialectQueries {
     // there is Sunday=0), so the driver hash-checks the week numbering
     // itself, not a library lookup.
     "c49_ch_week_modes" -> Q(
+      // DuckDB reads the parquet date back as TIMESTAMP and has no
+      // +(TIMESTAMP, int) / +(DATE, BIGINT) overloads, so the oracle
+      // casts to DATE up front and every day-offset term to INT.
       """WITH d AS (
-        |  SELECT o_orderkey AS k, o_orderdate AS d,
-        |    date_trunc('year', o_orderdate) AS j1
+        |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(date_trunc('year', o_orderdate) AS DATE) AS j1
         |  FROM orders),
         |a AS (
         |  SELECT k, d,
-        |    j1 + ((7 - dayofweek(j1)) % 7) AS fs,
-        |    (j1 + 3) - ((dayofweek(j1 + 3) + 6) % 7) AS w1s,
-        |    d - dayofweek(d) AS sun,
-        |    (d - ((dayofweek(d) + 6) % 7)) + 3 AS thu
+        |    j1 + CAST((7 - dayofweek(j1)) % 7 AS INT) AS fs,
+        |    (j1 + 3) - CAST((dayofweek(j1 + 3) + 6) % 7 AS INT) AS w1s,
+        |    d - CAST(dayofweek(d) AS INT) AS sun,
+        |    (d - CAST((dayofweek(d) + 6) % 7 AS INT)) + 3 AS thu
         |  FROM d),
         |b AS (
         |  SELECT k, d, fs, w1s, sun, thu,
-        |    date_trunc('year', sun) AS j1s
+        |    CAST(date_trunc('year', sun) AS DATE) AS j1s
         |  FROM a)
         |SELECT k,
         |  CAST(CASE WHEN d < fs THEN 0
@@ -1857,7 +1860,7 @@ object DialectQueries {
         |       ELSE datediff('day', w1s, d) // 7 + 1 END AS INT) AS w1,
         |  CAST(weekofyear(d) AS INT) AS w3,
         |  CAST(year(sun) * 100 +
-        |    datediff('day', j1s + ((7 - dayofweek(j1s)) % 7), sun) // 7 + 1
+        |    datediff('day', j1s + CAST((7 - dayofweek(j1s)) % 7 AS INT), sun) // 7 + 1
         |    AS INT) AS yw0,
         |  CAST(year(thu) * 100 + weekofyear(d) AS INT) AS yw3
         |FROM b ORDER BY k LIMIT 2000""".stripMargin)(

@@ -59,7 +59,37 @@ object MultimodalQueries {
         .orderBy("id1", "id2")
     },
 
-    "m01_multimodal" -> Q.rowsOnly { (s, dir) =>
+    // The stub featurizer is deterministic byte-histogram math over
+    // the (ASCII) payload, so it gets a full DuckDB oracle: per-byte
+    // explode → exact integer sums → the same mean/variance/bucket
+    // formulas, with f0/f3 passed through a REAL cast to replicate
+    // the featurizer's float32 feature array bit-for-bit.
+    "m01_multimodal" -> Q(
+      """WITH b AS (
+        |  SELECT d.doc_id, ascii(substring(d.text, CAST(i AS INT), 1)) AS v
+        |  FROM documents d, range(1, 3201) t(i)
+        |  WHERE i <= length(d.text)),
+        |s AS (
+        |  SELECT doc_id, SUM(v) AS sv, SUM(CAST(v AS DOUBLE) * v) AS svv,
+        |    SUM(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN v >= 96 AND v < 128 THEN 1 ELSE 0 END) AS h3
+        |  FROM b GROUP BY doc_id),
+        |m AS (
+        |  SELECT d.doc_id, 'fake/raw' AS format,
+        |    CAST(length(d.text) % 48 + 16 AS INT) AS width,
+        |    CAST(length(d.text) * 7 % 48 + 16 AS INT) AS height,
+        |    length(d.text) AS n_bytes,
+        |    CAST(GREATEST(length(d.text), 1) AS DOUBLE) AS nn,
+        |    CAST(COALESCE(s.sv, 0) AS DOUBLE) AS sv,
+        |    COALESCE(s.svv, 0) AS svv,
+        |    COALESCE(s.h0, 0) AS h0, COALESCE(s.h3, 0) AS h3
+        |  FROM documents d LEFT JOIN s USING (doc_id))
+        |SELECT doc_id, format, width, height, n_bytes,
+        |  round(sv / nn, 6) AS mean_byte,
+        |  round(sqrt(GREATEST(svv / nn - (sv / nn) * (sv / nn), 0)), 6) AS std_byte,
+        |  round(CAST(CAST(h0 / nn AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(h3 / nn AS REAL) AS DOUBLE), 6) AS f3
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val media = Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text")
       Multimodal.featurize(media)
         .select(col("doc_id"), col("format"), col("width"), col("height"),

@@ -72,9 +72,139 @@ class ChDialect4Spec extends SparkSpec {
     assert(r.getInt(9) == 202401)
     assert(r.getInt(10) == 202501)
     val e = intercept[Exception] {
-      spark.sql(ChSql.translate("SELECT toWeek(toDate('2024-01-01'), 2)"))
+      spark.sql(ChSql.translate("SELECT toWeek(toDate('2024-01-01'), 11)"))
     }
     assert(e.getMessage.contains("mode") || e.getCause != null)
+  }
+
+  test("toWeek/toYearWeek: the full 10-mode table (public doc pins)") {
+    // pins from the public CH toWeek doc (2016-12-27: week 52 under
+    // modes 0/1 but week 1 of 2017 under mode 9 — its Monday-first
+    // week contains Jan 1) and MySQL's WEEK()/YEARWEEK() examples
+    val r = row1(
+      """SELECT toWeek(toDate('2016-12-27')) AS w0,
+        |  toWeek(toDate('2016-12-27'), 1) AS w1,
+        |  toWeek(toDate('2016-12-27'), 9) AS w9,
+        |  toYearWeek(toDate('2016-12-27')) AS yw0,
+        |  toYearWeek(toDate('2016-12-27'), 1) AS yw1,
+        |  toYearWeek(toDate('2016-12-27'), 9) AS yw9,
+        |  toWeek(toDate('2008-02-20')) AS f0,
+        |  toWeek(toDate('2008-02-20'), 1) AS f1,
+        |  toWeek(toDate('2008-12-31'), 1) AS f53,
+        |  toWeek(toDate('2000-01-01'), 2) AS w2,
+        |  toYearWeek(toDate('1987-01-01')) AS ywm""".stripMargin)
+    assert(r.getInt(0) == 52 && r.getInt(1) == 52 && r.getInt(2) == 1)
+    assert(r.getInt(3) == 201652 && r.getInt(4) == 201652 && r.getInt(5) == 201701)
+    assert(r.getInt(6) == 7 && r.getInt(7) == 8 && r.getInt(8) == 53)
+    assert(r.getInt(9) == 52)
+    assert(r.getInt(10) == 198652)
+  }
+
+  test("toWeek/toYearWeek: all modes match a LocalDate reference across year boundaries") {
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.{ChronoUnit, WeekFields}
+    // independent model of the documented mode table, over LocalDate
+    val table = Map( // mode -> (mondayFirst, week-1 rule, zero range)
+      0 -> ((false, 0, true)), 1 -> ((true, 1, true)),
+      2 -> ((false, 0, false)), 3 -> ((true, 1, false)),
+      4 -> ((false, 1, true)), 5 -> ((true, 0, true)),
+      6 -> ((false, 1, false)), 7 -> ((true, 0, false)),
+      8 -> ((false, 2, false)), 9 -> ((true, 2, false)))
+    def wsOf(d: LocalDate, mon: Boolean): LocalDate =
+      d.minusDays(if (mon) (d.getDayOfWeek.getValue - 1).toLong
+        else (d.getDayOfWeek.getValue % 7).toLong)
+    def w1Of(year: Int, mon: Boolean, rule: Int): LocalDate = {
+      val jan1 = LocalDate.of(year, 1, 1)
+      rule match {
+        case 0 =>
+          val t = if (mon) DayOfWeek.MONDAY else DayOfWeek.SUNDAY
+          var x = jan1; while (x.getDayOfWeek != t) x = x.plusDays(1); x
+        case 1 => wsOf(jan1.plusDays(3), mon)
+        case 2 => wsOf(jan1, mon)
+      }
+    }
+    def anchorOf(d: LocalDate, mon: Boolean, rule: Int): LocalDate = {
+      val ws = wsOf(d, mon)
+      rule match { case 0 => ws; case 1 => ws.plusDays(3); case 2 => ws.plusDays(6) }
+    }
+    def wkFrom(w1: LocalDate, d: LocalDate): Int =
+      (ChronoUnit.DAYS.between(w1, d) / 7 + 1).toInt
+    def refWeek(d: LocalDate, mode: Int): Int = {
+      val (mon, rule, zero) = table(mode)
+      if (zero) {
+        val w1 = w1Of(d.getYear, mon, rule)
+        if (d.isBefore(w1)) 0 else wkFrom(w1, d)
+      } else {
+        val a = anchorOf(d, mon, rule)
+        wkFrom(w1Of(a.getYear, mon, rule), d)
+      }
+    }
+    def refYearWeek(d: LocalDate, mode: Int): Int = {
+      val (mon, rule, _) = table(mode)
+      val a = anchorOf(d, mon, rule)
+      a.getYear * 100 + wkFrom(w1Of(a.getYear, mon, rule), d)
+    }
+    // the model itself is validated against java.time's independent
+    // ISO week fields for mode 3 (= ISO 8601) before it judges Spark
+    val days = (0 until 366 * 6).map(LocalDate.of(2015, 1, 1).plusDays(_))
+    days.foreach { d =>
+      assert(refWeek(d, 3) == d.get(WeekFields.ISO.weekOfWeekBasedYear()),
+        s"model mode-3 disagrees with java.time ISO at $d")
+      assert(refYearWeek(d, 3) ==
+        d.get(WeekFields.ISO.weekBasedYear()) * 100 +
+          d.get(WeekFields.ISO.weekOfWeekBasedYear()),
+        s"model yearweek-3 disagrees with java.time ISO at $d")
+    }
+    val wCols = (0 to 9).map(m => s"toWeek(d, $m) AS w$m")
+    val ywCols = (0 to 9).map(m => s"toYearWeek(d, $m) AS yw$m")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val got = days.map(_.toString).toDF("s")
+      .selectExpr("CAST(s AS DATE) AS d")
+      .selectExpr(("d" +: (wCols ++ ywCols)): _*)
+      .collect()
+    got.foreach { row =>
+      val d = row.getDate(0).toLocalDate
+      (0 to 9).foreach { m =>
+        assert(row.getInt(1 + m) == refWeek(d, m), s"toWeek($d, $m)")
+        assert(row.getInt(11 + m) == refYearWeek(d, m), s"toYearWeek($d, $m)")
+      }
+    }
+  }
+
+  test("seriesDecomposeSTL: classical decomposition invariants on a planted cycle") {
+    // planted series: linear trend 0.5·i + zero-sum period-4 cycle
+    val cycle = Seq(2.0, -1.0, -1.0, 0.0)
+    val xs = (0 until 24).map(i => 0.5 * i + cycle(i % 4))
+    val arr = xs.mkString("array(", ", ", ")")
+    val r = spark.sql(ChSql.translate(
+      s"SELECT seriesDecomposeSTL($arr, 4) AS d")).collect().head
+    val d = r.getSeq[scala.collection.Seq[Double]](0)
+    assert(d.length == 4, "CH shape: [seasonal, trend, residue, baseline]")
+    val Seq(se, tr, res, base) = d.map(_.toIndexedSeq)
+    // exact reconstruction and baseline identities
+    xs.indices.foreach { i =>
+      assert(math.abs(se(i) + tr(i) + res(i) - xs(i)) < 1e-9, s"recon@$i")
+      assert(math.abs(base(i) - (se(i) + tr(i))) < 1e-9, s"baseline@$i")
+    }
+    // one full period of the seasonal component sums to 0 (centered)
+    assert(math.abs(se.take(4).sum) < 1e-9)
+    // interior: the 2×4 moving average spans exactly one full period,
+    // so the zero-sum cycle cancels and the linear trend is recovered
+    // exactly; the planted cycle survives in the seasonal component
+    (2 until 22).foreach { i =>
+      assert(math.abs(tr(i) - 0.5 * i) < 1e-9, s"trend@$i: ${tr(i)}")
+    }
+    // phase means absorb some edge-window distortion (4 of 24 rows
+    // have shrunken trend windows) — the cycle survives within it
+    (8 until 16).foreach { i =>
+      assert(math.abs(se(i) - cycle(i % 4)) < 0.35, s"seasonal@$i: ${se(i)}")
+    }
+    // refusals: bad period, series shorter than two periods
+    val e1 = intercept[Exception] {
+      spark.sql(ChSql.translate(
+        "SELECT seriesDecomposeSTL(array(1.0, 2.0, 3.0, 4.0), 4)")).collect()
+    }
+    assert(e1.getMessage.contains("2 * period") || e1.getCause != null)
   }
 
   test("accurateCast throws out-of-range, OrNull nulls; misc tail aliases") {
@@ -95,8 +225,22 @@ class ChDialect4Spec extends SparkSpec {
       spark.sql(ChSql.translate(
         "SELECT accurateCast(99999999999, 'Int32')")).collect()
     }
-    assert(e.getMessage.contains("out of range") ||
+    assert(e.getMessage.contains("does not fit") ||
       e.getCause != null, e.getMessage)
+    // lossy-but-castable narrowings throw too (CH's contract): a
+    // fractional double into an integer, an odd 2^24+1 into Float32
+    Seq("SELECT accurateCast(3.5, 'Int32')",
+        "SELECT accurateCast(16777217, 'Float32')").foreach { q =>
+      val le = intercept[Exception] {
+        spark.sql(ChSql.translate(q)).collect()
+      }
+      assert(le.getMessage.contains("does not fit") || le.getCause != null,
+        s"$q should throw, got: ${le.getMessage}")
+    }
+    // exact narrowings still pass
+    val ok = row1("SELECT accurateCast(3.0, 'Int32') AS i, " +
+      "accurateCast(16777216, 'Float32') AS f")
+    assert(ok.getInt(0) == 3 && ok.getFloat(1) == 16777216.0f)
   }
 
   test("datetime/misc tail: toDateTime64, toStartOfSecond, version, mid, CI count") {

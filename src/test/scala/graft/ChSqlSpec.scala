@@ -168,6 +168,17 @@ class ChSqlSpec extends SparkSpec {
       ChSql.translate("SELECT * FROM generateRandom(x)")
     }
     assert(e.getMessage.contains("generateRandom"))
+    // a LIMIT above the 2^20 default row supply scales the supply
+    // (used to silently return fewer rows than asked)
+    val big = spark.sql(ChSql.translate(
+      "SELECT count() AS n FROM (SELECT * FROM generateRandom('a Int64', 1) LIMIT 1200000)"))
+      .collect().head.getLong(0)
+    assert(big == 1200000L, s"LIMIT above the default cap must be honored, got $big")
+    // LIMIT offset, n form needs offset + n rows of supply
+    val offs = spark.sql(ChSql.translate(
+      "SELECT count() AS n FROM (SELECT * FROM generateRandom('a Int64', 1) LIMIT 1100000, 200000)"))
+      .collect().head.getLong(0)
+    assert(offs == 200000L, s"LIMIT offset, n above the cap must be honored, got $offs")
   }
 
   test("ORDER BY COLLATE sorts locale-aware; binary spellings sort by bytes") {

@@ -260,6 +260,33 @@ class DdlSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_exec_spec2"))
   }
 
+  test("ON CLUSTER is accepted verbatim on DDL and stripped (the Spark cluster IS the cluster)") {
+    // real ClickHouse DDL dumps carry ON CLUSTER on nearly every
+    // statement (ASTQueryWithOnCluster.h) — they must ingest verbatim
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_onclu ON CLUSTER prod (k Int64, v Float64)
+        |ENGINE = MergeTree() ORDER BY (k)""".stripMargin)
+    assert(spark.catalog.tableExists("graft_onclu"))
+    ChDdl.execute(spark,
+      "INSERT INTO graft_onclu SELECT number AS k, number * 1.5 AS v FROM numbers(5)")
+    ChDdl.execute(spark, "ALTER TABLE graft_onclu ON CLUSTER prod DELETE WHERE k = 4")
+    ChDdl.execute(spark, "RENAME TABLE graft_onclu TO graft_onclu2 ON CLUSTER prod")
+    // a CTAS body joining ON a column literally named `cluster` must
+    // not trip the stripper (it only looks before the SELECT)
+    ChDdl.execute(spark,
+      """CREATE TABLE graft_onclu3 ON CLUSTER 'prod' ENGINE = MergeTree() ORDER BY (k) AS
+        |SELECT a.k AS k FROM (SELECT k, k AS cluster FROM graft_onclu2) a
+        |JOIN (SELECT k, k AS cluster FROM graft_onclu2) b ON a.cluster = b.cluster""".stripMargin)
+    assert(ChDdl.execute(spark, "SELECT count() AS n FROM graft_onclu3")
+      .collect().head.getLong(0) == 4L)
+    ChDdl.execute(spark, "TRUNCATE TABLE graft_onclu3 ON CLUSTER prod")
+    assert(ChDdl.execute(spark, "SELECT count() AS n FROM graft_onclu3")
+      .collect().head.getLong(0) == 0L)
+    ChDdl.execute(spark, "DROP TABLE graft_onclu2 ON CLUSTER prod")
+    ChDdl.execute(spark, "DROP TABLE graft_onclu3 ON CLUSTER prod")
+    assert(!spark.catalog.tableExists("graft_onclu2"))
+  }
+
   test("execute() runs multi-statement scripts, returning the last result") {
     val got = ChDdl.execute(spark,
       """CREATE TABLE graft_multi (k Int64) ENGINE = MergeTree() ORDER BY (k);

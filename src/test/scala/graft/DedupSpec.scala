@@ -202,32 +202,35 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 200, "no batch doc is truly in the corpus")
   }
 
-  test("cache hygiene: funnel/ngramJaccard leave nothing persisted; dupClusters releases") {
+  test("cache hygiene: funnel/ngramJaccard/dupClusters return complete-release handles") {
     spark.catalog.clearCache()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
-    // the curation funnel (d09's/d13's core) caches nothing: its big
-    // intermediates are recomputed from lineage by design
-    Curate.funnel(corpus, "doc_id", "text").count()
+    // the curation funnel (d09's/d13's core) returns its materialized
+    // narrow output as THE persisted frame — internal caches (grams,
+    // pairs) are released before it returns, so unpersisting the
+    // returned handle releases everything
+    val kept = Curate.funnel(corpus, "doc_id", "text")
+    kept.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      "funnel must leave only its returned handle persisted, got " +
+        s"${spark.sparkContext.getPersistentRDDs.size}")
+    kept.unpersist(blocking = true)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "funnel must leave no persisted RDDs behind")
-    // ngramJaccard persists exactly ONE frame — the doc-level gram
-    // ARRAYS (text-scale), which the core's three plantings of the
-    // element table explode from so the wordNGrams kernel runs once.
-    // The exploded tokens-scale frame itself is never cached.
+      "unpersisting funnel's returned handle must release everything")
+    // ngramJaccard materializes while the doc-level gram cache is
+    // live, then RELEASES it — the only frame left persisted is the
+    // returned pair-scale result, so the caller's unpersist() is a
+    // real, complete release (no gram-cache accumulation across a
+    // long-lived session's repeated calls).
     val blocked = corpus.withColumn("blk", lit(1))
     val d04 = Dedup.ngramJaccard(blocked, "doc_id", "text", "blk", minJaccard = 0.5)
-    d04.collect() // run THIS plan so AQE finalizes it (count() builds its own)
-    val plan = d04.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryRelation"),
-      s"expected the doc-level gram cache in:\n$plan")
-    // the self-join strategy is AQE's to pick (broadcast at test SFs,
-    // sort-merge once runtime stats exceed the threshold) — assert a
-    // join is present, not which physical strategy won
-    assert(plan.contains("Join"), s"expected the self-join in:\n$plan")
     assert(spark.sparkContext.getPersistentRDDs.size == 1,
-      "ngramJaccard persists exactly the doc-level gram frame, got " +
+      "ngramJaccard leaves exactly its returned result persisted, got " +
         s"${spark.sparkContext.getPersistentRDDs.size}")
-    spark.catalog.clearCache()
+    d04.collect() // consuming the handle reads the cache, not the grams
+    d04.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "unpersisting ngramJaccard's returned handle must release everything")
     // dupClusters hands back ITS one persisted frame — unpersisting
     // the returned handle is a real, complete release
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")

@@ -27,4 +27,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(s.sql("SELECT position('st', 'haystack') AS p")
       .collect().head.getAs[Int]("p") == 4)
   }
+
+  test("no function name is registered twice (case-insensitive)") {
+    // Two registrations of one name means the active builder depends
+    // on registration order (injectFunction: last wins; the
+    // ensureRegistered functionExists guard: first wins) — if the two
+    // definitions ever diverge, which one runs is an accident. The
+    // registry lowercases names, so the check must too.
+    val names = graft.functions.GraftFunctions.descriptors
+      .map(_._1.funcName.toLowerCase)
+    val dups = names.groupBy(identity)
+      .collect { case (n, xs) if xs.size > 1 => n }.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate function registrations: ${dups.mkString(", ")}")
+  }
 }
