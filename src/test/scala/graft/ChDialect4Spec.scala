@@ -272,10 +272,8 @@ class ChDialect4Spec extends SparkSpec {
     assert(sc.count(_ != 0.0) == 1 && sc(3) > 90, sc)
     assert(r.getDouble(1) == 3.0)
     assert(r.getDouble(2) == 0.0) // constant series has no period
-    val e = intercept[Exception] {
-      spark.sql(ChSql.translate("SELECT seriesDecomposeSTL([1.0], 3)"))
-    }
-    assert(e.getMessage.contains("LOESS") || e.getCause != null)
+    // (seriesDecomposeSTL is implemented — see its dedicated spec above;
+    // the too-short-series refusal is asserted there with a collect())
   }
 
   test("toInterval family composes with date arithmetic") {
