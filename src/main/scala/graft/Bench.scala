@@ -43,6 +43,12 @@ object Bench {
         catch { case _: Throwable => failures(name) += 1; false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // per-key progress on stderr: when a run dies (driver timeout),
+      // the captured tail shows WHICH key was executing and every
+      // per-key time up to it — r9's rc=124 tail had only startup
+      // logs, leaving the stuck key unidentifiable
+      Console.err.println(
+        f"[bench] $name%-26s $dt%8.2f s${if (ok) "" else "  FAILED"}")
       if (ok) Some(dt) else None
     }
     // canary: a fixed synthetic workload (range → hash-agg → noop, no

@@ -303,9 +303,15 @@ private[graft] object ChStats2 {
     val entry = CreateNamedStruct(Seq(Literal("x"), x, Literal("w"), w))
     val arr = builtin("sort_array")(
       Seq(wrapAgg(builtin("collect_list")(Seq(entry)))))
-    val aw = fresh("acc"); val ew = fresh("e")
-    val totW = builtin("aggregate")(Seq(arr, lit(0.0),
-      LambdaFunction(aw + fld(ew, "w"), Seq(aw, ew))))
+    // totW MUST be a separate native aggregate, not a fold over `arr`:
+    // it is referenced inside the main fold's lambda below, and
+    // Catalyst SUBSTITUTES lambda-bound expressions per element (no
+    // let-binding), so a fold-shaped totW would re-run O(n) work at
+    // every step — O(n²) interpreted on a 20k-row group locked one
+    // CPU for ~30 min at sf0.1 (r9 driver-bench timeout). As its own
+    // AggregateExpression it is computed once by the agg framework
+    // and reaches the lambda as an O(1) buffer reference.
+    val totW = d(wrapAgg(aggregate.Sum(w)))
     def accOf(cum: Expression, px: Expression, pp: Expression,
         res: Expression): Expression =
       CreateNamedStruct(Seq(Literal("cum"), cum, Literal("px"), px,

@@ -144,6 +144,25 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"word_ngrams(tokens, n-literal) expected, got ${other.mkString(", ")}")
       },
+      // bpe_encode(text, lefts, rights) — compiled BPE tokenizer
+      // application (merge table travels as two array literals);
+      // kernel in operators/Bpe.encodeKernel, pinned to the composed
+      // fold form by BpeSpec
+      d("bpe_encode", graft.operators.Bpe.getClass) {
+        case Seq(text, lefts, rights) =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            graft.operators.Bpe.getClass,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType),
+            "encodeKernel", Seq(text, lefts, rights),
+            inputTypes = Seq(org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType)))
+        case other => throw new IllegalArgumentException(
+          s"bpe_encode(text, lefts, rights) expected, got ${other.mkString(", ")}")
+      },
       // quality_model(text, buckets-literal) — hashed-feature scorer
       d("quality_model", classOf[QualityModelExpr]) {
         case Seq(text, Literal(b: Int, _)) => QualityModelExpr(text, b)

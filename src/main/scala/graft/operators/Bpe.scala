@@ -118,13 +118,83 @@ object Bpe {
     out.toSeq
   }
 
-  /** Apply a trained merge table to a text column: per word, fold the
-    * merges in rank order over the symbol sequence — the standard BPE
-    * encode — and return the flattened token sequence for the doc.
-    * The merge table travels as literals (model-scale broadcast). */
+  /** Apply a trained merge table to a text column: per word, apply
+    * the merges in rank order over the symbol sequence — the standard
+    * BPE encode — and return the flattened token sequence for the
+    * doc. The merge table travels as literals (model-scale broadcast).
+    *
+    * Native compiled kernel (`bpe_encode` → encodeKernel below): the
+    * composed spelling nests one interpreted ArrayAggregate fold per
+    * merge inside a transform lambda — ~600 interpreted Expression
+    * evals per word, which put t18's corpus encode at 36 s/pass on
+    * the bench (the native-kernel policy: per-row work on a scan path
+    * gets a compiled kernel). BpeSpec pins kernel == composed form
+    * bit-for-bit on fixtures AND real corpus text. */
   def encode(text: Column, merges: Seq[(String, String)]): Column = {
+    graft.functions.GraftFunctions // referenced for the registry doc
+    call_function("bpe_encode", text,
+      lit(merges.map(_._1).toArray), lit(merges.map(_._2).toArray))
+  }
+
+  /** The original composed-expression encode — kept as the parity
+    * oracle for the kernel (BpeSpec), never on a hot path. */
+  private[graft] def encodeComposed(text: Column,
+      merges: Seq[(String, String)]): Column = {
     val toks = transform(Text.words(text), w =>
       merges.foldLeft(symbols(w)) { case (s, (l, r)) => applyMerge(s, l, r) })
     flatten(toks)
+  }
+
+  /** Compiled BPE encode: split on single spaces (empties dropped —
+    * Text.words semantics), per word chars (code points) + the
+    * end-of-word marker, then each merge applied as the SAME
+    * left-fold the composed form runs: the accumulator's last symbol
+    * (possibly itself merged this round) joins the next element when
+    * it equals (l, r). Invoked via StaticInvoke — a codegen'd static
+    * call, not a UDF. */
+  def encodeKernel(text: org.apache.spark.unsafe.types.UTF8String,
+      lefts: org.apache.spark.sql.catalyst.util.ArrayData,
+      rights: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val nm = lefts.numElements()
+    val ls = new Array[String](nm)
+    val rs = new Array[String](nm)
+    var mi = 0
+    while (mi < nm) {
+      ls(mi) = lefts.getUTF8String(mi).toString
+      rs(mi) = rights.getUTF8String(mi).toString
+      mi += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    text.toString.split(" ", -1).foreach { w =>
+      if (w.nonEmpty) {
+        var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        var ci = 0
+        while (ci < w.length) {
+          val cp = w.codePointAt(ci)
+          syms += new String(Character.toChars(cp))
+          ci += Character.charCount(cp)
+        }
+        syms += EndOfWord
+        var m = 0
+        while (m < nm) {
+          val l = ls(m); val r = rs(m); val mg = l + r
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            val x = syms(j)
+            if (next.nonEmpty && next(next.length - 1) == l && x == r)
+              next(next.length - 1) = mg
+            else next += x
+            j += 1
+          }
+          syms = next
+          m += 1
+        }
+        syms.foreach(s => out += UTF8String.fromString(s))
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }

@@ -584,6 +584,70 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** d25: duplicated-substring REMOVAL with reassembly — the
+    * exact-substring dedup of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): any `spanWords`-
+    * token span whose text occurs elsewhere in the corpus keeps only
+    * its globally-first (doc, pos) occurrence; every other
+    * occurrence's tokens are cut, and docs are rebuilt from the
+    * surviving tokens. d16 MEASURES span duplication per doc; this
+    * REMOVES it — the paper's suffix-array pass realized over
+    * positional grams (same removal contract at span granularity L,
+    * without the sequential suffix array; overlapping duplicate
+    * spans union their coverage exactly as the paper's byte-range
+    * merge does).
+    *
+    * Scale shape — all stages linear in corpus tokens, no pair
+    * joins:
+    *  1. positional L-grams (doc, pos, md5) — one scan + explode;
+    *  2. first occurrence per gram = partial-agg min(struct(doc,
+    *     pos)) (the d24 keeper rule: a boilerplate span shared by
+    *     10⁶ docs collapses map-side before the shuffle);
+    *  3. duplicate occurrences = occurrences ⋈ first on the hash —
+    *     the first side is ONE row per distinct gram, so a hot gram
+    *     costs df(gram) join rows, never df²; AQE splits residual
+    *     skew;
+    *  4. covered token positions = explode of the L offsets per
+    *     duplicate span → distinct (doc, tokpos) — ≤ L × dup-span
+    *     rows, partial-agg dedup;
+    *  5. rebuild = token table anti-join covered on (doc, tokpos) →
+    *     per-doc ordered reassembly (docs are bounded-size, the d24
+    *     rebuild discipline). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val occ = df.select(col(idCol).as("__doc"),
+        posexplode(wordNGramsAll(col(textCol), spanWords))
+          .as(Seq("__p", "__g")))
+      .select(col("__doc"), col("__p"), md5(col("__g")).as("__h"))
+    val first = occ.groupBy("__h")
+      .agg(min(struct(col("__doc"), col("__p"))).as("__f"))
+    val dups = occ.join(first, "__h")
+      .filter(col("__doc") =!= col("__f.__doc") ||
+        col("__p") =!= col("__f.__p"))
+      .select(col("__doc"), col("__p"))
+    val covered = dups.select(col("__doc"),
+        explode(sequence(col("__p"), col("__p") + (spanWords - 1)))
+          .as("__tp"))
+      .distinct()
+    val toks = df.select(col(idCol).as("__doc"),
+      posexplode(tokens(col(textCol))).as(Seq("__tp", "__w")))
+    val rebuilt = toks.join(covered, Seq("__doc", "__tp"), "left_anti")
+      .groupBy("__doc").agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__tp"), col("__w")))),
+          s => s("__w")), " ").as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    df.select(col(idCol).as("__doc"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** d04: exact word-n-gram Jaccard over blocked pairs — the VERIFY
     * stage of the dedup funnel (candidates from d02/d03 or any block
     * key). Sparse-similarity-join shape: explode distinct grams, join

@@ -161,8 +161,13 @@ object AnnQueries {
     },
 
     "d21_semantic_dedup" -> Q.rowsOnly { (s, dir) =>
+      // minCosine 0.9 = SemDeDup's "cosine-near-identical" contract
+      // (Abbas et al. 2023). A looser 0.4 chained whole IVF cells
+      // into one component — diameter-many Pregel rounds put this
+      // key at 80+ s/pass at sf0.1 while claiming a threshold the
+      // paper never uses.
       graft.operators.Dedup.semanticDedup(Tables(s, dir).embeddings,
-          "vec_id", "embedding", k = 16, minCosine = 0.4)
+          "vec_id", "embedding", k = 16, minCosine = 0.9)
         .orderBy("vec_id")
     },
 

@@ -64,6 +64,49 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Duplicated-substring removal with reassembly (Lee et al. 2022
+    // exact-substring dedup): every 8-word span that occurs elsewhere
+    // in the corpus keeps only its globally-first (doc, pos)
+    // occurrence; later occurrences' tokens are cut and docs rebuilt
+    // from the survivors. First-occurrence selection is a partial-agg
+    // min(struct) per span hash; coverage union + anti-join does the
+    // removal (see Dedup.substringDedup).
+    "d25_substring_dedup" -> Q(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |occ AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS p,
+        |    md5(array_to_string(list_slice(words, i, i + 7), ' ')) AS h
+        |  FROM w, UNNEST(range(1, len(words) - 6)) AS t(i)),
+        |d AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |  FROM occ),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, CAST(p + j AS INT) AS tp
+        |  FROM d, UNNEST(range(8)) AS u(j) WHERE rn > 1),
+        |tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS tp, words[i] AS wd
+        |  FROM w, UNNEST(range(1, len(words) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.tp, tok.wd FROM tok
+        |  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp),
+        |r AS (
+        |  SELECT doc_id, string_agg(wd, ' ' ORDER BY tp) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |n AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT n.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  n.n_tokens, n.n_tokens - COALESCE(r.n_kept, 0) AS n_removed
+        |FROM n LEFT JOIN r ON n.doc_id = r.doc_id
+        |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.substringDedup(Tables(s, dir).documents, "doc_id", "text", 8)
+        .orderBy("doc_id")
+    },
+
     // URL-canonicalization dedup — the web-corpus FIRST dedup pass
     // (CommonCrawl-style): normalize scheme noise (case, www.,
     // trailing slash, utm_* tracking params) to a canonical key,

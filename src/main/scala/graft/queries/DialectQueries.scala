@@ -1467,7 +1467,8 @@ object DialectQueries {
         |      + (0.07 + (o_orderkey % 10)/100.0)
         |        * (1 - (0.07 + (o_orderkey % 10)/100.0)))
         |    / (0.02 * 0.02), 6) AS mss
-        |FROM orders ORDER BY k LIMIT 2000""".stripMargin)(
+        |FROM orders WHERE o_orderkey % 64 = 0
+        |ORDER BY k LIMIT 2000""".stripMargin)(
       chSql(Seq("orders"),
         """SELECT o_orderkey AS k,
           |  arrayFirst(x -> x > 5,
@@ -1490,7 +1491,8 @@ object DialectQueries {
           |  round(tupleElement(minSampleSizeConversion(
           |    0.05 + modulo(o_orderkey, 10) / 100.0,
           |    0.02, 0.8, 0.05), 1), 6) AS mss
-          |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
+          |FROM orders WHERE modulo(o_orderkey, 64) = 0
+          |ORDER BY k LIMIT 2000""".stripMargin)),
 
     // The in-engine ML family (ChMl): stochasticLinearRegression /
     // stochasticLogisticRegression / evalMLMethod through the CH

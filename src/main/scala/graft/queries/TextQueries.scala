@@ -459,6 +459,7 @@ object TextQueries {
     // pins encode against an independent reference implementation
     // and round-trips the corpus text.
     "t18_bpe_encode" -> Q.rowsOnly { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables(s, dir).documents
       val merges = Bpe.train(docs, "text", 12)
         .orderBy("rank").collect()

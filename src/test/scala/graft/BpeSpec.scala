@@ -107,6 +107,22 @@ class BpeSpec extends SparkSpec {
     assert(two == (refEncode("low", merges) ++ refEncode("newest", merges)).toSeq)
   }
 
+  test("encode kernel is bit-for-bit the composed fold form (incl. corpus text)") {
+    val merges = refTrain(wordCounts, 8).map { case (_, l, r, _) => (l, r) }
+    val fixtures = corpus.select(col("text"))
+      .union(Seq("", "  double  spaces ", "solo", "héllo wörld ée")
+        .toDF("text"))
+    val real = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+      .documents.select(col("text")).limit(50)
+    for (df <- Seq(fixtures, real)) {
+      val rows = df.select(
+          Bpe.encode(col("text"), merges).as("k"),
+          Bpe.encodeComposed(col("text"), merges).as("c"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (k, c) => assert(k == c, s"kernel $k vs composed $c") }
+    }
+  }
+
   test("train is deterministic across runs") {
     val a = Bpe.train(corpus, "text", 6)
       .as[(Int, String, String, Long)].collect().toSeq

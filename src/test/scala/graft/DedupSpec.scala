@@ -336,6 +336,34 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == "a b c d" && out(2L) == "")
   }
 
+  test("substringDedup cuts later span occurrences, unions overlaps, keeps firsts") {
+    // 3-word spans. doc 2 embeds doc 1's "a b c d" (two overlapping
+    // dup spans whose coverage must union to 4 tokens); doc 3 is a
+    // full copy of doc 1 (drops to empty); doc 4 repeats its own
+    // 3-gram internally (later repeats cut, first kept).
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d q"),
+      (3L, "a b c d e"),
+      (4L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", spanWords = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a b c d e", 5L, 0L)))   // first occurrences keep
+    assert(out(2L) == (("x y q", 7L, 4L)))       // overlap union = a b c d
+    assert(out(3L) == (("", 5L, 5L)))            // full copy → empty
+    assert(out(4L) == (("m n o", 9L, 6L)))       // self-repeats cut
+  }
+
+  test("substringDedup leaves short docs (< span length) untouched") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", spanWords = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b", 2L -> "a b"))
+  }
+
   private implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = arr.map { case (a, b, c) => (a, b) -> c }.toMap
   }
