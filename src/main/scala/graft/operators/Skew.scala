@@ -46,4 +46,34 @@ object Skew {
         max("__pmax").as("max_value"))
       .withColumn("avg_value", col("total") / col("n"))
   }
+
+  /** Skew-safe equi-join (the brief's "salting for skew" on the JOIN
+    * side). A hot fact key routes every matching row to ONE sort-merge
+    * task; AQE's skew-join split is the runtime safety net, but it only
+    * fires per-partition and after the skewed shuffle has been written.
+    * Salting removes the hot partition from the plan itself: the fact
+    * side gets a deterministic per-row salt in [0, buckets), the dim
+    * side is replicated once per salt value, and the join key becomes
+    * (key, salt) — each hot key now owns `buckets` reducers. Cost is
+    * dim × buckets rows shuffled, so it pays when the dim is far
+    * smaller than the fact (but too big or too mid to broadcast —
+    * a broadcast join has no skew problem to begin with).
+    *
+    * SHUFFLE_HASH on the replicated dim keeps the demo honest at test
+    * SFs (Spark would otherwise broadcast the small dim and the salted
+    * path would never execute); at scale the hint also skips the sort
+    * that SMJ would pay on both sides. Inner join only: replicating
+    * the dim makes unmatched-row semantics ambiguous for outer joins.
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(typedLit(List.range(0, buckets))))
+    saltedFact
+      .join(replicatedDim.hint("SHUFFLE_HASH"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
 }

@@ -48,6 +48,33 @@ object StreamQueries {
           Tables(s, dir).events, Seq("event_type"), "value", buckets = 16)
         .select("event_type", "total", "n", "min_value", "max_value", "avg_value")
         .orderBy("event_type")
+    },
+
+    // Skew-safe JOIN: enrich every event with its type profile (the
+    // "join back a computed dim" shape — the dim is an aggregate of the
+    // fact itself, so every fact row matches one of 5 hot keys). The
+    // salt spreads each hot key over 16 reducers; results are
+    // salt-invariant, so the oracle is the plain join. Deviation is
+    // double-arithmetic on an exact decimal mean, rounded to 6 in both
+    // engines.
+    "x02_skew_join" -> Q(
+      """WITH d AS (
+        |  SELECT event_type, COUNT(*) AS n_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, n_type,
+        |  ROUND(e.value - d.avg_v, 6) AS dev
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val events = Tables(s, dir).events
+      val dim = events.groupBy("event_type")
+        .agg(count(lit(1)).as("n_type"),
+          (sum(col("value").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("avg_v"))
+      graft.operators.Skew.saltedJoin(events, dim, "event_type", buckets = 16)
+        .select(col("event_id"), col("event_type"), col("n_type"),
+          round(col("value") - col("avg_v"), 6).as("dev"))
+        .orderBy("event_id")
     }
   )
 }
