@@ -47,8 +47,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle map is dumped UNFILTERED even under a key filter: a
+    // partial re-dump into an outDir holding a previous full dump must
+    // not demote the untouched keys to rows-only (dev/check.py treats
+    // any dir without an oracle entry as rows-only, and flags
+    // legitimately-empty results as failures there)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }

@@ -192,13 +192,20 @@ object Text {
     * for the paper's Gumbel resampling (seeded sampling isn't
     * engine-portable; t05/t09 carry the sampled-selection shapes).
     *
-    * Scale design: the two bucket-count tables are ≤ `buckets` rows
-    * (one partial-agg scan each) and broadcast into the scoring scan,
-    * so the corpus is read twice at map speed with NO token-level
-    * shuffle; the only shuffle is the final per-doc aggregate on the
-    * high-cardinality doc id. Bucket hash = first 3 hex digits of
-    * md5(token) (t10's engine-portable discipline); the ln sums are
-    * round-6 bridged like t14.
+    * Scale design: ONE token-scale pass — explode+md5 collapses
+    * map-side into a per-(doc, bucket) count frame (≤ buckets rows
+    * per doc, orders of magnitude under token scale), which is
+    * persisted and consumed twice: once to derive the per-bucket
+    * target/raw counts AND their scalar totals in a single ≤ `buckets`
+    * -row aggregate, once joined back against the broadcast weight
+    * table for the per-doc score. A doc's log-weight is then
+    * Σ_buckets c(doc,b)·lw(b) — identical math to the per-token sum,
+    * grouped. The count cache is released before returning (the
+    * ngramJaccard complete-release discipline: the doc-scale result
+    * materializes first, so the caller's unpersist is a real release).
+    * Bucket hash = first 3 hex digits of md5(token) (t10's
+    * engine-portable discipline); the ln sums are round-6 bridged like
+    * t14, with the oracle summing the SAME bucket-grouped terms.
     *
     * Returns (idCol, n_tokens, logw, keep) one row per doc. */
   def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -211,25 +218,34 @@ object Text {
       val c = ascii(substring(md5(col("__t")), i, 1))
       when(c >= 97, c - 87).otherwise(c - 48)
     }
-    val b = toks.select(col(idCol), col("__tgt"),
-      ((hexDigit(1) * 256 + hexDigit(2) * 16 + hexDigit(3)) % buckets)
-        .as("__b"))
-    val tgt = b.where(col("__tgt"))
-      .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val raw = b.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val nt = tgt.agg(sum("__ct").as("__nt"))
-    val nr = raw.agg(sum("__cr").as("__nr"))
-    val lw =
-      log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
-        (col("__nt") + lit(buckets.toDouble))) -
-      log((col("__cr") + lit(1.0)) / (col("__nr") + lit(buckets.toDouble)))
-    b.join(broadcast(tgt), Seq("__b"), "left")
-      .join(broadcast(raw), Seq("__b"))
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-      .select(col(idCol), lw.as("__lw"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"), round(sum("__lw"), 6).as("logw"))
-      .select(col(idCol), col("n_tokens"), col("logw"),
-        (col("logw") > 0).as("keep"))
+    val docBuckets = toks.select(col(idCol), col("__tgt"),
+        ((hexDigit(1) * 256 + hexDigit(2) * 16 + hexDigit(3)) % buckets)
+          .as("__b"))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .persist()
+    try {
+      val bucketStats = docBuckets.groupBy("__b")
+        .agg(sum("__c").as("__cr"),
+          sum(when(col("__tgt"), col("__c")).otherwise(lit(0L))).as("__ct"))
+      // scalar totals derive from the ≤ buckets-row stats frame, not
+      // another corpus pass
+      val weights = bucketStats
+        .crossJoin(broadcast(
+          bucketStats.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))))
+        .select(col("__b"),
+          (log((col("__ct") + lit(1.0)) / (col("__nt") + lit(buckets.toDouble))) -
+            log((col("__cr") + lit(1.0)) / (col("__nr") + lit(buckets.toDouble))))
+            .as("__lw"))
+      val out = docBuckets.join(broadcast(weights), Seq("__b"))
+        .groupBy(idCol)
+        .agg(sum("__c").as("n_tokens"),
+          round(sum(col("__c") * col("__lw")), 6).as("logw"))
+        .select(col(idCol), col("n_tokens"), col("logw"),
+          (col("logw") > 0).as("keep"))
+        .persist()
+      out.count()
+      out
+    } finally docBuckets.unpersist(blocking = false)
   }
 }

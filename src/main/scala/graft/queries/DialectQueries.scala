@@ -945,7 +945,10 @@ object DialectQueries {
     // Euclid fold), the CH rounding ladders, finiteness clamp, the
     // contiguous-subsequence test, arrayReduce. The oracle spells
     // gcd natively (DuckDB has it), lcm via a·b/gcd, ladders as CASE,
-    // hasSubstr as the explicit 3-position disjunction.
+    // hasSubstr as the explicit 3-position disjunction. Like c42, the
+    // scan is a filtered ~1/64 key slice in both engines: the key
+    // demonstrates name coverage (several interpreted-lambda kernels),
+    // which the design keeps off hot scan paths.
     "c40_ch_scalar_extras" -> Q(
       """SELECT o_orderkey AS k,
         |  gcd(o_orderkey, o_custkey) AS g,
@@ -981,7 +984,8 @@ object DialectQueries {
         |   OR (o_custkey % 5 = 3 AND 3 = o_orderkey % 5)
         |   OR (o_orderkey % 7 = o_orderkey % 5)) AS hs,
         |  CAST(o_orderkey % 10 + o_custkey % 10 AS DOUBLE) AS ar
-        |FROM orders ORDER BY k LIMIT 2000""".stripMargin)(
+        |FROM orders WHERE o_orderkey % 64 = 0
+        |ORDER BY k LIMIT 2000""".stripMargin)(
       chSql(Seq("orders"),
         """SELECT o_orderkey AS k,
           |  gcd(o_orderkey, o_custkey) AS g,
@@ -996,7 +1000,8 @@ object DialectQueries {
           |    array(3, modulo(o_orderkey, 5))) AS hs,
           |  arrayReduce('sum',
           |    array(modulo(o_orderkey, 10), modulo(o_custkey, 10))) AS ar
-          |FROM orders ORDER BY k LIMIT 2000""".stripMargin)),
+          |FROM orders WHERE modulo(o_orderkey, 64) = 0
+          |ORDER BY k LIMIT 2000""".stripMargin)),
 
     // Weighted quantiles: quantileInterpolatedWeighted interpolates
     // between the cumulative-weight midpoints p_i = (cum−w/2)/W of
@@ -1351,14 +1356,17 @@ object DialectQueries {
 
     // round-10 scalar widening (ChDialect2): URL cuts, hash exactness
     // (halfMD5), string metrics, date names, bit ops, simpleJSON scan,
-    // readable formatting — each vs a hand-spelled DuckDB twin
+    // readable formatting — each vs a hand-spelled DuckDB twin. The
+    // c42 slice discipline applies (1/64 key filter in both engines):
+    // levenshtein/punycode/IDN kernels are name coverage, not scan-path
+    // work.
     "c41_ch_scalar_extras2" -> Q(
       """WITH o AS (SELECT *,
         |  'https://u:p@sub.example.' ||
         |    (CASE WHEN o_orderkey % 2 = 0 THEN 'com' ELSE 'org' END) ||
         |    '/p/' || o_orderkey || '?q=' || o_custkey || '#f' AS u,
         |  (CASE WHEN o_orderkey % 2 = 0 THEN 'com' ELSE 'org' END) AS tld2
-        |  FROM orders)
+        |  FROM orders WHERE o_orderkey % 64 = 0)
         |SELECT o_orderkey AS k,
         |  CAST(concat('0x', substr(md5(o_orderpriority), 1, 16))
         |    AS UBIGINT) AS hm,
@@ -1427,7 +1435,7 @@ object DialectQueries {
           |    if(modulo(o_orderkey, 2) = 0, 'com', 'org'),
           |    '/p/', toString(o_orderkey),
           |    '?q=', toString(o_custkey), '#f') AS u
-          |  FROM orders)
+          |  FROM orders WHERE modulo(o_orderkey, 64) = 0)
           |ORDER BY k LIMIT 2000""".stripMargin)),
 
     // round-10 sweep 2 (ChDialect3): array search HOFs, WKT geometry,

@@ -506,19 +506,21 @@ object TextQueries {
         |    ((${hexCase(1)} * 256 + ${hexCase(2)} * 16 + ${hexCase(3)})
         |      % 1024) AS b
         |  FROM w),
-        |tgt AS (SELECT b, COUNT(*) AS ct FROM b WHERE tg GROUP BY b),
-        |raw AS (SELECT b, COUNT(*) AS cr FROM b GROUP BY b),
-        |nt AS (SELECT SUM(ct) AS nt FROM tgt),
-        |nr AS (SELECT SUM(cr) AS nr FROM raw),
+        |db AS (
+        |  SELECT doc_id, tg, b, COUNT(*) AS c
+        |  FROM b GROUP BY doc_id, tg, b),
+        |tgt AS (SELECT b, SUM(CASE WHEN tg THEN c ELSE 0 END) AS ct,
+        |    SUM(c) AS cr
+        |  FROM db GROUP BY b),
+        |nt AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM tgt),
         |s AS (
-        |  SELECT b.doc_id,
-        |    ln((COALESCE(tgt.ct, 0) + 1.0) / (nt.nt + 1024.0))
-        |      - ln((raw.cr + 1.0) / (nr.nr + 1024.0)) AS lw
-        |  FROM b LEFT JOIN tgt USING (b) JOIN raw USING (b)
-        |  CROSS JOIN nt CROSS JOIN nr),
+        |  SELECT db.doc_id, db.c,
+        |    ln((tgt.ct + 1.0) / (nt.nt + 1024.0))
+        |      - ln((tgt.cr + 1.0) / (nt.nr + 1024.0)) AS lw
+        |  FROM db JOIN tgt USING (b) CROSS JOIN nt),
         |d AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |    ROUND(SUM(lw), 6) AS logw
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    ROUND(SUM(c * lw), 6) AS logw
         |  FROM s GROUP BY doc_id)
         |SELECT doc_id, n_tokens, logw, logw > 0 AS keep
         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
