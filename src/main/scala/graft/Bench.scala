@@ -14,6 +14,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // static conf, must precede session creation: the default
+      // generated-class cache holds 100 entries — 200+ keys × several
+      // codegen units × 4 passes evict constantly, so every pass
+      // re-Janino-compiles every plan (a uniform per-key tax that
+      // grows with key count; isolated re-runs of "regressed" keys
+      // kept landing ~1.2x under their full-run numbers)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader/shuffle init otherwise
