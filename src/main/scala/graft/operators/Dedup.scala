@@ -141,6 +141,27 @@ object Dedup {
     }
   }
 
+  /** d26: exact dedup with a PRIORITY keeper — when the same content
+    * arrives from several sources, keep the copy from the
+    * best-ranked source (curated beats crawl beats mirror), id as the
+    * tiebreak. Same single-shuffle partial-agg shape as d01 (`exact`):
+    * min(struct(priority, id, rest…)) collapses duplicate digests
+    * map-side, so a document mirrored a million times still ships one
+    * candidate per partition. Emits the keeper row + `n_copies` (the
+    * dedup ratio signal) + `digest`. */
+  def exactByPriority(df: DataFrame, contentCol: String, idCol: String,
+      prioCol: String): DataFrame = {
+    val digested = df.withColumn("__digest", md5(col(contentCol)))
+    val rest = df.columns.filterNot(c => c == idCol || c == prioCol)
+    val packed = org.apache.spark.sql.functions.struct(
+      (col(prioCol) +: col(idCol) +: rest.map(col).toSeq): _*)
+    digested
+      .groupBy("__digest")
+      .agg(min(packed).as("__m"), count(lit(1)).as("n_copies"))
+      .select(df.columns.map(c => col(s"__m.$c").as(c)).toSeq ++
+        Seq(col("n_copies"), col("__digest").as("digest")): _*)
+  }
+
   /** d11: incremental (cross-run) dedup — drop batch docs whose
     * normalized fingerprint (Text.fingerprint: lowercase, whitespace
     * collapsed) already exists in `corpus`; the "have we trained on

@@ -30,6 +30,48 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Priority-keeper exact dedup (d26): the same content arriving
+    // from several sources keeps the BEST-ranked copy — curated beats
+    // the original crawl beats a mirror — with id as tiebreak. The
+    // corpus has no cross-source exact dups, so the query plants them
+    // (the d22/d15 synthesis discipline): every 4th doc gains a
+    // mirror copy, every 8th a curated copy. Keeper selection is one
+    // partial-agg min(struct(priority, id, …)) per digest — the d01
+    // shuffle shape, so mirrored boilerplate collapses map-side.
+    "d26_priority_dedup" -> Q(
+      """WITH base AS (
+        |  SELECT doc_id, source, text, 1 AS prio FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'zmirror', text, 2 FROM documents
+        |  WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'curated', text, 0 FROM documents
+        |  WHERE doc_id % 8 = 0),
+        |r AS (
+        |  SELECT doc_id, source, md5(text) AS digest,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY prio, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+        |  FROM base)
+        |SELECT doc_id, source, n_copies, digest FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents.select("doc_id", "source", "text")
+      val mirror = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          lit("zmirror").as("source"), col("text"))
+      val curated = docs.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          lit("curated").as("source"), col("text"))
+      val ranked = docs.unionByName(mirror).unionByName(curated)
+        .withColumn("prio",
+          when(col("source") === "curated", 0)
+            .when(col("source") === "zmirror", 2)
+            .otherwise(1))
+      Dedup.exactByPriority(ranked, "text", "doc_id", "prio")
+        .select("doc_id", "source", "n_copies", "digest")
+        .orderBy("doc_id")
+    },
+
     // Sub-document chunk dedup with reassembly (CCNet's paragraph
     // pass over fixed 16-word windows — no newline structure in this
     // corpus): every chunk keeps its globally-first (doc_id, pos)

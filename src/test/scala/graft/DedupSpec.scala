@@ -357,6 +357,27 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("m n o", 9L, 6L)))       // self-repeats cut
   }
 
+  test("exactByPriority keeps the best-ranked copy, id as tiebreak") {
+    import spark.implicits._
+    val docs = Seq(
+      // same content: curated (prio 0) beats crawl (1) despite HIGHER id
+      (1L, "crawl", "alpha beta", 1),
+      (9L, "curated", "alpha beta", 0),
+      (5L, "mirror", "alpha beta", 2),
+      // prio tie → min id wins
+      (3L, "crawl", "gamma", 1),
+      (7L, "crawl", "gamma", 1),
+      // unique content survives untouched
+      (4L, "mirror", "delta", 2)
+    ).toDF("doc_id", "source", "text", "prio")
+    val out = Dedup.exactByPriority(docs, "text", "doc_id", "prio")
+      .select("doc_id", "source", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((9L, "curated", 3L), (3L, "crawl", 2L),
+      (4L, "mirror", 1L)))
+  }
+
   test("substringDedup leaves short docs (< span length) untouched") {
     val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
     val out = Dedup.substringDedup(docs, "doc_id", "text", spanWords = 3)
