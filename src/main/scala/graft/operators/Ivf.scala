@@ -117,4 +117,69 @@ object Ivf {
       .select("query_id", "neighbor_id", "sim")
     Ann.topKPerQuery(cand, k)
   }
+
+  /** Prebuilt IVF index: the corpus assigned to cells ONCE, stored
+    * partitioned by cell, searched many times. Two realizations, both
+    * result-identical to the one-shot `search` (AnnSpec):
+    *
+    *  - `buildIndex` persists the assignment in memory. MEASURED
+    *    CAVEAT (dev/scale_probe_r10.txt): on a 400k×32-float corpus
+    *    the cached path LOSES to one-shot recompute — deserializing
+    *    float arrays from the columnar cache costs more than the k
+    *    centroid distances it saves. Use only when assignment is
+    *    genuinely expensive (large k) or the source scan is remote.
+    *  - `buildIndexOnDisk` writes a parquet table PARTITIONED BY the
+    *    cell id — the layout a 100 TB system actually ships: the
+    *    probed-cell IN filter prunes at the FILE level, so a search
+    *    reads ~nprobe/k of the corpus bytes (the p10 partitioned-
+    *    layout discipline applied to vectors). */
+  final case class Index private[operators] (cells: DataFrame, model: Model) {
+    /** Complete release (the NearDupIndex discipline); no-op for the
+      * disk-backed form. */
+    def release(): Unit = cells.unpersist(blocking = false)
+  }
+
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): Index = {
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"),
+        nearestCell(corpus, col(vecCol), model).as("__cell"))
+      .repartition(col("__cell"))
+      .persist()
+    cells.count()
+    Index(cells, model)
+  }
+
+  def buildIndexOnDisk(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, path: String): Index = {
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        nearestCell(corpus, col(vecCol), model).as("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+    Index(corpus.sparkSession.read.parquet(path), model)
+  }
+
+  /** Search a prebuilt index: only the probed cells are read. The
+    * probed-cell id set is ≤ model.k ints — collected to the driver
+    * (model-scale, like the centroids themselves) and planted as an
+    * IN filter so the cached cell partitions prune on batch stats. */
+  def searchIndexed(index: Index, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val m = index.model
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__dists", distances(queries, col("__qv"), m))
+      .withColumn("__cell", explode(transform(
+        slice(array_sort(zip_with(col("__dists"),
+          sequence(lit(0), lit(m.k - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, nprobe),
+        s => s.getField("i").cast("int"))))
+    val cellIds = probed.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = index.cells
+      .filter(col("__cell").isin(cellIds: _*))
+      .join(broadcast(probed), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Ann.cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "sim")
+    Ann.topKPerQuery(cand, k)
+  }
 }

@@ -77,6 +77,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.3f below floor")
   }
 
+  test("prebuilt IVF index search is result-identical to the one-shot search") {
+    import graft.operators.Ivf
+    val e = Tables(spark, sfDir).embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val m = Ivf.fit(e, "vec_id", "embedding", k = 16)
+    val oneShot = Ivf.search(e, q, "vec_id", "embedding", m, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val idx = Ivf.buildIndex(e, "vec_id", "embedding", m)
+    try {
+      val indexed = Ivf.searchIndexed(idx, q, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      assert(indexed == oneShot && indexed.nonEmpty)
+    } finally idx.release()
+  }
+
   test("native one-pass cosine is bit-identical to the composed three-pass form") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables(spark, sfDir).embeddings
