@@ -212,7 +212,55 @@ object DedupQueries {
 
     // MinHash+LSH candidates at est Jaccard ≥ 0.5: recovers the
     // planted near-dup pairs without any O(n²) comparison.
-    "d02_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
+    // MinHash + LSH near-dup (d02): upgraded from rows-only to a
+    // hash-exact oracle — the native minhash64 kernel is md5-base +
+    // splitmix64 permutations, and splitmix64's wrapping 64-bit
+    // arithmetic is emulated in DuckDB with HUGEINT limb
+    // decomposition (x·C mod 2⁶⁴ = (x_lo·C + ((x_hi·C) mod 2³²)·2³²)
+    // mod 2⁶⁴ — every intermediate < 2⁹⁷ fits HUGEINT), validated
+    // bit-for-bit against the kernel. The kernel's mins compare as
+    // SIGNED longs, so hashes convert to BIGINT before MIN. Bands
+    // bucket on the slice VALUES where Spark buckets on
+    // xxhash64(slice) — candidate-equivalent (hash-equal ⟺
+    // value-equal, modulo 2⁻⁶⁴ collisions); the [2, maxBucket] bound
+    // and the est-Jaccard ≥ 0.5 verify are mirrored exactly.
+    "d02_minhash_lsh" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        |b0 AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 16) AS UBIGINT) AS base FROM g),
+        |pj AS (SELECT doc_id, base, j FROM b0 CROSS JOIN (SELECT unnest(range(64)) AS j) p),
+        |s0 AS (SELECT doc_id, j, CAST((CAST(base AS HUGEINT) + j + 11400714819323198485)
+        |        % 18446744073709551616 AS UBIGINT) AS z0 FROM pj),
+        |s1 AS (SELECT doc_id, j, xor(z0, z0 >> 30) AS x1 FROM s0),
+        |s2 AS (SELECT doc_id, j, CAST((CAST(x1 % 4294967296 AS HUGEINT) * 13787848793156543929
+        |        + ((CAST(x1 // 4294967296 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296)
+        |        % 18446744073709551616 AS UBIGINT) AS z1 FROM s1),
+        |s3 AS (SELECT doc_id, j, xor(z1, z1 >> 27) AS x2 FROM s2),
+        |s4 AS (SELECT doc_id, j, CAST((CAST(x2 % 4294967296 AS HUGEINT) * 10723151780598845931
+        |        + ((CAST(x2 // 4294967296 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296)
+        |        % 18446744073709551616 AS UBIGINT) AS z2 FROM s3),
+        |hu AS (SELECT doc_id, j, xor(z2, z2 >> 31) AS hu FROM s4),
+        |hs AS (SELECT doc_id, j, CAST(CAST(hu AS HUGEINT)
+        |        - CASE WHEN hu >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT)
+        |               ELSE 0 END AS BIGINT) AS h FROM hu),
+        |sig AS (SELECT doc_id, j, MIN(h) AS m FROM hs GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
+        |           MIN(CASE WHEN j % 2 = 0 THEN m END) AS k1,
+        |           MIN(CASE WHEN j % 2 = 1 THEN m END) AS k2
+        |          FROM sig GROUP BY doc_id, j // 2),
+        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, k1, k2) AS bs FROM bands),
+        |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM sized a JOIN sized b
+        |        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+        |      WHERE a.bs BETWEEN 2 AND 100),
+        |est AS (SELECT p.id1, p.id2,
+        |         SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS ej
+        |        FROM p JOIN sig sa ON sa.doc_id = p.id1
+        |               JOIN sig sb ON sb.doc_id = p.id2 AND sb.j = sa.j
+        |        GROUP BY p.id1, p.id2)
+        |SELECT id1, id2, ROUND(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       Dedup.minHashLsh(Tables(s, dir).documents, "doc_id", "text",
           numHashes = 64, bandRows = 2, minEstJaccard = 0.5)
         .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -220,7 +268,40 @@ object DedupQueries {
     },
 
     // SimHash banding + exact Hamming verify (≤ 4 bits of 64).
-    "d03_simhash" -> Q.rowsOnly { (s, dir) =>
+    // SimHash banding near-dup (d03): the native simhash64 kernel is
+    // md5-derived, so the oracle rebuilds the WHOLE pipeline in pure
+    // SQL (the f09 reconstruction: per-token 64-bit md5 prefix →
+    // per-bit majority → bit_or), then mirrors the 16-bit banding,
+    // the [2, maxBucket] bucket bound, candidate pairing, and the
+    // exact hamming verify — upgraded from rows-only to hash-exact.
+    "d03_simhash" -> Q(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x'||substr(md5(w),1,16) AS UBIGINT) AS hv FROM toks),
+        |bits AS (
+        |  SELECT doc_id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) g GROUP BY doc_id, i),
+        |sim AS (
+        |  SELECT doc_id, bit_or(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << i)
+        |                        ELSE CAST(0 AS UBIGINT) END) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, (sh >> CAST(b.i * 16 AS INT)) & 65535 AS key, b.i AS band
+        |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS i) b),
+        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bs FROM bands),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sized a JOIN sized b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |  WHERE a.bs BETWEEN 2 AND 1000),
+        |j AS (
+        |  SELECT p.id1, p.id2,
+        |    CAST(bit_count(xor(s1.sh, s2.sh)) AS INT) AS hamming
+        |  FROM p JOIN sim s1 ON s1.doc_id = p.id1
+        |         JOIN sim s2 ON s2.doc_id = p.id2)
+        |SELECT id1, id2, hamming FROM j WHERE hamming <= 4
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       Dedup.simHashNearDup(Tables(s, dir).documents, "doc_id", "text",
           bandBits = 16, maxHamming = 4)
         .orderBy("id1", "id2")
@@ -399,9 +480,64 @@ object DedupQueries {
     // fingerprint, so d11's exact index would keep every one) plus
     // word-reversed docs at new ids (disjoint shingle sets — genuinely
     // new). The prebuilt index must drop the footered re-crawls and
-    // keep the new docs. The MinHash estimator has no portable SQL
-    // twin → rows-only; the semantics are pinned in DedupSpec.
-    "d15_incremental_neardup" -> Q.rowsOnly { (s, dir) =>
+    // keep the new docs. Upgraded from rows-only: the oracle rebuilds
+    // both sides' MinHash signatures with d02's splitmix64 HUGEINT
+    // emulation, mirrors the index's per-bucket row_number ≤ 100 cap
+    // (value-bucketed — candidate-equivalent to the xxhash64 bucket
+    // keys), the agreement ≥ 0.5 verify, and the anti-join.
+    "d15_incremental_neardup" -> Q(
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id, source,
+        |    text || ' footer boilerplate appended by the recrawl pipeline' AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, source,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |alls AS (
+        |  SELECT 'c' AS side, doc_id, text FROM documents
+        |  UNION ALL SELECT 'b', doc_id, text FROM batch),
+        |w AS (SELECT side, doc_id, string_split(text, ' ') AS ws FROM alls),
+        |g AS (SELECT DISTINCT side, doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        |b0 AS (SELECT side, doc_id, CAST('0x' || substr(md5(g), 1, 16) AS UBIGINT) AS base FROM g),
+        |pj AS (SELECT side, doc_id, base, j FROM b0 CROSS JOIN (SELECT unnest(range(64)) AS j) p),
+        |s0 AS (SELECT side, doc_id, j, CAST((CAST(base AS HUGEINT) + j + 11400714819323198485)
+        |        % 18446744073709551616 AS UBIGINT) AS z0 FROM pj),
+        |s1 AS (SELECT side, doc_id, j, xor(z0, z0 >> 30) AS x1 FROM s0),
+        |s2 AS (SELECT side, doc_id, j, CAST((CAST(x1 % 4294967296 AS HUGEINT) * 13787848793156543929
+        |        + ((CAST(x1 // 4294967296 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296)
+        |        % 18446744073709551616 AS UBIGINT) AS z1 FROM s1),
+        |s3 AS (SELECT side, doc_id, j, xor(z1, z1 >> 27) AS x2 FROM s2),
+        |s4 AS (SELECT side, doc_id, j, CAST((CAST(x2 % 4294967296 AS HUGEINT) * 10723151780598845931
+        |        + ((CAST(x2 // 4294967296 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296)
+        |        % 18446744073709551616 AS UBIGINT) AS z2 FROM s3),
+        |hu AS (SELECT side, doc_id, j, xor(z2, z2 >> 31) AS hu FROM s4),
+        |hs AS (SELECT side, doc_id, j, CAST(CAST(hu AS HUGEINT)
+        |        - CASE WHEN hu >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT)
+        |               ELSE 0 END AS BIGINT) AS h FROM hu),
+        |sig AS (SELECT side, doc_id, j, MIN(h) AS m FROM hs GROUP BY side, doc_id, j),
+        |bands AS (SELECT side, doc_id, CAST(j // 2 AS INT) AS band,
+        |           MIN(CASE WHEN j % 2 = 0 THEN m END) AS k1,
+        |           MIN(CASE WHEN j % 2 = 1 THEN m END) AS k2
+        |          FROM sig GROUP BY side, doc_id, j // 2),
+        |idx AS (SELECT * FROM (
+        |    SELECT doc_id AS corpus_id, band, k1, k2,
+        |      row_number() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
+        |    FROM bands WHERE side = 'c') WHERE rn <= 100),
+        |cand AS (SELECT DISTINCT b.doc_id AS batch_id, idx.corpus_id
+        |         FROM bands b JOIN idx ON b.band = idx.band AND b.k1 = idx.k1 AND b.k2 = idx.k2
+        |         WHERE b.side = 'b'),
+        |agree AS (SELECT c.batch_id, c.corpus_id,
+        |           SUM(CASE WHEN sb.m = sc.m THEN 1 ELSE 0 END) / 64.0 AS a
+        |          FROM cand c
+        |          JOIN sig sb ON sb.side = 'b' AND sb.doc_id = c.batch_id
+        |          JOIN sig sc ON sc.side = 'c' AND sc.doc_id = c.corpus_id AND sc.j = sb.j
+        |          GROUP BY c.batch_id, c.corpus_id),
+        |dup AS (SELECT DISTINCT batch_id FROM agree WHERE a >= 0.5)
+        |SELECT b.doc_id, b.source FROM batch b
+        |ANTI JOIN dup ON b.doc_id = dup.batch_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir).documents
       val recrawl = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("source"),
