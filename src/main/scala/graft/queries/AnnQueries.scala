@@ -8,12 +8,58 @@ import graft.operators.Ann
   * (64-dim float vectors). d05 is DuckDB-oracled — the cosine is an
   * identical IEEE op sequence on both engines (per-element double
   * cast, sequential sum, one division), so even rank ties agree.
-  * d06's hyperplane buckets are Spark-side arithmetic DuckDB has no
-  * business reproducing → rows-only, recall pinned by AnnSpec.
+  * d06/d07 (r10): the hyperplane-LSH pipeline is ALSO oracled — the
+  * kernel's ±1 planes are splitmix64-derived (HUGEINT emulation, see
+  * d02) and its per-plane dot product is an in-order double fold,
+  * which DuckDB's list_reduce reproduces bit-for-bit (list_transform/
+  * list_reduce preserve element order; 0.0 + x₁ ≡ x₁ in IEEE, so the
+  * fold-from-first-element equals the kernel's zero-seeded loop).
   */
 object AnnQueries {
 
   private val DIM = 64
+
+  /** Shared oracle CTE block: per-(vec, table) hyperplane bucket codes
+    * — the exact SQL twin of the HyperplaneCode kernel. `bitsExpr` is
+    * a SQL expression for the code width (literal for d06, the
+    * corpus-sized auto formula for d07). Emits CTEs ending in
+    * `codes(vec_id, t, code)`. */
+  private def lshCodesSql(bitsExpr: String): String =
+    s"""dims AS (SELECT len(embedding) AS nd FROM embeddings LIMIT 1),
+       |pd AS (SELECT t, b, d, (t*64 + b)::HUGEINT * 4294967296 + d AS seed
+       |       FROM (SELECT unnest(range(8)) t),
+       |            (SELECT unnest(range($bitsExpr)) b),
+       |            (SELECT unnest(range((SELECT nd FROM dims))) d)),
+       |s0 AS (SELECT t, b, d, CAST((seed + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0 FROM pd),
+       |s1 AS (SELECT t, b, d, xor(z0, z0 >> 30) AS x1 FROM s0),
+       |s2 AS (SELECT t, b, d, CAST((CAST(x1 % 4294967296 AS HUGEINT) * 13787848793156543929
+       |        + ((CAST(x1 // 4294967296 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296)
+       |        % 18446744073709551616 AS UBIGINT) AS z1 FROM s1),
+       |s3 AS (SELECT t, b, d, xor(z1, z1 >> 27) AS x2 FROM s2),
+       |s4 AS (SELECT t, b, d, CAST((CAST(x2 % 4294967296 AS HUGEINT) * 10723151780598845931
+       |        + ((CAST(x2 // 4294967296 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296)
+       |        % 18446744073709551616 AS UBIGINT) AS z2 FROM s3),
+       |sg AS (SELECT t, b, d,
+       |        CASE WHEN (xor(z2, z2 >> 31) & 1) = 0 THEN 1.0 ELSE -1.0 END AS sgn FROM s4),
+       |sgl AS (SELECT t, b, list(CAST(sgn AS DOUBLE) ORDER BY d) AS sl FROM sg GROUP BY t, b),
+       |codes AS (
+       |  SELECT e.vec_id, s.t,
+       |    SUM(CASE WHEN list_reduce(
+       |          list_transform(list_zip(e.embedding, s.sl),
+       |            z -> CAST(z[1] AS DOUBLE) * z[2]),
+       |          (a, c) -> a + c) > 0
+       |        THEN CAST(1 AS BIGINT) << s.b ELSE 0 END) AS code
+       |  FROM embeddings e CROSS JOIN sgl s
+       |  GROUP BY e.vec_id, s.t)""".stripMargin
+
+  /** In-order cosine folds — the CosineSim kernel's IEEE sequence. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a.embedding, $b.embedding),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, c) -> a + c)
+       |    / (sqrt(list_reduce(list_transform($a.embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, c) -> a + c))
+       |     * sqrt(list_reduce(list_transform($b.embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, c) -> a + c)))""".stripMargin
 
   val defs: Map[String, Q] = Map(
 
@@ -43,8 +89,32 @@ object AnnQueries {
         .orderBy("query_id", "rank")
     },
 
-    // LSH-bucketed approximate top-5 for the same queries.
-    "d06_ann_lsh" -> Q.rowsOnly { (s, dir) =>
+    // LSH-bucketed approximate top-5 for the same queries — oracled:
+    // the oracle rebuilds the hyperplane codes, the 1-bit multi-probe
+    // fan-out, the bucket-value candidate join, and the exact cosine
+    // rerank.
+    "d06_ann_lsh" -> Q(
+      s"""WITH ${lshCodesSql("4")},
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, t,
+        |    unnest([code, xor(code, 1), xor(code, 2), xor(code, 4), xor(code, 8)]) AS code
+        |  FROM codes WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN codes c ON q.t = c.t AND q.code = c.code
+        |  WHERE c.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    ${cosSql("qe", "ce")} AS sim
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir).embeddings
       Ann.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, dim = DIM)
@@ -207,7 +277,20 @@ object AnnQueries {
 
     // Whole-corpus embedding-cosine near-dup pairs (LSH candidates,
     // exact verify). Recall pinned by AnnSpec.
-    "d07_embed_neardup" -> Q.rowsOnly { (s, dir) =>
+    "d07_embed_neardup" -> Q(
+      s"""WITH ${lshCodesSql(
+          "(SELECT GREATEST(2, CAST(CEIL(LN(GREATEST(COUNT(*), 64) / 32.0) / LN(2)) AS INT)) FROM embeddings)")},
+        |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY t, code) AS bs FROM codes),
+        |p AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |      FROM sized a JOIN sized b ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id
+        |      WHERE a.bs BETWEEN 2 AND 200),
+        |scored AS (
+        |  SELECT p.id1, p.id2,
+        |    ${cosSql("ae", "be")} AS sim
+        |  FROM p JOIN embeddings ae ON ae.vec_id = p.id1
+        |         JOIN embeddings be ON be.vec_id = p.id2)
+        |SELECT id1, id2, ROUND(sim, 6) AS sim FROM scored WHERE sim >= 0.4
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       Ann.embedNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
           minCosine = 0.4, dim = DIM)
         .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
