@@ -38,5 +38,12 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL per query (omitted ⇒ rows-only check). */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, Q(_, Some(sql))) => k -> sql }
+    all.collect { case (k, Q(_, Some(sql), _)) => k -> sql }
+
+  /** Fitted-model oracles (Q.dynamic): SQL generated AFTER the fit
+    * with centroid literals spliced in — verifies the deterministic
+    * scoring half hash-exactly while the iterative fit stays
+    * spec-verified. Verify merges this with [[oracleSql]]. */
+  def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    all.collect { case (k, Q(_, _, Some(gen))) => k -> gen(spark, dir) }
 }

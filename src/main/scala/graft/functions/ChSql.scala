@@ -826,6 +826,7 @@ object ChSql {
     "QUANTILEINTERPOLATEDWEIGHTED", "QUANTILETIMINGWEIGHTED",
     "QUANTILEBFLOAT16")
   private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
+    "GROUPARRAYSAMPLE",
     "TOPKWEIGHTED", "SPARKBAR", "HISTOGRAM",
     "STOCHASTICLINEARREGRESSION", "STOCHASTICLOGISTICREGRESSION",
     "SEQUENCENEXTNODE", "GROUPCONCAT", "SUMMAPFILTERED", "QUANTILEGK",

@@ -239,10 +239,16 @@ object Ann {
     // over-fragment a small corpus). Genuine near-dups (cos ≳ 0.9)
     // collide at ≳ 0.95^bits per table, so recall stays high at any
     // corpus size.
+    // auto width = ceil(log2(n/32)) computed as "smallest b with
+    // 32·2^b ≥ n" — pure integer arithmetic, so the DuckDB oracle's
+    // twin can never desync by a libm ulp at exact-boundary corpus
+    // sizes (r10 advice: CEIL(LN/LN) differs per libm at n = 32·2^k)
     val effBits =
       if (bits > 0) bits
-      else math.max(2, math.ceil(
-        math.log(math.max(corpus.count(), 64L).toDouble / 32.0) / math.log(2)).toInt)
+      else {
+        val n = math.max(corpus.count(), 64L)
+        math.max(2, Iterator.from(1).find(b => (32L << b) >= n).get)
+      }
     val bucketed = vecs.select(col(idCol),
       posexplode(codeArray(corpus, col("__v"), tables, effBits))
         .as(Seq("__table", "__code")))

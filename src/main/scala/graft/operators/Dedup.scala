@@ -155,11 +155,27 @@ object Dedup {
     val rest = df.columns.filterNot(c => c == idCol || c == prioCol)
     val packed = org.apache.spark.sql.functions.struct(
       (col(prioCol) +: col(idCol) +: rest.map(col).toSeq): _*)
-    digested
-      .groupBy("__digest")
-      .agg(min(packed).as("__m"), count(lit(1)).as("n_copies"))
-      .select(df.columns.map(c => col(s"__m.$c").as(c)).toSeq ++
-        Seq(col("n_copies"), col("__digest").as("digest")): _*)
+    // same orderability guard as d01 `exact`: min(struct) fails
+    // analysis on non-orderable column types (maps) — fall back to a
+    // window keyed the same way (priority, then id)
+    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(org.apache.spark.sql.types.StructType(df.schema.fields))
+    if (orderable) {
+      digested
+        .groupBy("__digest")
+        .agg(min(packed).as("__m"), count(lit(1)).as("n_copies"))
+        .select(df.columns.map(c => col(s"__m.$c").as(c)).toSeq ++
+          Seq(col("n_copies"), col("__digest").as("digest")): _*)
+    } else {
+      val part = Window.partitionBy("__digest")
+      val w = part.orderBy(col(prioCol), col(idCol))
+      digested
+        .withColumn("n_copies", count(lit(1)).over(part))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(df.columns.map(col).toSeq ++
+          Seq(col("n_copies"), col("__digest").as("digest")): _*)
+    }
   }
 
   /** d11: incremental (cross-run) dedup — drop batch docs whose

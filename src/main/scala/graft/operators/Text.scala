@@ -207,7 +207,13 @@ object Text {
     * engine-portable discipline); the ln sums are round-6 bridged like
     * t14, with the oracle summing the SAME bucket-grouped terms.
     *
-    * Returns (idCol, n_tokens, logw, keep) one row per doc. */
+    * Returns (idCol, n_tokens, logw, keep) one row per doc — EAGER and
+    * CACHED: the result is persisted and materialized before the
+    * internal bucket-count cache is released (otherwise the caller's
+    * lazy evaluation would recompute the corpus scan per consumer).
+    * The caller owns the returned cache and must `unpersist()` it when
+    * done (the Bench/Verify harness clears cache between keys; library
+    * users release explicitly). */
   def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int = 1024)
       : org.apache.spark.sql.DataFrame = {

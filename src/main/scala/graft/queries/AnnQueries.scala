@@ -52,6 +52,63 @@ object AnnQueries {
        |  FROM embeddings e CROSS JOIN sgl s
        |  GROUP BY e.vec_id, s.t)""".stripMargin
 
+  // ---- fitted-model oracle machinery (r10 verdict item 1) ----------
+  // The k-means FIT has no portable ANSI spelling (rows-only forever,
+  // spec-verified), but everything downstream of the fitted centroids
+  // is pure IEEE-ordered arithmetic. Q.dynamic splices the fitted
+  // matrix into the SQL as literals, so quantize codes, ADC scores and
+  // probed searches hash-verify against DuckDB exactly like d14/d23.
+
+  /** Centroid matrix as a DuckDB literal. Double.toString round-trips
+    * (shortest repr, correctly-rounded parse on DuckDB's side); the
+    * outer CAST pins DOUBLE[][] against DECIMAL literal inference. */
+  private def sqlMat(m: Array[Array[Double]]): String =
+    m.map(_.mkString("[", ", ", "]"))
+      .mkString("CAST([", ", ", "] AS DOUBLE[][])")
+
+  /** DuckDB twin of the native cell_distances kernel (functions/
+    * CellDistances.scala): squared-L2 from `vecSlice` to every row of
+    * `cents`, accumulated in index order (list_reduce fold ≡ the
+    * kernel's zero-seeded loop), each distance rounded to 1e-9 exactly
+    * like the kernel — Math.round(s·1e9) = FLOOR(s·1e9 + 0.5), every
+    * intermediate < 2^53 so the long↔double round-trip is exact. */
+  private def cellDistsSql(cents: String, vecSlice: String): String =
+    s"""list_transform($cents, cc -> FLOOR(list_reduce(
+       |      list_transform(list_zip($vecSlice, cc),
+       |        z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+       |      (a, x) -> a + x) * 1e9 + 0.5) / 1e9)""".stripMargin
+
+  /** Per-subspace PQ distance columns d0..dM-1 (the SQL twin of
+    * Pq.distCols on either the corpus or the query side). */
+  private def pqDistCols(m: graft.operators.Pq.Model): String =
+    m.sub.indices.map { i =>
+      val lo = i * m.subDim + 1
+      val hi = i * m.subDim + m.subDim
+      s"${cellDistsSql(sqlMat(m.sub(i).centroids), s"embedding[$lo:$hi]")} AS d$i"
+    }.mkString(",\n    ")
+
+  /** Argmin code list (ties → first index, = array_position of min). */
+  private def pqCodesExpr(m: graft.operators.Pq.Model): String =
+    m.sub.indices.map(i => s"list_position(d$i, list_min(d$i)) - 1")
+      .mkString("[", ", ", "]")
+
+  /** ADC estimate — M lookup-adds in Pq.searchAdc's reduce order
+    * (((l0+l1)+l2)+l3. */
+  private def adcEstExpr(m: graft.operators.Pq.Model): String =
+    m.sub.indices.map(i => s"l$i[c[${i + 1}] + 1]")
+      .reduce((a, b) => s"($a + $b)")
+
+  /** Shared d19/d20 tail: rank candidates per query by (est_dist,
+    * neighbor_id) — Spark ranks sim = −est_dist DESC — and keep k. */
+  private def adcRankSql(k: Int): String =
+    s"""r AS (
+       |  SELECT query_id, neighbor_id, est_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY est_dist, neighbor_id) AS INT) AS rank
+       |  FROM est)
+       |SELECT query_id, neighbor_id, est_dist, rank
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** In-order cosine folds — the CosineSim kernel's IEEE sequence. */
   private def cosSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a.embedding, $b.embedding),
@@ -130,8 +187,38 @@ object AnnQueries {
     // cache deserialization > assignment flops); the prebuilt layout
     // that wins at scale is the DISK index partitioned by cell
     // (Ivf.buildIndexOnDisk — file-level pruning), overkill for a
-    // bench-scale corpus. Recall pinned by AnnSpec.
-    "d08_ann_ivf" -> Q.rowsOnly { (s, dir) =>
+    // bench-scale corpus. Recall pinned by AnnSpec; since r11 the
+    // SEARCH half (assignment, probing, cosine rerank) is hash-exact
+    // against DuckDB over the fitted centroids as literals.
+    "d08_ann_ivf" -> Q.dynamic { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val m = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 16)
+      s"""WITH iv AS (
+         |  SELECT vec_id, ${cellDistsSql(sqlMat(m.centroids), "embedding")} AS il
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id, list_position(il, list_min(il)) - 1 AS cell FROM iv),
+         |qc AS (
+         |  SELECT vec_id AS query_id, CAST(i AS INT) - 1 AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY il[i], i) AS rn
+         |  FROM iv CROSS JOIN (SELECT unnest(range(1, ${m.k + 1})) AS i)
+         |  WHERE vec_id < 10),
+         |probed AS (SELECT query_id, cell FROM qc WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("qe", "ce")} AS sim
+         |  FROM cells c JOIN probed p ON c.cell = p.cell
+         |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = p.query_id
+         |  WHERE c.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    } { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val model = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 16)
       graft.operators.Ivf.search(e, e.filter(col("vec_id") < 10),
@@ -168,10 +255,23 @@ object AnnQueries {
     // Product quantization (d18): M=4 subspaces × K=16 codes over the
     // embedding corpus — deterministic per-subspace k-means fit (Ivf
     // discipline), scan-speed code assignment, reconstruction MSE.
-    // Rows-only by design (iterative k-means centroids have no
-    // portable ANSI spelling); AnnSpec pins shape, determinism, MSE
-    // consistency and the beats-mean-quantizer property.
-    "d18_pq_quantize" -> Q.rowsOnly { (s, dir) =>
+    // The fit stays spec-verified (iterative k-means has no portable
+    // ANSI spelling) but the QUANTIZE half — per-subspace distances,
+    // argmin codes, MSE — is hash-exact over the fitted codebook as
+    // literals (Q.dynamic). AnnSpec additionally pins determinism and
+    // the beats-mean-quantizer property.
+    "d18_pq_quantize" -> Q.dynamic { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val m = graft.operators.Pq.fit(e, "vec_id", "embedding")
+      val sse = m.sub.indices.map(i => s"list_min(d$i)")
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH ds AS (SELECT vec_id,
+         |    ${pqDistCols(m)}
+         |  FROM embeddings)
+         |SELECT vec_id, array_to_string(${pqCodesExpr(m)}, ',') AS codes,
+         |  ROUND($sse / ${m.subDim.toDouble * m.sub.size}, 6) AS mse
+         |FROM ds ORDER BY vec_id""".stripMargin
+    } { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val model = graft.operators.Pq.fit(e, "vec_id", "embedding")
       graft.operators.Pq.quantize(e, "vec_id", "embedding", model)
@@ -182,9 +282,25 @@ object AnnQueries {
 
     // ADC search over PQ codes (d19): the corpus side of the join
     // carries codes only (no float vectors); per-query K-entry lookup
-    // tables broadcast; est distance = M lookup-adds. Rows-only;
-    // AnnSpec pins determinism + recall vs the exact baseline.
-    "d19_pq_search" -> Q.rowsOnly { (s, dir) =>
+    // tables broadcast; est distance = M lookup-adds. The scoring is
+    // hash-exact over codebook literals (Q.dynamic — the lookup
+    // tables ARE the d18 distance arrays); AnnSpec pins recall vs the
+    // exact baseline.
+    "d19_pq_search" -> Q.dynamic { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val m = graft.operators.Pq.fit(e, "vec_id", "embedding")
+      val luts = m.sub.indices.map(i => s"d$i AS l$i").mkString(", ")
+      s"""WITH ds AS (SELECT vec_id,
+         |    ${pqDistCols(m)}
+         |  FROM embeddings),
+         |codes AS (SELECT vec_id AS neighbor_id, ${pqCodesExpr(m)} AS c FROM ds),
+         |q AS (SELECT vec_id AS query_id, $luts FROM ds WHERE vec_id < 10),
+         |est AS (
+         |  SELECT q.query_id, codes.neighbor_id,
+         |    ROUND(${adcEstExpr(m)}, 6) AS est_dist
+         |  FROM codes CROSS JOIN q WHERE codes.neighbor_id <> q.query_id),
+         |${adcRankSql(5)}""".stripMargin
+    } { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val model = graft.operators.Pq.fit(e, "vec_id", "embedding")
       graft.operators.Pq.searchAdc(e, e.filter(col("vec_id") < 10),
@@ -194,9 +310,40 @@ object AnnQueries {
 
     // IVF-PQ search (d20): coarse cells bound the candidate set,
     // ADC scores from codes — equi join on cell id, query side
-    // broadcast. Rows-only; AnnSpec pins determinism, the
+    // broadcast. Assignment + probing + ADC scoring hash-exact over
+    // both fitted models as literals (Q.dynamic); AnnSpec pins the
     // candidates-are-a-subset relation vs plain ADC, and recall.
-    "d20_ivfpq_search" -> Q.rowsOnly { (s, dir) =>
+    "d20_ivfpq_search" -> Q.dynamic { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val ivf = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 16)
+      val m = graft.operators.Pq.fit(e, "vec_id", "embedding")
+      val luts = m.sub.indices.map(i => s"d$i AS l$i").mkString(", ")
+      s"""WITH ds AS (SELECT vec_id,
+         |    ${pqDistCols(m)}
+         |  FROM embeddings),
+         |iv AS (
+         |  SELECT vec_id, ${cellDistsSql(sqlMat(ivf.centroids), "embedding")} AS il
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id, list_position(il, list_min(il)) - 1 AS cell FROM iv),
+         |codes AS (
+         |  SELECT ds.vec_id AS neighbor_id, cells.cell, ${pqCodesExpr(m)} AS c
+         |  FROM ds JOIN cells ON ds.vec_id = cells.vec_id),
+         |qc AS (
+         |  SELECT vec_id AS query_id, CAST(i AS INT) - 1 AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY il[i], i) AS rn
+         |  FROM iv CROSS JOIN (SELECT unnest(range(1, ${ivf.k + 1})) AS i)
+         |  WHERE vec_id < 10),
+         |probed AS (SELECT query_id, cell FROM qc WHERE rn <= 4),
+         |q AS (SELECT vec_id AS query_id, $luts FROM ds WHERE vec_id < 10),
+         |est AS (
+         |  SELECT p.query_id, codes.neighbor_id,
+         |    ROUND(${adcEstExpr(m)}, 6) AS est_dist
+         |  FROM codes JOIN probed p ON codes.cell = p.cell
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE codes.neighbor_id <> p.query_id),
+         |${adcRankSql(5)}""".stripMargin
+    } { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val ivf = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 16)
       val pq = graft.operators.Pq.fit(e, "vec_id", "embedding")
@@ -279,7 +426,12 @@ object AnnQueries {
     // exact verify). Recall pinned by AnnSpec.
     "d07_embed_neardup" -> Q(
       s"""WITH ${lshCodesSql(
-          "(SELECT GREATEST(2, CAST(CEIL(LN(GREATEST(COUNT(*), 64) / 32.0) / LN(2)) AS INT)) FROM embeddings)")},
+          // integer twin of the kernel's auto width: smallest b with
+          // 32·2^b ≥ n ≡ ceil(log2(n/32)) — no libm on either side.
+          // b caps at 56 (DuckDB raises on BIGINT shift overflow and
+          // evaluates the shift eagerly; 2^61 rows is beyond any corpus)
+          "(SELECT GREATEST(2, CAST(MIN(b) AS INT)) FROM range(1, 57) t(b) " +
+          "WHERE (CAST(32 AS BIGINT) << b) >= (SELECT GREATEST(COUNT(*), 64) FROM embeddings))")},
         |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY t, code) AS bs FROM codes),
         |p AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
         |      FROM sized a JOIN sized b ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id

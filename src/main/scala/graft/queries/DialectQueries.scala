@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws}
 
 /** ClickHouse-dialect SQL executed VERBATIM through spark.sql — the
   * "switch to this library" proof: the reference's users keep their
@@ -1915,6 +1915,57 @@ object DialectQueries {
           |  round(arrayMax(arrayMap(x -> abs(x), seriesOutliersDetectTukey(
           |    groupArray(1.0 / (1.001 - (event_id % 1000) / CAST(1000 AS DOUBLE)))))), 4) AS max_dev
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Round-11 registry tail (ChDialect5): typed dictGet spellings,
+    // the to*OrNull/to*OrZero dirty-string conversion family, the
+    // deterministic-seed groupArraySample, translateUTF8 and
+    // bitmaskToList — each exercised once, all DuckDB-oracled (the
+    // sample replays the md5(value:seed) ordering; the bitmask list is
+    // rebuilt by a correlated bit probe).
+    "c51_ch_typed_tail" -> Q(
+      """WITH s AS (
+        |  SELECT c.*, n.n_name AS nation, n.n_regionkey,
+        |    md5(CAST(c_custkey AS VARCHAR) || ':7') AS h
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |g AS (
+        |  SELECT nation,
+        |    COUNT(*) AS n_cust,
+        |    CAST(SUM(COALESCE(TRY_CAST(substring(c_name, 10, 9) AS BIGINT), 0)) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CASE WHEN TRY_CAST(c_name AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unparsed,
+        |    array_to_string(list(c_custkey ORDER BY h, c_custkey)[1:3], ',') AS sample_ids,
+        |    MIN(translate(substring(c_mktsegment, 1, 3), 'AEIOU', 'aeiou')) AS seg3,
+        |    MIN(c_custkey) % 13 AS mask,
+        |    MIN(n_regionkey) AS regionkey,
+        |    'none' AS miss,
+        |    '1970-01-01' AS zero_date
+        |  FROM s GROUP BY nation)
+        |SELECT nation, n_cust, key_sum, unparsed, sample_ids, seg3,
+        |  (SELECT COALESCE(string_agg(CAST((CAST(1 AS BIGINT) << b) AS VARCHAR), ',' ORDER BY b), '')
+        |   FROM range(0, 63) t(b)
+        |   WHERE (g.mask & (CAST(1 AS BIGINT) << b)) != 0) AS mask_list,
+        |  regionkey, miss, zero_date
+        |FROM g ORDER BY nation""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val t = Tables(s, dir)
+      graft.functions.ChDictionaries.register(
+        "nation", t.nation, "n_nationkey", Seq("n_name", "n_regionkey"))
+      t.customer.createOrReplaceTempView("customer")
+      s.sql(graft.functions.ChSql.translate(
+        """SELECT dictGetString('nation', 'n_name', c_nationkey) AS nation,
+          |  count() AS n_cust,
+          |  sum(toInt64OrZero(substring(c_name, 10, 9))) AS key_sum,
+          |  sum(if(toFloat64OrNull(c_name) IS NULL, 1, 0)) AS unparsed,
+          |  groupArraySample(3, 7)(c_custkey) AS sample_arr,
+          |  min(translateUTF8(substring(c_mktsegment, 1, 3), 'AEIOU', 'aeiou')) AS seg3,
+          |  bitmaskToList(min(c_custkey) % 13) AS mask_list,
+          |  min(dictGetInt64OrDefault('nation', 'n_regionkey', c_nationkey, -1)) AS regionkey,
+          |  min(dictGetStringOrDefault('nation', 'n_name', 9999, 'none')) AS miss,
+          |  min(toString(toDateOrZero('nope'))) AS zero_date
+          |FROM customer
+          |GROUP BY nation ORDER BY nation""".stripMargin))
+        .withColumn("sample_ids", concat_ws(",", col("sample_arr")))
+        .drop("sample_arr")
+    },
 
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -18,14 +18,25 @@ import org.apache.spark.sql.functions._
   */
 package object queries {
   type QFn = (SparkSession, String) => DataFrame
+  type QSqlFn = (SparkSession, String) => String
 
   /** A registered query: Spark plan + optional DuckDB oracle SQL.
     * No oracle ⇒ the driver records a weaker rows-only check and a
-    * ScalaTest spec carries the semantics instead. */
-  final case class Q(fn: QFn, oracle: Option[String])
+    * ScalaTest spec carries the semantics instead.
+    *
+    * `dynOracle` is the third kind (r10 verdict item 1): oracle SQL
+    * that depends on fitted-model state — the k-means FIT stays
+    * spec-verified (no portable ANSI spelling), but its centroid
+    * matrix is spliced into the SQL as literals so the DETERMINISTIC
+    * half (quantize / ADC scoring / probed search) is hash-verified
+    * against DuckDB like any static oracle. Verify merges these into
+    * oracle_sql.json per (session, sf dir). */
+  final case class Q(fn: QFn, oracle: Option[String],
+      dynOracle: Option[QSqlFn] = None)
   object Q {
     def apply(sql: String)(fn: QFn): Q = Q(fn, Some(sql))
     def rowsOnly(fn: QFn): Q = Q(fn, None)
+    def dynamic(sqlFn: QSqlFn)(fn: QFn): Q = Q(fn, None, Some(sqlFn))
   }
 
   /** Exact money arithmetic: double → decimal(12,2). Precision sized to

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ChDictionaries, ChSql, GraftFunctions}
+
+/** Round-11 registry tail (ChDialect5): typed dictGet spellings, the
+  * to*OrNull / to*OrZero conversion family, groupArraySample,
+  * translateUTF8 and bitmaskToList/Array. */
+class ChDialect5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def sql1(q: String): org.apache.spark.sql.Row = {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql(q).collect().head
+  }
+
+  test("to*OrNull: unparseable → NULL, parseable → value, typed") {
+    val r = sql1(
+      """SELECT
+        |  toInt64OrNull('42') AS a, toInt64OrNull('nope') AS b,
+        |  toUInt32OrNull('7') AS c, toInt32OrNull('3.5') AS d,
+        |  toFloat64OrNull('2.5') AS e, toFloat64OrNull('x') AS f,
+        |  toDateOrNull('2024-03-15') AS g, toDateOrNull('nope') AS h,
+        |  toInt8OrNull('120') AS i, toInt8OrNull('999') AS j
+        |""".stripMargin)
+    assert(r.getAs[Long]("a") == 42L && r.isNullAt(r.fieldIndex("b")))
+    assert(r.getAs[Int]("c") == 7)
+    assert(r.isNullAt(r.fieldIndex("d"))) // strict integer parse, like CH
+    assert(r.getAs[Double]("e") == 2.5 && r.isNullAt(r.fieldIndex("f")))
+    assert(r.getAs[java.sql.Date]("g").toString == "2024-03-15")
+    assert(r.isNullAt(r.fieldIndex("h")))
+    assert(r.getAs[Byte]("i") == 120.toByte)
+    assert(r.isNullAt(r.fieldIndex("j"))) // out of Int8 range → NULL
+  }
+
+  test("to*OrZero: unparseable → type default (0 / epoch)") {
+    val r = sql1(
+      """SELECT
+        |  toInt64OrZero('42') AS a, toInt64OrZero('nope') AS b,
+        |  toUInt32OrZero('') AS c, toFloat32OrZero('1.5') AS d,
+        |  toDateOrZero('nope') AS e, toDateTimeOrZero('nope') AS f
+        |""".stripMargin)
+    assert(r.getAs[Long]("a") == 42L && r.getAs[Long]("b") == 0L)
+    assert(r.getAs[Int]("c") == 0)
+    assert(r.getAs[Float]("d") == 1.5f)
+    assert(r.getAs[java.sql.Date]("e").toString == "1970-01-01")
+    assert(r.getAs[java.sql.Timestamp]("f").getTime == 0L)
+  }
+
+  test("typed dictGet spellings: cast to the spelled type; OrDefault on miss") {
+    GraftFunctions.ensureRegistered(spark)
+    val dim = Seq((1L, "one", 10L), (2L, "two", 20L))
+      .toDF("k", "name", "weight")
+    ChDictionaries.register("d5dim", dim, "k", Seq("name", "weight"))
+    val r = sql1(
+      """SELECT
+        |  dictGetString('d5dim', 'name', 1) AS s,
+        |  dictGetInt64('d5dim', 'weight', 2) AS w,
+        |  dictGetInt32('d5dim', 'weight', 2) AS w32,
+        |  dictGetStringOrDefault('d5dim', 'name', 99, 'none') AS miss,
+        |  dictGetInt64OrDefault('d5dim', 'weight', 99, -1) AS missw,
+        |  dictGetFloat64('d5dim', 'weight', 1) AS f
+        |""".stripMargin)
+    assert(r.getAs[String]("s") == "one")
+    assert(r.getAs[Long]("w") == 20L)
+    assert(r.getAs[Int]("w32") == 20) // Int32 spelling narrows
+    assert(r.getAs[String]("miss") == "none")
+    assert(r.getAs[Long]("missw") == -1L)
+    assert(r.getAs[Double]("f") == 10.0)
+  }
+
+  test("bitmaskToList/Array: ascending powers of two; 0 → empty") {
+    val r = sql1(
+      """SELECT bitmaskToList(50) AS l, bitmaskToArray(50) AS a,
+        |  bitmaskToList(0) AS z, bitmaskToList(1) AS one
+        |""".stripMargin)
+    assert(r.getAs[String]("l") == "2,16,32")
+    assert(r.getAs[scala.collection.Seq[Long]]("a").toSeq == Seq(2L, 16L, 32L))
+    assert(r.getAs[String]("z") == "")
+    assert(r.getAs[String]("one") == "1")
+  }
+
+  test("translateUTF8 maps codepoints like translate") {
+    val r = sql1("SELECT translateUTF8('HELLO', 'EL', 'ip') AS t")
+    assert(r.getAs[String]("t") == "HippO")
+  }
+
+  test("groupArraySample: deterministic, ≤ max_size, subset; seed changes pick") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("g", "v")
+    df.createOrReplaceTempView("d5s")
+    def run(seed: Int): Map[Int, Seq[Long]] =
+      spark.sql(ChSql.translate(
+        s"SELECT g, groupArraySample(4, $seed)(v) AS s FROM d5s GROUP BY g"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val a = run(7)
+    val b = run(7)
+    assert(a == b, "same seed must reproduce the same sample")
+    a.foreach { case (g, s) =>
+      assert(s.size == 4)
+      assert(s.forall(v => v % 3 == g), "sample must come from the group")
+      assert(s.distinct.size == s.size)
+    }
+    val c = run(8)
+    assert(a != c, "a different seed should (here) pick differently")
+    // max_size larger than the group → the whole group, hash-ordered
+    val all = spark.sql(ChSql.translate(
+      "SELECT g, groupArraySample(100, 7)(v) AS s FROM d5s GROUP BY g"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(all.values.map(_.size).toSet == Set(17, 16))
+  }
+}
