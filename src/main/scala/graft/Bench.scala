@@ -131,7 +131,24 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val medSpread = if (spreads.nonEmpty) median(spreads) else 0.0
     val canaryS = if (canaries.nonEmpty) median(canaries.toSeq) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_runs":$failJson,"canary_s":$canaryS,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread}""")
+    // the driver artifact keeps only the LAST 2000 output chars, which
+    // used to truncate the per-key map to its final ~60 keys (r10
+    // verdict, cosmetic #3). Still ONE JSON line (the driver contract),
+    // but the trailing fields are a compact self-contained copy that
+    // FITS the tail: median centiseconds in sorted-key order (the key
+    // list is reconstructible from SparkEntry.queries; -1 marks an
+    // error key). The full line is also written to disk (committed per
+    // round as dev/bench_rN_full.json).
+    val order = benched.keys.toSeq.sorted
+    val cs = order.map(k =>
+      results.get(k).map(v => math.round(v * 100).toString).getOrElse("-1"))
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_runs":$failJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},"medians_cs_sorted_keys":[${cs.mkString(",")}]}"""
+    println(full)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "dev/bench_medians_last.json")), full)
+    catch { case e: Throwable =>
+      Console.err.println(s"[bench] could not write medians file: ${e.getMessage}") }
     spark.stop()
   }
 }

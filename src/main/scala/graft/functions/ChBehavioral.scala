@@ -315,6 +315,26 @@ private[graft] object ChBehavioral {
     * matters; CH's own implementation buffers the same). The fold is
     * array index arithmetic over the sorted collect — one aggregate,
     * no window. */
+  /** When a condition reads NOTHING from the row but the event
+    * expression itself (the overwhelmingly common CH shape:
+    * `event_type = 'click'`), it can be evaluated AFTER the collect,
+    * over the collected element — returns the substitution as a
+    * function of the element reference. None ⇒ the cond reads other
+    * columns (or the raw ts) and must be baked into the entry. */
+  private def rebindToEv(c: Expression,
+      event: Expression): Option[Expression => Expression] = {
+    def clean(e: Expression): Boolean =
+      e.semanticEquals(event) || (e match {
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => false
+        case _: Attribute => false
+        case _ => e.deterministic && e.children.forall(clean)
+      })
+    if (!clean(c)) None
+    else Some(evRef => c.transformUp {
+      case e if e.semanticEquals(event) => evRef
+    })
+  }
+
   def sequenceNextNode(direction: String, base: String, ts: Expression,
       event: Expression, baseCond: Expression,
       conds: Seq[Expression]): Expression = {
@@ -331,14 +351,32 @@ private[graft] object ChBehavioral {
       case _ => false
     }
     val k = conds.size
-    val ms = CreateArray(conds.map(c =>
-      Coalesce(Seq(Cast(c, BooleanType), Literal(false)))))
-    val entry = CreateNamedStruct(Seq(
-      Literal("t"), ChDialect.builtin("unix_micros")(Seq(ts)),
-      Literal("ev"), Cast(event, StringType),
-      Literal("bc"), Coalesce(Seq(Cast(baseCond, BooleanType),
-        Literal(false))),
-      Literal("ms"), ms))
+    // SHARED-COLLECT path (r10 verdict item 4): when every condition
+    // is a pure function of the event expression, the collected entry
+    // is just (t, ev) — IDENTICAL across all sequenceNextNode calls in
+    // the SELECT, so Spark's PhysicalAggregation dedup builds the
+    // per-group sorted event list ONCE and each call is only a scalar
+    // fold projection over it (the c44 battery's 3+ calls previously
+    // each buffered their own copy of every user's events). Conditions
+    // re-evaluate post-collect against the element's ev field —
+    // bit-equal to the baked form since they read nothing else.
+    val rebound = (baseCond +: conds).map(rebindToEv(_, event))
+    val sharable = rebound.forall(_.isDefined)
+    val entry =
+      if (sharable)
+        CreateNamedStruct(Seq(
+          Literal("t"), ChDialect.builtin("unix_micros")(Seq(ts)),
+          Literal("ev"), event))
+      else {
+        val ms = CreateArray(conds.map(c =>
+          Coalesce(Seq(Cast(c, BooleanType), Literal(false)))))
+        CreateNamedStruct(Seq(
+          Literal("t"), ChDialect.builtin("unix_micros")(Seq(ts)),
+          Literal("ev"), Cast(event, StringType),
+          Literal("bc"), Coalesce(Seq(Cast(baseCond, BooleanType),
+            Literal(false))),
+          Literal("ms"), ms))
+      }
     val asc = ChDialect.builtin("sort_array")(
       Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)))))
     val arr = if (direction == "backward")
@@ -351,13 +389,27 @@ private[graft] object ChBehavioral {
       ChDialect.builtin("array_remove")(Seq(
         ChDialect.builtin("array")(Seq(Literal(0))), Literal(0))))
     val i = fresh("i")
-    val j = fresh("j")
     def at(ix: Expression) = elem(arr, ix)
-    val chainOk = ChDialect.builtin("forall")(Seq(
-      ChDialect.builtin("sequence")(Seq(Literal(0), Literal(k - 1))),
-      LambdaFunction(
-        elem(fld(at(Add(i, j)), "ms"), Add(j, Literal(1))), Seq(j))))
-    val anchorOk = And(fld(at(i), "bc"),
+    def asBool(e: Expression): Expression =
+      Coalesce(Seq(Cast(e, BooleanType), Literal(false)))
+    val (chainOk, baseOk) =
+      if (sharable) {
+        val fs = rebound.map(_.get)
+        // k is compile-time known — unroll the chain so each rebound
+        // condition lands at its own offset (no dynamic cond index)
+        val chain = (0 until k).map(j =>
+          asBool(fs(j + 1)(fld(at(Add(i, Literal(j))), "ev"))))
+          .reduceOption(And.apply).getOrElse(Literal(true))
+        (chain, asBool(fs.head(fld(at(i), "ev"))))
+      } else {
+        val j = fresh("j")
+        val chain = ChDialect.builtin("forall")(Seq(
+          ChDialect.builtin("sequence")(Seq(Literal(0), Literal(k - 1))),
+          LambdaFunction(
+            elem(fld(at(Add(i, j)), "ms"), Add(j, Literal(1))), Seq(j))))
+        (chain, fld(at(i), "bc"))
+      }
+    val anchorOk = And(baseOk,
       if (anchored) EqualTo(i, Literal(1)) else Literal(true))
     val valid = ChDialect.builtin("filter")(Seq(idxs,
       LambdaFunction(And(anchorOk, chainOk), Seq(i))))
@@ -366,7 +418,7 @@ private[graft] object ChBehavioral {
       else ChDialect.builtin("array_min")(Seq(valid))
     val nextIdx = Add(anchor, Literal(k))
     If(And(IsNotNull(anchor), LessThanOrEqual(nextIdx, sz)),
-      fld(elem(arr, nextIdx), "ev"),
+      Cast(fld(elem(arr, nextIdx), "ev"), StringType),
       Cast(Literal(null), StringType))
   }
 

@@ -294,14 +294,6 @@ object Dedup {
     val e = pairs.select(col(id1).as("__a"), col(id2).as("__b"))
     val edges = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
       .distinct().persist()
-    // labels carry the OUTPUT schema (id1, cluster_id) from round 0,
-    // so what's returned at the end is the last round's persisted
-    // Dataset ITSELF — the caller's `unpersist()` on it is a real,
-    // complete release. (A final renaming projection would be a
-    // DERIVED plan: un-releasable by the caller, and un-cacheable
-    // without invalidating it again — the round-5/6 leak.)
-    var labels = edges.select(col("__a").as(id1))
-      .distinct().withColumn("cluster_id", col(id1)).persist()
     // DELTA iteration: each round propagates only from the frontier —
     // the nodes whose label DECREASED last round (round 0: everyone,
     // carrying their own id). A label a node ever acquires is offered
@@ -310,47 +302,69 @@ object Dedup {
     // edges-side join probe shrinks with the frontier instead of
     // staying label-table-sized every round, and once the frontier
     // fits the broadcast threshold AQE turns the remaining rounds into
-    // map-side joins (no edge shuffle at all). Convergence is an empty
-    // frontier — a free byproduct, replacing the old label-sum /
-    // labels⋈next probes.
-    var changed = labels
+    // map-side joins (no edge shuffle at all).
+    //
+    // Round state is ONE frame (id1, cluster_id, __chg), lineage-
+    // TRUNCATED each round with a lazy localCheckpoint: each round's
+    // plan references the previous round TWICE (directly + via the
+    // frontier), so under plain persist() the ANALYZED tree doubles
+    // per round — 2^rounds nodes, a driver OOM at diameter ~16 (found
+    // by D12Probe's chain graphs; invisible at sf0.1's ~5 rounds).
+    // Checkpointing pins each round to a leaf: constant plan size at
+    // ANY diameter. The frontier is a narrow filter over the same
+    // checkpoint, and the changed-count rides the single count() that
+    // materializes it — one action + one materialization per round
+    // where r10 spent two actions + three persists (verdict item 3).
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.headOption
+    var labels = edges.select(col("__a").as(id1))
+      .distinct().withColumn("cluster_id", col(id1))
+      .withColumn("__chg", lit(true)).localCheckpoint(false)
     var converged = false
     var i = 0
     try {
       while (!converged && i < maxIters) {
-        // candidate labels reaching each node from the frontier
-        val prop = edges
-          .join(changed.select(col(id1).as("__b"), col("cluster_id")), "__b")
+        val frontier = labels.filter(col("__chg"))
+          .select(col(id1).as("__b"), col("cluster_id"))
+        // candidate labels reaching each node from the frontier —
+        // single consumer, folds into next's lineage unmaterialized
+        val prop = edges.join(frontier, "__b")
           .groupBy(col("__a").as(id1)).agg(min("cluster_id").as("__new"))
-          .persist()
         val next = labels.join(prop, Seq(id1), "left")
           .select(col(id1),
             least(coalesce(col("__new"), col("cluster_id")),
-              col("cluster_id")).as("cluster_id"))
-          .persist()
-        val nextChanged = labels.join(prop, Seq(id1))
-          .filter(col("__new") < col("cluster_id"))
-          .select(col(id1), col("__new").as("cluster_id"))
-          .persist()
-        // materialize BOTH children before releasing their parents —
-        // an unmaterialized cache whose parent cache is dropped would
-        // silently recompute the whole lineage chain
-        next.count()
-        converged = nextChanged.isEmpty
-        labels.unpersist(); changed.unpersist(); prop.unpersist()
+              col("cluster_id")).as("cluster_id"),
+            coalesce(col("__new") < col("cluster_id"), lit(false)).as("__chg"))
+          .localCheckpoint(false)
+        // one action: materializes the (lazy) checkpoint AND answers
+        // convergence (empty frontier)
+        converged = next.filter(col("__chg")).count() == 0
+        // previous round's checkpoint storage released explicitly
+        // (ContextCleaner would get it on GC; long sessions shouldn't
+        // wait). Best-effort: a miss just defers to the cleaner.
+        ckptRdd(labels).foreach(_.unpersist(blocking = false))
         labels = next
-        changed = nextChanged
         i += 1
       }
       require(converged, s"dupClusters did not converge in $maxIters rounds " +
         "— component diameter exceeds the bound; raise maxIters")
     } catch {
       case e: Throwable =>
-        labels.unpersist(); changed.unpersist(); edges.unpersist(); throw e
+        ckptRdd(labels).foreach(_.unpersist(blocking = false))
+        edges.unpersist(); throw e
     }
-    changed.unpersist()
     edges.unpersist()
-    labels
+    // the caller's contract is a SELF-persisted (id1, cluster_id)
+    // frame whose single unpersist() is a complete release (the
+    // round-5/6 leak rule: a derived projection would be
+    // un-releasable) — strip the frontier flag into a fresh root once,
+    // then drop the final checkpoint
+    val out = labels.select(col(id1), col("cluster_id")).persist()
+    out.count()
+    ckptRdd(labels).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** d21: semantic deduplication (SemDeDup — Abbas et al.,

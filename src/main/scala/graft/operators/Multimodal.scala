@@ -97,25 +97,24 @@ object Multimodal {
   def binaryNearDup(media: DataFrame, frameBytes: Int = 32, every: Int = 2,
       maxFrameDf: Int = 100, minJaccard: Double = 0.3): DataFrame = {
     // collect_set builds the per-doc distinct frame set in ONE shuffle
-    // (replacing the old distinct + count-window pair) and the
-    // persisted doc-level frame keeps the binary slicing + md5 work
-    // from re-running for each of the core's three plantings of the
-    // element table (the d04 discipline). Like ngramJaccard, the
-    // frame-set cache is released before returning: the pair-scale
-    // result materializes into its own persisted frame, so the
-    // caller's unpersist() is a real, complete release.
+    // (replacing the old distinct + count-window pair). Deliberately
+    // NOT persisted, and the result is LAZY: r10 cached the doc-level
+    // frame sets so the core's three plantings of the element table
+    // would scan the binary corpus once instead of three times — but
+    // FunnelScaleProbe r11 measured the cached form LOSING at every
+    // size (50k–200k docs × 4.5 KB blobs, parquet-backed so re-scans
+    // pay real source IO): min 2.78/2.85/5.91 s cached vs
+    // 2.18/2.62/4.02 s recomputed. Deserializing arrays-of-hashes from
+    // the columnar cache costs more than the slicing + md5 it saves —
+    // the same mechanism as the r10 IVF finding ("float-array cache
+    // deserialization > assignment flops"). dev/scale_probe_r11.txt
+    // has the full table; revisit only for genuinely cold remote IO.
     val docSets = sampleFrames(media, frameBytes, every)
       .groupBy("doc_id")
       .agg(collect_set(col("frame_md5")).as("__gs"))
-      .persist()
-    try {
-      val items = docSets.select(col("doc_id"), lit("*").as("__blk"),
-        size(col("__gs")).as("__sz"), explode(col("__gs")).as("__g"))
-      val pairs = Dedup.setJaccardPairs(items, "doc_id", minJaccard, maxFrameDf)
-        .persist()
-      pairs.count()
-      pairs
-    } finally docSets.unpersist(blocking = false)
+    val items = docSets.select(col("doc_id"), lit("*").as("__blk"),
+      size(col("__gs")).as("__sz"), explode(col("__gs")).as("__g"))
+    Dedup.setJaccardPairs(items, "doc_id", minJaccard, maxFrameDf)
   }
 
   /** Batched featurization: one decoder pass per partition iterator,
