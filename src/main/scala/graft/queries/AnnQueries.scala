@@ -382,12 +382,41 @@ object AnnQueries {
         .orderBy("vec_id")
     },
 
-    "d21_semantic_dedup" -> Q.rowsOnly { (s, dir) =>
-      // minCosine 0.9 = SemDeDup's "cosine-near-identical" contract
-      // (Abbas et al. 2023). A looser 0.4 chained whole IVF cells
-      // into one component — diameter-many Pregel rounds put this
-      // key at 80+ s/pass at sf0.1 while claiming a threshold the
-      // paper never uses.
+    // minCosine 0.9 = SemDeDup's "cosine-near-identical" contract
+    // (Abbas et al. 2023). A looser 0.4 chained whole IVF cells
+    // into one component — diameter-many Pregel rounds put this
+    // key at 80+ s/pass at sf0.1 while claiming a threshold the
+    // paper never uses. Since r11 the whole post-fit pipeline is
+    // hash-exact (Q.dynamic): cells over the fitted centroids as
+    // literals, bit-exact in-cell cosine pairs, and the transitive
+    // keep/drop closed by the d12 recursive-CTE technique.
+    "d21_semantic_dedup" -> Q.dynamic { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val m = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 16)
+      s"""WITH RECURSIVE iv AS (
+         |  SELECT vec_id, ${cellDistsSql(sqlMat(m.centroids), "embedding")} AS il
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id, list_position(il, list_min(il)) - 1 AS cell FROM iv),
+         |p AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ae ON ae.vec_id = a.vec_id
+         |  JOIN embeddings be ON be.vec_id = b.vec_id
+         |  WHERE ${cosSql("ae", "be")} >= 0.9),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM p
+         |  UNION SELECT id2, id1 FROM p),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |cl AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT e.vec_id,
+         |  COALESCE(cl.cluster_id, e.vec_id) AS cluster_id,
+         |  (cl.cluster_id IS NULL OR cl.cluster_id = e.vec_id) AS keep
+         |FROM embeddings e LEFT JOIN cl USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
+    } { (s, dir) =>
       graft.operators.Dedup.semanticDedup(Tables(s, dir).embeddings,
           "vec_id", "embedding", k = 16, minCosine = 0.9)
         .orderBy("vec_id")
