@@ -30,7 +30,7 @@ def load(path):
         if k == "canary_s":
             canary = float(v)
         elif k not in ("metric", "value", "sf", "iters", "n", "rc", "cpus",
-                       "median_rel_spread"):
+                       "median_rel_spread", "n_keys"):
             qs[k] = float(v)
     return qs, canary
 

@@ -99,7 +99,45 @@ object ChDialect5 {
       LambdaFunction(IsNotNull(x), Seq(x))))
   }
 
+  /** toDecimalNN OrNull/OrZero: CH's (value, scale-literal) shape —
+    * TRY cast to DECIMAL(precision, scale); OrZero coalesces to the
+    * zero of the SAME decimal type (scale preserved in rendering). */
+  private def decimalConvAliases: Seq[(String, Builder)] = {
+    def scaleOf(e: Expression, fn: String): Int = e match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"$fn scale must be a literal integer, got $other")
+    }
+    Seq(9 -> "32", 18 -> "64", 38 -> "128").flatMap { case (p, n) =>
+      Seq[(String, Builder)](
+        s"toDecimal${n}OrNull" -> { es =>
+          Cast(es.head, DecimalType(p, scaleOf(es(1), s"toDecimal${n}OrNull")),
+            None, EvalMode.TRY) },
+        s"toDecimal${n}OrZero" -> { es =>
+          val dt = DecimalType(p, scaleOf(es(1), s"toDecimal${n}OrZero"))
+          Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY),
+            Cast(Literal(0), dt))) })
+    }
+  }
+
   private def miscAliases: Seq[(String, Builder)] = Seq(
+    // CH UUID type maps to canonical-form strings here (y04/toUUID
+    // discipline): OrNull validates the canonical shape, OrZero
+    // substitutes the nil UUID (CH's UUID zero)
+    "toUUIDOrNull" -> { es =>
+      val lowered = Lower(Cast(es.head, StringType))
+      If(RLike(lowered, Literal(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")),
+        lowered, Cast(Literal(null), StringType)) },
+    "toUUIDOrZero" -> { es =>
+      val lowered = Lower(Cast(es.head, StringType))
+      If(RLike(lowered, Literal(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")),
+        lowered, Literal("00000000-0000-0000-0000-000000000000")) },
+    "toDate32OrNull" -> { es => Cast(es.head, DateType, None, EvalMode.TRY) },
+    "toDate32OrZero" -> { es =>
+      Coalesce(Seq(Cast(es.head, DateType, None, EvalMode.TRY),
+        Literal(0, DateType))) },
     // UTF8-aware char mapping — Spark's translate IS codepoint-aware
     "translateUTF8" -> builtin("translate"),
     "bitmaskToArray" -> { es => bitmaskArr(es.head) },
@@ -140,5 +178,5 @@ object ChDialect5 {
     })
 
   def aliases: Seq[(String, Builder)] =
-    typedDictAliases ++ convAliases ++ miscAliases
+    typedDictAliases ++ convAliases ++ decimalConvAliases ++ miscAliases
 }

@@ -47,6 +47,27 @@ class ChDialect5Spec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("f").getTime == 0L)
   }
 
+  test("toDecimal*/toUUID/toDate32 OrNull/OrZero variants") {
+    val r = sql1(
+      """SELECT
+        |  toDecimal64OrNull('12.345', 3) AS a, toDecimal64OrNull('x', 3) AS b,
+        |  toDecimal32OrZero('nope', 2) AS c, toDecimal128OrZero('1.5', 10) AS d,
+        |  toUUIDOrNull('123E4567-e89b-12d3-A456-426614174000') AS u,
+        |  toUUIDOrNull('not-a-uuid') AS un,
+        |  toUUIDOrZero('nope') AS uz,
+        |  toDate32OrNull('2024-02-29') AS g, toDate32OrZero('nope') AS h
+        |""".stripMargin)
+    assert(r.getAs[java.math.BigDecimal]("a").toPlainString == "12.345")
+    assert(r.isNullAt(r.fieldIndex("b")))
+    assert(r.getAs[java.math.BigDecimal]("c").toPlainString == "0.00")
+    assert(r.getAs[java.math.BigDecimal]("d").toPlainString == "1.5000000000")
+    assert(r.getAs[String]("u") == "123e4567-e89b-12d3-a456-426614174000")
+    assert(r.isNullAt(r.fieldIndex("un")))
+    assert(r.getAs[String]("uz") == "00000000-0000-0000-0000-000000000000")
+    assert(r.getAs[java.sql.Date]("g").toString == "2024-02-29")
+    assert(r.getAs[java.sql.Date]("h").toString == "1970-01-01")
+  }
+
   test("typed dictGet spellings: cast to the spelled type; OrDefault on miss") {
     GraftFunctions.ensureRegistered(spark)
     val dim = Seq((1L, "one", 10L), (2L, "two", 20L))
