@@ -742,6 +742,56 @@ object Dedup {
     } finally docGrams.unpersist(blocking = false)
   }
 
+  /** d27: n-gram CONTAINMENT near-dup (asymmetric Jaccard,
+    * |A∩B| / min(|A|,|B|)) — the subset-duplication catcher Jaccard
+    * structurally misses: a tweet-sized doc pasted verbatim into a
+    * 10k-word page scores J ≈ |A|/|B| ≈ 0 but containment 1.0. This
+    * is the fuzzy-dedup metric the RefinedWeb/CCNet-style pipelines
+    * threshold (public recipe descriptions; reference surface has no
+    * native analog — brief's dedup family).
+    *
+    * Same blocked machinery as d04 with ONE deliberate difference: no
+    * size-ratio prune on the self-join — containment is exactly the
+    * regime where |A| ≪ |B|, so the join bound rests on the df cap
+    * alone (still blocks·grams·maxDf², corpus-linear). The df cap
+    * only ever UNDERESTIMATES containment, same one-sided contract as
+    * d04. */
+  def ngramContainment(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 3, minContainment: Double = 0.8, maxGramDf: Int = 10000): DataFrame = {
+    val docGrams = df.select(col(idCol), col(blockCol).as("__blk"),
+        wordNGrams(col(textCol), n).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .persist()
+    try {
+      val grams = docGrams
+        .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
+          explode(col("__gs")).as("__g"))
+      val hot = grams.groupBy("__blk", "__g")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxGramDf)
+        .select("__blk", "__g")
+      val capped = grams.join(hot, Seq("__blk", "__g"), "left_anti")
+      val a = capped.select(col(idCol).as("id1"), col("__blk"),
+        col("__sz").as("__s1"), col("__g"))
+      val b = capped.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
+        col("__sz").as("__s2"), col("__g").as("__g2"))
+      val pairs = a.join(b,
+          col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
+            col("id1") < col("id2"))
+        .groupBy("id1", "id2")
+        .agg(count(lit(1)).as("__inter"),
+          min("__s1").as("__sa"), min("__s2").as("__sb"))
+        .withColumn("containment",
+          col("__inter").cast("double") / least(col("__sa"), col("__sb")))
+        .filter(col("containment") >= minContainment)
+        .select("id1", "id2", "containment")
+        .persist()
+      pairs.count()
+      pairs
+    } finally docGrams.unpersist(blocking = false)
+  }
+
   /** The blocked exact-set-Jaccard core d04 (word shingles) and m03
     * (binary frame fingerprints) share. `items` holds one row per
     * (id, set element): idCol, `__blk` block key, `__sz` UNCAPPED set

@@ -254,4 +254,47 @@ object Text {
       out
     } finally docBuckets.unpersist(blocking = false)
   }
+
+  /** t21: character-entropy quality gate — Shannon entropy (bits per
+    * character) of each doc's character distribution, the cheap noise
+    * detector that complements t02/t15: near-zero entropy flags
+    * repeated-character boilerplate, abnormally high entropy flags
+    * base64/binary junk pasted into text; prose sits ~3.5–4.5 bits.
+    *
+    * Scale shape: one explode to (doc, char) rows, one partial-agg-
+    * friendly count shuffle, then the per-doc entropy folds over the
+    * CHAR-SORTED count list — a deterministic summation order the
+    * DuckDB oracle replays term for term (ln ulps bridged by the
+    * final round-6, the t14 discipline; the bits conversion divides
+    * by a shared ln(2) literal so no second libm call exists on
+    * either side).
+    *
+    * Returns (idCol, n_chars, entropy, keep) — empty docs are
+    * excluded (entropy of nothing is undefined, both engines drop
+    * them identically). */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minBits: Double = 2.0, maxBits: Double = 6.0)
+      : org.apache.spark.sql.DataFrame = {
+    val base = df
+      .select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).as("__len"))
+      .filter(col("__len") > 0)
+    val counts = base
+      .select(col(idCol), col("__len"),
+        explode(transform(sequence(lit(1), col("__len")),
+          i => col("__t").substr(i, lit(1)))).as("__c"))
+      .groupBy(col(idCol), col("__len"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    def p(s: Column): Column =
+      s.getField("__n").cast("double") / col("__len").cast("double")
+    counts
+      .groupBy(col(idCol), col("__len"))
+      .agg(sort_array(collect_list(struct(col("__c"), col("__n")))).as("__cs"))
+      .select(col(idCol), col("__len").cast("long").as("n_chars"),
+        round(
+          aggregate(col("__cs"), lit(0.0d),
+            (acc, s) => acc + p(s) * log(p(s))) /
+            lit(-0.6931471805599453d), 6).as("entropy"))
+      .withColumn("keep", col("entropy") >= minBits && col("entropy") <= maxBits)
+  }
 }

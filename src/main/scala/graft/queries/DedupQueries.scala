@@ -683,6 +683,41 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // n-gram CONTAINMENT near-dup (d27): |A∩B| / min(|A|,|B|) — the
+    // subset-duplication catcher (tweet pasted into a 10k-word page
+    // scores Jaccard ≈ 0 but containment 1.0). Same blocked core as
+    // d04 WITHOUT the size-ratio prune (containment lives exactly in
+    // the |A| ≪ |B| regime); join bounded by the df cap alone. The
+    // oracle recomputes the same capped pairs and the single-division
+    // metric.
+    "d27_containment_dedup" -> Q(
+      """WITH g AS (
+        |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (
+        |    SELECT doc_id, lang,
+        |      list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS gs
+        |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))),
+        |gf AS (
+        |  SELECT doc_id, lang, sz, g FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY lang, g) AS df FROM g)
+        |  WHERE df <= 1000),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+        |         MIN(a.sz) AS sa, MIN(b.sz) AS sb
+        |  FROM gf a JOIN gf b
+        |    ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  ROUND(CAST(inter AS DOUBLE) / LEAST(sa, sb), 6) AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE) / LEAST(sa, sb) >= 0.8
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.ngramContainment(Tables(s, dir).documents,
+        "doc_id", "text", "lang", n = 3, minContainment = 0.8, maxGramDf = 1000)
+      pairs
+        .select(col("id1"), col("id2"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id1", "id2")
+    },
+
     "d04_ngram_jaccard" -> Q(
       """WITH g AS (
         |  SELECT doc_id, lang, len(gs) AS sz, unnest(gs) AS g FROM (

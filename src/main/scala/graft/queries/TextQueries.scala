@@ -529,6 +529,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Character-entropy quality gate (t21): Shannon bits/char — the
+    // cheap noise detector next to t02/t15 (near-zero = repeated-char
+    // boilerplate, very high = base64/binary junk; prose ~3.5-4.5).
+    // The per-doc fold runs over the CHAR-SORTED count list, a
+    // deterministic summation order the oracle replays term for term;
+    // both sides divide by the same ln(2) literal (no second libm
+    // call) and round-6 bridges ln ulps (the t14 discipline).
+    "t21_char_entropy" -> Q(
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (
+        |  SELECT doc_id, len, unnest(string_split_regex(text, '')) AS c
+        |  FROM b),
+        |cnt AS (SELECT doc_id, len, c, COUNT(*) AS n FROM ch GROUP BY 1, 2, 3),
+        |e AS (
+        |  SELECT doc_id, len,
+        |    ROUND(list_reduce(list_transform(list(CAST(n AS DOUBLE) ORDER BY c),
+        |        x -> (x / len) * ln(x / len)), (a, b) -> a + b)
+        |      / -0.6931471805599453, 6) AS entropy
+        |  FROM cnt GROUP BY doc_id, len)
+        |SELECT doc_id, CAST(len AS BIGINT) AS n_chars, entropy,
+        |  (entropy >= 2.0 AND entropy <= 6.0) AS keep
+        |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Text.charEntropy(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "t14_unigram_logppl" -> Q(
       """WITH w AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),

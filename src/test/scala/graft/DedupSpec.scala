@@ -243,6 +243,28 @@ class DedupSpec extends SparkSpec {
       "unpersisting the returned handle must release everything")
   }
 
+  test("ngramContainment finds subset duplication Jaccard misses") {
+    // doc 1 (6 words, 4 trigrams) is pasted verbatim into doc 2 (36
+    // words): containment = 1.0 while Jaccard ≈ 4/34 — below any
+    // sane Jaccard threshold. doc 3 shares nothing.
+    val small = (1 to 6).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (100 to 129).map(i => s"x$i").mkString(" ")
+    val other = (200 to 229).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val cont = Dedup.ngramContainment(docs, "doc_id", "text", "lang",
+      n = 3, minContainment = 0.8, maxGramDf = 100)
+    val got = cont.select("id1", "id2", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    cont.unpersist()
+    assert(got == Seq((1L, 2L, 1.0)), s"got $got")
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", "lang",
+      n = 3, minJaccard = 0.8, maxGramDf = 100)
+    val gotJ = jac.select("id1", "id2").as[(Long, Long)].collect().toSeq
+    jac.unpersist()
+    assert(gotJ.isEmpty, s"Jaccard at the same threshold must miss it: $gotJ")
+  }
+
   test("dupClusters closes transitive chains with min-id labels") {
     // 1-2-3-4 is a CHAIN (no direct 1~3 / 1~4 pair): only transitive
     // closure puts all four in one group; two disjoint components

@@ -44,6 +44,22 @@ class TextSignalsSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(3).mkString("\n"))
   }
 
+  test("charEntropy: exact bits on known distributions; gate flags") {
+    import spark.implicits._
+    // "aaaa" -> 0 bits; "ab" -> 1 bit; "abcd" -> 2 bits (kept);
+    // "aabb" -> 1 bit; empty docs dropped entirely
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, ""),
+      (5L, "aabbccddeeffgghh")).toDF("doc_id", "text")
+    val got = Text.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_chars", "entropy", "keep")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 0.0, false),
+      (2L, 2L, 1.0, false),
+      (3L, 4L, 2.0, true),
+      (5L, 16L, 3.0, true)), s"got $got")
+  }
+
   test("edge cases: empty, all-space, punct-only, multi-byte chars") {
     import spark.implicits._
     val rows = Seq("", "   ", ".,!?;:", "héllo wörld the", "the  the   the",
