@@ -203,6 +203,31 @@ object TypeQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)(
       bucketedJoin _),
 
+    // Z-order layout (p11): lineitem rewritten as 64 parquet files
+    // clustered by the Morton code of (l_partkey, l_suppkey) — the
+    // write-side layout that lets a 2-D box predicate prune
+    // files/row-groups on BOTH dims at 100 TB (ZOrderSpec measures
+    // the pruning against the 1-D linear layout). The oracle replays
+    // the box query on the raw table — the layout must change WHERE
+    // rows live, never WHAT they are.
+    "p11_zorder_layout" -> Q(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 7
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val out = sys.props("java.io.tmpdir") + "/graft_p11_zorder"
+      graft.operators.Layout.zorderWrite(Tables(s, dir).lineitem,
+        col("l_partkey"), col("l_suppkey"), out, nFiles = 64)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(50, 150) &&
+          col("l_suppkey").between(2, 7))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("double").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // DDL round-trip (ASTCreateQuery.h:1; type names per
     // DataTypeFactory.cpp): a ClickHouse CREATE TABLE — FixedString,
     // Decimal64 shorthand, Enum8, PARTITION BY, ORDER BY, SAMPLE BY —
