@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Bpe, Text}
+import graft.operators.{Bpe, Dedup, Text}
 
 /** Text-analysis coverage (SURVEY §2 t01–t04) over `documents` — all
   * four are exact column arithmetic, all four DuckDB-oracled.
@@ -554,6 +554,56 @@ object TextQueries {
         |  (entropy >= 2.0 AND entropy <= 6.0) AS keep
         |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Text.charEntropy(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Bigram LM log-perplexity (t22): the smoothed upgrade of t14's
+    // unigram signal — per-doc mean of -ln p(w2|w1) under an add-one
+    // (Laplace) corpus bigram model, the classic cheap LM-quality
+    // filter. Same discipline as t14: corpus model via one hash agg
+    // per table (bigram counts, context counts, |V|), broadcast into
+    // a scan-speed scoring pass; round-6 bridges ln ulps and the avg
+    // order. Docs with < 2 tokens carry no bigram and drop on both
+    // engines identically. Bigrams ride the same positional-gram
+    // kernel d04 uses (raw space-split tokens, empties included —
+    // mirrored exactly by the oracle's list comprehension).
+    "t22_bigram_logppl" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |    for i in range(1, len(ws))]) AS b
+        |  FROM w),
+        |bgc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+        |ctx AS (SELECT string_split(b, ' ')[1] AS c1, COUNT(*) AS cc
+        |        FROM bg GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT t) AS v FROM
+        |        (SELECT unnest(ws) AS t FROM w)),
+        |s AS (
+        |  SELECT bg.doc_id,
+        |    -ln((bgc.cb + 1.0) / (ctx.cc + v.v)) AS lp
+        |  FROM bg JOIN bgc USING (b)
+        |  JOIN ctx ON ctx.c1 = string_split(bg.b, ' ')[1]
+        |  CROSS JOIN v)
+        |SELECT doc_id, ROUND(AVG(lp), 6) AS logppl,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val bg = docs.select(col("doc_id"),
+        explode(Dedup.wordNGramsAll(col("text"), 2)).as("b"))
+      val bgc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      val ctx = bg.select(element_at(split(col("b"), " ", -1), 1).as("c1"))
+        .groupBy("c1").agg(count(lit(1)).as("cc"))
+      val v = docs.select(explode(split(col("text"), " ", -1)).as("t"))
+        .agg(countDistinct("t").as("v"))
+      bg.join(broadcast(bgc), Seq("b"))
+        .join(broadcast(ctx),
+          element_at(split(col("b"), " ", -1), 1) === col("c1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          (-log((col("cb") + lit(1.0)) / (col("cc") + col("v")))).as("lp"))
+        .groupBy("doc_id")
+        .agg(round(avg("lp"), 6).as("logppl"),
+          count(lit(1)).as("n_bigrams"))
         .orderBy("doc_id")
     },
 
