@@ -137,6 +137,49 @@ class ChMlSpec extends SparkSpec {
     assert(lm.isNullAt(0))
   }
 
+  test("sequenceNextNode fallback path: conditions reading other columns") {
+    Seq((1L, 1, "view", 1), (1L, 2, "click", 0), (1L, 3, "view", 1),
+      (1L, 4, "click", 1), (1L, 5, "pay", 0))
+      .toDF("u", "k", "ev", "flag")
+      .selectExpr("u", "timestamp_micros(k * 1000000) AS ts", "ev", "flag")
+      .createOrReplaceTempView("snn4")
+    // conds read BOTH ev and flag → the post-collect rebind must bow
+    // out and the baked-entry path serve: the flagged view→click chain
+    // first matches at k=3..4 (k=2's click has flag=0); next = 'pay'
+    val r = sql1(
+      """SELECT sequenceNextNode('forward', 'first_match')(
+        |  ts, ev, ev IS NOT NULL, ev = 'view' AND flag = 1,
+        |  ev = 'click' AND flag = 1) AS nxt
+        |FROM snn4 GROUP BY u""".stripMargin)
+    assert(r.getString(0) == "pay")
+  }
+
+  test("sequenceNextNode battery shares ONE collect buffer across calls") {
+    Seq((1L, 1, "view"), (1L, 2, "click"), (1L, 3, "pay"))
+      .toDF("u", "k", "ev")
+      .selectExpr("u", "timestamp_micros(k * 1000000) AS ts", "ev")
+      .createOrReplaceTempView("snn5")
+    val df = spark.sql(ChSql.translate(
+      """SELECT u,
+        |  sequenceNextNode('forward', 'first_match')(
+        |    ts, ev, ev != '', ev = 'view', ev = 'click') AS a,
+        |  sequenceNextNode('forward', 'head')(
+        |    ts, ev, ev != '', ev = 'view') AS b,
+        |  sequenceNextNode('backward', 'tail')(
+        |    ts, ev, ev != '', ev = 'pay') AS c
+        |FROM snn5 GROUP BY u""".stripMargin))
+    // event-only conditions rebind post-collect, so all three calls
+    // collect the identical (t, ev) struct and the planner dedupes to
+    // ONE aggregate function: the executed plan carries exactly one
+    // partial + one final collect_list
+    val plan = df.queryExecution.executedPlan.toString
+    val n = "collect_list\\(".r.findAllIn(plan).length
+    assert(n == 2, s"expected 1 shared collect (partial+final), plan has $n:\n$plan")
+    val row = df.collect().head
+    assert(row.getString(1) == "pay" && row.getString(2) == "click" &&
+      row.getString(3) == "click")
+  }
+
   test("sequenceNextNode refuses invalid parameter pairs") {
     Seq((1L, 1, "a")).toDF("u", "k", "ev")
       .selectExpr("u", "timestamp_micros(k * 1000000) AS ts", "ev")

@@ -113,7 +113,8 @@ class PlanAuditSpec extends SparkSpec {
       "d19_pq_search",      // ADC IS broadcast-query-LUTs × corpus codes
       "t09_temperature_mix", // broadcast 1-row weight total
       "t14_unigram_logppl", // broadcast 1-row vocab-total scalar
-      "t16_dsir")           // broadcast 1-row target/raw token totals
+      "t16_dsir",           // broadcast 1-row target/raw token totals
+      "t22_bigram_logppl")  // broadcast 1-row |V| scalar (t14 shape)
     withoutAqe {
       val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
