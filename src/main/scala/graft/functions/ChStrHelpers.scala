@@ -600,4 +600,50 @@ object ChStrHelpers {
       total
     } finally d.end()
   }
+
+  // ---- r11 edit-distance tail ----
+
+  /** Damerau–Levenshtein, optimal-string-alignment variant (the
+    * published DP with adjacent transposition — the same variant the
+    * reference's damerauLevenshteinDistance documents), over
+    * codepoints. */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
+    val s = a.toString; val t = b.toString
+    val m = s.codePointCount(0, s.length)
+    val n = t.codePointCount(0, t.length)
+    val sc = s.codePoints().toArray
+    val tc = t.codePoints().toArray
+    val d = Array.ofDim[Int](m + 1, n + 1)
+    var i = 0
+    while (i <= m) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= n) { d(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= m) {
+      j = 1
+      while (j <= n) {
+        val cost = if (sc(i - 1) == tc(j - 1)) 0 else 1
+        var v = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && sc(i - 1) == tc(j - 2) && sc(i - 2) == tc(j - 1))
+          v = math.min(v, d(i - 2)(j - 2) + 1)
+        d(i)(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    d(m)(n)
+  }
+
+  /** Byte Hamming distance: differing bytes over the common prefix
+    * plus the length difference (the reference's mismatch contract
+    * for unequal lengths). */
+  def byteHamming(a: UTF8String, b: UTF8String): Int = {
+    val x = a.getBytes; val y = b.getBytes
+    val min = math.min(x.length, y.length)
+    var c = math.abs(x.length - y.length)
+    var i = 0
+    while (i < min) { if (x(i) != y(i)) c += 1; i += 1 }
+    c
+  }
 }

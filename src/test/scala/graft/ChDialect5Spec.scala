@@ -106,6 +106,50 @@ class ChDialect5Spec extends SparkSpec {
     assert(r.getAs[String]("t") == "HippO")
   }
 
+  test("r11 probe-tail: datetime, array, string, map names") {
+    val r = sql1(
+      """SELECT
+        |  addQuarters(DATE '2024-01-15', 2) AS aq,
+        |  subtractQuarters(DATE '2024-01-15', 1) AS sq,
+        |  dateTrunc('month', TIMESTAMP '2024-03-15 13:45:00') AS dt,
+        |  dateSub('hour', 2, TIMESTAMP '2024-03-15 13:45:00') AS ds,
+        |  age('year', TIMESTAMP '2021-06-01 00:00:00',
+        |      TIMESTAMP '2024-03-15 00:00:00') AS ag,
+        |  age('day', TIMESTAMP '2024-03-14 23:00:00',
+        |      TIMESTAMP '2024-03-15 22:59:00') AS agd,
+        |  arrayUnion(array(1, 2), array(2, 3), array(4)) AS au,
+        |  arraySymmetricDifference(array(1, 2, 3), array(2, 3, 4)) AS asd,
+        |  substringIndex('a.b.c', '.', 2) AS sidx,
+        |  firstLine('line one
+        |rest') AS fl,
+        |  levenshteinDistance('kitten', 'sitting') AS lev,
+        |  damerauLevenshteinDistance('ab', 'ba') AS dl,
+        |  damerauLevenshteinDistance('ca', 'abc') AS dl2,
+        |  byteHammingDistance('karolin', 'kathrin') AS bh,
+        |  byteHammingDistance('abc', 'abcde') AS bh2,
+        |  mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) AS me,
+        |  mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS ma,
+        |  map_keys(mapSort(map('b', 2, 'a', 1))) AS ms
+        |""".stripMargin)
+    assert(r.getAs[java.sql.Date]("aq").toString == "2024-07-15")
+    assert(r.getAs[java.sql.Date]("sq").toString == "2023-10-15")
+    assert(r.getAs[java.sql.Timestamp]("dt").toString.startsWith("2024-03-01"))
+    assert(r.getAs[java.sql.Timestamp]("ds").toString.startsWith("2024-03-15 11:45"))
+    assert(r.getAs[Long]("ag") == 2L)   // complete years only
+    assert(r.getAs[Long]("agd") == 0L)  // 23h59m < a complete day
+    assert(r.getAs[scala.collection.Seq[Int]]("au").toSet == Set(1, 2, 3, 4))
+    assert(r.getAs[scala.collection.Seq[Int]]("asd").toSet == Set(1, 4))
+    assert(r.getAs[String]("sidx") == "a.b")
+    assert(r.getAs[String]("fl") == "line one")
+    assert(r.getAs[Int]("lev") == 3)
+    assert(r.getAs[Int]("dl") == 1)  // one transposition
+    assert(r.getAs[Int]("dl2") == 3) // OSA's classic ca→abc case
+    assert(r.getAs[Int]("bh") == 3)
+    assert(r.getAs[Int]("bh2") == 2) // length difference counts
+    assert(r.getAs[Boolean]("me") && r.getAs[Boolean]("ma"))
+    assert(r.getAs[scala.collection.Seq[String]]("ms").toSeq == Seq("a", "b"))
+  }
+
   test("groupArraySample: deterministic, ≤ max_size, subset; seed changes pick") {
     GraftFunctions.ensureRegistered(spark)
     val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("g", "v")
