@@ -277,7 +277,106 @@ object ChDialect5 {
     "initialQueryStartTime" -> { _ =>
       throw new UnsupportedOperationException(
         "initialQueryStartTime() reads the server's query registry — " +
-          "a library engine has none") })
+          "a library engine has none") },
+
+    // exact-quantile interpolation variants (public CH semantics =
+    // Excel PERCENTILE.EXC / PERCENTILE.INC = Hyndman-Fan types 6/7).
+    // Inclusive IS Spark's percentile; exclusive interpolates at
+    // h = (n+1)p over the sorted collect (clamped to the ends).
+    "quantileExactInclusive" -> builtin("percentile"),
+    "quantileExactExclusive" -> { es =>
+      exclQuantile(sortedCollect(es.head), Cast(es(1), DoubleType)) },
+    "quantilesExactInclusive" -> { es =>
+      val s = sortedCollect(es.head)
+      CreateArray(es.tail.map(p => inclQuantileOn(s, Cast(p, DoubleType)))) },
+    "quantilesExactExclusive" -> { es =>
+      val s = sortedCollect(es.head)
+      CreateArray(es.tail.map(p => exclQuantile(s, Cast(p, DoubleType)))) },
+
+    // intersection of array values across the group's rows (CH
+    // groupArrayIntersect); output sorted — CH's order is arbitrary,
+    // ours is deterministic on any cluster size
+    "groupArrayIntersect" -> { es =>
+      val lst = aggregate.CollectList(es.head).toAggregateExpression()
+      builtin("array_sort")(Seq(
+        builtin("aggregate")(Seq(lst,
+          builtin("element_at")(Seq(lst, Literal(1))), {
+            val acc = UnresolvedNamedLambdaVariable(Seq(
+              UnresolvedNamedLambdaVariable.freshVarName("acc")))
+            val a = UnresolvedNamedLambdaVariable(Seq(
+              UnresolvedNamedLambdaVariable.freshVarName("a")))
+            LambdaFunction(builtin("array_intersect")(Seq(acc, a)),
+              Seq(acc, a))
+          })))) },
+
+    "JSONArrayLength" -> builtin("json_array_length"),
+    // parseReadableSize('1.5 MiB') → bytes (binary + decimal units;
+    // the inverse of formatReadableSize; unknown unit → NULL)
+    "parseReadableSize" -> { es =>
+      val s = builtin("trim")(Seq(es.head))
+      val num = Cast(builtin("regexp_extract")(Seq(s,
+        Literal("^([0-9.]+)"), Literal(1))), DoubleType)
+      val unit = builtin("upper")(Seq(builtin("regexp_extract")(Seq(s,
+        Literal("([A-Za-z]+)\\s*$"), Literal(1)))))
+      val mult = CaseWhen(Seq(
+        "B" -> 1d, "KB" -> 1e3, "KIB" -> 1024d, "MB" -> 1e6,
+        "MIB" -> 1048576d, "GB" -> 1e9, "GIB" -> 1073741824d,
+        "TB" -> 1e12, "TIB" -> 1099511627776d, "PB" -> 1e15,
+        "PIB" -> 1125899906842624d, "EB" -> 1e18,
+        "EIB" -> 1152921504606846976d
+      ).map { case (u, m) => (EqualTo(unit, Literal(u)), Literal(m)) }, None)
+      Cast(builtin("round")(Seq(Multiply(num, mult))), LongType) },
+    // Joda tokens are java.time tokens for the common set — direct
+    // date_format passthrough (the MySQL-token formatDateTime already
+    // exists separately)
+    "formatDateTimeInJodaSyntax" -> { es =>
+      builtin("date_format")(Seq(Cast(es(0), TimestampType), es(1))) },
+    // Twitter-epoch snowflake id of an instant (inverse of the
+    // registered snowflakeToDateTime): (millis − epoch) << 22
+    "dateTimeToSnowflakeID" -> { es =>
+      val ep = if (es.size > 1) Cast(es(1), LongType)
+        else Literal(1288834974657L)
+      builtin("shiftleft")(Seq(
+        Subtract(builtin("unix_millis")(Seq(Cast(es(0), TimestampType))), ep),
+        Literal(22))) },
+    "isZeroOrNull" -> { es =>
+      Or(IsNull(es.head), EqualTo(es.head, Literal(0))) },
+    "throwIf" -> { es =>
+      val msg = if (es.size > 1) es(1)
+        else Literal("throwIf: condition met")
+      If(Coalesce(Seq(Cast(es.head, BooleanType), Literal(false))),
+        Cast(builtin("raise_error")(Seq(msg)), IntegerType),
+        Literal(0)) })
+
+  private def sortedCollect(x: Expression): Expression =
+    builtin("array_sort")(Seq(
+      aggregate.CollectList(Cast(x, DoubleType)).toAggregateExpression()))
+
+  /** Hyndman–Fan type-6 (exclusive) interpolation over a sorted
+    * double array: h = (n+1)p clamped to [1, n]. */
+  private def exclQuantile(sorted: Expression, p: Expression): Expression =
+    hfQuantile(sorted, p, inclusive = false)
+
+  /** Type-7 (inclusive) on the SAME sorted collect — used by the
+    * plural form so one sort serves every requested p. */
+  private def inclQuantileOn(sorted: Expression, p: Expression): Expression =
+    hfQuantile(sorted, p, inclusive = true)
+
+  private def hfQuantile(sorted: Expression, p: Expression,
+      inclusive: Boolean): Expression = {
+    val n = Cast(builtin("size")(Seq(sorted)), DoubleType)
+    val h0 = if (inclusive) Add(Multiply(Subtract(n, Literal(1.0)), p), Literal(1.0))
+      else Multiply(Add(n, Literal(1.0)), p)
+    val h = Least(Seq(Greatest(Seq(h0, Literal(1.0))), n))
+    // h >= 1, so the truncating cast IS floor ("floor" itself is an
+    // ExpressionBuilder builtin the plain builder lookup can't call)
+    val l = Cast(h, IntegerType)
+    val u = Least(Seq(Cast(Add(l, Literal(1)), DoubleType), n))
+    val lv = builtin("element_at")(Seq(sorted, l))
+    val uv = builtin("element_at")(Seq(sorted, Cast(u, IntegerType)))
+    Add(lv, Multiply(Subtract(h, Cast(l, DoubleType)),
+      Subtract(uv, lv)))
+  }
 
   def aliases: Seq[(String, Builder)] =
     typedDictAliases ++ convAliases ++ decimalConvAliases ++

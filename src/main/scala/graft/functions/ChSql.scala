@@ -820,6 +820,8 @@ object ChSql {
     "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG",
     "WINDOWFUNNEL",
     "QUANTILEEXACTLOW", "QUANTILEEXACTHIGH", "GROUPARRAYLAST",
+    "QUANTILEEXACTEXCLUSIVE", "QUANTILEEXACTINCLUSIVE",
+    "QUANTILESEXACTEXCLUSIVE", "QUANTILESEXACTINCLUSIVE",
     "EXPONENTIALTIMEDECAYEDSUM", "EXPONENTIALTIMEDECAYEDMAX",
     "EXPONENTIALTIMEDECAYEDCOUNT", "EXPONENTIALTIMEDECAYEDAVG",
     "MEANZTEST", "EXPONENTIALMOVINGAVERAGE",

@@ -150,6 +150,54 @@ class ChDialect5Spec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[String]]("ms").toSeq == Seq("a", "b"))
   }
 
+  test("r11 probe-tail 2: exact-quantile variants, groupArrayIntersect, misc") {
+    GraftFunctions.ensureRegistered(spark)
+    (1 to 10).map(i => (1, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("d5q")
+    val q = spark.sql(ChSql.translate(
+      """SELECT
+        |  quantileExactInclusive(0.25)(v) AS qi,
+        |  quantileExactExclusive(0.25)(v) AS qe,
+        |  quantilesExactExclusive(0.25, 0.5)(v) AS qs
+        |FROM d5q GROUP BY g""".stripMargin)).collect().head
+    // Hyndman-Fan on 1..10: type 7 at .25 → 3.25; type 6 → 2.75
+    assert(math.abs(q.getDouble(0) - 3.25) < 1e-12)
+    assert(math.abs(q.getDouble(1) - 2.75) < 1e-12)
+    val qs = q.getAs[scala.collection.Seq[Double]]("qs")
+    assert(math.abs(qs(0) - 2.75) < 1e-12 && math.abs(qs(1) - 5.5) < 1e-12)
+
+    Seq((1, Seq(1, 2, 3)), (1, Seq(2, 3, 4)), (1, Seq(3, 2, 9)))
+      .toDF("g", "a").createOrReplaceTempView("d5i")
+    val gi = sql1("SELECT groupArrayIntersect(a) AS i FROM d5i GROUP BY g")
+    assert(gi.getAs[scala.collection.Seq[Int]]("i").toSeq == Seq(2, 3))
+
+    val r = sql1(
+      """SELECT
+        |  JSONArrayLength('[1, 2, 3]') AS jal,
+        |  parseReadableSize('1.5 MiB') AS prs,
+        |  parseReadableSize('2 KB') AS prs2,
+        |  formatDateTimeInJodaSyntax(TIMESTAMP '2024-03-15 13:45:00',
+        |    'yyyy-MM-dd HH:mm') AS joda,
+        |  snowflakeToDateTime(dateTimeToSnowflakeID(
+        |    TIMESTAMP '2024-03-15 13:45:00')) AS snow_rt,
+        |  isZeroOrNull(0) AS z1, isZeroOrNull(NULL) AS z2,
+        |  isZeroOrNull(7) AS z3,
+        |  throwIf(false, 'nope') AS ti
+        |""".stripMargin)
+    assert(r.getAs[Number]("jal").intValue == 3)
+    assert(r.getAs[Long]("prs") == 1572864L)
+    assert(r.getAs[Long]("prs2") == 2000L)
+    assert(r.getAs[String]("joda") == "2024-03-15 13:45")
+    assert(r.getAs[java.sql.Timestamp]("snow_rt").toString
+      .startsWith("2024-03-15 13:45:00"))
+    assert(r.getAs[Boolean]("z1") && r.getAs[Boolean]("z2") && !r.getAs[Boolean]("z3"))
+    assert(r.getAs[Int]("ti") == 0)
+    val err = intercept[Exception] {
+      sql1("SELECT throwIf(true, 'boom') AS x")
+    }
+    assert(err.getMessage.contains("boom"))
+  }
+
   test("groupArraySample: deterministic, ≤ max_size, subset; seed changes pick") {
     GraftFunctions.ensureRegistered(spark)
     val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("g", "v")
