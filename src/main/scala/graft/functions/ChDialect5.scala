@@ -348,6 +348,53 @@ object ChDialect5 {
         Cast(builtin("raise_error")(Seq(msg)), IntegerType),
         Literal(0)) })
 
+  /** Third probe batch: window respect-nulls spellings, the URL
+    * tail, and math one-liners. */
+  private def probeTail3Aliases: Seq[(String, Builder)] = Seq(
+    // Spark's first/last RESPECT NULLS is the default form
+    "firstValueRespectNulls" -> builtin("first"),
+    "lastValueRespectNulls" -> builtin("last"),
+    // remove one query parameter (CH cutURLParameter; literal name —
+    // the regex embeds it quoted)
+    "cutURLParameter" -> { es =>
+      val nm = es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+            if s != null => java.util.regex.Pattern.quote(s.toString)
+        case other => throw new IllegalArgumentException(
+          s"cutURLParameter needs a literal parameter name, got $other")
+      }
+      val r1 = builtin("regexp_replace")(Seq(es(0),
+        Literal(s"&$nm=[^&#]*"), Literal("")))
+      val r2 = builtin("regexp_replace")(Seq(r1,
+        Literal(s"\\?$nm=[^&#]*&"), Literal("?")))
+      builtin("regexp_replace")(Seq(r2,
+        Literal(s"\\?$nm=[^&#]*"), Literal(""))) },
+    // x-www-form-urlencoded decode ('+' = space) — url_decode's
+    // contract exactly
+    "decodeURLFormComponent" -> builtin("url_decode"),
+    "port" -> { es =>
+      val p = builtin("regexp_extract")(Seq(es(0),
+        Literal("^\\w+://[^/?#]*:(\\d+)"), Literal(1)))
+      val dflt = if (es.size > 1) Cast(es(1), IntegerType) else Literal(0)
+      If(EqualTo(p, Literal("")), dflt, Cast(p, IntegerType)) },
+    "queryStringAndFragment" -> { es =>
+      val q = builtin("parse_url")(Seq(es(0), Literal("QUERY")))
+      val f = builtin("parse_url")(Seq(es(0), Literal("REF")))
+      Concat(Seq(Coalesce(Seq(q, Literal(""))),
+        If(IsNull(f), Literal(""), Concat(Seq(Literal("#"), f))))) },
+    "sigmoid" -> { es =>
+      val x = Cast(es.head, DoubleType)
+      Divide(Literal(1.0), Add(Literal(1.0),
+        builtin("exp")(Seq(UnaryMinus(x))))) },
+    "logit" -> { es =>
+      val x = Cast(es.head, DoubleType)
+      builtin("ln")(Seq(Divide(x, Subtract(Literal(1.0), x)))) },
+    "positiveModulo" -> builtin("pmod"),
+    "negativeModulo" -> { es => Remainder(es(0), es(1)) },
+    "nanToNull" -> { es =>
+      val x = Cast(es.head, DoubleType)
+      If(builtin("isnan")(Seq(x)), Cast(Literal(null), DoubleType), x) })
+
   private def sortedCollect(x: Expression): Expression =
     builtin("array_sort")(Seq(
       aggregate.CollectList(Cast(x, DoubleType)).toAggregateExpression()))
@@ -380,5 +427,5 @@ object ChDialect5 {
 
   def aliases: Seq[(String, Builder)] =
     typedDictAliases ++ convAliases ++ decimalConvAliases ++
-      miscAliases ++ probeTailAliases
+      miscAliases ++ probeTailAliases ++ probeTail3Aliases
 }

@@ -198,6 +198,49 @@ class ChDialect5Spec extends SparkSpec {
     assert(err.getMessage.contains("boom"))
   }
 
+  test("r11 probe-tail 3: window respect-nulls, URL tail, math one-liners") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq((1, 1, Option.empty[Int]), (1, 2, Some(5)), (1, 3, Option.empty[Int]))
+      .toDF("g", "k", "v").createOrReplaceTempView("d5w")
+    val w = spark.sql(
+      """SELECT firstValueRespectNulls(v) OVER (ORDER BY k) AS f,
+        |  lastValueRespectNulls(v) OVER
+        |    (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND UNBOUNDED FOLLOWING) AS l
+        |FROM d5w ORDER BY k""".stripMargin).collect()
+    assert(w.head.isNullAt(0) && w.head.isNullAt(1)) // NULLs respected
+    val r = sql1(
+      """SELECT
+        |  cutURLParameter('http://x.com/p?a=1&b=2&c=3', 'b') AS c1,
+        |  cutURLParameter('http://x.com/p?a=1&b=2', 'a') AS c2,
+        |  cutURLParameter('http://x.com/p?a=1', 'a') AS c3,
+        |  decodeURLFormComponent('a+b%21') AS dec,
+        |  port('http://x.com:8123/path') AS p1,
+        |  port('http://x.com/path') AS p2,
+        |  port('http://x.com/path', 80) AS p3,
+        |  queryStringAndFragment('http://x.com/p?a=1#frag') AS qf,
+        |  ROUND(sigmoid(0.0), 6) AS sg,
+        |  ROUND(logit(0.5), 6) AS lg,
+        |  positiveModulo(-7, 3) AS pm,
+        |  negativeModulo(-7, 3) AS nm,
+        |  nanToNull(CAST('nan' AS DOUBLE)) AS nn,
+        |  nanToNull(2.5) AS nn2
+        |""".stripMargin)
+    assert(r.getAs[String]("c1") == "http://x.com/p?a=1&c=3")
+    assert(r.getAs[String]("c2") == "http://x.com/p?b=2")
+    assert(r.getAs[String]("c3") == "http://x.com/p")
+    assert(r.getAs[String]("dec") == "a b!")
+    assert(r.getAs[Int]("p1") == 8123 && r.getAs[Int]("p2") == 0 &&
+      r.getAs[Int]("p3") == 80)
+    assert(r.getAs[String]("qf") == "a=1#frag")
+    assert(r.getAs[Double]("sg") == 0.5)
+    assert(r.getAs[Double]("lg") == 0.0)
+    assert(r.getAs[Int]("pm") == 2)
+    assert(r.getAs[Int]("nm") == -1)
+    assert(r.isNullAt(r.fieldIndex("nn")) && r.getAs[Double]("nn2") == 2.5)
+  }
+
   test("groupArraySample: deterministic, ≤ max_size, subset; seed changes pick") {
     GraftFunctions.ensureRegistered(spark)
     val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("g", "v")
