@@ -393,7 +393,51 @@ object ChDialect5 {
     "negativeModulo" -> { es => Remainder(es(0), es(1)) },
     "nanToNull" -> { es =>
       val x = Cast(es.head, DoubleType)
-      If(builtin("isnan")(Seq(x)), Cast(Literal(null), DoubleType), x) })
+      If(builtin("isnan")(Seq(x)), Cast(Literal(null), DoubleType), x) },
+
+    // URL-safe base64 (CH base64URLEncode/Decode: '+/' → '-_',
+    // unpadded). translate with a shorter 'to' DELETES the extra
+    // 'from' chars — that drops '='; decode restores padding first.
+    "base64URLEncode" -> { es =>
+      builtin("translate")(Seq(builtin("base64")(Seq(es.head)),
+        Literal("+/="), Literal("-_"))) },
+    "base64URLDecode" -> { es =>
+      val std = builtin("translate")(Seq(es.head,
+        Literal("-_"), Literal("+/")))
+      val pad = Pmod(Subtract(Literal(4),
+        Pmod(Length(std), Literal(4))), Literal(4))
+      builtin("unbase64")(Seq(Concat(Seq(std,
+        builtin("repeat")(Seq(Literal("="), pad)))))) },
+    "notILike" -> { es => Not(builtin("ilike")(es)) },
+    "startsWithUTF8" -> builtin("startswith"),
+    "endsWithUTF8" -> builtin("endswith"),
+    // validity probe via the '$' root path (a bare JSON 'null' maps to
+    // SQL NULL and reads as invalid — the one divergence, documented)
+    "isValidJSON" -> { es =>
+      IsNotNull(builtin("get_json_object")(Seq(es.head, Literal("$")))) },
+    // SQL/JSON trio (the CH spellings; '$.a.b' paths are
+    // get_json_object's native syntax)
+    "JSON_VALUE" -> builtin("get_json_object"),
+    "JSON_QUERY" -> builtin("get_json_object"),
+    "JSON_EXISTS" -> { es =>
+      IsNotNull(builtin("get_json_object")(es)) },
+    // regex sibling of multiSearchAny: any pattern matches
+    "multiMatchAny" -> { es =>
+      val p = UnresolvedNamedLambdaVariable(Seq(
+        UnresolvedNamedLambdaVariable.freshVarName("p")))
+      Cast(builtin("exists")(Seq(es(1),
+        LambdaFunction(RLike(es(0), p), Seq(p)))), IntegerType) },
+    "toMillisecond" -> { es =>
+      Cast(Pmod(builtin("unix_millis")(Seq(Cast(es.head, TimestampType))),
+        Literal(1000L)), IntegerType) },
+    // timeDiff(start, end) = whole seconds end − start
+    "timeDiff" -> { es =>
+      Subtract(builtin("unix_seconds")(Seq(Cast(es(1), TimestampType))),
+        builtin("unix_seconds")(Seq(Cast(es(0), TimestampType)))) },
+    "zookeeperSessionUptime" -> { _ =>
+      throw new UnsupportedOperationException(
+        "zookeeperSessionUptime() reads the reference server's " +
+          "coordination session — a library engine has none") })
 
   private def sortedCollect(x: Expression): Expression =
     builtin("array_sort")(Seq(

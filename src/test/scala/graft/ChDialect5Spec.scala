@@ -241,6 +241,36 @@ class ChDialect5Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("nn")) && r.getAs[Double]("nn2") == 2.5)
   }
 
+  test("r11 probe-tail 4: URL-safe base64, SQL/JSON trio, misc") {
+    val r = sql1(
+      """SELECT
+        |  base64URLEncode('ab?cd>e') AS b64u,
+        |  CAST(base64URLDecode(base64URLEncode('ab?cd>e')) AS STRING) AS rt,
+        |  notILike('Hello', '%WORLD%') AS nil,
+        |  startsWithUTF8('héllo', 'hé') AS sw,
+        |  endsWithUTF8('héllo', 'lo') AS ew,
+        |  isValidJSON('{"a": 1}') AS vj, isValidJSON('nope') AS ivj,
+        |  JSON_VALUE('{"a": {"b": 7}}', '$.a.b') AS jv,
+        |  JSON_EXISTS('{"a": 1}', '$.a') AS je,
+        |  JSON_EXISTS('{"a": 1}', '$.z') AS jne,
+        |  multiMatchAny('abcdef', array('x{2}', 'cd.f')) AS mma,
+        |  multiMatchAny('abcdef', array('x{2}', 'zz')) AS mmn,
+        |  toMillisecond(TIMESTAMP '2024-03-15 13:45:00.123') AS tms,
+        |  timeDiff(TIMESTAMP '2024-03-15 13:45:00',
+        |           TIMESTAMP '2024-03-15 13:46:30') AS td
+        |""".stripMargin)
+    assert(!r.getAs[String]("b64u").exists(c => c == '+' || c == '/' || c == '='))
+    assert(r.getAs[String]("rt") == "ab?cd>e")
+    assert(r.getAs[Boolean]("nil")) // Hello ILIKE %WORLD% is false → notILike true
+    assert(r.getAs[Boolean]("sw") && r.getAs[Boolean]("ew"))
+    assert(r.getAs[Boolean]("vj") && !r.getAs[Boolean]("ivj"))
+    assert(r.getAs[String]("jv") == "7")
+    assert(r.getAs[Boolean]("je") && !r.getAs[Boolean]("jne"))
+    assert(r.getAs[Int]("mma") == 1 && r.getAs[Int]("mmn") == 0)
+    assert(r.getAs[Int]("tms") == 123)
+    assert(r.getAs[Long]("td") == 90L)
+  }
+
   test("groupArraySample: deterministic, ≤ max_size, subset; seed changes pick") {
     GraftFunctions.ensureRegistered(spark)
     val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("g", "v")
