@@ -74,12 +74,36 @@ object ChDialect5 {
     case other => throw new IllegalStateException(s"no zero for $other")
   }
 
+  /** Unsigned Or* targets parse through a carrying type one step
+    * wider than the unsigned range and range-check [0, max] — so
+    * toUInt32OrNull('3000000000') = 3000000000 (LongType carrier) and
+    * toUInt64OrNull('-1') = NULL, matching the reference's parse.
+    * Documented divergence: UInt64 values above 2^63−1 have no Long
+    * carrier and come back NULL/0 where the reference returns the
+    * value (the dirty-string idiom never feeds those). */
+  private val unsignedRanges: Map[String, (DataType, Long)] = Map(
+    "UInt8" -> (ShortType, 255L), "UInt16" -> (IntegerType, 65535L),
+    "UInt32" -> (LongType, 4294967295L),
+    "UInt64" -> (LongType, Long.MaxValue))
+
+  private def unsignedParse(n: String, e: Expression): Expression = {
+    val (carrier, max) = unsignedRanges(n)
+    val c = Cast(e, carrier, None, EvalMode.TRY)
+    If(And(GreaterThanOrEqual(c, Cast(Literal(0), carrier)),
+      LessThanOrEqual(Cast(c, LongType), Literal(max))),
+      c, Cast(Literal(null), carrier))
+  }
+
   private def convAliases: Seq[(String, Builder)] =
     convTypes.flatMap { case (n, dt) =>
+      val parse: Expression => Expression =
+        if (unsignedRanges.contains(n)) unsignedParse(n, _)
+        else e => Cast(e, dt, None, EvalMode.TRY)
+      val zero = if (unsignedRanges.contains(n)) zeroOf(unsignedRanges(n)._1)
+        else zeroOf(dt)
       Seq[(String, Builder)](
-        s"to${n}OrNull" -> { es => Cast(es.head, dt, None, EvalMode.TRY) },
-        s"to${n}OrZero" -> { es =>
-          Coalesce(Seq(Cast(es.head, dt, None, EvalMode.TRY), zeroOf(dt))) })
+        s"to${n}OrNull" -> { es => parse(es.head) },
+        s"to${n}OrZero" -> { es => Coalesce(Seq(parse(es.head), zero)) })
     }
 
   // ---- misc tail ----
@@ -311,7 +335,10 @@ object ChDialect5 {
 
     "JSONArrayLength" -> builtin("json_array_length"),
     // parseReadableSize('1.5 MiB') → bytes (binary + decimal units;
-    // the inverse of formatReadableSize; unknown unit → NULL)
+    // the inverse of formatReadableSize). Fractional byte counts
+    // round UP (the reference ceils: '1.1 KiB' → 1127, not 1126).
+    // Documented divergence: unknown units return NULL where the
+    // reference throws — a library column op can't abort the query.
     "parseReadableSize" -> { es =>
       val s = builtin("trim")(Seq(es.head))
       val num = Cast(builtin("regexp_extract")(Seq(s,
@@ -325,7 +352,11 @@ object ChDialect5 {
         "PIB" -> 1125899906842624d, "EB" -> 1e18,
         "EIB" -> 1152921504606846976d
       ).map { case (u, m) => (EqualTo(unit, Literal(u)), Literal(m)) }, None)
-      Cast(builtin("round")(Seq(Multiply(num, mult))), LongType) },
+      // ceil via truncating cast: bytes are non-negative, so
+      // trunc(v) == floor(v), and ceil = trunc + (v > trunc)
+      val v = Multiply(num, mult)
+      val t = Cast(v, LongType)
+      Add(t, Cast(GreaterThan(v, Cast(t, DoubleType)), LongType)) },
     // Joda tokens are java.time tokens for the common set — direct
     // date_format passthrough (the MySQL-token formatDateTime already
     // exists separately)
