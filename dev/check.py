@@ -3,7 +3,8 @@
 parquet dumps Verify.scala wrote, run each oracle SQL in DuckDB on the
 same sf dir, normalize (sort columns by name, sort rows), compare.
 
-Usage: python3 dev/check.py [sfdir] [outdir]
+Usage: python3 dev/check.py [sfdir] [outdir] [key,key,...]
+(the optional key list restricts the compare — for filtered Verify runs)
 """
 import json, math, sys
 import duckdb
@@ -13,6 +14,7 @@ from pathlib import Path
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -37,6 +39,8 @@ def cell_eq(a, b):
 
 fails = 0
 for name in sorted(oracles):
+    if only is not None and name not in only:
+        continue
     pdir = outdir / name
     if not pdir.exists():
         print(f"FAIL {name}: no spark output")
@@ -74,7 +78,7 @@ for name in sorted(oracles):
 
 # rows-only entries (queries without oracle): just check output exists & >0 rows
 for pdir in sorted(outdir.iterdir()):
-    if pdir.is_dir() and pdir.name not in oracles:
+    if pdir.is_dir() and pdir.name not in oracles and (only is None or pdir.name in only):
         try:
             n = pq.read_table(str(pdir)).num_rows
             print(f"ROWS {pdir.name}: {n} rows" + ("" if n > 0 else "  <-- EMPTY!"))

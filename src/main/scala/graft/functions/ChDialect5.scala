@@ -54,13 +54,21 @@ object ChDialect5 {
   // The dirty-string-parsing idiom of every real ingestion query:
   // OrNull = TRY cast (unparseable → NULL, same as CH), OrZero =
   // coalesce to the type's default (0 / epoch).
-  private val convTypes: Seq[(String, DataType)] = Seq(
-    "UInt64" -> LongType, "Int64" -> LongType,
-    "UInt32" -> IntegerType, "Int32" -> IntegerType,
-    "UInt16" -> IntegerType, "Int16" -> ShortType,
-    "UInt8" -> ShortType, "Int8" -> ByteType,
-    "Float64" -> DoubleType, "Float32" -> FloatType,
-    "Date" -> DateType, "DateTime" -> TimestampType)
+  // One table: (name, OUTPUT type, unsigned max). The output type IS
+  // what the function returns — unsigned targets carry one signed
+  // step wider than their range (UInt32 → BIGINT, UInt8 → SMALLINT)
+  // so in-range values above the signed max survive.
+  private val convTypes: Seq[(String, DataType, Option[Long])] = Seq(
+    ("UInt64", LongType, Some(Long.MaxValue)),
+    ("Int64", LongType, None),
+    ("UInt32", LongType, Some(4294967295L)),
+    ("Int32", IntegerType, None),
+    ("UInt16", IntegerType, Some(65535L)),
+    ("Int16", ShortType, None),
+    ("UInt8", ShortType, Some(255L)),
+    ("Int8", ByteType, None),
+    ("Float64", DoubleType, None), ("Float32", FloatType, None),
+    ("Date", DateType, None), ("DateTime", TimestampType, None))
 
   private def zeroOf(dt: DataType): Expression = dt match {
     case ByteType => Literal(0.toByte)
@@ -74,33 +82,33 @@ object ChDialect5 {
     case other => throw new IllegalStateException(s"no zero for $other")
   }
 
-  /** Unsigned Or* targets parse through a carrying type one step
-    * wider than the unsigned range and range-check [0, max] — so
-    * toUInt32OrNull('3000000000') = 3000000000 (LongType carrier) and
-    * toUInt64OrNull('-1') = NULL, matching the reference's parse.
-    * Documented divergence: UInt64 values above 2^63−1 have no Long
-    * carrier and come back NULL/0 where the reference returns the
-    * value (the dirty-string idiom never feeds those). */
-  private val unsignedRanges: Map[String, (DataType, Long)] = Map(
-    "UInt8" -> (ShortType, 255L), "UInt16" -> (IntegerType, 65535L),
-    "UInt32" -> (LongType, 4294967295L),
-    "UInt64" -> (LongType, Long.MaxValue))
-
-  private def unsignedParse(n: String, e: Expression): Expression = {
-    val (carrier, max) = unsignedRanges(n)
-    val c = Cast(e, carrier, None, EvalMode.TRY)
-    If(And(GreaterThanOrEqual(c, Cast(Literal(0), carrier)),
+  /** Unsigned Or* targets TRY-parse into the (wider) output type and
+    * range-check [0, max] — so toUInt32OrNull('3000000000') =
+    * 3000000000L and toUInt64OrNull('-1') = NULL, matching the
+    * reference's string parse. Documented divergences:
+    *  - UInt64 values above 2^63−1 have no Long carrier and come
+    *    back NULL/0 where the reference returns the value (the
+    *    dirty-string idiom never feeds those);
+    *  - NUMERIC inputs: the reference wraps modulo 2^width
+    *    (toUInt8OrZero(300) = 44 there), we range-reject them like
+    *    strings (→ NULL/0). The Or* family exists for dirty STRING
+    *    columns; feeding already-numeric values is off-idiom, and a
+    *    silent mod-wrap would hide real overflow at 100 TB scale. */
+  private def unsignedParse(dt: DataType, max: Long,
+      e: Expression): Expression = {
+    val c = Cast(e, dt, None, EvalMode.TRY)
+    If(And(GreaterThanOrEqual(c, Cast(Literal(0), dt)),
       LessThanOrEqual(Cast(c, LongType), Literal(max))),
-      c, Cast(Literal(null), carrier))
+      c, Cast(Literal(null), dt))
   }
 
   private def convAliases: Seq[(String, Builder)] =
-    convTypes.flatMap { case (n, dt) =>
-      val parse: Expression => Expression =
-        if (unsignedRanges.contains(n)) unsignedParse(n, _)
-        else e => Cast(e, dt, None, EvalMode.TRY)
-      val zero = if (unsignedRanges.contains(n)) zeroOf(unsignedRanges(n)._1)
-        else zeroOf(dt)
+    convTypes.flatMap { case (n, dt, unsignedMax) =>
+      val parse: Expression => Expression = unsignedMax match {
+        case Some(max) => unsignedParse(dt, max, _)
+        case None => e => Cast(e, dt, None, EvalMode.TRY)
+      }
+      val zero = zeroOf(dt)
       Seq[(String, Builder)](
         s"to${n}OrNull" -> { es => parse(es.head) },
         s"to${n}OrZero" -> { es => Coalesce(Seq(parse(es.head), zero)) })
@@ -353,9 +361,13 @@ object ChDialect5 {
         "EIB" -> 1152921504606846976d
       ).map { case (u, m) => (EqualTo(unit, Literal(u)), Literal(m)) }, None)
       // ceil via truncating cast: bytes are non-negative, so
-      // trunc(v) == floor(v), and ceil = trunc + (v > trunc)
+      // trunc(v) == floor(v), and ceil = trunc + (v > trunc).
+      // TRY cast: sizes past 2^63−1 ('10 EiB') degrade to NULL like
+      // other bad input instead of throwing under ANSI; near 2^63
+      // double precision already quantizes v, so trunc there is a
+      // rounding of an approximate value either way.
       val v = Multiply(num, mult)
-      val t = Cast(v, LongType)
+      val t = Cast(v, LongType, None, EvalMode.TRY)
       Add(t, Cast(GreaterThan(v, Cast(t, DoubleType)), LongType)) },
     // Joda tokens are java.time tokens for the common set — direct
     // date_format passthrough (the MySQL-token formatDateTime already
@@ -447,9 +459,12 @@ object ChDialect5 {
     "isValidJSON" -> { es =>
       IsNotNull(builtin("get_json_object")(Seq(es.head, Literal("$")))) },
     // SQL/JSON trio (the CH spellings; '$.a.b' paths are
-    // get_json_object's native syntax)
+    // get_json_object's native syntax). JSON_QUERY wraps its matches
+    // in a JSON array with strings re-quoted (reference
+    // src/Functions/FunctionSQLJSON.h) — a real JSON walk, not a
+    // get_json_object alias.
     "JSON_VALUE" -> builtin("get_json_object"),
-    "JSON_QUERY" -> builtin("get_json_object"),
+    "JSON_QUERY" -> si(StringType, "jsonQuery"),
     "JSON_EXISTS" -> { es =>
       IsNotNull(builtin("get_json_object")(es)) },
     // regex sibling of multiSearchAny: any pattern matches

@@ -646,4 +646,51 @@ object ChStrHelpers {
     while (i < min) { if (x(i) != y(i)) c += 1; i += 1 }
     c
   }
+
+  // ---- SQL/JSON JSON_QUERY (reference src/Functions/FunctionSQLJSON
+  // semantics: matches come back wrapped in a JSON ARRAY, strings
+  // re-quoted — unlike JSON_VALUE's bare scalar) ----
+
+  private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** JSON_QUERY(doc, '$.a.b[0]') → '[<match>,…]' with each match
+    * serialized as JSON (so '{"a":{"b":7}}' → '[7]' and a string
+    * value comes back quoted). Supported path subset: '$', '.name',
+    * '[n]', '[*]', '.*' — wildcards fan out in document order.
+    * NULL on malformed JSON, unsupported path syntax, or no match
+    * (the reference returns '' on no match; NULL composes with SQL
+    * the way the JSON_VALUE alias already does — documented). */
+  def jsonQuery(doc: UTF8String, path: UTF8String): UTF8String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import scala.jdk.CollectionConverters._
+    try {
+      val root = jsonMapper.readTree(doc.toString)
+      val p = path.toString.trim
+      if (!p.startsWith("$")) return null
+      val tok = "\\.([A-Za-z_][A-Za-z0-9_]*)|\\[(\\d+)\\]|\\[\\*\\]|\\.\\*".r
+      var idx = 1
+      var nodes: List[JsonNode] = List(root)
+      while (idx < p.length) {
+        tok.findPrefixMatchOf(p.substring(idx)) match {
+          case Some(m) =>
+            val step = m.matched
+            nodes = nodes.flatMap { n =>
+              if (step == "[*]" || step == ".*")
+                n.elements().asScala.toList
+              else if (m.group(1) != null)
+                Option(n.get(m.group(1))).toList
+              else Option(n.get(m.group(2).toInt)).toList
+            }
+            idx += m.end
+          case None => return null // unsupported path syntax
+        }
+      }
+      if (nodes.isEmpty) null
+      else UTF8String.fromString(
+        nodes.map(jsonMapper.writeValueAsString).mkString("[", ",", "]"))
+    } catch {
+      case _: Exception => null
+    }
+  }
 }

@@ -24,13 +24,59 @@ class ChDialect5Spec extends SparkSpec {
         |  toInt8OrNull('120') AS i, toInt8OrNull('999') AS j
         |""".stripMargin)
     assert(r.getAs[Long]("a") == 42L && r.isNullAt(r.fieldIndex("b")))
-    assert(r.getAs[Int]("c") == 7)
+    assert(r.getAs[Long]("c") == 7L) // UInt32 carrier is BIGINT
     assert(r.isNullAt(r.fieldIndex("d"))) // strict integer parse, like CH
     assert(r.getAs[Double]("e") == 2.5 && r.isNullAt(r.fieldIndex("f")))
     assert(r.getAs[java.sql.Date]("g").toString == "2024-03-15")
     assert(r.isNullAt(r.fieldIndex("h")))
     assert(r.getAs[Byte]("i") == 120.toByte)
     assert(r.isNullAt(r.fieldIndex("j"))) // out of Int8 range → NULL
+  }
+
+  test("unsigned Or* edges: above-signed-max parses, out-of-range → NULL") {
+    val r = sql1(
+      """SELECT
+        |  toUInt32OrNull('3000000000') AS a,
+        |  toUInt32OrNull('4294967296') AS b,
+        |  toUInt64OrNull('-1') AS c,
+        |  toUInt8OrNull('256') AS d,
+        |  toUInt8OrNull('255') AS e,
+        |  toUInt16OrNull('65535') AS f,
+        |  toUInt8OrZero('300') AS g,
+        |  parseReadableSize('1.1 KiB') AS prs,
+        |  parseReadableSize('10 EiB') AS prs_over
+        |""".stripMargin)
+    assert(r.getAs[Long]("a") == 3000000000L) // > Int.MaxValue, in UInt32 range
+    assert(r.isNullAt(r.fieldIndex("b")))     // 2^32 out of range
+    assert(r.isNullAt(r.fieldIndex("c")))     // negative → NULL
+    assert(r.isNullAt(r.fieldIndex("d")))     // 256 out of UInt8 range
+    assert(r.getAs[Short]("e") == 255)
+    assert(r.getAs[Int]("f") == 65535)
+    assert(r.getAs[Short]("g") == 0)          // OrZero on out-of-range
+    assert(r.getAs[Long]("prs") == 1127L)     // ceil(1.1 * 1024) = 1127
+    assert(r.isNullAt(r.fieldIndex("prs_over"))) // > 2^63−1 degrades to NULL
+  }
+
+  test("JSON_QUERY wraps matches in a JSON array, strings re-quoted") {
+    val r = sql1(
+      """SELECT
+        |  JSON_QUERY('{"a": {"b": 7}}', '$.a.b') AS num,
+        |  JSON_QUERY('{"a": "hello"}', '$.a') AS str,
+        |  JSON_QUERY('{"a": {"b": 7}}', '$.a') AS obj,
+        |  JSON_QUERY('{"a": [1, 2]}', '$.a') AS arr,
+        |  JSON_QUERY('{"a": [10, 20, 30]}', '$.a[1]') AS idx,
+        |  JSON_QUERY('{"a": [10, 20]}', '$.a[*]') AS wild,
+        |  JSON_QUERY('{"a": 1}', '$.z') AS miss,
+        |  JSON_QUERY('not json', '$.a') AS bad
+        |""".stripMargin)
+    assert(r.getAs[String]("num") == "[7]")
+    assert(r.getAs[String]("str") == "[\"hello\"]") // re-quoted, unlike JSON_VALUE
+    assert(r.getAs[String]("obj") == "[{\"b\":7}]")
+    assert(r.getAs[String]("arr") == "[[1,2]]")
+    assert(r.getAs[String]("idx") == "[20]")
+    assert(r.getAs[String]("wild") == "[10,20]")
+    assert(r.isNullAt(r.fieldIndex("miss")))
+    assert(r.isNullAt(r.fieldIndex("bad")))
   }
 
   test("to*OrZero: unparseable → type default (0 / epoch)") {
@@ -41,7 +87,7 @@ class ChDialect5Spec extends SparkSpec {
         |  toDateOrZero('nope') AS e, toDateTimeOrZero('nope') AS f
         |""".stripMargin)
     assert(r.getAs[Long]("a") == 42L && r.getAs[Long]("b") == 0L)
-    assert(r.getAs[Int]("c") == 0)
+    assert(r.getAs[Long]("c") == 0L) // UInt32 carrier is BIGINT
     assert(r.getAs[Float]("d") == 1.5f)
     assert(r.getAs[java.sql.Date]("e").toString == "1970-01-01")
     assert(r.getAs[java.sql.Timestamp]("f").getTime == 0L)
