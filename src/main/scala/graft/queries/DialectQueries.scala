@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.functions.{col, concat_ws}
+import org.apache.spark.sql.functions.{col, concat_ws, element_at, round}
 
 /** ClickHouse-dialect SQL executed VERBATIM through spark.sql — the
   * "switch to this library" proof: the reference's users keep their
@@ -20,6 +20,7 @@ object DialectQueries {
       case "documents" => t.documents.createOrReplaceTempView("documents")
       case "lineitem"  => t.lineitem.createOrReplaceTempView("lineitem")
       case "part_v"    => t.part.createOrReplaceTempView("part_v")
+      case "customer"  => t.customer.createOrReplaceTempView("customer")
     }
     // through the REAL front door: the tokenizer translator first
     // (clause rewrites, extract-collision fix, …), then spark.sql
@@ -1965,6 +1966,167 @@ object DialectQueries {
           |GROUP BY nation ORDER BY nation""".stripMargin))
         .withColumn("sample_ids", concat_ws(",", col("sample_arr")))
         .drop("sample_arr")
+    },
+
+    // Round-13 graduation of the r11 post-gate probe-tail sweeps
+    // (commits 53d00d1..83a0a49): URL tail (port/cutURLParameter/
+    // queryStringAndFragment/decodeURLFormComponent), SQL/JSON trio
+    // (JSON_VALUE/QUERY/EXISTS + isValidJSON/JSONArrayLength),
+    // exact-quantile variants (H-F type 6/7), groupArrayIntersect,
+    // date tail (addQuarters/dateSub/age/formatDateTimeInJodaSyntax/
+    // snowflake), string distances, URL-safe base64, math one-liners,
+    // map HOFs, array union/symmetric-difference, and the r12
+    // unsigned to*OrNull widening (a toUInt32OrNull('3000000000'-ish)
+    // column) — every name deterministic, one scan of customer, all
+    // DuckDB-oracled. Decimal(18,6) per-row rounding makes the float
+    // sums associative (exact), cast back to DOUBLE for the compare.
+    "c52_ch_sweep4" -> Q(
+      """WITH b AS (
+        |  SELECT c_custkey AS k, c_name, c_mktsegment AS seg,
+        |    CAST(c_acctbal AS DOUBLE) AS bal,
+        |    substring(lpad(CAST(c_custkey AS VARCHAR), 9, '0'), 1, 2) || '-' ||
+        |      substring(lpad(CAST(c_custkey AS VARCHAR), 9, '0'), 3, 3) || '-' ||
+        |      substring(lpad(CAST(c_custkey AS VARCHAR), 9, '0'), 6, 4) AS ph,
+        |    'http://ex.com:' || CAST(8000 + c_custkey % 1000 AS VARCHAR) || '/p?a=' ||
+        |      CAST(c_custkey AS VARCHAR) || '&b=2&c=3#f5' AS url,
+        |    '{"k": ' || CAST(c_custkey AS VARCHAR) || ', "s": "' || c_mktsegment || '"}' AS doc,
+        |    TIMESTAMP '2024-03-15 13:45:00.999' - (c_custkey % 900) * INTERVAL 1 MILLISECOND AS ts
+        |  FROM customer),
+        |cnt AS (SELECT seg, COUNT(*) AS n FROM b GROUP BY seg),
+        |elq AS (
+        |  SELECT seg, elem, COUNT(DISTINCT k) AS c FROM (
+        |    SELECT seg, k, UNNEST([k % 2 + 10, 11, 3]) AS elem FROM b) q
+        |  GROUP BY seg, elem),
+        |giq AS (
+        |  SELECT elq.seg, string_agg(elem::VARCHAR, ',' ORDER BY elem) AS gi
+        |  FROM elq JOIN cnt USING (seg) WHERE elq.c = cnt.n GROUP BY elq.seg),
+        |agg AS (
+        |  SELECT seg,
+        |    COUNT(*) AS n_rows,
+        |    CAST(MAX(CAST(DATE '2024-01-15' + (k % 4) * 3 * INTERVAL 1 MONTH AS DATE)) AS VARCHAR) AS aq_max,
+        |    CAST(SUM((epoch_ms(TIMESTAMP '2024-03-20 00:00:00') - epoch_ms(ts)) // 86400000) AS BIGINT) AS age_day_sum,
+        |    CAST(SUM(levenshtein(substring(c_name, 1, 8), substring(seg, 1, 8))) AS BIGINT) AS lev_sum,
+        |    CAST(SUM(hamming(substring(ph, 1, 7), substring(c_name, 1, 7))) AS BIGINT) AS ham_sum,
+        |    MIN(array_to_string(string_split(ph, '-')[1:2], '-')) AS sidx_min,
+        |    CAST(SUM(CAST(regexp_extract(url, '^\w+://[^/?#]*:(\d+)', 1) AS INT)) AS BIGINT) AS port_sum,
+        |    MIN(regexp_replace(url, '&b=[^&#]*', '')) AS cut_min,
+        |    MAX(regexp_extract(url, '\?([^\s]*)', 1)) AS qf_max,
+        |    MIN('x ' || CAST(k % 10 AS VARCHAR) || '!') AS dec_min,
+        |    CAST(SUM(CAST(round(1.0 / (1.0 + exp(-((k % 21 - 10) / 5.0))), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sig_sum,
+        |    CAST(SUM(CAST(round(ln(((k % 9 + 1) / 10.0) / (1.0 - (k % 9 + 1) / 10.0)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS lg_sum,
+        |    CAST(SUM(((k - 700) % 13 + 13) % 13) AS BIGINT) AS pm_sum,
+        |    CAST(SUM((k - 700) % 13) AS BIGINT) AS nm_sum,
+        |    CAST(SUM(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nan_nulls,
+        |    MIN(translate(to_base64(c_name::BLOB), '+/=', '-_')) AS b64_min,
+        |    COUNT(*) AS rt_ok,
+        |    CAST(SUM(CASE WHEN seg NOT ILIKE '%build%' THEN 1 ELSE 0 END) AS BIGINT) AS nil_n,
+        |    CAST(SUM(CASE WHEN starts_with(c_name, 'Customer#0') THEN 1 ELSE 0 END) AS BIGINT) AS sw_n,
+        |    CAST(SUM(CASE WHEN ends_with(ph, '7') THEN 1 ELSE 0 END) AS BIGINT) AS ew_n,
+        |    CAST(SUM(CAST(json_extract_string(doc, '$.k') AS BIGINT)) AS BIGINT) AS jv_sum,
+        |    MIN('[' || json_extract(doc, '$.s')::VARCHAR || ']') AS jq_min,
+        |    CAST(SUM(CASE WHEN json_extract(doc, '$.s') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS je_n,
+        |    COUNT(*) AS vj_n,
+        |    CAST(SUM(json_array_length('[' || repeat('1,', k % 4) || '1]')) AS BIGINT) AS jal_sum,
+        |    CAST(SUM(CASE WHEN regexp_matches(ph, 'x{2}') OR regexp_matches(ph, '97$') THEN 1 ELSE 0 END) AS BIGINT) AS mma_sum,
+        |    CAST(SUM(epoch_ms(ts) % 1000) AS BIGINT) AS tms_sum,
+        |    CAST(SUM(epoch_ms(TIMESTAMP '2024-03-16 00:00:00') // 1000 - epoch_ms(ts) // 1000) AS BIGINT) AS td_sum,
+        |    list(bal ORDER BY bal) AS arr,
+        |    CAST(SUM(2999999000 + k) AS BIGINT) AS u32_sum,
+        |    COUNT(*) AS u64_nulls,
+        |    CAST(SUM(CASE WHEN k % 300 < 256 THEN k % 300 ELSE 0 END) AS BIGINT) AS u8_sum,
+        |    CAST(SUM(CAST(ceiling(CAST(CAST(k % 97 AS VARCHAR) || '.' || CAST(k % 7 AS VARCHAR) AS DOUBLE) * 1024) AS BIGINT)) AS BIGINT) AS prs_sum,
+        |    MIN(strftime(ts, '%Y-%m-%d %H:%M')) AS joda_min,
+        |    CAST(MIN((epoch_ms(ts) - 1288834974657) * 4194304) AS BIGINT) AS snow_min,
+        |    CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS izn_n,
+        |    CAST(SUM(CASE WHEN k % 5 > 3 OR k % 11 > 3 THEN 1 ELSE 0 END) AS BIGINT) AS me_n,
+        |    CAST(SUM(CASE WHEN k % 5 > 3 AND k % 11 > 3 THEN 1 ELSE 0 END) AS BIGINT) AS ma_n,
+        |    MIN(array_to_string(list_sort(list_distinct([k % 3, k % 4, 7])), ',')) AS au_min,
+        |    MIN(array_to_string(list_sort(list_filter(list_distinct(list_concat([k % 3, 20], [21, k % 4])),
+        |      x -> NOT (list_contains([k % 3, 20], x) AND list_contains([21, k % 4], x)))), ',')) AS asd_min
+        |  FROM b GROUP BY seg)
+        |SELECT agg.seg AS seg, n_rows, aq_max, age_day_sum, lev_sum, ham_sum, sidx_min, port_sum,
+        |  cut_min, qf_max, dec_min, sig_sum, lg_sum, pm_sum, nm_sum, nan_nulls, b64_min, rt_ok,
+        |  nil_n, sw_n, ew_n, jv_sum, jq_min, je_n, vj_n, jal_sum, mma_sum, tms_sum, td_sum,
+        |  round(CASE WHEN LEAST(GREATEST((n_rows + 1) * 0.25, 1.0), CAST(n_rows AS DOUBLE)) = CAST(n_rows AS DOUBLE)
+        |    THEN arr[n_rows]
+        |    ELSE arr[CAST(trunc(LEAST(GREATEST((n_rows + 1) * 0.25, 1.0), CAST(n_rows AS DOUBLE))) AS INT)]
+        |      + (LEAST(GREATEST((n_rows + 1) * 0.25, 1.0), CAST(n_rows AS DOUBLE)) - trunc(LEAST(GREATEST((n_rows + 1) * 0.25, 1.0), CAST(n_rows AS DOUBLE))))
+        |      * (arr[LEAST(CAST(trunc(LEAST(GREATEST((n_rows + 1) * 0.25, 1.0), CAST(n_rows AS DOUBLE))) AS INT) + 1, n_rows)]
+        |         - arr[CAST(trunc(LEAST(GREATEST((n_rows + 1) * 0.25, 1.0), CAST(n_rows AS DOUBLE))) AS INT)]) END, 4) AS qe,
+        |  round(CASE WHEN floor((n_rows - 1) * 0.25) = ceiling((n_rows - 1) * 0.25)
+        |    THEN arr[CAST(floor((n_rows - 1) * 0.25) AS INT) + 1]
+        |    ELSE arr[CAST(floor((n_rows - 1) * 0.25) AS INT) + 1] * (ceiling((n_rows - 1) * 0.25) - (n_rows - 1) * 0.25)
+        |       + arr[CAST(ceiling((n_rows - 1) * 0.25) AS INT) + 1] * ((n_rows - 1) * 0.25 - floor((n_rows - 1) * 0.25)) END, 4) AS qi,
+        |  round(CASE WHEN LEAST(GREATEST((n_rows + 1) * 0.5, 1.0), CAST(n_rows AS DOUBLE)) = CAST(n_rows AS DOUBLE)
+        |    THEN arr[n_rows]
+        |    ELSE arr[CAST(trunc(LEAST(GREATEST((n_rows + 1) * 0.5, 1.0), CAST(n_rows AS DOUBLE))) AS INT)]
+        |      + (LEAST(GREATEST((n_rows + 1) * 0.5, 1.0), CAST(n_rows AS DOUBLE)) - trunc(LEAST(GREATEST((n_rows + 1) * 0.5, 1.0), CAST(n_rows AS DOUBLE))))
+        |      * (arr[LEAST(CAST(trunc(LEAST(GREATEST((n_rows + 1) * 0.5, 1.0), CAST(n_rows AS DOUBLE))) AS INT) + 1, n_rows)]
+        |         - arr[CAST(trunc(LEAST(GREATEST((n_rows + 1) * 0.5, 1.0), CAST(n_rows AS DOUBLE))) AS INT)]) END, 4) AS med_excl,
+        |  giq.gi AS gi, u32_sum, u64_nulls, u8_sum, prs_sum, joda_min, snow_min, izn_n, me_n, ma_n, au_min, asd_min
+        |FROM agg JOIN giq ON agg.seg = giq.seg
+        |ORDER BY seg""".stripMargin) { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables(s, dir).customer.createOrReplaceTempView("customer")
+      s.sql(graft.functions.ChSql.translate(
+        """WITH b AS (
+          |  SELECT c_custkey AS k, c_name, c_mktsegment AS seg,
+          |    CAST(c_acctbal AS DOUBLE) AS bal,
+          |    concat(substring(lpad(toString(c_custkey), 9, '0'), 1, 2), '-',
+          |      substring(lpad(toString(c_custkey), 9, '0'), 3, 3), '-',
+          |      substring(lpad(toString(c_custkey), 9, '0'), 6, 4)) AS ph,
+          |    concat('http://ex.com:', toString(8000 + c_custkey % 1000), '/p?a=',
+          |      toString(c_custkey), '&b=2&c=3#f5') AS url,
+          |    concat('{"k": ', toString(c_custkey), ', "s": "', c_mktsegment, '"}') AS doc,
+          |    dateSub('millisecond', c_custkey % 900, TIMESTAMP '2024-03-15 13:45:00.999') AS ts
+          |  FROM customer)
+          |SELECT seg,
+          |  count() AS n_rows,
+          |  toString(max(addQuarters(DATE '2024-01-15', k % 4))) AS aq_max,
+          |  sum(age('day', ts, TIMESTAMP '2024-03-20 00:00:00')) AS age_day_sum,
+          |  sum(levenshteinDistance(substring(c_name, 1, 8), substring(seg, 1, 8))) AS lev_sum,
+          |  sum(byteHammingDistance(substring(ph, 1, 7), substring(c_name, 1, 7))) AS ham_sum,
+          |  min(substringIndex(ph, '-', 2)) AS sidx_min,
+          |  sum(port(url)) AS port_sum,
+          |  min(cutURLParameter(url, 'b')) AS cut_min,
+          |  max(queryStringAndFragment(url)) AS qf_max,
+          |  min(decodeURLFormComponent(concat('x+', toString(k % 10), '%21'))) AS dec_min,
+          |  CAST(sum(CAST(round(sigmoid((k % 21 - 10) / 5.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sig_sum,
+          |  CAST(sum(CAST(round(logit((k % 9 + 1) / 10.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS lg_sum,
+          |  sum(positiveModulo(k - 700, 13)) AS pm_sum,
+          |  sum(negativeModulo(k - 700, 13)) AS nm_sum,
+          |  sum(if(nanToNull(if(k % 3 = 0, CAST('NaN' AS DOUBLE), 1.0)) IS NULL, 1, 0)) AS nan_nulls,
+          |  min(base64URLEncode(c_name)) AS b64_min,
+          |  sum(if(CAST(base64URLDecode(base64URLEncode(c_name)) AS STRING) = c_name, 1, 0)) AS rt_ok,
+          |  sum(if(notILike(seg, '%build%'), 1, 0)) AS nil_n,
+          |  sum(if(startsWithUTF8(c_name, 'Customer#0'), 1, 0)) AS sw_n,
+          |  sum(if(endsWithUTF8(ph, '7'), 1, 0)) AS ew_n,
+          |  sum(CAST(JSON_VALUE(doc, '$.k') AS BIGINT)) AS jv_sum,
+          |  min(JSON_QUERY(doc, '$.s')) AS jq_min,
+          |  sum(if(JSON_EXISTS(doc, '$.s'), 1, 0)) AS je_n,
+          |  sum(if(isValidJSON(doc), 1, 0)) AS vj_n,
+          |  sum(JSONArrayLength(concat('[', repeat('1,', k % 4), '1]'))) AS jal_sum,
+          |  sum(multiMatchAny(ph, array('x{2}', '97$'))) AS mma_sum,
+          |  sum(toMillisecond(ts)) AS tms_sum,
+          |  sum(timeDiff(ts, TIMESTAMP '2024-03-16 00:00:00')) AS td_sum,
+          |  round(quantileExactExclusive(0.25)(bal), 4) AS qe,
+          |  round(quantileExactInclusive(0.25)(bal), 4) AS qi,
+          |  quantilesExactExclusive(0.25, 0.5)(bal) AS qs_arr,
+          |  concat_ws(',', groupArrayIntersect(array(k % 2 + 10, 11, 3))) AS gi,
+          |  sum(toUInt32OrNull(toString(2999999000 + k))) AS u32_sum,
+          |  sum(if(toUInt64OrNull(toString(0 - k - 1)) IS NULL, 1, 0)) AS u64_nulls,
+          |  sum(CAST(toUInt8OrZero(toString(k % 300)) AS BIGINT)) AS u8_sum,
+          |  sum(parseReadableSize(concat(toString(k % 97), '.', toString(k % 7), ' KiB'))) AS prs_sum,
+          |  min(formatDateTimeInJodaSyntax(ts, 'yyyy-MM-dd HH:mm')) AS joda_min,
+          |  min(dateTimeToSnowflakeID(ts)) AS snow_min,
+          |  sum(if(isZeroOrNull(k % 7), 1, 0)) AS izn_n,
+          |  sum(if(mapExists((mk, mv) -> mv > 3, map('a', k % 5, 'b', k % 11)), 1, 0)) AS me_n,
+          |  sum(if(mapAll((mk, mv) -> mv > 3, map('a', k % 5, 'b', k % 11)), 1, 0)) AS ma_n,
+          |  min(concat_ws(',', array_sort(arrayUnion(array(k % 3), array(k % 4), array(7))))) AS au_min,
+          |  min(concat_ws(',', array_sort(arraySymmetricDifference(array(k % 3, 20), array(21, k % 4))))) AS asd_min
+          |FROM b GROUP BY seg ORDER BY seg""".stripMargin))
+        .withColumn("med_excl", round(element_at(col("qs_arr"), 2), 4))
+        .drop("qs_arr")
     },
 
     "c08_parametric" -> Q(
