@@ -362,10 +362,17 @@ private[graft] object ChBehavioral {
     // bit-equal to the baked form since they read nothing else.
     val rebound = (baseCond +: conds).map(rebindToEv(_, event))
     val sharable = rebound.forall(_.isDefined)
+    // Tie-break contract (r12 verdict item 3): BOTH paths order
+    // tied-timestamp events by the event's STRING rendering — the
+    // sharable entry carries an explicit evs sort field ahead of the
+    // raw ev (for CH-legal String event columns SimplifyCasts makes
+    // evs the same value; for non-string extensions this pins one
+    // path-independent order). Conditions still read the raw ev.
     val entry =
       if (sharable)
         CreateNamedStruct(Seq(
           Literal("t"), ChDialect.builtin("unix_micros")(Seq(ts)),
+          Literal("evs"), Cast(event, StringType),
           Literal("ev"), event))
       else {
         val ms = CreateArray(conds.map(c =>
@@ -377,49 +384,69 @@ private[graft] object ChBehavioral {
             Literal(false))),
           Literal("ms"), ms))
       }
-    val asc = ChDialect.builtin("sort_array")(
+    val collected = ChDialect.builtin("sort_array")(
       Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(entry)))))
-    val arr = if (direction == "backward")
-      ChDialect.builtin("reverse")(Seq(asc)) else asc
-    val sz = ChDialect.builtin("size")(Seq(arr))
-    // 1-based anchor candidates; chain needs k consecutive events
-    val idxs = If(GreaterThanOrEqual(sz, Literal(k)),
-      ChDialect.builtin("sequence")(
-        Seq(Literal(1), Add(Subtract(sz, Literal(k)), Literal(1)))),
-      ChDialect.builtin("array_remove")(Seq(
-        ChDialect.builtin("array")(Seq(Literal(0))), Literal(0))))
-    val i = fresh("i")
-    def at(ix: Expression) = elem(arr, ix)
-    def asBool(e: Expression): Expression =
-      Coalesce(Seq(Cast(e, BooleanType), Literal(false)))
-    val (chainOk, baseOk) =
-      if (sharable) {
-        val fs = rebound.map(_.get)
-        // k is compile-time known — unroll the chain so each rebound
-        // condition lands at its own offset (no dynamic cond index)
-        val chain = (0 until k).map(j =>
-          asBool(fs(j + 1)(fld(at(Add(i, Literal(j))), "ev"))))
-          .reduceOption(And.apply).getOrElse(Literal(true))
-        (chain, asBool(fs.head(fld(at(i), "ev"))))
-      } else {
-        val j = fresh("j")
-        val chain = ChDialect.builtin("forall")(Seq(
-          ChDialect.builtin("sequence")(Seq(Literal(0), Literal(k - 1))),
-          LambdaFunction(
-            elem(fld(at(Add(i, j)), "ms"), Add(j, Literal(1))), Seq(j))))
-        (chain, fld(at(i), "bc"))
+    val collectedArr = if (direction == "backward")
+      ChDialect.builtin("reverse")(Seq(collected)) else collected
+    // LET-BINDING (r13): the aggregate result projection is
+    // interpreted (higher-order functions block codegen), so there is
+    // NO common-subexpression elimination — splicing `collectedArr`
+    // at every element access re-sorts the whole event list per
+    // access, O(n² log n) per group (measured: 2.3 of c44's isolated
+    // 2.7 s). transform(array(x), a -> body)[1] evaluates x ONCE and
+    // binds it; a second binding does the same for the anchor index
+    // so the candidate filter runs once, not once per reference.
+    val arrVar = fresh("seqarr")
+    def bodyOf(arr: Expression): Expression = {
+      val sz = ChDialect.builtin("size")(Seq(arr))
+      // 1-based anchor candidates; chain needs k consecutive events
+      val idxs = If(GreaterThanOrEqual(sz, Literal(k)),
+        ChDialect.builtin("sequence")(
+          Seq(Literal(1), Add(Subtract(sz, Literal(k)), Literal(1)))),
+        ChDialect.builtin("array_remove")(Seq(
+          ChDialect.builtin("array")(Seq(Literal(0))), Literal(0))))
+      val i = fresh("i")
+      def at(ix: Expression) = elem(arr, ix)
+      def asBool(e: Expression): Expression =
+        Coalesce(Seq(Cast(e, BooleanType), Literal(false)))
+      val (chainOk, baseOk) =
+        if (sharable) {
+          val fs = rebound.map(_.get)
+          // k is compile-time known — unroll the chain so each rebound
+          // condition lands at its own offset (no dynamic cond index)
+          val chain = (0 until k).map(j =>
+            asBool(fs(j + 1)(fld(at(Add(i, Literal(j))), "ev"))))
+            .reduceOption(And.apply).getOrElse(Literal(true))
+          (chain, asBool(fs.head(fld(at(i), "ev"))))
+        } else {
+          val j = fresh("j")
+          val chain = ChDialect.builtin("forall")(Seq(
+            ChDialect.builtin("sequence")(Seq(Literal(0), Literal(k - 1))),
+            LambdaFunction(
+              elem(fld(at(Add(i, j)), "ms"), Add(j, Literal(1))), Seq(j))))
+          (chain, fld(at(i), "bc"))
+        }
+      val anchorOk = And(baseOk,
+        if (anchored) EqualTo(i, Literal(1)) else Literal(true))
+      val valid = ChDialect.builtin("filter")(Seq(idxs,
+        LambdaFunction(And(anchorOk, chainOk), Seq(i))))
+      val anchor =
+        if (base == "last_match") ChDialect.builtin("array_max")(Seq(valid))
+        else ChDialect.builtin("array_min")(Seq(valid))
+      val av = fresh("anchor")
+      def resultOf(a: Expression): Expression = {
+        val nextIdx = Add(a, Literal(k))
+        If(And(IsNotNull(a), LessThanOrEqual(nextIdx, sz)),
+          Cast(fld(elem(arr, nextIdx), "ev"), StringType),
+          Cast(Literal(null), StringType))
       }
-    val anchorOk = And(baseOk,
-      if (anchored) EqualTo(i, Literal(1)) else Literal(true))
-    val valid = ChDialect.builtin("filter")(Seq(idxs,
-      LambdaFunction(And(anchorOk, chainOk), Seq(i))))
-    val anchor =
-      if (base == "last_match") ChDialect.builtin("array_max")(Seq(valid))
-      else ChDialect.builtin("array_min")(Seq(valid))
-    val nextIdx = Add(anchor, Literal(k))
-    If(And(IsNotNull(anchor), LessThanOrEqual(nextIdx, sz)),
-      Cast(fld(elem(arr, nextIdx), "ev"), StringType),
-      Cast(Literal(null), StringType))
+      elem(ChDialect.builtin("transform")(Seq(
+        CreateArray(Seq(anchor)),
+        LambdaFunction(resultOf(av), Seq(av)))), Literal(1))
+    }
+    elem(ChDialect.builtin("transform")(Seq(
+      CreateArray(Seq(collectedArr)),
+      LambdaFunction(bodyOf(arrVar), Seq(arrVar)))), Literal(1))
   }
 
   /** sequenceMatchEvents(pattern)(ts, cond1 … condN) → the matched

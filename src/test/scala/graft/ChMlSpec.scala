@@ -137,6 +137,27 @@ class ChMlSpec extends SparkSpec {
     assert(lm.isNullAt(0))
   }
 
+  test("tied-timestamp non-string events: both paths use the string tie-break") {
+    // Two events at the SAME timestamp with int values 10 and 2:
+    // '10' < '2' as strings, so the canonical order is [10, 2] on
+    // BOTH the shared-collect path (pure-ev conditions) and the baked
+    // path (condition reads `flag`). Before r13 the shared path
+    // sorted by the RAW int (2 < 10) and the two paths diverged.
+    Seq((1L, 10, true), (1L, 2, true)).toDF("u", "ev", "flag")
+      .selectExpr("u", "timestamp_micros(5000000) AS ts", "ev", "flag")
+      .createOrReplaceTempView("snn_tie")
+    val shar = spark.sql(ChSql.translate(
+      """SELECT u, sequenceNextNode('forward', 'first_match')(
+        |  ts, ev, ev IS NOT NULL, ev = 10) AS nxt
+        |FROM snn_tie GROUP BY u""".stripMargin)).collect().head
+    val baked = spark.sql(ChSql.translate(
+      """SELECT u, sequenceNextNode('forward', 'first_match')(
+        |  ts, ev, ev IS NOT NULL, ev = 10 AND flag) AS nxt
+        |FROM snn_tie GROUP BY u""".stripMargin)).collect().head
+    assert(shar.getString(1) == "2", "shared path: next after 10 is 2")
+    assert(baked.getString(1) == "2", "baked path must agree")
+  }
+
   test("sequenceNextNode fallback path: conditions reading other columns") {
     Seq((1L, 1, "view", 1), (1L, 2, "click", 0), (1L, 3, "view", 1),
       (1L, 4, "click", 1), (1L, 5, "pay", 0))
