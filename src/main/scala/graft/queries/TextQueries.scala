@@ -455,10 +455,41 @@ object TextQueries {
     // and travels as literals inside the fold expression (broadcast
     // by value, no join); the encode itself is a per-row rank-order
     // fold — scan speed, zero shuffles beyond the train step.
-    // *Rows-only* like t17 (the merge table is loop-trained); BpeSpec
-    // pins encode against an independent reference implementation
-    // and round-trips the corpus text.
-    "t18_bpe_encode" -> Q.rowsOnly { (s, dir) =>
+    // Hash-exact since r13 via the Q.dynamic fitted-model discipline:
+    // the TRAIN loop stays non-portable (t17's contract), but the
+    // encode replays in DuckDB over the fitted merge pairs spliced as
+    // literals. DuckDB 1.0's list_reduce has no initial accumulator,
+    // so the left-to-right non-overlapping merge fold is realized as
+    // chained string replace over a \x01-wrapped symbol string:
+    // each symbol travels as <SEP>sym<SEP>, a merge (l,r)->lr is
+    // replace(<SEP>l<SEP><SEP>r<SEP> -> <SEP>lr<SEP>) — wrapped
+    // occurrences never share characters, so replace's left-to-right
+    // non-overlapping scan IS the fold (a just-merged symbol cannot
+    // re-merge in the same round; symbols are never empty). BpeSpec
+    // still pins encode against an independent reference.
+    "t18_bpe_encode" -> Q.dynamic { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val merges = Bpe.train(Tables(s, dir).documents, "text", 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+        .toSeq
+      def q(x: String) = "'" + x.replace("'", "''") + "'"
+      val S = "chr(1)"
+      val base = s"$S || array_to_string(list_append(" +
+        s"string_split_regex(w, ''), '</w>'), $S || $S) || $S"
+      val folded = merges.foldLeft(base) { case (acc, (l, r)) =>
+        s"replace($acc, $S || ${q(l)} || $S || $S || ${q(r)} || $S, " +
+          s"$S || ${q(l + r)} || $S)"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, flatten(list_transform(
+         |    list_filter(string_split(text, ' '), w -> w != ''),
+         |    w -> string_split(trim($folded, chr(1)), chr(1) || chr(1)))) AS t
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         |  array_to_string(t[1:12], ' ') AS head_tokens
+         |FROM toks ORDER BY doc_id""".stripMargin
+    } { (s, dir) =>
       graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables(s, dir).documents
       val merges = Bpe.train(docs, "text", 12)
