@@ -690,9 +690,13 @@ object ChDdl {
               .option("header", up.contains("WITHNAMES").toString)
               .option("inferSchema", "true").csv(path)
           case "JSONEACHROW" => spark.read.json(path)
+          case "ORC" => graft.sources.AdHocFiles.orc(spark, path)
+          case "AVRO" => graft.sources.AdHocFiles.avro(spark, path)
+          case "ARROW" => graft.sources.AdHocFiles.arrow(spark, path)
           case other => throw new IllegalArgumentException(
-            s"file(): unsupported format '$other' (Parquet, CSV[WithNames], " +
-              "TSV/TabSeparated[WithNames], JSONEachRow)")
+            s"file(): unsupported format '$other' (Parquet, ORC, Avro, " +
+              "Arrow, CSV[WithNames], TSV/TabSeparated[WithNames], " +
+              "JSONEachRow)")
         }
         val view = "graft_file_" +
           Integer.toHexString((path + "|" + up).hashCode).replace('-', 'm')
@@ -1708,8 +1712,13 @@ object ChDdl {
             java.nio.file.Files.write(p, bytes)
             df
           case None =>
-            fmt.filter(f => ChFormat.renderable(f.toUpperCase))
-              .map(f => ChFormat.render(df, f)).getOrElse(df)
+            fmt.map(_.toUpperCase) match {
+              case Some(f) if ChFormat.renderable(f) => ChFormat.render(df, f)
+              // wire-protocol formats refuse WITH guidance instead of
+              // silently dropping the clause (r12 verdict missing #3)
+              case Some(f) if ChFormat.wire(f) => ChFormat.refuseWire(f)
+              case _ => df // other formats: wire decoration, dropped
+            }
         }
     }
   }

@@ -39,7 +39,24 @@ object ChFormat {
 
   val renderable: Set[String] = Set("JSONEACHROW", "CSV", "TSV",
     "TABSEPARATED", "VALUES", "PRETTY", "PRETTYCOMPACT",
-    "CSVWITHNAMES", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES", "TSKV")
+    "CSVWITHNAMES", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES", "TSKV",
+    "JSON", "JSONCOMPACT", "JSONCOMPACTEACHROW")
+
+  /** Wire-protocol formats (registerFormats.cpp): binary encodings of
+    * the reference's client protocol / external codecs. A library has
+    * no wire to speak — refusing is the scope call, but the refusal
+    * must GUIDE: columnar interchange is what parquet is for. */
+  val wire: Set[String] = Set("NATIVE", "ROWBINARY",
+    "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES", "PROTOBUF",
+    "PROTOBUFSINGLE", "MSGPACK", "CAPNPROTO")
+
+  def refuseWire(f: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"FORMAT $f is a wire-protocol encoding of the reference's " +
+        "client/server protocol — a library engine has no wire. For " +
+        "columnar interchange write parquet (df.write.parquet / INSERT " +
+        "INTO a parquet-backed table); for text output use FORMAT " +
+        "JSON/JSONEachRow/CSV/TSV/Values.")
 
   /** Header line + body — the WithNames contract. The header rides a
     * one-row local relation unioned FIRST; collect order preserves
@@ -92,8 +109,83 @@ object ChFormat {
         .as("line"))
     case "PRETTY" => pretty(df, compact = false)
     case "PRETTYCOMPACT" => pretty(df, compact = true)
+    case "JSONCOMPACTEACHROW" =>
+      // one JSON array per row — pure per-row projection (codegen'd),
+      // no collect: the one JSON* format safe on an unbounded result
+      df.select(concat(lit("["),
+        concat_ws(", ", jsonCells(df): _*), lit("]")).as("line"))
+    case "JSON" => jsonEnvelope(df, compact = false)
+    case "JSONCOMPACT" => jsonEnvelope(df, compact = true)
+    case other if wire(other) => refuseWire(other)
     case other =>
       throw new IllegalArgumentException(s"non-renderable FORMAT $other")
+  }
+
+  /** Per-cell JSON encoding as a codegen'd Column: the value portion
+    * of to_json({"v": c}) is exactly the JSON scalar/array/object
+    * encoding of c (strings escaped, null → null). 64-bit integers
+    * are quoted, the reference's output_format_json_quote_64bit_
+    * integers=1 default (JS numbers lose precision past 2^53). */
+  private def jsonCells(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+    df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      f.dataType match {
+        case LongType =>
+          when(c.isNull, lit("null"))
+            .otherwise(concat(lit("\""), c.cast("string"), lit("\"")))
+        case _ =>
+          val j = to_json(struct(c.as("v")),
+            Map("ignoreNullFields" -> "false"))
+          j.substr(lit(6), length(j) - 6)
+      }
+    }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** FORMAT JSON / JSONCompact (JSONRowOutputFormat.cpp): the
+    * meta/data/rows envelope, tab-indented like the reference's
+    * writer. Whole-result rendering needs the row count before the
+    * tail, so it renders DRIVER-SIDE under the same row cap as
+    * Pretty — the sanctioned client-side-output exception. The
+    * reference's trailing "statistics" block (elapsed/rows_read) is
+    * omitted: query timings are engine-internal and nondeterministic,
+    * meaningless for a library result. */
+  private def jsonEnvelope(df: DataFrame, compact: Boolean): DataFrame = {
+    val fields = df.schema.fields
+    val meta = fields.zipWithIndex.flatMap { case (f, i) =>
+      val comma = if (i < fields.length - 1) "," else ""
+      Seq("\t\t{",
+        s"""\t\t\t"name": "${jsonEscape(f.name)}",""",
+        s"""\t\t\t"type": "${jsonEscape(ChDdl.chTypeName(f.dataType, f.nullable))}"""",
+        s"\t\t}$comma")
+    }
+    val rendered = df.limit(prettyMaxRows)
+      .select(array(jsonCells(df): _*).as("cells"))
+      .collect().map(_.getSeq[String](0))
+    val data = rendered.zipWithIndex.flatMap { case (cells, ri) =>
+      val comma = if (ri < rendered.length - 1) "," else ""
+      if (compact) Seq("\t\t[" + cells.mkString(", ") + s"]$comma")
+      else {
+        val body = fields.toSeq.zipWithIndex.map { case (f, i) =>
+          val c = if (i < fields.length - 1) "," else ""
+          s"""\t\t\t"${jsonEscape(f.name)}": ${cells(i)}$c"""
+        }
+        ("\t\t{" +: body) :+ s"\t\t}$comma"
+      }
+    }
+    val lines: Seq[String] =
+      Seq("{", "\t\"meta\":", "\t[") ++ meta ++ Seq("\t],", "") ++
+        Seq("\t\"data\":", "\t[") ++ data ++ Seq("\t],", "") ++
+        Seq(s"""\t"rows": ${rendered.length}""", "}")
+    val s = df.sparkSession
+    import s.implicits._
+    lines.toDF("line")
   }
 
   /** The reference's Pretty row cap (Settings.h

@@ -168,6 +168,67 @@ class CreateFormsSpec extends SparkSpec {
       "SELECT file, v FROM cf_filecol WHERE file = 1").count() == 1)
   }
 
+  test("file() reads ORC, Avro and Arrow (registerFormats.cpp adoption formats)") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_filefn2")
+    // ORC — Spark's native distributed source
+    val orc = dir.resolve("t.orc").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.mode("overwrite").orc(orc)
+    assert(ChDdl.execute(spark,
+      s"SELECT k, s FROM file('$orc', 'ORC') ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // Avro — container file written with the bundled avro lib
+    val avroPath = dir.resolve("t.avro")
+    locally {
+      import org.apache.avro.{Schema, SchemaBuilder}
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val sch: Schema = SchemaBuilder.record("r").fields()
+        .requiredLong("k").optionalString("s").endRecord()
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, avroPath.toFile)
+      Seq(3L -> "c", 4L -> null).foreach { case (k, s) =>
+        val rec = new GenericData.Record(sch)
+        rec.put("k", k); rec.put("s", s)
+        w.append(rec)
+      }
+      w.close()
+    }
+    val gotAvro = ChDdl.execute(spark,
+      s"SELECT k, s FROM file('$avroPath', 'Avro') ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(gotAvro == Seq(3L -> Some("c"), 4L -> None))
+    // Arrow IPC file written with the bundled arrow-vector lib
+    val arrowPath = dir.resolve("t.arrow")
+    locally {
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+      import scala.jdk.CollectionConverters._
+      val alloc = new RootAllocator()
+      val sch = new ASchema(Seq(
+        new Field("k", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+        new Field("s", FieldType.nullable(ArrowType.Utf8.INSTANCE), null)).asJava)
+      val root = VectorSchemaRoot.create(sch, alloc)
+      val kv = root.getVector("k").asInstanceOf[BigIntVector]
+      val sv = root.getVector("s").asInstanceOf[VarCharVector]
+      kv.allocateNew(2); sv.allocateNew(2)
+      kv.setSafe(0, 5L); sv.setSafe(0, "e".getBytes("UTF-8"))
+      kv.setSafe(1, 6L); sv.setNull(1)
+      root.setRowCount(2)
+      val ch = java.nio.channels.FileChannel.open(arrowPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close()
+      ch.close(); root.close(); alloc.close()
+    }
+    val gotArrow = ChDdl.execute(spark,
+      s"SELECT k, s FROM file('$arrowPath', 'Arrow') ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(gotArrow == Seq(5L -> Some("e"), 6L -> None))
+  }
+
   test("SHOW CREATE re-emits CHECK constraints (full roundtrip)") {
     GraftFunctions.ensureRegistered(spark)
     ChDdl.execute(spark,

@@ -623,6 +623,48 @@ class DdlSpec extends SparkSpec {
     assert(withSettings == Seq("""{"id":1}""", """{"id":2}"""), withSettings)
   }
 
+  test("FORMAT JSON/JSONCompact envelope + JSONCompactEachRow; wire formats refuse with guidance") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 'a,x', 1.5), (2, CAST(NULL AS STRING), 2.5) AS t(id, s, v)")
+      .createOrReplaceTempView("graft_fmt_j")
+    val j = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_j ORDER BY id FORMAT JSON")
+      .as[String].collect().toSeq
+    assert(j == Seq(
+      "{", "\t\"meta\":", "\t[",
+      "\t\t{", "\t\t\t\"name\": \"id\",", "\t\t\t\"type\": \"Int32\"", "\t\t},",
+      "\t\t{", "\t\t\t\"name\": \"s\",", "\t\t\t\"type\": \"Nullable(String)\"", "\t\t},",
+      "\t\t{", "\t\t\t\"name\": \"v\",", "\t\t\t\"type\": \"Decimal(2, 1)\"", "\t\t}",
+      "\t],", "",
+      "\t\"data\":", "\t[",
+      "\t\t{", "\t\t\t\"id\": 1,", "\t\t\t\"s\": \"a,x\",", "\t\t\t\"v\": 1.5", "\t\t},",
+      "\t\t{", "\t\t\t\"id\": 2,", "\t\t\t\"s\": null,", "\t\t\t\"v\": 2.5", "\t\t}",
+      "\t],", "",
+      "\t\"rows\": 2", "}"), j.map(l => l.replace("\t", "»")).mkString("\n"))
+    val jc = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_j ORDER BY id FORMAT JSONCompact")
+      .as[String].collect().toSeq
+    assert(jc.containsSlice(Seq(
+      "\t\t[1, \"a,x\", 1.5],", "\t\t[2, null, 2.5]")), jc.mkString("\n"))
+    val jcer = ChDdl.execute(spark,
+      "SELECT id, s, v FROM graft_fmt_j ORDER BY id FORMAT JSONCompactEachRow")
+      .as[String].collect().toSeq
+    assert(jcer == Seq("[1, \"a,x\", 1.5]", "[2, null, 2.5]"), jcer)
+    // 64-bit integers quote (output_format_json_quote_64bit_integers=1)
+    spark.range(2).createOrReplaceTempView("graft_fmt_j64")
+    val q64 = ChDdl.execute(spark,
+      "SELECT id FROM graft_fmt_j64 ORDER BY id FORMAT JSONCompactEachRow")
+      .as[String].collect().toSeq
+    assert(q64 == Seq("[\"0\"]", "[\"1\"]"), q64)
+    // wire-protocol formats refuse and NAME the parquet path
+    Seq("Native", "RowBinary", "Protobuf", "MsgPack").foreach { f =>
+      val e = intercept[UnsupportedOperationException] {
+        ChDdl.execute(spark, s"SELECT id FROM graft_fmt_j FORMAT $f")
+      }
+      assert(e.getMessage.contains("parquet"), s"$f refusal must guide to parquet")
+    }
+  }
+
   test("query-scoped SETTINGS bake into the plan and restore the session conf") {
     GraftFunctions.ensureRegistered(spark)
     spark.range(100).selectExpr("id", "id % 5 AS g")
