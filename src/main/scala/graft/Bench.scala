@@ -144,6 +144,16 @@ object Bench {
       results.get(k).map(v => math.round(v * 100).toString).getOrElse("-1"))
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_runs":$failJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},"medians_cs_sorted_keys":[${cs.mkString(",")}]}"""
     println(full)
+    // The driver's BENCH_rN.json keeps only the LAST 2000 output
+    // chars and parses the final JSON line into its `parsed` field —
+    // the full line above is ~7 KB (211-key queries map), so its HEAD
+    // is truncated out of the tail and `parsed` came back null every
+    // round (r11/r12 verdict ask). This LAST line is the compact
+    // self-contained copy (~1.3 KB): everything but the verbose
+    // queries map, with the per-key medians as centiseconds in
+    // sorted-key order (keys reconstructible from SparkEntry.queries;
+    // -1 marks an error key). It fits the tail whole, so it parses.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},"medians_cs_sorted_keys":[${cs.mkString(",")}]}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "dev/bench_medians_last.json")), full)

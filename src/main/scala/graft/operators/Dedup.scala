@@ -808,11 +808,13 @@ object Dedup {
     // spill at scale). A groupBy partial agg collapses the hot
     // element per-partition BEFORE the shuffle (the d16 spelling).
     // `items` is planted three times below (count, anti-join left,
-    // self-join right — broadcast joins defeat ReuseExchange);
-    // callers keep that cheap by handing an explode over a PERSISTED
-    // doc-level array frame (see ngramJaccard / binaryNearDup), so
-    // the expensive shingle/fingerprint work runs once and each
-    // planting pays only a cheap explode — without caching this
+    // self-join right — broadcast joins defeat ReuseExchange). Whether
+    // the caller should persist the doc-level array frame feeding the
+    // explode is a MEASURED per-caller call: ngramJaccard does (the
+    // wordNGrams kernel is expensive enough that 3-4 plantings beat
+    // one cache write), binaryNearDup deliberately does NOT
+    // (FunnelScaleProbe r11: re-slicing+md5 beat deserializing the
+    // hash-set cache at every probed size). Neither caches the
     // exploded tokens-scale frame itself.
     // ANTI-join against the OVER-cap set, not semi-join against the
     // under-cap set: the kept side is every distinct element (corpus-

@@ -91,6 +91,45 @@ object AnnScaleProbe {
         Ivf.search(docs, narrow, "vec_id", "embedding", model,
           k = 10, nprobe = 4).count()
       }
+      // r12 verdict ask #6: the file-level-pruning claim, MEASURED.
+      // (Task input-metrics undercount parquet column-chunk reads by
+      // >10x here, so the probe uses ground truth instead:) 1. the
+      // executed scan must carry a __cell partition filter — i.e. the
+      // probed-cell IN list prunes at PLANNING, before any file opens;
+      // 2. bytes = on-disk size of the probed cells' partition dirs
+      // (what a pruned scan can possibly touch) vs the whole index.
+      locally {
+        val res = Ivf.searchIndexed(idx, narrow, "vec_id", "embedding",
+          k = 10, nprobe = 4)
+        res.count()
+        val plan = res.queryExecution.executedPlan.toString
+        val pruned = "PartitionFilters: \\[[^\\]]*__cell".r
+          .findFirstIn(plan).isDefined
+        // the probed cell set, recomputed the way searchIndexed plants
+        // its IN filter (top-nprobe cells per query, distinct)
+        graft.functions.GraftFunctions.ensureRegistered(spark)
+        val cellIds = narrow
+          .select(call_function("cell_distances", col("embedding"),
+            typedLit(model.centroids.map(_.toSeq).toSeq)).as("__d"))
+          .select(explode(slice(array_sort(zip_with(col("__d"),
+            sequence(lit(0), lit(model.k - 1)),
+            (d, i) => struct(d.as("d"), i.as("i")))), 1, 4)).as("s"))
+          .select(col("s.i").cast("int").as("c")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        def dirBytes(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+        val root = new java.io.File(path)
+        val total = dirBytes(root)
+        val probedBytes = Option(root.listFiles).getOrElse(Array.empty)
+          .filter(d => d.getName.startsWith("__cell=") &&
+            cellIds(d.getName.stripPrefix("__cell=").toInt))
+          .map(dirBytes).sum
+        println(f"ivfDiskIdx bytes n=$n%7d partition-filter-in-plan=$pruned " +
+          f"probedCells=${cellIds.size}/${model.k} " +
+          f"probedBytes=$probedBytes%10d totalBytes=$total%10d " +
+          f"frac=${probedBytes.toDouble / total}%.3f")
+      }
     }
     spark.stop()
   }

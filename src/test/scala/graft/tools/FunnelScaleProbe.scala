@@ -84,13 +84,14 @@ object FunnelScaleProbe {
           defaultCap = 5)
         out.write.format("noop").mode("overwrite").save(); -1L
       }
-      // m03 one-scan-vs-three: the shipped binaryNearDup caches the
-      // per-doc frame-hash sets (ONE pass over the binary corpus);
-      // the no-cache twin recomputes them per consumer (three passes).
-      // The r10 regression discussion predicts the cached form wins
-      // increasingly with corpus BYTES — so the probe's blobs are
-      // ~4.5 KB (12× the text), the real-multimodal regime, not the
-      // 0.4 KB text rows where the scan is too cheap to matter.
+      // m03 cache-vs-recompute: since r11 the SHIPPED binaryNearDup
+      // does NOT cache the per-doc frame-hash sets (the r11 probe
+      // measured recompute winning), so the shipped cell here is the
+      // 3-planting recompute form and the TWIN persists the doc-set
+      // frame — kept as the standing measurement that would flag the
+      // regime flipping back. Blobs are ~4.5 KB (12× the text), the
+      // real-multimodal regime, not the 0.4 KB text rows where the
+      // scan is too cheap to matter.
       // PARQUET-BACKED media (not the in-memory synthetic): a re-scan
       // must pay real source IO, the term the doc-set cache exists to
       // save — regenerating the synthetic corpus from range()
@@ -104,22 +105,26 @@ object FunnelScaleProbe {
           .write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
       }
-      timed(f"m03 cached 1-scan  n=$n%7d") {
+      timed(f"m03 shipped 3-scan n=$n%7d") {
         Multimodal.binaryNearDup(media, 32, 2, 100, 0.3)
           .write.format("noop").mode("overwrite").save(); -1L
       }
-      timed(f"m03 nocache 3-scan n=$n%7d") {
+      timed(f"m03 cached twin    n=$n%7d") {
         val docSets = Multimodal.sampleFrames(media, 32, 2)
           .groupBy("doc_id")
           .agg(collect_set(col("frame_md5")).as("__gs"))
-        val items = docSets.select(col("doc_id"), lit("*").as("__blk"),
-          size(col("__gs")).as("__sz"), explode(col("__gs")).as("__g"))
-        val m = classOf[Dedup.type].getDeclaredMethods
-          .find(_.getName == "setJaccardPairs").get
-        m.setAccessible(true)
-        m.invoke(Dedup, items, "doc_id", Double.box(0.3), Int.box(100))
-          .asInstanceOf[DataFrame]
-          .write.format("noop").mode("overwrite").save(); -1L
+          .persist()
+        try {
+          val items = docSets.select(col("doc_id"), lit("*").as("__blk"),
+            size(col("__gs")).as("__sz"), explode(col("__gs")).as("__g"))
+          val m = classOf[Dedup.type].getDeclaredMethods
+            .find(_.getName == "setJaccardPairs").get
+          m.setAccessible(true)
+          m.invoke(Dedup, items, "doc_id", Double.box(0.3), Int.box(100))
+            .asInstanceOf[DataFrame]
+            .write.format("noop").mode("overwrite").save()
+        } finally docSets.unpersist()
+        -1L
       }
     }
     spark.stop()
