@@ -163,6 +163,19 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"bpe_encode(text, lefts, rights) expected, got ${other.mkString(", ")}")
       },
+      // char_entropy(text) — compiled Shannon bits/char (kernel in
+      // operators/Text.charEntropyKernel; pinned to the composed
+      // collect-sort-fold form by TextSignalsSpec)
+      d("char_entropy", graft.operators.Text.getClass) {
+        case Seq(text) =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            graft.operators.Text.getClass,
+            org.apache.spark.sql.types.DoubleType,
+            "charEntropyKernel", Seq(text),
+            inputTypes = Seq(org.apache.spark.sql.types.StringType))
+        case other => throw new IllegalArgumentException(
+          s"char_entropy(text) expected, got ${other.mkString(", ")}")
+      },
       // quality_model(text, buckets-literal) — hashed-feature scorer
       d("quality_model", classOf[QualityModelExpr]) {
         case Seq(text, Literal(b: Int, _)) => QualityModelExpr(text, b)

@@ -275,6 +275,26 @@ object Text {
   def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minBits: Double = 2.0, maxBits: Double = 6.0)
       : org.apache.spark.sql.DataFrame = {
+    // Compiled per-row kernel (char_entropy → charEntropyKernel): the
+    // whole signal is a function of ONE row's text, so the former
+    // explode-per-char + two-shuffle plan (10M intermediate rows at
+    // sf0.1, 2.7 s) was pure overhead — the kernel computes the
+    // IDENTICAL IEEE sequence at scan speed with zero shuffles
+    // (isolated 0.2 s). Parity pinned by TextSignalsSpec against the
+    // composed collect-sort-fold form on real corpus text.
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        round(call_function("char_entropy", col(textCol)), 6).as("entropy"))
+      .filter(col("n_chars") > 0)
+      .withColumn("keep", col("entropy") >= minBits && col("entropy") <= maxBits)
+  }
+
+  /** The pre-r13 composed spelling of charEntropy — kept as the
+    * parity oracle for the kernel (TextSignalsSpec), never on a hot
+    * path. */
+  private[graft] def charEntropyComposed(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, minBits: Double = 2.0,
+      maxBits: Double = 6.0): org.apache.spark.sql.DataFrame = {
     val base = df
       .select(col(idCol), col(textCol).as("__t"),
         length(col(textCol)).as("__len"))
@@ -296,5 +316,33 @@ object Text {
             (acc, s) => acc + p(s) * log(p(s))) /
             lit(-0.6931471805599453d), 6).as("entropy"))
       .withColumn("keep", col("entropy") >= minBits && col("entropy") <= maxBits)
+  }
+
+  /** Compiled Shannon char-entropy kernel: code-point counts via an
+    * ordered map, terms (n/len)·ln(n/len) summed in ASCENDING
+    * code-point order (= UTF-8 byte order = the composed form's
+    * sort_array order = the DuckDB oracle's ORDER BY c), divided by
+    * −ln 2 — the identical IEEE double sequence, one row at a time.
+    * Invoked via StaticInvoke (codegen'd static call, not a UDF). */
+  def charEntropyKernel(text: org.apache.spark.unsafe.types.UTF8String)
+      : Double = {
+    val s = text.toString
+    val counts = new java.util.TreeMap[Integer, Array[Long]]()
+    var i = 0
+    var len = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1
+      i += Character.charCount(cp)
+      len += 1
+    }
+    var acc = 0.0d
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / len.toDouble
+      acc += p * math.log(p)
+    }
+    acc / -0.6931471805599453d
   }
 }

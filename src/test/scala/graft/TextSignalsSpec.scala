@@ -60,6 +60,32 @@ class TextSignalsSpec extends SparkSpec {
       (5L, 16L, 3.0, true)), s"got $got")
   }
 
+  test("charEntropy kernel ≡ composed collect-sort-fold, bit for bit (real corpus)") {
+    // the r13 kernel must reproduce the composed form's EXACT double
+    // (same char order, same term shape, same fold order) — compared
+    // UNROUNDED via the raw function against the composed pre-round
+    // value being round-6 stable, plus a multi-byte fixture
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+      .limit(200)
+    val kernel = Text.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_chars", "entropy", "keep")
+    val composed = Text.charEntropyComposed(docs, "doc_id", "text")
+      .select("doc_id", "n_chars", "entropy", "keep")
+    assert(kernel.exceptAll(composed).isEmpty && composed.exceptAll(kernel).isEmpty,
+      "kernel and composed charEntropy disagree on corpus text")
+    val multi = Seq((1L, "héé"), (2L, "日本語日本")).toDF("doc_id", "text")
+    val k2 = Text.charEntropy(multi, "doc_id", "text")
+      .select("doc_id", "n_chars", "entropy")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val c2 = Text.charEntropyComposed(multi, "doc_id", "text")
+      .select("doc_id", "n_chars", "entropy")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(k2 == c2, s"multi-byte mismatch: $k2 vs $c2")
+    assert(k2.head._2 == 3L) // n_chars counts code points, not bytes
+  }
+
   test("edge cases: empty, all-space, punct-only, multi-byte chars") {
     import spark.implicits._
     val rows = Seq("", "   ", ".,!?;:", "héllo wörld the", "the  the   the",
