@@ -316,14 +316,18 @@ object ChDialect5 {
     // Inclusive IS Spark's percentile; exclusive interpolates at
     // h = (n+1)p over the sorted collect (clamped to the ends).
     "quantileExactInclusive" -> builtin("percentile"),
+    // the sorted collect is BOUND once per row (ChStats.bind): the
+    // H-F interpolation splices it ~8 times per quantile, and
+    // interpreted projections re-sort at every splice (r13)
     "quantileExactExclusive" -> { es =>
-      exclQuantile(sortedCollect(es.head), Cast(es(1), DoubleType)) },
+      ChStats.bind(sortedCollect(es.head))(s =>
+        exclQuantile(s, Cast(es(1), DoubleType))) },
     "quantilesExactInclusive" -> { es =>
-      val s = sortedCollect(es.head)
-      CreateArray(es.tail.map(p => inclQuantileOn(s, Cast(p, DoubleType)))) },
+      ChStats.bind(sortedCollect(es.head))(s =>
+        CreateArray(es.tail.map(p => inclQuantileOn(s, Cast(p, DoubleType))))) },
     "quantilesExactExclusive" -> { es =>
-      val s = sortedCollect(es.head)
-      CreateArray(es.tail.map(p => exclQuantile(s, Cast(p, DoubleType)))) },
+      ChStats.bind(sortedCollect(es.head))(s =>
+        CreateArray(es.tail.map(p => exclQuantile(s, Cast(p, DoubleType))))) },
 
     // intersection of array values across the group's rows (CH
     // groupArrayIntersect); output sorted — CH's order is arbitrary,

@@ -164,25 +164,28 @@ private[graft] object ChStats {
       CreateNamedStruct(Seq(
         Literal("r1"), flushedR1(finV),
         Literal("ties"), flushedTies(finV))), Seq(finV))
-    val folded = builtin("aggregate")(Seq(arr, init, merge, finish))
+    val foldedRaw = builtin("aggregate")(Seq(arr, init, merge, finish))
     val (n1e, _, _) = cohortSums(v, c0)
     val (n2e, _, _) = cohortSums(v, Not(c0))
-    // bind the fold + counts once via a struct so the formula below
-    // stays readable; Catalyst CSEs the repeated subtrees
-    val r1 = fld(folded, "r1")
-    val ties = fld(folded, "ties")
-    val n1 = n1e
-    val n2 = n2e
-    val n = n1 + n2
-    val u1 = r1 - n1 * (n1 + lit(1.0)) / lit(2.0)
-    val mu = n1 * n2 / lit(2.0)
-    val variance = (n1 * n2 / lit(12.0)) *
-      ((n + lit(1.0)) - ties / (n * (n - lit(1.0))))
-    val zNum = abs(u1 - mu) - lit(0.5)
-    val z = If(GreaterThan(zNum, lit(0.0)), zNum, lit(0.0)) / sqrt(variance)
-    val p = If(LessThanOrEqual(variance, lit(0.0)), lit(1.0),
-      erfc(z / lit(math.sqrt(2.0))))
-    tuple2(u1, p)
+    // bind the fold ONCE (no CSE in interpreted projections — each
+    // splice of the fold would re-sort and re-scan the group); the
+    // cohort counts are agg-buffer references, already O(1)
+    bind(foldedRaw) { folded =>
+      val r1 = fld(folded, "r1")
+      val ties = fld(folded, "ties")
+      val n1 = n1e
+      val n2 = n2e
+      val n = n1 + n2
+      val u1 = r1 - n1 * (n1 + lit(1.0)) / lit(2.0)
+      val mu = n1 * n2 / lit(2.0)
+      val variance = (n1 * n2 / lit(12.0)) *
+        ((n + lit(1.0)) - ties / (n * (n - lit(1.0))))
+      val zNum = abs(u1 - mu) - lit(0.5)
+      val z = If(GreaterThan(zNum, lit(0.0)), zNum, lit(0.0)) / sqrt(variance)
+      val p = If(LessThanOrEqual(variance, lit(0.0)), lit(1.0),
+        erfc(z / lit(math.sqrt(2.0))))
+      tuple2(u1, p)
+    }
   }
 
   /** boundingRatio(x, y): slope of the segment between the group's
@@ -275,17 +278,22 @@ private[graft] object ChStats {
     val finish = LambdaFunction(
       If(GreaterThan(lastGap, fld(fin, "dm")), lastGap, fld(fin, "dm")),
       Seq(fin))
-    val dStat = builtin("aggregate")(Seq(arr, init, merge, finish))
+    val dStatRaw = builtin("aggregate")(Seq(arr, init, merge, finish))
     // p: λ = (√ne + 0.12 + 0.11/√ne)·D, ne = n1·n2/(n1+n2);
-    // Q(λ) ≈ 2(e^{−2λ²} − e^{−8λ²} + e^{−18λ²}), clamped to [0, 1]
-    val ne = n1 * n2 / (n1 + n2)
-    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * dStat
-    val l2 = lam * lam
-    val q = lit(2.0) *
-      (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2) + exp(lit(-18.0) * l2))
-    val p = If(GreaterThan(q, lit(1.0)), lit(1.0),
-      If(LessThan(q, lit(0.0)), lit(0.0), q))
-    tuple2(dStat, p)
+    // Q(λ) ≈ 2(e^{−2λ²} − e^{−8λ²} + e^{−18λ²}), clamped to [0, 1].
+    // dStat is bound ONCE: the λ²-series splices it ~19 times and an
+    // interpreted projection would re-run the whole sorted fold at
+    // each splice (the c44 discipline, r13)
+    bind(dStatRaw) { dStat =>
+      val ne = n1 * n2 / (n1 + n2)
+      val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * dStat
+      val l2 = lam * lam
+      val q = lit(2.0) *
+        (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2) + exp(lit(-18.0) * l2))
+      val p = If(GreaterThan(q, lit(1.0)), lit(1.0),
+        If(LessThan(q, lit(0.0)), lit(0.0), q))
+      tuple2(dStat, p)
+    }
   }
 
   /** simpleLinearRegression(x, y) → (k, b): least-squares slope and
@@ -299,10 +307,13 @@ private[graft] object ChStats {
     tuple2(k, b)
   }
 
-  /** Bind a subexpression once as a lambda variable (the collected
-    * array below feeds every stage of the fold — without binding, the
-    * aggregate subtree would repeat throughout the expression). */
-  private def bind(e: Expression)(body: Expression => Expression): Expression = {
+  /** Bind a subexpression once as a lambda variable. Interpreted
+    * projections (every higher-order-function plan) do NO common-
+    * subexpression elimination, so an O(n) fold/sort subtree spliced
+    * at k use sites runs k times per row — bind(x)(body) evaluates x
+    * ONCE via transform(array(x), v -> body(v))[1]. Shared by the
+    * whole functions package (the c44/c30 discipline, r13). */
+  private[functions] def bind(e: Expression)(body: Expression => Expression): Expression = {
     val v = fresh("bound")
     elemAt(ChDialect.builtin("transform")(
       Seq(CreateArray(Seq(e)), LambdaFunction(body(v), Seq(v)))), Literal(1))
@@ -444,14 +455,22 @@ private[graft] object ChStats {
   def quantileExactBound(low: Boolean)(es: Seq[Expression]): Expression = {
     val x = es(0)
     val q = if (es.size > 1) d(es(1)) else Literal(0.5)
-    val arr = ChDialect.builtin("sort_array")(
+    val arrRaw = ChDialect.builtin("sort_array")(
       Seq(wrapAgg(ChDialect.builtin("collect_list")(Seq(x)))))
-    val n = ChDialect.builtin("size")(Seq(arr))
-    val pos = q * d(n - Literal(1))
-    val idx = if (low) ChDialect.builtin("floor")(Seq(pos))
-      else ChDialect.builtin("ceil")(Seq(pos))
-    ChDialect.builtin("element_at")(
-      Seq(arr, Cast(idx, IntegerType) + Literal(1)))
+    bind(arrRaw) { arr => // one sort, not one per splice (r13)
+      val n = ChDialect.builtin("size")(Seq(arr))
+      val pos = q * d(n - Literal(1))
+      // floor/ceil spelled as trunc arithmetic: their registry
+      // builders ASSERT resolved arguments, and inside the bind
+      // lambda the bound variable resolves later (the hfQuantile
+      // precedent). pos >= 0, so trunc == floor and
+      // ceil = trunc + (pos > trunc).
+      val t = Cast(pos, LongType)
+      val idx = if (low) t
+        else t + Cast(GreaterThan(pos, Cast(t, DoubleType)), LongType)
+      ChDialect.builtin("element_at")(
+        Seq(arr, Cast(idx, IntegerType) + Literal(1)))
+    }
   }
 
   /** groupArrayLast(x, n): the last n elements in collection order
@@ -521,7 +540,8 @@ private[graft] object ChStats {
       case "sum"   => fld(folded, "s")
       case "count" => fld(folded, "c")
       case "max"   => fld(folded, "m")
-      case "avg"   => fld(folded, "s") / fld(folded, "c")
+      // avg splices the fold twice — bind it once (r13)
+      case "avg"   => bind(folded)(f => fld(f, "s") / fld(f, "c"))
     }
   }
 }

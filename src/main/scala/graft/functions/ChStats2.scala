@@ -289,8 +289,11 @@ private[graft] object ChStats2 {
         fld(acc, "rp") + If(isPos, fld(e, "r"), lit(0.0)),
         fld(acc, "np") + If(isPos, lit(1.0), lit(0.0)),
         fld(acc, "nn") + If(isPos, lit(0.0), lit(1.0))), Seq(acc, e))))
-    val np = fld(sums, "np"); val nn = fld(sums, "nn")
-    (fld(sums, "rp") - np * (np + lit(1.0)) / lit(2.0)) / (np * nn)
+    // the AUC formula splices the rank fold five times — bind (r13)
+    ChStats.bind(sums) { su =>
+      val np = fld(su, "np"); val nn = fld(su, "nn")
+      (fld(su, "rp") - np * (np + lit(1.0)) / lit(2.0)) / (np * nn)
+    }
   }
 
   /** quantileInterpolatedWeighted(x, w, q): weighted quantile with
@@ -330,7 +333,8 @@ private[graft] object ChStats2 {
       accOf(lit(0.0), Literal(null, DoubleType), Literal(null, DoubleType),
         Literal(null, DoubleType)),
       LambdaFunction(accOf(cum2, xi, pi, res2), Seq(acc, e))))
-    Coalesce(Seq(fld(folded, "res"), fld(folded, "px")))
+    // the Coalesce splices the fold twice — bind it once (r13)
+    ChStats.bind(folded)(f => Coalesce(Seq(fld(f, "res"), fld(f, "px"))))
   }
 
   /** deltaSumTimestamp(v, t): Σ of POSITIVE deltas between
