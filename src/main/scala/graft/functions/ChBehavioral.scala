@@ -488,15 +488,19 @@ private[graft] object ChBehavioral {
         Literal("done"), Or(done, EqualTo(newLvl, Literal(n))),
         Literal("ts"), newTimes))
     }
-    val tv = fresh("t")
-    val tv2 = fresh("t")
-    If(fld(folded, "done"),
-      ChDialect.builtin("transform")(Seq(fld(folded, "ts"),
-        LambdaFunction(
-          ChDialect.builtin("timestamp_micros")(Seq(tv)), Seq(tv)))),
-      ChDialect.builtin("transform")(Seq(emptyTimes,
-        LambdaFunction(
-          ChDialect.builtin("timestamp_micros")(Seq(tv2)), Seq(tv2)))))
+    // bind the fold once: the If splices it twice (done + ts), and
+    // interpreted projections re-run the whole fold per splice (r13)
+    ChStats.bind(folded) { f =>
+      val tv = fresh("t")
+      val tv2 = fresh("t")
+      If(fld(f, "done"),
+        ChDialect.builtin("transform")(Seq(fld(f, "ts"),
+          LambdaFunction(
+            ChDialect.builtin("timestamp_micros")(Seq(tv)), Seq(tv)))),
+        ChDialect.builtin("transform")(Seq(emptyTimes,
+          LambdaFunction(
+            ChDialect.builtin("timestamp_micros")(Seq(tv2)), Seq(tv2)))))
+    }
   }
 
   /** sequenceCount(pattern)(ts, cond1 … condN) → non-overlapping

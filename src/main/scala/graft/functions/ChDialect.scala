@@ -41,7 +41,16 @@ object ChDialect {
   /** chName → builder. Grouped as the reference's registry is. */
   private def aliases: Seq[(String, Builder)] =
     baseAliases ++ emptyArrayAliases ++ ChDialect2.aliases ++
-      ChDialect3.aliases ++ ChDialect4.aliases ++ ChDialect5.aliases
+      ChDialect3.aliases ++ ChDialect4.aliases ++ ChDialect5.aliases ++
+      ChDialect6.aliases
+
+  private lazy val aliasLookup: Map[String, Builder] = aliases.toMap
+
+  /** Builder of an already-registered CH name — for later-batch
+    * aliases that share an earlier batch's realization. */
+  private[functions] def builderOf(name: String): Builder =
+    aliasLookup.getOrElse(name,
+      throw new IllegalStateException(s"no CH alias '$name'"))
 
   /** Euclid as a bounded fold: 96 rounds cover any 64-bit pair
     * (Fibonacci worst case ~91 divisions); b = 0 rounds are no-ops. */

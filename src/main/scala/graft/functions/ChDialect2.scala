@@ -792,7 +792,7 @@ object ChDialect2 {
   }
   private def si2s(ret: DataType, method: String): Builder =
     si(ret, method, Seq(StringType, StringType))
-  private def si1s(ret: DataType, method: String): Builder =
+  private[functions] def si1s(ret: DataType, method: String): Builder =
     si(ret, method, Seq(StringType))
 
   private def helperAliases: Seq[(String, Builder)] = Seq(

@@ -437,7 +437,7 @@ object ChDialect3 {
 
   private def d(e: Expression): Expression = Cast(e, DoubleType)
 
-  private def erfinvE(x: Expression): Expression = {
+  private[functions] def erfinvE(x: Expression): Expression = {
     val a = Literal(0.147)
     val l = builtin("ln")(Seq(Subtract(Literal(1.0), Multiply(x, x))))
     val t = Add(Literal(2.0 / (math.Pi * 0.147)), Divide(l, Literal(2.0)))

@@ -647,6 +647,63 @@ object ChStrHelpers {
     c
   }
 
+  /** cutIPv6(bytes16, bytesToCutForIPv6, bytesToCutForIPv4): zero the
+    * trailing bytes — the v4 count for ::ffff:a.b.c.d-mapped
+    * addresses, the v6 count otherwise — and render the textual form
+    * (reference semantics for IP anonymization). */
+  def cutIPv6(bytes: Array[Byte], cutV6: Int, cutV4: Int): UTF8String = {
+    if (bytes == null || bytes.length != 16) return null
+    val mapped = bytes.take(10).forall(_ == 0) &&
+      bytes(10) == -1 && bytes(11) == -1
+    val cut = math.max(0, math.min(16, if (mapped) cutV4 else cutV6))
+    val out = bytes.clone()
+    var i = 16 - cut
+    while (i < 16) { out(i) = 0; i += 1 }
+    ipv6NumToString(out)
+  }
+
+  // ---- base32 (RFC 4648, padded, upper-case alphabet) ----
+
+  private val b32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  def base32Encode(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val sb = new java.lang.StringBuilder((in.length * 8 + 4) / 5)
+    var buf = 0L
+    var bits = 0
+    for (b <- in) {
+      buf = (buf << 8) | (b & 0xff)
+      bits += 8
+      while (bits >= 5) {
+        sb.append(b32Alphabet(((buf >> (bits - 5)) & 31).toInt))
+        bits -= 5
+      }
+    }
+    if (bits > 0) sb.append(b32Alphabet(((buf << (5 - bits)) & 31).toInt))
+    while (sb.length % 8 != 0) sb.append('=')
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** NULL on any character outside the alphabet (after '='-padding
+    * strip) — the library-style degradation for bad input. */
+  def base32Decode(s: UTF8String): UTF8String = {
+    val raw = s.toString.toUpperCase.reverse.dropWhile(_ == '=').reverse
+    val out = new java.io.ByteArrayOutputStream()
+    var buf = 0L
+    var bits = 0
+    for (c <- raw) {
+      val v = b32Alphabet.indexOf(c)
+      if (v < 0) return null
+      buf = (buf << 5) | v
+      bits += 5
+      if (bits >= 8) {
+        out.write(((buf >> (bits - 8)) & 0xff).toInt)
+        bits -= 8
+      }
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
   // ---- SQL/JSON JSON_QUERY (reference src/Functions/FunctionSQLJSON
   // semantics: matches come back wrapped in a JSON ARRAY, strings
   // re-quoted — unlike JSON_VALUE's bare scalar) ----

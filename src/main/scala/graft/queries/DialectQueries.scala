@@ -2129,6 +2129,101 @@ object DialectQueries {
         .drop("qs_arr")
     },
 
+    // Round-13 ChDialect6 graduation: detectLanguage as the GROUP
+    // key (the t01 argmax over the one-pass signal kernel, 'un' when
+    // no stopword hits), arrayShingles, the Joda datetime spellings,
+    // UUIDv7 epoch extraction, the IPv4/IPv6/MAC conversion tails
+    // (Or* forms, v4-mapped v6, cutIPv6 anonymization, MAC
+    // round-trips) and H3 resolution — one documents scan, every
+    // kernel mirrored in DuckDB.
+    "c53_ch_sweep5" -> Q(
+      s"""WITH b AS (
+        |  SELECT doc_id AS k, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+        |    [CAST(doc_id % 5 AS INT), CAST(doc_id % 7 AS INT),
+        |     CAST(doc_id % 3 AS INT), CAST(7 AS INT)] AS arr,
+        |    (doc_id % 256) * 16777216 + ((doc_id * 7) % 256) * 65536
+        |      + ((doc_id * 13) % 256) * 256 + (doc_id % 250) AS ipnum,
+        |    doc_id * 7919 AS macn
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT *,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("de")}))) AS s_de,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("en")}))) AS s_en,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("es")}))) AS s_es,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("fr")}))) AS s_fr,
+        |    len(list_filter(ws, x -> x IN (${TextQueries.dictSqlPub("zh")}))) AS s_zh
+        |  FROM b),
+        |s2 AS (
+        |  SELECT *,
+        |    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'un'
+        |         WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |         WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS lang
+        |  FROM s1)
+        |SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(arr) - 1) AS BIGINT) AS shn,
+        |  MIN(array_to_string(list_transform(
+        |    [arr[i:i+1] for i in range(1, len(arr))],
+        |    w -> array_to_string(w, ',')), ';')) AS sh_str,
+        |  MIN('UTC') AS tz,
+        |  MIN(strftime(to_timestamp(k * 1000), '%Y-%m-%d %H:%M:%S')) AS fu,
+        |  COUNT(*) AS pj_ok,
+        |  CAST(SUM(1700000000000 + k) AS BIGINT) AS u7_sum,
+        |  CAST(SUM(ipnum) AS BIGINT) AS ipsum,
+        |  COUNT(*) AS ipbad,
+        |  MIN('00000000000000000000FFFF' || lpad(upper(to_hex(ipnum)), 8, '0')) AS v6hex,
+        |  MIN('::ffff:' || CAST(k % 256 AS VARCHAR) || '.' ||
+        |    CAST((k * 7) % 256 AS VARCHAR) || '.' ||
+        |    CAST((k * 13) % 256 AS VARCHAR) || '.0') AS v6cut,
+        |  MIN(lpad(upper(to_hex((macn // 1099511627776) % 256)), 2, '0') || ':' ||
+        |      lpad(upper(to_hex((macn // 4294967296) % 256)), 2, '0') || ':' ||
+        |      lpad(upper(to_hex((macn // 16777216) % 256)), 2, '0') || ':' ||
+        |      lpad(upper(to_hex((macn // 65536) % 256)), 2, '0') || ':' ||
+        |      lpad(upper(to_hex((macn // 256) % 256)), 2, '0') || ':' ||
+        |      lpad(upper(to_hex(macn % 256)), 2, '0')) AS mac_min,
+        |  CAST(SUM(macn) AS BIGINT) AS mac_rt,
+        |  CAST(SUM(macn // 16777216) AS BIGINT) AS oui_sum,
+        |  CAST(SUM(k % 16) AS BIGINT) AS h3r
+        |FROM s2 GROUP BY lang ORDER BY lang""".stripMargin)(
+      chSql(Seq("documents"),
+        """WITH b AS (
+          |  SELECT doc_id AS k, text,
+          |    detectLanguage(text) AS lang,
+          |    array(CAST(doc_id % 5 AS INT), CAST(doc_id % 7 AS INT),
+          |      CAST(doc_id % 3 AS INT), CAST(7 AS INT)) AS arr,
+          |    (doc_id % 256) * 16777216 + ((doc_id * 7) % 256) * 65536
+          |      + ((doc_id * 13) % 256) * 256 + (doc_id % 250) AS ipnum,
+          |    concat(toString(doc_id % 256), '.', toString((doc_id * 7) % 256),
+          |      '.', toString((doc_id * 13) % 256), '.', toString(doc_id % 250)) AS ip,
+          |    doc_id * 7919 AS macn
+          |  FROM documents)
+          |SELECT lang,
+          |  count() AS n_docs,
+          |  sum(size(arrayShingles(arr, 2))) AS shn,
+          |  min(concat_ws(';', transform(arrayShingles(arr, 2),
+          |    w -> concat_ws(',', w)))) AS sh_str,
+          |  min(timezoneOf(now())) AS tz,
+          |  min(fromUnixTimestampInJodaSyntax(k * 1000, 'yyyy-MM-dd HH:mm:ss')) AS fu,
+          |  sum(if(parseDateTimeInJodaSyntax(concat('2024-03-',
+          |    lpad(toString(k % 27 + 1), 2, '0')), 'yyyy-MM-dd') IS NOT NULL, 1, 0)) AS pj_ok,
+          |  sum(unix_millis(UUIDv7ToDateTime(concat(
+          |    substring(lpad(hex(1700000000000 + k), 12, '0'), 1, 8), '-',
+          |    substring(lpad(hex(1700000000000 + k), 12, '0'), 9, 4),
+          |    '-7000-8000-000000000000')))) AS u7_sum,
+          |  sum(IPv4StringToNumOrNull(ip)) AS ipsum,
+          |  sum(if(IPv4StringToNumOrNull(concat(ip, '.9')) IS NULL, 1, 0)) AS ipbad,
+          |  min(hex(IPv4ToIPv6(IPv4StringToNumOrNull(ip)))) AS v6hex,
+          |  min(cutIPv6(IPv4ToIPv6(IPv4StringToNumOrNull(ip)), 2, 1)) AS v6cut,
+          |  min(MACNumToString(macn)) AS mac_min,
+          |  sum(MACStringToNum(MACNumToString(macn))) AS mac_rt,
+          |  sum(MACStringToOUI(MACNumToString(macn))) AS oui_sum,
+          |  sum(h3GetResolution(shiftLeft(CAST(k % 16 AS BIGINT), 52))) AS h3r
+          |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
+
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS med,
