@@ -1057,8 +1057,9 @@ object ChDialect {
     "rankCorr"    -> { es =>
       RankCorrAgg(es(0), es(1)).toAggregateExpression() },
     "meanZTest"   -> { es => ChStats2.meanZTest(es) },
-    "corrMatrix"      -> { es => ChStats2.matrixOf(covar = false)(es) },
-    "covarSampMatrix" -> { es => ChStats2.matrixOf(covar = true)(es) },
+    "corrMatrix"      -> { es => ChStats2.matrixOf("corr")(es) },
+    "covarSampMatrix" -> { es => ChStats2.matrixOf("covar_samp")(es) },
+    "covarPopMatrix"  -> { es => ChStats2.matrixOf("covar_pop")(es) },
     "arrayAUC"    -> { es => ChStats2.arrayAUC(es) },
     // declared-order delta sum; positional insert; unicode bar chart;
     // EMA = the e-base decayed mean at half-life/ln 2

@@ -220,6 +220,57 @@ object ChDialect6 {
     "minSampleSizeContinuous" -> { es =>
       ChDialect.builderOf("minSampleSizeContinous")(es) },
 
+    // -If combinator spellings of the arg-extremum pair: MinBy/MaxBy
+    // skip NULL ordering keys, so the predicate nulls the key
+    "argMinIf" -> { es =>
+      aggregate.MinBy(es(0), If(es(2), es(1), Literal(null)))
+        .toAggregateExpression() },
+    "argMaxIf" -> { es =>
+      aggregate.MaxBy(es(0), If(es(2), es(1), Literal(null)))
+        .toAggregateExpression() },
+    // bitmap-state aggregates over the sorted-distinct-array bitmap
+    // realization (the bitmapBuild contract): AND = cardinality of
+    // the running intersect, OR = cardinality of the union
+    "groupBitmapAnd" -> { es =>
+      val lst = aggregate.CollectList(es.head).toAggregateExpression()
+      val acc = fresh("acc"); val a = fresh("a")
+      builtin("size")(Seq(builtin("aggregate")(Seq(lst,
+        builtin("element_at")(Seq(lst, Literal(1))),
+        LambdaFunction(builtin("array_intersect")(Seq(acc, a)),
+          Seq(acc, a)))))) },
+    "groupBitmapOr" -> { es =>
+      builtin("size")(Seq(builtin("array_distinct")(Seq(
+        builtin("flatten")(Seq(
+          aggregate.CollectList(es.head).toAggregateExpression())))))) },
+    // plural sibling of the registered quantileTiming sketch
+    "quantilesTiming" -> { es =>
+      builtin("percentile_approx")(Seq(es.head,
+        CreateArray(es.tail.map(Cast(_, DoubleType))), Literal(10000))) },
+    // nothing(x): the reference's placeholder aggregate — always NULL
+    "nothing" -> { _ =>
+      aggregate.Max(Literal(null, IntegerType)).toAggregateExpression() },
+    // two-array spellings of the keyed-map aggregates (the reference
+    // registers these as sumMap-family aliases)
+    "sumMappedArrays" -> { es => MapCombineAgg(es(0), es(1), "sum") },
+    "minMappedArrays" -> { es => MapCombineAgg(es(0), es(1), "min") },
+    "maxMappedArrays" -> { es => MapCombineAgg(es(0), es(1), "max") },
+    // distinct leaf paths across a JSON document column (the JSON
+    // type introspection aggregate): per-row Jackson walk, then a
+    // sorted distinct union — partial-agg friendly
+    "distinctJSONPaths" -> { es =>
+      val paths = org.apache.spark.sql.catalyst.expressions.objects
+        .StaticInvoke(ChStrHelpers.getClass, ArrayType(StringType),
+          "jsonPaths", Seq(es.head), inputTypes = Seq(StringType))
+      builtin("sort_array")(Seq(builtin("array_distinct")(Seq(
+        builtin("flatten")(Seq(
+          aggregate.CollectList(paths).toAggregateExpression())))))) },
+    "flameGraph" -> refuse("flameGraph",
+      "renders the server's query-profiler stacks — a library engine " +
+        "has none; use your Spark UI / event-log profiler"),
+    "distinctDynamicTypes" -> refuse("distinctDynamicTypes",
+      "the Dynamic column type has no mapping here — columns carry " +
+        "one Spark type; for JSON payloads use distinctJSONPaths"),
+
     // geobase-backed names: the reference resolves these against a
     // server-loaded region hierarchy; a library engine loads none —
     // the same lookup is a dictGet / broadcast dimension join

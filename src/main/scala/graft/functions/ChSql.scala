@@ -826,7 +826,7 @@ object ChSql {
     "EXPONENTIALTIMEDECAYEDCOUNT", "EXPONENTIALTIMEDECAYEDAVG",
     "MEANZTEST", "EXPONENTIALMOVINGAVERAGE",
     "QUANTILEINTERPOLATEDWEIGHTED", "QUANTILETIMINGWEIGHTED",
-    "QUANTILEBFLOAT16")
+    "QUANTILEBFLOAT16", "QUANTILESTIMING")
   private val paramsFirst = Set("TOPK", "SEQUENCEMATCH", "SEQUENCECOUNT",
     "GROUPARRAYSAMPLE",
     "TOPKWEIGHTED", "SPARKBAR", "HISTOGRAM",

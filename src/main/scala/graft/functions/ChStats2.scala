@@ -255,12 +255,12 @@ private[graft] object ChStats2 {
     poly * exp(lit(0.0) - x * x)
   }
 
-  /** corrMatrix(x1…xn) / covarSampMatrix(x1…xn) — n×n matrices as
-    * array<array<double>>, each cell one codegen'd Spark aggregate. */
-  def matrixOf(covar: Boolean)(es: Seq[Expression]): Expression =
+  /** corrMatrix / covarSampMatrix / covarPopMatrix (x1…xn) — n×n
+    * matrices as array<array<double>>, each cell one codegen'd Spark
+    * aggregate (f = corr | covar_samp | covar_pop). */
+  def matrixOf(f: String)(es: Seq[Expression]): Expression =
     CreateArray(es.map { row =>
       CreateArray(es.map { colE =>
-        val f = if (covar) "covar_samp" else "corr"
         // nested under CreateArray — outside the analyzer's root-level
         // auto-wrap, so wrap the AggregateFunction explicitly
         wrapAgg(builtin(f)(Seq(d(row), d(colE))))

@@ -711,6 +711,29 @@ object ChStrHelpers {
   private lazy val jsonMapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Leaf paths of a JSON document ('a.b.c' dotted): objects recurse,
+    * anything else (scalar, array, null) is a leaf — the JSON-type
+    * introspection contract behind distinctJSONPaths. Non-object
+    * roots and malformed documents yield no paths. */
+  def jsonPaths(doc: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    try {
+      val root = jsonMapper.readTree(doc.toString)
+      def walk(node: com.fasterxml.jackson.databind.JsonNode,
+          prefix: String): Unit =
+        node.properties().asScala.foreach { e =>
+          val p = if (prefix.isEmpty) e.getKey else prefix + "." + e.getKey
+          if (e.getValue.isObject) walk(e.getValue, p)
+          else out += UTF8String.fromString(p)
+        }
+      if (root != null && root.isObject) walk(root, "")
+    } catch {
+      case _: Exception => ()
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** JSON_QUERY(doc, '$.a.b[0]') → '[<match>,…]' with each match
     * serialized as JSON (so '{"a":{"b":7}}' → '[7]' and a string
     * value comes back quoted). Supported path subset: '$', '.name',

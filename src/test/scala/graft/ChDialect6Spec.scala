@@ -122,6 +122,53 @@ class ChDialect6Spec extends SparkSpec {
     assert(pl == canon)
   }
 
+  test("batch 2: argMin/MaxIf, bitmap-state aggs, quantilesTiming, maps, JSON paths") {
+    GraftFunctions.ensureRegistered(spark)
+    Seq((1, 10, "a", Seq(1L, 2L, 3L), """{"a": 1, "b": {"c": 2}}"""),
+        (1, 20, "b", Seq(2L, 3L, 4L), """{"a": 5, "d": [1, 2]}"""),
+        (1, 30, "c", Seq(2L, 5L), """not json"""))
+      .toDF("g", "v", "s", "bm", "js").createOrReplaceTempView("d6b")
+    val r = spark.sql(graft.functions.ChSql.translate(
+      """SELECT
+        |  argMinIf(s, v, v > 10) AS amn,
+        |  argMaxIf(s, v, v < 30) AS amx,
+        |  groupBitmapAnd(bm) AS band,
+        |  groupBitmapOr(bm) AS bor,
+        |  quantilesTiming(0.5, 0.9)(v) AS qt,
+        |  nothing(v) AS nth,
+        |  sumMappedArrays(array('x', 'y'), array(v, 1)) AS sm,
+        |  minMappedArrays(array('x', 'y'), array(v, 1)) AS mm,
+        |  distinctJSONPaths(js) AS jp
+        |FROM d6b GROUP BY g""".stripMargin)).collect().head
+    assert(r.getAs[String]("amn") == "b")   // min v among v>10 is 20 -> 'b'
+    assert(r.getAs[String]("amx") == "b")   // max v among v<30 is 20 -> 'b'
+    assert(r.getAs[Int]("band") == 1)       // only 2 is in every bitmap
+    assert(r.getAs[Int]("bor") == 5)        // {1,2,3,4,5}
+    assert(r.getAs[scala.collection.Seq[Double]]("qt").size == 2)
+    assert(r.isNullAt(r.fieldIndex("nth")))
+    val sm = r.getAs[Map[String, Long]]("sm")
+    assert(sm("x") == 60L && sm("y") == 3L)
+    val mm = r.getAs[Map[String, Long]]("mm")
+    assert(mm("x") == 10L && mm("y") == 1L)
+    assert(r.getAs[scala.collection.Seq[String]]("jp").toSeq ==
+      Seq("a", "b.c", "d")) // sorted distinct leaf paths; bad json: none
+    // covarPopMatrix next to the Samp form: pop = samp * (n-1)/n
+    val m = spark.sql(graft.functions.ChSql.translate(
+      """SELECT covarPopMatrix(v, v * 2) AS p, covarSampMatrix(v, v * 2) AS sa
+        |FROM d6b""".stripMargin)).collect().head
+    val p = m.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("p")
+    val sa = m.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("sa")
+    assert(math.abs(p(0)(0) - sa(0)(0) * 2.0 / 3.0) < 1e-9)
+    // flameGraph / distinctDynamicTypes refuse with guidance
+    Seq("flameGraph(v)", "distinctDynamicTypes(v)").foreach { call =>
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $call FROM d6b").collect()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("profiler") || msg.contains("distinctJSONPaths"), msg)
+    }
+  }
+
   test("geobase names refuse with dictGet guidance; detectCharset guides") {
     GraftFunctions.ensureRegistered(spark)
     Seq("regionToName(1)", "regionToCountry(1)", "detectCharset('x')")
