@@ -205,6 +205,7 @@ object ChSql {
     ts = stripGlobal(ts)
     ts = stripFinal(ts)
     ts = rewriteNumbers(ts)
+    ts = refuseRemoteTableFns(ts)
     ts = rewriteGenerateRandom(ts)
     ts = rewriteCollate(ts)
     ts = rewriteExtract(ts)
@@ -644,6 +645,37 @@ object ChSql {
           (rep.head.copy(pre = ts(i).pre) +: rep.tail) ++ ts.drop(close + 1))
       case None => ts
     }
+  }
+
+  /** Remote-source table functions (registerTableFunctions surface:
+    * s3/url/hdfs/gcs/azureBlobStorage fetch over the network;
+    * remote/remoteSecure/cluster address other servers). A library
+    * engine has neither egress credentials nor a cluster registry —
+    * these REFUSE at translate time with guidance instead of dying in
+    * Spark's parser. Guarded like file(): only a name followed by a
+    * '(' whose first argument is a string literal matches, so columns
+    * or aliases with these names never trip it. */
+  private val remoteTableFns = Map(
+    "S3" -> "read object storage with spark.read.parquet/csv over your configured FS, or adopt a local copy via file()",
+    "URL" -> "fetch the file yourself and adopt it via file('path', 'Format')",
+    "HDFS" -> "point spark.read at the hdfs:// path directly",
+    "GCS" -> "read object storage with spark.read over your configured FS",
+    "AZUREBLOBSTORAGE" -> "read object storage with spark.read over your configured FS",
+    "REMOTE" -> "a library engine addresses no other servers — read the remote table's storage directly or register it as a view",
+    "REMOTESECURE" -> "a library engine addresses no other servers — read the remote table's storage directly",
+    "CLUSTER" -> "Spark IS the cluster here — run the query on this session; there is no second topology to address")
+
+  private def refuseRemoteTableFns(ts: Vector[Tok]): Vector[Tok] = {
+    ts.indices.foreach { i =>
+      if (ts(i).word && remoteTableFns.contains(ts(i).up) &&
+          i + 2 < ts.length && ts(i + 1).text == "(" &&
+          ts(i + 2).text.headOption.contains('\'')) {
+        throw new UnsupportedOperationException(
+          s"${ts(i).text}() is the reference's remote-source table " +
+            s"function; ${remoteTableFns(ts(i).up)}")
+      }
+    }
+    ts
   }
 
   /** ORDER BY … [ASC|DESC] COLLATE 'locale' (ASTOrderByElement.h:18-19;

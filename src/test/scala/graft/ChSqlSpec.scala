@@ -615,4 +615,20 @@ class ChSqlSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head
     assert(cross == ((1L, 1L, 2L, 0L)), cross)
   }
+  test("remote-source table functions refuse at translate time with guidance") {
+    Seq(
+      "SELECT * FROM s3('https://x/y.parquet', 'Parquet')" -> "file()",
+      "SELECT * FROM url('https://x/y.csv', 'CSV')" -> "file(",
+      "SELECT * FROM remote('other:9000', db.t)" -> "storage",
+      "SELECT * FROM cluster('c', db.t)" -> "cluster").foreach {
+      case (sql, hint) =>
+        val e = intercept[UnsupportedOperationException] {
+          ChSql.translate(sql)
+        }
+        assert(e.getMessage.contains(hint), s"$sql -> ${e.getMessage}")
+    }
+    // columns/aliases named like the functions never trip the guard
+    assert(ChSql.translate("SELECT s3, url FROM t WHERE s3 = 1")
+      .contains("s3"))
+  }
 }
