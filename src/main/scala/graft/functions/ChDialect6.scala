@@ -264,6 +264,48 @@ object ChDialect6 {
       builtin("sort_array")(Seq(builtin("array_distinct")(Seq(
         builtin("flatten")(Seq(
           aggregate.CollectList(paths).toAggregateExpression())))))) },
+    // codepoint-aware left/right spellings (Spark's count codepoints)
+    "leftUTF8" -> builtin("left"),
+    "rightUTF8" -> builtin("right"),
+    // null-safe equality — Spark's <=> as a named function
+    "isNotDistinctFrom" -> { es => EqualNullSafe(es(0), es(1)) },
+    // nanosecond interval: micros is the native resolution — the
+    // nanos floor to whole microseconds (documented narrowing, the
+    // DateTime64(9) story repo-wide)
+    "toIntervalNanosecond" -> { es =>
+      ChDialect.builderOf("toIntervalMicrosecond")(
+        Seq(Cast(Divide(Cast(es.head, DoubleType), Literal(1000.0)),
+          LongType))) },
+    // bitmap subset ops over the sorted-array bitmap realization
+    "bitmapSubsetInRange" -> { es =>
+      val x = fresh("x")
+      builtin("filter")(Seq(es(0), LambdaFunction(
+        And(GreaterThanOrEqual(x, es(1)), LessThan(x, es(2))), Seq(x)))) },
+    "bitmapSubsetLimit" -> { es =>
+      val x = fresh("x")
+      builtin("slice")(Seq(
+        builtin("filter")(Seq(es(0), LambdaFunction(
+          GreaterThanOrEqual(x, es(1)), Seq(x)))),
+        Literal(1), Cast(es(2), IntegerType))) },
+    // value remapping: x → to[pos(from, x)] where present, else x;
+    // re-sort-normalized so equal bitmaps stay comparable
+    "bitmapTransform" -> { es =>
+      val x = fresh("x")
+      val pos = builtin("array_position")(Seq(es(1), x))
+      builtin("sort_array")(Seq(builtin("array_distinct")(Seq(
+        builtin("transform")(Seq(es(0), LambdaFunction(
+          If(GreaterThan(pos, Literal(0L)),
+            builtin("element_at")(Seq(es(2), Cast(pos, IntegerType))), x),
+          Seq(x)))))))) },
+    // indexHint(expr): the reference evaluates expr ONLY for index
+    // selection and yields 1 — parquet pushdown plays that role here,
+    // so the value contract (constant 1) is the whole surface
+    "indexHint" -> { _ => Literal(1) },
+    "replicate" -> refuse("replicate",
+      "an internal block-replication helper of the reference's " +
+        "arrayJoin machinery — use explode/transform directly"),
+    "dumpColumnStructure" -> refuse("dumpColumnStructure",
+      "inspect types with toTypeName/toColumnTypeName or df.schema"),
     "flameGraph" -> refuse("flameGraph",
       "renders the server's query-profiler stacks — a library engine " +
         "has none; use your Spark UI / event-log profiler"),

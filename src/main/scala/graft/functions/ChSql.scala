@@ -205,6 +205,7 @@ object ChSql {
     ts = stripGlobal(ts)
     ts = stripFinal(ts)
     ts = rewriteNumbers(ts)
+    ts = ChWindowView.rewriteTimeWindowTokens(ts)
     ts = refuseRemoteTableFns(ts)
     ts = rewriteGenerateRandom(ts)
     ts = rewriteCollate(ts)

@@ -134,6 +134,13 @@ object ChWindowView {
     s"${ts(1).text.stripPrefix("'").stripSuffix("'")} ${ts(2).text.toLowerCase}"
   }
 
+  /** The token rewrite alone — exposed so ChSql.translate gives the
+    * BATCH front door the same tumble/hop surface (the windowed-agg
+    * shape `SELECT tumbleStart(ts, i) … GROUP BY tumble(ts, i)` maps
+    * onto Spark's window() exactly as the WINDOW VIEW path does). */
+  private[functions] def rewriteTimeWindowTokens(v: Vector[Tok]): Vector[Tok] =
+    rewriteTimeWindows(v)._1
+
   /** Rewrite tumble/hop families onto window()/window.start/window.end
     * and report the event-time column (the first plain-column time
     * argument seen). */

@@ -169,6 +169,37 @@ class ChDialect6Spec extends SparkSpec {
     }
   }
 
+  test("batch 3: UTF8 left/right, null-safe eq, bitmap subsets, intervals, tumble/hop") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = sql1(
+      """SELECT leftUTF8('héllo', 2) AS l, rightUTF8('héllo', 2) AS rr,
+        |  isNotDistinctFrom(NULL, NULL) AS nn,
+        |  isNotDistinctFrom(1, NULL) AS n1,
+        |  bitmapSubsetInRange(array(1L, 3L, 5L, 7L), 3L, 7L) AS br,
+        |  bitmapSubsetLimit(array(1L, 3L, 5L, 7L), 3L, 2) AS bl,
+        |  bitmapTransform(array(1L, 2L, 3L), array(2L), array(9L)) AS bt,
+        |  CAST(TIMESTAMP '2024-01-01 00:00:00'
+        |    + toIntervalNanosecond(1500000000) AS STRING) AS ns,
+        |  indexHint(1 > 0) AS ih
+        |""".stripMargin)
+    assert(r.getAs[String]("l") == "hé" && r.getAs[String]("rr") == "lo")
+    assert(r.getAs[Boolean]("nn") && !r.getAs[Boolean]("n1"))
+    assert(r.getAs[scala.collection.Seq[Long]]("br").toSeq == Seq(3L, 5L))
+    assert(r.getAs[scala.collection.Seq[Long]]("bl").toSeq == Seq(3L, 5L))
+    assert(r.getAs[scala.collection.Seq[Long]]("bt").toSeq == Seq(1L, 3L, 9L))
+    assert(r.getAs[String]("ns").startsWith("2024-01-01 00:00:01.5"))
+    assert(r.getAs[Int]("ih") == 1)
+    // standalone tumble/hop windowed aggregation through translate —
+    // the WINDOW VIEW mapping now serves the batch front door too
+    spark.sql("SELECT timestamp_micros(CAST(id * 600000000 AS BIGINT)) AS ts, id AS v FROM range(12)")
+      .createOrReplaceTempView("d6w")
+    val w = spark.sql(graft.functions.ChSql.translate(
+      """SELECT tumbleStart(ts, INTERVAL 1 HOUR) AS ws, count() AS n
+        |FROM d6w GROUP BY tumble(ts, INTERVAL 1 HOUR) ORDER BY ws""".stripMargin))
+      .collect()
+    assert(w.length == 2 && w.map(_.getLong(1)).toSeq == Seq(6L, 6L))
+  }
+
   test("geobase names refuse with dictGet guidance; detectCharset guides") {
     GraftFunctions.ensureRegistered(spark)
     Seq("regionToName(1)", "regionToCountry(1)", "detectCharset('x')")
