@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's contract is "final stdout line = one compact JSON object".
+// Two sbt behaviors defeated that for three rounds (BENCH_rN.json
+// "parsed": null): the logger prefixes forked-run output with
+// "[info] ", and sbt appends "[success] Total time…" AFTER the run.
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess drops the trailing banner — the JSON line is last, raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
