@@ -36,9 +36,12 @@ object ChDialect6 {
   // ---- array tail ----
 
   /** arrayShingles(arr, n): consecutive length-n windows, in order;
-    * fewer than n elements → empty. The empty case reuses a slice of
-    * the one-window transform so its element type matches without
-    * naming the unresolved element type. */
+    * fewer than n elements → empty; NULL array → NULL; n ≤ 0 raises
+    * (the reference errors on a non-positive shingle length). The
+    * empty case reuses a slice of the one-window transform so its
+    * element type matches without naming the unresolved element
+    * type; the raise rides assert_true inside the guard branch so it
+    * only fires when that branch is reached. */
   private def arrayShingles(es: Seq[Expression]): Expression = {
     val arr = es(0)
     val n = Cast(es(1), IntegerType)
@@ -48,9 +51,14 @@ object ChDialect6 {
         builtin("sequence")(Seq(Literal(1), count)),
         LambdaFunction(builtin("slice")(Seq(arr, i, n)), Seq(i))))
     val sz = builtin("size")(Seq(arr))
-    If(GreaterThanOrEqual(sz, n),
-      windows(Add(Subtract(sz, n), Literal(1))),
-      builtin("slice")(Seq(windows(Literal(1)), Literal(1), Literal(0))))
+    val empty = builtin("slice")(Seq(windows(Literal(1)), Literal(1), Literal(0)))
+    val raise = builtin("assert_true")(Seq(GreaterThan(n, Literal(0)),
+      Literal("arrayShingles: shingle length must be a positive integer")))
+    If(IsNull(arr), Literal(null),
+      If(IsNotNull(raise), empty,
+        If(GreaterThanOrEqual(sz, n),
+          windows(Add(Subtract(sz, n), Literal(1))),
+          empty)))
   }
 
   // ---- language detection over the shared signal kernel ----
@@ -61,7 +69,11 @@ object ChDialect6 {
     * 'un' (unknown) when no stopword hits at all — the reference
     * returns 'un' for undetectable input. */
   private def detectLanguage(es: Seq[Expression]): Expression = {
-    val hits = fld(TextSignalsExpr(es.head), "hits")
+    // the one-pass kernel's hit vector is read ~20x by the argmax
+    // If-chain below — bind it ONCE (the c44/c30 interpreted-
+    // projection discipline; without it an interpreted projection
+    // re-runs the whole kernel per splice)
+    ChStats.bind(fld(TextSignalsExpr(es.head), "hits")) { hits =>
     val langs = graft.functions.TextSignalsImpl.stopwords.map(_._1)
     val score: Map[String, Expression] = langs.zipWithIndex.map {
       case (l, i) =>
@@ -78,6 +90,7 @@ object ChDialect6 {
     val anyHit = langs.map(l => GreaterThan(score(l), Literal(0)))
       .reduce(Or.apply)
     If(anyHit, best, Literal("un"))
+    }
   }
 
   // ---- datetime tail ----
@@ -155,12 +168,21 @@ object ChDialect6 {
         If(v6valid(es.head),
           ChDialect2.si1s(BinaryType, "ipv6StringToNum")(Seq(es.head)),
           Cast(Literal(null), BinaryType)) },
-      // ::ffff:a.b.c.d — the 16-byte v4-mapped form
+      // ::ffff:a.b.c.d — the 16-byte v4-mapped form. toIPv4 here
+      // returns the dotted STRING presentation, so the reference-
+      // legal composition IPv4ToIPv6(toIPv4(s)) must work: dotted
+      // strings route through IPv4StringToNum, anything else is the
+      // numeric carrier.
       "IPv4ToIPv6" -> { es =>
+        // explicit casts keep the If RESOLVED at build time — the
+        // downstream builtin() builders assert resolved arguments
+        val s = Cast(es.head, StringType)
+        val n = If(v4valid(s), Cast(v4num(s), LongType),
+          Cast(es.head, LongType))
         builtin("unhex")(Seq(Concat(Seq(
           Literal("00000000000000000000FFFF"),
           builtin("lpad")(Seq(
-            builtin("hex")(Seq(Cast(es.head, LongType))),
+            builtin("hex")(Seq(n)),
             Literal(8), Literal("0"))))))) },
       "cutIPv6" -> { es =>
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
@@ -234,10 +256,16 @@ object ChDialect6 {
     "groupBitmapAnd" -> { es =>
       val lst = aggregate.CollectList(es.head).toAggregateExpression()
       val acc = fresh("acc"); val a = fresh("a")
-      builtin("size")(Seq(builtin("aggregate")(Seq(lst,
-        builtin("element_at")(Seq(lst, Literal(1))),
+      // try_element_at: a group whose bitmaps are all NULL collects
+      // an empty list — the reference answers 0 there, not an
+      // INVALID_ARRAY_INDEX error (the two identical agg expressions
+      // dedup in the physical aggregate)
+      val inter = builtin("aggregate")(Seq(lst,
+        builtin("try_element_at")(Seq(lst, Literal(1))),
         LambdaFunction(builtin("array_intersect")(Seq(acc, a)),
-          Seq(acc, a)))))) },
+          Seq(acc, a))))
+      If(EqualTo(builtin("size")(Seq(lst)), Literal(0)),
+        Literal(0), builtin("size")(Seq(inter))) },
     "groupBitmapOr" -> { es =>
       builtin("size")(Seq(builtin("array_distinct")(Seq(
         builtin("flatten")(Seq(

@@ -152,7 +152,9 @@ object ChFormat {
     * meta/data/rows envelope, tab-indented like the reference's
     * writer. Whole-result rendering needs the row count before the
     * tail, so it renders DRIVER-SIDE under the same row cap as
-    * Pretty — the sanctioned client-side-output exception. The
+    * Pretty — the sanctioned client-side-output exception; a result
+    * past the cap is truncated LOUDLY (rows_before_limit_at_least in
+    * the envelope, the reference's lower-bound marker). The
     * reference's trailing "statistics" block (elapsed/rows_read) is
     * omitted: query timings are engine-internal and nondeterministic,
     * meaningless for a library result. */
@@ -165,9 +167,16 @@ object ChFormat {
         s"""\t\t\t"type": "${jsonEscape(ChDdl.chTypeName(f.dataType, f.nullable))}"""",
         s"\t\t}$comma")
     }
-    val rendered = df.limit(prettyMaxRows)
+    // fetch cap+1 so truncation is DETECTED, never silent: when the
+    // result exceeds the render cap the envelope carries the
+    // reference's own lower-bound marker (rows_before_limit_at_least,
+    // JSONRowOutputFormat.cpp) instead of reporting the capped count
+    // as the full cardinality
+    val fetched = df.limit(prettyMaxRows + 1)
       .select(array(jsonCells(df): _*).as("cells"))
       .collect().map(_.getSeq[String](0))
+    val truncated = fetched.length > prettyMaxRows
+    val rendered = if (truncated) fetched.take(prettyMaxRows) else fetched
     val data = rendered.zipWithIndex.flatMap { case (cells, ri) =>
       val comma = if (ri < rendered.length - 1) "," else ""
       if (compact) Seq("\t\t[" + cells.mkString(", ") + s"]$comma")
@@ -179,10 +188,14 @@ object ChFormat {
         ("\t\t{" +: body) :+ s"\t\t}$comma"
       }
     }
+    val tail =
+      if (truncated)
+        Seq(s"""\t"rows": ${rendered.length},""",
+          s"""\t"rows_before_limit_at_least": ${fetched.length}""", "}")
+      else Seq(s"""\t"rows": ${rendered.length}""", "}")
     val lines: Seq[String] =
       Seq("{", "\t\"meta\":", "\t[") ++ meta ++ Seq("\t],", "") ++
-        Seq("\t\"data\":", "\t[") ++ data ++ Seq("\t],", "") ++
-        Seq(s"""\t"rows": ${rendered.length}""", "}")
+        Seq("\t\"data\":", "\t[") ++ data ++ Seq("\t],", "") ++ tail
     val s = df.sparkSession
     import s.implicits._
     lines.toDF("line")

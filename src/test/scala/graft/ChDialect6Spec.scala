@@ -28,6 +28,15 @@ class ChDialect6Spec extends SparkSpec {
       .map(_.toSeq).toSeq == Seq(Seq("a", "b", "c")))
   }
 
+  test("arrayShingles edges: NULL array → NULL; n ≤ 0 raises") {
+    val r = sql1("SELECT arrayShingles(CAST(NULL AS ARRAY<INT>), 2) AS n")
+    assert(r.isNullAt(r.fieldIndex("n")))
+    val e = intercept[Exception] {
+      sql1("SELECT arrayShingles(array(1, 2, 3), 0) AS bad")
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
   test("detectLanguage: stopword argmax; no signal → 'un'") {
     val r = sql1(
       """SELECT detectLanguage('the cat and the dog is here') AS en,
@@ -69,6 +78,7 @@ class ChDialect6Spec extends SparkSpec {
         |  IPv4StringToNumOrNull('nope') AS n4n,
         |  IPv4StringToNumOrZero('nope') AS n4z,
         |  hex(IPv4ToIPv6(16909060)) AS m6,
+        |  hex(IPv4ToIPv6(toIPv4('1.2.3.4'))) AS m6str,
         |  IPv6NumToString(IPv4ToIPv6(16909060)) AS m6s,
         |  hex(toIPv6OrZero('junk')) AS z6,
         |  toIPv6OrNull('junk') AS n6,
@@ -86,6 +96,8 @@ class ChDialect6Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("n4n")))
     assert(r.getAs[Long]("n4z") == 0L)
     assert(r.getAs[String]("m6") == "00000000000000000000FFFF01020304")
+    // the composition IPv4ToIPv6(toIPv4(s)) takes the dotted string
+    assert(r.getAs[String]("m6str") == "00000000000000000000FFFF01020304")
     assert(r.getAs[String]("m6s") == "::ffff:1.2.3.4")
     assert(r.getAs[String]("z6") == "0" * 32)
     assert(r.isNullAt(r.fieldIndex("n6")))
@@ -120,6 +132,16 @@ class ChDialect6Spec extends SparkSpec {
       "SELECT minSampleSizeContinous(100.0, 10.0, 0.05, 0.8, 0.05) AS pl")
       .getAs[org.apache.spark.sql.Row]("pl")
     assert(pl == canon)
+  }
+
+  test("groupBitmapAnd: all-NULL group → 0, not an array-index error") {
+    GraftFunctions.ensureRegistered(spark)
+    Seq((1, None: Option[Seq[Long]]), (1, None))
+      .toDF("g", "bm").createOrReplaceTempView("d6bm_null")
+    val r = spark.sql(graft.functions.ChSql.translate(
+      "SELECT groupBitmapAnd(bm) AS band FROM d6bm_null GROUP BY g"))
+      .collect().head
+    assert(r.getAs[Int]("band") == 0)
   }
 
   test("batch 2: argMin/MaxIf, bitmap-state aggs, quantilesTiming, maps, JSON paths") {

@@ -663,6 +663,18 @@ class DdlSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("parquet"), s"$f refusal must guide to parquet")
     }
+    // a result past the render cap truncates LOUDLY: the envelope
+    // carries the reference's rows_before_limit_at_least lower bound
+    spark.range(10500).createOrReplaceTempView("graft_fmt_big")
+    val big = ChDdl.execute(spark,
+      "SELECT id FROM graft_fmt_big ORDER BY id FORMAT JSON")
+      .as[String].collect().toSeq
+    assert(big.contains("\t\"rows\": 10000,"), big.takeRight(3))
+    assert(big.contains("\t\"rows_before_limit_at_least\": 10001"),
+      big.takeRight(3))
+    // an under-cap result keeps the plain rows field (no marker)
+    assert(j.contains("\t\"rows\": 2") &&
+      !j.exists(_.contains("rows_before_limit")), j.takeRight(3))
   }
 
   test("query-scoped SETTINGS bake into the plan and restore the session conf") {
