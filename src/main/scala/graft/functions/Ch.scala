@@ -61,7 +61,8 @@ object Ch {
   def dateDiffDays(a: Column, b: Column): Column = datediff(a, b)
 
   // ---- type conversion (reference: src/DataTypes/DataTypeFactory.cpp) ----
-  def toUInt64(c: Column): Column  = c.cast("long")
+  // DECIMAL(20,0): the one carrier holding the full UInt64 range
+  def toUInt64(c: Column): Column  = c.cast("decimal(20,0)")
   def toInt32(c: Column): Column   = c.cast("int")
   def toFloat64(c: Column): Column = c.cast("double")
   def toStringCh(c: Column): Column = c.cast("string")

@@ -305,9 +305,14 @@ object ChDialect {
       Seq(es(0), CreateArray(Seq(es(1))))) },
 
     // ---- type conversion (DataTypeFactory.cpp) ----
-    "toUInt64"   -> { es => Cast(es.head, LongType) },
+    // unsigned targets carry one step wider than their range (the
+    // ChDialect5 Or*-family table): UInt8 → SMALLINT, UInt16 → INT,
+    // UInt32 → BIGINT, and UInt64 → DECIMAL(20,0) — the one carrier
+    // that holds the full [0, 2^64−1] range (18446744073709551615
+    // needs 20 digits; Long tops out at 2^63−1)
+    "toUInt64"   -> { es => Cast(es.head, DecimalType(20, 0)) },
     "toInt64"    -> { es => Cast(es.head, LongType) },
-    "toUInt32"   -> { es => Cast(es.head, IntegerType) },
+    "toUInt32"   -> { es => Cast(es.head, LongType) },
     "toInt32"    -> { es => Cast(es.head, IntegerType) },
     "toUInt16"   -> { es => Cast(es.head, IntegerType) },
     "toInt16"    -> { es => Cast(es.head, ShortType) },

@@ -56,16 +56,19 @@ object ChDialect5 {
   // coalesce to the type's default (0 / epoch).
   // One table: (name, OUTPUT type, unsigned max). The output type IS
   // what the function returns — unsigned targets carry one signed
-  // step wider than their range (UInt32 → BIGINT, UInt8 → SMALLINT)
-  // so in-range values above the signed max survive.
-  private val convTypes: Seq[(String, DataType, Option[Long])] = Seq(
-    ("UInt64", LongType, Some(Long.MaxValue)),
+  // step wider than their range (UInt32 → BIGINT, UInt8 → SMALLINT,
+  // UInt64 → DECIMAL(20,0), the one carrier holding the full
+  // [0, 2^64−1] range) so in-range values above the signed max
+  // survive.
+  private val u64Max = BigDecimal("18446744073709551615")
+  private val convTypes: Seq[(String, DataType, Option[BigDecimal])] = Seq(
+    ("UInt64", DecimalType(20, 0), Some(u64Max)),
     ("Int64", LongType, None),
-    ("UInt32", LongType, Some(4294967295L)),
+    ("UInt32", LongType, Some(BigDecimal(4294967295L))),
     ("Int32", IntegerType, None),
-    ("UInt16", IntegerType, Some(65535L)),
+    ("UInt16", IntegerType, Some(BigDecimal(65535L))),
     ("Int16", ShortType, None),
-    ("UInt8", ShortType, Some(255L)),
+    ("UInt8", ShortType, Some(BigDecimal(255L))),
     ("Int8", ByteType, None),
     ("Float64", DoubleType, None), ("Float32", FloatType, None),
     ("Date", DateType, None), ("DateTime", TimestampType, None))
@@ -79,26 +82,28 @@ object ChDialect5 {
     case DoubleType => Literal(0.0)
     case DateType => Literal(0, DateType) // 1970-01-01, CH's Date zero
     case TimestampType => Literal(0L, TimestampType) // epoch
+    case dt: DecimalType =>
+      Literal(Decimal(BigDecimal(0), dt.precision, dt.scale), dt)
     case other => throw new IllegalStateException(s"no zero for $other")
   }
 
   /** Unsigned Or* targets TRY-parse into the (wider) output type and
     * range-check [0, max] — so toUInt32OrNull('3000000000') =
-    * 3000000000L and toUInt64OrNull('-1') = NULL, matching the
-    * reference's string parse. Documented divergences:
-    *  - UInt64 values above 2^63−1 have no Long carrier and come
-    *    back NULL/0 where the reference returns the value (the
-    *    dirty-string idiom never feeds those);
-    *  - NUMERIC inputs: the reference wraps modulo 2^width
-    *    (toUInt8OrZero(300) = 44 there), we range-reject them like
-    *    strings (→ NULL/0). The Or* family exists for dirty STRING
-    *    columns; feeding already-numeric values is off-idiom, and a
-    *    silent mod-wrap would hide real overflow at 100 TB scale. */
-  private def unsignedParse(dt: DataType, max: Long,
+    * 3000000000L, toUInt64OrNull('18446744073709551615') = that value
+    * as DECIMAL(20,0), and toUInt64OrNull('-1') = NULL, matching the
+    * reference's string parse. Documented divergence: NUMERIC inputs
+    * — the reference wraps modulo 2^width (toUInt8OrZero(300) = 44
+    * there), we range-reject them like strings (→ NULL/0). The Or*
+    * family exists for dirty STRING columns; feeding already-numeric
+    * values is off-idiom, and a silent mod-wrap would hide real
+    * overflow at 100 TB scale. The range compare runs in
+    * DECIMAL(20,0) space so the UInt64 max is representable. */
+  private def unsignedParse(dt: DataType, max: BigDecimal,
       e: Expression): Expression = {
+    val cmp = DecimalType(20, 0)
     val c = Cast(e, dt, None, EvalMode.TRY)
     If(And(GreaterThanOrEqual(c, Cast(Literal(0), dt)),
-      LessThanOrEqual(Cast(c, LongType), Literal(max))),
+      LessThanOrEqual(Cast(c, cmp), Literal(Decimal(max, 20, 0), cmp))),
       c, Cast(Literal(null), dt))
   }
 

@@ -1938,13 +1938,14 @@ object DialectQueries {
         |    MIN(c_custkey) % 13 AS mask,
         |    MIN(n_regionkey) AS regionkey,
         |    'none' AS miss,
-        |    '1970-01-01' AS zero_date
+        |    '1970-01-01' AS zero_date,
+        |    '18446744073709551615' AS u64max
         |  FROM s GROUP BY nation)
         |SELECT nation, n_cust, key_sum, unparsed, sample_ids, seg3,
         |  (SELECT COALESCE(string_agg(CAST((CAST(1 AS BIGINT) << b) AS VARCHAR), ',' ORDER BY b), '')
         |   FROM range(0, 63) t(b)
         |   WHERE (g.mask & (CAST(1 AS BIGINT) << b)) != 0) AS mask_list,
-        |  regionkey, miss, zero_date
+        |  regionkey, miss, zero_date, u64max
         |FROM g ORDER BY nation""".stripMargin) { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       val t = Tables(s, dir)
@@ -1961,7 +1962,8 @@ object DialectQueries {
           |  bitmaskToList(min(c_custkey) % 13) AS mask_list,
           |  min(dictGetInt64OrDefault('nation', 'n_regionkey', c_nationkey, -1)) AS regionkey,
           |  min(dictGetStringOrDefault('nation', 'n_name', 9999, 'none')) AS miss,
-          |  min(toString(toDateOrZero('nope'))) AS zero_date
+          |  min(toString(toDateOrZero('nope'))) AS zero_date,
+          |  min(toString(toUInt64OrNull('18446744073709551615'))) AS u64max
           |FROM customer
           |GROUP BY nation ORDER BY nation""".stripMargin))
         .withColumn("sample_ids", concat_ws(",", col("sample_arr")))

@@ -138,23 +138,28 @@ object FnQueries {
 
     "f05_cast" -> Q(
       """SELECT o_orderkey,
-        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip_key,
+        |  CAST(CAST(CAST(o_orderkey AS VARCHAR) AS DECIMAL(20,0)) AS VARCHAR) AS roundtrip_key,
         |  CAST(o_orderkey AS VARCHAR) AS key_str,
         |  CAST(o_orderkey AS DOUBLE) AS key_dbl,
         |  CAST(o_orderkey % 100 AS INTEGER) AS key_i32,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
-        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+        |  CAST(CAST(floor(o_totalprice) AS DECIMAL(20,0)) AS VARCHAR) AS price_floor
         |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       Tables(s, dir).orders.filter(col("o_orderkey") < 3000).select(
           col("o_orderkey"),
-          Ch.toUInt64(Ch.toStringCh(col("o_orderkey"))).as("roundtrip_key"),
+          // DECIMAL(20,0) carrier computed, dumped as string: pandas
+          // renders Spark's Decimal objects and DuckDB's decimals
+          // differently, the value is identical
+          Ch.toStringCh(Ch.toUInt64(Ch.toStringCh(col("o_orderkey"))))
+            .as("roundtrip_key"),
           Ch.toStringCh(col("o_orderkey")).as("key_str"),
           Ch.toFloat64(col("o_orderkey")).as("key_dbl"),
           Ch.toInt32(col("o_orderkey") % 100).as("key_i32"),
           // decimal → double for the dump: pandas renders DECIMAL
           // objects and float64 differently, the value is identical
           Ch.toDecimal(col("o_totalprice"), 18, 2).cast("double").as("price_dec"),
-          Ch.toUInt64(floor(col("o_totalprice"))).as("price_floor"))
+          Ch.toStringCh(Ch.toUInt64(floor(col("o_totalprice"))))
+            .as("price_floor"))
         .orderBy("o_orderkey")
     },
 

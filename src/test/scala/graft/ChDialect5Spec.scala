@@ -39,6 +39,10 @@ class ChDialect5Spec extends SparkSpec {
         |  toUInt32OrNull('3000000000') AS a,
         |  toUInt32OrNull('4294967296') AS b,
         |  toUInt64OrNull('-1') AS c,
+        |  toUInt64OrNull('18446744073709551615') AS u64max,
+        |  toUInt64OrNull('18446744073709551616') AS u64over,
+        |  toUInt64OrZero('nope') AS u64z,
+        |  toUInt64('9223372036854775808') AS u64plain,
         |  toUInt8OrNull('256') AS d,
         |  toUInt8OrNull('255') AS e,
         |  toUInt16OrNull('65535') AS f,
@@ -49,6 +53,13 @@ class ChDialect5Spec extends SparkSpec {
     assert(r.getAs[Long]("a") == 3000000000L) // > Int.MaxValue, in UInt32 range
     assert(r.isNullAt(r.fieldIndex("b")))     // 2^32 out of range
     assert(r.isNullAt(r.fieldIndex("c")))     // negative → NULL
+    // DECIMAL(20,0) carrier: the FULL UInt64 range survives
+    assert(r.getAs[java.math.BigDecimal]("u64max").toBigInteger.toString
+      == "18446744073709551615")
+    assert(r.isNullAt(r.fieldIndex("u64over"))) // 2^64 out of range
+    assert(r.getAs[java.math.BigDecimal]("u64z").signum == 0)
+    assert(r.getAs[java.math.BigDecimal]("u64plain").toBigInteger.toString
+      == "9223372036854775808") // 2^63, above Long.MaxValue
     assert(r.isNullAt(r.fieldIndex("d")))     // 256 out of UInt8 range
     assert(r.getAs[Short]("e") == 255)
     assert(r.getAs[Int]("f") == 65535)

@@ -37,7 +37,9 @@ class ChDialectSpec extends SparkSpec {
     assert(r.getAs[String]("mi") == "b")
     assert(r.getAs[Int]("pos") == 4)
     assert(r.getAs[Int]("len") == 3 && r.getAs[Boolean]("e") && r.getAs[Boolean]("ne"))
-    assert(r.getAs[Long]("u64") == 42L && r.getAs[String]("s7") == "7")
+    // toUInt64 carries DECIMAL(20,0) — the full-UInt64-range carrier
+    assert(r.getAs[java.math.BigDecimal]("u64").longValueExact == 42L &&
+      r.getAs[String]("s7") == "7")
     assert(r.getAs[Long]("jk") == 9L)
     assert(r.getAs[Boolean]("h") && r.getAs[Long]("idx") == 2L)
     assert(r.getAs[String]("md5x").length == 32 && r.getAs[Int]("bc") == 8)
