@@ -660,44 +660,144 @@ object ChDdl {
     * scale the rewrite is restricted to AFFECTED partitions (dynamic
     * partition overwrite on a predicate-pruned scan); here the staged
     * write keeps the read-then-overwrite self-reference safe. */
-  /** `file('path'[, 'Format'])` table function: the reference's
-    * adopt-ad-hoc-data path, realized as the matching Spark reader
-    * behind a temp view. Only rewrites when the first argument is a
-    * string literal — a column or alias named `file` never matches. */
+  /** Source-adopting table functions (registerTableFunctions.cpp):
+    * `file('path'[, 'Format'])` plus the remote-source family —
+    * s3/gcs/hdfs/azureBlobStorage ride Spark's Hadoop FileSystem
+    * layer (the scheme resolves whatever connector the session's
+    * classpath/conf provides, so the read is DISTRIBUTED: splits,
+    * pushdown and pruning exactly as for any other path), and url()
+    * fetches http(s) DRIVER-SIDE to a temp file (the Arrow/Avro-style
+    * client-side adoption — an ad-hoc ingest convenience, not a
+    * 100 TB feed; object-store data at scale belongs on the s3/hdfs
+    * path). Each match becomes the matching Spark reader behind a
+    * temp view. Only a name followed by '(' whose first argument is
+    * a string literal matches — a column or alias with these names
+    * never trips it. */
+  private val adoptFormats = Set("PARQUET", "CSV", "CSVWITHNAMES",
+    "TSV", "TABSEPARATED", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES",
+    "JSONEACHROW", "ORC", "AVRO", "ARROW")
+
+  private val adoptFns = Set("FILE", "S3", "GCS", "HDFS",
+    "AZUREBLOBSTORAGE", "URL")
+
+  /** The reference infers format from the path extension when the
+    * argument is omitted (FormatFactory::getFormatFromFileName). */
+  private def extFormat(path: String): String = {
+    val p = path.toLowerCase
+    if (p.endsWith(".csv")) "CSV"
+    else if (p.endsWith(".tsv")) "TSV"
+    else if (p.endsWith(".json") || p.endsWith(".jsonl") ||
+      p.endsWith(".ndjson")) "JSONEACHROW"
+    else if (p.endsWith(".orc")) "ORC"
+    else if (p.endsWith(".avro")) "AVRO"
+    else if (p.endsWith(".arrow")) "ARROW"
+    else "PARQUET"
+  }
+
+  private def readAdHoc(spark: SparkSession, path: String, up: String,
+      fn: String): org.apache.spark.sql.DataFrame = up match {
+    case "PARQUET" => spark.read.parquet(path)
+    case "CSV" | "CSVWITHNAMES" =>
+      spark.read.option("header", (up == "CSVWITHNAMES").toString)
+        .option("inferSchema", "true").csv(path)
+    case "TSV" | "TABSEPARATED" | "TSVWITHNAMES" |
+         "TABSEPARATEDWITHNAMES" =>
+      spark.read.option("sep", "\t")
+        .option("header", up.contains("WITHNAMES").toString)
+        .option("inferSchema", "true").csv(path)
+    case "JSONEACHROW" => spark.read.json(path)
+    case "ORC" => graft.sources.AdHocFiles.orc(spark, path)
+    case "AVRO" => graft.sources.AdHocFiles.avro(spark, path)
+    case "ARROW" => graft.sources.AdHocFiles.arrow(spark, path)
+    case other => throw new IllegalArgumentException(
+      s"$fn(): unsupported format '$other' (Parquet, ORC, Avro, " +
+        "Arrow, CSV[WithNames], TSV/TabSeparated[WithNames], " +
+        "JSONEachRow)")
+  }
+
+  /** url(): http(s) fetched driver-side to a temp file; file:// (and
+    * bare local paths) pass straight to the reader. */
+  private def fetchUrl(u: String): String = {
+    if (!u.startsWith("http://") && !u.startsWith("https://")) return u
+    val dot = u.lastIndexOf('.')
+    val suffix =
+      if (dot > u.lastIndexOf('/') && u.length - dot <= 9) u.substring(dot)
+      else ".dat"
+    val tmp = java.nio.file.Files.createTempFile("graft_url_", suffix)
+    tmp.toFile.deleteOnExit()
+    val in = java.net.URI.create(u).toURL.openStream()
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toString
+  }
+
+  /** Per-function (path, format, credential-conf) extraction. The
+    * s3/gcs signature is `(url [, NOSIGN | key, secret] [, format]
+    * [, structure] [, compression])`: the format is the first
+    * trailing literal naming a known format; inline credentials map
+    * onto the session's Hadoop conf (fs.s3a.* — the public
+    * hadoop-aws names), NOSIGN onto the anonymous provider. */
+  private def adoptPathFmt(spark: SparkSession, fn: String,
+      args: Seq[String]): (String, String) = {
+    def trailingFmt(rest: Seq[String]): Option[String] =
+      rest.find(a => adoptFormats(a.toUpperCase)).map(_.toUpperCase)
+    fn match {
+      case "FILE" =>
+        (args(0), args.lift(1).map(_.toUpperCase)
+          .getOrElse(extFormat(args(0))))
+      case "URL" =>
+        val local = fetchUrl(args(0))
+        (local, trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))))
+      case "S3" | "GCS" =>
+        // hadoop's S3 connector scheme is s3a://
+        val path = if (args(0).startsWith("s3://"))
+          "s3a://" + args(0).stripPrefix("s3://") else args(0)
+        require(!path.startsWith("http://") && !path.startsWith("https://"),
+          s"$fn(): virtual-hosted https endpoints are client config — " +
+            "pass the s3://bucket/key (or gs://) form, or fetch via url()")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val rest = args.drop(1)
+        if (rest.headOption.exists(_.equalsIgnoreCase("NOSIGN")))
+          conf.set("fs.s3a.aws.credentials.provider",
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+        else if (rest.length >= 2 && !adoptFormats(rest(0).toUpperCase) &&
+            !adoptFormats(rest(1).toUpperCase)) {
+          conf.set("fs.s3a.access.key", rest(0))
+          conf.set("fs.s3a.secret.key", rest(1))
+        }
+        (path, trailingFmt(rest).getOrElse(extFormat(path)))
+      case "HDFS" =>
+        (args(0), trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))))
+      case "AZUREBLOBSTORAGE" =>
+        require(args(0).matches("^(abfss?|wasbs?)://.*"),
+          "azureBlobStorage(): pass the abfss://container@account.dfs." +
+            "core.windows.net/path form (the connection-string + " +
+            "container + blob triple is client config — put credentials " +
+            "in the Hadoop conf)")
+        (args(0), trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))))
+    }
+  }
+
   private def rewriteFileFn(spark: SparkSession, ts: Vector[Tok]): Vector[Tok] = {
     def isLit(t: Tok): Boolean = t.text.length >= 2 && t.text.head == '\''
-    if (!ts.indices.exists(i => ts(i).up == "FILE" && i + 2 < ts.length &&
-        ts(i + 1).text == "(" && isLit(ts(i + 2)))) return ts
+    def matches(i: Int): Boolean =
+      ts(i).word && adoptFns(ts(i).up) && i + 2 < ts.length &&
+        ts(i + 1).text == "(" && isLit(ts(i + 2))
+    if (!ts.indices.exists(matches)) return ts
     val out = Vector.newBuilder[Tok]
     var i = 0
     while (i < ts.length) {
-      if (ts(i).up == "FILE" && i + 2 < ts.length && ts(i + 1).text == "(" &&
-          isLit(ts(i + 2))) {
+      if (matches(i)) {
+        val fn = ts(i).up
         val close = matchParen(ts, i + 1)
-        val args = ts.slice(i + 2, close).filter(t => isLit(t))
-        def lit(t: Tok): String = t.text.drop(1).dropRight(1)
-        val path = lit(args(0))
-        val fmt = if (args.length > 1) lit(args(1)) else "Parquet"
-        val up = fmt.toUpperCase
-        val reader = up match {
-          case "PARQUET" => spark.read.parquet(path)
-          case "CSV" | "CSVWITHNAMES" =>
-            spark.read.option("header", (up == "CSVWITHNAMES").toString)
-              .option("inferSchema", "true").csv(path)
-          case "TSV" | "TABSEPARATED" | "TSVWITHNAMES" |
-               "TABSEPARATEDWITHNAMES" =>
-            spark.read.option("sep", "\t")
-              .option("header", up.contains("WITHNAMES").toString)
-              .option("inferSchema", "true").csv(path)
-          case "JSONEACHROW" => spark.read.json(path)
-          case "ORC" => graft.sources.AdHocFiles.orc(spark, path)
-          case "AVRO" => graft.sources.AdHocFiles.avro(spark, path)
-          case "ARROW" => graft.sources.AdHocFiles.arrow(spark, path)
-          case other => throw new IllegalArgumentException(
-            s"file(): unsupported format '$other' (Parquet, ORC, Avro, " +
-              "Arrow, CSV[WithNames], TSV/TabSeparated[WithNames], " +
-              "JSONEachRow)")
+        // string literals unquoted, bare keywords (NOSIGN) verbatim
+        val args = ts.slice(i + 2, close).collect {
+          case t if isLit(t) => t.text.drop(1).dropRight(1)
+          case t if t.word => t.text
         }
+        val (path, up) = adoptPathFmt(spark, fn, args)
+        val reader = readAdHoc(spark, path, up, fn.toLowerCase)
         val view = "graft_file_" +
           Integer.toHexString((path + "|" + up).hashCode).replace('-', 'm')
         reader.createOrReplaceTempView(view)

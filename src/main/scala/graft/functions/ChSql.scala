@@ -648,20 +648,25 @@ object ChSql {
     }
   }
 
-  /** Remote-source table functions (registerTableFunctions surface:
-    * s3/url/hdfs/gcs/azureBlobStorage fetch over the network;
-    * remote/remoteSecure/cluster address other servers). A library
-    * engine has neither egress credentials nor a cluster registry —
-    * these REFUSE at translate time with guidance instead of dying in
-    * Spark's parser. Guarded like file(): only a name followed by a
-    * '(' whose first argument is a string literal matches, so columns
-    * or aliases with these names never trip it. */
+  /** Server-addressing table functions (registerTableFunctions
+    * surface): remote/remoteSecure/cluster name OTHER servers in a
+    * ClickHouse topology — a library engine has no server registry,
+    * so these REFUSE at translate time with guidance instead of
+    * dying in Spark's parser. The SOURCE-adopting members of the
+    * family (s3/gcs/hdfs/azureBlobStorage/url/file) are real readers
+    * now — ChDdl.rewriteFileFn binds them to spark.read views on the
+    * execute path before translation ever sees them; a bare
+    * translate() call has no session to bind a reader, so those
+    * names refuse HERE with a pointer at the front door. Guarded
+    * like file(): only a name followed by a '(' whose first argument
+    * is a string literal matches, so columns or aliases with these
+    * names never trip it. */
   private val remoteTableFns = Map(
-    "S3" -> "read object storage with spark.read.parquet/csv over your configured FS, or adopt a local copy via file()",
-    "URL" -> "fetch the file yourself and adopt it via file('path', 'Format')",
-    "HDFS" -> "point spark.read at the hdfs:// path directly",
-    "GCS" -> "read object storage with spark.read over your configured FS",
-    "AZUREBLOBSTORAGE" -> "read object storage with spark.read over your configured FS",
+    "S3" -> "it reads through the execute front door (ChDdl.execute / ChSession.sql), which binds the s3a:// path to a spark.read view — translate() alone has no session to adopt a source",
+    "URL" -> "it fetches through the execute front door (ChDdl.execute / ChSession.sql) — translate() alone has no session to adopt a source",
+    "HDFS" -> "it reads through the execute front door (ChDdl.execute / ChSession.sql), which points spark.read at the hdfs:// path — translate() alone has no session to adopt a source",
+    "GCS" -> "it reads through the execute front door (ChDdl.execute / ChSession.sql) over the configured FS — translate() alone has no session to adopt a source",
+    "AZUREBLOBSTORAGE" -> "it reads through the execute front door (ChDdl.execute / ChSession.sql) over the configured FS — translate() alone has no session to adopt a source",
     "REMOTE" -> "a library engine addresses no other servers — read the remote table's storage directly or register it as a view",
     "REMOTESECURE" -> "a library engine addresses no other servers — read the remote table's storage directly",
     "CLUSTER" -> "Spark IS the cluster here — run the query on this session; there is no second topology to address")

@@ -95,13 +95,16 @@ object DialectQueries {
           |FROM t ORDER BY o_orderkey""".stripMargin)),
 
     // Aggregating CH dialect: countIf/sumIf/uniqExact/median/quantile.
+    // Bare median/quantile carry the bounded-memory sketch contract
+    // (GK, exact below accuracy): DuckDB's quantile_disc is the exact
+    // twin at this scale (rank ceil(q*n); dev/qprobe_check.py 66/66).
     "c01_dialect_agg" -> Q(
       """SELECT year(o_orderdate) AS yr, o_orderstatus,
         |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
-        |  quantile_cont(o_totalprice, 0.5) AS med,
-        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |  quantile_disc(o_totalprice, 0.5) AS med,
+        |  quantile_disc(o_totalprice, 0.9) AS p90
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
       chSql(Seq("orders"),
         """SELECT toYear(o_orderdate) AS yr, o_orderstatus,
@@ -2228,8 +2231,8 @@ object DialectQueries {
 
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |  quantile_cont(o_totalprice, 0.5) AS med,
-        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  quantile_disc(o_totalprice, 0.5) AS med,
+        |  quantile_disc(o_totalprice, 0.9) AS p90,
         |  LEAST(COUNT(DISTINCT o_custkey), 51) AS cust_upto
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       GraftFunctions.ensureRegistered(s)

@@ -63,8 +63,10 @@ class ChDialectSpec extends SparkSpec {
       sum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("sumf"),
       countDistinct(col("o_custkey")).as("ue"),
       max_by(col("o_orderkey"), col("o_totalprice")).as("am"),
-      percentile(col("o_totalprice"), lit(0.5)).as("med"),
-      percentile(col("o_totalprice"), lit(0.9)).as("p90")).collect().head
+      // bare median/quantile = the bounded GK sketch (exact below
+      // accuracy: value at rank ceil(q*n)), not the interpolated exact
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(50000)).as("med"),
+      percentile_approx(col("o_totalprice"), lit(0.9), lit(50000)).as("p90")).collect().head
     assert(r.getAs[Long]("nbig") == expect.getAs[Long]("nbig"))
     assert(math.abs(r.getAs[Double]("sumf") - expect.getAs[Double]("sumf")) < 1e-6)
     assert(r.getAs[Long]("ue") == expect.getAs[Long]("ue"))

@@ -616,9 +616,13 @@ class ChSqlSpec extends SparkSpec {
     assert(cross == ((1L, 1L, 2L, 0L)), cross)
   }
   test("remote-source table functions refuse at translate time with guidance") {
+    // s3/url/hdfs/gcs are REAL readers on the execute path
+    // (ChDdl.rewriteFileFn, CreateFormsSpec); a bare translate() has
+    // no session to bind a reader, so the guidance names the front
+    // door. remote/remoteSecure/cluster stay refusals everywhere.
     Seq(
-      "SELECT * FROM s3('https://x/y.parquet', 'Parquet')" -> "file()",
-      "SELECT * FROM url('https://x/y.csv', 'CSV')" -> "file(",
+      "SELECT * FROM s3('https://x/y.parquet', 'Parquet')" -> "front door",
+      "SELECT * FROM url('https://x/y.csv', 'CSV')" -> "front door",
       "SELECT * FROM remote('other:9000', db.t)" -> "storage",
       "SELECT * FROM cluster('c', db.t)" -> "cluster").foreach {
       case (sql, hint) =>

@@ -168,6 +168,59 @@ class CreateFormsSpec extends SparkSpec {
       "SELECT file, v FROM cf_filecol WHERE file = 1").count() == 1)
   }
 
+  test("s3()/hdfs()/url() are real table functions riding the file() adoption path") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_remotefn")
+    val pq = dir.resolve("r.parquet")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.mode("overwrite").parquet(pq.toString)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[MockS3FileSystem].getName)
+    hc.set("fs.s3a.impl.disable.cache", "true")
+    hc.set("fs.hdfs.impl", classOf[MockHdfsFileSystem].getName)
+    hc.set("fs.hdfs.impl.disable.cache", "true")
+    // s3:// maps to the hadoop connector scheme s3a:// and reads
+    // DISTRIBUTED through the FS layer; format inferred from extension
+    val gotS3 = ChDdl.execute(spark,
+      s"SELECT k, s FROM s3('s3://graft-bucket$pq') ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(gotS3 == Seq((1L, "a"), (2L, "b")))
+    // NOSIGN maps onto the anonymous-credentials provider conf
+    ChDdl.execute(spark,
+      s"SELECT count(*) AS n FROM s3('s3://graft-bucket$pq', NOSIGN, 'Parquet')")
+    assert(hc.get("fs.s3a.aws.credentials.provider")
+      .contains("Anonymous"))
+    val gotHdfs = ChDdl.execute(spark,
+      s"SELECT k FROM hdfs('hdfs://graft-nn$pq', 'Parquet') ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(gotHdfs == Seq(1L, 2L))
+    // url(): file:// passes straight to the reader; format from the
+    // explicit arg or the URL's extension
+    val csv = dir.resolve("u.csv")
+    java.nio.file.Files.write(csv, "k,s\n3,c\n4,d\n".getBytes)
+    val gotUrl = ChDdl.execute(spark,
+      s"SELECT k, s FROM url('file://$csv', 'CSVWithNames') ORDER BY k")
+      .as[(Int, String)].collect().toSeq
+    assert(gotUrl == Seq((3, "c"), (4, "d")))
+    assert(ChDdl.execute(spark,
+      s"SELECT * FROM url('file://$csv')").count() == 3) // headerless CSV by extension
+    // server-addressing functions still refuse with guidance
+    Seq("remote('h:9000', db.t)", "remoteSecure('h:9440', db.t)",
+        "cluster('c', db.t)").foreach { fn =>
+      val e = intercept[UnsupportedOperationException] {
+        ChDdl.execute(spark, s"SELECT * FROM ${fn.replace("db.t", "'db.t'")}")
+      }
+      assert(e.getMessage.contains("remote-source table function"),
+        s"$fn: ${e.getMessage}")
+    }
+    // a bare translate() call has no session to bind a reader — the
+    // refusal points at the execute front door
+    val e = intercept[UnsupportedOperationException] {
+      graft.functions.ChSql.translate("SELECT * FROM s3('s3://b/k.parquet')")
+    }
+    assert(e.getMessage.contains("front door"), e.getMessage)
+  }
+
   test("file() reads ORC, Avro and Arrow (registerFormats.cpp adoption formats)") {
     GraftFunctions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_filefn2")

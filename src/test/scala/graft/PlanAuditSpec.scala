@@ -260,4 +260,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(c24.contains("array_cum_sum_native") &&
       c24.contains("array_difference_native"), c24)
   }
+
+  test("bare quantile/median run on bounded sketch state, never a full-group buffer") {
+    // CH's bare quantile/median promise bounded memory (reservoir
+    // there, GK sketch here). At 100 TB a Percentile aggregate holds
+    // every group value in its buffer — the one perf_weak root cause
+    // of the r13 verdict. Assert the bounded keys never plan it.
+    for (key <- Seq("c01_dialect_agg", "c08_parametric")) {
+      val planStr = withoutAqe { planOf(key).toString }
+      assert(planStr.contains("approx_percentile"),
+        s"$key must aggregate via the GK sketch:\n$planStr")
+      assert(!"""(?<!approx_)percentile\(""".r.findFirstIn(planStr).isDefined,
+        s"$key plans a full-group-buffer percentile:\n$planStr")
+    }
+  }
 }
