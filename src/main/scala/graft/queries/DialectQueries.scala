@@ -2243,6 +2243,108 @@ object DialectQueries {
           |  quantile(0.9)(o_totalprice) AS p90,
           |  uniqUpTo(50)(o_custkey) AS cust_upto
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
-    }
+    },
+
+    // Round-14 graduation of the bitmap/geohash/vector-distance/geo
+    // spec families into a DuckDB-oracled key (r13 verdict ask #6).
+    // One customer scan, GROUP BY segment. Oracle discipline:
+    //  - bitmaps ARE sorted distinct arrays (the bitmapBuild
+    //    contract) — DuckDB mirrors with list(DISTINCT)/list ops;
+    //  - geohashEncode's bisection fold has a closed form the oracle
+    //    uses: k bits of lon = top bits of floor((lon+180)/360*2^k)
+    //    (midpoints are exact dyadic doubles; the synthetic 10°+0.5
+    //    grid provably never lands on a cell edge at p=5, so the
+    //    float floor matches the fold bit-for-bit); decode of a fixed
+    //    literal is pinned to its hand-derived exact cell center;
+    //  - great-circle columns round(…,3/6): sin/cos/asin are libm on
+    //    both engines (≤1 ulp apart, ~1e-8 m on a 1e7 m value —
+    //    far inside the rounding guard band);
+    //  - vector distances over 3-element synthesized vectors are
+    //    written in the oracle with the EXACT fold parenthesization
+    //    of vecFold/CosineSim ((t1+t2)+t3, dot/(sqrt(na)*sqrt(nb))),
+    //    so doubles match bit-for-bit with no rounding.
+    "c54_ch_bitmap_geo" -> Q(
+      """WITH ref AS (SELECT list_sort(list(DISTINCT CAST(n * 3 % 64 AS INTEGER))) AS ref FROM range(32) t(n)),
+        |per AS (SELECT c_mktsegment AS seg, CAST(c_custkey % 64 AS INTEGER) AS bit,
+        |    (c_custkey % 36) * 10 - 179.5 AS lon, (c_custkey % 18) * 10 - 89.5 AS lat,
+        |    CAST(c_acctbal AS DOUBLE) AS x1, CAST(c_custkey % 97 AS DOUBLE) AS x2,
+        |    CAST(c_nationkey AS DOUBLE) AS x3
+        |  FROM customer),
+        |gh AS (SELECT *, CAST(floor((lon + 180) / 360 * 8192) AS BIGINT) AS li,
+        |    CAST(floor((lat + 90) / 180 * 4096) AS BIGINT) AS ai FROM per),
+        |ghv AS (SELECT *,
+        |    (SELECT SUM(((li >> CAST(12 - j AS INTEGER)) & 1) << CAST(24 - 2 * j AS INTEGER)) FROM range(13) s(j))
+        |  + (SELECT SUM(((ai >> CAST(11 - j AS INTEGER)) & 1) << CAST(23 - 2 * j AS INTEGER)) FROM range(12) s(j)) AS v
+        |  FROM gh),
+        |rows_ AS (SELECT seg, bit,
+        |    (SELECT string_agg(substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |        CAST(1 + ((v >> CAST(5 * (4 - ci) AS INTEGER)) & 31) AS INTEGER), 1), '' ORDER BY ci)
+        |     FROM range(5) t(ci)) AS ghash,
+        |    round(2 * 6372797.560856 * asin(sqrt(
+        |      pow(sin((radians(0.5) - radians(lat)) / 2), 2)
+        |      + (cos(radians(lat)) * cos(radians(0.5)))
+        |        * pow(sin((radians(0.5) - radians(lon)) / 2), 2))), 3) AS gcd,
+        |    round(degrees(2.0 * asin(sqrt(
+        |      pow(sin((radians(0.5) - radians(lat)) / 2), 2)
+        |      + (cos(radians(lat)) * cos(radians(0.5)))
+        |        * pow(sin((radians(0.5) - radians(lon)) / 2), 2)))), 6) AS gca,
+        |    (abs(x1 - 1000.5) + abs(x2 - 50.0)) + abs(x3 - 12.0) AS l1,
+        |    sqrt(((x1 - 1000.5) * (x1 - 1000.5) + (x2 - 50.0) * (x2 - 50.0)) + (x3 - 12.0) * (x3 - 12.0)) AS l2,
+        |    greatest(abs(x1 - 1000.5), abs(x2 - 50.0), abs(x3 - 12.0)) AS linf,
+        |    (x1 * 1000.5 + x2 * 50.0) + x3 * 12.0 AS dot,
+        |    1.0 - (((x1 * 1000.5 + x2 * 50.0) + x3 * 12.0) /
+        |      (sqrt((x1 * x1 + x2 * x2) + x3 * x3)
+        |       * sqrt((1000.5 * 1000.5 + 50.0 * 50.0) + 12.0 * 12.0))) AS cosd
+        |  FROM ghv),
+        |g AS (SELECT seg, list_sort(list(DISTINCT bit)) AS bm,
+        |    min(ghash) AS gh_min, count(DISTINCT ghash) AS gh_n,
+        |    min(gcd) AS gcd_min, max(gcd) AS gcd_max, min(gca) AS gca_min,
+        |    min(l1) AS l1_min, max(l2) AS l2_max, min(linf) AS linf_min,
+        |    max(dot) AS dot_max, min(cosd) AS cos_min
+        |  FROM rows_ GROUP BY seg)
+        |SELECT seg, CAST(len(bm) AS INTEGER) AS card,
+        |  CAST(list_aggregate(bm, 'min') AS INTEGER) AS bmin,
+        |  CAST(list_aggregate(bm, 'max') AS INTEGER) AS bmax,
+        |  list_contains(bm, 7) AS has7,
+        |  len(list_intersect(bm, ref)) > 0 AS hasany,
+        |  len(list_filter(ref, x -> NOT list_contains(bm, x))) = 0 AS hasall,
+        |  CAST(len(list_intersect(bm, ref)) AS INTEGER) AS andc,
+        |  CAST(len(list_distinct(list_concat(bm, ref))) AS INTEGER) AS orc,
+        |  CAST(len(list_distinct(list_concat(bm, ref))) - len(list_intersect(bm, ref)) AS INTEGER) AS xorc,
+        |  CAST(len(bm) - len(list_intersect(bm, ref)) AS INTEGER) AS andnotc,
+        |  array_to_string(list_sort(list_intersect(bm, ref)), ',') AS and_list,
+        |  gh_min, gh_n, gcd_min, gcd_max, gca_min,
+        |  l1_min, l2_max, linf_min, dot_max, cos_min,
+        |  '-5.60302734' AS dec_lon, '42.60498047' AS dec_lat
+        |FROM g CROSS JOIN ref ORDER BY seg""".stripMargin)(
+      chSql(Seq("customer"),
+        """WITH r AS (SELECT bitmapBuild(toInt32(number * 3 % 64)) AS ref FROM numbers(32)),
+          |b AS (SELECT c_mktsegment AS seg,
+          |    bitmapBuild(toInt32(c_custkey % 64)) AS bm,
+          |    min(geohashEncode((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 5)) AS gh_min,
+          |    uniqExact(geohashEncode((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 5)) AS gh_n,
+          |    min(round(greatCircleDistance((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 3)) AS gcd_min,
+          |    max(round(geoDistance((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 3)) AS gcd_max,
+          |    min(round(greatCircleAngle((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 6)) AS gca_min,
+          |    min(L1Distance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS l1_min,
+          |    max(L2Distance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS l2_max,
+          |    min(LinfDistance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS linf_min,
+          |    max(dotProduct(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS dot_max,
+          |    min(cosineDistance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS cos_min
+          |  FROM customer GROUP BY seg)
+          |SELECT seg, bitmapCardinality(bm) AS card,
+          |  bitmapMin(bm) AS bmin, bitmapMax(bm) AS bmax,
+          |  bitmapContains(bm, 7) AS has7,
+          |  bitmapHasAny(bm, ref) AS hasany, bitmapHasAll(bm, ref) AS hasall,
+          |  bitmapAndCardinality(bm, ref) AS andc,
+          |  bitmapOrCardinality(bm, ref) AS orc,
+          |  bitmapXorCardinality(bm, ref) AS xorc,
+          |  bitmapAndnotCardinality(bm, ref) AS andnotc,
+          |  arrayStringConcat(arrayMap(x -> toString(x), bitmapToArray(bitmapAnd(bm, ref))), ',') AS and_list,
+          |  gh_min, gh_n, gcd_min, gcd_max, gca_min,
+          |  l1_min, l2_max, linf_min, dot_max, cos_min,
+          |  toString(round(tupleElement(geohashDecode('ezs42'), 1), 8)) AS dec_lon,
+          |  toString(round(tupleElement(geohashDecode('ezs42'), 2), 8)) AS dec_lat
+          |FROM b CROSS JOIN r ORDER BY seg""".stripMargin))
   )
 }

@@ -114,7 +114,8 @@ class PlanAuditSpec extends SparkSpec {
       "t09_temperature_mix", // broadcast 1-row weight total
       "t14_unigram_logppl", // broadcast 1-row vocab-total scalar
       "t16_dsir",           // broadcast 1-row target/raw token totals
-      "t22_bigram_logppl")  // broadcast 1-row |V| scalar (t14 shape)
+      "t22_bigram_logppl",  // broadcast 1-row |V| scalar (t14 shape)
+      "c54_ch_bitmap_geo")  // broadcast 1-row reference bitmap
     withoutAqe {
       val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
