@@ -304,21 +304,43 @@ object RangeJoin {
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binSize: Double): DataFrame = {
-    val p = points.withColumn("__bin",
-      floor(col(pointCol) / binSize).cast("long"))
+      binSize: Double, maxBinsPerInterval: Int = 256): DataFrame = {
     // empty/inverted intervals (lo >= hi) can never match a point
     // under [lo, hi) — drop them BEFORE binning: sequence(start, stop)
     // runs DESCENDING when stop < start, so an inverted interval would
     // otherwise explode a bogus bin range (unbounded in the interval
     // width) just for the post-filter to throw every row away
-    val iv = intervals.filter(col(loCol) < col(hiCol))
-      .withColumn("__bin", explode(sequence(
-        floor(col(loCol) / binSize).cast("long"),
-        floor(col(hiCol) / binSize).cast("long"))))
-    p.join(iv, "__bin")
+    val valid = intervals.filter(col(loCol) < col(hiCol))
+    // long/short split (dev/rangebin_probe_r14.txt): an interval
+    // covering w/binSize bins explodes that many rows, so one
+    // domain-spanning interval among thousands of short ones
+    // multiplies the exploded side by domain/binSize — measured 4.4x
+    // end-to-end once the explode dominates. Intervals wider than
+    // maxBinsPerInterval bins instead take a BROADCAST non-equi join:
+    // by the time an interval covers hundreds of bins it matches a
+    // meaningful fraction of all points, so the scan-side work is
+    // inherent and the broadcast side is tiny (few such intervals —
+    // a band table that is MOSTLY domain-spanning is an inherently
+    // quadratic query no plan shape can save). The split is only
+    // planned when long intervals exist (one limit(1) probe on the
+    // dimension-sized interval table), so the common all-short case
+    // keeps the pure binned equi-join plan.
+    val bins = floor(col(hiCol) / binSize).cast("long") -
+      floor(col(loCol) / binSize).cast("long")
+    val shortIv = valid.filter(bins < lit(maxBinsPerInterval.toLong))
+    val longIv = valid.filter(bins >= lit(maxBinsPerInterval.toLong))
+    val p = points.withColumn("__bin",
+      floor(col(pointCol) / binSize).cast("long"))
+    val iv = shortIv.withColumn("__bin", explode(sequence(
+      floor(col(loCol) / binSize).cast("long"),
+      floor(col(hiCol) / binSize).cast("long"))))
+    val binned = p.join(iv, "__bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
+    val hasLong = longIv.limit(1).count() > 0
+    if (!hasLong) binned
+    else binned.unionByName(points.join(broadcast(longIv),
+      col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)))
   }
 }
 

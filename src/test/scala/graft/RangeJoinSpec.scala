@@ -37,4 +37,24 @@ class RangeJoinSpec extends SparkSpec {
       .select("point_id", "band_id").as[(Long, Long)].collect().toSeq
     assert(got.size == got.toSet.size, s"duplicates in $got")
   }
+
+  test("long/short split: a domain-spanning interval matches identically via the broadcast path") {
+    // interval 9 covers 4000 bins at binSize 0.25 — far past the
+    // split threshold — so it rides the broadcast non-equi join while
+    // the short ones keep the binned plan; the union must equal the
+    // nested-loop truth, without duplicates
+    val withLong = intervals.unionByName(
+      Seq((9L, -100.0, 900.0)).toDF("band_id", "lo", "hi"))
+    val got = RangeJoin.pointInInterval(points, "v", withLong, "lo", "hi", 0.25)
+      .select("point_id", "band_id").as[(Long, Long)].collect().toSeq
+    val expect = Set((1L, 1L), (2L, 2L), (5L, 1L), (5L, 2L),
+      (1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 9L))
+    assert(got.toSet == expect, got.sorted.mkString(", "))
+    assert(got.size == got.toSet.size, s"duplicates in $got")
+    // threshold boundary: force EVERYTHING long — still exact
+    val allLong = RangeJoin.pointInInterval(points, "v", withLong, "lo", "hi",
+      0.25, maxBinsPerInterval = 1)
+    assert(allLong.select("point_id", "band_id").as[(Long, Long)]
+      .collect().toSet == expect)
+  }
 }
