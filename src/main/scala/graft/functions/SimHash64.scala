@@ -116,6 +116,14 @@ object GraftFunctions {
 
     Seq(
       d("simhash64", classOf[SimHash64])(children => SimHash64(children.head)),
+      // seq_match_gap(evs, n-literal, gap-literal) — the compiled
+      // gap-constrained sequenceMatch DP (Behavior.scala gap branch)
+      d("seq_match_gap", classOf[SeqMatchGapExpr]) {
+        case Seq(evs, Literal(n: Int, _), Literal(g: Long, _)) =>
+          SeqMatchGapExpr(evs, n, g)
+        case other => throw new IllegalArgumentException(
+          s"seq_match_gap(evs, n-literal, gap-literal) expected, got ${other.mkString(", ")}")
+      },
       // minhash64(tokens, k) — k must be an int literal
       d("minhash64", classOf[MinHash64]) {
         case Seq(tokens, Literal(k: Int, _)) => MinHash64(tokens, k)

@@ -212,31 +212,49 @@ object Behavior {
         folded.select(col(userCol),
           (level(col("__acc")) === n).cast("int").as("matched"))
       case Some(g) =>
-        val nullL = lit(null).cast("long")
-        val init = array_repeat(struct(nullL.as("l1"), nullL.as("l2")), n)
-        val folded = packedDf
-          .select(col("user").as(userCol), aggregate(col("__evs"), init,
-            (acc, e) => transform(sequence(lit(0), lit(n - 1)), k => {
-              val t = e.getField("t")
-              val hit = element_at(e.getField("ms"), k + 1)
-              val prevP = element_at(acc, k)
-              val curP = element_at(acc, k + 1)
-              val cl1 = curP.getField("l1")
-              // latest level-k completion strictly before t (l2 < l1 ≤ t)
-              val usable = when(prevP.getField("l1") < t,
-                prevP.getField("l1")).otherwise(prevP.getField("l2"))
-              val extend = when(k === 0, hit)
-                .otherwise(hit && usable.isNotNull && t - usable <= lit(g))
-              when(extend, struct(
-                greatest(cl1, t).as("l1"),
-                when(cl1.isNotNull && t > cl1, cl1)
-                  .otherwise(curP.getField("l2")).as("l2")))
-                .otherwise(curP)
-            })).as("__acc"))
-        folded.select(col(userCol),
-          (size(filter(col("__acc"), p => p.getField("l1").isNotNull)) === n)
+        // compiled DP kernel (functions.SeqMatchGapExpr): one JVM
+        // loop over the packed list — the interpreted per-event HOF
+        // fold allocated an n-struct array per event (the a18 cost
+        // mode, dev/a18_adjudicate_r14.txt); BehaviorSpec pins kernel
+        // ≡ composed fold on fixtures and real events
+        graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+        packedDf.select(col("user").as(userCol),
+          call_function("seq_match_gap", col("__evs"), lit(n), lit(g))
             .cast("int").as("matched"))
     }
+  }
+
+  /** The pre-r14 composed Column fold of the gap variant — kept as
+    * the parity oracle for the compiled kernel (BehaviorSpec). */
+  private[graft] def sequenceMatchGapComposed(events: DataFrame,
+      userCol: String, tsCol: Column, conds: Seq[Column],
+      g: Long): DataFrame = {
+    val n = conds.size
+    val packedDf = packed(events, userCol, tsCol, conds)
+    val nullL = lit(null).cast("long")
+    val init = array_repeat(struct(nullL.as("l1"), nullL.as("l2")), n)
+    val folded = packedDf
+      .select(col("user").as(userCol), aggregate(col("__evs"), init,
+        (acc, e) => transform(sequence(lit(0), lit(n - 1)), k => {
+          val t = e.getField("t")
+          val hit = element_at(e.getField("ms"), k + 1)
+          val prevP = element_at(acc, k)
+          val curP = element_at(acc, k + 1)
+          val cl1 = curP.getField("l1")
+          // latest level-k completion strictly before t (l2 < l1 ≤ t)
+          val usable = when(prevP.getField("l1") < t,
+            prevP.getField("l1")).otherwise(prevP.getField("l2"))
+          val extend = when(k === 0, hit)
+            .otherwise(hit && usable.isNotNull && t - usable <= lit(g))
+          when(extend, struct(
+            greatest(cl1, t).as("l1"),
+            when(cl1.isNotNull && t > cl1, cl1)
+              .otherwise(curP.getField("l2")).as("l2")))
+            .otherwise(curP)
+        })).as("__acc"))
+    folded.select(col(userCol),
+      (size(filter(col("__acc"), p => p.getField("l1").isNotNull)) === n)
+        .cast("int").as("matched"))
   }
 
   /** sequenceCount('(?1).*(?2).*…')(ts, cond1, …, condN): how many

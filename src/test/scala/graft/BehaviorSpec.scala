@@ -70,6 +70,44 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq(1, 0, 0))
   }
 
+  test("gap-constrained sequenceMatch: compiled kernel ≡ composed fold") {
+    // planted edges: in-gap chain, out-of-gap middle step, tie
+    // timestamps, completion-after-t shadowing (l2 fallback), and a
+    // level hit with no prior completion
+    val fx = ev(
+      (1L, 0L, "A"), (1L, 5L, "B"), (1L, 9L, "C"),    // all gaps ≤ 4? B-A=5 > 4 → no at g=4; yes at g=10
+      (2L, 0L, "A"), (2L, 1L, "B"), (2L, 100L, "C"),  // C too late at g=10
+      (3L, 0L, "A"), (3L, 0L, "B"), (3L, 1L, "C"),    // A,B tie: B needs A STRICTLY before
+      (4L, 0L, "B"), (4L, 1L, "C"),                   // no A at all
+      (5L, 0L, "A"), (5L, 2L, "A"), (5L, 3L, "B"),    // two As: l2 fallback
+      (5L, 4L, "C"),
+      (6L, 0L, "A"), (6L, 1L, "B"), (6L, 1L, "C"))    // B,C tie: C needs B strictly before
+    for (g <- Seq(4L, 10L)) {
+      val kern = Behavior.sequenceMatch(fx, "user_id", col("ts"), conds,
+          gapMicros = Some(g))
+        .orderBy("user_id").select("matched").as[Int].collect().toSeq
+      val comp = Behavior.sequenceMatchGapComposed(fx, "user_id", col("ts"),
+          conds, g)
+        .orderBy("user_id").select("matched").as[Int].collect().toSeq
+      assert(kern == comp, s"g=$g kernel $kern vs composed $comp")
+    }
+    // and on real data: the a18 shape over sf events
+    val events = graft.sources.Tables(spark, sfDir).events
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+    val cs = Seq(col("event_type") === "signup",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val kern = Behavior.sequenceMatch(events, "user_id", col("ts"), cs,
+        gapMicros = Some(86400000000L))
+      .orderBy("user_id").select("user_id", "matched")
+      .as[(Long, Int)].collect().toSeq
+    val comp = Behavior.sequenceMatchGapComposed(events, "user_id",
+        col("ts"), cs, 86400000000L)
+      .orderBy("user_id").select("user_id", "matched")
+      .as[(Long, Int)].collect().toSeq
+    assert(kern == comp)
+    assert(kern.nonEmpty && kern.exists(_._2 == 1) && kern.exists(_._2 == 0))
+  }
+
   test("windowFunnel strict modes: order, deduplication, increase") {
     def lvl(rows: Seq[(Long, Long, String)], modes: Set[String],
         w: Long = 100L): Int =
