@@ -675,7 +675,8 @@ object ChDdl {
     * never trips it. */
   private val adoptFormats = Set("PARQUET", "CSV", "CSVWITHNAMES",
     "TSV", "TABSEPARATED", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES",
-    "JSONEACHROW", "ORC", "AVRO", "ARROW")
+    "JSONEACHROW", "ORC", "AVRO", "ARROW", "ROWBINARY",
+    "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES")
 
   private val adoptFns = Set("FILE", "S3", "GCS", "HDFS",
     "AZUREBLOBSTORAGE", "URL")
@@ -709,10 +710,16 @@ object ChDdl {
     case "ORC" => graft.sources.AdHocFiles.orc(spark, path)
     case "AVRO" => graft.sources.AdHocFiles.avro(spark, path)
     case "ARROW" => graft.sources.AdHocFiles.arrow(spark, path)
+    case "ROWBINARYWITHNAMESANDTYPES" => graft.sources.RowBinary.read(spark, path)
+    case "ROWBINARY" | "ROWBINARYWITHNAMES" =>
+      throw new IllegalArgumentException(
+        s"$fn(): headerless $up carries no schema to adopt — write the " +
+          "file as RowBinaryWithNamesAndTypes (INTO OUTFILE … FORMAT " +
+          "RowBinaryWithNamesAndTypes) and adopt that")
     case other => throw new IllegalArgumentException(
       s"$fn(): unsupported format '$other' (Parquet, ORC, Avro, " +
         "Arrow, CSV[WithNames], TSV/TabSeparated[WithNames], " +
-        "JSONEachRow)")
+        "JSONEachRow, RowBinaryWithNamesAndTypes)")
   }
 
   /** url(): http(s) fetched driver-side to a temp file; file:// (and
@@ -1802,14 +1809,21 @@ object ChDdl {
             // the operator's semantics, not a scale defect. Refuses an
             // existing file, exactly like the reference client.
             val f = fmt.getOrElse("TSV").toUpperCase
-            require(ChFormat.renderable(f),
-              s"INTO OUTFILE supports FORMAT ${ChFormat.renderable.mkString("/")}, got $f")
+            require(ChFormat.renderable(f) || graft.sources.RowBinary.names(f),
+              s"INTO OUTFILE supports FORMAT ${ChFormat.renderable.mkString("/")}" +
+                s"/RowBinary[WithNames[AndTypes]], got $f")
             val p = java.nio.file.Paths.get(path)
             require(!java.nio.file.Files.exists(p),
               s"INTO OUTFILE: file $path already exists (reference behavior)")
-            val bytes = ChFormat.render(df, f).collect()
-              .map(_.getString(0) + "\n").mkString.getBytes("UTF-8")
-            java.nio.file.Files.write(p, bytes)
+            if (graft.sources.RowBinary.names(f))
+              // binary file interchange (not a line rendering): the
+              // RowBinary codec writes the file directly
+              graft.sources.RowBinary.write(df, path, f)
+            else {
+              val bytes = ChFormat.render(df, f).collect()
+                .map(_.getString(0) + "\n").mkString.getBytes("UTF-8")
+              java.nio.file.Files.write(p, bytes)
+            }
             df
           case None =>
             fmt.map(_.toUpperCase) match {

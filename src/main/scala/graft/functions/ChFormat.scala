@@ -55,8 +55,10 @@ object ChFormat {
       s"FORMAT $f is a wire-protocol encoding of the reference's " +
         "client/server protocol — a library engine has no wire. For " +
         "columnar interchange write parquet (df.write.parquet / INSERT " +
-        "INTO a parquet-backed table); for text output use FORMAT " +
-        "JSON/JSONEachRow/CSV/TSV/Values.")
+        "INTO a parquet-backed table); for RowBinary FILE interchange " +
+        "use INTO OUTFILE '…' FORMAT RowBinaryWithNamesAndTypes and " +
+        "adopt it back via file(path, 'RowBinaryWithNamesAndTypes'); " +
+        "for text output use FORMAT JSON/JSONEachRow/CSV/TSV/Values.")
 
   /** Header line + body — the WithNames contract. The header rides a
     * one-row local relation unioned FIRST; collect order preserves

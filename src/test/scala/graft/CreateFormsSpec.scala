@@ -221,6 +221,50 @@ class CreateFormsSpec extends SparkSpec {
     assert(e.getMessage.contains("front door"), e.getMessage)
   }
 
+  test("RowBinaryWithNamesAndTypes round-trips through INTO OUTFILE and file()") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowbin")
+    val out = dir.resolve("t.bin").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'alpha', CAST(1.5 AS DOUBLE), 7, DATE '2024-03-15',
+        |   TIMESTAMP '2024-03-15 13:45:00', true),
+        |  (2L, CAST(NULL AS STRING), CAST(-2.25 AS DOUBLE), -3,
+        |   DATE '1970-01-02', TIMESTAMP '1970-01-01 00:00:01', false)
+        |AS t(k, s, v, i, d, ts, b)""".stripMargin)
+      .createOrReplaceTempView("graft_rb_src")
+    ChDdl.execute(spark,
+      s"SELECT k, s, v, i, d, ts, b FROM graft_rb_src ORDER BY k " +
+        s"INTO OUTFILE '$out' FORMAT RowBinaryWithNamesAndTypes")
+    val back = ChDdl.execute(spark,
+      s"SELECT * FROM file('$out', 'RowBinaryWithNamesAndTypes') ORDER BY k")
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s", "v", "i", "d", "ts", "b"))
+    val rows = back.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha" &&
+      rows(0).getDouble(2) == 1.5 && rows(0).getInt(3) == 7 &&
+      rows(0).getDate(4).toString == "2024-03-15" &&
+      rows(0).getTimestamp(5).toString.startsWith("2024-03-15 13:45:00") &&
+      rows(0).getBoolean(6))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == -2.25 &&
+      rows(1).getInt(3) == -3 && !rows(1).getBoolean(6))
+    // headerless variants: writable, but adoption refuses with guidance
+    val out2 = dir.resolve("t2.bin").toString
+    ChDdl.execute(spark,
+      s"SELECT k FROM graft_rb_src INTO OUTFILE '$out2' FORMAT RowBinary")
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(out2)) == 16) // 2 × Int64
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, s"SELECT * FROM file('$out2', 'RowBinary')")
+    }
+    assert(e.getMessage.contains("RowBinaryWithNamesAndTypes"), e.getMessage)
+    // bare FORMAT RowBinary (no OUTFILE) still refuses, now naming the
+    // file-interchange path
+    val w = intercept[UnsupportedOperationException] {
+      ChDdl.execute(spark, "SELECT k FROM graft_rb_src FORMAT RowBinary")
+    }
+    assert(w.getMessage.contains("INTO OUTFILE"), w.getMessage)
+  }
+
   test("file() reads ORC, Avro and Arrow (registerFormats.cpp adoption formats)") {
     GraftFunctions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_filefn2")
