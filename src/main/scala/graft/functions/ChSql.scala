@@ -852,7 +852,8 @@ object ChSql {
     *  - topK: `topK(5)(x)` → `topK(5, x)` (registered CH order);
     *  - uniq family: precision params are sketch-tuning only —
     *    dropped, `uniqCombined(12)(x)` → `uniqCombined(x)`. */
-  private val paramsLast = Set("QUANTILE", "QUANTILEEXACT", "QUANTILETDIGEST",
+  private val paramsLast = Set("QUANTILE", "QUANTILES", "QUANTILEEXACT",
+    "QUANTILETDIGEST",
     "MEDIAN", "MEDIANEXACT", "UNIQUPTO", "QUANTILEEXACTWEIGHTED",
     "QUANTILETIMING", "QUANTILEDETERMINISTIC",
     "GROUPARRAYMOVINGSUM", "GROUPARRAYMOVINGAVG",

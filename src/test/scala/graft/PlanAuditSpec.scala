@@ -262,15 +262,15 @@ class PlanAuditSpec extends SparkSpec {
       c24.contains("array_difference_native"), c24)
   }
 
-  test("bare quantile/median run on bounded sketch state, never a full-group buffer") {
-    // CH's bare quantile/median promise bounded memory (reservoir
-    // there, GK sketch here). At 100 TB a Percentile aggregate holds
-    // every group value in its buffer — the one perf_weak root cause
-    // of the r13 verdict. Assert the bounded keys never plan it.
+  test("bare quantile/median run on bounded reservoir state, never a full-group buffer") {
+    // CH's bare quantile/median promise bounded memory (a ≤8192
+    // reservoir there AND here). At 100 TB a Percentile aggregate
+    // holds every group value in its buffer — the one perf_weak root
+    // cause of the r13 verdict. Assert the bounded keys never plan it.
     for (key <- Seq("c01_dialect_agg", "c08_parametric")) {
       val planStr = withoutAqe { planOf(key).toString }
-      assert(planStr.contains("approx_percentile"),
-        s"$key must aggregate via the GK sketch:\n$planStr")
+      assert(planStr.contains("reservoir_quantile"),
+        s"$key must aggregate via the bounded reservoir:\n$planStr")
       assert(!"""(?<!approx_)percentile\(""".r.findFirstIn(planStr).isDefined,
         s"$key plans a full-group-buffer percentile:\n$planStr")
     }
