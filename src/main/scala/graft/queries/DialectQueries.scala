@@ -2318,20 +2318,28 @@ object DialectQueries {
         |  '-5.60302734' AS dec_lon, '42.60498047' AS dec_lat
         |FROM g CROSS JOIN ref ORDER BY seg""".stripMargin)(
       chSql(Seq("customer"),
+        // per-row signals in a pre-projection, aggregates over them:
+        // the geohash bisection fold is an interpreted HOF — spliced
+        // into two agg expressions it would run TWICE per row (the
+        // c44 no-CSE trap, here dodged structurally)
         """WITH r AS (SELECT bitmapBuild(toInt32(number * 3 % 64)) AS ref FROM numbers(32)),
-          |b AS (SELECT c_mktsegment AS seg,
-          |    bitmapBuild(toInt32(c_custkey % 64)) AS bm,
-          |    min(geohashEncode((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 5)) AS gh_min,
-          |    uniqExact(geohashEncode((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 5)) AS gh_n,
-          |    min(round(greatCircleDistance((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 3)) AS gcd_min,
-          |    max(round(geoDistance((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 3)) AS gcd_max,
-          |    min(round(greatCircleAngle((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 6)) AS gca_min,
-          |    min(L1Distance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS l1_min,
-          |    max(L2Distance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS l2_max,
-          |    min(LinfDistance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS linf_min,
-          |    max(dotProduct(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS dot_max,
-          |    min(cosineDistance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0))) AS cos_min
-          |  FROM customer GROUP BY seg)
+          |p AS (SELECT c_mktsegment AS seg, toInt32(c_custkey % 64) AS bit,
+          |    geohashEncode((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 5) AS gh,
+          |    round(greatCircleDistance((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 3) AS gcd,
+          |    round(geoDistance((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 3) AS gd,
+          |    round(greatCircleAngle((c_custkey % 36) * 10 - 179.5, (c_custkey % 18) * 10 - 89.5, 0.5, 0.5), 6) AS gca,
+          |    L1Distance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0)) AS l1,
+          |    L2Distance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0)) AS l2,
+          |    LinfDistance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0)) AS linf,
+          |    dotProduct(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0)) AS dot,
+          |    cosineDistance(array(toFloat64(c_acctbal), toFloat64(c_custkey % 97), toFloat64(c_nationkey)), array(1000.5, 50.0, 12.0)) AS cosd
+          |  FROM customer),
+          |b AS (SELECT seg, bitmapBuild(bit) AS bm,
+          |    min(gh) AS gh_min, uniqExact(gh) AS gh_n,
+          |    min(gcd) AS gcd_min, max(gd) AS gcd_max, min(gca) AS gca_min,
+          |    min(l1) AS l1_min, max(l2) AS l2_max, min(linf) AS linf_min,
+          |    max(dot) AS dot_max, min(cosd) AS cos_min
+          |  FROM p GROUP BY seg)
           |SELECT seg, bitmapCardinality(bm) AS card,
           |  bitmapMin(bm) AS bmin, bitmapMax(bm) AS bmax,
           |  bitmapContains(bm, 7) AS has7,
