@@ -124,7 +124,8 @@ final class ReservoirBuf(cap: Int) {
     count += 1
     if (kept < cap) {
       if (kept == values.length)
-        values = java.util.Arrays.copyOf(values, math.min(cap, values.length * 2))
+        values = java.util.Arrays.copyOf(values,
+          math.min(cap, math.max(8, values.length * 2)))
       values(kept) = v
       kept += 1
     } else {
