@@ -756,7 +756,13 @@ object ChDialect {
 
     // geohashEncode(lon, lat[, precision]) / geohashDecode(str) — the
     // public geohash algorithm (base-32 interleaved bisection, lon
-    // first) as pure Catalyst folds; no UDF, codegen-safe
+    // first). Encode is a COMPILED kernel (ChStrHelpers.geohashEncode,
+    // the bisection in closed scaled-integer form — every midpoint is
+    // an exact dyadic double, so the scaled floor picks the same
+    // cell); it replaced a 5·p-step interpreted HOF fold per row
+    // (r14; GeoHashKernelSpec pins kernel ≡ a plain-Scala bisection
+    // reference over a deterministic sweep). Decode stays a Catalyst
+    // fold (literal-decode use sites only).
     "geohashEncode" -> { es =>
       val p = es.drop(2).headOption.map {
         case Literal(i: Int, IntegerType) => i
@@ -764,45 +770,10 @@ object ChDialect {
           s"geohashEncode precision must be a literal, got $other")
       }.getOrElse(12)
       require(p >= 1 && p <= 12, s"geohash precision 1..12, got $p")
-      val lon = Cast(es(0), DoubleType)
-      val lat = Cast(es(1), DoubleType)
-      val acc = UnresolvedNamedLambdaVariable(Seq("__gh_acc"))
-      val iv = UnresolvedNamedLambdaVariable(Seq("__gh_i"))
-      def f(n: String) = org.apache.spark.sql.catalyst.analysis
-        .UnresolvedExtractValue(acc, Literal(n))
-      def st(lonLo: Expression, lonHi: Expression, latLo: Expression,
-          latHi: Expression, v: Expression) =
-        CreateNamedStruct(Seq(Literal("a"), lonLo, Literal("b"), lonHi,
-          Literal("c"), latLo, Literal("d"), latHi, Literal("v"), v))
-      val isLon = EqualTo(Pmod(iv, Literal(2)), Literal(1))
-      val midLon = Divide(Add(f("a"), f("b")), Literal(2.0))
-      val midLat = Divide(Add(f("c"), f("d")), Literal(2.0))
-      val lonBit = GreaterThanOrEqual(lon, midLon)
-      val latBit = GreaterThanOrEqual(lat, midLat)
-      val v2 = Multiply(f("v"), Literal(2L))
-      val step = If(isLon,
-        If(lonBit, st(midLon, f("b"), f("c"), f("d"), Add(v2, Literal(1L))),
-          st(f("a"), midLon, f("c"), f("d"), v2)),
-        If(latBit, st(f("a"), f("b"), midLat, f("d"), Add(v2, Literal(1L))),
-          st(f("a"), f("b"), f("c"), midLat, v2)))
-      val fin = UnresolvedNamedLambdaVariable(Seq("__gh_fin"))
-      val folded = builtin("aggregate")(Seq(
-        builtin("sequence")(Seq(Literal(1), Literal(5 * p))),
-        st(Literal(-180.0), Literal(180.0), Literal(-90.0), Literal(90.0),
-          Literal(0L)),
-        LambdaFunction(step, Seq(acc, iv)),
-        LambdaFunction(org.apache.spark.sql.catalyst.analysis
-          .UnresolvedExtractValue(fin, Literal("v")), Seq(fin))))
-      val ci = UnresolvedNamedLambdaVariable(Seq("__gh_ci"))
-      val chars = builtin("transform")(Seq(
-        builtin("sequence")(Seq(Literal(0), Literal(p - 1))),
-        LambdaFunction(builtin("substring")(Seq(
-          Literal(geohashAlphabet),
-          Cast(Add(BitwiseAnd(ShiftRight(folded,
-            Cast(Multiply(Literal(5), Subtract(Literal(p - 1), ci)), IntegerType)),
-            Literal(31L)), Literal(1L)), IntegerType),
-          Literal(1))), Seq(ci))))
-      builtin("array_join")(Seq(chars, Literal(""))) },
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        ChStrHelpers.getClass, StringType, "geohashEncode",
+        Seq(Cast(es(0), DoubleType), Cast(es(1), DoubleType), Literal(p)),
+        inputTypes = Seq(DoubleType, DoubleType, IntegerType)) },
     "geohashDecode" -> { es =>
       val s = Cast(es.head, StringType)
       val acc = UnresolvedNamedLambdaVariable(Seq("__gd_acc"))

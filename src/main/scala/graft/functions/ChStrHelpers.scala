@@ -773,4 +773,43 @@ object ChStrHelpers {
       case _: Exception => null
     }
   }
+
+  // ---------- geohash (public algorithm: base-32 interleaved
+  // bisection, lon first) ----------
+
+  private val geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Compiled geohashEncode: the bisection fold in closed form — the
+    * k lon bits are the top bits of floor((lon+180)/360·2^k) (every
+    * bisection midpoint is an exact dyadic double, so the scaled
+    * floor selects the same cell), interleaved lon-first and rendered
+    * base-32. Replaces a 5·p-step interpreted HOF fold per row;
+    * GeoHashKernelSpec pins it against a plain-Scala bisection
+    * reference over a deterministic sweep. */
+  def geohashEncode(lon: Double, lat: Double, p: Int): UTF8String = {
+    val lonBits = (5 * p + 1) / 2
+    val latBits = 5 * p / 2
+    def cell(x: Double, lo: Double, span: Double, bits: Int): Long = {
+      val scaled = math.floor((x - lo) / span * (1L << bits).toDouble).toLong
+      math.max(0L, math.min((1L << bits) - 1, scaled))
+    }
+    val li = cell(lon, -180.0, 360.0, lonBits)
+    val ai = cell(lat, -90.0, 180.0, latBits)
+    var v = 0L
+    var j = 0
+    while (j < lonBits) {
+      v |= ((li >> (lonBits - 1 - j)) & 1L) << (5 * p - 1 - 2 * j); j += 1
+    }
+    j = 0
+    while (j < latBits) {
+      v |= ((ai >> (latBits - 1 - j)) & 1L) << (5 * p - 2 - 2 * j); j += 1
+    }
+    val out = new Array[Char](p)
+    var c = 0
+    while (c < p) {
+      out(c) = geohashAlphabet.charAt(((v >> (5 * (p - 1 - c))) & 31L).toInt)
+      c += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
 }
