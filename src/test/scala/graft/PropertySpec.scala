@@ -179,4 +179,53 @@ class PropertySpec extends SparkSpec {
         s"compact round=$round a=$a")
     }
   }
+
+  test("reservoir quantile is rank-exact below the cap on random partitioned inputs") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val valsGen = for {
+      n <- Gen.choose(1, 3000)
+      vs <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+    } yield vs
+    for (round <- 0 until 6) {
+      val vs = sample(valsGen, 4200 + round)
+      val q = Seq(0.01, 0.25, 0.5, 0.77, 0.99, 1.0)(round)
+      val parts = 1 + round % 7
+      vs.toDF("v").repartition(parts).createOrReplaceTempView("prop_rq")
+      val got = spark.sql(graft.functions.ChSql.translate(
+        s"SELECT quantile($q)(v) AS x FROM prop_rq")).head().getDouble(0)
+      val sorted = vs.sorted
+      val expect = sorted(math.max(1, math.ceil(q * vs.size).toInt) - 1)
+      assert(got == expect, s"round=$round q=$q n=${vs.size} parts=$parts")
+    }
+  }
+
+  test("seq_match_gap kernel equals the composed fold on random event streams") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Behavior
+    // random users, random timestamps WITH collisions, random 3-type
+    // labels — the adversarial surface for tie handling and the l2
+    // fallback the planted fixtures can only sample
+    val evGen = Gen.listOfN(300, for {
+      u <- Gen.choose(1L, 12L)
+      t <- Gen.choose(0L, 40L) // dense: many exact ties
+      e <- Gen.oneOf("A", "B", "C", "X")
+    } yield (u, t, e))
+    val conds = Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+    for (round <- 0 until 5) {
+      val rows = sample(evGen, 7100 + round)
+      val gap = Seq(1L, 3L, 7L, 15L, 40L)(round)
+      val df = rows.toDF("user_id", "us", "event_type")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_type"))
+      val kern = Behavior.sequenceMatch(df, "user_id", col("ts"), conds,
+          gapMicros = Some(gap))
+        .orderBy("user_id").as[(Long, Int)].collect().toSeq
+      val comp = Behavior.sequenceMatchGapComposed(df, "user_id",
+          col("ts"), conds, gap)
+        .orderBy("user_id").as[(Long, Int)].collect().toSeq
+      assert(kern == comp, s"round=$round gap=$gap")
+    }
+  }
 }
