@@ -745,7 +745,7 @@ object ChDdl {
     * trailing literal naming a known format; inline credentials map
     * onto the session's Hadoop conf (fs.s3a.* — the public
     * hadoop-aws names), NOSIGN onto the anonymous provider. */
-  private def adoptPathFmt(spark: SparkSession, fn: String,
+  private[functions] def adoptPathFmt(spark: SparkSession, fn: String,
       args: Seq[String]): (String, String) = {
     def trailingFmt(rest: Seq[String]): Option[String] =
       rest.find(a => adoptFormats(a.toUpperCase)).map(_.toUpperCase)
@@ -1414,10 +1414,26 @@ object ChDdl {
       ChSystem.rewrite(spark, ts0) else ts0
     // file('path'[, 'Format']) table function → a temp view over the
     // corresponding Spark reader. BACKUP/RESTORE exempt: their
-    // File('path') names a backup destination, not readable data
-    val ts2 = if (Set("BACKUP", "RESTORE").contains(
-        ts1.headOption.map(_.up).getOrElse("")))
-      ts1 else rewriteFileFn(spark, ts1)
+    // File('path') names a backup destination, not readable data.
+    // INSERT INTO [TABLE] FUNCTION fn(...)'s TARGET is a write
+    // destination — the rewrite skips it but still adopts any source
+    // functions in the insert body.
+    val head = ts1.headOption.map(_.up).getOrElse("")
+    val ts2 =
+      if (Set("BACKUP", "RESTORE").contains(head)) ts1
+      else {
+        val fnKw =
+          if (head == "INSERT" && ts1.length > 3 && ts1(1).up == "INTO") {
+            val j = if (ts1(2).up == "TABLE") 3 else 2
+            if (ts1(j).up == "FUNCTION") Some(j) else None
+          } else None
+        fnKw match {
+          case Some(j) if j + 2 < ts1.length && ts1(j + 2).text == "(" =>
+            val close = matchParen(ts1, j + 2)
+            ts1.take(close + 1) ++ rewriteFileFn(spark, ts1.drop(close + 1))
+          case _ => rewriteFileFn(spark, ts1)
+        }
+      }
     // parameterized-view calls `v(p = value, …)` inline the stored
     // body with the arguments substituted (query-parameter typing)
     val ts = rewriteParamViewCalls(spark, ts2)

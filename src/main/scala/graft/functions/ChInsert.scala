@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import ChSql.{tokenize, render}
+import ChSql.{Tok, tokenize, render}
 
 /** INSERT statements through the front door (reference:
   * src/Parsers/ASTInsertQuery.h:32 — table, columns, select, and the
@@ -33,6 +33,17 @@ object ChInsert {
     val ts = tokenize(sql)._1
     require(ts.length > 3 && ts(0).up == "INSERT" && ts(1).up == "INTO",
       "expected INSERT INTO")
+    // INSERT INTO [TABLE] FUNCTION fn('path'…) [PARTITION BY c] SELECT …
+    // (ParserInsertQuery.cpp:74-89 — the write-side twin of the
+    // source-adopting table functions)
+    locally {
+      var j = 2
+      if (j < ts.length && ts(j).up == "TABLE") j += 1
+      if (j < ts.length && ts(j).up == "FUNCTION") {
+        insertIntoFunction(spark, ts, j + 1)
+        return
+      }
+    }
     var i = 2
     val nameStart = i
     val bodyKws = Set("VALUES", "SELECT", "WITH", "FORMAT")
@@ -157,5 +168,94 @@ object ChInsert {
     // a Join(ANY, LEFT, k) engine table re-publishes its joinGet map
     // after every appended block
     ChDdl.refreshJoinDictionary(spark, table)
+  }
+
+  /** INSERT INTO [TABLE] FUNCTION fn('path'[, …]) [PARTITION BY col]
+    * [(cols)] SELECT … — the write-side twin of the source-adopting
+    * table functions (ParserInsertQuery.cpp FUNCTION branch).
+    * file/s3/gcs/hdfs/azureBlobStorage write DISTRIBUTED through the
+    * Hadoop FS layer (the path becomes a directory of part files —
+    * the distributed write shape; file() reads it back transparently);
+    * RowBinary* is the driver-side single-file interchange writer.
+    * url() has no PUT transport here and refuses. PARTITION BY maps
+    * onto the writer's partitionBy when it names an output column —
+    * CH's {_partition_id}-in-key convention realized as partition
+    * directories, which is also what the read side prunes on. */
+  private def insertIntoFunction(spark: SparkSession, ts: Vector[Tok],
+      fnIdx: Int): Unit = {
+    val fn = ts(fnIdx).up
+    require(fnIdx + 1 < ts.length && ts(fnIdx + 1).text == "(",
+      "INSERT INTO FUNCTION: expected fn('path', …)")
+    require(fn != "URL",
+      "INSERT INTO FUNCTION url(): a library engine has no PUT " +
+        "transport — write to a mounted path via file() or an " +
+        "object-store scheme via s3()/hdfs()")
+    require(Set("FILE", "S3", "GCS", "HDFS", "AZUREBLOBSTORAGE")(fn),
+      s"INSERT INTO FUNCTION: unsupported function $fn (file, s3, gcs, " +
+        "hdfs, azureBlobStorage)")
+    val close = ChSql.matchParen(ts, fnIdx + 1)
+    val args = ts.slice(fnIdx + 2, close).collect {
+      case t if t.text.length >= 2 && t.text.head == '\'' =>
+        t.text.drop(1).dropRight(1)
+      case t if t.word => t.text
+    }
+    val (path, fmt) = ChDdl.adoptPathFmt(spark, fn, args)
+    var i = close + 1
+    val partitionBy: Option[String] =
+      if (i + 2 < ts.length && ts(i).up == "PARTITION" && ts(i + 1).up == "BY") {
+        require(ts(i + 2).word && (i + 3 >= ts.length || ts(i + 3).text != "("),
+          "INSERT INTO FUNCTION … PARTITION BY takes a plain output " +
+            "column here (wrap expressions as a named SELECT column first)")
+        val c = ts(i + 2).text
+        i += 3
+        Some(c)
+      } else None
+    var cols: Seq[String] = Nil
+    if (i < ts.length && ts(i).text == "(") {
+      val cClose = ChSql.matchParen(ts, i)
+      cols = ts.slice(i + 1, cClose).filter(_.word).map(_.text)
+      i = cClose + 1
+    }
+    require(i < ts.length && Set("SELECT", "WITH", "VALUES")(ts(i).up),
+      "INSERT INTO FUNCTION: expected SELECT, WITH or VALUES body")
+    val body: DataFrame = ts(i).up match {
+      case "VALUES" =>
+        require(cols.nonEmpty,
+          "INSERT INTO FUNCTION … VALUES needs an explicit column list")
+        spark.sql(s"SELECT * FROM VALUES ${render(ChSql.rewriteBrackets(ts.drop(i + 1)))}")
+          .toDF(cols: _*)
+      case _ =>
+        val df = spark.sql(ChSql.translate(ChColumns.expand(spark, render(ts.drop(i)))))
+        if (cols.nonEmpty) df.toDF(cols: _*) else df
+    }
+    partitionBy.foreach(c => require(body.columns.contains(c),
+      s"PARTITION BY $c: not an output column of the insert body"))
+    fmt match {
+      case f if graft.sources.RowBinary.names(f) =>
+        require(partitionBy.isEmpty,
+          "RowBinary is a single-file interchange write — no PARTITION BY")
+        val p = java.nio.file.Paths.get(path)
+        require(!java.nio.file.Files.exists(p),
+          s"INSERT INTO FUNCTION: $path already exists (reference behavior)")
+        graft.sources.RowBinary.write(body, path, f)
+      case other =>
+        val w0 = body.write.mode("errorifexists")
+        val w = partitionBy.map(w0.partitionBy(_)).getOrElse(w0)
+        other match {
+          case "PARQUET" => w.parquet(path)
+          case "ORC" => w.orc(path)
+          case "JSONEACHROW" => w.json(path)
+          case "CSV" | "CSVWITHNAMES" =>
+            w.option("header", (other == "CSVWITHNAMES").toString).csv(path)
+          case "TSV" | "TABSEPARATED" | "TSVWITHNAMES" |
+               "TABSEPARATEDWITHNAMES" =>
+            w.option("sep", "\t")
+              .option("header", other.contains("WITHNAMES").toString).csv(path)
+          case f => throw new IllegalArgumentException(
+            s"INSERT INTO FUNCTION: no writer for format '$f' (Parquet, " +
+              "ORC, CSV[WithNames], TSV[WithNames], JSONEachRow, " +
+              "RowBinary[WithNames[AndTypes]])")
+        }
+    }
   }
 }

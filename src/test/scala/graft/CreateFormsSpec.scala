@@ -221,6 +221,53 @@ class CreateFormsSpec extends SparkSpec {
     assert(e.getMessage.contains("front door"), e.getMessage)
   }
 
+  test("INSERT INTO FUNCTION writes through file()/s3(), PARTITION BY maps to partition dirs") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_insfn")
+    val out = dir.resolve("w.parquet").toString
+    Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x"))
+      .toDF("k", "s", "part").createOrReplaceTempView("graft_wfn_src")
+    ChDdl.execute(spark,
+      s"INSERT INTO FUNCTION file('$out') SELECT k, s FROM graft_wfn_src")
+    val back = ChDdl.execute(spark,
+      s"SELECT k, s FROM file('$out', 'Parquet') ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(back == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // PARTITION BY an output column → partition directories the read
+    // side prunes on
+    val outP = dir.resolve("wp.parquet").toString
+    ChDdl.execute(spark,
+      s"INSERT INTO TABLE FUNCTION file('$outP', 'Parquet') PARTITION BY part " +
+        "SELECT k, part FROM graft_wfn_src")
+    val dirs = new java.io.File(outP).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("part=x", "part=y"), dirs)
+    assert(ChDdl.execute(spark, s"SELECT count(*) AS n FROM file('$outP')")
+      .head().getLong(0) == 3L)
+    // s3-scheme write through the mock FS (the adoption machinery's
+    // conf mapping), read back by the same function
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[MockS3FileSystem].getName)
+    hc.set("fs.s3a.impl.disable.cache", "true")
+    val s3out = dir.resolve("s3w.parquet")
+    ChDdl.execute(spark,
+      s"INSERT INTO FUNCTION s3('s3://graft-bucket$s3out', 'Parquet') " +
+        "SELECT k FROM graft_wfn_src")
+    assert(ChDdl.execute(spark,
+      s"SELECT count(*) AS n FROM s3('s3://graft-bucket$s3out')")
+      .head().getLong(0) == 3L)
+    // url has no PUT transport; existing target refuses
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "INSERT INTO FUNCTION url('http://x/y.csv', 'CSV') SELECT 1 AS a")
+    }
+    assert(e.getMessage.contains("PUT"), e.getMessage)
+    intercept[Exception] {
+      ChDdl.execute(spark,
+        s"INSERT INTO FUNCTION file('$out') SELECT k, s FROM graft_wfn_src")
+    }
+  }
+
   test("RowBinaryWithNamesAndTypes round-trips through INTO OUTFILE and file()") {
     GraftFunctions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_rowbin")
