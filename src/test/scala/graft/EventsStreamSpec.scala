@@ -32,6 +32,28 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reservoir quantile aggregates in a streaming groupBy (state-store merge path)") {
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val input = MemoryStream[Event]
+    input.toDF.createOrReplaceTempView("rq_stream")
+    val q = spark.sql(graft.functions.ChSql.translate(
+      "SELECT event_type, quantile(0.5)(value) AS med FROM rq_stream GROUP BY event_type"))
+      .writeStream.format("memory").queryName("rqs").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0), Event(2, ts(6), 1, "click", 5.0),
+        Event(3, ts(7), 2, "click", 9.0), Event(4, ts(8), 2, "view", 4.0))
+      q.processAllAvailable()
+      // second batch exercises merging NEW rows into RESTORED buffers
+      input.addData(Event(5, ts(9), 3, "click", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("rqs").as[(String, Double)].collect().toMap
+      // click: sorted (1,5,7,9), rank ceil(0.5*4)=2 → 5.0; view: 4.0
+      assert(rows == Map("click" -> 5.0, "view" -> 4.0), rows)
+    } finally q.stop()
+  }
+
   test("append-mode windowed counts finalize on watermark and drop later-than-late events") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
