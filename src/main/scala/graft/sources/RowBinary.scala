@@ -94,12 +94,16 @@ object RowBinary {
       case DoubleType => out.write(le(8).putDouble(v.asInstanceOf[Double]).array())
       case FloatType => out.write(le(4).putFloat(v.asInstanceOf[Float]).array())
       case BooleanType => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
-      case DateType => // UInt16 days since epoch
+      case DateType => // UInt16 days since epoch, clamped to the CH
+        // Date range (1970..2149) like the reference's saturating cast
         val days = v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
-        out.write(le(2).putShort(days.toShort).array())
-      case TimestampType => // UInt32 unix seconds
+        val d = math.max(0L, math.min(0xffffL, days))
+        out.write(le(2).putShort(d.toShort).array())
+      case TimestampType => // UInt32 unix seconds, clamped (CH DateTime
+        // range 1970..2106)
         val secs = v.asInstanceOf[java.sql.Timestamp].getTime / 1000L
-        out.write(le(4).putInt(secs.toInt).array())
+        val s = math.max(0L, math.min(0xffffffffL, secs))
+        out.write(le(4).putInt(s.toInt).array())
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 

@@ -295,6 +295,24 @@ class CreateFormsSpec extends SparkSpec {
       rows(0).getBoolean(6))
     assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == -2.25 &&
       rows(1).getInt(3) == -3 && !rows(1).getBoolean(6))
+    // out-of-range Date/DateTime clamp to the CH type range instead of
+    // silently wrapping (the reference's saturating cast)
+    val out3 = dir.resolve("t3.bin").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (DATE '2200-01-01', TIMESTAMP '1950-01-01 00:00:00'),
+        |  (DATE '1950-01-01', TIMESTAMP '2200-01-01 00:00:00')
+        |AS t(d, ts)""".stripMargin).createOrReplaceTempView("graft_rb_clamp")
+    ChDdl.execute(spark,
+      s"SELECT d, ts FROM graft_rb_clamp INTO OUTFILE '$out3' FORMAT RowBinaryWithNamesAndTypes")
+    val clamped = ChDdl.execute(spark,
+      s"SELECT * FROM file('$out3', 'RowBinaryWithNamesAndTypes') ORDER BY d")
+      .collect()
+    assert(clamped(0).getDate(0).toString == "1970-01-01")     // below range
+    assert(clamped(1).getDate(0).toString == "2149-06-06")     // epoch day 65535
+    assert(clamped(0).getTimestamp(1).getTime == 0xffffffffL * 1000L) // above range
+    assert(clamped(1).getTimestamp(1).getTime == 0L)           // below range
+
     // headerless variants: writable, but adoption refuses with guidance
     val out2 = dir.resolve("t2.bin").toString
     ChDdl.execute(spark,
