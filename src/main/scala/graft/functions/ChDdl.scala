@@ -692,6 +692,7 @@ object ChDdl {
     else if (p.endsWith(".orc")) "ORC"
     else if (p.endsWith(".avro")) "AVRO"
     else if (p.endsWith(".arrow")) "ARROW"
+    else if (p.endsWith(".native")) "NATIVE"
     else "PARQUET"
   }
 
@@ -711,6 +712,7 @@ object ChDdl {
     case "AVRO" => graft.sources.AdHocFiles.avro(spark, path)
     case "ARROW" => graft.sources.AdHocFiles.arrow(spark, path)
     case "ROWBINARYWITHNAMESANDTYPES" => graft.sources.RowBinary.read(spark, path)
+    case "NATIVE" => graft.sources.NativeFormat.read(spark, path)
     case "ROWBINARY" | "ROWBINARYWITHNAMES" =>
       throw new IllegalArgumentException(
         s"$fn(): headerless $up carries no schema to adopt — write the " +
@@ -719,7 +721,7 @@ object ChDdl {
     case other => throw new IllegalArgumentException(
       s"$fn(): unsupported format '$other' (Parquet, ORC, Avro, " +
         "Arrow, CSV[WithNames], TSV/TabSeparated[WithNames], " +
-        "JSONEachRow, RowBinaryWithNamesAndTypes)")
+        "JSONEachRow, RowBinaryWithNamesAndTypes, Native)")
   }
 
   /** url(): http(s) fetched driver-side to a temp file; file:// (and
@@ -1825,13 +1827,18 @@ object ChDdl {
             // the operator's semantics, not a scale defect. Refuses an
             // existing file, exactly like the reference client.
             val f = fmt.getOrElse("TSV").toUpperCase
-            require(ChFormat.renderable(f) || graft.sources.RowBinary.names(f),
+            require(ChFormat.renderable(f) || graft.sources.RowBinary.names(f) ||
+              graft.sources.NativeFormat.names(f),
               s"INTO OUTFILE supports FORMAT ${ChFormat.renderable.mkString("/")}" +
-                s"/RowBinary[WithNames[AndTypes]], got $f")
+                s"/RowBinary[WithNames[AndTypes]]/Native, got $f")
             val p = java.nio.file.Paths.get(path)
             require(!java.nio.file.Files.exists(p),
               s"INTO OUTFILE: file $path already exists (reference behavior)")
-            if (graft.sources.RowBinary.names(f))
+            if (graft.sources.NativeFormat.names(f))
+              // the reference's own block format (NativeWriter.cpp),
+              // revision-0 file framing
+              graft.sources.NativeFormat.write(df, path)
+            else if (graft.sources.RowBinary.names(f))
               // binary file interchange (not a line rendering): the
               // RowBinary codec writes the file directly
               graft.sources.RowBinary.write(df, path, f)

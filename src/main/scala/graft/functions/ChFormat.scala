@@ -45,7 +45,11 @@ object ChFormat {
   /** Wire-protocol formats (registerFormats.cpp): binary encodings of
     * the reference's client protocol / external codecs. A library has
     * no wire to speak — refusing is the scope call, but the refusal
-    * must GUIDE: columnar interchange is what parquet is for. */
+    * must GUIDE: columnar interchange is what parquet is for. Native
+    * and RowBinary* DO exist as FILE codecs (sources/NativeFormat,
+    * sources/RowBinary) — the refusal here is only for the bare
+    * `FORMAT X` spelling with no OUTFILE, which in the reference
+    * streams binary to the client socket. */
   val wire: Set[String] = Set("NATIVE", "ROWBINARY",
     "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES", "PROTOBUF",
     "PROTOBUFSINGLE", "MSGPACK", "CAPNPROTO")
@@ -55,9 +59,10 @@ object ChFormat {
       s"FORMAT $f is a wire-protocol encoding of the reference's " +
         "client/server protocol — a library engine has no wire. For " +
         "columnar interchange write parquet (df.write.parquet / INSERT " +
-        "INTO a parquet-backed table); for RowBinary FILE interchange " +
-        "use INTO OUTFILE '…' FORMAT RowBinaryWithNamesAndTypes and " +
-        "adopt it back via file(path, 'RowBinaryWithNamesAndTypes'); " +
+        "INTO a parquet-backed table); for binary FILE interchange " +
+        "use INTO OUTFILE '…' FORMAT Native (or " +
+        "RowBinaryWithNamesAndTypes) and adopt it back via " +
+        "file(path, 'Native'); " +
         "for text output use FORMAT JSON/JSONEachRow/CSV/TSV/Values.")
 
   /** Header line + body — the WithNames contract. The header rides a

@@ -231,13 +231,16 @@ object ChInsert {
     partitionBy.foreach(c => require(body.columns.contains(c),
       s"PARTITION BY $c: not an output column of the insert body"))
     fmt match {
-      case f if graft.sources.RowBinary.names(f) =>
+      case f if graft.sources.RowBinary.names(f) ||
+          graft.sources.NativeFormat.names(f) =>
         require(partitionBy.isEmpty,
-          "RowBinary is a single-file interchange write — no PARTITION BY")
+          s"$f is a single-file interchange write — no PARTITION BY")
         val p = java.nio.file.Paths.get(path)
         require(!java.nio.file.Files.exists(p),
           s"INSERT INTO FUNCTION: $path already exists (reference behavior)")
-        graft.sources.RowBinary.write(body, path, f)
+        if (graft.sources.NativeFormat.names(f))
+          graft.sources.NativeFormat.write(body, path)
+        else graft.sources.RowBinary.write(body, path, f)
       case other =>
         val w0 = body.write.mode("errorifexists")
         val w = partitionBy.map(w0.partitionBy(_)).getOrElse(w0)
@@ -254,7 +257,7 @@ object ChInsert {
           case f => throw new IllegalArgumentException(
             s"INSERT INTO FUNCTION: no writer for format '$f' (Parquet, " +
               "ORC, CSV[WithNames], TSV[WithNames], JSONEachRow, " +
-              "RowBinary[WithNames[AndTypes]])")
+              "RowBinary[WithNames[AndTypes]], Native)")
         }
     }
   }

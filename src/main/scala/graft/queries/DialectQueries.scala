@@ -2353,6 +2353,53 @@ object DialectQueries {
           |  l1_min, l2_max, linf_min, dot_max, cos_min,
           |  toString(round(tupleElement(geohashDecode('ezs42'), 1), 8)) AS dec_lon,
           |  toString(round(tupleElement(geohashDecode('ezs42'), 2), 8)) AS dec_lat
-          |FROM b CROSS JOIN r ORDER BY seg""".stripMargin))
+          |FROM b CROSS JOIN r ORDER BY seg""".stripMargin)),
+
+    // Native file interchange (the reference's own flagship format —
+    // NativeWriter.cpp block framing, sources/NativeFormat): a real
+    // orders subset rides INTO OUTFILE … FORMAT Native to disk and is
+    // adopted back by file(…, 'Native'); the aggregate downstream of
+    // the round trip must match DuckDB's aggregate over the ORIGINAL
+    // parquet — proving every value codec (Int64, Nullable(String),
+    // Float64, DateTime, full-range UInt64-as-DECIMAL(20,0)) is
+    // lossless. The OUTFILE write is the reference's client-side
+    // export (driver-side single file by contract) — the subset is
+    // filtered BEFORE the collect, and at 100 TB this op is what
+    // parquet is for (the FORMAT guidance says so).
+    "c55_native_roundtrip" -> Q(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_orderdate) AS dmin, max(o_orderdate) AS dmax,
+        |  CAST(sum(length(o_orderpriority)) AS BIGINT) AS clen,
+        |  CAST(CAST(min(CAST('18446744073709551615' AS DECIMAL(21,0)) - o_orderkey)
+        |    AS DECIMAL(20,0)) AS VARCHAR) AS umin
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      GraftFunctions.ensureRegistered(s)
+      val src = Tables(s, dir).orders
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          (lit("18446744073709551615").cast("decimal(21,0)")
+            - col("o_orderkey")).cast("decimal(20,0)").as("u"))
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_c55")
+      dir0.toFile.deleteOnExit()
+      val path = dir0.resolve("orders.native").toString
+      src.createOrReplaceTempView("graft_c55_src")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM graft_c55_src INTO OUTFILE '$path' FORMAT Native")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM file('$path', 'Native')")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+          min(col("o_orderdate")).as("dmin"),
+          max(col("o_orderdate")).as("dmax"),
+          sum(length(col("o_orderpriority"))).as("clen"),
+          min(col("u")).cast("string").as("umin"))
+        .orderBy("o_orderstatus")
+    }
   )
 }

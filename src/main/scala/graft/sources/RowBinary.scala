@@ -42,6 +42,11 @@ object RowBinary {
     case BooleanType => "Bool"
     case DateType => "Date"
     case TimestampType => "DateTime"
+    // NTZ (parquet timestamp[us] unadjusted): sessions pin UTC, so
+    // wall time ≡ instant — writes as DateTime like TimestampType
+    case TimestampNTZType => "DateTime"
+    // the engine's full-range UInt64 carrier writes back as UInt64
+    case d: DecimalType if d.precision == 20 && d.scale == 0 => "UInt64"
     case other => throw new IllegalArgumentException(
       s"RowBinary: unsupported column type ${other.simpleString} — " +
         "flat primitive schemas only (interchange nested data via parquet)")
@@ -104,6 +109,18 @@ object RowBinary {
         val secs = v.asInstanceOf[java.sql.Timestamp].getTime / 1000L
         val s = math.max(0L, math.min(0xffffffffL, secs))
         out.write(le(4).putInt(s.toInt).array())
+      case TimestampNTZType =>
+        val secs = v.asInstanceOf[java.time.LocalDateTime]
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        val s = math.max(0L, math.min(0xffffffffL, secs))
+        out.write(le(4).putInt(s.toInt).array())
+      case d: DecimalType if d.precision == 20 && d.scale == 0 =>
+        // UInt64: the unsigned 64-bit bit pattern of the decimal value
+        val bi = (v match {
+          case jd: java.math.BigDecimal => jd.toBigInteger
+          case sd: scala.math.BigDecimal => sd.toBigInt.bigInteger
+        }).mod(java.math.BigInteger.ONE.shiftLeft(64))
+        out.write(le(8).putLong(bi.longValue).array())
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 

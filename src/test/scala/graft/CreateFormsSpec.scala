@@ -330,6 +330,95 @@ class CreateFormsSpec extends SparkSpec {
     assert(w.getMessage.contains("INTO OUTFILE"), w.getMessage)
   }
 
+  test("Native: byte-level framing pinned against NativeWriter.cpp") {
+    // revision-0 block: varuint cols, varuint rows, per column
+    // name/type strings + column-major bulk data — hand-derived from
+    // /root/reference/src/Formats/NativeWriter.cpp:66-129 and the
+    // Nullable null-map-then-nested order of
+    // SerializationNullable.cpp:100-119
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a"), Row(2L, null)), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_native_pin")
+    val out = dir.resolve("pin.native")
+    graft.sources.NativeFormat.write(df, out.toString)
+    val hex = java.nio.file.Files.readAllBytes(out)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val expected =
+      "0202" +                                   // 2 columns, 2 rows
+        "016b" + "05" + "496e743634" +           // "k", "Int64"
+        "0100000000000000" + "0200000000000000" + // k bulk: LE Int64 1, 2
+        "0173" + "10" + "4e756c6c61626c6528537472696e6729" + // "s", "Nullable(String)"
+        "0001" +                                 // null map: row0 set, row1 NULL
+        "0161" + "00"                            // "a", then "" default in the null slot
+    assert(hex == expected, s"\n got $hex\nwant $expected")
+  }
+
+  test("Native round-trips through INTO OUTFILE and file() (primitives, arrays, UInt64)") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_native")
+    val out = dir.resolve("t.native").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'alpha', CAST(1.5 AS DOUBLE), 7, DATE '2024-03-15',
+        |   TIMESTAMP '2024-03-15 13:45:00', true, array(1, 2, 3)),
+        |  (2L, CAST(NULL AS STRING), CAST(-2.25 AS DOUBLE), -3,
+        |   DATE '1970-01-02', TIMESTAMP '1970-01-01 00:00:01', false,
+        |   array(CAST(NULL AS INT), 5))
+        |AS t(k, s, v, i, d, ts, b, xs)""".stripMargin)
+      .createOrReplaceTempView("graft_nat_src")
+    ChDdl.execute(spark,
+      s"SELECT k, s, v, i, d, ts, b, xs FROM graft_nat_src ORDER BY k " +
+        s"INTO OUTFILE '$out' FORMAT Native")
+    // .native extension is inferred when the format argument is omitted
+    val back = ChDdl.execute(spark,
+      s"SELECT * FROM file('$out') ORDER BY k")
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("k", "s", "v", "i", "d", "ts", "b", "xs"))
+    val rows = back.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha" &&
+      rows(0).getDouble(2) == 1.5 && rows(0).getInt(3) == 7 &&
+      rows(0).getDate(4).toString == "2024-03-15" &&
+      rows(0).getTimestamp(5).toString.startsWith("2024-03-15 13:45:00") &&
+      rows(0).getBoolean(6) &&
+      rows(0).getSeq[Int](7) == Seq(1, 2, 3))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == -2.25 &&
+      rows(1).getSeq[Any](7) == Seq(null, 5))
+    // UInt64 full range rides the DECIMAL(20,0) carrier both ways
+    val outU = dir.resolve("u64.native").toString
+    ChDdl.execute(spark,
+      "SELECT toUInt64('18446744073709551615') AS umax, toUInt64(7) AS u7 " +
+        s"INTO OUTFILE '$outU' FORMAT Native")
+    val u = ChDdl.execute(spark, s"SELECT * FROM file('$outU', 'Native')").head()
+    assert(u.getDecimal(0).toPlainString == "18446744073709551615", u)
+    assert(u.getDecimal(1).toPlainString == "7")
+    // multi-block: > DEFAULT_BLOCK_SIZE (65505) rows split across blocks
+    val outB = dir.resolve("big.native").toString
+    ChDdl.execute(spark,
+      s"SELECT CAST(id AS BIGINT) AS k FROM range(70000) " +
+        s"INTO OUTFILE '$outB' FORMAT Native")
+    val big = ChDdl.execute(spark,
+      s"SELECT count(*) AS n, sum(k) AS s FROM file('$outB', 'Native')").head()
+    assert(big.getLong(0) == 70000L && big.getLong(1) == 70000L * 69999L / 2)
+    // INSERT INTO FUNCTION file(…, 'Native') writes the same framing
+    val outF = dir.resolve("fn.native").toString
+    ChDdl.execute(spark,
+      s"INSERT INTO FUNCTION file('$outF', 'Native') " +
+        "SELECT k, s FROM graft_nat_src")
+    assert(ChDdl.execute(spark,
+      s"SELECT count(*) AS n FROM file('$outF')").head().getLong(0) == 2L)
+    // bare FORMAT Native (no OUTFILE) refuses, naming the file path
+    val w = intercept[UnsupportedOperationException] {
+      ChDdl.execute(spark, "SELECT k FROM graft_nat_src FORMAT Native")
+    }
+    assert(w.getMessage.contains("INTO OUTFILE"), w.getMessage)
+  }
+
   test("file() reads ORC, Avro and Arrow (registerFormats.cpp adoption formats)") {
     GraftFunctions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_filefn2")
