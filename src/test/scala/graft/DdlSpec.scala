@@ -23,7 +23,9 @@ class DdlSpec extends SparkSpec {
         |) ENGINE = MergeTree() ORDER BY (e, k) SETTINGS index_granularity = 8192""".stripMargin)
     val m = ct.cols.map(c => c.name -> c.sparkType).toMap
     assert(m("a") == "TINYINT" && m("b") == "SMALLINT" && m("d") == "BIGINT")
-    assert(m("f") == "BIGINT" && m("g") == "FLOAT" && m("j") == "VARCHAR(4)")
+    // UInt64 stores full-range via the DECIMAL(20,0) carrier (same as
+    // toUInt64's result type) — r14 "what's wrong" #1
+    assert(m("f") == "DECIMAL(20, 0)" && m("g") == "FLOAT" && m("j") == "VARCHAR(4)")
     assert(m("l") == "DATE" && m("m") == "TIMESTAMP" && m("n") == "TIMESTAMP_NTZ")
     assert(m("o") == "DECIMAL(12, 2)" && m("p") == "DECIMAL(18, 4)")
     assert(m("q") == "BIGINT" && m("r") == "STRING")
@@ -906,6 +908,43 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE det_t")
   }
 
+  test("declared UInt64 columns store the full range through the front door") {
+    // r14 "what's wrong" #1: a user can compute toUInt64(2^64−1) but
+    // could not STORE it — the DDL carrier is now DECIMAL(20,0) like
+    // the conversion's result type
+    ChDdl.execute(spark,
+      "CREATE TABLE u64_t (id UInt64, tag String) ENGINE = MergeTree() ORDER BY (id)")
+    ChDdl.execute(spark,
+      "INSERT INTO u64_t VALUES (18446744073709551615, 'max'), (0, 'min'), (7, 'mid')")
+    val got = ChDdl.execute(spark, "SELECT id, tag FROM u64_t ORDER BY id")
+      .collect().map(r => (r.getDecimal(0).toPlainString, r.getString(1))).toSeq
+    assert(got == Seq(("0", "min"), ("7", "mid"),
+      ("18446744073709551615", "max")), got)
+    // SHOW CREATE reports the declared CH type, not the carrier
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE u64_t")
+      .as[String].head()
+    assert(stmt.contains("`id` UInt64"), stmt)
+    // RowBinary round trip: 2^64−1 survives the 8-byte codec both ways
+    val dir = java.nio.file.Files.createTempDirectory("graft_u64")
+    val rb = dir.resolve("u.bin").toString
+    ChDdl.execute(spark,
+      s"SELECT id, tag FROM u64_t INTO OUTFILE '$rb' FORMAT RowBinaryWithNamesAndTypes")
+    val back = ChDdl.execute(spark,
+      s"SELECT * FROM file('$rb', 'RowBinaryWithNamesAndTypes') ORDER BY id")
+    assert(back.schema("id").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(back.collect().map(_.getDecimal(0).toPlainString).toSeq ==
+      Seq("0", "7", "18446744073709551615"))
+    // Native round trip too (the other binary file codec)
+    val nat = dir.resolve("u.native").toString
+    ChDdl.execute(spark,
+      s"SELECT id, tag FROM u64_t INTO OUTFILE '$nat' FORMAT Native")
+    assert(ChDdl.execute(spark,
+      s"SELECT max(id) AS m FROM file('$nat', 'Native')")
+      .head().getDecimal(0).toPlainString == "18446744073709551615")
+    spark.sql("DROP TABLE u64_t")
+  }
+
   test("front-door SELECT * sees the DECLARED column order, never __sample_hash") {
     ChDdl.execute(spark,
       """CREATE TABLE star_t (id UInt64, region Int32, v Float64)
@@ -915,7 +954,8 @@ class DdlSpec extends SparkSpec {
     // the declared (id, region, v)
     val df = ChDdl.execute(spark, "SELECT * FROM star_t ORDER BY id")
     assert(df.columns.toSeq == Seq("id", "region", "v"), df.columns.toSeq)
-    assert(df.as[(Long, Int, Double)].collect().toSeq ==
+    assert(df.selectExpr("CAST(id AS BIGINT)", "region", "v")
+      .as[(Long, Int, Double)].collect().toSeq ==
       Seq((1L, 10, 1.5), (2L, 20, 2.5)))
     // INSERT … SELECT * between created tables respects declared order
     ChDdl.execute(spark,
@@ -923,6 +963,7 @@ class DdlSpec extends SparkSpec {
         |ENGINE = MergeTree() PARTITION BY region ORDER BY (id)""".stripMargin)
     ChDdl.execute(spark, "INSERT INTO star_t2 SELECT * FROM star_t")
     assert(ChDdl.execute(spark, "SELECT * FROM star_t2 ORDER BY id")
+      .selectExpr("CAST(id AS BIGINT)", "region", "v")
       .as[(Long, Int, Double)].collect().toSeq ==
       Seq((1L, 10, 1.5), (2L, 20, 2.5)))
     // a join's * is untouched (spans both sides)
@@ -947,6 +988,7 @@ class DdlSpec extends SparkSpec {
     assert(ChDdl.execute(spark, "SELECT * FROM lc_t").columns.toSeq ==
       Seq("c", "a", "b"))
     assert(ChDdl.execute(spark, "SELECT * FROM lc_t")
+      .selectExpr("c", "CAST(a AS BIGINT)", "b")
       .as[(Double, Long, Int)].collect().toSeq == Seq((9.5, 7L, 70)))
     // RENAME carries the layout to the new name
     ChDdl.execute(spark, "RENAME TABLE lc_t TO lc_r")
