@@ -541,15 +541,20 @@ object ChDialect {
     // reference's own default), O(1) per row, hard-bounded state at
     // any corpus size (the r13 verdict's one perf_weak root cause).
     // Below the cap the reservoir is EXACT and deterministic: the
-    // value at rank ceil(q·n) = DuckDB's quantile_disc — the regime
-    // of both verification SFs. (approx_percentile was tried first
-    // and rejected: at an accuracy high enough to stay exact at
-    // verify scale its compression churn measured 23x slower than
-    // the exact percentile on 50k-value groups.) Exact interpolated
-    // quantiles stay under the *Exact spellings.
+    // INTERPOLATED statistic at index q·(n−1) — the reference's
+    // ReservoirSampler::quantileInterpolated convention, = DuckDB's
+    // quantile_cont up to final-rounding ulps (oracles guard with
+    // round(…, 6)) — the regime of both verification SFs.
+    // (approx_percentile was tried first and rejected: at an accuracy
+    // high enough to stay exact at verify scale its compression churn
+    // measured 23x slower than the exact percentile on 50k-value
+    // groups.) Rank-exact quantiles stay under the *Exact spellings.
+    // The level defaults to 0.5 when omitted — quantile(x) is legal
+    // in the reference and means the median.
     "quantile"  -> { es =>
       ReservoirQuantile(Cast(es(0), DoubleType),
-        Seq(levelOf(es(1), "quantile")), returnArray = false)
+        Seq(if (es.length < 2) 0.5 else levelOf(es(1), "quantile")),
+        returnArray = false)
         .toAggregateExpression() },
     "median"    -> { es =>
       ReservoirQuantile(Cast(es.head, DoubleType), Seq(0.5),
@@ -566,11 +571,16 @@ object ChDialect {
     // deterministic-reservoir quantiles: the determinator seeds CH's
     // sample; below the cap our reservoir is already deterministic,
     // so the determinator argument drops and the bounded contract
-    // holds (above the cap the sample is arrival-order dependent —
-    // documented, same class as the bare spelling)
+    // holds. DIVERGENCE (documented): above the cap the reference's
+    // determinator-keyed sample is arrival-order INDEPENDENT; ours
+    // ignores the determinator and stays arrival-order dependent
+    // there — same class as the bare spelling. The level defaults to
+    // 0.5 when only (x, determinator) are given.
     "quantileDeterministic" -> { es =>
       ReservoirQuantile(Cast(es(0), DoubleType),
-        Seq(levelOf(es(2), "quantileDeterministic")), returnArray = false)
+        Seq(if (es.length < 3) 0.5
+            else levelOf(es(2), "quantileDeterministic")),
+        returnArray = false)
         .toAggregateExpression() },
     "medianDeterministic" -> { es =>
       ReservoirQuantile(Cast(es(0), DoubleType), Seq(0.5),

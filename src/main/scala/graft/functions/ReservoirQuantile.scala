@@ -13,17 +13,21 @@ import org.apache.spark.sql.types._
   * AggregateFunctionQuantile over ReservoirSampler, default 8192) —
   * hard-bounded state at any corpus size, O(1) per row.
   *
-  *  - n ≤ cap: EXACT and deterministic — the value at rank ceil(q·n)
-  *    over the sorted kept values (DuckDB's quantile_disc; the same
-  *    convention Spark's GK sketch answers in its exact mode, probed
-  *    in dev/qprobe_check.py). This is the regime of both
-  *    verification SFs, so the oracle is hash-exact.
+  *  - n ≤ cap: EXACT and deterministic — the INTERPOLATED statistic
+  *    at index q·(n−1), linear between the two neighboring sorted
+  *    values with weights (right−idx, idx−left): the reference's own
+  *    ReservoirSampler::quantileInterpolated convention (median of
+  *    {1,2,3,4} is 2.5). This equals DuckDB's quantile_cont up to
+  *    final-combination rounding ulps, so oracles guard with
+  *    round(…, 6). This is the regime of both verification SFs.
   *  - n > cap: Algorithm-R reservoir over a per-buffer xorshift PRNG
   *    (seeded deterministically, but sampling depends on arrival
   *    order — the reference's bare quantile is nondeterministic above
   *    the reservoir too; its deterministic spelling is the
-  *    quantileDeterministic family). The answer is the rank statistic
-  *    of the sample, scaled.
+  *    quantileDeterministic family, whose determinator we do NOT use:
+  *    above the cap it stays arrival-order dependent here, a
+  *    documented divergence). The answer is the interpolated
+  *    statistic of the sample.
   *
   * Why not approx_percentile: the GK sketch at an accuracy high
   * enough to stay exact at verification scale (50000) degrades to
@@ -74,10 +78,14 @@ case class ReservoirQuantile(
     if (buf.count == 0L) return null
     val sorted = buf.sortedValues
     def at(q: Double): Double = {
-      // rank ceil(q·n), 1-based, clamped — quantile_disc's convention
+      // index q·(n−1), linear between neighbors with weights
+      // (right−idx, idx−left) — ReservoirSampler::quantileInterpolated
       val n = sorted.length
-      val r = math.max(1, math.min(n, math.ceil(q * n).toInt))
-      sorted(r - 1)
+      val index = math.max(0.0, math.min((n - 1).toDouble, q * (n - 1)))
+      val left = index.toInt
+      val right = left + 1
+      if (right >= n) sorted(n - 1)
+      else sorted(left) * (right - index) + sorted(right) * (index - left)
     }
     if (returnArray) new GenericArrayData(levels.map(at).toArray)
     else at(levels.head)
@@ -165,20 +173,38 @@ final class ReservoirBuf(cap: Int) {
       var i = 0
       while (i < myKept) { insert(mine(i)); i += 1 }
     } else {
-      // both sampled: weighted draw, each slot from this side with
-      // probability count/(count+o.count)
+      // both sampled: slot sources drawn by weight count/total
+      // (k_mine ~ Binomial(slots, count/total)), then WITHOUT
+      // replacement within each side via partial Fisher–Yates — a
+      // with-replacement draw lets one original sample occupy several
+      // slots and biases multi-stage merges (r14 advice #3)
       val total = count + o.count
       val mine = java.util.Arrays.copyOf(values, kept)
       val theirs = java.util.Arrays.copyOf(o.values, o.kept)
-      val out = new Array[Double](math.min(cap.toLong, total).toInt)
+      val outLen = math.min(cap.toLong, total).toInt
+      var kMine = 0
       var i = 0
-      while (i < out.length) {
-        val fromMine = nextBelow(total) < count
-        val src = if (fromMine) mine else theirs
-        out(i) = src(nextBelow(src.length.toLong).toInt)
-        i += 1
+      while (i < outLen) { if (nextBelow(total) < count) kMine += 1; i += 1 }
+      if (kMine > mine.length) kMine = mine.length
+      if (outLen - kMine > theirs.length) kMine = outLen - theirs.length
+      val out = new Array[Double](outLen)
+      // the first k slots of a Fisher–Yates shuffle are a uniform
+      // without-replacement k-sample
+      var j = 0
+      while (j < kMine) {
+        val pick = j + nextBelow((mine.length - j).toLong).toInt
+        val t = mine(j); mine(j) = mine(pick); mine(pick) = t
+        out(j) = mine(j)
+        j += 1
       }
-      values = out; kept = out.length; count = total
+      var k = 0
+      while (k < outLen - kMine) {
+        val pick = k + nextBelow((theirs.length - k).toLong).toInt
+        val t = theirs(k); theirs(k) = theirs(pick); theirs(pick) = t
+        out(kMine + k) = theirs(k)
+        k += 1
+      }
+      values = out; kept = outLen; count = total
     }
   }
 

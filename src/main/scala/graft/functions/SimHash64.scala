@@ -222,12 +222,18 @@ object GraftFunctions {
   /** Dialect names whose semantics DIFFER from the same-named Spark
     * builtin, so they must shadow it in the session registry. Spark's
     * own `median` is the exact interpolated percentile (a full-group
-    * buffer); the dialect's is the bounded GK sketch — without the
-    * override the skip-if-exists rule silently kept Spark's, which is
-    * how the bounded-memory contract regressed unnoticed (r13 verdict
-    * perf_weak). The other builtin collisions (MD5, corr, endsWith,
-    * startsWith, ifNull, version) are semantically identical and keep
-    * Spark's native implementation. */
+    * buffer); the dialect's is the bounded 8192-sample reservoir
+    * (functions/ReservoirQuantile) — without the override the
+    * skip-if-exists rule silently kept Spark's, which is how the
+    * bounded-memory contract regressed unnoticed (r13 verdict
+    * perf_weak). NOTE (user-facing, also in README): this override is
+    * SESSION-WIDE — after ensureRegistered, plain-Spark `median` in
+    * the same session is the reservoir too, i.e. approximate above
+    * 8192 rows/group (identical below). Use percentile(x, 0.5) for
+    * Spark's unbounded exact median alongside the dialect. The other
+    * builtin collisions (MD5, corr, endsWith, startsWith, ifNull,
+    * version) are semantically identical and keep Spark's native
+    * implementation. */
   private val shadowBuiltins = Set("median")
 
   def ensureRegistered(spark: SparkSession): Unit = {

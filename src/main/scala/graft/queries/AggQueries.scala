@@ -343,7 +343,9 @@ object AggQueries {
     // medianExact contract (whole group buffered, by declaration);
     // both engines use pos = (n-1)*q, v = lo + frac*(hi-lo), so
     // doubles match. The BARE quantile/median spellings are the
-    // bounded GK sketch since r14 (see c01/c08 + PlanAuditSpec).
+    // bounded 8192-sample reservoir (functions/ReservoirQuantile)
+    // since r14, interpolated below the cap since r15 (see c01/c08 +
+    // PlanAuditSpec).
     "a05_quantile" -> Q(
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

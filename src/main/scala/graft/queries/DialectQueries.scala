@@ -95,24 +95,26 @@ object DialectQueries {
           |FROM t ORDER BY o_orderkey""".stripMargin)),
 
     // Aggregating CH dialect: countIf/sumIf/uniqExact/median/quantile.
-    // Bare median/quantile carry the bounded-memory sketch contract
-    // (GK, exact below accuracy): DuckDB's quantile_disc is the exact
-    // twin at this scale (rank ceil(q*n); dev/qprobe_check.py 66/66).
+    // Bare median/quantile carry the bounded-memory reservoir contract
+    // (cap 8192, exact-and-INTERPOLATED below it — the reference's
+    // ReservoirSampler::quantileInterpolated): DuckDB's quantile_cont
+    // is the same statistic up to final-rounding ulps, so both sides
+    // guard with round(…, 6).
     "c01_dialect_agg" -> Q(
       """SELECT year(o_orderdate) AS yr, o_orderstatus,
         |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
-        |  quantile_disc(o_totalprice, 0.5) AS med,
-        |  quantile_disc(o_totalprice, 0.9) AS p90
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
       chSql(Seq("orders"),
         """SELECT toYear(o_orderdate) AS yr, o_orderstatus,
           |  countIf(o_totalprice > 150000) AS n_big,
           |  CAST(sumIf(CAST(o_totalprice AS DECIMAL(18,2)), o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
           |  uniqExact(o_custkey) AS n_cust,
-          |  median(o_totalprice) AS med,
-          |  quantile(o_totalprice, 0.9) AS p90
+          |  round(median(o_totalprice), 6) AS med,
+          |  round(quantile(o_totalprice, 0.9), 6) AS p90
           |FROM orders GROUP BY yr, o_orderstatus ORDER BY yr, o_orderstatus""".stripMargin)),
 
     // Scalar CH dialect over events: JSON extraction, time bucketing,
@@ -2231,16 +2233,16 @@ object DialectQueries {
 
     "c08_parametric" -> Q(
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |  quantile_disc(o_totalprice, 0.5) AS med,
-        |  quantile_disc(o_totalprice, 0.9) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
         |  LEAST(COUNT(DISTINCT o_custkey), 51) AS cust_upto
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       Tables(s, dir).orders.createOrReplaceTempView("orders")
       s.sql(graft.functions.ChSql.translate(
         """SELECT o_orderstatus, count() AS n,
-          |  quantile(0.5)(o_totalprice) AS med,
-          |  quantile(0.9)(o_totalprice) AS p90,
+          |  round(quantile(0.5)(o_totalprice), 6) AS med,
+          |  round(quantile(0.9)(o_totalprice), 6) AS p90,
           |  uniqUpTo(50)(o_custkey) AS cust_upto
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
     },

@@ -62,17 +62,24 @@ class ChDialectSpec extends SparkSpec {
       count(when(col("o_totalprice") > 100000, 1)).as("nbig"),
       sum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("sumf"),
       countDistinct(col("o_custkey")).as("ue"),
-      max_by(col("o_orderkey"), col("o_totalprice")).as("am"),
-      // bare median/quantile = the bounded GK sketch (exact below
-      // accuracy: value at rank ceil(q*n)), not the interpolated exact
-      percentile_approx(col("o_totalprice"), lit(0.5), lit(50000)).as("med"),
-      percentile_approx(col("o_totalprice"), lit(0.9), lit(50000)).as("p90")).collect().head
+      max_by(col("o_orderkey"), col("o_totalprice")).as("am")).collect().head
     assert(r.getAs[Long]("nbig") == expect.getAs[Long]("nbig"))
     assert(math.abs(r.getAs[Double]("sumf") - expect.getAs[Double]("sumf")) < 1e-6)
     assert(r.getAs[Long]("ue") == expect.getAs[Long]("ue"))
     assert(r.getAs[Long]("am") == expect.getAs[Long]("am"))
-    assert(r.getAs[Double]("med") == expect.getAs[Double]("med"))
-    assert(r.getAs[Double]("p90") == expect.getAs[Double]("p90"))
+    // bare median/quantile = the bounded reservoir, below the cap the
+    // reference's interpolated index-q·(n−1) statistic with weights
+    // (right−idx, idx−left) — computed here with the same arithmetic
+    val sorted = o.select(col("o_totalprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    def interp(q: Double): Double = {
+      val index = q * (sorted.length - 1)
+      val left = index.toInt; val right = left + 1
+      if (right >= sorted.length) sorted(sorted.length - 1)
+      else sorted(left) * (right - index) + sorted(right) * (index - left)
+    }
+    assert(r.getAs[Double]("med") == interp(0.5))
+    assert(r.getAs[Double]("p90") == interp(0.9))
   }
 
   test("extended scalar aliases: datetime extras, guarded division, bit ops, arrays") {

@@ -180,7 +180,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("reservoir quantile is rank-exact below the cap on random partitioned inputs") {
+  test("reservoir quantile is interpolated-exact below the cap on random partitioned inputs") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val valsGen = for {
@@ -195,7 +195,11 @@ class PropertySpec extends SparkSpec {
       val got = spark.sql(graft.functions.ChSql.translate(
         s"SELECT quantile($q)(v) AS x FROM prop_rq")).head().getDouble(0)
       val sorted = vs.sorted
-      val expect = sorted(math.max(1, math.ceil(q * vs.size).toInt) - 1)
+      val index = q * (vs.size - 1)
+      val left = index.toInt; val right = left + 1
+      val expect =
+        if (right >= vs.size) sorted(vs.size - 1)
+        else sorted(left) * (right - index) + sorted(right) * (index - left)
       assert(got == expect, s"round=$round q=$q n=${vs.size} parts=$parts")
     }
   }

@@ -5,8 +5,9 @@ import graft.functions.GraftFunctions
 
 /** The bare quantile/median/quantiles realization: a ≤8192-sample
   * reservoir (the reference's own default), exact below the cap with
-  * the rank-ceil(q·n) convention (= DuckDB quantile_disc), sane and
-  * bounded above it. */
+  * the INTERPOLATED index-q·(n−1) convention of the reference's
+  * ReservoirSampler::quantileInterpolated (= DuckDB quantile_cont up
+  * to final-rounding ulps), sane and bounded above it. */
 class ReservoirQuantileSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,7 +16,7 @@ class ReservoirQuantileSpec extends SparkSpec {
     spark.sql(graft.functions.ChSql.translate(q)).collect().head
   }
 
-  test("exact below the cap: rank ceil(q·n), multi-partition merges stay exact") {
+  test("exact below the cap: interpolated q·(n−1), multi-partition merges stay exact") {
     // 7300 values over 8 partitions — the c08 sf0.01 shape: every
     // partial is exact and the merged union still fits the cap
     spark.range(7300).repartition(8)
@@ -24,12 +25,35 @@ class ReservoirQuantileSpec extends SparkSpec {
     val r = sql1(
       """SELECT quantile(0.5)(v) AS med, quantile(0.9)(v) AS p90,
         |  median(v) AS md, quantiles(0.25, 0.75)(v) AS qs FROM rq""".stripMargin)
-    def expect(q: Double): Double = (math.ceil(q * 7300) - 1) * 7 + 3
+    // sorted values are 3, 10, …, 3+7·7299; interpolate at q·(n−1)
+    def expect(q: Double): Double = {
+      val index = q * (7300 - 1)
+      val left = index.toInt; val right = left + 1
+      val lo = left * 7.0 + 3; val hi = right * 7.0 + 3
+      if (right >= 7300) lo else lo * (right - index) + hi * (index - left)
+    }
     assert(r.getAs[Double]("med") == expect(0.5))
     assert(r.getAs[Double]("p90") == expect(0.9))
     assert(r.getAs[Double]("md") == expect(0.5))
     val qs = r.getAs[scala.collection.Seq[Double]]("qs")
     assert(qs == Seq(expect(0.25), expect(0.75)))
+  }
+
+  test("median of {1,2,3,4} is 2.5 — the reference's interpolated convention") {
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("v").createOrReplaceTempView("rq_4")
+    val r = sql1("SELECT median(v) AS m, quantile(0.5)(v) AS q FROM rq_4")
+    assert(r.getAs[Double]("m") == 2.5)
+    assert(r.getAs[Double]("q") == 2.5)
+  }
+
+  test("quantile(x) with the level omitted defaults to the median") {
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("v").createOrReplaceTempView("rq_d0")
+    Seq((1.0, 1), (2.0, 2), (3.0, 3), (4.0, 4)).toDF("v", "w")
+      .createOrReplaceTempView("rq_d0w")
+    val r = sql1("SELECT quantile(v) AS q FROM rq_d0")
+    assert(r.getAs[Double]("q") == 2.5)
+    val rd = sql1("SELECT quantileDeterministic(v, w) AS qd FROM rq_d0w")
+    assert(rd.getAs[Double]("qd") == 2.5)
   }
 
   test("edges: empty group → NULL, NULLs skipped, single value, level 0/1") {
@@ -59,6 +83,34 @@ class ReservoirQuantileSpec extends SparkSpec {
     assert(med > 80000 && med < 120000, s"med=$med")
     assert(p95 > 180000 && p95 <= 199999, s"p95=$p95")
     assert(p95 > med)
+  }
+
+  test("both-sides-sampled merge draws without replacement (no slot duplication bias)") {
+    // two reservoirs built from DISJOINT value ranges, both past the
+    // cap, merged via the aggregate path: a with-replacement merge
+    // duplicates samples (kept distinct < cap with high probability);
+    // the Fisher–Yates merge keeps cap DISTINCT values (all inputs
+    // distinct), and the two-source mix stays near the 50/50 weights
+    spark.range(40000).repartition(2, col("id") % 2)
+      .select((when(col("id") % 2 === 0, col("id"))
+        .otherwise(col("id") + 1000000)).cast("double").as("v"))
+      .createOrReplaceTempView("rq_m")
+    GraftFunctions.ensureRegistered(spark)
+    val arr = spark.sql(graft.functions.ChSql.translate(
+      "SELECT quantiles(0.25, 0.75)(v) AS qs FROM rq_m")).collect()
+    assert(arr.length == 1) // smoke: the merge path executed
+    // direct buffer-level check of distinctness under merge
+    val a = new graft.functions.ReservoirBuf(256)
+    val b = new graft.functions.ReservoirBuf(256)
+    (0 until 10000).foreach(i => a.insert(i.toDouble))
+    (0 until 10000).foreach(i => b.insert(1000000.0 + i))
+    a.mergeWith(b)
+    val merged = a.sortedValues
+    assert(merged.length == 256)
+    assert(merged.distinct.length == 256,
+      s"merge duplicated samples: ${256 - merged.distinct.length} dups")
+    val fromB = merged.count(_ >= 1000000.0)
+    assert(fromB > 64 && fromB < 192, s"mix skew: $fromB/256 from side B")
   }
 
   test("deterministic spellings agree below the cap") {
