@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
   *    runs over is the distinct-word table, not the corpus, so it is
   *    NOT on a corpus-scan hot path (native-kernel policy: lambdas
   *    off hot paths are fine).
-  *  - persist/unpersist per round, the dupClusters discipline.
+  *  - each round's word table is lineage-TRUNCATED with a lazy
+  *    localCheckpoint (the dupClusters discipline, Dedup.scala): a
+  *    plain persist keeps nesting one applyMerge plan per round, so
+  *    at a production 32k-merge vocabulary the analyzed tree grows
+  *    32k HOF folds deep and analysis cost per round grows linearly
+  *    (quadratic over the run) — dev/bpe_probe_r15.txt measures the
+  *    per-round cost flat under checkpointing. One action per round
+  *    (the count that materializes the checkpoint) plus the top-pair
+  *    collect; the previous round's checkpoint storage is released
+  *    explicitly.
   *
   * The left-fold realizes the standard simultaneous left-to-right
   * non-overlapping replace: a just-merged element can never re-merge
@@ -76,6 +85,13 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count").orderBy("rank")
   }
 
+  /** The checkpointed RDD behind a localCheckpoint'd frame, for
+    * explicit storage release (d12's helper, Dedup.scala). */
+  private def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.headOption
+
   private def trainImpl(df: DataFrame, textCol: String,
       merges: Int): Seq[(Int, String, String, Long)] = {
     val spark = df.sparkSession
@@ -84,7 +100,7 @@ object Bpe {
       .select(explode(Text.words(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .select(symbols(col("__w")).as("__s"), col("__c"))
-      .persist()
+      .localCheckpoint(false)
     words.count() // materialize before the loop mutates the lineage
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
@@ -106,15 +122,17 @@ object Bpe {
           val (l, r, n) = top.head
           rank += 1
           out += ((rank, l, r, n))
+          // lineage truncated every round: the plan over `next` is
+          // always ONE applyMerge over a checkpoint leaf
           val next = words
             .select(applyMerge(col("__s"), l, r).as("__s"), col("__c"))
-            .persist()
-          next.count()
-          words.unpersist()
+            .localCheckpoint(false)
+          next.count() // one action: materializes the lazy checkpoint
+          ckptRdd(words).foreach(_.unpersist(blocking = false))
           words = next
         }
       }
-    } finally words.unpersist()
+    } finally ckptRdd(words).foreach(_.unpersist(blocking = false))
     out.toSeq
   }
 

@@ -299,12 +299,29 @@ object AsOfJoinBucketed {
   * no dedup pass is needed. Pick binSize near the median interval
   * width: coarser grids fan candidate lists out, finer grids replicate
   * intervals across more bins.
+  *
+  * Tuning knobs (plan-shape contract):
+  *  - intervals wider than `maxBinsPerInterval` bins skip the explode
+  *    and take a BROADCAST non-equi join instead (they match a large
+  *    fraction of all points anyway, so the scan-side work is
+  *    inherent); a too-small `binSize` makes MOST intervals "long"
+  *    and routes the table down this path — size binSize near the
+  *    median interval width so the long side stays dimension-tiny;
+  *  - the long side is counted once at plan-construction time (one
+  *    metadata-scale job on the interval table, same job the old
+  *    limit(1) probe spent); beyond `maxBroadcastLong` rows the
+  *    broadcast hint is DROPPED and the long side takes a plain
+  *    non-equi join (BNLJ/cartesian under AQE) — an unbounded
+  *    broadcast of a wide-interval table is a driver-memory failure,
+  *    and a long side that big means the query is inherently
+  *    near-quadratic regardless of plan shape.
   */
 object RangeJoin {
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binSize: Double, maxBinsPerInterval: Int = 256): DataFrame = {
+      binSize: Double, maxBinsPerInterval: Int = 256,
+      maxBroadcastLong: Long = 100000L): DataFrame = {
     // empty/inverted intervals (lo >= hi) can never match a point
     // under [lo, hi) — drop them BEFORE binning: sequence(start, stop)
     // runs DESCENDING when stop < start, so an inverted interval would
@@ -337,10 +354,14 @@ object RangeJoin {
     val binned = p.join(iv, "__bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
-    val hasLong = longIv.limit(1).count() > 0
-    if (!hasLong) binned
-    else binned.unionByName(points.join(broadcast(longIv),
-      col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)))
+    // one plan-construction job sizes the long side; the count (not
+    // the old limit(1) existence probe) also gates the broadcast hint
+    val nLong = longIv.count()
+    val pred = col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
+    if (nLong == 0L) binned
+    else if (nLong <= maxBroadcastLong)
+      binned.unionByName(points.join(broadcast(longIv), pred))
+    else binned.unionByName(points.join(longIv, pred))
   }
 }
 

@@ -57,4 +57,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(allLong.select("point_id", "band_id").as[(Long, Long)]
       .collect().toSet == expect)
   }
+
+  test("long side past the broadcast cap falls back to a plain non-equi join, same rows") {
+    // everything long (maxBinsPerInterval = 1) AND past the broadcast
+    // cap (maxBroadcastLong = 2 < 5 intervals): the plan must drop the
+    // broadcast hint rather than broadcast an unbounded long side —
+    // results identical either way
+    val withLong = intervals.unionByName(
+      Seq((9L, -100.0, 900.0)).toDF("band_id", "lo", "hi"))
+    val expect = Set((1L, 1L), (2L, 2L), (5L, 1L), (5L, 2L),
+      (1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 9L))
+    val capped = RangeJoin.pointInInterval(points, "v", withLong, "lo", "hi",
+      0.25, maxBinsPerInterval = 1, maxBroadcastLong = 2L)
+    assert(capped.select("point_id", "band_id").as[(Long, Long)]
+      .collect().toSet == expect)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val hints = capped.queryExecution.analyzed.collect {
+      case j: Join => j.hint }
+    assert(!hints.exists(_ != JoinHint.NONE),
+      s"broadcast hint survived the cap: $hints")
+  }
 }
