@@ -255,6 +255,14 @@ object EventsStream {
     * order-sensitive and events may arrive out of order within the
     * watermark; per-user state is O(condition events), identical to
     * the batch aggregate's collect state. */
+  /** packed()'s (t, ord) sort key for a bitmask event list: ord is
+    * the inverted-flag array compared lexicographically — bit 0 most
+    * significant, hits-first — realized as descending on the
+    * bit-reversed mask. Shared by every streaming behavioral twin so
+    * the replay order is EXACTLY the batch fold's. */
+  private def packedOrder(n: Int)(e: (Long, Int)): (Long, Int) =
+    (e._1, -(Integer.reverse(e._2) >>> (32 - n)))
+
   def funnelStream(events: Dataset[Event], condTypes: Seq[String],
       windowSec: Long, quietSec: Long): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
@@ -262,11 +270,8 @@ object EventsStream {
     val wUs = windowSec * 1000000L
 
     def levelOf(evs: Seq[(Long, Int)]): Int = {
-      // sort = packedAgg's (t, ord) order: ord is the inverted-flag
-      // array compared lexicographically, i.e. bit 0 most significant,
-      // hits-first — descending on the bit-reversed mask
-      val sorted = evs.sortBy { case (t, m) =>
-        (t, -(Integer.reverse(m) >>> (32 - n))) }
+      // sort = packedAgg's (t, ord) order (packedOrder above)
+      val sorted = evs.sortBy(packedOrder(n))
       val acc = Array.fill[Option[Long]](n)(None)
       sorted.foreach { case (t, m) =>
         val old = acc.clone()
@@ -308,5 +313,129 @@ object EventsStream {
     events.withWatermark("ts", s"$quietSec seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  final case class SeqState(ts: List[Long], masks: List[Int])
+  final case class SeqMatchOut(user_id: Long, matched: Int)
+  final case class SeqCountOut(user_id: Long, n_chains: Int)
+
+  /** Buffer-then-replay scaffold shared by the sequenceMatch and
+    * sequenceCount streaming twins (the funnelStream shape): per-user
+    * CONDITION events buffer under the watermark — events matching no
+    * condition never enter state, packed()'s pre-filter — and when
+    * the user goes quiet for `quietSec` of event time the buffer
+    * replays through the batch DP in packed order. Buffer-then-fold
+    * (not incremental) because the DPs are order-sensitive and events
+    * arrive out of order within the watermark; per-user state is
+    * O(condition events), the batch aggregate's own collect state. */
+  private def bufferedReplay[O](events: Dataset[Event],
+      condTypes: Seq[String], quietSec: Long)(
+      replay: (Long, Seq[(Long, Int)]) => O)(
+      implicit enc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    import events.sparkSession.implicits._
+
+    def update(user: Long, evs: Iterator[Event],
+        state: GroupState[SeqState]): Iterator[O] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption
+          .map(s => replay(user, s.ts.zip(s.masks))).iterator
+        state.remove()
+        out
+      } else {
+        val fresh = evs.flatMap { e =>
+          val m = condTypes.zipWithIndex
+            .collect { case (c, i) if e.event_type == c => 1 << i }.sum
+          if (m == 0) None else Some((micros(e.ts), m))
+        }.toList
+        if (fresh.nonEmpty || state.exists) {
+          val s0 = state.getOption.getOrElse(SeqState(Nil, Nil))
+          val s = SeqState(s0.ts ++ fresh.map(_._1), s0.masks ++ fresh.map(_._2))
+          state.update(s)
+          state.setTimeoutTimestamp(s.ts.max / 1000L + quietSec * 1000L)
+        }
+        Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", s"$quietSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming sequenceMatch — the streaming twin of
+    * Behavior.sequenceMatch, closing the behavioral family (funnel,
+    * sessions, dedup all have stream forms; this was the last
+    * batch-only member). `gapSec = None` replays the earliest-
+    * completion fold (strict `t > prev` ordered-subsequence match);
+    * `Some(g)` replays the (l1, l2) pair DP through the SAME compiled
+    * kernel the batch plan calls (SeqMatchImpl.matchGap) — batch ≡
+    * stream is pinned at the kernel, not re-derived. */
+  def seqMatchStream(events: Dataset[Event], condTypes: Seq[String],
+      gapSec: Option[Long], quietSec: Long): Dataset[SeqMatchOut] = {
+    import events.sparkSession.implicits._
+    val n = condTypes.size
+
+    def matchedNoGap(evs: Seq[(Long, Int)]): Boolean = {
+      // Behavior.sequenceMatch's None branch: acc(k) = EARLIEST
+      // completion time of a level-(k+1) prefix; every level reads
+      // the PRE-event snapshot (the transform's fold semantics)
+      val acc = Array.fill[Option[Long]](n)(None)
+      evs.sortBy(packedOrder(n)).foreach { case (t, m) =>
+        val old = acc.clone()
+        for (k <- 0 until n) {
+          val hit = (m & (1 << k)) != 0
+          if (k == 0) {
+            if (hit) acc(0) = Some(math.min(old(0).getOrElse(Long.MaxValue), t))
+          } else if (hit && old(k - 1).isDefined && t > old(k - 1).get)
+            acc(k) = Some(math.min(old(k).getOrElse(Long.MaxValue), t))
+        }
+      }
+      acc.forall(_.isDefined)
+    }
+
+    def matchedGap(g: Long, evs: Seq[(Long, Int)]): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val rows = evs.sortBy(packedOrder(n)).map { case (t, m) =>
+        val ms = new GenericArrayData(
+          (0 until n).map(k => ((m & (1 << k)) != 0): Any).toArray)
+        new GenericInternalRow(Array[Any](t, null, ms)): Any
+      }.toArray
+      graft.functions.SeqMatchImpl.matchGap(
+        new GenericArrayData(rows), n, g * 1000000L)
+    }
+
+    bufferedReplay(events, condTypes, quietSec) { (user, evs) =>
+      val ok = gapSec match {
+        case None => matchedNoGap(evs)
+        case Some(g) => matchedGap(g, evs)
+      }
+      SeqMatchOut(user, if (ok) 1 else 0)
+    }
+  }
+
+  /** Streaming sequenceCount — the twin of Behavior.sequenceCount's
+    * greedy non-overlapping DFA: scan in packed order with
+    * (count, level, last-time) state; an event advances at most one
+    * level (steps after the first strictly later in time), a
+    * completed chain restarts the DFA. */
+  def seqCountStream(events: Dataset[Event], condTypes: Seq[String],
+      quietSec: Long): Dataset[SeqCountOut] = {
+    import events.sparkSession.implicits._
+    val n = condTypes.size
+    bufferedReplay(events, condTypes, quietSec) { (user, evs) =>
+      var cnt = 0
+      var lvl = 0
+      var lt = Long.MinValue
+      evs.sortBy(packedOrder(n)).foreach { case (t, m) =>
+        val hit = (m & (1 << lvl)) != 0
+        if (hit && (lvl == 0 || t > lt)) {
+          lvl += 1
+          lt = t
+          if (lvl == n) { cnt += 1; lvl = 0 }
+        }
+      }
+      SeqCountOut(user, cnt)
+    }
   }
 }

@@ -49,8 +49,10 @@ class EventsStreamSpec extends SparkSpec {
       input.addData(Event(5, ts(9), 3, "click", 7.0))
       q.processAllAvailable()
       val rows = spark.table("rqs").as[(String, Double)].collect().toMap
-      // click: sorted (1,5,7,9), rank ceil(0.5*4)=2 → 5.0; view: 4.0
-      assert(rows == Map("click" -> 5.0, "view" -> 4.0), rows)
+      // click: sorted (1,5,7,9), interpolated median at index
+      // 0.5·(4−1) = 1.5 → (5+7)/2 = 6.0 (the reference's
+      // quantileInterpolated convention, r15); view: 4.0
+      assert(rows == Map("click" -> 6.0, "view" -> 4.0), rows)
     } finally q.stop()
   }
 
@@ -135,6 +137,102 @@ class EventsStreamSpec extends SparkSpec {
           r.getAs[Number]("level").intValue()).toMap
       assert(got == batch, s"stream $got vs batch $batch")
       assert(got == Map(1L -> 3, 2L -> 2))
+    } finally q.stop()
+  }
+
+  test("streaming sequenceMatch (both gap modes) matches the batch DP after the quiet timeout") {
+    implicit val ctx = spark.sqlContext
+    val condTypes = Seq("signup", "click", "purchase")
+    // out-of-order within the watermark, split across batches; user 1
+    // completes the chain, user 2 stalls at level 2, user 3 completes
+    // only without the gap constraint (signup→click gap 30 min > 10),
+    // user 4 has a same-timestamp signup+click tie (packed-order case)
+    // batch 1 caps at ts(10) so the watermark (quiet 600s) stays at
+    // minute 0 and batch 2's out-of-order arrivals are all in-contract
+    val batch1 = Seq(
+      Event(1, ts(10), 1, "click", 0.0), Event(2, ts(0), 1, "signup", 0.0),
+      Event(3, ts(5), 2, "signup", 0.0), Event(4, ts(6), 2, "click", 0.0),
+      Event(5, ts(0), 3, "signup", 0.0),
+      Event(8, ts(2), 4, "click", 0.0), Event(9, ts(2), 4, "signup", 0.0),
+      Event(10, ts(3), 4, "click", 0.0), Event(13, ts(4), 4, "purchase", 0.0),
+      Event(14, ts(7), 5, "view", 0.0)) // no condition: never enters state
+    val batch2 = Seq(
+      Event(12, ts(20), 1, "purchase", 0.0),
+      Event(6, ts(30), 3, "click", 0.0),
+      Event(7, ts(35), 3, "purchase", 0.0))
+    val rows = (batch1 ++ batch2).map(e =>
+        (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val conds = condTypes.map(c => col("event_type") === c)
+    for (gapSec <- Seq(None, Some(600L))) {
+      val name = s"seqmatch_${gapSec.getOrElse(0L)}"
+      val input = MemoryStream[Event]
+      val q = EventsStream.seqMatchStream(input.toDS(), condTypes,
+          gapSec, quietSec = 600)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        input.addData(Event(90, ts(600), 99, "view", 0.0))
+        q.processAllAvailable()
+        input.addData(Event(91, ts(700), 99, "view", 0.0))
+        q.processAllAvailable()
+        val got = spark.table(name).as[EventsStream.SeqMatchOut].collect()
+          .map(o => o.user_id -> o.matched).toMap
+        val batch = graft.operators.Behavior.sequenceMatch(rows, "user_id",
+            col("ts"), conds, gapSec.map(_ * 1000000L))
+          .collect().map(r => r.getAs[Long]("user_id") ->
+            r.getAs[Number]("matched").intValue()).toMap
+        assert(got == batch, s"gap=$gapSec stream $got vs batch $batch")
+        val expect3 = if (gapSec.isEmpty) 1 else 0
+        assert(got == Map(1L -> 1, 2L -> 0, 3L -> expect3, 4L -> 1),
+          s"gap=$gapSec got $got")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming sequenceCount matches the batch greedy DFA after the quiet timeout") {
+    implicit val ctx = spark.sqlContext
+    val condTypes = Seq("click", "purchase")
+    // user 1: two complete chains + a dangling click; user 2: hits
+    // arrive out of order across batches, one chain; user 3: purchase
+    // before any click, zero chains
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 0.0), Event(2, ts(5), 1, "purchase", 0.0),
+      Event(3, ts(10), 1, "click", 0.0),
+      Event(4, ts(8), 2, "purchase", 0.0),
+      Event(5, ts(3), 3, "purchase", 0.0))
+    val batch2 = Seq(
+      Event(6, ts(15), 1, "purchase", 0.0), Event(7, ts(20), 1, "click", 0.0),
+      Event(8, ts(2), 2, "click", 0.0), // earlier than user 2's purchase
+      Event(9, ts(6), 3, "view", 0.0))
+    val input = MemoryStream[Event]
+    val q = EventsStream.seqCountStream(input.toDS(), condTypes, quietSec = 600)
+      .writeStream.format("memory").queryName("seqcount")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(Event(90, ts(600), 99, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(91, ts(700), 99, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("seqcount").as[EventsStream.SeqCountOut].collect()
+        .map(o => o.user_id -> o.n_chains).toMap
+      val rows = (batch1 ++ batch2).map(e =>
+          (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.operators.Behavior.sequenceCount(rows, "user_id",
+          col("ts"), condTypes.map(c => col("event_type") === c))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          r.getAs[Number]("n_chains").intValue()).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Map(1L -> 2, 2L -> 1, 3L -> 0), s"got $got")
     } finally q.stop()
   }
 
