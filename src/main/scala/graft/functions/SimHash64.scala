@@ -116,6 +116,14 @@ object GraftFunctions {
 
     Seq(
       d("simhash64", classOf[SimHash64])(children => SimHash64(children.head)),
+      // capped_id_list(id, cap-literal) — LSH bucket collection with
+      // O(cap) state at any bucket cardinality (Dedup.bucketPairs)
+      d("capped_id_list", classOf[CappedIdList]) {
+        case Seq(child, Literal(cap: Int, _)) =>
+          CappedIdList(child, cap)
+        case other => throw new IllegalArgumentException(
+          s"capped_id_list(id, cap-literal) expected, got ${other.mkString(", ")}")
+      },
       // seq_match_gap(evs, n-literal, gap-literal) — the compiled
       // gap-constrained sequenceMatch DP (Behavior.scala gap branch)
       d("seq_match_gap", classOf[SeqMatchGapExpr]) {

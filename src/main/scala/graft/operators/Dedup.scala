@@ -449,16 +449,30 @@ object Dedup {
     * size (degenerate buckets = boilerplate content; dropping them is
     * standard LSH practice and what keeps the plan non-quadratic),
     * emit in-bucket pairs, dedup across buckets. One shuffle to
-    * bucket, one to dedup pairs. Shared with Ann's embedding near-dup. */
+    * bucket, one to dedup pairs. Shared with Ann's embedding near-dup.
+    *
+    * The collection is the capped native aggregate (capped_id_list,
+    * functions/CappedIdList.scala), NOT collect_list + size filter:
+    * the latter materializes an over-cap bucket's FULL id array
+    * before dropping it — one task's memory grows with the largest
+    * bucket, and an adversarial boilerplate band shared by 10^8 docs
+    * at 100 TB is a single ~800 MB aggregation buffer
+    * (dev/dedup_skew_probe_r15.txt). capped_id_list stores at most
+    * maxBucket+1 ids per bucket (one past the cap proves the bucket
+    * over-sized, evals to NULL), so state is O(cap) at any bucket
+    * cardinality — same single-shuffle plan, identical output. */
   private[operators] def bucketPairs(
       bucketed: DataFrame, bucketCols: Seq[String], idCol: String,
-      maxBucket: Int): DataFrame =
+      maxBucket: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(bucketed.sparkSession)
     bucketed.groupBy(bucketCols.map(col): _*)
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucket))
+      .agg(call_function("capped_id_list",
+        col(idCol), lit(maxBucket)).as("__ids"))
+      .filter(col("__ids").isNotNull)
       .select(explode(pairsOf(col("__ids"))).as("__p"))
       .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
       .distinct()
+  }
 
   /** d10: benchmark decontamination — the training-data hygiene step
     * that keeps eval suites out of the corpus. A corpus document is
