@@ -1813,7 +1813,7 @@ object ChDdl {
         // INTO OUTFILE lifted off, COLUMNS('re') / * APPLY/REPLACE
         // expansion, then trailing FORMAT rendered (not stripped) and
         // SETTINGS mapped onto confs QUERY-scoped
-        val (sansOut, outfile) = ChSql.extractOutfile(sql)
+        val (sansOut, outfile, outComp) = ChSql.extractOutfile(sql)
         val expanded = ChColumns.expand(spark, sansOut)
         val (noFmt, fmt) = ChSql.extractFormat(expanded)
         val (clean, settings) = ChSql.extractSettings(noFmt)
@@ -1835,18 +1835,40 @@ object ChDdl {
             val p = java.nio.file.Paths.get(path)
             require(!java.nio.file.Files.exists(p),
               s"INTO OUTFILE: file $path already exists (reference behavior)")
-            if (graft.sources.NativeFormat.names(f))
+            if (graft.sources.NativeFormat.names(f)) {
               // the reference's own block format (NativeWriter.cpp),
-              // revision-0 file framing
-              graft.sources.NativeFormat.write(df, path)
-            else if (graft.sources.RowBinary.names(f))
-              // binary file interchange (not a line rendering): the
-              // RowBinary codec writes the file directly
-              graft.sources.RowBinary.write(df, path, f)
-            else {
-              val bytes = ChFormat.render(df, f).collect()
-                .map(_.getString(0) + "\n").mkString.getBytes("UTF-8")
-              java.nio.file.Files.write(p, bytes)
+              // revision-0 file framing; COMPRESSION 'lz4'/'none'
+              // wraps it in the LZ4+CityHash compressed stream frames
+              // (CompressedWriteBuffer.cpp — the clickhouse-compressor
+              // form; file() auto-detects it on adoption)
+              val method = outComp.map(_.toLowerCase) match {
+                case None => None
+                case Some("lz4") => Some(graft.sources.CompressedFrames.MethodLz4)
+                case Some("none") => Some(graft.sources.CompressedFrames.MethodNone)
+                case Some(other) => throw new IllegalArgumentException(
+                  s"INTO OUTFILE COMPRESSION '$other' FORMAT Native: only " +
+                    "'lz4' and 'none' (the reference's internal block " +
+                    "framing) are supported here — for general-purpose " +
+                    "file compression write parquet")
+              }
+              graft.sources.NativeFormat.write(df, path, method)
+            } else {
+              // COMPRESSION here would be the reference's file-level
+              // wrapper (gz/lz4-frame/zstd …) — a different layer than
+              // Native's internal block framing; refuse with guidance
+              // instead of silently writing plain bytes
+              require(outComp.isEmpty,
+                s"INTO OUTFILE COMPRESSION is supported for FORMAT Native " +
+                  s"(the reference's internal block framing); $f writes plain")
+              if (graft.sources.RowBinary.names(f))
+                // binary file interchange (not a line rendering): the
+                // RowBinary codec writes the file directly
+                graft.sources.RowBinary.write(df, path, f)
+              else {
+                val bytes = ChFormat.render(df, f).collect()
+                  .map(_.getString(0) + "\n").mkString.getBytes("UTF-8")
+                java.nio.file.Files.write(p, bytes)
+              }
             }
             df
           case None =>

@@ -576,18 +576,27 @@ object ChSql {
     } else (sql, None)
   }
 
-  /** `INTO OUTFILE 'file'` (reference: ASTQueryWithOutput.h:17,24 —
+  /** `INTO OUTFILE 'file' [COMPRESSION 'method']` (reference:
+    * ASTQueryWithOutput.h:17,24 + ParserQueryWithOutput.cpp:85-96 —
     * the client-side file sink that precedes FORMAT) → (sql without
-    * the clause, the unquoted path). The front door renders the
-    * sibling FORMAT (default TSV) and writes the file. */
-  private[functions] def extractOutfile(sql: String): (String, Option[String]) = {
+    * the clause, the unquoted path, the optional compression method).
+    * The front door renders the sibling FORMAT (default TSV) and
+    * writes the file. */
+  private[functions] def extractOutfile(sql: String)
+      : (String, Option[String], Option[String]) = {
     val ts = tokenize(sql)._1
     val i = find0(ts, Set("INTO"))
     if (i >= 0 && i + 2 < ts.length && ts(i + 1).up == "OUTFILE" &&
         ts(i + 2).text.startsWith("'")) {
       val path = ts(i + 2).text.stripPrefix("'").stripSuffix("'")
-      (renderTrim(ts.take(i) ++ ts.drop(i + 3)), Some(path))
-    } else (sql, None)
+      val hasComp = i + 4 < ts.length && ts(i + 3).up == "COMPRESSION" &&
+        ts(i + 4).text.startsWith("'")
+      val comp =
+        if (hasComp) Some(ts(i + 4).text.stripPrefix("'").stripSuffix("'"))
+        else None
+      val drop = if (hasComp) 5 else 3
+      (renderTrim(ts.take(i) ++ ts.drop(i + drop)), Some(path), comp)
+    } else (sql, None, None)
   }
 
   /** `k = v, k2 = v2, …` → pairs (string values unquoted). */

@@ -30,10 +30,14 @@ import org.apache.spark.sql.types._
   *     position_independent_encoding = false — the native framing).
   *
   * Blocks cap at the reference's DEFAULT_BLOCK_SIZE = 65505 rows
-  * (src/Core/Defines.h:20). Uncompressed framing only — the
-  * LZ4+CityHash compressed wrapping (src/Compression/) is the wire
-  * variant; `clickhouse-client --format Native > x.native` emits the
-  * uncompressed framing this codec reads and writes.
+  * (src/Core/Defines.h:20). Default framing is uncompressed — what
+  * `clickhouse-client --format Native > x.native` emits — and the
+  * LZ4+CityHash compressed stream wrapping (src/Compression/
+  * CompressedWriteBuffer.cpp, the storage/wire/clickhouse-compressor
+  * form) is supported on BOTH sides: INTO OUTFILE … COMPRESSION
+  * 'lz4'/'none' FORMAT Native writes it, and read() auto-detects it
+  * by verifying the first frame's CityHash128 checksum
+  * (sources/CompressedFrames.scala).
   *
   * Same driver-side single-file contract as [[RowBinary]]: INTO
   * OUTFILE is the reference's client-side export (one local file by
@@ -248,12 +252,19 @@ object NativeFormat {
   }
 
   /** Write df to a single local file, revision-0 Native framing.
-    * Collects driver-side — the INTO OUTFILE client-sink contract. */
-  def write(df: DataFrame, path: String): Unit = {
+    * Collects driver-side — the INTO OUTFILE client-sink contract.
+    * `compression` wraps the byte stream in the reference's
+    * LZ4+CityHash block frames (CompressedFrames; INTO OUTFILE …
+    * COMPRESSION 'lz4'/'none' FORMAT Native). */
+  def write(df: DataFrame, path: String,
+      compression: Option[Int] = None): Unit = {
     val fields = df.schema.fields
     fields.foreach(f => chName(f.dataType, f.nullable)) // validate first
-    val out = new BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    val raw = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
+    val out = new BufferedOutputStream(compression match {
+      case Some(m) => new CompressedFrames.FrameOutputStream(raw, m)
+      case None => raw
+    })
     try {
       val rows = df.collect()
       // Zero-row result still writes one empty block so the file is
@@ -325,8 +336,15 @@ object NativeFormat {
     * first block; later blocks must agree (NativeReader re-reads the
     * name/type strings per block and checks against its header). */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val in = new DataInputStream(new BufferedInputStream(
-      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))))
+    // compressed dumps self-identify: the first frame's 128-bit
+    // CityHash checksum verifies, which an uncompressed Native stream
+    // cannot fake — so file() adoption handles both framings with no
+    // caller hint (the reference's CompressedReadBuffer contract)
+    val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val src: java.io.InputStream =
+      if (CompressedFrames.detect(path)) new CompressedFrames.FrameInputStream(raw)
+      else raw
+    val in = new DataInputStream(new BufferedInputStream(src))
     try {
       var schema: StructType = null
       val rowsOut = Vector.newBuilder[Row]

@@ -419,6 +419,68 @@ class CreateFormsSpec extends SparkSpec {
     assert(w.getMessage.contains("INTO OUTFILE"), w.getMessage)
   }
 
+  test("Native compressed frames: LZ4+CityHash round-trip, auto-detect, corruption check") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_native_lz4")
+    // > 1 MiB of repetitive rows: multiple compressed frames AND a
+    // real compression win to assert on
+    spark.sql(
+      "SELECT CAST(id AS BIGINT) AS k, repeat('boilerplate ', 10) AS s " +
+        "FROM range(20000)").createOrReplaceTempView("graft_natc_src")
+    val plain = dir.resolve("plain.native").toString
+    val lz4 = dir.resolve("lz4.native").toString
+    val none = dir.resolve("none.native").toString
+    ChDdl.execute(spark,
+      s"SELECT * FROM graft_natc_src INTO OUTFILE '$plain' FORMAT Native")
+    ChDdl.execute(spark,
+      s"SELECT * FROM graft_natc_src INTO OUTFILE '$lz4' COMPRESSION 'lz4' FORMAT Native")
+    ChDdl.execute(spark,
+      s"SELECT * FROM graft_natc_src INTO OUTFILE '$none' COMPRESSION 'none' FORMAT Native")
+    def sz(p: String) = java.nio.file.Files.size(java.nio.file.Paths.get(p))
+    assert(sz(lz4) < sz(plain) / 4,
+      s"lz4 ${sz(lz4)} vs plain ${sz(plain)} — no compression win")
+    assert(sz(none) > sz(plain), "NONE frames add headers, never shrink")
+    // frame header shape: method byte at offset 16 (after the
+    // CityHash128 checksum), 0x82 = LZ4 / 0x02 = NONE
+    def methodByte(p: String): Int = {
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p))
+      try { in.skip(16); in.read() } finally in.close()
+    }
+    assert(methodByte(lz4) == 0x82 && methodByte(none) == 0x02)
+    // file() auto-detects both compressed framings — no format hint
+    for (p <- Seq(lz4, none)) {
+      val back = ChDdl.execute(spark,
+        s"SELECT count(*) AS n, sum(k) AS t, min(length(s)) AS l FROM file('$p')")
+        .head()
+      assert(back.getLong(0) == 20000L &&
+        back.getLong(1) == 20000L * 19999L / 2 && back.getInt(2) == 120, back)
+    }
+    // a flipped payload bit must fail the CityHash128 checksum loudly
+    val corrupted = dir.resolve("bad.native")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(lz4))
+    bytes(40) = (bytes(40) ^ 0x01).toByte
+    java.nio.file.Files.write(corrupted, bytes)
+    // the flipped bit fails the decisive first-frame checksum, so the
+    // file no longer detects as compressed and the garbage bytes fail
+    // the Native block parse — loud either way, never silent data
+    intercept[Exception] {
+      ChDdl.execute(spark,
+        s"SELECT count(*) AS n FROM file('$corrupted', 'Native')").head()
+    }
+    // COMPRESSION on a non-Native format refuses with guidance
+    val e2 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, s"SELECT 1 AS x INTO OUTFILE " +
+        s"'${dir.resolve("x.tsv")}' COMPRESSION 'lz4' FORMAT TSV")
+    }
+    assert(e2.getMessage.contains("FORMAT Native"), e2.getMessage)
+    // unsupported method names refuse too
+    val e3 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, s"SELECT 1 AS x INTO OUTFILE " +
+        s"'${dir.resolve("x.native")}' COMPRESSION 'zstd' FORMAT Native")
+    }
+    assert(e3.getMessage.contains("lz4"), e3.getMessage)
+  }
+
   test("file() reads ORC, Avro and Arrow (registerFormats.cpp adoption formats)") {
     GraftFunctions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_filefn2")
