@@ -200,15 +200,34 @@ private[graft] object ChStats {
       (agg(aggregate.Max(x)) - agg(aggregate.Min(x)))
   }
 
-  /** Shared sweep fold for maxIntersections[Position](start, end):
-    * each interval contributes (+1 at start, -1 at end), the sorted
+  /** Shared sweep for maxIntersections[Position](start, end): each
+    * interval contributes (+1 at start, -1 at end), the sorted
     * boundary array is swept once, tracking the running count, its
     * max, and the point where the max was FIRST reached. Half-open
     * [s, e): at equal points the -1 sorts before the +1, so touching
     * intervals don't intersect. Per-group state is the group's
     * boundary points — the shape ClickHouse's own array-state
-    * implementation of this aggregate buffers. */
+    * implementation of this aggregate buffers.
+    *
+    * The sweep itself is a compiled kernel (SweepMaxExpr) — the
+    * interpreted ArrayAggregate fold allocated one accumulator struct
+    * per boundary and was the ONE super-linear key in the r15 sf1
+    * scale probe (c31 at 21.9x wall for 10x data,
+    * dev/scale_probe_r15.txt); identical trees for both callers also
+    * let the two aggregates CSE where the old fresh-lambda folds
+    * could not. ChDialectSpec pins kernel ≡ composed fold. */
   private def sweep(es: Seq[Expression]): Expression = {
+    val entries = CreateArray(Seq(
+      CreateNamedStruct(Seq(Literal("p"), d(es(0)), Literal("d"), Literal(1L))),
+      CreateNamedStruct(Seq(Literal("p"), d(es(1)), Literal("d"), Literal(-1L)))))
+    val arr = builtin("sort_array")(Seq(
+      builtin("flatten")(Seq(wrapAgg(builtin("collect_list")(Seq(entries)))))))
+    SweepMaxExpr(arr)
+  }
+
+  /** The pre-r15 composed fold — kept as the kernel's parity oracle
+    * (ChDialectSpec), never on a hot path. */
+  private[graft] def sweepComposed(es: Seq[Expression]): Expression = {
     val entries = CreateArray(Seq(
       CreateNamedStruct(Seq(Literal("p"), d(es(0)), Literal("d"), Literal(1L))),
       CreateNamedStruct(Seq(Literal("p"), d(es(1)), Literal("d"), Literal(-1L)))))
@@ -234,6 +253,11 @@ private[graft] object ChStats {
 
   def maxIntersectionsPosition(es: Seq[Expression]): Expression =
     fld(sweep(es), "at")
+
+  private[graft] def maxIntersectionsComposed(es: Seq[Expression]): Expression =
+    fld(sweepComposed(es), "best")
+  private[graft] def maxIntersectionsPositionComposed(es: Seq[Expression]): Expression =
+    fld(sweepComposed(es), "at")
 
   /** kolmogorovSmirnovTest(v, idx): two-sample KS — D = sup|F1 − F2|
     * over the pooled sorted values (evaluated at each distinct-value

@@ -531,6 +531,37 @@ class ChDialectSpec extends SparkSpec {
     assert(t.getAs[Long]("mi") == 1L)
   }
 
+  test("maxIntersections compiled sweep equals the composed fold on real events") {
+    GraftFunctions.ensureRegistered(spark)
+    // register the pre-r15 composed fold under test-only names and
+    // compare both spellings group-by-group over the real events
+    // table — the kernel (SweepMaxExpr) must be bit-identical
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("mi_composed_test"),
+      new ExpressionInfo("", "mi_composed_test"),
+      es => graft.functions.ChStats.maxIntersectionsComposed(es))
+    reg.registerFunction(FunctionIdentifier("mip_composed_test"),
+      new ExpressionInfo("", "mip_composed_test"),
+      es => graft.functions.ChStats.maxIntersectionsPositionComposed(es))
+    graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+      .createOrReplaceTempView("mi_parity_events")
+    val got = spark.sql(
+      """SELECT event_type,
+        |  maxIntersections(value, value + 10) AS mi,
+        |  maxIntersectionsPosition(value, value + 10) AS mip,
+        |  mi_composed_test(value, value + 10) AS cmi,
+        |  mip_composed_test(value, value + 10) AS cmip
+        |FROM mi_parity_events GROUP BY event_type""".stripMargin)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("mi") == r.getAs[Long]("cmi"), r)
+      assert(r.getAs[Double]("mip") == r.getAs[Double]("cmip"), r)
+    }
+  }
+
   test("kolmogorovSmirnovTest and simpleLinearRegression match hand computation") {
     GraftFunctions.ensureRegistered(spark)
     // A = {1..5}, B = {2,4,6,8,10}: D = 0.6 at v = 5 (F1 = 1, F2 = 0.4);
