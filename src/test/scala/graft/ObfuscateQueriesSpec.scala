@@ -126,6 +126,41 @@ class ObfuscateQueriesSpec extends SparkSpec {
     assert(e.getMessage.contains("too many unique identifiers"))
   }
 
+  test("an obfuscated query still parses and executes (structure preserved end-to-end)") {
+    // the whole point of the feature: share a query's SHAPE without
+    // its content — so the obfuscated text must remain a runnable
+    // query of the same statement structure
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT id AS user_key, id % 3 AS revenue_band, " +
+        "CAST(id AS DOUBLE) AS monthly_spend FROM range(100)")
+      .createOrReplaceTempView("secret_accounts")
+    val known = ObfuscateQueries.withRegistry(spark)
+    val src = "SELECT revenue_band, count(*) AS n, " +
+      "round(avg(monthly_spend), 2) AS avg_spend " +
+      "FROM secret_accounts WHERE monthly_spend > 10 " +
+      "GROUP BY revenue_band ORDER BY revenue_band LIMIT 10"
+    val maps = new ObfuscateQueries.Maps
+    val ob = ObfuscateQueries.obfuscate(src, "e2e", known, maps)
+    assert(!ob.contains("secret") && !ob.contains("revenue") &&
+      !ob.contains("monthly"), ob)
+    // register the renamed view so the obfuscated query can run; the
+    // consistent map tells us what each identifier became
+    def renamed(word: String): String =
+      ObfuscateQueries.obfuscate(word, "e2e", known, maps)
+    spark.sql(s"SELECT id AS ${renamed("user_key")}, " +
+        s"id % 3 AS ${renamed("revenue_band")}, " +
+        s"CAST(id AS DOUBLE) AS ${renamed("monthly_spend")} FROM range(100)")
+      .createOrReplaceTempView(renamed("secret_accounts"))
+    val got = graft.functions.ChDdl.execute(spark, ob).collect()
+    // same shape: 3 bands, counts — and the LITERALS changed, so the
+    // values differ from the original's (the threshold moved within
+    // the same power of two, [8, 15]); what matters is it RUNS and
+    // groups the same way
+    assert(got.length == 3, got.mkString(", "))
+    val total = got.map(_.getLong(1)).sum
+    assert(total >= 84 && total <= 91, s"total $total")
+  }
+
   test("withRegistry keeps graft dialect and builtin names intact") {
     val known = ObfuscateQueries.withRegistry(spark)
     val got = ObfuscateQueries.obfuscate(
