@@ -568,22 +568,26 @@ object ChDialect {
     "corr"      -> builtin("corr"),
     "anyLast"   -> builtin("last"),
     "topK"      -> { es => builtin("approx_top_k")(Seq(es(1), es(0))) },
-    // deterministic-reservoir quantiles: the determinator seeds CH's
-    // sample; below the cap our reservoir is already deterministic,
-    // so the determinator argument drops and the bounded contract
-    // holds. DIVERGENCE (documented): above the cap the reference's
-    // determinator-keyed sample is arrival-order INDEPENDENT; ours
-    // ignores the determinator and stays arrival-order dependent
-    // there — same class as the bare spelling. The level defaults to
-    // 0.5 when only (x, determinator) are given.
+    // deterministic-reservoir quantiles: the determinator keys the
+    // sample (ReservoirSamplerDeterministic.h's contract) — the kept
+    // sample is a pure function of the (value, determinator)
+    // multiset, so the result is arrival-order AND partition-layout
+    // independent even above the cap, where the bare spelling is
+    // arrival-order dependent. Realized as a bottom-k sketch over
+    // splitmix64(determinator) (DeterministicReservoirQuantile);
+    // below the cap all rows are kept — exact, identical to the bare
+    // reservoir. The level defaults to 0.5 when only
+    // (x, determinator) are given.
     "quantileDeterministic" -> { es =>
-      ReservoirQuantile(Cast(es(0), DoubleType),
+      DeterministicReservoirQuantile(
+        Cast(es(0), DoubleType), Cast(es(1), LongType),
         Seq(if (es.length < 3) 0.5
             else levelOf(es(2), "quantileDeterministic")),
         returnArray = false)
         .toAggregateExpression() },
     "medianDeterministic" -> { es =>
-      ReservoirQuantile(Cast(es(0), DoubleType), Seq(0.5),
+      DeterministicReservoirQuantile(
+        Cast(es(0), DoubleType), Cast(es(1), LongType), Seq(0.5),
         returnArray = false).toAggregateExpression() },
     "uniqCombined64" -> builtin("approx_count_distinct"),
     // groupBitmap(x) answers the bitmap's CARDINALITY — count distinct

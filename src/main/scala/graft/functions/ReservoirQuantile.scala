@@ -242,3 +242,197 @@ object ReservoirBuf {
     buf
   }
 }
+
+/** quantileDeterministic(x, determinator): the reference's
+  * determinator-keyed reservoir contract — the SAMPLE is a pure
+  * function of the (value, determinator) multiset, independent of
+  * arrival order, partitioning, and merge schedule
+  * (ReservoirSamplerDeterministic.h's purpose). Realized as a
+  * bottom-k sketch: keep the `cap` rows with the smallest
+  * (splitmix64(determinator), value) pairs — a uniform sample when
+  * the determinator is well-distributed, EXACT below the cap (all
+  * rows kept; same interpolated statistic as ReservoirQuantile), and
+  * trivially mergeable (union, re-take bottom-k), which is what makes
+  * it layout-independent where Algorithm R is not. Per-group state is
+  * a size-cap binary max-heap of (hash, value). */
+case class DeterministicReservoirQuantile(
+    child: Expression,
+    det: Expression,
+    levels: Seq[Double],
+    returnArray: Boolean,
+    cap: Int = 8192,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DetReservoirBuf] {
+
+  require(levels.nonEmpty && levels.forall(l => l >= 0.0 && l <= 1.0),
+    s"quantile level(s) must be in [0, 1], got ${levels.mkString(", ")}")
+
+  override def children: Seq[Expression] = Seq(child, det)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    if (returnArray) ArrayType(DoubleType, containsNull = false) else DoubleType
+  override def prettyName: String = "deterministic_reservoir_quantile"
+
+  override def createAggregationBuffer(): DetReservoirBuf =
+    new DetReservoirBuf(cap)
+
+  override def update(buf: DetReservoirBuf, input: InternalRow): DetReservoirBuf = {
+    val v = child.eval(input)
+    val d = det.eval(input)
+    if (v != null && d != null) {
+      val dv = v match {
+        case x: Double => x
+        case x: Float => x.toDouble
+        case x: Long => x.toDouble
+        case x: Int => x.toDouble
+        case x: Short => x.toDouble
+        case x: Byte => x.toDouble
+        case x: org.apache.spark.sql.types.Decimal => x.toDouble
+        case other => throw new IllegalArgumentException(
+          s"quantileDeterministic: numeric input expected, got ${other.getClass.getSimpleName}")
+      }
+      buf.insert(DetReservoirBuf.mix(d.asInstanceOf[Long]), dv)
+    }
+    buf
+  }
+
+  override def merge(a: DetReservoirBuf, b: DetReservoirBuf): DetReservoirBuf = {
+    a.mergeWith(b); a
+  }
+
+  override def eval(buf: DetReservoirBuf): Any = {
+    if (buf.count == 0L) return null
+    val sorted = buf.sortedValues
+    def at(q: Double): Double = {
+      val n = sorted.length
+      val index = math.max(0.0, math.min((n - 1).toDouble, q * (n - 1)))
+      val left = index.toInt
+      val right = left + 1
+      if (right >= n) sorted(n - 1)
+      else sorted(left) * (right - index) + sorted(right) * (index - left)
+    }
+    if (returnArray) new GenericArrayData(levels.map(at).toArray)
+    else at(levels.head)
+  }
+
+  override def serialize(buf: DetReservoirBuf): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): DetReservoirBuf =
+    DetReservoirBuf.fromBytes(bytes, cap)
+
+  override def withNewMutableAggBufferOffset(o: Int): DeterministicReservoirQuantile =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DeterministicReservoirQuantile =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DeterministicReservoirQuantile =
+    copy(child = newChildren(0), det = newChildren(1))
+}
+
+/** Bottom-k of (hash, value) pairs as a binary max-heap: the root is
+  * the LARGEST kept pair, evicted when a smaller one arrives. The
+  * kept multiset equals "the k lexicographically-smallest pairs of
+  * everything inserted" regardless of order — the determinism
+  * contract. */
+final class DetReservoirBuf(cap: Int) {
+  private var hs = new Array[Long](math.min(cap, 4))
+  private var vs = new Array[Double](math.min(cap, 4))
+  private[functions] var size = 0
+  var count = 0L
+
+  private def less(h1: Long, v1: Double, h2: Long, v2: Double): Boolean =
+    h1 < h2 || (h1 == h2 && v1 < v2)
+
+  private def swap(i: Int, j: Int): Unit = {
+    val th = hs(i); hs(i) = hs(j); hs(j) = th
+    val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+  }
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0 && less(hs((i - 1) / 2), vs((i - 1) / 2), hs(i), vs(i))) {
+      swap(i, (i - 1) / 2)
+      i = (i - 1) / 2
+    }
+  }
+
+  private def siftDown(i0: Int): Unit = {
+    var i = i0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = 2 * i + 2
+      var m = i
+      if (l < size && less(hs(m), vs(m), hs(l), vs(l))) m = l
+      if (r < size && less(hs(m), vs(m), hs(r), vs(r))) m = r
+      if (m == i) done = true
+      else { swap(i, m); i = m }
+    }
+  }
+
+  private def put(h: Long, v: Double): Unit = {
+    if (size < cap) {
+      if (size == hs.length) {
+        val n = math.min(cap, math.max(8, hs.length * 2))
+        hs = java.util.Arrays.copyOf(hs, n)
+        vs = java.util.Arrays.copyOf(vs, n)
+      }
+      hs(size) = h; vs(size) = v
+      size += 1
+      siftUp(size - 1)
+    } else if (less(h, v, hs(0), vs(0))) {
+      hs(0) = h; vs(0) = v
+      siftDown(0)
+    }
+  }
+
+  def insert(h: Long, v: Double): Unit = { count += 1; put(h, v) }
+
+  def mergeWith(o: DetReservoirBuf): Unit = {
+    var i = 0
+    while (i < o.size) { put(o.hs(i), o.vs(i)); i += 1 }
+    count += o.count
+  }
+
+  def sortedValues: Array[Double] = {
+    val s = java.util.Arrays.copyOf(vs, size)
+    java.util.Arrays.sort(s)
+    s
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 4 + 16 * size)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(count)
+    bb.putInt(size)
+    var i = 0
+    while (i < size) { bb.putLong(hs(i)); bb.putDouble(vs(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object DetReservoirBuf {
+  /** splitmix64 — well-mixed 64-bit hash of the determinator. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def fromBytes(bytes: Array[Byte], cap: Int): DetReservoirBuf = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = new DetReservoirBuf(cap)
+    val count = bb.getLong
+    val size = bb.getInt
+    var i = 0
+    while (i < size) {
+      val h = bb.getLong
+      val v = bb.getDouble
+      buf.insert(h, v)
+      i += 1
+    }
+    buf.count = count
+    buf
+  }
+}

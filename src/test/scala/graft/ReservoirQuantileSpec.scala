@@ -122,4 +122,28 @@ class ReservoirQuantileSpec extends SparkSpec {
     assert(r.getAs[Double]("q") == r.getAs[Double]("qd"))
     assert(r.getAs[Double]("m") == r.getAs[Double]("md"))
   }
+
+  test("quantileDeterministic above the cap is arrival-order and layout independent") {
+    // 30000 rows > the 8192 cap: the determinator-keyed bottom-k
+    // sample is a pure function of the (value, determinator)
+    // multiset (ReservoirSamplerDeterministic's contract), so the
+    // SAME query over ascending input, descending input, and a
+    // 16-way shuffled layout must return the IDENTICAL value — the
+    // bare quantile makes no such promise up here
+    val base = spark.range(30000).select(
+      (col("id") * 37 % 10007).cast("double").as("v"), col("id").as("w"))
+    def q(df: org.apache.spark.sql.DataFrame): Double = {
+      df.createOrReplaceTempView("rq_det_big")
+      sql1("SELECT quantileDeterministic(0.5)(v, w) AS qd FROM rq_det_big")
+        .getAs[Double]("qd")
+    }
+    val asc = q(base.repartition(1).sortWithinPartitions(col("w").asc))
+    val desc = q(base.repartition(1).sortWithinPartitions(col("w").desc))
+    val shuffled = q(base.repartition(16))
+    assert(asc == desc, s"order-dependent: $asc vs $desc")
+    assert(asc == shuffled, s"layout-dependent: $asc vs $shuffled")
+    // and the sample is a real median estimate: v is ~uniform on
+    // [0, 10007), so the estimate sits near 5000
+    assert(asc > 4000 && asc < 6000, s"implausible median $asc")
+  }
 }
