@@ -303,8 +303,16 @@ object EventsStream {
         if (fresh.nonEmpty || state.exists) {
           val s0 = state.getOption.getOrElse(FunnelState(Nil, Nil))
           val s = FunnelState(s0.ts ++ fresh.map(_._1), s0.masks ++ fresh.map(_._2))
-          state.update(s)
-          state.setTimeoutTimestamp(s.ts.max / 1000L + quietSec * 1000L)
+          if (fresh.nonEmpty) state.update(s)
+          // Spark clears the timeout on EVERY data invocation, so we
+          // must re-arm even when only non-condition chatter arrived —
+          // but clamped to watermark+1: the raw ts.max + quietSec can
+          // be below the watermark once the user chatters past ~2x
+          // quietSec, and an unclamped setTimeoutTimestamp then throws
+          // and kills the whole query (r15 advice, medium).
+          state.setTimeoutTimestamp(math.max(
+            s.ts.max / 1000L + quietSec * 1000L,
+            state.getCurrentWatermarkMs() + 1L))
         }
         Iterator.empty
       }
@@ -350,8 +358,12 @@ object EventsStream {
         if (fresh.nonEmpty || state.exists) {
           val s0 = state.getOption.getOrElse(SeqState(Nil, Nil))
           val s = SeqState(s0.ts ++ fresh.map(_._1), s0.masks ++ fresh.map(_._2))
-          state.update(s)
-          state.setTimeoutTimestamp(s.ts.max / 1000L + quietSec * 1000L)
+          if (fresh.nonEmpty) state.update(s)
+          // re-arm on every invocation (Spark clears the timeout),
+          // clamped to watermark+1 — see funnelStream's comment.
+          state.setTimeoutTimestamp(math.max(
+            s.ts.max / 1000L + quietSec * 1000L,
+            state.getCurrentWatermarkMs() + 1L))
         }
         Iterator.empty
       }

@@ -140,6 +140,52 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("non-condition chatter past the quiet horizon does not kill the query (stale-timeout regression)") {
+    // Regression: a user whose LAST condition event is long past keeps
+    // emitting non-condition events. The old state.exists arm re-armed
+    // the timeout from the stale ts.max; once the watermark passed
+    // ts.max + quietSec, setTimeoutTimestamp threw and killed the
+    // query. Now the chatter is a no-op and the funnel still emits.
+    implicit val ctx = spark.sqlContext
+    for (mode <- Seq("funnel", "seqmatch")) {
+      val input = MemoryStream[Event]
+      val ds = input.toDS()
+      val name = s"stale_$mode"
+      val stream = mode match {
+        case "funnel" =>
+          EventsStream.funnelStream(ds, Seq("signup", "click"),
+            windowSec = 3600, quietSec = 600).toDF
+        case _ =>
+          EventsStream.seqMatchStream(ds, Seq("signup", "click"),
+            gapSec = None, quietSec = 600).toDF
+      }
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(Event(1, ts(0), 1, "signup", 0.0))
+        q.processAllAvailable()
+        // watermark crawls past ts(0)+quiet while user 1 only chatters:
+        // each batch invokes user 1's group with zero condition events
+        input.addData(Event(2, ts(15), 1, "view", 0.0))
+        q.processAllAvailable()
+        input.addData(Event(3, ts(40), 1, "view", 0.0))
+        q.processAllAvailable()   // watermark ts(5) > ts(0)+quiet? no: ts(15)-10=ts(5); next:
+        input.addData(Event(4, ts(80), 1, "view", 0.0))
+        q.processAllAvailable()   // watermark ts(30) > ts(10) — old code threw here
+        input.addData(Event(5, ts(600), 99, "view", 0.0))
+        q.processAllAvailable()
+        input.addData(Event(6, ts(700), 99, "view", 0.0))
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"query died: ${q.exception}")
+        val got = spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        // funnel: signup alone = level 1; seqmatch: incomplete chain = 0
+        val want = if (mode == "funnel") Map(1L -> 1) else Map(1L -> 0)
+        assert(got == want, s"$mode got $got")
+      } finally q.stop()
+    }
+  }
+
   test("streaming sequenceMatch (both gap modes) matches the batch DP after the quiet timeout") {
     implicit val ctx = spark.sqlContext
     val condTypes = Seq("signup", "click", "purchase")
