@@ -677,7 +677,8 @@ object ChDdl {
   private val adoptFormats = Set("PARQUET", "CSV", "CSVWITHNAMES",
     "TSV", "TABSEPARATED", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES",
     "JSONEACHROW", "ORC", "AVRO", "ARROW", "ROWBINARY",
-    "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES")
+    "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES",
+    "PROTOBUF", "PROTOBUFSINGLE", "RAWBLOB", "NATIVE")
 
   private val adoptFns = Set("FILE", "S3", "GCS", "HDFS",
     "AZUREBLOBSTORAGE", "URL")
@@ -694,6 +695,7 @@ object ChDdl {
     else if (p.endsWith(".avro")) "AVRO"
     else if (p.endsWith(".arrow")) "ARROW"
     else if (p.endsWith(".native")) "NATIVE"
+    else if (p.endsWith(".pb") || p.endsWith(".protobuf")) "PROTOBUF"
     else "PARQUET"
   }
 
@@ -714,6 +716,17 @@ object ChDdl {
     case "ARROW" => graft.sources.AdHocFiles.arrow(spark, path)
     case "ROWBINARYWITHNAMESANDTYPES" => graft.sources.RowBinary.read(spark, path)
     case "NATIVE" => graft.sources.NativeFormat.read(spark, path)
+    case "PROTOBUF" | "PROTOBUFSINGLE" =>
+      // the reference takes the schema via the format_schema setting
+      // (FormatSchemaInfo.cpp) — session-scoped here since adoption
+      // binds views at rewrite time: SET format_schema = 'f.proto:Msg'
+      val fs = spark.conf.get("spark.graft.format_schema", "")
+      require(fs.nonEmpty, s"$fn(): FORMAT $up needs a schema — " +
+        "SET format_schema = 'schema.proto:Message' first (the " +
+        "reference's format_schema setting)")
+      graft.sources.ProtobufFormat.read(spark, path, fs,
+        up == "PROTOBUFSINGLE")
+    case "RAWBLOB" => graft.sources.RawBlob.read(spark, path)
     case "ROWBINARY" | "ROWBINARYWITHNAMES" =>
       throw new IllegalArgumentException(
         s"$fn(): headerless $up carries no schema to adopt — write the " +
@@ -722,7 +735,8 @@ object ChDdl {
     case other => throw new IllegalArgumentException(
       s"$fn(): unsupported format '$other' (Parquet, ORC, Avro, " +
         "Arrow, CSV[WithNames], TSV/TabSeparated[WithNames], " +
-        "JSONEachRow, RowBinaryWithNamesAndTypes, Native)")
+        "JSONEachRow, RowBinaryWithNamesAndTypes, Native, " +
+        "Protobuf[Single], RawBLOB)")
   }
 
   /** url(): http(s) fetched driver-side to a temp file; file:// (and
@@ -1829,9 +1843,11 @@ object ChDdl {
             // existing file, exactly like the reference client.
             val f = fmt.getOrElse("TSV").toUpperCase
             require(ChFormat.renderable(f) || graft.sources.RowBinary.names(f) ||
-              graft.sources.NativeFormat.names(f),
+              graft.sources.NativeFormat.names(f) ||
+              graft.sources.ProtobufFormat.names(f) || f == "RAWBLOB",
               s"INTO OUTFILE supports FORMAT ${ChFormat.renderable.mkString("/")}" +
-                s"/RowBinary[WithNames[AndTypes]]/Native, got $f")
+                s"/RowBinary[WithNames[AndTypes]]/Native/Protobuf[Single]" +
+                s"/RawBLOB, got $f")
             val p = java.nio.file.Paths.get(path)
             require(!java.nio.file.Files.exists(p),
               s"INTO OUTFILE: file $path already exists (reference behavior)")
@@ -1864,10 +1880,31 @@ object ChDdl {
                 // binary file interchange (not a line rendering): the
                 // RowBinary codec writes the file directly
                 graft.sources.RowBinary.write(df, path, f)
+              else if (graft.sources.ProtobufFormat.names(f)) {
+                // schema via the query's SETTINGS format_schema (the
+                // reference's placement) or the session's SET value
+                val fs = settings
+                  .find(_._1.equalsIgnoreCase("format_schema")).map(_._2)
+                  .getOrElse(spark.conf.get("spark.graft.format_schema", ""))
+                require(fs.nonEmpty, s"FORMAT $f needs a schema — add " +
+                  "SETTINGS format_schema = 'schema.proto:Message' " +
+                  "(the reference's format_schema setting)")
+                graft.sources.ProtobufFormat.write(df, path, fs,
+                  f == "PROTOBUFSINGLE")
+              } else if (f == "RAWBLOB")
+                graft.sources.RawBlob.write(df, path)
               else {
-                val bytes = ChFormat.render(df, f).collect()
-                  .map(_.getString(0) + "\n").mkString.getBytes("UTF-8")
-                java.nio.file.Files.write(p, bytes)
+                // line renderings stream via toLocalIterator — the
+                // driver holds one partition of lines, not the full
+                // render (Pretty/JSON stay capped upstream anyway)
+                val out = new java.io.BufferedOutputStream(
+                  java.nio.file.Files.newOutputStream(p))
+                try ChFormat.render(df, f).toLocalIterator()
+                  .forEachRemaining { r =>
+                    out.write(r.getString(0).getBytes("UTF-8"))
+                    out.write('\n')
+                  }
+                finally out.close()
               }
             }
             df

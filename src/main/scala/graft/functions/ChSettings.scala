@@ -37,6 +37,10 @@ object ChSettings {
   def confsFor(key: String, value: String): Seq[(String, String)] =
     key.toLowerCase match {
       case "max_threads" => Seq("spark.sql.shuffle.partitions" -> value)
+      // Protobuf/CapnProto schema pointer (FormatSchemaInfo.cpp's
+      // 'file:Message' form) — carried on a graft conf so SET makes it
+      // session-visible to file() adoption and INTO OUTFILE
+      case "format_schema" => Seq("spark.graft.format_schema" -> value)
       case "join_algorithm" => value.toLowerCase match {
         case "partial_merge" | "full_sorting_merge" | "prefer_partial_merge" =>
           Seq("spark.sql.join.preferSortMergeJoin" -> "true",

@@ -2402,6 +2402,73 @@ object DialectQueries {
           sum(length(col("o_orderpriority"))).as("clen"),
           min(col("u")).cast("string").as("umin"))
         .orderBy("o_orderstatus")
+    },
+
+    // Protobuf file interchange (ProtobufReader/Writer.cpp wire format,
+    // registerFormats.cpp:37-38; schema via the reference's
+    // format_schema setting): a real orders subset rides INTO OUTFILE …
+    // FORMAT Protobuf through a proto3 schema covering the signed /
+    // unsigned / zigzag / bool / string codecs and is adopted back by
+    // file(…, 'Protobuf'); the aggregate downstream of the round trip
+    // must match DuckDB over the ORIGINAL parquet — proving every
+    // varint and length-delimited codec is lossless. Same client-side
+    // contract as c55: filtered before the (streamed) driver write.
+    "c56_protobuf_roundtrip" -> Q(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_even,
+        |  min(-o_orderkey) AS negmin,
+        |  CAST(CAST(min(CAST('18446744073709551615' AS DECIMAL(21,0)) - o_orderkey)
+        |    AS DECIMAL(20,0)) AS VARCHAR) AS umin,
+        |  CAST(sum(length(o_orderpriority)) AS BIGINT) AS prio_sum
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      GraftFunctions.ensureRegistered(s)
+      val src = Tables(s, dir).orders
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"),
+          (col("o_orderkey") % 2 === 0).as("even"),
+          (-col("o_orderkey")).as("neg"),
+          (lit("18446744073709551615").cast("decimal(21,0)")
+            - col("o_orderkey")).cast("decimal(20,0)").as("u"),
+          length(col("o_orderpriority")).as("prio"))
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_c56")
+      dir0.toFile.deleteOnExit()
+      val proto = dir0.resolve("order.proto")
+      java.nio.file.Files.write(proto,
+        """syntax = "proto3";
+          |message Order {
+          |  int64 o_orderkey = 1;
+          |  string o_orderstatus = 2;
+          |  double price = 3;
+          |  bool even = 4;
+          |  sint64 neg = 5;
+          |  uint64 u = 6;
+          |  int32 prio = 7;
+          |}""".stripMargin.getBytes("UTF-8"))
+      val path = dir0.resolve("orders.pb").toString
+      src.createOrReplaceTempView("graft_c56_src")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM graft_c56_src INTO OUTFILE '$path' FORMAT " +
+          s"Protobuf SETTINGS format_schema = '$proto:Order'")
+      s.conf.set("spark.graft.format_schema", s"$proto:Order")
+      try {
+        graft.functions.ChDdl.execute(s,
+          s"SELECT * FROM file('$path', 'Protobuf')")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price").cast("decimal(18,2)"))
+              .cast("double").as("total"),
+            sum(when(col("even"), 1L).otherwise(0L)).as("n_even"),
+            min(col("neg")).as("negmin"),
+            min(col("u")).cast("string").as("umin"),
+            sum(col("prio")).cast("long").as("prio_sum"))
+          .orderBy("o_orderstatus")
+      } finally s.conf.unset("spark.graft.format_schema")
     }
   )
 }

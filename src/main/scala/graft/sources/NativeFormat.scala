@@ -252,7 +252,8 @@ object NativeFormat {
   }
 
   /** Write df to a single local file, revision-0 Native framing.
-    * Collects driver-side — the INTO OUTFILE client-sink contract.
+    * Driver-side single file (the INTO OUTFILE client-sink contract)
+    * but STREAMED — driver memory stays one partition deep.
     * `compression` wraps the byte stream in the reference's
     * LZ4+CityHash block frames (CompressedFrames; INTO OUTFILE …
     * COMPRESSION 'lz4'/'none' FORMAT Native). */
@@ -266,11 +267,16 @@ object NativeFormat {
       case None => raw
     })
     try {
-      val rows = df.collect()
+      // Streamed via toLocalIterator: the driver holds ONE partition,
+      // not the full result (the reference's client sink streams block
+      // by block too). Block framing is unchanged — grouped(BlockRows)
+      // cuts the same 65505-row blocks the collect() path produced.
+      import scala.jdk.CollectionConverters._
+      val rows = df.toLocalIterator().asScala
       // Zero-row result still writes one empty block so the file is
       // self-describing (the reference writes the header block too).
       val blocks =
-        if (rows.isEmpty) Iterator(Array.empty[Row])
+        if (!rows.hasNext) Iterator(Seq.empty[Row])
         else rows.grouped(BlockRows)
       blocks.foreach { block =>
         writeVarint(out, fields.length.toLong)

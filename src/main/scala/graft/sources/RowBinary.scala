@@ -124,8 +124,9 @@ object RowBinary {
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
-  /** Write df to a single local file. `variant` ∈ names. Collects
-    * driver-side — the INTO OUTFILE client-sink contract. */
+  /** Write df to a single local file. `variant` ∈ names. Driver-side
+    * single file (the INTO OUTFILE client-sink contract), streamed
+    * partition-by-partition. */
   def write(df: DataFrame, path: String, variant: String): Unit = {
     val fields = df.schema.fields
     fields.foreach(f => chName(f.dataType)) // validate before touching disk
@@ -142,7 +143,9 @@ object RowBinary {
             writeString(out, if (f.nullable) s"Nullable($n)" else n)
           }
       }
-      df.collect().foreach { row =>
+      // streamed row-by-row via toLocalIterator — byte-identical to
+      // the old collect() path, driver memory one partition deep
+      df.toLocalIterator().forEachRemaining { row =>
         var i = 0
         while (i < fields.length) {
           val f = fields(i)
