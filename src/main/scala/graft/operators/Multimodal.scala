@@ -22,11 +22,15 @@ final case class MediaFeatures(
   * pushdown, partition-preserving batched featurization via
   * mapPartitions with typed Encoders — is all here and tested.
   *
-  * ==== STUB ====
-  * The DECODE step is a deterministic fake (a byte-histogram
-  * "decoder"): this container has no image/audio codecs. Swap
-  * `decodeStub` for a real codec call (JNI/FFI) without touching any
-  * of the Spark-side contract. mapPartitions (not a per-row UDF) is
+  * The DECODE step is REAL for the containers this classpath can
+  * decode without a codec dependency — 24bpp BMP and farbfeld
+  * (ImageCodec): header-parsed dimensions and channel-value stats,
+  * pinned against planted images (MultimodalSpec) and a DuckDB
+  * oracle (m04). Payloads that aren't a known container fall back to
+  * `opaqueFeatures`, the honest treatment of an undecodable blob
+  * (byte moments + histogram). A production JPEG/PNG/audio decoder
+  * slots into the same dispatch without touching any of the
+  * Spark-side contract. mapPartitions (not a per-row UDF) is
   * deliberate: a real decoder amortizes codec init per PARTITION, the
   * same shape a Pandas-UDF batch gives PySpark.
   */
@@ -43,21 +47,27 @@ object Multimodal {
       (pmod(length(col(textCol)), lit(48)) + 16).cast("int").as("width"),
       (pmod(length(col(textCol)) * 7, lit(48)) + 16).cast("int").as("height"))
 
-  /** STUB decode: 8-bucket byte histogram + moments. Deterministic,
-    * codec-free stand-in for image decode / feature extraction. */
-  def decodeStub(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
+  /** Opaque-payload featurizer: 8-bucket byte histogram + moments —
+    * the fallback when the payload is no known container. (This was
+    * the r9 "decodeStub"; it is now the documented opaque branch, the
+    * honest treatment of an undecodable blob, not a stand-in.) */
+  def opaqueFeatures(bytes: Array[Byte]): (Double, Double, Array[Float]) =
+    valueStats(bytes.length, i => bytes(i) & 0xff)
+
+  /** moments + 8-bucket histogram over n values in 0..255. */
+  private def valueStats(n0: Int, at: Int => Int): (Double, Double, Array[Float]) = {
     val hist = new Array[Long](8)
     var sum = 0.0
     var sumSq = 0.0
     var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      hist(b >>> 5) += 1
-      sum += b
-      sumSq += b.toDouble * b
+    while (i < n0) {
+      val v = at(i)
+      hist(v >>> 5) += 1
+      sum += v
+      sumSq += v.toDouble * v
       i += 1
     }
-    val n = math.max(bytes.length, 1).toDouble
+    val n = math.max(n0, 1).toDouble
     val mean = sum / n
     val variance = math.max(sumSq / n - mean * mean, 0.0)
     (mean, math.sqrt(variance), hist.map(h => (h / n).toFloat))
@@ -119,15 +129,29 @@ object Multimodal {
 
   /** Batched featurization: one decoder pass per partition iterator,
     * no shuffle (narrow dependency — partitioning of the input is
-    * preserved, so an upstream repartition by storage key survives). */
+    * preserved, so an upstream repartition by storage key survives).
+    * Known containers (BMP, farbfeld) REALLY decode: format, width
+    * and height come from the parsed header (overriding the declared
+    * metadata — the decode is the authority), and the moments /
+    * 8-bucket histogram run over decoded channel values. Opaque
+    * payloads keep the declared metadata and get raw-byte stats. */
   def featurize(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real decoder init would happen HERE, once per partition
+      // per-partition decoder state (buffers, JNI handles for a real
+      // codec) would init HERE, once per partition
       rows.map { r =>
-        val (mean, std, feat) = decodeStub(r.content)
-        MediaFeatures(r.doc_id, r.format, r.width, r.height,
-          r.content.length.toLong, mean, std, feat)
+        ImageCodec.decode(r.content) match {
+          case Some(img) =>
+            val (mean, std, feat) =
+              valueStats(img.pixels.length, img.pixels(_))
+            MediaFeatures(r.doc_id, img.format, img.width, img.height,
+              r.content.length.toLong, mean, std, feat)
+          case None =>
+            val (mean, std, feat) = opaqueFeatures(r.content)
+            MediaFeatures(r.doc_id, r.format, r.width, r.height,
+              r.content.length.toLong, mean, std, feat)
+        }
       }
     }
   }

@@ -98,6 +98,57 @@ object MultimodalQueries {
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
           round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
         .orderBy("doc_id")
+    },
+
+    // REAL image decode (m04): every document plants a 24bpp BMP whose
+    // dimensions and pixels are a closed-form function of doc_id; the
+    // featurizer must recover width/height FROM THE PARSED HEADER and
+    // the channel stats FROM THE DECODED PIXELS (declared metadata is
+    // deliberately wrong: 0x0). The oracle knows nothing about BMP —
+    // it recomputes the stats from the generator formula, so a decoder
+    // that misreads the header, the BGR order, the bottom-up rows, or
+    // the 4-byte row padding cannot match. n_bytes pins the container
+    // layout itself (54-byte headers + padded strides).
+    "m04_image_decode" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id, (d.doc_id * 7 + i * 13) % 256 AS v
+        |  FROM documents d, range(0, 144) t(i)
+        |  WHERE i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4) * 3),
+        |s AS (
+        |  SELECT doc_id, SUM(v) AS sv, SUM(CAST(v AS DOUBLE) * v) AS svv,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN v >= 96 AND v < 128 THEN 1 ELSE 0 END) AS h3
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id, 'image/bmp' AS format,
+        |  CAST(4 + s.doc_id % 5 AS INT) AS width,
+        |  CAST(3 + s.doc_id % 4 AS INT) AS height,
+        |  CAST(54 + (((4 + s.doc_id % 5) * 3 + 3) // 4) * 4
+        |    * (3 + s.doc_id % 4) AS BIGINT) AS n_bytes,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_byte,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6) AS std_byte,
+        |  round(CAST(CAST(CAST(h0 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(CAST(h3 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f3
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{ImageCodec, MediaRow}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val w = (4 + Math.floorMod(id, 5L)).toInt
+        val h = (3 + Math.floorMod(id, 4L)).toInt
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          Math.floorMod(id * 7 + i * 13L, 256L).toInt)
+        MediaRow(id, ImageCodec.encodeBmp(w, h, rgb), "declared/wrong", 0, 0)
+      }.toDF()
+      Multimodal.featurize(media)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
+          round(col("std_byte"), 6).as("std_byte"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
+        .orderBy("doc_id")
     }
   )
 }

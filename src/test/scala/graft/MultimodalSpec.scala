@@ -16,9 +16,9 @@ class MultimodalSpec extends SparkSpec {
     assert(f("doc_id") == "bigint" && f("width") == "int" && f("height") == "int")
   }
 
-  test("stub decode matches a hand computation and featurize carries it through") {
+  test("opaque-payload features match a hand computation and featurize carries them through") {
     val bytes = "abcz".getBytes("UTF-8") // 97 98 99 122
-    val (mean, std, feat) = Multimodal.decodeStub(bytes)
+    val (mean, std, feat) = Multimodal.opaqueFeatures(bytes)
     assert(mean == (97 + 98 + 99 + 122) / 4.0)
     val m = (97 + 98 + 99 + 122) / 4.0
     val v = (97.0 * 97 + 98 * 98 + 99 * 99 + 122.0 * 122) / 4.0 - m * m
@@ -46,5 +46,72 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.featurize(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"featurize introduced a shuffle:\n$plan")
+  }
+
+  test("BMP decode is real: a hand-built 2x2 image yields its known dims, pixels, and means") {
+    import graft.operators.ImageCodec
+    // 2x2 24bpp BMP, hand-assembled byte-for-byte (bottom-up, BGR,
+    // rows 2*3=6 bytes padded to 8): top row (255,0,0) (0,255,0),
+    // bottom row (0,0,255) (10,20,30)
+    val hand = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0, // info header
+      0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0,
+      255, 0, 0, 30, 20, 10, 0, 0, // bottom image row first: BGR of (0,0,255), (10,20,30), 2 pad
+      0, 0, 255, 0, 255, 0, 0, 0   // top image row: BGR of (255,0,0), (0,255,0), 2 pad
+    ).map(_.toByte)
+    val img = ImageCodec.decode(hand).get
+    assert(img.format == "image/bmp" && img.width == 2 && img.height == 2)
+    // top-down RGB: row0 = (255,0,0),(0,255,0); row1 = (0,0,255),(10,20,30)
+    assert(img.pixels.toSeq == Seq(
+      255, 0, 0, 0, 255, 0,
+      0, 0, 255, 10, 20, 30))
+    // encoder round-trips to the SAME bytes (pins padding + BGR order)
+    assert(ImageCodec.encodeBmp(2, 2, img.pixels).toSeq == hand.toSeq)
+    // featurize must use the DECODED header + pixels, not the declared
+    // metadata or raw file bytes
+    val media = Seq((7L, hand, "declared/wrong", 99, 99))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val row = Multimodal.featurize(media).collect().head
+    assert(row.format == "image/bmp" && row.width == 2 && row.height == 2)
+    assert(row.n_bytes == 70L)
+    val want = (255 + 0 + 0 + 0 + 255 + 0 + 0 + 0 + 255 + 10 + 20 + 30) / 12.0
+    assert(math.abs(row.mean_byte - want) < 1e-12,
+      s"mean over decoded channels: got ${row.mean_byte}, want $want")
+  }
+
+  test("farbfeld decode is real: dims from the header, channel high bytes as values") {
+    import graft.operators.ImageCodec
+    // 1x2 RGBA, 16-bit channels: pixel0 = (0xff00, 0x0100, 0, 0xffff),
+    // pixel1 = (0x1234, 0, 0x8000, 0xffff)
+    val ff = ImageCodec.encodeFarbfeld(1, 2,
+      Array(0xff00, 0x0100, 0x0000, 0xffff, 0x1234, 0x0000, 0x8000, 0xffff))
+    assert(new String(ff.take(8), "US-ASCII") == "farbfeld")
+    val img = ImageCodec.decode(ff).get
+    assert(img.format == "image/farbfeld" && img.width == 1 && img.height == 2
+      && img.channels == 4)
+    assert(img.pixels.toSeq == Seq(0xff, 0x01, 0x00, 0xff, 0x12, 0x00, 0x80, 0xff))
+  }
+
+  test("a BMP adopted through file(..., 'RawBLOB') featurizes with real decoded dims") {
+    import graft.operators.ImageCodec
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rgb = Array.tabulate(5 * 3 * 3)(i => (i * 11) % 256)
+    val bmp = ImageCodec.encodeBmp(5, 3, rgb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_m01blob")
+    val p = dir.resolve("img.bmp")
+    java.nio.file.Files.write(p, bmp)
+    // RawBLOB is the media-ingest path: whole file → one binary cell
+    val media = graft.functions.ChDdl.execute(spark,
+        s"SELECT 1 AS doc_id, raw_blob FROM file('$p', 'RawBLOB')")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("raw_blob").as("content"), lit("").as("format"),
+        lit(0).as("width"), lit(0).as("height"))
+    val row = Multimodal.featurize(media).collect().head
+    assert(row.format == "image/bmp" && row.width == 5 && row.height == 3)
+    assert(row.n_bytes == bmp.length.toLong)
+    val want = rgb.sum / rgb.length.toDouble
+    assert(math.abs(row.mean_byte - want) < 1e-12)
   }
 }
