@@ -228,6 +228,45 @@ object TypeQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // IndexForNativeFormat (IndexForNativeFormat.cpp:1-91): a Native
+    // dump sorted by status ships with its block-index sidecar; the
+    // indexed read decodes the predicate column first per block and
+    // NEVER decodes the rest of a block with no match — the require()
+    // proves blocks were actually skipped (the p11 measurement
+    // discipline), and the aggregate downstream must match DuckDB
+    // over the ORIGINAL parquet, proving the seek-based decode is
+    // lossless. Small blockRows forces a multi-block file at test SF;
+    // production files cut the reference's 65505-row blocks.
+    "p12_native_index" -> Q(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total,
+        |  min(o_orderkey) AS kmin, max(o_orderkey) AS kmax
+        |FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val src = Tables(s, dir).orders
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"))
+        .orderBy("o_orderstatus", "o_orderkey")
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_p12")
+      dir0.toFile.deleteOnExit()
+      val path = dir0.resolve("orders.native").toString
+      graft.sources.NativeFormat.write(src, path, None, blockRows = 64)
+      val (got, stats) = graft.sources.NativeFormat.readIndexed(s, path,
+        Seq("o_orderkey", "o_orderstatus", "price"),
+        predicate = Some(("o_orderstatus", _ == "F")))
+      require(stats.blocksDecoded < stats.blocksTotal,
+        s"index skipped nothing: $stats")
+      got.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("total"),
+          min(col("o_orderkey")).as("kmin"),
+          max(col("o_orderkey")).as("kmax"))
+        .orderBy("o_orderstatus")
+    },
+
     // DDL round-trip (ASTCreateQuery.h:1; type names per
     // DataTypeFactory.cpp): a ClickHouse CREATE TABLE — FixedString,
     // Decimal64 shorthand, Enum8, PARTITION BY, ORDER BY, SAMPLE BY —

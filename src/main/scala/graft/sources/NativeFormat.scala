@@ -256,20 +256,37 @@ object NativeFormat {
     * but STREAMED — driver memory stays one partition deep.
     * `compression` wraps the byte stream in the reference's
     * LZ4+CityHash block frames (CompressedFrames; INTO OUTFILE …
-    * COMPRESSION 'lz4'/'none' FORMAT Native). */
+    * COMPRESSION 'lz4'/'none' FORMAT Native).
+    *
+    * Uncompressed writes also emit the reference's block index
+    * (IndexForNativeFormat) as a `<path>.idx` sidecar — per-column
+    * marks pointing at each column's name string, exactly what
+    * NativeReader's seek path consumes; [[readIndexed]] uses it for
+    * column projection and predicate block skips. The data file's
+    * bytes are UNCHANGED by the sidecar. `blockRows` is the
+    * reference's DEFAULT_BLOCK_SIZE and is parameterized only so
+    * specs can force multi-block files cheaply. */
   def write(df: DataFrame, path: String,
-      compression: Option[Int] = None): Unit = {
+      compression: Option[Int] = None,
+      blockRows: Int = BlockRows): Unit = {
     val fields = df.schema.fields
     fields.foreach(f => chName(f.dataType, f.nullable)) // validate first
     val raw = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
-    val out = new BufferedOutputStream(compression match {
-      case Some(m) => new CompressedFrames.FrameOutputStream(raw, m)
-      case None => raw
-    })
+    val counting = compression match {
+      case None => new NativeIndex.CountingOutputStream(
+        new BufferedOutputStream(raw))
+      case Some(_) => null
+    }
+    val out: java.io.OutputStream = compression match {
+      case Some(m) => new BufferedOutputStream(
+        new CompressedFrames.FrameOutputStream(raw, m))
+      case None => counting
+    }
+    val indexBlocks = Vector.newBuilder[NativeIndex.BlockIndex]
     try {
       // Streamed via toLocalIterator: the driver holds ONE partition,
       // not the full result (the reference's client sink streams block
-      // by block too). Block framing is unchanged — grouped(BlockRows)
+      // by block too). Block framing is unchanged — grouped(blockRows)
       // cuts the same 65505-row blocks the collect() path produced.
       import scala.jdk.CollectionConverters._
       val rows = df.toLocalIterator().asScala
@@ -277,19 +294,32 @@ object NativeFormat {
       // self-describing (the reference writes the header block too).
       val blocks =
         if (!rows.hasNext) Iterator(Seq.empty[Row])
-        else rows.grouped(BlockRows)
+        else rows.grouped(blockRows)
       blocks.foreach { block =>
         writeVarint(out, fields.length.toLong)
         writeVarint(out, block.length.toLong)
+        val marks = Vector.newBuilder[NativeIndex.ColumnLoc]
         fields.zipWithIndex.foreach { case (f, i) =>
+          val tpe = chName(f.dataType, f.nullable)
+          if (counting != null)
+            // the mark points at the NAME string (NativeWriter.cpp:95-101
+            // records it before name/type/data; the uncompressed mark
+            // has offset_in_decompressed_block = 0)
+            marks += NativeIndex.ColumnLoc(f.name, tpe,
+              NativeIndex.Mark(counting.count, 0L))
           writeString(out, f.name)
-          writeString(out, chName(f.dataType, f.nullable))
+          writeString(out, tpe)
           if (block.nonEmpty)
             writeBulk(out, f.dataType, f.nullable,
               block.map(_.get(i)).toIndexedSeq)
         }
+        if (counting != null)
+          indexBlocks += NativeIndex.BlockIndex(block.length.toLong,
+            marks.result())
       }
     } finally out.close()
+    if (counting != null)
+      NativeIndex.write(NativeIndex.sidecarPath(path), indexBlocks.result())
   }
 
   // ---------- column-major bulk read ----------
@@ -392,5 +422,102 @@ object NativeFormat {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rowsOut.result()), schema)
     } finally in.close()
+  }
+
+  // ---------- index-driven projected/pruned read ----------
+
+  /** What the pruned scan actually touched — the spec's measurement
+    * surface (the ZOrder discipline: prove the skip, don't claim it). */
+  final case class IndexedScanStats(blocksTotal: Int, blocksDecoded: Int,
+    columnsDecoded: Long)
+
+  /** Index-driven read (NativeReader.cpp:90-160's use_index path):
+    * seeks straight to each required column's mark, re-reads the
+    * name/type strings and verifies them against the index (the
+    * reference's "corrupted index or data" checks), and decodes ONLY
+    * the required columns' bytes. With `predicate` = (column, test),
+    * the predicate column decodes FIRST per block; blocks where no
+    * row passes never decode the remaining columns — the Native
+    * edition of parquet row-group pruning, built from exactly what
+    * the reference index provides (per-column seeks). Row-level
+    * filtering still applies to the survivors. Returns the frame and
+    * the touch counts. */
+  def readIndexed(spark: SparkSession, path: String,
+      columns: Seq[String],
+      predicate: Option[(String, Any => Boolean)] = None)
+      : (DataFrame, IndexedScanStats) = {
+    val idx = NativeIndex.read(NativeIndex.sidecarPath(path))
+    require(idx.nonEmpty, s"Native index for $path is empty")
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.READ)
+    var colsDecoded = 0L
+    var blocksDecoded = 0
+
+    /** decode one column at its mark; verifies name/type vs index. */
+    def decodeAt(loc: NativeIndex.ColumnLoc, rows: Int)
+        : (StructField, IndexedSeq[Any]) = {
+      ch.position(loc.mark.offsetCompressed)
+      val in = new DataInputStream(new BufferedInputStream(
+        java.nio.channels.Channels.newInputStream(ch)))
+      val name = readString(in)
+      require(name == loc.name,
+        "Index points to column with wrong name: corrupted index or data")
+      val tpe = readString(in)
+      require(tpe == loc.tpe,
+        "Index points to column with wrong type: corrupted index or data")
+      val (dt, nullable) = parseCh(tpe)
+      colsDecoded += 1
+      (StructField(name, dt, nullable),
+        if (rows > 0) readBulk(in, dt, nullable, rows) else IndexedSeq.empty)
+    }
+
+    try {
+      var schema: StructType = null
+      val rowsOut = Vector.newBuilder[Row]
+      idx.foreach { block =>
+        val byName = block.columns.map(c => c.name -> c).toMap
+        val required = columns.map(n => byName.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"Native index: no column '$n' (has " +
+              s"${block.columns.map(_.name).mkString(", ")})")))
+        val nrows = block.numRows.toInt
+        // phase 1: the predicate column alone decides the block's fate
+        val mask: Option[IndexedSeq[Boolean]] = predicate.map { case (pc, f) =>
+          val loc = byName.getOrElse(pc, throw new IllegalArgumentException(
+            s"Native index: no predicate column '$pc'"))
+          decodeAt(loc, nrows)._2.map(f)
+        }
+        if (nrows > 0 && mask.forall(_.exists(identity))) {
+          blocksDecoded += 1
+          val cols = required.map(decodeAt(_, nrows))
+          val blockSchema = StructType(cols.map(_._1))
+          if (schema == null) schema = blockSchema
+          else require(schema == blockSchema,
+            s"Native: block schema mismatch ($blockSchema vs $schema)")
+          var r = 0
+          while (r < nrows) {
+            if (mask.forall(_(r)))
+              rowsOut += Row.fromSeq(cols.map(_._2(r)))
+            r += 1
+          }
+        } else if (schema == null && nrows == 0) {
+          // an empty header block still carries the schema
+          schema = StructType(required.map(decodeAt(_, 0)._1))
+        }
+      }
+      if (schema == null) {
+        // every block pruned: derive the schema from the marks alone
+        val block = idx.head
+        val byName = block.columns.map(c => c.name -> c).toMap
+        schema = StructType(columns.map { n =>
+          val (dt, nullable) = parseCh(byName(n).tpe)
+          StructField(n, dt, nullable)
+        })
+      }
+      (spark.createDataFrame(
+        spark.sparkContext.parallelize(rowsOut.result()), schema),
+        IndexedScanStats(idx.length, blocksDecoded, colsDecoded))
+    } finally ch.close()
   }
 }
