@@ -23,6 +23,41 @@ object TextQueries {
       s" THEN ascii(substr(md5(t), $i, 1)) - 87" +
       s" ELSE ascii(substr(md5(t), $i, 1)) - 48 END)"
 
+  /** t17's oracle: Bpe.train's merge loop unrolled as `merges` chained
+    * MATERIALIZED CTE rounds. Words travel as t18's chr(1)-wrapped
+    * symbol strings; per round, pairs come from splitting the wrap,
+    * the top-1 is the deterministic (count desc, left, right) order,
+    * and the merge applies as the wrapped non-overlapping replace. */
+  private def bpeTrainOracle(merges: Int): String = {
+    val S = "chr(1)"
+    def round(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT ls[j] AS l, ls[j+1] AS r, SUM(c) AS n FROM (
+         |    SELECT string_split(trim(ws, $S), $S||$S) AS ls, c FROM $prev) s,
+         |    LATERAL (SELECT unnest(range(1, len(s.ls))) AS j) t
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(w.ws, $S||m.l||$S||$S||m.r||$S, $S||m.l||m.r||$S) AS ws, w.c
+         |  FROM $prev w, m$i m)""".stripMargin
+    }
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT $S || array_to_string(list_append(string_split_regex(w, ''),
+       |    '</w>'), $S||$S) || $S AS ws, COUNT(*) AS c
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+       |    w -> w != '')) AS w FROM documents) u
+       |  GROUP BY 1
+       |),
+       |""".stripMargin +
+      (1 to merges).map(round).mkString(",\n") + "\n" +
+      (1 to merges).map(i =>
+        s"""SELECT $i AS rank, l AS "left", r AS "right",
+           |  CAST(n AS BIGINT) AS pair_count FROM m$i""".stripMargin)
+        .mkString(" UNION ALL ") +
+      " ORDER BY rank"
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Hashed-feature linear quality scorer (t10): bucket = 3 md5 hex
@@ -438,14 +473,22 @@ object TextQueries {
     // (map-side — the hot-token skew a shuffled token join would
     // have) and the per-doc mean is a partial avg. -ln sums bridge
     // engines at round 6 (term-order error ~1e-13).
-    // BPE merge-table training (Sennrich et al. 2016) — *rows-only*:
-    // the merge loop is sequentially data-dependent (each round's
-    // arg-max feeds the next), so no portable single-statement ANSI
-    // oracle exists; BpeSpec pins the result against an independent
-    // in-test reference implementation on planted fixtures plus a
-    // determinism re-run. The loop itself is distributed (explode +
-    // hash-agg pair counts, distributed top-1) — see operators/Bpe.
-    "t17_bpe_train" -> Q.rowsOnly { (s, dir) =>
+    // BPE merge-table training (Sennrich et al. 2016). Hash-exact
+    // since r16: the sequentially data-dependent merge loop (each
+    // round's arg-max feeds the next) UNROLLS into 12 chained
+    // MATERIALIZED CTE rounds — per round a pair-count aggregate over
+    // the word table, the deterministic top-1 (count desc, left,
+    // right), and the merge applied via t18's chr(1)-wrapped
+    // non-overlapping replace trick. MATERIALIZED is load-bearing:
+    // each w_i is referenced twice (pairs of round i+1 + merge of
+    // round i+1), so inlined CTEs re-derive the chain 2^12 times;
+    // materialized, the whole 12-round replay runs in ~0.2 s. Early
+    // exhaustion matches too: an empty top-1 empties every later CTE,
+    // which is exactly Bpe.train's early stop. BpeSpec still pins the
+    // loop against an independent in-test reference on fixtures.
+    // The Spark loop itself is distributed (explode + hash-agg pair
+    // counts, distributed top-1) — see operators/Bpe.
+    "t17_bpe_train" -> Q(bpeTrainOracle(12)) { (s, dir) =>
       Bpe.train(Tables(s, dir).documents, "text", 12)
     },
 
