@@ -36,7 +36,8 @@ def load_bench(path):
         if k == "canary_s":
             canary = float(v)
         elif k not in ("metric", "value", "sf", "iters", "n", "rc", "cpus",
-                       "median_rel_spread", "n_keys"):
+                       "median_rel_spread", "n_keys", "baseline_canary_s",
+                       "vs_baseline_median", "vs_baseline_max"):
             qs[k] = float(v)
     return qs, canary
 

@@ -30,7 +30,8 @@ def load(path):
         if k == "canary_s":
             canary = float(v)
         elif k not in ("metric", "value", "sf", "iters", "n", "rc", "cpus",
-                       "median_rel_spread", "n_keys"):
+                       "median_rel_spread", "n_keys", "baseline_canary_s",
+                       "vs_baseline_median", "vs_baseline_max"):
             qs[k] = float(v)
     return qs, canary
 
@@ -66,6 +67,18 @@ def main():
             print(f"{title} (threshold {thr}):")
             for k, r in sorted(d.items(), key=lambda x: -x[1]):
                 print(f"  {r:6.2f}  {k}  ({qa[k]:.3f}s -> {qb[k]:.3f}s)")
+    # from r16 Bench emits its own canary-normalized vs-BASELINE reading
+    # ("vs:<key>" map + vs_baseline_median/max) INTO the artifact; print
+    # it when present so nobody re-derives it from raw medians by hand.
+    raw_b = open(args[1]).read()
+    self_med = re.search(r'"vs_baseline_median":([0-9.]+)', raw_b)
+    if self_med:
+        worst = {k: float(v) for k, v in
+                 re.findall(r'"vs:([a-z][a-z0-9_]+)":([0-9.]+)', raw_b)}
+        worst = sorted(worst.items(), key=lambda x: -x[1])[:5]
+        print(f"self-reported vs BASELINE (canary-normalized): "
+              f"median {float(self_med.group(1)):.3f}, worst: "
+              + ", ".join(f"{k}={v:.2f}" for k, v in worst))
     missing_b = sorted(set(qa) - set(qb))
     if missing_b:
         print("keys vanished in B (truncation or failure):", ", ".join(missing_b))

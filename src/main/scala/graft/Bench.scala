@@ -142,7 +142,44 @@ object Bench {
     val order = benched.keys.toSeq.sorted
     val cs = order.map(k =>
       results.get(k).map(v => math.round(v * 100).toString).getOrElse("-1"))
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_runs":$failJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},"medians_cs_sorted_keys":[${cs.mkString(",")}]}"""
+    // ---- canary-normalized vs-BASELINE ratios (r15 "what's wrong" #3:
+    // raw medians of a committed artifact kept being read against a
+    // different-ambient baseline, manufacturing phantom regressions).
+    // ratio(key) = (new_s / new_canary) / (base_s / base_canary) — the
+    // baseline_check.py arithmetic, emitted INTO the artifact so the
+    // normalized reading travels with the raw one. Keys in the per-key
+    // map carry a "vs:" prefix: the tail-format parsers recover query
+    // keys by regex, and an unprefixed ratio map would collide with
+    // (and clobber) the medians of the same keys.
+    val baselineTxt =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+      catch { case _: Throwable => "" }
+    val baseKeys = """\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
+      .findAllMatchIn(baselineTxt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val baseCanary = """canary_s:\s*([0-9.]+)""".r
+      .findFirstMatchIn(baselineTxt).map(_.group(1).toDouble)
+    val vsRatios: Map[String, Double] = baseCanary match {
+      case Some(bc) if bc > 0 && canaryS > 0 =>
+        results.flatMap { case (k, v) =>
+          baseKeys.get(k).filter(_ > 0)
+            .map(bv => k -> (v / canaryS) / (bv / bc))
+        }.toMap
+      case _ => Map.empty
+    }
+    def r3(x: Double): String = f"$x%.3f"
+    val vsJson = vsRatios.toSeq.sortBy(_._1)
+      .map { case (k, r) => s"\"vs:$k\":${r3(r)}" }.mkString("{", ",", "}")
+    val vsMedian = if (vsRatios.nonEmpty) median(vsRatios.values.toSeq) else 0.0
+    val vsMax = if (vsRatios.nonEmpty) vsRatios.values.max else 0.0
+    val vsWorst = vsRatios.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, r) => s"\"vs:$k\":${r3(r)}" }.mkString("{", ",", "}")
+    val vsFields = s""""baseline_canary_s":${baseCanary.getOrElse(0.0)},""" +
+      s""""vs_baseline_median":${r3(vsMedian)},""" +
+      s""""vs_baseline_max":${r3(vsMax)},""" +
+      s""""vs_baseline_worst":$vsWorst"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_runs":$failJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},$vsFields,"vs_baseline":$vsJson,"medians_cs_sorted_keys":[${cs.mkString(",")}]}"""
     println(full)
     // The driver's BENCH_rN.json keeps only the LAST 2000 output
     // chars and parses the final JSON line into its `parsed` field —
@@ -153,7 +190,7 @@ object Bench {
     // queries map, with the per-key medians as centiseconds in
     // sorted-key order (keys reconstructible from SparkEntry.queries;
     // -1 marks an error key). It fits the tail whole, so it parses.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},"medians_cs_sorted_keys":[${cs.mkString(",")}]}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},$vsFields,"medians_cs_sorted_keys":[${cs.mkString(",")}]}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "dev/bench_medians_last.json")), full)

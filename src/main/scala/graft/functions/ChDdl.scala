@@ -678,7 +678,7 @@ object ChDdl {
     "TSV", "TABSEPARATED", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES",
     "JSONEACHROW", "ORC", "AVRO", "ARROW", "ROWBINARY",
     "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES",
-    "PROTOBUF", "PROTOBUFSINGLE", "RAWBLOB", "NATIVE")
+    "PROTOBUF", "PROTOBUFSINGLE", "RAWBLOB", "NATIVE", "MSGPACK")
 
   private val adoptFns = Set("FILE", "S3", "GCS", "HDFS",
     "AZUREBLOBSTORAGE", "URL")
@@ -696,11 +696,29 @@ object ChDdl {
     else if (p.endsWith(".arrow")) "ARROW"
     else if (p.endsWith(".native")) "NATIVE"
     else if (p.endsWith(".pb") || p.endsWith(".protobuf")) "PROTOBUF"
+    else if (p.endsWith(".msgpack") || p.endsWith(".msgpk")) "MSGPACK"
     else "PARQUET"
   }
 
+  /** A CH structure string ('a Int64, b Nullable(String)') → Spark
+    * schema, through the CREATE TABLE column parser so every declared
+    * type (Nullable, Array, Decimal shorthands, the UInt64 carrier)
+    * resolves exactly as DDL does. */
+  private[functions] def structSchema(structure: String)
+      : org.apache.spark.sql.types.StructType = {
+    val ct = parse(s"CREATE TABLE graft_struct ($structure) " +
+      "ENGINE = MergeTree ORDER BY tuple()")
+    org.apache.spark.sql.types.StructType(ct.cols.map { c =>
+      org.apache.spark.sql.types.StructField(c.name,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(c.sparkType),
+        nullable = c.chType.startsWith("Nullable("))
+    })
+  }
+
   private def readAdHoc(spark: SparkSession, path: String, up: String,
-      fn: String): org.apache.spark.sql.DataFrame = up match {
+      fn: String, structure: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = up match {
     case "PARQUET" => spark.read.parquet(path)
     case "CSV" | "CSVWITHNAMES" =>
       spark.read.option("header", (up == "CSVWITHNAMES").toString)
@@ -724,9 +742,21 @@ object ChDdl {
       require(fs.nonEmpty, s"$fn(): FORMAT $up needs a schema — " +
         "SET format_schema = 'schema.proto:Message' first (the " +
         "reference's format_schema setting)")
+      graft.sources.AdHocFiles.guardSize(spark, path, s"$fn($up)")
       graft.sources.ProtobufFormat.read(spark, path, fs,
         up == "PROTOBUFSINGLE")
-    case "RAWBLOB" => graft.sources.RawBlob.read(spark, path)
+    case "RAWBLOB" =>
+      graft.sources.AdHocFiles.guardSize(spark, path, s"$fn(RawBLOB)")
+      graft.sources.RawBlob.read(spark, path)
+    case "MSGPACK" =>
+      // positional format, no column names on the wire — the
+      // structure argument is mandatory (the reference's own
+      // file(path, format, structure) signature)
+      val st = structure.getOrElse(throw new IllegalArgumentException(
+        s"$fn(): MsgPack rows are positional — pass the structure, " +
+          "e.g. file('x.msgpack', 'MsgPack', 'a Int64, b String')"))
+      graft.sources.AdHocFiles.guardSize(spark, path, s"$fn(MsgPack)")
+      graft.sources.MsgPackFormat.read(spark, path, structSchema(st))
     case "ROWBINARY" | "ROWBINARYWITHNAMES" =>
       throw new IllegalArgumentException(
         s"$fn(): headerless $up carries no schema to adopt — write the " +
@@ -763,16 +793,22 @@ object ChDdl {
     * onto the session's Hadoop conf (fs.s3a.* — the public
     * hadoop-aws names), NOSIGN onto the anonymous provider. */
   private[functions] def adoptPathFmt(spark: SparkSession, fn: String,
-      args: Seq[String]): (String, String) = {
+      args: Seq[String]): (String, String, Option[String]) = {
     def trailingFmt(rest: Seq[String]): Option[String] =
       rest.find(a => adoptFormats(a.toUpperCase)).map(_.toUpperCase)
     fn match {
       case "FILE" =>
+        // file(path[, format[, structure]]) — the reference's full
+        // signature; structure is required by positional formats
+        // (MsgPack) and ignored by self-describing ones
         (args(0), args.lift(1).map(_.toUpperCase)
-          .getOrElse(extFormat(args(0))))
+          .getOrElse(extFormat(args(0))), args.lift(2))
       case "URL" =>
         val local = fetchUrl(args(0))
-        (local, trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))))
+        // the fetch is driver-side by contract — refuse past the
+        // adoption budget with guidance instead of OOMing downstream
+        graft.sources.AdHocFiles.guardSize(spark, local, "url()")
+        (local, trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))), None)
       case "S3" | "GCS" =>
         // hadoop's S3 connector scheme is s3a://
         val path = if (args(0).startsWith("s3://"))
@@ -790,16 +826,16 @@ object ChDdl {
           conf.set("fs.s3a.access.key", rest(0))
           conf.set("fs.s3a.secret.key", rest(1))
         }
-        (path, trailingFmt(rest).getOrElse(extFormat(path)))
+        (path, trailingFmt(rest).getOrElse(extFormat(path)), None)
       case "HDFS" =>
-        (args(0), trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))))
+        (args(0), trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))), None)
       case "AZUREBLOBSTORAGE" =>
         require(args(0).matches("^(abfss?|wasbs?)://.*"),
           "azureBlobStorage(): pass the abfss://container@account.dfs." +
             "core.windows.net/path form (the connection-string + " +
             "container + blob triple is client config — put credentials " +
             "in the Hadoop conf)")
-        (args(0), trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))))
+        (args(0), trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))), None)
     }
   }
 
@@ -820,8 +856,8 @@ object ChDdl {
           case t if isLit(t) => t.text.drop(1).dropRight(1)
           case t if t.word => t.text
         }
-        val (path, up) = adoptPathFmt(spark, fn, args)
-        val reader = readAdHoc(spark, path, up, fn.toLowerCase)
+        val (path, up, structure) = adoptPathFmt(spark, fn, args)
+        val reader = readAdHoc(spark, path, up, fn.toLowerCase, structure)
         val view = "graft_file_" +
           Integer.toHexString((path + "|" + up).hashCode).replace('-', 'm')
         reader.createOrReplaceTempView(view)
@@ -1844,10 +1880,11 @@ object ChDdl {
             val f = fmt.getOrElse("TSV").toUpperCase
             require(ChFormat.renderable(f) || graft.sources.RowBinary.names(f) ||
               graft.sources.NativeFormat.names(f) ||
-              graft.sources.ProtobufFormat.names(f) || f == "RAWBLOB",
+              graft.sources.ProtobufFormat.names(f) || f == "RAWBLOB" ||
+              f == "MSGPACK",
               s"INTO OUTFILE supports FORMAT ${ChFormat.renderable.mkString("/")}" +
                 s"/RowBinary[WithNames[AndTypes]]/Native/Protobuf[Single]" +
-                s"/RawBLOB, got $f")
+                s"/RawBLOB/MsgPack, got $f")
             val p = java.nio.file.Paths.get(path)
             require(!java.nio.file.Files.exists(p),
               s"INTO OUTFILE: file $path already exists (reference behavior)")
@@ -1893,6 +1930,8 @@ object ChDdl {
                   f == "PROTOBUFSINGLE")
               } else if (f == "RAWBLOB")
                 graft.sources.RawBlob.write(df, path)
+              else if (f == "MSGPACK")
+                graft.sources.MsgPackFormat.write(df, path)
               else {
                 // line renderings stream via toLocalIterator — the
                 // driver holds one partition of lines, not the full

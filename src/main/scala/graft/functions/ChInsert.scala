@@ -199,7 +199,7 @@ object ChInsert {
         t.text.drop(1).dropRight(1)
       case t if t.word => t.text
     }
-    val (path, fmt) = ChDdl.adoptPathFmt(spark, fn, args)
+    val (path, fmt, _) = ChDdl.adoptPathFmt(spark, fn, args)
     var i = close + 1
     val partitionBy: Option[String] =
       if (i + 2 < ts.length && ts(i).up == "PARTITION" && ts(i + 1).up == "BY") {

@@ -274,6 +274,23 @@ case class DeterministicReservoirQuantile(
     if (returnArray) ArrayType(DoubleType, containsNull = false) else DoubleType
   override def prettyName: String = "deterministic_reservoir_quantile"
 
+  // analysis-time type errors, not execution-time ClassCastExceptions:
+  // the dialect path always Casts the determinator to Long, but direct
+  // API construction can pass anything (r15 advice; CappedIdList's
+  // checkInputDataTypes is the template)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (!child.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: value must be numeric, got ${child.dataType.simpleString}")
+    else if (det.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: determinator must be BIGINT (cast it), got " +
+          det.dataType.simpleString)
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): DetReservoirBuf =
     new DetReservoirBuf(cap)
 

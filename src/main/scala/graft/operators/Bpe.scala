@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   *    (the count that materializes the checkpoint) plus the top-pair
   *    collect; the previous round's checkpoint storage is released
   *    explicitly.
+  *    FAULT-TOLERANCE TRADE (declared): localCheckpoint discards the
+  *    lineage, so an executor loss mid-train fails the job where a
+  *    persist would recompute — accepted for the measured quadratic
+  *    analysis blow-up it removes. A long production train (32k
+  *    merges, hours) that must survive executor churn should set a
+  *    checkpoint dir and swap localCheckpoint(false) for reliable
+  *    checkpoint() — same truncation, storage-backed; the loop
+  *    needs no other change.
   *
   * The left-fold realizes the standard simultaneous left-to-right
   * non-overlapping replace: a just-merged element can never re-merge

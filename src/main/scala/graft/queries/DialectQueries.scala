@@ -2469,6 +2469,55 @@ object DialectQueries {
             sum(col("prio")).cast("long").as("prio_sum"))
           .orderBy("o_orderstatus")
       } finally s.conf.unset("spark.graft.format_schema")
+    },
+
+    // MsgPack file interchange (registerFormats.cpp:41-42, the public
+    // MessagePack wire spec; MsgPackRowOutputFormat framing — one
+    // value per column, rows back-to-back): same round-trip-vs-the-
+    // original discipline as c55/c56, additionally proving NULL
+    // fidelity (MessagePack nil is first-class, unlike proto3) and
+    // the positional structure-argument adoption path
+    // (file(path, 'MsgPack', 'a Int64, …'), the reference signature).
+    "c57_msgpack_roundtrip" -> Q(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 <> 0
+        |    THEN length(o_orderpriority) ELSE 0 END) AS BIGINT) AS plen,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total,
+        |  CAST(CAST(min(CAST('18446744073709551615' AS DECIMAL(21,0)) - o_orderkey)
+        |    AS DECIMAL(20,0)) AS VARCHAR) AS umin
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      GraftFunctions.ensureRegistered(s)
+      val src = Tables(s, dir).orders
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, lit(null))
+            .otherwise(col("o_orderpriority")).as("prio"),
+          col("o_totalprice").cast("double").as("price"),
+          (lit("18446744073709551615").cast("decimal(21,0)")
+            - col("o_orderkey")).cast("decimal(20,0)").as("u"))
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_c57")
+      dir0.toFile.deleteOnExit()
+      val path = dir0.resolve("orders.msgpack").toString
+      src.createOrReplaceTempView("graft_c57_src")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM graft_c57_src INTO OUTFILE '$path' FORMAT MsgPack")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM file('$path', 'MsgPack', 'o_orderkey Int64, " +
+          "o_orderstatus String, prio Nullable(String), " +
+          "price Float64, u UInt64')")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(coalesce(length(col("prio")), lit(0))).cast("long").as("plen"),
+          sum(col("price").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+          min(col("u")).cast("string").as("umin"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -27,6 +27,28 @@ import org.apache.spark.sql.types._
   */
 object AdHocFiles {
 
+  /** Driver-side adoption byte budget (spark.graft.adhoc_max_bytes,
+    * default 256 MiB): the Arrow/url()/Protobuf/RawBLOB adopters
+    * materialize the file on the DRIVER by contract, so past this
+    * budget the failure mode must be a message with guidance, not an
+    * OOM (r15 advice). */
+  private[graft] def guardSize(spark: SparkSession, path: String,
+      what: String): Unit = {
+    val max = spark.conf.get("spark.graft.adhoc_max_bytes",
+      (256L << 20).toString).toLong
+    // url() passes file:-scheme locals through verbatim; non-local
+    // paths (hdfs/s3a) are distributed reads and aren't guarded here
+    val local = java.nio.file.Paths.get(path.stripPrefix("file:"))
+    if (!java.nio.file.Files.isRegularFile(local)) return
+    val sz = java.nio.file.Files.size(local)
+    require(sz <= max,
+      s"$what: $path is $sz bytes — over the driver-side adoption " +
+        s"budget of $max (spark.graft.adhoc_max_bytes). This reader " +
+        "materializes on the driver by design (ad-hoc client files); " +
+        "data this size belongs in parquet/ORC on a distributed path " +
+        "(s3/hdfs/file globs through spark.read)")
+  }
+
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
@@ -129,6 +151,7 @@ object AdHocFiles {
   }
 
   def arrow(spark: SparkSession, path: String): DataFrame = {
+    guardSize(spark, path, "file(Arrow)")
     val alloc = new org.apache.arrow.memory.RootAllocator()
     val ch = java.nio.channels.FileChannel.open(
       java.nio.file.Paths.get(path),

@@ -174,6 +174,11 @@ object CompressedFrames {
       if (method != MethodLz4 && method != MethodNone) return false
       if (compWithHeader < HeaderSize || compWithHeader > 16 * BufSize) return false
       if (rawLen < 0 || rawLen > 16 * BufSize) return false
+      // MethodNone frames store the payload verbatim: inconsistent
+      // sizes mean "not a frame", strengthening the sane-header test
+      // that gates the corruption throw below
+      if (method == MethodNone && rawLen != compWithHeader - HeaderSize)
+        return false
       val framed = new Array[Byte](compWithHeader)
       System.arraycopy(head, 16, framed, 0, HeaderSize)
       got = HeaderSize
@@ -182,7 +187,18 @@ object CompressedFrames {
         got += r
       if (got < compWithHeader) return false
       val (lo, hi) = CityHash102.cityHash128(framed, 0, framed.length)
-      lo == ckLo && hi == ckHi
+      // Header fields sane AND the whole frame present: this IS a
+      // compressed file. A checksum mismatch here is CORRUPTION and
+      // must surface as the reference's CHECKSUM_DOESNT_MATCH — not
+      // `false`, which would send the caller down the uncompressed
+      // path to die on a misleading block-parse error (r15 advice).
+      // The odds of an uncompressed Native stream passing the header
+      // sanity checks are ~0 (its first byte is a varint column
+      // count; method must be 0x82/0x02 at offset 16).
+      require(lo == ckLo && hi == ckHi,
+        "compressed frame: checksum mismatch in the FIRST frame — " +
+          "corrupted data (the reference's CHECKSUM_DOESNT_MATCH)")
+      true
     } finally in.close()
   }
 }

@@ -460,13 +460,15 @@ class CreateFormsSpec extends SparkSpec {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(lz4))
     bytes(40) = (bytes(40) ^ 0x01).toByte
     java.nio.file.Files.write(corrupted, bytes)
-    // the flipped bit fails the decisive first-frame checksum, so the
-    // file no longer detects as compressed and the garbage bytes fail
-    // the Native block parse — loud either way, never silent data
-    intercept[Exception] {
+    // the header fields still parse sane, so the first-frame checksum
+    // failure is diagnosed as CORRUPTION (the reference's
+    // CHECKSUM_DOESNT_MATCH) — not a fall-through to the uncompressed
+    // path dying on a misleading block-parse error (r15 advice)
+    val ce = intercept[Exception] {
       ChDdl.execute(spark,
         s"SELECT count(*) AS n FROM file('$corrupted', 'Native')").head()
     }
+    assert(ce.getMessage.contains("checksum mismatch"), ce.getMessage)
     // COMPRESSION on a non-Native format refuses with guidance
     val e2 = intercept[IllegalArgumentException] {
       ChDdl.execute(spark, s"SELECT 1 AS x INTO OUTFILE " +

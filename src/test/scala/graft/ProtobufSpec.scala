@@ -267,4 +267,23 @@ class ProtobufSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ONE column"), e.getMessage)
   }
+
+  test("driver-side adopters refuse past the adoption byte budget with guidance") {
+    GraftFunctions.ensureRegistered(spark)
+    val big = dir.resolve("big.bin")
+    java.nio.file.Files.write(big, Array.fill[Byte](4096)(7))
+    spark.conf.set("spark.graft.adhoc_max_bytes", "1024")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ChDdl.execute(spark, s"SELECT * FROM file('$big', 'RawBLOB')")
+      }
+      assert(e.getMessage.contains("budget") &&
+        e.getMessage.contains("parquet"), e.getMessage)
+      // under the budget it reads fine
+      spark.conf.set("spark.graft.adhoc_max_bytes", "65536")
+      assert(ChDdl.execute(spark,
+        s"SELECT length(raw_blob) AS n FROM file('$big', 'RawBLOB')")
+        .collect()(0).getInt(0) == 4096)
+    } finally spark.conf.unset("spark.graft.adhoc_max_bytes")
+  }
 }
