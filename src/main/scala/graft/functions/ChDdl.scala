@@ -1938,7 +1938,7 @@ object ChDdl {
                 // render (Pretty/JSON stay capped upstream anyway)
                 val out = new java.io.BufferedOutputStream(
                   java.nio.file.Files.newOutputStream(p))
-                try ChFormat.render(df, f).toLocalIterator()
+                try ChFormat.render(df, f, settings).toLocalIterator()
                   .forEachRemaining { r =>
                     out.write(r.getString(0).getBytes("UTF-8"))
                     out.write('\n')
@@ -1949,7 +1949,8 @@ object ChDdl {
             df
           case None =>
             fmt.map(_.toUpperCase) match {
-              case Some(f) if ChFormat.renderable(f) => ChFormat.render(df, f)
+              case Some(f) if ChFormat.renderable(f) =>
+                ChFormat.render(df, f, settings)
               // wire-protocol formats refuse WITH guidance instead of
               // silently dropping the clause (r12 verdict missing #3)
               case Some(f) if ChFormat.wire(f) => ChFormat.refuseWire(f)

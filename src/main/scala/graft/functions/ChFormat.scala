@@ -40,7 +40,8 @@ object ChFormat {
   val renderable: Set[String] = Set("JSONEACHROW", "CSV", "TSV",
     "TABSEPARATED", "VALUES", "PRETTY", "PRETTYCOMPACT",
     "CSVWITHNAMES", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES", "TSKV",
-    "JSON", "JSONCOMPACT", "JSONCOMPACTEACHROW")
+    "JSON", "JSONCOMPACT", "JSONCOMPACTEACHROW",
+    "XML", "JSONEACHROWWITHPROGRESS", "TEMPLATE")
 
   /** Wire-protocol formats (registerFormats.cpp): binary encodings of
     * the reference's client protocol / external codecs. A library has
@@ -75,7 +76,31 @@ object ChFormat {
     Seq(header).toDF("line").unionAll(body)
   }
 
+  /** Template needs its SETTINGS (the reference passes
+    * format_template_* through the query context); every other
+    * renderable ignores them. */
+  def render(df: DataFrame, fmt: String,
+      settings: Seq[(String, String)]): DataFrame =
+    if (fmt.toUpperCase == "TEMPLATE") template(df, settings)
+    else render(df, fmt)
+
   def render(df: DataFrame, fmt: String): DataFrame = fmt.toUpperCase match {
+    case "TEMPLATE" => template(df, Nil)
+    case "XML" => xmlEnvelope(df)
+    case "JSONEACHROWWITHPROGRESS" =>
+      // each row wrapped as a {"row":{…}} event, then ONE final
+      // {"progress":{…}} event carrying the true row count — the
+      // library rendering of the reference's interleaved progress
+      // stream (progress is client-display state; the row count is
+      // its only engine-meaningful field). read_rows is quoted like
+      // the reference's 64-bit JSON integers.
+      val rows = df.select(concat(lit("{\"row\":"),
+        to_json(struct(df.columns.map(col): _*),
+          Map("ignoreNullFields" -> "false")), lit("}")).as("line"))
+      val progress = df.groupBy().count()
+        .select(concat(lit("{\"progress\":{\"read_rows\":\""),
+          col("count").cast("string"), lit("\"}}")).as("line"))
+      rows.unionAll(progress)
     case "CSVWITHNAMES" =>
       // CH writes CSV header names quoted
       withHeader(render(df, "CSV"),
@@ -97,23 +122,9 @@ object ChFormat {
       df.select(concat_ws("\t", df.columns.map(c =>
         coalesce(col(c).cast("string"), lit("\\N"))): _*).as("line"))
     case "VALUES" =>
-      val cells = df.schema.fields.map { f =>
-        val c = col(f.name)
-        f.dataType match {
-          case StringType =>
-            // CH escapeString: backslash first, then the quote
-            when(c.isNull, lit("NULL")).otherwise(concat(lit("'"),
-              call_function("replace",
-                call_function("replace", c, lit("\\"), lit("\\\\")),
-                lit("'"), lit("\\'")), lit("'")))
-          case DateType | TimestampType | TimestampNTZType =>
-            when(c.isNull, lit("NULL"))
-              .otherwise(concat(lit("'"), c.cast("string"), lit("'")))
-          case _ => coalesce(c.cast("string"), lit("NULL"))
-        }
-      }
-      df.select(concat(lit("("), concat_ws(",", cells: _*), lit(")"))
-        .as("line"))
+      val cells = df.schema.fields.map(quotedCell)
+      df.select(concat(lit("("), concat_ws(",", cells.toIndexedSeq: _*),
+        lit(")")).as("line"))
     case "PRETTY" => pretty(df, compact = false)
     case "PRETTYCOMPACT" => pretty(df, compact = true)
     case "JSONCOMPACTEACHROW" =>
@@ -134,18 +145,37 @@ object ChFormat {
     * are quoted, the reference's output_format_json_quote_64bit_
     * integers=1 default (JS numbers lose precision past 2^53). */
   private def jsonCells(df: DataFrame): Seq[org.apache.spark.sql.Column] =
-    df.schema.fields.toSeq.map { f =>
-      val c = col(f.name)
-      f.dataType match {
-        case LongType =>
-          when(c.isNull, lit("null"))
-            .otherwise(concat(lit("\""), c.cast("string"), lit("\"")))
-        case _ =>
-          val j = to_json(struct(c.as("v")),
-            Map("ignoreNullFields" -> "false"))
-          j.substr(lit(6), length(j) - 6)
-      }
+    df.schema.fields.toSeq.map(jsonCell)
+
+  private def jsonCell(f: StructField): org.apache.spark.sql.Column = {
+    val c = col(f.name)
+    f.dataType match {
+      case LongType =>
+        when(c.isNull, lit("null"))
+          .otherwise(concat(lit("\""), c.cast("string"), lit("\"")))
+      case _ =>
+        val j = to_json(struct(c.as("v")),
+          Map("ignoreNullFields" -> "false"))
+        j.substr(lit(6), length(j) - 6)
     }
+  }
+
+  /** The Values/Quoted cell encoding (CH escapeString: backslash
+    * first, then the quote; Date/DateTime quoted; NULL literal). */
+  private def quotedCell(f: StructField): org.apache.spark.sql.Column = {
+    val c = col(f.name)
+    f.dataType match {
+      case StringType =>
+        when(c.isNull, lit("NULL")).otherwise(concat(lit("'"),
+          call_function("replace",
+            call_function("replace", c, lit("\\"), lit("\\\\")),
+            lit("'"), lit("\\'")), lit("'")))
+      case DateType | TimestampType | TimestampNTZType =>
+        when(c.isNull, lit("NULL"))
+          .otherwise(concat(lit("'"), c.cast("string"), lit("'")))
+      case _ => coalesce(c.cast("string"), lit("NULL"))
+    }
+  }
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -248,5 +278,155 @@ object ChFormat {
     val s = df.sparkSession
     import s.implicits._
     lines.toDF("line")
+  }
+
+  // ---------- FORMAT XML (registerFormats.cpp:62) ----------
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+
+  /** A column name usable as an XML tag; the reference's writer falls
+    * back to a generic <field> tag for names XML can't carry. */
+  private def xmlTag(name: String): String =
+    if (name.matches("^[A-Za-z_][A-Za-z0-9_.-]*$")) name else "field"
+
+  /** FORMAT XML (XMLRowOutputFormat): the JSON envelope's XML twin —
+    * meta (name/type per column), data (one element per row, one
+    * child per field), rows count; driver-side under the same row cap
+    * as Pretty/JSON with the same loud truncation marker. NULL cells
+    * render as the reference's text serialization \N. */
+  private def xmlEnvelope(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val meta = fields.flatMap(f => Seq(
+      "\t\t\t<column>",
+      s"\t\t\t\t<name>${xmlEscape(f.name)}</name>",
+      s"\t\t\t\t<type>${xmlEscape(
+        ChDdl.chTypeName(f.dataType, f.nullable))}</type>",
+      "\t\t\t</column>"))
+    val fetched = df.limit(prettyMaxRows + 1)
+      .select(array(fields.toIndexedSeq.map(f =>
+        coalesce(col(f.name).cast("string"), lit("\\N"))): _*).as("cells"))
+      .collect().map(_.getSeq[String](0))
+    val truncated = fetched.length > prettyMaxRows
+    val rendered = if (truncated) fetched.take(prettyMaxRows) else fetched
+    val data = rendered.flatMap { cells =>
+      ("\t\t<row>" +: fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        val t = xmlTag(f.name)
+        s"\t\t\t<$t>${xmlEscape(cells(i))}</$t>"
+      }) :+ "\t\t</row>"
+    }
+    val tail =
+      if (truncated)
+        Seq(s"\t<rows>${rendered.length}</rows>",
+          s"\t<rows_before_limit_at_least>${fetched.length}" +
+            "</rows_before_limit_at_least>", "</result>")
+      else Seq(s"\t<rows>${rendered.length}</rows>", "</result>")
+    val lines: Seq[String] =
+      Seq("<?xml version='1.0' encoding='UTF-8' ?>", "<result>",
+        "\t<meta>", "\t\t<columns>") ++ meta ++
+        Seq("\t\t</columns>", "\t</meta>", "\t<data>") ++ data ++
+        Seq("\t</data>") ++ tail
+    val s = df.sparkSession
+    import s.implicits._
+    lines.toDF("line")
+  }
+
+  // ---------- FORMAT Template (registerFormats.cpp:39-40) ----------
+
+  /** FORMAT Template (TemplateBlockOutputFormat): the row shape comes
+    * from a template FILE named by SETTINGS format_template_row —
+    * literal text with `${column:Escaping}` placeholders (Escaping ∈
+    * Raw/None, CSV, JSON, Quoted, Escaped, XML) — and an optional
+    * resultset file (format_template_resultset) whose `${data}`
+    * placeholder splits into header/footer lines around the rows.
+    * Rows are output LINES here, so only the default '\n'
+    * rows-between delimiter is supported — a declared scope cut, not
+    * a silent one. Row rendering is a per-row codegen'd projection;
+    * no collect. */
+  private def template(df: DataFrame,
+      settings: Seq[(String, String)]): DataFrame = {
+    def get(k: String): Option[String] =
+      settings.find(_._1.equalsIgnoreCase(k)).map(_._2)
+    val rowPath = get("format_template_row").getOrElse(
+      throw new IllegalArgumentException(
+        "FORMAT Template needs SETTINGS format_template_row = 'file' " +
+          "(the reference's setting; the file holds literal text with " +
+          "${column:Escaping} placeholders)"))
+    val delim = get("format_template_rows_between_delimiter").getOrElse("\n")
+    require(delim == "\n",
+      "FORMAT Template: rows are output lines here, so only the " +
+        "default '\\n' rows-between delimiter is supported")
+    var rowTpl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(rowPath)), "UTF-8")
+    if (rowTpl.endsWith("\n")) rowTpl = rowTpl.dropRight(1)
+    require(!rowTpl.contains("\n"),
+      "FORMAT Template: the row template must be a single line")
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    def cellOf(name: String, esc: String): org.apache.spark.sql.Column = {
+      val f = byName.getOrElse(name, throw new IllegalArgumentException(
+        s"FORMAT Template: no column '$name' in the result " +
+          s"(has ${df.columns.mkString(", ")})"))
+      esc.toUpperCase match {
+        case "RAW" | "NONE" =>
+          coalesce(col(f.name).cast("string"), lit("\\N"))
+        case "CSV" =>
+          to_csv(struct(col(f.name).as("v")), Map("nullValue" -> "\\N").asJava)
+        case "JSON" => jsonCell(f)
+        case "QUOTED" => quotedCell(f)
+        case "ESCAPED" =>
+          // TSV escaping: backslash, tab, newline (the Escaped rule)
+          val e = call_function("replace",
+            call_function("replace",
+              call_function("replace",
+                col(f.name).cast("string"), lit("\\"), lit("\\\\")),
+              lit("\t"), lit("\\t")), lit("\n"), lit("\\n"))
+          coalesce(e, lit("\\N"))
+        case other => throw new IllegalArgumentException(
+          s"FORMAT Template: unsupported escaping '$other' " +
+            "(Raw/None, CSV, JSON, Quoted, Escaped)")
+      }
+    }
+    // split the template into literal runs and placeholders
+    val ph = """\$\{([A-Za-z0-9_]+)(?::([A-Za-z]+))?\}""".r
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Column]
+    var last = 0
+    ph.findAllMatchIn(rowTpl).foreach { m =>
+      if (m.start > last) parts += lit(rowTpl.substring(last, m.start))
+      parts += cellOf(m.group(1), Option(m.group(2)).getOrElse("Raw"))
+      last = m.end
+    }
+    if (last < rowTpl.length) parts += lit(rowTpl.substring(last))
+    require(parts.nonEmpty, "FORMAT Template: empty row template")
+    val rows = df.select(concat(parts.toSeq: _*).as("line"))
+    get("format_template_resultset") match {
+      case None => rows
+      case Some(rsPath) =>
+        val rs = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(rsPath)), "UTF-8")
+        val idx = rs.indexOf("${data}")
+        require(idx >= 0,
+          "FORMAT Template: the resultset template must contain ${data}")
+        val stray = ph.findAllMatchIn(rs.replace("${data}", ""))
+        require(stray.isEmpty,
+          "FORMAT Template: only ${data} is supported in the resultset " +
+            "template (rows/bytes counters are client-display state)")
+        def linesOf(s0: String): Seq[String] = {
+          val t = s0.stripPrefix("\n").stripSuffix("\n")
+          if (t.isEmpty) Nil else t.split("\n", -1).toSeq
+        }
+        val spark = df.sparkSession
+        import spark.implicits._
+        val head = linesOf(rs.substring(0, idx))
+        val foot = linesOf(rs.substring(idx + "${data}".length))
+        val out0 =
+          if (head.isEmpty) rows else head.toDF("line").unionAll(rows)
+        if (foot.isEmpty) out0 else out0.unionAll(foot.toDF("line"))
+    }
   }
 }

@@ -679,6 +679,61 @@ class DdlSpec extends SparkSpec {
       !j.exists(_.contains("rows_before_limit")), j.takeRight(3))
   }
 
+  test("FORMAT XML / JSONEachRowWithProgress / Template render the reference shapes") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 'a<b&c'), (2, CAST(NULL AS STRING)) AS t(id, s)")
+      .createOrReplaceTempView("graft_fmt_x")
+    // XML envelope: meta columns, escaped cell text, rows count
+    val x = ChDdl.execute(spark,
+      "SELECT id, s FROM graft_fmt_x ORDER BY id FORMAT XML")
+      .as[String].collect().toSeq
+    assert(x.head == "<?xml version='1.0' encoding='UTF-8' ?>" &&
+      x(1) == "<result>", x.take(2))
+    assert(x.contains("\t\t\t\t<name>id</name>") &&
+      x.contains("\t\t\t\t<type>Nullable(String)</type>"), x.mkString("\n"))
+    assert(x.contains("\t\t\t<s>a&lt;b&amp;c</s>"), x.mkString("\n"))
+    assert(x.contains("\t\t\t<s>\\N</s>"), x.mkString("\n")) // NULL text form
+    assert(x.contains("\t<rows>2</rows>") && x.last == "</result>", x.takeRight(2))
+    // JSONEachRowWithProgress: {"row":{…}} events + one final progress
+    val p = ChDdl.execute(spark,
+      "SELECT id, s FROM graft_fmt_x ORDER BY id FORMAT JSONEachRowWithProgress")
+      .as[String].collect().toSeq
+    assert(p.take(2) == Seq(
+      "{\"row\":{\"id\":1,\"s\":\"a<b&c\"}}",
+      "{\"row\":{\"id\":2,\"s\":null}}"), p)
+    assert(p.last == "{\"progress\":{\"read_rows\":\"2\"}}", p.last)
+    // Template: row template file with ${col:Escaping} placeholders,
+    // resultset file with header/footer around ${data}
+    val dir = java.nio.file.Files.createTempDirectory("graft_tpl")
+    val rowF = dir.resolve("row.tpl")
+    java.nio.file.Files.write(rowF,
+      "id=${id:Raw} s=${s:JSON} q=${s:Quoted}\n".getBytes("UTF-8"))
+    val rsF = dir.resolve("rs.tpl")
+    java.nio.file.Files.write(rsF,
+      "== header ==\n${data}\n== footer ==\n".getBytes("UTF-8"))
+    val t = ChDdl.execute(spark,
+      "SELECT id, s FROM graft_fmt_x ORDER BY id FORMAT Template " +
+        s"SETTINGS format_template_row = '$rowF', " +
+        s"format_template_resultset = '$rsF'")
+      .as[String].collect().toSeq
+    assert(t == Seq(
+      "== header ==",
+      "id=1 s=\"a<b&c\" q='a<b&c'",
+      "id=2 s=null q=NULL",
+      "== footer =="), t)
+    // refusals: missing row template; unknown column; exotic delimiter
+    val e1 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, "SELECT id FROM graft_fmt_x FORMAT Template")
+    }
+    assert(e1.getMessage.contains("format_template_row"), e1.getMessage)
+    java.nio.file.Files.write(rowF, "${nope:Raw}".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, "SELECT id FROM graft_fmt_x FORMAT Template " +
+        s"SETTINGS format_template_row = '$rowF'")
+    }
+    assert(e2.getMessage.contains("no column"), e2.getMessage)
+  }
+
   test("query-scoped SETTINGS bake into the plan and restore the session conf") {
     GraftFunctions.ensureRegistered(spark)
     spark.range(100).selectExpr("id", "id % 5 AS g")
