@@ -678,7 +678,8 @@ object ChDdl {
     "TSV", "TABSEPARATED", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES",
     "JSONEACHROW", "ORC", "AVRO", "ARROW", "ROWBINARY",
     "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES",
-    "PROTOBUF", "PROTOBUFSINGLE", "RAWBLOB", "NATIVE", "MSGPACK")
+    "PROTOBUF", "PROTOBUFSINGLE", "RAWBLOB", "NATIVE", "MSGPACK",
+    "LINEASSTRING", "JSONASSTRING", "REGEXP")
 
   private val adoptFns = Set("FILE", "S3", "GCS", "HDFS",
     "AZUREBLOBSTORAGE", "URL")
@@ -714,6 +715,17 @@ object ChDdl {
           .parseDataType(c.sparkType),
         nullable = c.chType.startsWith("Nullable("))
     })
+  }
+
+  /** LineAsString/JSONAsString take exactly one String column — the
+    * reference's own constraint; returns its name. */
+  private def singleStringCol(fn: String, fmt: String,
+      structure: String): String = {
+    val schema = structSchema(structure)
+    require(schema.fields.length == 1 &&
+      schema.fields(0).dataType == org.apache.spark.sql.types.StringType,
+      s"$fn(): $fmt takes exactly one String column, got '$structure'")
+    schema.fields(0).name
   }
 
   private def readAdHoc(spark: SparkSession, path: String, up: String,
@@ -757,6 +769,55 @@ object ChDdl {
           "e.g. file('x.msgpack', 'MsgPack', 'a Int64, b String')"))
       graft.sources.AdHocFiles.guardSize(spark, path, s"$fn(MsgPack)")
       graft.sources.MsgPackFormat.read(spark, path, structSchema(st))
+    case "LINEASSTRING" =>
+      // registerFormats.cpp:72 — whole lines, one String column.
+      // Rides spark.read.text: fully DISTRIBUTED (splits, pruning).
+      val name = structure.map(st => singleStringCol(fn, "LineAsString", st))
+        .getOrElse("line")
+      spark.read.text(path).withColumnRenamed("value", name)
+    case "JSONASSTRING" =>
+      // registerFormats.cpp:71 — each JSON object arrives UNPARSED as
+      // one String value. Line-delimited objects (the file shape) ride
+      // spark.read.text distributed; blank lines drop. Whitespace-
+      // split multi-line objects are out of scope — declared, and the
+      // guidance names JSONEachRow for parsed ingestion.
+      val name = structure.map(st => singleStringCol(fn, "JSONAsString", st))
+        .getOrElse("json")
+      spark.read.text(path)
+        .filter(org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("value")) =!= "")
+        .withColumnRenamed("value", name)
+    case "REGEXP" =>
+      // registerFormats.cpp:70 — every line must match the
+      // format_regexp setting; capture group i feeds declared column
+      // i. spark.read.text + regexp_extract: distributed and
+      // codegen'd. Unmatched lines throw (the reference default)
+      // unless format_regexp_skip_unmatched = 1.
+      import org.apache.spark.sql.functions._
+      val st = structure.getOrElse(throw new IllegalArgumentException(
+        s"$fn(): Regexp needs the structure argument — " +
+          "file('x.log', 'Regexp', 'a Int64, b String')"))
+      val re = spark.conf.getOption("spark.graft.format_regexp")
+        .getOrElse(throw new IllegalArgumentException(
+          s"$fn(): FORMAT Regexp needs SET format_regexp = '…' " +
+            "(the reference's setting; capture group i feeds column i)"))
+      val skip = spark.conf.getOption(
+        "spark.graft.format_regexp_skip_unmatched").exists(_.trim == "1")
+      val schema = structSchema(st)
+      val lines = spark.read.text(path)
+      val matched = col("value").rlike(re)
+      val base =
+        if (skip) lines.filter(matched)
+        else lines.select(when(matched, col("value")).otherwise(
+          raise_error(concat(lit("Regexp format: line does not match " +
+            "format_regexp (set format_regexp_skip_unmatched = 1 to " +
+            "drop): "), col("value")))).as("value"))
+      base.select(schema.fields.toIndexedSeq.zipWithIndex.map {
+        case (f, i) =>
+          val g = regexp_extract(col("value"), re, i + 1)
+          (if (f.dataType == org.apache.spark.sql.types.StringType) g
+           else g.cast(f.dataType)).as(f.name)
+      }: _*)
     case "ROWBINARY" | "ROWBINARYWITHNAMES" =>
       throw new IllegalArgumentException(
         s"$fn(): headerless $up carries no schema to adopt — write the " +

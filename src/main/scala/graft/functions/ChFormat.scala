@@ -38,10 +38,10 @@ import org.apache.spark.sql.types._
 object ChFormat {
 
   val renderable: Set[String] = Set("JSONEACHROW", "CSV", "TSV",
-    "TABSEPARATED", "VALUES", "PRETTY", "PRETTYCOMPACT",
+    "TABSEPARATED", "VALUES", "PRETTY", "PRETTYCOMPACT", "PRETTYSPACE",
     "CSVWITHNAMES", "TSVWITHNAMES", "TABSEPARATEDWITHNAMES", "TSKV",
     "JSON", "JSONCOMPACT", "JSONCOMPACTEACHROW",
-    "XML", "JSONEACHROWWITHPROGRESS", "TEMPLATE")
+    "XML", "JSONEACHROWWITHPROGRESS", "TEMPLATE", "MARKDOWN", "NULL")
 
   /** Wire-protocol formats (registerFormats.cpp): binary encodings of
     * the reference's client protocol / external codecs. A library has
@@ -53,7 +53,10 @@ object ChFormat {
     * streams binary to the client socket. */
   val wire: Set[String] = Set("NATIVE", "ROWBINARY",
     "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES", "PROTOBUF",
-    "PROTOBUFSINGLE", "MSGPACK", "CAPNPROTO")
+    "PROTOBUFSINGLE", "MSGPACK", "CAPNPROTO",
+    // client-protocol emulations (registerFormats.cpp:31,33,64) — a
+    // library has no MySQL/PG/ODBC socket to speak
+    "MYSQLWIRE", "POSTGRESQLWIRE", "ODBCDRIVER2")
 
   def refuseWire(f: String): Nothing =
     throw new UnsupportedOperationException(
@@ -127,6 +130,29 @@ object ChFormat {
         lit(")")).as("line"))
     case "PRETTY" => pretty(df, compact = false)
     case "PRETTYCOMPACT" => pretty(df, compact = true)
+    case "PRETTYSPACE" => prettySpace(df)
+    case "MARKDOWN" =>
+      // MarkdownRowOutputFormat: header row, alignment row (numbers
+      // right-align), then `| v | v |` rows — a pure per-row codegen
+      // projection after the two header lines
+      val align = df.schema.fields.map(_.dataType match {
+        case _: NumericType => "-:"
+        case _ => ":-"
+      }).mkString("|", "|", "|")
+      val header = df.columns.mkString("| ", " | ", " |")
+      val body = df.select(concat(lit("| "), concat_ws(" | ",
+        df.columns.map(c =>
+          coalesce(col(c).cast("string"), lit("\\N"))): _*),
+        lit(" |")).as("line"))
+      withHeader(withHeader(body, align), header)
+    case "NULL" =>
+      // FORMAT Null: the result is consumed and nothing renders (the
+      // reference's benchmarking sink). The count() aggregate keeps
+      // the child plan IN the emitted frame (a bare limit(0) would
+      // optimize the query away — Null must still RUN it), and the
+      // impossible filter yields zero lines.
+      df.groupBy().count().filter(col("count") < 0)
+        .select(lit("").as("line"))
     case "JSONCOMPACTEACHROW" =>
       // one JSON array per row — pure per-row projection (codegen'd),
       // no collect: the one JSON* format safe on an unbounded result
@@ -275,6 +301,36 @@ object ChFormat {
         Seq(edge("┏", "┳", "┓", "━"), header, edge("┡", "╇", "┩", "━")) ++
           dataLines :+ edge("└", "┴", "┘", "─")
       }
+    val s = df.sparkSession
+    import s.implicits._
+    lines.toDF("line")
+  }
+
+  /** PrettySpace (registerFormats.cpp:58): the Pretty table without
+    * the box — width-padded columns separated by spaces, header, one
+    * blank line, then rows; numerics right-aligned, ᴺᵁᴸᴸ for null.
+    * Driver-side under the Pretty row cap like its siblings. */
+  private def prettySpace(df: DataFrame): DataFrame = {
+    val names = df.columns.toSeq
+    val rightAlign = df.schema.fields.map(_.dataType match {
+      case _: NumericType => true
+      case _ => false
+    })
+    val rows = df.limit(prettyMaxRows).collect().map { r =>
+      names.indices.map(i =>
+        if (r.isNullAt(i)) "ᴺᵁᴸᴸ" else r.get(i).toString)
+    }
+    val widths = names.indices.map(i =>
+      (rows.map(_(i).length) :+ names(i).length).max)
+    def cell(v: String, i: Int): String = {
+      val pad = " " * (widths(i) - v.length)
+      if (rightAlign(i)) s"$pad$v" else s"$v$pad"
+    }
+    val header = names.indices.map(i => cell(names(i), i)).mkString("   ")
+    val dataLines = rows.map(r =>
+      names.indices.map(i => cell(r(i), i)).mkString("   "))
+    val lines: Seq[String] = (header +: "" +: dataLines).toIndexedSeq
+      .map(_.replaceAll("\\s+$", "")) // trailing pad trimmed per line
     val s = df.sparkSession
     import s.implicits._
     lines.toDF("line")

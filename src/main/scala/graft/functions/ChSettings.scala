@@ -41,6 +41,10 @@ object ChSettings {
       // 'file:Message' form) — carried on a graft conf so SET makes it
       // session-visible to file() adoption and INTO OUTFILE
       case "format_schema" => Seq("spark.graft.format_schema" -> value)
+      // Regexp input format knobs, same session-visible carrier
+      case "format_regexp" => Seq("spark.graft.format_regexp" -> value)
+      case "format_regexp_skip_unmatched" =>
+        Seq("spark.graft.format_regexp_skip_unmatched" -> value)
       case "join_algorithm" => value.toLowerCase match {
         case "partial_merge" | "full_sorting_merge" | "prefer_partial_merge" =>
           Seq("spark.sql.join.preferSortMergeJoin" -> "true",

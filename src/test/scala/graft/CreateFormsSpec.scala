@@ -330,6 +330,70 @@ class CreateFormsSpec extends SparkSpec {
     assert(w.getMessage.contains("INTO OUTFILE"), w.getMessage)
   }
 
+  test("LineAsString / JSONAsString / Regexp adopt text files as distributed scans") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_textfmt")
+    val log = dir.resolve("app.log")
+    java.nio.file.Files.write(log,
+      "2024-01-01 INFO start up\n2024-01-02 WARN disk 93\n".getBytes("UTF-8"))
+    // LineAsString: one row per line, single String column
+    val las = ChDdl.execute(spark,
+      s"SELECT * FROM file('$log', 'LineAsString') ORDER BY line")
+      .collect().map(_.getString(0)).toSeq
+    assert(las == Seq("2024-01-01 INFO start up", "2024-01-02 WARN disk 93"))
+    // structure arg names the column; non-single-String refuses
+    val named = ChDdl.execute(spark,
+      s"SELECT raw FROM file('$log', 'LineAsString', 'raw String')")
+    assert(named.columns.toSeq == Seq("raw") && named.count() == 2)
+    val eS = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        s"SELECT * FROM file('$log', 'LineAsString', 'a Int64, b String')")
+    }
+    assert(eS.getMessage.contains("one String column"), eS.getMessage)
+    // JSONAsString: objects arrive unparsed, blank lines drop
+    val js = dir.resolve("objs.jsonl")
+    java.nio.file.Files.write(js,
+      "{\"a\": 1}\n\n{\"a\": 2, \"b\": \"x\"}\n".getBytes("UTF-8"))
+    val jas = ChDdl.execute(spark,
+      s"SELECT * FROM file('$js', 'JSONAsString') ORDER BY json")
+      .collect().map(_.getString(0)).toSeq
+    assert(jas == Seq("{\"a\": 1}", "{\"a\": 2, \"b\": \"x\"}"))
+    // Regexp: capture group i feeds declared column i, distributed
+    ChDdl.execute(spark,
+      "SET format_regexp = '^([^ ]+) ([^ ]+) (.*)$'")
+    try {
+      val rx = ChDdl.execute(spark,
+        s"SELECT * FROM file('$log', 'Regexp', " +
+          "'day Date, level String, msg String') ORDER BY day").collect()
+      assert(rx.length == 2)
+      assert(rx(0).getDate(0).toString == "2024-01-01" &&
+        rx(0).getString(1) == "INFO" && rx(0).getString(2) == "start up")
+      // unmatched line: default throws; skip_unmatched=1 drops
+      val bad = dir.resolve("bad.log")
+      java.nio.file.Files.write(bad,
+        "2024-01-01 INFO ok\nnope\n".getBytes("UTF-8"))
+      val eR = intercept[Exception] {
+        ChDdl.execute(spark,
+          s"SELECT * FROM file('$bad', 'Regexp', 'day Date, level String, " +
+            "msg String')").collect()
+      }
+      assert(eR.getMessage.contains("does not match"), eR.getMessage)
+      ChDdl.execute(spark, "SET format_regexp_skip_unmatched = 1")
+      val skipped = ChDdl.execute(spark,
+        s"SELECT * FROM file('$bad', 'Regexp', 'day Date, level String, " +
+          "msg String')").collect()
+      assert(skipped.length == 1 && skipped(0).getString(1) == "INFO")
+    } finally {
+      spark.conf.unset("spark.graft.format_regexp")
+      spark.conf.unset("spark.graft.format_regexp_skip_unmatched")
+    }
+    // the scans are DISTRIBUTED file scans, not driver materialization
+    val plan = ChDdl.execute(spark,
+      s"SELECT * FROM file('$log', 'LineAsString')")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan text"), plan)
+  }
+
   test("Native: byte-level framing pinned against NativeWriter.cpp") {
     // revision-0 block: varuint cols, varuint rows, per column
     // name/type strings + column-major bulk data — hand-derived from

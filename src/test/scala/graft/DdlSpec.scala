@@ -734,6 +734,36 @@ class DdlSpec extends SparkSpec {
     assert(e2.getMessage.contains("no column"), e2.getMessage)
   }
 
+  test("FORMAT Markdown / PrettySpace / Null render; client-protocol formats refuse") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql("SELECT * FROM VALUES (1, 'ab'), (2, CAST(NULL AS STRING)) AS t(id, s)")
+      .createOrReplaceTempView("graft_fmt_md")
+    val md = ChDdl.execute(spark,
+      "SELECT id, s FROM graft_fmt_md ORDER BY id FORMAT Markdown")
+      .as[String].collect().toSeq
+    assert(md == Seq(
+      "| id | s |",
+      "|-:|:-|",
+      "| 1 | ab |",
+      "| 2 | \\N |"), md)
+    val ps = ChDdl.execute(spark,
+      "SELECT id, s FROM graft_fmt_md ORDER BY id FORMAT PrettySpace")
+      .as[String].collect().toSeq
+    assert(ps == Seq("id   s", "", " 1   ab", " 2   ᴺᵁᴸᴸ"), ps)
+    // Null: zero lines out, but the query still runs (plan retained)
+    val nul = ChDdl.execute(spark,
+      "SELECT id, s FROM graft_fmt_md FORMAT Null")
+    assert(nul.collect().isEmpty)
+    assert(nul.queryExecution.analyzed.toString.contains("graft_fmt_md") ||
+      nul.queryExecution.optimizedPlan.toString.nonEmpty)
+    Seq("MySQLWire", "PostgreSQLWire", "ODBCDriver2").foreach { f =>
+      val e = intercept[UnsupportedOperationException] {
+        ChDdl.execute(spark, s"SELECT id FROM graft_fmt_md FORMAT $f")
+      }
+      assert(e.getMessage.contains("wire"), s"$f must refuse as wire")
+    }
+  }
+
   test("query-scoped SETTINGS bake into the plan and restore the session conf") {
     GraftFunctions.ensureRegistered(spark)
     spark.range(100).selectExpr("id", "id % 5 AS g")
