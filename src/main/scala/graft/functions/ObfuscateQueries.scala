@@ -28,11 +28,11 @@ package graft.functions
   *
   * Determinism: everything derives from SipHash-2-4 (public
   * algorithm, Aumasson & Bernstein) keyed by the caller's seed —
-  * same seed + same query → same output. The reference additionally
-  * uses pcg64 for alpha runs; this port draws those bytes from
-  * SplittableRandom (documented divergence: the exact scrambled
-  * letters differ from the C++ binary, every structural guarantee
-  * above is identical).
+  * same seed + same query → same output. Alpha runs draw their
+  * letters from pcg64 seeded per run exactly like
+  * obfuscateQueries.cpp:809 ([[Pcg64]], KAT-pinned against the
+  * reference's vendored pcg_random.hpp) — the r15 SplittableRandom
+  * divergence is closed.
   */
 object ObfuscateQueries {
 
@@ -428,7 +428,11 @@ object ObfuscateQueries {
         val start = i
         while (i < n && isAsciiAlpha((b(i) & 0xff).toChar)) i += 1
         h.update(java.util.Arrays.copyOfRange(b, start, i))
-        val rng = new java.util.SplittableRandom(h.get64)
+        // pcg64 seeded per alpha run, exactly obfuscateQueries.cpp:809
+        // (the Pcg64 port is KAT-pinned against the reference's own
+        // vendored pcg_random.hpp) — the scrambled letters now equal
+        // the C++ binary's byte-for-byte
+        val rng = new Pcg64(h.get64)
         var j = start
         while (j < i) {
           val r = java.lang.Long.remainderUnsigned(rng.nextLong(), 26L).toInt
