@@ -684,6 +684,12 @@ object ChDdl {
   private val adoptFns = Set("FILE", "S3", "GCS", "HDFS",
     "AZUREBLOBSTORAGE", "URL")
 
+  /** Formats whose adoption parses the whole file on the DRIVER —
+    * the set the adoption byte budget protects. */
+  private val driverMaterializing = Set("ARROW", "PROTOBUF",
+    "PROTOBUFSINGLE", "RAWBLOB", "MSGPACK", "NATIVE",
+    "ROWBINARYWITHNAMESANDTYPES")
+
   /** The reference infers format from the path extension when the
     * argument is omitted (FormatFactory::getFormatFromFileName). */
   private def extFormat(path: String): String = {
@@ -805,7 +811,11 @@ object ChDdl {
         "spark.graft.format_regexp_skip_unmatched").exists(_.trim == "1")
       val schema = structSchema(st)
       val lines = spark.read.text(path)
-      val matched = col("value").rlike(re)
+      // the reference requires the regex to match the WHOLE line
+      // (re2 full match) — anchor it; the non-capturing wrapper keeps
+      // the user's capture-group numbering intact
+      val anchored = "^(?:" + re + ")$"
+      val matched = col("value").rlike(anchored)
       val base =
         if (skip) lines.filter(matched)
         else lines.select(when(matched, col("value")).otherwise(
@@ -814,7 +824,7 @@ object ChDdl {
             "drop): "), col("value")))).as("value"))
       base.select(schema.fields.toIndexedSeq.zipWithIndex.map {
         case (f, i) =>
-          val g = regexp_extract(col("value"), re, i + 1)
+          val g = regexp_extract(col("value"), anchored, i + 1)
           (if (f.dataType == org.apache.spark.sql.types.StringType) g
            else g.cast(f.dataType)).as(f.name)
       }: _*)
@@ -866,10 +876,13 @@ object ChDdl {
           .getOrElse(extFormat(args(0))), args.lift(2))
       case "URL" =>
         val local = fetchUrl(args(0))
-        // the fetch is driver-side by contract — refuse past the
-        // adoption budget with guidance instead of OOMing downstream
-        graft.sources.AdHocFiles.guardSize(spark, local, "url()")
-        (local, trailingFmt(args.drop(1)).getOrElse(extFormat(args(0))), None)
+        val fmt = trailingFmt(args.drop(1)).getOrElse(extFormat(args(0)))
+        // the byte budget guards DRIVER-MATERIALIZING readers only —
+        // a fetched parquet/ORC/CSV temp file feeds a normal
+        // distributed spark.read and costs disk, not heap
+        if (driverMaterializing(fmt))
+          graft.sources.AdHocFiles.guardSize(spark, local, s"url($fmt)")
+        (local, fmt, None)
       case "S3" | "GCS" =>
         // hadoop's S3 connector scheme is s3a://
         val path = if (args(0).startsWith("s3://"))
@@ -919,8 +932,9 @@ object ChDdl {
         }
         val (path, up, structure) = adoptPathFmt(spark, fn, args)
         val reader = readAdHoc(spark, path, up, fn.toLowerCase, structure)
-        val view = "graft_file_" +
-          Integer.toHexString((path + "|" + up).hashCode).replace('-', 'm')
+        val view = "graft_file_" + Integer.toHexString(
+          (path + "|" + up + "|" + structure.getOrElse("")).hashCode)
+          .replace('-', 'm')
         reader.createOrReplaceTempView(view)
         out += ChSql.w(view)
         i = close + 1
@@ -1949,7 +1963,18 @@ object ChDdl {
             val p = java.nio.file.Paths.get(path)
             require(!java.nio.file.Files.exists(p),
               s"INTO OUTFILE: file $path already exists (reference behavior)")
-            if (graft.sources.NativeFormat.names(f)) {
+            // streamed writers put bytes on disk BEFORE the plan has
+            // fully executed — a mid-write failure must not leave a
+            // partial file behind (the exists-check above would then
+            // block the retry)
+            def cleanupOnFailure[T](body: => T): T =
+              try body catch { case e: Throwable =>
+                java.nio.file.Files.deleteIfExists(p)
+                java.nio.file.Files.deleteIfExists(
+                  java.nio.file.Paths.get(path + ".idx"))
+                throw e
+              }
+            cleanupOnFailure { if (graft.sources.NativeFormat.names(f)) {
               // the reference's own block format (NativeWriter.cpp),
               // revision-0 file framing; COMPRESSION 'lz4'/'none'
               // wraps it in the LZ4+CityHash compressed stream frames
@@ -2006,7 +2031,7 @@ object ChDdl {
                   }
                 finally out.close()
               }
-            }
+            } }
             df
           case None =>
             fmt.map(_.toUpperCase) match {

@@ -92,11 +92,16 @@ object ChFormat {
     case "XML" => xmlEnvelope(df)
     case "JSONEACHROWWITHPROGRESS" =>
       // each row wrapped as a {"row":{…}} event, then ONE final
-      // {"progress":{…}} event carrying the true row count — the
-      // library rendering of the reference's interleaved progress
-      // stream (progress is client-display state; the row count is
-      // its only engine-meaningful field). read_rows is quoted like
-      // the reference's 64-bit JSON integers.
+      // {"progress":{…}} event carrying the row count — the library
+      // rendering of the reference's interleaved progress stream
+      // (progress is client-display state; the row count is its only
+      // engine-meaningful field). read_rows is quoted like the
+      // reference's 64-bit JSON integers. DECLARED COST: the count
+      // branch re-executes the child plan (the reference reads its
+      // progress off execution state a declarative plan doesn't
+      // expose); on a nondeterministic query the advisory count can
+      // differ from the emitted row events. Rows themselves render
+      // once, streaming.
       val rows = df.select(concat(lit("{\"row\":"),
         to_json(struct(df.columns.map(col): _*),
           Map("ignoreNullFields" -> "false")), lit("}")).as("line"))
@@ -139,10 +144,17 @@ object ChFormat {
         case _: NumericType => "-:"
         case _ => ":-"
       }).mkString("|", "|", "|")
-      val header = df.columns.mkString("| ", " | ", " |")
+      // cell text escapes the table metacharacters: '|' would add a
+      // phantom column, a newline would split the row across lines
+      def mdEscape(c: org.apache.spark.sql.Column) =
+        call_function("replace",
+          call_function("replace", c, lit("|"), lit("\\|")),
+          lit("\n"), lit("\\n"))
+      val header = df.columns
+        .map(_.replace("|", "\\|")).mkString("| ", " | ", " |")
       val body = df.select(concat(lit("| "), concat_ws(" | ",
         df.columns.map(c =>
-          coalesce(col(c).cast("string"), lit("\\N"))): _*),
+          coalesce(mdEscape(col(c).cast("string")), lit("\\N"))): _*),
         lit(" |")).as("line"))
       withHeader(withHeader(body, align), header)
     case "NULL" =>

@@ -84,12 +84,18 @@ object ImageCodec {
       s"BMP: only 24bpp BI_RGB is supported (bpp=$bpp, compression=$compression)")
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
-    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+    // all size math in Long: width/height near 2^20 overflow Int in
+    // stride*height and width*height*3, letting crafted headers slip
+    // past the truncation require into negative-index crashes
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= (1L << 26),
       s"BMP: implausible dimensions ${width}x$rawHeight")
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"BMP: implausible data offset $dataOffset")
     val stride = rowStride(width)
-    require(bytes.length >= dataOffset + stride * height,
+    require(bytes.length >= dataOffset.toLong + stride.toLong * height,
       s"BMP: truncated pixel data (${bytes.length} bytes, " +
-        s"need ${dataOffset + stride * height})")
+        s"need ${dataOffset.toLong + stride.toLong * height})")
     val out = new Array[Int](width * height * 3)
     var y = 0
     while (y < height) {
@@ -129,7 +135,8 @@ object ImageCodec {
     bb.position(8)
     val width = bb.getInt
     val height = bb.getInt
-    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= (1L << 26),
       s"farbfeld: implausible dimensions ${width}x$height")
     require(bytes.length >= 16 + width.toLong * height * 8,
       s"farbfeld: truncated pixel data (${bytes.length} bytes)")

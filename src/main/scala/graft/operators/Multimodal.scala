@@ -141,7 +141,14 @@ object Multimodal {
       // per-partition decoder state (buffers, JNI handles for a real
       // codec) would init HERE, once per partition
       rows.map { r =>
-        ImageCodec.decode(r.content) match {
+        // a blob whose magic says "container" but whose header is
+        // corrupt/hostile must NOT kill the job at corpus scale — it
+        // degrades to the opaque treatment (a real pipeline quarantines
+        // on declared-vs-detected format mismatch downstream)
+        val decoded =
+          try ImageCodec.decode(r.content)
+          catch { case _: IllegalArgumentException => None }
+        decoded match {
           case Some(img) =>
             val (mean, std, feat) =
               valueStats(img.pixels.length, img.pixels(_))

@@ -482,15 +482,23 @@ object NativeFormat {
             s"Native index: no column '$n' (has " +
               s"${block.columns.map(_.name).mkString(", ")})")))
         val nrows = block.numRows.toInt
-        // phase 1: the predicate column alone decides the block's fate
+        // phase 1: the predicate column alone decides the block's
+        // fate; its decode is kept so a predicate column that is also
+        // projected never decodes (or seeks) twice
+        var predDecoded: Option[(String, (StructField, IndexedSeq[Any]))] = None
         val mask: Option[IndexedSeq[Boolean]] = predicate.map { case (pc, f) =>
           val loc = byName.getOrElse(pc, throw new IllegalArgumentException(
             s"Native index: no predicate column '$pc'"))
-          decodeAt(loc, nrows)._2.map(f)
+          val dec = decodeAt(loc, nrows)
+          predDecoded = Some(pc -> dec)
+          dec._2.map(f)
         }
         if (nrows > 0 && mask.forall(_.exists(identity))) {
           blocksDecoded += 1
-          val cols = required.map(decodeAt(_, nrows))
+          val cols = required.map(loc => predDecoded match {
+            case Some((pc, dec)) if pc == loc.name => dec
+            case _ => decodeAt(loc, nrows)
+          })
           val blockSchema = StructType(cols.map(_._1))
           if (schema == null) schema = blockSchema
           else require(schema == blockSchema,

@@ -280,6 +280,10 @@ object ProtobufFormat {
         body.writeTo(out)
         n += 1
       }
+      // a Single file IS one message — zero rows would write an empty
+      // file that reads back as one all-defaults row (asymmetric)
+      require(!single || n == 1,
+        s"ProtobufSingle holds exactly ONE message — result had $n rows")
     } finally out.close()
   }
 
@@ -299,6 +303,10 @@ object ProtobufFormat {
 
   private final class Cursor(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    def advance(n: Int): Unit = {
+      require(pos + n <= end, "Protobuf: truncated field value")
+      pos += n
+    }
     def readVarint(): Long = {
       var v = 0L; var shift = 0
       while (true) {
@@ -325,12 +333,19 @@ object ProtobufFormat {
       a
     }
     /** skip an unknown field by wire type (ProtobufReader.cpp's
-      * ignore paths, including nested group skip). */
+      * ignore paths, including nested group skip). Every advance is
+      * bounds-checked: a hostile length varint (negative as Int, or
+      * past the end) must be a loud parse error, not a backwards pos
+      * move that loops the message decoder forever. */
     def skip(wt: Int): Unit = wt match {
       case WtVarint => readVarint(); ()
-      case WtBits64 => pos += 8
-      case WtBits32 => pos += 4
-      case WtLen => val n = readVarint().toInt; pos += n
+      case WtBits64 => advance(8)
+      case WtBits32 => advance(4)
+      case WtLen =>
+        val n = readVarint()
+        require(n >= 0 && n <= end - pos,
+          s"Protobuf: unknown field length $n overruns the message")
+        pos += n.toInt
       case WtGroupStart =>
         var depth = 1
         while (depth > 0) {
@@ -433,7 +448,9 @@ object ProtobufFormat {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val rows = Vector.newBuilder[Row]
     if (single) {
-      rows += decodeMessage(new Cursor(bytes, 0, bytes.length), msg)
+      // an empty file is zero messages, not one all-defaults row
+      if (bytes.nonEmpty)
+        rows += decodeMessage(new Cursor(bytes, 0, bytes.length), msg)
     } else {
       val c = new Cursor(bytes, 0, bytes.length)
       while (c.hasMore) {

@@ -383,6 +383,18 @@ class CreateFormsSpec extends SparkSpec {
         s"SELECT * FROM file('$bad', 'Regexp', 'day Date, level String, " +
           "msg String')").collect()
       assert(skipped.length == 1 && skipped(0).getString(1) == "INFO")
+      // WHOLE-line matching (the reference's re2 full match): a line
+      // that merely CONTAINS a match must not silently extract from
+      // the middle
+      spark.conf.set("spark.graft.format_regexp", "([0-9]+),([a-z]+)")
+      val partial = dir.resolve("partial.log")
+      java.nio.file.Files.write(partial,
+        "junk 123,abc junk\n7,ok\n".getBytes("UTF-8"))
+      val anchoredRows = ChDdl.execute(spark,
+        s"SELECT * FROM file('$partial', 'Regexp', 'a Int64, b String')")
+        .collect()
+      assert(anchoredRows.length == 1 && anchoredRows(0).getLong(0) == 7L,
+        s"substring match leaked: ${anchoredRows.toSeq}")
     } finally {
       spark.conf.unset("spark.graft.format_regexp")
       spark.conf.unset("spark.graft.format_regexp_skip_unmatched")

@@ -750,6 +750,26 @@ class DdlSpec extends SparkSpec {
       "SELECT id, s FROM graft_fmt_md ORDER BY id FORMAT PrettySpace")
       .as[String].collect().toSeq
     assert(ps == Seq("id   s", "", " 1   ab", " 2   ᴺᵁᴸᴸ"), ps)
+    // cell text escapes the table metacharacters
+    spark.sql("SELECT 'a|b' AS s").createOrReplaceTempView("graft_fmt_pipe")
+    val mdPipe = ChDdl.execute(spark,
+      "SELECT s FROM graft_fmt_pipe FORMAT Markdown")
+      .as[String].collect().toSeq
+    assert(mdPipe.last == "| a\\|b |", mdPipe)
+    // a failed streamed OUTFILE leaves no partial file, so the retry
+    // is not blocked by the exists-check
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ofail")
+    val pf = dirF.resolve("fail.tsv")
+    intercept[Exception] {
+      ChDdl.execute(spark,
+        "SELECT CASE WHEN id < 5 THEN id ELSE CAST(raise_error('boom') " +
+          s"AS BIGINT) END AS v FROM range(10) INTO OUTFILE '$pf' FORMAT TSV")
+    }
+    assert(!java.nio.file.Files.exists(pf),
+      "partial OUTFILE survived the failure")
+    ChDdl.execute(spark,
+      s"SELECT id AS v FROM range(3) INTO OUTFILE '$pf' FORMAT TSV")
+    assert(java.nio.file.Files.exists(pf), "retry after cleanup must work")
     // Null: zero lines out, but the query still runs (plan retained)
     val nul = ChDdl.execute(spark,
       "SELECT id, s FROM graft_fmt_md FORMAT Null")

@@ -71,6 +71,23 @@ class MsgPackSpec extends SparkSpec {
     assert(r1.getSeq[Any](6) == Seq(null))
   }
 
+  test("two adoptions of one file with different structures do not collide") {
+    GraftFunctions.ensureRegistered(spark)
+    val out = dir.resolve("twostruct.msgpack").toString
+    spark.sql("SELECT 5L AS k").createOrReplaceTempView("graft_mp_2s")
+    ChDdl.execute(spark,
+      s"SELECT k FROM graft_mp_2s INTO OUTFILE '$out' FORMAT MsgPack")
+    // same file, two structures in ONE query: the adoption views must
+    // be distinct (the view name hashes the structure too) — a
+    // collision would make the first branch resolve against the
+    // second structure's column name and fail analysis
+    val ok = ChDdl.execute(spark,
+      s"SELECT a FROM file('$out', 'MsgPack', 'a Int64') " +
+        s"UNION ALL SELECT b FROM file('$out', 'MsgPack', 'b Int64')")
+      .collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(5L, 5L))
+  }
+
   test("positional format: adoption without structure refuses with the signature") {
     GraftFunctions.ensureRegistered(spark)
     val out = dir.resolve("ns.msgpack").toString

@@ -81,6 +81,28 @@ class MultimodalSpec extends SparkSpec {
       s"mean over decoded channels: got ${row.mean_byte}, want $want")
   }
 
+  test("a corrupt/hostile container degrades to opaque features instead of killing the job") {
+    import graft.operators.ImageCodec
+    // 'BM' magic + absurd header fields that used to overflow Int in
+    // the size math and crash with a negative array index
+    val hostile = new Array[Byte](60)
+    hostile(0) = 'B'; hostile(1) = 'M'
+    val bb = java.nio.ByteBuffer.wrap(hostile)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(10); bb.putInt(54)        // dataOffset
+    bb.position(14); bb.putInt(40)        // header size
+    bb.putInt(1048576).putInt(1048576)    // width, height = 2^20
+    bb.putShort(1).putShort(24); bb.putInt(0)
+    // direct decode: a loud require, not an allocation/index crash
+    val e = intercept[IllegalArgumentException] { ImageCodec.decode(hostile) }
+    assert(e.getMessage.contains("implausible"), e.getMessage)
+    // through featurize: the row degrades to the opaque branch
+    val media = Seq((3L, hostile, "declared/fmt", 9, 9))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val row = Multimodal.featurize(media).collect().head
+    assert(row.format == "declared/fmt" && row.width == 9 && row.n_bytes == 60L)
+  }
+
   test("farbfeld decode is real: dims from the header, channel high bytes as values") {
     import graft.operators.ImageCodec
     // 1x2 RGBA, 16-bit channels: pixel0 = (0xff00, 0x0100, 0, 0xffff),

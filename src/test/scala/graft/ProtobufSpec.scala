@@ -268,6 +268,48 @@ class ProtobufSpec extends SparkSpec {
     assert(e.getMessage.contains("ONE column"), e.getMessage)
   }
 
+  test("hostile bytes: a negative unknown-field length is a loud error, not a hang") {
+    // field 15, wire type LEN, length varint 0xFFFFFFFA (negative as
+    // Int): the old skip() moved pos BACKWARDS and looped forever
+    val narrow = writeSchema("hostile.proto", "message H { int64 k = 1; }")
+    val evil = Array[Int](0x06, 0x7A, 0xFA, 0xFF, 0xFF, 0xFF, 0x0F)
+      .map(_.toByte)
+    val pth = dir.resolve("evil.pb")
+    java.nio.file.Files.write(pth, evil)
+    val e = intercept[Exception] {
+      graft.sources.ProtobufFormat.read(spark, pth.toString,
+        s"$narrow:H", single = false).collect()
+    }
+    assert(e.getMessage.contains("overrun") ||
+      e.getMessage.contains("truncated"), e.getMessage)
+    // truncated fixed-width unknown field: loud, not a silent accept
+    val evil2 = Array[Int](0x03, 0x79, 0x01, 0x02).map(_.toByte) // wt=1 needs 8
+    val pth2 = dir.resolve("evil2.pb")
+    java.nio.file.Files.write(pth2, evil2)
+    val e2 = intercept[Exception] {
+      graft.sources.ProtobufFormat.read(spark, pth2.toString,
+        s"$narrow:H", single = false).collect()
+    }
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+  }
+
+  test("ProtobufSingle: zero-row writes refuse; an empty file reads as zero rows") {
+    GraftFunctions.ensureRegistered(spark)
+    val schema = writeSchema("empty1.proto", "message E1 { int64 k = 1; }")
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "SELECT 1L AS k WHERE 1 = 0 INTO OUTFILE " +
+          s"'${dir.resolve("zero.pb")}' FORMAT ProtobufSingle " +
+          s"SETTINGS format_schema = '$schema:E1'")
+    }
+    assert(e.getMessage.contains("ONE message"), e.getMessage)
+    val emptyF = dir.resolve("empty.pb")
+    java.nio.file.Files.write(emptyF, Array.empty[Byte])
+    val got = graft.sources.ProtobufFormat.read(spark, emptyF.toString,
+      s"$schema:E1", single = true)
+    assert(got.count() == 0, "empty file must not fabricate a defaults row")
+  }
+
   test("driver-side adopters refuse past the adoption byte budget with guidance") {
     GraftFunctions.ensureRegistered(spark)
     val big = dir.resolve("big.bin")
