@@ -679,7 +679,7 @@ object ChDdl {
     "JSONEACHROW", "ORC", "AVRO", "ARROW", "ROWBINARY",
     "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES",
     "PROTOBUF", "PROTOBUFSINGLE", "RAWBLOB", "NATIVE", "MSGPACK",
-    "LINEASSTRING", "JSONASSTRING", "REGEXP")
+    "LINEASSTRING", "JSONASSTRING", "REGEXP", "TEMPLATE")
 
   private val adoptFns = Set("FILE", "S3", "GCS", "HDFS",
     "AZUREBLOBSTORAGE", "URL")
@@ -833,6 +833,46 @@ object ChDdl {
         s"$fn(): headerless $up carries no schema to adopt — write the " +
           "file as RowBinaryWithNamesAndTypes (INTO OUTFILE … FORMAT " +
           "RowBinaryWithNamesAndTypes) and adopt that")
+    case "TEMPLATE" =>
+      // registerFormats.cpp:39, the input side: the row template
+      // (SET format_template_row = 'file') compiles to an anchored
+      // regex — one lazy group per ${col:Escaping} placeholder —
+      // and rides the same distributed spark.read.text scan as
+      // Regexp; groups bind to structure columns BY NAME and the
+      // escaping reverses per rule (ChFormat.templateUnescape).
+      import org.apache.spark.sql.functions._
+      val st = structure.getOrElse(throw new IllegalArgumentException(
+        s"$fn(): Template input needs the structure argument — " +
+          "file('x.txt', 'Template', 'a Int64, b String')"))
+      val rowPath = spark.conf.getOption("spark.graft.format_template_row")
+        .getOrElse(throw new IllegalArgumentException(
+          s"$fn(): FORMAT Template needs SET format_template_row = " +
+            "'file' (the reference's setting)"))
+      var rowTpl = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rowPath)), "UTF-8")
+      if (rowTpl.endsWith("\n")) rowTpl = rowTpl.dropRight(1)
+      require(!rowTpl.contains("\n"),
+        s"$fn(): the row template must be a single line")
+      val (re, slots) = ChFormat.templateInputPlan(rowTpl)
+      val schema = structSchema(st)
+      val byName = schema.fields.map(f => f.name -> f).toMap
+      slots.foreach { case (nm, _) =>
+        require(byName.contains(nm),
+          s"$fn(): template placeholder '$nm' has no structure column " +
+            s"(structure: $st)") }
+      val lines = spark.read.text(path)
+      val matched = col("value").rlike(re)
+      val base = lines.select(when(matched, col("value")).otherwise(
+        raise_error(concat(lit("Template format: line does not match " +
+          "the row template: "), col("value")))).as("value"))
+      base.select(slots.toIndexedSeq.zipWithIndex.map {
+        case ((nm, esc), i) =>
+          val f = byName(nm)
+          val tok = ChFormat.templateUnescape(
+            regexp_extract(col("value"), re, i + 1), esc)
+          (if (f.dataType == org.apache.spark.sql.types.StringType) tok
+           else tok.cast(f.dataType)).as(nm)
+      }: _*)
     case other => throw new IllegalArgumentException(
       s"$fn(): unsupported format '$other' (Parquet, ORC, Avro, " +
         "Arrow, CSV[WithNames], TSV/TabSeparated[WithNames], " +

@@ -348,6 +348,74 @@ object ChFormat {
     lines.toDF("line")
   }
 
+  /** The INPUT side of Template (registerFormats.cpp:39): compile the
+    * row template into an anchored regex — literal runs quoted, each
+    * `${col:Escaping}` a lazy capture group — plus the placeholder
+    * (name, escaping) list in group order. The adoption reader binds
+    * groups to structure-declared columns BY NAME and reverses the
+    * escaping per rule. */
+  private[functions] def templateInputPlan(rowTpl: String)
+      : (String, Seq[(String, String)]) = {
+    val ph = """\$\{([A-Za-z0-9_]+)(?::([A-Za-z]+))?\}""".r
+    val sb = new StringBuilder("^")
+    val slots = Seq.newBuilder[(String, String)]
+    var last = 0
+    ph.findAllMatchIn(rowTpl).foreach { m =>
+      if (m.start > last)
+        sb ++= java.util.regex.Pattern.quote(rowTpl.substring(last, m.start))
+      sb ++= "(.*?)"
+      slots += ((m.group(1), Option(m.group(2)).getOrElse("Raw")))
+      last = m.end
+    }
+    if (last < rowTpl.length)
+      sb ++= java.util.regex.Pattern.quote(rowTpl.substring(last))
+    sb ++= "$"
+    val out = slots.result()
+    require(out.nonEmpty, "FORMAT Template: no placeholders in the row template")
+    require(out.map(_._1).distinct.size == out.size,
+      "FORMAT Template: duplicate column placeholders in the row template")
+    (sb.toString, out)
+  }
+
+  /** Reverse one escaping rule on a captured token (the input twin of
+    * the output cells above). */
+  private[functions] def templateUnescape(token: org.apache.spark.sql.Column,
+      esc: String): org.apache.spark.sql.Column = esc.toUpperCase match {
+    case "RAW" | "NONE" =>
+      when(token === "\\N", lit(null)).otherwise(token)
+    case "ESCAPED" =>
+      when(token === "\\N", lit(null)).otherwise(
+        call_function("replace",
+          call_function("replace",
+            call_function("replace", token, lit("\\n"), lit("\n")),
+            lit("\\t"), lit("\t")), lit("\\\\"), lit("\\")))
+    case "QUOTED" =>
+      // 'text' with \\ and \' escapes; bare NULL literal
+      when(token === "NULL", lit(null)).otherwise(
+        call_function("replace",
+          call_function("replace",
+            regexp_replace(token, "^'(.*)'$", "$1"),
+            lit("\\'"), lit("'")), lit("\\\\"), lit("\\")))
+    case "JSON" =>
+      // wrap the JSON scalar into an object and let the JSON reader
+      // undo the escapes; JSON null → SQL NULL
+      when(token === "null", lit(null)).otherwise(
+        from_json(concat(lit("{\"v\":"), token, lit("}")),
+          StructType(Seq(StructField("v", StringType))))
+          .getField("v"))
+    case "CSV" =>
+      // quoted CSV field ("" → "), or the raw token; \N null
+      when(token === "\\N", lit(null)).otherwise(
+        when(token.startsWith("\"") && token.endsWith("\""),
+          call_function("replace",
+            regexp_replace(token, "^\"(.*)\"$", "$1"),
+            lit("\"\""), lit("\"")))
+          .otherwise(token))
+    case other => throw new IllegalArgumentException(
+      s"FORMAT Template: unsupported input escaping '$other' " +
+        "(Raw/None, Escaped, Quoted, JSON, CSV)")
+  }
+
   // ---------- FORMAT XML (registerFormats.cpp:62) ----------
 
   private def xmlEscape(s: String): String =
@@ -420,6 +488,7 @@ object ChFormat {
       settings: Seq[(String, String)]): DataFrame = {
     def get(k: String): Option[String] =
       settings.find(_._1.equalsIgnoreCase(k)).map(_._2)
+        .orElse(df.sparkSession.conf.getOption(s"spark.graft.$k"))
     val rowPath = get("format_template_row").getOrElse(
       throw new IllegalArgumentException(
         "FORMAT Template needs SETTINGS format_template_row = 'file' " +

@@ -45,6 +45,9 @@ object ChSettings {
       case "format_regexp" => Seq("spark.graft.format_regexp" -> value)
       case "format_regexp_skip_unmatched" =>
         Seq("spark.graft.format_regexp_skip_unmatched" -> value)
+      // Template INPUT needs the row template session-visible too
+      case "format_template_row" =>
+        Seq("spark.graft.format_template_row" -> value)
       case "join_algorithm" => value.toLowerCase match {
         case "partial_merge" | "full_sorting_merge" | "prefer_partial_merge" =>
           Seq("spark.sql.join.preferSortMergeJoin" -> "true",

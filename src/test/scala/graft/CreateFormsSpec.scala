@@ -406,6 +406,57 @@ class CreateFormsSpec extends SparkSpec {
     assert(plan.contains("FileScan text"), plan)
   }
 
+  test("Template INPUT round-trips what FORMAT Template wrote, reversing each escaping") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tplin")
+    val rowF = dir.resolve("row.tpl")
+    java.nio.file.Files.write(rowF,
+      "k=${k:Raw}; s=${s:Quoted}; j=${j:JSON}\n".getBytes("UTF-8"))
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'plain', 'x'),
+        |  (2L, 'qu''ote\\slash', 'a"b'),
+        |  (3L, CAST(NULL AS STRING), CAST(NULL AS STRING))
+        |AS t(k, s, j)""".stripMargin).createOrReplaceTempView("graft_tpl_rt")
+    val out = dir.resolve("rows.txt").toString
+    ChDdl.execute(spark,
+      s"SELECT k, s, j FROM graft_tpl_rt ORDER BY k INTO OUTFILE '$out' " +
+        s"FORMAT Template SETTINGS format_template_row = '$rowF'")
+    ChDdl.execute(spark, s"SET format_template_row = '$rowF'")
+    try {
+      val back = ChDdl.execute(spark,
+        s"SELECT * FROM file('$out', 'Template', " +
+          "'k Int64, s Nullable(String), j Nullable(String)') ORDER BY k")
+        .collect()
+      assert(back.length == 3)
+      assert(back(0).getLong(0) == 1L && back(0).getString(1) == "plain" &&
+        back(0).getString(2) == "x")
+      assert(back(1).getString(1) == "qu'ote\\slash", back(1).getString(1))
+      assert(back(1).getString(2) == "a\"b", back(1).getString(2))
+      assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+      // a line that doesn't match the template raises loudly
+      val rowK = dir.resolve("rowk.tpl")
+      java.nio.file.Files.write(rowK, "k=${k:Raw}".getBytes("UTF-8"))
+      val bad = dir.resolve("bad.txt")
+      java.nio.file.Files.write(bad, "nope\n".getBytes("UTF-8"))
+      spark.conf.set("spark.graft.format_template_row", rowK.toString)
+      val e = intercept[Exception] {
+        ChDdl.execute(spark,
+          s"SELECT * FROM file('$bad', 'Template', 'k Int64')").collect()
+      }
+      assert(e.getMessage.contains("does not match"), e.getMessage)
+      // unknown placeholder name refuses naming the structure
+      val rowBad = dir.resolve("rowbad.tpl")
+      java.nio.file.Files.write(rowBad, "${nope:Raw}".getBytes("UTF-8"))
+      spark.conf.set("spark.graft.format_template_row", rowBad.toString)
+      val e2 = intercept[IllegalArgumentException] {
+        ChDdl.execute(spark,
+          s"SELECT * FROM file('$out', 'Template', 'k Int64')")
+      }
+      assert(e2.getMessage.contains("no structure column"), e2.getMessage)
+    } finally spark.conf.unset("spark.graft.format_template_row")
+  }
+
   test("Native: byte-level framing pinned against NativeWriter.cpp") {
     // revision-0 block: varuint cols, varuint rows, per column
     // name/type strings + column-major bulk data — hand-derived from
