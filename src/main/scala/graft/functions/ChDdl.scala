@@ -679,7 +679,8 @@ object ChDdl {
     "JSONEACHROW", "ORC", "AVRO", "ARROW", "ROWBINARY",
     "ROWBINARYWITHNAMES", "ROWBINARYWITHNAMESANDTYPES",
     "PROTOBUF", "PROTOBUFSINGLE", "RAWBLOB", "NATIVE", "MSGPACK",
-    "LINEASSTRING", "JSONASSTRING", "REGEXP", "TEMPLATE")
+    "LINEASSTRING", "JSONASSTRING", "REGEXP", "TEMPLATE", "TSKV",
+    "JSONCOMPACTEACHROW", "VALUES")
 
   private val adoptFns = Set("FILE", "S3", "GCS", "HDFS",
     "AZUREBLOBSTORAGE", "URL")
@@ -688,7 +689,7 @@ object ChDdl {
     * the set the adoption byte budget protects. */
   private val driverMaterializing = Set("ARROW", "PROTOBUF",
     "PROTOBUFSINGLE", "RAWBLOB", "MSGPACK", "NATIVE",
-    "ROWBINARYWITHNAMESANDTYPES")
+    "ROWBINARYWITHNAMESANDTYPES", "VALUES")
 
   /** The reference infers format from the path extension when the
     * argument is omitted (FormatFactory::getFormatFromFileName). */
@@ -833,6 +834,84 @@ object ChDdl {
         s"$fn(): headerless $up carries no schema to adopt — write the " +
           "file as RowBinaryWithNamesAndTypes (INTO OUTFILE … FORMAT " +
           "RowBinaryWithNamesAndTypes) and adopt that")
+    case "TSKV" =>
+      // registerFormats.cpp:31-32's input side: key=value pairs,
+      // tab-joined, fields in any order/subset. str_to_map keys the
+      // line DISTRIBUTED at scan speed; the structure names the
+      // columns and types; missing keys and \N both read as NULL.
+      // Scope: simple values (no embedded tab/'=' — the escaped forms
+      // are client-paste exotica; use JSONEachRow for those).
+      import org.apache.spark.sql.functions._
+      val st = structure.getOrElse(throw new IllegalArgumentException(
+        s"$fn(): TSKV adoption needs the structure argument — " +
+          "file('x.tskv', 'TSKV', 'a Int64, b String')"))
+      val schema = structSchema(st)
+      spark.read.text(path)
+        .select(str_to_map(col("value"), lit("\t"), lit("=")).as("__m"))
+        .select(schema.fields.toIndexedSeq.map { f =>
+          val raw = element_at(col("__m"), f.name)
+          val v = when(raw === "\\N", lit(null)).otherwise(raw)
+          (if (f.dataType == org.apache.spark.sql.types.StringType) v
+           else v.cast(f.dataType)).as(f.name)
+        }: _*)
+    case "JSONCOMPACTEACHROW" =>
+      // one JSON array per line, positional (registerFormats.cpp:35-36
+      // input side). from_json to array<string> normalizes every
+      // scalar (numbers, quoted 64-bit ints, booleans, strings) to
+      // its text, JSON null to SQL NULL; declared types cast back.
+      // Distributed text scan + codegen'd JSON parse.
+      import org.apache.spark.sql.functions._
+      val st = structure.getOrElse(throw new IllegalArgumentException(
+        s"$fn(): JSONCompactEachRow rows are positional — pass the " +
+          "structure, e.g. file('x.jsonl', 'JSONCompactEachRow', " +
+          "'a Int64, b String')"))
+      val schema = structSchema(st)
+      spark.read.text(path)
+        .filter(org.apache.spark.sql.functions.trim(col("value")) =!= "")
+        .select(from_json(col("value"), org.apache.spark.sql.types
+          .ArrayType(org.apache.spark.sql.types.StringType)).as("__a"))
+        .select(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          val v = element_at(col("__a"), i + 1)
+          (if (f.dataType == org.apache.spark.sql.types.StringType) v
+           else v.cast(f.dataType)).as(f.name)
+        }: _*)
+    case "VALUES" =>
+      // the client-paste tuple format (registerFormats.cpp:27-28
+      // input side): `(v1, v2), (v3, v4)` parses through the SAME
+      // tokenizer + bracket rewrite the INSERT VALUES front door uses,
+      // then Spark's own VALUES relation — driver-side by nature
+      // (guarded by the adoption budget above via driverMaterializing)
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8").trim
+      require(text.nonEmpty, s"$fn(): empty Values file")
+      val toks = ChSql.rewriteBrackets(tokenize(text)._1)
+      // accept both `(…),(…)` and one-tuple-per-line (what our own
+      // FORMAT Values renders): insert the separating comma between
+      // adjacent top-level tuples
+      val sep = Vector.newBuilder[graft.functions.ChSql.Tok]
+      var depth = 0
+      toks.zipWithIndex.foreach { case (t, i) =>
+        sep += t
+        if (t.text == "(") depth += 1
+        else if (t.text == ")") {
+          depth -= 1
+          if (depth == 0 && i + 1 < toks.length && toks(i + 1).text == "(")
+            sep += ChSql.w(",")
+        }
+      }
+      val rendered = ChSql.renderTrim(sep.result())
+      val raw = spark.sql(s"SELECT * FROM VALUES $rendered")
+      structure match {
+        case None => raw
+        case Some(st) =>
+          val schema = structSchema(st)
+          require(schema.fields.length == raw.schema.fields.length,
+            s"$fn(): structure has ${schema.fields.length} columns, " +
+              s"the Values tuples have ${raw.schema.fields.length}")
+          raw.select(raw.columns.toIndexedSeq.zip(schema.fields).map {
+            case (c, f) => col(c).cast(f.dataType).as(f.name)
+          }: _*)
+      }
     case "TEMPLATE" =>
       // registerFormats.cpp:39, the input side: the row template
       // (SET format_template_row = 'file') compiles to an anchored

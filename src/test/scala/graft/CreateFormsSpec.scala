@@ -457,6 +457,49 @@ class CreateFormsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.format_template_row")
   }
 
+  test("TSKV / JSONCompactEachRow / Values adopt back what their renderers wrote") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_txtrt")
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'alpha', CAST(1.5 AS DOUBLE), true),
+        |  (2L, CAST(NULL AS STRING), CAST(-2.25 AS DOUBLE), false)
+        |AS t(k, s, v, b)""".stripMargin)
+      .createOrReplaceTempView("graft_txt_rt")
+    val st = "k Int64, s Nullable(String), v Float64, b Bool"
+    def roundTrip(fmt: String, ext: String): Array[org.apache.spark.sql.Row] = {
+      val p = dir.resolve(s"t.$ext").toString
+      ChDdl.execute(spark,
+        s"SELECT k, s, v, b FROM graft_txt_rt ORDER BY k " +
+          s"INTO OUTFILE '$p' FORMAT $fmt")
+      ChDdl.execute(spark,
+        s"SELECT * FROM file('$p', '$fmt', '$st') ORDER BY k").collect()
+    }
+    for ((fmt, ext) <- Seq(("TSKV", "tskv"),
+        ("JSONCompactEachRow", "jsonl"), ("Values", "values"))) {
+      val rows = roundTrip(fmt, ext)
+      assert(rows.length == 2, s"$fmt: ${rows.length} rows")
+      assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha" &&
+        rows(0).getDouble(2) == 1.5 && rows(0).getBoolean(3), s"$fmt ${rows(0)}")
+      assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == -2.25 &&
+        !rows(1).getBoolean(3), s"$fmt ${rows(1)}")
+    }
+    // positional adopters refuse without structure
+    val eJ = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, s"SELECT * FROM file('${dir.resolve("t.jsonl")}', " +
+        "'JSONCompactEachRow')")
+    }
+    assert(eJ.getMessage.contains("structure"), eJ.getMessage)
+    // Values with a CH array literal goes through the bracket rewrite
+    val arr = dir.resolve("arr.values")
+    java.nio.file.Files.write(arr, "(1, [10, 20]), (2, [30])".getBytes("UTF-8"))
+    val got = ChDdl.execute(spark,
+      s"SELECT * FROM file('$arr', 'Values', 'id Int64, xs Array(Int64)') " +
+        "ORDER BY id").collect()
+    assert(got(0).getSeq[Long](1) == Seq(10L, 20L) &&
+      got(1).getSeq[Long](1) == Seq(30L))
+  }
+
   test("Native: byte-level framing pinned against NativeWriter.cpp") {
     // revision-0 block: varuint cols, varuint rows, per column
     // name/type strings + column-major bulk data — hand-derived from
