@@ -232,15 +232,35 @@ object ChInsert {
       s"PARTITION BY $c: not an output column of the insert body"))
     fmt match {
       case f if graft.sources.RowBinary.names(f) ||
-          graft.sources.NativeFormat.names(f) =>
+          graft.sources.NativeFormat.names(f) ||
+          graft.sources.ProtobufFormat.names(f) ||
+          f == "RAWBLOB" || f == "MSGPACK" =>
         require(partitionBy.isEmpty,
           s"$f is a single-file interchange write — no PARTITION BY")
         val p = java.nio.file.Paths.get(path)
         require(!java.nio.file.Files.exists(p),
           s"INSERT INTO FUNCTION: $path already exists (reference behavior)")
-        if (graft.sources.NativeFormat.names(f))
-          graft.sources.NativeFormat.write(body, path)
-        else graft.sources.RowBinary.write(body, path, f)
+        // streamed single-file writers: a mid-write failure must not
+        // leave a partial file that blocks the retry (the INTO OUTFILE
+        // discipline)
+        try {
+          if (graft.sources.NativeFormat.names(f))
+            graft.sources.NativeFormat.write(body, path)
+          else if (graft.sources.ProtobufFormat.names(f)) {
+            val fs = spark.conf.get("spark.graft.format_schema", "")
+            require(fs.nonEmpty, s"FORMAT $f needs a schema — SET " +
+              "format_schema = 'schema.proto:Message' first")
+            graft.sources.ProtobufFormat.write(body, path, fs,
+              f == "PROTOBUFSINGLE")
+          } else if (f == "RAWBLOB") graft.sources.RawBlob.write(body, path)
+          else if (f == "MSGPACK") graft.sources.MsgPackFormat.write(body, path)
+          else graft.sources.RowBinary.write(body, path, f)
+        } catch { case e: Throwable =>
+          java.nio.file.Files.deleteIfExists(p)
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(path + ".idx"))
+          throw e
+        }
       case other =>
         val w0 = body.write.mode("errorifexists")
         val w = partitionBy.map(w0.partitionBy(_)).getOrElse(w0)
@@ -257,7 +277,8 @@ object ChInsert {
           case f => throw new IllegalArgumentException(
             s"INSERT INTO FUNCTION: no writer for format '$f' (Parquet, " +
               "ORC, CSV[WithNames], TSV[WithNames], JSONEachRow, " +
-              "RowBinary[WithNames[AndTypes]], Native)")
+              "RowBinary[WithNames[AndTypes]], Native, Protobuf[Single], " +
+              "MsgPack, RawBLOB)")
         }
     }
   }

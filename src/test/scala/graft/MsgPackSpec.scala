@@ -88,6 +88,29 @@ class MsgPackSpec extends SparkSpec {
     assert(ok.map(_.getLong(0)).toSeq == Seq(5L, 5L))
   }
 
+  test("INSERT INTO FUNCTION file(...) writes MsgPack/RawBLOB single files too") {
+    GraftFunctions.ensureRegistered(spark)
+    val out = dir.resolve("insfn.msgpack")
+    spark.sql("SELECT * FROM VALUES (1L, 'a'), (2L, CAST(NULL AS STRING)) AS t(k, s)")
+      .createOrReplaceTempView("graft_mp_ifn")
+    ChDdl.execute(spark,
+      s"INSERT INTO FUNCTION file('$out', 'MsgPack') " +
+        "SELECT k, s FROM graft_mp_ifn ORDER BY k")
+    val back = ChDdl.execute(spark,
+      s"SELECT * FROM file('$out', 'MsgPack', 'k Int64, s Nullable(String)') " +
+        "ORDER BY k").collect()
+    assert(back.length == 2 && back(0).getString(1) == "a" && back(1).isNullAt(1))
+    // a failing write leaves no partial file behind
+    val bad = dir.resolve("insfail.msgpack")
+    intercept[Exception] {
+      ChDdl.execute(spark,
+        s"INSERT INTO FUNCTION file('$bad', 'MsgPack') " +
+          "SELECT CASE WHEN id < 2 THEN id ELSE CAST(raise_error('boom') " +
+          "AS BIGINT) END AS v FROM range(10)")
+    }
+    assert(!java.nio.file.Files.exists(bad), "partial file survived")
+  }
+
   test("positional format: adoption without structure refuses with the signature") {
     GraftFunctions.ensureRegistered(spark)
     val out = dir.resolve("ns.msgpack").toString
