@@ -32,11 +32,14 @@ def load_bench(path):
         text = raw
     pairs = re.findall(r'"([a-z][a-z0-9_]+)":([0-9]+\.?[0-9]*(?:e-?[0-9]+)?)', text)
     qs, canary = {}, None
+    stamp = {k: v for k, v in re.findall(r'"(run_id|gate)":"([^"]*)"', text)}
+    if stamp:
+        print(f"[stamp] run_id={stamp.get('run_id','?')} gate={stamp.get('gate','?')}")
     for k, v in pairs:
         if k == "canary_s":
             canary = float(v)
         elif k not in ("metric", "value", "sf", "iters", "n", "rc", "cpus",
-                       "median_rel_spread", "n_keys", "baseline_canary_s",
+                       "median_rel_spread", "n_keys", "baseline_canary_s", "epoch_ms",
                        "vs_baseline_median", "vs_baseline_max"):
             qs[k] = float(v)
     return qs, canary

@@ -168,14 +168,33 @@ object Bench {
         }.toMap
       case _ => Map.empty
     }
-    def r3(x: Double): String = f"$x%.3f"
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and a
+    // comma decimal separator would make the artifact invalid JSON
+    def r3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val vsJson = vsRatios.toSeq.sortBy(_._1)
       .map { case (k, r) => s"\"vs:$k\":${r3(r)}" }.mkString("{", ",", "}")
     val vsMedian = if (vsRatios.nonEmpty) median(vsRatios.values.toSeq) else 0.0
     val vsMax = if (vsRatios.nonEmpty) vsRatios.values.max else 0.0
     val vsWorst = vsRatios.toSeq.sortBy(-_._2).take(5)
       .map { case (k, r) => s"\"vs:$k\":${r3(r)}" }.mkString("{", ",", "}")
-    val vsFields = s""""baseline_canary_s":${baseCanary.getOrElse(0.0)},""" +
+    // ---- provenance stamp (r16 "what's wrong" #2: the committed
+    // BENCH_rN.json kept being a different run than the baseline
+    // refresh with no way to tell them apart). run_id names the run
+    // (GRAFT_BENCH_RUN_ID, e.g. r17_final / driver / adhoc), gate is
+    // the baseline_check.py verdict computed IN the artifact with the
+    // same thresholds, so a reader needs no second file.
+    val runId = sys.env.getOrElse("GRAFT_BENCH_RUN_ID", "unlabeled")
+    val gateFails = vsRatios.count(_._2 > 2.0)
+    val gateWarns = vsRatios.count { case (_, r) => r > 1.3 && r <= 2.0 }
+    val gate =
+      if (vsRatios.isEmpty) "no-baseline"
+      else if (gateFails > 0) s"fail:$gateFails"
+      else if (gateWarns > 0) s"warn:$gateWarns"
+      else "pass"
+    val vsFields = s""""run_id":"$runId","epoch_ms":${System.currentTimeMillis},""" +
+      s""""gate":"$gate",""" +
+      s""""baseline_canary_s":${baseCanary.getOrElse(0.0)},""" +
       s""""vs_baseline_median":${r3(vsMedian)},""" +
       s""""vs_baseline_max":${r3(vsMax)},""" +
       s""""vs_baseline_worst":$vsWorst"""

@@ -737,7 +737,14 @@ object ChDdl {
 
   private def readAdHoc(spark: SparkSession, path: String, up: String,
       fn: String, structure: Option[String] = None)
-      : org.apache.spark.sql.DataFrame = up match {
+      : org.apache.spark.sql.DataFrame = {
+    // central byte budget for EVERY driver-materializing format (r16
+    // advice: Native/RowBinary/Values slipped past the per-branch
+    // guards) — url() already guarded its downloaded copy; a second
+    // size check is a no-op
+    if (driverMaterializing(up))
+      graft.sources.AdHocFiles.guardSize(spark, path, s"$fn($up)")
+    up match {
     case "PARQUET" => spark.read.parquet(path)
     case "CSV" | "CSVWITHNAMES" =>
       spark.read.option("header", (up == "CSVWITHNAMES").toString)
@@ -761,11 +768,9 @@ object ChDdl {
       require(fs.nonEmpty, s"$fn(): FORMAT $up needs a schema — " +
         "SET format_schema = 'schema.proto:Message' first (the " +
         "reference's format_schema setting)")
-      graft.sources.AdHocFiles.guardSize(spark, path, s"$fn($up)")
       graft.sources.ProtobufFormat.read(spark, path, fs,
         up == "PROTOBUFSINGLE")
     case "RAWBLOB" =>
-      graft.sources.AdHocFiles.guardSize(spark, path, s"$fn(RawBLOB)")
       graft.sources.RawBlob.read(spark, path)
     case "MSGPACK" =>
       // positional format, no column names on the wire — the
@@ -774,7 +779,6 @@ object ChDdl {
       val st = structure.getOrElse(throw new IllegalArgumentException(
         s"$fn(): MsgPack rows are positional — pass the structure, " +
           "e.g. file('x.msgpack', 'MsgPack', 'a Int64, b String')"))
-      graft.sources.AdHocFiles.guardSize(spark, path, s"$fn(MsgPack)")
       graft.sources.MsgPackFormat.read(spark, path, structSchema(st))
     case "LINEASSTRING" =>
       // registerFormats.cpp:72 — whole lines, one String column.
@@ -880,11 +884,30 @@ object ChDdl {
       // input side): `(v1, v2), (v3, v4)` parses through the SAME
       // tokenizer + bracket rewrite the INSERT VALUES front door uses,
       // then Spark's own VALUES relation — driver-side by nature
-      // (guarded by the adoption budget above via driverMaterializing)
+      // (the central adoption budget above guards this branch)
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8").trim
       require(text.nonEmpty, s"$fn(): empty Values file")
       val toks = ChSql.rewriteBrackets(tokenize(text)._1)
+      // the token stream came from a DATA file, and it is about to be
+      // rendered into a VALUES relation — restrict it to literal
+      // tokens (r16 advice: a hostile .values file must not drive
+      // expression evaluation). array/struct are what the bracket
+      // rewrite itself injects for [..] and tuple literals.
+      val literalWords = Set("NULL", "TRUE", "FALSE", "ARRAY", "STRUCT",
+        "DATE", "TIMESTAMP", "INTERVAL", "NAN", "INF")
+      toks.foreach { t =>
+        val ok =
+          if (t.word) literalWords.contains(t.up)
+          else t.text == "(" || t.text == ")" || t.text == "," ||
+            t.text == "-" || t.text == "+" ||
+            t.text.head == '\'' || t.text.head.isDigit ||
+            (t.text.head == '.' && t.text.length > 1)
+        require(ok, s"$fn(): Values files hold literal tuples only — " +
+          s"token '${t.text}' is not a literal (expressions in data " +
+          "files are not evaluated; use INSERT … SELECT for computed " +
+          "values)")
+      }
       // accept both `(…),(…)` and one-tuple-per-line (what our own
       // FORMAT Values renders): insert the separating comma between
       // adjacent top-level tuples
@@ -957,6 +980,7 @@ object ChDdl {
         "Arrow, CSV[WithNames], TSV/TabSeparated[WithNames], " +
         "JSONEachRow, RowBinaryWithNamesAndTypes, Native, " +
         "Protobuf[Single], RawBLOB)")
+    }
   }
 
   /** url(): http(s) fetched driver-side to a temp file; file:// (and
@@ -2102,12 +2126,13 @@ object ChDdl {
               val method = outComp.map(_.toLowerCase) match {
                 case None => None
                 case Some("lz4") => Some(graft.sources.CompressedFrames.MethodLz4)
+                case Some("zstd") => Some(graft.sources.CompressedFrames.MethodZstd)
                 case Some("none") => Some(graft.sources.CompressedFrames.MethodNone)
                 case Some(other) => throw new IllegalArgumentException(
                   s"INTO OUTFILE COMPRESSION '$other' FORMAT Native: only " +
-                    "'lz4' and 'none' (the reference's internal block " +
-                    "framing) are supported here — for general-purpose " +
-                    "file compression write parquet")
+                    "'lz4', 'zstd' and 'none' (the reference's internal " +
+                    "block framing) are supported here — for " +
+                    "general-purpose file compression write parquet")
               }
               graft.sources.NativeFormat.write(df, path, method)
             } else {

@@ -476,6 +476,11 @@ object ChDialect4 {
     "graftCompressedSize" -> { es =>
       StaticInvoke(ChStrHelpers.getClass, IntegerType, "deflateSize",
         Seq(Cast(es.head, StringType)), inputTypes = Seq(StringType)) },
+    // internal name behind FORMAT Template/TSV input unescaping — a
+    // single-pass scanner (replace chains are order-sensitive on \\n)
+    "graftUnescapeEscaped" -> { es =>
+      StaticInvoke(ChStrHelpers.getClass, StringType, "unescapeEscaped",
+        Seq(Cast(es.head, StringType)), inputTypes = Seq(StringType)) },
     "kostikConsistentHash" -> { _ =>
       throw new UnsupportedOperationException(
         "kostikConsistentHash() is specified only by its C++ " +

@@ -384,11 +384,10 @@ object ChFormat {
     case "RAW" | "NONE" =>
       when(token === "\\N", lit(null)).otherwise(token)
     case "ESCAPED" =>
+      // single-pass scanner kernel: a replace chain is order-sensitive
+      // (\\n must unescape to backslash+'n', not backslash+newline)
       when(token === "\\N", lit(null)).otherwise(
-        call_function("replace",
-          call_function("replace",
-            call_function("replace", token, lit("\\n"), lit("\n")),
-            lit("\\t"), lit("\t")), lit("\\\\"), lit("\\")))
+        call_function("graftUnescapeEscaped", token))
     case "QUOTED" =>
       // 'text' with \\ and \' escapes; bare NULL literal
       when(token === "NULL", lit(null)).otherwise(

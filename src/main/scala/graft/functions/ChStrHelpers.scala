@@ -601,6 +601,31 @@ object ChStrHelpers {
     } finally d.end()
   }
 
+  /** Single left-to-right reversal of the Escaped serialization rule
+    * (\\, \t, \n — exactly what the Template/TSV writer emits). A
+    * pairwise replace chain is order-sensitive: a value holding a
+    * literal backslash followed by 'n' serializes as \\n and must
+    * unescape back to backslash+'n', not to a newline. Backslash
+    * sequences the writer never emits pass through unchanged. */
+  def unescapeEscaped(s: UTF8String): UTF8String = {
+    val in = s.toString
+    if (in.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(in.length)
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (c == '\\' && i + 1 < in.length) {
+        in.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   // ---- r11 edit-distance tail ----
 
   /** Damerau–Levenshtein, optimal-string-alignment variant (the

@@ -2518,6 +2518,51 @@ object DialectQueries {
             .cast("double").as("total"),
           min(col("u")).cast("string").as("umin"))
         .orderBy("o_orderstatus")
+    },
+
+    // ZSTD compressed frames (CompressionCodecZSTD.cpp, method byte
+    // 0x90 per CompressionInfo.h:40): the same Native interchange as
+    // c55 but the stream rides ZSTD+CityHash frames — INTO OUTFILE …
+    // COMPRESSION 'zstd' writes them, file() adoption auto-detects by
+    // the first-frame checksum probe. The key REQUIRES the zstd method
+    // byte on disk (the p12 measured-requirement discipline), so a
+    // silent fallback to lz4/plain cannot pass; the aggregate after
+    // the round trip must match DuckDB over the ORIGINAL parquet.
+    "c58_zstd_roundtrip" -> Q(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_orderdate) AS dmin, max(o_orderdate) AS dmax,
+        |  CAST(sum(length(o_orderpriority)) AS BIGINT) AS clen
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      GraftFunctions.ensureRegistered(s)
+      val src = Tables(s, dir).orders
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_c58")
+      dir0.toFile.deleteOnExit()
+      val path = dir0.resolve("orders.native").toString
+      src.createOrReplaceTempView("graft_c58_src")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM graft_c58_src INTO OUTFILE '$path' " +
+          "COMPRESSION 'zstd' FORMAT Native")
+      val in = java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(path))
+      val mb = try { in.skip(16); in.read() } finally in.close()
+      require(mb == 0x90,
+        f"c58: expected ZSTD frames (method 0x90) on disk, found 0x$mb%02x")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM file('$path', 'Native')")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+          min(col("o_orderdate")).as("dmin"),
+          max(col("o_orderdate")).as("dmax"),
+          sum(length(col("o_orderpriority"))).as("clen"))
+        .orderBy("o_orderstatus")
     }
   )
 }

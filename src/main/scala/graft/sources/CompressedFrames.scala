@@ -9,20 +9,28 @@ import java.nio.{ByteBuffer, ByteOrder}
   * wrappers, so any byte format (Native blocks here) can ride inside:
   *
   *   per frame: 16-byte CityHash128 v1.0.2 checksum of what follows,
-  *   then a 9-byte header — 1 byte method (0x82 = LZ4, 0x02 = NONE),
-  *   UInt32 LE compressed-size-including-this-header, UInt32 LE
-  *   decompressed size — then the payload (LZ4 block format, raw for
-  *   NONE).
+  *   then a 9-byte header — 1 byte method (0x82 = LZ4, 0x90 = ZSTD,
+  *   0x02 = NONE; CompressionInfo.h:38-40), UInt32 LE
+  *   compressed-size-including-this-header, UInt32 LE decompressed
+  *   size — then the payload (LZ4 block format / one ZSTD frame /
+  *   raw for NONE).
   *
   * Frame boundaries are the writer's buffer flushes (the reference's
   * DBMS_DEFAULT_BUFFER_SIZE = 1 MiB), independent of the framing of
   * whatever rides inside. LZ4 block compression comes from lz4-java
   * (already on Spark's classpath — Spark's own shuffle codec), which
-  * implements the same public LZ4 block format the reference links.
+  * implements the same public LZ4 block format the reference links;
+  * ZSTD (CompressionCodecZSTD.cpp, default level 1) from zstd-jni,
+  * also on Spark's classpath.
   */
 object CompressedFrames {
   val MethodLz4: Int = 0x82
   val MethodNone: Int = 0x02
+  val MethodZstd: Int = 0x90
+  /** CompressionCodecZSTD.cpp ZSTD_DEFAULT_LEVEL. */
+  private val ZstdLevel = 1
+  private def isMethod(m: Int): Boolean =
+    m == MethodLz4 || m == MethodNone || m == MethodZstd
   val BufSize: Int = 1048576
   private val HeaderSize = 9
 
@@ -30,7 +38,7 @@ object CompressedFrames {
 
   final class FrameOutputStream(out: OutputStream, method: Int = MethodLz4)
       extends OutputStream {
-    require(method == MethodLz4 || method == MethodNone,
+    require(isMethod(method),
       f"unsupported compression method 0x$method%02x")
     private val buf = new Array[Byte](BufSize)
     private var n = 0
@@ -61,6 +69,14 @@ object CompressedFrames {
           val dst = new Array[Byte](max)
           val clen = c.compress(buf, 0, n, dst, 0, max)
           java.util.Arrays.copyOf(dst, clen)
+        } else if (method == MethodZstd) {
+          val max = com.github.luben.zstd.Zstd.compressBound(n.toLong).toInt
+          val dst = new Array[Byte](max)
+          val clen = com.github.luben.zstd.Zstd.compressByteArray(
+            dst, 0, max, buf, 0, n, ZstdLevel)
+          require(!com.github.luben.zstd.Zstd.isError(clen),
+            s"zstd compress: ${com.github.luben.zstd.Zstd.getErrorName(clen)}")
+          java.util.Arrays.copyOf(dst, clen.toInt)
         } else java.util.Arrays.copyOf(buf, n)
       val framed = ByteBuffer.allocate(HeaderSize + payload.length)
         .order(ByteOrder.LITTLE_ENDIAN)
@@ -108,7 +124,7 @@ object CompressedFrames {
       val method = bb.get() & 0xff
       val compWithHeader = bb.getInt
       val rawLen = bb.getInt
-      require(method == MethodLz4 || method == MethodNone,
+      require(isMethod(method),
         f"compressed frame: unsupported method 0x$method%02x")
       require(compWithHeader >= HeaderSize && compWithHeader <= 16 * BufSize,
         s"compressed frame: bad compressed size $compWithHeader")
@@ -127,6 +143,14 @@ object CompressedFrames {
           val dst = new Array[Byte](rawLen)
           lz4.fastDecompressor()
             .decompress(framed, HeaderSize, dst, 0, rawLen)
+          dst
+        } else if (method == MethodZstd) {
+          val dst = new Array[Byte](rawLen)
+          val got = com.github.luben.zstd.Zstd.decompressByteArray(
+            dst, 0, rawLen, framed, HeaderSize, framed.length - HeaderSize)
+          require(!com.github.luben.zstd.Zstd.isError(got) && got == rawLen,
+            "compressed frame: zstd payload does not decompress to the " +
+              s"declared size ($got vs $rawLen) — corrupted data")
           dst
         } else java.util.Arrays.copyOfRange(framed, HeaderSize, framed.length)
       pos = 0
@@ -171,7 +195,7 @@ object CompressedFrames {
       val method = bb.get() & 0xff
       val compWithHeader = bb.getInt
       val rawLen = bb.getInt
-      if (method != MethodLz4 && method != MethodNone) return false
+      if (!isMethod(method)) return false
       if (compWithHeader < HeaderSize || compWithHeader > 16 * BufSize) return false
       if (rawLen < 0 || rawLen > 16 * BufSize) return false
       // MethodNone frames store the payload verbatim: inconsistent
@@ -194,7 +218,7 @@ object CompressedFrames {
       // path to die on a misleading block-parse error (r15 advice).
       // The odds of an uncompressed Native stream passing the header
       // sanity checks are ~0 (its first byte is a varint column
-      // count; method must be 0x82/0x02 at offset 16).
+      // count; method must be 0x82/0x90/0x02 at offset 16).
       require(lo == ckLo && hi == ckHi,
         "compressed frame: checksum mismatch in the FIRST frame — " +
           "corrupted data (the reference's CHECKSUM_DOESNT_MATCH)")

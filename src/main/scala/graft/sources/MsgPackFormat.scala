@@ -89,11 +89,17 @@ object MsgPackFormat {
       case StringType => writeStr(out, v.asInstanceOf[String])
       case BinaryType => writeBin(out, v.asInstanceOf[Array[Byte]])
       case DateType => // uint days (the reference's underlying-number form)
-        writeLong(out, math.max(0L, math.min(0xffffL,
-          v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)))
+        val days = v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay
+        require(days >= 0L && days <= 0xffffL,
+          s"MsgPack Date is uint16 epoch days [1970-01-01, 2149-06-06]; " +
+            s"got $v — cast to DateTime64/String for out-of-range dates")
+        writeLong(out, days)
       case TimestampType =>
-        writeLong(out, math.max(0L, math.min(0xffffffffL,
-          v.asInstanceOf[java.sql.Timestamp].getTime / 1000L)))
+        val secs = v.asInstanceOf[java.sql.Timestamp].getTime / 1000L
+        require(secs >= 0L && secs <= 0xffffffffL,
+          s"MsgPack DateTime is uint32 unix seconds [1970, 2106]; " +
+            s"got $v — cast to String for out-of-range timestamps")
+        writeLong(out, secs)
       case d: DecimalType if d.precision == 20 && d.scale == 0 =>
         val bi = (v match {
           case jd: java.math.BigDecimal => jd.toBigInteger

@@ -35,7 +35,7 @@ import org.apache.spark.sql.types._
   * LZ4+CityHash compressed stream wrapping (src/Compression/
   * CompressedWriteBuffer.cpp, the storage/wire/clickhouse-compressor
   * form) is supported on BOTH sides: INTO OUTFILE … COMPRESSION
-  * 'lz4'/'none' FORMAT Native writes it, and read() auto-detects it
+  * 'lz4'/'zstd'/'none' FORMAT Native writes it, and read() auto-detects it
   * by verifying the first frame's CityHash128 checksum
   * (sources/CompressedFrames.scala).
   *
@@ -256,7 +256,7 @@ object NativeFormat {
     * but STREAMED — driver memory stays one partition deep.
     * `compression` wraps the byte stream in the reference's
     * LZ4+CityHash block frames (CompressedFrames; INTO OUTFILE …
-    * COMPRESSION 'lz4'/'none' FORMAT Native).
+    * COMPRESSION 'lz4'/'zstd'/'none' FORMAT Native).
     *
     * Uncompressed writes also emit the reference's block index
     * (IndexForNativeFormat) as a `<path>.idx` sidecar — per-column

@@ -457,6 +457,57 @@ class CreateFormsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.format_template_row")
   }
 
+  test("Template Escaped input reverses escapes in one pass (backslash+'n' is not a newline)") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tplesc")
+    val rowF = dir.resolve("row.tpl")
+    java.nio.file.Files.write(rowF, "v=${s:Escaped}".getBytes("UTF-8"))
+    // the r16 advice case: a literal backslash followed by 'n'
+    // serializes as \\n and must come back as backslash+'n'; real
+    // tab/newline round-trip through \t/\n
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'back\\nslash'),
+        |  (2L, concat('a', char(9), 'b', char(10), 'c')),
+        |  (3L, 'trailing\\')
+        |AS t(k, s)""".stripMargin).createOrReplaceTempView("graft_esc_rt")
+    val out = dir.resolve("rows.txt").toString
+    ChDdl.execute(spark,
+      s"SELECT s FROM graft_esc_rt ORDER BY k INTO OUTFILE '$out' " +
+        s"FORMAT Template SETTINGS format_template_row = '$rowF'")
+    spark.conf.set("spark.graft.format_template_row", rowF.toString)
+    try {
+      val back = ChDdl.execute(spark,
+        s"SELECT * FROM file('$out', 'Template', 's String')").collect()
+        .map(_.getString(0)).sorted
+      assert(back.toSeq == Seq("a\tb\nc", "back\\nslash", "trailing\\"),
+        back.toSeq.toString)
+    } finally spark.conf.unset("spark.graft.format_template_row")
+  }
+
+  test("Values adoption refuses expression tokens in the data file") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_valsec")
+    val f = dir.resolve("evil.values")
+    java.nio.file.Files.write(f,
+      "(1, version()), (2, 'b')".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        s"SELECT * FROM file('$f', 'Values', 'k Int64, s String')")
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    // literal tuples — incl. arrays, negatives, NULL — still adopt
+    val g = dir.resolve("fine.values")
+    java.nio.file.Files.write(g,
+      "(1, 'a', [1,2], -1.5), (2, NULL, [], 3e2)".getBytes("UTF-8"))
+    val ok = ChDdl.execute(spark,
+      s"SELECT * FROM file('$g', 'Values', " +
+        "'k Int64, s Nullable(String), a Array(Int64), v Float64')")
+      .collect().sortBy(_.getLong(0))
+    assert(ok.length == 2 && ok(0).getString(1) == "a" && ok(1).isNullAt(1))
+    assert(ok(0).getSeq[Long](2) == Seq(1L, 2L) && ok(1).getDouble(3) == 300.0)
+  }
+
   test("TSKV / JSONCompactEachRow / Values adopt back what their renderers wrote") {
     GraftFunctions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_txtrt")
@@ -599,26 +650,33 @@ class CreateFormsSpec extends SparkSpec {
         "FROM range(20000)").createOrReplaceTempView("graft_natc_src")
     val plain = dir.resolve("plain.native").toString
     val lz4 = dir.resolve("lz4.native").toString
+    val zstd = dir.resolve("zstd.native").toString
     val none = dir.resolve("none.native").toString
     ChDdl.execute(spark,
       s"SELECT * FROM graft_natc_src INTO OUTFILE '$plain' FORMAT Native")
     ChDdl.execute(spark,
       s"SELECT * FROM graft_natc_src INTO OUTFILE '$lz4' COMPRESSION 'lz4' FORMAT Native")
     ChDdl.execute(spark,
+      s"SELECT * FROM graft_natc_src INTO OUTFILE '$zstd' COMPRESSION 'zstd' FORMAT Native")
+    ChDdl.execute(spark,
       s"SELECT * FROM graft_natc_src INTO OUTFILE '$none' COMPRESSION 'none' FORMAT Native")
     def sz(p: String) = java.nio.file.Files.size(java.nio.file.Paths.get(p))
     assert(sz(lz4) < sz(plain) / 4,
       s"lz4 ${sz(lz4)} vs plain ${sz(plain)} — no compression win")
+    assert(sz(zstd) < sz(plain) / 4,
+      s"zstd ${sz(zstd)} vs plain ${sz(plain)} — no compression win")
     assert(sz(none) > sz(plain), "NONE frames add headers, never shrink")
     // frame header shape: method byte at offset 16 (after the
-    // CityHash128 checksum), 0x82 = LZ4 / 0x02 = NONE
+    // CityHash128 checksum), 0x82 = LZ4 / 0x90 = ZSTD / 0x02 = NONE
+    // (CompressionInfo.h:38-40)
     def methodByte(p: String): Int = {
       val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p))
       try { in.skip(16); in.read() } finally in.close()
     }
-    assert(methodByte(lz4) == 0x82 && methodByte(none) == 0x02)
-    // file() auto-detects both compressed framings — no format hint
-    for (p <- Seq(lz4, none)) {
+    assert(methodByte(lz4) == 0x82 && methodByte(zstd) == 0x90 &&
+      methodByte(none) == 0x02)
+    // file() auto-detects all compressed framings — no format hint
+    for (p <- Seq(lz4, zstd, none)) {
       val back = ChDdl.execute(spark,
         s"SELECT count(*) AS n, sum(k) AS t, min(length(s)) AS l FROM file('$p')")
         .head()
@@ -648,9 +706,48 @@ class CreateFormsSpec extends SparkSpec {
     // unsupported method names refuse too
     val e3 = intercept[IllegalArgumentException] {
       ChDdl.execute(spark, s"SELECT 1 AS x INTO OUTFILE " +
-        s"'${dir.resolve("x.native")}' COMPRESSION 'zstd' FORMAT Native")
+        s"'${dir.resolve("x.native")}' COMPRESSION 'gz' FORMAT Native")
     }
     assert(e3.getMessage.contains("lz4"), e3.getMessage)
+    // a zstd frame built BY HAND from the published layout (checksum +
+    // header + one raw ZSTD frame — what a reference-written file
+    // carries) adopts through the same auto-detect path: proves we
+    // read the wire format, not just our own writer's output
+    val foreign = dir.resolve("foreign.native")
+    // an uncompressed Native file IS the inner byte stream
+    val innerF = dir.resolve("inner.native").toString
+    ChDdl.execute(spark,
+      s"SELECT * FROM graft_natc_src INTO OUTFILE '$innerF' FORMAT Native")
+    val innerBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(innerF))
+    val payload = com.github.luben.zstd.Zstd.compress(innerBytes, 3) // any level
+    val framed = java.nio.ByteBuffer.allocate(9 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    framed.put(0x90.toByte)
+    framed.putInt(9 + payload.length)
+    framed.putInt(innerBytes.length)
+    framed.put(payload)
+    val fb = framed.array()
+    val (lo, hi) = graft.sources.CityHash102.cityHash128(fb, 0, fb.length)
+    val ck = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ck.putLong(lo); ck.putLong(hi)
+    val outS = java.nio.file.Files.newOutputStream(foreign)
+    outS.write(ck.array()); outS.write(fb); outS.close()
+    val back2 = ChDdl.execute(spark,
+      s"SELECT count(*) AS n, sum(k) AS t FROM file('$foreign')").head()
+    assert(back2.getLong(0) == 20000L && back2.getLong(1) == 20000L * 19999L / 2)
+    // a flipped bit in a zstd payload fails the checksum loudly too
+    val zbytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(zstd))
+    zbytes(40) = (zbytes(40) ^ 0x01).toByte
+    val zbad = dir.resolve("zbad.native")
+    java.nio.file.Files.write(zbad, zbytes)
+    val ze = intercept[Exception] {
+      ChDdl.execute(spark,
+        s"SELECT count(*) AS n FROM file('$zbad', 'Native')").head()
+    }
+    assert(ze.getMessage.contains("checksum mismatch"), ze.getMessage)
   }
 
   test("file() reads ORC, Avro and Arrow (registerFormats.cpp adoption formats)") {
