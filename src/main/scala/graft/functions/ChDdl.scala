@@ -44,9 +44,16 @@ import ChSql.{Tok, tokenize, renderTrim, depths, matchParen}
   */
 object ChDdl {
 
+  /** One declared column. `codec` keeps the column's rendered
+    * CODEC(...) declaration (ParserCreateQuery.h:220-258,
+    * ASTColumnDeclaration.h:20) so SHOW CREATE round-trips it; the
+    * declaration is ABSORBED, not executed — parquet's own encodings
+    * (dictionary/RLE/delta + page compression) are the layout analog
+    * of Delta/DoubleDelta/Gorilla/T64 at this layer, the same stance
+    * TTL/INDEX take. */
   final case class ChColumn(
       name: String, sparkType: String, enumValues: Option[Seq[(String, Int)]],
-      chType: String = "")
+      chType: String = "", codec: Option[String] = None)
 
   /** PROJECTION name (SELECT keys…, aggs… GROUP BY keys) declared in
     * the column list (ASTProjectionDeclaration.h). */
@@ -301,7 +308,8 @@ object ChDdl {
     * recreates an equivalently-laid-out table. */
   private def renderCreate(ct: ChCreateTable): String = {
     val colLines = ct.cols.map(c => s"    `${c.name}` ${
-      if (c.chType.nonEmpty) c.chType else c.sparkType}")
+      if (c.chType.nonEmpty) c.chType else c.sparkType}${
+      c.codec.map(" " + _).getOrElse("")}")
     val projLines = ct.projections.map { p =>
       val items = p.keys ++ p.sums.map(c => s"sum($c)") ++
         p.mins.map(c => s"min($c)") ++ p.maxs.map(c => s"max($c)") ++
@@ -350,21 +358,24 @@ object ChDdl {
     * names (`Nullable(String)`-style), from the declared layout when
     * one is stored. */
   def describeCh(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
-    val rows: Seq[(String, String)] = createdTables.get(table.toLowerCase) match {
-      case Some(ct) => ct.cols.map(c =>
-        c.name -> (if (c.chType.nonEmpty) c.chType else c.sparkType))
-      case None =>
-        spark.table(table).schema.fields.toSeq
-          .filterNot(_.name == "__sample_hash")
-          .map(f => f.name -> chTypeName(f.dataType, f.nullable))
-    }
+    val rows: Seq[(String, String, String)] =
+      createdTables.get(table.toLowerCase) match {
+        case Some(ct) => ct.cols.map(c =>
+          (c.name, if (c.chType.nonEmpty) c.chType else c.sparkType,
+            c.codec.getOrElse("")))
+        case None =>
+          spark.table(table).schema.fields.toSeq
+            .filterNot(_.name == "__sample_hash")
+            .map(f => (f.name, chTypeName(f.dataType, f.nullable), ""))
+      }
     import spark.implicits._
-    rows.toDF("name", "type")
+    rows.toDF("name", "type", "codec_expression")
       .withColumn("default_type", lit(""))
       .withColumn("default_expression", lit(""))
       .withColumn("comment", lit(""))
-      .withColumn("codec_expression", lit(""))
       .withColumn("ttl_expression", lit(""))
+      .select("name", "type", "default_type", "default_expression",
+        "comment", "codec_expression", "ttl_expression")
   }
 
   // ---------- ATTACH / DETACH (ParserCreateQuery.cpp:456,533) ----------
@@ -2416,6 +2427,12 @@ object ChDdl {
   private val colDecor = Set("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC",
     "COMMENT", "TTL")
 
+  /** Codec names the reference registers (CompressionFactory.cpp:164-
+    * 171, minus the internal Multiple/Encrypted): a typo'd CODEC must
+    * refuse at CREATE time, as the reference's factory does. */
+  private val codecNames = Set("NONE", "LZ4", "LZ4HC", "ZSTD", "DELTA",
+    "DOUBLEDELTA", "GORILLA", "T64", "DEFAULT")
+
   private def parseColumn(item: Vector[Tok]): ChColumn = {
     require(item.length >= 2, s"bad column item: ${renderTrim(item)}")
     val name = item.head.text.stripPrefix("`").stripSuffix("`")
@@ -2424,7 +2441,24 @@ object ChDdl {
       d(k) == 0 && item(k).word && colDecor.contains(item(k).up))
       .getOrElse(item.length)
     val (sparkType, enums) = parseType(item.slice(1, typeEnd))
-    ChColumn(name, sparkType, enums, renderTrim(item.slice(1, typeEnd)))
+    // CODEC(name[(args)][, …]) — absorbed into the layout and
+    // re-emitted by SHOW CREATE/DESCRIBE (the TTL/INDEX pattern)
+    val codec = (typeEnd until item.length).find(k =>
+      d(k) == 0 && item(k).up == "CODEC").map { k =>
+      require(k + 1 < item.length && item(k + 1).text == "(",
+        s"CODEC needs a parenthesized codec list: ${renderTrim(item)}")
+      val close = matchParen(item, k + 1)
+      val entries = splitTop(item.slice(k + 2, close))
+      require(entries.nonEmpty, "CODEC() cannot be empty")
+      entries.foreach { e =>
+        require(e.head.word && codecNames.contains(e.head.up),
+          s"unknown codec '${e.head.text}' — the reference registers " +
+            "NONE, LZ4, LZ4HC, ZSTD, Delta, DoubleDelta, Gorilla, T64")
+      }
+      s"CODEC(${entries.map(renderTrim).mkString(", ")})"
+    }
+    ChColumn(name, sparkType, enums, renderTrim(item.slice(1, typeEnd)),
+      codec)
   }
 
   /** CH type expression → (Spark SQL type, enum dictionary). */

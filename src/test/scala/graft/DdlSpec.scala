@@ -966,6 +966,46 @@ class DdlSpec extends SparkSpec {
     Seq("sct_t", "sct_t2", "sct_plain").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("column CODEC declarations survive the SHOW CREATE re-ingest round trip") {
+    // ParserCreateQuery.h:220-258 / ASTColumnDeclaration.h:20 — the
+    // declaration is absorbed (parquet encodings are the layout
+    // analog) but must round-trip, like TTL/INDEX/CONSTRAINT
+    ChDdl.execute(spark,
+      """CREATE TABLE codec_t (
+        |  id UInt64 CODEC(Delta(4), ZSTD(1)),
+        |  ts DateTime CODEC(DoubleDelta),
+        |  v Float64 CODEC(Gorilla),
+        |  note Nullable(String)
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE codec_t").head().getString(0)
+    assert(stmt.contains("`id` UInt64 CODEC(Delta(4), ZSTD(1))"), stmt)
+    assert(stmt.contains("`ts` DateTime CODEC(DoubleDelta)"), stmt)
+    assert(stmt.contains("`v` Float64 CODEC(Gorilla)"), stmt)
+    assert(stmt.contains("`note` Nullable(String)\n") ||
+      stmt.contains("`note` Nullable(String),"), stmt)
+    // the p08 re-ingest path: execute the emitted DDL under a new
+    // name, insert through it, and the codec survives a SECOND render
+    ChDdl.execute(spark,
+      stmt.replaceFirst("CREATE TABLE codec_t", "CREATE TABLE codec_t2"))
+    ChDdl.execute(spark, "INSERT INTO codec_t2 VALUES (1, now(), 1.5, 'x')")
+    val again = ChDdl.execute(spark, "SHOW CREATE TABLE codec_t2").head().getString(0)
+    assert(again.contains("`id` UInt64 CODEC(Delta(4), ZSTD(1))"), again)
+    assert(spark.table("codec_t2").count() == 1)
+    // DESCRIBE fills codec_expression from the layout
+    val d = ChDdl.execute(spark, "DESCRIBE TABLE codec_t")
+      .select("name", "codec_expression").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("id") == "CODEC(Delta(4), ZSTD(1))" && d("note") == "", d.toString)
+    // a typo'd codec refuses at CREATE time, naming the registry
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "CREATE TABLE codec_bad (x Int64 CODEC(Deltta)) " +
+          "ENGINE = MergeTree ORDER BY tuple()")
+    }
+    assert(e.getMessage.contains("unknown codec"), e.getMessage)
+    Seq("codec_t", "codec_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("DESCRIBE answers with CH type names from the declared layout") {
     ChDdl.execute(spark,
       """CREATE TABLE desc_t (

@@ -71,10 +71,14 @@ object Sf1Gen {
     replicas("events") { (df, r) =>
       df.withColumn("event_id", col("event_id") + lit(r * O))
         .withColumn("user_id", col("user_id") + lit(r * C)) }
-    // ten distinct vowel permutations: replica texts differ in most
-    // words, lengths/word counts identical
-    val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
-      "aeoui", "eouia", "ouiae", "uiaeo", "iaeou")
+    // distinct vowel permutations (5! = 120 available, identity
+    // first): replica texts differ in most words, lengths/word
+    // counts identical — supports k up to 120 (sf10 probe uses 100)
+    val perms: Seq[String] = {
+      val all = "aeiou".toSeq.permutations.map(_.mkString).toSeq
+      require(k <= all.length, s"k=$k > ${all.length} distinct perms")
+      "aeiou" +: all.filterNot(_ == "aeiou")
+    }
     replicas("documents") { (df, r) =>
       df.withColumn("doc_id", col("doc_id") + lit(r * C))
         .withColumn("text",
