@@ -697,8 +697,10 @@ object ChDdl {
     "AZUREBLOBSTORAGE", "URL")
 
   /** Formats whose adoption parses the whole file on the DRIVER —
-    * the set the adoption byte budget protects. */
-  private val driverMaterializing = Set("ARROW", "PROTOBUF",
+    * the set the adoption byte budget protects. Arrow left the set in
+    * r17: ArrowIpcSource splits by record batch (DSv2), nothing
+    * materializes on the driver. */
+  private val driverMaterializing = Set("PROTOBUF",
     "PROTOBUFSINGLE", "RAWBLOB", "MSGPACK", "NATIVE",
     "ROWBINARYWITHNAMESANDTYPES", "VALUES")
 

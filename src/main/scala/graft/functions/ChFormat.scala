@@ -96,19 +96,25 @@ object ChFormat {
       // rendering of the reference's interleaved progress stream
       // (progress is client-display state; the row count is its only
       // engine-meaningful field). read_rows is quoted like the
-      // reference's 64-bit JSON integers. DECLARED COST: the count
-      // branch re-executes the child plan (the reference reads its
-      // progress off execution state a declarative plan doesn't
-      // expose); on a nondeterministic query the advisory count can
-      // differ from the emitted row events. Rows themselves render
-      // once, streaming.
+      // reference's 64-bit JSON integers. SINGLE-PASS (r16 "what's
+      // wrong" #3): the count accumulates WHILE the rows stream
+      // through the final render stage instead of re-executing the
+      // child; coalesce(1) keeps row order (partition concatenation,
+      // same as collect order) and is the client-stream analog — the
+      // reference also renders progress into one ordered stream. Any
+      // shuffle/sort in the child keeps its parallelism; only the
+      // render collapses.
+      val spark = df.sparkSession
+      import spark.implicits._
       val rows = df.select(concat(lit("{\"row\":"),
         to_json(struct(df.columns.map(col): _*),
           Map("ignoreNullFields" -> "false")), lit("}")).as("line"))
-      val progress = df.groupBy().count()
-        .select(concat(lit("{\"progress\":{\"read_rows\":\""),
-          col("count").cast("string"), lit("\"}}")).as("line"))
-      rows.unionAll(progress)
+        .as[String]
+      rows.coalesce(1).mapPartitions { it =>
+        var n = 0L
+        it.map { s => n += 1; s } ++ Iterator.single(
+          "{\"progress\":{\"read_rows\":\"" + n + "\"}}")
+      }.toDF("line")
     case "CSVWITHNAMES" =>
       // CH writes CSV header names quoted
       withHeader(render(df, "CSV"),

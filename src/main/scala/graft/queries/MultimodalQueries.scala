@@ -149,6 +149,62 @@ object MultimodalQueries {
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
           round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
         .orderBy("doc_id")
+    },
+
+    // REAL PNG decode (m05, the m04 discipline on the container web
+    // corpora actually carry): every document plants a non-interlaced
+    // 8-bit PNG — channel count cycles gray/RGB/RGBA by doc_id, each
+    // scanline carries a DIFFERENT filter type (y % 5, so None / Sub /
+    // Up / Average / Paeth must ALL unfilter correctly) — and the
+    // featurizer must recover width/height from the parsed IHDR and
+    // the stats from the fully-unfiltered pixels. The oracle knows no
+    // PNG: it recomputes from the generator formula, so a misread
+    // filter, channel count or inflate boundary cannot match. n_bytes
+    // is deliberately NOT projected (deflate output has no closed
+    // form); the decode proof is the pixel math.
+    "m05_png_decode" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id * 11 + i * 17) % 256 AS v
+        |  FROM documents d, range(0, 320) t(i)
+        |  WHERE i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
+        |    * (CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)),
+        |s AS (
+        |  SELECT doc_id, SUM(v) AS sv, SUM(CAST(v AS DOUBLE) * v) AS svv,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN v >= 96 AND v < 128 THEN 1 ELSE 0 END) AS h3
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id, 'image/png' AS format,
+        |  CAST(4 + s.doc_id % 5 AS INT) AS width,
+        |  CAST(3 + s.doc_id % 4 AS INT) AS height,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_byte,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6) AS std_byte,
+        |  round(CAST(CAST(CAST(h0 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(CAST(h3 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f3
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{ImageCodec, MediaRow}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val w = (4 + Math.floorMod(id, 5L)).toInt
+        val h = (3 + Math.floorMod(id, 4L)).toInt
+        val ch = Math.floorMod(id, 3L) match {
+          case 0L => 1; case 1L => 3; case _ => 4 }
+        val px = Array.tabulate(w * h * ch)(i =>
+          Math.floorMod(id * 11 + i * 17L, 256L).toInt)
+        MediaRow(id, ImageCodec.encodePng(w, h, ch, px, y => y % 5),
+          "declared/wrong", 0, 0)
+      }.toDF()
+      Multimodal.featurize(media)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          round(col("std_byte"), 6).as("std_byte"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
+        .orderBy("doc_id")
     }
   )
 }

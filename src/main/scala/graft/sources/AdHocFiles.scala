@@ -123,57 +123,11 @@ object AdHocFiles {
 
   // ---------- Arrow IPC file ----------
 
-  private def arrowField(
-      f: org.apache.arrow.vector.types.pojo.Field): DataType = {
-    import org.apache.arrow.vector.types.pojo.ArrowType
-    f.getType match {
-      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-      case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
-      case i: ArrowType.Int if i.getBitWidth == 8 => ByteType
-      case fp: ArrowType.FloatingPoint =>
-        if (fp.getPrecision ==
-          org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)
-          DoubleType else FloatType
-      case _: ArrowType.Utf8 => StringType
-      case _: ArrowType.Bool => BooleanType
-      case _: ArrowType.Binary => BinaryType
-      case other => throw new IllegalArgumentException(
-        s"file(Arrow): unsupported field type $other — primitive " +
-          "columns only (adopt nested data via parquet)")
-    }
-  }
-
-  private def fromArrow(v: Any): Any = v match {
-    case null => null
-    case t: org.apache.arrow.vector.util.Text => t.toString
-    case other => other
-  }
-
-  def arrow(spark: SparkSession, path: String): DataFrame = {
-    guardSize(spark, path, "file(Arrow)")
-    val alloc = new org.apache.arrow.memory.RootAllocator()
-    val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(path),
-      java.nio.file.StandardOpenOption.READ)
-    val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
-    try {
-      val root = reader.getVectorSchemaRoot
-      val fields = root.getSchema.getFields.asScala.toSeq
-      val schema = StructType(fields.map(f =>
-        StructField(f.getName, arrowField(f), f.isNullable)))
-      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (reader.loadNextBatch()) {
-        val vectors = root.getFieldVectors.asScala.toSeq
-        var i = 0
-        while (i < root.getRowCount) {
-          rows += Row.fromSeq(vectors.map(v => fromArrow(v.getObject(i))))
-          i += 1
-        }
-      }
-      spark.createDataFrame(rows.asJava, schema)
-    } finally {
-      reader.close(); ch.close(); alloc.close()
-    }
-  }
+  /** Arrow IPC file adoption — a DISTRIBUTED DataSource V2 scan
+    * (ArrowIpcSource): the driver reads only schema + footer, record
+    * batches are the input splits, column pruning pushes down. No
+    * byte budget needed anymore — nothing materializes on the
+    * driver (r16 verdict ask #8). */
+  def arrow(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft.sources.ArrowIpcSource").load(path)
 }

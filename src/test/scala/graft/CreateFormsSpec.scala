@@ -811,6 +811,64 @@ class CreateFormsSpec extends SparkSpec {
     assert(gotArrow == Seq(5L -> Some("e"), 6L -> None))
   }
 
+  test("Arrow adoption is a DISTRIBUTED DSv2 scan: batch splits + column pruning") {
+    GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_dist")
+    val arrowPath = dir.resolve("multi.arrow")
+    // 8 record batches of 100 rows each — the footer indexes them,
+    // and each becomes its own input split
+    locally {
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.{BigIntVector, Float8Vector, VarCharVector, VectorSchemaRoot}
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+      import org.apache.arrow.vector.types.FloatingPointPrecision
+      import scala.jdk.CollectionConverters._
+      val alloc = new RootAllocator()
+      val sch = new ASchema(Seq(
+        new Field("k", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+        new Field("v", FieldType.notNullable(
+          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
+        new Field("s", FieldType.nullable(ArrowType.Utf8.INSTANCE), null)).asJava)
+      val root = VectorSchemaRoot.create(sch, alloc)
+      val ch = java.nio.channels.FileChannel.open(arrowPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+      w.start()
+      for (b <- 0 until 8) {
+        val kv = root.getVector("k").asInstanceOf[BigIntVector]
+        val vv = root.getVector("v").asInstanceOf[Float8Vector]
+        val sv = root.getVector("s").asInstanceOf[VarCharVector]
+        kv.allocateNew(100); vv.allocateNew(100); sv.allocateNew(100)
+        for (i <- 0 until 100) {
+          val id = b * 100L + i
+          kv.setSafe(i, id); vv.setSafe(i, id * 0.5)
+          if (id % 7 == 0) sv.setNull(i)
+          else sv.setSafe(i, s"row$id".getBytes("UTF-8"))
+        }
+        root.setRowCount(100)
+        w.writeBatch()
+      }
+      w.end(); w.close(); ch.close(); root.close(); alloc.close()
+    }
+    val df = ChDdl.execute(spark,
+      s"SELECT k FROM file('$arrowPath', 'Arrow')")
+    // distributed: one input partition per record batch
+    assert(df.rdd.getNumPartitions == 8, s"${df.rdd.getNumPartitions} partitions")
+    // values correct across all batches
+    val agg = ChDdl.execute(spark,
+      s"SELECT count(*) AS n, sum(k) AS t, " +
+        s"sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS nulls " +
+        s"FROM file('$arrowPath', 'Arrow')").head()
+    assert(agg.getLong(0) == 800L && agg.getLong(1) == 800L * 799L / 2 &&
+      agg.getLong(2) == (0L until 800L).count(_ % 7 == 0), agg)
+    // column pruning pushes down: the scan's ReadSchema carries ONLY k
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ArrowIpc"), plan)
+    assert(plan.contains("ReadSchema: struct<k:bigint>") ||
+      plan.contains("ReadSchema: k"), plan)
+  }
+
   test("SHOW CREATE re-emits CHECK constraints (full roundtrip)") {
     GraftFunctions.ensureRegistered(spark)
     ChDdl.execute(spark,

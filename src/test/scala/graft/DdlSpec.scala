@@ -702,6 +702,22 @@ class DdlSpec extends SparkSpec {
       "{\"row\":{\"id\":1,\"s\":\"a<b&c\"}}",
       "{\"row\":{\"id\":2,\"s\":null}}"), p)
     assert(p.last == "{\"progress\":{\"read_rows\":\"2\"}}", p.last)
+    // single-pass proof (r16 "what's wrong" #3): the child plan
+    // executes ONCE — an accumulator planted in the child counts how
+    // many rows flow through it during the render
+    val acc = spark.sparkContext.longAccumulator("graft_wp_exec")
+    import spark.implicits._
+    val counted = spark.range(0, 7).map { i => acc.add(1); i }.toDF("id")
+    val p2 = graft.functions.ChFormat.render(counted, "JSONEachRowWithProgress")
+      .as[String].collect().toSeq
+    assert(p2.last == "{\"progress\":{\"read_rows\":\"7\"}}", p2.last)
+    assert(acc.value == 7L,
+      s"child executed ${acc.value / 7.0} times — WithProgress must be single-pass")
+    // empty input still emits the final progress event
+    val p3 = graft.functions.ChFormat.render(
+      spark.range(0, 7).filter(col("id") < -1).toDF("id"),
+      "JSONEachRowWithProgress").as[String].collect().toSeq
+    assert(p3 == Seq("{\"progress\":{\"read_rows\":\"0\"}}"), p3)
     // Template: row template file with ${col:Escaping} placeholders,
     // resultset file with header/footer around ${data}
     val dir = java.nio.file.Files.createTempDirectory("graft_tpl")

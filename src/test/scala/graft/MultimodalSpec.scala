@@ -103,6 +103,67 @@ class MultimodalSpec extends SparkSpec {
     assert(row.format == "declared/fmt" && row.width == 9 && row.n_bytes == 60L)
   }
 
+  test("PNG decode is real: every scanline filter unfilters to the planted pixels") {
+    import graft.operators.ImageCodec
+    // 3x5 RGB with a different filter per row (None/Sub/Up/Average/
+    // Paeth): a decoder that misreads ANY filter cannot reproduce px
+    val w = 3; val h = 5; val ch = 3
+    val px = Array.tabulate(w * h * ch)(i => (i * 37 + 11) % 256)
+    for (chN <- Seq(1, 3, 4)) {
+      val p2 = Array.tabulate(w * h * chN)(i => (i * 37 + 11) % 256)
+      val bytes = ImageCodec.encodePng(w, h, chN, p2, y => y % 5)
+      val img = ImageCodec.decode(bytes).get
+      assert(img.format == "image/png" && img.width == w && img.height == h
+        && img.channels == chN)
+      assert(img.pixels.toSeq == p2.toSeq, s"channels=$chN")
+    }
+    // featurize uses the decoded header + pixels
+    val bytes = ImageCodec.encodePng(w, h, ch, px, y => y % 5)
+    val media = Seq((7L, bytes, "declared/wrong", 99, 99))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val row = Multimodal.featurize(media).collect().head
+    assert(row.format == "image/png" && row.width == 3 && row.height == 5)
+    val want = px.sum / px.length.toDouble
+    assert(math.abs(row.mean_byte - want) < 1e-12)
+  }
+
+  test("PNG hostile containers refuse loudly and degrade to opaque through featurize") {
+    import graft.operators.ImageCodec
+    val good = ImageCodec.encodePng(2, 2, 3,
+      Array.tabulate(12)(i => i * 20), _ => 0)
+    // a flipped IDAT byte fails the chunk CRC
+    val bad = good.clone()
+    bad(good.length - 15) = (bad(good.length - 15) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException] { ImageCodec.decode(bad) }
+    assert(e1.getMessage.contains("CRC"), e1.getMessage)
+    // interlaced refuses with guidance
+    val il = good.clone()
+    il(8 + 8 + 12) = 1 // IHDR interlace byte
+    // fix the IHDR CRC so the interlace check itself is reached
+    val ihdrData = il.slice(16, 29)
+    val crc = { val c = new java.util.zip.CRC32()
+      c.update("IHDR".getBytes); c.update(ihdrData); c.getValue.toInt }
+    java.nio.ByteBuffer.wrap(il).putInt(29, crc)
+    val e2 = intercept[IllegalArgumentException] { ImageCodec.decode(il) }
+    assert(e2.getMessage.contains("interlace"), e2.getMessage)
+    // absurd dimensions refuse before allocation
+    val big = good.clone()
+    java.nio.ByteBuffer.wrap(big).putInt(16, 1 << 20).putInt(20, 1 << 20)
+    val bigData = big.slice(16, 29)
+    val crc2 = { val c = new java.util.zip.CRC32()
+      c.update("IHDR".getBytes); c.update(bigData); c.getValue.toInt }
+    java.nio.ByteBuffer.wrap(big).putInt(29, crc2)
+    val e3 = intercept[IllegalArgumentException] { ImageCodec.decode(big) }
+    assert(e3.getMessage.contains("implausible"), e3.getMessage)
+    // through featurize every one of them degrades to the opaque branch
+    val media = Seq((1L, bad), (2L, il), (3L, big))
+      .toDF("doc_id", "content")
+      .selectExpr("doc_id", "content", "'d' AS format",
+        "9 AS width", "9 AS height")
+    val rows = Multimodal.featurize(media).collect()
+    assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
+  }
+
   test("farbfeld decode is real: dims from the header, channel high bytes as values") {
     import graft.operators.ImageCodec
     // 1x2 RGBA, 16-bit channels: pixel0 = (0xff00, 0x0100, 0, 0xffff),
