@@ -2136,17 +2136,10 @@ object ChDdl {
               // wraps it in the LZ4+CityHash compressed stream frames
               // (CompressedWriteBuffer.cpp — the clickhouse-compressor
               // form; file() auto-detects it on adoption)
-              val method = outComp.map(_.toLowerCase) match {
-                case None => None
-                case Some("lz4") => Some(graft.sources.CompressedFrames.MethodLz4)
-                case Some("zstd") => Some(graft.sources.CompressedFrames.MethodZstd)
-                case Some("none") => Some(graft.sources.CompressedFrames.MethodNone)
-                case Some(other) => throw new IllegalArgumentException(
-                  s"INTO OUTFILE COMPRESSION '$other' FORMAT Native: only " +
-                    "'lz4', 'zstd' and 'none' (the reference's internal " +
-                    "block framing) are supported here — for " +
-                    "general-purpose file compression write parquet")
-              }
+              // single name ('lz4'/'zstd'/'none'/'delta(w)'/…) or a
+              // comma chain ('delta(8), zstd') — chains frame as the
+              // reference's CODEC Multiple (CompressedFrames.parseChain)
+              val method = outComp.map(graft.sources.CompressedFrames.parseChain)
               graft.sources.NativeFormat.write(df, path, method)
             } else {
               // COMPRESSION here would be the reference's file-level

@@ -2563,6 +2563,50 @@ object DialectQueries {
           max(col("o_orderdate")).as("dmax"),
           sum(length(col("o_orderpriority"))).as("clen"))
         .orderBy("o_orderstatus")
+    },
+
+    // CODEC chains as frame methods (CompressionCodecMultiple.cpp
+    // 0x91 + CompressionCodecDelta.cpp 0x92, the CODEC(Delta, ZSTD)
+    // pattern a reference user's clickhouse-compressor writes): the
+    // same Native interchange with COMPRESSION 'delta(8), zstd' —
+    // Delta transform then ZSTD, one nested framed block per layer.
+    // The key REQUIRES the Multiple method byte on disk and matches
+    // DuckDB over the ORIGINAL parquet after the round trip.
+    "c59_codec_chain" -> Q(
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS ksum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qsum,
+        |  min(l_shipdate) AS dmin, max(l_shipdate) AS dmax
+        |FROM lineitem WHERE l_orderkey % 64 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      GraftFunctions.ensureRegistered(s)
+      val src = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 64 === 0)
+        .select(col("l_orderkey"), col("l_linestatus"),
+          col("l_quantity"), col("l_shipdate"))
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_c59")
+      dir0.toFile.deleteOnExit()
+      val path = dir0.resolve("lineitem.native").toString
+      src.createOrReplaceTempView("graft_c59_src")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM graft_c59_src INTO OUTFILE '$path' " +
+          "COMPRESSION 'delta(8), zstd' FORMAT Native")
+      val in = java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(path))
+      val mb = try { in.skip(16); in.read() } finally in.close()
+      require(mb == 0x91,
+        f"c59: expected a CODEC chain (Multiple, 0x91) on disk, found 0x$mb%02x")
+      graft.functions.ChDdl.execute(s,
+        s"SELECT * FROM file('$path', 'Native')")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).cast("long").as("ksum"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("qsum"),
+          min(col("l_shipdate")).as("dmin"),
+          max(col("l_shipdate")).as("dmax"))
+        .orderBy("l_linestatus")
     }
   )
 }

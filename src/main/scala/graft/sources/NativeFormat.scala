@@ -267,7 +267,7 @@ object NativeFormat {
     * reference's DEFAULT_BLOCK_SIZE and is parameterized only so
     * specs can force multi-block files cheaply. */
   def write(df: DataFrame, path: String,
-      compression: Option[Int] = None,
+      compression: Option[Seq[CompressedFrames.Codec]] = None,
       blockRows: Int = BlockRows): Unit = {
     val fields = df.schema.fields
     fields.foreach(f => chName(f.dataType, f.nullable)) // validate first
@@ -278,8 +278,8 @@ object NativeFormat {
       case Some(_) => null
     }
     val out: java.io.OutputStream = compression match {
-      case Some(m) => new BufferedOutputStream(
-        new CompressedFrames.FrameOutputStream(raw, m))
+      case Some(chain) => new BufferedOutputStream(
+        new CompressedFrames.FrameOutputStream(raw, chain))
       case None => counting
     }
     val indexBlocks = Vector.newBuilder[NativeIndex.BlockIndex]

@@ -709,6 +709,28 @@ class CreateFormsSpec extends SparkSpec {
         s"'${dir.resolve("x.native")}' COMPRESSION 'gz' FORMAT Native")
     }
     assert(e3.getMessage.contains("lz4"), e3.getMessage)
+    // the specialized column codecs + CODEC chains through the front
+    // door: each writes its method byte (chain = Multiple 0x91) and
+    // adopts back by auto-detect
+    for ((spec, mb) <- Seq("delta(8)" -> 0x92, "doubledelta(8)" -> 0x94,
+        "gorilla(8)" -> 0x95, "delta(8), zstd" -> 0x91,
+        "gorilla(4), lz4" -> 0x91)) {
+      val p = dir.resolve(s"c_${mb}_${spec.hashCode.abs}.native").toString
+      ChDdl.execute(spark,
+        s"SELECT k FROM graft_natc_src INTO OUTFILE '$p' " +
+          s"COMPRESSION '$spec' FORMAT Native")
+      assert(methodByte(p) == mb, f"$spec: 0x${methodByte(p)}%02x")
+      val back = ChDdl.execute(spark,
+        s"SELECT count(*) AS n, sum(k) AS t FROM file('$p')").head()
+      assert(back.getLong(0) == 20000L &&
+        back.getLong(1) == 20000L * 19999L / 2, s"$spec: $back")
+    }
+    // T64 refuses with guidance at write time
+    val e4 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, s"SELECT 1 AS x INTO OUTFILE " +
+        s"'${dir.resolve("t64.native")}' COMPRESSION 't64' FORMAT Native")
+    }
+    assert(e4.getMessage.contains("T64"), e4.getMessage)
     // a zstd frame built BY HAND from the published layout (checksum +
     // header + one raw ZSTD frame — what a reference-written file
     // carries) adopts through the same auto-detect path: proves we
