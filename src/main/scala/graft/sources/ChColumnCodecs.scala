@@ -261,6 +261,202 @@ object ChColumnCodecs {
     out
   }
 
+  // ---------- T64 (0x93) ----------
+  // CompressionCodecT64.cpp: 64 values become a 64×(8·width) bit
+  // matrix stored as byte planes; min/max of the part detect the
+  // valuable bit count and only those bit rows are stored. Byte
+  // variant (default) stores full byte planes raw and bit-transposes
+  // only the last partial byte; Bit variant bit-transposes every
+  // plane. Payload = [cookie: magic | variant<<7][min u64 LE]
+  // [max u64 LE][num_bits longs per 64-value block].
+
+  /** MagicNumber (CompressionCodecT64.cpp:73-90) → (base width,
+    * signedness of the base type per baseType()). */
+  private val t64Magic: Map[Int, (Int, Boolean)] = Map(
+    1 -> (1, false), 2 -> (2, false), 3 -> (4, false), 4 -> (8, false),
+    6 -> (1, true), 7 -> (2, true), 8 -> (4, true), 9 -> (8, true),
+    13 -> (2, false), // Date → UInt16
+    14 -> (4, false), // DateTime → UInt32
+    15 -> (8, true), // DateTime64 → Int64
+    17 -> (1, false), 18 -> (2, false), // Enum8/16 → UInt8/16
+    19 -> (4, true), 20 -> (8, true)) // Decimal32/64 → Int32/64
+
+  private def t64ValuableBits(min: Long, max: Long, isSigned: Boolean): Int = {
+    def unsignedBits(a: Long, b: Long): Int = {
+      val diff = a ^ b
+      if (diff != 0) 64 - java.lang.Long.numberOfLeadingZeros(diff) else 0
+    }
+    if (isSigned && min < 0 && max >= 0) {
+      if (min + max >= 0) unsignedBits(0L, max) + 1
+      else unsignedBits(0L, ~min) + 1
+    } else unsignedBits(min, max)
+  }
+
+  /** Bit-transpose one 64-byte plane: 64 bytes → 8 longs, long k
+    * collecting bit k of byte i at position i (transpose64x8). */
+  private def t64Transpose64x8(plane: Array[Byte], off: Int): Unit = {
+    val dst = new Array[Long](8)
+    var i = 0
+    while (i < 64) {
+      val v = plane(off + i) & 0xffL
+      var k = 0
+      while (k < 8) {
+        dst(k) |= ((v >>> k) & 1L) << i
+        k += 1
+      }
+      i += 1
+    }
+    var k = 0
+    while (k < 8) { store(plane, off + 8 * k, 8, dst(k)); k += 1 }
+  }
+
+  private def t64ReverseTranspose64x8(plane: Array[Byte], off: Int): Unit = {
+    val src = Array.tabulate(8)(k => load(plane, off + 8 * k, 8))
+    val out = new Array[Byte](64)
+    var i = 0
+    while (i < 64) {
+      var b = 0
+      var k = 0
+      while (k < 8) { b |= (((src(k) >>> i) & 1L) << k).toInt; k += 1 }
+      out(i) = b.toByte
+      i += 1
+    }
+    System.arraycopy(out, 0, plane, off, 64)
+  }
+
+  /** Compress a width-aligned byte stream as one T64 part. `magic`
+    * picks the declared type (1/2/3/4 = UInt8..64, 6..9 = Int8..64,
+    * …); `bitVariant` = the Bit transpose form. */
+  def t64Compress(src: Array[Byte], magic: Int,
+      bitVariant: Boolean = false): Array[Byte] = {
+    val (w, isSigned) = t64Magic.getOrElse(magic,
+      throw new IllegalArgumentException(s"T64: bad magic number $magic"))
+    require(src.length % w == 0,
+      s"T64: data size ${src.length} is not a multiple of $w")
+    val n = src.length / w
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(magic | (if (bitVariant) 0x80 else 0))
+    // min/max over the part, sign-extended for signed base types
+    var min = 0L; var max = 0L
+    if (n > 0) {
+      min = if (isSigned) signed(load(src, 0, w), w) else load(src, 0, w)
+      max = min
+      var i = 1
+      while (i < n) {
+        val v0 = load(src, i * w, w)
+        val v = if (isSigned) signed(v0, w) else v0
+        val lt = if (isSigned) v < min
+          else java.lang.Long.compareUnsigned(v, min) < 0
+        val gt = if (isSigned) v > max
+          else java.lang.Long.compareUnsigned(v, max) > 0
+        if (lt) min = v
+        if (gt) max = v
+        i += 1
+      }
+    } else if (n == 0) { min = 0L; max = 0L }
+    val mm = new Array[Byte](16)
+    store(mm, 0, 8, min); store(mm, 8, 8, max)
+    out.write(mm)
+    val numBits = t64ValuableBits(min, max, isSigned)
+    if (numBits == 0 || n == 0) return out.toByteArray
+    val fullBytes = numBits / 8
+    val partBits = numBits % 8
+    var blockStart = 0
+    while (blockStart < n) {
+      val tail = math.min(64, n - blockStart)
+      // byte planes: plane b, column c = byte b of value c
+      val matrix = new Array[Byte](512)
+      var c = 0
+      while (c < tail) {
+        var b = 0
+        while (b < w) {
+          matrix(64 * b + c) = src((blockStart + c) * w + b)
+          b += 1
+        }
+        c += 1
+      }
+      if (bitVariant) {
+        var b = 0
+        while (b < fullBytes) { t64Transpose64x8(matrix, 64 * b); b += 1 }
+      }
+      out.write(matrix, 0, 8 * (numBits - partBits))
+      if (partBits > 0) {
+        t64Transpose64x8(matrix, 64 * fullBytes)
+        out.write(matrix, 64 * fullBytes, 8 * partBits)
+      }
+      blockStart += 64
+    }
+    out.toByteArray
+  }
+
+  def t64Decompress(payload: Array[Byte], off: Int, len: Int,
+      rawLen: Int): Array[Byte] = {
+    require(len >= 17, "T64: truncated payload (need cookie + min/max)")
+    val cookie = payload(off) & 0xff
+    val bitVariant = (cookie & 0x80) != 0
+    val magic = cookie & 0x7f
+    val (w, isSigned) = t64Magic.getOrElse(magic,
+      throw new IllegalArgumentException(s"T64: bad magic number $magic"))
+    require(rawLen % w == 0,
+      s"T64: unexpected uncompressed size $rawLen for width $w")
+    val n = rawLen / w
+    val min = load(payload, off + 1, 8)
+    val max = load(payload, off + 9, 8)
+    val out = new Array[Byte](rawLen)
+    val numBits = t64ValuableBits(min, max, isSigned)
+    if (numBits == 0) {
+      var i = 0
+      while (i < n) { store(out, i * w, w, min); i += 1 }
+      return out
+    }
+    val srcShift = 8 * numBits
+    val body = len - 17
+    require(body > 0 && body % srcShift == 0,
+      s"T64: data size $body is not a multiple of $srcShift")
+    val fullBytes = numBits / 8
+    val partBits = numBits % 8
+    // shared upper bits + the zero-crossing sign split
+    var upperMin = 0L; var upperMax = 0L; var signBit = 0L
+    if (numBits < 64) upperMin = (min >>> numBits) << numBits
+    if (isSigned && min < 0 && max >= 0 && numBits < 64) {
+      signBit = 1L << (numBits - 1)
+      upperMax = (max >>> numBits) << numBits
+    }
+    var block = 0
+    val nBlocks = body / srcShift
+    require(nBlocks.toLong * 64 >= n,
+      s"T64: $nBlocks blocks cannot hold $n values")
+    while (block < nBlocks) {
+      val tail = math.min(64, n - block * 64)
+      val matrix = new Array[Byte](512)
+      System.arraycopy(payload, off + 17 + block * srcShift, matrix, 0,
+        srcShift)
+      if (bitVariant) {
+        var b = 0
+        while (b < fullBytes) { t64ReverseTranspose64x8(matrix, 64 * b); b += 1 }
+      }
+      if (partBits > 0) t64ReverseTranspose64x8(matrix, 64 * fullBytes)
+      var c = 0
+      while (c < tail) {
+        var v = 0L
+        var b = 0
+        while (b < w) {
+          v |= (matrix(64 * b + c) & 0xffL) << (8 * b)
+          b += 1
+        }
+        // mask to the stored bit rows, then restore the shared upper
+        // bits (restoreUpperBits)
+        if (numBits < 64) v &= (1L << numBits) - 1
+        if (signBit != 0) v |= (if ((v & signBit) != 0) upperMin else upperMax)
+        else v |= upperMin
+        store(out, (block * 64 + c) * w, w, v)
+        c += 1
+      }
+      block += 1
+    }
+    out
+  }
+
   // ---------- Gorilla (0x95) ----------
 
   private def dataBitLength(w: Int): Int = w match {

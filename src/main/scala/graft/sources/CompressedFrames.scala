@@ -11,7 +11,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   per frame: 16-byte CityHash128 v1.0.2 checksum of what follows,
   *   then a 9-byte header — 1 byte method (CompressionInfo.h:36-48:
   *   0x02 NONE, 0x82 LZ4, 0x90 ZSTD, 0x91 Multiple, 0x92 Delta,
-  *   0x94 DoubleDelta, 0x95 Gorilla; 0x93 T64 refuses with guidance),
+  *   0x94 DoubleDelta, 0x95 Gorilla, 0x93 T64 — read side; the write
+  *   side takes every method but T64, whose framing is column-typed),
   *   UInt32 LE compressed-size-including-this-header, UInt32 LE
   *   decompressed size — then the payload. CODEC chains ride the
   *   Multiple framing, one nested framed block per layer
@@ -41,7 +42,7 @@ object CompressedFrames {
   private def isMethod(m: Int): Boolean =
     m == MethodLz4 || m == MethodNone || m == MethodZstd ||
       m == MethodMultiple || m == MethodDelta || m == MethodDoubleDelta ||
-      m == MethodGorilla
+      m == MethodGorilla || m == MethodT64
   val BufSize: Int = 1048576
   private val HeaderSize = 9
 
@@ -155,6 +156,8 @@ object CompressedFrames {
         ChColumnCodecs.doubleDeltaDecompress(bytes, pOff, pLen, rawLen)
       case MethodGorilla =>
         ChColumnCodecs.gorillaDecompress(bytes, pOff, pLen, rawLen)
+      case MethodT64 =>
+        ChColumnCodecs.t64Decompress(bytes, pOff, pLen, rawLen)
       case MethodMultiple =>
         require(pLen >= 1, "compressed frame: empty Multiple payload")
         val nCodecs = bytes(pOff) & 0xff
@@ -180,11 +183,7 @@ object CompressedFrames {
             s"header declares $rawLen")
         cur
       case other => throw new IllegalArgumentException(
-        f"compressed frame: unsupported method 0x$other%02x" +
-          (if (other == MethodT64)
-            " (T64 — its bit-transpose format is not implemented here;" +
-              " re-write the file with Delta/DoubleDelta/Gorilla/LZ4/ZSTD)"
-          else ""))
+        f"compressed frame: unsupported method 0x$other%02x")
     }
   }
 
@@ -205,8 +204,10 @@ object CompressedFrames {
         case "doubledelta" => Codec(MethodDoubleDelta, width)
         case "gorilla" => Codec(MethodGorilla, width)
         case "t64" => throw new IllegalArgumentException(
-          "COMPRESSION 'T64' is not implemented here — use Delta/" +
-            "DoubleDelta/Gorilla for integer framing or LZ4/ZSTD")
+          "COMPRESSION 'T64' frames are column-typed (64-value bit " +
+            "matrices of one declared integer type) and cannot wrap an " +
+            "arbitrary byte stream; file() adoption READS T64 frames — " +
+            "for writing use Delta/DoubleDelta/Gorilla or LZ4/ZSTD")
         case other => throw new IllegalArgumentException(
           s"INTO OUTFILE COMPRESSION '$other' FORMAT Native: " +
             "lz4, zstd, none, delta[(w)], doubledelta[(w)], gorilla[(w)] " +
