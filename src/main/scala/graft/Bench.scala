@@ -187,10 +187,19 @@ object Bench {
     val runId = sys.env.getOrElse("GRAFT_BENCH_RUN_ID", "unlabeled")
     val gateFails = vsRatios.count(_._2 > 2.0)
     val gateWarns = vsRatios.count { case (_, r) => r > 1.3 && r <= 2.0 }
+    // a baseline key with no result this run (errored out / vanished)
+    // is a FAILURE, exactly as baseline_check.py counts it — but only
+    // on a full run; a SPARK_GRAFT_BENCH_ONLY-filtered run cannot
+    // judge coverage (r17 review)
+    val gateMissing =
+      if (only.isEmpty) (baseKeys.keySet -- results.keySet).size else 0
     val gate =
       if (vsRatios.isEmpty) "no-baseline"
-      else if (gateFails > 0) s"fail:$gateFails"
+      else if (gateFails + gateMissing > 0)
+        s"fail:${gateFails + gateMissing}" +
+          (if (gateMissing > 0) s"(missing:$gateMissing)" else "")
       else if (gateWarns > 0) s"warn:$gateWarns"
+      else if (only.nonEmpty) "pass-partial"
       else "pass"
     val vsFields = s""""run_id":"$runId","epoch_ms":${System.currentTimeMillis},""" +
       s""""gate":"$gate",""" +

@@ -110,11 +110,21 @@ object ChFormat {
         to_json(struct(df.columns.map(col): _*),
           Map("ignoreNullFields" -> "false")), lit("}")).as("line"))
         .as[String]
-      rows.coalesce(1).mapPartitions { it =>
+      val counted = rows.coalesce(1).mapPartitions { it =>
         var n = 0L
         it.map { s => n += 1; s } ++ Iterator.single(
           "{\"progress\":{\"read_rows\":\"" + n + "\"}}")
       }.toDF("line")
+      // an optimizer-emptied child (WHERE false folded away, an empty
+      // file listing) plans as a ZERO-partition RDD: mapPartitions
+      // never runs and the mandatory final progress event would
+      // vanish (r17 review). The plan is deterministic, so the
+      // 0-partition check at render time is decisive — emit the
+      // static zero-progress line.
+      if (counted.queryExecution.toRdd.getNumPartitions == 0) {
+        import spark.implicits._
+        Seq("{\"progress\":{\"read_rows\":\"0\"}}").toDF("line")
+      } else counted
     case "CSVWITHNAMES" =>
       // CH writes CSV header names quoted
       withHeader(render(df, "CSV"),
@@ -521,12 +531,15 @@ object ChFormat {
         case "JSON" => jsonCell(f)
         case "QUOTED" => quotedCell(f)
         case "ESCAPED" =>
-          // TSV escaping: backslash, tab, newline (the Escaped rule)
-          val e = call_function("replace",
-            call_function("replace",
-              call_function("replace",
-                col(f.name).cast("string"), lit("\\"), lit("\\\\")),
-              lit("\t"), lit("\\t")), lit("\n"), lit("\\n"))
+          // the full Escaped rule the reference's writeEscapedString
+          // applies (backslash FIRST, then \b \f \n \r \t \0 \')
+          val pairs = Seq("\\" -> "\\\\", "\b" -> "\\b", "\f" -> "\\f",
+            "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t",
+            "\u0000" -> "\\0", "'" -> "\\'")
+          val e = pairs.foldLeft(col(f.name).cast("string")) {
+            case (c, (from, to)) =>
+              call_function("replace", c, lit(from), lit(to))
+          }
           coalesce(e, lit("\\N"))
         case other => throw new IllegalArgumentException(
           s"FORMAT Template: unsupported escaping '$other' " +

@@ -602,7 +602,9 @@ object ChStrHelpers {
   }
 
   /** Single left-to-right reversal of the Escaped serialization rule
-    * (\\, \t, \n — exactly what the Template/TSV writer emits). A
+    * — the full set the reference's writeEscapedString emits
+    * (\b \f \n \r \t \0 \' \\), since this reader is also the
+    * adoption path for reference-written TSV/Template files. A
     * pairwise replace chain is order-sensitive: a value holding a
     * literal backslash followed by 'n' serializes as \\n and must
     * unescape back to backslash+'n', not to a newline. Backslash
@@ -618,6 +620,11 @@ object ChStrHelpers {
         in.charAt(i + 1) match {
           case 'n' => sb.append('\n'); i += 2
           case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '0' => sb.append('\u0000'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '\'' => sb.append('\''); i += 2
           case '\\' => sb.append('\\'); i += 2
           case _ => sb.append(c); i += 1
         }

@@ -302,7 +302,16 @@ object ImageCodec {
     var got = 0
     try {
       while (got < rawLen && !inf.finished()) {
-        val r = inf.inflate(raw, got, rawLen - got)
+        val r =
+          try inf.inflate(raw, got, rawLen - got)
+          catch { case e: java.util.zip.DataFormatException =>
+            // must be an IllegalArgumentException: the featurizer's
+            // degrade-to-opaque net catches that type — a hostile PNG
+            // with valid CRCs over non-zlib IDAT bytes must not kill
+            // the job (r17 review)
+            throw new IllegalArgumentException(
+              s"PNG: corrupt IDAT stream (${e.getMessage})")
+          }
         require(r > 0 || inf.finished(),
           "PNG: truncated or non-zlib IDAT stream")
         got += r

@@ -78,14 +78,24 @@ object ArrowIpcSource {
       f: org.apache.arrow.vector.types.pojo.Field): DataType = {
     import org.apache.arrow.vector.types.pojo.ArrowType
     f.getType match {
-      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-      case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
-      case i: ArrowType.Int if i.getBitWidth == 8 => ByteType
-      case fp: ArrowType.FloatingPoint =>
-        if (fp.getPrecision ==
-          org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)
-          DoubleType else FloatType
+      // signed only: unsigned vectors box getObject() as Character/
+      // wider types that would corrupt or crash the InternalRow path
+      case i: ArrowType.Int if i.getIsSigned && i.getBitWidth == 64 => LongType
+      case i: ArrowType.Int if i.getIsSigned && i.getBitWidth == 32 => IntegerType
+      case i: ArrowType.Int if i.getIsSigned && i.getBitWidth == 16 => ShortType
+      case i: ArrowType.Int if i.getIsSigned && i.getBitWidth == 8 => ByteType
+      case i: ArrowType.Int => throw new IllegalArgumentException(
+        s"file(Arrow): unsigned ${i.getBitWidth}-bit columns are not " +
+          "supported — re-encode as the signed wider type (or adopt " +
+          "via parquet)")
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision ==
+            org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE =>
+        DoubleType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision ==
+            org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE =>
+        FloatType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
       case _: ArrowType.Binary => BinaryType

@@ -161,8 +161,9 @@ object CompressedFrames {
       case MethodMultiple =>
         require(pLen >= 1, "compressed frame: empty Multiple payload")
         val nCodecs = bytes(pOff) & 0xff
-        require(nCodecs >= 1 && pLen > nCodecs,
-          "compressed frame: wrong Multiple methods list")
+        require(nCodecs >= 1 && pLen >= 1 + nCodecs + HeaderSize,
+          "compressed frame: wrong Multiple methods list (no room " +
+            "for a nested block)")
         val methods = (0 until nCodecs).map(i => bytes(pOff + 1 + i) & 0xff)
         // unwrap layers outermost-last: each layer is a full framed
         // block whose method must match the declared list entry
@@ -196,13 +197,18 @@ object CompressedFrames {
           require(t.endsWith(")"), s"COMPRESSION '$t': unbalanced parens")
           (t.substring(0, i), t.substring(i + 1, t.length - 1).trim.toInt)
       }
+      def widthOk(): Int = {
+        require(width == 1 || width == 2 || width == 4 || width == 8,
+          s"COMPRESSION '$t': width must be 1/2/4/8 bytes")
+        width
+      }
       name match {
         case "lz4" => Codec(MethodLz4)
         case "zstd" => Codec(MethodZstd)
         case "none" => Codec(MethodNone)
-        case "delta" => Codec(MethodDelta, width)
-        case "doubledelta" => Codec(MethodDoubleDelta, width)
-        case "gorilla" => Codec(MethodGorilla, width)
+        case "delta" => Codec(MethodDelta, widthOk())
+        case "doubledelta" => Codec(MethodDoubleDelta, widthOk())
+        case "gorilla" => Codec(MethodGorilla, widthOk())
         case "t64" => throw new IllegalArgumentException(
           "COMPRESSION 'T64' frames are column-typed (64-value bit " +
             "matrices of one declared integer type) and cannot wrap an " +
@@ -222,7 +228,8 @@ object CompressedFrames {
     def this(out: OutputStream, method: Int) = this(out, Seq(Codec(method)))
     def this(out: OutputStream) = this(out, Seq(Codec(MethodLz4)))
     require(chain.nonEmpty && chain.forall(c =>
-      isMethod(c.method) && c.method != MethodMultiple),
+      isMethod(c.method) && c.method != MethodMultiple &&
+        c.method != MethodT64),
       s"unsupported compression chain $chain")
     private val buf = new Array[Byte](BufSize)
     private var n = 0

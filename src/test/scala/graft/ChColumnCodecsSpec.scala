@@ -184,5 +184,11 @@ class ChColumnCodecsSpec extends AnyFunSuite {
       CompressedFrames.parseChain("t64")
     }
     assert(e.getMessage.contains("column-typed"), e.getMessage)
+    // a bad width refuses AT PARSE TIME — before any output file is
+    // created (r17 review: late validation left a partial file)
+    val e2 = intercept[IllegalArgumentException] {
+      CompressedFrames.parseChain("delta(3)")
+    }
+    assert(e2.getMessage.contains("width must be"), e2.getMessage)
   }
 }

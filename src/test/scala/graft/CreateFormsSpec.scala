@@ -463,13 +463,16 @@ class CreateFormsSpec extends SparkSpec {
     val rowF = dir.resolve("row.tpl")
     java.nio.file.Files.write(rowF, "v=${s:Escaped}".getBytes("UTF-8"))
     // the r16 advice case: a literal backslash followed by 'n'
-    // serializes as \\n and must come back as backslash+'n'; real
-    // tab/newline round-trip through \t/\n
+    // serializes as \\n and must come back as backslash+'n'; the
+    // full writeEscapedString set (\b \f \n \r \t \0 \' \\)
+    // round-trips (r17 review: the reader is also the adoption path
+    // for reference-written files)
     spark.sql(
       """SELECT * FROM VALUES
         |  (1L, 'back\\nslash'),
         |  (2L, concat('a', char(9), 'b', char(10), 'c')),
-        |  (3L, 'trailing\\')
+        |  (3L, 'trailing\\'),
+        |  (4L, concat('cr', char(13), 'q''q', char(8), char(12), 'end'))
         |AS t(k, s)""".stripMargin).createOrReplaceTempView("graft_esc_rt")
     val out = dir.resolve("rows.txt").toString
     ChDdl.execute(spark,
@@ -480,8 +483,8 @@ class CreateFormsSpec extends SparkSpec {
       val back = ChDdl.execute(spark,
         s"SELECT * FROM file('$out', 'Template', 's String')").collect()
         .map(_.getString(0)).sorted
-      assert(back.toSeq == Seq("a\tb\nc", "back\\nslash", "trailing\\"),
-        back.toSeq.toString)
+      assert(back.toSeq == Seq("a\tb\nc", "back\\nslash",
+        "cr\rq'q\b\fend", "trailing\\"), back.toSeq.toString)
     } finally spark.conf.unset("spark.graft.format_template_row")
   }
 
@@ -889,6 +892,33 @@ class CreateFormsSpec extends SparkSpec {
     assert(plan.contains("ArrowIpc"), plan)
     assert(plan.contains("ReadSchema: struct<k:bigint>") ||
       plan.contains("ReadSchema: k"), plan)
+    // unsigned Arrow columns refuse with guidance (r17 review: their
+    // boxed getObject types would corrupt/crash the InternalRow path)
+    val unsPath = dir.resolve("uns.arrow")
+    locally {
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.{UInt2Vector, VectorSchemaRoot}
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+      import scala.jdk.CollectionConverters._
+      val alloc = new RootAllocator()
+      val sch = new ASchema(Seq(new Field("u",
+        FieldType.notNullable(new ArrowType.Int(16, false)), null)).asJava)
+      val root = VectorSchemaRoot.create(sch, alloc)
+      val uv = root.getVector("u").asInstanceOf[UInt2Vector]
+      uv.allocateNew(2); uv.setSafe(0, 40000); uv.setSafe(1, 7)
+      root.setRowCount(2)
+      val ch = java.nio.channels.FileChannel.open(unsPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close()
+      ch.close(); root.close(); alloc.close()
+    }
+    val ue = intercept[Exception] {
+      ChDdl.execute(spark,
+        s"SELECT * FROM file('$unsPath', 'Arrow')").collect()
+    }
+    assert(ue.getMessage.contains("unsigned"), ue.getMessage)
   }
 
   test("SHOW CREATE re-emits CHECK constraints (full roundtrip)") {

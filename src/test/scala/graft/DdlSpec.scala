@@ -718,6 +718,14 @@ class DdlSpec extends SparkSpec {
       spark.range(0, 7).filter(col("id") < -1).toDF("id"),
       "JSONEachRowWithProgress").as[String].collect().toSeq
     assert(p3 == Seq("{\"progress\":{\"read_rows\":\"0\"}}"), p3)
+    // OPTIMIZER-emptied input too: WHERE false folds to an empty
+    // LocalRelation whose RDD has ZERO partitions, so the
+    // mapPartitions stage never runs (r17 review) — the render layer
+    // must still emit the progress event
+    val p4 = ChDdl.execute(spark,
+      "SELECT id FROM graft_fmt_x WHERE 1 = 0 FORMAT JSONEachRowWithProgress")
+      .as[String].collect().toSeq
+    assert(p4 == Seq("{\"progress\":{\"read_rows\":\"0\"}}"), p4)
     // Template: row template file with ${col:Escaping} placeholders,
     // resultset file with header/footer around ${data}
     val dir = java.nio.file.Files.createTempDirectory("graft_tpl")

@@ -155,8 +155,22 @@ class MultimodalSpec extends SparkSpec {
     java.nio.ByteBuffer.wrap(big).putInt(29, crc2)
     val e3 = intercept[IllegalArgumentException] { ImageCodec.decode(big) }
     assert(e3.getMessage.contains("implausible"), e3.getMessage)
+    // valid chunk CRCs over NON-zlib IDAT bytes: Inflater's
+    // DataFormatException must surface as the IllegalArgumentException
+    // the featurizer's net catches, not kill the job (r17 review)
+    val garbage = ImageCodec.encodePng(2, 2, 3,
+      Array.tabulate(12)(i => i * 20), _ => 0)
+    // locate the IDAT chunk (after the 33-byte sig+IHDR) and trash its
+    // data, then recompute the CRC so the corruption survives it
+    val dataLen = java.nio.ByteBuffer.wrap(garbage).getInt(33)
+    for (i <- 0 until dataLen) garbage(41 + i) = (0x55 + i).toByte
+    val crc3 = { val c = new java.util.zip.CRC32()
+      c.update(garbage, 37, 4 + dataLen); c.getValue.toInt }
+    java.nio.ByteBuffer.wrap(garbage).putInt(41 + dataLen, crc3)
+    val e4 = intercept[IllegalArgumentException] { ImageCodec.decode(garbage) }
+    assert(e4.getMessage.contains("IDAT"), e4.getMessage)
     // through featurize every one of them degrades to the opaque branch
-    val media = Seq((1L, bad), (2L, il), (3L, big))
+    val media = Seq((1L, bad), (2L, il), (3L, big), (4L, garbage))
       .toDF("doc_id", "content")
       .selectExpr("doc_id", "content", "'d' AS format",
         "9 AS width", "9 AS height")
