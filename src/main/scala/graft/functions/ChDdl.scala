@@ -53,7 +53,23 @@ object ChDdl {
     * TTL/INDEX take. */
   final case class ChColumn(
       name: String, sparkType: String, enumValues: Option[Seq[(String, Int)]],
-      chType: String = "", codec: Option[String] = None)
+      chType: String = "", codec: Option[String] = None,
+      ttl: Option[String] = None) {
+    /** The value an expired column-TTL resets to (the reference
+      * resets to the column default on merge; without a DEFAULT
+      * declaration that is the TYPE's default —
+      * MergeTreeDataPartWriter TTL path). */
+    def typeDefaultSql: String = {
+      val up = sparkType.toUpperCase
+      if (chType.startsWith("Nullable(")) "NULL"
+      else if (up.startsWith("ARRAY")) "array()"
+      else if (up.startsWith("MAP")) "map()"
+      else if (up.contains("STRING") || up.contains("VARCHAR")) "''"
+      else if (up.startsWith("TIMESTAMP")) "timestamp'1970-01-01 00:00:00'"
+      else if (up.startsWith("DATE")) "date'1970-01-01'"
+      else "0"
+    }
+  }
 
   /** PROJECTION name (SELECT keys…, aggs… GROUP BY keys) declared in
     * the column list (ASTProjectionDeclaration.h). */
@@ -309,7 +325,8 @@ object ChDdl {
   private def renderCreate(ct: ChCreateTable): String = {
     val colLines = ct.cols.map(c => s"    `${c.name}` ${
       if (c.chType.nonEmpty) c.chType else c.sparkType}${
-      c.codec.map(" " + _).getOrElse("")}")
+      c.codec.map(" " + _).getOrElse("")}${
+      c.ttl.map(" TTL " + _).getOrElse("")}")
     val projLines = ct.projections.map { p =>
       val items = p.keys ++ p.sums.map(c => s"sum($c)") ++
         p.mins.map(c => s"min($c)") ++ p.maxs.map(c => s"max($c)") ++
@@ -358,22 +375,21 @@ object ChDdl {
     * names (`Nullable(String)`-style), from the declared layout when
     * one is stored. */
   def describeCh(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
-    val rows: Seq[(String, String, String)] =
+    val rows: Seq[(String, String, String, String)] =
       createdTables.get(table.toLowerCase) match {
         case Some(ct) => ct.cols.map(c =>
           (c.name, if (c.chType.nonEmpty) c.chType else c.sparkType,
-            c.codec.getOrElse("")))
+            c.codec.getOrElse(""), c.ttl.getOrElse("")))
         case None =>
           spark.table(table).schema.fields.toSeq
             .filterNot(_.name == "__sample_hash")
-            .map(f => (f.name, chTypeName(f.dataType, f.nullable), ""))
+            .map(f => (f.name, chTypeName(f.dataType, f.nullable), "", ""))
       }
     import spark.implicits._
-    rows.toDF("name", "type", "codec_expression")
+    rows.toDF("name", "type", "codec_expression", "ttl_expression")
       .withColumn("default_type", lit(""))
       .withColumn("default_expression", lit(""))
       .withColumn("comment", lit(""))
-      .withColumn("ttl_expression", lit(""))
       .select("name", "type", "default_type", "default_expression",
         "comment", "codec_expression", "ttl_expression")
   }
@@ -1233,7 +1249,10 @@ object ChDdl {
         val sets = splitTop(ts.slice(i + 1, wi)).map { item =>
           val eq = item.indexWhere(_.text == "=")
           require(eq > 0, s"bad SET item: ${renderTrim(item)}")
-          (renderTrim(item.take(eq)), renderTrim(item.drop(eq + 1)))
+          // the set target is matched against schema names: accept
+          // the backquoted spelling too
+          (renderTrim(item.take(eq)).stripPrefix("`").stripSuffix("`"),
+            renderTrim(item.drop(eq + 1)))
         }
         require(sets.map(_._1).distinct.length == sets.length,
           "UPDATE sets the same column twice")
@@ -1950,6 +1969,15 @@ object ChDdl {
             .foreach(p => alter(spark, s"ALTER TABLE $table DELETE WHERE $p"))
           ct.ttl.filter(_.groupBy.nonEmpty)
             .foreach(applyTtlRollup(spark, ct, _))
+          // column-level TTL (ASTColumnDeclaration ttl): expired
+          // values reset to the column's type default — the
+          // reference's on-merge behavior, via the same
+          // partition-restricted UPDATE rewrite mutations use
+          ct.cols.filter(_.ttl.nonEmpty).foreach { c =>
+            alter(spark, s"ALTER TABLE $table UPDATE " +
+              s"${c.name} = ${c.typeDefaultSql} " +
+              s"WHERE (${c.ttl.get}) <= now()")
+          }
         }
         spark.emptyDataFrame
       case ("EXCHANGE", "TABLES") =>
@@ -2452,8 +2480,20 @@ object ChDdl {
       }
       s"CODEC(${entries.map(renderTrim).mkString(", ")})"
     }
+    // column TTL (ParserCreateQuery.h ttl_expression): absorbed into
+    // the layout, re-emitted by SHOW CREATE/DESCRIBE, ENFORCED on
+    // OPTIMIZE (expired values reset to the type default via the
+    // ALTER UPDATE mutation path — the reference resets on merge)
+    val colTtl = (typeEnd until item.length).find(k =>
+      d(k) == 0 && item(k).up == "TTL").map { k =>
+      val end = (k + 1 until item.length).find(m =>
+        d(m) == 0 && item(m).word && colDecor.contains(item(m).up))
+        .getOrElse(item.length)
+      require(end > k + 1, s"column TTL needs an expression: ${renderTrim(item)}")
+      renderTrim(item.slice(k + 1, end))
+    }
     ChColumn(name, sparkType, enums, renderTrim(item.slice(1, typeEnd)),
-      codec)
+      codec, colTtl)
   }
 
   /** CH type expression → (Spark SQL type, enum dictionary). */

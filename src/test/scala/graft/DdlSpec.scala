@@ -1030,6 +1030,44 @@ class DdlSpec extends SparkSpec {
     Seq("codec_t", "codec_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("column TTL round-trips AND enforces: expired values reset to the type default on OPTIMIZE") {
+    // ParserCreateQuery.h ttl_expression on a column: the reference
+    // resets expired values to the column default when parts merge
+    ChDdl.execute(spark,
+      """CREATE TABLE cttl_t (
+        |  id Int64,
+        |  ts DateTime,
+        |  note Nullable(String) TTL ts + INTERVAL 1 DAY,
+        |  score Int64 TTL ts + INTERVAL 1 DAY CODEC(ZSTD)
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    // one row long expired, one row fresh
+    ChDdl.execute(spark,
+      "INSERT INTO cttl_t VALUES " +
+        "(1, toDateTime('2000-01-01 00:00:00'), 'old', 17), " +
+        "(2, now(), 'new', 23)")
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE cttl_t").head().getString(0)
+    assert(stmt.contains("`note` Nullable(String) TTL ts + INTERVAL 1 DAY"), stmt)
+    assert(stmt.contains("`score` Int64 CODEC(ZSTD) TTL ts + INTERVAL 1 DAY"), stmt)
+    val d = ChDdl.execute(spark, "DESCRIBE TABLE cttl_t")
+      .select("name", "ttl_expression").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("note") == "ts + INTERVAL 1 DAY" && d("id") == "", d.toString)
+    ChDdl.execute(spark, "OPTIMIZE TABLE cttl_t")
+    val rows = spark.table("cttl_t").selectExpr("id", "note", "score")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getLong(2))).sortBy(_._1)
+    // expired row: Nullable note -> NULL, non-null score -> 0; the
+    // row itself and the fresh row survive untouched otherwise
+    assert(rows.toSeq == Seq((1L, None, 0L), (2L, Some("new"), 23L)),
+      rows.toSeq.toString)
+    // the emitted DDL re-ingests (the p08 path) with the TTL intact
+    ChDdl.execute(spark,
+      stmt.replaceFirst("CREATE TABLE cttl_t", "CREATE TABLE cttl_t2"))
+    val again = ChDdl.execute(spark, "SHOW CREATE TABLE cttl_t2").head().getString(0)
+    assert(again.contains("TTL ts + INTERVAL 1 DAY"), again)
+    Seq("cttl_t", "cttl_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("DESCRIBE answers with CH type names from the declared layout") {
     ChDdl.execute(spark,
       """CREATE TABLE desc_t (
