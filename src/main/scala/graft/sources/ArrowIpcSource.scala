@@ -99,6 +99,12 @@ object ArrowIpcSource {
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
       case _: ArrowType.Binary => BinaryType
+      case d: ArrowType.Date
+          if d.getUnit == org.apache.arrow.vector.types.DateUnit.DAY =>
+        DateType
+      // any precision converts to Spark's micros; zone-less stamps
+      // read as UTC instants (the parquet-adoption convention here)
+      case _: ArrowType.Timestamp => TimestampType
       case other => throw new IllegalArgumentException(
         s"file(Arrow): unsupported field type $other — primitive " +
           "columns only (adopt nested data via parquet)")
@@ -189,16 +195,31 @@ private class ArrowIpcPartitionReader(part: ArrowBatchPartition,
   }
 
   override def get(): InternalRow = {
+    import org.apache.arrow.vector._
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
-      val v = vectors(i).getObject(rowIdx)
-      row.update(i, v match {
-        case null => null
-        case t: org.apache.arrow.vector.util.Text =>
-          UTF8String.fromBytes(t.getBytes)
-        case other => other
-      })
+      val vec = vectors(i)
+      row.update(i,
+        if (vec.isNull(rowIdx)) null
+        else vec match {
+          // Date/Timestamp carry Spark's internal physical types
+          // (days / micros), not the boxed java.time objects
+          case d: DateDayVector => d.get(rowIdx)
+          case t: TimeStampMicroVector => t.get(rowIdx)
+          case t: TimeStampMicroTZVector => t.get(rowIdx)
+          case t: TimeStampMilliVector => t.get(rowIdx) * 1000L
+          case t: TimeStampMilliTZVector => t.get(rowIdx) * 1000L
+          case t: TimeStampSecVector => t.get(rowIdx) * 1000000L
+          case t: TimeStampSecTZVector => t.get(rowIdx) * 1000000L
+          case t: TimeStampNanoVector => t.get(rowIdx) / 1000L
+          case t: TimeStampNanoTZVector => t.get(rowIdx) / 1000L
+          case _ => vec.getObject(rowIdx) match {
+            case t: org.apache.arrow.vector.util.Text =>
+              UTF8String.fromBytes(t.getBytes)
+            case other => other
+          }
+        })
       i += 1
     }
     rowIdx += 1

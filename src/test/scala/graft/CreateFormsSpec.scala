@@ -892,6 +892,40 @@ class CreateFormsSpec extends SparkSpec {
     assert(plan.contains("ArrowIpc"), plan)
     assert(plan.contains("ReadSchema: struct<k:bigint>") ||
       plan.contains("ReadSchema: k"), plan)
+    // Date32 / Timestamp columns adopt with Spark's physical types
+    val dtPath = dir.resolve("dt.arrow")
+    locally {
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.{DateDayVector, TimeStampMilliVector, VectorSchemaRoot}
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+      import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
+      import scala.jdk.CollectionConverters._
+      val alloc = new RootAllocator()
+      val sch = new ASchema(Seq(
+        new Field("d", FieldType.notNullable(new ArrowType.Date(DateUnit.DAY)), null),
+        new Field("t", FieldType.nullable(
+          new ArrowType.Timestamp(TimeUnit.MILLISECOND, null)), null)).asJava)
+      val root = VectorSchemaRoot.create(sch, alloc)
+      val dv = root.getVector("d").asInstanceOf[DateDayVector]
+      val tv = root.getVector("t").asInstanceOf[TimeStampMilliVector]
+      dv.allocateNew(2); tv.allocateNew(2)
+      dv.setSafe(0, 19000); tv.setSafe(0, 1700000000123L) // 2022-01-08, ms
+      dv.setSafe(1, 0); tv.setNull(1)
+      root.setRowCount(2)
+      val ch = java.nio.channels.FileChannel.open(dtPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close()
+      ch.close(); root.close(); alloc.close()
+    }
+    val dtRows = ChDdl.execute(spark,
+      s"SELECT CAST(d AS STRING) AS ds, CAST(t AS BIGINT) AS tu " +
+        s"FROM file('$dtPath', 'Arrow') ORDER BY ds").collect()
+    assert(dtRows(0).getString(0) == "1970-01-01" && dtRows(0).isNullAt(1),
+      dtRows.toSeq.toString)
+    assert(dtRows(1).getString(0) == "2022-01-08" &&
+      dtRows(1).getLong(1) == 1700000000L, dtRows.toSeq.toString)
     // unsigned Arrow columns refuse with guidance (r17 review: their
     // boxed getObject types would corrupt/crash the InternalRow path)
     val unsPath = dir.resolve("uns.arrow")
