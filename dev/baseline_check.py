@@ -32,6 +32,9 @@ def load_bench(path):
         text = raw
     pairs = re.findall(r'"([a-z][a-z0-9_]+)":([0-9]+\.?[0-9]*(?:e-?[0-9]+)?)', text)
     qs, canary = {}, None
+    io = dict(pairs).get("canary_io_s")
+    if io is not None:
+        load_bench.canary_io = float(io)
     stamp = {k: v for k, v in re.findall(r'"(run_id|gate)":"([^"]*)"', text)}
     if stamp:
         print(f"[stamp] run_id={stamp.get('run_id','?')} gate={stamp.get('gate','?')}")
@@ -39,7 +42,7 @@ def load_bench(path):
         if k == "canary_s":
             canary = float(v)
         elif k not in ("metric", "value", "sf", "iters", "n", "rc", "cpus",
-                       "median_rel_spread", "n_keys", "baseline_canary_s", "epoch_ms",
+                       "median_rel_spread", "n_keys", "baseline_canary_s", "epoch_ms", "canary_io_s", "baseline_canary_io_s",
                        "vs_baseline_median", "vs_baseline_max"):
             qs[k] = float(v)
     return qs, canary
@@ -98,6 +101,16 @@ def main():
         print(f"MISSING from bench (errored?): {', '.join(missing)}")
     print(f"\n{fails} fail, {warns} warn, {len(rows)} keys "
           f"(canary new={new_canary:.2f}s base={base_canary:.2f}s)")
+    io = getattr(load_bench, "canary_io", None)
+    base_io = None
+    for line in (REPO / "BASELINE.md").read_text().splitlines():
+        m = re.match(r"canary_io_s:\s*([0-9.]+)", line.strip())
+        if m:
+            base_io = float(m.group(1))
+    if io is not None and base_io:
+        print(f"io-canary new={io:.2f}s base={base_io:.2f}s "
+              f"ratio={io/base_io:.2f} (parquet-bound ambient; compare "
+              f"with raw-key drift before adjudicating warns)")
     sys.exit(1 if fails or missing else 0)
 
 

@@ -21,6 +21,7 @@ def main():
     d = json.loads(line[line.index("{"):])  # tolerate sbt's [info] prefix
     qs = d["queries"]
     canary = d.get("canary_s")
+    canary_io = d.get("canary_io_s")
     spread = d.get("median_rel_spread")
     if canary is None:
         sys.exit("bench json has no canary_s")
@@ -32,6 +33,7 @@ Settings: `local[32]`, `spark.sql.shuffle.partitions=32`, sf0.1,
 {spread} for the run.
 
 canary_s: {canary:.3f}
+{f"canary_io_s: {canary_io:.3f}" if canary_io else ""}
 
 The canary is a fixed synthetic workload (range → hash agg → noop, no
 file IO) timed once per pass; its cross-round ratio measures ambient

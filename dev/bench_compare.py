@@ -33,7 +33,7 @@ def load(path):
         if k == "canary_s":
             canary = float(v)
         elif k not in ("metric", "value", "sf", "iters", "n", "rc", "cpus",
-                       "median_rel_spread", "n_keys", "baseline_canary_s", "epoch_ms",
+                       "median_rel_spread", "n_keys", "baseline_canary_s", "epoch_ms", "canary_io_s", "baseline_canary_io_s",
                        "vs_baseline_median", "vs_baseline_max"):
             qs[k] = float(v)
     return qs, canary

@@ -71,6 +71,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // SECOND canary, IO-bound: a fixed synthetic parquet scanned +
+    // aggregated per pass. Three rounds of phantom warns trace to the
+    // ALU canary not tracking parquet/shuffle-bound keys across VM
+    // modes (r14 a18, r16 c01, r17 uniform drift) — this one moves
+    // WITH them, so adjudication reads both ratios instead of
+    // isolated re-runs. Emitted as canary_io_s; gating still uses
+    // canary_s (one change at a time — r17).
+    val canaryIoPath = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_canary_io")
+      dir.toFile.deleteOnExit()
+      val p = dir.resolve("fixed.parquet").toString
+      spark.range(0L, 4000000L, 1L, cpus.toInt)
+        .selectExpr("id", "id % 9973 AS k",
+          "concat(lpad(conv(id, 10, 16), 24, 'x'), " +
+            "lpad(conv(id * 37, 10, 16), 24, 'y')) AS s")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    def canaryIo(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(canaryIoPath)
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("id"),
+          org.apache.spark.sql.functions.max("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // optional comma-separated key filter for local iteration loops
     // (unset for the driver's full runs)
     val only: Option[Set[String]] =
@@ -81,13 +108,14 @@ object Bench {
       benched.map { case (name, fn) => name -> timed(name, fn) }
     // one untimed FULL pass first: per-plan codegen/JIT and one-time
     // layout writes land here instead of skewing pass 1 of the stats
-    pass(); canary()
+    pass(); canary(); canaryIo()
     failures.clear() // warmup failures re-count in the timed passes
     // a clean heap at each pass start keeps one pass's garbage from
     // taxing the next pass's first queries
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val canariesIo = scala.collection.mutable.ArrayBuffer[Double]()
     val passes = (1 to iters).map { _ =>
-      System.gc(); canaries += canary(); pass()
+      System.gc(); canaries += canary(); canariesIo += canaryIo(); pass()
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -131,6 +159,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val medSpread = if (spreads.nonEmpty) median(spreads) else 0.0
     val canaryS = if (canaries.nonEmpty) median(canaries.toSeq) else 0.0
+    val canaryIoS =
+      if (canariesIo.nonEmpty) median(canariesIo.toSeq) else 0.0
     // the driver artifact keeps only the LAST 2000 output chars, which
     // used to truncate the per-key map to its final ~60 keys (r10
     // verdict, cosmetic #3). Still ONE JSON line (the driver contract),
@@ -207,7 +237,7 @@ object Bench {
       s""""vs_baseline_median":${r3(vsMedian)},""" +
       s""""vs_baseline_max":${r3(vsMax)},""" +
       s""""vs_baseline_worst":$vsWorst"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_runs":$failJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},$vsFields,"vs_baseline":$vsJson,"medians_cs_sorted_keys":[${cs.mkString(",")}]}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed_runs":$failJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"canary_io_s":$canaryIoS,"n_keys":${order.size},$vsFields,"vs_baseline":$vsJson,"medians_cs_sorted_keys":[${cs.mkString(",")}]}"""
     println(full)
     // The driver's BENCH_rN.json keeps only the LAST 2000 output
     // chars and parses the final JSON line into its `parsed` field —
@@ -218,7 +248,7 @@ object Bench {
     // queries map, with the per-key medians as centiseconds in
     // sorted-key order (keys reconstructible from SparkEntry.queries;
     // -1 marks an error key). It fits the tail whole, so it parses.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"n_keys":${order.size},$vsFields,"medians_cs_sorted_keys":[${cs.mkString(",")}]}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errJson,"sf":"$sfDir","iters":$iters,"median_rel_spread":$medSpread,"canary_s":$canaryS,"canary_io_s":$canaryIoS,"n_keys":${order.size},$vsFields,"medians_cs_sorted_keys":[${cs.mkString(",")}]}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "dev/bench_medians_last.json")), full)
