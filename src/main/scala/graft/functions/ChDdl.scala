@@ -51,10 +51,21 @@ object ChDdl {
     * (dictionary/RLE/delta + page compression) are the layout analog
     * of Delta/DoubleDelta/Gorilla/T64 at this layer, the same stance
     * TTL/INDEX take. */
+  /** `defaultKind`/`defaultExpr`: the column's DEFAULT or
+    * MATERIALIZED declaration (ParserCreateQuery.h default_specifier).
+    * DEFAULT fills the column when an INSERT omits it; MATERIALIZED
+    * is never insertable and always computes from its expression on
+    * insert. One honest deviation from the reference: MATERIALIZED
+    * columns are stored parquet columns here and therefore VISIBLE to
+    * SELECT * (the reference hides them from *); DESCRIBE/SHOW CREATE
+    * declare them. ALIAS (a virtual read-time column) refuses at
+    * CREATE with guidance — a stored snapshot cannot give virtual
+    * reads honestly. */
   final case class ChColumn(
       name: String, sparkType: String, enumValues: Option[Seq[(String, Int)]],
       chType: String = "", codec: Option[String] = None,
-      ttl: Option[String] = None) {
+      ttl: Option[String] = None, defaultKind: Option[String] = None,
+      defaultExpr: Option[String] = None) {
     /** The value an expired column-TTL resets to (the reference
       * resets to the column default on merge; without a DEFAULT
       * declaration that is the TYPE's default —
@@ -325,6 +336,8 @@ object ChDdl {
   private def renderCreate(ct: ChCreateTable): String = {
     val colLines = ct.cols.map(c => s"    `${c.name}` ${
       if (c.chType.nonEmpty) c.chType else c.sparkType}${
+      c.defaultKind.zip(c.defaultExpr)
+        .map { case (k, e) => s" $k $e" }.getOrElse("")}${
       c.codec.map(" " + _).getOrElse("")}${
       c.ttl.map(" TTL " + _).getOrElse("")}")
     val projLines = ct.projections.map { p =>
@@ -375,20 +388,21 @@ object ChDdl {
     * names (`Nullable(String)`-style), from the declared layout when
     * one is stored. */
   def describeCh(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
-    val rows: Seq[(String, String, String, String)] =
+    val rows: Seq[(String, String, String, String, String, String)] =
       createdTables.get(table.toLowerCase) match {
         case Some(ct) => ct.cols.map(c =>
           (c.name, if (c.chType.nonEmpty) c.chType else c.sparkType,
+            c.defaultKind.getOrElse(""), c.defaultExpr.getOrElse(""),
             c.codec.getOrElse(""), c.ttl.getOrElse("")))
         case None =>
           spark.table(table).schema.fields.toSeq
             .filterNot(_.name == "__sample_hash")
-            .map(f => (f.name, chTypeName(f.dataType, f.nullable), "", ""))
+            .map(f => (f.name, chTypeName(f.dataType, f.nullable),
+              "", "", "", ""))
       }
     import spark.implicits._
-    rows.toDF("name", "type", "codec_expression", "ttl_expression")
-      .withColumn("default_type", lit(""))
-      .withColumn("default_expression", lit(""))
+    rows.toDF("name", "type", "default_type", "default_expression",
+        "codec_expression", "ttl_expression")
       .withColumn("comment", lit(""))
       .select("name", "type", "default_type", "default_expression",
         "comment", "codec_expression", "ttl_expression")
@@ -2228,8 +2242,10 @@ object ChDdl {
 
   /** Parse a ClickHouse CREATE TABLE statement. TTL (DELETE mode) is
     * kept on the layout and enforced by OPTIMIZE; remaining tail
-    * clauses (SETTINGS, COMMENT) are ignored; per-column DEFAULT /
-    * MATERIALIZED / CODEC / COMMENT decorations are skipped. */
+    * clauses (SETTINGS, COMMENT) are ignored. Per-column decorations:
+    * DEFAULT/MATERIALIZED absorb AND enforce on INSERT, CODEC and
+    * column TTL absorb and round-trip (TTL also enforces on
+    * OPTIMIZE), COMMENT is skipped, ALIAS refuses with guidance. */
   def parse(ddl: String): ChCreateTable = {
     val ts = tokenize(ddl)._1
     require(ts.length > 2 && ts(0).up == "CREATE" && ts(1).up == "TABLE",
@@ -2492,8 +2508,28 @@ object ChDdl {
       require(end > k + 1, s"column TTL needs an expression: ${renderTrim(item)}")
       renderTrim(item.slice(k + 1, end))
     }
+    // DEFAULT / MATERIALIZED expr: absorbed, round-tripped, ENFORCED
+    // on INSERT (ChInsert fills omitted DEFAULT columns and always
+    // computes MATERIALIZED ones). ALIAS refuses — see ChColumn doc.
+    val dflt = (typeEnd until item.length).find(k =>
+      d(k) == 0 && Set("DEFAULT", "MATERIALIZED", "ALIAS")(item(k).up))
+      .map { k =>
+        require(item(k).up != "ALIAS",
+          s"column $name: ALIAS columns are virtual read-time " +
+            "expressions the stored snapshot cannot give honestly — " +
+            "declare a MATERIALIZED column (stored, auto-computed) or " +
+            "select the expression in queries")
+        val end = (k + 1 until item.length).find(m =>
+          d(m) == 0 && item(m).word && colDecor.contains(item(m).up))
+          .getOrElse(item.length)
+        require(end > k + 1,
+          s"column ${item(k).up} needs an expression: ${renderTrim(item)}")
+        // bracket pass so CH array-literal defaults parse downstream
+        (item(k).up,
+          renderTrim(ChSql.rewriteBrackets(item.slice(k + 1, end))))
+      }
     ChColumn(name, sparkType, enums, renderTrim(item.slice(1, typeEnd)),
-      codec, colTtl)
+      codec, colTtl, dflt.map(_._1), dflt.map(_._2))
   }
 
   /** CH type expression → (Spark SQL type, enum dictionary). */

@@ -57,9 +57,16 @@ object ChInsert {
     // to the end; the persisted __sample_hash is never bound from
     // values, it is recomputed below like insertSelect does
     val layout = ChDdl.createdTables.get(table.toLowerCase)
+    // MATERIALIZED columns never bind from values: an unlisted INSERT
+    // binds only the insertable columns (the reference's contract),
+    // and listing one explicitly refuses below
+    val materialized: Set[String] = layout.map(_.cols
+      .filter(_.defaultKind.contains("MATERIALIZED")).map(_.name).toSet)
+      .getOrElse(Set.empty)
     var cols = layout.map(_.cols.map(_.name): Seq[String])
       .getOrElse(tableSchema.fieldNames.toSeq)
       .filterNot(_ == "__sample_hash")
+      .filterNot(materialized.contains)
     if (i < ts.length && ts(i).text == "(") {
       val close = ChSql.matchParen(ts, i)
       // merge dotted identifiers: `ev.name` is Nested's flattened
@@ -79,6 +86,13 @@ object ChInsert {
         k += 1
       }
       cols = buf.result()
+      cols.filter(materialized.contains) match {
+        case Nil => ()
+        case bad => throw new IllegalArgumentException(
+          s"Cannot insert column ${bad.mkString(", ")}: MATERIALIZED " +
+            "columns compute from their expression (the reference " +
+            "refuses them in the insert column list too)")
+      }
       i = close + 1
     }
     require(i < ts.length && bodyKws.contains(ts(i).up),
@@ -151,7 +165,16 @@ object ChInsert {
           s"dotted insert columns ${subs.map(_._2).mkString(", ")} target " +
             s"non-Nested column ${f.name}: $other")
       }
-      else lit(null).cast(f.dataType).as(f.name)
+      else layout.flatMap(_.cols.find(_.name == f.name)) match {
+        // an omitted column with a DEFAULT (or any MATERIALIZED
+        // column) computes from its declared expression — evaluated
+        // against the inserted row's LISTED columns (one level; the
+        // reference also resolves chained defaults, out of scope
+        // here). CH function names resolve via the registry.
+        case Some(c) if c.defaultExpr.nonEmpty =>
+          expr(c.defaultExpr.get).cast(f.dataType).as(f.name)
+        case _ => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
     // a SAMPLE BY table stores its sampling hash — appended rows get
     // theirs computed from the full row, same as insertSelect

@@ -1068,6 +1068,60 @@ class DdlSpec extends SparkSpec {
     Seq("cttl_t", "cttl_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("DEFAULT fills omitted insert columns; MATERIALIZED always computes and never binds") {
+    ChDdl.execute(spark,
+      """CREATE TABLE dflt_t (
+        |  id Int64,
+        |  s String DEFAULT upper(concat('x', toString(id))),
+        |  m Int64 MATERIALIZED id * 2,
+        |  note Nullable(String)
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    // omitted DEFAULT column computes from the expression; the
+    // MATERIALIZED column always does; unlisted plain column -> NULL
+    ChDdl.execute(spark, "INSERT INTO dflt_t (id) VALUES (1), (2)")
+    // explicit value wins over DEFAULT; m still computes
+    ChDdl.execute(spark,
+      "INSERT INTO dflt_t (id, s, note) VALUES (3, 'given', 'n3')")
+    // bare VALUES binds the INSERTABLE columns only (id, s, note)
+    ChDdl.execute(spark, "INSERT INTO dflt_t VALUES (4, 's4', 'n4')")
+    val rows = spark.table("dflt_t")
+      .selectExpr("id", "s", "m", "note").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "X1", 2L, None), (2L, "X2", 4L, None),
+      (3L, "given", 6L, Some("n3")), (4L, "s4", 8L, Some("n4"))),
+      rows.toSeq.toString)
+    // listing a MATERIALIZED column refuses (the reference's rule)
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, "INSERT INTO dflt_t (id, m) VALUES (9, 9)")
+    }
+    assert(e.getMessage.contains("MATERIALIZED"), e.getMessage)
+    // SHOW CREATE round-trips both declarations; DESCRIBE fills the
+    // default_type/default_expression columns
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE dflt_t").head().getString(0)
+    assert(stmt.contains("`s` String DEFAULT upper(concat('x', toString(id)))"), stmt)
+    assert(stmt.contains("`m` Int64 MATERIALIZED id * 2"), stmt)
+    ChDdl.execute(spark,
+      stmt.replaceFirst("CREATE TABLE dflt_t", "CREATE TABLE dflt_t2"))
+    ChDdl.execute(spark, "INSERT INTO dflt_t2 (id) VALUES (7)")
+    val r2 = spark.table("dflt_t2").selectExpr("s", "m").head()
+    assert(r2.getString(0) == "X7" && r2.getLong(1) == 14L, r2)
+    val d = ChDdl.execute(spark, "DESCRIBE TABLE dflt_t")
+      .select("name", "default_type", "default_expression").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(d("m") == ("MATERIALIZED", "id * 2") && d("id") == ("", ""),
+      d.toString)
+    // ALIAS refuses at CREATE with guidance
+    val e2 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "CREATE TABLE alias_t (x Int64, y Int64 ALIAS x + 1) " +
+          "ENGINE = MergeTree ORDER BY tuple()")
+    }
+    assert(e2.getMessage.contains("ALIAS"), e2.getMessage)
+    Seq("dflt_t", "dflt_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("DESCRIBE answers with CH type names from the declared layout") {
     ChDdl.execute(spark,
       """CREATE TABLE desc_t (
