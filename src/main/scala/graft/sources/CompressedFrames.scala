@@ -183,6 +183,12 @@ object CompressedFrames {
           s"compressed frame: Multiple decodes to ${cur.length} bytes, " +
             s"header declares $rawLen")
         cur
+      case 0x96 | 0x97 =>
+        throw new IllegalArgumentException(
+          "compressed frame: encrypted frames (AES-128/256-GCM-SIV, " +
+            "CompressionCodecEncrypted.cpp) are not supported here — " +
+            "the JDK ships no GCM-SIV AEAD and reimplementing one is " +
+            "out of scope; decrypt with the reference's tooling first")
       case other => throw new IllegalArgumentException(
         f"compressed frame: unsupported method 0x$other%02x")
     }
