@@ -190,11 +190,27 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val baseCanary = """canary_s:\s*([0-9.]+)""".r
       .findFirstMatchIn(baselineTxt).map(_.group(1).toDouble)
+    val baseCanaryIo = """canary_io_s:\s*([0-9.]+)""".r
+      .findFirstMatchIn(baselineTxt).map(_.group(1).toDouble)
+    // TWO-canary normalization (r17 verdict #3): the ALU canary
+    // over-responds to ambient CPU load relative to parquet/shuffle-
+    // bound keys, the IO canary to disk-cache state — a key is only a
+    // regression if it is slower relative to BOTH ambient measures,
+    // so the gated ratio is min(alu-normalized, io-normalized). A
+    // uniform VM drift of either class then produces zero warns
+    // without a human adjudication note.
     val vsRatios: Map[String, Double] = baseCanary match {
       case Some(bc) if bc > 0 && canaryS > 0 =>
         results.flatMap { case (k, v) =>
-          baseKeys.get(k).filter(_ > 0)
-            .map(bv => k -> (v / canaryS) / (bv / bc))
+          baseKeys.get(k).filter(_ > 0).map { bv =>
+            val rAlu = (v / canaryS) / (bv / bc)
+            val rIo = baseCanaryIo match {
+              case Some(bio) if bio > 0 && canaryIoS > 0 =>
+                (v / canaryIoS) / (bv / bio)
+              case _ => rAlu
+            }
+            k -> math.min(rAlu, rIo)
+          }
         }.toMap
       case _ => Map.empty
     }
@@ -214,7 +230,11 @@ object Bench {
     // (GRAFT_BENCH_RUN_ID, e.g. r17_final / driver / adhoc), gate is
     // the baseline_check.py verdict computed IN the artifact with the
     // same thresholds, so a reader needs no second file.
-    val runId = sys.env.getOrElse("GRAFT_BENCH_RUN_ID", "unlabeled")
+    // an unset GRAFT_BENCH_RUN_ID still stamps a UNIQUE id (r17
+    // verdict #4: the committed driver artifact said "unlabeled",
+    // resurrecting the two-run ambiguity the stamp exists to kill)
+    val runId = sys.env.getOrElse("GRAFT_BENCH_RUN_ID",
+      s"auto_${System.currentTimeMillis / 1000}")
     val gateFails = vsRatios.count(_._2 > 2.0)
     val gateWarns = vsRatios.count { case (_, r) => r > 1.3 && r <= 2.0 }
     // a baseline key with no result this run (errored out / vanished)
@@ -234,6 +254,7 @@ object Bench {
     val vsFields = s""""run_id":"$runId","epoch_ms":${System.currentTimeMillis},""" +
       s""""gate":"$gate",""" +
       s""""baseline_canary_s":${baseCanary.getOrElse(0.0)},""" +
+      s""""baseline_canary_io_s":${baseCanaryIo.getOrElse(0.0)},""" +
       s""""vs_baseline_median":${r3(vsMedian)},""" +
       s""""vs_baseline_max":${r3(vsMax)},""" +
       s""""vs_baseline_worst":$vsWorst"""

@@ -91,10 +91,12 @@ object ChColumns {
         ni += 2
       }
     }
+    var relAlias: Option[String] = None
     if (ni < ts.length && ts(ni).up == "AS" && ni + 1 < ts.length &&
-      ts(ni + 1).word) ni += 2 // AS alias
+      ts(ni + 1).word) { relAlias = Some(ts(ni + 1).text); ni += 2 } // AS alias
     else if (ni < ts.length && ts(ni).word && !clauseKws.contains(ts(ni).up) &&
-      !joinKws.contains(ts(ni).up)) ni += 1 // bare alias
+      !joinKws.contains(ts(ni).up)) { relAlias = Some(ts(ni).text); ni += 1 }
+    val nameEnd = ni // end of FROM <name> [AS alias] — protected span
     // registry key = underscore-joined (ChDdl's convention); the
     // resolvable name for spark.table keeps its dots
     val fromTable = nameParts.headOption.map(_ => nameParts.mkString("."))
@@ -105,14 +107,49 @@ object ChColumns {
         (ts(ni).word && clauseKws.contains(ts(ni).up)) ||
         clauseKws.contains(ts(ni).text))
     val expandBare = declared.nonEmpty && singleRelation
-    if (!items.exists(expandable) && !(expandBare && items.exists(bareStar)))
+    // ALIAS columns (ASTColumnDeclaration default_specifier ALIAS):
+    // virtual read-time expressions — resolve a reference anywhere in
+    // the query (select list, WHERE, GROUP BY, …) by inlining the
+    // declared expression, so it plans inside the scan's own
+    // projection/filter and pushes down like hand-written SQL.
+    // Chained aliases inline bounded (cycles refused at CREATE).
+    val quals: Set[String] =
+      nameParts.lastOption.toSet ++ relAlias.toSet
+    val aliasSubs: Map[String, String] = {
+      val raw: Map[String, String] =
+        if (!singleRelation) Map.empty
+        else declared.map(_.cols.filter(_.defaultKind.contains("ALIAS"))
+          .map(c => c.name -> c.defaultExpr.getOrElse("")).toMap)
+          .getOrElse(Map.empty)
+      var defs = raw
+      var n = 0
+      def refsAlias(e: String): Boolean = {
+        val et = tokenize(e)._1
+        et.indices.exists(k => et(k).word && defs.contains(et(k).text) &&
+          !(k + 1 < et.length && et(k + 1).text == "("))
+      }
+      while (n < 8 && defs.values.exists(refsAlias)) {
+        defs = defs.map { case (k, v) =>
+          k -> render(substAliasToks(tokenize(v)._1, defs - k, Set.empty)).trim }
+        n += 1
+      }
+      defs
+    }
+    val aliasRefPresent = aliasSubs.nonEmpty && ts.indices.exists(i =>
+      (i <= fromIdx || i >= nameEnd) && ts(i).word &&
+        aliasSubs.contains(ts(i).text))
+    if (!items.exists(expandable) && !(expandBare && items.exists(bareStar)) &&
+        !aliasRefPresent)
       return ts
 
     require(fromTable.nonEmpty,
       "COLUMNS()/APPLY expansion needs a named table or view in FROM")
     val table = fromTable.get
-    val fields = declared.map(_.cols.map(_.name): Seq[String]).getOrElse(
-      spark.table(table).schema.fieldNames.toSeq.filterNot(_ == "__sample_hash"))
+    // virtual (ALIAS/EPHEMERAL) columns are hidden from * and from
+    // COLUMNS('re') — the reference's asterisk default
+    val fields = declared
+      .map(_.cols.filterNot(_.isVirtual).map(_.name): Seq[String]).getOrElse(
+        spark.table(table).schema.fieldNames.toSeq.filterNot(_ == "__sample_hash"))
 
     def expandItem(it: Vector[Tok]): String = {
       // initial selection
@@ -170,11 +207,53 @@ object ChColumns {
       cols.map { case (e, n) => if (e == n) n else s"$e AS `$n`" }.mkString(", ")
     }
 
+    // a whole select item that IS an alias reference keeps the alias
+    // as its output name (the reference's `SELECT alias_col` answer);
+    // references inside larger expressions inline parenthesized
+    def substItem(it: Vector[Tok]): String =
+      if (it.length == 1 && it.head.word && aliasSubs.contains(it.head.text))
+        s"(${aliasSubs(it.head.text)}) AS `${it.head.text}`"
+      else if (it.length == 3 && it.head.word && quals.contains(it.head.text) &&
+          it(1).text == "." && it(2).word && aliasSubs.contains(it(2).text))
+        s"(${aliasSubs(it(2).text)}) AS `${it(2).text}`"
+      else renderTrim(substAliasToks(it, aliasSubs, quals))
+
     val selectList = items
       .map(it =>
         if (expandable(it) || (expandBare && bareStar(it))) expandItem(it)
-        else renderTrim(it))
+        else substItem(it))
       .mkString(", ")
-    ChSql.retok(s"SELECT $selectList ${ChSql.render(ts.drop(fromIdx)).trim}")
+    val tail = ts.slice(fromIdx, nameEnd) ++
+      substAliasToks(ts.drop(nameEnd), aliasSubs, quals)
+    ChSql.retok(s"SELECT $selectList ${ChSql.render(tail).trim}")
+  }
+
+  /** Inline ALIAS definitions into a token stream: a bare word
+    * matching an alias name (not a function call, not qualified by
+    * another relation, not an `AS` output name) becomes `( expr )`,
+    * and `rel.name` qualified by the FROM relation or its alias does
+    * too. */
+  private def substAliasToks(ts: Vector[Tok], subs: Map[String, String],
+      quals: Set[String]): Vector[Tok] = {
+    if (subs.isEmpty) return ts
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.word && quals.contains(t.text) && i + 2 < ts.length &&
+          ts(i + 1).text == "." && ts(i + 2).word &&
+          subs.contains(ts(i + 2).text) &&
+          !(i + 3 < ts.length && ts(i + 3).text == "(")) {
+        out ++= tokenize(s"(${subs(ts(i + 2).text)})")._1
+        i += 3
+      } else if (t.word && subs.contains(t.text) &&
+          !(i + 1 < ts.length && ts(i + 1).text == "(") &&
+          !(i > 0 && ts(i - 1).text == ".") &&
+          !(i > 0 && ts(i - 1).word && ts(i - 1).up == "AS")) {
+        out ++= tokenize(s"(${subs(t.text)})")._1
+        i += 1
+      } else { out += t; i += 1 }
+    }
+    out.result()
   }
 }

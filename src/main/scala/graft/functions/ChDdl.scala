@@ -51,21 +51,34 @@ object ChDdl {
     * (dictionary/RLE/delta + page compression) are the layout analog
     * of Delta/DoubleDelta/Gorilla/T64 at this layer, the same stance
     * TTL/INDEX take. */
-  /** `defaultKind`/`defaultExpr`: the column's DEFAULT or
-    * MATERIALIZED declaration (ParserCreateQuery.h default_specifier).
+  /** `defaultKind`/`defaultExpr`: the column's DEFAULT, MATERIALIZED,
+    * ALIAS, or EPHEMERAL declaration (ParserCreateQuery.h
+    * default_specifier, ASTColumnDeclaration.h:20).
     * DEFAULT fills the column when an INSERT omits it; MATERIALIZED
     * is never insertable and always computes from its expression on
     * insert. One honest deviation from the reference: MATERIALIZED
     * columns are stored parquet columns here and therefore VISIBLE to
     * SELECT * (the reference hides them from *); DESCRIBE/SHOW CREATE
-    * declare them. ALIAS (a virtual read-time column) refuses at
-    * CREATE with guidance — a stored snapshot cannot give virtual
-    * reads honestly. */
+    * declare them. ALIAS columns are VIRTUAL — never stored, hidden
+    * from SELECT * and from INSERT, computed at read time: ChColumns
+    * inlines the declared expression wherever a query names the
+    * column (select list, WHERE, GROUP BY, …), so the expression
+    * plans inside the scan's own projection/filter and pushes down
+    * like any hand-written expression. EPHEMERAL columns are the
+    * write-side mirror — never stored, hidden from SELECT *,
+    * insertable ONLY when listed explicitly; they exist to feed other
+    * columns' DEFAULT/MATERIALIZED expressions during the INSERT
+    * (ChInsert binds them into the batch, computes the stored
+    * columns, then drops them). An omitted EPHEMERAL feeds its own
+    * default expression (or the type default when bare). */
   final case class ChColumn(
       name: String, sparkType: String, enumValues: Option[Seq[(String, Int)]],
       chType: String = "", codec: Option[String] = None,
       ttl: Option[String] = None, defaultKind: Option[String] = None,
       defaultExpr: Option[String] = None) {
+    /** ALIAS/EPHEMERAL columns never land in the physical schema. */
+    def isVirtual: Boolean =
+      defaultKind.exists(k => k == "ALIAS" || k == "EPHEMERAL")
     /** The value an expired column-TTL resets to (the reference
       * resets to the column default on merge; without a DEFAULT
       * declaration that is the TYPE's default —
@@ -152,9 +165,14 @@ object ChDdl {
       element_at(map(enumOf(col).flatMap { case (n, v) =>
         Seq(lit(v), lit(n)) }: _*), c.cast("int"))
 
-    /** The Spark DDL this CH statement maps to. */
+    /** The declared columns that exist in the parquet snapshot —
+      * everything but ALIAS/EPHEMERAL virtuals. */
+    def storedCols: Seq[ChColumn] = cols.filterNot(_.isVirtual)
+
+    /** The Spark DDL this CH statement maps to (stored columns only —
+      * ALIAS/EPHEMERAL are virtual by the reference's contract). */
     def sparkDdl: String = {
-      val colDefs = cols.map(c => s"${c.name} ${c.sparkType}") ++
+      val colDefs = storedCols.map(c => s"${c.name} ${c.sparkType}") ++
         sampleBy.map(_ => "__sample_hash BIGINT")
       val part =
         if (partitionBy.isEmpty) ""
@@ -191,6 +209,27 @@ object ChDdl {
 
     /** Register the table in the session catalog (idempotent). */
     def create(spark: SparkSession): Unit = {
+      // virtual-column sanity, refused at CREATE like the reference:
+      // layout keys need stored values, and an ALIAS chain must
+      // terminate (ChColumns resolves it by bounded inlining)
+      locally {
+        val virt = cols.filter(_.isVirtual).map(_.name).toSet
+        (orderBy ++ partitionBy).filter(virt.contains).foreach(k =>
+          throw new IllegalArgumentException(
+            s"$k is an ALIAS/EPHEMERAL column — virtual columns have " +
+              "no stored value to ORDER BY / PARTITION BY on"))
+        val aliasDefs = cols.filter(_.defaultKind.contains("ALIAS"))
+          .map(c => c.name -> c.defaultExpr.getOrElse("")).toMap
+        def refs(e: String): Set[String] = aliasDefs.keySet.filter(n =>
+          ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+            .findFirstIn(e).isDefined)
+        def walk(n: String, path: Set[String]): Unit = {
+          require(!path.contains(n),
+            s"cyclic ALIAS column definition involving $n")
+          refs(aliasDefs(n)).foreach(m => walk(m, path + n))
+        }
+        aliasDefs.keys.foreach(n => walk(n, Set.empty))
+      }
       // a PREVIOUS incarnation's projection must not route aggregates
       // to its stale summary between create() and insertSelect() (or
       // forever, if the load fails) — drop the materialization and the
@@ -336,8 +375,9 @@ object ChDdl {
   private def renderCreate(ct: ChCreateTable): String = {
     val colLines = ct.cols.map(c => s"    `${c.name}` ${
       if (c.chType.nonEmpty) c.chType else c.sparkType}${
-      c.defaultKind.zip(c.defaultExpr)
-        .map { case (k, e) => s" $k $e" }.getOrElse("")}${
+      // a bare EPHEMERAL has a kind but no expression — still renders
+      c.defaultKind.map(k =>
+        s" $k" + c.defaultExpr.map(" " + _).getOrElse("")).getOrElse("")}${
       c.codec.map(" " + _).getOrElse("")}${
       c.ttl.map(" TTL " + _).getOrElse("")}")
     val projLines = ct.projections.map { p =>
@@ -527,7 +567,7 @@ object ChDdl {
       if (ct.engine.equalsIgnoreCase("Join") && args.length == 3 &&
           args(0) == "ANY" && args(1) == "LEFT") {
         val key = ct.engineArgs(2)
-        val attrs = ct.cols.map(_.name).filterNot(_ == key)
+        val attrs = ct.storedCols.map(_.name).filterNot(_ == key)
         val one = spark.table(table)
           .groupBy(col(key))
           .agg(min(struct(attrs.map(col): _*)).as("__r"))
@@ -1167,6 +1207,11 @@ object ChDdl {
         val defIdx = colToks.indices.find(k =>
           dd(k) == 0 && colToks(k).word && colToks(k).up == "DEFAULT")
         val nc = parseColumn(colToks) // stops at DEFAULT (colDecor)
+        require(!nc.isVirtual,
+          s"ALTER TABLE ADD COLUMN ${nc.name} ${nc.defaultKind.get}: " +
+            "virtual columns are declared at CREATE TABLE (the layout " +
+            "rewrite here materializes a snapshot; a virtual column " +
+            "has nothing to materialize)")
         val defExpr = defIdx.map(k =>
           renderTrim(colToks.slice(k + 1, colToks.length)))
         if (snapshot.columns.contains(nc.name)) {
@@ -1218,6 +1263,9 @@ object ChDdl {
             if (c.name == a) c.copy(name = b) else c))))
       case _ => // MODIFY COLUMN c NewType — cast in place
         val nc = parseColumn(ts.slice(ci + 1, ts.length))
+        require(!nc.isVirtual,
+          s"ALTER TABLE MODIFY COLUMN ${nc.name}: cannot turn a stored " +
+            "column into an ALIAS/EPHEMERAL virtual — recreate the table")
         (snapshot.withColumn(nc.name, col(nc.name).cast(nc.sparkType)),
           layout.map(l => l.copy(cols = l.cols.map(c =>
             if (c.name == nc.name) nc else c))))
@@ -2463,8 +2511,8 @@ object ChDdl {
     splitTop(inner).map(renderTrim)
   }
 
-  private val colDecor = Set("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC",
-    "COMMENT", "TTL")
+  private val colDecor = Set("DEFAULT", "MATERIALIZED", "ALIAS",
+    "EPHEMERAL", "CODEC", "COMMENT", "TTL")
 
   /** Codec names the reference registers (CompressionFactory.cpp:164-
     * 171, minus the internal Multiple/Encrypted): a typo'd CODEC must
@@ -2510,26 +2558,40 @@ object ChDdl {
     }
     // DEFAULT / MATERIALIZED expr: absorbed, round-tripped, ENFORCED
     // on INSERT (ChInsert fills omitted DEFAULT columns and always
-    // computes MATERIALIZED ones). ALIAS refuses — see ChColumn doc.
+    // computes MATERIALIZED ones). ALIAS expr: a VIRTUAL read-time
+    // column — never stored, inlined at query time by ChColumns.
+    // EPHEMERAL [expr]: a virtual write-time column — insertable only
+    // when listed, feeds other columns' defaults, never stored.
     val dflt = (typeEnd until item.length).find(k =>
-      d(k) == 0 && Set("DEFAULT", "MATERIALIZED", "ALIAS")(item(k).up))
+      d(k) == 0 &&
+        Set("DEFAULT", "MATERIALIZED", "ALIAS", "EPHEMERAL")(item(k).up))
       .map { k =>
-        require(item(k).up != "ALIAS",
-          s"column $name: ALIAS columns are virtual read-time " +
-            "expressions the stored snapshot cannot give honestly — " +
-            "declare a MATERIALIZED column (stored, auto-computed) or " +
-            "select the expression in queries")
         val end = (k + 1 until item.length).find(m =>
           d(m) == 0 && item(m).word && colDecor.contains(item(m).up))
           .getOrElse(item.length)
-        require(end > k + 1,
+        // EPHEMERAL's expression is optional (bare = type default)
+        require(end > k + 1 || item(k).up == "EPHEMERAL",
           s"column ${item(k).up} needs an expression: ${renderTrim(item)}")
         // bracket pass so CH array-literal defaults parse downstream
         (item(k).up,
-          renderTrim(ChSql.rewriteBrackets(item.slice(k + 1, end))))
+          if (end > k + 1)
+            Some(renderTrim(ChSql.rewriteBrackets(item.slice(k + 1, end))))
+          else None)
       }
+    val kind = dflt.map(_._1)
+    if (kind.exists(k => k == "ALIAS" || k == "EPHEMERAL")) {
+      // the reference refuses storage decorations on virtual columns
+      // (ColumnsDescription.cpp: "Cannot specify codec for column
+      // type ALIAS") — same rule for TTL, which acts on stored parts
+      require(codec.isEmpty,
+        s"column $name: cannot specify CODEC for a ${kind.get} column " +
+          "(it is never stored)")
+      require(colTtl.isEmpty,
+        s"column $name: cannot specify TTL for a ${kind.get} column " +
+          "(it is never stored)")
+    }
     ChColumn(name, sparkType, enums, renderTrim(item.slice(1, typeEnd)),
-      codec, colTtl, dflt.map(_._1), dflt.map(_._2))
+      codec, colTtl, kind, dflt.flatMap(_._2))
   }
 
   /** CH type expression → (Spark SQL type, enum dictionary). */

@@ -59,14 +59,25 @@ object ChInsert {
     val layout = ChDdl.createdTables.get(table.toLowerCase)
     // MATERIALIZED columns never bind from values: an unlisted INSERT
     // binds only the insertable columns (the reference's contract),
-    // and listing one explicitly refuses below
+    // and listing one explicitly refuses below. ALIAS columns are
+    // virtual reads and refuse too. EPHEMERAL columns are insertable
+    // ONLY when listed — they feed other columns' DEFAULT/MATERIALIZED
+    // expressions during this insert and are never stored.
     val materialized: Set[String] = layout.map(_.cols
       .filter(_.defaultKind.contains("MATERIALIZED")).map(_.name).toSet)
       .getOrElse(Set.empty)
+    val aliasCols: Set[String] = layout.map(_.cols
+      .filter(_.defaultKind.contains("ALIAS")).map(_.name).toSet)
+      .getOrElse(Set.empty)
+    val ephemerals: Seq[ChDdl.ChColumn] = layout.map(_.cols
+      .filter(_.defaultKind.contains("EPHEMERAL")): Seq[ChDdl.ChColumn])
+      .getOrElse(Nil)
+    val ephemeralNames = ephemerals.map(_.name).toSet
     var cols = layout.map(_.cols.map(_.name): Seq[String])
       .getOrElse(tableSchema.fieldNames.toSeq)
       .filterNot(_ == "__sample_hash")
-      .filterNot(materialized.contains)
+      .filterNot(c => materialized.contains(c) || aliasCols.contains(c) ||
+        ephemeralNames.contains(c))
     if (i < ts.length && ts(i).text == "(") {
       val close = ChSql.matchParen(ts, i)
       // merge dotted identifiers: `ev.name` is Nested's flattened
@@ -92,6 +103,12 @@ object ChInsert {
           s"Cannot insert column ${bad.mkString(", ")}: MATERIALIZED " +
             "columns compute from their expression (the reference " +
             "refuses them in the insert column list too)")
+      }
+      cols.filter(aliasCols.contains) match {
+        case Nil => ()
+        case bad => throw new IllegalArgumentException(
+          s"Cannot insert column ${bad.mkString(", ")}: ALIAS columns " +
+            "are virtual read-time expressions and never store a value")
       }
       i = close + 1
     }
@@ -120,7 +137,12 @@ object ChInsert {
           .map(_.stripSuffix("\r")).filter(_.trim.nonEmpty)
         import spark.implicits._
         val ds = spark.createDataset(lines)
-        val schema = StructType(cols.map(c => tableSchema(c)))
+        // a listed EPHEMERAL column is not in the physical schema —
+        // its field comes from the declared type
+        val schema = StructType(cols.map(c =>
+          if (tableSchema.fieldNames.contains(c)) tableSchema(c)
+          else StructType.fromDDL(s"`$c` ${
+            ephemerals.find(_.name == c).get.sparkType}").head))
         fmt match {
           case "CSV" => spark.read.schema(schema).csv(ds)
           case "TSV" | "TABSEPARATED" =>
@@ -130,13 +152,21 @@ object ChInsert {
             s"unsupported inline FORMAT $other (CSV, TSV, JSONEachRow)")
         }
     }
+    // an UNLISTED ephemeral column still feeds other columns' default
+    // expressions — its own default expression (or the type default)
+    // stands in, computed against the listed columns
+    val batchEph = ephemerals.filterNot(e => cols.contains(e.name))
+      .foldLeft(batch) { (b, e) =>
+        b.withColumn(e.name,
+          expr(e.defaultExpr.getOrElse(e.typeDefaultSql)).cast(e.sparkType))
+      }
     // widen to the full catalog row: listed columns cast to their
     // declared types, unlisted columns NULL. A Nested column listed
     // through its flattened subcolumns (`ev.name`, `ev.val` — the CH
     // Nested insert idiom, NestedUtils.cpp flatten) is zipped back
     // into its array-of-structs shape; CH requires the parallel
     // arrays to have equal lengths, same here.
-    val fullBatch = batch.select(tableSchema.fields.toSeq.map { f =>
+    val fullBatch = batchEph.select(tableSchema.fields.toSeq.map { f =>
       val subs = cols.filter(_.startsWith(f.name + "."))
         .map(c => c.stripPrefix(f.name + ".") -> c)
       if (cols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

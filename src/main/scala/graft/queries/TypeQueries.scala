@@ -267,6 +267,77 @@ object TypeQueries {
         .orderBy("o_orderstatus")
     },
 
+    // ALIAS columns (ParserCreateQuery.h:128 default_specifier ALIAS,
+    // ASTColumnDeclaration.h:20): VIRTUAL read-time expressions —
+    // never stored, hidden from SELECT *, inlined by ChColumns
+    // wherever a query names them, so they plan inside the scan's own
+    // projection/filter (the WHERE below pushes to the parquet scan
+    // exactly as if the user had written the expression by hand — the
+    // 100 TB story is "an alias costs what its expression costs",
+    // zero extra I/O). Chained aliases (band_tag -> band) resolve by
+    // bounded inlining. The oracle recomputes the expressions from
+    // the raw rows.
+    "p13_alias_column" -> Q(
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(pri_code) AS pri_min,
+        |  MIN(CONCAT('b', CAST(band AS VARCHAR))) AS tag_min
+        |FROM (SELECT o_totalprice,
+        |        CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 50000) AS BIGINT) AS band,
+        |        UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS pri_code
+        |      FROM orders)
+        |WHERE band >= 1 GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      ChDdl.execute(s,
+        """CREATE TABLE graft_p13 (
+          |  o_orderkey Int64, o_totalprice Float64, o_orderpriority String,
+          |  band Int64 ALIAS toInt64(floor(o_totalprice / 50000)),
+          |  pri_code String ALIAS upper(substring(o_orderpriority, 1, 1)),
+          |  band_tag String ALIAS concat('b', toString(band))
+          |) ENGINE = MergeTree() ORDER BY (o_orderkey)""".stripMargin)
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderpriority"))
+        .createOrReplaceTempView("graft_p13_src")
+      ChDdl.execute(s,
+        """INSERT INTO graft_p13
+          |SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft_p13_src""".stripMargin)
+      ChDdl.execute(s,
+        """SELECT band, count() AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          |  min(pri_code) AS pri_min, min(band_tag) AS tag_min
+          |FROM graft_p13 WHERE band >= 1
+          |GROUP BY band ORDER BY band""".stripMargin)
+    },
+
+    // EPHEMERAL columns (ParserCreateQuery.h:127): the write-side
+    // virtual — insertable ONLY when listed, feeding other columns'
+    // DEFAULT/MATERIALIZED expressions during the INSERT, never
+    // stored, hidden from SELECT *. The oracle states the rows the
+    // stored columns must compute to.
+    "p14_ephemeral" -> Q(
+      """SELECT CAST(id AS BIGINT) AS id, name, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (VALUES (1, 'ALPHA', 5), (2, 'BE', 2), (3, 'given', 3), (4, '', 0))
+        |  t(id, name, n_chars)
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      import graft.functions.{ChDdl, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      ChDdl.execute(s,
+        """CREATE TABLE graft_p14 (
+          |  id Int64,
+          |  raw String EPHEMERAL,
+          |  name String DEFAULT upper(raw),
+          |  n_chars Int64 MATERIALIZED length(raw)
+          |) ENGINE = MergeTree() ORDER BY (id);
+          |INSERT INTO graft_p14 (id, raw) VALUES (1, 'alpha'), (2, 'be');
+          |INSERT INTO graft_p14 (id, raw, name) VALUES (3, 'xyz', 'given');
+          |INSERT INTO graft_p14 (id) VALUES (4)""".stripMargin)
+      ChDdl.execute(s,
+        "SELECT id, name, n_chars FROM graft_p14 ORDER BY id")
+    },
+
     // DDL round-trip (ASTCreateQuery.h:1; type names per
     // DataTypeFactory.cpp): a ClickHouse CREATE TABLE — FixedString,
     // Decimal64 shorthand, Enum8, PARTITION BY, ORDER BY, SAMPLE BY —

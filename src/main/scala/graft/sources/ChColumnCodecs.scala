@@ -22,9 +22,10 @@ package graft.sources
   * The bit stream is MSB-first with zero-padded final byte (the
   * reference's IO/BitHelpers.h semantics); the worked byte examples
   * in the reference's own doc comments are pinned as KATs in
-  * ChColumnCodecsSpec. T64 (0x93) is NOT implemented — its
-  * bit-transpose format is declared out of scope and the frame
-  * reader refuses it by method byte with guidance.
+  * ChColumnCodecsSpec. T64 (0x93) DECODES (both transpose variants —
+  * t64Decompress below); only its WRITE side refuses, because the
+  * OUTFILE COMPRESSION stream is heterogeneous bytes while T64's
+  * framing is column-typed (the reference's own constraint).
   */
 object ChColumnCodecs {
 

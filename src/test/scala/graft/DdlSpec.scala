@@ -1112,14 +1112,142 @@ class DdlSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     assert(d("m") == ("MATERIALIZED", "id * 2") && d("id") == ("", ""),
       d.toString)
-    // ALIAS refuses at CREATE with guidance
+    Seq("dflt_t", "dflt_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("ALIAS columns: virtual read-time expressions, hidden from *, never insertable") {
+    ChDdl.execute(spark,
+      """CREATE TABLE alias_t (
+        |  id Int64,
+        |  price Float64,
+        |  band Int64 ALIAS toInt64(floor(price / 100)),
+        |  band2 Int64 ALIAS band + 1,
+        |  tag String ALIAS concat('b', toString(band2))
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    ChDdl.execute(spark,
+      "INSERT INTO alias_t VALUES (1, 50.0), (2, 150.0), (3, 250.0), (4, 251.0)")
+    // the physical schema has no alias columns…
+    assert(spark.table("alias_t").columns.toSeq == Seq("id", "price"))
+    // …and SELECT * through the front door hides them too
+    assert(ChDdl.execute(spark, "SELECT * FROM alias_t ORDER BY id")
+      .columns.toSeq == Seq("id", "price"))
+    // reading by name computes the expression and keeps the name;
+    // chained aliases (band2 -> band, tag -> band2) resolve
+    val r = ChDdl.execute(spark,
+      "SELECT id, band, band2, tag FROM alias_t ORDER BY id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq((1L, 0L, 1L, "b1"), (2L, 1L, 2L, "b2"),
+      (3L, 2L, 3L, "b3"), (4L, 2L, 3L, "b3")), r.toSeq.toString)
+    // alias references work in WHERE / GROUP BY / ORDER BY and
+    // qualified by the table or its alias
+    val g = ChDdl.execute(spark,
+      """SELECT band, count() AS n FROM alias_t AS a
+        |WHERE a.band >= 1 GROUP BY band ORDER BY band""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(g.toSeq == Seq((1L, 1L), (2L, 2L)), g.toSeq.toString)
+    // SHOW CREATE / DESCRIBE round-trip the declarations
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE alias_t")
+      .head().getString(0)
+    assert(stmt.contains("`band` Int64 ALIAS toInt64(floor(price / 100))"), stmt)
+    assert(stmt.contains("`band2` Int64 ALIAS band + 1"), stmt)
+    ChDdl.execute(spark,
+      stmt.replaceFirst("CREATE TABLE alias_t", "CREATE TABLE alias_t2"))
+    ChDdl.execute(spark, "INSERT INTO alias_t2 VALUES (9, 930.0)")
+    val r2 = ChDdl.execute(spark, "SELECT tag FROM alias_t2").head().getString(0)
+    assert(r2 == "b10", r2)
+    val d = ChDdl.execute(spark, "DESCRIBE TABLE alias_t")
+      .select("name", "default_type", "default_expression").collect()
+      .map(x => x.getString(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(d("band") == ("ALIAS", "toInt64(floor(price / 100))"), d.toString)
+    // listing an ALIAS column in INSERT refuses
+    val e = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, "INSERT INTO alias_t (id, price, band) VALUES (5, 1.0, 7)")
+    }
+    assert(e.getMessage.contains("ALIAS"), e.getMessage)
+    // storage decorations on a virtual column refuse at CREATE
     val e2 = intercept[IllegalArgumentException] {
       ChDdl.execute(spark,
-        "CREATE TABLE alias_t (x Int64, y Int64 ALIAS x + 1) " +
+        "CREATE TABLE alias_bad (x Int64, y Int64 ALIAS x + 1 CODEC(ZSTD)) " +
           "ENGINE = MergeTree ORDER BY tuple()")
     }
-    assert(e2.getMessage.contains("ALIAS"), e2.getMessage)
-    Seq("dflt_t", "dflt_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
+    assert(e2.getMessage.contains("CODEC"), e2.getMessage)
+    // a cyclic alias chain refuses at CREATE
+    val e3 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "CREATE TABLE alias_cyc (x Int64, a Int64 ALIAS b + 1, b Int64 ALIAS a + 1) " +
+          "ENGINE = MergeTree ORDER BY tuple()")
+    }
+    assert(e3.getMessage.contains("cyclic"), e3.getMessage)
+    // an alias cannot be a layout key (no stored value to sort on)
+    val e4 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark,
+        "CREATE TABLE alias_key (x Int64, y Int64 ALIAS x + 1) " +
+          "ENGINE = MergeTree ORDER BY (y)")
+    }
+    assert(e4.getMessage.contains("virtual"), e4.getMessage)
+    // ALTER ADD COLUMN … ALIAS refuses with guidance
+    val e5 = intercept[IllegalArgumentException] {
+      ChDdl.execute(spark, "ALTER TABLE alias_t ADD COLUMN z Int64 ALIAS id + 1")
+    }
+    assert(e5.getMessage.contains("CREATE TABLE"), e5.getMessage)
+    Seq("alias_t", "alias_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("EPHEMERAL columns: insertable only when listed, feed defaults, never stored") {
+    ChDdl.execute(spark,
+      """CREATE TABLE eph_t (
+        |  id Int64,
+        |  raw String EPHEMERAL,
+        |  name String DEFAULT upper(raw),
+        |  n_chars Int64 MATERIALIZED length(raw)
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    // listed EPHEMERAL feeds the DEFAULT and MATERIALIZED expressions
+    ChDdl.execute(spark,
+      "INSERT INTO eph_t (id, raw) VALUES (1, 'alpha'), (2, 'be')")
+    // an explicit value for the DEFAULT column wins; MATERIALIZED
+    // still computes from the ephemeral
+    ChDdl.execute(spark,
+      "INSERT INTO eph_t (id, raw, name) VALUES (3, 'xyz', 'given')")
+    // unlisted EPHEMERAL (bare INSERT binds insertable stored columns
+    // only): its type default ('') feeds the expressions
+    ChDdl.execute(spark, "INSERT INTO eph_t (id) VALUES (4)")
+    val rows = spark.table("eph_t")
+      .selectExpr("id", "name", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "ALPHA", 5L), (2L, "BE", 2L),
+      (3L, "given", 3L), (4L, "", 0L)), rows.toSeq.toString)
+    // never stored, hidden from the physical schema and from *
+    assert(spark.table("eph_t").columns.toSeq == Seq("id", "name", "n_chars"))
+    assert(ChDdl.execute(spark, "SELECT * FROM eph_t WHERE id = 1")
+      .columns.toSeq == Seq("id", "name", "n_chars"))
+    // SHOW CREATE round-trips the bare EPHEMERAL; DESCRIBE shows it
+    val stmt = ChDdl.execute(spark, "SHOW CREATE TABLE eph_t")
+      .head().getString(0)
+    assert(stmt.contains("`raw` String EPHEMERAL"), stmt)
+    ChDdl.execute(spark,
+      stmt.replaceFirst("CREATE TABLE eph_t", "CREATE TABLE eph_t2"))
+    ChDdl.execute(spark, "INSERT INTO eph_t2 (id, raw) VALUES (7, 'seven')")
+    val r2 = spark.table("eph_t2").selectExpr("name", "n_chars").head()
+    assert(r2.getString(0) == "SEVEN" && r2.getLong(1) == 5L, r2)
+    val d = ChDdl.execute(spark, "DESCRIBE TABLE eph_t")
+      .select("name", "default_type", "default_expression").collect()
+      .map(x => x.getString(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(d("raw") == ("EPHEMERAL", ""), d.toString)
+    // an EPHEMERAL with its own default expression feeds it when
+    // unlisted; FORMAT inserts bind listed ephemerals too
+    ChDdl.execute(spark,
+      """CREATE TABLE eph_d (
+        |  id Int64,
+        |  k String EPHEMERAL concat('k', toString(id)),
+        |  v String DEFAULT upper(k)
+        |) ENGINE = MergeTree() ORDER BY (id);
+        |INSERT INTO eph_d (id) VALUES (5);
+        |INSERT INTO eph_d (id, k) FORMAT JSONEachRow
+        |{"id": 6, "k": "zed"}""".stripMargin)
+    val dv = spark.table("eph_d").selectExpr("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(dv.toSeq == Seq((5L, "K5"), (6L, "ZED")), dv.toSeq.toString)
+    Seq("eph_t", "eph_t2", "eph_d").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
   test("DESCRIBE answers with CH type names from the declared layout") {

@@ -176,6 +176,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("o_orderdate") && !read.contains("o_clerk"), read)
   }
 
+  test("an ALIAS column predicate pushes its inlined expression to the scan") {
+    import graft.functions.ChDdl
+    ChDdl.execute(spark,
+      """CREATE TABLE ap_t (
+        |  id Int64, price Float64,
+        |  hot Bool ALIAS price > 500,
+        |  band Int64 ALIAS toInt64(floor(price / 100))
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    Tables(spark, sfDir).orders
+      .selectExpr("o_orderkey AS id", "CAST(o_totalprice AS DOUBLE) AS price")
+      .createOrReplaceTempView("ap_src")
+    ChDdl.execute(spark, "INSERT INTO ap_t SELECT id, price FROM ap_src")
+    // the alias inlines to `price > 500`, which must reach the scan as
+    // a pushed filter — the "an alias costs what its expression costs"
+    // scale property (no materialization, no post-scan-only filtering)
+    val df = ChDdl.execute(spark, "SELECT id, band FROM ap_t WHERE hot")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThan(price,500"),
+      s"alias predicate not pushed to the scan:\n$p")
+    spark.sql("DROP TABLE ap_t")
+  }
+
   test("dimension joins broadcast (explicit hints hold)") {
     withoutAqe {
       assert(planOf("j01_inner").toString.contains("BroadcastHashJoin"))
