@@ -17,6 +17,15 @@ final case class MediaFeatures(
   doc_id: Long, format: String, width: Int, height: Int, n_bytes: Long,
   mean_byte: Double, std_byte: Double, feature: Array[Float])
 
+/** Extracted features per audio row (m06): header-parsed PCM
+  * metadata + amplitude stats over the decoded samples. Opaque
+  * (non-RIFF / hostile-header) payloads keep sample_rate/channels/
+  * bits/n_frames at 0 and carry raw-byte stats. */
+final case class AudioFeatures(
+  doc_id: Long, format: String, sample_rate: Int, channels: Int,
+  bits: Int, n_frames: Int, n_bytes: Long,
+  mean_sample: Double, std_sample: Double, feature: Array[Float])
+
 /** Multimodal column plumbing (SURVEY §2 m01). The real thing a
   * 100 TB pipeline needs from Spark — binary schema, metadata
   * pushdown, partition-preserving batched featurization via
@@ -125,6 +134,35 @@ object Multimodal {
     val items = docSets.select(col("doc_id"), lit("*").as("__blk"),
       size(col("__gs")).as("__sz"), explode(col("__gs")).as("__g"))
     Dedup.setJaccardPairs(items, "doc_id", minJaccard, maxFrameDf)
+  }
+
+  /** The audio twin of featurize (m06): RIFF/WAVE PCM payloads REALLY
+    * decode — sample rate / channels / bit depth from the parsed
+    * `fmt ` chunk (overriding declared metadata; the decode is the
+    * authority), amplitude moments + 8-bucket histogram over the
+    * decoded, 0..255-normalized samples. Same partition-preserving
+    * mapPartitions shape; hostile RIFF headers degrade to the opaque
+    * treatment instead of killing the job. */
+  def featurizeAudio(media: DataFrame): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val decoded =
+          try AudioCodec.decode(r.content)
+          catch { case _: IllegalArgumentException => None }
+        decoded match {
+          case Some(a) =>
+            val (mean, std, feat) =
+              valueStats(a.samples.length, a.samples(_))
+            AudioFeatures(r.doc_id, a.format, a.sampleRate, a.channels,
+              a.bits, a.frames, r.content.length.toLong, mean, std, feat)
+          case None =>
+            val (mean, std, feat) = opaqueFeatures(r.content)
+            AudioFeatures(r.doc_id, r.format, 0, 0, 0, 0,
+              r.content.length.toLong, mean, std, feat)
+        }
+      }
+    }
   }
 
   /** Batched featurization: one decoder pass per partition iterator,

@@ -205,6 +205,74 @@ object MultimodalQueries {
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
           round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
         .orderBy("doc_id")
+    },
+
+    // REAL WAV/RIFF audio decode (m06, the m04/m05 discipline on the
+    // cheapest real audio container): every document plants a PCM
+    // WAVE whose rate/channels/bit-depth/frame-count and samples are
+    // closed-form functions of doc_id — bit depth ALTERNATES 8-bit
+    // unsigned / 16-bit signed-LE (the format's own asymmetry), every
+    // 5th file carries an odd-sized LIST chunk (chunk walk + RIFF
+    // word-alignment pad must both be honored), and declared metadata
+    // is deliberately wrong. The featurizer must recover the metadata
+    // FROM THE PARSED fmt CHUNK and the amplitude stats FROM THE
+    // DECODED samples (16-bit normalized by top byte, exact for the
+    // planted u*256-32768 values). n_bytes pins the container layout
+    // (44-byte canonical header + LIST + data pad). The oracle knows
+    // no RIFF — it recomputes everything from the generator formula.
+    "m06_wav_decode" -> Q(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+        |    CAST(16 + doc_id % 32 AS INT) AS n_frames
+        |  FROM documents),
+        |sm AS (
+        |  SELECT m.doc_id,
+        |    (m.doc_id * 13 + (i // m.channels) * 7 + (i % m.channels) * 3) % 256 AS v
+        |  FROM m, range(0, 94) t(i)
+        |  WHERE i < m.n_frames * m.channels),
+        |s AS (
+        |  SELECT doc_id, SUM(v) AS sv, SUM(CAST(v AS DOUBLE) * v) AS svv,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN v >= 96 AND v < 128 THEN 1 ELSE 0 END) AS h3
+        |  FROM sm GROUP BY doc_id)
+        |SELECT m.doc_id, 'audio/wav' AS format, m.sample_rate, m.channels,
+        |  m.bits, m.n_frames,
+        |  CAST(44 + CASE WHEN m.doc_id % 5 = 0 THEN 34 ELSE 0 END
+        |    + m.n_frames * m.channels * (m.bits // 8)
+        |    + (m.n_frames * m.channels * (m.bits // 8)) % 2 AS BIGINT) AS n_bytes,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_sample,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6) AS std_sample,
+        |  round(CAST(CAST(CAST(h0 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(CAST(h3 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f3
+        |FROM m JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{AudioCodec, MediaRow}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val rate = (8000 + Math.floorMod(id, 4L) * 4000).toInt
+        val ch = (1 + Math.floorMod(id, 2L)).toInt
+        val bits = if (Math.floorMod(id, 3L) == 0L) 8 else 16
+        val frames = (16 + Math.floorMod(id, 32L)).toInt
+        val u = Array.tabulate(frames * ch)(i =>
+          Math.floorMod(id * 13 + (i / ch) * 7L + (i % ch) * 3L, 256L).toInt)
+        MediaRow(id, AudioCodec.encodeWav(rate, ch, bits, u,
+          plantListChunk = Math.floorMod(id, 5L) == 0L),
+          "declared/wrong", 0, 0)
+      }.toDF()
+      graft.operators.Multimodal.featurizeAudio(media)
+        .select(col("doc_id"), col("format"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_frames"), col("n_bytes"),
+          round(col("mean_sample"), 6).as("mean_sample"),
+          round(col("std_sample"), 6).as("std_sample"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
+        .orderBy("doc_id")
     }
   )
 }

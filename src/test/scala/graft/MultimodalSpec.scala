@@ -211,4 +211,72 @@ class MultimodalSpec extends SparkSpec {
     val want = rgb.sum / rgb.length.toDouble
     assert(math.abs(row.mean_byte - want) < 1e-12)
   }
+
+  test("WAV decode is real: planted PCM samples survive 8/16-bit, stereo, and a LIST chunk") {
+    import graft.operators.AudioCodec
+    val u = Array.tabulate(24)(i => (i * 37 + 11) % 256)
+    for (bits <- Seq(8, 16); ch <- Seq(1, 2); list <- Seq(false, true)) {
+      val wav = AudioCodec.encodeWav(16000, ch, bits, u, plantListChunk = list)
+      val a = AudioCodec.decode(wav).get
+      assert(a.format == "audio/wav" && a.sampleRate == 16000 &&
+        a.channels == ch && a.bits == bits && a.frames == 24 / ch,
+        s"bits=$bits ch=$ch list=$list: $a")
+      // exact samples back — 8-bit unsigned as-is, 16-bit signed-LE
+      // normalized by top byte (exact for the planted u*256-32768)
+      assert(a.samples.toSeq == u.toSeq, s"bits=$bits ch=$ch list=$list")
+    }
+    // an odd frame count at 8-bit mono forces the data pad byte; the
+    // RIFF size must still parse (the pad is inside the riff span)
+    val odd = AudioCodec.encodeWav(8000, 1, 8, Array(1, 2, 3))
+    assert(odd.length % 2 == 0)
+    assert(AudioCodec.decode(odd).get.samples.toSeq == Seq(1, 2, 3))
+    // featurizeAudio: header metadata overrides the declared lie
+    val wav = AudioCodec.encodeWav(44100, 2, 16, u, plantListChunk = true)
+    val media = Seq((5L, wav, "declared/wrong", 0, 0))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val row = Multimodal.featurizeAudio(media).collect().head
+    assert(row.format == "audio/wav" && row.sample_rate == 44100 &&
+      row.channels == 2 && row.bits == 16 && row.n_frames == 12)
+    assert(row.n_bytes == wav.length.toLong)
+    val want = u.sum / u.length.toDouble
+    assert(math.abs(row.mean_sample - want) < 1e-12)
+  }
+
+  test("WAV hostile containers refuse loudly and degrade to opaque through featurizeAudio") {
+    import graft.operators.AudioCodec
+    val good = AudioCodec.encodeWav(8000, 1, 16, Array.tabulate(8)(_ * 30))
+    // non-PCM format tag refuses BY NAME with guidance
+    val flt = good.clone()
+    flt(20) = 3 // audioFormat = IEEE float
+    val e1 = intercept[IllegalArgumentException] { AudioCodec.decode(flt) }
+    assert(e1.getMessage.contains("IEEE float") &&
+      e1.getMessage.contains("audioFormat=1"), e1.getMessage)
+    val ext = good.clone()
+    ext(20) = 0xfe.toByte; ext(21) = 0xff.toByte // WAVE_FORMAT_EXTENSIBLE
+    val e2 = intercept[IllegalArgumentException] { AudioCodec.decode(ext) }
+    assert(e2.getMessage.contains("EXTENSIBLE"), e2.getMessage)
+    // a data chunk declaring bytes past end-of-file refuses before
+    // allocation
+    val big = good.clone()
+    big(40) = 0x7f // data chunk size (offset 40) -> huge
+    big(41) = 0x7f; big(42) = 0x7f; big(43) = 0x7f
+    val e3 = intercept[IllegalArgumentException] { AudioCodec.decode(big) }
+    assert(e3.getMessage.contains("past end"), e3.getMessage)
+    // a RIFF with no data chunk refuses
+    val noData = java.util.Arrays.copyOf(good, 36) // header + fmt only
+    val bb = java.nio.ByteBuffer.wrap(noData)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(4); bb.putInt(28) // riff size spans just WAVE + fmt
+    val e4 = intercept[IllegalArgumentException] { AudioCodec.decode(noData) }
+    assert(e4.getMessage.contains("no data chunk"), e4.getMessage)
+    // non-RIFF bytes are None (the opaque path), and featurizeAudio
+    // degrades hostile payloads instead of dying
+    assert(AudioCodec.decode("not audio at all".getBytes).isEmpty)
+    val media = Seq((1L, flt, "declared/fmt", 0, 0),
+        (2L, "plain".getBytes, "text/plain", 0, 0))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val rows = Multimodal.featurizeAudio(media).collect().sortBy(_.doc_id)
+    assert(rows(0).format == "declared/fmt" && rows(0).sample_rate == 0)
+    assert(rows(1).format == "text/plain" && rows(1).n_bytes == 5L)
+  }
 }
