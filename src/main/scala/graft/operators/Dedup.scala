@@ -718,7 +718,18 @@ object Dedup {
     * key). Sparse-similarity-join shape: explode distinct grams, join
     * on (block, gram), count intersections, |A∪B| from per-doc sizes.
     * Never materializes token sets per pair; everything is
-    * aggregate-shaped and partial-agg friendly. */
+    * aggregate-shaped and partial-agg friendly.
+    *
+    * maxGramDf TUNING RULE (r18 cap-engagement probe,
+    * dev/scale_probe_r18.txt): set it BELOW the df your corpus's
+    * boilerplate grams reach at operating scale — candidate mass (and
+    * wall) is super-linear only while repeated grams sit UNDER the
+    * cap, and returns to ~linear once they cross it (measured: the
+    * 10x-data wall ratio fell 13x → 4.6x as the cap engaged, and at
+    * the cap-crossed decade the capped mass grew ~linearly while the
+    * uncapped mass grew ~100x). Dropped grams only ever UNDERESTIMATE
+    * Jaccard (sizes stay uncapped), so a tighter cap trades recall on
+    * boilerplate-only overlap for a hard linear cost bound. */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 2, minJaccard: Double = 0.5, maxGramDf: Int = 10000): DataFrame = {

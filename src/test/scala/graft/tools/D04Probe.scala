@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object D04Probe {
   def main(args: Array[String]): Unit = {
+    // optional second arg: comma-separated maxGramDf caps to sweep
+    // (r18: measure the CAP-ENGAGED regime — once the corpus's
+    // replicated-gram df crosses the cap, candidate mass must return
+    // to ~linear in corpus size)
+    val caps: Seq[Int] =
+      if (args.length > 1) args(1).split(',').toSeq.map(_.toInt)
+      else Seq(1000)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -27,24 +34,37 @@ object D04Probe {
       val grams = docs.select(col("doc_id"), col("lang").as("__blk"),
           explode(graft.operators.Dedup.wordNGrams(col("text"), 3)).as("__g"))
       val df = grams.groupBy("__blk", "__g").count()
+      // bounds are cheap (one agg) — always include the default cap so
+      // a run that can't AFFORD the uncapped op (sf100docs) still
+      // reports the uncapped regime's designed mass
+      val boundCaps = (caps :+ 1000).distinct
+      val boundCols = boundCaps.map(c =>
+        sum(least(col("count"), lit(c)) * least(col("count"), lit(c)))
+          .as(s"bound_$c"))
       val stats = df.agg(
         count(lit(1)).as("n_grams"),
-        sum(least(col("count"), lit(1000)) * least(col("count"), lit(1000)))
-          .as("join_bound"),
-        sum(when(col("count") > 100, 1).otherwise(0)).as("df_gt_100"),
-        sum(when(col("count") > 1000, 1).otherwise(0)).as("df_gt_1000"),
-        max("count").as("df_max")).head()
-      println(s"d04probe,$dir,grams=${stats.getLong(0)}," +
-        s"join_bound=${stats.getLong(1)},df_gt_100=${stats.getLong(2)}," +
-        s"df_gt_1000=${stats.getLong(3)},df_max=${stats.getLong(4)}")
-      val t0 = System.nanoTime()
-      val pairs = graft.operators.Dedup.ngramJaccard(
-        docs, "doc_id", "text", "lang", n = 3, minJaccard = 0.5,
-        maxGramDf = 1000)
-      val np = pairs.count()
-      println(f"d04probe,$dir,pairs=$np,op_s=${(System.nanoTime()-t0)/1e9}%.2f")
-      pairs.unpersist(blocking = false)
-      spark.catalog.clearCache()
+        (boundCols :+
+          sum(when(col("count") > 100, 1).otherwise(0)).as("df_gt_100")) ++ Seq(
+          sum(when(col("count") > 1000, 1).otherwise(0)).as("df_gt_1000"),
+          max("count").as("df_max")): _*).head()
+      val bounds = boundCaps.indices
+        .map(i => s"bound_${boundCaps(i)}=${stats.getLong(1 + i)}").mkString(",")
+      val base = 1 + boundCaps.length
+      println(s"d04probe,$dir,grams=${stats.getLong(0)},$bounds," +
+        s"df_gt_100=${stats.getLong(base)}," +
+        s"df_gt_1000=${stats.getLong(base + 1)},df_max=${stats.getLong(base + 2)}")
+      Console.out.flush()
+      for (cap <- caps) {
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Dedup.ngramJaccard(
+          docs, "doc_id", "text", "lang", n = 3, minJaccard = 0.5,
+          maxGramDf = cap)
+        val np = pairs.count()
+        println(f"d04probe,$dir,cap=$cap,pairs=$np,op_s=${(System.nanoTime()-t0)/1e9}%.2f")
+        Console.out.flush()
+        pairs.unpersist(blocking = false)
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
