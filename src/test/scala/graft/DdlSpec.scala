@@ -1193,6 +1193,37 @@ class DdlSpec extends SparkSpec {
     Seq("alias_t", "alias_t2").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("ALIAS references inside expressions, subqueries, and ORDER BY inline correctly") {
+    ChDdl.execute(spark,
+      """CREATE TABLE alias_x (
+        |  id Int64, v Int64,
+        |  dbl Int64 ALIAS v * 2
+        |) ENGINE = MergeTree() ORDER BY (id)""".stripMargin)
+    ChDdl.execute(spark, "INSERT INTO alias_x VALUES (1, 5), (2, 3), (3, 9)")
+    // inside a larger expression (not a whole select item)
+    val r1 = ChDdl.execute(spark,
+      "SELECT id, dbl + 1 AS d1 FROM alias_x ORDER BY dbl DESC")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r1.toSeq == Seq((3L, 19L), (1L, 11L), (2L, 7L)), r1.toSeq.toString)
+    // in an aggregate over a subquery-free GROUP BY and HAVING
+    val r2 = ChDdl.execute(spark,
+      """SELECT sum(dbl) AS s FROM alias_x HAVING sum(dbl) > 0""")
+      .head().getLong(0)
+    assert(r2 == 34L, r2.toString)
+    // inside a parenthesized subquery (depth-first expansion)
+    val r3 = ChDdl.execute(spark,
+      "SELECT max(d) AS m FROM (SELECT dbl AS d FROM alias_x WHERE dbl >= 10)")
+      .head().getLong(0)
+    assert(r3 == 18L, r3.toString)
+    // a name that matches an alias but is a FUNCTION call is left alone
+    ChDdl.execute(spark,
+      "CREATE OR REPLACE FUNCTION dbl AS (x) -> x * 10")
+    val r4 = ChDdl.execute(spark, "SELECT dbl(v) AS f FROM alias_x WHERE id = 1")
+      .head().getLong(0)
+    assert(r4 == 50L, r4.toString)
+    spark.sql("DROP TABLE alias_x")
+  }
+
   test("EPHEMERAL columns: insertable only when listed, feed defaults, never stored") {
     ChDdl.execute(spark,
       """CREATE TABLE eph_t (

@@ -17,10 +17,14 @@ object D04Probe {
     // optional second arg: comma-separated maxGramDf caps to sweep
     // (r18: measure the CAP-ENGAGED regime — once the corpus's
     // replicated-gram df crosses the cap, candidate mass must return
-    // to ~linear in corpus size)
+    // to ~linear in corpus size). Optional third arg "boundonly"
+    // skips the op runs (for corpora whose uncapped op walls aren't
+    // affordable) — the bound agg is one cheap shuffle either way.
     val caps: Seq[Int] =
       if (args.length > 1) args(1).split(',').toSeq.map(_.toInt)
       else Seq(1000)
+    val opCaps: Seq[Int] =
+      if (args.length > 2 && args(2) == "boundonly") Nil else caps
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -54,7 +58,7 @@ object D04Probe {
         s"df_gt_100=${stats.getLong(base)}," +
         s"df_gt_1000=${stats.getLong(base + 1)},df_max=${stats.getLong(base + 2)}")
       Console.out.flush()
-      for (cap <- caps) {
+      for (cap <- opCaps) {
         val t0 = System.nanoTime()
         val pairs = graft.operators.Dedup.ngramJaccard(
           docs, "doc_id", "text", "lang", n = 3, minJaccard = 0.5,
