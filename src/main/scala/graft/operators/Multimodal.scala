@@ -26,6 +26,14 @@ final case class AudioFeatures(
   bits: Int, n_frames: Int, n_bytes: Long,
   mean_sample: Double, std_sample: Double, feature: Array[Float])
 
+/** Per-sampled-frame stats from a REAL container decode (m07): one
+  * row per kept frame, dimensions/timing from the parsed AVI
+  * headers, pixel moments over the decoded RGB raster. */
+final case class VideoFrameStats(
+  doc_id: Long, format: String, width: Int, height: Int,
+  us_per_frame: Int, n_frames: Int, n_bytes: Long, frame_idx: Int,
+  mean_px: Double, std_px: Double)
+
 /** Multimodal column plumbing (SURVEY §2 m01). The real thing a
   * 100 TB pipeline needs from Spark — binary schema, metadata
   * pushdown, partition-preserving batched featurization via
@@ -161,6 +169,39 @@ object Multimodal {
             AudioFeatures(r.doc_id, r.format, 0, 0, 0, 0,
               r.content.length.toLong, mean, std, feat)
         }
+      }
+    }
+  }
+
+  /** Video frame sampling with a REAL decode (m07): parse the AVI
+    * container, keep every `every`-th frame of the decoded stream,
+    * emit per-frame pixel stats. Decode-then-decimate happens inside
+    * one partition-preserving mapPartitions pass (flatMap shape — a
+    * doc fans out to its kept frames with no shuffle; at 100 TB the
+    * fan-out stays executor-local and downstream aggs see a row
+    * stream already partitioned by the storage key). Non-AVI payloads
+    * and hostile headers contribute NO rows — the quarantine
+    * treatment for a frame-level output (a doc-level featurizer
+    * degrades to opaque stats; a frame table has nothing honest to
+    * say about an undecodable blob). */
+  def sampleVideoFrames(media: DataFrame, every: Int): Dataset[VideoFrameStats] = {
+    import media.sparkSession.implicits._
+    require(every >= 1, s"sampleVideoFrames: every=$every")
+    media.as[MediaRow].flatMap { r =>
+      val decoded =
+        try VideoCodec.decode(r.content)
+        catch { case _: IllegalArgumentException => None }
+      decoded match {
+        case Some(v) =>
+          v.frames.iterator
+            .filter(_.index % every == 0)
+            .map { f =>
+              val (mean, std, _) = valueStats(f.rgb.length, f.rgb(_))
+              VideoFrameStats(r.doc_id, v.format, v.width, v.height,
+                v.usPerFrame, v.frames.length, r.content.length.toLong,
+                f.index, mean, std)
+            }
+        case None => Iterator.empty
       }
     }
   }

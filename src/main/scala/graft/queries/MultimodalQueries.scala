@@ -273,6 +273,77 @@ object MultimodalQueries {
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
           round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
         .orderBy("doc_id")
+    },
+
+    // m07: REAL AVI/RIFF video decode + frame sampling. Every doc
+    // plants a closed-form DIB-frame AVI (width cycles 4..8 so the
+    // 4-byte row padding takes every value, every 5th file carries an
+    // odd-sized JUNK chunk, declared metadata deliberately wrong);
+    // the featurizer must chunk-walk the container, parse avih/strh/
+    // strf, decode the bottom-up BGR rasters, and keep every 2nd
+    // frame. The oracle knows no RIFF: it recomputes dimensions,
+    // n_bytes (header+JUNK+movi layout) and the per-frame pixel
+    // stats from the generator formula — a misread stride, flipped
+    // row order, or swapped channel can't hash-match.
+    "m07_avi_frames" -> Q(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INT) AS width,
+        |    CAST(2 + doc_id % 3 AS INT) AS height,
+        |    CAST(3 + doc_id % 6 AS INT) AS n_frames,
+        |    CAST(33333 + (doc_id % 7) * 1000 AS INT) AS us_per_frame
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.width, m.height, m.us_per_frame, m.n_frames,
+        |    f.i AS frame_idx,
+        |    (m.doc_id*31 + f.i*17 + y.i*7 + x.i*5 + c.i*3) % 256 AS v
+        |  FROM m, range(0, 8) f(i), range(0, 4) y(i), range(0, 8) x(i),
+        |       range(0, 3) c(i)
+        |  WHERE f.i < m.n_frames AND f.i % 2 = 0
+        |    AND y.i < m.height AND x.i < m.width),
+        |s AS (
+        |  SELECT doc_id, frame_idx, SUM(v) AS sv,
+        |    SUM(CAST(v AS DOUBLE) * v) AS svv, COUNT(*) AS n
+        |  FROM px GROUP BY doc_id, frame_idx)
+        |SELECT m.doc_id, 'video/avi' AS format, m.width, m.height,
+        |  m.us_per_frame, m.n_frames,
+        |  CAST(224 + CASE WHEN m.doc_id % 5 = 0 THEN 34 ELSE 0 END
+        |    + m.n_frames * (8 + m.height * ((m.width*3+3)//4*4)) AS BIGINT)
+        |    AS n_bytes,
+        |  CAST(s.frame_idx AS INT) AS frame_idx,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_px,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6)
+        |    AS std_px
+        |FROM m JOIN s USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{MediaRow, VideoCodec}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val w = (4 + Math.floorMod(id, 5L)).toInt
+        val h = (2 + Math.floorMod(id, 3L)).toInt
+        val nf = (3 + Math.floorMod(id, 6L)).toInt
+        val us = (33333 + Math.floorMod(id, 7L) * 1000).toInt
+        val frames = Array.tabulate(nf) { f =>
+          Array.tabulate(h * w * 3) { i =>
+            val y = i / (w * 3); val x = (i / 3) % w; val c = i % 3
+            Math.floorMod(id * 31 + f * 17L + y * 7L + x * 5L + c * 3L,
+              256L).toInt
+          }
+        }
+        MediaRow(id, VideoCodec.encodeAvi(w, h, us, frames,
+          plantJunkChunk = Math.floorMod(id, 5L) == 0L),
+          "declared/wrong", 0, 0)
+      }.toDF()
+      Multimodal.sampleVideoFrames(media, every = 2)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("us_per_frame"), col("n_frames"), col("n_bytes"),
+          col("frame_idx"),
+          round(col("mean_px"), 6).as("mean_px"),
+          round(col("std_px"), 6).as("std_px"))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 }

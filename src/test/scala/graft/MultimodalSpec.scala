@@ -279,4 +279,99 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).format == "declared/fmt" && rows(0).sample_rate == 0)
     assert(rows(1).format == "text/plain" && rows(1).n_bytes == 5L)
   }
+
+  test("AVI decode is real: planted DIB frames survive strides, JUNK, and row order") {
+    import graft.operators.VideoCodec
+    // w=2 -> stride 8 (2 pad bytes/row): the padding-aware raster walk
+    val f0 = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val f1 = f0.map(v => 255 - v)
+    for (junk <- Seq(false, true)) {
+      val avi = VideoCodec.encodeAvi(2, 2, 40000, Array(f0, f1),
+        plantJunkChunk = junk)
+      assert(avi.length == VideoCodec.aviSize(2, 2, 2, junk), s"junk=$junk")
+      val v = VideoCodec.decode(avi).get
+      assert(v.format == "video/avi" && v.width == 2 && v.height == 2 &&
+        v.usPerFrame == 40000 && v.frames.length == 2, s"junk=$junk: $v")
+      assert(v.frames(0).index == 0 && v.frames(0).rgb.toSeq == f0.toSeq)
+      assert(v.frames(1).index == 1 && v.frames(1).rgb.toSeq == f1.toSeq)
+    }
+    // every width 4..8 round-trips (all four stride pad values)
+    for (w <- 4 to 8) {
+      val px = Array.tabulate(w * 3 * 3)(i => (i * 7 + w) % 256)
+      val v = VideoCodec.decode(
+        VideoCodec.encodeAvi(w, 3, 33333, Array(px))).get
+      assert(v.width == w && v.frames.head.rgb.toSeq == px.toSeq, s"w=$w")
+    }
+    // a TOP-DOWN DIB (negative strf height) reads rows unflipped:
+    // patching the height sign must vertically flip the decoded raster
+    val avi = VideoCodec.encodeAvi(2, 2, 40000, Array(f0))
+    val bb = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(180, -2) // strf biHeight
+    val flipped = VideoCodec.decode(avi).get.frames.head.rgb.toSeq
+    assert(flipped == (f0.slice(6, 12) ++ f0.slice(0, 6)).toSeq)
+  }
+
+  test("AVI hostile containers refuse loudly; sampleVideoFrames decimates and quarantines") {
+    import graft.operators.VideoCodec
+    val px = Array.tabulate(12)(_ * 20)
+    val good = VideoCodec.encodeAvi(2, 2, 40000,
+      Array.tabulate(5)(f => px.map(v => (v + f) % 256)))
+    def patched(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = good.clone()
+      f(java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      b
+    }
+    // compressed handler refuses BY NAME
+    val e1 = intercept[IllegalArgumentException] {
+      VideoCodec.decode(patched(_.put(112, "MJPG".getBytes)))
+    }
+    assert(e1.getMessage.contains("MJPG") &&
+      e1.getMessage.contains("raw DIB"), e1.getMessage)
+    // non-BI_RGB strf compression refuses by name
+    val e2 = intercept[IllegalArgumentException] {
+      VideoCodec.decode(patched(_.putInt(188, 1)))
+    }
+    assert(e2.getMessage.contains("BI_RLE8") &&
+      e2.getMessage.contains("BI_RGB"), e2.getMessage)
+    // a chunk declaring bytes past EOF refuses before allocation
+    val e3 = intercept[IllegalArgumentException] {
+      VideoCodec.decode(patched(_.putInt(28, 0x7f7f7f7f)))
+    }
+    assert(e3.getMessage.contains("past end"), e3.getMessage)
+    // frame payload inconsistent with strf dims refuses
+    val e4 = intercept[IllegalArgumentException] {
+      VideoCodec.decode(patched(_.putInt(228, 8)))
+    }
+    assert(e4.getMessage.contains("strf says"), e4.getMessage)
+    // implausible dims refuse before the stride*height allocation
+    val e5 = intercept[IllegalArgumentException] {
+      VideoCodec.decode(patched { b =>
+        b.putInt(176, 1 << 20); b.putInt(180, 1 << 20)
+      })
+    }
+    assert(e5.getMessage.contains("implausible dimensions"), e5.getMessage)
+    // non-AVI RIFF (a WAV) and non-RIFF bytes are None (opaque path)
+    import graft.operators.AudioCodec
+    assert(VideoCodec.decode(
+      AudioCodec.encodeWav(8000, 1, 8, Array(1, 2, 3))).isEmpty)
+    assert(VideoCodec.decode("not a video".getBytes).isEmpty)
+    // sampleVideoFrames: every=2 keeps frames 0/2/4 of 5, header
+    // metadata overrides the declared lie, hostile rows emit nothing
+    val media = Seq(
+        (1L, good, "declared/wrong", 0, 0),
+        (2L, patched(_.put(112, "MJPG".getBytes)), "x", 0, 0),
+        (3L, "plain text".getBytes, "text/plain", 0, 0))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val rows = Multimodal.sampleVideoFrames(media, every = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(rows.forall(_.doc_id == 1L) && rows.length == 3)
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(rows.head.width == 2 && rows.head.height == 2 &&
+      rows.head.us_per_frame == 40000 && rows.head.n_frames == 5 &&
+      rows.head.n_bytes == good.length.toLong)
+    val want0 = px.sum / 12.0
+    assert(math.abs(rows.head.mean_px - want0) < 1e-12)
+    assert(math.abs(rows(1).mean_px - (px.map(v => (v + 2) % 256).sum / 12.0)) < 1e-12)
+  }
 }
