@@ -2,13 +2,18 @@ package graft.operators
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM codecs for three raster containers, so the multimodal
+/** Pure-JVM codecs for four raster containers, so the multimodal
   * featurizer's decode step is REAL (header parse + pixel
   * extraction), not a byte-histogram fake:
   *
   *  - PNG (below), the container web corpora actually carry: critical
   *    chunks, 8-bit gray/RGB/RGBA, all five scanline filters,
   *    non-interlaced; zlib inflate from the JDK.
+  *  - GIF 87a/89a (below), the other web container: global/local
+  *    color tables, extension sub-block walk, the GIF LZW variant
+  *    (variable 3..12-bit codes, clear/EOI, deferred-clear frozen
+  *    table), 4-pass interlace; animation refuses by name to the
+  *    video path.
   *
   *  - BMP, the 24bpp uncompressed Windows form: 14-byte file header
   *    ('BM', file size, data offset) + 40-byte BITMAPINFOHEADER
@@ -346,6 +351,304 @@ object ImageCodec {
     DecodedImage("image/png", width, height, channels, out)
   }
 
+  // ---------- GIF (87a/89a, single image, palette + LZW) ----------
+  // The OTHER container web corpora actually carry. Everything the
+  // single-image form needs is here and real: logical screen
+  // descriptor, global/local color tables, extension-block skipping
+  // (sub-block walk), the GIF variant of LZW (variable code width
+  // 3..12 bits LSB-first, clear/EOI codes, deferred-clear-tolerant
+  // frozen dictionary at 4096), and the 4-pass interlace row order.
+  // Animated GIFs (a second image descriptor) refuse BY NAME with
+  // guidance — frame streams belong to the video path (m07).
+
+  private def gifMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  /** GIF interlace pass structure: (first row, row step) per pass. */
+  private val gifPasses = Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+  /** LZW-compress palette indices the GIF way: emit an initial clear
+    * code, grow the string table to 4095 then reset, bump the code
+    * width when the next free code crosses 1<<codeSize (LSB-first bit
+    * packing). minCodeSize per the spec is max(2, palette bits). */
+  private def lzwCompress(indices: Array[Int], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var table = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    var cur = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i)
+      val key = (cur.toLong << 16) | k
+      val hit = table.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (next < 4096) {
+          table.put(key, next); next += 1
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else { // table full: reset, like every mainstream encoder
+          emit(clear)
+          table = new java.util.HashMap[Long, Integer]()
+          next = eoi + 1; codeSize = minCodeSize + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur)
+    // the width check runs after EVERY emitted code (compress's
+    // output() ordering) — including the final data code, or the EOI
+    // is written one bit narrower than the decoder reads it
+    if (next >= (1 << codeSize) && codeSize < 12) codeSize += 1
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Encode palette indices (row-major top-down) as a single-image
+    * GIF89a. `palette` is ncolors·3 RGB ints; ncolors must be a power
+    * of two in 2..256. `interlaced` writes the 4-pass row order and
+    * sets the flag; `plantExtension` prepends a comment extension +
+    * graphic control extension (multi-sub-block skip hazard);
+    * `localTable` moves the palette from the global to the local
+    * color table (GCT flag off). */
+  def encodeGif(width: Int, height: Int, palette: Array[Int],
+      indices: Array[Int], interlaced: Boolean = false,
+      plantExtension: Boolean = false,
+      localTable: Boolean = false): Array[Byte] = {
+    val ncolors = palette.length / 3
+    require(ncolors >= 2 && ncolors <= 256 &&
+      Integer.bitCount(ncolors) == 1 && palette.length % 3 == 0,
+      s"encodeGif: palette must be a power-of-two 2..256 colors, got $ncolors")
+    require(indices.length == width * height,
+      s"encodeGif: need ${width * height} indices, got ${indices.length}")
+    require(indices.forall(i => i >= 0 && i < ncolors),
+      "encodeGif: index out of palette range")
+    require(!(localTable && interlaced),
+      "encodeGif: pick localTable or interlaced per image (test shape)")
+    val sizeBits = 31 - Integer.numberOfLeadingZeros(ncolors) // log2
+    val minCodeSize = math.max(2, sizeBits)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    // packed: GCT flag | color resolution 7 | sort 0 | GCT size
+    out.write((if (localTable) 0x70 else 0xf0) | (sizeBits - 1))
+    out.write(0); out.write(0) // background index, aspect ratio
+    if (!localTable) palette.foreach(v => out.write(v & 0xff))
+    if (plantExtension) {
+      out.write(0x21); out.write(0xfe) // comment extension
+      val c1 = "planted comment ".getBytes("US-ASCII")
+      out.write(c1.length); out.write(c1)
+      val c2 = "second sub-block".getBytes("US-ASCII")
+      out.write(c2.length); out.write(c2)
+      out.write(0) // terminator
+      out.write(0x21); out.write(0xf9) // graphic control extension
+      out.write(4); out.write(0); u16(0); out.write(0); out.write(0)
+    }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(if (localTable) 0x80 | (sizeBits - 1)
+      else if (interlaced) 0x40 else 0x00
+    ) // note: encoder never combines LCT+interlace; decoder handles both
+    if (localTable) palette.foreach(v => out.write(v & 0xff))
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.range(0, height)
+      else gifPasses.flatMap { case (first, step) =>
+        Iterator.iterate(first)(_ + step).takeWhile(_ < height)
+      }
+    val stream = new Array[Int](width * height)
+    var p = 0
+    rowOrder.foreach { y =>
+      var x = 0
+      while (x < width) { stream(p) = indices(y * width + x); p += 1; x += 1 }
+    }
+    out.write(minCodeSize)
+    val lzw = lzwCompress(stream, minCodeSize)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decode of `data` into exactly `expect` palette
+    * indices. Refuses out-of-sync codes loudly; tolerates a frozen
+    * dictionary at 4096 (the "deferred clear" GIFs in the wild). */
+  private def lzwDecompress(data: Array[Byte], minCodeSize: Int,
+      expect: Int): Array[Int] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8,
+      s"GIF: implausible LZW min code size $minCodeSize")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val out = new Array[Int](expect)
+    var n = 0
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    val stack = new Array[Int](4096)
+    var done = false
+    def firstOf(code0: Int): Int = {
+      var c = code0
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    while (!done) {
+      while (bitCnt < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      require(bitCnt >= codeSize, "GIF: LZW stream ended before EOI")
+      val code = (bitBuf & ((1 << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      if (code == clear) {
+        codeSize = minCodeSize + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev < 0) {
+        require(code < clear, s"GIF: first LZW code $code is not a literal")
+        require(n < expect, "GIF: LZW output exceeds image size")
+        out(n) = code; n += 1; prev = code
+      } else {
+        require(code < next || (code == next && next < 4096),
+          s"GIF: LZW code $code out of sync (next=$next)")
+        // expand code (or prev+first(prev) for the just-defined code)
+        var sp = 0
+        var c = if (code == next) prev else code
+        val tailFirst = if (code == next) firstOf(prev) else -1
+        while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        stack(sp) = c; sp += 1
+        val emitted = sp + (if (code == next) 1 else 0)
+        require(n + emitted <= expect, "GIF: LZW output exceeds image size")
+        while (sp > 0) { sp -= 1; out(n) = stack(sp); n += 1 }
+        if (code == next) { out(n) = tailFirst; n += 1 }
+        if (next < 4096) { // frozen (deferred-clear) table past 4095
+          prefix(next) = prev
+          suffix(next) = if (code == next) tailFirst else firstOf(code)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    require(n == expect,
+      s"GIF: LZW decoded $n indices, image needs $expect")
+    out
+  }
+
+  private def decodeGif(bytes: Array[Byte]): DecodedImage = {
+    var pos = 6
+    def u8(): Int = {
+      require(pos < bytes.length, "GIF: truncated stream")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    val screenW = u16(); val screenH = u16()
+    val packed = u8()
+    u8(); u8() // background index, aspect ratio
+    val gct: Array[Int] =
+      if ((packed & 0x80) != 0) {
+        val ncolors = 2 << (packed & 0x07)
+        require(pos + ncolors * 3 <= bytes.length,
+          "GIF: truncated global color table")
+        val t = Array.tabulate(ncolors * 3)(i => bytes(pos + i) & 0xff)
+        pos += ncolors * 3; t
+      } else null
+    var img: DecodedImage = null
+    var sawTrailer = false
+    while (!sawTrailer) {
+      u8() match {
+        case 0x3b => sawTrailer = true
+        case 0x21 => // extension: label + sub-blocks, content skipped
+          u8()
+          var len = u8()
+          while (len != 0) {
+            require(pos + len <= bytes.length, "GIF: truncated extension")
+            pos += len; len = u8()
+          }
+        case 0x2c =>
+          require(img == null, "GIF: animated GIF (multiple image " +
+            "descriptors) is not supported here — sample frames via " +
+            "the video path (m07) or re-encode the first frame")
+          val left = u16(); val top = u16()
+          val w = u16(); val h = u16()
+          val ipacked = u8()
+          require(left == 0 && top == 0 && w == screenW && h == screenH,
+            s"GIF: sub-rectangle frame placement (${w}x$h at " +
+              s"$left,$top in ${screenW}x$screenH) is not supported " +
+              "here — re-encode as a full-frame image")
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+            s"GIF: implausible dimensions ${w}x$h")
+          val interlaced = (ipacked & 0x40) != 0
+          val lct: Array[Int] =
+            if ((ipacked & 0x80) != 0) {
+              val ncolors = 2 << (ipacked & 0x07)
+              require(pos + ncolors * 3 <= bytes.length,
+                "GIF: truncated local color table")
+              val t = Array.tabulate(ncolors * 3)(i => bytes(pos + i) & 0xff)
+              pos += ncolors * 3; t
+            } else null
+          val palette = if (lct != null) lct else gct
+          require(palette != null,
+            "GIF: image has neither a local nor a global color table")
+          val minCodeSize = u8()
+          val data = new java.io.ByteArrayOutputStream()
+          var len = u8()
+          while (len != 0) {
+            require(pos + len <= bytes.length, "GIF: truncated image data")
+            data.write(bytes, pos, len); pos += len; len = u8()
+          }
+          val stream = lzwDecompress(data.toByteArray, minCodeSize, w * h)
+          val ncolors = palette.length / 3
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.range(0, h)
+            else gifPasses.flatMap { case (first, step) =>
+              Iterator.iterate(first)(_ + step).takeWhile(_ < h)
+            }
+          val out = new Array[Int](w * h * 3)
+          var p = 0
+          rowOrder.foreach { y =>
+            var x = 0
+            while (x < w) {
+              val idx = stream(p); p += 1
+              require(idx < ncolors,
+                s"GIF: palette index $idx out of range ($ncolors colors)")
+              val dst = (y * w + x) * 3
+              out(dst) = palette(idx * 3)
+              out(dst + 1) = palette(idx * 3 + 1)
+              out(dst + 2) = palette(idx * 3 + 2)
+              x += 1
+            }
+          }
+          img = DecodedImage("image/gif", w, h, 3, out)
+        case other =>
+          throw new IllegalArgumentException(
+            f"GIF: unknown block introducer 0x$other%02x")
+      }
+    }
+    require(img != null, "GIF: no image descriptor before trailer")
+    img
+  }
+
   // ---------- dispatch ----------
 
   /** Container sniff by magic bytes; None = opaque payload. */
@@ -356,12 +659,14 @@ object ImageCodec {
       Some("image/farbfeld")
     else if (bytes.length >= 8 && bytes.startsWith(pngMagic))
       Some("image/png")
+    else if (gifMagic(bytes)) Some("image/gif")
     else None
 
   /** Real decode when the payload is a known container. */
   def decode(bytes: Array[Byte]): Option[DecodedImage] = detect(bytes).map {
     case "image/bmp" => decodeBmp(bytes)
     case "image/png" => decodePng(bytes)
+    case "image/gif" => decodeGif(bytes)
     case _ => decodeFarbfeld(bytes)
   }
 }

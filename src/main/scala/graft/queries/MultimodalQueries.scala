@@ -344,6 +344,78 @@ object MultimodalQueries {
           round(col("mean_px"), 6).as("mean_px"),
           round(col("std_px"), 6).as("std_px"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // m08: REAL GIF decode — the OTHER container web corpora carry,
+    // and the first with palette INDIRECTION: every doc plants a
+    // single-image GIF whose palette entries AND pixel indices are
+    // closed-form functions of doc_id (palette size cycles 4/8/16, so
+    // the LZW min code size takes 2/3/4), every 7th file is
+    // interlaced or moves the palette to a LOCAL color table, every
+    // 5th plants comment + graphic-control extensions (sub-block walk
+    // hazard). The decoder must LZW-decompress the variable-width
+    // code stream, map indices through the active color table, and
+    // de-interlace — the oracle knows no GIF: it recomputes the
+    // decoded bytes from palette[index(p)] arithmetic, so a misread
+    // code width, palette, or table choice cannot hash-match (the
+    // byte-order hazards — interlace row order, LCT bytes — are
+    // pinned exactly in MultimodalSpec). n_bytes is deliberately NOT
+    // projected: LZW output has no closed form (the m05 rule).
+    "m08_gif_decode" -> Q(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INT) AS width,
+        |    CAST(3 + doc_id % 4 AS INT) AS height,
+        |    CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS nc
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id,
+        |    (m.doc_id * 7 + ((m.doc_id + p.i * 3) % m.nc) * 13
+        |      + c.i * 101) % 256 AS v
+        |  FROM m, range(0, 48) p(i), range(0, 3) c(i)
+        |  WHERE p.i < m.width * m.height),
+        |s AS (
+        |  SELECT doc_id, SUM(v) AS sv, SUM(CAST(v AS DOUBLE) * v) AS svv,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN v >= 96 AND v < 128 THEN 1 ELSE 0 END) AS h3
+        |  FROM px GROUP BY doc_id)
+        |SELECT m.doc_id, 'image/gif' AS format, m.width, m.height,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_byte,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6)
+        |    AS std_byte,
+        |  round(CAST(CAST(CAST(h0 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(CAST(h3 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f3
+        |FROM m JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{ImageCodec, MediaRow}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val w = (4 + Math.floorMod(id, 5L)).toInt
+        val h = (3 + Math.floorMod(id, 4L)).toInt
+        val nc = Math.floorMod(id, 3L) match {
+          case 0L => 4; case 1L => 8; case _ => 16 }
+        val palette = Array.tabulate(nc * 3) { i =>
+          Math.floorMod(id * 7 + (i / 3) * 13L + (i % 3) * 101L, 256L).toInt
+        }
+        val idx = Array.tabulate(w * h)(p =>
+          Math.floorMod(id + p * 3L, nc.toLong).toInt)
+        val m7 = Math.floorMod(id, 7L)
+        MediaRow(id, ImageCodec.encodeGif(w, h, palette, idx,
+          interlaced = m7 == 1L,
+          plantExtension = Math.floorMod(id, 5L) == 0L,
+          localTable = m7 == 3L),
+          "declared/wrong", 0, 0)
+      }.toDF()
+      Multimodal.featurize(media)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          round(col("std_byte"), 6).as("std_byte"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
+        .orderBy("doc_id")
     }
   )
 }

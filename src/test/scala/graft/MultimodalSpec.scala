@@ -374,4 +374,150 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(rows.head.mean_px - want0) < 1e-12)
     assert(math.abs(rows(1).mean_px - (px.map(v => (v + 2) % 256).sum / 12.0)) < 1e-12)
   }
+
+  test("GIF decode is real: LZW stream + palette indirection reproduce planted pixels") {
+    import graft.operators.ImageCodec
+    // every palette size 4/8/16/256 (LZW min code size 2/3/4/8), and
+    // a width that makes runs long enough to grow the string table
+    for (nc <- Seq(4, 8, 16, 256)) {
+      val w = 9; val h = 7
+      val palette = Array.tabulate(nc * 3)(i => (i * 31 + 7) % 256)
+      val idx = Array.tabulate(w * h)(p => (p / 3) % nc) // runs of 3
+      val bytes = ImageCodec.encodeGif(w, h, palette, idx)
+      val img = ImageCodec.decode(bytes).get
+      assert(img.format == "image/gif" && img.width == w &&
+        img.height == h && img.channels == 3, s"nc=$nc")
+      val want = idx.flatMap(j =>
+        Seq(palette(j * 3), palette(j * 3 + 1), palette(j * 3 + 2)))
+      assert(img.pixels.toSeq == want.toSeq, s"nc=$nc")
+    }
+    // featurize: header-parsed dims override the declared lie
+    val palette = Array.tabulate(12)(i => (i * 53) % 256)
+    val gif = ImageCodec.encodeGif(5, 4, palette,
+      Array.tabulate(20)(p => p % 4))
+    val media = Seq((7L, gif, "declared/wrong", 99, 99))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val row = Multimodal.featurize(media).collect().head
+    assert(row.format == "image/gif" && row.width == 5 && row.height == 4)
+  }
+
+  test("GIF interlace, local color table and extensions decode to identical pixels in order") {
+    import graft.operators.ImageCodec
+    // the same image through all container shapes must yield the same
+    // pixel ARRAY — this pins the 4-pass de-interlace row order and
+    // the LCT byte layout POSITIONALLY, which order-invariant channel
+    // stats cannot (heights 5/8/9 cover passes landing 1/2/3 rows)
+    for (h <- Seq(5, 8, 9)) {
+      val w = 6
+      val palette = Array.tabulate(24)(i => (i * 19 + 3) % 256)
+      val idx = Array.tabulate(w * h)(p => (p * 5 + p / w) % 8)
+      val plain = ImageCodec.decode(
+        ImageCodec.encodeGif(w, h, palette, idx)).get
+      val inter = ImageCodec.decode(
+        ImageCodec.encodeGif(w, h, palette, idx, interlaced = true)).get
+      val local = ImageCodec.decode(
+        ImageCodec.encodeGif(w, h, palette, idx, localTable = true)).get
+      val ext = ImageCodec.decode(
+        ImageCodec.encodeGif(w, h, palette, idx, plantExtension = true)).get
+      assert(inter.pixels.toSeq == plain.pixels.toSeq, s"h=$h interlace")
+      assert(local.pixels.toSeq == plain.pixels.toSeq, s"h=$h LCT")
+      assert(ext.pixels.toSeq == plain.pixels.toSeq, s"h=$h extensions")
+      // and the interlaced bytes really differ on disk (flag + rows)
+      assert(ImageCodec.encodeGif(w, h, palette, idx, interlaced = true)
+        .toSeq != ImageCodec.encodeGif(w, h, palette, idx).toSeq)
+    }
+  }
+
+  test("the JDK's ImageIO independently round-trips our GIF bytes both directions") {
+    import graft.operators.ImageCodec
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    // OUR encoder -> javax.imageio reader (ships in the JDK): a
+    // third-party decoder agreeing on every pixel is the strongest
+    // KAT available for the LZW width-bump discipline
+    val w = 11; val h = 6; val nc = 16
+    val palette = Array.tabulate(nc * 3)(i => (i * 37 + 5) % 256)
+    val idx = Array.tabulate(w * h)(p => (p * 7 + p / w) % nc)
+    for (interlaced <- Seq(false, true)) {
+      val bytes = ImageCodec.encodeGif(w, h, palette, idx,
+        interlaced = interlaced)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == w && bi.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = idx(y * w + x)
+        val want = 0xff000000 | (palette(j * 3) << 16) |
+          (palette(j * 3 + 1) << 8) | palette(j * 3 + 2)
+        assert(bi.getRGB(x, y) == want,
+          s"ImageIO disagrees at ($x,$y) interlaced=$interlaced")
+      }
+    }
+    // javax.imageio WRITER -> our decoder: foreign GIF bytes (the
+    // JDK writes its own sub-block sizing, GCE, and table layout)
+    val r = new Array[Byte](nc); val g = new Array[Byte](nc)
+    val b = new Array[Byte](nc)
+    for (j <- 0 until nc) {
+      r(j) = palette(j * 3).toByte; g(j) = palette(j * 3 + 1).toByte
+      b(j) = palette(j * 3 + 2).toByte
+    }
+    val icm = new IndexColorModel(4, nc, r, g, b)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = idx(y * w + x)
+      bi.setRGB(x, y, 0xff000000 | (palette(j * 3) << 16) |
+        (palette(j * 3 + 1) << 8) | palette(j * 3 + 2))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", baos))
+    val img = ImageCodec.decode(baos.toByteArray).get
+    assert(img.width == w && img.height == h)
+    val want = idx.flatMap(j =>
+      Seq(palette(j * 3), palette(j * 3 + 1), palette(j * 3 + 2)))
+    assert(img.pixels.toSeq == want.toSeq, "our decoder vs ImageIO writer")
+  }
+
+  test("GIF hostile containers refuse loudly and degrade to opaque through featurize") {
+    import graft.operators.ImageCodec
+    val palette = Array.tabulate(12)(i => (i * 41) % 256)
+    val good = ImageCodec.encodeGif(4, 3, palette,
+      Array.tabulate(12)(_ % 4))
+    val descOff = 13 + 12 // header+LSD + GCT(4 colors)
+    assert((good(descOff) & 0xff) == 0x2c, "test assumes descriptor offset")
+    // animated: splice a second image descriptor before the trailer
+    val imageSection = good.slice(descOff, good.length - 1)
+    val animated = good.dropRight(1) ++ imageSection :+ 0x3b.toByte
+    val e1 = intercept[IllegalArgumentException] {
+      ImageCodec.decode(animated)
+    }
+    assert(e1.getMessage.contains("animated") &&
+      e1.getMessage.contains("video path"), e1.getMessage)
+    // truncated mid-image-data refuses (sub-block walk or LZW length)
+    val e2 = intercept[IllegalArgumentException] {
+      ImageCodec.decode(good.dropRight(4))
+    }
+    assert(e2.getMessage.contains("truncated") ||
+      e2.getMessage.contains("ended before"), e2.getMessage)
+    // unknown block introducer refuses with the byte named
+    val unk = good.clone(); unk(descOff) = 0x13
+    val e3 = intercept[IllegalArgumentException] { ImageCodec.decode(unk) }
+    assert(e3.getMessage.contains("unknown block"), e3.getMessage)
+    // implausible dimensions refuse before allocation (screen and
+    // descriptor patched together so the full-frame check is passed)
+    val big = good.clone()
+    for (o <- Seq(6, 7, 8, 9, descOff + 5, descOff + 6, descOff + 7,
+        descOff + 8)) big(o) = 0xff.toByte
+    val e4 = intercept[IllegalArgumentException] { ImageCodec.decode(big) }
+    assert(e4.getMessage.contains("implausible"), e4.getMessage)
+    // sub-rectangle placement refuses with guidance
+    val sub = good.clone(); sub(descOff + 5) = 2 // narrower than screen
+    val e5 = intercept[IllegalArgumentException] { ImageCodec.decode(sub) }
+    assert(e5.getMessage.contains("sub-rectangle"), e5.getMessage)
+    // all degrade to the opaque branch through featurize
+    val media = Seq((1L, animated), (2L, good.dropRight(4)), (3L, unk),
+        (4L, big), (5L, sub))
+      .toDF("doc_id", "content")
+      .selectExpr("doc_id", "content", "'d' AS format",
+        "9 AS width", "9 AS height")
+    val rows = Multimodal.featurize(media).collect()
+    assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
+  }
 }
