@@ -649,6 +649,212 @@ object ImageCodec {
     img
   }
 
+  // ---------- animated GIF (the video path's GIF rung) ----------
+  // Multimodal.featurize treats a GIF as a STILL (decodeGif above
+  // refuses a second image descriptor, pointing here); the video path
+  // (VideoCodec.decode → Multimodal.sampleVideoFrames) composites the
+  // full GIF89a animation model: per-frame graphic control extensions
+  // (delay, transparency index, disposal none/keep/restore-background/
+  // restore-previous), sub-rectangle placement onto the logical
+  // screen, per-frame local color tables and interlace. Each emitted
+  // frame is the canvas snapshot after painting — what a browser
+  // shows, which is what a frame-sampling training pipeline wants.
+
+  /** One frame for [[encodeGifAnim]]: `indices` are the sub-rect's
+    * palette indices row-major; `disposal` 0..3 per GIF89a;
+    * `transparentIdx` < 0 disables transparency. */
+  final case class GifFrame(left: Int, top: Int, width: Int, height: Int,
+    indices: Array[Int], delayCs: Int, disposal: Int,
+    transparentIdx: Int = -1)
+
+  /** Encode an animated GIF89a: shared global palette, one GCE +
+    * image descriptor per frame, optional NETSCAPE loop extension. */
+  def encodeGifAnim(width: Int, height: Int, palette: Array[Int],
+      frames: Seq[GifFrame], loop: Boolean = true): Array[Byte] = {
+    val ncolors = palette.length / 3
+    require(ncolors >= 2 && ncolors <= 256 &&
+      Integer.bitCount(ncolors) == 1 && palette.length % 3 == 0,
+      s"encodeGifAnim: palette must be a power-of-two 2..256 colors")
+    require(frames.nonEmpty, "encodeGifAnim: no frames")
+    val sizeBits = 31 - Integer.numberOfLeadingZeros(ncolors)
+    val minCodeSize = math.max(2, sizeBits)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xf0 | (sizeBits - 1)); out.write(0); out.write(0)
+    palette.foreach(v => out.write(v & 0xff))
+    if (loop) { // NETSCAPE2.0 application extension (loop forever)
+      out.write(0x21); out.write(0xff); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); u16(0); out.write(0)
+    }
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.width > 0 && f.height > 0 &&
+        f.left + f.width <= width && f.top + f.height <= height,
+        s"encodeGifAnim: frame rect ${f.width}x${f.height} at " +
+          s"${f.left},${f.top} outside ${width}x$height")
+      require(f.indices.length == f.width * f.height &&
+        f.indices.forall(i => i >= 0 && i < ncolors),
+        "encodeGifAnim: bad frame indices")
+      require(f.disposal >= 0 && f.disposal <= 3,
+        s"encodeGifAnim: disposal ${f.disposal}")
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE
+      out.write((f.disposal << 2) | (if (f.transparentIdx >= 0) 1 else 0))
+      u16(f.delayCs)
+      out.write(math.max(f.transparentIdx, 0)); out.write(0)
+      out.write(0x2c)
+      u16(f.left); u16(f.top); u16(f.width); u16(f.height)
+      out.write(0) // no LCT, not interlaced
+      out.write(minCodeSize)
+      val lzw = lzwCompress(f.indices, minCodeSize)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Decode a (possibly animated) GIF into composited canvas
+    * snapshots — VideoCodec dispatches here so animated GIFs flow
+    * through the frame-sampling video path. Honors GCE transparency
+    * and all four disposal methods; the canvas starts as the
+    * background color (GCT[bg], the spec reading). */
+  def decodeGifFrames(bytes: Array[Byte]): VideoCodec.DecodedVideo = {
+    require(gifMagic(bytes), "GIF: not a GIF payload")
+    var pos = 6
+    def u8(): Int = {
+      require(pos < bytes.length, "GIF: truncated stream")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    def colorTable(sizeField: Int): Array[Int] = {
+      val ncolors = 2 << sizeField
+      require(pos + ncolors * 3 <= bytes.length,
+        "GIF: truncated color table")
+      val t = Array.tabulate(ncolors * 3)(i => bytes(pos + i) & 0xff)
+      pos += ncolors * 3; t
+    }
+    val screenW = u16(); val screenH = u16()
+    val packed = u8()
+    val bgIndex = u8(); u8()
+    require(screenW > 0 && screenH > 0 &&
+      screenW.toLong * screenH <= (1L << 26),
+      s"GIF: implausible dimensions ${screenW}x$screenH")
+    val gct = if ((packed & 0x80) != 0) colorTable(packed & 0x07) else null
+    val canvas = new Array[Int](screenW * screenH * 3)
+    val bg: Array[Int] =
+      if (gct != null && bgIndex * 3 + 2 < gct.length)
+        Array(gct(bgIndex * 3), gct(bgIndex * 3 + 1), gct(bgIndex * 3 + 2))
+      else Array(0, 0, 0)
+    var i = 0
+    while (i < canvas.length) { canvas(i) = bg(i % 3); i += 1 }
+    // pending graphic-control state (applies to the NEXT image)
+    var disposal = 0; var transparent = -1; var delayCs = 0
+    var usPerFrame = -1
+    val frames = scala.collection.mutable.ArrayBuffer[VideoCodec.DecodedFrame]()
+    var sawTrailer = false
+    while (!sawTrailer) {
+      u8() match {
+        case 0x3b => sawTrailer = true
+        case 0x21 =>
+          val label = u8()
+          if (label == 0xf9) { // graphic control extension
+            val len = u8()
+            require(len == 4, s"GIF: GCE block size $len")
+            val p = u8()
+            disposal = (p >> 2) & 0x07
+            require(disposal <= 3,
+              s"GIF: reserved disposal method $disposal")
+            delayCs = u16()
+            val t = u8()
+            transparent = if ((p & 1) != 0) t else -1
+            require(u8() == 0, "GIF: GCE missing terminator")
+          } else {
+            var len = u8()
+            while (len != 0) {
+              require(pos + len <= bytes.length, "GIF: truncated extension")
+              pos += len; len = u8()
+            }
+          }
+        case 0x2c =>
+          val left = u16(); val top = u16()
+          val w = u16(); val h = u16()
+          val ipacked = u8()
+          require(w > 0 && h > 0 && left + w <= screenW && top + h <= screenH,
+            s"GIF: frame rect ${w}x$h at $left,$top outside " +
+              s"${screenW}x$screenH")
+          val interlaced = (ipacked & 0x40) != 0
+          val lct =
+            if ((ipacked & 0x80) != 0) colorTable(ipacked & 0x07) else null
+          val palette = if (lct != null) lct else gct
+          require(palette != null,
+            "GIF: image has neither a local nor a global color table")
+          val minCodeSize = u8()
+          val data = new java.io.ByteArrayOutputStream()
+          var len = u8()
+          while (len != 0) {
+            require(pos + len <= bytes.length, "GIF: truncated image data")
+            data.write(bytes, pos, len); pos += len; len = u8()
+          }
+          val stream = lzwDecompress(data.toByteArray, minCodeSize, w * h)
+          val ncolors = palette.length / 3
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.range(0, h)
+            else gifPasses.flatMap { case (first, step) =>
+              Iterator.iterate(first)(_ + step).takeWhile(_ < h)
+            }
+          val before =
+            if (disposal == 3) canvas.clone() else null
+          var p = 0
+          rowOrder.foreach { y =>
+            var x = 0
+            while (x < w) {
+              val idx = stream(p); p += 1
+              if (idx != transparent) {
+                require(idx < ncolors,
+                  s"GIF: palette index $idx out of range ($ncolors colors)")
+                val dst = ((top + y) * screenW + (left + x)) * 3
+                canvas(dst) = palette(idx * 3)
+                canvas(dst + 1) = palette(idx * 3 + 1)
+                canvas(dst + 2) = palette(idx * 3 + 2)
+              }
+              x += 1
+            }
+          }
+          frames += VideoCodec.DecodedFrame(frames.length, canvas.clone())
+          if (usPerFrame < 0) usPerFrame = delayCs * 10000
+          disposal match {
+            case 2 => // restore the painted rect to the background
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val dst = ((top + y) * screenW + (left + x)) * 3
+                  canvas(dst) = bg(0); canvas(dst + 1) = bg(1)
+                  canvas(dst + 2) = bg(2)
+                  x += 1
+                }
+                y += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => () // 0/1: leave the canvas as painted
+          }
+          disposal = 0; transparent = -1; delayCs = 0
+        case other =>
+          throw new IllegalArgumentException(
+            f"GIF: unknown block introducer 0x$other%02x")
+      }
+    }
+    require(frames.nonEmpty, "GIF: no image descriptor before trailer")
+    VideoCodec.DecodedVideo("image/gif", screenW, screenH,
+      math.max(usPerFrame, 0), frames.toArray)
+  }
+
   // ---------- dispatch ----------
 
   /** Container sniff by magic bytes; None = opaque payload. */

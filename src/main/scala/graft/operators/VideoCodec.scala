@@ -138,6 +138,14 @@ object VideoCodec {
     * a blob that CLAIMS AVI but lies in the header throws
     * IllegalArgumentException (callers degrade to opaque). */
   def decode(bytes: Array[Byte]): Option[DecodedVideo] = {
+    // GIF (still or animated) flows through the video path too: the
+    // featurizer treats a GIF as a still and refuses animation; HERE
+    // the full GIF89a animation model composites to canvas snapshots
+    // (ImageCodec.decodeGifFrames — disposal, transparency, sub-rect)
+    if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      return Some(ImageCodec.decodeGifFrames(bytes))
     if (bytes.length < 12 ||
         !riffMagic.indices.forall(i => bytes(i) == riffMagic(i)) ||
         bytes(8) != 'A' || bytes(9) != 'V' || bytes(10) != 'I' ||

@@ -416,6 +416,86 @@ object MultimodalQueries {
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
           round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
         .orderBy("doc_id")
+    },
+
+    // m09: ANIMATED GIF frame sampling through the video path — the
+    // composition model is the test: frame 0 paints the full canvas,
+    // every later frame paints ONE ROW (y = f) as a sub-rectangle
+    // with a TRANSPARENT index (0), so each emitted snapshot is a
+    // genuine composite: painted pixels show frame f's palette color,
+    // transparent ones show through to frame 0's. A decoder that
+    // ignores placement, transparency, or paints frames independently
+    // cannot reproduce the per-frame stats. The oracle knows no GIF —
+    // it replays the composition arithmetic (painted = row in 1..f
+    // AND index ≠ 0). Every 5th file carries the NETSCAPE loop
+    // extension (application-extension skip hazard); delay comes from
+    // the per-frame GCE. n_bytes not projected (LZW, the m05 rule).
+    "m09_gif_frames" -> Q(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(5 + doc_id % 4 AS INT) AS width,
+        |    CAST(4 + doc_id % 3 AS INT) AS height,
+        |    CAST(2 + doc_id % 3 AS INT) AS n_frames,
+        |    CAST((4 + doc_id % 5) * 10000 AS INT) AS us_per_frame
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.width, m.height, m.n_frames, m.us_per_frame,
+        |    f.i AS frame_idx,
+        |    CASE WHEN y.i >= 1 AND y.i <= f.i
+        |           AND (m.doc_id + y.i * 5 + x.i * 3) % 8 <> 0
+        |      THEN (m.doc_id * 11
+        |        + ((m.doc_id + y.i * 5 + x.i * 3) % 8) * 17 + c.i * 29) % 256
+        |      ELSE (m.doc_id * 11
+        |        + ((m.doc_id + (y.i * m.width + x.i) * 3) % 8) * 17
+        |        + c.i * 29) % 256
+        |    END AS v
+        |  FROM m, range(0, 4) f(i), range(0, 6) y(i), range(0, 8) x(i),
+        |       range(0, 3) c(i)
+        |  WHERE f.i < m.n_frames AND f.i % 2 = 0
+        |    AND y.i < m.height AND x.i < m.width),
+        |s AS (
+        |  SELECT doc_id, frame_idx, SUM(v) AS sv,
+        |    SUM(CAST(v AS DOUBLE) * v) AS svv, COUNT(*) AS n
+        |  FROM px GROUP BY doc_id, frame_idx)
+        |SELECT m.doc_id, 'image/gif' AS format, m.width, m.height,
+        |  m.us_per_frame, m.n_frames, CAST(s.frame_idx AS INT) AS frame_idx,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_px,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6)
+        |    AS std_px
+        |FROM m JOIN s USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{ImageCodec, MediaRow}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val w = (5 + Math.floorMod(id, 4L)).toInt
+        val h = (4 + Math.floorMod(id, 3L)).toInt
+        val nf = (2 + Math.floorMod(id, 3L)).toInt
+        val delay = (4 + Math.floorMod(id, 5L)).toInt
+        val palette = Array.tabulate(24) { i =>
+          Math.floorMod(id * 11 + (i / 3) * 17L + (i % 3) * 29L, 256L).toInt
+        }
+        val frames = ImageCodec.GifFrame(0, 0, w, h,
+          Array.tabulate(w * h)(p => Math.floorMod(id + p * 3L, 8L).toInt),
+          delay, disposal = 1) +:
+          (1 until nf).map { f =>
+            ImageCodec.GifFrame(0, f, w, 1,
+              Array.tabulate(w)(x =>
+                Math.floorMod(id + f * 5L + x * 3L, 8L).toInt),
+              delay, disposal = 1, transparentIdx = 0)
+          }
+        MediaRow(id, ImageCodec.encodeGifAnim(w, h, palette, frames,
+          loop = Math.floorMod(id, 5L) == 0L),
+          "declared/wrong", 0, 0)
+      }.toDF()
+      Multimodal.sampleVideoFrames(media, every = 2)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("us_per_frame"), col("n_frames"), col("frame_idx"),
+          round(col("mean_px"), 6).as("mean_px"),
+          round(col("std_px"), 6).as("std_px"))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 }

@@ -520,4 +520,68 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.featurize(media).collect()
     assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
   }
+
+  test("animated GIF composites: placement, transparency, and every disposal method") {
+    import graft.operators.{ImageCodec, VideoCodec}
+    import graft.operators.ImageCodec.GifFrame
+    // 3x2 canvas, 4 colors; hand-traced composition:
+    //   f0 full-frame, f1 sub-rect with a TRANSPARENT pixel then
+    //   restore-to-background, f2 then restore-to-previous, f3 plain
+    val pal = Array(10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42)
+    def c(j: Int) = Seq(pal(j * 3), pal(j * 3 + 1), pal(j * 3 + 2))
+    val frames = Seq(
+      GifFrame(0, 0, 3, 2, Array(0, 1, 1, 3, 0, 1), 7, disposal = 1),
+      GifFrame(1, 0, 2, 1, Array(0, 2), 7, disposal = 2, transparentIdx = 0),
+      GifFrame(0, 1, 1, 1, Array(2), 7, disposal = 3),
+      GifFrame(0, 0, 1, 1, Array(1), 7, disposal = 0))
+    val bytes = ImageCodec.encodeGifAnim(3, 2, pal, frames, loop = true)
+    val v = VideoCodec.decode(bytes).get
+    assert(v.format == "image/gif" && v.width == 3 && v.height == 2 &&
+      v.usPerFrame == 70000 && v.frames.length == 4)
+    // f0: straight paint
+    assert(v.frames(0).rgb.toSeq ==
+      (c(0) ++ c(1) ++ c(1) ++ c(3) ++ c(0) ++ c(1)))
+    // f1: (1,0) transparent -> shows f0's color; (2,0) painted
+    assert(v.frames(1).rgb.toSeq ==
+      (c(0) ++ c(1) ++ c(2) ++ c(3) ++ c(0) ++ c(1)))
+    // f2: f1's rect was restored to BACKGROUND (index 0), then (0,1)
+    // painted over
+    assert(v.frames(2).rgb.toSeq ==
+      (c(0) ++ c(0) ++ c(0) ++ c(2) ++ c(0) ++ c(1)))
+    // f3: f2's disposal=3 restored the canvas to BEFORE f2 (so (0,1)
+    // is f0's color again), then (0,0) painted
+    assert(v.frames(3).rgb.toSeq ==
+      (c(1) ++ c(0) ++ c(0) ++ c(3) ++ c(0) ++ c(1)))
+    // a still GIF through the video path is its one frame
+    val still = ImageCodec.encodeGif(3, 2, pal, Array(0, 1, 1, 3, 0, 1))
+    val sv = VideoCodec.decode(still).get
+    assert(sv.frames.length == 1 &&
+      sv.frames(0).rgb.toSeq == v.frames(0).rgb.toSeq)
+    // hostile: frame rect outside the screen refuses (patch left);
+    // descriptor offset: header(13) + GCT(12) + NETSCAPE(19) + GCE(8)
+    val descOff = 13 + 12 + 19 + 8
+    assert((bytes(descOff) & 0xff) == 0x2c, "test assumes descriptor offset")
+    val out = bytes.clone(); out(descOff + 1) = 200.toByte
+    val e1 = intercept[IllegalArgumentException] {
+      VideoCodec.decode(out)
+    }
+    assert(e1.getMessage.contains("outside"), e1.getMessage)
+    // reserved disposal method refuses by number
+    val rd = bytes.clone(); rd(descOff - 5) = 0x1c.toByte
+    val e2 = intercept[IllegalArgumentException] { VideoCodec.decode(rd) }
+    assert(e2.getMessage.contains("disposal"), e2.getMessage)
+    // sampleVideoFrames: every=2 keeps composited snapshots 0 and 2
+    import org.apache.spark.sql.functions.col
+    val media = Seq((1L, bytes, "declared/wrong", 0, 0))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val rows = Multimodal.sampleVideoFrames(media, every = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(rows.head.format == "image/gif" && rows.head.width == 3 &&
+      rows.head.n_frames == 4 && rows.head.us_per_frame == 70000)
+    val want0 = v.frames(0).rgb.sum / 18.0
+    assert(math.abs(rows.head.mean_px - want0) < 1e-12)
+    val want2 = v.frames(2).rgb.sum / 18.0
+    assert(math.abs(rows(1).mean_px - want2) < 1e-12)
+  }
 }
