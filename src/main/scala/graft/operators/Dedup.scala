@@ -724,12 +724,15 @@ object Dedup {
     * dev/scale_probe_r18.txt): set it BELOW the df your corpus's
     * boilerplate grams reach at operating scale — candidate mass (and
     * wall) is super-linear only while repeated grams sit UNDER the
-    * cap, and returns to ~linear once they cross it (measured: the
-    * 10x-data wall ratio fell 13x → 4.6x as the cap engaged, and at
-    * the cap-crossed decade the capped mass grew ~linearly while the
-    * uncapped mass grew ~100x). Dropped grams only ever UNDERESTIMATE
-    * Jaccard (sizes stay uncapped), so a tighter cap trades recall on
-    * boilerplate-only overlap for a hard linear cost bound. */
+    * cap, and returns to ~linear once they cross it. Measured on the
+    * cap-crossing corpus family (boilerplate df 90 → 900 → 9000 over
+    * two 10x-data decades): at the default cap 1000 the mass bound
+    * Σ min(df,cap)² grew 52.6x in the under-cap decade, then 12.5x —
+    * linear — in the cap-crossed decade, where fully uncapped Σ df²
+    * would be ~50x larger than the capped mass. Dropped grams only
+    * ever UNDERESTIMATE Jaccard (sizes stay uncapped), so a tighter
+    * cap trades recall on boilerplate-only overlap for a hard linear
+    * cost bound. */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 2, minJaccard: Double = 0.5, maxGramDf: Int = 10000): DataFrame = {
