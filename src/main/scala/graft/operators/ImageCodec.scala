@@ -866,6 +866,9 @@ object ImageCodec {
     else if (bytes.length >= 8 && bytes.startsWith(pngMagic))
       Some("image/png")
     else if (gifMagic(bytes)) Some("image/gif")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
+      Some("image/jpeg")
     else None
 
   /** Real decode when the payload is a known container. */
@@ -873,6 +876,7 @@ object ImageCodec {
     case "image/bmp" => decodeBmp(bytes)
     case "image/png" => decodePng(bytes)
     case "image/gif" => decodeGif(bytes)
+    case "image/jpeg" => JpegCodec.decode(bytes)
     case _ => decodeFarbfeld(bytes)
   }
 }

@@ -1,0 +1,541 @@
+package graft.operators
+
+/** Pure-JVM baseline JPEG codec (ITU-T T.81 / ISO 10918-1, the
+  * container that dominates real web image corpora), so the
+  * multimodal featurizer's JPEG decode is REAL: marker segment walk,
+  * DQT/DHT table parsing, Huffman entropy decode with byte
+  * unstuffing and restart markers, DC prediction, dequantization,
+  * zigzag, a full 2-D IDCT, JFIF YCbCr→RGB, and edge-block cropping.
+  *
+  * Scope (declared, refusing BY NAME outside it — the PNG/GIF
+  * discipline): baseline sequential DCT (SOF0), 8-bit precision,
+  * grayscale or 4:4:4 three-component color. Progressive (SOF2),
+  * extended/lossless/arithmetic SOFs, chroma subsampling (4:2:0 /
+  * 4:2:2), and 12-bit precision refuse with guidance. That is the
+  * honest pure-JVM cut: everything a baseline 4:4:4 JPEG needs is
+  * here with no codec dependency, and the refusals tell a user
+  * exactly what to re-encode.
+  *
+  * The encoder exists for the planted-corpus tests (m10): it writes
+  * real DQT/DHT/SOF0/SOS segments with a valid canonical Huffman
+  * table (simple fixed-length code assignment — legal per the spec's
+  * canonical construction, suboptimal on purpose) and a real forward
+  * DCT, so any standard decoder reads its output; MultimodalSpec
+  * cross-validates against the JDK's javax.imageio JPEG codec in
+  * both directions (±1 per sample, the IEEE 1180 IDCT tolerance).
+  */
+object JpegCodec {
+
+  // standard zigzag scan: natural (row-major) index of each zigzag
+  // position — validated transitively by the ImageIO cross-decode
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // quant tables the ENCODER writes: DC step 8 makes flat blocks
+  // round-trip bit-exact (F(0,0) of a flat block is 8·(v-128), an
+  // exact multiple); AC step 16 is arbitrary (flat blocks have 0 AC)
+  private val encQuant: Array[Int] =
+    Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+  private def cosTable: Array[Double] = {
+    val t = new Array[Double](8 * 8) // t(x*8+u) = cos((2x+1)uπ/16)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    t
+  }
+  private val cos = cosTable
+  private val invSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Forward 2-D DCT-II of one level-shifted 8x8 block (row-major
+    * pixel values 0..255), T.81 normalization. */
+  private def fdct(px: Array[Int]): Array[Double] = {
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += (px(y * 8 + x) - 128) * cos(x * 8 + u) * cos(y * 8 + v)
+            x += 1
+          }
+          y += 1
+        }
+        val cu = if (u == 0) invSqrt2 else 1.0
+        val cv = if (v == 0) invSqrt2 else 1.0
+        out(v * 8 + u) = 0.25 * cu * cv * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Inverse 2-D DCT of one dequantized coefficient block; returns
+    * clamped 0..255 samples. */
+  private def idct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) invSqrt2 else 1.0
+              val cv = if (v == 0) invSqrt2 else 1.0
+              s += cu * cv * c * cos(x * 8 + u) * cos(y * 8 + v)
+            }
+            u += 1
+          }
+          v += 1
+        }
+        val p = math.round(0.25 * s).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---------- the encoder's fixed canonical Huffman tables ----------
+  // DC: all 12 size categories at code length 4 (12·2^-4 ≤ 1, valid
+  // canonical set, all-ones code unused). AC: 128 symbols at length 9
+  // + 128 at length 10. Legal per Annex C's canonical construction;
+  // any conformant decoder (incl. javax.imageio) reads them.
+  private val encDcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val encDcVals: Array[Int] = Array.tabulate(12)(identity)
+  private val encAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0)
+  private val encAcVals: Array[Int] = Array.tabulate(256)(identity)
+
+  /** canonical code assignment (T.81 Figure C.2): codes per symbol in
+    * huffval order. Returns (code, length) pairs indexed by symbol. */
+  private def canonical(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val bySymbol = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        bySymbol(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    bySymbol
+  }
+
+  private class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(buf)
+          if (buf == 0xff) out.write(0x00) // byte stuffing
+          buf = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1-bits per spec
+      buf = (buf << (8 - n)) | ((1 << (8 - n)) - 1)
+      out.write(buf)
+      if (buf == 0xff) out.write(0x00)
+      buf = 0; n = 0
+    }
+  }
+
+  private def sizeCat(v: Int): Int = {
+    var s = 0; var a = math.abs(v)
+    while (a != 0) { s += 1; a >>= 1 }
+    s
+  }
+
+  /** Encode 8-bit samples as a baseline JPEG. `channels` 1 = gray,
+    * 3 = RGB (converted to YCbCr, written 4:4:4). `restartEvery` > 0
+    * writes a DRI segment and RSTn markers every that many MCUs. */
+  def encodeJpeg(width: Int, height: Int, channels: Int, px: Array[Int],
+      restartEvery: Int = 0): Array[Byte] = {
+    require(channels == 1 || channels == 3,
+      s"encodeJpeg: channels=$channels (1/3)")
+    require(px.length == width * height * channels,
+      s"encodeJpeg: need ${width * height * channels} values")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64) // DQT, table 0
+    u8(0x00); zigzag.foreach(z => u8(encQuant(z)))
+    if (restartEvery > 0) { marker(0xdd); u16(4); u16(restartEvery) }
+    marker(0xc0) // SOF0
+    u16(8 + 3 * channels); u8(8); u16(height); u16(width); u8(channels)
+    for (c <- 1 to channels) { u8(c); u8(0x11); u8(0) } // 1x1, quant 0
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8((cls << 4) | id); bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, 0, encDcBits, encDcVals); dht(1, 0, encAcBits, encAcVals)
+    marker(0xda) // SOS
+    u16(6 + 2 * channels); u8(channels)
+    for (c <- 1 to channels) { u8(c); u8(0x00) } // DC 0 / AC 0
+    u8(0); u8(63); u8(0)
+    // component planes (level 0..255): gray as-is; RGB -> YCbCr (JFIF)
+    val planes: Array[Array[Int]] =
+      if (channels == 1) Array(px)
+      else {
+        val y = new Array[Int](width * height)
+        val cb = new Array[Int](width * height)
+        val cr = new Array[Int](width * height)
+        var i = 0
+        while (i < width * height) {
+          val r = px(i * 3); val g = px(i * 3 + 1); val b = px(i * 3 + 2)
+          y(i) = math.max(0, math.min(255,
+            math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt))
+          cb(i) = math.max(0, math.min(255,
+            math.round(-0.168736 * r - 0.331264 * g + 0.5 * b).toInt + 128))
+          cr(i) = math.max(0, math.min(255,
+            math.round(0.5 * r - 0.418688 * g - 0.081312 * b).toInt + 128))
+          i += 1
+        }
+        Array(y, cb, cr)
+      }
+    val dcCode = canonical(encDcBits, encDcVals)
+    val acCode = canonical(encAcBits, encAcVals)
+    val bw = new BitWriter(out)
+    val blocksX = (width + 7) / 8; val blocksY = (height + 7) / 8
+    val pred = new Array[Int](channels)
+    var mcu = 0; var rst = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+          bw.flush()
+          marker(0xd0 + (rst & 7)); rst += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        var comp = 0
+        while (comp < channels) {
+          val plane = planes(comp)
+          // edge blocks replicate the last row/column (standard pad)
+          val block = Array.tabulate(64) { i =>
+            val x = math.min(bx * 8 + i % 8, width - 1)
+            val y = math.min(by * 8 + i / 8, height - 1)
+            plane(y * width + x)
+          }
+          val f = fdct(block)
+          val q = Array.tabulate(64)(z =>
+            math.round(f(zigzag(z)) / encQuant(zigzag(z))).toInt)
+          val diff = q(0) - pred(comp); pred(comp) = q(0)
+          val s = sizeCat(diff)
+          val (c0, l0) = dcCode(s)
+          bw.put(c0, l0)
+          if (s > 0)
+            bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          var z = 1
+          while (z < 64) {
+            var run = 0
+            while (z < 64 && q(z) == 0) { run += 1; z += 1 }
+            if (z == 64) {
+              val (ce, le) = acCode(0x00); bw.put(ce, le) // EOB
+            } else {
+              while (run > 15) {
+                val (cz, lz) = acCode(0xf0); bw.put(cz, lz); run -= 16
+              }
+              val sz = sizeCat(q(z))
+              val (ca, la) = acCode((run << 4) | sz)
+              bw.put(ca, la)
+              bw.put(if (q(z) >= 0) q(z) else q(z) + (1 << sz) - 1, sz)
+              z += 1
+            }
+          }
+          comp += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---------- decoder ----------
+
+  private class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var buf = 0; private var n = 0
+    /** true if the next unread bytes are an RSTn marker. */
+    def atRestart: Boolean =
+      pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) >= 0xd0 && (bytes(pos + 1) & 0xff) <= 0xd7
+    def skipRestart(): Unit = { pos += 2; buf = 0; n = 0 }
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "JPEG: entropy stream truncated")
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < bytes.length, "JPEG: entropy stream truncated")
+          val m = bytes(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed byte
+          else throw new IllegalArgumentException(
+            f"JPEG: unexpected marker 0xff$m%02x inside entropy data")
+        }
+        buf = b; n = 8
+      }
+      n -= 1
+      (buf >> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // mincode/maxcode per length (T.81 Annex F decode procedure)
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxCode(len) = code - 1
+        if (bits(len - 1) == 0) maxCode(len) = -1
+        code <<= 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit()
+      var len = 1
+      while (maxCode(len) < 0 || code > maxCode(len)) {
+        require(len < 16, "JPEG: corrupt Huffman code")
+        code = (code << 1) | br.bit(); len += 1
+      }
+      vals(valPtr(len) + code - minCode(len))
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline JPEG to interleaved samples (gray: 1/pixel,
+    * color: RGB 3/pixel). Refuses non-baseline forms by name. */
+  def decode(bytes: Array[Byte]): ImageCodec.DecodedImage = {
+    require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "JPEG: not a JPEG payload")
+    var pos = 2
+    def u8(): Int = {
+      require(pos < bytes.length, "JPEG: truncated stream")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var width = 0; var height = 0; var ncomp = 0
+    var compQuant: Array[Int] = null
+    var restartInterval = 0
+    var sofSeen = false
+    var result: Array[Array[Int]] = null // planes
+    while (result == null) {
+      require(u8() == 0xff, "JPEG: expected a marker")
+      var m = u8()
+      while (m == 0xff) m = u8() // fill bytes
+      m match {
+        case 0xd9 => throw new IllegalArgumentException(
+          "JPEG: EOI before scan data")
+        case 0xdb => // DQT
+          val end = pos + u16() - 2
+          while (pos < end) {
+            val pq = u8()
+            val prec = pq >> 4; val id = pq & 0x0f
+            require(prec <= 1 && id < 4, s"JPEG: bad DQT byte $pq")
+            val t = new Array[Int](64)
+            for (z <- 0 until 64)
+              t(zigzag(z)) = if (prec == 1) u16() else u8()
+            quant(id) = t
+          }
+        case 0xc4 => // DHT
+          val end = pos + u16() - 2
+          while (pos < end) {
+            val tc = u8()
+            val cls = tc >> 4; val id = tc & 0x0f
+            require(cls <= 1 && id < 4, s"JPEG: bad DHT byte $tc")
+            val bits = Array.fill(16)(u8())
+            val n = bits.sum
+            require(n <= 256, "JPEG: DHT with more than 256 symbols")
+            val vals = Array.fill(n)(u8())
+            val t = new HuffTable(bits, vals)
+            if (cls == 0) dcTables(id) = t else acTables(id) = t
+          }
+        case 0xc0 | 0xc1 => // SOF0 baseline (C1 extended-seq, 8-bit ok)
+          u16()
+          val prec = u8()
+          require(prec == 8, s"JPEG: $prec-bit precision is not " +
+            "supported here — re-encode 8-bit baseline")
+          height = u16(); width = u16(); ncomp = u8()
+          require(width > 0 && height > 0 &&
+            width.toLong * height <= (1L << 26),
+            s"JPEG: implausible dimensions ${width}x$height")
+          require(ncomp == 1 || ncomp == 3,
+            s"JPEG: $ncomp components (1 or 3 supported)")
+          compQuant = new Array[Int](ncomp)
+          for (i <- 0 until ncomp) {
+            u8() // component id
+            val hv = u8()
+            require(hv == 0x11, "JPEG: chroma subsampling " +
+              f"(sampling factor 0x$hv%02x) is not supported here — " +
+              "re-encode 4:4:4 baseline")
+            compQuant(i) = u8()
+          }
+          sofSeen = true
+        case 0xc2 => throw new IllegalArgumentException(
+          "JPEG: progressive DCT (SOF2) is not supported here — " +
+            "re-encode baseline sequential")
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf => throw new IllegalArgumentException(
+          f"JPEG: SOF 0x$m%02x (lossless/arithmetic/hierarchical) " +
+            "is not supported here — re-encode baseline sequential")
+        case 0xdd => // DRI
+          require(u16() == 4, "JPEG: bad DRI length")
+          restartInterval = u16()
+        case 0xda => // SOS
+          require(sofSeen, "JPEG: SOS before SOF")
+          u16()
+          val ns = u8()
+          require(ns == ncomp, s"JPEG: scan components $ns != $ncomp " +
+            "(multi-scan files are not supported here)")
+          val dcSel = new Array[Int](ncomp)
+          val acSel = new Array[Int](ncomp)
+          for (i <- 0 until ncomp) {
+            u8(); val tt = u8(); dcSel(i) = tt >> 4; acSel(i) = tt & 0x0f
+          }
+          u8(); u8(); u8() // Ss/Se/Ah-Al (fixed in baseline)
+          val blocksX = (width + 7) / 8; val blocksY = (height + 7) / 8
+          val planes = Array.fill(ncomp)(
+            new Array[Int](blocksX * 8 * blocksY * 8))
+          val br = new BitReader(bytes, pos)
+          val pred = new Array[Int](ncomp)
+          var mcu = 0
+          var by = 0
+          while (by < blocksY) {
+            var bx = 0
+            while (bx < blocksX) {
+              if (restartInterval > 0 && mcu > 0 &&
+                  mcu % restartInterval == 0) {
+                require(br.atRestart,
+                  "JPEG: missing restart marker at interval")
+                br.skipRestart()
+                java.util.Arrays.fill(pred, 0)
+              }
+              var comp = 0
+              while (comp < ncomp) {
+                val dct = dcTables(dcSel(comp))
+                val act = acTables(acSel(comp))
+                require(dct != null && act != null,
+                  "JPEG: scan references an undefined Huffman table")
+                val qt = quant(compQuant(comp))
+                require(qt != null,
+                  "JPEG: component references an undefined quant table")
+                val coef = new Array[Int](64)
+                val s = dct.decode(br)
+                require(s <= 11, s"JPEG: DC size category $s")
+                pred(comp) += extend(br.bits(s), s)
+                coef(0) = pred(comp) * qt(0)
+                var z = 1
+                while (z < 64) {
+                  val rs = act.decode(br)
+                  if (rs == 0x00) z = 64 // EOB
+                  else if (rs == 0xf0) z += 16 // ZRL
+                  else {
+                    z += rs >> 4
+                    require(z < 64, "JPEG: AC run past block end")
+                    val sz = rs & 0x0f
+                    coef(zigzag(z)) =
+                      extend(br.bits(sz), sz) * qt(zigzag(z))
+                    z += 1
+                  }
+                }
+                val px8 = idct(coef)
+                val plane = planes(comp)
+                var i = 0
+                while (i < 64) {
+                  plane((by * 8 + i / 8) * blocksX * 8 + bx * 8 + i % 8) =
+                    px8(i)
+                  i += 1
+                }
+                comp += 1
+              }
+              mcu += 1
+              bx += 1
+            }
+            by += 1
+          }
+          result = planes
+        case 0xd8 => throw new IllegalArgumentException(
+          "JPEG: nested SOI")
+        case _ => // APPn/COM/other tables: skip by declared length
+          val len = u16()
+          require(len >= 2 && pos + len - 2 <= bytes.length,
+            f"JPEG: truncated segment 0xff$m%02x")
+          pos += len - 2
+      }
+    }
+    val blocksX = (width + 7) / 8
+    val stride = blocksX * 8
+    if (ncomp == 1) {
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = result(0)(y * stride + x); x += 1
+        }
+        y += 1
+      }
+      ImageCodec.DecodedImage("image/jpeg", width, height, 1, out)
+    } else {
+      val out = new Array[Int](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = result(0)(y * stride + x)
+          val cb = result(1)(y * stride + x) - 128
+          val cr = result(2)(y * stride + x) - 128
+          val base = (y * width + x) * 3
+          out(base) = math.max(0, math.min(255,
+            math.round(yy + 1.402 * cr).toInt))
+          out(base + 1) = math.max(0, math.min(255,
+            math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt))
+          out(base + 2) = math.max(0, math.min(255,
+            math.round(yy + 1.772 * cb).toInt))
+          x += 1
+        }
+        y += 1
+      }
+      ImageCodec.DecodedImage("image/jpeg", width, height, 3, out)
+    }
+  }
+}

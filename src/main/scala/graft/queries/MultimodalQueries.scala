@@ -496,6 +496,71 @@ object MultimodalQueries {
           round(col("mean_px"), 6).as("mean_px"),
           round(col("std_px"), 6).as("std_px"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // m10: REAL baseline JPEG decode — THE web-corpus container. Every
+    // doc plants a grayscale JPEG of per-8x8-block FLAT values (the
+    // DC-only regime where the round-trip is BIT-EXACT: the encoder's
+    // q0=8 divides a flat block's F(0,0)=8·(v-128) evenly), dims
+    // 8..16 x 8..14 so partial edge blocks exercise pad-and-crop,
+    // every 5th file carries restart markers (DRI + RSTn resync +
+    // DC-predictor reset). The decoder walks the marker stream,
+    // parses DQT/DHT, Huffman-decodes with byte unstuffing, undoes DC
+    // prediction, dequantizes and runs the full IDCT. The oracle
+    // knows no JPEG — it recomputes pixels from the block formula, so
+    // a broken Huffman table, DC predictor, quant step or IDCT
+    // normalization cannot hash-match. (The AC path and color
+    // pipeline are exercised by MultimodalSpec, incl. ±1
+    // cross-validation against the JDK's javax.imageio JPEG codec in
+    // both directions; n_bytes not projected — entropy coding has no
+    // closed form, the m05 rule.)
+    "m10_jpeg_decode" -> Q(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + doc_id % 7 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id,
+        |    (m.doc_id * 7 + (x.i // 8) * 31 + (y.i // 8) * 57) % 256 AS v
+        |  FROM m, range(0, 14) y(i), range(0, 16) x(i)
+        |  WHERE y.i < m.height AND x.i < m.width),
+        |s AS (
+        |  SELECT doc_id, SUM(v) AS sv, SUM(CAST(v AS DOUBLE) * v) AS svv,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN v >= 96 AND v < 128 THEN 1 ELSE 0 END) AS h3
+        |  FROM px GROUP BY doc_id)
+        |SELECT m.doc_id, 'image/jpeg' AS format, m.width, m.height,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_byte,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6)
+        |    AS std_byte,
+        |  round(CAST(CAST(CAST(h0 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(CAST(h3 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f3
+        |FROM m JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{JpegCodec, MediaRow}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val w = (8 + Math.floorMod(id, 9L)).toInt
+        val h = (8 + Math.floorMod(id, 7L)).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val bx = (i % w) / 8; val by = (i / w) / 8
+          Math.floorMod(id * 7 + bx * 31L + by * 57L, 256L).toInt
+        }
+        MediaRow(id, JpegCodec.encodeJpeg(w, h, 1, px,
+          restartEvery = if (Math.floorMod(id, 5L) == 0L) 1 else 0),
+          "declared/wrong", 0, 0)
+      }.toDF()
+      Multimodal.featurize(media)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          round(col("std_byte"), 6).as("std_byte"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -584,4 +584,110 @@ class MultimodalSpec extends SparkSpec {
     val want2 = v.frames(2).rgb.sum / 18.0
     assert(math.abs(rows(1).mean_px - want2) < 1e-12)
   }
+
+  test("JPEG decode is real: flat blocks round-trip Huffman+DCT bit-exactly, restarts honored") {
+    import graft.operators.{ImageCodec, JpegCodec}
+    // per-8x8-block flat grayscale: the DC-only path is EXACT with
+    // the encoder's q0=8 (F(0,0) of a flat block is 8·(v-128)); the
+    // 13x10 dims exercise partial edge blocks + cropping
+    val w = 13; val h = 10
+    def flat(x: Int, y: Int) = ((x / 8) * 31 + (y / 8) * 57 + 19) % 256
+    val px = Array.tabulate(w * h)(i => flat(i % w, i / w))
+    for (restart <- Seq(0, 1, 2)) {
+      val bytes = JpegCodec.encodeJpeg(w, h, 1, px, restartEvery = restart)
+      val img = ImageCodec.decode(bytes).get
+      assert(img.format == "image/jpeg" && img.width == w &&
+        img.height == h && img.channels == 1, s"restart=$restart")
+      assert(img.pixels.toSeq == px.toSeq, s"restart=$restart")
+    }
+    // color 4:4:4: r=g=b flat blocks make YCbCr (v,128,128) — exact
+    // through the full color pipeline
+    val rgb = Array.tabulate(w * h * 3)(i => flat((i / 3) % w, i / 3 / w))
+    val cimg = ImageCodec.decode(JpegCodec.encodeJpeg(w, h, 3, rgb)).get
+    assert(cimg.channels == 3 && cimg.pixels.toSeq == rgb.toSeq)
+    // true color round-trips within the double-conversion tolerance
+    val tc = Array.tabulate(8 * 8 * 3)(i => (i % 3) match {
+      case 0 => 200; case 1 => 64; case _ => 120 })
+    val timg = ImageCodec.decode(JpegCodec.encodeJpeg(8, 8, 3, tc)).get
+    assert(timg.pixels.zip(tc).forall { case (a, b) => math.abs(a - b) <= 2 },
+      timg.pixels.take(6).toSeq)
+    // featurize: header dims override the declared lie
+    val media = Seq((9L, JpegCodec.encodeJpeg(w, h, 1, px), "x", 0, 0))
+      .toDF("doc_id", "content", "format", "width", "height")
+    val row = Multimodal.featurize(media).collect().head
+    assert(row.format == "image/jpeg" && row.width == w && row.height == h)
+    val want = px.sum / px.length.toDouble
+    assert(math.abs(row.mean_byte - want) < 1e-12)
+  }
+
+  test("the JDK's ImageIO independently reads our JPEG bytes (and ours reads its)") {
+    import graft.operators.{ImageCodec, JpegCodec}
+    import java.awt.image.BufferedImage
+    // our encoder -> javax.imageio: a third-party decoder within the
+    // IEEE 1180 IDCT tolerance (±1) on every sample validates the
+    // whole stack — canonical DHT, entropy coding, dequant, IDCT
+    val w = 13; val h = 10
+    val px = Array.tabulate(w * h)(i => (i * 29 + 17) % 256)
+    val bytes = JpegCodec.encodeJpeg(w, h, 1, px)
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(bi != null && bi.getWidth == w && bi.getHeight == h)
+    val ours = ImageCodec.decode(bytes).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val theirs = bi.getRaster.getSample(x, y, 0)
+      assert(math.abs(theirs - ours.pixels(y * w + x)) <= 1,
+        s"ImageIO disagrees at ($x,$y): $theirs vs ${ours.pixels(y * w + x)}")
+    }
+    // javax.imageio WRITER -> our decoder, judged against ImageIO's
+    // own read of the same bytes (two decoders, one file, ±1)
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, px(y * w + x))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "jpg", baos))
+    val foreign = baos.toByteArray
+    val mine = ImageCodec.decode(foreign).get
+    assert(mine.width == w && mine.height == h && mine.channels == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(foreign))
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = mine.pixels(y * w + x)
+      val b = ref.getRaster.getSample(x, y, 0)
+      assert(math.abs(a - b) <= 1, s"foreign JPEG at ($x,$y): $a vs $b")
+    }
+  }
+
+  test("JPEG non-baseline forms refuse by name and degrade to opaque through featurize") {
+    import graft.operators.{ImageCodec, JpegCodec}
+    val px = Array.tabulate(8 * 8)(i => (i * 3) % 256)
+    val good = JpegCodec.encodeJpeg(8, 8, 1, px)
+    // layout: SOI(2) + DQT(2+2+1+64=69) puts the SOF0 marker at 71
+    assert((good(71) & 0xff) == 0xff && (good(72) & 0xff) == 0xc0)
+    val prog = good.clone(); prog(72) = 0xc2.toByte
+    val e1 = intercept[IllegalArgumentException] { ImageCodec.decode(prog) }
+    assert(e1.getMessage.contains("progressive"), e1.getMessage)
+    val sub = good.clone(); sub(82) = 0x22.toByte // component sampling
+    val e2 = intercept[IllegalArgumentException] { ImageCodec.decode(sub) }
+    assert(e2.getMessage.contains("subsampling"), e2.getMessage)
+    val deep = good.clone(); deep(75) = 12.toByte // precision
+    val e3 = intercept[IllegalArgumentException] { ImageCodec.decode(deep) }
+    assert(e3.getMessage.contains("12-bit"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      ImageCodec.decode(good.dropRight(6))
+    }
+    assert(e4.getMessage.contains("truncated"), e4.getMessage)
+    // implausible dims refuse before allocation
+    val big = good.clone()
+    big(76) = 0x7f.toByte; big(77) = 0xff.toByte // height
+    big(78) = 0x7f.toByte; big(79) = 0xff.toByte // width
+    val e5 = intercept[IllegalArgumentException] { ImageCodec.decode(big) }
+    assert(e5.getMessage.contains("implausible"), e5.getMessage)
+    val media = Seq((1L, prog), (2L, sub), (3L, deep),
+        (4L, good.dropRight(6)), (5L, big))
+      .toDF("doc_id", "content")
+      .selectExpr("doc_id", "content", "'d' AS format",
+        "9 AS width", "9 AS height")
+    val rows = Multimodal.featurize(media).collect()
+    assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
+  }
 }
