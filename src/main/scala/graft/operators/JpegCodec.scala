@@ -9,12 +9,14 @@ package graft.operators
   *
   * Scope (declared, refusing BY NAME outside it — the PNG/GIF
   * discipline): baseline sequential DCT (SOF0), 8-bit precision,
-  * grayscale or 4:4:4 three-component color. Progressive (SOF2),
-  * extended/lossless/arithmetic SOFs, chroma subsampling (4:2:0 /
-  * 4:2:2), and 12-bit precision refuse with guidance. That is the
-  * honest pure-JVM cut: everything a baseline 4:4:4 JPEG needs is
-  * here with no codec dependency, and the refusals tell a user
-  * exactly what to re-encode.
+  * grayscale or three-component color at 4:4:4, 4:2:2, or 4:2:0
+  * (MCU-interleaved scan per T.81 A.2.3, nearest-neighbor chroma
+  * upsampling — 4:2:0 is what the web actually serves). Progressive
+  * (SOF2), extended/lossless/arithmetic SOFs, sampling factors past
+  * 2, and 12-bit precision refuse with guidance. That is the honest
+  * pure-JVM cut: everything a baseline web JPEG needs is here with
+  * no codec dependency, and the refusals tell a user exactly what to
+  * re-encode.
   *
   * The encoder exists for the planted-corpus tests (m10): it writes
   * real DQT/DHT/SOF0/SOS segments with a valid canonical Huffman
@@ -167,14 +169,16 @@ object JpegCodec {
   }
 
   /** Encode 8-bit samples as a baseline JPEG. `channels` 1 = gray,
-    * 3 = RGB (converted to YCbCr, written 4:4:4). `restartEvery` > 0
-    * writes a DRI segment and RSTn markers every that many MCUs. */
+    * 3 = RGB (converted to YCbCr; `subsample` writes 4:2:0 with
+    * box-averaged chroma, else 4:4:4). `restartEvery` > 0 writes a
+    * DRI segment and RSTn markers every that many MCUs. */
   def encodeJpeg(width: Int, height: Int, channels: Int, px: Array[Int],
-      restartEvery: Int = 0): Array[Byte] = {
+      restartEvery: Int = 0, subsample: Boolean = false): Array[Byte] = {
     require(channels == 1 || channels == 3,
       s"encodeJpeg: channels=$channels (1/3)")
     require(px.length == width * height * channels,
       s"encodeJpeg: need ${width * height * channels} values")
+    require(!subsample || channels == 3, "encodeJpeg: 4:2:0 needs color")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -185,7 +189,9 @@ object JpegCodec {
     if (restartEvery > 0) { marker(0xdd); u16(4); u16(restartEvery) }
     marker(0xc0) // SOF0
     u16(8 + 3 * channels); u8(8); u16(height); u16(width); u8(channels)
-    for (c <- 1 to channels) { u8(c); u8(0x11); u8(0) } // 1x1, quant 0
+    for (c <- 1 to channels) { // sampling: Y 2x2 when subsampling
+      u8(c); u8(if (subsample && c == 1) 0x22 else 0x11); u8(0)
+    }
     def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length)
       u8((cls << 4) | id); bits.foreach(u8); vals.foreach(u8)
@@ -218,13 +224,84 @@ object JpegCodec {
     val dcCode = canonical(encDcBits, encDcVals)
     val acCode = canonical(encAcBits, encAcVals)
     val bw = new BitWriter(out)
-    val blocksX = (width + 7) / 8; val blocksY = (height + 7) / 8
+    // per-component plane dims + downsampled chroma when subsampling
+    val planeW = new Array[Int](channels); val planeH = new Array[Int](channels)
+    val compPlanes = new Array[Array[Int]](channels)
+    var comp0 = 0
+    while (comp0 < channels) {
+      if (subsample && comp0 > 0) {
+        val cw = (width + 1) / 2; val ch = (height + 1) / 2
+        val src = planes(comp0)
+        compPlanes(comp0) = Array.tabulate(cw * ch) { i =>
+          val cx = i % cw; val cy = i / cw
+          var s = 0
+          var dy = 0
+          while (dy < 2) { // box average over clamped 2x2
+            var dx = 0
+            while (dx < 2) {
+              val x = math.min(cx * 2 + dx, width - 1)
+              val y = math.min(cy * 2 + dy, height - 1)
+              s += src(y * width + x)
+              dx += 1
+            }
+            dy += 1
+          }
+          (s + 2) / 4
+        }
+        planeW(comp0) = cw; planeH(comp0) = ch
+      } else {
+        compPlanes(comp0) = planes(comp0)
+        planeW(comp0) = width; planeH(comp0) = height
+      }
+      comp0 += 1
+    }
+    val sampH = Array.tabulate(channels)(c =>
+      if (subsample && c == 0) 2 else 1)
+    val maxH = sampH.max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxH - 1) / (8 * maxH) // v == h here
     val pred = new Array[Int](channels)
+    def encodeBlock(comp: Int, bx: Int, by: Int): Unit = {
+      val plane = compPlanes(comp)
+      val pw = planeW(comp); val ph = planeH(comp)
+      // edge blocks replicate the last row/column (standard pad)
+      val block = Array.tabulate(64) { i =>
+        val x = math.min(bx * 8 + i % 8, pw - 1)
+        val y = math.min(by * 8 + i / 8, ph - 1)
+        plane(y * pw + x)
+      }
+      val f = fdct(block)
+      val q = Array.tabulate(64)(z =>
+        math.round(f(zigzag(z)) / encQuant(zigzag(z))).toInt)
+      val diff = q(0) - pred(comp); pred(comp) = q(0)
+      val s = sizeCat(diff)
+      val (c0, l0) = dcCode(s)
+      bw.put(c0, l0)
+      if (s > 0)
+        bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      var z = 1
+      while (z < 64) {
+        var run = 0
+        while (z < 64 && q(z) == 0) { run += 1; z += 1 }
+        if (z == 64) {
+          val (ce, le) = acCode(0x00); bw.put(ce, le) // EOB
+        } else {
+          while (run > 15) {
+            val (cz, lz) = acCode(0xf0); bw.put(cz, lz); run -= 16
+          }
+          val sz = sizeCat(q(z))
+          val (ca, la) = acCode((run << 4) | sz)
+          bw.put(ca, la)
+          bw.put(if (q(z) >= 0) q(z) else q(z) + (1 << sz) - 1, sz)
+          z += 1
+        }
+      }
+    }
     var mcu = 0; var rst = 0
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
           bw.flush()
           marker(0xd0 + (rst & 7)); rst += 1
@@ -232,45 +309,19 @@ object JpegCodec {
         }
         var comp = 0
         while (comp < channels) {
-          val plane = planes(comp)
-          // edge blocks replicate the last row/column (standard pad)
-          val block = Array.tabulate(64) { i =>
-            val x = math.min(bx * 8 + i % 8, width - 1)
-            val y = math.min(by * 8 + i / 8, height - 1)
-            plane(y * width + x)
-          }
-          val f = fdct(block)
-          val q = Array.tabulate(64)(z =>
-            math.round(f(zigzag(z)) / encQuant(zigzag(z))).toInt)
-          val diff = q(0) - pred(comp); pred(comp) = q(0)
-          val s = sizeCat(diff)
-          val (c0, l0) = dcCode(s)
-          bw.put(c0, l0)
-          if (s > 0)
-            bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
-          var z = 1
-          while (z < 64) {
-            var run = 0
-            while (z < 64 && q(z) == 0) { run += 1; z += 1 }
-            if (z == 64) {
-              val (ce, le) = acCode(0x00); bw.put(ce, le) // EOB
-            } else {
-              while (run > 15) {
-                val (cz, lz) = acCode(0xf0); bw.put(cz, lz); run -= 16
-              }
-              val sz = sizeCat(q(z))
-              val (ca, la) = acCode((run << 4) | sz)
-              bw.put(ca, la)
-              bw.put(if (q(z) >= 0) q(z) else q(z) + (1 << sz) - 1, sz)
-              z += 1
-            }
+          val n = sampH(comp) * sampH(comp)
+          var sub = 0
+          while (sub < n) {
+            encodeBlock(comp, mx * sampH(comp) + sub % sampH(comp),
+              my * sampH(comp) + sub / sampH(comp))
+            sub += 1
           }
           comp += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     bw.flush()
     marker(0xd9) // EOI
@@ -355,9 +406,13 @@ object JpegCodec {
     val acTables = new Array[HuffTable](4)
     var width = 0; var height = 0; var ncomp = 0
     var compQuant: Array[Int] = null
+    var compH: Array[Int] = null; var compV: Array[Int] = null
     var restartInterval = 0
     var sofSeen = false
     var result: Array[Array[Int]] = null // planes
+    var resStride: Array[Int] = null     // per-plane row stride
+    var resH: Array[Int] = null          // per-plane x divisor (maxH/h)
+    var resV: Array[Int] = null          // per-plane y divisor (maxV/v)
     while (result == null) {
       require(u8() == 0xff, "JPEG: expected a marker")
       var m = u8()
@@ -401,14 +456,20 @@ object JpegCodec {
           require(ncomp == 1 || ncomp == 3,
             s"JPEG: $ncomp components (1 or 3 supported)")
           compQuant = new Array[Int](ncomp)
+          compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
           for (i <- 0 until ncomp) {
             u8() // component id
             val hv = u8()
-            require(hv == 0x11, "JPEG: chroma subsampling " +
-              f"(sampling factor 0x$hv%02x) is not supported here — " +
-              "re-encode 4:4:4 baseline")
+            compH(i) = hv >> 4; compV(i) = hv & 0x0f
+            require(compH(i) >= 1 && compH(i) <= 2 &&
+              compV(i) >= 1 && compV(i) <= 2,
+              f"JPEG: sampling factor 0x$hv%02x is not supported " +
+                "here — re-encode 4:4:4, 4:2:2 or 4:2:0 baseline")
             compQuant(i) = u8()
           }
+          // single-component scans are never MCU-interleaved (T.81
+          // A.2.2): sampling factors are ignored for them
+          if (ncomp == 1) { compH(0) = 1; compV(0) = 1 }
           sofSeen = true
         case 0xc2 => throw new IllegalArgumentException(
           "JPEG: progressive DCT (SOF2) is not supported here — " +
@@ -432,16 +493,22 @@ object JpegCodec {
             u8(); val tt = u8(); dcSel(i) = tt >> 4; acSel(i) = tt & 0x0f
           }
           u8(); u8(); u8() // Ss/Se/Ah-Al (fixed in baseline)
-          val blocksX = (width + 7) / 8; val blocksY = (height + 7) / 8
-          val planes = Array.fill(ncomp)(
-            new Array[Int](blocksX * 8 * blocksY * 8))
+          // MCU-interleaved scan (T.81 A.2.3): each MCU carries
+          // h_i x v_i blocks per component; 4:4:4 degenerates to one
+          // block each, 4:2:0 to 4 luma + 1 of each chroma
+          val maxH = compH.max; val maxV = compV.max
+          val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+          val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+          val strideOf = Array.tabulate(ncomp)(c => mcusX * compH(c) * 8)
+          val planes = Array.tabulate(ncomp)(c =>
+            new Array[Int](strideOf(c) * mcusY * compV(c) * 8))
           val br = new BitReader(bytes, pos)
           val pred = new Array[Int](ncomp)
           var mcu = 0
-          var by = 0
-          while (by < blocksY) {
-            var bx = 0
-            while (bx < blocksX) {
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
               if (restartInterval > 0 && mcu > 0 &&
                   mcu % restartInterval == 0) {
                 require(br.atRestart,
@@ -458,41 +525,50 @@ object JpegCodec {
                 val qt = quant(compQuant(comp))
                 require(qt != null,
                   "JPEG: component references an undefined quant table")
-                val coef = new Array[Int](64)
-                val s = dct.decode(br)
-                require(s <= 11, s"JPEG: DC size category $s")
-                pred(comp) += extend(br.bits(s), s)
-                coef(0) = pred(comp) * qt(0)
-                var z = 1
-                while (z < 64) {
-                  val rs = act.decode(br)
-                  if (rs == 0x00) z = 64 // EOB
-                  else if (rs == 0xf0) z += 16 // ZRL
-                  else {
-                    z += rs >> 4
-                    require(z < 64, "JPEG: AC run past block end")
-                    val sz = rs & 0x0f
-                    coef(zigzag(z)) =
-                      extend(br.bits(sz), sz) * qt(zigzag(z))
-                    z += 1
+                var sub = 0
+                while (sub < compH(comp) * compV(comp)) {
+                  val coef = new Array[Int](64)
+                  val s = dct.decode(br)
+                  require(s <= 11, s"JPEG: DC size category $s")
+                  pred(comp) += extend(br.bits(s), s)
+                  coef(0) = pred(comp) * qt(0)
+                  var z = 1
+                  while (z < 64) {
+                    val rs = act.decode(br)
+                    if (rs == 0x00) z = 64 // EOB
+                    else if (rs == 0xf0) z += 16 // ZRL
+                    else {
+                      z += rs >> 4
+                      require(z < 64, "JPEG: AC run past block end")
+                      val sz = rs & 0x0f
+                      coef(zigzag(z)) =
+                        extend(br.bits(sz), sz) * qt(zigzag(z))
+                      z += 1
+                    }
                   }
-                }
-                val px8 = idct(coef)
-                val plane = planes(comp)
-                var i = 0
-                while (i < 64) {
-                  plane((by * 8 + i / 8) * blocksX * 8 + bx * 8 + i % 8) =
-                    px8(i)
-                  i += 1
+                  val px8 = idct(coef)
+                  val plane = planes(comp)
+                  val stride = strideOf(comp)
+                  val bx = mx * compH(comp) + sub % compH(comp)
+                  val byk = my * compV(comp) + sub / compH(comp)
+                  var i = 0
+                  while (i < 64) {
+                    plane((byk * 8 + i / 8) * stride + bx * 8 + i % 8) =
+                      px8(i)
+                    i += 1
+                  }
+                  sub += 1
                 }
                 comp += 1
               }
               mcu += 1
-              bx += 1
+              mx += 1
             }
-            by += 1
+            my += 1
           }
           result = planes
+          resStride = strideOf
+          resH = compH.map(h => maxH / h); resV = compV.map(v => maxV / v)
         case 0xd8 => throw new IllegalArgumentException(
           "JPEG: nested SOI")
         case _ => // APPn/COM/other tables: skip by declared length
@@ -502,15 +578,17 @@ object JpegCodec {
           pos += len - 2
       }
     }
-    val blocksX = (width + 7) / 8
-    val stride = blocksX * 8
+    // sample each plane at full resolution (nearest-neighbor chroma
+    // upsampling for subsampled components — resH/resV divisors)
+    def sample(c: Int, x: Int, y: Int): Int =
+      result(c)((y / resV(c)) * resStride(c) + x / resH(c))
     if (ncomp == 1) {
       val out = new Array[Int](width * height)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          out(y * width + x) = result(0)(y * stride + x); x += 1
+          out(y * width + x) = sample(0, x, y); x += 1
         }
         y += 1
       }
@@ -521,9 +599,9 @@ object JpegCodec {
       while (y < height) {
         var x = 0
         while (x < width) {
-          val yy = result(0)(y * stride + x)
-          val cb = result(1)(y * stride + x) - 128
-          val cr = result(2)(y * stride + x) - 128
+          val yy = sample(0, x, y)
+          val cb = sample(1, x, y) - 128
+          val cr = sample(2, x, y) - 128
           val base = (y * width + x) * 3
           out(base) = math.max(0, math.min(255,
             math.round(yy + 1.402 * cr).toInt))

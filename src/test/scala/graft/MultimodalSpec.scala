@@ -657,6 +657,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG 4:2:0 chroma subsampling decodes: MCU interleave + upsampling") {
+    import graft.operators.{ImageCodec, JpegCodec}
+    // 4:2:0 is what the web actually serves. Per-8x8-block flat
+    // r=g=b values: Y is block-flat (DC-only exact), chroma is a
+    // constant 128 (box-average exact, any upsampler agrees) — the
+    // full MCU-interleaved pipeline round-trips bit-exactly
+    val w = 21; val h = 19 // partial MCUs on both axes
+    def flat(x: Int, y: Int) = ((x / 8) * 47 + (y / 8) * 23 + 31) % 256
+    val rgb = Array.tabulate(w * h * 3)(i => flat((i / 3) % w, i / 3 / w))
+    for (restart <- Seq(0, 1)) {
+      val bytes = JpegCodec.encodeJpeg(w, h, 3, rgb,
+        restartEvery = restart, subsample = true)
+      val img = ImageCodec.decode(bytes).get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      assert(img.pixels.toSeq == rgb.toSeq, s"restart=$restart")
+      // the JDK's ImageIO agrees within the IDCT tolerance (constant
+      // chroma makes its fancy upsampling and our nearest agree)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == w)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = flat(x, y)
+        val got = bi.getRGB(x, y) & 0xff
+        assert(math.abs(got - want) <= 1, s"ImageIO at ($x,$y)")
+      }
+    }
+    // 16x16-aligned flat COLOR regions survive 4:2:0 within the
+    // double-conversion tolerance (chroma box-average is exact)
+    val cw = 16; val chh = 16
+    val color = Array.tabulate(cw * chh * 3)(i => (i % 3) match {
+      case 0 => 180; case 1 => 90; case _ => 40 })
+    val cimg = ImageCodec.decode(
+      JpegCodec.encodeJpeg(cw, chh, 3, color, subsample = true)).get
+    assert(cimg.pixels.zip(color).forall { case (a, b) =>
+      math.abs(a - b) <= 2 }, cimg.pixels.take(6).toSeq)
+  }
+
   test("JPEG non-baseline forms refuse by name and degrade to opaque through featurize") {
     import graft.operators.{ImageCodec, JpegCodec}
     val px = Array.tabulate(8 * 8)(i => (i * 3) % 256)
@@ -666,9 +703,9 @@ class MultimodalSpec extends SparkSpec {
     val prog = good.clone(); prog(72) = 0xc2.toByte
     val e1 = intercept[IllegalArgumentException] { ImageCodec.decode(prog) }
     assert(e1.getMessage.contains("progressive"), e1.getMessage)
-    val sub = good.clone(); sub(82) = 0x22.toByte // component sampling
+    val sub = good.clone(); sub(82) = 0x31.toByte // sampling factor 3x1
     val e2 = intercept[IllegalArgumentException] { ImageCodec.decode(sub) }
-    assert(e2.getMessage.contains("subsampling"), e2.getMessage)
+    assert(e2.getMessage.contains("sampling factor"), e2.getMessage)
     val deep = good.clone(); deep(75) = 12.toByte // precision
     val e3 = intercept[IllegalArgumentException] { ImageCodec.decode(deep) }
     assert(e3.getMessage.contains("12-bit"), e3.getMessage)
