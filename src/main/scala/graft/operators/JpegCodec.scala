@@ -8,15 +8,16 @@ package graft.operators
   * zigzag, a full 2-D IDCT, JFIF YCbCr→RGB, and edge-block cropping.
   *
   * Scope (declared, refusing BY NAME outside it — the PNG/GIF
-  * discipline): baseline sequential DCT (SOF0), 8-bit precision,
+  * discipline): baseline sequential DCT (SOF0/SOF1) AND progressive
+  * DCT (SOF2: spectral-selection + successive-approximation scans,
+  * EOB runs, DC/AC refinement per T.81 G.1.2), 8-bit precision,
   * grayscale or three-component color at 4:4:4, 4:2:2, or 4:2:0
   * (MCU-interleaved scan per T.81 A.2.3, nearest-neighbor chroma
-  * upsampling — 4:2:0 is what the web actually serves). Progressive
-  * (SOF2), extended/lossless/arithmetic SOFs, sampling factors past
-  * 2, and 12-bit precision refuse with guidance. That is the honest
-  * pure-JVM cut: everything a baseline web JPEG needs is here with
-  * no codec dependency, and the refusals tell a user exactly what to
-  * re-encode.
+  * upsampling). That covers what the web actually serves — baseline
+  * 4:2:0 and progressive are the two dominant wire forms.
+  * Lossless/arithmetic/hierarchical SOFs, sampling factors past 2,
+  * and 12-bit precision refuse with guidance: the honest pure-JVM
+  * cut, with refusals that tell a user exactly what to re-encode.
   *
   * The encoder exists for the planted-corpus tests (m10): it writes
   * real DQT/DHT/SOF0/SOS segments with a valid canonical Huffman
@@ -390,8 +391,13 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline JPEG to interleaved samples (gray: 1/pixel,
-    * color: RGB 3/pixel). Refuses non-baseline forms by name. */
+  /** Decode a baseline or progressive JPEG to interleaved samples
+    * (gray: 1/pixel, color: RGB 3/pixel). The scan engine is unified:
+    * coefficients accumulate in per-component buffers across scans —
+    * one full-spectrum scan for baseline, DC/AC spectral-selection
+    * and successive-approximation scans (T.81 G.1.2) for progressive
+    * — and dequant + IDCT run once at EOI. Refuses non-DCT forms by
+    * name. */
   def decode(bytes: Array[Byte]): ImageCodec.DecodedImage = {
     require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "JPEG: not a JPEG payload")
@@ -405,21 +411,255 @@ object JpegCodec {
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
     var width = 0; var height = 0; var ncomp = 0
+    var progressive = false
     var compQuant: Array[Int] = null
     var compH: Array[Int] = null; var compV: Array[Int] = null
+    var compIds: Array[Int] = null
+    var maxH = 1; var maxV = 1; var mcusX = 0; var mcusY = 0
+    var planeBX: Array[Int] = null // coefficient-grid blocks per row
+    var trueBX: Array[Int] = null  // non-interleaved scan grid
+    var trueBY: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // raw coefficients, natural order
     var restartInterval = 0
-    var sofSeen = false
-    var result: Array[Array[Int]] = null // planes
-    var resStride: Array[Int] = null     // per-plane row stride
-    var resH: Array[Int] = null          // per-plane x divisor (maxH/h)
-    var resV: Array[Int] = null          // per-plane y divisor (maxV/v)
-    while (result == null) {
+    var scans = 0
+    val pred = new Array[Int](4)
+
+    def parseSof(prog: Boolean): Unit = {
+      u16()
+      val prec = u8()
+      require(prec == 8, s"JPEG: $prec-bit precision is not " +
+        "supported here — re-encode 8-bit")
+      height = u16(); width = u16(); ncomp = u8()
+      require(width > 0 && height > 0 &&
+        width.toLong * height <= (1L << 26),
+        s"JPEG: implausible dimensions ${width}x$height")
+      require(ncomp == 1 || ncomp == 3,
+        s"JPEG: $ncomp components (1 or 3 supported)")
+      progressive = prog
+      compQuant = new Array[Int](ncomp)
+      compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
+      compIds = new Array[Int](ncomp)
+      for (i <- 0 until ncomp) {
+        compIds(i) = u8()
+        val hv = u8()
+        compH(i) = hv >> 4; compV(i) = hv & 0x0f
+        require(compH(i) >= 1 && compH(i) <= 2 &&
+          compV(i) >= 1 && compV(i) <= 2,
+          f"JPEG: sampling factor 0x$hv%02x is not supported " +
+            "here — re-encode 4:4:4, 4:2:2 or 4:2:0")
+        compQuant(i) = u8()
+      }
+      // single-component scans are never MCU-interleaved (T.81
+      // A.2.2): sampling factors are ignored for them
+      if (ncomp == 1) { compH(0) = 1; compV(0) = 1 }
+      maxH = compH.max; maxV = compV.max
+      mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+      mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+      planeBX = Array.tabulate(ncomp)(c => mcusX * compH(c))
+      trueBX = Array.tabulate(ncomp) { c =>
+        val cw = (width * compH(c) + maxH - 1) / maxH
+        (cw + 7) / 8
+      }
+      trueBY = Array.tabulate(ncomp) { c =>
+        val ch = (height * compV(c) + maxV - 1) / maxV
+        (ch + 7) / 8
+      }
+      coefs = Array.tabulate(ncomp)(c =>
+        new Array[Int](planeBX(c) * mcusY * compV(c) * 64))
+    }
+
+    // one entropy-coded scan; returns the stream offset AFTER it
+    def decodeScan(): Unit = {
+      require(coefs != null, "JPEG: SOS before SOF")
+      u16()
+      val ns = u8()
+      require(ns >= 1 && ns <= ncomp, s"JPEG: scan with $ns components")
+      val scanComp = new Array[Int](ns)
+      val dcSel = new Array[Int](ns); val acSel = new Array[Int](ns)
+      for (i <- 0 until ns) {
+        val cid = u8()
+        val ci = compIds.indexOf(cid)
+        require(ci >= 0, s"JPEG: scan references unknown component $cid")
+        scanComp(i) = ci
+        val tt = u8(); dcSel(i) = tt >> 4; acSel(i) = tt & 0x0f
+      }
+      val ss = u8(); val se = u8()
+      val aa = u8(); val ah = aa >> 4; val al = aa & 0x0f
+      if (!progressive)
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          "JPEG: non-baseline scan parameters in a sequential file")
+      else {
+        require(ss <= se && se < 64 && al < 14,
+          s"JPEG: bad spectral selection $ss..$se/$al")
+        if (ss == 0) require(se == 0,
+          "JPEG: progressive scan mixing DC and AC bands")
+        else require(ns == 1,
+          "JPEG: progressive AC scan must be single-component")
+      }
+      val br = new BitReader(bytes, pos)
+      java.util.Arrays.fill(pred, 0)
+      var eobrun = 0
+
+      def block(si: Int, blockIdx: Int): Unit = {
+        val ci = scanComp(si)
+        val cf = coefs(ci)
+        val off = blockIdx * 64
+        if (ss == 0) {
+          val dct = dcTables(dcSel(si))
+          if (ah == 0) { // DC first pass (or baseline)
+            require(dct != null,
+              "JPEG: scan references an undefined Huffman table")
+            val s = dct.decode(br)
+            require(s <= 11, s"JPEG: DC size category $s")
+            pred(ci) += extend(br.bits(s), s)
+            cf(off) = pred(ci) << al
+          } else { // DC refinement: one bit per block
+            if (br.bit() == 1) cf(off) |= 1 << al
+          }
+        }
+        if (se > 0) {
+          val act = acTables(acSel(si))
+          require(act != null,
+            "JPEG: scan references an undefined Huffman table")
+          val from = math.max(ss, 1)
+          if (ah == 0) { // AC first pass (baseline falls here too)
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = from
+              while (k <= se) {
+                val rs = act.decode(br)
+                val r = rs >> 4; val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else { // EOBn: ends this block
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.bits(r)
+                    k = 64
+                  }
+                } else {
+                  k += r
+                  require(k <= se, "JPEG: AC run past block end")
+                  cf(off + zigzag(k)) = extend(br.bits(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else { // AC refinement (T.81 G.1.2.3, libjpeg structure)
+            val p1 = 1 << al; val m1 = -1 << al
+            var k = from
+            if (eobrun == 0) {
+              var toEob = false
+              while (k <= se && !toEob) {
+                val rs = act.decode(br)
+                var r = rs >> 4; val s = rs & 0x0f
+                var newval = 0
+                if (s != 0) {
+                  require(s == 1,
+                    s"JPEG: refinement coefficient size $s")
+                  newval = if (br.bit() == 1) p1 else m1
+                } else if (r != 15) { // EOBn: the CURRENT block's tail
+                  // is handled by the EOB phase below, which also
+                  // decrements — so no -1 here (unlike the first pass)
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += br.bits(r)
+                  toEob = true
+                } // r == 15, s == 0: ZRL — skip 16 zero-history coefs
+                if (!toEob) {
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val c = cf(off + zigzag(k))
+                    if (c != 0) {
+                      if (br.bit() == 1 && (c & p1) == 0)
+                        cf(off + zigzag(k)) =
+                          if (c >= 0) c + p1 else c + m1
+                    } else {
+                      if (r == 0) {
+                        if (newval != 0) cf(off + zigzag(k)) = newval
+                        placed = true
+                      } else r -= 1
+                    }
+                    k += 1
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) { // EOB span: correction bits only
+              while (k <= se) {
+                val c = cf(off + zigzag(k))
+                if (c != 0) {
+                  if (br.bit() == 1 && (c & p1) == 0)
+                    cf(off + zigzag(k)) = if (c >= 0) c + p1 else c + m1
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+        }
+      }
+
+      def restartIfDue(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 &&
+            unit % restartInterval == 0) {
+          require(br.atRestart, "JPEG: missing restart marker at interval")
+          br.skipRestart()
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+
+      if (ns > 1) { // MCU-interleaved
+        var mcu = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            restartIfDue(mcu)
+            var si = 0
+            while (si < ns) {
+              val ci = scanComp(si)
+              val h = compH(ci); val v = compV(ci)
+              var sub = 0
+              while (sub < h * v) {
+                val bx = mx * h + sub % h
+                val byk = my * v + sub / h
+                block(si, byk * planeBX(ci) + bx)
+                sub += 1
+              }
+              si += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: the component's own block raster
+        val ci = scanComp(0)
+        var n = 0
+        var by = 0
+        while (by < trueBY(ci)) {
+          var bx = 0
+          while (bx < trueBX(ci)) {
+            restartIfDue(n)
+            block(0, by * planeBX(ci) + bx)
+            n += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      pos = br.pos // padding bits of the last byte are discarded
+      scans += 1
+    }
+
+    var done = false
+    while (!done) {
       require(u8() == 0xff, "JPEG: expected a marker")
       var m = u8()
       while (m == 0xff) m = u8() // fill bytes
       m match {
-        case 0xd9 => throw new IllegalArgumentException(
-          "JPEG: EOI before scan data")
+        case 0xd9 =>
+          require(scans > 0, "JPEG: EOI before any scan data")
+          done = true
         case 0xdb => // DQT
           val end = pos + u16() - 2
           while (pos < end) {
@@ -444,133 +684,17 @@ object JpegCodec {
             val t = new HuffTable(bits, vals)
             if (cls == 0) dcTables(id) = t else acTables(id) = t
           }
-        case 0xc0 | 0xc1 => // SOF0 baseline (C1 extended-seq, 8-bit ok)
-          u16()
-          val prec = u8()
-          require(prec == 8, s"JPEG: $prec-bit precision is not " +
-            "supported here — re-encode 8-bit baseline")
-          height = u16(); width = u16(); ncomp = u8()
-          require(width > 0 && height > 0 &&
-            width.toLong * height <= (1L << 26),
-            s"JPEG: implausible dimensions ${width}x$height")
-          require(ncomp == 1 || ncomp == 3,
-            s"JPEG: $ncomp components (1 or 3 supported)")
-          compQuant = new Array[Int](ncomp)
-          compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
-          for (i <- 0 until ncomp) {
-            u8() // component id
-            val hv = u8()
-            compH(i) = hv >> 4; compV(i) = hv & 0x0f
-            require(compH(i) >= 1 && compH(i) <= 2 &&
-              compV(i) >= 1 && compV(i) <= 2,
-              f"JPEG: sampling factor 0x$hv%02x is not supported " +
-                "here — re-encode 4:4:4, 4:2:2 or 4:2:0 baseline")
-            compQuant(i) = u8()
-          }
-          // single-component scans are never MCU-interleaved (T.81
-          // A.2.2): sampling factors are ignored for them
-          if (ncomp == 1) { compH(0) = 1; compV(0) = 1 }
-          sofSeen = true
-        case 0xc2 => throw new IllegalArgumentException(
-          "JPEG: progressive DCT (SOF2) is not supported here — " +
-            "re-encode baseline sequential")
+        case 0xc0 | 0xc1 => parseSof(prog = false)
+        case 0xc2 => parseSof(prog = true)
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf => throw new IllegalArgumentException(
           f"JPEG: SOF 0x$m%02x (lossless/arithmetic/hierarchical) " +
-            "is not supported here — re-encode baseline sequential")
+            "is not supported here — re-encode baseline or progressive")
         case 0xdd => // DRI
           require(u16() == 4, "JPEG: bad DRI length")
           restartInterval = u16()
-        case 0xda => // SOS
-          require(sofSeen, "JPEG: SOS before SOF")
-          u16()
-          val ns = u8()
-          require(ns == ncomp, s"JPEG: scan components $ns != $ncomp " +
-            "(multi-scan files are not supported here)")
-          val dcSel = new Array[Int](ncomp)
-          val acSel = new Array[Int](ncomp)
-          for (i <- 0 until ncomp) {
-            u8(); val tt = u8(); dcSel(i) = tt >> 4; acSel(i) = tt & 0x0f
-          }
-          u8(); u8(); u8() // Ss/Se/Ah-Al (fixed in baseline)
-          // MCU-interleaved scan (T.81 A.2.3): each MCU carries
-          // h_i x v_i blocks per component; 4:4:4 degenerates to one
-          // block each, 4:2:0 to 4 luma + 1 of each chroma
-          val maxH = compH.max; val maxV = compV.max
-          val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
-          val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
-          val strideOf = Array.tabulate(ncomp)(c => mcusX * compH(c) * 8)
-          val planes = Array.tabulate(ncomp)(c =>
-            new Array[Int](strideOf(c) * mcusY * compV(c) * 8))
-          val br = new BitReader(bytes, pos)
-          val pred = new Array[Int](ncomp)
-          var mcu = 0
-          var my = 0
-          while (my < mcusY) {
-            var mx = 0
-            while (mx < mcusX) {
-              if (restartInterval > 0 && mcu > 0 &&
-                  mcu % restartInterval == 0) {
-                require(br.atRestart,
-                  "JPEG: missing restart marker at interval")
-                br.skipRestart()
-                java.util.Arrays.fill(pred, 0)
-              }
-              var comp = 0
-              while (comp < ncomp) {
-                val dct = dcTables(dcSel(comp))
-                val act = acTables(acSel(comp))
-                require(dct != null && act != null,
-                  "JPEG: scan references an undefined Huffman table")
-                val qt = quant(compQuant(comp))
-                require(qt != null,
-                  "JPEG: component references an undefined quant table")
-                var sub = 0
-                while (sub < compH(comp) * compV(comp)) {
-                  val coef = new Array[Int](64)
-                  val s = dct.decode(br)
-                  require(s <= 11, s"JPEG: DC size category $s")
-                  pred(comp) += extend(br.bits(s), s)
-                  coef(0) = pred(comp) * qt(0)
-                  var z = 1
-                  while (z < 64) {
-                    val rs = act.decode(br)
-                    if (rs == 0x00) z = 64 // EOB
-                    else if (rs == 0xf0) z += 16 // ZRL
-                    else {
-                      z += rs >> 4
-                      require(z < 64, "JPEG: AC run past block end")
-                      val sz = rs & 0x0f
-                      coef(zigzag(z)) =
-                        extend(br.bits(sz), sz) * qt(zigzag(z))
-                      z += 1
-                    }
-                  }
-                  val px8 = idct(coef)
-                  val plane = planes(comp)
-                  val stride = strideOf(comp)
-                  val bx = mx * compH(comp) + sub % compH(comp)
-                  val byk = my * compV(comp) + sub / compH(comp)
-                  var i = 0
-                  while (i < 64) {
-                    plane((byk * 8 + i / 8) * stride + bx * 8 + i % 8) =
-                      px8(i)
-                    i += 1
-                  }
-                  sub += 1
-                }
-                comp += 1
-              }
-              mcu += 1
-              mx += 1
-            }
-            my += 1
-          }
-          result = planes
-          resStride = strideOf
-          resH = compH.map(h => maxH / h); resV = compV.map(v => maxV / v)
-        case 0xd8 => throw new IllegalArgumentException(
-          "JPEG: nested SOI")
+        case 0xda => decodeScan()
+        case 0xd8 => throw new IllegalArgumentException("JPEG: nested SOI")
         case _ => // APPn/COM/other tables: skip by declared length
           val len = u16()
           require(len >= 2 && pos + len - 2 <= bytes.length,
@@ -578,8 +702,40 @@ object JpegCodec {
           pos += len - 2
       }
     }
+    // dequantize + IDCT every block of every component plane
+    val result = new Array[Array[Int]](ncomp)
+    val resStride = new Array[Int](ncomp)
+    val resH = new Array[Int](ncomp); val resV = new Array[Int](ncomp)
+    var ci = 0
+    while (ci < ncomp) {
+      val qt = quant(compQuant(ci))
+      require(qt != null,
+        "JPEG: component references an undefined quant table")
+      val bX = planeBX(ci); val bY = mcusY * compV(ci)
+      val stride = bX * 8
+      val plane = new Array[Int](stride * bY * 8)
+      val cf = coefs(ci)
+      val dq = new Array[Int](64)
+      var b = 0
+      while (b < bX * bY) {
+        var i = 0
+        while (i < 64) { dq(i) = cf(b * 64 + i) * qt(i); i += 1 }
+        val px8 = idct(dq)
+        val bx = b % bX; val byk = b / bX
+        i = 0
+        while (i < 64) {
+          plane((byk * 8 + i / 8) * stride + bx * 8 + i % 8) = px8(i)
+          i += 1
+        }
+        b += 1
+      }
+      result(ci) = plane
+      resStride(ci) = stride
+      resH(ci) = maxH / compH(ci); resV(ci) = maxV / compV(ci)
+      ci += 1
+    }
     // sample each plane at full resolution (nearest-neighbor chroma
-    // upsampling for subsampled components — resH/resV divisors)
+    // upsampling for subsampled components)
     def sample(c: Int, x: Int, y: Int): Int =
       result(c)((y / resV(c)) * resStride(c) + x / resH(c))
     if (ncomp == 1) {

@@ -694,15 +694,80 @@ class MultimodalSpec extends SparkSpec {
       math.abs(a - b) <= 2 }, cimg.pixels.take(6).toSeq)
   }
 
+  test("progressive JPEG decodes: spectral selection, refinement scans, EOB runs") {
+    import graft.operators.ImageCodec
+    import java.awt.image.BufferedImage
+    // the JDK's writer emits real multi-scan progressive files
+    // (spectral selection + successive approximation) — decode them
+    // and judge against ImageIO's own read of the same bytes (±1)
+    def writeProgressive(bi: BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    def isSof2(b: Array[Byte]): Boolean =
+      b.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    val w = 29; val h = 23
+    // gray: full AC spectrum, partial blocks
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (x * 13 + y * 31 + x * y) % 256)
+    val gb = writeProgressive(gray)
+    assert(isSof2(gb), "JDK writer did not emit SOF2")
+    val mine = ImageCodec.decode(gb).get
+    assert(mine.width == w && mine.height == h && mine.channels == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gb))
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = mine.pixels(y * w + x)
+      val b = ref.getRaster.getSample(x, y, 0)
+      assert(math.abs(a - b) <= 1, s"progressive gray at ($x,$y): $a vs $b")
+    }
+    // color (gray-valued RGB keeps chroma constant, so our nearest
+    // upsampling and ImageIO's fancy one agree if it subsamples)
+    val rgb = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 17) % 256
+      rgb.setRGB(x, y, 0xff000000 | (v << 16) | (v << 8) | v)
+    }
+    val cb = writeProgressive(rgb)
+    assert(isSof2(cb), "JDK writer did not emit SOF2 for color")
+    val mc = ImageCodec.decode(cb).get
+    assert(mc.width == w && mc.height == h && mc.channels == 3)
+    val rc = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cb))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val a = mc.pixels((y * w + x) * 3 + c)
+      val b = (rc.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    assert(maxDiff <= 2, s"progressive color max diff $maxDiff")
+  }
+
   test("JPEG non-baseline forms refuse by name and degrade to opaque through featurize") {
     import graft.operators.{ImageCodec, JpegCodec}
     val px = Array.tabulate(8 * 8)(i => (i * 3) % 256)
     val good = JpegCodec.encodeJpeg(8, 8, 1, px)
     // layout: SOI(2) + DQT(2+2+1+64=69) puts the SOF0 marker at 71
     assert((good(71) & 0xff) == 0xff && (good(72) & 0xff) == 0xc0)
+    // a baseline scan re-labeled SOF2 is CORRUPT progressive (its
+    // single scan spans DC and AC bands) — refused with the reason
     val prog = good.clone(); prog(72) = 0xc2.toByte
     val e1 = intercept[IllegalArgumentException] { ImageCodec.decode(prog) }
-    assert(e1.getMessage.contains("progressive"), e1.getMessage)
+    assert(e1.getMessage.contains("mixing DC and AC"), e1.getMessage)
+    // lossless SOF3 refuses by name
+    val lossless = good.clone(); lossless(72) = 0xc3.toByte
+    val e1b = intercept[IllegalArgumentException] {
+      ImageCodec.decode(lossless)
+    }
+    assert(e1b.getMessage.contains("lossless"), e1b.getMessage)
     val sub = good.clone(); sub(82) = 0x31.toByte // sampling factor 3x1
     val e2 = intercept[IllegalArgumentException] { ImageCodec.decode(sub) }
     assert(e2.getMessage.contains("sampling factor"), e2.getMessage)
