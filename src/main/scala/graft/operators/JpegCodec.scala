@@ -391,6 +391,81 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Parse an Exif APP1 payload (TIFF IFD0) for the orientation tag
+    * (0x0112). Returns None when absent or malformed — orientation is
+    * advisory metadata; a bad Exif block must never kill a decode. */
+  private def exifOrientation(bytes: Array[Byte], off: Int,
+      len: Int): Option[Int] = {
+    if (len < 14 || bytes(off) != 'E' || bytes(off + 1) != 'x' ||
+        bytes(off + 2) != 'i' || bytes(off + 3) != 'f' ||
+        bytes(off + 4) != 0 || bytes(off + 5) != 0) return None
+    val t = off + 6 // TIFF header start
+    val little = bytes(t) == 'I' && bytes(t + 1) == 'I'
+    val big = bytes(t) == 'M' && bytes(t + 1) == 'M'
+    if (!little && !big) return None
+    def u16(p: Int): Int =
+      if (p + 1 >= off + len) -1
+      else if (little) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (p + 3 >= off + len) -1L
+      else if (little) (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+      else ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    if (u16(t + 2) != 42) return None
+    val ifd = u32(t + 4)
+    if (ifd < 0 || t + ifd + 2 > off + len) return None
+    val n = u16((t + ifd).toInt + 0)
+    if (n < 0) return None
+    var i = 0
+    while (i < n) {
+      val e = (t + ifd).toInt + 2 + i * 12
+      if (e + 12 > off + len) return None
+      if (u16(e) == 0x0112 && u16(e + 2) == 3) {
+        val v = u16(e + 8)
+        return if (v >= 1 && v <= 8) Some(v) else None
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Apply an Exif orientation (1..8) to an interleaved raster,
+    * returning (width, height, pixels) as DISPLAYED. */
+  private def orient(w: Int, h: Int, ch: Int, px: Array[Int],
+      o: Int): (Int, Int, Array[Int]) = {
+    if (o <= 1) return (w, h, px)
+    val swap = o >= 5 // 5..8 transpose the axes
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Int](px.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        // source coordinate in the STORED raster for display pixel (x,y)
+        val (sx, sy) = o match {
+          case 2 => (ow - 1 - x, y)          // mirror horizontal
+          case 3 => (ow - 1 - x, oh - 1 - y) // rotate 180
+          case 4 => (x, oh - 1 - y)          // mirror vertical
+          case 5 => (y, x)                   // transpose
+          case 6 => (y, h - 1 - x)           // rotate 90 CW to display
+          case 7 => (w - 1 - y, h - 1 - x)   // transverse
+          case _ => (w - 1 - y, x)           // 8: rotate 90 CCW
+        }
+        var c = 0
+        while (c < ch) {
+          out((y * ow + x) * ch + c) = px((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
   /** Decode a baseline or progressive JPEG to interleaved samples
     * (gray: 1/pixel, color: RGB 3/pixel). The scan engine is unified:
     * coefficients accumulate in per-component buffers across scans —
@@ -422,6 +497,7 @@ object JpegCodec {
     var coefs: Array[Array[Int]] = null // raw coefficients, natural order
     var restartInterval = 0
     var scans = 0
+    var orientation = 1
     val pred = new Array[Int](4)
 
     def parseSof(prog: Boolean): Unit = {
@@ -695,6 +771,13 @@ object JpegCodec {
           restartInterval = u16()
         case 0xda => decodeScan()
         case 0xd8 => throw new IllegalArgumentException("JPEG: nested SOI")
+        case 0xe1 => // APP1: Exif — read the orientation tag, skip rest
+          val len = u16()
+          require(len >= 2 && pos + len - 2 <= bytes.length,
+            "JPEG: truncated APP1 segment")
+          orientation = exifOrientation(bytes, pos, len - 2)
+            .getOrElse(orientation)
+          pos += len - 2
         case _ => // APPn/COM/other tables: skip by declared length
           val len = u16()
           require(len >= 2 && pos + len - 2 <= bytes.length,
@@ -748,7 +831,8 @@ object JpegCodec {
         }
         y += 1
       }
-      ImageCodec.DecodedImage("image/jpeg", width, height, 1, out)
+      val (ow, oh, op) = orient(width, height, 1, out, orientation)
+      ImageCodec.DecodedImage("image/jpeg", ow, oh, 1, op)
     } else {
       val out = new Array[Int](width * height * 3)
       var y = 0
@@ -769,7 +853,8 @@ object JpegCodec {
         }
         y += 1
       }
-      ImageCodec.DecodedImage("image/jpeg", width, height, 3, out)
+      val (ow, oh, op) = orient(width, height, 3, out, orientation)
+      ImageCodec.DecodedImage("image/jpeg", ow, oh, 3, op)
     }
   }
 }

@@ -751,6 +751,60 @@ class MultimodalSpec extends SparkSpec {
     assert(maxDiff <= 2, s"progressive color max diff $maxDiff")
   }
 
+  test("JPEG honors Exif orientation: rotated phone photos decode upright") {
+    import graft.operators.{ImageCodec, JpegCodec}
+    // 16x8, two flat blocks: left = 40, right = 200 — block-flat so
+    // the codec round-trip is exact and the rotation is visible
+    val w = 16; val h = 8
+    val px = Array.tabulate(w * h)(i => if (i % w < 8) 40 else 200)
+    val plain = JpegCodec.encodeJpeg(w, h, 1, px)
+    def withExif(orientation: Int, bigEndian: Boolean): Array[Byte] = {
+      val tiff =
+        if (!bigEndian)
+          Array[Int]('I', 'I', 0x2a, 0, 8, 0, 0, 0, // LE header, IFD@8
+            1, 0, // one entry
+            0x12, 0x01, 3, 0, 1, 0, 0, 0, orientation, 0, 0, 0,
+            0, 0, 0, 0).map(_.toByte)
+        else
+          Array[Int]('M', 'M', 0, 0x2a, 0, 0, 0, 8,
+            0, 1,
+            0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, orientation, 0, 0,
+            0, 0, 0, 0).map(_.toByte)
+      val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+      val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+        ((payload.length + 2) >> 8).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+      plain.take(2) ++ app1 ++ plain.drop(2) // splice after SOI
+    }
+    // orientation 1: unchanged
+    val o1 = ImageCodec.decode(withExif(1, bigEndian = false)).get
+    assert(o1.width == 16 && o1.pixels.toSeq == px.toSeq)
+    // orientation 6 (rotate 90 CW to display): stored LEFT block
+    // becomes the displayed TOP block, dims swap — both endiannesses
+    for (be <- Seq(false, true)) {
+      val o6 = ImageCodec.decode(withExif(6, bigEndian = be)).get
+      assert(o6.width == 8 && o6.height == 16, s"be=$be")
+      val want = Array.tabulate(8 * 16)(i => if (i / 8 < 8) 40 else 200)
+      assert(o6.pixels.toSeq == want.toSeq, s"be=$be")
+    }
+    // orientation 2 (mirror horizontal): blocks swap sides
+    val o2 = ImageCodec.decode(withExif(2, bigEndian = false)).get
+    assert(o2.width == 16 && o2.height == 8)
+    assert(o2.pixels.toSeq ==
+      Array.tabulate(w * h)(i => if (i % w < 8) 200 else 40).toSeq)
+    // orientation 8 (rotate 90 CCW): stored LEFT block -> displayed
+    // BOTTOM block
+    val o8 = ImageCodec.decode(withExif(8, bigEndian = false)).get
+    assert(o8.width == 8 && o8.height == 16)
+    assert(o8.pixels.toSeq ==
+      Array.tabulate(8 * 16)(i => if (i / 8 < 8) 200 else 40).toSeq)
+    // a malformed Exif block is advisory: ignored, never fatal
+    val junk = withExif(6, bigEndian = false)
+    junk(8) = 'X'.toByte // corrupt the "Exif" signature
+    val oj = ImageCodec.decode(junk).get
+    assert(oj.width == 16 && oj.pixels.toSeq == px.toSeq)
+  }
+
   test("JPEG non-baseline forms refuse by name and degrade to opaque through featurize") {
     import graft.operators.{ImageCodec, JpegCodec}
     val px = Array.tabulate(8 * 8)(i => (i * 3) % 256)
