@@ -1,11 +1,11 @@
 package graft.operators
 
-/** Pure-JVM baseline JPEG codec (ITU-T T.81 / ISO 10918-1, the
-  * container that dominates real web image corpora), so the
-  * multimodal featurizer's JPEG decode is REAL: marker segment walk,
-  * DQT/DHT table parsing, Huffman entropy decode with byte
-  * unstuffing and restart markers, DC prediction, dequantization,
-  * zigzag, a full 2-D IDCT, JFIF YCbCr→RGB, and edge-block cropping.
+/** Pure-JVM JPEG codec (ITU-T T.81 / ISO 10918-1, the container that
+  * dominates real web image corpora), so the multimodal featurizer's
+  * JPEG decode is REAL: marker segment walk, DQT/DHT table parsing,
+  * Huffman entropy decode with byte unstuffing and restart markers,
+  * DC prediction, dequantization, zigzag, a full 2-D IDCT, JFIF
+  * YCbCr→RGB, Exif orientation, and edge-block cropping.
   *
   * Scope (declared, refusing BY NAME outside it — the PNG/GIF
   * discipline): baseline sequential DCT (SOF0/SOF1) AND progressive
