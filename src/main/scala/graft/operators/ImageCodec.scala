@@ -39,7 +39,11 @@ object ImageCodec {
 
   // ---------- BMP (24bpp BI_RGB) ----------
 
-  private def rowStride(width: Int): Int = ((width * 3) + 3) & ~3
+  /** 24bpp DIB row stride (4-byte aligned) — shared with VideoCodec's
+    * AVI frames, which carry the identical raster layout. */
+  private[operators] def bmpRowStride(width: Int): Int =
+    ((width * 3) + 3) & ~3
+  private def rowStride(width: Int): Int = bmpRowStride(width)
 
   /** 24bpp bottom-up BMP file size for given dimensions. */
   def bmpSize(width: Int, height: Int): Int =
@@ -360,6 +364,10 @@ object ImageCodec {
   // frozen dictionary at 4096), and the 4-pass interlace row order.
   // Animated GIFs (a second image descriptor) refuse BY NAME with
   // guidance — frame streams belong to the video path (m07).
+
+  /** GIF magic sniff — shared with VideoCodec's dispatch. */
+  private[operators] def isGif(bytes: Array[Byte]): Boolean =
+    gifMagic(bytes)
 
   private def gifMagic(bytes: Array[Byte]): Boolean =
     bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&

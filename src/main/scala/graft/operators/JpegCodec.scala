@@ -81,27 +81,41 @@ object JpegCodec {
   }
 
   /** Inverse 2-D DCT of one dequantized coefficient block; returns
-    * clamped 0..255 samples. */
+    * clamped 0..255 samples. Separable (row pass then column pass) —
+    * 2·8 one-dimensional transforms instead of the naive 64×64 sum,
+    * 4x fewer multiply-adds in the per-partition decode hot path.
+    * Flat (DC-only) blocks stay bit-exact: the row pass leaves only
+    * v = 0 nonzero and the column pass reduces to c/8 exactly. */
   private def idct(coef: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64) // tmp(v*8+x): rows transformed
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val c = coef(v * 8 + u)
+          if (c != 0)
+            s += (if (u == 0) invSqrt2 else 1.0) * c * cos(x * 8 + u)
+          u += 1
+        }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var s = 0.0
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            val c = coef(v * 8 + u)
-            if (c != 0) {
-              val cu = if (u == 0) invSqrt2 else 1.0
-              val cv = if (v == 0) invSqrt2 else 1.0
-              s += cu * cv * c * cos(x * 8 + u) * cos(y * 8 + v)
-            }
-            u += 1
-          }
-          v += 1
+        var vv = 0
+        while (vv < 8) {
+          s += (if (vv == 0) invSqrt2 else 1.0) * tmp(vv * 8 + x) *
+            cos(y * 8 + vv)
+          vv += 1
         }
         val p = math.round(0.25 * s).toInt + 128
         out(y * 8 + x) = math.max(0, math.min(255, p))
@@ -498,6 +512,7 @@ object JpegCodec {
     var restartInterval = 0
     var scans = 0
     var orientation = 1
+    var adobeTransform = -1 // APP14: 0 = RGB stored directly
     val pred = new Array[Int](4)
 
     def parseSof(prog: Boolean): Unit = {
@@ -524,6 +539,8 @@ object JpegCodec {
           f"JPEG: sampling factor 0x$hv%02x is not supported " +
             "here — re-encode 4:4:4, 4:2:2 or 4:2:0")
         compQuant(i) = u8()
+        require(compQuant(i) <= 3,
+          s"JPEG: quant table selector ${compQuant(i)} out of range")
       }
       // single-component scans are never MCU-interleaved (T.81
       // A.2.2): sampling factors are ignored for them
@@ -558,6 +575,8 @@ object JpegCodec {
         require(ci >= 0, s"JPEG: scan references unknown component $cid")
         scanComp(i) = ci
         val tt = u8(); dcSel(i) = tt >> 4; acSel(i) = tt & 0x0f
+        require(dcSel(i) <= 3 && acSel(i) <= 3,
+          s"JPEG: Huffman table selector byte $tt out of range")
       }
       val ss = u8(); val se = u8()
       val aa = u8(); val ah = aa >> 4; val al = aa & 0x0f
@@ -778,6 +797,15 @@ object JpegCodec {
           orientation = exifOrientation(bytes, pos, len - 2)
             .getOrElse(orientation)
           pos += len - 2
+        case 0xee => // APP14: Adobe — the color-transform declaration
+          val len = u16()
+          require(len >= 2 && pos + len - 2 <= bytes.length,
+            "JPEG: truncated APP14 segment")
+          if (len - 2 >= 12 && bytes(pos) == 'A' && bytes(pos + 1) == 'd' &&
+              bytes(pos + 2) == 'o' && bytes(pos + 3) == 'b' &&
+              bytes(pos + 4) == 'e')
+            adobeTransform = bytes(pos + 11) & 0xff
+          pos += len - 2
         case _ => // APPn/COM/other tables: skip by declared length
           val len = u16()
           require(len >= 2 && pos + len - 2 <= bytes.length,
@@ -834,21 +862,31 @@ object JpegCodec {
       val (ow, oh, op) = orient(width, height, 1, out, orientation)
       ImageCodec.DecodedImage("image/jpeg", ow, oh, 1, op)
     } else {
+      // Adobe APP14 transform 0 declares the components are stored as
+      // RGB directly — applying the YCbCr matrix there would silently
+      // mis-decode (libjpeg honors the same flag)
+      val storedRgb = adobeTransform == 0
       val out = new Array[Int](width * height * 3)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          val yy = sample(0, x, y)
-          val cb = sample(1, x, y) - 128
-          val cr = sample(2, x, y) - 128
           val base = (y * width + x) * 3
-          out(base) = math.max(0, math.min(255,
-            math.round(yy + 1.402 * cr).toInt))
-          out(base + 1) = math.max(0, math.min(255,
-            math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt))
-          out(base + 2) = math.max(0, math.min(255,
-            math.round(yy + 1.772 * cb).toInt))
+          if (storedRgb) {
+            out(base) = sample(0, x, y)
+            out(base + 1) = sample(1, x, y)
+            out(base + 2) = sample(2, x, y)
+          } else {
+            val yy = sample(0, x, y)
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
+            out(base) = math.max(0, math.min(255,
+              math.round(yy + 1.402 * cr).toInt))
+            out(base + 1) = math.max(0, math.min(255,
+              math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt))
+            out(base + 2) = math.max(0, math.min(255,
+              math.round(yy + 1.772 * cb).toInt))
+          }
           x += 1
         }
         y += 1

@@ -41,7 +41,7 @@ object VideoCodec {
 
   private val riffMagic = "RIFF".getBytes("US-ASCII")
 
-  private def rowStride(width: Int): Int = ((width * 3) + 3) & ~3
+  private def rowStride(width: Int): Int = ImageCodec.bmpRowStride(width)
 
   private def fourCC(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
@@ -142,9 +142,7 @@ object VideoCodec {
     // featurizer treats a GIF as a still and refuses animation; HERE
     // the full GIF89a animation model composites to canvas snapshots
     // (ImageCodec.decodeGifFrames — disposal, transparency, sub-rect)
-    if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
-        bytes(2) == 'F' && bytes(3) == '8' &&
-        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+    if (ImageCodec.isGif(bytes))
       return Some(ImageCodec.decodeGifFrames(bytes))
     if (bytes.length < 12 ||
         !riffMagic.indices.forall(i => bytes(i) == riffMagic(i)) ||
@@ -178,28 +176,42 @@ object VideoCodec {
     var usPerFrame = 0
     var width = 0; var height = 0; var topDown = false
     var strfSeen = false
+    var streamIsVideo = false // set by the current strl's strh
     var frames = List.empty[DecodedFrame]
     var frameIdx = 0
 
-    def walkChunks(end: Int, inMovi: Boolean, inHdrl: Boolean): Unit = {
+    def walkChunks(end: Int, inMovi: Boolean, inHdrl: Boolean,
+        depth: Int): Unit = {
+      require(depth <= 32,
+        "AVI: chunk nesting deeper than 32 levels — hostile container")
       while (bb.position() + 8 <= end) {
         val id = new Array[Byte](4); bb.get(id)
         val idStr = new String(id, "US-ASCII")
         val size = bb.getInt()
         require(size >= 0 && bb.position().toLong + size <= bytes.length,
           s"AVI: chunk '$idStr' declares $size bytes past end of file")
-        val next = bb.position() + size + size % 2
+        // RIFF pads odd chunks, but the pad is absent when the final
+        // chunk ends exactly at EOF — clamp instead of refusing
+        val next = math.min(bb.position().toLong + size + size % 2,
+          bytes.length.toLong).toInt
         idStr match {
           case "LIST" =>
             require(size >= 4, s"AVI: LIST chunk of $size bytes")
             val form = new Array[Byte](4); bb.get(form)
             val formStr = new String(form, "US-ASCII")
             formStr match {
-              case "hdrl" => walkChunks(bb.position() + size - 4, inMovi = false, inHdrl = true)
-              case "strl" if inHdrl => walkChunks(bb.position() + size - 4, inMovi = false, inHdrl = true)
+              case "hdrl" => walkChunks(bb.position() + size - 4,
+                inMovi = false, inHdrl = true, depth + 1)
+              case "strl" if inHdrl => walkChunks(bb.position() + size - 4,
+                inMovi = false, inHdrl = true, depth + 1)
               case "movi" =>
                 require(strfSeen, "AVI: movi list before the stream format header")
-                walkChunks(bb.position() + size - 4, inMovi = true, inHdrl = false)
+                walkChunks(bb.position() + size - 4,
+                  inMovi = true, inHdrl = false, depth + 1)
+              case "rec " if inMovi => // interleaved-AVI record group:
+                // frame chunks live INSIDE these in capture files
+                walkChunks(bb.position() + size - 4,
+                  inMovi = true, inHdrl = false, depth + 1)
               case _ => // INFO etc: skip
             }
           case "avih" =>
@@ -211,7 +223,8 @@ object VideoCodec {
             require(size >= 8, s"AVI: strh is $size bytes, need >= 8")
             val typ = new Array[Byte](4); bb.get(typ)
             val typStr = new String(typ, "US-ASCII")
-            if (typStr == "vids") {
+            streamIsVideo = typStr == "vids"
+            if (streamIsVideo) {
               val handler = new Array[Byte](4); bb.get(handler)
               val h = new String(handler, "US-ASCII")
               require(h == "DIB " || h == "RAW " || handler.forall(_ == 0), {
@@ -220,8 +233,10 @@ object VideoCodec {
                   "transcode or extend the codec"
               })
             }
-          case "strf" =>
-            // BITMAPINFOHEADER — the same header BMP carries
+          case "strf" if streamIsVideo =>
+            // BITMAPINFOHEADER — the same header BMP carries. Audio
+            // streams' strf (WAVEFORMATEX) is skipped by the guard:
+            // an AVI with a PCM track alongside raw DIB video decodes
             require(size >= 40, s"AVI: strf is $size bytes, need >= 40")
             val start = bb.position()
             val biSize = bb.getInt()
@@ -278,7 +293,8 @@ object VideoCodec {
       }
     }
 
-    walkChunks(math.min(bytes.length, 8 + riffSize), inMovi = false, inHdrl = false)
+    walkChunks(math.min(bytes.length, 8 + riffSize),
+      inMovi = false, inHdrl = false, depth = 0)
     require(strfSeen, "AVI: no vids stream format (strf) header")
     require(frames.nonEmpty, "AVI: no frame chunks in movi")
     DecodedVideo("video/avi", width, height, usPerFrame,

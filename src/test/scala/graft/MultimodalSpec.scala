@@ -805,6 +805,119 @@ class MultimodalSpec extends SparkSpec {
     assert(oj.width == 16 && oj.pixels.toSeq == px.toSeq)
   }
 
+  test("JPEG hostile table selectors refuse as IAE; Adobe APP14 RGB decodes directly") {
+    import graft.operators.{ImageCodec, JpegCodec}
+    val px = Array.tabulate(8 * 8)(i => (i * 3) % 256)
+    val good = JpegCodec.encodeJpeg(8, 8, 1, px)
+    // SOF quant selector >= 4 must refuse loudly (IAE, not an
+    // ArrayIndexOutOfBounds that would kill the Spark task)
+    val badQ = good.clone(); badQ(83) = 9.toByte // component Tq
+    val e1 = intercept[IllegalArgumentException] { ImageCodec.decode(badQ) }
+    assert(e1.getMessage.contains("quant table selector"), e1.getMessage)
+    // SOS Huffman selector >= 4 likewise (SOS comp entry: the byte
+    // after the component id; locate SOS by marker scan)
+    val sosAt = good.indices.dropRight(1)
+      .find(i => (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val badH = good.clone(); badH(sosAt + 6) = 0xf0.toByte // Td=15
+    val e2 = intercept[IllegalArgumentException] { ImageCodec.decode(badH) }
+    assert(e2.getMessage.contains("Huffman table selector"), e2.getMessage)
+    // Adobe APP14 transform=0: components are stored RGB — the YCbCr
+    // matrix must NOT be applied. r=g=b planted color encodes to
+    // Y=v, Cb=Cr=128; with APP14 spliced the decode returns those
+    // component values directly
+    val w = 16; val h = 8
+    val rgb = Array.tabulate(w * h * 3)(i =>
+      if ((i / 3) % w < 8) 40 else 200)
+    val color = JpegCodec.encodeJpeg(w, h, 3, rgb)
+    val adobe = Array[Byte](0xff.toByte, 0xee.toByte, 0, 14) ++
+      "Adobe".getBytes ++ Array[Byte](0, 100, 0, 0, 0, 0, 0) // transform 0
+    val spliced = color.take(2) ++ adobe ++ color.drop(2)
+    val img = ImageCodec.decode(spliced).get
+    assert(img.channels == 3)
+    for (p <- 0 until w * h) {
+      val v = if (p % w < 8) 40 else 200
+      assert(img.pixels(p * 3) == v, s"R at $p")       // component 0 = Y = v
+      assert(img.pixels(p * 3 + 1) == 128, s"G at $p") // component 1 = Cb
+      assert(img.pixels(p * 3 + 2) == 128, s"B at $p") // component 2 = Cr
+    }
+  }
+
+  test("AVI review hardening: rec groups, audio streams, deep nesting, unpadded tail") {
+    import graft.operators.{Multimodal, VideoCodec}
+    val w = 4; val h = 2
+    val f0 = Array.tabulate(w * h * 3)(i => (i * 11) % 256)
+    val f1 = f0.map(v => (v + 7) % 256)
+    val plain = VideoCodec.encodeAvi(w, h, 40000, Array(f0, f1))
+    val base = VideoCodec.decode(plain).get
+    assert(base.frames.length == 2)
+    def patchInt(b: Array[Byte], off: Int, v: Int): Unit =
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(off, v)
+    def getInt(b: Array[Byte], off: Int): Int =
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .getInt(off)
+    // 1. interleaved capture layout: frames wrapped in LIST 'rec '
+    //    groups inside movi must still decode
+    val moviAt = plain.indices.sliding(1).flatten
+      .find(i => i + 12 <= plain.length &&
+        new String(plain.slice(i, i + 4)) == "LIST" &&
+        new String(plain.slice(i + 8, i + 12)) == "movi").get
+    val framesStart = moviAt + 12
+    val framesBytes = plain.length - framesStart
+    val rec = new java.io.ByteArrayOutputStream()
+    rec.write(plain, 0, framesStart)
+    rec.write("LIST".getBytes)
+    rec.write(Array[Byte](0, 0, 0, 0)); rec.write("rec ".getBytes)
+    rec.write(plain, framesStart, framesBytes)
+    val recBytes = rec.toByteArray
+    patchInt(recBytes, framesStart + 4, 4 + framesBytes) // rec size
+    patchInt(recBytes, moviAt + 4, getInt(plain, moviAt + 4) + 12)
+    patchInt(recBytes, 4, getInt(plain, 4) + 12) // RIFF size
+    val viaRec = VideoCodec.decode(recBytes).get
+    assert(viaRec.frames.length == 2 &&
+      viaRec.frames(0).rgb.toSeq == base.frames(0).rgb.toSeq, "rec groups")
+    // 2. an audio strl (strh 'auds' + 16-byte WAVEFORMAT strf) after
+    //    the video strl must be tolerated, not refuse the file
+    val strlEnd = 212 // RIFF(12) + LIST hdrl hdr(8+4) + avih(64) + strl(124)
+    val audio = new java.io.ByteArrayOutputStream()
+    audio.write("LIST".getBytes)
+    audio.write(Array[Byte]((4 + 64 + 24).toByte, 0, 0, 0))
+    audio.write("strl".getBytes)
+    audio.write("strh".getBytes); audio.write(Array[Byte](56, 0, 0, 0))
+    audio.write("auds".getBytes); audio.write(new Array[Byte](52))
+    audio.write("strf".getBytes); audio.write(Array[Byte](16, 0, 0, 0))
+    audio.write(new Array[Byte](16))
+    val au = audio.toByteArray
+    val withAudio = plain.take(strlEnd) ++ au ++ plain.drop(strlEnd)
+    patchInt(withAudio, 16, getInt(plain, 16) + au.length) // hdrl size
+    patchInt(withAudio, 4, getInt(plain, 4) + au.length)   // RIFF size
+    val viaAudio = VideoCodec.decode(withAudio).get
+    assert(viaAudio.width == w && viaAudio.frames.length == 2,
+      "audio stream tolerated")
+    // 3. hostile deep LIST nesting refuses as IAE (not StackOverflow)
+    val deep = new java.io.ByteArrayOutputStream()
+    deep.write("RIFF".getBytes); deep.write(Array[Byte](-1, 1, 0, 0))
+    deep.write("AVI ".getBytes)
+    for (_ <- 0 until 40) {
+      deep.write("LIST".getBytes); deep.write(Array[Byte](-1, 0, 0, 0))
+      deep.write("hdrl".getBytes)
+    }
+    deep.write(new Array[Byte](300))
+    val db = deep.toByteArray
+    patchInt(db, 4, db.length - 8)
+    for (i <- 0 until 40)
+      patchInt(db, 12 + i * 12 + 4, db.length - (12 + i * 12 + 8))
+    val e = intercept[IllegalArgumentException] { VideoCodec.decode(db) }
+    assert(e.getMessage.contains("nesting"), e.getMessage)
+    // 4. a final odd-sized chunk without its RIFF pad byte at EOF is
+    //    tolerated (clamped), not refused
+    val tail = plain ++ "vndr".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 4, 5)
+    patchInt(tail, 4, getInt(plain, 4) + 13)
+    val viaTail = VideoCodec.decode(tail).get
+    assert(viaTail.frames.length == 2, "unpadded tail chunk")
+  }
+
   test("JPEG non-baseline forms refuse by name and degrade to opaque through featurize") {
     import graft.operators.{ImageCodec, JpegCodec}
     val px = Array.tabulate(8 * 8)(i => (i * 3) % 256)
