@@ -7,8 +7,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   * extraction), not a byte-histogram fake:
   *
   *  - PNG (below), the container web corpora actually carry: critical
-  *    chunks, 8-bit gray/RGB/RGBA, all five scanline filters,
-  *    non-interlaced; zlib inflate from the JDK.
+  *    chunks + PLTE/tRNS, 8-bit gray/RGB/RGBA/palette, all five
+  *    scanline filters, Adam7 interlace; zlib inflate from the JDK.
   *  - GIF 87a/89a (below), the other web container: global/local
   *    color tables, extension sub-block walk, the GIF LZW variant
   *    (variable 3..12-bit codes, clear/EOI, deferred-clear frozen
@@ -162,13 +162,13 @@ object ImageCodec {
     DecodedImage("image/farbfeld", width, height, 4, out)
   }
 
-  // ---------- PNG (8-bit gray / RGB / RGBA, non-interlaced) ----------
+  // ---------- PNG (8-bit gray/RGB/RGBA/palette, Adam7) ----------
   // The container web corpora actually carry; decodable pure-JVM
   // because the JDK ships the zlib inflate PNG needs
-  // (java.util.zip.Inflater) — no new dependency. Critical chunks
-  // only (IHDR/IDAT/IEND, ancillary chunks skipped after their CRC
-  // verifies); 16-bit, palette and Adam7 interlace refuse with
-  // guidance.
+  // (java.util.zip.Inflater) — no new dependency. Critical chunks +
+  // PLTE/tRNS (other ancillary chunks skipped after their CRC
+  // verifies); Adam7 interlace decodes (7-pass scatter); 16-bit
+  // refuses with guidance.
 
   private val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G',
     0x0d, 0x0a, 0x1a, 0x0a)
@@ -193,31 +193,31 @@ object ImageCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode 8-bit pixels (row-major top-down, `channels` ints per
-    * pixel, 0..255; channels 1 = gray, 3 = RGB, 4 = RGBA) as a
-    * non-interlaced PNG. `filterOf(y)` picks each scanline's filter
-    * (0..4) so tests can exercise every unfilter path. */
-  def encodePng(width: Int, height: Int, channels: Int, px: Array[Int],
-      filterOf: Int => Int = _ => 0): Array[Byte] = {
-    require(channels == 1 || channels == 3 || channels == 4,
-      s"encodePng: channels=$channels (1/3/4)")
-    require(px.length == width * height * channels,
-      s"encodePng: need ${width * height * channels} values, got ${px.length}")
-    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
-    val stride = width * channels
-    val raw = new Array[Byte](height * (1 + stride))
+  // Adam7 interlace pass structure: (xStart, yStart, xStep, yStep)
+  private val adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def pngPasses(interlaced: Boolean): Array[(Int, Int, Int, Int)] =
+    if (interlaced) adam7 else Array((0, 0, 1, 1))
+
+  /** filter one (sub)image into PNG scanlines (filter byte + bytes). */
+  private def pngFilter(w: Int, h: Int, ch: Int, px: Array[Int],
+      filterOf: Int => Int): Array[Byte] = {
+    val stride = w * ch
+    val raw = new Array[Byte](h * (1 + stride))
     var y = 0
-    while (y < height) {
+    while (y < h) {
       val ft = filterOf(y)
       require(ft >= 0 && ft <= 4, s"encodePng: filter $ft")
       raw(y * (1 + stride)) = ft.toByte
       var i = 0
       while (i < stride) {
         val cur = px(y * stride + i) & 0xff
-        val a = if (i >= channels) px(y * stride + i - channels) & 0xff else 0
+        val a = if (i >= ch) px(y * stride + i - ch) & 0xff else 0
         val b = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
-        val c = if (y > 0 && i >= channels)
-          px((y - 1) * stride + i - channels) & 0xff else 0
+        val c = if (y > 0 && i >= ch)
+          px((y - 1) * stride + i - ch) & 0xff else 0
         val v = ft match {
           case 0 => cur
           case 1 => cur - a
@@ -230,27 +230,149 @@ object ImageCodec {
       }
       y += 1
     }
+    raw
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(raw); d.finish()
     val zOut = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     while (!d.finished()) zOut.write(buf, 0, d.deflate(buf))
     d.end()
+    zOut.toByteArray
+  }
+
+  /** build the per-pass filtered scanline stream for an image whose
+    * sample at (x, y, c) is `at` — one pass when not interlaced,
+    * the seven Adam7 sub-images when interlaced. */
+  private def pngRaw(width: Int, height: Int, ch: Int,
+      at: (Int, Int, Int) => Int, filterOf: Int => Int,
+      interlaced: Boolean): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    pngPasses(interlaced).foreach { case (xs, ys, xStep, yStep) =>
+      val pw = if (width > xs) (width - xs + xStep - 1) / xStep else 0
+      val ph = if (height > ys) (height - ys + yStep - 1) / yStep else 0
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Int](pw * ph * ch)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            var c = 0
+            while (c < ch) {
+              sub((j * pw + i) * ch + c) =
+                at(xs + i * xStep, ys + j * yStep, c)
+              c += 1
+            }
+            i += 1
+          }
+          j += 1
+        }
+        body.write(pngFilter(pw, ph, ch, sub, filterOf))
+      }
+    }
+    body.toByteArray
+  }
+
+  /** Encode 8-bit pixels (row-major top-down, `channels` ints per
+    * pixel, 0..255; channels 1 = gray, 3 = RGB, 4 = RGBA) as a PNG.
+    * `filterOf(y)` picks each scanline's filter (0..4) so tests can
+    * exercise every unfilter path; `interlaced` writes Adam7. */
+  def encodePng(width: Int, height: Int, channels: Int, px: Array[Int],
+      filterOf: Int => Int = _ => 0,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"encodePng: channels=$channels (1/3/4)")
+    require(px.length == width * height * channels,
+      s"encodePng: need ${width * height * channels} values, got ${px.length}")
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val raw = pngRaw(width, height, channels,
+      (x, y, c) => px((y * width + x) * channels + c) & 0xff,
+      filterOf, interlaced)
     val out = new java.io.ByteArrayOutputStream()
     out.write(pngMagic)
     val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
       .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte).array()
     chunk(out, "IHDR", ihdr)
-    chunk(out, "IDAT", zOut.toByteArray)
+    chunk(out, "IDAT", deflate(raw))
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Encode palette indices as a color-type-3 PNG (8-bit indices,
+    * PLTE of ncolors RGB entries, optional tRNS per-entry alpha). */
+  def encodePngIndexed(width: Int, height: Int, palette: Array[Int],
+      indices: Array[Int], filterOf: Int => Int = _ => 0,
+      interlaced: Boolean = false,
+      trns: Array[Int] = null): Array[Byte] = {
+    val ncolors = palette.length / 3
+    require(palette.length % 3 == 0 && ncolors >= 1 && ncolors <= 256,
+      s"encodePngIndexed: palette of $ncolors colors")
+    require(indices.length == width * height &&
+      indices.forall(i => i >= 0 && i < ncolors),
+      "encodePngIndexed: bad indices")
+    require(trns == null || trns.length <= ncolors,
+      "encodePngIndexed: tRNS longer than the palette")
+    val raw = pngRaw(width, height, 1,
+      (x, y, _) => indices(y * width + x), filterOf, interlaced)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngMagic)
+    val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(8.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte).array()
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "PLTE", palette.map(v => (v & 0xff).toByte))
+    if (trns != null)
+      chunk(out, "tRNS", trns.map(v => (v & 0xff).toByte))
+    chunk(out, "IDAT", deflate(raw))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** unfilter `ph` scanlines of a (sub)image from raw(off...); returns
+    * the recovered samples. */
+  private def pngUnfilter(raw: Array[Byte], off: Int, pw: Int, ph: Int,
+      ch: Int): Array[Int] = {
+    val stride = pw * ch
+    val out = new Array[Int](ph * stride)
+    var y = 0
+    while (y < ph) {
+      val ft = raw(off + y * (1 + stride)) & 0xff
+      require(ft <= 4, s"PNG: unknown scanline filter $ft")
+      var i = 0
+      while (i < stride) {
+        val x = raw(off + y * (1 + stride) + 1 + i) & 0xff
+        val a = if (i >= ch) out(y * stride + i - ch) else 0
+        val b = if (y > 0) out((y - 1) * stride + i) else 0
+        val c = if (y > 0 && i >= ch)
+          out((y - 1) * stride + i - ch) else 0
+        out(y * stride + i) = ft match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + b) & 0xff
+          case 3 => (x + (a + b) / 2) & 0xff
+          case 4 => (x + paeth(a, b, c)) & 0xff
+        }
+        i += 1
+      }
+      y += 1
+    }
+    out
   }
 
   private def decodePng(bytes: Array[Byte]): DecodedImage = {
     val bb = ByteBuffer.wrap(bytes)
     bb.position(8)
-    var width = 0; var height = 0; var channels = 0
+    var width = 0; var height = 0
+    var fch = 0            // channels as filtered on the wire
+    var paletted = false
+    var interlaced = false
+    var plte: Array[Int] = null
+    var trns: Array[Int] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
@@ -273,28 +395,35 @@ object ImageCodec {
           val colorType = ib.get() & 0xff
           val compression = ib.get() & 0xff
           val filterMethod = ib.get() & 0xff
-          val interlace = ib.get() & 0xff
+          val il = ib.get() & 0xff
           require(bitDepth == 8, s"PNG: only 8-bit channels are " +
             s"supported here (bit depth $bitDepth) — re-encode to 8-bit")
-          channels = colorType match {
+          fch = colorType match {
             case 0 => 1
             case 2 => 3
-            case 6 => 4
-            case 3 => throw new IllegalArgumentException(
-              "PNG: palette (color type 3) is not supported here — " +
-                "re-encode to truecolor")
+            case 3 => paletted = true; 1
             case 4 => 2 // gray + alpha
+            case 6 => 4
             case other => throw new IllegalArgumentException(
               s"PNG: unknown color type $other")
           }
           require(compression == 0 && filterMethod == 0,
             "PNG: nonstandard compression/filter method")
-          require(interlace == 0, "PNG: Adam7 interlace is not " +
-            "supported here — re-encode non-interlaced")
+          require(il <= 1, s"PNG: unknown interlace method $il")
+          interlaced = il == 1
           require(width > 0 && height > 0 &&
             width.toLong * height <= (1L << 26),
             s"PNG: implausible dimensions ${width}x$height")
           seenIhdr = true
+        case "PLTE" =>
+          require(seenIhdr && len % 3 == 0 && len <= 256 * 3,
+            "PNG: bad PLTE chunk")
+          plte = data.map(_ & 0xff)
+        case "tRNS" =>
+          require(seenIhdr, "PNG: tRNS before IHDR")
+          if (paletted) trns = data.map(_ & 0xff)
+          // gray/RGB tRNS (single transparent color) is skipped: it
+          // needs a 16-bit sample compare this 8-bit path never hits
         case "IDAT" =>
           require(seenIhdr, "PNG: IDAT before IHDR")
           idat.write(data)
@@ -303,16 +432,24 @@ object ImageCodec {
       }
     }
     require(seenIhdr, "PNG: no IHDR")
-    val stride = width * channels
-    val rawLen = height * (1 + stride)
-    val raw = new Array[Byte](rawLen)
+    require(!paletted || plte != null, "PNG: palette image without PLTE")
+    val passes = pngPasses(interlaced).map { case (xs, ys, xStep, yStep) =>
+      val pw = if (width > xs) (width - xs + xStep - 1) / xStep else 0
+      val ph = if (height > ys) (height - ys + yStep - 1) / yStep else 0
+      (xs, ys, xStep, yStep, pw, ph)
+    }
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+      if (pw > 0 && ph > 0) ph.toLong * (1 + pw * fch) else 0L
+    }.sum
+    require(rawLen <= Int.MaxValue, "PNG: implausible scanline volume")
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
     try {
-      while (got < rawLen && !inf.finished()) {
+      while (got < raw.length && !inf.finished()) {
         val r =
-          try inf.inflate(raw, got, rawLen - got)
+          try inf.inflate(raw, got, raw.length - got)
           catch { case e: java.util.zip.DataFormatException =>
             // must be an IllegalArgumentException: the featurizer's
             // degrade-to-opaque net catches that type — a hostile PNG
@@ -325,35 +462,55 @@ object ImageCodec {
           "PNG: truncated or non-zlib IDAT stream")
         got += r
       }
-      require(got == rawLen && inf.finished(),
-        s"PNG: IDAT decompresses to $got bytes, scanlines need $rawLen")
+      require(got == raw.length && inf.finished(),
+        s"PNG: IDAT decompresses to $got bytes, scanlines need ${raw.length}")
     } finally inf.end()
-    // unfilter (the five standard per-scanline filters), in place
-    val out = new Array[Int](height * stride)
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (1 + stride)) & 0xff
-      require(ft <= 4, s"PNG: unknown scanline filter $ft")
-      var i = 0
-      while (i < stride) {
-        val x = raw(y * (1 + stride) + 1 + i) & 0xff
-        val a = if (i >= channels) out(y * stride + i - channels) else 0
-        val b = if (y > 0) out((y - 1) * stride + i) else 0
-        val c = if (y > 0 && i >= channels)
-          out((y - 1) * stride + i - channels) else 0
-        out(y * stride + i) = ft match {
-          case 0 => x
-          case 1 => (x + a) & 0xff
-          case 2 => (x + b) & 0xff
-          case 3 => (x + (a + b) / 2) & 0xff
-          case 4 => (x + paeth(a, b, c)) & 0xff
+    // unfilter each pass, scatter into the full-resolution raster
+    val wire = new Array[Int](width * height * fch)
+    var off = 0
+    passes.foreach { case (xs, ys, xStep, yStep, pw, ph) =>
+      if (pw > 0 && ph > 0) {
+        val sub = pngUnfilter(raw, off, pw, ph, fch)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            var c = 0
+            while (c < fch) {
+              wire(((ys + j * yStep) * width + (xs + i * xStep)) * fch + c) =
+                sub((j * pw + i) * fch + c)
+              c += 1
+            }
+            i += 1
+          }
+          j += 1
         }
-        i += 1
+        off += ph * (1 + pw * fch)
       }
-      y += 1
     }
-    DecodedImage("image/png", width, height, channels, out)
+    if (!paletted)
+      DecodedImage("image/png", width, height, fch, wire)
+    else {
+      // map indices through PLTE; tRNS (if present) adds an alpha
+      val ncolors = plte.length / 3
+      val outCh = if (trns != null) 4 else 3
+      val out = new Array[Int](width * height * outCh)
+      var p = 0
+      while (p < width * height) {
+        val idx = wire(p)
+        require(idx < ncolors,
+          s"PNG: palette index $idx out of range ($ncolors colors)")
+        out(p * outCh) = plte(idx * 3)
+        out(p * outCh + 1) = plte(idx * 3 + 1)
+        out(p * outCh + 2) = plte(idx * 3 + 2)
+        if (outCh == 4)
+          out(p * outCh + 3) = if (idx < trns.length) trns(idx) else 255
+        p += 1
+      }
+      DecodedImage("image/png", width, height, outCh, out)
+    }
   }
+
 
   // ---------- GIF (87a/89a, single image, palette + LZW) ----------
   // The OTHER container web corpora actually carry. Everything the

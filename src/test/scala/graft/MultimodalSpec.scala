@@ -136,16 +136,17 @@ class MultimodalSpec extends SparkSpec {
     bad(good.length - 15) = (bad(good.length - 15) ^ 0x01).toByte
     val e1 = intercept[IllegalArgumentException] { ImageCodec.decode(bad) }
     assert(e1.getMessage.contains("CRC"), e1.getMessage)
-    // interlaced refuses with guidance
+    // an interlace flag over a NON-interlaced stream is a scanline
+    // volume mismatch — refused loudly
     val il = good.clone()
     il(8 + 8 + 12) = 1 // IHDR interlace byte
-    // fix the IHDR CRC so the interlace check itself is reached
+    // fix the IHDR CRC so the mismatch check itself is reached
     val ihdrData = il.slice(16, 29)
     val crc = { val c = new java.util.zip.CRC32()
       c.update("IHDR".getBytes); c.update(ihdrData); c.getValue.toInt }
     java.nio.ByteBuffer.wrap(il).putInt(29, crc)
     val e2 = intercept[IllegalArgumentException] { ImageCodec.decode(il) }
-    assert(e2.getMessage.contains("interlace"), e2.getMessage)
+    assert(e2.getMessage.contains("decompresses"), e2.getMessage)
     // absurd dimensions refuse before allocation
     val big = good.clone()
     java.nio.ByteBuffer.wrap(big).putInt(16, 1 << 20).putInt(20, 1 << 20)
@@ -176,6 +177,84 @@ class MultimodalSpec extends SparkSpec {
         "9 AS width", "9 AS height")
     val rows = Multimodal.featurize(media).collect()
     assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
+  }
+
+  test("PNG Adam7 interlace and palette images decode: the remaining real web forms") {
+    import graft.operators.ImageCodec
+    // Adam7: same pixels through interlaced and plain encodes must
+    // decode identically, across channel counts and dims that leave
+    // several passes empty (w or h < 5) — with varied filters per row
+    for ((w, h) <- Seq((3, 2), (9, 7), (16, 16)); ch <- Seq(1, 3, 4)) {
+      val px = Array.tabulate(w * h * ch)(i => (i * 41 + 13) % 256)
+      val plain = ImageCodec.decode(
+        ImageCodec.encodePng(w, h, ch, px, y => y % 5)).get
+      val inter = ImageCodec.decode(
+        ImageCodec.encodePng(w, h, ch, px, y => (y + 1) % 5,
+          interlaced = true)).get
+      assert(plain.pixels.toSeq == px.toSeq, s"$w x $h ch=$ch plain")
+      assert(inter.pixels.toSeq == px.toSeq, s"$w x $h ch=$ch interlaced")
+      // the JDK's ImageIO agrees on our interlaced bytes (lossless)
+      if (ch == 3) {
+        val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          ImageCodec.encodePng(w, h, ch, px, _ => 4, interlaced = true)))
+        for (y <- 0 until h; x <- 0 until w) {
+          val base = (y * w + x) * 3
+          val want = 0xff000000 | (px(base) << 16) |
+            (px(base + 1) << 8) | px(base + 2)
+          assert(bi.getRGB(x, y) == want, s"ImageIO at ($x,$y) $w x $h")
+        }
+      }
+    }
+    // palette (color type 3): indices map through PLTE; tRNS adds
+    // per-entry alpha; interlace composes with palette
+    val w = 7; val h = 5
+    val palette = Array.tabulate(8 * 3)(i => (i * 23 + 9) % 256)
+    val idx = Array.tabulate(w * h)(p => (p * 3 + 1) % 8)
+    for (inter <- Seq(false, true)) {
+      val img = ImageCodec.decode(ImageCodec.encodePngIndexed(
+        w, h, palette, idx, y => y % 5, interlaced = inter)).get
+      assert(img.channels == 3, s"interlaced=$inter")
+      val want = idx.flatMap(j =>
+        Seq(palette(j * 3), palette(j * 3 + 1), palette(j * 3 + 2)))
+      assert(img.pixels.toSeq == want.toSeq, s"palette interlaced=$inter")
+    }
+    val trns = Array(255, 128, 0, 255, 255, 255, 255, 255)
+    val ia = ImageCodec.decode(ImageCodec.encodePngIndexed(
+      w, h, palette, idx, trns = trns)).get
+    assert(ia.channels == 4)
+    for (p <- 0 until w * h) {
+      val j = idx(p)
+      assert(ia.pixels(p * 4 + 3) == trns(j), s"alpha at $p")
+      assert(ia.pixels(p * 4) == palette(j * 3), s"R at $p")
+    }
+    // a palette PNG written by the JDK's ImageIO reads back exactly
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val r = new Array[Byte](8); val g = new Array[Byte](8)
+    val b = new Array[Byte](8)
+    for (j <- 0 until 8) {
+      r(j) = palette(j * 3).toByte; g(j) = palette(j * 3 + 1).toByte
+      b(j) = palette(j * 3 + 2).toByte
+    }
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED,
+      new IndexColorModel(3, 8, r, g, b))
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = idx(y * w + x)
+      bi.setRGB(x, y, 0xff000000 | (palette(j * 3) << 16) |
+        (palette(j * 3 + 1) << 8) | palette(j * 3 + 2))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", baos))
+    val foreign = ImageCodec.decode(baos.toByteArray).get
+    assert(foreign.width == w && foreign.height == h)
+    // ImageIO may write palette OR expand; compare as RGB triples
+    val fr = foreign.channels match {
+      case 3 => foreign.pixels.toSeq
+      case 4 => foreign.pixels.grouped(4).flatMap(_.take(3)).toSeq
+      case _ => fail(s"unexpected channels ${foreign.channels}")
+    }
+    val want = idx.flatMap(j =>
+      Seq(palette(j * 3), palette(j * 3 + 1), palette(j * 3 + 2))).toSeq
+    assert(fr == want, "foreign palette PNG")
   }
 
   test("farbfeld decode is real: dims from the header, channel high bytes as values") {
