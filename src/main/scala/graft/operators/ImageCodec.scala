@@ -162,13 +162,14 @@ object ImageCodec {
     DecodedImage("image/farbfeld", width, height, 4, out)
   }
 
-  // ---------- PNG (8-bit gray/RGB/RGBA/palette, Adam7) ----------
+  // ---------- PNG (1..16-bit gray/RGB/RGBA/palette, Adam7) ----------
   // The container web corpora actually carry; decodable pure-JVM
   // because the JDK ships the zlib inflate PNG needs
   // (java.util.zip.Inflater) — no new dependency. Critical chunks +
   // PLTE/tRNS (other ancillary chunks skipped after their CRC
-  // verifies); Adam7 interlace decodes (7-pass scatter); 16-bit
-  // refuses with guidance.
+  // verifies); Adam7 interlace decodes (7-pass scatter); every legal
+  // bit depth decodes (16-bit keeps the high byte like farbfeld,
+  // 1/2/4-bit unpack MSB-first with spec gray scaling).
 
   private val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G',
     0x0d, 0x0a, 0x1a, 0x0a)
@@ -333,24 +334,25 @@ object ImageCodec {
     out.toByteArray
   }
 
-  /** unfilter `ph` scanlines of a (sub)image from raw(off...); returns
-    * the recovered samples. */
-  private def pngUnfilter(raw: Array[Byte], off: Int, pw: Int, ph: Int,
-      ch: Int): Array[Int] = {
-    val stride = pw * ch
-    val out = new Array[Int](ph * stride)
+  /** unfilter `ph` scanlines of `rowBytes` bytes each from
+    * raw(off...); `bpp` is the filter's left-neighbor distance in
+    * BYTES (max(1, channels*depth/8) per the spec). Returns the
+    * recovered scanline bytes. */
+  private def pngUnfilter(raw: Array[Byte], off: Int, rowBytes: Int,
+      ph: Int, bpp: Int): Array[Int] = {
+    val out = new Array[Int](ph * rowBytes)
     var y = 0
     while (y < ph) {
-      val ft = raw(off + y * (1 + stride)) & 0xff
+      val ft = raw(off + y * (1 + rowBytes)) & 0xff
       require(ft <= 4, s"PNG: unknown scanline filter $ft")
       var i = 0
-      while (i < stride) {
-        val x = raw(off + y * (1 + stride) + 1 + i) & 0xff
-        val a = if (i >= ch) out(y * stride + i - ch) else 0
-        val b = if (y > 0) out((y - 1) * stride + i) else 0
-        val c = if (y > 0 && i >= ch)
-          out((y - 1) * stride + i - ch) else 0
-        out(y * stride + i) = ft match {
+      while (i < rowBytes) {
+        val x = raw(off + y * (1 + rowBytes) + 1 + i) & 0xff
+        val a = if (i >= bpp) out(y * rowBytes + i - bpp) else 0
+        val b = if (y > 0) out((y - 1) * rowBytes + i) else 0
+        val c = if (y > 0 && i >= bpp)
+          out((y - 1) * rowBytes + i - bpp) else 0
+        out(y * rowBytes + i) = ft match {
           case 0 => x
           case 1 => (x + a) & 0xff
           case 2 => (x + b) & 0xff
@@ -369,6 +371,7 @@ object ImageCodec {
     bb.position(8)
     var width = 0; var height = 0
     var fch = 0            // channels as filtered on the wire
+    var depth = 8          // bits per channel sample on the wire
     var paletted = false
     var interlaced = false
     var plte: Array[Int] = null
@@ -396,8 +399,6 @@ object ImageCodec {
           val compression = ib.get() & 0xff
           val filterMethod = ib.get() & 0xff
           val il = ib.get() & 0xff
-          require(bitDepth == 8, s"PNG: only 8-bit channels are " +
-            s"supported here (bit depth $bitDepth) — re-encode to 8-bit")
           fch = colorType match {
             case 0 => 1
             case 2 => 3
@@ -407,6 +408,15 @@ object ImageCodec {
             case other => throw new IllegalArgumentException(
               s"PNG: unknown color type $other")
           }
+          val okDepth: Set[Int] = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)
+            case 3 => Set(1, 2, 4, 8)
+            case _ => Set(8, 16)
+          }
+          require(okDepth(bitDepth),
+            s"PNG: bit depth $bitDepth is invalid for color type " +
+              s"$colorType (PNG spec 11.2.2)")
+          depth = bitDepth
           require(compression == 0 && filterMethod == 0,
             "PNG: nonstandard compression/filter method")
           require(il <= 1, s"PNG: unknown interlace method $il")
@@ -438,8 +448,10 @@ object ImageCodec {
       val ph = if (height > ys) (height - ys + yStep - 1) / yStep else 0
       (xs, ys, xStep, yStep, pw, ph)
     }
+    def rowBytesOf(pw: Int): Int = ((pw.toLong * fch * depth + 7) / 8).toInt
+    val bpp = math.max(1, fch * depth / 8)
     val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
-      if (pw > 0 && ph > 0) ph.toLong * (1 + pw * fch) else 0L
+      if (pw > 0 && ph > 0) ph.toLong * (1 + rowBytesOf(pw)) else 0L
     }.sum
     require(rawLen <= Int.MaxValue, "PNG: implausible scanline volume")
     val raw = new Array[Byte](rawLen.toInt)
@@ -465,27 +477,40 @@ object ImageCodec {
       require(got == raw.length && inf.finished(),
         s"PNG: IDAT decompresses to $got bytes, scanlines need ${raw.length}")
     } finally inf.end()
-    // unfilter each pass, scatter into the full-resolution raster
+    // unfilter each pass, extract samples (16-bit keeps the high
+    // byte, the farbfeld convention; sub-byte depths unpack MSB-first
+    // and gray scales to 0..255 per the spec, palette indices do not),
+    // scatter into the full-resolution raster
     val wire = new Array[Int](width * height * fch)
+    val grayScale = !paletted && depth < 8
     var off = 0
     passes.foreach { case (xs, ys, xStep, yStep, pw, ph) =>
       if (pw > 0 && ph > 0) {
-        val sub = pngUnfilter(raw, off, pw, ph, fch)
+        val rowBytes = rowBytesOf(pw)
+        val sub = pngUnfilter(raw, off, rowBytes, ph, bpp)
         var j = 0
         while (j < ph) {
           var i = 0
           while (i < pw) {
             var c = 0
             while (c < fch) {
-              wire(((ys + j * yStep) * width + (xs + i * xStep)) * fch + c) =
-                sub((j * pw + i) * fch + c)
+              val v = depth match {
+                case 8 => sub(j * rowBytes + i * fch + c)
+                case 16 => sub(j * rowBytes + (i * fch + c) * 2)
+                case d => // sub-byte: fch == 1 by the depth matrix
+                  val bitPos = i * d
+                  val raw0 = sub(j * rowBytes + bitPos / 8)
+                  val x0 = (raw0 >> (8 - d - bitPos % 8)) & ((1 << d) - 1)
+                  if (grayScale) x0 * 255 / ((1 << d) - 1) else x0
+              }
+              wire(((ys + j * yStep) * width + (xs + i * xStep)) * fch + c) = v
               c += 1
             }
             i += 1
           }
           j += 1
         }
-        off += ph * (1 + pw * fch)
+        off += ph * (1 + rowBytes)
       }
     }
     if (!paletted)

@@ -257,6 +257,104 @@ class MultimodalSpec extends SparkSpec {
     assert(fr == want, "foreign palette PNG")
   }
 
+  test("PNG bit depths decode: 16-bit high bytes, 1/2/4-bit unpack and scale") {
+    import graft.operators.ImageCodec
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val w = 9; val h = 5
+    // 16-bit gray via the JDK's writer: our decode keeps the high
+    // byte (the farbfeld convention) — compare to ImageIO's samples
+    val g16 = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      g16.getRaster.setSample(x, y, 0, ((x * 37 + y * 91) * 257) % 65536)
+    val b16 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g16, "png", b16))
+    val d16 = ImageCodec.decode(b16.toByteArray).get
+    assert(d16.width == w && d16.height == h && d16.channels == 1)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(d16.pixels(y * w + x) ==
+        (g16.getRaster.getSample(x, y, 0) >>> 8), s"16-bit at ($x,$y)")
+    // 16-bit RGB, hand-assembled (filter 0, big-endian samples):
+    // 2x1 with pixel0 = (0xff00, 0x0102, 0x8000), pixel1 = (0x1234,
+    // 0xffff, 0x0001) — high bytes (255,1,128) and (18,255,0)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val c = new java.util.zip.CRC32()
+      c.update(typ.getBytes); c.update(data)
+      java.nio.ByteBuffer.allocate(8 + data.length + 4)
+        .putInt(data.length).put(typ.getBytes).put(data)
+        .putInt(c.getValue.toInt).array()
+    }
+    val ihdr16 = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(1)
+      .put(16.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    val scan = Array[Int](0, // filter byte
+      0xff, 0x00, 0x01, 0x02, 0x80, 0x00,
+      0x12, 0x34, 0xff, 0xff, 0x00, 0x01).map(_.toByte)
+    val defl = { val d = new java.util.zip.Deflater(); d.setInput(scan)
+      d.finish(); val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray }
+    val magic = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val rgb16 = magic ++ chunk("IHDR", ihdr16) ++ chunk("IDAT", defl) ++
+      chunk("IEND", Array.emptyByteArray)
+    val dr = ImageCodec.decode(rgb16).get
+    assert(dr.width == 2 && dr.channels == 3)
+    assert(dr.pixels.toSeq == Seq(255, 1, 128, 18, 255, 0))
+    // 1/2/4-bit palette via the JDK's indexed writer
+    for (bits <- Seq(1, 2, 4)) {
+      val nc = 1 << bits
+      val r = Array.tabulate(nc)(j => ((j * 97 + 11) % 256).toByte)
+      val g = Array.tabulate(nc)(j => ((j * 53 + 7) % 256).toByte)
+      val b = Array.tabulate(nc)(j => ((j * 31 + 3) % 256).toByte)
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY,
+        new IndexColorModel(bits, nc, r, g, b))
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = (x + y * 3) % nc
+        bi.setRGB(x, y, 0xff000000 | ((r(j) & 0xff) << 16) |
+          ((g(j) & 0xff) << 8) | (b(j) & 0xff))
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", baos))
+      val img = ImageCodec.decode(baos.toByteArray).get
+      assert(img.width == w && img.height == h, s"$bits-bit")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(baos.toByteArray))
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = ref.getRGB(x, y)
+        val base = (y * w + x) * img.channels
+        val got = 0xff000000 | (img.pixels(base) << 16) |
+          (img.pixels(base + 1) << 8) | img.pixels(base + 2)
+        assert(got == want, s"$bits-bit palette at ($x,$y)")
+      }
+    }
+    // 1-bit GRAY (no palette): hand-built 9x1, bits 101101011 -> the
+    // spec scaling maps 1 to 255
+    val ihdr1 = java.nio.ByteBuffer.allocate(13).putInt(9).putInt(1)
+      .put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    val scan1 = Array[Int](0, 0xb5, 0x80).map(_.toByte) // 10110101 1
+    val defl1 = { val d = new java.util.zip.Deflater(); d.setInput(scan1)
+      d.finish(); val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray }
+    val g1 = magic ++ chunk("IHDR", ihdr1) ++ chunk("IDAT", defl1) ++
+      chunk("IEND", Array.emptyByteArray)
+    val d1 = ImageCodec.decode(g1).get
+    assert(d1.width == 9 && d1.channels == 1)
+    assert(d1.pixels.toSeq ==
+      Seq(255, 0, 255, 255, 0, 255, 0, 255, 255), d1.pixels.toSeq)
+    // an illegal depth/type combination refuses by the spec table
+    val badIhdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(1)
+      .put(4.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array() // 4-bit truecolor: illegal
+    val bad = magic ++ chunk("IHDR", badIhdr) ++ chunk("IDAT", defl1) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] { ImageCodec.decode(bad) }
+    assert(e.getMessage.contains("invalid for color type"), e.getMessage)
+  }
+
   test("farbfeld decode is real: dims from the header, channel high bytes as values") {
     import graft.operators.ImageCodec
     // 1x2 RGBA, 16-bit channels: pixel0 = (0xff00, 0x0100, 0, 0xffff),
