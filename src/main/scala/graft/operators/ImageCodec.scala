@@ -376,7 +376,7 @@ object ImageCodec {
     var interlaced = false
     var plte: Array[Int] = null
     var trns: Array[Int] = null
-    var seenIhdr = false; var seenIend = false
+    var seenIhdr = false; var seenIend = false; var seenIdat = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       require(bb.remaining >= 12, "PNG: truncated chunk stream")
@@ -428,14 +428,21 @@ object ImageCodec {
         case "PLTE" =>
           require(seenIhdr && len % 3 == 0 && len <= 256 * 3,
             "PNG: bad PLTE chunk")
+          // spec 5.6: PLTE once, before the first IDAT — a hostile
+          // reorder (or a second, last-wins palette) must refuse, not
+          // decode with whichever palette happened to land
+          require(!seenIdat, "PNG: PLTE after IDAT (spec 5.6)")
+          require(plte == null, "PNG: multiple PLTE chunks (spec 5.6)")
           plte = data.map(_ & 0xff)
         case "tRNS" =>
           require(seenIhdr, "PNG: tRNS before IHDR")
+          require(!seenIdat, "PNG: tRNS after IDAT (spec 5.6)")
           if (paletted) trns = data.map(_ & 0xff)
           // gray/RGB tRNS (single transparent color) is skipped: it
           // needs a 16-bit sample compare this 8-bit path never hits
         case "IDAT" =>
           require(seenIhdr, "PNG: IDAT before IHDR")
+          seenIdat = true
           idat.write(data)
         case "IEND" => seenIend = true
         case _ => () // ancillary chunk: CRC verified above, content skipped

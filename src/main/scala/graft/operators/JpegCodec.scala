@@ -516,6 +516,10 @@ object JpegCodec {
     val pred = new Array[Int](4)
 
     def parseSof(prog: Boolean): Unit = {
+      // a second frame header after coefficients exist would silently
+      // reallocate coefs and discard decoded scan state — refuse like
+      // nested SOI does (T.81 allows exactly one SOF per frame)
+      require(coefs == null, "JPEG: multiple SOF markers")
       u16()
       val prec = u8()
       require(prec == 8, s"JPEG: $prec-bit precision is not " +

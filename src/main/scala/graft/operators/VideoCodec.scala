@@ -202,8 +202,14 @@ object VideoCodec {
             formStr match {
               case "hdrl" => walkChunks(bb.position() + size - 4,
                 inMovi = false, inHdrl = true, depth + 1)
-              case "strl" if inHdrl => walkChunks(bb.position() + size - 4,
-                inMovi = false, inHdrl = true, depth + 1)
+              case "strl" if inHdrl =>
+                // each strl describes ONE stream: reset the type flag so
+                // a malformed strl carrying strf before (or without)
+                // strh cannot inherit the previous stream's type and
+                // parse a WAVEFORMATEX as BITMAPINFOHEADER
+                streamIsVideo = false
+                walkChunks(bb.position() + size - 4,
+                  inMovi = false, inHdrl = true, depth + 1)
               case "movi" =>
                 require(strfSeen, "AVI: movi list before the stream format header")
                 walkChunks(bb.position() + size - 4,

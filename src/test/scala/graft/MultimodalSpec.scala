@@ -1136,4 +1136,87 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.featurize(media).collect()
     assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
   }
+
+  test("r18 advice hardening: double SOF, PLTE/tRNS ordering, strf-before-strh") {
+    import graft.operators.{ImageCodec, JpegCodec, VideoCodec}
+    import java.nio.{ByteBuffer, ByteOrder}
+    // JPEG: a second SOF marker after the first must refuse loudly —
+    // silently re-running parseSof would discard decoded scan state
+    val jp = JpegCodec.encodeJpeg(8, 8, 1, Array.fill(64)(128))
+    var sof = -1; var i = 2
+    while (sof < 0 && i + 3 < jp.length) {
+      if ((jp(i) & 0xff) == 0xff && (jp(i + 1) & 0xff) == 0xc0) sof = i
+      i += 1
+    }
+    assert(sof > 0, "encoder emitted no SOF0?")
+    val segLen = (((jp(sof + 2) & 0xff) << 8) | (jp(sof + 3) & 0xff)) + 2
+    val twoSof = jp.slice(0, sof + segLen) ++ jp.slice(sof, jp.length)
+    val e1 = intercept[IllegalArgumentException] { ImageCodec.decode(twoSof) }
+    assert(e1.getMessage.contains("multiple SOF"), e1.getMessage)
+
+    // PNG: chunk-order surgery — whole-chunk moves keep CRCs valid, so
+    // only the new ordering checks can refuse these
+    def chunksOf(png: Array[Byte]): Map[String, Array[Byte]] = {
+      var pos = 8
+      val out = Map.newBuilder[String, Array[Byte]]
+      while (pos < png.length) {
+        val len = ByteBuffer.wrap(png, pos, 4).getInt
+        val typ = new String(png, pos + 4, 4, "US-ASCII")
+        out += typ -> png.slice(pos, pos + 12 + len)
+        pos += 12 + len
+      }
+      out.result()
+    }
+    val pal = Array(0, 0, 0, 255, 0, 0)
+    val ipng = ImageCodec.encodePngIndexed(2, 2, pal, Array(0, 1, 1, 0),
+      trns = Array(10, 255))
+    val sig = ipng.slice(0, 8)
+    val ck = chunksOf(ipng)
+    def png(order: String*): Array[Byte] = sig ++ order.flatMap(ck(_))
+    val e2 = intercept[IllegalArgumentException] {
+      ImageCodec.decode(png("IHDR", "tRNS", "IDAT", "PLTE", "IEND"))
+    }
+    assert(e2.getMessage.contains("PLTE after IDAT"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      ImageCodec.decode(sig ++ ck("IHDR") ++ ck("PLTE") ++ ck("PLTE") ++
+        ck("tRNS") ++ ck("IDAT") ++ ck("IEND"))
+    }
+    assert(e3.getMessage.contains("multiple PLTE"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      ImageCodec.decode(png("IHDR", "PLTE", "IDAT", "tRNS", "IEND"))
+    }
+    assert(e4.getMessage.contains("tRNS after IDAT"), e4.getMessage)
+    // the spec-ordered original still decodes
+    assert(ImageCodec.decode(ipng).get.width == 2)
+
+    // AVI: an audio strl whose strf PRECEDES its strh must not be
+    // classified by the PREVIOUS (video) stream's type — pre-fix this
+    // WAVEFORMATEX parsed as a BITMAPINFOHEADER (biSize=0x10001,
+    // 8000x16000 "dims") and poisoned the video config
+    val frames = Array(Array.tabulate(2 * 2 * 3)(i => i * 10))
+    val good = VideoCodec.encodeAvi(2, 2, 40000, frames)
+    val ins = ByteBuffer.allocate(8 + 4 + 48 + 64).order(ByteOrder.LITTLE_ENDIAN)
+    ins.put("LIST".getBytes("US-ASCII")).putInt(4 + 48 + 64)
+      .put("strl".getBytes("US-ASCII"))
+    ins.put("strf".getBytes("US-ASCII")).putInt(40)
+      .putShort(1).putShort(1)    // wFormatTag, nChannels
+      .putInt(8000).putInt(16000) // nSamplesPerSec, nAvgBytesPerSec
+      .putShort(1).putShort(16)   // nBlockAlign (= fake biPlanes 1!), bits
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    ins.put("strh".getBytes("US-ASCII")).putInt(56)
+      .put("auds".getBytes("US-ASCII"))
+    ins.put(new Array[Byte](52))
+    val hdrlEnd = 12 + 8 + (4 + 64 + 124)
+    val withAudio = new Array[Byte](good.length + ins.capacity())
+    System.arraycopy(good, 0, withAudio, 0, hdrlEnd)
+    System.arraycopy(ins.array(), 0, withAudio, hdrlEnd, ins.capacity())
+    System.arraycopy(good, hdrlEnd, withAudio, hdrlEnd + ins.capacity(),
+      good.length - hdrlEnd)
+    val patch = ByteBuffer.wrap(withAudio).order(ByteOrder.LITTLE_ENDIAN)
+    patch.putInt(4, patch.getInt(4) + ins.capacity())   // RIFF size
+    patch.putInt(16, patch.getInt(16) + ins.capacity()) // hdrl LIST size
+    val v = VideoCodec.decode(withAudio).get
+    assert(v.width == 2 && v.height == 2 && v.frames.length == 1)
+    assert(v.frames.head.rgb.toSeq == frames.head.toSeq)
+  }
 }
