@@ -14,6 +14,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    (variable 3..12-bit codes, clear/EOI, deferred-clear frozen
   *    table), 4-pass interlace; animation refuses by name to the
   *    video path.
+  *  - WebP lossless ([[Vp8lCodec]], dispatched from here): the full
+  *    VP8L bitstream — prefix codes, LZ77 + color cache, all four
+  *    transforms; lossy `VP8 ` and animated WebP refuse by name.
   *
   *  - BMP, the 24bpp uncompressed Windows form: 14-byte file header
   *    ('BM', file size, data offset) + 40-byte BITMAPINFOHEADER
@@ -1066,6 +1069,7 @@ object ImageCodec {
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
       Some("image/jpeg")
+    else if (Vp8lCodec.isWebp(bytes)) Some("image/webp")
     else None
 
   /** Real decode when the payload is a known container. */
@@ -1074,6 +1078,7 @@ object ImageCodec {
     case "image/png" => decodePng(bytes)
     case "image/gif" => decodeGif(bytes)
     case "image/jpeg" => JpegCodec.decode(bytes)
+    case "image/webp" => Vp8lCodec.decodeWebp(bytes)
     case _ => decodeFarbfeld(bytes)
   }
 }

@@ -561,6 +561,78 @@ object MultimodalQueries {
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
           round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
         .orderBy("doc_id")
+    },
+
+    // REAL WebP lossless decode (m11, the m05 discipline on the
+    // modern web's most common "new" image format): every document
+    // plants a VP8L-coded WebP — channel count cycles gray/RGB/RGBA by
+    // doc_id, and the ENCODING MODE cycles plain / subtract-green /
+    // fixed-mode predictor (mode itself cycles 0..13) / color-indexing
+    // palette / color-cache+LZ77+meta-prefix / color-transform, so the
+    // corpus exercises every transform chain the decoder implements.
+    // Lossless means the featurizer must recover width/height from the
+    // parsed VP8L header and EXACT pixel stats from the fully
+    // inverse-transformed raster; the oracle knows no WebP — it
+    // recomputes from the generator formula, so a misread prefix code,
+    // transform, palette delta or cache slot cannot match. (Gray
+    // payloads decode as r=g=b RGB; their channel-replicated moments
+    // and bucket fractions are bit-identical to the 1-channel ones, so
+    // one oracle formula covers all three channel cycles.)
+    "m11_webp_decode" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id * 11 + i * 17) % 256 AS v
+        |  FROM documents d, range(0, 320) t(i)
+        |  WHERE i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
+        |    * (CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)),
+        |s AS (
+        |  SELECT doc_id, SUM(v) AS sv, SUM(CAST(v AS DOUBLE) * v) AS svv,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS h0,
+        |    SUM(CASE WHEN v >= 96 AND v < 128 THEN 1 ELSE 0 END) AS h3
+        |  FROM px GROUP BY doc_id)
+        |SELECT s.doc_id, 'image/webp' AS format,
+        |  CAST(4 + s.doc_id % 5 AS INT) AS width,
+        |  CAST(3 + s.doc_id % 4 AS INT) AS height,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_byte,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6) AS std_byte,
+        |  round(CAST(CAST(CAST(h0 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f0,
+        |  round(CAST(CAST(CAST(h3 AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f3
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{MediaRow, Vp8lCodec}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val w = (4 + Math.floorMod(id, 5L)).toInt
+        val h = (3 + Math.floorMod(id, 4L)).toInt
+        val ch = Math.floorMod(id, 3L) match {
+          case 0L => 1; case 1L => 3; case _ => 4 }
+        val px = Array.tabulate(w * h * ch)(i =>
+          Math.floorMod(id * 11 + i * 17L, 256L).toInt)
+        val bytes = Math.floorMod(id, 6L) match {
+          case 0L => Vp8lCodec.encodeWebpVp8l(w, h, ch, px)
+          case 1L => Vp8lCodec.encodeWebpVp8l(w, h, ch, px,
+            subtractGreen = true)
+          case 2L => Vp8lCodec.encodeWebpVp8l(w, h, ch, px,
+            predictor = Math.floorMod(id / 6, 14L).toInt)
+          case 3L => Vp8lCodec.encodeWebpVp8l(w, h, ch, px,
+            usePalette = true)
+          case 4L => Vp8lCodec.encodeWebpVp8l(w, h, ch, px,
+            cacheBits = 4, metaBits = 2)
+          case _ => Vp8lCodec.encodeWebpVp8l(w, h, ch, px,
+            colorXform = 0x2a1b0c)
+        }
+        MediaRow(id, bytes, "declared/wrong", 0, 0)
+      }.toDF()
+      Multimodal.featurize(media)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          round(col("std_byte"), 6).as("std_byte"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
+        .orderBy("doc_id")
     }
   )
 }
