@@ -732,7 +732,9 @@ object Dedup {
     * would be ~50x larger than the capped mass. Dropped grams only
     * ever UNDERESTIMATE Jaccard (sizes stay uncapped), so a tighter
     * cap trades recall on boilerplate-only overlap for a hard linear
-    * cost bound. */
+    * cost bound. Pass [[AutoGramDf]] to derive the cap from the
+    * corpus's own df profile ([[autoGramDf]]) instead of applying
+    * this rule by hand. */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 2, minJaccard: Double = 0.5, maxGramDf: Int = 10000): DataFrame = {
@@ -795,9 +797,10 @@ object Dedup {
       val grams = docGrams
         .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
           explode(col("__gs")).as("__g"))
+      val effDf = if (maxGramDf >= 0) maxGramDf else autoGramDf(grams)
       val hot = grams.groupBy("__blk", "__g")
         .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxGramDf)
+        .filter(col("__df") > effDf)
         .select("__blk", "__g")
       val capped = grams.join(hot, Seq("__blk", "__g"), "left_anti")
       val a = capped.select(col(idCol).as("id1"), col("__blk"),
@@ -820,15 +823,65 @@ object Dedup {
     } finally docGrams.unpersist(blocking = false)
   }
 
+  /** Sentinel for `maxGramDf`: derive the cap from the corpus's own
+    * df profile instead of a hand tuning rule (r18 verdict #4 — the
+    * cap-engagement probe measured the regime boundary; this
+    * operationalizes it). */
+  val AutoGramDf: Int = -1
+
+  /** One-pass df-profile knee: bucket every element's in-block
+    * document frequency by ceil(log2 df) (a partial-agg-friendly
+    * second aggregation on the SAME (block, element) key the hot-set
+    * drop shuffles on; the profile itself is ≤ ~32 rows — driver
+    * metadata, not data). The cap is the smallest power of two whose
+    * df range keeps >= 99% of the DISTINCT vocabulary: content
+    * elements are the vocabulary mass and cluster at their natural
+    * duplication df, while boilerplate is a vanishing fraction of
+    * distinct elements with outsized df — exactly the tail the
+    * measured super-linear regime lives in (dev/scale_probe_r18.txt:
+    * capped candidate mass grows ~linearly only once boilerplate df
+    * crosses the cap). This is the COST-oriented contract: on the
+    * D04DenseGen cap-crossing corpus the derived cap lands just above
+    * the family df (the probe's cap=min choice) and below the crossed
+    * boilerplate df; on a corpus whose heavy-df elements are genuine
+    * content the quantile may drop them — use an explicit cap when
+    * recall on very large dup clusters matters more than the cost
+    * bound. Floored at 64 so a tiny corpus cannot derive a cap that
+    * drops ordinary content overlap. */
+  private[graft] def autoGramDf(items: DataFrame): Int = {
+    val prof = items.groupBy("__blk", "__g")
+      .agg(count(lit(1)).as("__df"))
+      .groupBy(ceil(log2(col("__df"))).cast("int").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val total = prof.map(_._2).sum
+    if (total == 0) return 64
+    val budget = math.max(1L, total / 100L) // the 1% vocabulary tail
+    var tail = 0L
+    var b = prof.last._1
+    // walk buckets from the high-df end; stop before the tail budget
+    // is exceeded — cap = 2^b keeps every bucket <= b
+    val byBucket = prof.toMap
+    while (b > 6 && tail + byBucket.getOrElse(b, 0L) <= budget) {
+      tail += byBucket.getOrElse(b, 0L)
+      b -= 1
+    }
+    math.max(1 << b, 64)
+  }
+
   /** The blocked exact-set-Jaccard core d04 (word shingles) and m03
     * (binary frame fingerprints) share. `items` holds one row per
     * (id, set element): idCol, `__blk` block key, `__sz` UNCAPPED set
     * size, `__g` element. Elements with in-block df > maxDf drop
     * BEFORE the self-join (the d04 bound: join output ≤
     * blocks·elements·maxDf², linear in corpus size; Jaccard only ever
-    * underestimates). */
+    * underestimates). `maxDf` = [[AutoGramDf]] derives the cap from
+    * the df profile. */
   private[operators] def setJaccardPairs(items: DataFrame, idCol: String,
-      minJaccard: Double, maxDf: Int): DataFrame = {
+      minJaccard: Double, maxDf0: Int): DataFrame = {
+    val maxDf = if (maxDf0 >= 0) maxDf0 else autoGramDf(items)
     // The df cap exists precisely because boilerplate elements are
     // shared by ~everything in a block — which is why it must NOT be
     // a count-over-window: a window routes every occurrence of the

@@ -328,14 +328,27 @@ object AggQueries {
         .orderBy("o_orderstatus")
     },
 
-    // uniq (approximate, HLL++) — no cross-engine oracle for a sketch;
-    // AggSpec asserts the 1%-rsd bound against the exact count.
-    // rsd 0.016 ≈ 1.04/√2¹² — the register budget of the reference's
-    // uniqHLL12 (2^12-register HyperLogLog), 4× smaller sketches than
-    // the 0.01 default-precision bump. AggSpec pins ≤5% of exact.
-    "a04_uniq_approx" -> Q.rowsOnly { (s, dir) =>
+    // uniq (approximate, HLL++). A sketch ESTIMATE has no cross-engine
+    // oracle, but its documented error bound does (r18 verdict #6):
+    // the key outputs the exact distinct count (hash-checked) plus a
+    // boolean asserting |approx-exact| <= 5% of exact, which the
+    // oracle states as literal TRUE — so the sketch's accuracy
+    // contract is now part of the hash compare, not just a spec
+    // promise. rsd 0.016 ≈ 1.04/√2¹² — the register budget of the
+    // reference's uniqHLL12 (2^12-register HyperLogLog); 5% ≈ 3σ.
+    // AggSpec still pins the raw estimate against exact.
+    "a04_uniq_approx" -> Q(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables(s, dir).lineitem.groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.016).as("approx_orders"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.016).as("__approx"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__approx") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("approx_within_5pct"))
         .orderBy("l_returnflag")
     },
 

@@ -81,6 +81,40 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 100L), (1L, 101L), (2L, 102L)))
   }
 
+  test("maxGramDf = AutoGramDf derives the cap at the df-profile knee") {
+    // D04DenseGen shape in miniature: 30 families of 8 copies (content
+    // grams at df 8 — the vocabulary mass) + a 3-word boilerplate
+    // footer in EVERY doc (df 240 — a vanishing fraction of distinct
+    // grams with outsized df). The knee rule must keep the content df
+    // range (floor 64 >= 8) and cut the boilerplate tail (240 > 64).
+    val docs = (0 until 240).map { i =>
+      val fam = i % 30
+      (i.toLong, s"fam${fam}_a fam${fam}_b fam${fam}_c fam${fam}_d " +
+        s"uniq${i}_x uniq${i}_y BOILER PLATE FOOTER")
+    }.toDF("doc_id", "text").withColumn("blk", lit(1))
+    val grams = docs.select(col("doc_id"), col("blk").as("__blk"),
+        Dedup.wordNGrams(col("text"), 2).as("__gs"))
+      .select(col("doc_id"), col("__blk"), size(col("__gs")).as("__sz"),
+        explode(col("__gs")).as("__g"))
+    assert(Dedup.autoGramDf(grams) == 64)
+    // auto and the equivalent explicit cap agree pair-for-pair, and
+    // boilerplate-only overlap yields no pairs under either
+    val auto = Dedup.ngramJaccard(docs, "doc_id", "text", "blk",
+        n = 2, minJaccard = 0.2, maxGramDf = Dedup.AutoGramDf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.ngramJaccard(docs, "doc_id", "text", "blk",
+        n = 2, minJaccard = 0.2, maxGramDf = 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+    // family pairs survive (content df 8 is under the derived cap);
+    // every surviving pair is same-family
+    assert(auto.forall { case (a, b) => a % 30 == b % 30 })
+    // containment twin takes the sentinel through its own hot-set path
+    val cont = Dedup.ngramContainment(docs, "doc_id", "text", "blk",
+      n = 2, minContainment = 0.2, maxGramDf = Dedup.AutoGramDf)
+    assert(cont.count() == auto.size)
+  }
+
   test("span coverage counts cross-doc duplicated positions, not same-doc repeats") {
     // doc 1 and 2 share a 6-token span; doc 3 repeats its OWN span
     // twice (t06 territory — must NOT count); doc 4 is unique

@@ -38,10 +38,16 @@ object D04Probe {
       val grams = docs.select(col("doc_id"), col("lang").as("__blk"),
           explode(graft.operators.Dedup.wordNGrams(col("text"), 3)).as("__g"))
       val df = grams.groupBy("__blk", "__g").count()
+      // r19: the auto-derived knee cap rides along in every sweep so
+      // the probe's table directly shows where 'auto' lands vs the
+      // hand-chosen caps and what mass bound it buys
+      val autoCap = graft.operators.Dedup.autoGramDf(
+        grams.withColumn("__sz", lit(0)))
+      println(s"d04probe,$dir,autoGramDf=$autoCap")
       // bounds are cheap (one agg) — always include the default cap so
       // a run that can't AFFORD the uncapped op (sf100docs) still
       // reports the uncapped regime's designed mass
-      val boundCaps = (caps :+ 1000).distinct
+      val boundCaps = (caps :+ 1000 :+ autoCap).distinct
       val boundCols = boundCaps.map(c =>
         sum(least(col("count"), lit(c)) * least(col("count"), lit(c)))
           .as(s"bound_$c"))
