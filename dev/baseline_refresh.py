@@ -6,7 +6,10 @@ the table refresh. Run AFTER dev/baseline_check.py has been run against
 the OLD baseline (the r(N) code vs r(N-1) baseline comparison is the
 gate — refreshing first would erase it).
 
-Usage: python3 dev/baseline_refresh.py bench.json "round N note"
+Usage: python3 dev/baseline_refresh.py bench.json
+(The header note is GENERATED from the bench artifact's own stamp —
+run_id, gate verdict, canaries, and per-key machine verdicts — r18
+verdict #3/#8: no hand-written adjudication prose in this file.)
 """
 import json, sys
 from pathlib import Path
@@ -16,7 +19,6 @@ REPO = Path(__file__).resolve().parent.parent
 
 def main():
     raw = open(sys.argv[1]).read().strip()
-    note = sys.argv[2] if len(sys.argv) > 2 else ""
     line = raw.splitlines()[-1]
     d = json.loads(line[line.index("{"):])  # tolerate sbt's [info] prefix
     qs = d["queries"]
@@ -25,6 +27,13 @@ def main():
     spread = d.get("median_rel_spread")
     if canary is None:
         sys.exit("bench json has no canary_s")
+    verdicts = d.get("gate_verdicts") or {}
+    vtxt = ("; verdicts: " + ", ".join(f"{k}={v}" for k, v in
+            sorted(verdicts.items()))) if verdicts else ""
+    note = (f"Stamped from run `{d.get('run_id', '?')}` "
+            f"(gate {d.get('gate', '?')} vs the prior baseline, "
+            f"{d.get('n_keys', '?')} keys, iters {d.get('iters', '?')}"
+            f"{vtxt}).")
     head = f"""# BASELINE — per-key sf0.1 bench medians
 
 {note}

@@ -133,13 +133,28 @@ object Bench {
     }
     var samples: Map[String, Seq[Double]] =
       benched.keys.map(n => n -> passes.flatMap(_(n))).toMap
+    // baseline medians parsed HERE (not just for the vs-ratios below):
+    // the sub-0.5 s key cohort needs them to qualify for extra passes
+    val baselineTxt =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+      catch { case _: Throwable => "" }
+    val baseKeys = """\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
+      .findAllMatchIn(baselineTxt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
     // adaptive re-measurement: keys whose interleaved shots disagree
     // re-run ALONE (fresh cache, no neighboring query's GC debris) and
     // pool the samples — noise gets more evidence, stable keys don't
-    // pay for it
+    // pay for it. Since r19 the sub-0.5 s baseline cohort ALWAYS pools
+    // extra isolated samples (r18 verdict #2a: at 32 cores the ±0.2 s
+    // scheduler noise floor means a sub-0.5 s key cannot clear a 1.3×
+    // warn bar from 4 interleaved shots — three rounds of c12/f04/j03/
+    // c20 phantom warns were exactly this); 8+ samples with the
+    // best/worst trim puts their medians back under the bar honestly.
     val extraIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4").toInt
     samples.keys.toSeq.sorted
-      .filter(n => samples(n).nonEmpty && relSpread(samples(n)) > 0.3)
+      .filter(n => samples(n).nonEmpty && (relSpread(samples(n)) > 0.3 ||
+        baseKeys.get(n).exists(_ < 0.5)))
       .foreach { name =>
         val fn = SparkEntry.queries(name)
         System.gc()
@@ -181,13 +196,6 @@ object Bench {
     // map carry a "vs:" prefix: the tail-format parsers recover query
     // keys by regex, and an unprefixed ratio map would collide with
     // (and clobber) the medians of the same keys.
-    val baselineTxt =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
-      catch { case _: Throwable => "" }
-    val baseKeys = """\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
-      .findAllMatchIn(baselineTxt)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val baseCanary = """canary_s:\s*([0-9.]+)""".r
       .findFirstMatchIn(baselineTxt).map(_.group(1).toDouble)
     val baseCanaryIo = """canary_io_s:\s*([0-9.]+)""".r
@@ -199,7 +207,7 @@ object Bench {
     // so the gated ratio is min(alu-normalized, io-normalized). A
     // uniform VM drift of either class then produces zero warns
     // without a human adjudication note.
-    val vsRatios: Map[String, Double] = baseCanary match {
+    val vsDetail: Map[String, (Double, Double)] = baseCanary match {
       case Some(bc) if bc > 0 && canaryS > 0 =>
         results.flatMap { case (k, v) =>
           baseKeys.get(k).filter(_ > 0).map { bv =>
@@ -209,11 +217,13 @@ object Bench {
                 (v / canaryIoS) / (bv / bio)
               case _ => rAlu
             }
-            k -> math.min(rAlu, rIo)
+            k -> (rAlu, rIo)
           }
         }.toMap
       case _ => Map.empty
     }
+    val vsRatios: Map[String, Double] =
+      vsDetail.map { case (k, (a, i)) => k -> math.min(a, i) }
     // Locale.ROOT: the f"" interpolator is locale-sensitive and a
     // comma decimal separator would make the artifact invalid JSON
     def r3(x: Double): String =
@@ -237,6 +247,27 @@ object Bench {
       s"auto_${System.currentTimeMillis / 1000}")
     val gateFails = vsRatios.count(_._2 > 2.0)
     val gateWarns = vsRatios.count { case (_, r) => r > 1.3 && r <= 2.0 }
+    // r18 verdict #8: the adjudication the BASELINE.md header kept
+    // carrying as prose now lives IN the artifact — every key past the
+    // warn bar gets a machine verdict from the same evidence a human
+    // would read: raw delta vs the documented sub-second noise floor,
+    // and whether the two canaries disagree (an ambient-mode split the
+    // min() gate already took the favorable side of).
+    val gateVerdicts: Map[String, String] = vsRatios.collect {
+      case (k, r) if r > 1.3 =>
+        val (rAlu, rIo) = vsDetail(k)
+        val baseS = baseKeys.getOrElse(k, 0.0)
+        val newS = results.getOrElse(k, 0.0)
+        val split = math.max(rAlu, rIo) / math.max(math.min(rAlu, rIo), 1e-9)
+        val verdict =
+          if (baseS < 0.5 && math.abs(newS - baseS) < 0.35) "small-key-noise"
+          else if (split > 1.25) "canary-split-ambient"
+          else "unexplained"
+        k -> verdict
+    }
+    val gateVerdictsJson = gateVerdicts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // a baseline key with no result this run (errored out / vanished)
     // is a FAILURE, exactly as baseline_check.py counts it — but only
     // on a full run; a SPARK_GRAFT_BENCH_ONLY-filtered run cannot
@@ -252,7 +283,7 @@ object Bench {
       else if (only.nonEmpty) "pass-partial"
       else "pass"
     val vsFields = s""""run_id":"$runId","epoch_ms":${System.currentTimeMillis},""" +
-      s""""gate":"$gate",""" +
+      s""""gate":"$gate","gate_verdicts":$gateVerdictsJson,""" +
       s""""baseline_canary_s":${baseCanary.getOrElse(0.0)},""" +
       s""""baseline_canary_io_s":${baseCanaryIo.getOrElse(0.0)},""" +
       s""""vs_baseline_median":${r3(vsMedian)},""" +

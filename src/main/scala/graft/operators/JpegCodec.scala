@@ -188,17 +188,26 @@ object JpegCodec {
     * box-averaged chroma, else 4:4:4). `restartEvery` > 0 writes a
     * DRI segment and RSTn markers every that many MCUs. */
   def encodeJpeg(width: Int, height: Int, channels: Int, px: Array[Int],
-      restartEvery: Int = 0, subsample: Boolean = false): Array[Byte] = {
-    require(channels == 1 || channels == 3,
-      s"encodeJpeg: channels=$channels (1/3)")
+      restartEvery: Int = 0, subsample: Boolean = false,
+      adobeTransform: Int = -1): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"encodeJpeg: channels=$channels (1/3/4)")
     require(px.length == width * height * channels,
       s"encodeJpeg: need ${width * height * channels} values")
     require(!subsample || channels == 3, "encodeJpeg: 4:2:0 needs color")
+    require(channels != 4 || adobeTransform == 0 || adobeTransform == 2,
+      "encodeJpeg: 4-channel (inverted CMYK) needs adobeTransform 0 or 2")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xff); u8(m) }
     marker(0xd8) // SOI
+    if (adobeTransform >= 0) { // APP14 "Adobe" color-transform note
+      marker(0xee); u16(14)
+      "Adobe".getBytes("US-ASCII").foreach(b => u8(b))
+      u16(0x0065); u16(0); u16(0) // DCTEncodeVersion, flags0, flags1
+      u8(adobeTransform)
+    }
     marker(0xdb); u16(2 + 1 + 64) // DQT, table 0
     u8(0x00); zigzag.foreach(z => u8(encQuant(z)))
     if (restartEvery > 0) { marker(0xdd); u16(4); u16(restartEvery) }
@@ -216,10 +225,35 @@ object JpegCodec {
     u16(6 + 2 * channels); u8(channels)
     for (c <- 1 to channels) { u8(c); u8(0x00) } // DC 0 / AC 0
     u8(0); u8(63); u8(0)
-    // component planes (level 0..255): gray as-is; RGB -> YCbCr (JFIF)
+    // component planes (level 0..255): gray as-is; RGB -> YCbCr
+    // (JFIF); 4-channel takes Adobe-inverted CMYK samples — direct
+    // planes for transform 0, stored-CMY through the YCbCr matrix
+    // (+ K as-is) for transform 2 (YCCK)
     val planes: Array[Array[Int]] =
       if (channels == 1) Array(px)
-      else {
+      else if (channels == 4) {
+        val c = Array.tabulate(width * height)(i => px(i * 4))
+        val m = Array.tabulate(width * height)(i => px(i * 4 + 1))
+        val yv = Array.tabulate(width * height)(i => px(i * 4 + 2))
+        val k = Array.tabulate(width * height)(i => px(i * 4 + 3))
+        if (adobeTransform == 0) Array(c, m, yv, k)
+        else {
+          val y = new Array[Int](width * height)
+          val cb = new Array[Int](width * height)
+          val cr = new Array[Int](width * height)
+          var i = 0
+          while (i < width * height) {
+            y(i) = math.max(0, math.min(255, math.round(
+              0.299 * c(i) + 0.587 * m(i) + 0.114 * yv(i)).toInt))
+            cb(i) = math.max(0, math.min(255, math.round(
+              -0.168736 * c(i) - 0.331264 * m(i) + 0.5 * yv(i)).toInt + 128))
+            cr(i) = math.max(0, math.min(255, math.round(
+              0.5 * c(i) - 0.418688 * m(i) - 0.081312 * yv(i)).toInt + 128))
+            i += 1
+          }
+          Array(y, cb, cr, k)
+        }
+      } else {
         val y = new Array[Int](width * height)
         val cb = new Array[Int](width * height)
         val cr = new Array[Int](width * height)
@@ -528,8 +562,8 @@ object JpegCodec {
       require(width > 0 && height > 0 &&
         width.toLong * height <= (1L << 26),
         s"JPEG: implausible dimensions ${width}x$height")
-      require(ncomp == 1 || ncomp == 3,
-        s"JPEG: $ncomp components (1 or 3 supported)")
+      require(ncomp == 1 || ncomp == 3 || ncomp == 4,
+        s"JPEG: $ncomp components (1 gray / 3 YCbCr-RGB / 4 CMYK)")
       progressive = prog
       compQuant = new Array[Int](ncomp)
       compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
@@ -865,6 +899,46 @@ object JpegCodec {
       }
       val (ow, oh, op) = orient(width, height, 1, out, orientation)
       ImageCodec.DecodedImage("image/jpeg", ow, oh, 1, op)
+    } else if (ncomp == 4) {
+      // Adobe 4-component CMYK/YCCK (tech note #5116 — old Photoshop
+      // web exports): samples are Adobe-INVERTED ink (stored = 255 -
+      // ink), so RGB is the multiplicative stored_c * stored_k / 255.
+      // Transform 2 (YCCK) first runs the stored CMY through the
+      // standard YCbCr matrix; transform 0 is direct CMYK. A
+      // 4-component frame with no APP14 declaration (or the 3-only
+      // transform 1) has no defined color space — refuse BY NAME.
+      require(adobeTransform == 0 || adobeTransform == 2,
+        "JPEG: 4-component CMYK without an Adobe APP14 CMYK/YCCK " +
+          "transform declaration — re-encode sRGB")
+      val out = new Array[Int](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val base = (y * width + x) * 3
+          val k = sample(3, x, y)
+          var c = sample(0, x, y)
+          var m = sample(1, x, y)
+          var yl = sample(2, x, y)
+          if (adobeTransform == 2) {
+            val cb = m - 128; val cr = yl - 128
+            val c0 = c
+            c = math.max(0, math.min(255,
+              math.round(c0 + 1.402 * cr).toInt))
+            m = math.max(0, math.min(255,
+              math.round(c0 - 0.344136 * cb - 0.714136 * cr).toInt))
+            yl = math.max(0, math.min(255,
+              math.round(c0 + 1.772 * cb).toInt))
+          }
+          out(base) = math.round(c * k / 255.0).toInt
+          out(base + 1) = math.round(m * k / 255.0).toInt
+          out(base + 2) = math.round(yl * k / 255.0).toInt
+          x += 1
+        }
+        y += 1
+      }
+      val (ow, oh, op) = orient(width, height, 3, out, orientation)
+      ImageCodec.DecodedImage("image/jpeg", ow, oh, 3, op)
     } else {
       // Adobe APP14 transform 0 declares the components are stored as
       // RGB directly — applying the YCbCr matrix there would silently

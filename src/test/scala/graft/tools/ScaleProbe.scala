@@ -3,19 +3,23 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: the r17 sf1→sf10 scale probe (verdict ask #2 — "the bar
-  * is plans you'd want at 100×"). For each key, times ONE pass at
-  * each given SF dir in ascending order (the smaller run doubles as
-  * the JVM/codegen warmup for the larger, the r16 probe protocol),
-  * noop sink so the full plan executes. Emits one CSV line per
-  * (key, dir) to stdout: `probe,key,dir,seconds`.
+  * is plans you'd want at 100×"). For each key, times `passes`
+  * ALTERNATING passes over the given SF dirs in ascending order (the
+  * smaller run doubles as the JVM/codegen warmup for the larger, the
+  * r16 probe protocol; r19: multiple interleaved passes, gate takes
+  * min() per leg, so a within-run ambient phase that lands between a
+  * key's two legs — the r18b d09 artifact — cannot inflate a single
+  * denominator). Noop sink so the full plan executes. Emits one CSV
+  * line per (key, dir, pass) to stdout: `probe,key,dir,seconds`.
   *
   * Run: java -cp "classes:test-classes:spark-jars" (glob the jars)
-  *   graft.tools.ScaleProbe /tmp/sf1,/tmp/sf10 d25_substring_dedup,…
+  *   graft.tools.ScaleProbe /tmp/sf1,/tmp/sf10 d25_substring_dedup,… [passes]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(',').toSeq
     val keys = args(1).split(',').toSeq
+    val passes = if (args.length > 2) args(2).toInt else 2
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -41,7 +45,7 @@ object ScaleProbe {
     println(f"probe,canary,-,${canary()}%.3f")
     for (key <- keys) {
       val fn = graft.SparkEntry.queries(key)
-      for (dir <- dirs) {
+      for (_ <- 1 to passes; dir <- dirs) {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
