@@ -144,6 +144,11 @@ object VideoCodec {
     // (ImageCodec.decodeGifFrames — disposal, transparency, sub-rect)
     if (ImageCodec.isGif(bytes))
       return Some(ImageCodec.decodeGifFrames(bytes))
+    // animated WebP likewise: ANMF frames composite to canvas
+    // snapshots (Vp8lCodec.decodeWebpFrames — blend, dispose,
+    // sub-rect placement); a still VP8L yields a one-frame video
+    if (Vp8lCodec.isWebp(bytes))
+      return Some(Vp8lCodec.decodeWebpFrames(bytes))
     if (bytes.length < 12 ||
         !riffMagic.indices.forall(i => bytes(i) == riffMagic(i)) ||
         bytes(8) != 'A' || bytes(9) != 'V' || bytes(10) != 'I' ||

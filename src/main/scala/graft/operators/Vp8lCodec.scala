@@ -631,14 +631,14 @@ object Vp8lCodec {
           "WebP: 'VP8 ' lossy bitstream (DCT + boolean coder) is not " +
             "supported here — re-encode lossless (VP8L) or PNG")
         case "ANIM" | "ANMF" => throw new IllegalArgumentException(
-          "WebP: animated WebP (ANIM/ANMF) is not supported here — " +
-            "sample frames upstream or re-encode a still image")
+          "WebP: animated WebP (ANIM/ANMF) — decode through the video " +
+            "path (Multimodal.sampleVideoFrames), not the still featurizer")
         case "VP8X" =>
           require(size >= 10, s"WebP: VP8X chunk of $size bytes")
           val flags = bytes(pos + 8) & 0xff
           if ((flags & 0x02) != 0) throw new IllegalArgumentException(
-            "WebP: animated WebP (VP8X animation flag) is not supported " +
-              "here — sample frames upstream or re-encode a still image")
+            "WebP: animated WebP (VP8X animation flag) — decode through the " +
+              "video path (Multimodal.sampleVideoFrames), not the still featurizer")
         case _ => () // ICCP/EXIF/XMP/ALPH/unknown: skip
       }
       pos += 8 + size + (size & 1)
@@ -918,6 +918,17 @@ object Vp8lCodec {
       px: Array[Int], subtractGreen: Boolean = false,
       usePalette: Boolean = false, cacheBits: Int = 0,
       useLz77: Boolean = true, predictor: Int = -1, colorXform: Int = 0,
+      metaBits: Int = 0, lzCandidates: Seq[Int] = Nil): Array[Byte] =
+    wrapRiff(vp8lPayload(width, height, channels, px, subtractGreen,
+      usePalette, cacheBits, useLz77, predictor, colorXform, metaBits,
+      lzCandidates))
+
+  /** The bare VP8L chunk payload (signature byte + bitstream) —
+    * shared by the still-image RIFF wrap and ANMF frame data. */
+  private def vp8lPayload(width: Int, height: Int, channels: Int,
+      px: Array[Int], subtractGreen: Boolean = false,
+      usePalette: Boolean = false, cacheBits: Int = 0,
+      useLz77: Boolean = true, predictor: Int = -1, colorXform: Int = 0,
       metaBits: Int = 0, lzCandidates: Seq[Int] = Nil): Array[Byte] = {
     require(channels == 1 || channels == 3 || channels == 4,
       s"encodeWebpVp8l: channels=$channels (1/3/4)")
@@ -1028,7 +1039,221 @@ object Vp8lCodec {
       }
     writeImageData(bw, data, w, cacheBits, useLz77, nGroups, groupOf,
       lzCandidates)
-    wrapRiff(0x2f.toByte +: bw.toBytes)
+    0x2f.toByte +: bw.toBytes
+  }
+
+  // ---------- animated WebP (VP8X + ANIM + ANMF, lossless frames) ----------
+
+  /** One animation frame for [[encodeWebpAnim]]: `x`/`y` placement
+    * (must be even — the wire stores them halved), `rgba` is 4 ints
+    * per pixel, `blend` false = overwrite the rect, `disposeBg` fills
+    * the rect with the ANIM background after this frame renders. */
+  final case class WebpFrame(x: Int, y: Int, w: Int, h: Int,
+    durationMs: Int, blend: Boolean, disposeBg: Boolean, rgba: Array[Int])
+
+  /** Encode an animated WebP: VP8X (animation flag + canvas size),
+    * ANIM (background ARGB + loop count), one ANMF per frame wrapping
+    * a lossless VP8L payload. */
+  def encodeWebpAnim(canvasW: Int, canvasH: Int, background: Int,
+      loop: Int, frames: Seq[WebpFrame]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeWebpAnim: no frames")
+    val chunks = new java.io.ByteArrayOutputStream()
+    def chunk(tag: String, payload: Array[Byte]): Unit = {
+      chunks.write(tag.getBytes("US-ASCII"))
+      val s = payload.length
+      chunks.write(s & 0xff); chunks.write((s >> 8) & 0xff)
+      chunks.write((s >> 16) & 0xff); chunks.write((s >> 24) & 0xff)
+      chunks.write(payload)
+      if ((s & 1) == 1) chunks.write(0)
+    }
+    def u24(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte)
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x02 // animation flag
+    Array.copy(u24(canvasW - 1), 0, vp8x, 4, 3)
+    Array.copy(u24(canvasH - 1), 0, vp8x, 7, 3)
+    chunk("VP8X", vp8x)
+    // ANIM: background color on the wire is BGRA byte order
+    chunk("ANIM", Array((background & 0xff).toByte,
+      ((background >> 8) & 0xff).toByte, ((background >> 16) & 0xff).toByte,
+      ((background >>> 24) & 0xff).toByte,
+      (loop & 0xff).toByte, ((loop >> 8) & 0xff).toByte))
+    frames.foreach { f =>
+      require(f.x % 2 == 0 && f.y % 2 == 0,
+        s"encodeWebpAnim: frame origin (${f.x},${f.y}) must be even")
+      require(f.rgba.length == f.w * f.h * 4,
+        s"encodeWebpAnim: frame needs ${f.w * f.h * 4} rgba values")
+      val img = vp8lPayload(f.w, f.h, 4, f.rgba)
+      val anmf = new java.io.ByteArrayOutputStream()
+      anmf.write(u24(f.x / 2)); anmf.write(u24(f.y / 2))
+      anmf.write(u24(f.w - 1)); anmf.write(u24(f.h - 1))
+      anmf.write(u24(f.durationMs))
+      anmf.write((if (f.blend) 0 else 2) | (if (f.disposeBg) 1 else 0))
+      // frame data: a VP8L sub-chunk
+      anmf.write("VP8L".getBytes("US-ASCII"))
+      val s = img.length
+      anmf.write(s & 0xff); anmf.write((s >> 8) & 0xff)
+      anmf.write((s >> 16) & 0xff); anmf.write((s >> 24) & 0xff)
+      anmf.write(img)
+      if ((s & 1) == 1) anmf.write(0)
+      chunk("ANMF", anmf.toByteArray)
+    }
+    val body = chunks.toByteArray
+    val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WEBP".getBytes("US-ASCII")).put(body)
+    out.array()
+  }
+
+  /** Decode an ANIMATED WebP through the VIDEO path (the m09 GIF
+    * analog): composite every ANMF frame onto the canvas with the
+    * container spec's model — source-over alpha blending (B=0) or
+    * rect overwrite (B=1), then dispose-to-background (D=1) refills
+    * the frame rect with the ANIM background color. The canvas starts
+    * fully transparent; each emitted snapshot is the canvas matted
+    * over the ANIM background (what a player shows). `usPerFrame` is
+    * the FIRST frame's duration (the container carries per-frame
+    * durations; DecodedVideo's contract has one rate). Lossy (VP8)
+    * frames refuse by name. */
+  def decodeWebpFrames(bytes: Array[Byte]): VideoCodec.DecodedVideo = {
+    require(isWebp(bytes), "WebP: not a RIFF/WEBP container")
+    val riffSize = le32(bytes, 4)
+    require(riffSize >= 4 && 8L + riffSize <= bytes.length,
+      s"WebP: RIFF size $riffSize exceeds the ${bytes.length}-byte payload")
+    var pos = 12
+    val end = 8 + riffSize
+    var canvasW = -1; var canvasH = -1
+    var background = 0; var usPerFrame = 0
+    var canvas: Array[Int] = null
+    var frames = List.empty[VideoCodec.DecodedFrame]
+    var frameIdx = 0
+    def u24(i: Int): Int =
+      (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16)
+    while (pos + 8 <= end) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val size = le32(bytes, pos + 4)
+      require(size >= 0 && pos + 8 + size.toLong <= bytes.length,
+        s"WebP: chunk '$tag' declares $size bytes past end of file")
+      val p = pos + 8
+      tag match {
+        case "VP8X" =>
+          require(size >= 10, s"WebP: VP8X chunk of $size bytes")
+          canvasW = u24(p + 4) + 1
+          canvasH = u24(p + 7) + 1
+          require(canvasW.toLong * canvasH <= (1L << 26),
+            s"WebP: implausible canvas ${canvasW}x$canvasH")
+          canvas = new Array[Int](canvasW * canvasH) // transparent
+        case "ANIM" =>
+          require(size >= 6, s"WebP: ANIM chunk of $size bytes")
+          // BGRA on the wire -> ARGB
+          background = ((bytes(p + 3) & 0xff) << 24) |
+            ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 1) & 0xff) << 8) |
+            (bytes(p) & 0xff)
+        case "ANMF" =>
+          require(canvas != null, "WebP: ANMF before VP8X canvas")
+          require(size >= 16 + 8, s"WebP: ANMF chunk of $size bytes")
+          val fx = u24(p) * 2; val fy = u24(p + 3) * 2
+          val fw = u24(p + 6) + 1; val fh = u24(p + 9) + 1
+          val dur = u24(p + 12)
+          val flags = bytes(p + 15) & 0xff
+          val noBlend = (flags & 2) != 0
+          val disposeBg = (flags & 1) != 0
+          if (frameIdx == 0) usPerFrame = dur * 1000
+          require(fx + fw <= canvasW && fy + fh <= canvasH,
+            s"WebP: frame ${fw}x$fh at ($fx,$fy) outside the canvas")
+          // frame data sub-chunks: ALPH would accompany lossy only
+          var q = p + 16
+          var framePx: Array[Int] = null
+          while (q + 8 <= p + size && framePx == null) {
+            val st = new String(bytes, q, 4, "US-ASCII")
+            val ss = le32(bytes, q + 4)
+            require(ss >= 0 && q + 8 + ss.toLong <= bytes.length,
+              s"WebP: ANMF sub-chunk '$st' overruns the file")
+            st match {
+              case "VP8L" =>
+                val (w2, h2, px) = decodeVp8lPayload(bytes, q + 8)
+                require(w2 == fw && h2 == fh,
+                  s"WebP: ANMF declares ${fw}x$fh but VP8L is ${w2}x$h2")
+                framePx = px
+              case "VP8 " => throw new IllegalArgumentException(
+                "WebP: lossy (VP8) animation frame is not supported " +
+                  "here — re-encode lossless")
+              case _ => q += 8 + ss + (ss & 1) // ALPH/unknown: skip
+            }
+          }
+          require(framePx != null, "WebP: ANMF with no image sub-chunk")
+          // composite: source-over (B=0) or overwrite (B=1)
+          var yy = 0
+          while (yy < fh) {
+            var xx = 0
+            while (xx < fw) {
+              val src = framePx(yy * fw + xx)
+              val ci = (fy + yy) * canvasW + (fx + xx)
+              canvas(ci) =
+                if (noBlend) src
+                else blendOver(src, canvas(ci))
+              xx += 1
+            }
+            yy += 1
+          }
+          // snapshot: canvas matted over the ANIM background
+          val rgb = new Array[Int](canvasW * canvasH * 3)
+          var i = 0
+          while (i < canvas.length) {
+            val m = blendOver(canvas(i), 0xff000000 | background)
+            rgb(i * 3) = r8(m); rgb(i * 3 + 1) = g8(m); rgb(i * 3 + 2) = b8(m)
+            i += 1
+          }
+          frames ::= VideoCodec.DecodedFrame(frameIdx, rgb)
+          frameIdx += 1
+          if (disposeBg) {
+            var y2 = 0
+            while (y2 < fh) {
+              var x2 = 0
+              while (x2 < fw) {
+                canvas((fy + y2) * canvasW + (fx + x2)) = background
+                x2 += 1
+              }
+              y2 += 1
+            }
+          }
+        case "VP8L" if canvas == null =>
+          // a still VP8L: one-frame video (the GIF-still convention)
+          val (w2, h2, px) = decodeVp8lPayload(bytes, p)
+          val rgb = new Array[Int](w2 * h2 * 3)
+          var i = 0
+          while (i < px.length) {
+            val m = blendOver(px(i), 0xff000000)
+            rgb(i * 3) = r8(m); rgb(i * 3 + 1) = g8(m); rgb(i * 3 + 2) = b8(m)
+            i += 1
+          }
+          return VideoCodec.DecodedVideo("image/webp", w2, h2, 0,
+            Array(VideoCodec.DecodedFrame(0, rgb)))
+        case "VP8 " => throw new IllegalArgumentException(
+          "WebP: 'VP8 ' lossy bitstream is not supported here — " +
+            "re-encode lossless (VP8L)")
+        case _ => () // ICCP/EXIF/XMP: skip
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(frames.nonEmpty, "WebP: no animation frames decoded")
+    VideoCodec.DecodedVideo("image/webp", canvasW, canvasH,
+      math.max(usPerFrame, 0), frames.reverse.toArray)
+  }
+
+  /** Container-spec source-over: non-premultiplied ARGB. */
+  private[operators] def blendOver(src: Int, dst: Int): Int = {
+    val sa = a8(src); val da = a8(dst)
+    if (sa == 255) return src
+    val oa = sa + da * (255 - sa) / 255.0
+    if (oa < 0.5) return 0
+    @inline def ch(s: Int, d: Int): Int =
+      math.round((s * sa + d * da * (255 - sa) / 255.0) / oa).toInt
+    argb(math.round(oa).toInt, ch(r8(src), r8(dst)),
+      ch(g8(src), g8(dst)), ch(b8(src), b8(dst)))
   }
 
   private def wrapRiff(vp8l: Array[Byte]): Array[Byte] = {

@@ -633,6 +633,90 @@ object MultimodalQueries {
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
           round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
         .orderBy("doc_id")
+    },
+
+    // ANIMATED WebP through the VIDEO path (m12, the m09 discipline on
+    // the VP8X/ANIM/ANMF container): frame 0 paints the full opaque
+    // canvas; frame f alpha-BLENDS a growing (0,0)-anchored sub-rect
+    // whose row 0 is fully transparent and rows 1..f mix transparent
+    // holes (show frame 0 through) with opaque repaints — so every
+    // snapshot is a genuine composite and the planted model (and its
+    // oracle) is EXACTLY m09's: a decoder that misreads placement,
+    // blending, or the VP8L frame payloads cannot match. Durations ride
+    // the ANMF header (ms -> us_per_frame). sampleVideoFrames decimates
+    // (every=2) inside the same partition-preserving flatMap.
+    "m12_webp_frames" -> Q(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(5 + doc_id % 4 AS INT) AS width,
+        |    CAST(4 + doc_id % 3 AS INT) AS height,
+        |    CAST(2 + doc_id % 3 AS INT) AS n_frames,
+        |    CAST((4 + doc_id % 5) * 10000 AS INT) AS us_per_frame
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.width, m.height, m.n_frames, m.us_per_frame,
+        |    f.i AS frame_idx,
+        |    CASE WHEN y.i >= 1 AND y.i <= f.i
+        |           AND (m.doc_id + y.i * 5 + x.i * 3) % 8 <> 0
+        |      THEN (m.doc_id * 11
+        |        + ((m.doc_id + y.i * 5 + x.i * 3) % 8) * 17 + c.i * 29) % 256
+        |      ELSE (m.doc_id * 11
+        |        + ((m.doc_id + (y.i * m.width + x.i) * 3) % 8) * 17
+        |        + c.i * 29) % 256
+        |    END AS v
+        |  FROM m, range(0, 4) f(i), range(0, 6) y(i), range(0, 8) x(i),
+        |       range(0, 3) c(i)
+        |  WHERE f.i < m.n_frames AND f.i % 2 = 0
+        |    AND y.i < m.height AND x.i < m.width),
+        |s AS (
+        |  SELECT doc_id, frame_idx, SUM(v) AS sv,
+        |    SUM(CAST(v AS DOUBLE) * v) AS svv, COUNT(*) AS n
+        |  FROM px GROUP BY doc_id, frame_idx)
+        |SELECT m.doc_id, 'image/webp' AS format, m.width, m.height,
+        |  m.us_per_frame, m.n_frames, CAST(s.frame_idx AS INT) AS frame_idx,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean_px,
+        |  round(sqrt(GREATEST(svv / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 6)
+        |    AS std_px
+        |FROM m JOIN s USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{MediaRow, Vp8lCodec}
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = docs.map { id =>
+        val w = (5 + Math.floorMod(id, 4L)).toInt
+        val h = (4 + Math.floorMod(id, 3L)).toInt
+        val nf = (2 + Math.floorMod(id, 3L)).toInt
+        val durMs = ((4 + Math.floorMod(id, 5L)) * 10).toInt
+        def color(k: Long, c: Int): Int =
+          Math.floorMod(id * 11 + k * 17 + c * 29, 256L).toInt
+        val base = Vp8lCodec.WebpFrame(0, 0, w, h, durMs,
+          blend = false, disposeBg = false,
+          Array.tabulate(w * h * 4) { i =>
+            if (i % 4 == 3) 255
+            else color(Math.floorMod(id + (i / 4) * 3L, 8L), i % 4)
+          })
+        val overlays = (1 until nf).map { f =>
+          Vp8lCodec.WebpFrame(0, 0, w, f + 1, durMs,
+            blend = true, disposeBg = false,
+            Array.tabulate(w * (f + 1) * 4) { i =>
+              val p = i / 4; val y = p / w; val x = p % w
+              val k = Math.floorMod(id + y * 5L + x * 3L, 8L)
+              if (y == 0 || k == 0L) 0 // transparent: base shows through
+              else if (i % 4 == 3) 255
+              else color(k, i % 4)
+            })
+        }
+        MediaRow(id, Vp8lCodec.encodeWebpAnim(w, h, 0xff000000,
+          loop = 0, base +: overlays), "declared/wrong", 0, 0)
+      }.toDF()
+      Multimodal.sampleVideoFrames(media, every = 2)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("us_per_frame"), col("n_frames"), col("frame_idx"),
+          round(col("mean_px"), 6).as("mean_px"),
+          round(col("std_px"), 6).as("std_px"))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 }

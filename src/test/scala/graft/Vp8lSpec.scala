@@ -219,6 +219,75 @@ class Vp8lSpec extends SparkSpec {
     assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
   }
 
+  test("animated WebP composites: placement, blend, overwrite, dispose-to-background") {
+    import graft.operators.{Vp8lCodec, VideoCodec}
+    val W = 4; val H = 2
+    val bg = 0xffff0000 // opaque red
+    def solid(w: Int, h: Int, r: Int, g: Int, b: Int, a: Int = 255) =
+      Array.tabulate(w * h * 4)(i => Seq(r, g, b, a)(i % 4))
+    // frame 0: full canvas opaque gray ramp (overwrite)
+    val f0px = Array.tabulate(W * H * 4)(i =>
+      if (i % 4 == 3) 255 else (i / 4) * 10 + i % 4)
+    // frame 1: 2x1 at (2,0), pixel 0 transparent (shows f0 through),
+    // pixel 1 opaque green — alpha BLEND
+    val f1px = Array(0, 0, 0, 0, 0, 200, 0, 255)
+    // frame 2: 2x2 at (0,0) opaque blue, NO blend, dispose-to-bg after
+    val f2px = solid(2, 2, 0, 0, 150)
+    // frame 3: 2x1 at (2,0) opaque white
+    val f3px = solid(2, 1, 255, 255, 255)
+    val anim = Vp8lCodec.encodeWebpAnim(W, H, bg, loop = 0, Seq(
+      Vp8lCodec.WebpFrame(0, 0, W, H, 40, blend = false, disposeBg = false, f0px),
+      Vp8lCodec.WebpFrame(2, 0, 2, 1, 40, blend = true, disposeBg = false, f1px),
+      Vp8lCodec.WebpFrame(0, 0, 2, 2, 40, blend = false, disposeBg = true, f2px),
+      Vp8lCodec.WebpFrame(2, 0, 2, 1, 40, blend = false, disposeBg = false, f3px)))
+    val v = VideoCodec.decode(anim).get
+    assert(v.format == "image/webp" && v.width == W && v.height == H)
+    assert(v.usPerFrame == 40000 && v.frames.length == 4)
+    def rgbAt(f: Int, x: Int, y: Int): Seq[Int] = {
+      val b = (y * W + x) * 3
+      v.frames(f).rgb.slice(b, b + 3).toSeq
+    }
+    // frame 0 snapshot = the ramp itself
+    assert(rgbAt(0, 0, 0) == Seq(0, 1, 2) && rgbAt(0, 3, 1) == Seq(70, 71, 72))
+    // frame 1: (2,0) transparent -> f0 pixel shows through; (3,0) green
+    assert(rgbAt(1, 2, 0) == Seq(20, 21, 22))
+    assert(rgbAt(1, 3, 0) == Seq(0, 200, 0))
+    // frame 2: blue rect overwrote (0,0)-(1,1); rest as frame 1
+    assert(rgbAt(2, 0, 0) == Seq(0, 0, 150) && rgbAt(2, 1, 1) == Seq(0, 0, 150))
+    assert(rgbAt(2, 3, 0) == Seq(0, 200, 0))
+    // frame 3: the disposed 2x2 rect now shows the RED background;
+    // (2,0)-(3,0) white
+    assert(rgbAt(3, 0, 0) == Seq(255, 0, 0) && rgbAt(3, 1, 1) == Seq(255, 0, 0))
+    assert(rgbAt(3, 2, 0) == Seq(255, 255, 255))
+    // frame stats flow through sampleVideoFrames (every=2 keeps 0 and 2)
+    val media = Seq((9L, anim)).toDF("doc_id", "content")
+      .selectExpr("doc_id", "content", "'x' AS format",
+        "0 AS width", "0 AS height")
+    val rows = Multimodal.sampleVideoFrames(media, every = 2).collect()
+    assert(rows.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(rows.forall(r => r.width == W && r.n_frames == 4))
+    // a lossy ANMF frame refuses by name
+    val lossyAnmf = {
+      val bytes = anim.clone()
+      // find the first ANMF's VP8L sub-chunk tag and rename to 'VP8 '
+      val idx = bytes.indexOfSlice("VP8L".getBytes, 30)
+      // first hit is the frame sub-chunk (the container has no
+      // top-level VP8L here)
+      bytes(idx + 3) = ' '
+      bytes
+    }
+    val e = intercept[IllegalArgumentException] {
+      VideoCodec.decode(lossyAnmf)
+    }
+    assert(e.getMessage.contains("lossy"), e.getMessage)
+    // a STILL VP8L through the video path is a one-frame video
+    val still = Vp8lCodec.encodeWebpVp8l(3, 2, 3,
+      Array.tabulate(18)(i => i * 9))
+    val sv = VideoCodec.decode(still).get
+    assert(sv.frames.length == 1 && sv.width == 3 && sv.height == 2)
+    assert(sv.frames.head.rgb.toSeq == (0 until 18).map(_ * 9))
+  }
+
   test("WebP detect + featurize: real decoded dims and pixel stats") {
     val w = 6; val h = 5
     val px = Array.tabulate(w * h * 3)(i => (i * 13 + 5) % 256)
