@@ -379,6 +379,7 @@ object ImageCodec {
     var interlaced = false
     var plte: Array[Int] = null
     var trns: Array[Int] = null
+    var trnsColor: Array[Int] = null // gray/RGB transparent color
     var seenIhdr = false; var seenIend = false; var seenIdat = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
@@ -441,8 +442,17 @@ object ImageCodec {
           require(seenIhdr, "PNG: tRNS before IHDR")
           require(!seenIdat, "PNG: tRNS after IDAT (spec 5.6)")
           if (paletted) trns = data.map(_ & 0xff)
-          // gray/RGB tRNS (single transparent color) is skipped: it
-          // needs a 16-bit sample compare this 8-bit path never hits
+          else {
+            // gray/RGB single-transparent-color: 2-byte big-endian
+            // samples (one for gray, three for RGB); forbidden with
+            // the alpha color types (spec 11.3.2)
+            require(fch == 1 || fch == 3,
+              "PNG: tRNS with an alpha color type (spec 11.3.2)")
+            require(len == fch * 2, s"PNG: tRNS of $len bytes for " +
+              s"$fch-sample color type")
+            trnsColor = Array.tabulate(fch)(c =>
+              ((data(c * 2) & 0xff) << 8) | (data(c * 2 + 1) & 0xff))
+          }
         case "IDAT" =>
           require(seenIhdr, "PNG: IDAT before IHDR")
           seenIdat = true
@@ -523,9 +533,35 @@ object ImageCodec {
         off += ph * (1 + rowBytes)
       }
     }
-    if (!paletted)
-      DecodedImage("image/png", width, height, fch, wire)
-    else {
+    if (!paletted) {
+      // gray/RGB transparent color -> synthesize the alpha channel.
+      // Exact for depths <= 8 (the 0..255 scaling is injective, so
+      // comparing scaled values == comparing raw samples); 16-bit
+      // keeps only high bytes by declared scope, where a sample
+      // compare would false-positive — transparency is skipped there.
+      if (trnsColor == null || depth > 8)
+        DecodedImage("image/png", width, height, fch, wire)
+      else {
+        val scale = if (depth < 8) 255 / ((1 << depth) - 1) else 1
+        val key = trnsColor.map(_ * scale)
+        val outCh = fch + 1
+        val out = new Array[Int](width * height * outCh)
+        var p = 0
+        while (p < width * height) {
+          var transparent = true
+          var c = 0
+          while (c < fch) {
+            val v = wire(p * fch + c)
+            out(p * outCh + c) = v
+            if (v != key(c)) transparent = false
+            c += 1
+          }
+          out(p * outCh + fch) = if (transparent) 0 else 255
+          p += 1
+        }
+        DecodedImage("image/png", width, height, outCh, out)
+      }
+    } else {
       // map indices through PLTE; tRNS (if present) adds an alpha
       val ncolors = plte.length / 3
       val outCh = if (trns != null) 4 else 3

@@ -442,7 +442,7 @@ object JpegCodec {
   /** Parse an Exif APP1 payload (TIFF IFD0) for the orientation tag
     * (0x0112). Returns None when absent or malformed — orientation is
     * advisory metadata; a bad Exif block must never kill a decode. */
-  private def exifOrientation(bytes: Array[Byte], off: Int,
+  private[operators] def exifOrientation(bytes: Array[Byte], off: Int,
       len: Int): Option[Int] = {
     if (len < 14 || bytes(off) != 'E' || bytes(off + 1) != 'x' ||
         bytes(off + 2) != 'i' || bytes(off + 3) != 'f' ||
@@ -481,7 +481,7 @@ object JpegCodec {
 
   /** Apply an Exif orientation (1..8) to an interleaved raster,
     * returning (width, height, pixels) as DISPLAYED. */
-  private def orient(w: Int, h: Int, ch: Int, px: Array[Int],
+  private[operators] def orient(w: Int, h: Int, ch: Int, px: Array[Int],
       o: Int): (Int, Int, Array[Int]) = {
     if (o <= 1) return (w, h, px)
     val swap = o >= 5 // 5..8 transpose the axes

@@ -609,8 +609,11 @@ object Vp8lCodec {
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
       bytes(10) == 'B' && bytes(11) == 'P'
 
-  /** Decode a WebP container. Lossless (VP8L) decodes for real; lossy
-    * and animated forms refuse BY NAME with re-encode guidance. */
+  /** Decode a WebP container. Lossless (VP8L) decodes for real —
+    * honoring an EXIF chunk's orientation tag the way the JPEG path
+    * does (phone photos exported to WebP carry one; the EXIF chunk
+    * sits AFTER the image chunk, so the walk completes before
+    * decoding); lossy and animated forms refuse BY NAME. */
   def decodeWebp(bytes: Array[Byte]): ImageCodec.DecodedImage = {
     require(isWebp(bytes), "WebP: not a RIFF/WEBP container")
     val riffSize = le32(bytes, 4)
@@ -618,15 +621,15 @@ object Vp8lCodec {
       s"WebP: RIFF size $riffSize exceeds the ${bytes.length}-byte payload")
     var pos = 12
     val end = 8 + riffSize
+    var vp8lOff = -1
+    var orientation = 1
     while (pos + 8 <= end) {
       val tag = new String(bytes, pos, 4, "US-ASCII")
       val size = le32(bytes, pos + 4)
       require(size >= 0 && pos + 8 + size.toLong <= bytes.length,
         s"WebP: chunk '$tag' declares $size bytes past end of file")
       tag match {
-        case "VP8L" =>
-          val (w, h, px) = decodeVp8lPayload(bytes, pos + 8)
-          return toDecodedImage(w, h, px)
+        case "VP8L" => if (vp8lOff < 0) vp8lOff = pos + 8
         case "VP8 " => throw new IllegalArgumentException(
           "WebP: 'VP8 ' lossy bitstream (DCT + boolean coder) is not " +
             "supported here — re-encode lossless (VP8L) or PNG")
@@ -639,11 +642,32 @@ object Vp8lCodec {
           if ((flags & 0x02) != 0) throw new IllegalArgumentException(
             "WebP: animated WebP (VP8X animation flag) — decode through the " +
               "video path (Multimodal.sampleVideoFrames), not the still featurizer")
-        case _ => () // ICCP/EXIF/XMP/ALPH/unknown: skip
+        case "EXIF" =>
+          // payload is the Exif block — some writers keep the JPEG
+          // APP1 "Exif\0\0" prefix, most start at the TIFF header
+          val p = pos + 8
+          val prefixed = size >= 6 && bytes(p) == 'E' && bytes(p + 1) == 'x'
+          val block =
+            if (prefixed) bytes
+            else ("Exif".getBytes("US-ASCII") :+ 0.toByte :+ 0.toByte) ++
+              java.util.Arrays.copyOfRange(bytes, p, p + size)
+          val off = if (prefixed) p else 0
+          val len = if (prefixed) size else size + 6
+          orientation = JpegCodec.exifOrientation(block, off, len)
+            .getOrElse(orientation)
+        case _ => () // ICCP/XMP/ALPH/unknown: skip
       }
       pos += 8 + size + (size & 1)
     }
-    throw new IllegalArgumentException("WebP: no VP8L image chunk found")
+    require(vp8lOff >= 0, "WebP: no VP8L image chunk found")
+    val (w, h, px) = decodeVp8lPayload(bytes, vp8lOff)
+    val img = toDecodedImage(w, h, px)
+    if (orientation <= 1) img
+    else {
+      val (ow, oh, op) = JpegCodec.orient(img.width, img.height,
+        img.channels, img.pixels, orientation)
+      ImageCodec.DecodedImage("image/webp", ow, oh, img.channels, op)
+    }
   }
 
   private def le32(b: Array[Byte], i: Int): Int =

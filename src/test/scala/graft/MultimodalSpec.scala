@@ -1137,6 +1137,58 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.format == "d" && r.width == 9), rows.toSeq)
   }
 
+  test("PNG gray/RGB tRNS: single transparent color synthesizes the alpha channel") {
+    import graft.operators.ImageCodec
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = { val c = new java.util.zip.CRC32()
+        c.update(typ.getBytes); c.update(data); c.getValue.toInt }
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ.getBytes).put(data).putInt(crc).array()
+    }
+    // insert a tRNS chunk before the first IDAT of an encodePng file
+    def withTrns(png: Array[Byte], samples: Array[Int]): Array[Byte] = {
+      val data = samples.flatMap(s =>
+        Array(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))
+      val idatAt = 8 + 25 // sig + IHDR
+      png.slice(0, idatAt) ++ chunk("tRNS", data) ++ png.slice(idatAt, png.length)
+    }
+    // 8-bit gray: value 7 transparent
+    val g = Array(7, 40, 7, 99, 200, 7)
+    val gPng = withTrns(ImageCodec.encodePng(3, 2, 1, g), Array(7))
+    val gImg = ImageCodec.decode(gPng).get
+    assert(gImg.channels == 2)
+    assert(gImg.pixels.toSeq == Seq(7, 0, 40, 255, 7, 0, 99, 255, 200, 255, 7, 0))
+    // 8-bit RGB: color (10,20,30) transparent; (10,20,31) is NOT
+    val c = Array(10, 20, 30, 10, 20, 31, 10, 20, 30, 1, 2, 3)
+    val cPng = withTrns(ImageCodec.encodePng(2, 2, 3, c), Array(10, 20, 30))
+    val cImg = ImageCodec.decode(cPng).get
+    assert(cImg.channels == 4)
+    assert(cImg.pixels.grouped(4).map(_(3)).toSeq == Seq(0, 255, 0, 255))
+    // scaled sub-byte depth: a 4-bit gray raw sample 3 scales to 51 —
+    // hand-build a 1x2 depth-4 gray PNG with samples (3, 9)
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(1).putInt(2)
+      .put(4.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    val rawRows = Array[Byte](0, 0x30, 0, (9 << 4).toByte) // filter0 + MSB-first
+    val deflated = {
+      val d = new java.util.zip.Deflater(); d.setInput(rawRows); d.finish()
+      val buf = new Array[Byte](64); val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    val subPng = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++ chunk("IHDR", ihdr) ++
+      chunk("tRNS", Array[Byte](0, 3)) ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.emptyByteArray)
+    val subImg = ImageCodec.decode(subPng).get
+    assert(subImg.channels == 2)
+    assert(subImg.pixels.toSeq == Seq(51, 0, 153, 255)) // 3*17=51 transparent
+    // tRNS with an alpha color type refuses (spec 11.3.2)
+    val ga = ImageCodec.encodePng(2, 1, 4, Array(1, 2, 3, 4, 5, 6, 7, 8))
+    val e = intercept[IllegalArgumentException] {
+      ImageCodec.decode(withTrns(ga, Array(1, 2, 3, 4)))
+    }
+    assert(e.getMessage.contains("alpha color type"), e.getMessage)
+  }
+
   test("CMYK/YCCK JPEG decodes: Adobe APP14 transform honored, inverted ink multiplied") {
     import graft.operators.{ImageCodec, JpegCodec}
     // per-8x8-block FLAT samples (the m10 DC-exact regime) so every

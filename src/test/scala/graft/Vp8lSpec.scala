@@ -288,6 +288,42 @@ class Vp8lSpec extends SparkSpec {
     assert(sv.frames.head.rgb.toSeq == (0 until 18).map(_ * 9))
   }
 
+  test("WebP honors an EXIF chunk's orientation, prefixed or raw TIFF") {
+    // 4x2, left half dark / right half bright — rotation visible
+    val w = 4; val h = 2
+    val px = Array.tabulate(w * h * 3)(i => if ((i / 3) % w < 2) 40 else 200)
+    val still = Vp8lCodec.encodeWebpVp8l(w, h, 3, px)
+    def tiff(orientation: Int): Array[Byte] =
+      Array[Int]('I', 'I', 0x2a, 0, 8, 0, 0, 0, 1, 0,
+        0x12, 0x01, 3, 0, 1, 0, 0, 0, orientation, 0, 0, 0,
+        0, 0, 0, 0).map(_.toByte)
+    def withExif(orientation: Int, prefixed: Boolean): Array[Byte] = {
+      val payload = (if (prefixed) "Exif".getBytes ++ Array[Byte](0, 0)
+        else Array.emptyByteArray) ++ tiff(orientation)
+      val pad = payload.length & 1
+      val out = java.nio.ByteBuffer
+        .allocate(still.length + 8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(still).put("EXIF".getBytes).putInt(payload.length).put(payload)
+      val bytes = out.array()
+      // patch the RIFF size for the appended chunk
+      java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, bytes.length - 8)
+      bytes
+    }
+    for (prefixed <- Seq(false, true)) {
+      val o6 = Vp8lCodec.decodeWebp(withExif(6, prefixed))
+      assert(o6.width == 2 && o6.height == 4, s"prefixed=$prefixed")
+      // rotate 90 CW: stored LEFT half becomes displayed TOP half
+      val want = Array.tabulate(2 * 4 * 3)(i => if (i / 3 / 2 < 2) 40 else 200)
+      assert(o6.pixels.toSeq == want.toSeq, s"prefixed=$prefixed")
+    }
+    // orientation 1 and a missing EXIF chunk decode identically
+    assert(Vp8lCodec.decodeWebp(withExif(1, prefixed = false))
+      .pixels.toSeq == px.toSeq)
+    assert(Vp8lCodec.decodeWebp(still).pixels.toSeq == px.toSeq)
+  }
+
   test("WebP detect + featurize: real decoded dims and pixel stats") {
     val w = 6; val h = 5
     val px = Array.tabulate(w * h * 3)(i => (i * 13 + 5) % 256)
