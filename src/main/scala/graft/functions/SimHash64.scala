@@ -124,6 +124,29 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"capped_id_list(id, cap-literal) expected, got ${other.mkString(", ")}")
       },
+      // capped_id_sz_list(id, sz, cap-literal) — the sparse
+      // set-similarity core's per-gram (id, set-size) collection with
+      // O(cap) state at any document frequency (Dedup.setJaccardPairs)
+      d("capped_id_sz_list", classOf[CappedIdSzList]) {
+        case Seq(id, sz, Literal(cap: Int, _)) => CappedIdSzList(id, sz, cap)
+        case other => throw new IllegalArgumentException(
+          s"capped_id_sz_list(id, sz, cap-literal) expected, got ${other.mkString(", ")}")
+      },
+      // min_k_ids(id, k-literal) — the k smallest ids per group, the
+      // partial-agg spelling of row_number<=k per bucket (NearDupIndex)
+      d("min_k_ids", classOf[MinKIds]) {
+        case Seq(child, Literal(k: Int, _)) => MinKIds(child, k)
+        case other => throw new IllegalArgumentException(
+          s"min_k_ids(id, k-literal) expected, got ${other.mkString(", ")}")
+      },
+      // dsir_buckets(text, buckets-literal) — per-doc hashed-unigram
+      // histogram (t16), one scan-speed pass instead of a token
+      // explode + corpus-scale shuffle
+      d("dsir_buckets", classOf[DsirBucketsExpr]) {
+        case Seq(text, Literal(b: Int, _)) => DsirBucketsExpr(text, b)
+        case other => throw new IllegalArgumentException(
+          s"dsir_buckets(text, buckets-literal) expected, got ${other.mkString(", ")}")
+      },
       // seq_match_gap(evs, n-literal, gap-literal) — the compiled
       // gap-constrained sequenceMatch DP (Behavior.scala gap branch)
       d("seq_match_gap", classOf[SeqMatchGapExpr]) {

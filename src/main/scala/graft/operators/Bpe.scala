@@ -109,10 +109,19 @@ object Bpe {
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .select(symbols(col("__w")).as("__s"), col("__c"))
       .localCheckpoint(false)
-    words.count() // materialize before the loop mutates the lineage
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
+    // one job per round instead of two (guide §1.2: fewer passes —
+    // the loop is driver-paced, so every job saved is wall-clock at
+    // any scale): each round's top-pair collect is the FIRST action
+    // over the lazily-checkpointed `words`, so it materializes the
+    // checkpoint itself — no separate count(). The PREVIOUS round's
+    // checkpoint blocks feed that materialization, so they are
+    // released only AFTER the collect returns (`spent` holds them one
+    // round; releasing before would drop blocks the lazy checkpoint
+    // still reads — localCheckpoint lineage is truncated).
+    var spent: Option[org.apache.spark.rdd.RDD[_]] = None
     try {
       while (rank < merges && !exhausted) {
         val top = words
@@ -125,6 +134,9 @@ object Bpe {
           .limit(1)
           .as[(String, String, Long)]
           .collect()
+        // `words` is materialized now — last round's blocks are dead
+        spent.foreach(_.unpersist(blocking = false))
+        spent = None
         if (top.isEmpty) exhausted = true
         else {
           val (l, r, n) = top.head
@@ -135,12 +147,14 @@ object Bpe {
           val next = words
             .select(applyMerge(col("__s"), l, r).as("__s"), col("__c"))
             .localCheckpoint(false)
-          next.count() // one action: materializes the lazy checkpoint
-          ckptRdd(words).foreach(_.unpersist(blocking = false))
+          spent = ckptRdd(words)
           words = next
         }
       }
-    } finally ckptRdd(words).foreach(_.unpersist(blocking = false))
+    } finally {
+      spent.foreach(_.unpersist(blocking = false))
+      ckptRdd(words).foreach(_.unpersist(blocking = false))
+    }
     out.toSeq
   }
 

@@ -86,15 +86,28 @@ object NearDupIndex {
     val signatures = sig.repartition(col("corpus_id")).persist()
     // banding reads the signature CACHE (one corpus scan total); the
     // per-(band,key) cap bounds every future drop's bucket join the
-    // same way bucketPairs bounds the in-corpus case
+    // same way bucketPairs bounds the in-corpus case.
+    // The cap is a min_k_ids PARTIAL AGGREGATE (functions/MinKIds),
+    // not the row_number window it replaced (guide §2.3-2.5): the
+    // window shuffled and sorted EVERY member of a hot band bucket
+    // onto one task just to drop all but maxBucket (the boilerplate-
+    // band straggler at 100 TB), then needed an explicit second
+    // Exchange to lay the cache out on (__band, __key). The aggregate
+    // collapses hot buckets to O(maxBucket) state map-side BEFORE the
+    // one shuffle, its k-smallest-ids output is exactly the window's
+    // first-k-by-corpus_id (ids unique), and its output partitioning
+    // IS (__band, __key) — the explode preserves it, so the cache
+    // advertises the join layout with ONE Exchange instead of two.
     val bands = signatures.select(col("corpus_id"),
         posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
           xxhash64(slice(col("__mh"), b * bandRows + 1, lit(bandRows)))))
           .as(Seq("__band", "__key")))
-      .withColumn("__bn", row_number().over(
-        Window.partitionBy("__band", "__key").orderBy("corpus_id")))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
-      .repartition(col("__band"), col("__key")).persist()
+      .groupBy("__band", "__key")
+      .agg(call_function("min_k_ids", col("corpus_id"), lit(maxBucket))
+        .as("__ids"))
+      .select(col("__band"), col("__key"),
+        explode(col("__ids")).as("corpus_id"))
+      .persist()
     bands.count() // materialize both caches at build time
     new NearDupIndex(numHashes, bandRows, shingleSize, bands, signatures)
   }
@@ -319,12 +332,26 @@ object Dedup {
       df.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       }.headOption
-    var labels = edges.select(col("__a").as(id1))
-      .distinct().withColumn("cluster_id", col(id1))
-      .withColumn("__chg", lit(true)).localCheckpoint(false)
+    // Round 1 computed DIRECTLY from the edge list (guide §2.4): with
+    // labels0 = own id and frontier = everyone, the generic round
+    // below reduces to label(a) = min(a, min neighbor) — one groupBy
+    // over the symmetrized edges. Seeding that result skips round 1's
+    // distinct-node build, its labels⋈prop join and one checkpoint+
+    // count cycle (one full shuffle round saved at any scale); the
+    // fixpoint and every subsequent round are unchanged.
+    var labels = edges
+      .groupBy(col("__a").as(id1)).agg(min("__b").as("__new"))
+      .select(col(id1),
+        least(col("__new"), col(id1)).as("cluster_id"),
+        (col("__new") < col(id1)).as("__chg"))
+      .localCheckpoint(false)
     var converged = false
     var i = 0
     try {
+      // materialize the seed checkpoint + answer round-1 convergence
+      // in one action (the same count the loop's rounds use)
+      converged = labels.filter(col("__chg")).count() == 0
+      i = 1
       while (!converged && i < maxIters) {
         val frontier = labels.filter(col("__chg"))
           .select(col(id1).as("__b"), col("cluster_id"))
@@ -738,30 +765,25 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 2, minJaccard: Double = 0.5, maxGramDf: Int = 10000): DataFrame = {
-    // The (block, gram) self-join emits Σ df(gram)² rows per block, so
-    // one boilerplate gram shared by 10⁶ docs would alone produce 10¹²
-    // join rows. Grams with in-block document frequency > maxGramDf
-    // are dropped BEFORE the join (standard sparse-similarity
-    // practice: a gram in everything carries ~no Jaccard signal),
-    // bounding join output at blocks·grams·maxGramDf² — linear in
-    // corpus size. |A|,|B| stay the UNCAPPED set sizes, so Jaccard is
-    // only ever underestimated, never inflated. The df count is one
-    // shuffle on the same (block, gram) key the join uses.
-    // Persisted at DOC level (one row per doc, gram ARRAY column —
-    // text-scale, NOT the exploded tokens-scale frame): the core's
-    // count aggregate and both self-join sides each replant this
-    // subtree (broadcast semi-joins defeat ReuseExchange), so without
-    // the cache the expensive wordNGrams kernel would run up to 4×
-    // over the corpus; from the cache each consumer pays only a cheap
-    // explode. The gram cache is RELEASED here: the result — pair-
-    // scale, orders of magnitude below the corpus — materializes into
-    // its own persisted frame while the gram cache is live, and THAT
-    // frame is returned, so the caller's unpersist() is a real,
-    // complete release (the dupClusters discipline; a long-lived
-    // session never accumulates unreachable gram caches).
-    val docGrams = df.select(col(idCol), col(blockCol).as("__blk"),
+    // The pair stage emits Σ df(gram)² rows per block, so one
+    // boilerplate gram shared by 10⁶ docs would alone produce 10¹²
+    // pair rows. Grams with in-block document frequency > maxGramDf
+    // are dropped (standard sparse-similarity practice: a gram in
+    // everything carries ~no Jaccard signal), bounding pair output at
+    // blocks·grams·maxGramDf² — linear in corpus size. |A|,|B| stay
+    // the UNCAPPED set sizes, so Jaccard is only ever underestimated,
+    // never inflated. Since the r19 single-shuffle core
+    // (setJaccardPairs: capped per-gram membership aggregate + pair
+    // explode — no df-count pass, no self-join) the gram table is
+    // planted ONCE, so the doc-level gram cache the 3-4-planting plan
+    // needed is persisted only for the AutoGramDf path, whose df
+    // profile is one extra planting. The returned pair-scale frame is
+    // persisted + materialized, so the caller's unpersist() is a
+    // real, complete release (the dupClusters discipline).
+    val docGrams0 = df.select(col(idCol), col(blockCol).as("__blk"),
         wordNGrams(col(textCol), n).as("__gs"))
-      .persist()
+    val auto = maxGramDf < 0
+    val docGrams = if (auto) docGrams0.persist() else docGrams0
     try {
       val grams = docGrams
         .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
@@ -769,7 +791,7 @@ object Dedup {
       val pairs = setJaccardPairs(grams, idCol, minJaccard, maxGramDf).persist()
       pairs.count()
       pairs
-    } finally docGrams.unpersist(blocking = false)
+    } finally if (auto) docGrams.unpersist(blocking = false)
   }
 
   /** d27: n-gram CONTAINMENT near-dup (asymmetric Jaccard,
@@ -789,27 +811,29 @@ object Dedup {
   def ngramContainment(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, minContainment: Double = 0.8, maxGramDf: Int = 10000): DataFrame = {
-    val docGrams = df.select(col(idCol), col(blockCol).as("__blk"),
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    // Same r19 single-shuffle core as setJaccardPairs (capped per-gram
+    // membership aggregate + pair explode — the df-count pass and the
+    // (blk, gram) self-join are gone, the gram table crosses the wire
+    // once); the ONLY difference from d04 stays: no size-ratio prune —
+    // containment lives exactly in the |A| ≪ |B| regime.
+    val docGrams0 = df.select(col(idCol), col(blockCol).as("__blk"),
         wordNGrams(col(textCol), n).as("__gs"))
       .filter(size(col("__gs")) > 0)
-      .persist()
+    val auto = maxGramDf < 0
+    val docGrams = if (auto) docGrams0.persist() else docGrams0
     try {
       val grams = docGrams
         .select(col(idCol), col("__blk"), size(col("__gs")).as("__sz"),
           explode(col("__gs")).as("__g"))
       val effDf = if (maxGramDf >= 0) maxGramDf else autoGramDf(grams)
-      val hot = grams.groupBy("__blk", "__g")
-        .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > effDf)
-        .select("__blk", "__g")
-      val capped = grams.join(hot, Seq("__blk", "__g"), "left_anti")
-      val a = capped.select(col(idCol).as("id1"), col("__blk"),
-        col("__sz").as("__s1"), col("__g"))
-      val b = capped.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
-        col("__sz").as("__s2"), col("__g").as("__g2"))
-      val pairs = a.join(b,
-          col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
-            col("id1") < col("id2"))
+      val pairs = grams.groupBy("__blk", "__g")
+        .agg(call_function("capped_id_sz_list",
+          col(idCol), col("__sz"), lit(effDf)).as("__es"))
+        .filter(col("__es").isNotNull)
+        .select(explode(szPairsOf(col("__es"))).as("__p"))
+        .select(col("__p.id1").as("id1"), col("__p.s1").as("__s1"),
+          col("__p.id2").as("id2"), col("__p.s2").as("__s2"))
         .groupBy("id1", "id2")
         .agg(count(lit(1)).as("__inter"),
           min("__s1").as("__sa"), min("__s2").as("__sb"))
@@ -820,7 +844,7 @@ object Dedup {
         .persist()
       pairs.count()
       pairs
-    } finally docGrams.unpersist(blocking = false)
+    } finally if (auto) docGrams.unpersist(blocking = false)
   }
 
   /** Sentinel for `maxGramDf`: derive the cap from the corpus's own
@@ -881,49 +905,35 @@ object Dedup {
     * the df profile. */
   private[operators] def setJaccardPairs(items: DataFrame, idCol: String,
       minJaccard: Double, maxDf0: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(items.sparkSession)
     val maxDf = if (maxDf0 >= 0) maxDf0 else autoGramDf(items)
-    // The df cap exists precisely because boilerplate elements are
-    // shared by ~everything in a block — which is why it must NOT be
-    // a count-over-window: a window routes every occurrence of the
-    // hot element to ONE task just to count-and-drop it (a straggler/
-    // spill at scale). A groupBy partial agg collapses the hot
-    // element per-partition BEFORE the shuffle (the d16 spelling).
-    // `items` is planted three times below (count, anti-join left,
-    // self-join right — broadcast joins defeat ReuseExchange). Whether
-    // the caller should persist the doc-level array frame feeding the
-    // explode is a MEASURED per-caller call: ngramJaccard does (the
-    // wordNGrams kernel is expensive enough that 3-4 plantings beat
-    // one cache write), binaryNearDup deliberately does NOT
-    // (FunnelScaleProbe r11: re-slicing+md5 beat deserializing the
-    // hash-set cache at every probed size). Neither caches the
-    // exploded tokens-scale frame itself.
-    // ANTI-join against the OVER-cap set, not semi-join against the
-    // under-cap set: the kept side is every distinct element (corpus-
-    // vocabulary-sized — broadcasting it builds a giant hash relation
-    // twice), while the hot side is just the boilerplate elements the
-    // cap exists to drop — tiny at any scale, so the join-back is a
-    // cheap broadcast anti even at 100 TB.
-    val hot = items.groupBy("__blk", "__g")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select("__blk", "__g")
-    val capped = items.join(hot, Seq("__blk", "__g"), "left_anti")
-    val a = capped.select(col(idCol).as("id1"), col("__blk"),
-      col("__sz").as("__s1"), col("__g"))
-    val b = capped.select(col(idCol).as("id2"), col("__blk").as("__blk2"),
-      col("__sz").as("__s2"), col("__g").as("__g2"))
+    // ONE aggregation replaces the former df-count + broadcast-anti +
+    // (blk, gram) self-join pipeline (guide §2.3/§2.4): each gram's
+    // under-cap (id, set-size) membership is collected by the capped
+    // partial aggregate (functions/CappedIdSzList — O(cap) state per
+    // gram at ANY df, hot boilerplate grams collapse to a saturated
+    // cap+1 buffer map-side BEFORE the shuffle and eval to NULL,
+    // exactly the old df > maxDf drop; df = 1 grams are dropped too —
+    // they contribute no pairs), and the intersection counts come
+    // from exploding each list's unordered pairs instead of joining
+    // the gram table against itself. The gram data now crosses the
+    // wire ONCE (the groupBy) instead of three-to-four times (count
+    // shuffle + both self-join sides), and the pair mass is identical
+    // — Σ df(gram)² under-cap rows either way, so the bound and the
+    // results are unchanged.
+    val pairs = items.groupBy("__blk", "__g")
+      .agg(call_function("capped_id_sz_list",
+        col(idCol), col("__sz"), lit(maxDf)).as("__es"))
+      .filter(col("__es").isNotNull)
+      .select(explode(szPairsOf(col("__es"))).as("__p"))
+      .select(col("__p.id1").as("id1"), col("__p.s1").as("__s1"),
+        col("__p.id2").as("id2"), col("__p.s2").as("__s2"))
     // size filter: J >= t implies min|A|,|B| >= t·max|A|,|B|, so the
-    // ratio predicate is correctness-preserving (prunes the join
+    // ratio predicate is correctness-preserving (prunes the explode
     // output before the aggregate, changes no results).
-    // The self-join strategy is left to AQE on purpose: at test SFs
-    // the capped frame fits the broadcast threshold and a broadcast
-    // self-join wins; at corpus scale runtime stats exceed it and AQE
-    // plans the sort-merge join on (blk, element) — both shapes are
-    // correct, and pinning either would pessimize the other scale.
-    a.join(b, col("__blk") === col("__blk2") && col("__g") === col("__g2") &&
-        col("id1") < col("id2") &&
-        least(col("__s1"), col("__s2")).cast("double") >=
-          lit(minJaccard) * greatest(col("__s1"), col("__s2")))
+    pairs
+      .filter(least(col("__s1"), col("__s2")).cast("double") >=
+        lit(minJaccard) * greatest(col("__s1"), col("__s2")))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("__inter"), min("__s1").as("__sa"), min("__s2").as("__sb"))
       .withColumn("jaccard",
@@ -931,4 +941,15 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id1", "id2", "jaccard")
   }
+
+  /** All unordered (id1, s1, id2, s2) pairs from a capped_id_sz_list
+    * array (sorted by id, so i < j gives id1 < id2) — the szPairs
+    * twin of [[pairsOf]]. */
+  private def szPairsOf(entries: Column): Column =
+    flatten(transform(entries, (x, i) =>
+      transform(
+        slice(entries, i + lit(2), greatest(size(entries) - i - 1, lit(0))),
+        y => struct(
+          x.getField("id").as("id1"), x.getField("sz").as("s1"),
+          y.getField("id").as("id2"), y.getField("sz").as("s2")))))
 }

@@ -218,17 +218,19 @@ object Text {
       textCol: String, isTarget: Column, buckets: Int = 1024)
       : org.apache.spark.sql.DataFrame = {
     require(buckets > 0 && buckets <= 4096, "buckets must be in (0, 4096]")
-    val toks = df.select(col(idCol), isTarget.as("__tgt"),
-      explode(words(col(textCol))).as("__t"))
-    def hexDigit(i: Int): Column = {
-      val c = ascii(substring(md5(col("__t")), i, 1))
-      when(c >= 97, c - 87).otherwise(c - 48)
-    }
-    val docBuckets = toks.select(col(idCol), col("__tgt"),
-        ((hexDigit(1) * 256 + hexDigit(2) * 16 + hexDigit(3)) % buckets)
-          .as("__b"))
-      .groupBy(col(idCol), col("__tgt"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
+    // One-pass compiled histogram (functions/DsirBucketsExpr): the
+    // per-doc (bucket, count) pairs are a function of ONE row's text,
+    // so the former token explode (3 md5-string ops per token) and the
+    // corpus-scale groupBy(doc, tgt, bucket) SHUFFLE that rebuilt the
+    // histogram were pure overhead — at 100 TB that shuffle dominated
+    // the operator (guide §2.3/§2.4: shuffle removed outright). Same
+    // md5-nibble arithmetic, pinned by TextSignalsSpec + the oracle.
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val docBuckets = df.select(col(idCol), isTarget.as("__tgt"),
+        explode(call_function("dsir_buckets", col(textCol), lit(buckets)))
+          .as("__e"))
+      .select(col(idCol), col("__tgt"),
+        col("__e.b").as("__b"), col("__e.c").as("__c"))
       .persist()
     try {
       val bucketStats = docBuckets.groupBy("__b")

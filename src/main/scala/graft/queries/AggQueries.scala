@@ -343,8 +343,21 @@ object AggQueries {
         |  TRUE AS approx_within_5pct
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      Tables(s, dir).lineitem.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+      // Dedupe FIRST, aggregate second (r19, guide §2.3/§5): mixing
+      // countDistinct with a non-distinct aggregate triggers the
+      // distinct-rewrite Expand plan, which allocates the ~2^13-
+      // register HLL buffer once per (group, orderkey) PAIR in the
+      // partial aggregate — ~150k sketch buffers and their merges
+      // (measured 12.2 s vs the 0.99 s baseline; the same blowup at
+      // any scale). A (flag, orderkey) dedup collapses map-side, then
+      // one tiny aggregate: exact = count of deduped rows, and the
+      // HLL estimate is BIT-IDENTICAL because HyperLogLog state is
+      // duplicate-insensitive — feeding each distinct value once
+      // writes the same registers.
+      Tables(s, dir).lineitem
+        .select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_orders"),
           approx_count_distinct(col("l_orderkey"), 0.016).as("__approx"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("__approx") - col("exact_orders")) <=

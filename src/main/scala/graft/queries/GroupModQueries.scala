@@ -52,9 +52,33 @@ object GroupModQueries {
       |ORDER BY g_status, g_priority, status, priority""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    // Spark plans ROLLUP as Expand (one input copy per level — 3x the
+    // scan rows through the aggregate's shuffle). The levels are
+    // re-aggregations of each other (COUNT and the exact-decimal SUM
+    // are associative), so compute the FINEST level once and roll the
+    // tiny grouped result up locally (guide §2.3: aggregate before
+    // you shuffle — the shuffle carries |groups| rows instead of
+    // 3x|input|). Bit-identical: decimal addition is exact in any
+    // association, the '(all)' sentinels are the GROUPING() branches.
     "g01_rollup" -> Q(g01Sql) { (s, dir) =>
-      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem")
-      s.sql(g01Sql)
+      import org.apache.spark.sql.functions._
+      val base = Tables(s, dir).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      val lvl0 = base.select(col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"), col("n"), col("q"))
+      val lvl1 = base.groupBy("l_returnflag")
+        .agg(sum("n").as("n"), sum("q").as("q"))
+        .select(col("l_returnflag").as("returnflag"),
+          lit("(all)").as("linestatus"), col("n"), col("q"))
+      val lvl2 = base.agg(sum("n").as("n"), sum("q").as("q"))
+        .select(lit("(all)").as("returnflag"), lit("(all)").as("linestatus"),
+          col("n"), col("q"))
+      lvl0.unionByName(lvl1).unionByName(lvl2)
+        .select(col("returnflag"), col("linestatus"), col("n"),
+          col("q").cast("double").as("sum_qty"))
+        .orderBy("returnflag", "linestatus")
     },
     "g04_grouping_sets" -> Q(g04Sql) { (s, dir) =>
       Tables(s, dir).orders.createOrReplaceTempView("orders")
