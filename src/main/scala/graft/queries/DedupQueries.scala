@@ -145,7 +145,7 @@ object DedupQueries {
         |  n.n_tokens, n.n_tokens - COALESCE(r.n_kept, 0) AS n_removed
         |FROM n LEFT JOIN r ON n.doc_id = r.doc_id
         |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
-      Dedup.substringDedup(Tables(s, dir).documents, "doc_id", "text", 8)
+      Dedup.substringDedup(fanOut(Tables(s, dir).documents), "doc_id", "text", 8)
         .orderBy("doc_id")
     },
 
@@ -261,7 +261,7 @@ object DedupQueries {
         |        GROUP BY p.id1, p.id2)
         |SELECT id1, id2, ROUND(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-      Dedup.minHashLsh(Tables(s, dir).documents, "doc_id", "text",
+      Dedup.minHashLsh(fanOut(Tables(s, dir).documents), "doc_id", "text",
           numHashes = 64, bandRows = 2, minEstJaccard = 0.5)
         .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("id1", "id2")
@@ -302,7 +302,7 @@ object DedupQueries {
         |         JOIN sim s2 ON s2.doc_id = p.id2)
         |SELECT id1, id2, hamming FROM j WHERE hamming <= 4
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-      Dedup.simHashNearDup(Tables(s, dir).documents, "doc_id", "text",
+      Dedup.simHashNearDup(fanOut(Tables(s, dir).documents), "doc_id", "text",
           bandBits = 16, maxHamming = 4)
         .orderBy("id1", "id2")
     },
@@ -375,7 +375,7 @@ object DedupQueries {
         |SELECT doc_id, predicted, quality, n_tokens FROM ex
         |WHERE doc_id NOT IN (SELECT id2 FROM dropd)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.operators.Curate.funnel(Tables(s, dir).documents, "doc_id", "text")
+      graft.operators.Curate.funnel(fanOut(Tables(s, dir).documents), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -538,7 +538,7 @@ object DedupQueries {
         |SELECT b.doc_id, b.source FROM batch b
         |ANTI JOIN dup ON b.doc_id = dup.batch_id
         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir).documents
+      val docs = fanOut(Tables(s, dir).documents)
       val recrawl = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("source"),
           concat(col("text"),
@@ -632,7 +632,7 @@ object DedupQueries {
         |WHERE pick <= CASE WHEN source IN ('src0', 'src1', 'src2') THEN 12
         |                   WHEN source = 'src3' THEN 0 ELSE 5 END
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.operators.Curate.pretrain(Tables(s, dir).documents,
+      graft.operators.Curate.pretrain(fanOut(Tables(s, dir).documents),
           "doc_id", "text", "source", isBench = col("doc_id") % 97 === 0,
           caps = Map("src0" -> 12, "src1" -> 12, "src2" -> 12, "src3" -> 0),
           defaultCap = 5)
@@ -671,7 +671,7 @@ object DedupQueries {
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach
         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = Dedup.ngramJaccard(Tables(s, dir).documents,
+      val pairs = Dedup.ngramJaccard(fanOut(Tables(s, dir).documents),
         "doc_id", "text", "lang", n = 3, minJaccard = 0.5, maxGramDf = 1000)
       // dupClusters' loop has fully consumed pairs (edges are
       // persisted on their own) by the time it returns — release the
@@ -710,7 +710,7 @@ object DedupQueries {
         |  ROUND(CAST(inter AS DOUBLE) / LEAST(sa, sb), 6) AS containment
         |FROM p WHERE CAST(inter AS DOUBLE) / LEAST(sa, sb) >= 0.8
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-      val pairs = Dedup.ngramContainment(Tables(s, dir).documents,
+      val pairs = Dedup.ngramContainment(fanOut(Tables(s, dir).documents),
         "doc_id", "text", "lang", n = 3, minContainment = 0.8, maxGramDf = 1000)
       pairs
         .select(col("id1"), col("id2"),
@@ -737,7 +737,7 @@ object DedupQueries {
         |SELECT id1, id2, CAST(inter AS DOUBLE)/(sa + sb - inter) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE)/(sa + sb - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-      Dedup.ngramJaccard(Tables(s, dir).documents, "doc_id", "text", "lang",
+      Dedup.ngramJaccard(fanOut(Tables(s, dir).documents), "doc_id", "text", "lang",
           n = 3, minJaccard = 0.5, maxGramDf = 1000)
         .orderBy("id1", "id2")
     }

@@ -390,8 +390,8 @@ object MultimodalQueries {
         |FROM m JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.{ImageCodec, MediaRow}
-      val docs = Tables(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
+      val docs = fanOut(Tables(s, dir).documents
+        .select(col("doc_id").cast("long"))).as[Long]
       val media = docs.map { id =>
         val w = (4 + Math.floorMod(id, 5L)).toInt
         val h = (3 + Math.floorMod(id, 4L)).toInt
@@ -467,8 +467,8 @@ object MultimodalQueries {
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.{ImageCodec, MediaRow}
-      val docs = Tables(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
+      val docs = fanOut(Tables(s, dir).documents
+        .select(col("doc_id").cast("long"))).as[Long]
       val media = docs.map { id =>
         val w = (5 + Math.floorMod(id, 4L)).toInt
         val h = (4 + Math.floorMod(id, 3L)).toInt
@@ -602,8 +602,8 @@ object MultimodalQueries {
         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.{MediaRow, Vp8lCodec}
-      val docs = Tables(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
+      val docs = fanOut(Tables(s, dir).documents
+        .select(col("doc_id").cast("long"))).as[Long]
       val media = docs.map { id =>
         val w = (4 + Math.floorMod(id, 5L)).toInt
         val h = (3 + Math.floorMod(id, 4L)).toInt
@@ -682,8 +682,8 @@ object MultimodalQueries {
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.{MediaRow, Vp8lCodec}
-      val docs = Tables(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
+      val docs = fanOut(Tables(s, dir).documents
+        .select(col("doc_id").cast("long"))).as[Long]
       val media = docs.map { id =>
         val w = (5 + Math.floorMod(id, 4L)).toInt
         val h = (4 + Math.floorMod(id, 3L)).toInt

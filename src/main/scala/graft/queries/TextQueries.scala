@@ -128,7 +128,7 @@ object TextQueries {
         |   AND sym_r < 0.1 AND bullet_f < 0.9 AND ellipsis_f < 0.3
         |   AND dupl_f < 0.3 AND stop_hits >= 2) AS keep
         |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir).documents.selectExpr("doc_id",
+      fanOut(Tables(s, dir).documents).selectExpr("doc_id",
         "filter(split(text, '\\\\s+'), t -> t != '') AS ws",
         "filter(split(text, '\\n'), l -> trim(l) != '') AS ls",
         "length(text) - length(replace(text, '#', '')) AS n_hash",
@@ -211,7 +211,7 @@ object TextQueries {
         |  ROUND(CAST(length(text) AS DOUBLE)
         |        / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir).documents.select(
+      fanOut(Tables(s, dir).documents).select(
           col("doc_id"),
           Text.wsTokenCount(col("text")).as("n_ws_tokens"),
           Text.bpeishTokenCount(col("text")).as("n_bpeish"),
@@ -269,7 +269,7 @@ object TextQueries {
         lit(" 10."), (col("doc_id") % 256).cast("string"), lit("."),
         ((col("doc_id") * 7) % 256).cast("string"), lit("."),
         ((col("doc_id") * 13) % 256).cast("string"), lit(" "), col("text"))
-      Tables(s, dir).documents.withColumn("__t", pii)
+      fanOut(Tables(s, dir).documents).withColumn("__t", pii)
         .select(Seq(col("doc_id")) ++
           Text.piiCounts(col("__t")).map { case (n, c) => c.as(n) } :+
           md5(Text.piiRedact(col("__t"))).as("redacted_md5"): _*)
@@ -453,7 +453,7 @@ object TextQueries {
         |a AS (SELECT token FROM u UNION ALL SELECT token FROM b)
         |SELECT token, COUNT(*) AS n FROM a GROUP BY token
         |ORDER BY n DESC, token LIMIT 200""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir).documents
+      val docs = fanOut(Tables(s, dir).documents)
         .select(Text.words(col("text")).as("w"))
       val uni = docs.select(explode(col("w")).as("token"))
       val bi = docs.select(explode(
@@ -598,7 +598,7 @@ object TextQueries {
         |  FROM s GROUP BY doc_id)
         |SELECT doc_id, n_tokens, logw, logw > 0 AS keep
         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Text.dsirScore(Tables(s, dir).documents, "doc_id", "text",
+      Text.dsirScore(fanOut(Tables(s, dir).documents), "doc_id", "text",
           col("source").isin("src0", "src1", "src2", "src3"))
         .orderBy("doc_id")
     },
@@ -694,7 +694,7 @@ object TextQueries {
         |SELECT doc_id, ROUND(AVG(lp), 6) AS logppl,
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = Tables(s, dir).documents
+      val toks = fanOut(Tables(s, dir).documents)
         .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
       val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
       val total = vocab.agg(sum("c").as("n"))

@@ -39,6 +39,24 @@ package object queries {
     def dynamic(sqlFn: QSqlFn)(fn: QFn): Q = Q(fn, None, Some(sqlFn))
   }
 
+  /** Scale-adaptive fan-out for compute-heavy map work (guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"): the local testdata tables are single-row-group
+    * parquet files, so Spark's split planner can give the scan stage
+    * at most ONE partition — every per-row kernel downstream (codec
+    * decode, regex/text signals, gram hashing) would run on one core
+    * of `local[N]`. When the scan yields fewer splits than the
+    * cluster's parallelism, redistribute the (tiny) rows once before
+    * the heavy work; when the input already has ≥ parallelism splits
+    * — the 100 TB case — this is a NO-OP, so no corpus-scale shuffle
+    * is ever introduced. The repartition cost here is a few hundred
+    * KB of ids/text crossing one exchange, against a 32× speedup of
+    * the kernel stage. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact money arithmetic: double → decimal(12,2). Precision sized to
     * the data (money < 10^10) so products against rate() stay long-backed
     * (≤ precision 18) instead of promoting to boxed precision-38 Decimals
