@@ -11,16 +11,26 @@ import org.apache.spark.sql.functions.{col, concat_ws, element_at, round}
   * codegen'd Catalyst plans, and DuckDB confirms the results. */
 object DialectQueries {
 
-  private def chSql(views: Seq[String], chQuery: String): QFn = { (s, dir) =>
+  private def chSql(views: Seq[String], chQuery: String): QFn =
+    chSqlFan(views, Set.empty, chQuery)
+
+  /** chSql with the [[fanOut]] treatment on selected views — used by
+    * the keys whose per-row aggregate state (rank folds, keyed maps,
+    * reservoir buffers) dominates the scan stage: a single-split local
+    * file would otherwise run that map-side work on one core. */
+  private def chSqlFan(views: Seq[String], fan: Set[String],
+      chQuery: String): QFn = { (s, dir) =>
     GraftFunctions.ensureRegistered(s)
     val t = Tables(s, dir)
+    def reg(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      (if (fan(name)) fanOut(df) else df).createOrReplaceTempView(name)
     views.foreach {
-      case "orders"    => t.orders.createOrReplaceTempView("orders")
-      case "events"    => t.events.createOrReplaceTempView("events")
-      case "documents" => t.documents.createOrReplaceTempView("documents")
-      case "lineitem"  => t.lineitem.createOrReplaceTempView("lineitem")
-      case "part_v"    => t.part.createOrReplaceTempView("part_v")
-      case "customer"  => t.customer.createOrReplaceTempView("customer")
+      case "orders"    => reg("orders", t.orders)
+      case "events"    => reg("events", t.events)
+      case "documents" => reg("documents", t.documents)
+      case "lineitem"  => reg("lineitem", t.lineitem)
+      case "part_v"    => reg("part_v", t.part)
+      case "customer"  => reg("customer", t.customer)
     }
     // through the REAL front door: the tokenizer translator first
     // (clause rewrites, extract-collision fix, …), then spark.sql
@@ -76,7 +86,7 @@ object DialectQueries {
         |  CAST(len(list_intersect(a, d)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a, d))) AS jac
         |FROM t ORDER BY o_orderkey""".stripMargin)(
-      chSql(Seq("orders"),
+      chSqlFan(Seq("orders"), Set("orders"),
         """WITH t AS (
           |  SELECT o_orderkey,
           |    array(o_orderkey % 7, o_custkey % 5, 3) AS a,
@@ -540,7 +550,7 @@ object DialectQueries {
         |  MAX(GREATEST(o_orderkey % 1000, o_custkey % 1000)) AS ma,
         |  COUNT(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS ue
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
-      chSql(Seq("orders"),
+      chSqlFan(Seq("orders"), Set("orders"),
         """SELECT o_orderstatus,
           |  CAST(sumDistinct(toYear(o_orderdate)) AS BIGINT) AS sd,
           |  CAST(sumIfOrNull(CAST(o_totalprice AS DECIMAL(18,2)), o_totalprice > 400000) AS DOUBLE) AS s4,
@@ -569,7 +579,7 @@ object DialectQueries {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS uc,
         |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS chot
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
-      chSql(Seq("orders"),
+      chSqlFan(Seq("orders"), Set("orders"),
         """SELECT o_orderstatus,
           |  CAST(sumMerge(ts) AS DOUBLE) AS total,
           |  countMerge(cs) AS cnt,
@@ -937,7 +947,7 @@ object DialectQueries {
         |  round(wt_t, 6) AS wt_t, round(wt_p, 6) AS wt_p,
         |  mw_u, round(mw_p, 6) AS mw_p
         |FROM pz ORDER BY event_type""".stripMargin } (
-      chSql(Seq("events"),
+      chSqlFan(Seq("events"), Set("events"),
         """SELECT event_type,
           |  round(tupleElement(studentTTest(value, modulo(user_id, 2)), 1), 6) AS st_t,
           |  round(tupleElement(studentTTest(value, modulo(user_id, 2)), 2), 6) AS st_p,
@@ -1059,7 +1069,7 @@ object DialectQueries {
         |  ROUND(qt.qt5, 6) AS qt5
         |FROM ra JOIN rb ON ra.et = rb.et JOIN qt ON ra.et = qt.et
         |ORDER BY event_type""".stripMargin } (
-      chSql(Seq("events"),
+      chSqlFan(Seq("events"), Set("events"),
         """SELECT event_type,
           |  round(quantileInterpolatedWeighted(0.5)(toFloat64(value),
           |    modulo(user_id, 5) + 1), 6) AS qi5,
@@ -1127,7 +1137,7 @@ object DialectQueries {
         |FROM ds JOIN ema ON ds.et = ema.et JOIN bar ON ds.et = bar.et
         |        JOIN gaj ON ds.et = gaj.et
         |ORDER BY event_type""".stripMargin)(
-      chSql(Seq("events"),
+      chSqlFan(Seq("events"), Set("events"),
         """SELECT event_type,
           |  round(deltaSumTimestamp(toFloat64(value),
           |    toUnixTimestamp64Micro(ts)), 6) AS dsum,
@@ -1352,7 +1362,7 @@ object DialectQueries {
         |  round(dstat, 6) AS ks_d, round(p, 6) AS ks_p,
         |  round(k, 9) AS lr_k, round(bb, 6) AS lr_b
         |FROM pz ORDER BY event_type""".stripMargin)(
-      chSql(Seq("events"),
+      chSqlFan(Seq("events"), Set("events"),
         """SELECT event_type,
           |  round(tupleElement(kolmogorovSmirnovTest(value, modulo(user_id, 2)), 1), 6) AS ks_d,
           |  round(tupleElement(kolmogorovSmirnovTest(value, modulo(user_id, 2)), 2), 6) AS ks_p,
@@ -1756,7 +1766,7 @@ object DialectQueries {
         |  'b:' || CAST(round(fb, 4) AS VARCHAR) AS smf
         |FROM pp JOIN mo ON pp.et = mo.et
         |ORDER BY event_type""".stripMargin)(
-      chSql(Seq("events"),
+      chSqlFan(Seq("events"), Set("events"),
         """SELECT event_type,
           |  round(tupleElement(anova(value, user_id % 3), 1), 6) AS af,
           |  round(tupleElement(anova(value, user_id % 3), 2), 6) AS ap,
@@ -2196,7 +2206,7 @@ object DialectQueries {
         |  CAST(SUM(macn // 16777216) AS BIGINT) AS oui_sum,
         |  CAST(SUM(k % 16) AS BIGINT) AS h3r
         |FROM s2 GROUP BY lang ORDER BY lang""".stripMargin)(
-      chSql(Seq("documents"),
+      chSqlFan(Seq("documents"), Set("documents"),
         """WITH b AS (
           |  SELECT doc_id AS k, text,
           |    detectLanguage(text) AS lang,
