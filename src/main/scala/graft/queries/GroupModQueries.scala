@@ -84,9 +84,34 @@ object GroupModQueries {
       Tables(s, dir).orders.createOrReplaceTempView("orders")
       s.sql(g04Sql)
     },
+    // CUBE = Expand with FOUR input copies through the shuffle; like
+    // g01, every cube level is a re-aggregation of the finest level
+    // (COUNT + exact-decimal SUM are associative), so aggregate once
+    // and derive the other three levels from the tiny grouped result
+    // (guide §2.3: aggregate before you shuffle).
     "g02_cube" -> Q(g02Sql) { (s, dir) =>
-      Tables(s, dir).orders.createOrReplaceTempView("orders")
-      s.sql(g02Sql)
+      import org.apache.spark.sql.functions._
+      val base = Tables(s, dir).orders
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("t"))
+      val lvl0 = base.select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"), col("n"), col("t"))
+      val lvl1 = base.groupBy("o_orderstatus")
+        .agg(sum("n").as("n"), sum("t").as("t"))
+        .select(col("o_orderstatus").as("status"),
+          lit("(all)").as("priority"), col("n"), col("t"))
+      val lvl2 = base.groupBy("o_orderpriority")
+        .agg(sum("n").as("n"), sum("t").as("t"))
+        .select(lit("(all)").as("status"),
+          col("o_orderpriority").as("priority"), col("n"), col("t"))
+      val lvl3 = base.agg(sum("n").as("n"), sum("t").as("t"))
+        .select(lit("(all)").as("status"), lit("(all)").as("priority"),
+          col("n"), col("t"))
+      lvl0.unionByName(lvl1).unionByName(lvl2).unionByName(lvl3)
+        .select(col("status"), col("priority"), col("n"),
+          col("t").cast("double").as("total"))
+        .orderBy("status", "priority")
     },
     "g03_totals" -> Q(g03Sql) { (s, dir) =>
       Tables(s, dir).orders.createOrReplaceTempView("orders")
