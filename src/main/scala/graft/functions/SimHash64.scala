@@ -215,6 +215,15 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"char_entropy(text) expected, got ${other.mkString(", ")}")
       },
+      // sz_pairs(capped-id-sz-array, min-ratio-literal) — compiled
+      // unordered-pair explode with the inline Jaccard size-ratio
+      // prune (functions/SzPairs; pinned to the composed
+      // transform+slice form by DedupSpec)
+      d("sz_pairs", classOf[SzPairsExpr]) {
+        case Seq(arr, Literal(r: Double, _)) => SzPairsExpr(arr, r)
+        case other => throw new IllegalArgumentException(
+          s"sz_pairs(entries, min-ratio-literal) expected, got ${other.mkString(", ")}")
+      },
       // quality_model(text, buckets-literal) — hashed-feature scorer
       d("quality_model", classOf[QualityModelExpr]) {
         case Seq(text, Literal(b: Int, _)) => QualityModelExpr(text, b)

@@ -66,7 +66,21 @@ object Curate {
     val pairs = Dedup.ngramJaccard(exact, idCol, textCol, "predicted",
       n, minJaccard, maxGramDf)
     val drop = pairs.select(col("id2").as(idCol)).distinct()
-    val res = exact.join(broadcast(drop), Seq(idCol), "left_anti")
+    // The anti-join consumer never reads text, so its re-derivation of
+    // the exact-dedup aggregate carries METADATA ONLY through the
+    // fingerprint exchange (guide §2.3: project before the exchange —
+    // text is ~95% of the surviving rows' bytes). Same keeper rule:
+    // id leads the min(struct) and is unique, so dropping text from
+    // the struct changes nothing about which row wins.
+    val exactMeta = scored
+      .groupBy("__fp")
+      .agg(min(struct(col(idCol), col("predicted"),
+        col("quality"), col("n_tokens"))).as("__m"))
+      .select(col(s"__m.$idCol").as(idCol),
+        col("__m.predicted").as("predicted"),
+        col("__m.quality").as("quality"),
+        col("__m.n_tokens").as("n_tokens"))
+    val res = exactMeta.join(broadcast(drop), Seq(idCol), "left_anti")
       .select(col(idCol), col("predicted"), col("quality"), col("n_tokens"))
       .persist()
     res.count()

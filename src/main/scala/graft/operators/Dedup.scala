@@ -831,7 +831,9 @@ object Dedup {
         .agg(call_function("capped_id_sz_list",
           col(idCol), col("__sz"), lit(effDf)).as("__es"))
         .filter(col("__es").isNotNull)
-        .select(explode(szPairsOf(col("__es"))).as("__p"))
+        // ratio 0.0: containment lives exactly in the |A| ≪ |B| regime
+        .select(explode(call_function("sz_pairs",
+          col("__es"), lit(0.0))).as("__p"))
         .select(col("__p.id1").as("id1"), col("__p.s1").as("__s1"),
           col("__p.id2").as("id2"), col("__p.s2").as("__s2"))
         .groupBy("id1", "id2")
@@ -921,19 +923,20 @@ object Dedup {
     // shuffle + both self-join sides), and the pair mass is identical
     // — Σ df(gram)² under-cap rows either way, so the bound and the
     // results are unchanged.
+    // sz_pairs: compiled pair explode with the size-ratio prune
+    // (J >= t implies min|A|,|B| >= t·max|A|,|B|) applied inline —
+    // correctness-preserving, identical arithmetic to the former
+    // Column filter, one JVM loop instead of the interpreted
+    // transform+slice composition.
     val pairs = items.groupBy("__blk", "__g")
       .agg(call_function("capped_id_sz_list",
         col(idCol), col("__sz"), lit(maxDf)).as("__es"))
       .filter(col("__es").isNotNull)
-      .select(explode(szPairsOf(col("__es"))).as("__p"))
+      .select(explode(call_function("sz_pairs",
+        col("__es"), lit(minJaccard))).as("__p"))
       .select(col("__p.id1").as("id1"), col("__p.s1").as("__s1"),
         col("__p.id2").as("id2"), col("__p.s2").as("__s2"))
-    // size filter: J >= t implies min|A|,|B| >= t·max|A|,|B|, so the
-    // ratio predicate is correctness-preserving (prunes the explode
-    // output before the aggregate, changes no results).
     pairs
-      .filter(least(col("__s1"), col("__s2")).cast("double") >=
-        lit(minJaccard) * greatest(col("__s1"), col("__s2")))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("__inter"), min("__s1").as("__sa"), min("__s2").as("__sb"))
       .withColumn("jaccard",
@@ -943,9 +946,10 @@ object Dedup {
   }
 
   /** All unordered (id1, s1, id2, s2) pairs from a capped_id_sz_list
-    * array (sorted by id, so i < j gives id1 < id2) — the szPairs
-    * twin of [[pairsOf]]. */
-  private def szPairsOf(entries: Column): Column =
+    * array (sorted by id, so i < j gives id1 < id2) — the interpreted
+    * composed form, kept as the sz_pairs kernel's parity oracle
+    * (DedupSpec), never on a hot path. */
+  private[graft] def szPairsOf(entries: Column): Column =
     flatten(transform(entries, (x, i) =>
       transform(
         slice(entries, i + lit(2), greatest(size(entries) - i - 1, lit(0))),

@@ -441,6 +441,38 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> "a b", 2L -> "a b"))
   }
 
+  test("sz_pairs kernel matches the composed transform+slice form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // irregular sizes incl. ties and a ratio boundary (2/4 = 0.5)
+    val entries = Seq(
+      Seq((1L, 4), (3L, 2), (7L, 4), (9L, 8)),
+      Seq((2L, 5), (4L, 5)),
+      Seq((5L, 1), (6L, 100))
+    ).toDF("raw")
+      .select(transform(col("raw"), e =>
+        struct(e.getField("_1").as("id"), e.getField("_2").as("sz"))).as("es"))
+    for (ratio <- Seq(0.0, 0.5, 0.9)) {
+      val kernel = entries
+        .select(explode(call_function("sz_pairs", col("es"), lit(ratio))).as("p"))
+        .select("p.id1", "p.s1", "p.id2", "p.s2")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val composed0 = entries
+        .select(explode(Dedup.szPairsOf(col("es"))).as("p"))
+      val composed = (if (ratio <= 0.0) composed0
+        else composed0.filter(
+          least(col("p.s1"), col("p.s2")).cast("double") >=
+            lit(ratio) * greatest(col("p.s1"), col("p.s2"))))
+        .select("p.id1", "p.s1", "p.id2", "p.s2")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(kernel == composed, s"ratio $ratio")
+      if (ratio == 0.0) assert(kernel.size == 6 + 1 + 1)
+    }
+  }
+
   private implicit class Map2[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = arr.map { case (a, b, c) => (a, b) -> c }.toMap
   }
