@@ -132,6 +132,37 @@ private[graft] object ChStats {
       Literal("o"), If(c0, Literal(1L), Literal(0L))))
     val arr = builtin("sort_array")(
       Seq(wrapAgg(builtin("collect_list")(Seq(entry)))))
+    // the rank fold is a compiled kernel since r19 (MwFoldExpr — the
+    // SweepMaxExpr treatment: the interpreted ArrayAggregate fold
+    // allocated a 6-field struct per element); the composed fold below
+    // stays as the kernel's parity oracle (mwRankFoldComposed,
+    // ChDialectSpec), never on a hot path
+    val foldedRaw = MwFoldExpr(arr)
+    val (n1e, _, _) = cohortSums(v, c0)
+    val (n2e, _, _) = cohortSums(v, Not(c0))
+    // bind the fold ONCE (no CSE in interpreted projections); the
+    // cohort counts are agg-buffer references, already O(1)
+    bind(foldedRaw) { folded =>
+      val r1 = fld(folded, "r1")
+      val ties = fld(folded, "ties")
+      val n1 = n1e
+      val n2 = n2e
+      val n = n1 + n2
+      val u1 = r1 - n1 * (n1 + lit(1.0)) / lit(2.0)
+      val mu = n1 * n2 / lit(2.0)
+      val variance = (n1 * n2 / lit(12.0)) *
+        ((n + lit(1.0)) - ties / (n * (n - lit(1.0))))
+      val zNum = abs(u1 - mu) - lit(0.5)
+      val z = If(GreaterThan(zNum, lit(0.0)), zNum, lit(0.0)) / sqrt(variance)
+      val p = If(LessThanOrEqual(variance, lit(0.0)), lit(1.0),
+        erfc(z / lit(math.sqrt(2.0))))
+      tuple2(u1, p)
+    }
+  }
+
+  /** The pre-r19 interpreted rank fold — kept as MwFoldExpr's parity
+    * oracle (ChDialectSpec), never on a hot path. */
+  private[graft] def mwRankFoldComposed(arr: Expression): Expression = {
     def accOf(pos: Expression, run: Expression, ones: Expression,
         lastV: Expression, r1: Expression, ties: Expression): Expression =
       CreateNamedStruct(Seq(
@@ -164,28 +195,7 @@ private[graft] object ChStats {
       CreateNamedStruct(Seq(
         Literal("r1"), flushedR1(finV),
         Literal("ties"), flushedTies(finV))), Seq(finV))
-    val foldedRaw = builtin("aggregate")(Seq(arr, init, merge, finish))
-    val (n1e, _, _) = cohortSums(v, c0)
-    val (n2e, _, _) = cohortSums(v, Not(c0))
-    // bind the fold ONCE (no CSE in interpreted projections — each
-    // splice of the fold would re-sort and re-scan the group); the
-    // cohort counts are agg-buffer references, already O(1)
-    bind(foldedRaw) { folded =>
-      val r1 = fld(folded, "r1")
-      val ties = fld(folded, "ties")
-      val n1 = n1e
-      val n2 = n2e
-      val n = n1 + n2
-      val u1 = r1 - n1 * (n1 + lit(1.0)) / lit(2.0)
-      val mu = n1 * n2 / lit(2.0)
-      val variance = (n1 * n2 / lit(12.0)) *
-        ((n + lit(1.0)) - ties / (n * (n - lit(1.0))))
-      val zNum = abs(u1 - mu) - lit(0.5)
-      val z = If(GreaterThan(zNum, lit(0.0)), zNum, lit(0.0)) / sqrt(variance)
-      val p = If(LessThanOrEqual(variance, lit(0.0)), lit(1.0),
-        erfc(z / lit(math.sqrt(2.0))))
-      tuple2(u1, p)
-    }
+    builtin("aggregate")(Seq(arr, init, merge, finish))
   }
 
   /** boundingRatio(x, y): slope of the segment between the group's

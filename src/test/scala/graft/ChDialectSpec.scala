@@ -562,6 +562,44 @@ class ChDialectSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitney compiled rank fold equals the composed fold on real events") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, EqualTo, Expression, If, Literal, ExpressionInfo}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    def arrOf(es: Seq[Expression]): Expression = {
+      val v = Cast(es(0), DoubleType)
+      val c0 = EqualTo(Cast(es(1), IntegerType), Literal(0))
+      val entry = CreateNamedStruct(Seq(
+        Literal("v"), v,
+        Literal("o"), If(c0, Literal(1L), Literal(0L))))
+      val collected = org.apache.spark.sql.catalyst.expressions.aggregate
+        .CollectList(entry).toAggregateExpression()
+      org.apache.spark.sql.catalyst.expressions.SortArray(collected, Literal(true))
+    }
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("mw_fold_kernel_test"),
+      new ExpressionInfo("", "mw_fold_kernel_test"),
+      es => graft.functions.MwFoldExpr(arrOf(es)))
+    reg.registerFunction(FunctionIdentifier("mw_fold_composed_test"),
+      new ExpressionInfo("", "mw_fold_composed_test"),
+      es => graft.functions.ChStats.mwRankFoldComposed(arrOf(es)))
+    graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+      .createOrReplaceTempView("mw_parity_events")
+    val got = spark.sql(
+      """SELECT event_type,
+        |  mw_fold_kernel_test(value, user_id % 2) AS k,
+        |  mw_fold_composed_test(value, user_id % 2) AS c
+        |FROM mw_parity_events GROUP BY event_type""".stripMargin)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = r.getStruct(1); val c = r.getStruct(2)
+      assert(k.getDouble(0) == c.getDouble(0), s"r1 differs: $r")
+      assert(k.getDouble(1) == c.getDouble(1), s"ties differs: $r")
+    }
+  }
+
   test("kolmogorovSmirnovTest and simpleLinearRegression match hand computation") {
     GraftFunctions.ensureRegistered(spark)
     // A = {1..5}, B = {2,4,6,8,10}: D = 0.6 at v = 5 (F1 = 1, F2 = 0.4);
