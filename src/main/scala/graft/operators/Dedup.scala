@@ -712,12 +712,19 @@ object Dedup {
         posexplode(wordNGramsAll(col(textCol), spanWords))
           .as(Seq("__p", "__g")))
       .select(col("__doc"), col("__p"), md5(col("__g")).as("__h"))
-    val first = occ.groupBy("__h")
-      .agg(min(struct(col("__doc"), col("__p"))).as("__f"))
-    val dups = occ.join(first, "__h")
-      .filter(col("__doc") =!= col("__f.__doc") ||
-        col("__p") =!= col("__f.__p"))
-      .select(col("__doc"), col("__p"))
+    // ONE aggregation carries both the keeper (min struct — collapses
+    // map-side) and the occurrence list, so the span table is planted
+    // and shuffled ONCE; the former groupBy + join-back shape computed
+    // the 3M-row md5 explode twice and exchanged it twice (guide
+    // §2.4). (__doc, __p) is unique per occurrence, so dropping the
+    // row equal to the keeper struct is exactly the old
+    // doc-or-position inequality filter.
+    val dups = occ.groupBy("__h")
+      .agg(min(struct(col("__doc"), col("__p"))).as("__f"),
+        collect_list(struct(col("__doc"), col("__p"))).as("__os"))
+      .select(col("__f"), explode(col("__os")).as("__o"))
+      .filter(col("__o") =!= col("__f"))
+      .select(col("__o.__doc").as("__doc"), col("__o.__p").as("__p"))
     val covered = dups.select(col("__doc"),
         explode(sequence(col("__p"), col("__p") + (spanWords - 1)))
           .as("__tp"))
