@@ -1207,7 +1207,7 @@ object DialectQueries {
         |FROM rc JOIN chi ON rc.y = chi.y JOIN hx ON rc.y = hx.y
         |        JOIN hxy ON rc.y = hxy.y JOIN iv ON rc.y = iv.y
         |ORDER BY rc.y""".stripMargin)(
-      chSql(Seq("orders"),
+      chSqlFan(Seq("orders"), Set("orders"),
         """SELECT toYear(o_orderdate) AS y,
           |  round(cramersV(o_orderpriority, o_orderstatus), 6) AS cv,
           |  round(cramersVBiasCorrected(o_orderpriority, o_orderstatus), 6) AS cvb,
@@ -1676,7 +1676,7 @@ object DialectQueries {
         |  o_custkey % 256 = 37 AS ipr,
         |  CAST(CAST(DATE '2024-01-01' + INTERVAL (o_custkey % 12) MONTH AS DATE) AS VARCHAR) AS im
         |FROM orders ORDER BY k LIMIT 2000""".stripMargin } (
-      chSql(Seq("orders"),
+      chSqlFan(Seq("orders"), Set("orders"),
         """SELECT o_orderkey AS k,
           |  mortonEncode(o_orderkey % 65536, o_custkey % 65536) AS mz,
           |  toModifiedJulianDay(toDate(o_orderdate)) AS mjd,
@@ -1810,7 +1810,7 @@ object DialectQueries {
         |  CAST(epoch_ms(1600000000000 + o_orderkey) AS VARCHAR) AS ms,
         |  CAST(make_timestamp(1600000000000000 + o_orderkey * 1000) AS VARCHAR) AS us
         |FROM orders ORDER BY k LIMIT 2000""".stripMargin } (
-      chSql(Seq("orders"),
+      chSqlFan(Seq("orders"), Set("orders"),
         """SELECT o_orderkey AS k,
           |  format('{}-{}', toString(o_orderkey % 100), o_orderstatus) AS f,
           |  round(erf(modulo(o_custkey, 30) / 10.0), 6) AS ef,
