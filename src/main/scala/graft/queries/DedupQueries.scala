@@ -302,7 +302,7 @@ object DedupQueries {
         |         JOIN sim s2 ON s2.doc_id = p.id2)
         |SELECT id1, id2, hamming FROM j WHERE hamming <= 4
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-      Dedup.simHashNearDup(fanOut(Tables(s, dir).documents), "doc_id", "text",
+      Dedup.simHashNearDup(Tables(s, dir).documents, "doc_id", "text",
           bandBits = 16, maxHamming = 4)
         .orderBy("id1", "id2")
     },
@@ -538,7 +538,7 @@ object DedupQueries {
         |SELECT b.doc_id, b.source FROM batch b
         |ANTI JOIN dup ON b.doc_id = dup.batch_id
         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
-      val docs = fanOut(Tables(s, dir).documents)
+      val docs = Tables(s, dir).documents
       val recrawl = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("source"),
           concat(col("text"),
@@ -632,7 +632,7 @@ object DedupQueries {
         |WHERE pick <= CASE WHEN source IN ('src0', 'src1', 'src2') THEN 12
         |                   WHEN source = 'src3' THEN 0 ELSE 5 END
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.operators.Curate.pretrain(fanOut(Tables(s, dir).documents),
+      graft.operators.Curate.pretrain(Tables(s, dir).documents,
           "doc_id", "text", "source", isBench = col("doc_id") % 97 === 0,
           caps = Map("src0" -> 12, "src1" -> 12, "src2" -> 12, "src3" -> 0),
           defaultCap = 5)

@@ -550,7 +550,7 @@ object DialectQueries {
         |  MAX(GREATEST(o_orderkey % 1000, o_custkey % 1000)) AS ma,
         |  COUNT(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS ue
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
-      chSqlFan(Seq("orders"), Set("orders"),
+      chSql(Seq("orders"),
         """SELECT o_orderstatus,
           |  CAST(sumDistinct(toYear(o_orderdate)) AS BIGINT) AS sd,
           |  CAST(sumIfOrNull(CAST(o_totalprice AS DECIMAL(18,2)), o_totalprice > 400000) AS DOUBLE) AS s4,
@@ -579,7 +579,7 @@ object DialectQueries {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS uc,
         |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS chot
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
-      chSqlFan(Seq("orders"), Set("orders"),
+      chSql(Seq("orders"),
         """SELECT o_orderstatus,
           |  CAST(sumMerge(ts) AS DOUBLE) AS total,
           |  countMerge(cs) AS cnt,
@@ -1207,7 +1207,7 @@ object DialectQueries {
         |FROM rc JOIN chi ON rc.y = chi.y JOIN hx ON rc.y = hx.y
         |        JOIN hxy ON rc.y = hxy.y JOIN iv ON rc.y = iv.y
         |ORDER BY rc.y""".stripMargin)(
-      chSqlFan(Seq("orders"), Set("orders"),
+      chSql(Seq("orders"),
         """SELECT toYear(o_orderdate) AS y,
           |  round(cramersV(o_orderpriority, o_orderstatus), 6) AS cv,
           |  round(cramersVBiasCorrected(o_orderpriority, o_orderstatus), 6) AS cvb,
@@ -1362,7 +1362,7 @@ object DialectQueries {
         |  round(dstat, 6) AS ks_d, round(p, 6) AS ks_p,
         |  round(k, 9) AS lr_k, round(bb, 6) AS lr_b
         |FROM pz ORDER BY event_type""".stripMargin)(
-      chSqlFan(Seq("events"), Set("events"),
+      chSql(Seq("events"),
         """SELECT event_type,
           |  round(tupleElement(kolmogorovSmirnovTest(value, modulo(user_id, 2)), 1), 6) AS ks_d,
           |  round(tupleElement(kolmogorovSmirnovTest(value, modulo(user_id, 2)), 2), 6) AS ks_p,
@@ -2206,7 +2206,7 @@ object DialectQueries {
         |  CAST(SUM(macn // 16777216) AS BIGINT) AS oui_sum,
         |  CAST(SUM(k % 16) AS BIGINT) AS h3r
         |FROM s2 GROUP BY lang ORDER BY lang""".stripMargin)(
-      chSqlFan(Seq("documents"), Set("documents"),
+      chSql(Seq("documents"),
         """WITH b AS (
           |  SELECT doc_id AS k, text,
           |    detectLanguage(text) AS lang,

@@ -390,8 +390,8 @@ object MultimodalQueries {
         |FROM m JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.{ImageCodec, MediaRow}
-      val docs = fanOut(Tables(s, dir).documents
-        .select(col("doc_id").cast("long"))).as[Long]
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
       val media = docs.map { id =>
         val w = (4 + Math.floorMod(id, 5L)).toInt
         val h = (3 + Math.floorMod(id, 4L)).toInt

@@ -211,7 +211,7 @@ object TextQueries {
         |  ROUND(CAST(length(text) AS DOUBLE)
         |        / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      fanOut(Tables(s, dir).documents).select(
+      Tables(s, dir).documents.select(
           col("doc_id"),
           Text.wsTokenCount(col("text")).as("n_ws_tokens"),
           Text.bpeishTokenCount(col("text")).as("n_bpeish"),
@@ -453,7 +453,7 @@ object TextQueries {
         |a AS (SELECT token FROM u UNION ALL SELECT token FROM b)
         |SELECT token, COUNT(*) AS n FROM a GROUP BY token
         |ORDER BY n DESC, token LIMIT 200""".stripMargin) { (s, dir) =>
-      val docs = fanOut(Tables(s, dir).documents)
+      val docs = Tables(s, dir).documents
         .select(Text.words(col("text")).as("w"))
       val uni = docs.select(explode(col("w")).as("token"))
       val bi = docs.select(explode(
@@ -694,7 +694,7 @@ object TextQueries {
         |SELECT doc_id, ROUND(AVG(lp), 6) AS logppl,
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = fanOut(Tables(s, dir).documents)
+      val toks = Tables(s, dir).documents
         .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
       val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
       val total = vocab.agg(sum("c").as("n"))
