@@ -60,7 +60,13 @@ object MwFoldImpl {
       val e = arr.getStruct(i, 2)
       val v = e.getDouble(0)
       val o = e.getLong(1).toDouble
-      if (run > 0.0 && v == lastV) { // extend the open run
+      // run-extension equality must match Catalyst EqualTo on doubles
+      // (the composed fold's semantics): NaN = NaN is TRUE there, and
+      // sort_array places NaNs adjacent — Java `==` would make each
+      // NaN its own run and shift r1/ties
+      val sameV = v == lastV ||
+        (java.lang.Double.isNaN(v) && java.lang.Double.isNaN(lastV))
+      if (run > 0.0 && sameV) { // extend the open run
         run += 1.0; ones += o
       } else { // flush, then restart at this value
         r1 += ones * (pos + (run + 1.0) / 2.0)

@@ -67,7 +67,11 @@ object SzPairsImpl {
       szs(i) = e.getInt(1)
       i += 1
     }
-    val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
+    // pre-size in long arithmetic: int n*(n-1)/2 overflows negative
+    // past n ~ 65536 (callers cap at 1000 today, but maxDf is
+    // caller-controlled) — clamp instead of throwing at construction
+    val preSize = math.min(1 << 20, n.toLong * (n - 1) / 2).toInt
+    val out = new java.util.ArrayList[Any](preSize)
     i = 0
     while (i < n) {
       var j = i + 1

@@ -72,7 +72,11 @@ object GroupModQueries {
         .agg(sum("n").as("n"), sum("q").as("q"))
         .select(col("l_returnflag").as("returnflag"),
           lit("(all)").as("linestatus"), col("n"), col("q"))
-      val lvl2 = base.agg(sum("n").as("n"), sum("q").as("q"))
+      // coalesce: GROUP BY ROLLUP emits the () row with n = 0 on an
+      // EMPTY table, but sum("n") over an empty base is NULL — match
+      // the SQL semantics exactly (no-op on non-empty input)
+      val lvl2 = base.agg(coalesce(sum("n"), lit(0L)).as("n"),
+          sum("q").as("q"))
         .select(lit("(all)").as("returnflag"), lit("(all)").as("linestatus"),
           col("n"), col("q"))
       lvl0.unionByName(lvl1).unionByName(lvl2)
@@ -105,7 +109,10 @@ object GroupModQueries {
         .agg(sum("n").as("n"), sum("t").as("t"))
         .select(lit("(all)").as("status"),
           col("o_orderpriority").as("priority"), col("n"), col("t"))
-      val lvl3 = base.agg(sum("n").as("n"), sum("t").as("t"))
+      // coalesce: CUBE's () row has n = 0 on an empty table; sum over
+      // an empty base is NULL (ADVICE r19 — no-op on non-empty input)
+      val lvl3 = base.agg(coalesce(sum("n"), lit(0L)).as("n"),
+          sum("t").as("t"))
         .select(lit("(all)").as("status"), lit("(all)").as("priority"),
           col("n"), col("t"))
       lvl0.unionByName(lvl1).unionByName(lvl2).unionByName(lvl3)
