@@ -25,67 +25,68 @@ object Curate {
       keepLang: String = "en", minQuality: Double = 0.45,
       n: Int = 3, minJaccard: Double = 0.5, maxGramDf: Int = 1000): DataFrame = {
     val scores = Text.langScores(col(textCol))
-    val scored = docs.select(
-        col(idCol), col(textCol),
+    // ONE scoring pass (guide §8: decide with small rows, move big
+    // rows once). Every per-document signal (lang scores, quality,
+    // token count, fingerprint) is computed in a single scan-speed
+    // projection that emits METADATA ONLY — the text column is read
+    // by the kernels but never carried. The surviving metadata
+    // (~tens of bytes/doc — the guide's "80 GB for 2 billion rows"
+    // regime, not corpus-sized) is persisted so both consumers (the
+    // exact-dedup keeper aggregate and the final anti-join) read it
+    // instead of re-running the signal kernels over the full corpus;
+    // it is unpersisted before return, so the release is complete.
+    val scoredMeta = docs.select(
+        col(idCol),
         Text.predictedLang(scores).as("predicted"),
         Text.qualityScore(col(textCol)).as("quality"),
         Text.wsTokenCount(col(textCol)).as("n_tokens"),
         Text.fingerprint(col(textCol)).as("__fp"))
       .filter(col("predicted") === keepLang && col("quality") >= minQuality)
-    // deliberately NOT persisted: both consumers (pair generation and
-    // the final anti-join) re-derive this from lineage. Caching the
-    // full surviving corpus is exactly the wrong trade at 100 TB —
-    // memory-and-disk-spilling a corpus-sized intermediate costs more
-    // than the one extra scan + fingerprint window it saves, and a
-    // persist with no unpersist epilogue would accumulate for the
-    // lifetime of a long-lived session (the LIVE VIEW / WATCH case).
-    // exact dedup as an AGGREGATE, not a window: "first row per
-    // fingerprint" = lexicographic min(struct(id, …)) — id is unique,
-    // so the id field alone decides. The partial agg collapses each
-    // fingerprint's rows map-side BEFORE the shuffle (the j08_any
-    // pattern); the row_number window this replaced shuffled every
-    // surviving row, text included — and this plan runs TWICE (both
-    // consumers re-derive it, see the persist note above).
-    val exact = scored
-      .groupBy("__fp")
-      .agg(min(struct(col(idCol), col(textCol), col("predicted"),
-        col("quality"), col("n_tokens"))).as("__m"))
-      .select(col(s"__m.$idCol").as(idCol), col(s"__m.$textCol").as(textCol),
-        col("__m.predicted").as("predicted"),
-        col("__m.quality").as("quality"),
-        col("__m.n_tokens").as("n_tokens"))
-    // ngramJaccard returns its pair-scale result as a persisted,
-    // already-materialized handle (its internal gram cache is released
-    // before it returns), so the broadcast drop list below reads a
-    // cache instead of re-running the gram pipeline. The funnel's own
-    // output — doc-id-level metadata, NO text column — materializes
-    // into the returned persisted frame while that pair cache is
-    // live, then the pair cache is released: the caller's unpersist()
-    // on the returned handle is a real, complete release (the
-    // dupClusters/semanticDedup discipline).
-    val pairs = Dedup.ngramJaccard(exact, idCol, textCol, "predicted",
-      n, minJaccard, maxGramDf)
-    val drop = pairs.select(col("id2").as(idCol)).distinct()
-    // The anti-join consumer never reads text, so its re-derivation of
-    // the exact-dedup aggregate carries METADATA ONLY through the
-    // fingerprint exchange (guide §2.3: project before the exchange —
-    // text is ~95% of the surviving rows' bytes). Same keeper rule:
-    // id leads the min(struct) and is unique, so dropping text from
-    // the struct changes nothing about which row wins.
-    val exactMeta = scored
-      .groupBy("__fp")
-      .agg(min(struct(col(idCol), col("predicted"),
-        col("quality"), col("n_tokens"))).as("__m"))
-      .select(col(s"__m.$idCol").as(idCol),
-        col("__m.predicted").as("predicted"),
-        col("__m.quality").as("quality"),
-        col("__m.n_tokens").as("n_tokens"))
-    val res = exactMeta.join(broadcast(drop), Seq(idCol), "left_anti")
-      .select(col(idCol), col("predicted"), col("quality"), col("n_tokens"))
       .persist()
-    res.count()
-    pairs.unpersist(blocking = false)
-    res
+    try {
+      // exact dedup as an AGGREGATE, not a window: "first row per
+      // fingerprint" = lexicographic min(struct(id, …)) — id is
+      // unique, so the id field alone decides. The partial agg
+      // collapses each fingerprint's rows map-side BEFORE the shuffle
+      // (the j08_any pattern), and the exchange carries metadata only
+      // (guide §2.3: project before the exchange — text is ~95% of
+      // the surviving rows' bytes and never crosses it at all now).
+      val exactMeta = scoredMeta
+        .groupBy("__fp")
+        .agg(min(struct(col(idCol), col("predicted"),
+          col("quality"), col("n_tokens"))).as("__m"))
+        .select(col(s"__m.$idCol").as(idCol),
+          col("__m.predicted").as("predicted"),
+          col("__m.quality").as("quality"),
+          col("__m.n_tokens").as("n_tokens"))
+      // re-attach text to the exact-dedup keepers for the gram
+      // pipeline only — a plain (id, text) scan with NO signal
+      // kernels, joined on the unique id (locally the keeper metadata
+      // broadcasts; at scale this is the one text exchange, replacing
+      // the fingerprint exchange that used to carry text). Keeper set
+      // and text values are identical: id decided the min(struct)
+      // before and decides the join now.
+      val keeperDocs = docs.select(col(idCol), col(textCol))
+        .join(exactMeta.select(col(idCol), col("predicted")), Seq(idCol))
+      // ngramJaccard returns its pair-scale result as a persisted,
+      // already-materialized handle (its internal gram cache is
+      // released before it returns), so the broadcast drop list below
+      // reads a cache instead of re-running the gram pipeline. The
+      // funnel's own output — doc-id-level metadata, NO text column —
+      // materializes into the returned persisted frame while that
+      // pair cache is live, then the pair cache is released: the
+      // caller's unpersist() on the returned handle is a real,
+      // complete release (the dupClusters/semanticDedup discipline).
+      val pairs = Dedup.ngramJaccard(keeperDocs, idCol, textCol, "predicted",
+        n, minJaccard, maxGramDf)
+      val drop = pairs.select(col("id2").as(idCol)).distinct()
+      val res = exactMeta.join(broadcast(drop), Seq(idCol), "left_anti")
+        .select(col(idCol), col("predicted"), col("quality"), col("n_tokens"))
+        .persist()
+      res.count()
+      pairs.unpersist(blocking = false)
+      res
+    } finally scoredMeta.unpersist(blocking = false)
   }
 
   /** The end-to-end pretraining corpus build — what everything in

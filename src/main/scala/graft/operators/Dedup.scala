@@ -692,13 +692,14 @@ object Dedup {
     * Scale shape — all stages linear in corpus tokens, no pair
     * joins:
     *  1. positional L-grams (doc, pos, md5) — one scan + explode;
-    *  2. first occurrence per gram = partial-agg min(struct(doc,
-    *     pos)) (the d24 keeper rule: a boilerplate span shared by
-    *     10⁶ docs collapses map-side before the shuffle);
-    *  3. duplicate occurrences = occurrences ⋈ first on the hash —
-    *     the first side is ONE row per distinct gram, so a hot gram
-    *     costs df(gram) join rows, never df²; AQE splits residual
-    *     skew;
+    *  2.+3. duplicate occurrences = one hash-partitioned WINDOW:
+    *     min(struct(doc, pos)) over each gram hash is the keeper (the
+    *     d24 rule), and every row ≠ keeper is a duplicate. The span
+    *     table crosses ONE exchange, and a boilerplate span shared by
+    *     10⁶ docs streams through the spillable window buffer — disk,
+    *     never one task's heap (a collect_list aggregation buffered a
+    *     hot gram's whole occurrence set in one row; a join-back
+    *     exchanged the span table twice);
     *  4. covered token positions = explode of the L offsets per
     *     duplicate span → distinct (doc, tokpos) — ≤ L × dup-span
     *     rows, partial-agg dedup;
@@ -712,19 +713,23 @@ object Dedup {
         posexplode(wordNGramsAll(col(textCol), spanWords))
           .as(Seq("__p", "__g")))
       .select(col("__doc"), col("__p"), md5(col("__g")).as("__h"))
-    // ONE aggregation carries both the keeper (min struct — collapses
-    // map-side) and the occurrence list, so the span table is planted
-    // and shuffled ONCE; the former groupBy + join-back shape computed
-    // the 3M-row md5 explode twice and exchanged it twice (guide
-    // §2.4). (__doc, __p) is unique per occurrence, so dropping the
-    // row equal to the keeper struct is exactly the old
-    // doc-or-position inequality filter.
-    val dups = occ.groupBy("__h")
-      .agg(min(struct(col("__doc"), col("__p"))).as("__f"),
-        collect_list(struct(col("__doc"), col("__p"))).as("__os"))
-      .select(col("__f"), explode(col("__os")).as("__o"))
-      .filter(col("__o") =!= col("__f"))
-      .select(col("__o.__doc").as("__doc"), col("__o.__p").as("__p"))
+    // ONE exchange carries the span table (the former groupBy +
+    // join-back shape computed the 3M-row md5 explode twice and
+    // exchanged it twice, guide §2.4), realized as a WINDOW aggregate
+    // rather than a collect_list buffer: min(struct) over the hash
+    // partition streams each hash's occurrences through Spark's
+    // spillable window buffer, so a boilerplate span shared by
+    // millions of docs costs disk, never one task's heap (the r19
+    // collect_list form put df(gram) structs into a single
+    // aggregation-buffer row — an OOM magnet at 100 TB; ADVICE r19).
+    // (__doc, __p) is unique per occurrence, so dropping the row
+    // equal to the keeper struct is exactly the old doc-or-position
+    // inequality filter.
+    val dups = occ
+      .withColumn("__f", min(struct(col("__doc"), col("__p")))
+        .over(Window.partitionBy("__h")))
+      .filter(struct(col("__doc"), col("__p")) =!= col("__f"))
+      .select(col("__doc"), col("__p"))
     val covered = dups.select(col("__doc"),
         explode(sequence(col("__p"), col("__p") + (spanWords - 1)))
           .as("__tp"))

@@ -14,6 +14,84 @@ object DialectQueries {
   private def chSql(views: Seq[String], chQuery: String): QFn =
     chSqlFan(views, Set.empty, chQuery)
 
+  /** The ClickHouse-dialect spelling of c30 — still the declared
+    * dialect surface for the A/B stat-test aggregates. Since r20 the
+    * REGISTERED c30 plan computes the U test distributed (see
+    * [[c30Fn]]); this text stays as the translation-parity oracle
+    * (ChDialectSpec compares both plans row-for-row on real data). */
+  private[graft] val c30ChText: String =
+    """SELECT event_type,
+      |  round(tupleElement(studentTTest(value, modulo(user_id, 2)), 1), 6) AS st_t,
+      |  round(tupleElement(studentTTest(value, modulo(user_id, 2)), 2), 6) AS st_p,
+      |  round(tupleElement(welchTTest(value, modulo(user_id, 2)), 1), 6) AS wt_t,
+      |  round(tupleElement(welchTTest(value, modulo(user_id, 2)), 2), 6) AS wt_p,
+      |  tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 1) AS mw_u,
+      |  round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** c30 through the translator — kept ONLY for the parity test. */
+  private[graft] def c30ChSqlFn: QFn =
+    chSqlFan(Seq("events"), Set("events"), c30ChText)
+
+  /** c30 with a DISTRIBUTED Mann-Whitney U (r19 verdict #2, guide
+    * §2.3/§5): the dialect aggregate buffers each group's whole
+    * sample (sort_array(collect_list)) — O(group) task memory, the
+    * one spill-unsafe state left in the stats family. Identical tie
+    * arithmetic from per-(group, value) counts instead:
+    *   ceq/ones per distinct value (partial agg, collapses map-side),
+    *   pos = exclusive prefix count over the value order (window on
+    *   the REDUCED rows — Spark's window buffer spills, a collect
+    *   cannot), r1 = Σ ones·(pos + (ceq+1)/2), ties = Σ ceq³−ceq —
+    * exactly the rank fold's flush terms (every term is a multiple of
+    * 0.5 and exactly representable, so any summation order gives the
+    * same double). The t-tests keep their partial-agg dialect
+    * expressions; the closed-form p spells the oracle's arithmetic
+    * verbatim. ChDialectSpec pins this plan ≡ the [[c30ChText]]
+    * translation on real events. */
+  private[graft] def c30Fn: QFn = { (s, dir) =>
+    GraftFunctions.ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
+    val e = fanOut(Tables(s, dir).events).selectExpr(
+      "event_type AS et", "CAST(value AS DOUBLE) AS v",
+      "CAST(user_id % 2 AS INT) AS g")
+    val tests = e.groupBy("et").agg(
+      expr("studentTTest(v, g)").as("st"),
+      expr("welchTTest(v, g)").as("wt"),
+      count(when(col("g") === 0, 1)).cast("double").as("n1"),
+      count(when(col("g") =!= 0, 1)).cast("double").as("n2"))
+    val cnt = e.groupBy("et", "v").agg(
+      count(lit(1)).cast("double").as("ceq"),
+      count(when(col("g") === 0, 1)).cast("double").as("ones"))
+    val wPrev = Window.partitionBy("et").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mw = cnt
+      .withColumn("pos", coalesce(sum("ceq").over(wPrev), lit(0.0)))
+      .groupBy("et").agg(
+        sum(col("ones") * (col("pos") + (col("ceq") + lit(1.0)) / lit(2.0)))
+          .as("r1"),
+        sum(col("ceq") * col("ceq") * col("ceq") - col("ceq")).as("ties"))
+    tests.join(mw, Seq("et"))
+      .selectExpr("et",
+        "round(st._1, 6) AS st_t", "round(st._2, 6) AS st_p",
+        "round(wt._1, 6) AS wt_t", "round(wt._2, 6) AS wt_p",
+        "r1 - n1*(n1 + 1.0)/2.0 AS mw_u",
+        "n1*n2/2.0 AS mw_mu",
+        "(n1*n2/12.0) * ((n1 + n2 + 1.0) - ties/((n1 + n2)*(n1 + n2 - 1.0))) AS mw_var")
+      .selectExpr("et", "st_t", "st_p", "wt_t", "wt_p", "mw_u", "mw_var",
+        "greatest(abs(mw_u - mw_mu) - 0.5, 0.0) / sqrt(mw_var) AS mw_z")
+      .selectExpr("et", "st_t", "st_p", "wt_t", "wt_p", "mw_u", "mw_var",
+        "mw_z / sqrt(2.0) AS mw_x")
+      .selectExpr("et", "st_t", "st_p", "wt_t", "wt_p", "mw_u", "mw_var",
+        "mw_x", "1.0/(1.0 + 0.3275911*mw_x) AS mw_uu")
+      .selectExpr("et AS event_type", "st_t", "st_p", "wt_t", "wt_p", "mw_u",
+        """CASE WHEN mw_var <= 0 THEN 1.0 ELSE
+          |  round(mw_uu*(0.254829592 + mw_uu*(-0.284496736 + mw_uu*(1.421413741 +
+          |    mw_uu*(-1.453152027 + mw_uu*1.061405429)))) * exp(-(mw_x*mw_x)), 6)
+          |END AS mw_p""".stripMargin)
+      .orderBy("event_type")
+  }
+
   /** chSql with the [[fanOut]] treatment on selected views — used by
     * the keys whose per-row aggregate state (rank folds, keyed maps,
     * reservoir buffers) dominates the scan stage: a single-split local
@@ -946,16 +1024,7 @@ object DialectQueries {
         |  round(st_t, 6) AS st_t, round(st_p, 6) AS st_p,
         |  round(wt_t, 6) AS wt_t, round(wt_p, 6) AS wt_p,
         |  mw_u, round(mw_p, 6) AS mw_p
-        |FROM pz ORDER BY event_type""".stripMargin } (
-      chSqlFan(Seq("events"), Set("events"),
-        """SELECT event_type,
-          |  round(tupleElement(studentTTest(value, modulo(user_id, 2)), 1), 6) AS st_t,
-          |  round(tupleElement(studentTTest(value, modulo(user_id, 2)), 2), 6) AS st_p,
-          |  round(tupleElement(welchTTest(value, modulo(user_id, 2)), 1), 6) AS wt_t,
-          |  round(tupleElement(welchTTest(value, modulo(user_id, 2)), 2), 6) AS wt_p,
-          |  tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 1) AS mw_u,
-          |  round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+        |FROM pz ORDER BY event_type""".stripMargin } (c30Fn),
 
     // Scalar-surface sweep: integer arithmetic (gcd/lcm as a bounded
     // Euclid fold), the CH rounding ladders, finiteness clamp, the

@@ -598,6 +598,35 @@ class ChDialectSpec extends SparkSpec {
       assert(k.getDouble(0) == c.getDouble(0), s"r1 differs: $r")
       assert(k.getDouble(1) == c.getDouble(1), s"ties differs: $r")
     }
+    // NaN run-extension (ADVICE r19): the composed fold's EqualTo
+    // treats NaN = NaN as TRUE and sort_array places NaNs adjacent —
+    // the kernel must pool them into ONE tied run, not one run per
+    // NaN. Sorted: 1.0, 2.0, NaN×3 → r1 = 1·1 + 0 + 2·(2 + 4/2) = 9,
+    // ties = 3³ − 3 = 24.
+    val nan = spark.sql(
+      """SELECT mw_fold_kernel_test(v, g) AS k,
+        |  mw_fold_composed_test(v, g) AS c
+        |FROM VALUES (1.0D, 0), (2.0D, 1), (CAST('NaN' AS DOUBLE), 0),
+        |  (CAST('NaN' AS DOUBLE), 1), (CAST('NaN' AS DOUBLE), 0)
+        |  AS t(v, g)""".stripMargin).collect().head
+    val nk = nan.getStruct(0); val nc = nan.getStruct(1)
+    assert(nk.getDouble(0) == 9.0 && nk.getDouble(1) == 24.0,
+      s"kernel NaN fold: $nk")
+    assert(nk.getDouble(0) == nc.getDouble(0) &&
+      nk.getDouble(1) == nc.getDouble(1), s"NaN parity: $nan")
+  }
+
+  test("c30 distributed Mann-Whitney plan equals the dialect translation") {
+    // the registered c30 plan computes the U test from per-(group,
+    // value) counts + a prefix window (r20); the chSql translation
+    // (collect_list + rank fold) stays the parity oracle — results
+    // must be BIT-identical on real events at both small SFs
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val a = graft.queries.DialectQueries.c30Fn(spark, dir)
+      val b = graft.queries.DialectQueries.c30ChSqlFn(spark, dir)
+      assert(a.columns.toSeq == b.columns.toSeq)
+      assert(a.collect().toSeq == b.collect().toSeq, s"c30 parity at $dir")
+    }
   }
 
   test("kolmogorovSmirnovTest and simpleLinearRegression match hand computation") {
