@@ -51,40 +51,89 @@ object DialectQueries {
   private[graft] def c30Fn: QFn = { (s, dir) =>
     GraftFunctions.ensureRegistered(s)
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
     val e = fanOut(Tables(s, dir).events).selectExpr(
       "event_type AS et", "CAST(value AS DOUBLE) AS v",
       "CAST(user_id % 2 AS INT) AS g")
-    val tests = e.groupBy("et").agg(
-      expr("studentTTest(v, g)").as("st"),
-      expr("welchTTest(v, g)").as("wt"),
-      count(when(col("g") === 0, 1)).cast("double").as("n1"),
-      count(when(col("g") =!= 0, 1)).cast("double").as("n2"))
+    // ONE pass: the per-(group, value) partial aggregate carries the
+    // tie counts for the U test AND the per-cohort moment sums the
+    // t-tests need, so the raw rows are read and shuffled exactly
+    // once (and collapse map-side on duplicate values). The rounded
+    // t statistics absorb the per-value re-association of the moment
+    // sums (the package determinism discipline: inherently-float
+    // stats are rounded); the U-test terms are multiples of 0.5 and
+    // exactly representable, so they are bit-identical in any order.
     val cnt = e.groupBy("et", "v").agg(
       count(lit(1)).cast("double").as("ceq"),
-      count(when(col("g") === 0, 1)).cast("double").as("ones"))
+      count(when(col("g") === 0, 1)).cast("double").as("ones"),
+      sum(when(col("g") === 0, col("v"))).as("s1v"),
+      sum(when(col("g") === 0, col("v") * col("v"))).as("q1v"),
+      sum(when(col("g") =!= 0, col("v"))).as("s2v"),
+      sum(when(col("g") =!= 0, col("v") * col("v"))).as("q2v"))
+    // exclusive prefix count over the value order — the rank fold's
+    // `pos`, on the REDUCED rows (distinct values), through Spark's
+    // spillable window buffer instead of a collected sample array
     val wPrev = Window.partitionBy("et").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val mw = cnt
+    val agg = cnt
       .withColumn("pos", coalesce(sum("ceq").over(wPrev), lit(0.0)))
       .groupBy("et").agg(
+        sum("ones").as("n1"),
+        sum(col("ceq") - col("ones")).as("n2"),
+        sum("s1v").as("s1"), sum("q1v").as("q1"),
+        sum("s2v").as("s2"), sum("q2v").as("q2"),
         sum(col("ones") * (col("pos") + (col("ceq") + lit(1.0)) / lit(2.0)))
           .as("r1"),
         sum(col("ceq") * col("ceq") * col("ceq") - col("ceq")).as("ties"))
-    tests.join(mw, Seq("et"))
-      .selectExpr("et",
-        "round(st._1, 6) AS st_t", "round(st._2, 6) AS st_p",
-        "round(wt._1, 6) AS wt_t", "round(wt._2, 6) AS wt_p",
+    // closed forms spelled VERBATIM as the oracle's tt/tv/mw/pz CTEs
+    def zzOf(n: String, t: String, df: String): String =
+      s"abs($t) * (1.0 - 1.0/(4.0*$df)) / sqrt(1.0 + $t*$t/(2.0*$df)) AS ${n}_zz"
+    val chained = Seq(
+      Seq("et", "n1", "n2", "r1", "ties",
+        "n1 + n2 - 2.0 AS st_df",
+        "(q1 - s1*s1/n1)/(n1 - 1.0) AS va1",
+        "(q2 - s2*s2/n2)/(n2 - 1.0) AS va2",
+        "s1/n1 - s2/n2 AS md",
+        "((q1 - s1*s1/n1) + (q2 - s2*s2/n2)) / (n1 + n2 - 2.0) AS sp2"),
+      Seq("et", "n1", "n2", "r1", "ties", "st_df",
+        "md / sqrt(sp2 * (1.0/n1 + 1.0/n2)) AS st_t",
+        "md / sqrt(va1/n1 + va2/n2) AS wt_t",
+        """(va1/n1 + va2/n2)*(va1/n1 + va2/n2) /
+          |  ((va1/n1)*(va1/n1)/(n1 - 1.0) + (va2/n2)*(va2/n2)/(n2 - 1.0)) AS wt_df""".stripMargin),
+      Seq("et", "st_t", "wt_t",
         "r1 - n1*(n1 + 1.0)/2.0 AS mw_u",
         "n1*n2/2.0 AS mw_mu",
-        "(n1*n2/12.0) * ((n1 + n2 + 1.0) - ties/((n1 + n2)*(n1 + n2 - 1.0))) AS mw_var")
-      .selectExpr("et", "st_t", "st_p", "wt_t", "wt_p", "mw_u", "mw_var",
-        "greatest(abs(mw_u - mw_mu) - 0.5, 0.0) / sqrt(mw_var) AS mw_z")
-      .selectExpr("et", "st_t", "st_p", "wt_t", "wt_p", "mw_u", "mw_var",
-        "mw_z / sqrt(2.0) AS mw_x")
-      .selectExpr("et", "st_t", "st_p", "wt_t", "wt_p", "mw_u", "mw_var",
-        "mw_x", "1.0/(1.0 + 0.3275911*mw_x) AS mw_uu")
-      .selectExpr("et AS event_type", "st_t", "st_p", "wt_t", "wt_p", "mw_u",
+        "(n1*n2/12.0) * ((n1 + n2 + 1.0) - ties/((n1 + n2)*(n1 + n2 - 1.0))) AS mw_var",
+        "st_df", "wt_df"),
+      Seq("et", "st_t", "wt_t", "mw_u", "mw_var", "st_df", "wt_df",
+        "GREATEST(abs(mw_u - mw_mu) - 0.5, 0.0) / sqrt(mw_var) AS mw_z"),
+      Seq("et", "st_t", "wt_t", "mw_u", "mw_var", "st_df", "wt_df",
+        "mw_z / sqrt(2.0) AS mw_x"),
+      Seq("et", "st_t", "wt_t", "mw_u", "mw_var", "st_df", "wt_df", "mw_x",
+        "1.0/(1.0 + 0.3275911*mw_x) AS mw_uu"))
+      .foldLeft(agg)((df, cols) => df.selectExpr(cols: _*))
+    val withPs = Seq(
+      Seq("et", "st_t", "wt_t", "mw_u", "mw_var", "mw_x", "mw_uu",
+        "st_df", "wt_df", zzOf("st", "st_t", "st_df"),
+        zzOf("wt", "wt_t", "wt_df")),
+      Seq("et", "st_t", "wt_t", "mw_u", "mw_var", "mw_x", "mw_uu",
+        "st_df", "wt_df", "st_zz", "wt_zz",
+        "st_zz / sqrt(2.0) AS st_x", "wt_zz / sqrt(2.0) AS wt_x"),
+      Seq("et", "st_t", "wt_t", "mw_u", "mw_var", "mw_x", "mw_uu",
+        "st_x", "wt_x",
+        "1.0/(1.0 + 0.3275911*st_x) AS st_u",
+        "1.0/(1.0 + 0.3275911*wt_x) AS wt_u"),
+      Seq("et", "st_t", "wt_t", "mw_u", "mw_var", "mw_x", "mw_uu",
+        """st_u*(0.254829592 + st_u*(-0.284496736 + st_u*(1.421413741 +
+          |  st_u*(-1.453152027 + st_u*1.061405429)))) * exp(-(st_x*st_x)) AS st_p""".stripMargin,
+        """wt_u*(0.254829592 + wt_u*(-0.284496736 + wt_u*(1.421413741 +
+          |  wt_u*(-1.453152027 + wt_u*1.061405429)))) * exp(-(wt_x*wt_x)) AS wt_p""".stripMargin))
+      .foldLeft(chained)((df, cols) => df.selectExpr(cols: _*))
+    withPs
+      .selectExpr("et AS event_type",
+        "round(st_t, 6) AS st_t", "round(st_p, 6) AS st_p",
+        "round(wt_t, 6) AS wt_t", "round(wt_p, 6) AS wt_p",
+        "mw_u",
         """CASE WHEN mw_var <= 0 THEN 1.0 ELSE
           |  round(mw_uu*(0.254829592 + mw_uu*(-0.284496736 + mw_uu*(1.421413741 +
           |    mw_uu*(-1.453152027 + mw_uu*1.061405429)))) * exp(-(mw_x*mw_x)), 6)
