@@ -30,8 +30,17 @@ object PlanSnap {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // optional 5th arg "final": EXECUTE each query first (via its own
+    // queryExecution, so AQE re-optimizes in place) and dump the
+    // resulting isFinalPlan=true rendering — the evidence for runtime
+    // effects the static plan can't show (stage/exchange reuse,
+    // AQEShuffleRead coalescing, join-strategy changes). A noop write
+    // would wrap the plan in a NEW command execution and leave the
+    // dataframe's own adaptive plan un-finalized.
+    val finalMode = args.length > 4 && args(4) == "final"
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sfDir)
+      if (finalMode) df.queryExecution.toRdd.foreach(_ => ())
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(
