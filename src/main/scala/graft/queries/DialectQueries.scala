@@ -1884,7 +1884,10 @@ object DialectQueries {
         |  'b:' || CAST(round(fb, 4) AS VARCHAR) AS smf
         |FROM pp JOIN mo ON pp.et = mo.et
         |ORDER BY event_type""".stripMargin)(
-      chSqlFan(Seq("events"), Set("events"),
+      // fan-out reverted in r20: the clean same-batch A/B reads the
+      // fanned form at x1.11 (dev/c46_d24_adjudicate_r20.txt) — the
+      // exchange costs more than the kernel parallelism pays here
+      chSql(Seq("events"),
         """SELECT event_type,
           |  round(tupleElement(anova(value, user_id % 3), 1), 6) AS af,
           |  round(tupleElement(anova(value, user_id % 3), 2), 6) AS ap,
