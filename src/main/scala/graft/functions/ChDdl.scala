@@ -1350,12 +1350,16 @@ object ChDdl {
     val whereToks = ts.drop(ChSql.find0(ts, Set("WHERE"), i) + 1)
     val predCol = expr(renderTrim(whereToks))
     if (partCols.isEmpty) {
-      // unpartitioned table: a mutation rewrites the snapshot (staged
-      // so the read-then-overwrite self-reference is safe) — same as a
-      // reference mutation rewriting every part
-      val tmp = java.nio.file.Files.createTempDirectory("graft_mutation").toString
-      mutated.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp)
+      // unpartitioned table: a mutation rewrites the snapshot, staged
+      // so the read-then-overwrite self-reference is safe. The stage
+      // is an EAGER localCheckpoint (executor memory/disk blocks, r20)
+      // instead of a durable tmp-parquet write + read-back: one fewer
+      // full write+read of the mutated rows per mutation. Safety is
+      // unchanged — a lost checkpoint block fails the job BEFORE the
+      // overwrite commits (the write stages and commits atomically),
+      // it can never silently recompute from already-overwritten files
+      // the way a persist() would.
+      mutated.localCheckpoint()
         .select(outCols.map(col): _*)
         .write.mode("overwrite").insertInto(table)
     } else {
@@ -1372,12 +1376,14 @@ object ChDdl {
       val affectedDf = snapshot.filter(predCol)
         .select(partCols.map(col): _*).distinct().persist()
       if (!affectedDf.isEmpty) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_mutation").toString
-        mutated.join(broadcast(affectedDf), partCols, "left_semi")
-          .write.mode("overwrite").parquet(tmp)
-        // explicit schema: a mutation that empties every affected
-        // partition leaves a data-less staged dir (schema-uninferable)
-        val staged = spark.read.schema(mutated.schema).parquet(tmp)
+        // same localCheckpoint staging as the unpartitioned branch
+        // (r20): the affected-partition rewrite no longer pays a
+        // durable tmp write + read-back, and an all-rows-deleted
+        // partition is just an empty checkpointed frame (no
+        // schema-uninferable staging dir to special-case)
+        val staged = mutated
+          .join(broadcast(affectedDf), partCols, "left_semi")
+          .localCheckpoint()
           .select(outCols.map(col): _*)
         // dynamic overwrite replaces exactly the partitions present in
         // the staged data; a partition whose rows were ALL deleted is
