@@ -23,7 +23,8 @@ object Curate {
     */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
       keepLang: String = "en", minQuality: Double = 0.45,
-      n: Int = 3, minJaccard: Double = 0.5, maxGramDf: Int = 1000): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.5, maxGramDf: Int = 1000,
+      fanScore: DataFrame => DataFrame = identity): DataFrame = {
     val scores = Text.langScores(col(textCol))
     // ONE scoring pass (guide §8: decide with small rows, move big
     // rows once). Every per-document signal (lang scores, quality,
@@ -35,7 +36,11 @@ object Curate {
     // exact-dedup keeper aggregate and the final anti-join) read it
     // instead of re-running the signal kernels over the full corpus;
     // it is unpersisted before return, so the release is complete.
-    val scoredMeta = docs.select(
+    // `fanScore` (callers pass the scale-adaptive fanOut) applies to
+    // THIS scoring input only: the signal kernels are the funnel's one
+    // compute-bound stage, while the text re-attach below is a plain
+    // scan that would pay a fan exchange for nothing.
+    val scoredMeta = fanScore(docs).select(
         col(idCol),
         Text.predictedLang(scores).as("predicted"),
         Text.qualityScore(col(textCol)).as("quality"),
@@ -100,10 +105,11 @@ object Curate {
     * DuckDB-oracle-able end to end. */
   def pretrain(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, isBench: Column, caps: Map[String, Int],
-      defaultCap: Int, minOverlap: Int = 5): DataFrame = {
+      defaultCap: Int, minOverlap: Int = 5,
+      fanScore: DataFrame => DataFrame = identity): DataFrame = {
     val corpus = docs.filter(!isBench)
     val bench = docs.filter(isBench)
-    val kept = funnel(corpus, idCol, textCol)
+    val kept = funnel(corpus, idCol, textCol, fanScore = fanScore)
     try {
       // re-attach text + stratum for decontamination and mixing (the
       // funnel deliberately drops text from its output)

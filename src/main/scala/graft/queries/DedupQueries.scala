@@ -375,7 +375,8 @@ object DedupQueries {
         |SELECT doc_id, predicted, quality, n_tokens FROM ex
         |WHERE doc_id NOT IN (SELECT id2 FROM dropd)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.operators.Curate.funnel(fanOut(Tables(s, dir).documents), "doc_id", "text")
+      graft.operators.Curate.funnel(Tables(s, dir).documents, "doc_id", "text",
+          fanScore = fanOut)
         .orderBy("doc_id")
     },
 
