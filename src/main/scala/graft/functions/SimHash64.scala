@@ -132,6 +132,14 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"capped_id_sz_list(id, sz, cap-literal) expected, got ${other.mkString(", ")}")
       },
+      // decimal_sum_exact(x) — exact SUM over a long-backed decimal
+      // with a two-tier (long unscaled + decimal escape) accumulator;
+      // bit-identical to sum(x), without the boxed add per row
+      d("decimal_sum_exact", classOf[DecSumExact]) {
+        case Seq(child) => DecSumExact(child)
+        case other => throw new IllegalArgumentException(
+          s"decimal_sum_exact(x) expected, got ${other.mkString(", ")}")
+      },
       // min_k_ids(id, k-literal) — the k smallest ids per group, the
       // partial-agg spelling of row_number<=k per bucket (NearDupIndex)
       d("min_k_ids", classOf[MinKIds]) {
