@@ -692,14 +692,15 @@ object Dedup {
     * Scale shape — all stages linear in corpus tokens, no pair
     * joins:
     *  1. positional L-grams (doc, pos, md5) — one scan + explode;
-    *  2.+3. duplicate occurrences = one hash-partitioned WINDOW:
-    *     min(struct(doc, pos)) over each gram hash is the keeper (the
-    *     d24 rule), and every row ≠ keeper is a duplicate. The span
-    *     table crosses ONE exchange, and a boilerplate span shared by
-    *     10⁶ docs streams through the spillable window buffer — disk,
-    *     never one task's heap (a collect_list aggregation buffered a
-    *     hot gram's whole occurrence set in one row; a join-back
-    *     exchanged the span table twice);
+    *  2. first occurrence per gram = partial-agg min(struct(doc,
+    *     pos)) (the d24 keeper rule: a boilerplate span shared by
+    *     10⁶ docs collapses map-side before the shuffle);
+    *  3. duplicate occurrences = occurrences ⋈ first on the hash —
+    *     the first side is ONE row per distinct gram, so a hot gram
+    *     costs df(gram) join rows, never df² and never one task's
+    *     heap; AQE splits residual skew (shape re-adjudicated r20:
+    *     see the step-3 comment in the body for the alternatives'
+    *     measurements);
     *  4. covered token positions = explode of the L offsets per
     *     duplicate span → distinct (doc, tokpos) — ≤ L × dup-span
     *     rows, partial-agg dedup;
@@ -713,22 +714,26 @@ object Dedup {
         posexplode(wordNGramsAll(col(textCol), spanWords))
           .as(Seq("__p", "__g")))
       .select(col("__doc"), col("__p"), md5(col("__g")).as("__h"))
-    // ONE exchange carries the span table (the former groupBy +
-    // join-back shape computed the 3M-row md5 explode twice and
-    // exchanged it twice, guide §2.4), realized as a WINDOW aggregate
-    // rather than a collect_list buffer: min(struct) over the hash
-    // partition streams each hash's occurrences through Spark's
-    // spillable window buffer, so a boilerplate span shared by
-    // millions of docs costs disk, never one task's heap (the r19
-    // collect_list form put df(gram) structs into a single
-    // aggregation-buffer row — an OOM magnet at 100 TB; ADVICE r19).
-    // (__doc, __p) is unique per occurrence, so dropping the row
-    // equal to the keeper struct is exactly the old doc-or-position
-    // inequality filter.
-    val dups = occ
-      .withColumn("__f", min(struct(col("__doc"), col("__p")))
-        .over(Window.partitionBy("__h")))
-      .filter(struct(col("__doc"), col("__p")) =!= col("__f"))
+    // Keeper-then-join-back, adjudicated across all three candidate
+    // shapes in r20 (dev/scale_gate_r20_opt.txt + the r19 A/B):
+    //  - r19's single-aggregation (min(struct) + collect_list of every
+    //    occurrence) is the local winner but puts df(gram) structs of
+    //    a hot boilerplate span into ONE aggregation-buffer row — the
+    //    ADVICE r19 OOM risk at 100 TB;
+    //  - a hash-partitioned window fixes the buffer but pays a
+    //    per-partition SORT of the whole span table: 10x-data ratio
+    //    3.36 vs the aggregate's 1.93 — the worst scaler of the three;
+    //  - this shape: the keeper aggregate collapses map-side (tiny
+    //    state per gram), and the join back streams occurrences
+    //    against 1-row-per-gram keepers — a hot gram costs df(gram)
+    //    join rows, never df² and never one task's heap; AQE splits
+    //    residual skew. Costs a second planting of the span table
+    //    (~+0.3 s locally), scales at ratio ~2.3 with bounded state.
+    val first = occ.groupBy("__h")
+      .agg(min(struct(col("__doc"), col("__p"))).as("__f"))
+    val dups = occ.join(first, "__h")
+      .filter(col("__doc") =!= col("__f.__doc") ||
+        col("__p") =!= col("__f.__p"))
       .select(col("__doc"), col("__p"))
     val covered = dups.select(col("__doc"),
         explode(sequence(col("__p"), col("__p") + (spanWords - 1)))
